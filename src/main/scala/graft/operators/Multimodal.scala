@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) travels as an
+  * opaque `binary` column plus a typed metadata struct; decode /
+  * feature-extraction runs as a typed partition-local pipeline.
+  *
+  * The container has no image/audio codecs, so the decoder below is a
+  * clearly-marked DETERMINISTIC STUB (it derives fake dimensions from the
+  * byte length). Everything around it — the binary column, the metadata
+  * struct schema, the Dataset[T] encoder, the per-partition batch shape —
+  * is the real plumbing a production decode (e.g. JNI into a codec, or
+  * `mapInPandas` from PySpark) would plug into.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Raw "media" record: id + opaque bytes (what a real pipeline reads
+    * from object storage). */
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  /** Extracted features; `width`/`height` come from the stub decoder. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, n_frames: Int, mode: String)
+
+  /** STUB decoder: a real implementation would parse the container format
+    * here (libjpeg/ffmpeg/...). Deterministic on the byte content so the
+    * pipeline stays oracle-checkable. */
+  def decodeStub(m: MediaRow): MediaFeatures = {
+    val n = m.media.length.toLong
+    val width = (n % 64L).toInt + 1
+    val height = (n % 48L).toInt + 1
+    val frames = (n % 8L).toInt + 1
+    val mode = if (n % 2L == 0L) "rgb" else "gray"
+    MediaFeatures(m.doc_id, n, width, height, frames, mode)
+  }
+
+  // ---- q50: binary media column -> per-partition decode -> features -------
+  private val q50: Q = (s, d) => {
+    import s.implicits._
+    // Fake media bytes: utf-8 of the text column stands in for image bytes.
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    // mapPartitions = the batch shape of a real decoder (amortizes codec
+    // init per partition, the same contract mapInPandas gives in PySpark).
+    media.mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+  private val q50Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+      |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+      |  CAST(octet_length(encode(text)) % 8 + 1 AS INT) AS n_frames,
+      |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q51: media metadata aggregation (mixed binary + struct columns) ----
+  private val q51: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        col("source").as("origin"),
+        lit("image/fake").as("mime")))
+      .groupBy(col("meta.origin").as("origin"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.n_bytes").cast("long")).as("total_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"))
+      .orderBy(col("origin"))
+  }
+  private val q51Sql =
+    """SELECT source AS origin, count(*) AS n_media,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY origin""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q50_media_decode" -> q50,
+    "q51_media_metadata" -> q51)
+
+  val oracle: Map[String, String] = Map(
+    "q50_media_decode" -> q50Sql,
+    "q51_media_metadata" -> q51Sql)
+}

@@ -1,0 +1,515 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY.md §2.B): scans, filter/project,
+  * joins (shuffle/broadcast/semi/anti/range), aggregations (hash, distinct,
+  * rollup), windows (rows/range), sorts/top-k, set ops, scalar functions,
+  * subqueries, JSON.
+  *
+  * Scale notes (100 TB mindset):
+  *  - Small dimensions (region/nation/supplier/part/customer) are broadcast
+  *    explicitly so the fact-table join never shuffles lineitem.
+  *  - Aggregations use Spark partial aggregation (map-side combine) for free.
+  *  - Filters are plain column predicates => pushed to the parquet scan.
+  *  - Every query ends in a deterministic ORDER BY for oracle comparison;
+  *    at production scale the ORDER BY would be dropped or replaced by top-k.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q1: TPC-H Q1 style scan + filter + hash aggregate ------------------
+  private val q1: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q2: projection + selective filter (pushdown) -----------------------
+  private val q2: Q = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q2Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 300000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q3: TPC-H Q3 style 3-way join + agg + top-k ------------------------
+  private val q3: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    // customer is small: broadcast it into orders; orders->lineitem shuffles
+    // on the join key, which is also the aggregation key => single shuffle.
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+  private val q3Sql =
+    """SELECT o_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'MACHINERY'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---- q4: broadcast dimension join + agg ---------------------------------
+  private val q4: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+  private val q4Sql =
+    """SELECT p_brand,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---- q5: TPC-H Q5 style 6-table join ------------------------------------
+  private val q5: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    // All dimensions are broadcastable; only orders<->lineitem shuffles.
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+  private val q5Sql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---- q6: left semi join (EXISTS) ----------------------------------------
+  private val q6: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45.0)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q6Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q7: left anti join (NOT EXISTS) ------------------------------------
+  private val q7: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("tot_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q7Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 4) AS tot_bal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q8: window ranking (top-3 per partition) ---------------------------
+  private val q8: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+  private val q8Sql =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |        row_number() OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |      FROM lineitem) t
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  // ---- q9: running-total + lag window -------------------------------------
+  private val q9: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1, 0.0).over(w), 4))
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+  private val q9Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+      |  round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey), 0.0), 4) AS prev_price
+      |FROM orders
+      |WHERE o_custkey < 20
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q10: global top-k (TakeOrderedAndProject) --------------------------
+  private val q10: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+  private val q10Sql =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // ---- q11: set operations (EXCEPT / UNION) -------------------------------
+  private val q11: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    // symmetric difference of the two customer sets
+    f.except(p).withColumn("side", lit("f_only"))
+      .union(p.except(f).withColumn("side", lit("p_only")))
+      .orderBy(col("side"), col("o_custkey"))
+  }
+  private val q11Sql =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |     p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |SELECT o_custkey, 'f_only' AS side FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM p)
+      |UNION ALL
+      |SELECT o_custkey, 'p_only' AS side FROM (SELECT o_custkey FROM p EXCEPT SELECT o_custkey FROM f)
+      |ORDER BY side, o_custkey""".stripMargin
+
+  // ---- q12: rollup (grouping sets) -----------------------------------------
+  private val q12: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+  }
+  private val q12Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---- q13: distinct aggregates -------------------------------------------
+  private val q13: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q13Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q14: scalar function suite (string/date/math/conditional) ----------
+  private val q14: Q = (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 100)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        upper(substring(col("o_orderpriority"), 1, 5)).as("prio5"),
+        length(col("o_orderstatus")).as("status_len"),
+        round(col("o_totalprice") / 1000.0, 2).as("kprice"),
+        abs(col("o_totalprice") - 200000.0).as("dist200k"),
+        when(col("o_totalprice") > 200000.0, "big").otherwise("small").as("bucket"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q14Sql =
+    """SELECT o_orderkey,
+      |  CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+      |  CAST(extract(month FROM o_orderdate) AS INT) AS order_month,
+      |  upper(substring(o_orderpriority, 1, 5)) AS prio5,
+      |  CAST(length(o_orderstatus) AS INT) AS status_len,
+      |  round(o_totalprice / 1000.0, 2) AS kprice,
+      |  abs(o_totalprice - 200000.0) AS dist200k,
+      |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS bucket,
+      |  o_orderstatus || '-' || o_orderpriority AS tag
+      |FROM orders
+      |WHERE o_orderkey < 100
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q15: conditional aggregation (promo share per year) ----------------
+  private val q15: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        round(
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share"))
+      .orderBy(col("ship_year"))
+  }
+  private val q15Sql =
+    """SELECT CAST(extract(year FROM l_shipdate) AS INT) AS ship_year,
+      |  round(sum(CASE WHEN p_type = 'PROMO'
+      |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+      |        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1
+      |ORDER BY ship_year""".stripMargin
+
+  // ---- q16: HAVING ---------------------------------------------------------
+  private val q16: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 4).as("total_qty"), count(lit(1)).as("n"))
+      .filter(col("total_qty") > 100.0)
+      .orderBy(col("l_suppkey"))
+  }
+  private val q16Sql =
+    """SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING round(sum(l_quantity), 4) > 100.0
+      |ORDER BY l_suppkey""".stripMargin
+
+  // ---- q17: scalar subquery (above-average account balance) ---------------
+  private val q17: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val avgBal = c.agg(avg(col("c_acctbal")).as("ab"))
+    // broadcast the 1-row aggregate instead of a driver collect(): stays
+    // fully distributed and plan-visible to Catalyst.
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+  private val q17Sql =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q18: chained semi join ---------------------------------------------
+  private val q18: Q = (s, d) => {
+    val su = Tables.supplier(s, d)
+    val l = Tables.lineitem(s, d)
+    val bigParts = Tables.part(s, d).filter(col("p_size") > 40).select(col("p_partkey"))
+    val liBig = l.join(broadcast(bigParts), l("l_partkey") === bigParts("p_partkey"), "left_semi")
+    su.join(liBig, su("s_suppkey") === liBig("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+  private val q18Sql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey
+      |    AND EXISTS (SELECT 1 FROM part
+      |                WHERE p_partkey = l_partkey AND p_size > 40))
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- q19: range (interval) join -----------------------------------------
+  private val q19: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast"), round(sum(col("l_quantity")), 4).as("qty_fast"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q19Sql =
+    """SELECT o_orderpriority, count(*) AS n_fast,
+      |  round(sum(l_quantity), 4) AS qty_fast
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q20: JSON extraction ------------------------------------------------
+  private val q20: Q = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("k_bucket"))
+  }
+  private val q20Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin
+
+  // ---- q21: RANGE window over event time -----------------------------------
+  private val q21: Q = (s, d) => {
+    // o_orderdate is TIMESTAMP_NTZ; Spark forbids NTZ→BIGINT directly, so
+    // hop through TIMESTAMP (identity under the UTC session zone).
+    val o = Tables.orders(s, d)
+      .withColumn("ord_sec", col("o_orderdate").cast("timestamp").cast("long"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ord_sec"))
+      .rangeBetween(-604800L, 0L) // 7 days in seconds
+    o.withColumn("n_week", count(lit(1)).over(w))
+      .withColumn("spend_week", round(sum(col("o_totalprice")).over(w), 4))
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("n_week"), col("spend_week"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+  private val q21Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER w AS n_week,
+      |  round(sum(o_totalprice) OVER w, 4) AS spend_week
+      |FROM orders
+      |WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+      |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q22: sessionization via gap detection (window + conditional sum) ---
+  private val q22: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("ts_sec", col("ts").cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    e.withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+  private val q22Sql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |          PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1,
+    "q2_filter_project" -> q2,
+    "q3_join_agg_topk" -> q3,
+    "q4_broadcast_join" -> q4,
+    "q5_multi_join" -> q5,
+    "q6_semi_join" -> q6,
+    "q7_anti_join" -> q7,
+    "q8_window_rank" -> q8,
+    "q9_window_running" -> q9,
+    "q10_topk" -> q10,
+    "q11_set_ops" -> q11,
+    "q12_rollup" -> q12,
+    "q13_distinct_agg" -> q13,
+    "q14_scalar_funcs" -> q14,
+    "q15_case_agg" -> q15,
+    "q16_having" -> q16,
+    "q17_scalar_subquery" -> q17,
+    "q18_chained_semi" -> q18,
+    "q19_range_join" -> q19,
+    "q20_json" -> q20,
+    "q21_range_window" -> q21,
+    "q22_sessionize" -> q22)
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_agg_topk" -> q3Sql,
+    "q4_broadcast_join" -> q4Sql,
+    "q5_multi_join" -> q5Sql,
+    "q6_semi_join" -> q6Sql,
+    "q7_anti_join" -> q7Sql,
+    "q8_window_rank" -> q8Sql,
+    "q9_window_running" -> q9Sql,
+    "q10_topk" -> q10Sql,
+    "q11_set_ops" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_distinct_agg" -> q13Sql,
+    "q14_scalar_funcs" -> q14Sql,
+    "q15_case_agg" -> q15Sql,
+    "q16_having" -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q18_chained_semi" -> q18Sql,
+    "q19_range_join" -> q19Sql,
+    "q20_json" -> q20Sql,
+    "q21_range_window" -> q21Sql,
+    "q22_sessionize" -> q22Sql)
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - Brute-force cosine top-k: the exact baseline. The probe set is tiny
+  *    and broadcast; the corpus side streams — at 100 TB this is one scan,
+  *    no shuffle of the corpus.
+  *  - Random-hyperplane LSH: the approximate scale path. Vectors are
+  *    bucketed by sign-bit signatures of dot products with fixed seeded
+  *    hyperplanes; candidates come from an equi-join on the bucket key.
+  *
+  * All dot products run through codegen'd higher-order functions
+  * (zip_with + aggregate) on array<double> — no UDFs.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-fold dot product of two array<double> columns (deterministic
+    * sequential order => bit-identical with the DuckDB oracle). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).withColumn("v", col("embedding").cast("array<double>"))
+
+  // ---- q40: brute-force cosine top-10 vs one probe vector -----------------
+  private val q40: Q = (s, d) => {
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"))
+    e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", round(dot("v", "pv") / (norm("v") * norm("pv")), 6))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+  private val q40Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT e.vec_id, e.label,
+      |    round(list_dot_product(e.v, p.pv)
+      |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cosine
+      |  FROM e CROSS JOIN p WHERE e.vec_id > 0)
+      |SELECT vec_id, label, cosine FROM sc
+      |ORDER BY cosine DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  // ---- q42: k-NN join (5-NN for every 50th vector) ------------------------
+  private val q42: Q = (s, d) => {
+    val e = emb(s, d)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(dot("v", "pv") / (norm("v") * norm("pv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+  private val q42Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+      |sc AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_dot_product(e.v, p.pv)
+      |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cosine
+      |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+      |r AS (SELECT probe_id, vec_id, cosine,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+      |      FROM sc)
+      |SELECT probe_id, rk, vec_id, cosine FROM r WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin
+
+  // ---- q41: LSH-bucketed approximate neighbors (no SQL oracle) ------------
+  private val NumPlanes = 12
+  /** Fixed seeded hyperplanes: deterministic across runs and executors. */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private val q41: Q = (s, d) => {
+    val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val e = emb(s, d)
+      .withColumn("planes", planeLit)
+      .withColumn("sigbits", expr(
+        """transform(planes, p ->
+          |  IF(aggregate(zip_with(v, p, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+          |     (acc, w) -> acc + w) >= 0.0, 1, 0))""".stripMargin))
+      .withColumn("bucket", expr(
+        "aggregate(sigbits, CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"))
+      .select(col("vec_id"), col("label"), col("v"), col("bucket"))
+    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("bucket"))
+    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", round(dot("v1", "v2") / (norm("v1") * norm("v2")), 6))
+      .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id1"), col("id2"))
+      .limit(100)
+  }
+
+  // ---- q43: per-label centroids (element-wise mean via posexplode) --------
+  private val q43: Q = (s, d) => {
+    emb(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mean_x"))
+      .filter(col("pos") < 8)
+      .orderBy(col("label"), col("pos"))
+  }
+  // DuckDB parallel-unnest zips the two lists positionally.
+  private val q43Oracle =
+    """WITH t AS (
+      |  SELECT label,
+      |    CAST(unnest(generate_series(0, 63)) AS INT) AS pos,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings)
+      |SELECT label, pos, round(avg(x), 6) AS mean_x
+      |FROM t
+      |WHERE pos < 8
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q40_cosine_topk" -> q40,
+    "q41_ann_lsh" -> q41,
+    "q42_knn_join" -> q42,
+    "q43_centroids" -> q43)
+
+  val oracle: Map[String, String] = Map(
+    "q40_cosine_topk" -> q40Sql,
+    // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check.
+    "q42_knn_join" -> q42Sql,
+    "q43_centroids" -> q43Oracle)
+}

@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.SimHash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators over the `documents` table: exact and
+  * near deduplication (hash, MinHash+LSH, SimHash, n-gram Jaccard),
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Scale notes:
+  *  - Exact dedup is a hash aggregate on a digest, never on raw text: at
+  *    100 TB you shuffle 16-byte digests, not documents.
+  *  - MinHash pairs come from an LSH band join (equi-join on band hash),
+  *    never an O(n^2) cross join.
+  *  - All token work uses codegen'd built-ins (regexp_extract_all etc.);
+  *    SimHash is a native Catalyst expression, not a UDF.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word tokens, lowercase. Same regex class works in Java and RE2. */
+  private def tokens(c: Column): Column =
+    expr(s"regexp_extract_all(lower(${c.toString}), '[a-z0-9]+', 0)")
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+
+  // ---- q30: exact dedup via content digest --------------------------------
+  private val q30: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup"))
+      .orderBy(col("source"))
+  }
+  private val q30Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dup
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---- q31: normalized dedup (lower, strip punct, collapse ws) ------------
+  private val q31: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .withColumn("h", md5(col("norm").cast("binary")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_unique_norm"))
+      .orderBy(col("source"))
+  }
+  private val q31Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_unique_norm
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---- q32: token counting per language -----------------------------------
+  private val q32: Q = (s, d) => {
+    docsWithTokens(s, d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+  private val q32Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+      |  round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens,
+      |  max(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---- q33: per-document quality scoring ----------------------------------
+  private val q33: Q = (s, d) => {
+    docsWithTokens(s, d)
+      .withColumn("n_len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", round(col("n_alpha").cast("double") / col("n_len"), 4))
+      .withColumn("stopwords",
+        size(expr("regexp_extract_all(lower(text), '\\\\b(the|and|of|to|in|is|a)\\\\b', 0)")))
+      .withColumn("quality",
+        when(col("n_tokens") >= 20 && col("alpha_ratio") > 0.7 && col("stopwords") >= 2, "good")
+          .when(col("n_tokens") >= 5, "fair")
+          .otherwise("poor"))
+      .select(col("doc_id"), col("n_len"), col("n_tokens"), col("alpha_ratio"),
+        col("stopwords"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+  private val q33Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INT) AS n_len,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS n_alpha,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS INT) AS stopwords
+      |  FROM documents)
+      |SELECT doc_id, n_len, n_tokens,
+      |  round(CAST(n_alpha AS DOUBLE) / n_len, 4) AS alpha_ratio, stopwords,
+      |  CASE WHEN n_tokens >= 20 AND round(CAST(n_alpha AS DOUBLE) / n_len, 4) > 0.7
+      |            AND stopwords >= 2 THEN 'good'
+      |       WHEN n_tokens >= 5 THEN 'fair' ELSE 'poor' END AS quality
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q34: language-ID heuristic (stopword n-gram scoring) ---------------
+  private val q34: Q = (s, d) => {
+    def cnt(pat: String): Column =
+      size(expr(s"regexp_extract_all(lower(text), '$pat', 0)"))
+    Tables.documents(s, d)
+      .withColumn("c_en", cnt("\\\\b(the|and|of|to|in|is)\\\\b"))
+      .withColumn("c_de", cnt("\\\\b(der|die|das|und|ist|nicht)\\\\b"))
+      .withColumn("c_es", cnt("\\\\b(el|los|de|que|es|y)\\\\b"))
+      .withColumn("c_fr", cnt("\\\\b(le|les|et|des|est|une)\\\\b"))
+      .withColumn("pred",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+          .when(col("c_es") >= col("c_fr"), "es")
+          .otherwise("fr"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+  private val q34Sql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS c_en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS c_de,
+      |    len(regexp_extract_all(lower(text), '\b(el|los|de|que|es|y)\b')) AS c_es,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|et|des|est|une)\b')) AS c_fr
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+      |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+      |       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred,
+      |  count(*) AS n
+      |FROM t
+      |GROUP BY 1, 2
+      |ORDER BY lang, pred""".stripMargin
+
+  // ---- q35: MinHash + LSH near-dup candidate pairs (no SQL oracle) --------
+  private val NumHashes = 32
+  private val NumBands = 8 // 4 rows per band
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** doc_id -> minhash signature over 3-word shingles. The i-th hash
+    * function is xxhash64 seeded by i (prepended column), so there is no
+    * affine arithmetic that could overflow under ANSI mode. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithTokens(s, d).filter(size(col("toks")) >= 3)
+    val shingled = docs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
+      )).as("shingle"))
+    val minExprs = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i")
+    }
+    shingled.groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"m$i")): _*))
+      .select(col("doc_id"), col("sig"))
+  }
+
+  private val q35: Q = (s, d) => {
+    val sigs = minhashSignatures(s, d)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            (0 until RowsPerBand).map(i => col("sig")(b * RowsPerBand + i)): _*)).as("bh"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val l = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("band"), col("bh"))
+    val r = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("band"), col("bh"))
+    // Equi-join on (band, band_hash): LSH candidate generation, linear not quadratic.
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .distinct()
+      .withColumn("est_jaccard", round(
+        expr(s"aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
+          lit(NumHashes.toDouble), 4))
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
+      .limit(100)
+  }
+
+  // ---- q36: SimHash fingerprints (custom Catalyst expression; no oracle) --
+  private val q36: Q = (s, d) => {
+    SimHash64.register(s)
+    docsWithTokens(s, d)
+      .withColumn("simhash", SimHash64.simhash64(col("toks")))
+      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+      .groupBy(col("bucket16"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_distinct"))
+      .orderBy(col("bucket16"))
+  }
+
+  // ---- q37: exact n-gram Jaccard similarity, top-5 neighbors per probe ----
+  private val q37: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsWithTokens(s, d)
+      .withColumn("tset", array_distinct(col("toks")))
+      .select(col("doc_id"), col("lang"), col("tset"))
+    val probes = toks.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("probe_id"), col("lang"), col("tset").as("probe_set"))
+    // co-partition by lang: probes per language are few -> broadcast them
+    val joined = toks.join(broadcast(probes), Seq("lang"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("inter", size(array_intersect(col("tset"), col("probe_set"))))
+      .withColumn("uni", size(array_union(col("tset"), col("probe_set"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("doc_id"), col("jaccard"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+  private val q37Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tset
+      |  FROM documents),
+      |p AS (SELECT doc_id AS probe_id, lang, tset AS probe_set FROM t WHERE doc_id % 100 = 0),
+      |j AS (
+      |  SELECT p.probe_id, t.doc_id,
+      |    round(CAST(len(list_intersect(t.tset, p.probe_set)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(t.tset, p.probe_set))), 6) AS jaccard
+      |  FROM t JOIN p ON t.lang = p.lang AND t.doc_id <> p.probe_id),
+      |r AS (
+      |  SELECT probe_id, doc_id, jaccard,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY jaccard DESC, doc_id) AS rk
+      |  FROM j)
+      |SELECT probe_id, rk, doc_id, jaccard
+      |FROM r WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin
+
+  // ---- q38: bag-of-words document fingerprint -----------------------------
+  private val q38: Q = (s, d) => {
+    docsWithTokens(s, d)
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(col("toks"))), " ").cast("binary")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fingerprints"))
+      .orderBy(col("source"))
+  }
+  private val q38Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+      |    regexp_extract_all(lower(text), '[a-z0-9]+'))), ' '))) AS n_fingerprints
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_dedup_exact" -> q30,
+    "q31_dedup_normalized" -> q31,
+    "q32_token_stats" -> q32,
+    "q33_quality_score" -> q33,
+    "q34_langid" -> q34,
+    "q35_minhash_lsh" -> q35,
+    "q36_simhash" -> q36,
+    "q37_ngram_jaccard" -> q37,
+    "q38_fingerprint" -> q38)
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_dedup_normalized" -> q31Sql,
+    "q32_token_stats" -> q32Sql,
+    "q33_quality_score" -> q33Sql,
+    "q34_langid" -> q34Sql,
+    // q35/q36 are not SQL-expressible (LSH banding / custom expression):
+    // driver records rows-only checks for them.
+    "q37_ngram_jaccard" -> q37Sql,
+    "q38_fingerprint" -> q38Sql)
+}
