@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.FormatOps.queries ++
       streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.TextOps.oracle ++
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
+      operators.FormatOps.oracle ++
       streaming.StreamOps.oracle
 }

@@ -1,0 +1,337 @@
+package graft.format
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.types._
+
+import Meta._
+
+/** Chunk-global dictionary builder for one fixed width (20 or 32).
+  *
+  * Mirrors the reference's signature feature (steelcake/olive
+  * `src/dict.zig:493-536`): all fixed-size-binary-20/32 values from every
+  * table/column of a chunk share one dictionary; columns store u32
+  * indices. Entries are sorted unsigned-lexicographically (the reference's
+  * comparator is order-broken by design — SURVEY.md §2.A D3 — so no
+  * consumer relies on its order; ours is a real total order).
+  */
+final class DictBuild(val width: Int) {
+  private final class Key(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+  private val map = new java.util.HashMap[Key, Integer]()
+  private var sorted: Array[Array[Byte]] = null
+
+  def add(src: Array[Byte]): Unit = {
+    require(sorted == null, "dict already finished")
+    map.putIfAbsent(new Key(src), Integer.valueOf(0))
+  }
+
+  def numEntries: Int = map.size
+
+  /** Sort entries, assign final indices, return concatenated entry bytes. */
+  def finish(): Array[Byte] = {
+    val keys = new Array[Array[Byte]](map.size)
+    val it = map.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next().bytes; i += 1 }
+    java.util.Arrays.sort(keys, java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte]))
+    i = 0
+    while (i < keys.length) { map.put(new Key(keys(i)), Integer.valueOf(i)); i += 1 }
+    sorted = keys
+    val out = new Array[Byte](keys.length * width)
+    i = 0
+    while (i < keys.length) { System.arraycopy(keys(i), 0, out, i * width, width); i += 1 }
+    out
+  }
+
+  def indexOf(bytes: Array[Byte]): Int = {
+    val v = map.get(new Key(bytes))
+    if (v == null) throw new IllegalStateException("value missing from dict")
+    v.intValue()
+  }
+
+  def reset(): Unit = { map.clear(); sorted = null }
+}
+
+/** Optional validity bitmap; elided entirely when no nulls, like the
+  * reference (`src/write.zig:841-857`). */
+final class ValidityBuilder {
+  private var bits = new Array[Byte](64)
+  private var n = 0
+  private var nulls = 0
+
+  def add(valid: Boolean): Unit = {
+    if (n / 8 >= bits.length) bits = java.util.Arrays.copyOf(bits, bits.length * 2)
+    if (valid) bits(n >> 3) = (bits(n >> 3) | (1 << (n & 7))).toByte
+    else nulls += 1
+    n += 1
+  }
+  def count: Int = n
+  def nullCount: Int = nulls
+  def write(sink: PageSink): Option[BufferMeta] =
+    if (nulls == 0) None
+    else Some(sink.writeBuffer(bits, (n + 7) / 8, Codec.Lz4, 1))
+  def reset(): Unit = { java.util.Arrays.fill(bits, 0.toByte); n = 0; nulls = 0 }
+}
+
+/** Growable i32 offsets starting at 0 (always rebased on disk, like the
+  * reference `src/write.zig:962-980`). */
+final class OffsetsBuilder {
+  private var arr = new Array[Int](64)
+  private var n = 1 // offsets[0] == 0
+  def last: Int = arr(n - 1)
+  def add(end: Int): Unit = {
+    if (n >= arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(n) = end; n += 1
+  }
+  def size: Int = n
+  def toBytes: (Array[Byte], Int) = {
+    val out = new Array[Byte](n * 4)
+    val bb = Bytes.le(out)
+    var i = 0
+    while (i < n) { bb.putInt(arr(i)); i += 1 }
+    (out, n * 4)
+  }
+  def reset(): Unit = { arr(0) = 0; n = 1 }
+}
+
+/** Per-column typed encoder: appends values from Spark's row/array getters
+  * into columnar buffers, then serializes to pages. One encoder tree per
+  * column, mirroring the reference's per-array writers
+  * (`src/write.zig:114-232`).
+  */
+sealed abstract class ColumnEncoder {
+  val validity = new ValidityBuilder
+  final def appendFrom(src: SpecializedGetters, ord: Int): Unit =
+    if (src.isNullAt(ord)) appendNull()
+    else { validity.add(true); appendValue(src, ord) }
+  final def appendNull(): Unit = { validity.add(false); appendNullSlot() }
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit
+  protected def appendNullSlot(): Unit
+  /** First pass of chunk-global dict encoding: offer 20/32-byte values. */
+  def collectDict(d20: DictBuild, d32: DictBuild): Unit = {}
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta
+  def reset(): Unit = validity.reset()
+  def byteSize: Long
+}
+
+object ColumnEncoder {
+  /** Field metadata key declaring a BinaryType column fixed-width (the
+    * Spark mapping for olive `fixed_size_binary(w)` — SURVEY.md §1.2). */
+  val FixedWidthKey = "graft.fixedWidth"
+
+  def forType(dt: DataType, metadata: Metadata = Metadata.empty): ColumnEncoder = dt match {
+    case BooleanType => new BoolEncoder
+    case ByteType => new PrimitiveEncoder(dt, 1)
+    case ShortType => new PrimitiveEncoder(dt, 2)
+    case IntegerType | DateType => new PrimitiveEncoder(dt, 4)
+    case LongType | TimestampType | TimestampNTZType => new PrimitiveEncoder(dt, 8)
+    case FloatType => new PrimitiveEncoder(dt, 4)
+    case DoubleType => new PrimitiveEncoder(dt, 8)
+    case d: DecimalType => new DecimalEncoder(d.precision, d.scale)
+    case BinaryType if metadata.contains(FixedWidthKey) =>
+      new FixedBinaryEncoder(metadata.getLong(FixedWidthKey).toInt)
+    case StringType => new BinaryEncoder
+    case BinaryType => new BinaryEncoder
+    case ArrayType(et, _) => new ListEncoder(forType(et), et)
+    case st: StructType =>
+      new StructEncoder(st.fields.map(f => forType(f.dataType, f.metadata)).toIndexedSeq, st.size)
+    case MapType(kt, vt, _) => new MapEncoder(forType(kt), forType(vt), kt, vt)
+    case other => throw new OliveFormatException(s"unsupported graft type $other")
+  }
+}
+
+final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder {
+  private val buf = new Bytes(256)
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = dt match {
+    case ByteType => buf.putByte(src.getByte(ord))
+    case ShortType => buf.putShort(src.getShort(ord))
+    case IntegerType | DateType => buf.putInt(src.getInt(ord))
+    case LongType | TimestampType | TimestampNTZType => buf.putLong(src.getLong(ord))
+    case FloatType => buf.putFloat(src.getFloat(ord))
+    case DoubleType => buf.putDouble(src.getDouble(ord))
+    case _ => throw new IllegalStateException(s"not primitive: $dt")
+  }
+  protected def appendNullSlot(): Unit = {
+    var i = 0
+    while (i < elemSize) { buf.putByte(0); i += 1 }
+  }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, Codec.Lz4, elemSize))
+  override def reset(): Unit = { super.reset(); buf.reset() }
+  def byteSize: Long = buf.size
+}
+
+final class BoolEncoder extends ColumnEncoder {
+  private var bits = new Array[Byte](64)
+  private var n = 0
+  private def ensure(): Unit =
+    if (n / 8 >= bits.length) bits = java.util.Arrays.copyOf(bits, bits.length * 2)
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    ensure()
+    if (src.getBoolean(ord)) bits(n >> 3) = (bits(n >> 3) | (1 << (n & 7))).toByte
+    n += 1
+  }
+  protected def appendNullSlot(): Unit = { ensure(); n += 1 }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(bits, (n + 7) / 8, Codec.Lz4, 1))
+  override def reset(): Unit = { super.reset(); java.util.Arrays.fill(bits, 0.toByte); n = 0 }
+  def byteSize: Long = (n + 7) / 8
+}
+
+/** Decimals: unscaled long (p ≤ 18) or 16-byte little-endian two's
+  * complement (p ≤ 38), matching olive decimal64/decimal128 storage
+  * classes (`src/write.zig:138-157`). */
+final class DecimalEncoder(precision: Int, scale: Int) extends ColumnEncoder {
+  val elemSize: Int = if (precision <= 18) 8 else 16
+  private val buf = new Bytes(256)
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val d = src.getDecimal(ord, precision, scale)
+    if (elemSize == 8) buf.putLong(d.toUnscaledLong)
+    else {
+      val be = d.toJavaBigDecimal.unscaledValue().toByteArray // big-endian, minimal
+      val sign: Byte = if (be(0) < 0) -1 else 0
+      var i = 0
+      while (i < 16) {
+        val beIdx = be.length - 1 - i // LE byte i
+        buf.putByte(if (beIdx >= 0) be(beIdx) else sign)
+        i += 1
+      }
+    }
+  }
+  protected def appendNullSlot(): Unit = {
+    var i = 0
+    while (i < elemSize) { buf.putByte(0); i += 1 }
+  }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, Codec.Lz4, elemSize))
+  override def reset(): Unit = { super.reset(); buf.reset() }
+  def byteSize: Long = buf.size
+}
+
+/** Fixed-width binary; widths 20/32 go through the chunk-global dict. */
+final class FixedBinaryEncoder(val width: Int) extends ColumnEncoder {
+  require(width > 0, s"bad fixed width $width")
+  val dictEncoded: Boolean = width == 20 || width == 32
+  private val values = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val b = src.getBinary(ord)
+    if (b.length != width)
+      throw new OliveFormatException(s"fixed_size_binary($width) got ${b.length} bytes")
+    values += b
+  }
+  protected def appendNullSlot(): Unit = values += null
+  override def collectDict(d20: DictBuild, d32: DictBuild): Unit =
+    if (dictEncoded) {
+      val d = if (width == 20) d20 else d32
+      values.foreach(v => if (v != null) d.add(v))
+    }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
+    if (dictEncoded) {
+      val d = if (width == 20) d20 else d32
+      val buf = new Bytes(values.length * 4)
+      // nulls encode index 0, like the reference (`src/dict.zig:149`).
+      values.foreach(v => buf.putInt(if (v == null) 0 else d.indexOf(v)))
+      DictIdxMeta(validity.write(sink), width, sink.writeBuffer(buf.array, buf.size, Codec.Lz4, 4))
+    } else {
+      val buf = new Bytes(values.length * width)
+      val zero = new Array[Byte](width)
+      values.foreach(v => buf.putBytes(if (v == null) zero else v))
+      PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, Codec.Lz4, width))
+    }
+  }
+  override def reset(): Unit = { super.reset(); values.clear() }
+  def byteSize: Long = values.length.toLong * width
+}
+
+/** Var-width string/binary: i32 offsets + data buffer. The data buffer is
+  * the one place the compression bias applies (zstd balanced / lz4-hc
+  * read-optimized), like the reference (`src/write.zig:802-811`). */
+final class BinaryEncoder extends ColumnEncoder {
+  private val data = new Bytes(1024)
+  private val offsets = new OffsetsBuilder
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val b = src.getBinary(ord)
+    data.putBytes(b)
+    offsets.add(data.size)
+  }
+  protected def appendNullSlot(): Unit = offsets.add(data.size)
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
+    val (offBytes, offLen) = offsets.toBytes
+    val dataMeta = sink.writeDataBuffer(data.array, offsets)
+    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+    BinaryMeta(validity.write(sink), offMeta, dataMeta)
+  }
+  override def reset(): Unit = { super.reset(); data.reset(); offsets.reset() }
+  def byteSize: Long = data.size + offsets.size * 4L
+}
+
+final class ListEncoder(child: ColumnEncoder, elemType: DataType) extends ColumnEncoder {
+  private val offsets = new OffsetsBuilder
+  private var childCount = 0
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val arr = src.getArray(ord)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { child.appendFrom(arr, i); i += 1 }
+    childCount += n
+    offsets.add(childCount)
+  }
+  protected def appendNullSlot(): Unit = offsets.add(childCount)
+  override def collectDict(d20: DictBuild, d32: DictBuild): Unit = child.collectDict(d20, d32)
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
+    val (offBytes, offLen) = offsets.toBytes
+    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+    ListMeta(validity.write(sink), offMeta, child.write(sink, d20, d32))
+  }
+  override def reset(): Unit = { super.reset(); offsets.reset(); child.reset(); childCount = 0 }
+  def byteSize: Long = child.byteSize + offsets.size * 4L
+}
+
+final class StructEncoder(children: IndexedSeq[ColumnEncoder], numFields: Int) extends ColumnEncoder {
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val row = src.getStruct(ord, numFields)
+    var i = 0
+    while (i < numFields) { children(i).appendFrom(row, i); i += 1 }
+  }
+  // null struct still occupies one aligned slot in every child
+  protected def appendNullSlot(): Unit = children.foreach(_.appendNull())
+  override def collectDict(d20: DictBuild, d32: DictBuild): Unit =
+    children.foreach(_.collectDict(d20, d32))
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    StructMeta(validity.write(sink), children.map(_.write(sink, d20, d32)).toVector)
+  override def reset(): Unit = { super.reset(); children.foreach(_.reset()) }
+  def byteSize: Long = children.map(_.byteSize).sum
+}
+
+final class MapEncoder(key: ColumnEncoder, value: ColumnEncoder, kt: DataType, vt: DataType)
+    extends ColumnEncoder {
+  private val offsets = new OffsetsBuilder
+  private var entryCount = 0
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val m: MapData = src.getMap(ord)
+    val ks: ArrayData = m.keyArray()
+    val vs: ArrayData = m.valueArray()
+    val n = m.numElements()
+    var i = 0
+    while (i < n) { key.appendFrom(ks, i); value.appendFrom(vs, i); i += 1 }
+    entryCount += n
+    offsets.add(entryCount)
+  }
+  protected def appendNullSlot(): Unit = offsets.add(entryCount)
+  override def collectDict(d20: DictBuild, d32: DictBuild): Unit = {
+    key.collectDict(d20, d32); value.collectDict(d20, d32)
+  }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
+    val (offBytes, offLen) = offsets.toBytes
+    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+    MapMeta(validity.write(sink), offMeta, key.write(sink, d20, d32), value.write(sink, d20, d32))
+  }
+  override def reset(): Unit = { super.reset(); offsets.reset(); key.reset(); value.reset(); entryCount = 0 }
+  def byteSize: Long = key.byteSize + value.byteSize + offsets.size * 4L
+}

@@ -1,0 +1,214 @@
+package graft.format
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Footer metadata tree for a graft file.
+  *
+  * The reference keeps its header purely in memory and leaves
+  * serialization to the embedder (steelcake/olive `src/header.zig:146-150`,
+  * see SURVEY.md §0) — this file IS that missing wire spec. Layout:
+  *
+  * {{{
+  *   [magic "GRFT" ][ data section: pages ... ][ footer bytes ]
+  *   [ footerLen: i64 LE ][ magic "OLV1" ]
+  * }}}
+  *
+  * A file holds N chunks (the reference's unit of I/O, `src/chunk.zig:15-38`);
+  * each chunk holds M named tables sharing two chunk-global dictionaries of
+  * 20/32-byte binaries (`src/dict.zig:209-212`). All sizes are u32-bounded
+  * like the reference (`src/header.zig:35-45`); scale comes from many
+  * chunks/files, never bigger chunks.
+  */
+object Meta {
+  val MagicHead: Array[Byte] = "GRFT".getBytes
+  val MagicTail: Array[Byte] = "OLV1".getBytes
+  val Version = 1
+
+  /** One compressed page of a logical buffer. `rowEnd` = exclusive end
+    * element index, enabling page-range skipping (the reference records
+    * this but never exploits it — `src/header.zig:41-45`). */
+  case class PageMeta(offset: Long, compSize: Int, rawSize: Int, rowEnd: Int)
+
+  /** A logical byte buffer stored as ≥0 pages under one codec. */
+  case class BufferMeta(codec: Byte, rawSize: Long, pages: Vector[PageMeta])
+
+  /** Chunk-global dictionary of fixed-width binaries. */
+  case class DictMeta(width: Int, numEntries: Int, data: BufferMeta)
+
+  sealed trait ColMeta { def validity: Option[BufferMeta] }
+  /** Fixed-width values (ints/floats/decimals/fixed-size binary), or a
+    * bit-packed bitmap for booleans. */
+  case class PrimitiveMeta(validity: Option[BufferMeta], values: BufferMeta) extends ColMeta
+  /** u32 indices into the chunk dict (width 20 or 32). */
+  case class DictIdxMeta(validity: Option[BufferMeta], width: Int, indices: BufferMeta) extends ColMeta
+  /** Var-width binary/string: i32 offsets (len+1, rebased to 0) + data. */
+  case class BinaryMeta(validity: Option[BufferMeta], offsets: BufferMeta, data: BufferMeta) extends ColMeta
+  case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
+  case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
+  case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
+
+  case class TableMeta(name: String, numRows: Int, schema: StructType, columns: Vector[ColMeta])
+  case class ChunkMeta(dict20: DictMeta, dict32: DictMeta, tables: Vector[TableMeta])
+  case class Footer(version: Int, dataSectionSize: Long, chunks: Vector[ChunkMeta])
+
+  // ---- serialization ------------------------------------------------------
+
+  def write(f: Footer): Array[Byte] = {
+    val b = new Bytes(1024)
+    b.putInt(f.version)
+    b.putLong(f.dataSectionSize)
+    b.putInt(f.chunks.size)
+    f.chunks.foreach { c =>
+      writeDict(b, c.dict20)
+      writeDict(b, c.dict32)
+      b.putInt(c.tables.size)
+      c.tables.foreach { t =>
+        writeString(b, t.name)
+        b.putInt(t.numRows)
+        writeString(b, t.schema.json)
+        b.putInt(t.columns.size)
+        t.columns.foreach(writeCol(b, _))
+      }
+    }
+    b.toArray
+  }
+
+  private def writeString(b: Bytes, s: String): Unit = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    b.putInt(bytes.length); b.putBytes(bytes)
+  }
+
+  private def writeBuffer(b: Bytes, m: BufferMeta): Unit = {
+    b.putByte(m.codec)
+    b.putLong(m.rawSize)
+    b.putInt(m.pages.size)
+    m.pages.foreach { p =>
+      b.putLong(p.offset); b.putInt(p.compSize); b.putInt(p.rawSize); b.putInt(p.rowEnd)
+    }
+  }
+
+  private def writeDict(b: Bytes, d: DictMeta): Unit = {
+    b.putInt(d.width); b.putInt(d.numEntries); writeBuffer(b, d.data)
+  }
+
+  private def writeOptBuffer(b: Bytes, m: Option[BufferMeta]): Unit = m match {
+    case Some(v) => b.putByte(1); writeBuffer(b, v)
+    case None    => b.putByte(0)
+  }
+
+  private def writeCol(b: Bytes, c: ColMeta): Unit = c match {
+    case PrimitiveMeta(v, values) =>
+      b.putByte(0); writeOptBuffer(b, v); writeBuffer(b, values)
+    case DictIdxMeta(v, w, idx) =>
+      b.putByte(1); writeOptBuffer(b, v); b.putInt(w); writeBuffer(b, idx)
+    case BinaryMeta(v, off, data) =>
+      b.putByte(2); writeOptBuffer(b, v); writeBuffer(b, off); writeBuffer(b, data)
+    case ListMeta(v, off, child) =>
+      b.putByte(3); writeOptBuffer(b, v); writeBuffer(b, off); writeCol(b, child)
+    case StructMeta(v, children) =>
+      b.putByte(4); writeOptBuffer(b, v); b.putInt(children.size); children.foreach(writeCol(b, _))
+    case MapMeta(v, off, k, vl) =>
+      b.putByte(5); writeOptBuffer(b, v); writeBuffer(b, off); writeCol(b, k); writeCol(b, vl)
+  }
+
+  // ---- parsing (untrusted input: every field bounds-checked) --------------
+
+  private final val MaxCount = 1 << 24 // tables/columns/pages sanity cap
+
+  def read(bytes: Array[Byte]): Footer = {
+    val c = new ByteCursor(bytes)
+    val version = c.getInt()
+    if (version != Version) throw new OliveFormatException(s"unsupported version $version")
+    val dataSize = c.getLong()
+    if (dataSize < 0) throw new OliveFormatException("negative data section size")
+    val nChunks = checkedCount(c.getInt(), "chunks")
+    val chunks = Vector.fill(nChunks) {
+      val d20 = readDict(c, 20)
+      val d32 = readDict(c, 32)
+      val nTables = checkedCount(c.getInt(), "tables")
+      val tables = Vector.fill(nTables) {
+        val name = c.getString()
+        val numRows = c.getInt()
+        if (numRows < 0) throw new OliveFormatException("negative numRows")
+        val schemaJson = c.getString()
+        val schema = try DataType.fromJson(schemaJson) match {
+          case s: StructType => s
+          case other => throw new OliveFormatException(s"table schema is not a struct: $other")
+        } catch {
+          case e: OliveFormatException => throw e
+          case e: Exception => throw new OliveFormatException(s"bad schema json", e)
+        }
+        val nCols = checkedCount(c.getInt(), "columns")
+        if (nCols != schema.size)
+          throw new OliveFormatException(s"column count $nCols != schema fields ${schema.size}")
+        val cols = Vector.fill(nCols)(readCol(c, 0))
+        TableMeta(name, numRows, schema, cols)
+      }
+      ChunkMeta(d20, d32, tables)
+    }
+    if (c.remaining != 0) throw new OliveFormatException(s"${c.remaining} trailing footer bytes")
+    Footer(version, dataSize, chunks)
+  }
+
+  private def checkedCount(n: Int, what: String): Int = {
+    if (n < 0 || n > MaxCount) throw new OliveFormatException(s"bad $what count $n")
+    n
+  }
+
+  private def readBuffer(c: ByteCursor): BufferMeta = {
+    val codec = c.getByte()
+    if (codec < 0 || codec > Codec.Zstd1) throw new OliveFormatException(s"bad codec $codec")
+    val rawSize = c.getLong()
+    if (rawSize < 0) throw new OliveFormatException("negative buffer size")
+    val nPages = checkedCount(c.getInt(), "pages")
+    var sum = 0L
+    val pages = Vector.fill(nPages) {
+      val p = PageMeta(c.getLong(), c.getInt(), c.getInt(), c.getInt())
+      if (p.offset < 0 || p.compSize < 0 || p.rawSize < 0 || p.rowEnd < 0)
+        throw new OliveFormatException("negative page field")
+      sum += p.rawSize
+      p
+    }
+    if (sum != rawSize) throw new OliveFormatException(s"page raw sizes $sum != buffer size $rawSize")
+    BufferMeta(codec, rawSize, pages)
+  }
+
+  private def readDict(c: ByteCursor, expectWidth: Int): DictMeta = {
+    val width = c.getInt()
+    if (width != expectWidth) throw new OliveFormatException(s"dict width $width != $expectWidth")
+    val n = c.getInt()
+    if (n < 0) throw new OliveFormatException("negative dict entries")
+    val data = readBuffer(c)
+    if (data.rawSize != n.toLong * width)
+      throw new OliveFormatException(s"dict size ${data.rawSize} != $n * $width")
+    DictMeta(width, n, data)
+  }
+
+  private def readOptBuffer(c: ByteCursor): Option[BufferMeta] = c.getByte() match {
+    case 0 => None
+    case 1 => Some(readBuffer(c))
+    case other => throw new OliveFormatException(s"bad option tag $other")
+  }
+
+  private final val MaxDepth = 16
+
+  private def readCol(c: ByteCursor, depth: Int): ColMeta = {
+    if (depth > MaxDepth) throw new OliveFormatException("column nesting too deep")
+    c.getByte() match {
+      case 0 => PrimitiveMeta(readOptBuffer(c), readBuffer(c))
+      case 1 =>
+        val v = readOptBuffer(c)
+        val w = c.getInt()
+        if (w != 20 && w != 32) throw new OliveFormatException(s"bad dict column width $w")
+        DictIdxMeta(v, w, readBuffer(c))
+      case 2 => BinaryMeta(readOptBuffer(c), readBuffer(c), readBuffer(c))
+      case 3 => ListMeta(readOptBuffer(c), readBuffer(c), readCol(c, depth + 1))
+      case 4 =>
+        val v = readOptBuffer(c)
+        val n = checkedCount(c.getInt(), "struct children")
+        StructMeta(v, Vector.fill(n)(readCol(c, depth + 1)))
+      case 5 => MapMeta(readOptBuffer(c), readBuffer(c), readCol(c, depth + 1), readCol(c, depth + 1))
+      case other => throw new OliveFormatException(s"bad column tag $other")
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.format
+
+import java.io.OutputStream
+
+import org.apache.spark.sql.types.StructType
+
+import Meta._
+
+/** Serializes logical buffers into compressed pages appended to the data
+  * section. Fixed-width buffers split at page-size byte boundaries
+  * (reference `src/write.zig:919-960`); var-width data buffers split on
+  * value boundaries so each page decompresses to whole values
+  * (`src/write.zig:859-917`).
+  */
+final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
+  private var pos: Long = 0L
+  def position: Long = pos
+
+  private val dataCodec: Byte =
+    if (bias == "read_optimized") Codec.Lz4Hc else Codec.Zstd1
+
+  private def writePage(src: Array[Byte], off: Int, len: Int, codec: Byte, rowEnd: Int): PageMeta = {
+    val comp = Codec.compress(codec, src, off, len)
+    out.write(comp)
+    val m = PageMeta(pos, comp.length, len, rowEnd)
+    pos += comp.length
+    m
+  }
+
+  /** Fixed-width buffer: ⌈len/pageSize⌉ pages; rowEnd = element index. */
+  def writeBuffer(src: Array[Byte], len: Int, codec: Byte, elemSize: Int): BufferMeta = {
+    val pages = Vector.newBuilder[PageMeta]
+    var off = 0
+    while (off < len || (off == 0 && len == 0)) {
+      val n = math.min(pageSize, len - off)
+      pages += writePage(src, off, n, codec, (off + n) / math.max(elemSize, 1))
+      off += n
+      if (len == 0) off = 1 // single empty page, then stop
+    }
+    BufferMeta(codec, len, if (len == 0) pages.result().take(1) else pages.result())
+  }
+
+  /** Var-width data buffer paged on value boundaries, bias-compressed. */
+  def writeDataBuffer(src: Array[Byte], offsets: OffsetsBuilder): BufferMeta = {
+    val (offBytes, offLen) = offsets.toBytes
+    val bb = Bytes.le(offBytes)
+    val numVals = offLen / 4 - 1
+    val pages = Vector.newBuilder[PageMeta]
+    var pageStart = 0
+    var v = 0
+    var total = 0
+    var lastEnd = 0
+    while (v < numVals) {
+      val end = bb.getInt((v + 1) * 4)
+      if (end - pageStart >= pageSize) {
+        pages += writePage(src, pageStart, end - pageStart, dataCodec, v + 1)
+        total += end - pageStart
+        pageStart = end
+      }
+      lastEnd = end
+      v += 1
+    }
+    if (lastEnd > pageStart || total == 0) {
+      pages += writePage(src, pageStart, lastEnd - pageStart, dataCodec, numVals)
+      total += lastEnd - pageStart
+    }
+    BufferMeta(dataCodec, total, pages.result())
+  }
+
+  /** Dict entries: raw uncompressed page(s), like the reference
+    * (`src/write.zig:103-112`). */
+  def writeDictData(src: Array[Byte]): BufferMeta =
+    writeBuffer(src, src.length, Codec.None, 1)
+}
+
+/** One buffered table inside a chunk being assembled. */
+final class TableBuffer(val name: String, val schema: StructType) {
+  val encoders: IndexedSeq[ColumnEncoder] =
+    schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
+  var numRows: Int = 0
+  def appendRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    var i = 0
+    while (i < encoders.length) { encoders(i).appendFrom(row, i); i += 1 }
+    numRows += 1
+  }
+  def byteSize: Long = encoders.map(_.byteSize).sum
+  def reset(): Unit = { encoders.foreach(_.reset()); numRows = 0 }
+}
+
+/** Writes a graft file: magic, data section of chunk pages, footer, tail.
+  *
+  * Write order per chunk mirrors `src/write.zig:35-101`: global dicts
+  * first, then every table's every column. The caller flushes chunks at
+  * its own row/byte thresholds; u32 per-chunk limits are preserved from
+  * the reference — a 100 TB dataset is many files × many chunks.
+  */
+final class GraftFileWriter(out: OutputStream,
+    pageSize: Int = GraftFileWriter.DefaultPageSize,
+    bias: String = "balanced") {
+
+  out.write(MagicHead)
+  private val sink = new PageSink(out, pageSize, bias)
+  private val chunks = Vector.newBuilder[ChunkMeta]
+  private var finished = false
+
+  def writeChunk(tables: Seq[TableBuffer]): Unit = {
+    require(!finished, "writer finished")
+    val d20 = new DictBuild(20)
+    val d32 = new DictBuild(32)
+    tables.foreach(_.encoders.foreach(_.collectDict(d20, d32)))
+    val dict20Bytes = d20.finish()
+    val dict32Bytes = d32.finish()
+    val d20Meta = DictMeta(20, d20.numEntries, sink.writeDictData(dict20Bytes))
+    val d32Meta = DictMeta(32, d32.numEntries, sink.writeDictData(dict32Bytes))
+    val tableMetas = tables.map { t =>
+      TableMeta(t.name, t.numRows, t.schema,
+        t.encoders.map(_.write(sink, d20, d32)).toVector)
+    }.toVector
+    chunks += ChunkMeta(d20Meta, d32Meta, tableMetas)
+  }
+
+  def finish(): Unit = {
+    require(!finished, "writer finished")
+    finished = true
+    val footerBytes = Meta.write(Footer(Version, sink.position, chunks.result()))
+    out.write(footerBytes)
+    val tail = new Bytes(12)
+    tail.putLong(footerBytes.length.toLong)
+    tail.putBytes(MagicTail)
+    out.write(tail.toArray)
+    out.flush()
+  }
+}
+
+object GraftFileWriter {
+  /** 1 MiB pages (the reference defaults to 1 GiB, `src/write.zig:63` —
+    * far too coarse for selective reads; SURVEY.md §4.1 recommends
+    * smaller). */
+  val DefaultPageSize: Int = 1 << 20
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+import graft.format.ColumnEncoder
+
+/** The graft columnar format exercised through the driver's oracle gate:
+  * each query writes a test table to graft (dict-encoded, paged,
+  * compressed), reads it back through the DSv2 scan, and computes an
+  * aggregate whose oracle runs on the ORIGINAL parquet — so a hash match
+  * proves the format round-trip is lossless, not just self-consistent.
+  */
+object FormatOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic per-sf scratch dir for graft files. */
+  private def graftDir(d: String, name: String): String =
+    s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private def roundTrip(s: SparkSession, df: DataFrame, dir: String): DataFrame = {
+    df.write.format("graft").mode("overwrite").save(dir)
+    s.read.format("graft").load(dir)
+  }
+
+  // ---- q80: lineitem through graft, then the Q1-style aggregate -----------
+  private val q80: Q = (s, d) => {
+    val l = roundTrip(s, Tables.lineitem(s, d), graftDir(d, "lineitem"))
+    l.filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q80Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q81: filter + projection over a graft scan (pruned read) -----------
+  private val q81: Q = (s, d) => {
+    val o = roundTrip(s, Tables.orders(s, d), graftDir(d, "orders"))
+    o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q81Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 250000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q82: 20/32-byte fingerprints through the chunk-global dict ---------
+  private val q82: Q = (s, d) => {
+    val meta20 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 20).build()
+    val meta32 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 32).build()
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("source"),
+      // heavy repetition across rows => the dict dedups on disk
+      unhex(substring(sha2(col("source").cast("binary"), 256), 1, 40)).as("addr20", meta20),
+      unhex(sha2(col("lang").cast("binary"), 256)).as("hash32", meta32))
+    val back = roundTrip(s, docs, graftDir(d, "docs_fsb"))
+    back.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("addr20")).as("n_addr"),
+        countDistinct(col("hash32")).as("n_hash"),
+        max(hex(col("addr20"))).as("max_addr_hex"))
+      .orderBy(col("source"))
+  }
+  private val q82Sql =
+    """SELECT source, count(*) AS n,
+      |  count(DISTINCT unhex(substr(sha256(source), 1, 40))) AS n_addr,
+      |  count(DISTINCT unhex(sha256(lang))) AS n_hash,
+      |  upper(max(substr(sha256(source), 1, 40))) AS max_addr_hex
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---- q83: array<float> embeddings through graft list columns ------------
+  private val q83: Q = (s, d) => {
+    val e = roundTrip(s, Tables.embeddings(s, d), graftDir(d, "embeddings"))
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(size(col("embedding")).cast("long")).as("total_dims"),
+        round(sum(element_at(col("embedding"), 1).cast("double")), 4).as("sum_first"))
+      .orderBy(col("label"))
+  }
+  private val q83Sql =
+    """SELECT label, count(*) AS n,
+      |  sum(len(embedding)) AS total_dims,
+      |  round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS sum_first
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q80_graft_roundtrip" -> q80,
+    "q81_graft_filter" -> q81,
+    "q82_graft_dict" -> q82,
+    "q83_graft_lists" -> q83)
+
+  val oracle: Map[String, String] = Map(
+    "q80_graft_roundtrip" -> q80Sql,
+    "q81_graft_filter" -> q81Sql,
+    "q82_graft_dict" -> q82Sql,
+    "q83_graft_lists" -> q83Sql)
+}

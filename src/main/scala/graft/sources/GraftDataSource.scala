@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.format._
+
+/** Spark DataSource V2 for the graft columnar format (the olive format
+  * re-expressed Spark-first — SURVEY.md §7).
+  *
+  * Read: `spark.read.format("graft").option("table", name).load(dir)` —
+  * vectorized `ColumnarBatch` scan, one input partition per file, column
+  * pruning skips unneeded page reads entirely.
+  *
+  * Write: `df.write.format("graft").mode("append"|"overwrite").save(dir)`
+  * — each task streams chunks (dict-encoded, paged, compressed) into its
+  * own file; at cluster scale this is one file per task, no coordination.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = GraftDataSource.path(options)
+    val conf = new Configuration()
+    val files = GraftDataSource.listFiles(conf, dir)
+    if (files.isEmpty) new StructType()
+    else {
+      val r = GraftFileReader.open(files.head.getFileSystem(conf), files.head)
+      try {
+        val t = GraftDataSource.pickTable(r.footer, options.get("table"))
+        t.schema
+      } finally r.close()
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftTable(GraftDataSource.path(options), schema, options)
+  }
+}
+
+object GraftDataSource {
+  def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    if (p == null) throw new IllegalArgumentException("graft source requires a path")
+    p
+  }
+
+  def listFiles(conf: Configuration, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else if (fs.getFileStatus(p).isFile) Seq(p)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".graft"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+
+  def pickTable(footer: Meta.Footer, tableOpt: String): Meta.TableMeta = {
+    val names = footer.chunks.flatMap(_.tables.map(_.name)).distinct
+    val name = Option(tableOpt).getOrElse {
+      if (names.size == 1) names.head
+      else throw new IllegalArgumentException(
+        s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
+    }
+    footer.chunks.flatMap(_.tables).find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"table $name not in file (has ${names.mkString(",")})"))
+  }
+}
+
+class GraftTable(dir: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft:$dir"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, schema, Option(options.get("table")))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info, options)
+}
+
+// ---- read path ------------------------------------------------------------
+
+class GraftScanBuilder(dir: String, fullSchema: StructType, tableOpt: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+  override def build(): Scan = new GraftScan(dir, required, tableOpt)
+}
+
+class GraftScan(dir: String, required: StructType, tableOpt: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $dir table=${tableOpt.getOrElse("<single>")} cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    GraftDataSource.listFiles(conf, dir)
+      .map(p => GraftInputPartition(p.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, tableOpt,
+      new SerializableConfiguration(new Configuration()))
+}
+
+case class GraftInputPartition(file: String) extends InputPartition
+
+class GraftReaderFactory(required: StructType, tableOpt: Option[String],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException("columnar-only scan")
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val path = new Path(partition.asInstanceOf[GraftInputPartition].file)
+    new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt)
+  }
+}
+
+/** Emits one ColumnarBatch per (chunk, table) — chunk size is the batch
+  * size, bounded by the writer's flush thresholds. */
+class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
+    tableOpt: Option[String]) extends PartitionReader[ColumnarBatch] {
+  private val reader = GraftFileReader.open(fs, path)
+  private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta)] = {
+    val name = tableOpt.getOrElse {
+      val names = reader.tableNames
+      if (names.size == 1) names.head
+      else throw new IllegalArgumentException(
+        s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
+    }
+    reader.footer.chunks.iterator
+      .flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
+  }
+  private var current: ColumnarBatch = null
+
+  override def next(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    if (!pending.hasNext) false
+    else {
+      val (chunk, table) = pending.next()
+      current = reader.decodeTable(chunk, table, required)
+      true
+    }
+  }
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = {
+    if (current != null) { current.close(); current = null }
+    reader.close()
+  }
+}
+
+// ---- write path -----------------------------------------------------------
+
+class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
+    options: CaseInsensitiveStringMap) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(dir, info.schema(), doTruncate,
+        Option(options.get("table")).getOrElse("data"),
+        Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
+        Option(options.get("bias")).getOrElse("balanced"),
+        Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows))
+  }
+}
+
+object GraftBatchWrite {
+  /** 128 Ki rows per chunk: big enough to amortize page/dict overhead,
+    * small enough that a decoded chunk (the read-side batch) stays well
+    * inside executor memory at wide schemas. */
+  val DefaultChunkRows: Int = 1 << 17
+}
+
+class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
+    table: String, pageSize: Int, bias: String, chunkRows: Int) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new Configuration()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (truncate && fs.exists(p))
+      GraftDataSource.listFiles(conf, dir).foreach(f => fs.delete(f, false))
+    fs.mkdirs(p)
+    new GraftWriterFactory(dir, schema, table, pageSize, bias, chunkRows,
+      new SerializableConfiguration(conf))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {}
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {}
+}
+
+class GraftWriterFactory(dir: String, schema: StructType, table: String,
+    pageSize: Int, bias: String, chunkRows: Int,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+      conf.value, partitionId, taskId)
+}
+
+case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+
+/** Task-side writer: buffers rows columnar, flushes a chunk per
+  * `chunkRows` (or ~96 MB buffered), one file per task attempt. The file
+  * name embeds task + UUID so concurrent attempts never collide; abort
+  * deletes the attempt's file. */
+class GraftDataWriter(dir: String, schema: StructType, table: String,
+    pageSize: Int, bias: String, chunkRows: Int, conf: Configuration,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val file = new Path(dir,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft")
+  private val fs = file.getFileSystem(conf)
+  private val out = fs.create(file, false)
+  private val writer = new GraftFileWriter(out, pageSize, bias)
+  private val buf = new TableBuffer(table, schema)
+  private var rows = 0L
+  private final val FlushBytes = 96L << 20
+
+  override def write(record: InternalRow): Unit = {
+    buf.appendRow(record)
+    rows += 1
+    if (buf.numRows >= chunkRows || buf.byteSize >= FlushBytes) flush()
+  }
+
+  private var chunksWritten = 0
+
+  private def flush(): Unit =
+    if (buf.numRows > 0) { writer.writeChunk(Seq(buf)); buf.reset(); chunksWritten += 1 }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    // empty partition: still emit a 0-row chunk so the file self-describes
+    if (chunksWritten == 0) writer.writeChunk(Seq(buf))
+    writer.finish()
+    out.close()
+    GraftCommitMessage(file.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => }
+    try fs.delete(file, false) catch { case _: Exception => }
+  }
+  override def close(): Unit = {}
+}

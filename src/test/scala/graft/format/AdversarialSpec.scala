@@ -1,0 +1,96 @@
+package graft.format
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Hostile-input reads must raise clean exceptions, never crash —
+  * the Spark port of the reference's adversarial fuzz test
+  * (`src/fuzz.zig:12-52`). */
+class AdversarialSpec extends SparkSpec {
+
+  private def writeSample(): java.io.File = {
+    val dir = Files.createTempDirectory("graft-adv").toString
+    spark.range(0, 500).selectExpr("id", "concat('s', id) AS s", "id * 1.5 AS d")
+      .write.format("graft").mode("append").save(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+  }
+
+  private def openRaw(f: java.io.File): Array[Byte] = Files.readAllBytes(f.toPath)
+
+  private def tryOpen(bytes: Array[Byte]): Unit = {
+    val tmp = Files.createTempDirectory("graft-adv2")
+    val p = tmp.resolve("x.graft")
+    Files.write(p, bytes)
+    val hp = new Path(p.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, hp)
+    try {
+      // decode every chunk/table fully — corruption may hide in pages
+      r.footer.chunks.foreach(c => c.tables.foreach { t =>
+        val batch = r.decodeTable(c, t, t.schema)
+        batch.rowIterator().forEachRemaining(row =>
+          (0 until t.schema.size).foreach(i => if (!row.isNullAt(i)) row.get(i, t.schema(i).dataType)))
+        batch.close()
+      })
+    } finally r.close()
+  }
+
+  test("truncated files fail cleanly") {
+    val raw = openRaw(writeSample())
+    for (keep <- Seq(0, 3, 10, raw.length / 2, raw.length - 5)) {
+      intercept[Exception](tryOpen(java.util.Arrays.copyOf(raw, keep)))
+    }
+  }
+
+  test("bit flips anywhere fail cleanly or decode") {
+    val raw = openRaw(writeSample())
+    val rnd = new scala.util.Random(42)
+    (0 until 60).foreach { _ =>
+      val copy = raw.clone()
+      val pos = rnd.nextInt(copy.length)
+      copy(pos) = (copy(pos) ^ (1 << rnd.nextInt(8))).toByte
+      // either clean failure or successful decode (flip may hit padding or
+      // compressed payload that still inflates to the right size)
+      try tryOpen(copy) catch { case _: Exception => () }
+    }
+  }
+
+  test("hostile footer lengths fail cleanly") {
+    val raw = openRaw(writeSample())
+    for (fl <- Seq(Long.MaxValue, -1L, raw.length.toLong, 0L)) {
+      val copy = raw.clone()
+      val bb = Bytes.le(copy)
+      bb.putLong(copy.length - 12, fl)
+      intercept[Exception](tryOpen(copy))
+    }
+  }
+
+  test("random garbage fails cleanly") {
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(4096) + 16)
+      rnd.nextBytes(junk)
+      // plant the tail magic so parsing gets past the first gate sometimes
+      System.arraycopy(Meta.MagicTail, 0, junk, junk.length - 4, 4)
+      intercept[Exception](tryOpen(junk))
+    }
+  }
+
+  test("footer codec round-trips and rejects trailing bytes") {
+    val f = writeSample()
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, hp)
+    val footer = r.footer
+    r.close()
+    val bytes = Meta.write(footer)
+    val again = Meta.read(bytes)
+    assert(again == footer)
+    intercept[OliveFormatException](Meta.read(bytes ++ Array[Byte](0)))
+    intercept[OliveFormatException](Meta.read(bytes.dropRight(1)))
+  }
+}

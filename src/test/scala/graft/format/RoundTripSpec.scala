@@ -1,0 +1,161 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Write→read equality through the graft DSv2 source — the Spark port of
+  * the reference's fuzz round-trip contract (`src/fuzz.zig:63-151`). */
+class RoundTripSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-rt").toString
+
+  private def roundTrip(df: DataFrame, opts: Map[String, String] = Map.empty): DataFrame = {
+    val dir = tmpDir()
+    val w = df.write.format("graft").mode("append")
+    opts.foreach { case (k, v) => w.option(k, v) }
+    w.save(dir)
+    val r = spark.read.format("graft")
+    opts.get("table").foreach(t => r.option("table", t))
+    r.load(dir)
+  }
+
+  test("primitives + strings round-trip with nulls") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      (col("id") % 128).cast("tinyint").as("b"),
+      (col("id") % 30000).cast("smallint").as("s"),
+      col("id").cast("int").as("i"),
+      when(col("id") % 7 === 0, null).otherwise(col("id") * 3).as("l_null"),
+      (col("id") * 1.5f).cast("float").as("f"),
+      (col("id") * 2.25).as("d"),
+      (col("id") % 2 === 0).as("flag"),
+      concat(lit("row-"), col("id")).as("str"),
+      when(col("id") % 5 === 0, null).otherwise(concat(lit("x"), col("id"))).as("str_null"),
+      encode(concat(lit("bin"), col("id")), "UTF-8").as("bin"))
+    val back = roundTrip(df)
+    assert(canon(back) == canon(df))
+  }
+
+  test("decimal, date, timestamp round-trip") {
+    val df = spark.range(0, 500).select(
+      col("id"),
+      (col("id") * 100 + 7).cast(DecimalType(12, 2)).as("dec_small"),
+      (col("id") * 1e15).cast(DecimalType(38, 6)).as("dec_big"),
+      date_add(lit("2020-01-01").cast("date"), col("id").cast("int")).as("dt"),
+      timestamp_micros(col("id") * 1000000 + 123456).as("ts"),
+      timestamp_micros(col("id") * 500).cast("timestamp_ntz").as("ts_ntz"))
+    val back = roundTrip(df)
+    assert(canon(back) == canon(df))
+  }
+
+  test("nested arrays, structs, maps round-trip") {
+    val df = spark.range(0, 300).select(
+      col("id"),
+      array(col("id"), col("id") * 2, col("id") * 3).as("arr"),
+      when(col("id") % 4 === 0, null)
+        .otherwise(array(concat(lit("a"), col("id")), lit("z"))).as("arr_str"),
+      struct(col("id").as("x"), concat(lit("n"), col("id")).as("nm"),
+        array((col("id") % 5).cast("int")).as("inner")).as("st"),
+      map(concat(lit("k"), col("id") % 3), col("id").cast("double")).as("m"),
+      array(struct(col("id").as("p"), lit("q").as("q"))).as("arr_st"))
+    val back = roundTrip(df)
+    assert(canon(back) == canon(df))
+  }
+
+  test("fixed-size binary 20/32 use the chunk-global dict and round-trip") {
+    val meta20 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 20).build()
+    val meta32 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 32).build()
+    val meta16 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 16).build()
+    // heavy repetition: id % 17 distinct addresses, shared across 2 columns
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      unhex(sha1(concat(lit("addr"), col("id") % 17))).as("addr", meta20),
+      unhex(sha2(concat(lit("hash"), col("id") % 17), 256)).as("hash", meta32),
+      when(col("id") % 9 === 0, null)
+        .otherwise(unhex(sha2(concat(lit("h2"), col("id") % 5), 256))).as("hash_null", meta32),
+      unhex(md5(concat(lit("md"), col("id")))).as("fsb16", meta16))
+    val dir = tmpDir()
+    df.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    // dict actually deduplicates: the single .graft file must be far
+    // smaller than raw 2000*(20+32+32) bytes of addresses
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    assert(file.length() < 2000L * (20 + 32 + 32))
+  }
+
+  test("multiple chunks per file and multiple files round-trip") {
+    val df = spark.range(0, 5000).repartition(3)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    val back = roundTrip(df, Map("chunkrows" -> "700"))
+    assert(back.rdd.getNumPartitions == 3) // one partition per file
+    assert(canon(back) == canon(df))
+  }
+
+  test("column pruning reads only requested columns") {
+    val df = spark.range(0, 800).select(
+      col("id"), concat(lit("s"), col("id")).as("s"), (col("id") * 2).as("y"))
+    val back = roundTrip(df).select("y")
+    assert(back.schema.fieldNames.toSeq == Seq("y"))
+    assert(canon(back) == canon(df.select("y")))
+    // count(*) works with zero columns decoded
+    assert(roundTrip(df).count() == 800)
+  }
+
+  test("read_optimized bias and tiny pages round-trip") {
+    val df = spark.range(0, 1200).select(
+      col("id"), concat(lit("text-"), col("id"), lit("-pad")).as("t"))
+    val back = roundTrip(df, Map("bias" -> "read_optimized", "pagesize" -> "256"))
+    assert(canon(back) == canon(df))
+  }
+
+  test("empty dataframe round-trips") {
+    val df = spark.range(0, 100).filter(col("id") < 0)
+      .select(col("id"), concat(lit("s"), col("id")).as("s"))
+    val back = roundTrip(df)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("overwrite mode truncates previous files") {
+    val dir = tmpDir()
+    spark.range(0, 50).write.format("graft").mode("append").save(dir)
+    spark.range(0, 50).write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 100)
+    spark.range(0, 7).write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 7)
+  }
+
+  test("multi-table file via direct writer API") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir()
+    val file = new Path(s"$dir/multi.graft")
+    val fs = file.getFileSystem(new Configuration())
+    val out = fs.create(file, true)
+    val w = new GraftFileWriter(out)
+    val sA = StructType(Seq(StructField("x", LongType), StructField("s", StringType)))
+    val sB = StructType(Seq(StructField("y", IntegerType)))
+    val ta = new TableBuffer("alpha", sA)
+    val tb = new TableBuffer("beta", sB)
+    val encA = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(sA).createSerializer()
+    val encB = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(sB).createSerializer()
+    (0 until 100).foreach(i => ta.appendRow(encA(Row(i.toLong, s"a$i")).copy()))
+    (0 until 40).foreach(i => tb.appendRow(encB(Row(i * 2)).copy()))
+    w.writeChunk(Seq(ta, tb))
+    w.finish()
+    out.close()
+    val a = spark.read.format("graft").option("table", "alpha").load(dir)
+    val b = spark.read.format("graft").option("table", "beta").load(dir)
+    assert(a.count() == 100 && b.count() == 40)
+    assert(a.agg(sum("x")).head.getLong(0) == (0 until 100).sum.toLong)
+    assert(b.agg(sum("y")).head.getLong(0) == (0 until 40).map(_ * 2).sum.toLong)
+  }
+}
