@@ -383,11 +383,15 @@ object Relational {
 
   // ---- q19: range (interval) join -----------------------------------------
   private val q19: Q = (s, d) => {
+    // precompute the window end once per order (build side) instead of
+    // per joined pair — interval arithmetic inside a join condition runs
+    // for every probe.
     val o = Tables.orders(s, d)
+      .withColumn("o_end", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
     val l = Tables.lineitem(s, d)
     l.join(o, l("l_orderkey") === o("o_orderkey") &&
         col("l_shipdate") >= col("o_orderdate") &&
-        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        col("l_shipdate") <= col("o_end"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_fast"), round(sum(col("l_quantity")), 4).as("qty_fast"))
       .orderBy(col("o_orderpriority"))

@@ -21,24 +21,30 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Left-fold dot product of two array<double> columns (deterministic
-    * sequential order => bit-identical with the DuckDB oracle). */
+  /** Left-fold dot product (native codegen'd expression — see
+    * [[graft.functions.DotProduct]]; deterministic sequential order =>
+    * bit-identical with the DuckDB oracle's list_dot_product). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.VectorOps.dot(col(a), col(b))
 
-  private def norm(a: String): Column = sqrt(dot(a, a))
-
-  private def emb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).withColumn("v", col("embedding").cast("array<double>"))
+  /** Corpus with the L2 norm computed ONCE per vector, before any join —
+    * recomputing norms inside an N×K pair join costs 2 extra dot
+    * products per pair. */
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nv", sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
+  }
 
   // ---- q40: brute-force cosine top-10 vs one probe vector -----------------
   private val q40: Q = (s, d) => {
     val e = emb(s, d)
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"))
+      .select(col("v").as("pv"), col("nv").as("np"))
     e.filter(col("vec_id") > 0)
       .crossJoin(broadcast(probe))
-      .withColumn("cosine", round(dot("v", "pv") / (norm("v") * norm("pv")), 6))
+      .withColumn("cosine", round(dot("v", "pv") / (col("nv") * col("np")), 6))
       .select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
@@ -59,11 +65,11 @@ object Similarity {
   private val q42: Q = (s, d) => {
     val e = emb(s, d)
     val probes = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nv").as("np"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
     e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", round(dot("v", "pv") / (norm("v") * norm("pv")), 6))
+      .withColumn("cosine", round(dot("v", "pv") / (col("nv") * col("np")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
@@ -101,12 +107,12 @@ object Similarity {
           |     (acc, w) -> acc + w) >= 0.0, 1, 0))""".stripMargin))
       .withColumn("bucket", expr(
         "aggregate(sigbits, CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"))
-      .select(col("vec_id"), col("label"), col("v"), col("bucket"))
-    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("bucket"))
-    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("bucket"))
+      .select(col("vec_id"), col("label"), col("v"), col("nv"), col("bucket"))
+    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nv").as("n1"), col("bucket"))
+    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nv").as("n2"), col("bucket"))
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(dot("v1", "v2") / (norm("v1") * norm("v2")), 6))
+      .withColumn("cosine", round(dot("v1", "v2") / (col("n1") * col("n2")), 6))
       .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
       .limit(100)
