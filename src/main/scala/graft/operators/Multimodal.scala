@@ -84,11 +84,49 @@ object Multimodal {
       |GROUP BY source
       |ORDER BY origin""".stripMargin
 
+  // ---- q52: frame sampling (video-style explode + per-frame features) -----
+  // A video pipeline shape: one row per sampled frame via explode, then a
+  // per-frame feature (here a hash — the stub for a real frame embedding),
+  // re-aggregated per media item. Frame count comes from the stub decoder.
+  private val q52: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("nb", octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("n_frames", (col("nb") % 8 + 1).cast("int"))
+      .withColumn("mode", when(col("nb") % 2 === 0, "rgb").otherwise("gray"))
+      .select(col("doc_id"), col("mode"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_sig",
+        md5(encode(concat(col("doc_id").cast("string"), lit("-"),
+          col("frame_idx").cast("string")), "UTF-8")))
+      .groupBy(col("mode"))
+      .agg(
+        count(lit(1)).as("n_frames_total"),
+        countDistinct(col("doc_id")).as("n_media"),
+        countDistinct(col("frame_sig")).as("n_distinct_sigs"))
+      .orderBy(col("mode"))
+  }
+  private val q52Sql =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN nb % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode,
+      |    unnest(generate_series(0, CAST(nb % 8 AS INT))) AS frame_idx
+      |  FROM m)
+      |SELECT mode, count(*) AS n_frames_total,
+      |  count(DISTINCT doc_id) AS n_media,
+      |  count(DISTINCT md5(CAST(doc_id AS VARCHAR) || '-' || CAST(frame_idx AS VARCHAR))) AS n_distinct_sigs
+      |FROM f
+      |GROUP BY mode
+      |ORDER BY mode""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_media_decode" -> q50,
-    "q51_media_metadata" -> q51)
+    "q51_media_metadata" -> q51,
+    "q52_frame_sample" -> q52)
 
   val oracle: Map[String, String] = Map(
     "q50_media_decode" -> q50Sql,
-    "q51_media_metadata" -> q51Sql)
+    "q51_media_metadata" -> q51Sql,
+    "q52_frame_sample" -> q52Sql)
 }

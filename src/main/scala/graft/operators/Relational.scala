@@ -469,7 +469,137 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---- q23: cube (all grouping-set combinations) --------------------------
+  private val q23: Q = (s, d) => {
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"), col("total"))
+      .orderBy(col("st"), col("prio"))
+  }
+  private val q23Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+      |       coalesce(o_orderpriority, 'ALL') AS prio,
+      |       count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY st, prio""".stripMargin
+
+  // ---- q24: full outer join ------------------------------------------------
+  private val q24: Q = (s, d) => {
+    val bigCust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("spend"))
+      .filter(col("spend") > 400000.0)
+    val richCust = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    bigCust.join(richCust, bigCust("o_custkey") === richCust("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), lit(-1L)).as("spend_key"),
+        coalesce(col("c_custkey"), lit(-1L)).as("rich_key"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("bal"))
+      .orderBy(col("spend_key"), col("rich_key"))
+  }
+  private val q24Sql =
+    """WITH big AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |  HAVING round(sum(o_totalprice), 4) > 400000.0),
+      |rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0)
+      |SELECT coalesce(o_custkey, -1) AS spend_key,
+      |       coalesce(c_custkey, -1) AS rich_key,
+      |       coalesce(spend, 0.0) AS spend,
+      |       coalesce(c_acctbal, 0.0) AS bal
+      |FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+      |ORDER BY spend_key, rich_key""".stripMargin
+
+  // ---- q25: as-of join (latest event at or before each order date) --------
+  // Spark has no ASOF JOIN operator; the idiomatic scale-safe encoding is
+  // range-join + per-key max-struct aggregation (one shuffle on the key,
+  // no window over the full fact table). DuckDB's native ASOF JOIN is the
+  // oracle.
+  private val q25: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select((col("event_id") % 100).as("uk"), col("ts"), col("value"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), (col("o_orderkey") % 100).as("uk"),
+        col("o_orderdate").cast("timestamp").as("odate"))
+    o.join(e, o("uk") === e("uk") && col("ts") <= col("odate"), "left")
+      .groupBy(col("o_orderkey"), col("odate"))
+      .agg(max(struct(col("ts"), col("value"))).as("last_ev"))
+      .select(col("o_orderkey"),
+        col("last_ev.ts").as("ev_ts"),
+        round(col("last_ev.value"), 4).as("ev_value"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q25Sql =
+    """WITH e AS (SELECT event_id % 100 AS uk, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |o AS (SELECT o_orderkey, o_orderkey % 100 AS uk, CAST(o_orderdate AS TIMESTAMP) AS odate
+      |      FROM orders WHERE o_orderkey < 500)
+      |SELECT o.o_orderkey, e.ts AS ev_ts, round(e.value, 4) AS ev_value
+      |FROM o ASOF LEFT JOIN e ON o.uk = e.uk AND e.ts <= o.odate
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---- q26: typed UDAF (Aggregator) — weighted average ---------------------
+  private val q26: Q = (s, d) => {
+    graft.functions.WeightedAvg.register(s)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(
+        call_function("graft_weighted_avg", col("l_extendedprice"), col("l_quantity")),
+        4).as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q26Sql =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q27: pure SQL surface (temp views + spark.sql) ----------------------
+  private val q27: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql("""
+      SELECT n.n_name, count(*) AS n_cust, round(avg(c.c_acctbal), 4) AS avg_bal
+      FROM g_customer c JOIN g_nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      HAVING count(*) >= 2
+      ORDER BY n.n_name""")
+  }
+  private val q27Sql =
+    """SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING count(*) >= 2
+      |ORDER BY n_name""".stripMargin
+
+  // ---- q28: approx_count_distinct (HLL++) — no SQL oracle ------------------
+  // Different sketch implementations give different estimates; checked
+  // rows-only by the driver. Exact distinct rides along to show the
+  // estimate lands within rsd.
+  private val q28: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q23_cube" -> q23,
+    "q24_full_outer" -> q24,
+    "q25_asof_join" -> q25,
+    "q26_udaf_weighted_avg" -> q26,
+    "q27_sql_api" -> q27,
+    "q28_approx_distinct" -> q28,
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
     "q3_join_agg_topk" -> q3,
@@ -494,6 +624,12 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q23_cube" -> q23Sql,
+    "q24_full_outer" -> q24Sql,
+    "q25_asof_join" -> q25Sql,
+    "q26_udaf_weighted_avg" -> q26Sql,
+    "q27_sql_api" -> q27Sql,
+    // q28 has no oracle: HLL++ estimates are implementation-specific
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg_topk" -> q3Sql,

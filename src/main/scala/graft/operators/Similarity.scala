@@ -140,11 +140,46 @@ object Similarity {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  // ---- q44: IVF-style ANN (coarse quantize -> search one cell) ------------
+  // The scale path for ANN: build coarse centroids (here: per-label means,
+  // a distributed agg), assign every vector + probe to its nearest
+  // centroid, then search only within the probe's cell — an equi-join on
+  // cell id, so the corpus is never cross-joined. No SQL oracle
+  // (approximate by construction): rows-only check.
+  private val q44: Q = (s, d) => {
+    val e = emb(s, d)
+    // centroids: label -> mean vector (tiny; collected into a broadcast join)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    // assign: nearest centroid by cosine (centroid set is tiny => broadcast)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nv"), col("cell"))
+    val probes = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nv").as("np"), col("cell"))
+    // search only the probe's cell: equi-join on cell, linear in corpus
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(dot("v", "pv") / (col("nv") * col("np")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_knn_join" -> q42,
-    "q43_centroids" -> q43)
+    "q43_centroids" -> q43,
+    "q44_ivf_ann" -> q44)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,

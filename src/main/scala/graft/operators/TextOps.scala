@@ -267,7 +267,34 @@ object TextOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q39: BPE-style pre-tokenization counts ------------------------------
+  // GPT-2-ish splitting simplified to a class regex with identical
+  // semantics in Java regex (Spark) and RE2 (DuckDB): letter runs,
+  // single digits, single punctuation marks.
+  private val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]"
+  private val q39: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("toks", expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_bpe_tokens"),
+        round(avg(col("n_tok")), 4).as("avg_bpe_tokens"),
+        sum(size(array_distinct(col("toks"))).cast("long")).as("sum_distinct_tokens"))
+      .orderBy(col("lang"))
+  }
+  private val q39Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS total_bpe_tokens,
+      |  round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))), 4) AS avg_bpe_tokens,
+      |  sum(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))) AS sum_distinct_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_bpe_tokens" -> q39,
     "q30_dedup_exact" -> q30,
     "q31_dedup_normalized" -> q31,
     "q32_token_stats" -> q32,
@@ -279,6 +306,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q39_bpe_tokens" -> q39Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_dedup_normalized" -> q31Sql,
     "q32_token_stats" -> q32Sql,

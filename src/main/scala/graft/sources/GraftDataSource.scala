@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -91,7 +92,7 @@ class GraftTable(dir: String, schema: StructType, options: CaseInsensitiveString
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, schema, Option(options.get("table")))
@@ -180,12 +181,29 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftBatchWrite(dir, info.schema(), doTruncate,
-        Option(options.get("table")).getOrElse("data"),
-        Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
-        Option(options.get("bias")).getOrElse("balanced"),
-        Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows))
+    private def batchWrite = new GraftBatchWrite(dir, info.schema(), doTruncate,
+      Option(options.get("table")).getOrElse("data"),
+      Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
+      Option(options.get("bias")).getOrElse("balanced"),
+      Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows))
+    override def toBatch: BatchWrite = batchWrite
+    // Streaming sink: each epoch appends files; file names embed the
+    // epoch so retried epochs overwrite-by-collision-free names and a
+    // crashed task's partial file is never committed logic-visible
+    // (readers only trust complete footers).
+    override def toStreaming: StreamingWrite = streamingWrite
+    private object streamingWrite extends StreamingWrite {
+      private val bw = batchWrite
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+        val f = bw.createBatchWriterFactory(info)
+        new StreamingDataWriterFactory {
+          override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+            f.createWriter(partitionId, taskId + epochId * 100000L)
+        }
+      }
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
+    }
   }
 }
 

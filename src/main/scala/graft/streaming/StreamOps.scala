@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   * aggregation map-side, then a shuffle of window keys only. Watermark
   * bounds state; at 100 TB/day the state store holds one window's keys.
   */
+// top-level so Spark's generated encoder code can reach them
+case class Ev(user_id: Long, tsSec: Long)
+case class Sess(user_id: Long, n_sessions: Long, n_events: Long)
+
 object StreamOps {
 
   type Q = (SparkSession, String) => DataFrame
@@ -88,13 +92,92 @@ object StreamOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---- q63: stateful sessionization via mapGroupsWithState -----------------
+  // KeyValueGroupedDataset.mapGroupsWithState — the custom-state surface.
+  // Batch execution here (state lives within the single invocation);
+  // the same function runs unchanged on a stream with a timeout.
+  private val q63: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("tsSec")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, Sess](GroupStateTimeout.NoTimeout) {
+        case (uid, it, _) =>
+          val ts = it.map(_.tsSec).toArray
+          java.util.Arrays.sort(ts)
+          var sessions = 0L
+          var prev = Long.MinValue
+          ts.foreach { t =>
+            if (prev == Long.MinValue || t - prev > 1800) sessions += 1
+            prev = t
+          }
+          Sess(uid, sessions, ts.length.toLong)
+      }
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+  private val q63Sql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |          PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---- q64: streaming pipeline into the graft sink -------------------------
+  // readStream(events) → transform → writeStream format("graft") → read the
+  // graft files back and aggregate. Exercises the DSv2 STREAMING_WRITE
+  // path end-to-end; the oracle runs on the original parquet.
+  private val q64: Q = (s, d) => {
+    val outDir = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_sink"
+    val ckDir = outDir + "_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    val src = Tables.eventsStream(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = src.writeStream
+      .format("graft")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.format("graft").load(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+  private val q64Sql =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q60_window_agg" -> q60,
     "q61_stream_window" -> q61,
-    "q62_session_window" -> q62)
+    "q62_session_window" -> q62,
+    "q63_stateful_sessions" -> q63,
+    "q64_graft_stream_sink" -> q64)
 
   val oracle: Map[String, String] = Map(
     "q60_window_agg" -> q60Sql,
     "q61_stream_window" -> q60Sql,
-    "q62_session_window" -> q62Sql)
+    "q62_session_window" -> q62Sql,
+    "q63_stateful_sessions" -> q63Sql,
+    "q64_graft_stream_sink" -> q64Sql)
 }
