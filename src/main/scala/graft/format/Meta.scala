@@ -47,7 +47,11 @@ object Meta {
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
 
-  case class TableMeta(name: String, numRows: Int, schema: StructType, columns: Vector[ColMeta])
+  /** `stats` is per top-level column, aligned with `columns` (chunk-level
+    * min/max/null info for scan pruning — an extension over the
+    * reference; see [[Stats]]). */
+  case class TableMeta(name: String, numRows: Int, schema: StructType,
+      columns: Vector[ColMeta], stats: Vector[ColStats])
   case class ChunkMeta(dict20: DictMeta, dict32: DictMeta, tables: Vector[TableMeta])
   case class Footer(version: Int, dataSectionSize: Long, chunks: Vector[ChunkMeta])
 
@@ -68,9 +72,19 @@ object Meta {
         writeString(b, t.schema.json)
         b.putInt(t.columns.size)
         t.columns.foreach(writeCol(b, _))
+        t.stats.foreach { st =>
+          b.putByte(if (st.hasNulls) 1 else 0)
+          writeOptBytes(b, st.min)
+          writeOptBytes(b, st.max)
+        }
       }
     }
     b.toArray
+  }
+
+  private def writeOptBytes(b: Bytes, v: Option[Array[Byte]]): Unit = v match {
+    case Some(bytes) => b.putByte(1); b.putInt(bytes.length); b.putBytes(bytes)
+    case None        => b.putByte(0)
   }
 
   private def writeString(b: Bytes, s: String): Unit = {
@@ -142,7 +156,15 @@ object Meta {
         if (nCols != schema.size)
           throw new OliveFormatException(s"column count $nCols != schema fields ${schema.size}")
         val cols = Vector.fill(nCols)(readCol(c, 0))
-        TableMeta(name, numRows, schema, cols)
+        val stats = Vector.fill(nCols) {
+          val hasNulls = c.getByte() match {
+            case 0 => false
+            case 1 => true
+            case other => throw new OliveFormatException(s"bad hasNulls tag $other")
+          }
+          ColStats(hasNulls, readOptBytes(c), readOptBytes(c))
+        }
+        TableMeta(name, numRows, schema, cols, stats)
       }
       ChunkMeta(d20, d32, tables)
     }
@@ -182,6 +204,15 @@ object Meta {
     if (data.rawSize != n.toLong * width)
       throw new OliveFormatException(s"dict size ${data.rawSize} != $n * $width")
     DictMeta(width, n, data)
+  }
+
+  private def readOptBytes(c: ByteCursor): Option[Array[Byte]] = c.getByte() match {
+    case 0 => None
+    case 1 =>
+      val n = c.getInt()
+      if (n < 0 || n > (1 << 20)) throw new OliveFormatException(s"bad stat length $n")
+      Some(c.getBytes(n))
+    case other => throw new OliveFormatException(s"bad option tag $other")
   }
 
   private def readOptBuffer(c: ByteCursor): Option[BufferMeta] = c.getByte() match {

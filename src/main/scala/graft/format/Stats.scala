@@ -1,0 +1,172 @@
+package graft.format
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-chunk column statistics for scan pruning.
+  *
+  * An extension over the reference (which stores only per-page
+  * `row_index_ends` and no value stats — SURVEY.md §4.1 "page-skipping
+  * index"): min/max per top-level column per chunk lets the reader skip
+  * whole chunks against pushed filters, the 100 TB lever where most data
+  * never leaves disk.
+  *
+  * Encodings: integral/date/timestamp → i64 LE; float/double → f64 LE;
+  * string → raw UTF-8 bytes (unsigned-lexicographic order, same as
+  * Spark's UTF8String binary comparison). Strings longer than 48 bytes
+  * disable stats for the column's chunk (no truncation tricks — a
+  * truncated max is not an upper bound).
+  */
+case class ColStats(hasNulls: Boolean, min: Option[Array[Byte]], max: Option[Array[Byte]]) {
+  override def equals(o: Any): Boolean = o match {
+    case ColStats(h, mn, mx) =>
+      h == hasNulls &&
+        mn.map(_.toSeq) == min.map(_.toSeq) && mx.map(_.toSeq) == max.map(_.toSeq)
+    case _ => false
+  }
+}
+
+object Stats {
+  val MaxStringStat = 48
+
+  /** Collects min/max/null stats for one top-level column while rows are
+    * appended. Only "flat" orderable types participate. */
+  sealed abstract class Collector(ord: Int) {
+    protected var nulls = false
+    protected var seen = false
+    protected var broken = false
+    final def update(row: InternalRow): Unit =
+      if (row.isNullAt(ord)) nulls = true
+      else if (!broken) { seen = true; updateValue(row) }
+    protected def updateValue(row: InternalRow): Unit
+    def result(): ColStats
+    def reset(): Unit = { nulls = false; seen = false; broken = false }
+  }
+
+  private final class LongCollector(ord: Int, get: InternalRow => Long) extends Collector(ord) {
+    private var mn = Long.MaxValue
+    private var mx = Long.MinValue
+    protected def updateValue(row: InternalRow): Unit = {
+      val v = get(row)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    def result(): ColStats =
+      if (!seen) ColStats(hasNulls = nulls, None, None)
+      else ColStats(nulls, Some(longBytes(mn)), Some(longBytes(mx)))
+    override def reset(): Unit = { super.reset(); mn = Long.MaxValue; mx = Long.MinValue }
+  }
+
+  private final class DoubleCollector(ord: Int, get: InternalRow => Double) extends Collector(ord) {
+    private var mn = Double.PositiveInfinity
+    private var mx = Double.NegativeInfinity
+    protected def updateValue(row: InternalRow): Unit = {
+      val v = get(row)
+      if (v.isNaN) { broken = true; return } // NaN breaks ordering; drop stats
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    def result(): ColStats =
+      if (!seen || broken) ColStats(hasNulls = nulls, None, None)
+      else ColStats(nulls, Some(doubleBytes(mn)), Some(doubleBytes(mx)))
+    override def reset(): Unit = {
+      super.reset(); mn = Double.PositiveInfinity; mx = Double.NegativeInfinity
+    }
+  }
+
+  private final class StringCollector(ord: Int) extends Collector(ord) {
+    private var mn: Array[Byte] = null
+    private var mx: Array[Byte] = null
+    protected def updateValue(row: InternalRow): Unit = {
+      val b = row.getUTF8String(ord).getBytes
+      if (b.length > MaxStringStat) { broken = true; return }
+      if (mn == null || java.util.Arrays.compareUnsigned(b, mn) < 0) mn = b
+      if (mx == null || java.util.Arrays.compareUnsigned(b, mx) > 0) mx = b
+    }
+    def result(): ColStats =
+      if (!seen || broken) ColStats(hasNulls = nulls, None, None)
+      else ColStats(nulls, Some(mn), Some(mx))
+    override def reset(): Unit = { super.reset(); mn = null; mx = null }
+  }
+
+  private final class NullOnlyCollector(ord: Int) extends Collector(ord) {
+    protected def updateValue(row: InternalRow): Unit = {}
+    def result(): ColStats = ColStats(hasNulls = nulls, None, None)
+  }
+
+  def collectorFor(dt: DataType, ord: Int): Collector = dt match {
+    case ByteType => new LongCollector(ord, _.getByte(ord).toLong)
+    case ShortType => new LongCollector(ord, _.getShort(ord).toLong)
+    case IntegerType | DateType => new LongCollector(ord, _.getInt(ord).toLong)
+    case LongType | TimestampType | TimestampNTZType => new LongCollector(ord, _.getLong(ord))
+    case FloatType => new DoubleCollector(ord, _.getFloat(ord).toDouble)
+    case DoubleType => new DoubleCollector(ord, _.getDouble(ord))
+    case BooleanType => new LongCollector(ord, r => if (r.getBoolean(ord)) 1L else 0L)
+    case StringType => new StringCollector(ord)
+    case _ => new NullOnlyCollector(ord)
+  }
+
+  def longBytes(v: Long): Array[Byte] = { val b = new Bytes(8); b.putLong(v); b.toArray }
+  def doubleBytes(v: Double): Array[Byte] = { val b = new Bytes(8); b.putDouble(v); b.toArray }
+  def longOf(b: Array[Byte]): Long = Bytes.le(b).getLong(0)
+  def doubleOf(b: Array[Byte]): Double = java.lang.Double.longBitsToDouble(Bytes.le(b).getLong(0))
+
+  // ---- chunk skipping -------------------------------------------------------
+
+  /** Statically-typed view of one column's chunk range for comparisons. */
+  private case class Range(dt: DataType, stats: ColStats) {
+    def cmpMin(v: Any): Option[Int] = stats.min.flatMap(b => cmp(b, v))
+    def cmpMax(v: Any): Option[Int] = stats.max.flatMap(b => cmp(b, v))
+    /** compare stat bytes to the filter literal; None = incomparable. */
+    private def cmp(stat: Array[Byte], v: Any): Option[Int] = (dt, v) match {
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(java.lang.Long.compare(longOf(stat), n.longValue()))
+      case (DateType, dd: java.sql.Date) =>
+        Some(java.lang.Long.compare(longOf(stat),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(dd).toLong))
+      case (DateType, dd: java.time.LocalDate) =>
+        Some(java.lang.Long.compare(longOf(stat), dd.toEpochDay))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(java.lang.Long.compare(longOf(stat),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+      case (TimestampType, t: java.time.Instant) =>
+        Some(java.lang.Long.compare(longOf(stat),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(java.lang.Long.compare(longOf(stat),
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
+      case (FloatType | DoubleType, n: Number) =>
+        Some(java.lang.Double.compare(doubleOf(stat), n.doubleValue()))
+      case (StringType, s: String) =>
+        Some(java.util.Arrays.compareUnsigned(stat, UTF8String.fromString(s).getBytes))
+      case (BooleanType, bl: java.lang.Boolean) =>
+        Some(java.lang.Long.compare(longOf(stat), if (bl) 1L else 0L))
+      case _ => None
+    }
+  }
+
+  /** True iff `filter` proves the chunk can contain NO matching row.
+    * Conservative: anything not understood returns false (keep chunk). */
+  def canSkip(filter: Filter, schema: StructType, stats: Map[String, ColStats]): Boolean = {
+    def range(attr: String): Option[Range] =
+      stats.get(attr).flatMap(s =>
+        schema.fields.find(_.name == attr).map(f => Range(f.dataType, s)))
+    filter match {
+      case EqualTo(a, v) => range(a).exists(r =>
+        r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0))
+      case GreaterThan(a, v) => range(a).exists(_.cmpMax(v).exists(_ <= 0))
+      case GreaterThanOrEqual(a, v) => range(a).exists(_.cmpMax(v).exists(_ < 0))
+      case LessThan(a, v) => range(a).exists(_.cmpMin(v).exists(_ >= 0))
+      case LessThanOrEqual(a, v) => range(a).exists(_.cmpMin(v).exists(_ > 0))
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        range(a).exists(r => vs.forall(v =>
+          r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0)))
+      case IsNull(a) => stats.get(a).exists(!_.hasNulls)
+      case And(l, r) => canSkip(l, schema, stats) || canSkip(r, schema, stats)
+      case Or(l, r) => canSkip(l, schema, stats) && canSkip(r, schema, stats)
+      case _ => false
+    }
+  }
+}

@@ -77,14 +77,21 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
 final class TableBuffer(val name: String, val schema: StructType) {
   val encoders: IndexedSeq[ColumnEncoder] =
     schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
+  val statCollectors: IndexedSeq[Stats.Collector] =
+    schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
   var numRows: Int = 0
   def appendRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     var i = 0
-    while (i < encoders.length) { encoders(i).appendFrom(row, i); i += 1 }
+    while (i < encoders.length) {
+      encoders(i).appendFrom(row, i)
+      statCollectors(i).update(row)
+      i += 1
+    }
     numRows += 1
   }
+  def chunkStats: Vector[ColStats] = statCollectors.map(_.result()).toVector
   def byteSize: Long = encoders.map(_.byteSize).sum
-  def reset(): Unit = { encoders.foreach(_.reset()); numRows = 0 }
+  def reset(): Unit = { encoders.foreach(_.reset()); statCollectors.foreach(_.reset()); numRows = 0 }
 }
 
 /** Writes a graft file: magic, data section of chunk pages, footer, tail.
@@ -114,7 +121,7 @@ final class GraftFileWriter(out: OutputStream,
     val d32Meta = DictMeta(32, d32.numEntries, sink.writeDictData(dict32Bytes))
     val tableMetas = tables.map { t =>
       TableMeta(t.name, t.numRows, t.schema,
-        t.encoders.map(_.write(sink, d20, d32)).toVector)
+        t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats)
     }.toVector
     chunks += ChunkMeta(d20Meta, d32Meta, tableMetas)
   }

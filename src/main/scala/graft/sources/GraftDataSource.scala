@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -104,18 +104,38 @@ class GraftTable(dir: String, schema: StructType, options: CaseInsensitiveString
 // ---- read path ------------------------------------------------------------
 
 class GraftScanBuilder(dir: String, fullSchema: StructType, tableOpt: Option[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new GraftScan(dir, required, tableOpt)
+
+  /** All filters stay residual (Spark re-applies them row-level); the
+    * pushed copies drive chunk skipping against footer min/max stats. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** Safe stop-early: Spark only pushes a limit when no ordering sits
+    * below it; the reader stops decoding chunks once satisfied. */
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
+
+  override def build(): Scan = new GraftScan(dir, required, tableOpt, pushed, limit)
 }
 
-class GraftScan(dir: String, required: StructType, tableOpt: Option[String])
-    extends Scan with Batch {
+class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
+    filters: Array[Filter], limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft $dir table=${tableOpt.getOrElse("<single>")} cols=[${required.fieldNames.mkString(",")}]"
+    s"graft $dir table=${tableOpt.getOrElse("<single>")} " +
+      s"cols=[${required.fieldNames.mkString(",")}] " +
+      s"skipFilters=[${filters.mkString(",")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
@@ -124,27 +144,32 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, tableOpt,
+    new GraftReaderFactory(required, tableOpt, filters, limit,
       new SerializableConfiguration(new Configuration()))
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
 
 class GraftReaderFactory(required: StructType, tableOpt: Option[String],
+    filters: Array[Filter], limit: Int,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("columnar-only scan")
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val path = new Path(partition.asInstanceOf[GraftInputPartition].file)
-    new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt)
+    new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
+      filters, limit)
   }
 }
 
 /** Emits one ColumnarBatch per (chunk, table) — chunk size is the batch
-  * size, bounded by the writer's flush thresholds. */
+  * size, bounded by the writer's flush thresholds. Chunks whose footer
+  * stats contradict a pushed filter are skipped without touching their
+  * pages; a pushed limit stops decoding once satisfied. */
 class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
-    tableOpt: Option[String]) extends PartitionReader[ColumnarBatch] {
+    tableOpt: Option[String], filters: Array[Filter], limit: Int)
+    extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
   private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta)] = {
     val name = tableOpt.getOrElse {
@@ -155,15 +180,24 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     }
     reader.footer.chunks.iterator
       .flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
+      .filterNot { case (_, t) => skippable(t) }
   }
   private var current: ColumnarBatch = null
+  private var emitted = 0L
+
+  private def skippable(t: Meta.TableMeta): Boolean =
+    filters.nonEmpty && {
+      val stats = t.schema.fieldNames.zip(t.stats).toMap
+      filters.exists(f => Stats.canSkip(f, t.schema, stats))
+    }
 
   override def next(): Boolean = {
     if (current != null) { current.close(); current = null }
-    if (!pending.hasNext) false
+    if (!pending.hasNext || (limit >= 0 && emitted >= limit)) false
     else {
       val (chunk, table) = pending.next()
       current = reader.decodeTable(chunk, table, required)
+      emitted += current.numRows()
       true
     }
   }
