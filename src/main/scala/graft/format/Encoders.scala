@@ -131,6 +131,8 @@ object ColumnEncoder {
     case ShortType => new PrimitiveEncoder(dt, 2)
     case IntegerType | DateType => new PrimitiveEncoder(dt, 4)
     case LongType | TimestampType | TimestampNTZType => new PrimitiveEncoder(dt, 8)
+    case _: DayTimeIntervalType => new PrimitiveEncoder(dt, 8)  // i64 micros (olive duration)
+    case _: YearMonthIntervalType => new PrimitiveEncoder(dt, 4) // i32 months (olive interval_year_month)
     case FloatType => new PrimitiveEncoder(dt, 4)
     case DoubleType => new PrimitiveEncoder(dt, 8)
     case d: DecimalType => new DecimalEncoder(d.precision, d.scale)
@@ -151,8 +153,9 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = dt match {
     case ByteType => buf.putByte(src.getByte(ord))
     case ShortType => buf.putShort(src.getShort(ord))
-    case IntegerType | DateType => buf.putInt(src.getInt(ord))
-    case LongType | TimestampType | TimestampNTZType => buf.putLong(src.getLong(ord))
+    case IntegerType | DateType | _: YearMonthIntervalType => buf.putInt(src.getInt(ord))
+    case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType =>
+      buf.putLong(src.getLong(ord))
     case FloatType => buf.putFloat(src.getFloat(ord))
     case DoubleType => buf.putDouble(src.getDouble(ord))
     case _ => throw new IllegalStateException(s"not primitive: $dt")

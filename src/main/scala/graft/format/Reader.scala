@@ -172,8 +172,9 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         }
       case ByteType => needLen(n); vec.putBytes(0, n, bytes, 0)
       case ShortType => needLen(n * 2L); vec.putShorts(0, n, bytes, 0)
-      case IntegerType | DateType => needLen(n * 4L); vec.putInts(0, n, bytes, 0)
-      case LongType | TimestampType | TimestampNTZType =>
+      case IntegerType | DateType | _: YearMonthIntervalType =>
+        needLen(n * 4L); vec.putInts(0, n, bytes, 0)
+      case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType =>
         needLen(n * 8L); vec.putLongs(0, n, bytes, 0)
       case FloatType => needLen(n * 4L); vec.putFloats(0, n, bytes, 0)
       case DoubleType => needLen(n * 8L); vec.putDoubles(0, n, bytes, 0)

@@ -92,7 +92,8 @@ class GraftTable(dir: String, schema: StructType, options: CaseInsensitiveString
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, schema, Option(options.get("table")))
@@ -131,6 +132,8 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(dir, checkpointLocation, required, tableOpt)
   override def description(): String =
     s"graft $dir table=${tableOpt.getOrElse("<single>")} " +
       s"cols=[${required.fieldNames.mkString(",")}] " +

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Micro-batch streaming source over a graft directory.
+  *
+  * Offset model: a monotonically growing, checkpoint-persisted log of
+  * discovered file paths (`<checkpoint>/graft-file-log`); offset N = "the
+  * first N files of the log". `latestOffset` diffs the directory against
+  * the log and appends newcomers, so file-name ordering never matters and
+  * recovery replays identical batches from the persisted log — the same
+  * contract as Spark's own FileStreamSource metadata log. (The reference
+  * format has no streaming surface at all; SURVEY.md §2.B flags the
+  * source as the later milestone of the streaming row.)
+  *
+  * Scale: the log is append-only text, one line per file; a 100 TB feed
+  * of multi-GB graft files is millions of lines — fine for a driver-side
+  * log (FileStreamSource carries the same cost).
+  */
+class GraftMicroBatchStream(dir: String, checkpointLocation: String,
+    required: StructType, tableOpt: Option[String]) extends MicroBatchStream {
+
+  private val conf = new Configuration()
+  private val logPath = new Path(checkpointLocation, "graft-file-log")
+  private val fs = logPath.getFileSystem(conf)
+
+  private def readLog(): Vector[String] =
+    if (!fs.exists(logPath)) Vector.empty
+    else {
+      val in = fs.open(logPath)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+          .split("\n").toVector.filter(_.nonEmpty)
+      } finally in.close()
+    }
+
+  private def writeLog(files: Vector[String]): Unit = {
+    val tmp = new Path(checkpointLocation, "graft-file-log.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename is atomic on HDFS/local; readers see old or new, never partial
+    fs.delete(logPath, false)
+    fs.rename(tmp, logPath)
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(0)
+
+  override def latestOffset(): Offset = {
+    val known = readLog()
+    val seen = known.toSet
+    val now = GraftDataSource.listFiles(conf, dir).map(_.toString)
+    val fresh = now.filterNot(seen)
+    val all = if (fresh.nonEmpty) { val v = known ++ fresh; writeLog(v); v } else known
+    GraftStreamOffset(all.size)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].index
+    val e = end.asInstanceOf[GraftStreamOffset].index
+    readLog().slice(s, e).map(f => GraftInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, tableOpt, Array.empty[Filter], -1,
+      new SerializableConfiguration(conf))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = {}
+  override def stop(): Unit = {}
+}
+
+case class GraftStreamOffset(index: Int) extends Offset {
+  override def json(): String = index.toString
+}

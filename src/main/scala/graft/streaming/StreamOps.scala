@@ -167,7 +167,30 @@ object StreamOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- q65: graft as the streaming SOURCE ----------------------------------
+  // Batch-write events into graft, then stream them back out of the graft
+  // micro-batch source into a windowed aggregation. Oracle runs on the
+  // original parquet: proves source fidelity end-to-end.
+  private val q65: Q = (s, d) => {
+    val base = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val srcDir = s"$base/events_graft"
+    val ckDir = s"$base/events_graft_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    Tables.events(s, d).write.format("graft").mode("overwrite").save(srcDir)
+    val stream = s.readStream.format("graft").load(srcDir)
+    val agg = windowedAgg(stream.withWatermark("ts", "2 hours"))
+    val name = s"graft_stream_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation", ckDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q65_graft_stream_source" -> q65,
     "q60_window_agg" -> q60,
     "q61_stream_window" -> q61,
     "q62_session_window" -> q62,
@@ -175,6 +198,7 @@ object StreamOps {
     "q64_graft_stream_sink" -> q64)
 
   val oracle: Map[String, String] = Map(
+    "q65_graft_stream_source" -> q60Sql,
     "q60_window_agg" -> q60Sql,
     "q61_stream_window" -> q60Sql,
     "q62_session_window" -> q62Sql,
