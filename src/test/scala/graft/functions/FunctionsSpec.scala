@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+
+  test("simhash64 is deterministic, order-insensitive for bags, null-aware") {
+    import spark.implicits._
+    SimHash64.register(spark)
+    val df = Seq(
+      (1L, Seq("the", "quick", "brown", "fox")),
+      (2L, Seq("fox", "brown", "quick", "the")), // same bag, different order
+      (3L, Seq("the", "quick", "brown", "fax")), // near-dup
+      (4L, Seq.empty[String]),
+      (5L, Seq("the", null.asInstanceOf[String], "quick", "brown", "fox"))
+    ).toDF("id", "toks")
+      .withColumn("h", SimHash64.simhash64(col("toks")))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1) == m(2)) // bag semantics: order must not matter
+    assert(m(4) == 0L)   // empty bag
+    // near-dup: small hamming distance, but not equal
+    val ham = java.lang.Long.bitCount(m(1) ^ m(3))
+    assert(ham > 0 && ham <= 16, s"hamming=$ham")
+    // run twice: stable across plans/sessions
+    val again = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == m)
+    // hamming helper agrees with bit_count(xor)
+    val hdf = df.filter(col("id").isin(1, 3)).agg(
+      collect_list(col("h"))).head.getSeq[Long](0)
+    assert(java.lang.Long.bitCount(hdf(0) ^ hdf(1)) == ham)
+  }
+
+  test("graft_dot matches manual dot product in both eval paths") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0)),
+      (Array.empty[Double], Array.empty[Double])
+    ).toDF("a", "b")
+    // codegen path
+    val got = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(32.0, 0.0, 0.0))
+    // interpreted path (codegen off) must agree
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val got2 = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+      assert(got2.toSeq == got.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // null input -> null out
+    val withNull = Seq((Option.empty[Array[Double]], Option(Array(1.0)))).toDF("a", "b")
+    assert(withNull.select(VectorOps.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("graft_weighted_avg matches the SQL formulation") {
+    WeightedAvg.register(spark)
+    val df = spark.range(1, 1000).selectExpr(
+      "id % 7 AS g", "cast(id AS double) AS v", "cast(id % 13 + 1 AS double) AS w")
+    val got = df.groupBy(col("g"))
+      .agg(round(call_function("graft_weighted_avg", col("v"), col("w")), 9).as("wa"))
+    val want = df.groupBy(col("g"))
+      .agg(round(sum(col("v") * col("w")) / sum(col("w")), 9).as("wa"))
+    assert(canon(got) == canon(want))
+  }
+}
