@@ -5,8 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract: local[32], shuffle.partitions=32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    System.setProperty("derby.system.home", "/tmp/graft_derby")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -593,7 +593,60 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  // ---- q29a: skew-safe two-phase aggregation (salting) ---------------------
+  // The classic hot-key pattern: group by (key, salt) first so the hot
+  // key's rows spread over 16 reducers, then re-aggregate by key. With
+  // 3 distinct return flags and 1000 executors, the naive single-phase
+  // final agg funnels everything through 3 tasks; the salted form scales.
+  private val q29a: Q = (s, d) => {
+    val partial = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("c"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("q")), 4).as("sum_qty"), sum(col("c")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q29aSql =
+    """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q29b: bucketed co-located join (no shuffle at query time) -----------
+  // Both sides bucketed on the join key at write time => the join needs
+  // no Exchange; at 100 TB this turns every repeated join on the key
+  // into a local zip of buckets.
+  private val q29b: Q = (s, d) => {
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val db = "graft_buckets"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val oT = s"$db.orders_b_$tag"
+    val cT = s"$db.customer_b_$tag"
+    if (!s.catalog.tableExists(oT)) {
+      Tables.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(oT)
+      Tables.customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(cT)
+    }
+    val o = s.table(oT)
+    val c = s.table(cT)
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q29bSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 4) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q29a_salted_agg" -> q29a,
+    "q29b_bucketed_join" -> q29b,
     "q23_cube" -> q23,
     "q24_full_outer" -> q24,
     "q25_asof_join" -> q25,
@@ -624,6 +677,8 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q29a_salted_agg" -> q29aSql,
+    "q29b_bucketed_join" -> q29bSql,
     "q23_cube" -> q23Sql,
     "q24_full_outer" -> q24Sql,
     "q25_asof_join" -> q25Sql,
