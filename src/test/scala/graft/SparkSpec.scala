@@ -10,11 +10,13 @@ trait SparkSpec extends AnyFunSuite {
   /** Rows → comparable canonical form (binary → seq, maps → sorted). */
   def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     def norm(v: Any): Any = v match {
-      case b: Array[Byte] => b.toSeq
+      case b: Array[Byte] => b.toList
       case m: scala.collection.Map[_, _] =>
-        m.toSeq.map { case (k, x) => (norm(k), norm(x)) }.sortBy(_.toString())
-      case s: Seq[_] => s.map(norm)
-      case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
+        m.toList.map { case (k, x) => (norm(k), norm(x)) }.sortBy(_.toString())
+      // collect() yields mutable.ArraySeq for array columns — match the
+      // collection root, not immutable Seq
+      case s: scala.collection.Seq[_] => s.toList.map(norm)
+      case r: org.apache.spark.sql.Row => r.toSeq.toList.map(norm)
       case other => other
     }
     df.collect().toSeq.map(r => norm(r).toString).sorted

@@ -1,0 +1,120 @@
+package graft.format
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Property-based write→read round-trip over random schemas and data —
+  * the Spark port of the reference's `fuzz_roundtrip` contract
+  * (`src/fuzz.zig:63-151`, generators `src/fuzz_input.zig:19-90`):
+  * ∀ (schema, rows, page_size, bias, chunk_rows):
+  *   read(write(df)) == df.
+  * Seeded, so failures reproduce. */
+class RandomRoundTripSpec extends SparkSpec {
+
+  private val MaxDepth = 3
+
+  private def randType(r: Random, depth: Int): DataType = {
+    val flat = Seq[DataType](
+      BooleanType, ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType, DecimalType(10, 2), DecimalType(38, 9),
+      DateType, TimestampType, TimestampNTZType, StringType, BinaryType)
+    if (depth >= MaxDepth || r.nextInt(100) < 65) flat(r.nextInt(flat.size))
+    else r.nextInt(3) match {
+      case 0 => ArrayType(randType(r, depth + 1), containsNull = r.nextBoolean())
+      case 1 => StructType((0 until 1 + r.nextInt(3)).map(i =>
+        StructField(s"f$i", randType(r, depth + 1), nullable = r.nextBoolean())))
+      case 2 => MapType(StringType, randType(r, depth + 1), valueContainsNull = r.nextBoolean())
+    }
+  }
+
+  private def fsbField(r: Random, name: String): StructField = {
+    val w = Seq(4, 16, 20, 32)(r.nextInt(4))
+    StructField(name, BinaryType, nullable = r.nextBoolean(),
+      new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, w).build())
+  }
+
+  private def randSchema(r: Random): StructType = {
+    val n = 1 + r.nextInt(7)
+    StructType((0 until n).map { i =>
+      if (r.nextInt(100) < 15) fsbField(r, s"c$i")
+      else StructField(s"c$i", randType(r, 0), nullable = r.nextBoolean())
+    })
+  }
+
+  private def randValue(r: Random, dt: DataType, meta: Metadata): Any = dt match {
+    case BooleanType => r.nextBoolean()
+    case ByteType => r.nextInt().toByte
+    case ShortType => r.nextInt().toShort
+    case IntegerType => r.nextInt()
+    case LongType => r.nextLong()
+    case FloatType => if (r.nextInt(20) == 0) Float.NaN else r.nextFloat() * 1e6f
+    case DoubleType => if (r.nextInt(20) == 0) Double.NegativeInfinity else r.nextDouble() * 1e9
+    case d: DecimalType =>
+      // unscaled strictly within p digits so the value always fits (p, s)
+      val bound = BigInt(10).pow(d.precision) - 1
+      val unscaled = (BigInt(r.nextLong()).abs mod bound) * (if (r.nextBoolean()) 1 else -1)
+      new java.math.BigDecimal(unscaled.bigInteger, d.scale)
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(r.nextInt(40000) - 5000))
+    case TimestampType => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(r.nextInt(Int.MaxValue).toLong, r.nextInt(1000000) * 1000L))
+    case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(r.nextInt(Int.MaxValue).toLong, r.nextInt(1000000) * 1000, java.time.ZoneOffset.UTC)
+    case StringType =>
+      val n = r.nextInt(30)
+      (0 until n).map(_ => (if (r.nextBoolean()) 'a' + r.nextInt(26) else 0x4e00 + r.nextInt(100)).toChar).mkString
+    case BinaryType if meta.contains(ColumnEncoder.FixedWidthKey) =>
+      val w = meta.getLong(ColumnEncoder.FixedWidthKey).toInt
+      // small value pool => dict dedup actually exercises
+      val pool = r.nextInt(5)
+      val b = new Array[Byte](w); new Random(pool).nextBytes(b); b
+    case BinaryType =>
+      val b = new Array[Byte](r.nextInt(40)); r.nextBytes(b); b
+    case ArrayType(et, cn) =>
+      (0 until r.nextInt(5)).map(_ =>
+        if (cn && r.nextInt(5) == 0) null else randValue(r, et, Metadata.empty))
+    case st: StructType =>
+      Row.fromSeq(st.fields.map(f =>
+        if (f.nullable && r.nextInt(5) == 0) null else randValue(r, f.dataType, f.metadata)).toSeq)
+    case MapType(_, vt, vcn) =>
+      (0 until r.nextInt(4)).map(i =>
+        s"k$i" -> (if (vcn && r.nextInt(5) == 0) null else randValue(r, vt, Metadata.empty))).toMap
+    case other => throw new IllegalStateException(s"no generator for $other")
+  }
+
+  private def randRow(r: Random, schema: StructType): Row =
+    Row.fromSeq(schema.fields.map(f =>
+      if (f.nullable && r.nextInt(5) == 0) null else randValue(r, f.dataType, f.metadata)).toSeq)
+
+  for (iter <- 0 until 12) {
+    test(s"random round-trip #$iter") {
+      val r = new Random(1000 + iter)
+      val schema = randSchema(r)
+      val nRows = r.nextInt(4) match {
+        case 0 => 0
+        case 1 => 1 + r.nextInt(10)
+        case _ => 50 + r.nextInt(250)
+      }
+      val rows = (0 until nRows).map(_ => randRow(r, schema))
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val dir = Files.createTempDirectory(s"graft-fuzz$iter").toString
+      val pageSize = Seq(64, 4096, 1 << 20)(r.nextInt(3))
+      val bias = if (r.nextBoolean()) "balanced" else "read_optimized"
+      val chunkRows = Seq(7, 100, 1 << 17)(r.nextInt(3))
+      df.coalesce(1 + r.nextInt(3)).write.format("graft")
+        .option("pagesize", pageSize.toString)
+        .option("bias", bias)
+        .option("chunkrows", chunkRows.toString)
+        .mode("append").save(dir)
+      val back = spark.read.format("graft").load(dir)
+      assert(back.schema.map(f => (f.name, f.dataType)) == schema.map(f => (f.name, f.dataType)),
+        s"schema mismatch (seed ${1000 + iter})")
+      assert(canon(back) == canon(df),
+        s"data mismatch (seed ${1000 + iter}, schema $schema, page $pageSize, bias $bias, chunk $chunkRows)")
+    }
+  }
+}
