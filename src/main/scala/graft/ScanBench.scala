@@ -38,6 +38,12 @@ object ScanBench {
     time("parquet 2col-agg") { li.select("l_quantity").agg(sum("l_quantity")).collect() }
     time("graft  filter") { g.filter(col("l_quantity") > 49.9).count() }
     time("parquet filter") { li.filter(col("l_quantity") > 49.9).count() }
+    time("graft  strings") {
+      g.agg(max(concat(col("l_returnflag"), col("l_linestatus"))), max(length(col("l_returnflag")))).collect()
+    }
+    time("parquet strings") {
+      li.agg(max(concat(col("l_returnflag"), col("l_linestatus"))), max(length(col("l_returnflag")))).collect()
+    }
     val gsize = new java.io.File(dir).listFiles().map(_.length()).sum / 1e6
     println(f"graft size: $gsize%.1f MB")
     spark.stop()

@@ -109,6 +109,13 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         if (idxBytes.length != n * 4L)
           throw new OliveFormatException(s"dict index buffer ${idxBytes.length} != ${n * 4L}")
         val bb = Bytes.le(idxBytes)
+        // dictionary-backed decode: the child data is the dict itself
+        // (ONE copy of the dict per chunk), each row just records
+        // (idx*w, w) — no per-row value copying, 4x+ cheaper than
+        // expanding 20/32-byte values per row.
+        val child = vec.arrayData()
+        child.reserve(dict.length)
+        child.putBytes(0, dict.length, dict, 0)
         var i = 0
         while (i < n) {
           if (!vec.isNullAt(i)) {
@@ -116,17 +123,23 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
             // unsigned bounds check, like the reference (`src/read.zig:756-788`)
             if (idx < 0 || idx >= dictMeta.numEntries)
               throw new OliveFormatException(s"dict index $idx out of ${dictMeta.numEntries}")
-            vec.putByteArray(i, dict, idx * w, w)
-          }
+            vec.putArray(i, idx * w, w)
+          } else vec.putArray(i, 0, 0)
           i += 1
         }
       case (BinaryMeta(_, offBuf, dataBuf), StringType | BinaryType) =>
         val data = readBuffer(dataBuf)
         val offs = readOffsets(offBuf, n, data.length)
+        // bulk path: one memcpy of the whole data buffer into the child,
+        // then per-row (offset, length) bookkeeping — offsets are already
+        // rebased to 0, so they index the child directly.
+        val child = vec.arrayData()
+        child.reserve(data.length)
+        child.putBytes(0, data.length, data, 0)
         var i = 0
         while (i < n) {
-          if (!vec.isNullAt(i)) vec.putByteArray(i, data, offs(i), offs(i + 1) - offs(i))
-          else vec.putByteArray(i, data, offs(i), 0)
+          if (!vec.isNullAt(i)) vec.putArray(i, offs(i), offs(i + 1) - offs(i))
+          else vec.putArray(i, offs(i), 0)
           i += 1
         }
       case (ListMeta(_, offBuf, childMeta), ArrayType(et, _)) =>
