@@ -46,6 +46,15 @@ object ScanBench {
     }
     val gsize = new java.io.File(dir).listFiles().map(_.length()).sum / 1e6
     println(f"graft size: $gsize%.1f MB")
+    val cdir = "/tmp/graft_scanbench/lineitem_compact"
+    li.repartition(cpus.toInt).write.format("graft").option("bias", "compact")
+      .mode("overwrite").save(cdir)
+    val csize = new java.io.File(cdir).listFiles().map(_.length()).sum / 1e6
+    println(f"graft size (compact): $csize%.1f MB")
+    val gc = spark.read.format("graft").load(cdir)
+    time("graft  compact full-agg") {
+      gc.agg(sum("l_extendedprice"), sum("l_quantity"), count(lit(1))).collect()
+    }
     spark.stop()
   }
 }

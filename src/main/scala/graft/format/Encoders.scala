@@ -165,7 +165,7 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, Codec.Lz4, elemSize))
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 }
@@ -182,7 +182,7 @@ final class BoolEncoder extends ColumnEncoder {
   }
   protected def appendNullSlot(): Unit = { ensure(); n += 1 }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    PrimitiveMeta(validity.write(sink), sink.writeBuffer(bits, (n + 7) / 8, Codec.Lz4, 1))
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(bits, (n + 7) / 8, sink.valuesCodec, 1))
   override def reset(): Unit = { super.reset(); java.util.Arrays.fill(bits, 0.toByte); n = 0 }
   def byteSize: Long = (n + 7) / 8
 }
@@ -212,7 +212,7 @@ final class DecimalEncoder(precision: Int, scale: Int) extends ColumnEncoder {
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, Codec.Lz4, elemSize))
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 }
@@ -240,12 +240,12 @@ final class FixedBinaryEncoder(val width: Int) extends ColumnEncoder {
       val buf = new Bytes(values.length * 4)
       // nulls encode index 0, like the reference (`src/dict.zig:149`).
       values.foreach(v => buf.putInt(if (v == null) 0 else d.indexOf(v)))
-      DictIdxMeta(validity.write(sink), width, sink.writeBuffer(buf.array, buf.size, Codec.Lz4, 4))
+      DictIdxMeta(validity.write(sink), width, sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, 4))
     } else {
       val buf = new Bytes(values.length * width)
       val zero = new Array[Byte](width)
       values.foreach(v => buf.putBytes(if (v == null) zero else v))
-      PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, Codec.Lz4, width))
+      PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, width))
     }
   }
   override def reset(): Unit = { super.reset(); values.clear() }

@@ -19,6 +19,12 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
   private val dataCodec: Byte =
     if (bias == "read_optimized") Codec.Lz4Hc else Codec.Zstd1
 
+  /** Codec for fixed-width value buffers. The reference pins these to
+    * lz4 (`src/write.zig:774-779`) — kept for `balanced`/`read_optimized`;
+    * the extra `compact` bias trades decode speed for zstd ratios on
+    * cold data. */
+  val valuesCodec: Byte = if (bias == "compact") Codec.Zstd1 else Codec.Lz4
+
   private def writePage(src: Array[Byte], off: Int, len: Int, codec: Byte, rowEnd: Int): PageMeta = {
     val comp = Codec.compress(codec, src, off, len)
     out.write(comp)

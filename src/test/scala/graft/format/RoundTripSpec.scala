@@ -109,11 +109,13 @@ class RoundTripSpec extends SparkSpec {
     assert(roundTrip(df).count() == 800)
   }
 
-  test("read_optimized bias and tiny pages round-trip") {
+  test("read_optimized and compact biases and tiny pages round-trip") {
     val df = spark.range(0, 1200).select(
       col("id"), concat(lit("text-"), col("id"), lit("-pad")).as("t"))
-    val back = roundTrip(df, Map("bias" -> "read_optimized", "pagesize" -> "256"))
-    assert(canon(back) == canon(df))
+    for (bias <- Seq("read_optimized", "compact")) {
+      val back = roundTrip(df, Map("bias" -> bias, "pagesize" -> "256"))
+      assert(canon(back) == canon(df), s"bias=$bias")
+    }
   }
 
   test("empty dataframe round-trips") {
