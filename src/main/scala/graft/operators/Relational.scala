@@ -625,6 +625,14 @@ object Relational {
     val oT = s"$db.orders_b_$tag"
     val cT = s"$db.customer_b_$tag"
     if (!s.catalog.tableExists(oT)) {
+      // the warehouse dir outlives the in-memory catalog: clear stale
+      // locations or saveAsTable fails with LOCATION_ALREADY_EXISTS
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(oT, cT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$wh/graft_buckets.db/${t.split('.').last}"))
+      }
       Tables.orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .mode("overwrite").saveAsTable(oT)
       Tables.customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
@@ -644,7 +652,27 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q2p: pivot (wide aggregation) ---------------------------------------
+  private val q2p: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("qty_f"),
+        coalesce(col("O"), lit(0.0)).as("qty_o"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q2pSql =
+    """SELECT l_returnflag,
+      |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4), 0.0) AS qty_f,
+      |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4), 0.0) AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q2p_pivot" -> q2p,
     "q29a_salted_agg" -> q29a,
     "q29b_bucketed_join" -> q29b,
     "q23_cube" -> q23,
@@ -677,6 +705,7 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q2p_pivot" -> q2pSql,
     "q29a_salted_agg" -> q29aSql,
     "q29b_bucketed_join" -> q29bSql,
     "q23_cube" -> q23Sql,
