@@ -49,7 +49,11 @@ object FormatOps {
 
   // ---- q81: filter + projection over a graft scan (pruned read) -----------
   private val q81: Q = (s, d) => {
-    val o = roundTrip(s, Tables.orders(s, d), graftDir(d, "orders"))
+    // layout-aware write: sorting by the hot filter column clusters value
+    // ranges per chunk, so the footer min/max stats actually skip chunks
+    val o = roundTrip(s,
+      Tables.orders(s, d).sortWithinPartitions(col("o_totalprice")),
+      graftDir(d, "orders"))
     o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 250000.0)
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))

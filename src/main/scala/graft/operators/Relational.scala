@@ -671,7 +671,31 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q2s: deterministic hash-based sampling ------------------------------
+  // Training pipelines sample by content hash, not rand(): reproducible
+  // across runs/engines, stable under repartition, and joinable (the
+  // same row samples in every derived table). 1/16 sample via the first
+  // md5 nibble.
+  private val q2s: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .withColumn("hkey", md5(encode(
+        concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")),
+        "UTF-8")))
+      .filter(substring(col("hkey"), 1, 1) === "0")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"), round(sum(col("l_extendedprice")), 4).as("rev_sampled"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q2sSql =
+    """SELECT l_returnflag, count(*) AS n_sampled,
+      |  round(sum(l_extendedprice), 4) AS rev_sampled
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q2s_hash_sample" -> q2s,
     "q2p_pivot" -> q2p,
     "q29a_salted_agg" -> q29a,
     "q29b_bucketed_join" -> q29b,
@@ -705,6 +729,7 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q2s_hash_sample" -> q2sSql,
     "q2p_pivot" -> q2pSql,
     "q29a_salted_agg" -> q29aSql,
     "q29b_bucketed_join" -> q29bSql,
