@@ -258,8 +258,12 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val conf = new Configuration()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    if (truncate && fs.exists(p))
+    if (truncate && fs.exists(p)) {
       GraftDataSource.listFiles(conf, dir).foreach(f => fs.delete(f, false))
+      // also sweep tmp orphans left by crashed task attempts
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".graft.tmp"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
     fs.mkdirs(p)
     new GraftWriterFactory(dir, schema, table, pageSize, bias, chunkRows,
       new SerializableConfiguration(conf))
@@ -288,8 +292,12 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
 
   private val file = new Path(dir,
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft")
+  // stream into a tmp name invisible to readers (scan lists *.graft only);
+  // commit renames atomically, so concurrent readers never see a partial
+  // footerless file
+  private val tmpFile = new Path(dir, s".${file.getName}.tmp")
   private val fs = file.getFileSystem(conf)
-  private val out = fs.create(file, false)
+  private val out = fs.create(tmpFile, false)
   private val writer = new GraftFileWriter(out, pageSize, bias)
   private val buf = new TableBuffer(table, schema)
   private var rows = 0L
@@ -312,12 +320,14 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     if (chunksWritten == 0) writer.writeChunk(Seq(buf))
     writer.finish()
     out.close()
+    if (!fs.rename(tmpFile, file))
+      throw new java.io.IOException(s"rename $tmpFile -> $file failed")
     GraftCommitMessage(file.toString, rows)
   }
 
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
-    try fs.delete(file, false) catch { case _: Exception => }
+    try fs.delete(tmpFile, false) catch { case _: Exception => }
   }
   override def close(): Unit = {}
 }
