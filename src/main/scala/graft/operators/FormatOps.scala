@@ -110,13 +110,54 @@ object FormatOps {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  // ---- q84: multi-table chunk + catalog SQL --------------------------------
+  // nation and region written into ONE graft file (the reference's
+  // multi-table chunk, `chunk.zig:15-38`), then joined in SQL through the
+  // GraftCatalog. Oracle joins the original parquet.
+  private val q84: Q = (s, d) => {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val root = graftDir(d, "catalog")
+    val file = new Path(s"$root/tpch/dims.graft")
+    val fs = file.getFileSystem(new Configuration())
+    fs.mkdirs(file.getParent)
+    val out = fs.create(file, true)
+    val w = new graft.format.GraftFileWriter(out)
+    def buffer(name: String, df: DataFrame): graft.format.TableBuffer = {
+      val tb = new graft.format.TableBuffer(name, df.schema)
+      // copy() per row: Spark reuses the InternalRow object per partition
+      df.queryExecution.toRdd.map(_.copy()).collect().foreach(tb.appendRow) // dims are tiny
+      tb
+    }
+    w.writeChunk(Seq(
+      buffer("nation", Tables.nation(s, d)),
+      buffer("region", Tables.region(s, d))))
+    w.finish()
+    out.close()
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", root)
+    s.sql("""
+      SELECT r.r_name, count(*) AS n_nations
+      FROM graft_cat.tpch.nation n JOIN graft_cat.tpch.region r
+        ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name""")
+  }
+  private val q84Sql =
+    """SELECT r_name, count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q84_graft_catalog" -> q84,
     "q80_graft_roundtrip" -> q80,
     "q81_graft_filter" -> q81,
     "q82_graft_dict" -> q82,
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q84_graft_catalog" -> q84Sql,
     "q80_graft_roundtrip" -> q80Sql,
     "q81_graft_filter" -> q81Sql,
     "q82_graft_dict" -> q82Sql,
