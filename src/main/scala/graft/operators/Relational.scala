@@ -278,6 +278,46 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q13b: exact percentiles / median ------------------------------------
+  private val q13b: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q13bSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q13c: statistical aggregates ----------------------------------------
+  private val q13c: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      .orderBy(col("l_linestatus"))
+  }
+  private val q13cSql =
+    """SELECT l_linestatus,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   // ---- q14: scalar function suite (string/date/math/conditional) ----------
   private val q14: Q = (s, d) => {
     Tables.orders(s, d)
@@ -718,6 +758,8 @@ object Relational {
     "q11_set_ops" -> q11,
     "q12_rollup" -> q12,
     "q13_distinct_agg" -> q13,
+    "q13b_percentiles" -> q13b,
+    "q13c_stat_aggs" -> q13c,
     "q14_scalar_funcs" -> q14,
     "q15_case_agg" -> q15,
     "q16_having" -> q16,
@@ -729,6 +771,8 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q13b_percentiles" -> q13bSql,
+    "q13c_stat_aggs" -> q13cSql,
     "q2s_hash_sample" -> q2sSql,
     "q2p_pivot" -> q2pSql,
     "q29a_salted_agg" -> q29aSql,
