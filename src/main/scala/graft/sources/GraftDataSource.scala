@@ -8,6 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -149,6 +150,10 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, tableOpt, filters, limit,
       new SerializableConfiguration(new Configuration()))
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new CustomSumMetric { def name = "skippedChunks"; def description = "chunks skipped by stats" },
+    new CustomSumMetric { def name = "decodedChunks"; def description = "chunks decoded" })
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
@@ -174,6 +179,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     tableOpt: Option[String], filters: Array[Filter], limit: Int)
     extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
+  private var skipped = 0L
+  private var decoded = 0L
   private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta)] = {
     val name = tableOpt.getOrElse {
       val names = reader.tableNames
@@ -183,7 +190,11 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     }
     reader.footer.chunks.iterator
       .flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
-      .filterNot { case (_, t) => skippable(t) }
+      .filterNot { case (_, t) =>
+        val skip = skippable(t)
+        if (skip) skipped += 1
+        skip
+      }
   }
   private var current: ColumnarBatch = null
   private var emitted = 0L
@@ -201,10 +212,15 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       val (chunk, table) = pending.next()
       current = reader.decodeTable(chunk, table, required)
       emitted += current.numRows()
+      decoded += 1
       true
     }
   }
   override def get(): ColumnarBatch = current
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    new CustomTaskMetric { def name = "skippedChunks"; def value = skipped },
+    new CustomTaskMetric { def name = "decodedChunks"; def value = decoded })
   override def close(): Unit = {
     if (current != null) { current.close(); current = null }
     reader.close()
