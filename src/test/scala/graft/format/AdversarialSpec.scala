@@ -80,6 +80,51 @@ class AdversarialSpec extends SparkSpec {
     }
   }
 
+  test("structurally-valid but lying footers fail cleanly") {
+    val f = writeSample()
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, hp)
+    val footer = r.footer
+    r.close()
+    val raw = openRaw(f)
+
+    def rebuild(mutated: Meta.Footer): Array[Byte] = {
+      val fb = Meta.write(mutated)
+      // reassemble: head+data section unchanged, swap footer bytes
+      val origFooterLen = Bytes.le(raw).getLong(raw.length - 12)
+      val body = raw.slice(0, raw.length - 12 - origFooterLen.toInt)
+      val tail = new Bytes(12)
+      tail.putLong(fb.length.toLong)
+      tail.putBytes(Meta.MagicTail)
+      body ++ fb ++ tail.toArray
+    }
+
+    val chunk = footer.chunks.head
+    val table = chunk.tables.head
+    def mutTable(t: Meta.TableMeta): Meta.Footer =
+      footer.copy(chunks = Vector(chunk.copy(tables = Vector(t))))
+
+    val liars = Seq[Meta.Footer](
+      // numRows inflated: buffers are too short for the claimed rows
+      mutTable(table.copy(numRows = table.numRows + 1000)),
+      // page offset points past the data section
+      mutTable(table.copy(columns = table.columns.updated(0,
+        table.columns(0) match {
+          case Meta.PrimitiveMeta(v, b) => Meta.PrimitiveMeta(v,
+            b.copy(pages = b.pages.map(p => p.copy(offset = p.offset + (1L << 40)))))
+          case other => other
+        }))),
+      // (a lying dict is legal to IGNORE here: dicts load lazily and this
+      // sample has no dict columns — validation happens on first use)
+      // data section size lies
+      footer.copy(dataSectionSize = footer.dataSectionSize + 1))
+
+    liars.foreach { lie =>
+      intercept[Exception](tryOpen(rebuild(lie)))
+    }
+  }
+
   test("footer codec round-trips and rejects trailing bytes") {
     val f = writeSample()
     val hp = new Path(f.toString)
