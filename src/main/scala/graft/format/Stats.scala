@@ -122,7 +122,11 @@ object Stats {
     /** compare stat bytes to the filter literal; None = incomparable. */
     private def cmp(stat: Array[Byte], v: Any): Option[Int] = (dt, v) match {
       case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-        Some(java.lang.Long.compare(longOf(stat), n.longValue()))
+        // a fractional literal truncated to long would make the range
+        // check lie (LessThan(id, 9.5) vs min=9); Catalyst's cast
+        // unwrapping means this shouldn't reach us, but stay safe
+        if (n.doubleValue() != n.longValue().toDouble) None
+        else Some(java.lang.Long.compare(longOf(stat), n.longValue()))
       case (DateType, dd: java.sql.Date) =>
         Some(java.lang.Long.compare(longOf(stat),
           org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(dd).toLong))
