@@ -91,6 +91,24 @@ class StatsSpec extends SparkSpec {
     assert(skip(EqualTo("x", 5)))
   }
 
+  test("chunk skipping actually skips: one batch decoded for a tail range") {
+    import graft.sources.{GraftInputPartition, GraftPartitionReader}
+    val dir = writeSorted(1000) // 10 chunks of disjoint id ranges
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(file.toString)
+    val reader = new GraftPartitionReader(
+      hp.getFileSystem(new Configuration()), hp,
+      StructType(Seq(StructField("id", LongType))), None,
+      Array(GreaterThanOrEqual("id", 9000L)), -1)
+    try {
+      var batches = 0
+      var rows = 0L
+      while (reader.next()) { batches += 1; rows += reader.get().numRows() }
+      assert(batches == 1, s"expected 1 decoded chunk, got $batches")
+      assert(rows == 1000)
+    } finally reader.close()
+  }
+
   test("limit pushdown stops decoding early but agrees on results") {
     val dir = writeSorted(500)
     val g = spark.read.format("graft").load(dir)
