@@ -150,16 +150,19 @@ object ColumnEncoder {
 
 final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder {
   private val buf = new Bytes(256)
-  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = dt match {
-    case ByteType => buf.putByte(src.getByte(ord))
-    case ShortType => buf.putShort(src.getShort(ord))
-    case IntegerType | DateType | _: YearMonthIntervalType => buf.putInt(src.getInt(ord))
+  // resolve the type dispatch once, not per appended value
+  private val appendFn: (SpecializedGetters, Int) => Unit = dt match {
+    case ByteType => (src, ord) => buf.putByte(src.getByte(ord))
+    case ShortType => (src, ord) => buf.putShort(src.getShort(ord))
+    case IntegerType | DateType | _: YearMonthIntervalType =>
+      (src, ord) => buf.putInt(src.getInt(ord))
     case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType =>
-      buf.putLong(src.getLong(ord))
-    case FloatType => buf.putFloat(src.getFloat(ord))
-    case DoubleType => buf.putDouble(src.getDouble(ord))
+      (src, ord) => buf.putLong(src.getLong(ord))
+    case FloatType => (src, ord) => buf.putFloat(src.getFloat(ord))
+    case DoubleType => (src, ord) => buf.putDouble(src.getDouble(ord))
     case _ => throw new IllegalStateException(s"not primitive: $dt")
   }
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = appendFn(src, ord)
   protected def appendNullSlot(): Unit = {
     var i = 0
     while (i < elemSize) { buf.putByte(0); i += 1 }
