@@ -49,6 +49,49 @@ class StreamingSpec extends SparkSpec {
       spark.range(0, 500).selectExpr("id", "concat('v', id) AS v").filter(col("id") % 2 === 0)))
   }
 
+  test("watermark drops late data across graft-source micro-batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    val ck = Files.createTempDirectory("graft-late-ck").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: events in the 10:00 and 12:00 windows; max ts 12:30
+    Seq((1L, ts(10, 15)), (2L, ts(10, 45)), (3L, ts(12, 30)))
+      .toDF("id", "ts").coalesce(1)
+      .write.format("graft").mode("append").save(dir)
+
+    val agg = spark.readStream.format("graft").load(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("graft_late_test")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable() // watermark after batch1: 12:30 - 1h = 11:30
+
+      // batch 2: a LATE event for the 10:00 window (watermark already
+      // past 11:00) and a fresh 14:00 event that pushes the watermark
+      Seq((4L, ts(10, 50)), (5L, ts(14, 0)))
+        .toDF("id", "ts").coalesce(1)
+        .write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      // batch 3: push the watermark past 13:00 so the 12:00 window closes
+      Seq((6L, ts(15, 30))).toDF("id", "ts").coalesce(1)
+        .write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+
+      val rows = spark.table("graft_late_test")
+        .collect().map(r => r.getAs[java.time.LocalDateTime]("ws").getHour -> r.getLong(1)).toMap
+      // 10:00 window closed with ONLY the 2 batch-1 events: the late
+      // id=4 arrival was dropped by the watermark
+      assert(rows.get(10).contains(2L), s"got $rows")
+      // 12:00 window closed with its single event
+      assert(rows.get(12).contains(1L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("interval types round-trip") {
     val df = spark.range(0, 100).selectExpr(
       "id",
