@@ -120,13 +120,46 @@ object Multimodal {
       |GROUP BY mode
       |ORDER BY mode""".stripMargin
 
+  // ---- q53: resize planning (aspect-preserving thumbnail dims) -------------
+  // The resize step of an image pipeline: target box 32x32, preserve
+  // aspect ratio, never upscale. Pure arithmetic on the stub decoder's
+  // dimensions — the real pixel work would slot into the same
+  // mapPartitions stage as q50's decoder.
+  private val q53: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("nb", octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("w", (col("nb") % 64 + 1).cast("int"))
+      .withColumn("h", (col("nb") % 48 + 1).cast("int"))
+      .withColumn("scale", least(lit(1.0), lit(32.0) / greatest(col("w"), col("h"))))
+      .withColumn("out_w", greatest(lit(1), floor(col("w") * col("scale")).cast("int")))
+      .withColumn("out_h", greatest(lit(1), floor(col("h") * col("scale")).cast("int")))
+      .groupBy(col("out_w"), col("out_h"))
+      .agg(count(lit(1)).as("n_images"))
+      .orderBy(col("out_w"), col("out_h"))
+  }
+  private val q53Sql =
+    """WITH m AS (
+      |  SELECT CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS w,
+      |         CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT w, h, least(1.0, 32.0 / greatest(w, h)) AS scale FROM m)
+      |SELECT greatest(1, CAST(floor(w * scale) AS INT)) AS out_w,
+      |       greatest(1, CAST(floor(h * scale) AS INT)) AS out_h,
+      |       count(*) AS n_images
+      |FROM r
+      |GROUP BY 1, 2
+      |ORDER BY out_w, out_h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_media_decode" -> q50,
     "q51_media_metadata" -> q51,
-    "q52_frame_sample" -> q52)
+    "q52_frame_sample" -> q52,
+    "q53_resize_plan" -> q53)
 
   val oracle: Map[String, String] = Map(
     "q50_media_decode" -> q50Sql,
     "q51_media_metadata" -> q51Sql,
-    "q52_frame_sample" -> q52Sql)
+    "q52_frame_sample" -> q52Sql,
+    "q53_resize_plan" -> q53Sql)
 }

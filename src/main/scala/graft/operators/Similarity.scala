@@ -174,12 +174,43 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  // ---- q45: embedding-cosine near-dup dedup (no oracle) --------------------
+  // Dedup decision on top of LSH candidates: pairs above the cosine
+  // threshold collapse to the lower vec_id (canonical); output = corpus
+  // size before/after. The expensive part reuses q41's linear candidate
+  // generation — never an O(n²) scan.
+  private val q45: Q = (s, d) => {
+    val e = emb(s, d)
+    val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val bucketed = e
+      .withColumn("planes", planeLit)
+      .withColumn("sigbits", expr(
+        """transform(planes, p ->
+          |  IF(aggregate(zip_with(v, p, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+          |     (acc, w) -> acc + w) >= 0.0, 1, 0))""".stripMargin))
+      .withColumn("bucket", expr(
+        "aggregate(sigbits, CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"))
+      .select(col("vec_id"), col("v"), col("nv"), col("bucket"))
+    val l = bucketed.select(col("vec_id").as("id1"), col("v").as("v1"), col("nv").as("n1"), col("bucket"))
+    val r = bucketed.select(col("vec_id").as("id2"), col("v").as("v2"), col("nv").as("n2"), col("bucket"))
+    val dupIds = l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", dot("v1", "v2") / (col("n1") * col("n2")))
+      .filter(col("cosine") > 0.95)
+      .select(col("id2").as("dup_id")).distinct() // survivors keep the lowest id
+    val total = e.count()
+    val nDups = dupIds.count()
+    import s.implicits._
+    Seq((total, nDups, total - nDups)).toDF("n_total", "n_near_dups", "n_survivors")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_knn_join" -> q42,
     "q43_centroids" -> q43,
-    "q44_ivf_ann" -> q44)
+    "q44_ivf_ann" -> q44,
+    "q45_embedding_dedup" -> q45)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,

@@ -293,7 +293,20 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---- q38b: rolling-hash fingerprints (order-sensitive; no oracle) -------
+  private val q38b: Q = (s, d) => {
+    graft.functions.RollingHash64.register(s)
+    docsWithTokens(s, d)
+      .withColumn("rh", graft.functions.RollingHash64.rollingHash64(col("toks")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("rh")).as("n_rolling_fp"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q38b_rolling_fingerprint" -> q38b,
     "q39_bpe_tokens" -> q39,
     "q30_dedup_exact" -> q30,
     "q31_dedup_normalized" -> q31,
