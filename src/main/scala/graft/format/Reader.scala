@@ -54,10 +54,18 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     lazy val dict20 = readBuffer(chunk.dict20.data)
     lazy val dict32 = readBuffer(chunk.dict32.data)
     val vectors: Array[ColumnVector] = required.fields.map { f =>
-      val idx = table.schema.fieldIndex(f.name)
       val vec = new OnHeapColumnVector(math.max(n, 1), f.dataType)
-      decodeCol(vec, table.columns(idx), f.dataType, n,
-        chunk, dict20 _, dict32 _)
+      if (table.schema.fieldNames.contains(f.name)) {
+        decodeCol(vec, table.columns(table.schema.fieldIndex(f.name)), f.dataType, n,
+          chunk, dict20 _, dict32 _)
+      } else if (f.nullable) {
+        // schema drift: an older file predates this column — read nulls,
+        // the same contract parquet gives evolving datasets
+        vec.putNulls(0, n)
+      } else {
+        throw new OliveFormatException(
+          s"non-nullable column ${f.name} missing from file table ${table.name}")
+      }
       vec
     }.toArray
     new ColumnarBatch(vectors, n)

@@ -135,6 +135,23 @@ class RoundTripSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 7)
   }
 
+  test("schema drift: old files read as nulls for new nullable columns") {
+    val dir = tmpDir()
+    // v1 writer: two columns
+    spark.range(0, 100).selectExpr("id", "concat('a', id) AS a")
+      .write.format("graft").mode("append").save(dir)
+    // v2 writer: adds a nullable column
+    spark.range(100, 150).selectExpr("id", "concat('a', id) AS a", "id * 2 AS extra")
+      .write.format("graft").mode("append").save(dir)
+    val merged = StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType),
+      StructField("extra", LongType, nullable = true)))
+    val df = spark.read.format("graft").schema(merged).load(dir)
+    assert(df.count() == 150)
+    assert(df.filter(col("extra").isNull).count() == 100)
+    assert(df.filter(col("extra") === col("id") * 2).count() == 50)
+  }
+
   test("multi-table file via direct writer API") {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
