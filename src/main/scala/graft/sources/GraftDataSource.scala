@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.util.SerializableConfiguration
@@ -39,14 +39,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = GraftDataSource.path(options)
     val conf = new Configuration()
-    val files = GraftDataSource.listFiles(conf, dir)
+    val files = GraftDataSource.listPartitionedFiles(conf, dir)
     if (files.isEmpty) new StructType()
     else {
-      val r = GraftFileReader.open(files.head.getFileSystem(conf), files.head)
-      try {
-        val t = GraftDataSource.pickTable(r.footer, options.get("table"))
-        t.schema
+      val head = files.head._1
+      val r = GraftFileReader.open(head.getFileSystem(conf), head)
+      val data = try {
+        GraftDataSource.pickTable(r.footer, options.get("table")).schema
       } finally r.close()
+      // hive-style partition dirs surface as trailing string columns
+      val partCols = GraftDataSource.partitionColumns(files)
+        .filterNot(data.fieldNames.contains)
+      partCols.foldLeft(data)((s, c) => s.add(c, StringType, nullable = true))
     }
   }
 
@@ -64,16 +68,31 @@ object GraftDataSource {
     p
   }
 
-  def listFiles(conf: Configuration, dir: String): Seq[Path] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Seq.empty
-    else if (fs.getFileStatus(p).isFile) Seq(p)
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".graft"))
-      .map(_.getPath)
-      .sortBy(_.getName)
+  def listFiles(conf: Configuration, dir: String): Seq[Path] =
+    listPartitionedFiles(conf, dir).map(_._1)
+
+  /** Recursive listing with hive-style `key=value` partition directories:
+    * each file comes with the partition values collected along its path. */
+  def listPartitionedFiles(conf: Configuration, dir: String): Seq[(Path, Map[String, String])] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    if (fs.getFileStatus(root).isFile) return Seq(root -> Map.empty)
+    def walk(p: Path, part: Map[String, String]): Seq[(Path, Map[String, String])] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val name = s.getPath.getName
+        if (s.isFile && name.endsWith(".graft")) Seq(s.getPath -> part)
+        else if (s.isDirectory && name.contains("=")) {
+          val Array(k, v) = name.split("=", 2)
+          walk(s.getPath, part + (k -> v))
+        } else Seq.empty
+      }
+    walk(root, Map.empty).sortBy(_._1.toString)
   }
+
+  /** Partition column names in first-seen order across the listing. */
+  def partitionColumns(files: Seq[(Path, Map[String, String])]): Seq[String] =
+    files.flatMap(_._2.keys).distinct
 
   def pickTable(footer: Meta.Footer, tableOpt: String): Meta.TableMeta = {
     val names = footer.chunks.flatMap(_.tables.map(_.name)).distinct
@@ -141,10 +160,25 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
       s"skipFilters=[${filters.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "")
 
+  /** Planning-time partition pruning: a filter on a partition column that
+    * contradicts a file's `k=v` path values drops the file before any
+    * task is scheduled — at 100 TB this is the difference between
+    * scanning a day and scanning a year. */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    GraftDataSource.listFiles(conf, dir)
-      .map(p => GraftInputPartition(p.toString): InputPartition).toArray
+    val files = GraftDataSource.listPartitionedFiles(conf, dir)
+    val partSchema = StructType(
+      GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
+    files.filterNot { case (_, part) =>
+      // exact partition values = degenerate min==max ranges
+      val stats = part.map { case (k, v) =>
+        val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
+        k -> graft.format.ColStats(hasNulls = false, Some(b), Some(b))
+      }
+      filters.exists(f => Stats.canSkip(f, partSchema, stats))
+    }.map { case (p, part) =>
+      GraftInputPartition(p.toString, part): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -156,7 +190,8 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
     new CustomSumMetric { def name = "decodedChunks"; def description = "chunks decoded" })
 }
 
-case class GraftInputPartition(file: String) extends InputPartition
+case class GraftInputPartition(file: String,
+    partValues: Map[String, String] = Map.empty) extends InputPartition
 
 class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int,
@@ -165,9 +200,10 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("columnar-only scan")
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val path = new Path(partition.asInstanceOf[GraftInputPartition].file)
+    val gp = partition.asInstanceOf[GraftInputPartition]
+    val path = new Path(gp.file)
     new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
-      filters, limit)
+      filters, limit, gp.partValues)
   }
 }
 
@@ -176,7 +212,8 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
   * stats contradict a pushed filter are skipped without touching their
   * pages; a pushed limit stops decoding once satisfied. */
 class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
-    tableOpt: Option[String], filters: Array[Filter], limit: Int)
+    tableOpt: Option[String], filters: Array[Filter], limit: Int,
+    partValues: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
   private var skipped = 0L
@@ -210,10 +247,39 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     if (!pending.hasNext || (limit >= 0 && emitted >= limit)) false
     else {
       val (chunk, table) = pending.next()
-      current = reader.decodeTable(chunk, table, required)
+      current = decodeWithPartitions(chunk, table)
       emitted += current.numRows()
       decoded += 1
       true
+    }
+  }
+
+  /** Decode data columns from the file; partition-path columns become
+    * constant vectors from the file's `k=v` values. */
+  private def decodeWithPartitions(chunk: Meta.ChunkMeta, table: Meta.TableMeta): ColumnarBatch = {
+    def isPartCol(name: String): Boolean =
+      partValues.contains(name) && !table.schema.fieldNames.contains(name)
+    if (!required.fields.exists(f => isPartCol(f.name)))
+      reader.decodeTable(chunk, table, required)
+    else {
+      val dataReq = StructType(required.fields.filterNot(f => isPartCol(f.name)))
+      val dataBatch = reader.decodeTable(chunk, table, dataReq)
+      val n = dataBatch.numRows()
+      var dataIdx = 0
+      val vectors = required.fields.map { f =>
+        if (isPartCol(f.name)) {
+          val vec = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            math.max(n, 1), f.dataType)
+          val bytes = org.apache.spark.unsafe.types.UTF8String
+            .fromString(partValues(f.name)).getBytes
+          var i = 0
+          while (i < n) { vec.putByteArray(i, bytes, 0, bytes.length); i += 1 }
+          vec: org.apache.spark.sql.vectorized.ColumnVector
+        } else {
+          val v = dataBatch.column(dataIdx); dataIdx += 1; v
+        }
+      }
+      new ColumnarBatch(vectors, n)
     }
   }
   override def get(): ColumnarBatch = current
