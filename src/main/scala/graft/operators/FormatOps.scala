@@ -149,7 +149,34 @@ object FormatOps {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  // ---- q85: partitioned graft layout + partition pruning -------------------
+  // documents written under lang=<v>/ dirs (one save per partition value:
+  // path-based DSv2 writes don't take partitionBy); the read filters on
+  // the partition column, so non-matching files are pruned at planning
+  // time and never scheduled.
+  private val q85: Q = (s, d) => {
+    val root = graftDir(d, "docs_by_lang")
+    val langs = Tables.documents(s, d).select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    langs.foreach { lang =>
+      Tables.documents(s, d).filter(col("lang") === lang).drop("lang")
+        .write.format("graft").mode("overwrite").save(s"$root/lang=$lang")
+    }
+    s.read.format("graft").load(root)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+  private val q85Sql =
+    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'de')
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q85_graft_partitions" -> q85,
     "q84_graft_catalog" -> q84,
     "q80_graft_roundtrip" -> q80,
     "q81_graft_filter" -> q81,
@@ -157,6 +184,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q85_graft_partitions" -> q85Sql,
     "q84_graft_catalog" -> q84Sql,
     "q80_graft_roundtrip" -> q80Sql,
     "q81_graft_filter" -> q81Sql,
