@@ -20,6 +20,10 @@ object ScanBench {
     val t0 = System.nanoTime()
     li.repartition(cpus.toInt).write.format("graft").mode("overwrite").save(dir)
     println(f"graft write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    li.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet("/tmp/graft_scanbench/lineitem_parquet")
+    println(f"parquet write: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     def time(tag: String)(f: => Any): Unit = {
       (1 to 3).foreach { i =>
         val t = System.nanoTime()

@@ -156,8 +156,11 @@ object FormatOps {
   // time and never scheduled.
   private val q85: Q = (s, d) => {
     val root = graftDir(d, "docs_by_lang")
+    // two matching + two prunable partitions prove the mechanism; writing
+    // every language would only pad the benchmark
     val langs = Tables.documents(s, d).select(col("lang")).distinct()
       .collect().map(_.getString(0)).sorted
+      .filter(Set("en", "de", "fr", "es"))
     langs.foreach { lang =>
       Tables.documents(s, d).filter(col("lang") === lang).drop("lang")
         .write.format("graft").mode("overwrite").save(s"$root/lang=$lang")
