@@ -268,6 +268,10 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       var dataIdx = 0
       val vectors = required.fields.map { f =>
         if (isPartCol(f.name)) {
+          if (f.dataType != StringType)
+            throw new IllegalArgumentException(
+              s"partition column ${f.name} must be string-typed in the schema " +
+                s"(got ${f.dataType}); cast after reading")
           val vec = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
             math.max(n, 1), f.dataType)
           val bytes = org.apache.spark.unsafe.types.UTF8String
