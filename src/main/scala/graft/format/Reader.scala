@@ -26,7 +26,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
 
   /** Raw bytes of one logical buffer (all pages decompressed + joined). */
   def readBuffer(bm: BufferMeta): Array[Byte] = {
-    if (bm.rawSize > Int.MaxValue - 8)
+    // 1 GiB per-buffer cap (the reference's maxInt(u32)/4, `read.zig:853`):
+    // bounds allocation BEFORE decompressing, so a tiny hostile file can't
+    // claim a multi-GB decompression bomb
+    if (bm.rawSize > (1L << 30))
       throw new OliveFormatException(s"buffer too large: ${bm.rawSize}")
     val out = new Array[Byte](bm.rawSize.toInt)
     var at = 0
@@ -49,8 +52,36 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
   /** Decode one table of one chunk into a ColumnarBatch holding exactly
     * the `required` columns (column pruning: unneeded column subtrees are
     * never read from disk — their pages are simply skipped). */
+  /** Claimed element count implied by a column's own buffer metadata, or
+    * -1 if the type stores no per-element evidence. Checked BEFORE any
+    * vector allocation so a lying footer can't force a huge reserve. */
+  private def impliedCount(meta: ColMeta, dt: DataType): Long = (meta, dt) match {
+    case (PrimitiveMeta(_, v), BooleanType) => v.rawSize * 8 // bitmap: upper bound
+    case (PrimitiveMeta(_, v), ByteType) => v.rawSize
+    case (PrimitiveMeta(_, v), ShortType) => v.rawSize / 2
+    case (PrimitiveMeta(_, v), IntegerType | DateType | FloatType | _: YearMonthIntervalType) => v.rawSize / 4
+    case (PrimitiveMeta(_, v), LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType) => v.rawSize / 8
+    case (PrimitiveMeta(_, v), d: DecimalType) => v.rawSize / (if (d.precision <= 18) 8 else 16)
+    case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
+    case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
+    case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
+    case (MapMeta(_, off, _, _), _) => off.rawSize / 4 - 1
+    case _ => -1L
+  }
+
+  private def checkCount(meta: ColMeta, dt: DataType, n: Int, what: String): Unit = {
+    val implied = impliedCount(meta, dt)
+    val ok = implied < 0 ||
+      (dt == BooleanType && implied >= n && implied < n + 8L) ||
+      implied == n
+    if (!ok) throw new OliveFormatException(
+      s"$what claims $n elements but buffers imply $implied")
+  }
+
   def decodeTable(chunk: ChunkMeta, table: TableMeta, required: StructType): ColumnarBatch = {
     val n = table.numRows
+    if (n < 0 || n > (1 << 28))
+      throw new OliveFormatException(s"chunk row count $n out of range")
     lazy val dict20 = readBuffer(chunk.dict20.data)
     lazy val dict32 = readBuffer(chunk.dict32.data)
     val vectors: Array[ColumnVector] = required.fields.map { f =>
@@ -105,6 +136,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
 
   private def decodeCol(vec: WritableColumnVector, meta: ColMeta, dt: DataType, n: Int,
       chunk: ChunkMeta, dict20: () => Array[Byte], dict32: () => Array[Byte]): Unit = {
+    checkCount(meta, dt, n, s"column of $dt") // before any allocation
     vec.reserve(math.max(n, 1))
     applyValidity(vec, meta.validity, n)
     (meta, dt) match {
