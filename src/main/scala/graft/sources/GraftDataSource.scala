@@ -163,22 +163,43 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
   /** Planning-time partition pruning: a filter on a partition column that
     * contradicts a file's `k=v` path values drops the file before any
     * task is scheduled — at 100 TB this is the difference between
-    * scanning a day and scanning a year. */
+    * scanning a day and scanning a year.
+    *
+    * When the pruned listing has fewer files than the cluster has slots,
+    * large files are further split into per-chunk input partitions (their
+    * footers are read on the driver — bounded work, since this only
+    * happens for a handful of files), so a single multi-chunk file never
+    * serializes onto one task. */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
     val files = GraftDataSource.listPartitionedFiles(conf, dir)
     val partSchema = StructType(
       GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
-    files.filterNot { case (_, part) =>
+    val kept = files.filterNot { case (_, part) =>
       // exact partition values = degenerate min==max ranges
       val stats = part.map { case (k, v) =>
         val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
         k -> graft.format.ColStats(hasNulls = false, Some(b), Some(b))
       }
       filters.exists(f => Stats.canSkip(f, partSchema, stats))
-    }.map { case (p, part) =>
-      GraftInputPartition(p.toString, part): InputPartition
-    }.toArray
+    }
+    val slots = try {
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+    } catch { case _: Exception => 16 }
+    if (kept.size >= slots) {
+      kept.map { case (p, part) =>
+        GraftInputPartition(p.toString, part): InputPartition
+      }.toArray
+    } else {
+      kept.flatMap { case (p, part) =>
+        val nChunks = try {
+          val r = GraftFileReader.open(p.getFileSystem(conf), p)
+          try r.footer.chunks.size finally r.close()
+        } catch { case _: Exception => 1 } // defer failures to the executor
+        if (nChunks <= 1) Seq(GraftInputPartition(p.toString, part))
+        else (0 until nChunks).map(i => GraftInputPartition(p.toString, part, Some(i)))
+      }.map(x => x: InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -191,7 +212,8 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
 }
 
 case class GraftInputPartition(file: String,
-    partValues: Map[String, String] = Map.empty) extends InputPartition
+    partValues: Map[String, String] = Map.empty,
+    chunkIdx: Option[Int] = None) extends InputPartition
 
 class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int,
@@ -203,7 +225,7 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     val gp = partition.asInstanceOf[GraftInputPartition]
     val path = new Path(gp.file)
     new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
-      filters, limit, gp.partValues)
+      filters, limit, gp.partValues, gp.chunkIdx)
   }
 }
 
@@ -213,7 +235,8 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
   * pages; a pushed limit stops decoding once satisfied. */
 class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     tableOpt: Option[String], filters: Array[Filter], limit: Int,
-    partValues: Map[String, String] = Map.empty)
+    partValues: Map[String, String] = Map.empty,
+    chunkIdx: Option[Int] = None)
     extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
   private var skipped = 0L
@@ -225,7 +248,11 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       else throw new IllegalArgumentException(
         s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
     }
-    reader.footer.chunks.iterator
+    val chunks = chunkIdx match {
+      case Some(i) => reader.footer.chunks.slice(i, i + 1).iterator
+      case None => reader.footer.chunks.iterator
+    }
+    chunks
       .flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
       .filterNot { case (_, t) =>
         val skip = skippable(t)

@@ -95,8 +95,18 @@ class RoundTripSpec extends SparkSpec {
     val df = spark.range(0, 5000).repartition(3)
       .select(col("id"), concat(lit("v"), col("id")).as("v"))
     val back = roundTrip(df, Map("chunkrows" -> "700"))
-    assert(back.rdd.getNumPartitions == 3) // one partition per file
+    // 3 files × 3 chunks each; with few files the scan splits per chunk
+    assert(back.rdd.getNumPartitions == 9)
     assert(canon(back) == canon(df))
+  }
+
+  test("a single multi-chunk file fans out across tasks") {
+    val df = spark.range(0, 4000).coalesce(1)
+      .select(col("id"), (col("id") * 3).as("y"))
+    val back = roundTrip(df, Map("chunkrows" -> "500"))
+    assert(back.rdd.getNumPartitions == 8) // 8 chunks, 8 input partitions
+    assert(canon(back) == canon(df))
+    assert(back.agg(sum("y")).head.getLong(0) == df.agg(sum("y")).head.getLong(0))
   }
 
   test("column pruning reads only requested columns") {
