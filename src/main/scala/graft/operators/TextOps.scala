@@ -305,7 +305,40 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // ---- q37b: edit-distance near-dup with prefix blocking -------------------
+  // Fuzzy dedup by Levenshtein distance, made linear by blocking: only
+  // docs sharing a 12-char normalized prefix are compared, so the
+  // quadratic distance computation runs inside tiny blocks instead of
+  // across the corpus.
+  private val q37b: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .withColumn("norm", lower(substring(col("text"), 1, 40)))
+      .withColumn("blk", substring(col("norm"), 1, 12))
+      .select(col("doc_id"), col("norm"), col("blk"))
+    val a = t.select(col("doc_id").as("id1"), col("norm").as("n1"), col("blk"))
+    val b = t.select(col("doc_id").as("id2"), col("norm").as("n2"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("lev", levenshtein(col("n1"), col("n2")))
+      .filter(col("lev") <= 5)
+      .select(col("id1"), col("id2"), col("lev"))
+      .orderBy(col("id1"), col("id2"))
+      .limit(100)
+  }
+  private val q37bSql =
+    """WITH t AS (
+      |  SELECT doc_id, lower(substr(text, 1, 40)) AS norm,
+      |         substr(lower(substr(text, 1, 40)), 1, 12) AS blk
+      |  FROM documents)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       levenshtein(a.norm, b.norm) AS lev
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.norm, b.norm) <= 5
+      |ORDER BY id1, id2
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q37b_edit_distance" -> q37b,
     "q38b_rolling_fingerprint" -> q38b,
     "q39_bpe_tokens" -> q39,
     "q30_dedup_exact" -> q30,
@@ -319,6 +352,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q37b_edit_distance" -> q37bSql,
     "q39_bpe_tokens" -> q39Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_dedup_normalized" -> q31Sql,
