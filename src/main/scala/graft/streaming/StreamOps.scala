@@ -189,7 +189,43 @@ object StreamOps {
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  // ---- q66: stream-stream join (clicks ⋈ purchases within 1 hour) ---------
+  // Two watermarked streams joined on key + time range — the stateful
+  // join surface. Watermarks bound both join states; at scale the state
+  // store holds one hour of clicks per user, not the stream's history.
+  // The joined pairs land in a memory sink (append mode, the only mode a
+  // stream-stream join supports) and are aggregated batch-side for a
+  // deterministic oracle-checkable result.
+  private val q66: Q = (s, d) => {
+    val clicks = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    val purchases = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+      .withWatermark("pts", "2 hours")
+    val joined = clicks.join(purchases,
+      expr("user_id = p_user AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"))
+    val name = s"graft_ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("value")), 4).as("attributed_value"))
+      .orderBy(col("user_id"))
+  }
+  private val q66Sql =
+    """WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, ts AS pts, value FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, count(*) AS n_pairs, round(sum(value), 4) AS attributed_value
+      |FROM c JOIN p ON user_id = p_user AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q66_stream_stream_join" -> q66,
     "q65_graft_stream_source" -> q65,
     "q60_window_agg" -> q60,
     "q61_stream_window" -> q61,
@@ -198,6 +234,7 @@ object StreamOps {
     "q64_graft_stream_sink" -> q64)
 
   val oracle: Map[String, String] = Map(
+    "q66_stream_stream_join" -> q66Sql,
     "q65_graft_stream_source" -> q60Sql,
     "q60_window_agg" -> q60Sql,
     "q61_stream_window" -> q60Sql,
