@@ -224,7 +224,32 @@ object StreamOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---- q67: streaming deduplication (stateful dropDuplicates) --------------
+  // Ingest-time dedup: first arrival per (user_id, event_type) wins; the
+  // watermark expires state so the store holds a bounded window of keys,
+  // not the stream's history. Count-distinct is arrival-order-independent,
+  // so the batch oracle matches exactly.
+  private val q67: Q = (s, d) => {
+    val src = Tables.eventsStream(s, d)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy(col("event_type"))
+  }
+  private val q67Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q67_stream_dedup" -> q67,
     "q66_stream_stream_join" -> q66,
     "q65_graft_stream_source" -> q65,
     "q60_window_agg" -> q60,
@@ -234,6 +259,7 @@ object StreamOps {
     "q64_graft_stream_sink" -> q64)
 
   val oracle: Map[String, String] = Map(
+    "q67_stream_dedup" -> q67Sql,
     "q66_stream_stream_join" -> q66Sql,
     "q65_graft_stream_source" -> q60Sql,
     "q60_window_agg" -> q60Sql,
