@@ -37,9 +37,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val dir = GraftDataSource.path(options)
     val conf = new Configuration()
-    val files = GraftDataSource.listPartitionedFiles(conf, dir)
+    val files = GraftDataSource.paths(options)
+      .flatMap(GraftDataSource.listPartitionedFiles(conf, _))
     if (files.isEmpty) new StructType()
     else {
       val head = files.head._1
@@ -57,15 +57,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(GraftDataSource.path(options), schema, options)
+    new GraftTable(GraftDataSource.paths(options), schema, options)
   }
 }
 
 object GraftDataSource {
-  def path(options: CaseInsensitiveStringMap): String = {
-    val p = options.get("path")
-    if (p == null) throw new IllegalArgumentException("graft source requires a path")
-    p
+  def path(options: CaseInsensitiveStringMap): String = paths(options).head
+
+  /** `load(p)` arrives as option "path"; `load(p1, p2, …)` as a JSON
+    * array in option "paths". */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = options.get("paths")
+    val single = options.get("path")
+    val all =
+      (if (multi != null) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.readValue(multi, classOf[Array[String]]).toSeq
+      } else Seq.empty) ++ Option(single).toSeq
+    if (all.isEmpty) throw new IllegalArgumentException("graft source requires a path")
+    all.distinct
   }
 
   def listFiles(conf: Configuration, dir: String): Seq[Path] =
@@ -106,9 +116,11 @@ object GraftDataSource {
   }
 }
 
-class GraftTable(dir: String, schema: StructType, options: CaseInsensitiveStringMap)
+class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft:$dir"
+  def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
+    this(Seq(dir), schema, options)
+  override def name(): String = s"graft:${dirs.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -116,15 +128,17 @@ class GraftTable(dir: String, schema: StructType, options: CaseInsensitiveString
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, schema, Option(options.get("table")))
+    new GraftScanBuilder(dirs, schema, Option(options.get("table")))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(dir, info, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(dirs.size == 1, "graft writes take exactly one path")
+    new GraftWriteBuilder(dirs.head, info, options)
+  }
 }
 
 // ---- read path ------------------------------------------------------------
 
-class GraftScanBuilder(dir: String, fullSchema: StructType, tableOpt: Option[String])
+class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = fullSchema
@@ -145,17 +159,19 @@ class GraftScanBuilder(dir: String, fullSchema: StructType, tableOpt: Option[Str
     * below it; the reader stops decoding chunks once satisfied. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  override def build(): Scan = new GraftScan(dir, required, tableOpt, pushed, limit)
+  override def build(): Scan = new GraftScan(dirs, required, tableOpt, pushed, limit)
 }
 
-class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
+class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(dir, checkpointLocation, required, tableOpt)
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(dirs.size == 1, "graft streaming reads take exactly one path")
+    new GraftMicroBatchStream(dirs.head, checkpointLocation, required, tableOpt)
+  }
   override def description(): String =
-    s"graft $dir table=${tableOpt.getOrElse("<single>")} " +
+    s"graft ${dirs.mkString(",")} table=${tableOpt.getOrElse("<single>")} " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
       s"skipFilters=[${filters.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "")
@@ -172,7 +188,7 @@ class GraftScan(dir: String, required: StructType, tableOpt: Option[String],
     * serializes onto one task. */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val files = GraftDataSource.listPartitionedFiles(conf, dir)
+    val files = dirs.flatMap(GraftDataSource.listPartitionedFiles(conf, _))
     val partSchema = StructType(
       GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
     val kept = files.filterNot { case (_, part) =>

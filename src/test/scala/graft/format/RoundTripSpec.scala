@@ -145,6 +145,17 @@ class RoundTripSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 7)
   }
 
+  test("multi-path load unions directories") {
+    val d1 = tmpDir(); val d2 = tmpDir()
+    spark.range(0, 60).selectExpr("id", "concat('x', id) AS s")
+      .write.format("graft").mode("append").save(d1)
+    spark.range(60, 100).selectExpr("id", "concat('x', id) AS s")
+      .write.format("graft").mode("append").save(d2)
+    val df = spark.read.format("graft").load(d1, d2)
+    assert(df.count() == 100)
+    assert(df.agg(sum("id")).head.getLong(0) == (0 until 100).map(_.toLong).sum)
+  }
+
   test("schema drift: old files read as nulls for new nullable columns") {
     val dir = tmpDir()
     // v1 writer: two columns
