@@ -82,7 +82,9 @@ class RoundTripSpec extends SparkSpec {
         .otherwise(unhex(sha2(concat(lit("h2"), col("id") % 5), 256))).as("hash_null", meta32),
       unhex(md5(concat(lit("md"), col("id")))).as("fsb16", meta16))
     val dir = tmpDir()
-    df.write.format("graft").mode("append").save(dir)
+    // chunkrows 300 → ~7 chunks per file, each with its OWN dict pair
+    df.coalesce(1).write.format("graft").option("chunkrows", "300")
+      .mode("append").save(dir)
     val back = spark.read.format("graft").load(dir)
     assert(canon(back) == canon(df))
     // dict actually deduplicates: the single .graft file must be far
