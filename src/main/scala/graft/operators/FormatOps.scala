@@ -178,7 +178,40 @@ object FormatOps {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  // ---- q86: interop with Spark's built-in source formats -------------------
+  // The same orders slice through csv, json and orc round-trips; each
+  // format's aggregate must equal the parquet oracle — the "Spark
+  // built-ins for interop" row of SURVEY §2.B.
+  private val q86: Q = (s, d) => {
+    import s.implicits._
+    val base = graftDir(d, "interop")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    o.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    o.write.mode("overwrite").json(s"$base/json")
+    o.write.mode("overwrite").orc(s"$base/orc")
+    val readers = Seq(
+      "csv" -> s.read.schema(o.schema).option("header", "true").csv(s"$base/csv"),
+      "json" -> s.read.schema(o.schema).json(s"$base/json"),
+      "orc" -> s.read.orc(s"$base/orc"))
+    readers.map { case (fmt, df) =>
+      df.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+        .withColumn("fmt", lit(fmt))
+        .select(col("fmt"), col("n"), col("total"), col("n_cust"))
+    }.reduce(_.union(_)).orderBy(col("fmt"))
+  }
+  private val q86Sql =
+    """WITH a AS (SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total,
+      |                  count(DISTINCT o_custkey) AS n_cust FROM orders)
+      |SELECT fmt, n, total, n_cust
+      |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+      |ORDER BY fmt""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_interop_formats" -> q86,
     "q85_graft_partitions" -> q85,
     "q84_graft_catalog" -> q84,
     "q80_graft_roundtrip" -> q80,
@@ -187,6 +220,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q86_interop_formats" -> q86Sql,
     "q85_graft_partitions" -> q85Sql,
     "q84_graft_catalog" -> q84Sql,
     "q80_graft_roundtrip" -> q80Sql,
