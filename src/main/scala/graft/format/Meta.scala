@@ -43,6 +43,13 @@ object Meta {
   case class DictIdxMeta(validity: Option[BufferMeta], width: Int, indices: BufferMeta) extends ColMeta
   /** Var-width binary/string: i32 offsets (len+1, rebased to 0) + data. */
   case class BinaryMeta(validity: Option[BufferMeta], offsets: BufferMeta, data: BufferMeta) extends ColMeta
+  /** Per-column dictionary-encoded var-width values: distinct entries as
+    * (offsets, data) + u32 row indices. Chosen by the writer when the
+    * column's distinct ratio makes it pay (low-cardinality strings —
+    * parquet's dictionary trick, applied per column per chunk; distinct
+    * from the chunk-global 20/32 dicts). */
+  case class BinDictMeta(validity: Option[BufferMeta], numEntries: Int,
+      dictOffsets: BufferMeta, dictData: BufferMeta, indices: BufferMeta) extends ColMeta
   case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
@@ -123,6 +130,9 @@ object Meta {
       b.putByte(4); writeOptBuffer(b, v); b.putInt(children.size); children.foreach(writeCol(b, _))
     case MapMeta(v, off, k, vl) =>
       b.putByte(5); writeOptBuffer(b, v); writeBuffer(b, off); writeCol(b, k); writeCol(b, vl)
+    case BinDictMeta(v, n, dOff, dData, idx) =>
+      b.putByte(6); writeOptBuffer(b, v); b.putInt(n)
+      writeBuffer(b, dOff); writeBuffer(b, dData); writeBuffer(b, idx)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -239,6 +249,11 @@ object Meta {
         val n = checkedCount(c.getInt(), "struct children")
         StructMeta(v, Vector.fill(n)(readCol(c, depth + 1)))
       case 5 => MapMeta(readOptBuffer(c), readBuffer(c), readCol(c, depth + 1), readCol(c, depth + 1))
+      case 6 =>
+        val v = readOptBuffer(c)
+        val n = c.getInt()
+        if (n < 0) throw new OliveFormatException(s"bad dict entry count $n")
+        BinDictMeta(v, n, readBuffer(c), readBuffer(c), readBuffer(c))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

@@ -63,6 +63,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (PrimitiveMeta(_, v), LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType) => v.rawSize / 8
     case (PrimitiveMeta(_, v), d: DecimalType) => v.rawSize / (if (d.precision <= 18) 8 else 16)
     case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
+    case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (MapMeta(_, off, _, _), _) => off.rawSize / 4 - 1
@@ -164,6 +165,27 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
             if (idx < 0 || idx >= dictMeta.numEntries)
               throw new OliveFormatException(s"dict index $idx out of ${dictMeta.numEntries}")
             vec.putArray(i, idx * w, w)
+          } else vec.putArray(i, 0, 0)
+          i += 1
+        }
+      case (BinDictMeta(_, numEntries, dOffBuf, dDataBuf, idxBuf), StringType | BinaryType) =>
+        val dictData = readBuffer(dDataBuf)
+        val dictOffs = readOffsets(dOffBuf, numEntries, dictData.length)
+        val idxBytes = readBuffer(idxBuf)
+        if (idxBytes.length != n * 4L)
+          throw new OliveFormatException(s"dict index buffer ${idxBytes.length} != ${n * 4L}")
+        val bb = Bytes.le(idxBytes)
+        // dictionary-backed: child data is the dict, rows are (offset, len)
+        val child = vec.arrayData()
+        child.reserve(dictData.length)
+        child.putBytes(0, dictData.length, dictData, 0)
+        var i = 0
+        while (i < n) {
+          if (!vec.isNullAt(i)) {
+            val idx = bb.getInt(i * 4)
+            if (idx < 0 || idx >= numEntries)
+              throw new OliveFormatException(s"string dict index $idx out of $numEntries")
+            vec.putArray(i, dictOffs(idx), dictOffs(idx + 1) - dictOffs(idx))
           } else vec.putArray(i, 0, 0)
           i += 1
         }

@@ -147,6 +147,29 @@ class RoundTripSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 7)
   }
 
+  test("low-cardinality strings dict-encode and shrink the file") {
+    val repetitive = spark.range(0, 20000).select(
+      col("id"),
+      element_at(array(lit("alpha"), lit("beta"), lit("gamma")), (col("id") % 3 + 1).cast("int")).as("flag"),
+      when(col("id") % 7 === 0, null)
+        .otherwise(concat(lit("group-"), col("id") % 10)).as("grp"))
+    val dictDir = tmpDir()
+    repetitive.coalesce(1).write.format("graft").mode("append").save(dictDir)
+    val back = spark.read.format("graft").load(dictDir)
+    assert(canon(back) == canon(repetitive))
+    // distinct column forces the plain path; same data volume, bigger file
+    val distinct = spark.range(0, 20000).select(
+      col("id"),
+      concat(lit("uniq-"), col("id"), lit("-abc")).as("flag"),
+      concat(lit("grp-"), col("id")).as("grp"))
+    val plainDir = tmpDir()
+    distinct.coalesce(1).write.format("graft").mode("append").save(plainDir)
+    def size(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".graft")).map(_.length()).sum
+    assert(size(dictDir) < size(plainDir) / 2,
+      s"dict ${size(dictDir)} vs plain ${size(plainDir)}")
+  }
+
   test("multi-path load unions directories") {
     val d1 = tmpDir(); val d2 = tmpDir()
     spark.range(0, 60).selectExpr("id", "concat('x', id) AS s")
