@@ -65,8 +65,11 @@ class RandomRoundTripSpec extends SparkSpec {
     case TimestampType => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(r.nextInt(Int.MaxValue).toLong, r.nextInt(1000000) * 1000L))
     case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(r.nextInt(Int.MaxValue).toLong, r.nextInt(1000000) * 1000, java.time.ZoneOffset.UTC)
     case StringType =>
-      val n = r.nextInt(30)
-      (0 until n).map(_ => (if (r.nextBoolean()) 'a' + r.nextInt(26) else 0x4e00 + r.nextInt(100)).toChar).mkString
+      if (r.nextInt(5) == 0) s"pooled-${r.nextInt(4)}" // repetitive → dict path
+      else {
+        val n = r.nextInt(30)
+        (0 until n).map(_ => (if (r.nextBoolean()) 'a' + r.nextInt(26) else 0x4e00 + r.nextInt(100)).toChar).mkString
+      }
     case BinaryType if meta.contains(ColumnEncoder.FixedWidthKey) =>
       val w = meta.getLong(ColumnEncoder.FixedWidthKey).toInt
       // small value pool => dict dedup actually exercises
