@@ -150,6 +150,11 @@ object ColumnEncoder {
 
 final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder {
   private val buf = new Bytes(256)
+  private val integral = dt match {
+    case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
+         _: YearMonthIntervalType | _: DayTimeIntervalType => true
+    case _ => false
+  }
   // resolve the type dispatch once, not per appended value
   private val appendFn: (SpecializedGetters, Int) => Unit = dt match {
     case ByteType => (src, ord) => buf.putByte(src.getByte(ord))
@@ -168,7 +173,50 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
+    tryFor(sink).getOrElse(
+      PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize)))
+
+  /** Frame-of-reference narrowing: when the chunk's [min, max] range fits
+    * a width narrower than the type (timestamps in a day fit u32 micros
+    * deltas; keys in a chunk often fit u16/u32), store base + unsigned
+    * deltas. Nulls occupy zero slots and simply join the range. */
+  private def tryFor(sink: PageSink): Option[ColMeta] = {
+    val n = buf.size / elemSize
+    if (!integral || n < 16) return None
+    val bb = Bytes.le(buf.array)
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = if (elemSize == 4) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    // range as unsigned; bail on overflow (mx-mn wraps when signs differ hugely)
+    val range = mx - mn
+    if (range < 0) return None
+    val width =
+      if (range < (1L << 8)) 1
+      else if (range < (1L << 16)) 2
+      else if (range < (1L << 32) && elemSize == 8) 4
+      else return None
+    val out = new Bytes(n * width)
+    i = 0
+    while (i < n) {
+      val v = if (elemSize == 4) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
+      val d = v - mn
+      width match {
+        case 1 => out.putByte(d.toByte)
+        case 2 => out.putShort(d.toShort)
+        case 4 => out.putInt(d.toInt)
+      }
+      i += 1
+    }
+    Some(ForMeta(validity.write(sink), mn, width.toByte,
+      sink.writeBuffer(out.array, out.size, sink.valuesCodec, width)))
+  }
+
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 }

@@ -50,6 +50,11 @@ object Meta {
     * from the chunk-global 20/32 dicts). */
   case class BinDictMeta(validity: Option[BufferMeta], numEntries: Int,
       dictOffsets: BufferMeta, dictData: BufferMeta, indices: BufferMeta) extends ColMeta
+  /** Frame-of-reference narrowed integers: values stored as unsigned
+    * `width`-byte deltas from `base`. Chosen by the writer when the
+    * chunk's value range fits a narrower width than the logical type. */
+  case class ForMeta(validity: Option[BufferMeta], base: Long, width: Byte,
+      values: BufferMeta) extends ColMeta
   case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
@@ -133,6 +138,9 @@ object Meta {
     case BinDictMeta(v, n, dOff, dData, idx) =>
       b.putByte(6); writeOptBuffer(b, v); b.putInt(n)
       writeBuffer(b, dOff); writeBuffer(b, dData); writeBuffer(b, idx)
+    case ForMeta(v, base, width, values) =>
+      b.putByte(7); writeOptBuffer(b, v); b.putLong(base); b.putByte(width)
+      writeBuffer(b, values)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -254,6 +262,13 @@ object Meta {
         val n = c.getInt()
         if (n < 0) throw new OliveFormatException(s"bad dict entry count $n")
         BinDictMeta(v, n, readBuffer(c), readBuffer(c), readBuffer(c))
+      case 7 =>
+        val v = readOptBuffer(c)
+        val base = c.getLong()
+        val width = c.getByte()
+        if (width != 1 && width != 2 && width != 4)
+          throw new OliveFormatException(s"bad FOR width $width")
+        ForMeta(v, base, width, readBuffer(c))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

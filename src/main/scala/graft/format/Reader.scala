@@ -63,6 +63,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (PrimitiveMeta(_, v), LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType) => v.rawSize / 8
     case (PrimitiveMeta(_, v), d: DecimalType) => v.rawSize / (if (d.precision <= 18) 8 else 16)
     case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
+    case (ForMeta(_, _, width, values), _) => values.rawSize / width
     case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
@@ -142,7 +143,34 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     applyValidity(vec, meta.validity, n)
     (meta, dt) match {
       case (PrimitiveMeta(_, values), _) =>
-        decodePrimitive(vec, values, dt, n)
+        fillPrimitive(vec, readBuffer(values), dt, n)
+      case (ForMeta(_, base, width, values), _) =>
+        // expand unsigned narrow deltas back to the logical width, then
+        // take the same bulk little-endian fill path as plain primitives
+        val elemSize = dt match {
+          case IntegerType | DateType | _: YearMonthIntervalType => 4
+          case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+          case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
+        }
+        val narrow = readBuffer(values)
+        if (narrow.length < n.toLong * width)
+          throw new OliveFormatException(s"FOR buffer ${narrow.length} < ${n.toLong * width}")
+        val nb = Bytes.le(narrow)
+        val wide = new Array[Byte](n * elemSize)
+        val wb = Bytes.le(wide)
+        var i = 0
+        while (i < n) {
+          val d = width match {
+            case 1 => nb.get(i) & 0xffL
+            case 2 => nb.getShort(i * 2) & 0xffffL
+            case 4 => nb.getInt(i * 4) & 0xffffffffL
+            case w => throw new OliveFormatException(s"bad FOR width $w")
+          }
+          val v = base + d
+          if (elemSize == 4) wb.putInt(i * 4, v.toInt) else wb.putLong(i * 8, v)
+          i += 1
+        }
+        fillPrimitive(vec, wide, dt, n)
       case (DictIdxMeta(_, w, idxBuf), BinaryType) =>
         val dictMeta = if (w == 20) chunk.dict20 else chunk.dict32
         val dict = if (w == 20) dict20() else dict32()
@@ -231,9 +259,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     }
   }
 
-  private def decodePrimitive(vec: WritableColumnVector, values: BufferMeta,
+  private def fillPrimitive(vec: WritableColumnVector, bytes: Array[Byte],
       dt: DataType, n: Int): Unit = {
-    val bytes = readBuffer(values)
     def needLen(want: Long): Unit =
       if (bytes.length < want)
         throw new OliveFormatException(s"values buffer ${bytes.length} < $want")

@@ -113,7 +113,9 @@ class AdversarialSpec extends SparkSpec {
         table.columns(0) match {
           case Meta.PrimitiveMeta(v, b) => Meta.PrimitiveMeta(v,
             b.copy(pages = b.pages.map(p => p.copy(offset = p.offset + (1L << 40)))))
-          case other => other
+          case Meta.ForMeta(v, base, w, b) => Meta.ForMeta(v, base, w,
+            b.copy(pages = b.pages.map(p => p.copy(offset = p.offset + (1L << 40)))))
+          case other => fail(s"test expects a primitive/FOR first column, got $other")
         }))),
       // (a lying dict is legal to IGNORE here: dicts load lazily and this
       // sample has no dict columns — validation happens on first use)
