@@ -52,8 +52,10 @@ class RandomRoundTripSpec extends SparkSpec {
     case BooleanType => r.nextBoolean()
     case ByteType => r.nextInt().toByte
     case ShortType => r.nextInt().toShort
-    case IntegerType => r.nextInt()
-    case LongType => r.nextLong()
+    case IntegerType =>
+      if (r.nextInt(4) == 0) 7000 + r.nextInt(200) else r.nextInt() // narrow range → FOR path
+    case LongType =>
+      if (r.nextInt(4) == 0) 1700000000L + r.nextInt(100000) else r.nextLong()
     case FloatType => if (r.nextInt(20) == 0) Float.NaN else r.nextFloat() * 1e6f
     case DoubleType => if (r.nextInt(20) == 0) Double.NegativeInfinity else r.nextDouble() * 1e9
     case d: DecimalType =>
