@@ -93,8 +93,13 @@ object FormatOps {
       |ORDER BY source""".stripMargin
 
   // ---- q83: array<float> embeddings through graft list columns ------------
+  // written with the compact bias: zstd value buffers cover the one gate
+  // query whose payload is dense float arrays
   private val q83: Q = (s, d) => {
-    val e = roundTrip(s, Tables.embeddings(s, d), graftDir(d, "embeddings"))
+    val dir = graftDir(d, "embeddings")
+    Tables.embeddings(s, d).write.format("graft").option("bias", "compact")
+      .mode("overwrite").save(dir)
+    val e = s.read.format("graft").load(dir)
     e.groupBy(col("label"))
       .agg(
         count(lit(1)).as("n"),
