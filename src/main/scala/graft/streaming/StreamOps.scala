@@ -24,6 +24,18 @@ object StreamOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** State partitions are fixed at stream start from shuffle.partitions;
+    * size them to the stream's key volume, not the batch default — every
+    * partition costs a state store instance per operator. At a real
+    * 100 TB/day feed this would be hundreds; for the test streams it's 8.
+    * Restores the session conf afterwards. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def windowedAgg(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -44,7 +56,7 @@ object StreamOps {
       |ORDER BY window_start, event_type""".stripMargin
 
   // ---- q61: the same aggregation through a real streaming query -----------
-  private val q61: Q = (s, d) => {
+  private val q61: Q = (s, d) => withStatePartitions(s, 8) {
     val src = Tables.eventsStream(s, d)
     val agg = windowedAgg(src.withWatermark("ts", "2 hours"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -135,7 +147,7 @@ object StreamOps {
   // readStream(events) → transform → writeStream format("graft") → read the
   // graft files back and aggregate. Exercises the DSv2 STREAMING_WRITE
   // path end-to-end; the oracle runs on the original parquet.
-  private val q64: Q = (s, d) => {
+  private val q64: Q = (s, d) => withStatePartitions(s, 8) {
     val outDir = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_sink"
     val ckDir = outDir + "_ck"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
@@ -171,7 +183,7 @@ object StreamOps {
   // Batch-write events into graft, then stream them back out of the graft
   // micro-batch source into a windowed aggregation. Oracle runs on the
   // original parquet: proves source fidelity end-to-end.
-  private val q65: Q = (s, d) => {
+  private val q65: Q = (s, d) => withStatePartitions(s, 8) {
     val base = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
     val srcDir = s"$base/events_graft"
     val ckDir = s"$base/events_graft_ck"
@@ -196,7 +208,7 @@ object StreamOps {
   // The joined pairs land in a memory sink (append mode, the only mode a
   // stream-stream join supports) and are aggregated batch-side for a
   // deterministic oracle-checkable result.
-  private val q66: Q = (s, d) => {
+  private val q66: Q = (s, d) => withStatePartitions(s, 8) {
     val clicks = Tables.eventsStream(s, d)
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"))
@@ -229,7 +241,7 @@ object StreamOps {
   // watermark expires state so the store holds a bounded window of keys,
   // not the stream's history. Count-distinct is arrival-order-independent,
   // so the batch oracle matches exactly.
-  private val q67: Q = (s, d) => {
+  private val q67: Q = (s, d) => withStatePartitions(s, 8) {
     val src = Tables.eventsStream(s, d)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
