@@ -109,7 +109,7 @@ object FormatOps {
   }
   private val q83Sql =
     """SELECT label, count(*) AS n,
-      |  sum(len(embedding)) AS total_dims,
+      |  CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
       |  round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS sum_first
       |FROM embeddings
       |GROUP BY label
@@ -177,7 +177,7 @@ object FormatOps {
       .orderBy(col("lang"), col("source"))
   }
   private val q85Sql =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |WHERE lang IN ('en', 'de')
       |GROUP BY lang, source

@@ -503,7 +503,7 @@ object Relational {
       |          PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
       |  FROM events)
       |SELECT user_id,
-      |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM t
       |GROUP BY user_id

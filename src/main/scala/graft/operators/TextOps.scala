@@ -78,7 +78,7 @@ object TextOps {
   }
   private val q32Sql =
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_tokens,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
       |  round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens,
       |  max(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
       |FROM documents
@@ -286,9 +286,9 @@ object TextOps {
   }
   private val q39Sql =
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS total_bpe_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
       |  round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))), 4) AS avg_bpe_tokens,
-      |  sum(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))) AS sum_distinct_tokens
+      |  CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))) AS BIGINT) AS sum_distinct_tokens
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin

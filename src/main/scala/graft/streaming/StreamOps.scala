@@ -98,7 +98,7 @@ object StreamOps {
       |per_sess AS (
       |  SELECT user_id, sess_id, count(*) AS n_events
       |  FROM sess GROUP BY user_id, sess_id)
-      |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
       |  max(n_events) AS max_session_events
       |FROM per_sess
       |GROUP BY user_id
@@ -137,7 +137,7 @@ object StreamOps {
       |          PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)) AS gap
       |  FROM events)
       |SELECT user_id,
-      |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM t
       |GROUP BY user_id
