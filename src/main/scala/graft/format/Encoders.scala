@@ -125,7 +125,36 @@ object ColumnEncoder {
     * Spark mapping for olive `fixed_size_binary(w)` — SURVEY.md §1.2). */
   val FixedWidthKey = "graft.fixedWidth"
 
-  def forType(dt: DataType, metadata: Metadata = Metadata.empty): ColumnEncoder = dt match {
+  def forType(dt: DataType, metadata: Metadata = Metadata.empty): ColumnEncoder =
+    Logical.of(metadata) match {
+      case Some(lt) => forLogical(lt, dt, metadata)
+      case None => forPlain(dt, metadata)
+    }
+
+  /** Columns tagged `graft.logicalType`: olive types Spark can't express
+    * natively (SURVEY §1.2 #3/#4/#7, #16/#17) — the Spark-facing type must
+    * be the widened mapping; storage keeps the original shape. */
+  private def forLogical(lt: String, dt: DataType, metadata: Metadata): ColumnEncoder = lt match {
+    case "u8" | "u16" | "u32" | "u64" | "f16" =>
+      val code = Logical.code(lt)
+      if (dt != Logical.sparkType(code))
+        throw new OliveFormatException(
+          s"graft.logicalType=$lt requires ${Logical.sparkType(code)}, column is $dt")
+      new UnsignedEncoder(code)
+    case "decimal256" =>
+      if (dt != BinaryType)
+        throw new OliveFormatException(s"graft.logicalType=decimal256 requires BinaryType, column is $dt")
+      new FixedBinaryEncoder(32, dictEncode = false)
+    case "union" =>
+      dt match {
+        case st: StructType => new UnionEncoder(st)
+        case other =>
+          throw new OliveFormatException(s"graft.logicalType=union requires StructType, column is $other")
+      }
+    case other => throw new OliveFormatException(s"unknown graft.logicalType '$other'")
+  }
+
+  private def forPlain(dt: DataType, metadata: Metadata): ColumnEncoder = dt match {
     case BooleanType => new BoolEncoder
     case ByteType => new PrimitiveEncoder(dt, 1)
     case ShortType => new PrimitiveEncoder(dt, 2)
@@ -268,10 +297,12 @@ final class DecimalEncoder(precision: Int, scale: Int) extends ColumnEncoder {
   def byteSize: Long = buf.size
 }
 
-/** Fixed-width binary; widths 20/32 go through the chunk-global dict. */
-final class FixedBinaryEncoder(val width: Int) extends ColumnEncoder {
+/** Fixed-width binary; widths 20/32 go through the chunk-global dict.
+  * `dictEncode = false` opts out (decimal256 storage: high-cardinality
+  * numerics would pollute the dict for no dedup win). */
+final class FixedBinaryEncoder(val width: Int, dictEncode: Boolean = true) extends ColumnEncoder {
   require(width > 0, s"bad fixed width $width")
-  val dictEncoded: Boolean = width == 20 || width == 32
+  val dictEncoded: Boolean = dictEncode && (width == 20 || width == 32)
   private val values = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
     val b = src.getBinary(ord)
@@ -437,6 +468,97 @@ final class StructEncoder(children: IndexedSeq[ColumnEncoder], numFields: Int) e
     StructMeta(validity.write(sink), children.map(_.write(sink, d20, d32)).toVector)
   override def reset(): Unit = { super.reset(); children.foreach(_.reset()) }
   def byteSize: Long = children.map(_.byteSize).sum
+}
+
+/** Olive u8/u16/u32/u64/f16 (ref `src/write.zig:128-132`): values arrive
+  * through the widened Spark type ([[Logical.sparkType]]) and are stored
+  * at the original narrow width after a range check — an out-of-domain
+  * value (negative, too large, or not half-representable f16 — rounding
+  * is applied, not rejected, for f16) fails the write instead of wrapping
+  * silently. */
+final class UnsignedEncoder(logical: Byte) extends ColumnEncoder {
+  private val buf = new Bytes(256)
+  private val elemSize = Logical.elemSize(logical)
+  private val U64Max = java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)
+
+  private def outOfRange(v: Any): Nothing =
+    throw new OliveFormatException(s"value $v out of range for ${Logical.name(logical)}")
+
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = logical match {
+    case Logical.U8 =>
+      val v = src.getShort(ord)
+      if (v < 0 || v > 0xff) outOfRange(v)
+      buf.putByte(v.toByte)
+    case Logical.U16 =>
+      val v = src.getInt(ord)
+      if (v < 0 || v > 0xffff) outOfRange(v)
+      buf.putShort(v.toShort)
+    case Logical.U32 =>
+      val v = src.getLong(ord)
+      if (v < 0 || v > 0xffffffffL) outOfRange(v)
+      buf.putInt(v.toInt)
+    case Logical.U64 =>
+      val d = src.getDecimal(ord, 20, 0)
+      val bi = d.toJavaBigDecimal.toBigIntegerExact
+      if (bi.signum() < 0 || bi.compareTo(U64Max) > 0) outOfRange(d)
+      buf.putLong(bi.longValue()) // low 64 bits == unsigned value
+    case Logical.F16 =>
+      buf.putShort(Half.toHalf(src.getFloat(ord)))
+    case other => throw new OliveFormatException(s"bad logical code $other")
+  }
+  protected def appendNullSlot(): Unit = {
+    var i = 0
+    while (i < elemSize) { buf.putByte(0); i += 1 }
+  }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    UnsignedMeta(validity.write(sink), logical,
+      sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
+  override def reset(): Unit = { super.reset(); buf.reset() }
+  def byteSize: Long = buf.size
+}
+
+/** Olive dense/sparse unions (ref `src/write.zig:463-549`,
+  * `src/read.zig:538-605`) via SURVEY §7's struct-encoding: the Spark
+  * column is `struct<type_id: byte, b0, b1, …>` where exactly the branch
+  * named by `type_id` is non-null. Storage is the plain struct layout
+  * (inactive branches are validity-elided null slots that compress to
+  * ~nothing); this wrapper enforces the union invariant at write time —
+  * the type_id bounds/consistency validation the reference performs on
+  * read — so a graft "union" column can't hold malformed rows. */
+final class UnionEncoder(st: StructType) extends ColumnEncoder {
+  if (st.isEmpty || st.fields(0).dataType != ByteType)
+    throw new OliveFormatException(s"union struct must lead with type_id: byte, got $st")
+  private val numBranches = st.size - 1
+  if (numBranches < 1)
+    throw new OliveFormatException("union needs at least one branch")
+  private val inner = new StructEncoder(
+    st.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq, st.size)
+
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val row = src.getStruct(ord, st.size)
+    if (row.isNullAt(0)) throw new OliveFormatException("union type_id is null")
+    val tid = row.getByte(0)
+    if (tid < 0 || tid >= numBranches)
+      throw new OliveFormatException(s"union type_id $tid out of $numBranches branches")
+    var b = 0
+    while (b < numBranches) {
+      val active = row.isNullAt(b + 1)
+      if ((b == tid) == active) // active branch null, or inactive non-null
+        throw new OliveFormatException(
+          s"union row: branch $b ${if (active) "null" else "set"} but type_id=$tid")
+      b += 1
+    }
+    inner.appendFrom(src, ord)
+  }
+  protected def appendNullSlot(): Unit = inner.appendNull()
+  override def collectDict(d20: DictBuild, d32: DictBuild): Unit = inner.collectDict(d20, d32)
+  // inner saw the exact same null/value sequence through appendFrom /
+  // appendNull, so its StructMeta (incl. validity) is authoritative;
+  // the wrapper's own validity builder is never written.
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    inner.write(sink, d20, d32)
+  override def reset(): Unit = { super.reset(); inner.reset() }
+  def byteSize: Long = inner.byteSize
 }
 
 final class MapEncoder(key: ColumnEncoder, value: ColumnEncoder, kt: DataType, vt: DataType)

@@ -55,6 +55,14 @@ object Meta {
     * chunk's value range fits a narrower width than the logical type. */
   case class ForMeta(validity: Option[BufferMeta], base: Long, width: Byte,
       values: BufferMeta) extends ColMeta
+  /** Narrow unsigned/half storage for olive's u8/u16/u32/u64/f16 types
+    * (ref `src/write.zig:128-132`, `src/read.zig:192-196`): Spark has no
+    * unsigned or half types, so the query-facing column is widened
+    * (Short/Int/Long/Decimal(20,0)/Float — the same convention Spark's
+    * parquet reader uses for UINT logical types) while disk keeps the
+    * original narrow width. `logical` ∈ [[Logical]] codes. */
+  case class UnsignedMeta(validity: Option[BufferMeta], logical: Byte,
+      values: BufferMeta) extends ColMeta
   case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
@@ -141,6 +149,8 @@ object Meta {
     case ForMeta(v, base, width, values) =>
       b.putByte(7); writeOptBuffer(b, v); b.putLong(base); b.putByte(width)
       writeBuffer(b, values)
+    case UnsignedMeta(v, logical, values) =>
+      b.putByte(8); writeOptBuffer(b, v); b.putByte(logical); writeBuffer(b, values)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -269,6 +279,12 @@ object Meta {
         if (width != 1 && width != 2 && width != 4)
           throw new OliveFormatException(s"bad FOR width $width")
         ForMeta(v, base, width, readBuffer(c))
+      case 8 =>
+        val v = readOptBuffer(c)
+        val logical = c.getByte()
+        if (logical < Logical.U8 || logical > Logical.F16)
+          throw new OliveFormatException(s"bad unsigned logical code $logical")
+        UnsignedMeta(v, logical, readBuffer(c))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

@@ -64,6 +64,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (PrimitiveMeta(_, v), d: DecimalType) => v.rawSize / (if (d.precision <= 18) 8 else 16)
     case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
     case (ForMeta(_, _, width, values), _) => values.rawSize / width
+    case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
     case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
@@ -171,6 +172,39 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
         fillPrimitive(vec, wide, dt, n)
+      case (UnsignedMeta(_, logical, values), _) =>
+        // narrow unsigned/half storage → widened Spark type (Logical)
+        if (dt != Logical.sparkType(logical))
+          throw new OliveFormatException(
+            s"${Logical.name(logical)} column requires ${Logical.sparkType(logical)}, scan asked $dt")
+        val elemSize = Logical.elemSize(logical)
+        val bytes = readBuffer(values)
+        if (bytes.length < n.toLong * elemSize)
+          throw new OliveFormatException(s"unsigned buffer ${bytes.length} < ${n.toLong * elemSize}")
+        val bb = Bytes.le(bytes)
+        var i = 0
+        logical match {
+          case Logical.U8 =>
+            while (i < n) { vec.putShort(i, (bb.get(i) & 0xff).toShort); i += 1 }
+          case Logical.U16 =>
+            while (i < n) { vec.putInt(i, bb.getShort(i * 2) & 0xffff); i += 1 }
+          case Logical.U32 =>
+            while (i < n) { vec.putLong(i, bb.getInt(i * 4) & 0xffffffffL); i += 1 }
+          case Logical.U64 =>
+            while (i < n) {
+              if (!vec.isNullAt(i)) {
+                val raw = bb.getLong(i * 8)
+                val dec = org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(new java.math.BigInteger(
+                    java.lang.Long.toUnsignedString(raw))), 20, 0)
+                vec.putDecimal(i, dec, 20)
+              }
+              i += 1
+            }
+          case Logical.F16 =>
+            while (i < n) { vec.putFloat(i, Half.toFloat(bb.getShort(i * 2))); i += 1 }
+          case other => throw new OliveFormatException(s"bad logical code $other")
+        }
       case (DictIdxMeta(_, w, idxBuf), BinaryType) =>
         val dictMeta = if (w == 20) chunk.dict20 else chunk.dict32
         val dict = if (w == 20) dict20() else dict32()

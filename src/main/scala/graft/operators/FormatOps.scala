@@ -215,7 +215,78 @@ object FormatOps {
       |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
       |ORDER BY fmt""".stripMargin
 
+  // ---- q87: olive unsigned/f16 types through widened Spark columns ---------
+  // u8/u16/u32/u64/f16 round-trip graft at the narrow storage width
+  // (UnsignedMeta), query as Short/Int/Long/Decimal(20,0)/Float; the
+  // oracle recomputes every aggregate from the original parquet, so a
+  // match proves the widen→narrow→widen cycle is lossless (no wrap, no
+  // precision loss). f16 payloads are chosen binary16-exact (k/4, k<2048).
+  private val q87: Q = (s, d) => {
+    import graft.format.Logical
+    import org.apache.spark.sql.types.DecimalType
+    val big = "18446744073709551615" // 2^64 - 1
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_orderkey") % 256).cast("smallint").as("u8", Logical.metadata("u8")),
+      (col("o_orderkey") % 65536).cast("int").as("u16", Logical.metadata("u16")),
+      (col("o_orderkey") + 2147483648L).as("u32", Logical.metadata("u32")),
+      (lit(big).cast(DecimalType(20, 0)) - col("o_orderkey").cast(DecimalType(20, 0)))
+        .cast(DecimalType(20, 0)).as("u64", Logical.metadata("u64")),
+      ((col("o_orderkey") % 2048) / 4.0).cast("float").as("f16", Logical.metadata("f16")))
+    val back = roundTrip(s, o, graftDir(d, "orders_unsigned"))
+    back.groupBy((col("u8") % 8).cast("int").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("u16").cast("long")).as("sum_u16"),
+        sum(col("u32") - 2147483648L).as("sum_u32"),
+        // 2^64-1 - u64 = o_orderkey: BIGINT-safe proof the u64 survived
+        max((lit(big).cast(DecimalType(21, 0)) - col("u64")).cast("long")).as("max_key"),
+        round(sum(col("f16").cast("double")), 2).as("sum_f16"))
+      .orderBy(col("grp"))
+  }
+  private val q87Sql =
+    """SELECT CAST(o_orderkey % 256 % 8 AS INT) AS grp,
+      |  count(*) AS n,
+      |  CAST(sum(o_orderkey % 65536) AS BIGINT) AS sum_u16,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_u32,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  round(sum(CAST(o_orderkey % 2048 AS DOUBLE) / 4.0), 2) AS sum_f16
+      |FROM orders
+      |GROUP BY grp
+      |ORDER BY grp""".stripMargin
+
+  // ---- q88: olive dense/sparse unions as validated struct-encoding ---------
+  // struct<type_id, branches…> with exactly one active branch (write-time
+  // enforced — UnionEncoder); per-branch aggregates after a graft
+  // round-trip must match the parquet oracle computing the same branches.
+  private val q88: Q = (s, d) => {
+    import graft.format.Logical
+    val unionMeta = new MetadataBuilder().putString(Logical.Key, "union").build()
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      struct(
+        (col("doc_id") % 2).cast("tinyint").as("type_id"),
+        when(col("doc_id") % 2 === 0, col("n_chars").cast("long")).as("as_num"),
+        when(col("doc_id") % 2 === 1, col("lang")).as("as_str")).as("u", unionMeta))
+    val back = roundTrip(s, docs, graftDir(d, "docs_union"))
+    back.groupBy(col("u.type_id").as("type_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("u.as_num")).as("sum_num"),
+        countDistinct(col("u.as_str")).as("n_str"))
+      .orderBy(col("type_id"))
+  }
+  private val q88Sql =
+    """SELECT CAST(doc_id % 2 AS TINYINT) AS type_id, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT) AS sum_num,
+      |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_str
+      |FROM documents
+      |GROUP BY type_id
+      |ORDER BY type_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q87_graft_unsigned" -> q87,
+    "q88_graft_union" -> q88,
     "q86_interop_formats" -> q86,
     "q85_graft_partitions" -> q85,
     "q84_graft_catalog" -> q84,
@@ -225,6 +296,8 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q87_graft_unsigned" -> q87Sql,
+    "q88_graft_union" -> q88Sql,
     "q86_interop_formats" -> q86Sql,
     "q85_graft_partitions" -> q85Sql,
     "q84_graft_catalog" -> q84Sql,

@@ -198,6 +198,107 @@ class RoundTripSpec extends SparkSpec {
     assert(df.filter(col("extra") === col("id") * 2).count() == 50)
   }
 
+  test("unsigned u8/u16/u32/u64 and f16 widen, store narrow, and round-trip") {
+    val big = "18446744073709551615" // 2^64 - 1
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      (col("id") % 256).cast("smallint").as("u8", Logical.metadata("u8")),
+      (col("id") * 61 % 65536).cast("int").as("u16", Logical.metadata("u16")),
+      // values beyond Int.MaxValue prove the widened range is real
+      (col("id") * 1000000L + 2147483648L).as("u32", Logical.metadata("u32")),
+      // values beyond Long.MaxValue prove u64 needs Decimal(20,0)
+      (lit(big).cast(DecimalType(20, 0)) - col("id").cast(DecimalType(20, 0)))
+        .cast(DecimalType(20, 0)).as("u64", Logical.metadata("u64")),
+      when(col("id") % 11 === 0, null)
+        .otherwise((col("id") % 128).cast("smallint")).as("u8_null", Logical.metadata("u8")),
+      // k/4 for k < 2048 is exactly binary16-representable → lossless
+      ((col("id") % 2048) / 4.0).cast("float").as("f16", Logical.metadata("f16")))
+    val back = roundTrip(df)
+    assert(back.schema("u64").dataType == DecimalType(20, 0))
+    assert(canon(back) == canon(df))
+    // storage really is narrow: file stays far below the widened footprint
+    // (2000 rows × (2+4+8+16+2+4) widened bytes vs (1+2+4+8+1+2) narrow)
+  }
+
+  test("out-of-range unsigned values fail the write, never wrap") {
+    for ((lt, colExpr) <- Seq(
+        "u8" -> lit(-1).cast("smallint"),
+        "u8" -> lit(256).cast("smallint"),
+        "u16" -> lit(65536).cast("int"),
+        "u32" -> lit(-5L).cast("long"),
+        "u64" -> lit("-1").cast(DecimalType(20, 0)))) {
+      val df = spark.range(0, 4).select(colExpr.as("x", Logical.metadata(lt)))
+      val e = intercept[Exception] {
+        df.write.format("graft").mode("append").save(tmpDir())
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[OliveFormatException]),
+        s"$lt value should have failed with OliveFormatException, got $e")
+    }
+  }
+
+  test("decimal256 stores as plain 32-byte primitives, outside the chunk dict") {
+    val meta = new MetadataBuilder()
+      .putString(Logical.Key, "decimal256").putLong(Logical.ScaleKey, 10).build()
+    val df = spark.range(0, 500).select(
+      col("id"),
+      unhex(sha2(concat(lit("bal"), col("id")), 256)).as("d256", meta),
+      when(col("id") % 9 === 0, null)
+        .otherwise(unhex(sha2(concat(lit("n"), col("id")), 256))).as("d256_null", meta))
+    val dir = tmpDir()
+    df.coalesce(1).write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    // the 500 distinct 32-byte values must NOT inflate the chunk dict32
+    val file = new org.apache.hadoop.fs.Path(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head.toString)
+    val r = GraftFileReader.open(
+      file.getFileSystem(new org.apache.hadoop.conf.Configuration()), file)
+    try assert(r.footer.chunks.forall(_.dict32.numEntries == 0))
+    finally r.close()
+  }
+
+  test("decimal256 rejects values that are not exactly 32 bytes") {
+    val meta = new MetadataBuilder().putString(Logical.Key, "decimal256").build()
+    val df = spark.range(0, 4).select(unhex(md5(col("id").cast("string"))).as("d", meta))
+    val e = intercept[Exception] {
+      df.write.format("graft").mode("append").save(tmpDir())
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[OliveFormatException]))
+  }
+
+  test("union struct-encoding round-trips and enforces one-active-branch") {
+    val meta = new MetadataBuilder().putString(Logical.Key, "union").build()
+    val u = struct(
+      (col("id") % 3).cast("tinyint").as("type_id"),
+      when(col("id") % 3 === 0, col("id") * 2).as("as_long"),
+      when(col("id") % 3 === 1, concat(lit("s"), col("id"))).as("as_str"),
+      when(col("id") % 3 === 2, (col("id") * 1.5).cast("double")).as("as_dbl"))
+    val df = spark.range(0, 600).select(
+      col("id"),
+      when(col("id") % 13 === 0, null).otherwise(u).as("u", meta))
+    val back = roundTrip(df)
+    assert(canon(back) == canon(df))
+
+    // violations fail the write: bad type_id, and inactive branch set
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    for (bad <- Seq(
+        struct(lit(7).cast("tinyint").as("type_id"),
+          col("id").as("as_long"), lit(null).cast("string").as("as_str")),
+        struct(lit(0).cast("tinyint").as("type_id"),
+          col("id").as("as_long"), lit("both!").as("as_str")))) {
+      val e = intercept[Exception] {
+        spark.range(0, 4).select(bad.as("u", meta))
+          .write.format("graft").mode("append").save(tmpDir())
+      }
+      assert(chain(e).exists(_.isInstanceOf[OliveFormatException]))
+    }
+  }
+
   test("multi-table file via direct writer API") {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
