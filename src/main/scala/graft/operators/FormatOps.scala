@@ -115,30 +115,20 @@ object FormatOps {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
-  // ---- q84: multi-table chunk + catalog SQL --------------------------------
-  // nation and region written into ONE graft file (the reference's
-  // multi-table chunk, `chunk.zig:15-38`), then joined in SQL through the
-  // GraftCatalog. Oracle joins the original parquet.
+  // ---- q84: multi-table catalog namespace + catalog SQL --------------------
+  // nation and region produced by DISTRIBUTED per-table writes into ONE
+  // catalog namespace dir (each task appends its own file — no driver
+  // collect; the reference's multi-table chunk, `chunk.zig:15-38`, maps
+  // to "N named tables under one namespace", and single-FILE multi-table
+  // chunks remain available through the direct writer API). Joined in SQL
+  // through the GraftCatalog; oracle joins the original parquet.
   private val q84: Q = (s, d) => {
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
     val root = graftDir(d, "catalog")
-    val file = new Path(s"$root/tpch/dims.graft")
-    val fs = file.getFileSystem(new Configuration())
-    fs.mkdirs(file.getParent)
-    val out = fs.create(file, true)
-    val w = new graft.format.GraftFileWriter(out)
-    def buffer(name: String, df: DataFrame): graft.format.TableBuffer = {
-      val tb = new graft.format.TableBuffer(name, df.schema)
-      // copy() per row: Spark reuses the InternalRow object per partition
-      df.queryExecution.toRdd.map(_.copy()).collect().foreach(tb.appendRow) // dims are tiny
-      tb
-    }
-    w.writeChunk(Seq(
-      buffer("nation", Tables.nation(s, d)),
-      buffer("region", Tables.region(s, d))))
-    w.finish()
-    out.close()
+    val ns = s"$root/tpch"
+    Tables.nation(s, d).write.format("graft").option("table", "nation")
+      .mode("overwrite").save(ns) // overwrite sweeps the whole ns: idempotent reruns
+    Tables.region(s, d).write.format("graft").option("table", "region")
+      .mode("append").save(ns)
     s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_cat.root", root)
     s.sql("""
@@ -155,21 +145,16 @@ object FormatOps {
       |ORDER BY r_name""".stripMargin
 
   // ---- q85: partitioned graft layout + partition pruning -------------------
-  // documents written under lang=<v>/ dirs (one save per partition value:
-  // path-based DSv2 writes don't take partitionBy); the read filters on
-  // the partition column, so non-matching files are pruned at planning
-  // time and never scheduled.
+  // ONE dynamic-partition write routes every document task-side into
+  // lang=<v>/ dirs (GraftPartitionedDataWriter — no driver loop, no
+  // per-value job); the read filters on the partition column, so
+  // non-matching files are pruned at planning time and never scheduled.
   private val q85: Q = (s, d) => {
     val root = graftDir(d, "docs_by_lang")
-    // two matching + two prunable partitions prove the mechanism; writing
-    // every language would only pad the benchmark
-    val langs = Tables.documents(s, d).select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
-      .filter(Set("en", "de", "fr", "es"))
-    langs.foreach { lang =>
-      Tables.documents(s, d).filter(col("lang") === lang).drop("lang")
-        .write.format("graft").mode("overwrite").save(s"$root/lang=$lang")
-    }
+    Tables.documents(s, d)
+      .filter(col("lang").isin("en", "de", "fr", "es")) // 2 matching + 2 prunable
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(root)
     s.read.format("graft").load(root)
       .filter(col("lang").isin("en", "de"))
       .groupBy(col("lang"), col("source"))

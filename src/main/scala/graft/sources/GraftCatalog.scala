@@ -24,8 +24,15 @@ import graft.format.GraftFileReader
   * }}}
   *
   * Namespaces are single-level subdirectories of `root`; the tables of a
-  * namespace are the union of table names across its files' footers.
-  * Read-only in v1 — writes go through the path-based API.
+  * namespace are the union of table names across its files' footers —
+  * one file may hold several tables (the reference's multi-table chunk),
+  * and one table may span several files (the distributed write path:
+  * every task appends its own per-table file, no driver coordination).
+  *
+  * Writable: `createTable` records the schema in a hidden
+  * `.schema_<table>.json` marker (so an empty table loads before data
+  * arrives); `df.writeTo("cat.ns.t").append()` routes through the
+  * path-based DSv2 writer with the table option pinned.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -43,11 +50,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsDir(namespace: Array[String]): String =
     (Seq(root) ++ namespace).mkString("/")
 
-  private def footerOf(dir: String): Option[graft.format.Meta.Footer] = {
+  private def schemaMarker(dir: String, table: String): Path =
+    new Path(dir, s".schema_$table.json")
+
+  /** Search the namespace's files for `table`'s schema (any file may hold
+    * it); fall back to the createTable marker for not-yet-written tables. */
+  private def findTableSchema(dir: String, table: String): Option[StructType] = {
     val files = GraftDataSource.listFiles(conf, dir)
-    files.headOption.map { f =>
+    val fromFiles = files.iterator.flatMap { f =>
       val r = GraftFileReader.open(f.getFileSystem(conf), f)
-      try r.footer finally r.close()
+      try r.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema)
+      finally r.close()
+    }.nextOption()
+    fromFiles.orElse {
+      val marker = schemaMarker(dir, table)
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json) match {
+          case s: StructType => Some(s)
+          case _ => None
+        }
+      }
     }
   }
 
@@ -80,10 +106,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
-    GraftDataSource.listFiles(conf, dir).flatMap { f =>
+    val fromFiles = GraftDataSource.listFiles(conf, dir).flatMap { f =>
       val r = GraftFileReader.open(f.getFileSystem(conf), f)
       try r.tableNames finally r.close()
-    }.distinct.map(t => Identifier.of(namespace, t)).toArray
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val fromMarkers =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(".schema_") && n.endsWith(".json"))
+        .map(n => n.stripPrefix(".schema_").stripSuffix(".json"))
+    (fromFiles ++ fromMarkers).distinct.map(t => Identifier.of(namespace, t)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -91,21 +125,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = nsDir(ident.namespace())
-    val footer = footerOf(dir).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
-    val table = footer.chunks.flatMap(_.tables).find(_.name == ident.name()).getOrElse(
+    val schema = findTableSchema(dir, ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val opts = Map("path" -> dir, "table" -> ident.name()).asJava
-    new GraftTable(dir, table.schema, new CaseInsensitiveStringMap(opts))
+    new GraftTable(dir, schema, new CaseInsensitiveStringMap(opts))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only in v1; write with df.write.format(\"graft\").save(dir)")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "catalog tables don't take partition transforms; " +
+      "use the path API's partitionBy option for hive-style layouts")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
+    val dir = nsDir(ident.namespace())
+    val marker = schemaMarker(dir, ident.name())
+    val fs = marker.getFileSystem(conf)
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(marker, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only in v1")
-  override def dropTable(ident: Identifier): Boolean = false
+    throw new UnsupportedOperationException("graft catalog tables are append/replace only")
+
+  /** Drops the table's schema marker and any file holding ONLY this
+    * table; a file mixing several tables (multi-table chunk) is shared
+    * state and refuses the drop. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = nsDir(ident.namespace())
+    val files = GraftDataSource.listFiles(conf, dir)
+    val owned = files.flatMap { f =>
+      val r = GraftFileReader.open(f.getFileSystem(conf), f)
+      val names = try r.tableNames finally r.close()
+      if (names == Seq(ident.name())) Some(f)
+      else if (names.contains(ident.name()))
+        throw new UnsupportedOperationException(
+          s"table ${ident.name()} shares multi-table file $f; drop the namespace directory instead")
+      else None
+    }
+    val marker = schemaMarker(dir, ident.name())
+    val fs = marker.getFileSystem(conf)
+    val hadMarker = fs.exists(marker)
+    owned.foreach(f => f.getFileSystem(conf).delete(f, false))
+    if (hadMarker) fs.delete(marker, false)
+    hadMarker || owned.nonEmpty
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only in v1")
+    throw new UnsupportedOperationException("graft catalog tables cannot be renamed")
 }

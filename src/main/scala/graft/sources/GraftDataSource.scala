@@ -54,10 +54,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  /** Spark's path-based V2 writes never forward `df.write.partitionBy`
+    * transforms to the provider (they are only equality-checked against
+    * `Table.partitioning()`), so partition columns arrive via the
+    * `partitionBy` OPTION; declaring them here makes the native
+    * `.partitionBy(...)` check pass when both are given. */
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    GraftDataSource.optionPartitionCols(options)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(GraftDataSource.paths(options), schema, options)
+    // identity transforms → hive-style dir routing
+    val partCols = partitioning.toSeq.collect {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+    }
+    new GraftTable(GraftDataSource.paths(options), schema, options, partCols)
   }
 }
 
@@ -94,7 +109,7 @@ object GraftDataSource {
         if (s.isFile && name.endsWith(".graft")) Seq(s.getPath -> part)
         else if (s.isDirectory && name.contains("=")) {
           val Array(k, v) = name.split("=", 2)
-          walk(s.getPath, part + (k -> v))
+          walk(s.getPath, part + (k -> unescapePathValue(v)))
         } else Seq.empty
       }
     walk(root, Map.empty).sortBy(_._1.toString)
@@ -103,6 +118,40 @@ object GraftDataSource {
   /** Partition column names in first-seen order across the listing. */
   def partitionColumns(files: Seq[(Path, Map[String, String])]): Seq[String] =
     files.flatMap(_._2.keys).distinct
+
+  /** Null partition value in a hive-style path (Spark's convention). */
+  val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition columns from the `partitionBy` write option. */
+  def optionPartitionCols(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("partitionby")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private val EscapedChars = "\"#%'*/:=?\\{[]^ ".toSet
+
+  /** Hive-style path escaping (the same set Spark escapes), so partition
+    * values survive the dir-name round-trip byte-exactly. */
+  def escapePathValue(v: String): String = {
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (EscapedChars.contains(c) || c < ' ') sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescapePathValue(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length) {
+        try { sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   def pickTable(footer: Meta.Footer, tableOpt: String): Meta.TableMeta = {
     val names = footer.chunks.flatMap(_.tables.map(_.name)).distinct
@@ -116,12 +165,17 @@ object GraftDataSource {
   }
 }
 
-class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitiveStringMap)
+class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitiveStringMap,
+    partCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite {
   def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
     this(Seq(dir), schema, options)
   override def name(): String = s"graft:${dirs.mkString(",")}"
   override def schema(): StructType = schema
+  override def partitioning(): Array[Transform] = {
+    val cols = if (partCols.nonEmpty) partCols else GraftDataSource.optionPartitionCols(options)
+    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
@@ -132,7 +186,12 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(dirs.size == 1, "graft writes take exactly one path")
-    new GraftWriteBuilder(dirs.head, info, options)
+    // partition columns from native partitionBy transforms, or the
+    // "partitionBy" write option (comma-separated) for API paths that
+    // don't forward transforms to path-based V2 tables
+    val optCols = GraftDataSource.optionPartitionCols(options)
+    new GraftWriteBuilder(dirs.head, info, options,
+      if (partCols.nonEmpty) partCols else optCols)
   }
 }
 
@@ -343,7 +402,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
 // ---- write path -----------------------------------------------------------
 
 class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
-    options: CaseInsensitiveStringMap) extends WriteBuilder with SupportsTruncate {
+    options: CaseInsensitiveStringMap, partCols: Seq[String] = Seq.empty)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
@@ -351,7 +411,8 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       Option(options.get("table")).getOrElse("data"),
       Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
       Option(options.get("bias")).getOrElse("balanced"),
-      Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows))
+      Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
+      partCols)
     override def toBatch: BatchWrite = batchWrite
     // Streaming sink: each epoch appends files; file names embed the
     // epoch so retried epochs overwrite-by-collision-free names and a
@@ -381,7 +442,15 @@ object GraftBatchWrite {
 }
 
 class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
-    table: String, pageSize: Int, bias: String, chunkRows: Int) extends BatchWrite {
+    table: String, pageSize: Int, bias: String, chunkRows: Int,
+    partCols: Seq[String] = Seq.empty) extends BatchWrite {
+
+  partCols.foreach { c =>
+    if (!schema.fieldNames.contains(c))
+      throw new IllegalArgumentException(s"partition column $c not in schema ${schema.fieldNames.mkString(",")}")
+  }
+  if (partCols.nonEmpty && partCols.size >= schema.size)
+    throw new IllegalArgumentException("cannot partition by every column")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
@@ -389,24 +458,32 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) {
       GraftDataSource.listFiles(conf, dir).foreach(f => fs.delete(f, false))
-      // also sweep tmp orphans left by crashed task attempts
-      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".graft.tmp"))
-        .foreach(s => fs.delete(s.getPath, false))
+      // also sweep tmp orphans left by crashed task attempts (root and
+      // hive-style partition dirs)
+      def sweep(d: Path): Unit = fs.listStatus(d).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".graft.tmp")) fs.delete(s.getPath, false)
+        else if (s.isDirectory && s.getPath.getName.contains("=")) sweep(s.getPath)
+      }
+      sweep(p)
     }
     fs.mkdirs(p)
     new GraftWriterFactory(dir, schema, table, pageSize, bias, chunkRows,
-      new SerializableConfiguration(conf))
+      partCols, new SerializableConfiguration(conf))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {}
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }
 
 class GraftWriterFactory(dir: String, schema: StructType, table: String,
-    pageSize: Int, bias: String, chunkRows: Int,
+    pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-      conf.value, partitionId, taskId)
+    if (partCols.isEmpty)
+      new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+        conf.value, partitionId, taskId)
+    else
+      new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+        partCols, conf.value, partitionId, taskId)
 }
 
 case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMessage
@@ -459,4 +536,69 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     try fs.delete(tmpFile, false) catch { case _: Exception => }
   }
   override def close(): Unit = {}
+}
+
+/** Dynamic-partition writer: routes each row to a per-partition-value
+  * [[GraftDataWriter]] under hive-style `k=v/` dirs; partition columns are
+  * dropped from the stored table (their values live in the path, exactly
+  * what the read side's partition pruning consumes). All routing happens
+  * task-side — no driver loop, no per-value job; at 1000 executors this
+  * is the same parallel shape as Spark's own dynamic partition insert.
+  *
+  * Open-writer bound: each distinct partition value seen by a task holds
+  * a buffering writer (~chunk memory). Beyond [[GraftPartitionedDataWriter.MaxOpenWriters]]
+  * the task fails with guidance rather than OOMing — pre-shuffling by the
+  * partition columns (`df.repartition(col…)`) keeps each value on one task
+  * and is the 100 TB-correct layout anyway (one file per value per task).
+  */
+class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
+    pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
+    conf: Configuration, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  import GraftPartitionedDataWriter.MaxOpenWriters
+
+  private val partOrdinals = partCols.map(schema.fieldIndex).toArray
+  private val partTypes = partOrdinals.map(schema.fields(_).dataType)
+  private val dataOrdinals = schema.fields.indices.filterNot(partOrdinals.contains).toArray
+  private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
+  private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    dataSchema, dataOrdinals.toIndexedSeq)
+
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[String, GraftDataWriter]
+
+  private def partValue(record: InternalRow, i: Int): String =
+    if (record.isNullAt(partOrdinals(i))) GraftDataSource.DefaultPartitionName
+    else GraftDataSource.escapePathValue(
+      record.get(partOrdinals(i), partTypes(i)).toString)
+
+  override def write(record: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < partOrdinals.length) {
+      if (i > 0) sb.append('/')
+      sb.append(partCols(i)).append('=').append(partValue(record, i))
+      i += 1
+    }
+    val key = sb.toString
+    val w = writers.getOrElseUpdate(key, {
+      if (writers.size >= MaxOpenWriters)
+        throw new IllegalStateException(
+          s"task sees > $MaxOpenWriters distinct partition values for (${partCols.mkString(",")}); " +
+            "repartition by the partition columns before writing")
+      new GraftDataWriter(s"$dir/$key", dataSchema, table, pageSize, bias, chunkRows,
+        conf, partitionId, taskId)
+    })
+    proj.project(record)
+    w.write(proj)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val msgs = writers.values.map(_.commit().asInstanceOf[GraftCommitMessage])
+    GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum)
+  }
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
+}
+
+object GraftPartitionedDataWriter {
+  val MaxOpenWriters = 512
 }

@@ -49,4 +49,41 @@ class CatalogSpec extends SparkSpec {
     val tables = spark.sql("SHOW TABLES IN graft_cat.db1").collect().map(_.getString(1)).toSet
     assert(tables == Set("users", "scores"))
   }
+
+  test("distributed per-table writes share a namespace; one table spans files") {
+    val root = Files.createTempDirectory("graft-catw").toString
+    spark.conf.set("spark.sql.catalog.graft_catw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_catw.root", root)
+    // two tables, each written distributed (multiple tasks → multiple
+    // files per table), into ONE namespace dir — no driver collect
+    spark.range(0, 200).repartition(3).selectExpr("id AS k", "concat('n', id) AS nm")
+      .write.format("graft").option("table", "alpha").mode("append").save(s"$root/db2")
+    spark.range(0, 50).repartition(2).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graft").option("table", "beta").mode("append").save(s"$root/db2")
+    val tables = spark.sql("SHOW TABLES IN graft_catw.db2").collect().map(_.getString(1)).toSet
+    assert(tables == Set("alpha", "beta"))
+    val j = spark.sql(
+      """SELECT count(*) AS n FROM graft_catw.db2.alpha a
+        |JOIN graft_catw.db2.beta b ON a.k = b.k""".stripMargin)
+    assert(j.head.getLong(0) == 50)
+    // alpha really spans multiple files
+    val files = new java.io.File(s"$root/db2").listFiles().filter(_.getName.endsWith(".graft"))
+    assert(files.length >= 5) // 3 alpha + 2 beta tasks
+  }
+
+  test("createTable marker, writeTo append, and dropTable") {
+    val root = Files.createTempDirectory("graft-catc").toString
+    spark.conf.set("spark.sql.catalog.graft_catc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_catc.root", root)
+    spark.sql("CREATE NAMESPACE graft_catc.db3")
+    spark.sql("CREATE TABLE graft_catc.db3.ev (k BIGINT, tag STRING) USING graft")
+    // visible while still empty (schema comes from the marker)
+    assert(spark.sql("SELECT * FROM graft_catc.db3.ev").count() == 0)
+    spark.range(0, 30).selectExpr("id AS k", "concat('t', id) AS tag")
+      .writeTo("graft_catc.db3.ev").append()
+    assert(spark.sql("SELECT count(*) AS n FROM graft_catc.db3.ev").head.getLong(0) == 30)
+    spark.sql("DROP TABLE graft_catc.db3.ev")
+    assert(!spark.sql("SHOW TABLES IN graft_catc.db3").collect()
+      .map(_.getString(1)).contains("ev"))
+  }
 }

@@ -34,6 +34,47 @@ class PartitionSpec extends SparkSpec {
       canon(spark.sql("SELECT * FROM VALUES ('2024-01-01', 200L), ('2024-01-02', 200L), ('2024-01-03', 200L) AS t(dt, count)")))
   }
 
+  test("writer partitionBy routes task-side into k=v dirs, pruning intact") {
+    val dir = Files.createTempDirectory("graft-pwrite").toString
+    val df = spark.range(0, 900).selectExpr(
+      "id",
+      "concat('doc-', id) AS body",
+      "element_at(array('en','de','fr'), CAST(id % 3 + 1 AS INT)) AS lang")
+    // Spark's path-based V2 save never forwards partitionBy transforms to
+    // the provider — the option carries them; with both, the native
+    // partitionBy equality check against Table.partitioning() passes too
+    df.write.format("graft").partitionBy("lang").option("partitionBy", "lang")
+      .mode("overwrite").save(dir)
+    // hive layout on disk, partition column NOT in the stored table
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(langDirs.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 900)
+    assert(canon(back.select("id", "body", "lang")) == canon(df))
+    // planning-time pruning fires on the written layout
+    val pruned = back.filter(col("lang") === "de")
+    assert(pruned.count() == 300)
+    assert(pruned.rdd.getNumPartitions < back.rdd.getNumPartitions)
+    // overwrite truncates previous partitioned files
+    df.filter(col("lang") === "en").write.format("graft")
+      .partitionBy("lang").option("partitionBy", "lang").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 300)
+  }
+
+  test("option-based partitionBy, null values, and path escaping") {
+    val dir = Files.createTempDirectory("graft-pesc").toString
+    val df = spark.range(0, 60).selectExpr(
+      "id",
+      "CASE WHEN id % 3 = 0 THEN NULL WHEN id % 3 = 1 THEN 'a/b c' ELSE 'plain' END AS grp")
+    df.write.format("graft").option("partitionBy", "grp").mode("overwrite").save(dir)
+    val names = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(names.contains("grp=__HIVE_DEFAULT_PARTITION__"))
+    assert(names.contains("grp=a%2Fb%20c")) // '/' and ' ' escaped
+    val back = spark.read.format("graft").load(dir)
+    assert(back.filter(col("grp") === "a/b c").count() == 20)
+    assert(back.filter(col("grp") === "__HIVE_DEFAULT_PARTITION__").count() == 20)
+  }
+
   test("partition pruning drops files at planning time") {
     val dir = writePartitioned()
     val df = spark.read.format("graft").load(dir)
