@@ -69,8 +69,20 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (MapMeta(_, off, _, _), _) => off.rawSize / 4 - 1
+    case (StructMeta(_, children), st: StructType) if children.size == st.size =>
+      // a struct's own evidence is the strongest child evidence: every
+      // child must hold one slot per struct row
+      children.zip(st.fields).map { case (c, f) => impliedCount(c, f.dataType) }
+        .filter(_ >= 0).minOption.getOrElse(-1L)
     case _ => -1L
   }
+
+  /** Hard per-column element cap used when a nested child carries no
+    * per-element buffer evidence of its own: bounds what a lying footer
+    * can make us allocate to < 2^28 slots (the chunk row cap; list/map
+    * offsets are u32-buffer-bounded anyway — this guards the claimed END
+    * offset, which feeds child allocation sizes). */
+  private final val MaxElems: Long = 1L << 28
 
   private def checkCount(meta: ColMeta, dt: DataType, n: Int, what: String): Unit = {
     val implied = impliedCount(meta, dt)
@@ -87,6 +99,14 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       throw new OliveFormatException(s"chunk row count $n out of range")
     lazy val dict20 = readBuffer(chunk.dict20.data)
     lazy val dict32 = readBuffer(chunk.dict32.data)
+    // validate the claimed row count against every required column's own
+    // buffer evidence BEFORE any vector allocation: a lying numRows must
+    // raise OliveFormatException, not OOM the executor on reserve()
+    required.fields.foreach { f =>
+      if (table.schema.fieldNames.contains(f.name))
+        checkCount(table.columns(table.schema.fieldIndex(f.name)), f.dataType, n,
+          s"column ${f.name}")
+    }
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(math.max(n, 1), f.dataType)
       if (table.schema.fieldNames.contains(f.name)) {
@@ -267,7 +287,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
       case (ListMeta(_, offBuf, childMeta), ArrayType(et, _)) =>
-        val offs = readOffsets(offBuf, n, Int.MaxValue)
+        // the claimed end offset sizes the child's allocation: bound it by
+        // the child's own buffer evidence (or the hard cap) first
+        val childEv = impliedCount(childMeta, et)
+        val offs = readOffsets(offBuf, n, if (childEv >= 0) childEv else MaxElems)
         val childCount = offs(n)
         val child = vec.getChild(0)
         decodeCol(child, childMeta, et, childCount, chunk, dict20, dict32)
@@ -282,7 +305,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           c += 1
         }
       case (MapMeta(_, offBuf, keyMeta, valMeta), MapType(kt, vt, _)) =>
-        val offs = readOffsets(offBuf, n, Int.MaxValue)
+        val kEv = impliedCount(keyMeta, kt)
+        val vEv = impliedCount(valMeta, vt)
+        val ev = Seq(kEv, vEv).filter(_ >= 0).minOption.getOrElse(MaxElems)
+        val offs = readOffsets(offBuf, n, ev)
         val entries = offs(n)
         decodeCol(vec.getChild(0), keyMeta, kt, entries, chunk, dict20, dict32)
         decodeCol(vec.getChild(1), valMeta, vt, entries, chunk, dict20, dict32)

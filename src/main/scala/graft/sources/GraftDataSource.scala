@@ -414,24 +414,35 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
       partCols)
     override def toBatch: BatchWrite = batchWrite
-    // Streaming sink: each epoch appends files; file names embed the
-    // epoch so retried epochs overwrite-by-collision-free names and a
-    // crashed task's partial file is never committed logic-visible
-    // (readers only trust complete footers).
+    // Streaming sink: file names are DETERMINISTIC per (epoch, partition)
+    // and commit renames with overwrite, so a retried epoch replaces its
+    // own files instead of appending duplicates — exactly-once output for
+    // a stable partition count, and a crashed task's partial file is
+    // never reader-visible (scan lists *.graft only; tmp names differ).
     override def toStreaming: StreamingWrite = streamingWrite
     private object streamingWrite extends StreamingWrite {
-      private val bw = batchWrite
-      override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-        val f = bw.createBatchWriterFactory(info)
-        new StreamingDataWriterFactory {
-          override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-            f.createWriter(partitionId, taskId + epochId * 100000L)
-        }
+      override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+        batchWrite.createBatchWriterFactory(pinfo) // dir setup / truncate
+        new GraftStreamingWriterFactory(dir, info.schema(),
+          Option(options.get("table")).getOrElse("data"),
+          Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
+          Option(options.get("bias")).getOrElse("balanced"),
+          Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
+          new SerializableConfiguration(new Configuration()))
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
     }
   }
+}
+
+class GraftStreamingWriterFactory(dir: String, schema: StructType, table: String,
+    pageSize: Int, bias: String, chunkRows: Int,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+      conf.value, partitionId, taskId,
+      fixedName = Some(f"epoch-$epochId%08d-part-$partitionId%05d.graft"))
 }
 
 object GraftBatchWrite {
@@ -461,8 +472,9 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       // also sweep tmp orphans left by crashed task attempts (root and
       // hive-style partition dirs)
       def sweep(d: Path): Unit = fs.listStatus(d).foreach { s =>
-        if (s.isFile && s.getPath.getName.endsWith(".graft.tmp")) fs.delete(s.getPath, false)
-        else if (s.isDirectory && s.getPath.getName.contains("=")) sweep(s.getPath)
+        val n = s.getPath.getName
+        if (s.isFile && n.startsWith(".") && n.endsWith(".tmp")) fs.delete(s.getPath, false)
+        else if (s.isDirectory && n.contains("=")) sweep(s.getPath)
       }
       sweep(p)
     }
@@ -489,19 +501,24 @@ class GraftWriterFactory(dir: String, schema: StructType, table: String,
 case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMessage
 
 /** Task-side writer: buffers rows columnar, flushes a chunk per
-  * `chunkRows` (or ~96 MB buffered), one file per task attempt. The file
-  * name embeds task + UUID so concurrent attempts never collide; abort
-  * deletes the attempt's file. */
+  * `chunkRows` (or ~96 MB buffered), one file per task attempt. Batch
+  * file names embed task + UUID so concurrent attempts never collide;
+  * the streaming sink passes a `fixedName` deterministic per
+  * (epoch, partition) so a RETRIED epoch's rename-with-overwrite
+  * replaces its earlier output instead of duplicating it. Tmp names stay
+  * attempt-unique either way; abort deletes the attempt's tmp. */
 class GraftDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, conf: Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    fixedName: Option[String] = None) extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir,
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft")
+  private val file = new Path(dir, fixedName.getOrElse(
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft"))
   // stream into a tmp name invisible to readers (scan lists *.graft only);
   // commit renames atomically, so concurrent readers never see a partial
   // footerless file
-  private val tmpFile = new Path(dir, s".${file.getName}.tmp")
+  private val tmpFile = new Path(dir,
+    s".${file.getName}.$taskId-${UUID.randomUUID().toString.take(8)}.tmp")
   private val fs = file.getFileSystem(conf)
   private val out = fs.create(tmpFile, false)
   private val writer = new GraftFileWriter(out, pageSize, bias)
@@ -526,8 +543,10 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     if (chunksWritten == 0) writer.writeChunk(Seq(buf))
     writer.finish()
     out.close()
-    if (!fs.rename(tmpFile, file))
-      throw new java.io.IOException(s"rename $tmpFile -> $file failed")
+    // atomic rename WITH overwrite: replaces a previous attempt's file
+    // under the same deterministic name (streaming epoch retries)
+    org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
+      .rename(tmpFile, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     GraftCommitMessage(file.toString, rows)
   }
 

@@ -51,9 +51,13 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     val out = fs.create(tmp, true)
     try out.write(files.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // rename is atomic on HDFS/local; readers see old or new, never partial
-    fs.delete(logPath, false)
-    fs.rename(tmp, logPath)
+    // rename-with-OVERWRITE is a single atomic step (FileContext contract
+    // on HDFS/local): the log is always the previous or the new version —
+    // a delete-then-rename pair would open a crash window in which the
+    // log vanishes and committed offsets re-map onto a re-discovered,
+    // possibly different file order
+    org.apache.hadoop.fs.FileContext.getFileContext(logPath.toUri, conf)
+      .rename(tmp, logPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def initialOffset(): Offset = GraftStreamOffset(0)

@@ -127,6 +127,64 @@ class AdversarialSpec extends SparkSpec {
     }
   }
 
+  test("huge claimed row counts fail BEFORE allocation, not by OOM") {
+    val f = writeSample()
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, hp)
+    val footer = r.footer
+    r.close()
+    val raw = openRaw(f)
+    val chunk = footer.chunks.head
+    // claim 2^27 rows (passes the raw range check); column buffers imply
+    // only 500 — the evidence check must fire before any vector reserve
+    val lying = footer.copy(chunks = Vector(chunk.copy(tables = Vector(
+      chunk.tables.head.copy(numRows = 1 << 27)))))
+    val fb = Meta.write(lying)
+    val origLen = Bytes.le(raw).getLong(raw.length - 12)
+    val tail = new Bytes(12)
+    tail.putLong(fb.length.toLong)
+    tail.putBytes(Meta.MagicTail)
+    val bytes = raw.slice(0, raw.length - 12 - origLen.toInt) ++ fb ++ tail.toArray
+    val e = intercept[OliveFormatException](tryOpen(bytes))
+    assert(e.getMessage.contains("elements"), e.getMessage)
+  }
+
+  test("lying list offsets cannot force huge child allocations") {
+    import org.apache.spark.sql.types._
+    // hand-build a hostile file: ONE row whose list offsets claim 2^30
+    // child elements while the struct child's value buffer holds 2 longs.
+    // Pre-fix this reserved gigabytes in every struct child; now the
+    // offsets-vs-child-evidence bound rejects it.
+    val dir = Files.createTempDirectory("graft-adv3")
+    val p = dir.resolve("lie.graft")
+    val out = new java.io.FileOutputStream(p.toFile)
+    out.write(Meta.MagicHead)
+    val sink = new PageSink(out, 1 << 20, "balanced")
+    val d20 = Meta.DictMeta(20, 0, sink.writeDictData(Array.empty))
+    val d32 = Meta.DictMeta(32, 0, sink.writeDictData(Array.empty))
+    val off = new Bytes(8); off.putInt(0); off.putInt(1 << 30)
+    val offMeta = sink.writeBuffer(off.array, 8, Codec.None, 4)
+    val childVals = sink.writeBuffer(new Array[Byte](16), 16, Codec.None, 8)
+    val colMeta = Meta.ListMeta(None, offMeta,
+      Meta.StructMeta(None, Vector(Meta.PrimitiveMeta(None, childVals))))
+    val schema = StructType(Seq(StructField("a",
+      ArrayType(StructType(Seq(StructField("x", LongType)))))))
+    val footer = Meta.Footer(Meta.Version, sink.position, Vector(Meta.ChunkMeta(d20, d32,
+      Vector(Meta.TableMeta("data", 1, schema, Vector(colMeta),
+        Vector(ColStats(hasNulls = false, None, None)))))))
+    val fb = Meta.write(footer)
+    out.write(fb)
+    val tail = new Bytes(12)
+    tail.putLong(fb.length.toLong)
+    tail.putBytes(Meta.MagicTail)
+    out.write(tail.toArray)
+    out.close()
+    val e = intercept[OliveFormatException](
+      tryOpen(Files.readAllBytes(p)))
+    assert(e.getMessage.contains("offsets end"), e.getMessage)
+  }
+
   test("footer codec round-trips and rejects trailing bytes") {
     val f = writeSample()
     val hp = new Path(f.toString)

@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSpec {
       spark.range(0, 500).selectExpr("id", "concat('v', id) AS v").filter(col("id") % 2 === 0)))
   }
 
+  test("sink epoch retry overwrites its own files instead of duplicating") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.util.SerializableConfiguration
+    val out = Files.createTempDirectory("graft-sink-retry").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val factory = new graft.sources.GraftStreamingWriterFactory(out, schema, "data",
+      1 << 20, "balanced", 1 << 17,
+      new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
+    def runAttempt(taskId: Long, rows: Range): Unit = {
+      val w = factory.createWriter(partitionId = 0, taskId = taskId, epochId = 7)
+      rows.foreach(i => w.write(
+        org.apache.spark.sql.catalyst.InternalRow(i.toLong)))
+      w.commit()
+    }
+    runAttempt(1, 0 until 100) // first attempt of epoch 7
+    runAttempt(2, 0 until 100) // retry after presumed failure
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".graft"))
+    assert(files.length == 1, files.map(_.getName).mkString(","))
+    assert(spark.read.format("graft").load(out).count() == 100) // not 200
+  }
+
   test("watermark drops late data across graft-source micro-batches") {
     import java.sql.Timestamp
     import spark.implicits._
