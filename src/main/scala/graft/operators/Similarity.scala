@@ -89,34 +89,101 @@ object Similarity {
       |SELECT probe_id, rk, vec_id, cosine FROM r WHERE rk <= 5
       |ORDER BY probe_id, rk""".stripMargin
 
-  // ---- q41: LSH-bucketed approximate neighbors (no SQL oracle) ------------
-  private val NumPlanes = 12
+  // ---- multi-band random-hyperplane LSH core (q41/q45/q46) -----------------
+  // 4 bands × 8 planes (the q35 MinHash banding rotated onto hyperplane
+  // signs): a pair collides when ANY band's 8 sign bits all agree —
+  // near-identical vectors (θ→0) match a band with prob ≈ (1-θ/π)^8 ≈
+  // 0.95, so 4 bands give ~1-(0.05)^4 near-certain recall, while random
+  // pairs (θ≈π/2) pass a band with prob 2^-8. Per-band buckets bound the
+  // self-join: no single 2^12 bucket whose skew goes quadratic — and the
+  // knobs scale independently (more planes/band → smaller buckets; more
+  // bands → higher recall).
+  private val NumBands = 4
+  private val PlanesPerBand = 8
   /** Fixed seeded hyperplanes: deterministic across runs and executors. */
   private lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(NumBands * PlanesPerBand)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  private val q41: Q = (s, d) => {
+  /** (vec_id, v, nv, bucket) with one row per band; `bucket` folds the
+    * band id in, so a plain equi-join on it never crosses bands. */
+  private def banded(df: DataFrame): DataFrame = {
     val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val e = emb(s, d)
-      .withColumn("planes", planeLit)
+    df.withColumn("planes", planeLit)
       .withColumn("sigbits", expr(
         """transform(planes, p ->
           |  IF(aggregate(zip_with(v, p, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
           |     (acc, w) -> acc + w) >= 0.0, 1, 0))""".stripMargin))
+      .withColumn("band", explode(sequence(lit(0), lit(NumBands - 1))))
       .withColumn("bucket", expr(
-        "aggregate(sigbits, CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"))
-      .select(col("vec_id"), col("label"), col("v"), col("nv"), col("bucket"))
-    val l = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nv").as("n1"), col("bucket"))
-    val r = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nv").as("n2"), col("bucket"))
-    l.join(r, Seq("bucket"))
+        s"aggregate(slice(sigbits, band * $PlanesPerBand + 1, $PlanesPerBand), " +
+          "CAST(band AS BIGINT), (acc, b) -> acc * 2 + b)"))
+      .select(col("vec_id"), col("v"), col("nv"), col("bucket"))
+  }
+
+  /** Candidate pairs (id1 < id2), UNIONED across bands and de-duplicated
+    * BEFORE any scoring — a pair colliding in 3 bands is scored once. */
+  private def candidatePairs(corpus: DataFrame): DataFrame = {
+    val b = banded(corpus)
+    val l = b.select(col("vec_id").as("id1"), col("bucket"))
+    val r = b.select(col("vec_id").as("id2"), col("bucket"))
+    val pairs = l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(dot("v1", "v2") / (col("n1") * col("n2")), 6))
-      .select(col("bucket"), col("id1"), col("id2"), col("cosine"))
+      .select(col("id1"), col("id2")).distinct()
+    val v1 = corpus.select(col("vec_id").as("id1"), col("v").as("v1"), col("nv").as("n1"))
+    val v2 = corpus.select(col("vec_id").as("id2"), col("v").as("v2"), col("nv").as("n2"))
+    pairs.join(v1, Seq("id1")).join(v2, Seq("id2"))
+      .withColumn("cosine", dot("v1", "v2") / (col("n1") * col("n2")))
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Deterministic planted near-duplicates: every 10th vector re-enters
+    * the corpus under a shifted id with ~2% multiplicative perturbation
+    * (cosine vs the original ≈ 0.9996). Gives the approximate-ANN gate
+    * queries exact oracles: recall is checkable against a known truth
+    * set instead of data-dependent neighbor structure. */
+  private val PlantShift = 10000000L
+  private def withPlanted(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("v"), col("nv"))
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + PlantShift)
+      .withColumn("v", expr("transform(v, (x, i) -> x * (1.0 + 0.02 * sin(CAST(i AS DOUBLE))))"))
+      .withColumn("nv", sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nv"))
+    base.union(planted)
+  }
+
+  // ---- q41: LSH-bucketed approximate neighbors (no SQL oracle) ------------
+  private val q41: Q = (s, d) => {
+    candidatePairs(emb(s, d).select(col("vec_id"), col("v"), col("nv")))
+      .withColumn("cosine", round(col("cosine"), 6))
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
       .limit(100)
   }
+
+  // ---- q46: LSH recall against a planted truth set (exact oracle) ---------
+  // Every planted pair (id, id + shift) has cosine ≈ 0.9996; the banded
+  // LSH must surface ≥ 90% of them (empirically 100% with the fixed
+  // seed — the oracle asserts full recall, so ANY regression in the
+  // banding/candidate path hash-fails the gate).
+  private val q46: Q = (s, d) => {
+    val e = emb(s, d)
+    val found = candidatePairs(withPlanted(e))
+      .filter(col("cosine") > 0.99 && col("id2") === col("id1") + PlantShift)
+      .select(col("id1"))
+    val plantedIds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("id1"))
+    plantedIds.join(found, Seq("id1"), "left_semi")
+      .agg(count(lit(1)).as("n_recovered"))
+      .crossJoin(plantedIds.agg(count(lit(1)).as("n_planted")))
+      .select(col("n_planted"), col("n_recovered"),
+        (col("n_recovered") >= col("n_planted") * 0.9).as("recall_ok"))
+  }
+  private val q46Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_recovered,
+      |  true AS recall_ok
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   // ---- q43: per-label centroids (element-wise mean via posexplode) --------
   private val q43: Q = (s, d) => {
@@ -174,35 +241,36 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
-  // ---- q45: embedding-cosine near-dup dedup (no oracle) --------------------
-  // Dedup decision on top of LSH candidates: pairs above the cosine
-  // threshold collapse to the lower vec_id (canonical); output = corpus
-  // size before/after. The expensive part reuses q41's linear candidate
-  // generation — never an O(n²) scan.
+  // ---- q45: embedding-cosine near-dup dedup (exact oracle) -----------------
+  // Dedup on top of the multi-band LSH candidates, over the corpus with
+  // planted near-dups (each planted copy's only >0.95 partner is its
+  // original, so the truth set is exact and the oracle computable).
+  //
+  // Collapse POLICY (pairwise-lower-id, stated explicitly): a vector is
+  // removed iff some LOWER-id vector is its near-dup; survivors are the
+  // ids that are never the higher end of a qualifying pair. For chains
+  // a~b~c this keeps local minima (a, and b when b's only partner is c)
+  // rather than computing connected components — the iterative min-id
+  // closure costs a multi-round join at 100 TB and changes nothing when
+  // near-dup similarity is near-transitive (the dedup use case).
+  // Everything returns from ONE job: no driver-side counts mid-query.
   private val q45: Q = (s, d) => {
-    val e = emb(s, d)
-    val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val bucketed = e
-      .withColumn("planes", planeLit)
-      .withColumn("sigbits", expr(
-        """transform(planes, p ->
-          |  IF(aggregate(zip_with(v, p, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
-          |     (acc, w) -> acc + w) >= 0.0, 1, 0))""".stripMargin))
-      .withColumn("bucket", expr(
-        "aggregate(sigbits, CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"))
-      .select(col("vec_id"), col("v"), col("nv"), col("bucket"))
-    val l = bucketed.select(col("vec_id").as("id1"), col("v").as("v1"), col("nv").as("n1"), col("bucket"))
-    val r = bucketed.select(col("vec_id").as("id2"), col("v").as("v2"), col("nv").as("n2"), col("bucket"))
-    val dupIds = l.join(r, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine", dot("v1", "v2") / (col("n1") * col("n2")))
+    val corpus = withPlanted(emb(s, d))
+    val dupIds = candidatePairs(corpus)
       .filter(col("cosine") > 0.95)
-      .select(col("id2").as("dup_id")).distinct() // survivors keep the lowest id
-    val total = e.count()
-    val nDups = dupIds.count()
-    import s.implicits._
-    Seq((total, nDups, total - nDups)).toDF("n_total", "n_near_dups", "n_survivors")
+      .select(col("id2").as("dup_id")).distinct()
+    corpus.join(dupIds, col("vec_id") === col("dup_id"), "left")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("dup_id")).as("n_near_dups"),
+        (count(lit(1)) - count(col("dup_id"))).as("n_survivors"))
   }
+  private val q45Sql =
+    """WITH b AS (SELECT count(*) AS n,
+      |  sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS p FROM embeddings)
+      |SELECT CAST(n + p AS BIGINT) AS n_total, CAST(p AS BIGINT) AS n_near_dups,
+      |  CAST(n AS BIGINT) AS n_survivors
+      |FROM b""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q40_cosine_topk" -> q40,
@@ -210,11 +278,15 @@ object Similarity {
     "q42_knn_join" -> q42,
     "q43_centroids" -> q43,
     "q44_ivf_ann" -> q44,
-    "q45_embedding_dedup" -> q45)
+    "q45_embedding_dedup" -> q45,
+    "q46_lsh_recall" -> q46)
 
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
-    // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check.
+    // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check;
+    // q46 gates the same banding path against a planted truth set.
     "q42_knn_join" -> q42Sql,
-    "q43_centroids" -> q43Oracle)
+    "q43_centroids" -> q43Oracle,
+    "q45_embedding_dedup" -> q45Sql,
+    "q46_lsh_recall" -> q46Sql)
 }

@@ -13,7 +13,7 @@ class EntrySpec extends AnyFunSuite {
     // non-oracled queries are the known non-SQL-expressible set
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q28_approx_distinct", "q35_minhash_lsh", "q36_simhash",
-      "q38b_rolling_fingerprint", "q41_ann_lsh", "q44_ivf_ann", "q45_embedding_dedup"),
+      "q38b_rolling_fingerprint", "q41_ann_lsh", "q44_ivf_ann"),
       s"unexpected rows-only queries: $noOracle")
   }
 }
