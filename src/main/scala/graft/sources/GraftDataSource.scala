@@ -349,7 +349,11 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     if (!pending.hasNext || (limit >= 0 && emitted >= limit)) false
     else {
       val (chunk, table) = pending.next()
-      current = decodeWithPartitions(chunk, table)
+      // page-level limit: when the remaining limit is inside this chunk,
+      // decode only the pages covering the prefix instead of the chunk
+      val remaining = if (limit >= 0) limit - emitted else Long.MaxValue
+      val rowLimit = if (remaining < table.numRows) Some(remaining.toInt) else None
+      current = decodeWithPartitions(chunk, table, rowLimit)
       emitted += current.numRows()
       decoded += 1
       true
@@ -357,15 +361,25 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   }
 
   /** Decode data columns from the file; partition-path columns become
-    * constant vectors from the file's `k=v` values. */
-  private def decodeWithPartitions(chunk: Meta.ChunkMeta, table: Meta.TableMeta): ColumnarBatch = {
+    * constant vectors from the file's `k=v` values. `rowLimit` decodes
+    * only the pages covering the first N rows (pushed LIMIT); the rare
+    * range-undecodable shape (fixed-width binary nested under a list)
+    * falls back to the full-chunk decode — correct, just not skipped. */
+  private def decodeWithPartitions(chunk: Meta.ChunkMeta, table: Meta.TableMeta,
+      rowLimit: Option[Int] = None): ColumnarBatch = {
+    def decode(req: StructType): ColumnarBatch = rowLimit match {
+      case Some(lim) =>
+        try reader.decodeTableRange(chunk, table, req, 0, lim)
+        catch { case _: graft.format.OliveFormatException => reader.decodeTable(chunk, table, req) }
+      case None => reader.decodeTable(chunk, table, req)
+    }
     def isPartCol(name: String): Boolean =
       partValues.contains(name) && !table.schema.fieldNames.contains(name)
     if (!required.fields.exists(f => isPartCol(f.name)))
-      reader.decodeTable(chunk, table, required)
+      decode(required)
     else {
       val dataReq = StructType(required.fields.filterNot(f => isPartCol(f.name)))
-      val dataBatch = reader.decodeTable(chunk, table, dataReq)
+      val dataBatch = decode(dataReq)
       val n = dataBatch.numRows()
       var dataIdx = 0
       val vectors = required.fields.map { f =>

@@ -1,0 +1,101 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Page-level (sub-chunk) row-range decode: the reference records
+  * per-page `row_index_ends` but never exploits them
+  * (`src/header.zig:41-45`); graft's range reader does. */
+class PageSkipSpec extends SparkSpec {
+
+  /** One single-chunk file with many small pages per buffer. */
+  private def writeSample(): Path = {
+    val dir = Files.createTempDirectory("graft-pskip").toString
+    spark.range(0, 20000).coalesce(1).select(
+      col("id"),
+      (col("id") * 3).as("y"),
+      concat(lit("value-"), col("id")).as("s"))
+      .write.format("graft").option("pagesize", "4096").mode("append").save(dir)
+    new Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+  }
+
+  test("a tail-range read decodes only the overlapping pages") {
+    val p = writeSample()
+    val fs = p.getFileSystem(new Configuration())
+
+    // full decode: page count for ALL pages of the three columns
+    val rFull = GraftFileReader.open(fs, p)
+    val chunk = rFull.footer.chunks.head
+    val table = chunk.tables.head
+    val full = rFull.decodeTable(chunk, table, table.schema)
+    val fullPages = rFull.pagesRead
+    assert(full.numRows() == 20000)
+    full.close(); rFull.close()
+    assert(fullPages > 30, s"expected many small pages, got $fullPages")
+
+    // tail range: last 100 rows
+    val r = GraftFileReader.open(fs, p)
+    val batch = r.decodeTableRange(chunk, table, table.schema, 19900, 20000)
+    val tailPages = r.pagesRead
+    assert(batch.numRows() == 100)
+    val row0 = batch.getRow(0)
+    assert(row0.getLong(0) == 19900L)
+    assert(row0.getLong(1) == 19900L * 3)
+    assert(row0.getUTF8String(2).toString == "value-19900")
+    val rowLast = batch.getRow(99)
+    assert(rowLast.getLong(0) == 19999L)
+    assert(rowLast.getUTF8String(2).toString == "value-19999")
+    batch.close(); r.close()
+    // the whole point: a tail read touches a handful of pages, not all
+    assert(tailPages * 5 < fullPages, s"tail read $tailPages vs full $fullPages pages")
+  }
+
+  test("mid-range reads are exact across encodings (dict, FOR, lists)") {
+    val dir = Files.createTempDirectory("graft-pskip2").toString
+    val df = spark.range(0, 8000).coalesce(1).select(
+      col("id"),
+      // FOR-narrowed (small range), per-column dict (low cardinality),
+      // plain strings, and a list column
+      (col("id") % 100 + 1000000).as("narrow"),
+      concat(lit("tag"), col("id") % 7).as("tag"),
+      concat(lit("uniq-"), col("id")).as("u"),
+      array(col("id"), col("id") + 1).as("arr"))
+    df.write.format("graft").option("pagesize", "2048").mode("append").save(dir)
+    val p = new Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val fs = p.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, p)
+    val chunk = r.footer.chunks.head
+    val table = chunk.tables.head
+    val batch = r.decodeTableRange(chunk, table, table.schema, 3210, 3310)
+    assert(batch.numRows() == 100)
+    (0 until 100).foreach { i =>
+      val row = batch.getRow(i)
+      val id = 3210L + i
+      assert(row.getLong(0) == id)
+      assert(row.getLong(1) == id % 100 + 1000000)
+      assert(row.getUTF8String(2).toString == s"tag${id % 7}")
+      assert(row.getUTF8String(3).toString == s"uniq-$id")
+      val arr = row.getArray(4)
+      assert(arr.numElements() == 2 && arr.getLong(0) == id && arr.getLong(1) == id + 1)
+    }
+    batch.close(); r.close()
+  }
+
+  test("pushed limits decode a page prefix, not the whole chunk") {
+    val dir = Files.createTempDirectory("graft-pskip3").toString
+    spark.range(0, 50000).coalesce(1)
+      .select(col("id"), concat(lit("x"), col("id")).as("s"))
+      .write.format("graft").option("pagesize", "4096").mode("append").save(dir)
+    val got = spark.read.format("graft").load(dir).limit(5).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+}
