@@ -75,6 +75,24 @@ class PartitionSpec extends SparkSpec {
     assert(back.filter(col("grp") === "__HIVE_DEFAULT_PARTITION__").count() == 20)
   }
 
+  test("listing 10k files across 100 partition dirs stays fast and exact") {
+    val dir = Files.createTempDirectory("graft-bulklist")
+    // listing only reads names: empty marker files suffice
+    for (p <- 0 until 100) {
+      val sub = dir.resolve(f"shard=$p%03d")
+      Files.createDirectory(sub)
+      for (f <- 0 until 100) Files.createFile(sub.resolve(f"part-$f%05d.graft"))
+    }
+    val t0 = System.nanoTime()
+    val files = graft.sources.GraftDataSource.listPartitionedFiles(
+      new org.apache.hadoop.conf.Configuration(), dir.toString)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(files.size == 10000)
+    assert(files.map(_._2("shard")).distinct.size == 100)
+    assert(files.map(_._1.toString) == files.map(_._1.toString).sorted)
+    assert(ms < 30000, s"listing took ${ms}ms")
+  }
+
   test("partition pruning drops files at planning time") {
     val dir = writePartitioned()
     val df = spark.read.format("graft").load(dir)
