@@ -156,14 +156,17 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     // buffer evidence BEFORE any vector allocation: a lying numRows must
     // raise OliveFormatException, not OOM the executor on reserve()
     required.fields.foreach { f =>
-      if (table.schema.fieldNames.contains(f.name))
-        checkCount(table.columns(table.schema.fieldIndex(f.name)), f.dataType, n,
+      if (table.schema.fieldNames.contains(f.name)) {
+        val idx = table.schema.fieldIndex(f.name)
+        checkCount(table.columns(idx), table.schema.fields(idx).dataType, n,
           s"column ${f.name}")
+      }
     }
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(math.max(n, 1), f.dataType)
       if (table.schema.fieldNames.contains(f.name)) {
-        decodeCol(vec, table.columns(table.schema.fieldIndex(f.name)), f.dataType, n,
+        val idx = table.schema.fieldIndex(f.name)
+        decodeCol(vec, table.columns(idx), table.schema.fields(idx).dataType, f.dataType, n,
           chunk, dict20 _, dict32 _)
       } else if (f.nullable) {
         // schema drift: an older file predates this column — read nulls,
@@ -210,9 +213,14 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     out
   }
 
-  private def decodeCol(vec: WritableColumnVector, meta: ColMeta, dt: DataType, n: Int,
+  /** `fileDt` is the type the FILE stores (drives layout/width); `dt` is
+    * what the scan requests. They differ only under nested schema
+    * pruning, where a requested struct holds a SUBSET of the file
+    * struct's fields — matched by name below. */
+  private def decodeCol(vec: WritableColumnVector, meta: ColMeta, fileDt: DataType,
+      dt: DataType, n: Int,
       chunk: ChunkMeta, dict20: () => Array[Byte], dict32: () => Array[Byte]): Unit = {
-    checkCount(meta, dt, n, s"column of $dt") // before any allocation
+    checkCount(meta, fileDt, n, s"column of $fileDt") // before any allocation
     vec.reserve(math.max(n, 1))
     applyValidity(vec, meta.validity, n)
     (meta, dt) match {
@@ -340,31 +348,53 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
       case (ListMeta(_, offBuf, childMeta), ArrayType(et, _)) =>
+        val fileEt = fileDt match {
+          case ArrayType(fe, _) => fe
+          case other => throw new OliveFormatException(s"file type $other for requested array")
+        }
         // the claimed end offset sizes the child's allocation: bound it by
         // the child's own buffer evidence (or the hard cap) first
-        val childEv = impliedCount(childMeta, et)
+        val childEv = impliedCount(childMeta, fileEt)
         val offs = readOffsets(offBuf, n, if (childEv >= 0) childEv else MaxElems)
         val childCount = offs(n)
         val child = vec.getChild(0)
-        decodeCol(child, childMeta, et, childCount, chunk, dict20, dict32)
+        decodeCol(child, childMeta, fileEt, et, childCount, chunk, dict20, dict32)
         var i = 0
         while (i < n) { vec.putArray(i, offs(i), offs(i + 1) - offs(i)); i += 1 }
       case (StructMeta(_, children), st: StructType) =>
-        if (children.size != st.size)
+        val fileSt = fileDt match {
+          case fs: StructType => fs
+          case other => throw new OliveFormatException(s"file type $other for requested struct")
+        }
+        if (children.size != fileSt.size)
           throw new OliveFormatException("struct children mismatch")
+        // nested schema pruning requests a SUBSET of the file's fields
         var c = 0
-        while (c < children.size) {
-          decodeCol(vec.getChild(c), children(c), st.fields(c).dataType, n, chunk, dict20, dict32)
+        while (c < st.size) {
+          val f = st.fields(c)
+          if (fileSt.fieldNames.contains(f.name)) {
+            val idx = fileSt.fieldIndex(f.name)
+            decodeCol(vec.getChild(c), children(idx), fileSt.fields(idx).dataType,
+              f.dataType, n, chunk, dict20, dict32)
+          } else if (f.nullable) {
+            vec.getChild(c).reserve(math.max(n, 1))
+            vec.getChild(c).putNulls(0, n)
+          } else throw new OliveFormatException(
+            s"non-nullable struct field ${f.name} missing from file")
           c += 1
         }
       case (MapMeta(_, offBuf, keyMeta, valMeta), MapType(kt, vt, _)) =>
-        val kEv = impliedCount(keyMeta, kt)
-        val vEv = impliedCount(valMeta, vt)
+        val (fileKt, fileVt) = fileDt match {
+          case MapType(fk, fv, _) => (fk, fv)
+          case other => throw new OliveFormatException(s"file type $other for requested map")
+        }
+        val kEv = impliedCount(keyMeta, fileKt)
+        val vEv = impliedCount(valMeta, fileVt)
         val ev = Seq(kEv, vEv).filter(_ >= 0).minOption.getOrElse(MaxElems)
         val offs = readOffsets(offBuf, n, ev)
         val entries = offs(n)
-        decodeCol(vec.getChild(0), keyMeta, kt, entries, chunk, dict20, dict32)
-        decodeCol(vec.getChild(1), valMeta, vt, entries, chunk, dict20, dict32)
+        decodeCol(vec.getChild(0), keyMeta, fileKt, kt, entries, chunk, dict20, dict32)
+        decodeCol(vec.getChild(1), valMeta, fileVt, vt, entries, chunk, dict20, dict32)
         var i = 0
         while (i < n) { vec.putArray(i, offs(i), offs(i + 1) - offs(i)); i += 1 }
       case (m, t) =>
@@ -439,16 +469,19 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       throw new OliveFormatException(s"chunk row count $total out of range")
     val n = row1 - row0
     required.fields.foreach { f =>
-      if (table.schema.fieldNames.contains(f.name))
-        checkCount(table.columns(table.schema.fieldIndex(f.name)), f.dataType, total,
+      if (table.schema.fieldNames.contains(f.name)) {
+        val idx = table.schema.fieldIndex(f.name)
+        checkCount(table.columns(idx), table.schema.fields(idx).dataType, total,
           s"column ${f.name}")
+      }
     }
     lazy val dict20 = readBuffer(chunk.dict20.data)
     lazy val dict32 = readBuffer(chunk.dict32.data)
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(math.max(n, 1), f.dataType)
       if (table.schema.fieldNames.contains(f.name)) {
-        decodeColRange(vec, table.columns(table.schema.fieldIndex(f.name)), f.dataType,
+        val idx = table.schema.fieldIndex(f.name)
+        decodeColRange(vec, table.columns(idx), table.schema.fields(idx).dataType, f.dataType,
           row0, row1, total.toLong, chunk, dict20 _, dict32 _)
       } else if (f.nullable) vec.putNulls(0, n)
       else throw new OliveFormatException(
@@ -509,9 +542,9 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     }
 
   /** Decode elements [e0, e1) of a column whose full element count is
-    * `total`, into vec[0, e1-e0). */
-  private def decodeColRange(vec: WritableColumnVector, meta: ColMeta, dt: DataType,
-      e0: Long, e1: Long, total: Long, chunk: ChunkMeta,
+    * `total`, into vec[0, e1-e0). `fileDt`/`dt` as in [[decodeCol]]. */
+  private def decodeColRange(vec: WritableColumnVector, meta: ColMeta, fileDt: DataType,
+      dt: DataType, e0: Long, e1: Long, total: Long, chunk: ChunkMeta,
       dict20: () => Array[Byte], dict32: () => Array[Byte]): Unit = {
     val n = (e1 - e0).toInt
     vec.reserve(math.max(n, 1))
@@ -653,33 +686,53 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
       case (ListMeta(_, offBuf, childMeta), ArrayType(et, _)) =>
-        val childEv = impliedCount(childMeta, et)
+        val fileEt = fileDt match {
+          case ArrayType(fe, _) => fe
+          case other => throw new OliveFormatException(s"file type $other for requested array")
+        }
+        val childEv = impliedCount(childMeta, fileEt)
         val cap = if (childEv >= 0) childEv else MaxElems
         val offs = readOffsetsRange(offBuf, e0, e1, cap)
         val c0 = offs(0).toLong
         val c1 = offs(n).toLong
         val child = vec.getChild(0)
-        decodeColRange(child, childMeta, et, c0, c1, cap, chunk, dict20, dict32)
+        decodeColRange(child, childMeta, fileEt, et, c0, c1, cap, chunk, dict20, dict32)
         var i = 0
         while (i < n) { vec.putArray(i, offs(i) - offs(0), offs(i + 1) - offs(i)); i += 1 }
       case (StructMeta(_, children), st: StructType) =>
-        if (children.size != st.size)
+        val fileSt = fileDt match {
+          case fs: StructType => fs
+          case other => throw new OliveFormatException(s"file type $other for requested struct")
+        }
+        if (children.size != fileSt.size)
           throw new OliveFormatException("struct children mismatch")
         var c = 0
-        while (c < children.size) {
-          decodeColRange(vec.getChild(c), children(c), st.fields(c).dataType,
-            e0, e1, total, chunk, dict20, dict32)
+        while (c < st.size) {
+          val f = st.fields(c)
+          if (fileSt.fieldNames.contains(f.name)) {
+            val idx = fileSt.fieldIndex(f.name)
+            decodeColRange(vec.getChild(c), children(idx), fileSt.fields(idx).dataType,
+              f.dataType, e0, e1, total, chunk, dict20, dict32)
+          } else if (f.nullable) {
+            vec.getChild(c).reserve(math.max(n, 1))
+            vec.getChild(c).putNulls(0, n)
+          } else throw new OliveFormatException(
+            s"non-nullable struct field ${f.name} missing from file")
           c += 1
         }
       case (MapMeta(_, offBuf, keyMeta, valMeta), MapType(kt, vt, _)) =>
-        val kEv = impliedCount(keyMeta, kt)
-        val vEv = impliedCount(valMeta, vt)
+        val (fileKt, fileVt) = fileDt match {
+          case MapType(fk, fv, _) => (fk, fv)
+          case other => throw new OliveFormatException(s"file type $other for requested map")
+        }
+        val kEv = impliedCount(keyMeta, fileKt)
+        val vEv = impliedCount(valMeta, fileVt)
         val cap = Seq(kEv, vEv).filter(_ >= 0).minOption.getOrElse(MaxElems)
         val offs = readOffsetsRange(offBuf, e0, e1, cap)
         val c0 = offs(0).toLong
         val c1 = offs(n).toLong
-        decodeColRange(vec.getChild(0), keyMeta, kt, c0, c1, cap, chunk, dict20, dict32)
-        decodeColRange(vec.getChild(1), valMeta, vt, c0, c1, cap, chunk, dict20, dict32)
+        decodeColRange(vec.getChild(0), keyMeta, fileKt, kt, c0, c1, cap, chunk, dict20, dict32)
+        decodeColRange(vec.getChild(1), valMeta, fileVt, vt, c0, c1, cap, chunk, dict20, dict32)
         var i = 0
         while (i < n) { vec.putArray(i, offs(i) - offs(0), offs(i + 1) - offs(i)); i += 1 }
       case (m, t) =>

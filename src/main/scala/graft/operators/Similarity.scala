@@ -62,12 +62,17 @@ object Similarity {
       |LIMIT 10""".stripMargin
 
   // ---- q42: k-NN join (5-NN for every 50th vector) ------------------------
+  // Exact k-NN is irreducibly |corpus|×|probes| pair evaluations; the
+  // join SHAPE is left to the planner: with AQE a small probe side
+  // broadcasts at runtime, and a probe side that grows with the corpus
+  // (it's 2% of it) degrades to a blocked cartesian instead of an
+  // executor-OOM broadcast. The sub-quadratic scale path is q44's IVF.
   private val q42: Q = (s, d) => {
     val e = emb(s, d)
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nv").as("np"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
-    e.crossJoin(broadcast(probes))
+    e.crossJoin(probes)
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", round(dot("v", "pv") / (col("nv") * col("np")), 6))
       .withColumn("rk", row_number().over(w))

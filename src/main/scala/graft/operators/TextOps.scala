@@ -212,19 +212,30 @@ object TextOps {
   }
 
   // ---- q37: exact n-gram Jaccard similarity, top-5 neighbors per probe ----
+  // INVERTED-INDEX join: both sides explode to (lang, token) postings and
+  // equi-join there; |intersection| falls out of a count per (probe, doc)
+  // pair and |union| from the two set sizes. Nothing is broadcast — the
+  // probe side can grow with the corpus (it's 1% of it) and the whole
+  // thing stays shuffle-partitioned; candidate pairs are only docs
+  // sharing ≥1 token (a zero-overlap doc can never rank above one with
+  // overlap, so top-5 semantics are unchanged while skipping the
+  // all-pairs evaluation a broadcast join implies).
   private val q37: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val toks = docsWithTokens(s, d)
       .withColumn("tset", array_distinct(col("toks")))
-      .select(col("doc_id"), col("lang"), col("tset"))
-    val probes = toks.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("probe_id"), col("lang"), col("tset").as("probe_set"))
-    // co-partition by lang: probes per language are few -> broadcast them
-    val joined = toks.join(broadcast(probes), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("tset"), size(col("tset")).as("tsize"))
+    val docTok = toks.select(col("doc_id"), col("lang"), col("tsize"),
+      explode(col("tset")).as("tok"))
+    val probeTok = toks.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("probe_id"), col("lang"), col("tsize").as("psize"),
+        explode(col("tset")).as("tok"))
+    val joined = docTok.join(probeTok, Seq("lang", "tok"))
       .filter(col("doc_id") =!= col("probe_id"))
-      .withColumn("inter", size(array_intersect(col("tset"), col("probe_set"))))
-      .withColumn("uni", size(array_union(col("tset"), col("probe_set"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .groupBy(col("probe_id"), col("doc_id"), col("psize"), col("tsize"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("psize") + col("tsize") - col("inter")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("jaccard").desc, col("doc_id"))
     joined.withColumn("rk", row_number().over(w))

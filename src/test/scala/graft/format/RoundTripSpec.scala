@@ -111,6 +111,25 @@ class RoundTripSpec extends SparkSpec {
     assert(back.agg(sum("y")).head.getLong(0) == df.agg(sum("y")).head.getLong(0))
   }
 
+  test("nested schema pruning decodes a struct-field subset by name") {
+    val df = spark.range(0, 400).select(
+      col("id"),
+      struct(col("id").as("a"), concat(lit("b"), col("id")).as("b"),
+        (col("id") * 2.0).as("c")).as("st"),
+      array(struct((col("id") % 5).as("x"), lit("y").as("y"))).as("arr"))
+    val back = roundTrip(df)
+    // top-level nested field selection (catalyst prunes st to {b})
+    assert(canon(back.select(col("st.b"))) == canon(df.select(col("st.b"))))
+    // aggregate over one field of a struct (prunes to {a})
+    assert(back.groupBy().agg(sum(col("st.a"))).head.getLong(0) ==
+      df.groupBy().agg(sum(col("st.a"))).head.getLong(0))
+    // count() over an aggregate on nested fields (the q88 bench shape)
+    assert(back.groupBy(col("st.a") % 3).agg(sum(col("st.c"))).count() == 3)
+    // struct nested in array, pruned to {x}
+    assert(canon(back.selectExpr("transform(arr, e -> e.x) AS xs")) ==
+      canon(df.selectExpr("transform(arr, e -> e.x) AS xs")))
+  }
+
   test("column pruning reads only requested columns") {
     val df = spark.range(0, 800).select(
       col("id"), concat(lit("s"), col("id")).as("s"), (col("id") * 2).as("y"))
