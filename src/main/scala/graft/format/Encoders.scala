@@ -202,8 +202,44 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    tryFor(sink).getOrElse(
+    tryRee(sink).orElse(tryFor(sink)).getOrElse(
       PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize)))
+
+  /** Run-end encoding (the reference's REE arrays, `src/write.zig:405-421`):
+    * chosen when (i32 end + value) per run at most HALVES the plain
+    * bytes — sorted keys, near-constant status columns, clustered dates.
+    * Nulls occupy zero slots and merge into whatever run surrounds them
+    * (validity masks them on read). */
+  private def tryRee(sink: PageSink): Option[ColMeta] = {
+    val n = buf.size / elemSize
+    if (n < 64) return None
+    val a = buf.array
+    var runs = 1
+    var i = 1
+    val budget = n.toLong * elemSize / (2L * (4 + elemSize)) // max runs that still pay
+    while (i < n && runs <= budget) {
+      if (!java.util.Arrays.equals(a, i * elemSize, (i + 1) * elemSize,
+          a, (i - 1) * elemSize, i * elemSize)) runs += 1
+      i += 1
+    }
+    if (runs > budget) return None
+    val ends = new Bytes(runs * 4)
+    val vals = new Bytes(runs * elemSize)
+    var runStart = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || !java.util.Arrays.equals(a, i * elemSize, (i + 1) * elemSize,
+          a, runStart * elemSize, (runStart + 1) * elemSize)) {
+        ends.putInt(i)
+        vals.putBytes(a, runStart * elemSize, elemSize)
+        runStart = i
+      }
+      i += 1
+    }
+    Some(ReeMeta(validity.write(sink),
+      sink.writeBuffer(ends.array, ends.size, sink.valuesCodec, 4),
+      sink.writeBuffer(vals.array, vals.size, sink.valuesCodec, elemSize)))
+  }
 
   /** Frame-of-reference narrowing: when the chunk's [min, max] range fits
     * a width narrower than the type (timestamps in a day fit u32 micros

@@ -63,6 +63,13 @@ object Meta {
     * original narrow width. `logical` ∈ [[Logical]] codes. */
   case class UnsignedMeta(validity: Option[BufferMeta], logical: Byte,
       values: BufferMeta) extends ColMeta
+  /** Run-end encoding (the reference's REE storage, `src/write.zig:405-421`,
+    * `src/read.zig:431-448`): `ends` holds one exclusive i32 row end per
+    * run, `values` one fixed-width value per run. Chosen by the writer
+    * when runs at least halve the plain footprint (sorted keys, near-
+    * constant flags, date columns). */
+  case class ReeMeta(validity: Option[BufferMeta], ends: BufferMeta,
+      values: BufferMeta) extends ColMeta
   case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
@@ -151,6 +158,8 @@ object Meta {
       writeBuffer(b, values)
     case UnsignedMeta(v, logical, values) =>
       b.putByte(8); writeOptBuffer(b, v); b.putByte(logical); writeBuffer(b, values)
+    case ReeMeta(v, ends, values) =>
+      b.putByte(9); writeOptBuffer(b, v); writeBuffer(b, ends); writeBuffer(b, values)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -285,6 +294,9 @@ object Meta {
         if (logical < Logical.U8 || logical > Logical.F16)
           throw new OliveFormatException(s"bad unsigned logical code $logical")
         UnsignedMeta(v, logical, readBuffer(c))
+      case 9 =>
+        val v = readOptBuffer(c)
+        ReeMeta(v, readBuffer(c), readBuffer(c))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

@@ -118,6 +118,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
     case (ForMeta(_, _, width, values), _) => values.rawSize / width
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
+    // REE: runs only lower-bound the element count — no exact evidence
     case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
@@ -253,6 +254,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
         fillPrimitive(vec, wide, dt, n)
+      case (ReeMeta(_, endsBuf, valsBuf), _) =>
+        fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, 0L, n.toLong), dt, n)
       case (UnsignedMeta(_, logical, values), _) =>
         // narrow unsigned/half storage → widened Spark type (Logical)
         if (dt != Logical.sparkType(logical))
@@ -491,6 +494,52 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     new ColumnarBatch(vectors, n)
   }
 
+  /** Expand run-end-encoded (ends, values) into plain bytes for elements
+    * [e0, e1). Runs are few by construction (the writer only picks REE
+    * when they at least halve the column), so both buffers load whole;
+    * only the expansion is range-bounded. */
+  private def expandRee(endsBuf: BufferMeta, valsBuf: BufferMeta,
+      dt: DataType, e0: Long, e1: Long): Array[Byte] = {
+    val es = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType | DateType | FloatType | _: YearMonthIntervalType => 4
+      case LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType => 8
+      case d: DecimalType => if (d.precision <= 18) 8 else 16
+      case other => throw new OliveFormatException(s"REE on unsupported type $other")
+    }
+    val endBytes = readBuffer(endsBuf)
+    if (endBytes.length % 4 != 0) throw new OliveFormatException("REE ends not i32-aligned")
+    val runs = endBytes.length / 4
+    val vals = readBuffer(valsBuf)
+    if (vals.length != runs.toLong * es)
+      throw new OliveFormatException(s"REE values ${vals.length} != $runs runs * $es")
+    val eb = Bytes.le(endBytes)
+    val n = (e1 - e0).toInt
+    val out = new Array[Byte](n * es)
+    var run = 0
+    var prevEnd = 0L
+    var at = 0
+    while (run < runs && at < n) {
+      val end = eb.getInt(run * 4).toLong
+      if (end <= prevEnd) throw new OliveFormatException(s"REE ends not increasing at $run")
+      // rows [prevEnd, end) carry vals[run]; intersect with [e0, e1)
+      val lo = math.max(prevEnd, e0)
+      val hi = math.min(end, e1)
+      var r = lo
+      while (r < hi) {
+        System.arraycopy(vals, run * es, out, at * es, es)
+        at += 1
+        r += 1
+      }
+      prevEnd = end
+      run += 1
+    }
+    if (at != n)
+      throw new OliveFormatException(s"REE runs cover ${prevEnd} rows, need ${e1}")
+    out
+  }
+
   /** Exact bytes for elements [e0, e1) of `es`-byte values. */
   private def readElems(bm: BufferMeta, e0: Long, e1: Long, es: Int): Array[Byte] = {
     val b0 = e0 * es
@@ -602,6 +651,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
         fillPrimitive(vec, wide, dt, n)
+      case (ReeMeta(_, endsBuf, valsBuf), _) =>
+        fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, e0, e1), dt, n)
       case (UnsignedMeta(_, logical, values), _) =>
         if (dt != Logical.sparkType(logical))
           throw new OliveFormatException(

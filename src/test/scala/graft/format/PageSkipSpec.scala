@@ -64,6 +64,7 @@ class PageSkipSpec extends SparkSpec {
       // FOR-narrowed (small range), per-column dict (low cardinality),
       // plain strings, and a list column
       (col("id") % 100 + 1000000).as("narrow"),
+      expr("id div 1000").as("runs"), // 1000-long runs => REE storage
       concat(lit("tag"), col("id") % 7).as("tag"),
       concat(lit("uniq-"), col("id")).as("u"),
       array(col("id"), col("id") + 1).as("arr"))
@@ -81,9 +82,10 @@ class PageSkipSpec extends SparkSpec {
       val id = 3210L + i
       assert(row.getLong(0) == id)
       assert(row.getLong(1) == id % 100 + 1000000)
-      assert(row.getUTF8String(2).toString == s"tag${id % 7}")
-      assert(row.getUTF8String(3).toString == s"uniq-$id")
-      val arr = row.getArray(4)
+      assert(row.getLong(2) == id / 1000)
+      assert(row.getUTF8String(3).toString == s"tag${id % 7}")
+      assert(row.getUTF8String(4).toString == s"uniq-$id")
+      val arr = row.getArray(5)
       assert(arr.numElements() == 2 && arr.getLong(0) == id && arr.getLong(1) == id + 1)
     }
     batch.close(); r.close()

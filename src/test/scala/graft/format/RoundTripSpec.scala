@@ -217,6 +217,33 @@ class RoundTripSpec extends SparkSpec {
     assert(df.filter(col("extra") === col("id") * 2).count() == 50)
   }
 
+  test("run-end encoding engages on run-heavy columns and shrinks the file") {
+    // sorted/near-constant integral columns: long runs
+    val runs = spark.range(0, 40000).coalesce(1).select(
+      col("id"),
+      expr("id div 4000").as("sorted_key"),
+      lit(42L).as("constant"),
+      (col("id") % 3000000).as("plain")) // no runs: stays FOR/plain
+    val runDir = tmpDir()
+    runs.write.format("graft").mode("append").save(runDir)
+    val back = spark.read.format("graft").load(runDir)
+    assert(canon(back) == canon(runs))
+    // footer shows REE on the run columns, not on the others
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(runDir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val r = GraftFileReader.open(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      def metaOf(name: String) = t.columns(t.schema.fieldIndex(name))
+      assert(metaOf("sorted_key").isInstanceOf[Meta.ReeMeta], metaOf("sorted_key"))
+      assert(metaOf("constant").isInstanceOf[Meta.ReeMeta])
+      assert(!metaOf("plain").isInstanceOf[Meta.ReeMeta])
+      // the run columns' stored bytes are tiny vs 40000 * 8
+      val ree = metaOf("constant").asInstanceOf[Meta.ReeMeta]
+      assert(ree.ends.rawSize + ree.values.rawSize < 1000)
+    } finally r.close()
+  }
+
   test("unsigned u8/u16/u32/u64 and f16 widen, store narrow, and round-trip") {
     val big = "18446744073709551615" // 2^64 - 1
     val df = spark.range(0, 2000).select(
