@@ -162,6 +162,10 @@ object ColumnEncoder {
     case LongType | TimestampType | TimestampNTZType => new PrimitiveEncoder(dt, 8)
     case _: DayTimeIntervalType => new PrimitiveEncoder(dt, 8)  // i64 micros (olive duration)
     case _: YearMonthIntervalType => new PrimitiveEncoder(dt, 4) // i32 months (olive interval_year_month)
+    // olive interval_month_day_nano (`src/write.zig:193-197`): 16-byte
+    // (months i32, days i32, micros i64) records — micros, not nanos,
+    // because that's Spark's CalendarInterval resolution
+    case CalendarIntervalType => new CalendarIntervalEncoder
     case FloatType => new PrimitiveEncoder(dt, 4)
     case DoubleType => new PrimitiveEncoder(dt, 8)
     case d: DecimalType => new DecimalEncoder(d.precision, d.scale)
@@ -504,6 +508,24 @@ final class StructEncoder(children: IndexedSeq[ColumnEncoder], numFields: Int) e
     StructMeta(validity.write(sink), children.map(_.write(sink, d20, d32)).toVector)
   override def reset(): Unit = { super.reset(); children.foreach(_.reset()) }
   def byteSize: Long = children.map(_.byteSize).sum
+}
+
+/** Spark `CalendarIntervalType` ↔ olive `interval_month_day_nano`
+  * (ref `src/write.zig:193-197`): 16-byte (months, days, micros) LE. */
+final class CalendarIntervalEncoder extends ColumnEncoder {
+  private val buf = new Bytes(256)
+  protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
+    val iv = src.getInterval(ord)
+    buf.putInt(iv.months); buf.putInt(iv.days); buf.putLong(iv.microseconds)
+  }
+  protected def appendNullSlot(): Unit = {
+    var i = 0
+    while (i < 16) { buf.putByte(0); i += 1 }
+  }
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, 16))
+  override def reset(): Unit = { super.reset(); buf.reset() }
+  def byteSize: Long = buf.size
 }
 
 /** Olive u8/u16/u32/u64/f16 (ref `src/write.zig:128-132`): values arrive

@@ -115,6 +115,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (PrimitiveMeta(_, v), IntegerType | DateType | FloatType | _: YearMonthIntervalType) => v.rawSize / 4
     case (PrimitiveMeta(_, v), LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType) => v.rawSize / 8
     case (PrimitiveMeta(_, v), d: DecimalType) => v.rawSize / (if (d.precision <= 18) 8 else 16)
+    case (PrimitiveMeta(_, v), CalendarIntervalType) => v.rawSize / 16
     case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
     case (ForMeta(_, _, width, values), _) => values.rawSize / width
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
@@ -442,6 +443,20 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           }
           i += 1
         }
+      case CalendarIntervalType =>
+        needLen(n * 16L)
+        val bb = Bytes.le(bytes)
+        val months = vec.getChild(0)
+        val days = vec.getChild(1)
+        val micros = vec.getChild(2)
+        months.reserve(math.max(n, 1)); days.reserve(math.max(n, 1)); micros.reserve(math.max(n, 1))
+        var i = 0
+        while (i < n) {
+          months.putInt(i, bb.getInt(i * 16))
+          days.putInt(i, bb.getInt(i * 16 + 4))
+          micros.putLong(i, bb.getLong(i * 16 + 8))
+          i += 1
+        }
       case BinaryType => // fixed-width, non-dict
         if (n > 0) {
           if (bytes.length % n != 0)
@@ -625,6 +640,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           case IntegerType | DateType | FloatType | _: YearMonthIntervalType => 4
           case LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType => 8
           case d: DecimalType => if (d.precision <= 18) 8 else 16
+          case CalendarIntervalType => 16
           case other => throw new OliveFormatException(s"primitive meta does not match type $other")
         }
         fillPrimitive(vec, readElems(values, e0, e1, es), dt, n)
