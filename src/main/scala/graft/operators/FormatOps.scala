@@ -269,9 +269,28 @@ object FormatOps {
       |GROUP BY type_id
       |ORDER BY type_id""".stripMargin
 
+  // ---- q89: COUNT/MIN/MAX answered from footer metadata --------------------
+  // The aggregate pushes into the graft scan (SupportsPushDownAggregates):
+  // partial rows come from footer numRows + chunk min/max stats, ZERO data
+  // pages decompressed — the metadata-only path a 100 TB `SELECT count(*)`
+  // should take. The oracle recomputes from the original parquet.
+  private val q89: Q = (s, d) => {
+    val o = roundTrip(s, Tables.orders(s, d), graftDir(d, "orders_agg"))
+    o.selectExpr(
+      "count(*) AS n",
+      "min(o_orderkey) AS min_key", "max(o_orderkey) AS max_key",
+      "min(o_custkey) AS min_cust", "max(o_custkey) AS max_cust")
+  }
+  private val q89Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key, CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(min(o_custkey) AS BIGINT) AS min_cust, CAST(max(o_custkey) AS BIGINT) AS max_cust
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_graft_unsigned" -> q87,
     "q88_graft_union" -> q88,
+    "q89_agg_pushdown" -> q89,
     "q86_interop_formats" -> q86,
     "q85_graft_partitions" -> q85,
     "q84_graft_catalog" -> q84,
@@ -283,6 +302,7 @@ object FormatOps {
   val oracle: Map[String, String] = Map(
     "q87_graft_unsigned" -> q87Sql,
     "q88_graft_union" -> q88Sql,
+    "q89_agg_pushdown" -> q89Sql,
     "q86_interop_formats" -> q86Sql,
     "q85_graft_partitions" -> q85Sql,
     "q84_graft_catalog" -> q84Sql,

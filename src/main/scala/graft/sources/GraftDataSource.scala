@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.util.SerializableConfiguration
@@ -225,12 +225,21 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
 
 // ---- read path ------------------------------------------------------------
 
+/** Footer-computable aggregate, pushed via [[SupportsPushDownAggregates]]. */
+sealed trait GraftAggSpec extends Serializable
+case object GraftCountStar extends GraftAggSpec
+case class GraftMinSpec(col: String) extends GraftAggSpec
+case class GraftMaxSpec(col: String) extends GraftAggSpec
+
 class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSpecs: Option[Seq[GraftAggSpec]] = None
+  private var aggSchema: StructType = _
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
@@ -246,11 +255,53 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     * below it; the reader stops decoding chunks once satisfied. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  override def build(): Scan = new GraftScan(dirs, required, tableOpt, pushed, limit)
+  /** COUNT(*)/MIN/MAX without grouping answer from footer metadata alone —
+    * zero data pages touched. Partial pushdown (Spark still combines),
+    * restricted to types whose chunk stats are EXACT: integrals, date,
+    * timestamps, boolean. Floats are excluded (a NaN-holding chunk drops
+    * its stats — the footer can't distinguish that from all-null), and
+    * strings too (stats cap at 48 bytes). Declined whenever filters are
+    * present: ours stay residual, and a post-scan filter can't run on
+    * pre-aggregated rows. */
+  override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
+    def statType(name: String): Boolean =
+      fullSchema.fields.find(_.name == name).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType | BooleanType => true
+        case _ => false
+      })
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val specs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => GraftCountStar
+      case m: Min => colOf(m.column).filter(statType).map(GraftMinSpec).getOrElse(return false)
+      case m: Max => colOf(m.column).filter(statType).map(GraftMaxSpec).getOrElse(return false)
+      case _: Count => return false // needs per-column null counts the footer lacks
+      case _ => return false
+    }
+    aggSchema = StructType(specs.map {
+      case GraftCountStar => StructField("count(*)", LongType, nullable = false)
+      case GraftMinSpec(c) => StructField(s"min($c)", fullSchema(c).dataType)
+      case GraftMaxSpec(c) => StructField(s"max($c)", fullSchema(c).dataType)
+    })
+    aggSpecs = Some(specs)
+    true
+  }
+
+  override def build(): Scan =
+    new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
+      limit, aggSpecs)
 }
 
 class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
-    filters: Array[Filter], limit: Int) extends Scan with Batch {
+    filters: Array[Filter], limit: Int,
+    aggSpecs: Option[Seq[GraftAggSpec]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -261,7 +312,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     s"graft ${dirs.mkString(",")} table=${tableOpt.getOrElse("<single>")} " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
       s"skipFilters=[${filters.mkString(",")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      aggSpecs.map(s => s" pushedAggs=[${s.mkString(",")}]").getOrElse("")
 
   /** Planning-time partition pruning: a filter on a partition column that
     * contradicts a file's `k=v` path values drops the file before any
@@ -307,9 +359,14 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, tableOpt, filters, limit,
-      new SerializableConfiguration(new Configuration()))
+  override def createReaderFactory(): PartitionReaderFactory = aggSpecs match {
+    case Some(specs) =>
+      new GraftAggReaderFactory(specs, required, tableOpt,
+        new SerializableConfiguration(new Configuration()))
+    case None =>
+      new GraftReaderFactory(required, tableOpt, filters, limit,
+        new SerializableConfiguration(new Configuration()))
+  }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
     new CustomSumMetric { def name = "skippedChunks"; def description = "chunks skipped by stats" },
@@ -319,6 +376,83 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 case class GraftInputPartition(file: String,
     partValues: Map[String, String] = Map.empty,
     chunkIdx: Option[Int] = None) extends InputPartition
+
+/** Pushed-aggregate reader: ONE partial row per input partition, computed
+  * entirely from footer metadata (numRows, chunk min/max stats) — no data
+  * page is read or decompressed. Partition-path columns contribute their
+  * constant path value; a column missing from an old file's schema
+  * contributes a null partial (Spark's final Min/Max ignore nulls). */
+class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
+    tableOpt: Option[String], conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val path = new Path(gp.file)
+        val r = GraftFileReader.open(path.getFileSystem(conf.value), path)
+        try {
+          val name = tableOpt.getOrElse {
+            val names = r.tableNames
+            if (names.size == 1) names.head
+            else throw new IllegalArgumentException(
+              s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
+          }
+          val chunks = (gp.chunkIdx match {
+            case Some(i) => r.footer.chunks.slice(i, i + 1)
+            case None => r.footer.chunks
+          }).flatMap(c => c.tables.filter(_.name == name))
+          def minMax(col: String, wantMax: Boolean): Any = {
+            if (gp.partValues.contains(col) &&
+                !chunks.headOption.exists(_.schema.fieldNames.contains(col)))
+              return org.apache.spark.unsafe.types.UTF8String.fromString(gp.partValues(col))
+            val longs = chunks.flatMap { t =>
+              if (!t.schema.fieldNames.contains(col)) None
+              else {
+                val idx = t.schema.fieldIndex(col)
+                val stat = if (wantMax) t.stats(idx).max else t.stats(idx).min
+                if (t.numRows == 0) None
+                else stat match {
+                  case Some(b) => Some(Stats.longOf(b))
+                  case None =>
+                    // stats exist for every accepted type unless the chunk
+                    // is all-null (null partial is correct then)
+                    if (t.stats(idx).hasNulls) None
+                    else throw new OliveFormatException(
+                      s"chunk lacks $col stats for pushed aggregate")
+                }
+              }
+            }
+            if (longs.isEmpty) null
+            else {
+              val v = if (wantMax) longs.max else longs.min
+              schema.fields.find(_.name == s"${if (wantMax) "max" else "min"}($col)")
+                .map(_.dataType).getOrElse(LongType) match {
+                case ByteType => v.toByte
+                case ShortType => v.toShort
+                case IntegerType | DateType => v.toInt
+                case BooleanType => v != 0L
+                case _ => v
+              }
+            }
+          }
+          val values: Array[Any] = specs.map {
+            case GraftCountStar => chunks.map(_.numRows.toLong).sum
+            case GraftMinSpec(c) => minMax(c, wantMax = false)
+            case GraftMaxSpec(c) => minMax(c, wantMax = true)
+          }.toArray
+          row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          true
+        } finally r.close()
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = {}
+    }
+  }
+}
 
 class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int,
