@@ -205,87 +205,132 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     var i = 0
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
-  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    tryRee(sink).orElse(tryFor(sink)).getOrElse(
-      PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize)))
-
-  /** Run-end encoding (the reference's REE arrays, `src/write.zig:405-421`):
-    * chosen when (i32 end + value) per run at most HALVES the plain
-    * bytes — sorted keys, near-constant status columns, clustered dates.
-    * Nulls occupy zero slots and merge into whatever run surrounds them
-    * (validity masks them on read). */
-  private def tryRee(sink: PageSink): Option[ColMeta] = {
+  /** Pick the SMALLEST of four physical encodings, measured (not guessed)
+    * in one pass over the chunk:
+    *
+    *   - plain:  n*es
+    *   - REE:    runs*(4+es)    (ref `src/write.zig:405-421`) — sorted
+    *             keys, near-constant flags
+    *   - dict:   d*es + n*idxW  (parquet's dict trick on fixed-width
+    *             values) — low-cardinality measures, clustered dates
+    *   - FOR:    n*narrowW      (integral only) — narrow ranges
+    *
+    * The winner must save >= 25% over plain, so marginal gains never buy
+    * per-row decode work. Nulls occupy zero slots and join whatever
+    * pattern surrounds them (validity masks them on read). */
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
     val n = buf.size / elemSize
-    if (n < 64) return None
+    val plainBytes = n.toLong * elemSize
+    def plain(): ColMeta =
+      PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
+    if (n < 64) return plain()
+
     val a = buf.array
+    val bb = Bytes.le(a)
+    def bits(i: Int): Long = elemSize match {
+      case 1 => a(i).toLong
+      case 2 => bb.getShort(i * 2).toLong
+      case 4 => bb.getInt(i * 4).toLong
+      case _ => bb.getLong(i * 8)
+    }
+    val MaxDictEntries = 1 << 16
+    val seen = new java.util.HashMap[java.lang.Long, Integer]()
+    var distinctOver = false
     var runs = 1
-    var i = 1
-    val budget = n.toLong * elemSize / (2L * (4 + elemSize)) // max runs that still pay
-    while (i < n && runs <= budget) {
-      if (!java.util.Arrays.equals(a, i * elemSize, (i + 1) * elemSize,
-          a, (i - 1) * elemSize, i * elemSize)) runs += 1
-      i += 1
-    }
-    if (runs > budget) return None
-    val ends = new Bytes(runs * 4)
-    val vals = new Bytes(runs * elemSize)
-    var runStart = 0
-    i = 1
-    while (i <= n) {
-      if (i == n || !java.util.Arrays.equals(a, i * elemSize, (i + 1) * elemSize,
-          a, runStart * elemSize, (runStart + 1) * elemSize)) {
-        ends.putInt(i)
-        vals.putBytes(a, runStart * elemSize, elemSize)
-        runStart = i
-      }
-      i += 1
-    }
-    Some(ReeMeta(validity.write(sink),
-      sink.writeBuffer(ends.array, ends.size, sink.valuesCodec, 4),
-      sink.writeBuffer(vals.array, vals.size, sink.valuesCodec, elemSize)))
-  }
-
-  /** Frame-of-reference narrowing: when the chunk's [min, max] range fits
-    * a width narrower than the type (timestamps in a day fit u32 micros
-    * deltas; keys in a chunk often fit u16/u32), store base + unsigned
-    * deltas. Nulls occupy zero slots and simply join the range. */
-  private def tryFor(sink: PageSink): Option[ColMeta] = {
-    val n = buf.size / elemSize
-    if (!integral || n < 16) return None
-    val bb = Bytes.le(buf.array)
     var mn = Long.MaxValue
     var mx = Long.MinValue
+    var prev = 0L
     var i = 0
     while (i < n) {
-      val v = if (elemSize == 4) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
+      val v = bits(i)
+      if (i > 0 && v != prev) runs += 1
+      prev = v
+      if (!distinctOver && !seen.containsKey(v)) {
+        if (seen.size >= MaxDictEntries) distinctOver = true
+        else seen.put(v, Integer.valueOf(seen.size))
+      }
       if (v < mn) mn = v
       if (v > mx) mx = v
       i += 1
     }
-    // range as unsigned; bail on overflow (mx-mn wraps when signs differ hugely)
-    val range = mx - mn
-    if (range < 0) return None
-    val width =
-      if (range < (1L << 8)) 1
-      else if (range < (1L << 16)) 2
-      else if (range < (1L << 32) && elemSize == 8) 4
-      else return None
-    val out = new Bytes(n * width)
-    i = 0
-    while (i < n) {
-      val v = if (elemSize == 4) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
-      val d = v - mn
-      width match {
-        case 1 => out.putByte(d.toByte)
-        case 2 => out.putShort(d.toShort)
-        case 4 => out.putInt(d.toInt)
-      }
-      i += 1
-    }
-    Some(ForMeta(validity.write(sink), mn, width.toByte,
-      sink.writeBuffer(out.array, out.size, sink.valuesCodec, width)))
-  }
 
+    val reeBytes = runs.toLong * (4 + elemSize)
+    val dictIdxW =
+      if (distinctOver) 0
+      else if (seen.size <= 256) 1
+      else 2 // capped at 65536 entries
+    val dictBytes =
+      if (distinctOver) Long.MaxValue
+      else seen.size.toLong * elemSize + n.toLong * dictIdxW
+    val range = mx - mn // as unsigned; negative = wrapped = no FOR
+    val forW =
+      if (!integral || range < 0) 0
+      else if (range < (1L << 8)) 1
+      else if (range < (1L << 16) && elemSize >= 4) 2
+      else if (range < (1L << 32) && elemSize == 8) 4
+      else 0
+    val forBytes = if (forW > 0 && forW < elemSize) n.toLong * forW else Long.MaxValue
+
+    val best = Seq(reeBytes, dictBytes, forBytes).min
+    if (best > plainBytes * 3 / 4) return plain()
+
+    if (forBytes == best) {
+      // frame-of-reference: base + unsigned narrow deltas
+      val out = new Bytes(n * forW)
+      i = 0
+      while (i < n) {
+        val d = bits(i) - mn
+        forW match {
+          case 1 => out.putByte(d.toByte)
+          case 2 => out.putShort(d.toShort)
+          case 4 => out.putInt(d.toInt)
+        }
+        i += 1
+      }
+      ForMeta(validity.write(sink), mn, forW.toByte,
+        sink.writeBuffer(out.array, out.size, sink.valuesCodec, forW))
+    } else if (dictBytes == best) {
+      // per-column primitive dictionary: entries in first-seen order
+      // (the scan pass assigned ids in that order, so entry writes land
+      // sequentially), indices at the narrowest width that fits
+      val entries = new Bytes(seen.size * elemSize)
+      val written = new Array[Boolean](seen.size)
+      val idx = new Bytes(n * dictIdxW)
+      i = 0
+      while (i < n) {
+        val id = seen.get(bits(i)).intValue()
+        if (!written(id)) {
+          entries.putBytes(a, i * elemSize, elemSize)
+          written(id) = true
+        }
+        dictIdxW match {
+          case 1 => idx.putByte(id.toByte)
+          case 2 => idx.putShort(id.toShort)
+        }
+        i += 1
+      }
+      PrimDictMeta(validity.write(sink), seen.size, dictIdxW.toByte,
+        sink.writeBuffer(entries.array, entries.size, sink.valuesCodec, elemSize),
+        sink.writeBuffer(idx.array, idx.size, sink.valuesCodec, dictIdxW))
+    } else {
+      // run-end encoding
+      val ends = new Bytes(runs * 4)
+      val vals = new Bytes(runs * elemSize)
+      var runStart = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || bits(i) != bits(runStart)) {
+          ends.putInt(i)
+          vals.putBytes(a, runStart * elemSize, elemSize)
+          runStart = i
+        }
+        i += 1
+      }
+      ReeMeta(validity.write(sink),
+        sink.writeBuffer(ends.array, ends.size, sink.valuesCodec, 4),
+        sink.writeBuffer(vals.array, vals.size, sink.valuesCodec, elemSize))
+    }
+  }
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 }

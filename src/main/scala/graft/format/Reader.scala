@@ -119,6 +119,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (DictIdxMeta(_, _, idx), _) => idx.rawSize / 4
     case (ForMeta(_, _, width, values), _) => values.rawSize / width
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
+    case (PrimDictMeta(_, _, idxW, _, indices), _) => indices.rawSize / idxW
     // REE: runs only lower-bound the element count — no exact evidence
     case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
@@ -257,6 +258,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         fillPrimitive(vec, wide, dt, n)
       case (ReeMeta(_, endsBuf, valsBuf), _) =>
         fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, 0L, n.toLong), dt, n)
+      case (PrimDictMeta(_, numEntries, idxW, entriesBuf, idxBuf), _) =>
+        fillPrimitive(vec,
+          expandPrimDict(numEntries, idxW, readBuffer(entriesBuf), readBuffer(idxBuf), dt, n),
+          dt, n)
       case (UnsignedMeta(_, logical, values), _) =>
         // narrow unsigned/half storage → widened Spark type (Logical)
         if (dt != Logical.sparkType(logical))
@@ -555,6 +560,43 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     out
   }
 
+  /** Expand per-column primitive-dictionary (entries, narrow indices)
+    * into plain bytes for `n` rows starting at the given index bytes. */
+  private def expandPrimDict(numEntries: Int, idxW: Byte, entries: Array[Byte],
+      idxBytes: Array[Byte], dt: DataType, n: Int): Array[Byte] = {
+    val es = primElemSize(dt)
+    if (numEntries <= 0 || entries.length != numEntries.toLong * es)
+      throw new OliveFormatException(
+        s"prim dict entries ${entries.length} != $numEntries * $es")
+    if (idxBytes.length < n.toLong * idxW)
+      throw new OliveFormatException(s"prim dict indices ${idxBytes.length} < ${n.toLong * idxW}")
+    val bb = Bytes.le(idxBytes)
+    val out = new Array[Byte](n * es)
+    var i = 0
+    while (i < n) {
+      val id = idxW match {
+        case 1 => bb.get(i) & 0xff
+        case 2 => bb.getShort(i * 2) & 0xffff
+        case 4 => bb.getInt(i * 4)
+        case w => throw new OliveFormatException(s"bad prim dict index width $w")
+      }
+      if (id < 0 || id >= numEntries)
+        throw new OliveFormatException(s"prim dict index $id out of $numEntries")
+      System.arraycopy(entries, id * es, out, i * es, es)
+      i += 1
+    }
+    out
+  }
+
+  private def primElemSize(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType | DateType | FloatType | _: YearMonthIntervalType => 4
+    case LongType | TimestampType | TimestampNTZType | DoubleType | _: DayTimeIntervalType => 8
+    case d: DecimalType => if (d.precision <= 18) 8 else 16
+    case other => throw new OliveFormatException(s"prim dict on unsupported type $other")
+  }
+
   /** Exact bytes for elements [e0, e1) of `es`-byte values. */
   private def readElems(bm: BufferMeta, e0: Long, e1: Long, es: Int): Array[Byte] = {
     val b0 = e0 * es
@@ -669,6 +711,12 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         fillPrimitive(vec, wide, dt, n)
       case (ReeMeta(_, endsBuf, valsBuf), _) =>
         fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, e0, e1), dt, n)
+      case (PrimDictMeta(_, numEntries, idxW, entriesBuf, idxBuf), _) =>
+        // entries are chunk-shared (load whole); indices range-read
+        fillPrimitive(vec,
+          expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
+            readElems(idxBuf, e0, e1, idxW), dt, n),
+          dt, n)
       case (UnsignedMeta(_, logical, values), _) =>
         if (dt != Logical.sparkType(logical))
           throw new OliveFormatException(

@@ -40,22 +40,62 @@ class RandomRoundTripSpec extends SparkSpec {
       new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, w).build())
   }
 
+  /** Olive logical types carried via metadata (u8…f16, decimal256, union). */
+  private def logicalField(r: Random, name: String): StructField = {
+    val lt = Seq("u8", "u16", "u32", "u64", "f16", "decimal256", "union")(r.nextInt(7))
+    lt match {
+      case "decimal256" => StructField(name, BinaryType, nullable = r.nextBoolean(),
+        new MetadataBuilder().putString(Logical.Key, lt).putLong(Logical.ScaleKey, 10).build())
+      case "union" =>
+        val st = StructType(Seq(
+          StructField("type_id", ByteType, nullable = false),
+          StructField("b0", LongType),
+          StructField("b1", StringType)))
+        StructField(name, st, nullable = r.nextBoolean(), Logical.metadata(lt))
+      case _ => StructField(name, Logical.sparkType(Logical.code(lt)),
+        nullable = r.nextBoolean(), Logical.metadata(lt))
+    }
+  }
+
   private def randSchema(r: Random): StructType = {
     val n = 1 + r.nextInt(7)
     StructType((0 until n).map { i =>
       if (r.nextInt(100) < 15) fsbField(r, s"c$i")
+      else if (r.nextInt(100) < 12) logicalField(r, s"c$i")
       else StructField(s"c$i", randType(r, 0), nullable = r.nextBoolean())
     })
   }
 
-  private def randValue(r: Random, dt: DataType, meta: Metadata): Any = dt match {
+  private def randValue(r: Random, dt: DataType, meta: Metadata): Any = Logical.of(meta) match {
+    case Some("u8") => r.nextInt(256).toShort
+    case Some("u16") => r.nextInt(65536)
+    case Some("u32") => r.nextLong() & 0xffffffffL
+    case Some("u64") =>
+      new java.math.BigDecimal(new java.math.BigInteger(64, r.self)) // [0, 2^64)
+    case Some("f16") =>
+      Half.toFloat(r.nextInt(0x10000).toShort) // any binary16 value, incl. ±Inf/NaN
+    case Some("decimal256") =>
+      val b = new Array[Byte](32); r.nextBytes(b); b
+    case Some("union") =>
+      val tid = r.nextInt(2)
+      Row(tid.toByte,
+        if (tid == 0) java.lang.Long.valueOf(r.nextLong()) else null,
+        if (tid == 1) s"u${r.nextInt(100)}" else null)
+    case _ => randPlainValue(r, dt, meta)
+  }
+
+  private def randPlainValue(r: Random, dt: DataType, meta: Metadata): Any = dt match {
     case BooleanType => r.nextBoolean()
     case ByteType => r.nextInt().toByte
     case ShortType => r.nextInt().toShort
     case IntegerType =>
-      if (r.nextInt(4) == 0) 7000 + r.nextInt(200) else r.nextInt() // narrow range → FOR path
+      if (r.nextInt(8) == 0) 7 + r.nextInt(4) // tiny pool: runs after sort → REE path
+      else if (r.nextInt(4) == 0) 7000 + r.nextInt(200) // narrow range → FOR path
+      else r.nextInt()
     case LongType =>
-      if (r.nextInt(4) == 0) 1700000000L + r.nextInt(100000) else r.nextLong()
+      if (r.nextInt(8) == 0) 1000L + r.nextInt(3) // tiny pool → REE path
+      else if (r.nextInt(4) == 0) 1700000000L + r.nextInt(100000)
+      else r.nextLong()
     case FloatType => if (r.nextInt(20) == 0) Float.NaN else r.nextFloat() * 1e6f
     case DoubleType => if (r.nextInt(20) == 0) Double.NegativeInfinity else r.nextDouble() * 1e9
     case d: DecimalType =>
@@ -104,7 +144,17 @@ class RandomRoundTripSpec extends SparkSpec {
         case 1 => 1 + r.nextInt(10)
         case _ => 50 + r.nextInt(250)
       }
-      val rows = (0 until nRows).map(_ => randRow(r, schema))
+      val drawn = (0 until nRows).map(_ => randRow(r, schema))
+      // sometimes sort by the first integral column: pooled draws become
+      // runs, so the REE encoding path fuzzes too
+      val sortIdx = schema.fields.indexWhere(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      })
+      val rows =
+        if (sortIdx >= 0 && r.nextInt(3) == 0)
+          drawn.sortBy(row => String.valueOf(row.get(sortIdx)))
+        else drawn
       val df = spark.createDataFrame(rows.asJava, schema)
       val dir = Files.createTempDirectory(s"graft-fuzz$iter").toString
       val pageSize = Seq(64, 4096, 1 << 20)(r.nextInt(3))
