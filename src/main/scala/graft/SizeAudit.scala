@@ -22,6 +22,7 @@ object SizeAudit {
       case UnsignedMeta(_, _, values) => bufBytes(values)
       case ReeMeta(_, ends, values) => bufBytes(ends) + bufBytes(values)
       case PrimDictMeta(_, _, _, entries, indices) => bufBytes(entries) + bufBytes(indices)
+      case DeltaMeta(_, _, _, deltas) => bufBytes(deltas)
       case ListMeta(_, off, child) => bufBytes(off) + colBytes(child)
       case StructMeta(_, children) => children.map(colBytes).sum
       case MapMeta(_, off, k, v2) => bufBytes(off) + colBytes(k) + colBytes(v2)

@@ -240,10 +240,22 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var prev = 0L
+    var maxZig = 0L // max zigzag(consecutive delta); -1 = delta unusable
     var i = 0
     while (i < n) {
       val v = bits(i)
       if (i > 0 && v != prev) runs += 1
+      if (i > 0 && maxZig >= 0) {
+        val d = v - prev
+        // subtraction overflow: operand signs differ AND result sign
+        // differs from the minuend's
+        if (((v ^ prev) & (v ^ d)) < 0) maxZig = -1
+        else {
+          val z = (d << 1) ^ (d >> 63)
+          if (z < 0) maxZig = -1 // zigzag overflow (Long.MinValue delta)
+          else if (z > maxZig) maxZig = z
+        }
+      }
       prev = v
       if (!distinctOver && !seen.containsKey(v)) {
         if (seen.size >= MaxDictEntries) distinctOver = true
@@ -270,11 +282,37 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
       else if (range < (1L << 32) && elemSize == 8) 4
       else 0
     val forBytes = if (forW > 0 && forW < elemSize) n.toLong * forW else Long.MaxValue
+    val deltaW =
+      if (!integral || maxZig < 0) 0
+      else if (maxZig < (1L << 8)) 1
+      else if (maxZig < (1L << 16) && elemSize >= 4) 2
+      else if (maxZig < (1L << 32) && elemSize == 8) 4
+      else 0
+    val deltaBytes = if (deltaW > 0 && deltaW < elemSize) n.toLong * deltaW else Long.MaxValue
 
-    val best = Seq(reeBytes, dictBytes, forBytes).min
+    val best = Seq(reeBytes, dictBytes, forBytes, deltaBytes).min
     if (best > plainBytes * 3 / 4) return plain()
 
-    if (forBytes == best) {
+    if (deltaBytes == best && deltaBytes < forBytes) {
+      // zigzag deltas of consecutive values (delta[0] = 0)
+      val out = new Bytes(n * deltaW)
+      var last = 0L
+      i = 0
+      while (i < n) {
+        val v = bits(i)
+        val d = if (i == 0) 0L else v - last
+        val z = (d << 1) ^ (d >> 63)
+        deltaW match {
+          case 1 => out.putByte(z.toByte)
+          case 2 => out.putShort(z.toShort)
+          case 4 => out.putInt(z.toInt)
+        }
+        last = v
+        i += 1
+      }
+      DeltaMeta(validity.write(sink), bits(0), deltaW.toByte,
+        sink.writeBuffer(out.array, out.size, sink.valuesCodec, deltaW))
+    } else if (forBytes == best) {
       // frame-of-reference: base + unsigned narrow deltas
       val out = new Bytes(n * forW)
       i = 0

@@ -78,6 +78,13 @@ object Meta {
     * codes) and clustered dates shrink 4–8×. */
   case class PrimDictMeta(validity: Option[BufferMeta], numEntries: Int,
       idxWidth: Byte, entries: BufferMeta, indices: BufferMeta) extends ColMeta
+  /** Delta encoding for integral columns whose CONSECUTIVE differences
+    * are narrow (sorted/clustered keys, timestamps in arrival order):
+    * `first` + n zigzag-encoded `width`-byte deltas (delta[0] == 0).
+    * Prefix-decodable (cumulative sum), so pushed limits still work;
+    * mid-range reads pay a full-buffer read for this one encoding. */
+  case class DeltaMeta(validity: Option[BufferMeta], first: Long, width: Byte,
+      deltas: BufferMeta) extends ColMeta
   case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
@@ -171,6 +178,9 @@ object Meta {
     case PrimDictMeta(v, n, w, entries, indices) =>
       b.putByte(10); writeOptBuffer(b, v); b.putInt(n); b.putByte(w)
       writeBuffer(b, entries); writeBuffer(b, indices)
+    case DeltaMeta(v, first, width, deltas) =>
+      b.putByte(11); writeOptBuffer(b, v); b.putLong(first); b.putByte(width)
+      writeBuffer(b, deltas)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -316,6 +326,13 @@ object Meta {
         if (w != 1 && w != 2 && w != 4)
           throw new OliveFormatException(s"bad prim dict index width $w")
         PrimDictMeta(v, n, w, readBuffer(c), readBuffer(c))
+      case 11 =>
+        val v = readOptBuffer(c)
+        val first = c.getLong()
+        val width = c.getByte()
+        if (width != 1 && width != 2 && width != 4)
+          throw new OliveFormatException(s"bad delta width $width")
+        DeltaMeta(v, first, width, readBuffer(c))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

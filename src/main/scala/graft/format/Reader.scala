@@ -120,6 +120,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (ForMeta(_, _, width, values), _) => values.rawSize / width
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
     case (PrimDictMeta(_, _, idxW, _, indices), _) => indices.rawSize / idxW
+    case (DeltaMeta(_, _, width, deltas), _) => deltas.rawSize / width
     // REE: runs only lower-bound the element count — no exact evidence
     case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
@@ -262,6 +263,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         fillPrimitive(vec,
           expandPrimDict(numEntries, idxW, readBuffer(entriesBuf), readBuffer(idxBuf), dt, n),
           dt, n)
+      case (DeltaMeta(_, first, width, deltasBuf), _) =>
+        fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, 0L, n.toLong), dt, n)
       case (UnsignedMeta(_, logical, values), _) =>
         // narrow unsigned/half storage → widened Spark type (Logical)
         if (dt != Logical.sparkType(logical))
@@ -588,6 +591,42 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     out
   }
 
+  /** Cumulative-sum expansion of zigzag deltas: emit elements [e0, e1).
+    * Needs the delta stream from the start (prefix sums), so the whole
+    * buffer loads; only the emission window is bounded. */
+  private def expandDelta(first: Long, width: Byte, deltaBytes: Array[Byte],
+      dt: DataType, e0: Long, e1: Long): Array[Byte] = {
+    val es = dt match {
+      case IntegerType | DateType | _: YearMonthIntervalType => 4
+      case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+      case other => throw new OliveFormatException(s"delta encoding on non-integral $other")
+    }
+    if (deltaBytes.length < e1 * width)
+      throw new OliveFormatException(s"delta buffer ${deltaBytes.length} < ${e1 * width}")
+    val bb = Bytes.le(deltaBytes)
+    val n = (e1 - e0).toInt
+    val out = new Array[Byte](n * es)
+    val ob = Bytes.le(out)
+    var v = first
+    var i = 0L
+    while (i < e1) {
+      val z = width match {
+        case 1 => (bb.get(i.toInt) & 0xffL)
+        case 2 => (bb.getShort(i.toInt * 2) & 0xffffL)
+        case 4 => (bb.getInt(i.toInt * 4) & 0xffffffffL)
+        case w => throw new OliveFormatException(s"bad delta width $w")
+      }
+      val d = (z >>> 1) ^ -(z & 1) // un-zigzag
+      if (i == 0L) v = first else v += d
+      if (i >= e0) {
+        val at = (i - e0).toInt
+        if (es == 4) ob.putInt(at * 4, v.toInt) else ob.putLong(at * 8, v)
+      }
+      i += 1
+    }
+    out
+  }
+
   private def primElemSize(dt: DataType): Int = dt match {
     case ByteType => 1
     case ShortType => 2
@@ -717,6 +756,9 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
             readElems(idxBuf, e0, e1, idxW), dt, n),
           dt, n)
+      case (DeltaMeta(_, first, width, deltasBuf), _) =>
+        // prefix sums need the stream from 0: full-buffer read, windowed emit
+        fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, e0, e1), dt, n)
       case (UnsignedMeta(_, logical, values), _) =>
         if (dt != Logical.sparkType(logical))
           throw new OliveFormatException(

@@ -238,6 +238,8 @@ class RoundTripSpec extends SparkSpec {
       assert(metaOf("sorted_key").isInstanceOf[Meta.ReeMeta], metaOf("sorted_key"))
       assert(metaOf("constant").isInstanceOf[Meta.ReeMeta])
       assert(!metaOf("plain").isInstanceOf[Meta.ReeMeta])
+      // monotonic unique id: 1-byte zigzag deltas beat FOR/REE/dict
+      assert(metaOf("id").isInstanceOf[Meta.DeltaMeta], metaOf("id"))
       // the run columns' stored bytes are tiny vs 40000 * 8
       val ree = metaOf("constant").asInstanceOf[Meta.ReeMeta]
       assert(ree.ends.rawSize + ree.values.rawSize < 1000)
