@@ -606,7 +606,7 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
           Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
           Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
-          new SerializableConfiguration(new Configuration()))
+          partCols, new SerializableConfiguration(new Configuration()))
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
@@ -615,12 +615,20 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
 }
 
 class GraftStreamingWriterFactory(dir: String, schema: StructType, table: String,
-    pageSize: Int, bias: String, chunkRows: Int,
+    pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: SerializableConfiguration) extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-      conf.value, partitionId, taskId,
-      fixedName = Some(f"epoch-$epochId%08d-part-$partitionId%05d.graft"))
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val name = Some(f"epoch-$epochId%08d-part-$partitionId%05d.graft")
+    if (partCols.isEmpty)
+      new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+        conf.value, partitionId, taskId, fixedName = name)
+    else
+      // streaming ingest straight into the hive layout the scan prunes;
+      // names stay deterministic per (epoch, partition) within each k=v
+      // dir, so epoch retries overwrite there too
+      new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+        partCols, conf.value, partitionId, taskId, fixedName = name)
+  }
 }
 
 object GraftBatchWrite {
@@ -750,7 +758,8 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   */
 class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
-    conf: Configuration, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    conf: Configuration, partitionId: Int, taskId: Long,
+    fixedName: Option[String] = None) extends DataWriter[InternalRow] {
   import GraftPartitionedDataWriter.MaxOpenWriters
 
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
@@ -782,7 +791,7 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
           s"task sees > $MaxOpenWriters distinct partition values for (${partCols.mkString(",")}); " +
             "repartition by the partition columns before writing")
       new GraftDataWriter(s"$dir/$key", dataSchema, table, pageSize, bias, chunkRows,
-        conf, partitionId, taskId)
+        conf, partitionId, taskId, fixedName)
     })
     proj.project(record)
     w.write(proj)

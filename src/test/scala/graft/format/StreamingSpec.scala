@@ -49,13 +49,35 @@ class StreamingSpec extends SparkSpec {
       spark.range(0, 500).selectExpr("id", "concat('v', id) AS v").filter(col("id") % 2 === 0)))
   }
 
+  test("streaming sink writes straight into a hive-partitioned layout") {
+    val src = Files.createTempDirectory("graft-psink-src").toString
+    val out = Files.createTempDirectory("graft-psink-out").toString
+    val ck = Files.createTempDirectory("graft-psink-ck").toString
+    spark.range(0, 300).selectExpr(
+      "id", "element_at(array('en','de','fr'), CAST(id % 3 + 1 AS INT)) AS lang")
+      .write.format("graft").mode("append").save(src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", out).option("checkpointLocation", ck)
+      .option("partitionBy", "lang")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en", "lang=fr"), dirs.toSeq)
+    val back = spark.read.format("graft").load(out)
+    assert(back.count() == 300)
+    val pruned = back.filter(col("lang") === "de")
+    assert(pruned.count() == 100)
+    assert(pruned.rdd.getNumPartitions < back.rdd.getNumPartitions)
+  }
+
   test("sink epoch retry overwrites its own files instead of duplicating") {
     import org.apache.spark.sql.types._
     import org.apache.spark.util.SerializableConfiguration
     val out = Files.createTempDirectory("graft-sink-retry").toString
     val schema = StructType(Seq(StructField("id", LongType)))
     val factory = new graft.sources.GraftStreamingWriterFactory(out, schema, "data",
-      1 << 20, "balanced", 1 << 17,
+      1 << 20, "balanced", 1 << 17, Seq.empty,
       new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
     def runAttempt(taskId: Long, rows: Range): Unit = {
       val w = factory.createWriter(partitionId = 0, taskId = taskId, epochId = 7)
