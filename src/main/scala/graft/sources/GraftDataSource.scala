@@ -300,9 +300,23 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 }
 
 class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
-    filters: Array[Filter], limit: Int,
-    aggSpecs: Option[Seq[GraftAggSpec]] = None) extends Scan with Batch {
+    planFilters: Array[Filter], limit: Int,
+    aggSpecs: Option[Seq[GraftAggSpec]] = None) extends Scan with Batch
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** Runtime (DPP-style) filters: join-key IN-lists arrive at execution
+    * time and feed the SAME two pruning layers as planning-time filters —
+    * hive-partition pruning and chunk min/max skipping. A star join on a
+    * graft fact table never scans the partitions/chunks the dimension
+    * filter excludes, Spark's dynamic partition pruning re-expressed for
+    * this source. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(incoming: Array[Filter]): Unit = { runtimeFilters = incoming }
+
+  private def filters: Array[Filter] = planFilters ++ runtimeFilters
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(dirs.size == 1, "graft streaming reads take exactly one path")

@@ -75,6 +75,21 @@ class PartitionSpec extends SparkSpec {
     assert(back.filter(col("grp") === "__HIVE_DEFAULT_PARTITION__").count() == 20)
   }
 
+  test("runtime (DPP-style) filters prune graft partitions at execution time") {
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val fact = spark.range(0, 3000).selectExpr(
+      "id", "element_at(array('en','de','fr'), CAST(id % 3 + 1 AS INT)) AS lang")
+    fact.write.format("graft").option("partitionBy", "lang").mode("overwrite").save(dir)
+    val dim = spark.range(0, 3).selectExpr(
+      "element_at(array('en','de','fr'), CAST(id + 1 AS INT)) AS lang",
+      "id AS dim_attr").filter(col("dim_attr") === 1) // selects only 'de'
+    val joined = spark.read.format("graft").load(dir)
+      .join(dim, Seq("lang"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("RuntimeFilters: [dynamicpruning"), planStr)
+    assert(joined.count() == 1000)
+  }
+
   test("listing 10k files across 100 partition dirs stays fast and exact") {
     val dir = Files.createTempDirectory("graft-bulklist")
     // listing only reads names: empty marker files suffice
