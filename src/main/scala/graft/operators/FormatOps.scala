@@ -287,10 +287,37 @@ object FormatOps {
       |  CAST(min(o_custkey) AS BIGINT) AS min_cust, CAST(max(o_custkey) AS BIGINT) AS max_cust
       |FROM orders""".stripMargin
 
+  // ---- q90: star join with runtime (DPP) partition pruning -----------------
+  // documents partitioned by lang; a tiny dimension keeps only the EMEA
+  // languages. The runtime IN-filter from the dimension reaches the graft
+  // scan (SupportsRuntimeFiltering) and drops the other partitions at
+  // execution time — the oracle just recomputes the join from parquet.
+  private val q90: Q = (s, d) => {
+    import s.implicits._
+    val root = graftDir(d, "docs_dpp")
+    Tables.documents(s, d).filter(col("lang").isin("en", "de", "fr", "es"))
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(root)
+    val dim = Seq(("de", "emea"), ("fr", "emea"), ("en", "amer"), ("es", "amer"))
+      .toDF("lang", "region").filter(col("region") === "emea")
+    s.read.format("graft").load(root)
+      .join(dim, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+  private val q90Sql =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('de', 'fr')
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q87_graft_unsigned" -> q87,
     "q88_graft_union" -> q88,
     "q89_agg_pushdown" -> q89,
+    "q90_graft_dpp" -> q90,
     "q86_interop_formats" -> q86,
     "q85_graft_partitions" -> q85,
     "q84_graft_catalog" -> q84,
@@ -303,6 +330,7 @@ object FormatOps {
     "q87_graft_unsigned" -> q87Sql,
     "q88_graft_union" -> q88Sql,
     "q89_agg_pushdown" -> q89Sql,
+    "q90_graft_dpp" -> q90Sql,
     "q86_interop_formats" -> q86Sql,
     "q85_graft_partitions" -> q85Sql,
     "q84_graft_catalog" -> q84Sql,
