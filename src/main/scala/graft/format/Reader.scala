@@ -848,12 +848,20 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           case other => throw new OliveFormatException(s"file type $other for requested array")
         }
         val childEv = impliedCount(childMeta, fileEt)
-        val cap = if (childEv >= 0) childEv else MaxElems
-        val offs = readOffsetsRange(offBuf, e0, e1, cap)
+        // the column's FULL child count is its LAST offset entry — one
+        // element read; exact `total` lets evidence-free children (fixed
+        // binary under structs) derive widths in range mode too
+        val childTotal = {
+          val last = Bytes.le(readElems(offBuf, total, total + 1, 4)).getInt(0).toLong
+          if (last < 0 || (childEv >= 0 && last > childEv) || last > MaxElems)
+            throw new OliveFormatException(s"list child total $last out of bounds")
+          last
+        }
+        val offs = readOffsetsRange(offBuf, e0, e1, childTotal)
         val c0 = offs(0).toLong
         val c1 = offs(n).toLong
         val child = vec.getChild(0)
-        decodeColRange(child, childMeta, fileEt, et, c0, c1, cap, chunk, dict20, dict32)
+        decodeColRange(child, childMeta, fileEt, et, c0, c1, childTotal, chunk, dict20, dict32)
         var i = 0
         while (i < n) { vec.putArray(i, offs(i) - offs(0), offs(i + 1) - offs(i)); i += 1 }
       case (StructMeta(_, children), st: StructType) =>
@@ -884,12 +892,18 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         }
         val kEv = impliedCount(keyMeta, fileKt)
         val vEv = impliedCount(valMeta, fileVt)
-        val cap = Seq(kEv, vEv).filter(_ >= 0).minOption.getOrElse(MaxElems)
-        val offs = readOffsetsRange(offBuf, e0, e1, cap)
+        val ev = Seq(kEv, vEv).filter(_ >= 0).minOption.getOrElse(MaxElems)
+        val entryTotal = {
+          val last = Bytes.le(readElems(offBuf, total, total + 1, 4)).getInt(0).toLong
+          if (last < 0 || last > ev)
+            throw new OliveFormatException(s"map entry total $last out of bounds")
+          last
+        }
+        val offs = readOffsetsRange(offBuf, e0, e1, entryTotal)
         val c0 = offs(0).toLong
         val c1 = offs(n).toLong
-        decodeColRange(vec.getChild(0), keyMeta, fileKt, kt, c0, c1, cap, chunk, dict20, dict32)
-        decodeColRange(vec.getChild(1), valMeta, fileVt, vt, c0, c1, cap, chunk, dict20, dict32)
+        decodeColRange(vec.getChild(0), keyMeta, fileKt, kt, c0, c1, entryTotal, chunk, dict20, dict32)
+        decodeColRange(vec.getChild(1), valMeta, fileVt, vt, c0, c1, entryTotal, chunk, dict20, dict32)
         var i = 0
         while (i < n) { vec.putArray(i, offs(i) - offs(0), offs(i + 1) - offs(i)); i += 1 }
       case (m, t) =>

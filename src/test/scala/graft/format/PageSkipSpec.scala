@@ -67,7 +67,11 @@ class PageSkipSpec extends SparkSpec {
       expr("id div 1000").as("runs"), // 1000-long runs => REE storage
       concat(lit("tag"), col("id") % 7).as("tag"),
       concat(lit("uniq-"), col("id")).as("u"),
-      array(col("id"), col("id") + 1).as("arr"))
+      array(col("id"), col("id") + 1).as("arr"),
+      // fixed-width binary nested under a list (via a struct child with
+      // metadata): the evidence-free shape range decode must still serve
+      array(struct(unhex(md5(col("id").cast("string"))).as("addr",
+        new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 16).build()))).as("arr_fsb"))
     df.write.format("graft").option("pagesize", "2048").mode("append").save(dir)
     val p = new Path(new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".graft")).head.toString)
@@ -87,6 +91,11 @@ class PageSkipSpec extends SparkSpec {
       assert(row.getUTF8String(4).toString == s"uniq-$id")
       val arr = row.getArray(5)
       assert(arr.numElements() == 2 && arr.getLong(0) == id && arr.getLong(1) == id + 1)
+      val fsb = row.getArray(6).getStruct(0, 1).getBinary(0)
+      assert(fsb.length == 16)
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      assert(java.util.Arrays.equals(fsb, want), s"row $id fsb mismatch")
     }
     batch.close(); r.close()
   }
