@@ -115,7 +115,7 @@ object Meta {
         b.putInt(t.columns.size)
         t.columns.foreach(writeCol(b, _))
         t.stats.foreach { st =>
-          b.putByte(if (st.hasNulls) 1 else 0)
+          b.putInt(st.nullCount)
           writeOptBytes(b, st.min)
           writeOptBytes(b, st.max)
         }
@@ -215,12 +215,10 @@ object Meta {
           throw new OliveFormatException(s"column count $nCols != schema fields ${schema.size}")
         val cols = Vector.fill(nCols)(readCol(c, 0))
         val stats = Vector.fill(nCols) {
-          val hasNulls = c.getByte() match {
-            case 0 => false
-            case 1 => true
-            case other => throw new OliveFormatException(s"bad hasNulls tag $other")
-          }
-          ColStats(hasNulls, readOptBytes(c), readOptBytes(c))
+          val nullCount = c.getInt()
+          if (nullCount < 0 || nullCount > numRows)
+            throw new OliveFormatException(s"null count $nullCount outside $numRows rows")
+          ColStats(nullCount, readOptBytes(c), readOptBytes(c))
         }
         TableMeta(name, numRows, schema, cols, stats)
       }

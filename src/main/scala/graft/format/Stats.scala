@@ -19,10 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * disable stats for the column's chunk (no truncation tricks — a
   * truncated max is not an upper bound).
   */
-case class ColStats(hasNulls: Boolean, min: Option[Array[Byte]], max: Option[Array[Byte]]) {
+case class ColStats(nullCount: Int, min: Option[Array[Byte]], max: Option[Array[Byte]]) {
+  def hasNulls: Boolean = nullCount > 0
   override def equals(o: Any): Boolean = o match {
-    case ColStats(h, mn, mx) =>
-      h == hasNulls &&
+    case ColStats(nc, mn, mx) =>
+      nc == nullCount &&
         mn.map(_.toSeq) == min.map(_.toSeq) && mx.map(_.toSeq) == max.map(_.toSeq)
     case _ => false
   }
@@ -34,15 +35,16 @@ object Stats {
   /** Collects min/max/null stats for one top-level column while rows are
     * appended. Only "flat" orderable types participate. */
   sealed abstract class Collector(ord: Int) {
-    protected var nulls = false
+    protected var nulls = 0
     protected var seen = false
     protected var broken = false
     final def update(row: InternalRow): Unit =
-      if (row.isNullAt(ord)) nulls = true
+      if (row.isNullAt(ord)) nulls += 1
       else if (!broken) { seen = true; updateValue(row) }
+      else ()
     protected def updateValue(row: InternalRow): Unit
     def result(): ColStats
-    def reset(): Unit = { nulls = false; seen = false; broken = false }
+    def reset(): Unit = { nulls = 0; seen = false; broken = false }
   }
 
   private final class LongCollector(ord: Int, get: InternalRow => Long) extends Collector(ord) {
@@ -54,7 +56,7 @@ object Stats {
       if (v > mx) mx = v
     }
     def result(): ColStats =
-      if (!seen) ColStats(hasNulls = nulls, None, None)
+      if (!seen) ColStats(nulls, None, None)
       else ColStats(nulls, Some(longBytes(mn)), Some(longBytes(mx)))
     override def reset(): Unit = { super.reset(); mn = Long.MaxValue; mx = Long.MinValue }
   }
@@ -69,7 +71,7 @@ object Stats {
       if (v > mx) mx = v
     }
     def result(): ColStats =
-      if (!seen || broken) ColStats(hasNulls = nulls, None, None)
+      if (!seen || broken) ColStats(nulls, None, None)
       else ColStats(nulls, Some(doubleBytes(mn)), Some(doubleBytes(mx)))
     override def reset(): Unit = {
       super.reset(); mn = Double.PositiveInfinity; mx = Double.NegativeInfinity
@@ -86,14 +88,14 @@ object Stats {
       if (mx == null || java.util.Arrays.compareUnsigned(b, mx) > 0) mx = b
     }
     def result(): ColStats =
-      if (!seen || broken) ColStats(hasNulls = nulls, None, None)
+      if (!seen || broken) ColStats(nulls, None, None)
       else ColStats(nulls, Some(mn), Some(mx))
     override def reset(): Unit = { super.reset(); mn = null; mx = null }
   }
 
   private final class NullOnlyCollector(ord: Int) extends Collector(ord) {
     protected def updateValue(row: InternalRow): Unit = {}
-    def result(): ColStats = ColStats(hasNulls = nulls, None, None)
+    def result(): ColStats = ColStats(nulls, None, None)
   }
 
   def collectorFor(dt: DataType, ord: Int): Collector = dt match {
@@ -153,7 +155,8 @@ object Stats {
 
   /** True iff `filter` proves the chunk can contain NO matching row.
     * Conservative: anything not understood returns false (keep chunk). */
-  def canSkip(filter: Filter, schema: StructType, stats: Map[String, ColStats]): Boolean = {
+  def canSkip(filter: Filter, schema: StructType, stats: Map[String, ColStats],
+      numRows: Int = -1): Boolean = {
     def range(attr: String): Option[Range] =
       stats.get(attr).flatMap(s =>
         schema.fields.find(_.name == attr).map(f => Range(f.dataType, s)))
@@ -167,9 +170,12 @@ object Stats {
       case In(a, vs) if vs != null && vs.nonEmpty =>
         range(a).exists(r => vs.forall(v =>
           r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0)))
-      case IsNull(a) => stats.get(a).exists(!_.hasNulls)
-      case And(l, r) => canSkip(l, schema, stats) || canSkip(r, schema, stats)
-      case Or(l, r) => canSkip(l, schema, stats) && canSkip(r, schema, stats)
+      case IsNull(a) => stats.get(a).exists(_.nullCount == 0)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        // an ALL-null chunk proves no row passes IsNotNull
+        numRows >= 0 && stats.get(a).exists(_.nullCount == numRows)
+      case And(l, r) => canSkip(l, schema, stats, numRows) || canSkip(r, schema, stats, numRows)
+      case Or(l, r) => canSkip(l, schema, stats, numRows) && canSkip(r, schema, stats, numRows)
       case _ => false
     }
   }

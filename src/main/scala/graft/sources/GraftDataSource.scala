@@ -228,6 +228,7 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
 /** Footer-computable aggregate, pushed via [[SupportsPushDownAggregates]]. */
 sealed trait GraftAggSpec extends Serializable
 case object GraftCountStar extends GraftAggSpec
+case class GraftCountCol(col: String) extends GraftAggSpec
 case class GraftMinSpec(col: String) extends GraftAggSpec
 case class GraftMaxSpec(col: String) extends GraftAggSpec
 
@@ -255,7 +256,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     * below it; the reader stops decoding chunks once satisfied. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  /** COUNT(*)/MIN/MAX without grouping answer from footer metadata alone —
+  /** COUNT(*)/COUNT(col)/MIN/MAX without grouping answer from footer
+    * metadata alone (null counts are chunk stats) —
     * zero data pages touched. Partial pushdown (Spark still combines),
     * restricted to types whose chunk stats are EXACT: integrals, date,
     * timestamps, boolean. Floats are excluded (a NaN-holding chunk drops
@@ -280,13 +282,17 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     }
     val specs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => GraftCountStar
+      case c: Count if !c.isDistinct =>
+        // COUNT(col) = numRows - nullCount, both footer-recorded
+        colOf(c.column).filter(fullSchema.fieldNames.contains)
+          .map(GraftCountCol).getOrElse(return false)
       case m: Min => colOf(m.column).filter(statType).map(GraftMinSpec).getOrElse(return false)
       case m: Max => colOf(m.column).filter(statType).map(GraftMaxSpec).getOrElse(return false)
-      case _: Count => return false // needs per-column null counts the footer lacks
       case _ => return false
     }
     aggSchema = StructType(specs.map {
       case GraftCountStar => StructField("count(*)", LongType, nullable = false)
+      case GraftCountCol(c) => StructField(s"count($c)", LongType, nullable = false)
       case GraftMinSpec(c) => StructField(s"min($c)", fullSchema(c).dataType)
       case GraftMaxSpec(c) => StructField(s"max($c)", fullSchema(c).dataType)
     })
@@ -348,7 +354,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       // exact partition values = degenerate min==max ranges
       val stats = part.map { case (k, v) =>
         val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
-        k -> graft.format.ColStats(hasNulls = false, Some(b), Some(b))
+        k -> graft.format.ColStats(0, Some(b), Some(b))
       }
       filters.exists(f => Stats.canSkip(f, partSchema, stats))
     }
@@ -434,7 +440,7 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                   case None =>
                     // stats exist for every accepted type unless the chunk
                     // is all-null (null partial is correct then)
-                    if (t.stats(idx).hasNulls) None
+                    if (t.stats(idx).nullCount == t.numRows) None // all-null chunk
                     else throw new OliveFormatException(
                       s"chunk lacks $col stats for pushed aggregate")
                 }
@@ -455,6 +461,12 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
           }
           val values: Array[Any] = specs.map {
             case GraftCountStar => chunks.map(_.numRows.toLong).sum
+            case GraftCountCol(c) => chunks.map { t =>
+              if (t.schema.fieldNames.contains(c))
+                t.numRows.toLong - t.stats(t.schema.fieldIndex(c)).nullCount
+              else if (gp.partValues.contains(c)) t.numRows.toLong // path constant: never null
+              else 0L // schema drift: column absent => all null
+            }.sum
             case GraftMinSpec(c) => minMax(c, wantMax = false)
             case GraftMaxSpec(c) => minMax(c, wantMax = true)
           }.toArray
@@ -519,7 +531,7 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   private def skippable(t: Meta.TableMeta): Boolean =
     filters.nonEmpty && {
       val stats = t.schema.fieldNames.zip(t.stats).toMap
-      filters.exists(f => Stats.canSkip(f, t.schema, stats))
+      filters.exists(f => Stats.canSkip(f, t.schema, stats, t.numRows))
     }
 
   override def next(): Boolean = {

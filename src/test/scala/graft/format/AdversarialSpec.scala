@@ -172,7 +172,7 @@ class AdversarialSpec extends SparkSpec {
       ArrayType(StructType(Seq(StructField("x", LongType)))))))
     val footer = Meta.Footer(Meta.Version, sink.position, Vector(Meta.ChunkMeta(d20, d32,
       Vector(Meta.TableMeta("data", 1, schema, Vector(colMeta),
-        Vector(ColStats(hasNulls = false, None, None)))))))
+        Vector(ColStats(0, None, None)))))))
     val fb = Meta.write(footer)
     out.write(fb)
     val tail = new Bytes(12)

@@ -32,7 +32,7 @@ class AggPushdownSpec extends SparkSpec {
     val df = spark.read.format("graft").load(dir)
       .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
         min("i").as("mni"), max("b").as("mxb"), max("ts").as("mxts"),
-        min("l_null").as("mnn"))
+        min("l_null").as("mnn"), count(col("l_null")).as("nn"))
     assert(plan(df).contains("pushedAggs="), plan(df))
     val r = df.head
     assert(r.getLong(0) == 30000L)
@@ -41,6 +41,7 @@ class AggPushdownSpec extends SparkSpec {
     assert(r.getBoolean(4))
     assert(r.getTimestamp(5).toInstant.getEpochSecond == 29999L)
     assert(r.getLong(6) == 6L) // id=0 is null (0%11==0); min non-null = 1+5
+    assert(r.getLong(7) == (0 until 30000).count(_ % 11 != 0).toLong) // count(col) via null counts
   }
 
   test("pushdown declines when unsupported: filters, doubles, strings, group-by") {
@@ -51,7 +52,7 @@ class AggPushdownSpec extends SparkSpec {
       base.agg(min("d")), // double: NaN breaks stats
       base.agg(max("s")), // string: 48-byte stat cap
       base.groupBy("i").agg(count(lit(1))), // grouping
-      base.agg(count(col("l_null")))) // count(col) needs null counts
+      base.agg(countDistinct(col("i")))) // distinct needs real rows
     cases.foreach { df =>
       assert(!plan(df).contains("pushedAggs="), plan(df))
     }
@@ -59,8 +60,7 @@ class AggPushdownSpec extends SparkSpec {
     assert(base.filter(col("i") > 50).agg(count(lit(1))).head.getLong(0) ==
       (0 until 30000).count(_ % 97 > 50))
     assert(base.agg(max("s")).head.getString(0) == "s9999")
-    assert(base.agg(count(col("l_null"))).head.getLong(0) ==
-      (0 until 30000).count(_ % 11 != 0))
+    assert(base.agg(countDistinct(col("i"))).head.getLong(0) == 97L)
   }
 
   test("pushed aggregates agree with parquet on the same data") {

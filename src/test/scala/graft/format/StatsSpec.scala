@@ -66,8 +66,8 @@ class StatsSpec extends SparkSpec {
   test("skip logic is sound and effective") {
     val schema = StructType(Seq(StructField("x", LongType), StructField("s", StringType)))
     val stats = Map(
-      "x" -> ColStats(hasNulls = false, Some(Stats.longBytes(100)), Some(Stats.longBytes(200))),
-      "s" -> ColStats(hasNulls = true, Some("bbb".getBytes), Some("ddd".getBytes)))
+      "x" -> ColStats(0, Some(Stats.longBytes(100)), Some(Stats.longBytes(200))),
+      "s" -> ColStats(1, Some("bbb".getBytes), Some("ddd".getBytes)))
     def skip(f: Filter): Boolean = Stats.canSkip(f, schema, stats)
     // must skip: provably disjoint
     assert(skip(EqualTo("x", 99L)))
