@@ -210,7 +210,9 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dirs, schema, Option(options.get("table")))
+    new GraftScanBuilder(dirs, schema, Option(options.get("table")),
+      Option(scanOptions.get("maxfilespertrigger")).orElse(
+        Option(options.get("maxfilespertrigger"))).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(dirs.size == 1, "graft writes take exactly one path")
@@ -232,7 +234,8 @@ case class GraftCountCol(col: String) extends GraftAggSpec
 case class GraftMinSpec(col: String) extends GraftAggSpec
 case class GraftMaxSpec(col: String) extends GraftAggSpec
 
-class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String])
+class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String],
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -302,12 +305,13 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
   override def build(): Scan =
     new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
-      limit, aggSpecs)
+      limit, aggSpecs, maxFilesPerTrigger)
 }
 
 class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
     planFilters: Array[Filter], limit: Int,
-    aggSpecs: Option[Seq[GraftAggSpec]] = None) extends Scan with Batch
+    aggSpecs: Option[Seq[GraftAggSpec]] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
 
@@ -326,7 +330,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(dirs.size == 1, "graft streaming reads take exactly one path")
-    new GraftMicroBatchStream(dirs.head, checkpointLocation, required, tableOpt)
+    new GraftMicroBatchStream(dirs.head, checkpointLocation, required, tableOpt,
+      maxFilesPerTrigger)
   }
   override def description(): String =
     s"graft ${dirs.mkString(",")} table=${tableOpt.getOrElse("<single>")} " +

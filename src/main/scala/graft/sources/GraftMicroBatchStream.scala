@@ -26,7 +26,9 @@ import org.apache.spark.util.SerializableConfiguration
   * log (FileStreamSource carries the same cost).
   */
 class GraftMicroBatchStream(dir: String, checkpointLocation: String,
-    required: StructType, tableOpt: Option[String]) extends MicroBatchStream {
+    required: StructType, tableOpt: Option[String],
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val conf = new Configuration()
   private val logPath = new Path(checkpointLocation, "graft-file-log")
@@ -62,14 +64,34 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
 
   override def initialOffset(): Offset = GraftStreamOffset(0)
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset =
+    latestOffset(GraftStreamOffset(0),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  /** Admission control (`maxFilesPerTrigger`): ALL newly discovered files
+    * still append to the log (the stable order every offset indexes), but
+    * the returned offset advances at most `maxFiles` past the batch start
+    * — a backlog of thousands of files drains in bounded batches instead
+    * of one giant catch-up micro-batch. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val known = readLog()
     val seen = known.toSet
     val now = GraftDataSource.listFiles(conf, dir).map(_.toString)
     val fresh = now.filterNot(seen)
     val all = if (fresh.nonEmpty) { val v = known ++ fresh; writeLog(v); v } else known
-    GraftStreamOffset(all.size)
+    val cap = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val from = start.asInstanceOf[GraftStreamOffset].index
+    GraftStreamOffset(math.min(all.size.toLong, from.toLong + cap).toInt)
   }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].index

@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSpec {
       spark.range(0, 500).selectExpr("id", "concat('v', id) AS v").filter(col("id") % 2 === 0)))
   }
 
+  test("maxFilesPerTrigger drains a backlog in bounded batches") {
+    val src = Files.createTempDirectory("graft-mft-src").toString
+    val out = Files.createTempDirectory("graft-mft-out").toString
+    val ck = Files.createTempDirectory("graft-mft-ck").toString
+    // 6-file backlog (one per repartition task)
+    spark.range(0, 600).repartition(6)
+      .write.format("graft").mode("append").save(src)
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2").load(src)
+      .writeStream.format("graft")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("graft").load(out).count() == 600)
+    // 6 files / 2 per trigger = 3 epochs of sink output
+    val epochs = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".graft"))
+      .map(_.getName.split("-")(1)).distinct
+    assert(epochs.length >= 3, epochs.mkString(","))
+  }
+
   test("streaming sink writes straight into a hive-partitioned layout") {
     val src = Files.createTempDirectory("graft-psink-src").toString
     val out = Files.createTempDirectory("graft-psink-out").toString
