@@ -120,20 +120,26 @@ object GraftDataSource {
     * Each BFS level's directories are listed in parallel — a layout with
     * thousands of partition dirs doesn't serialize the driver on
     * round-trips to the filesystem. */
-  def listPartitionedFiles(conf: Configuration, dir: String): Seq[(Path, Map[String, String])] = {
+  def listPartitionedFiles(conf: Configuration, dir: String): Seq[(Path, Map[String, String])] =
+    listPartitionedSized(conf, dir).map { case (p, _, part) => (p, part) }
+
+  /** Listing variant carrying on-disk byte sizes (for planner statistics). */
+  def listPartitionedSized(conf: Configuration, dir: String): Seq[(Path, Long, Map[String, String])] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
-    if (fs.getFileStatus(root).isFile) return Seq(root -> Map.empty)
-    val out = Seq.newBuilder[(Path, Map[String, String])]
+    val rootStatus = fs.getFileStatus(root)
+    if (rootStatus.isFile) return Seq((root, rootStatus.getLen, Map.empty[String, String]))
+    val out = Seq.newBuilder[(Path, Long, Map[String, String])]
     var frontier: Seq[(Path, Map[String, String])] = Seq(root -> Map.empty)
     while (frontier.nonEmpty) {
       val listed = inParallel(frontier) { case (p, part) => (fs.listStatus(p), part) }
       frontier = listed.flatMap { case (entries, part) =>
         entries.toSeq.flatMap { s =>
           val name = s.getPath.getName
-          if (s.isFile && name.endsWith(".graft")) { out += (s.getPath -> part); Seq.empty }
-          else if (s.isDirectory && name.contains("=")) {
+          if (s.isFile && name.endsWith(".graft")) {
+            out += ((s.getPath, s.getLen, part)); Seq.empty
+          } else if (s.isDirectory && name.contains("=")) {
             val Array(k, v) = name.split("=", 2)
             Seq(s.getPath -> (part + (k -> unescapePathValue(v))))
           } else Seq.empty
@@ -312,7 +318,31 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     planFilters: Array[Filter], limit: Int,
     aggSpecs: Option[Seq[GraftAggSpec]] = None,
     maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  /** Planner statistics from the (partition-pruned) listing: compressed
+    * bytes on disk scaled by a conservative decode-expansion factor.
+    * Without this a V2 scan defaults to "unknown = huge" and a small
+    * graft dimension never auto-broadcasts in a join. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val conf = new Configuration()
+    val files = dirs.flatMap(GraftDataSource.listPartitionedSized(conf, _))
+    val partSchema = StructType(
+      files.flatMap(_._3.keys).distinct.map(StructField(_, StringType)))
+    val kept = files.filterNot { case (_, _, part) =>
+      val stats = part.map { case (k, v) =>
+        val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
+        k -> graft.format.ColStats(0, Some(b), Some(b))
+      }
+      filters.exists(f => Stats.canSkip(f, partSchema, stats))
+    }
+    val onDisk = kept.map(_._2).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(onDisk * 3, 1L)) // decode expansion
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
   override def readSchema(): StructType = required
 
   /** Runtime (DPP-style) filters: join-key IN-lists arrive at execution

@@ -85,10 +85,29 @@ class StatsSpec extends SparkSpec {
     assert(!skip(IsNull("s")))
     assert(skip(IsNull("x"))) // x has no nulls
     assert(!skip(IsNotNull("x")))
+    // all-null column + known row count: IsNotNull provably empty
+    val allNull = stats + ("x" -> ColStats(500, None, None))
+    assert(Stats.canSkip(IsNotNull("x"), schema, allNull, numRows = 500))
+    assert(!Stats.canSkip(IsNotNull("x"), schema, allNull, numRows = 600))
+    assert(!Stats.canSkip(IsNotNull("x"), schema, allNull)) // unknown rows: keep
     assert(!skip(Or(EqualTo("x", 99L), EqualTo("x", 150L))))
     assert(!skip(EqualTo("unknown", 1)))
     // int-typed literal against long column still compares
     assert(skip(EqualTo("x", 5)))
+  }
+
+  test("reported statistics let small graft tables auto-broadcast") {
+    val dim = Files.createTempDirectory("graft-statdim").toString
+    val fact = Files.createTempDirectory("graft-statfact").toString
+    spark.range(0, 50).selectExpr("id AS k", "concat('d', id) AS dv")
+      .write.format("graft").mode("append").save(dim)
+    spark.range(0, 20000).selectExpr("id", "id % 50 AS k")
+      .write.format("graft").mode("append").save(fact)
+    val joined = spark.read.format("graft").load(fact)
+      .join(spark.read.format("graft").load(dim), Seq("k")) // no broadcast hint
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr)
+    assert(joined.count() == 20000)
   }
 
   test("chunk skipping actually skips: one batch decoded for a tail range") {
