@@ -21,9 +21,11 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Word tokens, lowercase. Same regex class works in Java and RE2. */
+  /** Word tokens, lowercase. Same regex class works in Java and RE2.
+    * Column-based (not a SQL string around `c.toString`), so ANY derived
+    * column expression tokenizes, not just simple references. */
   private def tokens(c: Column): Column =
-    expr(s"regexp_extract_all(lower(${c.toString}), '[a-z0-9]+', 0)")
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("toks", tokens(col("text")))
