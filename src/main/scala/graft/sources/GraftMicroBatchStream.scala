@@ -93,10 +93,24 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
       .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
       .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
 
+  /** Hive-style partition values re-derived from the file's path relative
+    * to the source dir (the log stores plain paths): a stream over a
+    * partitioned layout surfaces `k=v` columns exactly like a batch scan. */
+  private def partValuesOf(file: String): Map[String, String] = {
+    val filePath = new Path(file).toUri.getPath // scheme-independent
+    val dirPath = new Path(dir).toUri.getPath
+    val rel = if (filePath.startsWith(dirPath)) filePath.substring(dirPath.length) else filePath
+    rel.split("/").filter(_.contains("=")).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> GraftDataSource.unescapePathValue(v)
+    }.toMap
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].index
     val e = end.asInstanceOf[GraftStreamOffset].index
-    readLog().slice(s, e).map(f => GraftInputPartition(f): InputPartition).toArray
+    readLog().slice(s, e)
+      .map(f => GraftInputPartition(f, partValuesOf(f)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -49,6 +49,23 @@ class StreamingSpec extends SparkSpec {
       spark.range(0, 500).selectExpr("id", "concat('v', id) AS v").filter(col("id") % 2 === 0)))
   }
 
+  test("streaming source over a hive-partitioned dir carries partition values") {
+    val src = Files.createTempDirectory("graft-psrc").toString
+    val ck = Files.createTempDirectory("graft-psrc-ck").toString
+    spark.range(0, 200).selectExpr(
+      "id", "element_at(array('en','de'), CAST(id % 2 + 1 AS INT)) AS lang")
+      .write.format("graft").option("partitionBy", "lang").mode("overwrite").save(src)
+    val q = spark.readStream.format("graft").load(src)
+      .groupBy("lang").count()
+      .writeStream.format("memory").queryName("psrc_counts")
+      .option("checkpointLocation", ck)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("psrc_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("en" -> 100L, "de" -> 100L), rows)
+  }
+
   test("maxFilesPerTrigger drains a backlog in bounded batches") {
     val src = Files.createTempDirectory("graft-mft-src").toString
     val out = Files.createTempDirectory("graft-mft-out").toString
