@@ -485,6 +485,30 @@ object Relational {
       |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- q21b: rank-family window breadth (ntile/percent_rank/cume_dist) ----
+  private val q21b: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d).select(
+      col("c_mktsegment"), col("c_custkey"),
+      ntile(4).over(w).cast("long").as("quartile"), // DuckDB ntile is BIGINT
+      dense_rank().over(w).cast("long").as("drk"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"))
+      .filter(col("c_custkey") % 20 === 0)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+  private val q21bSql =
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  dense_rank() OVER w AS drk,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |QUALIFY c_custkey % 20 = 0
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   // ---- q22: sessionization via gap detection (window + conditional sum) ---
   private val q22: Q = (s, d) => {
     val e = Tables.events(s, d).withColumn("ts_sec", col("ts").cast("long"))
@@ -768,6 +792,7 @@ object Relational {
     "q19_range_join" -> q19,
     "q20_json" -> q20,
     "q21_range_window" -> q21,
+    "q21b_rank_family" -> q21b,
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
@@ -804,5 +829,6 @@ object Relational {
     "q19_range_join" -> q19Sql,
     "q20_json" -> q20Sql,
     "q21_range_window" -> q21Sql,
+    "q21b_rank_family" -> q21bSql,
     "q22_sessionize" -> q22Sql)
 }
