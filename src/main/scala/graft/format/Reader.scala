@@ -128,9 +128,12 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (MapMeta(_, off, _, _), _) => off.rawSize / 4 - 1
     case (StructMeta(_, children), st: StructType) if children.size == st.size =>
       // a struct's own evidence is the strongest child evidence: every
-      // child must hold one slot per struct row
-      children.zip(st.fields).map { case (c, f) => impliedCount(c, f.dataType) }
-        .filter(_ >= 0).minOption.getOrElse(-1L)
+      // child must hold one slot per struct row. Bool children are
+      // EXCLUDED — their bitmap only rounds the count up to a byte
+      // boundary (an upper bound, not the exact count checkCount needs)
+      children.zip(st.fields).map { case (c, f) =>
+        if (f.dataType == BooleanType) -1L else impliedCount(c, f.dataType)
+      }.filter(_ >= 0).minOption.getOrElse(-1L)
     case _ => -1L
   }
 

@@ -135,7 +135,10 @@ class RandomRoundTripSpec extends SparkSpec {
     Row.fromSeq(schema.fields.map(f =>
       if (f.nullable && r.nextInt(5) == 0) null else randValue(r, f.dataType, f.metadata)).toSeq)
 
-  for (iter <- 0 until 12) {
+  // -Dgraft.fuzz.iters=N widens the sweep for stress sessions
+  private val Iters = sys.props.getOrElse("graft.fuzz.iters", "12").toInt
+
+  for (iter <- 0 until Iters) {
     test(s"random round-trip #$iter") {
       val r = new Random(1000 + iter)
       val schema = randSchema(r)
