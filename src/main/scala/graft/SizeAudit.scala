@@ -17,18 +17,22 @@ object SizeAudit {
       case PrimitiveMeta(_, values) => bufBytes(values)
       case DictIdxMeta(_, _, idx) => bufBytes(idx)
       case BinaryMeta(_, off, data) => bufBytes(off) + bufBytes(data)
-      case BinDictMeta(_, _, dOff, dData, idx) => bufBytes(dOff) + bufBytes(dData) + bufBytes(idx)
+      case BinDictMeta(_, _, _, dOff, dData, idx) => bufBytes(dOff) + bufBytes(dData) + bufBytes(idx)
       case ForMeta(_, _, _, values) => bufBytes(values)
       case UnsignedMeta(_, _, values) => bufBytes(values)
       case ReeMeta(_, ends, values) => bufBytes(ends) + bufBytes(values)
       case PrimDictMeta(_, _, _, entries, indices) => bufBytes(entries) + bufBytes(indices)
       case DeltaMeta(_, _, _, deltas) => bufBytes(deltas)
+      case ScaledMeta(_, _, inner) => colBytes(inner)
       case ListMeta(_, off, child) => bufBytes(off) + colBytes(child)
       case StructMeta(_, children) => children.map(colBytes).sum
       case MapMeta(_, off, k, v2) => bufBytes(off) + colBytes(k) + colBytes(v2)
     })
   }
-  private def enc(c: ColMeta): String = c.getClass.getSimpleName.stripSuffix("Meta")
+  private def enc(c: ColMeta): String = c match {
+    case ScaledMeta(_, _, inner) => s"Scl(${enc(inner)})"
+    case _ => c.getClass.getSimpleName.stripSuffix("Meta")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

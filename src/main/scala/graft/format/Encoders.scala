@@ -183,11 +183,6 @@ object ColumnEncoder {
 
 final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder {
   private val buf = new Bytes(256)
-  private val integral = dt match {
-    case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
-         _: YearMonthIntervalType | _: DayTimeIntervalType => true
-    case _ => false
-  }
   // resolve the type dispatch once, not per appended value
   private val appendFn: (SpecializedGetters, Int) => Unit = dt match {
     case ByteType => (src, ord) => buf.putByte(src.getByte(ord))
@@ -205,33 +200,139 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     var i = 0
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
-  /** Pick the SMALLEST of four physical encodings, measured (not guessed)
-    * in one pass over the chunk:
-    *
-    *   - plain:  n*es
-    *   - REE:    runs*(4+es)    (ref `src/write.zig:405-421`) — sorted
-    *             keys, near-constant flags
-    *   - dict:   d*es + n*idxW  (parquet's dict trick on fixed-width
-    *             values) — low-cardinality measures, clustered dates
-    *   - FOR:    n*narrowW      (integral only) — narrow ranges
-    *
-    * The winner must save >= 25% over plain, so marginal gains never buy
-    * per-row decode work. Nulls occupy zero slots and join whatever
-    * pattern surrounds them (validity masks them on read). */
-  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
+    MeasuredWrite.write(buf, elemSize, dt, validity, sink)
+  override def reset(): Unit = { super.reset(); buf.reset() }
+  def byteSize: Long = buf.size
+}
+
+/** Pick the SMALLEST of five physical encodings for a fixed-width value
+  * buffer, measured (not guessed) in one pass over the chunk:
+  *
+  *   - plain:  n*es
+  *   - REE:    runs*(4+es)    (ref `src/write.zig:405-421`) — sorted
+  *             keys, near-constant flags
+  *   - dict:   d*es + n*idxW  (parquet's dict trick on fixed-width
+  *             values) — low-cardinality measures, clustered dates
+  *   - FOR:    n*narrowW      (integral only) — narrow ranges
+  *   - delta:  n*narrowW      (integral only) — sorted/clustered keys
+  *
+  * Float/double columns additionally try ALP-style decimal scaling
+  * first (see [[Meta.ScaledMeta]]). The winner must save >= 25% over
+  * plain, so marginal gains never buy per-row decode work. Nulls occupy
+  * zero slots and join whatever pattern surrounds them (validity masks
+  * them on read). Shared by [[PrimitiveEncoder]] and [[DecimalEncoder]]
+  * (p ≤ 18: the unscaled longs are integral, so narrow price/rate
+  * columns FOR- or dict-compress like any other i64). */
+private[format] object MeasuredWrite {
+  def write(buf: Bytes, elemSize: Int, dt: DataType,
+      validity: ValidityBuilder, sink: PageSink): ColMeta = {
     val n = buf.size / elemSize
     val plainBytes = n.toLong * elemSize
     def plain(): ColMeta =
       PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
     if (n < 64) return plain()
+    val integral = dt match {
+      case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
+           _: YearMonthIntervalType | _: DayTimeIntervalType => true
+      case d: DecimalType => d.precision <= 18 // unscaled i64 stream
+      case _ => false
+    }
+    val scaled = dt match {
+      case DoubleType | FloatType =>
+        tryScaled(buf, elemSize, dt == DoubleType, plainBytes, validity, sink)
+      case _ => None
+    }
+    scaled.getOrElse(
+      choose(buf, elemSize, integral, plainBytes, () => validity.write(sink), sink)
+        .getOrElse(plain()))
+  }
+
+  private val Pow10: Array[Double] = (0 to 18).map(e => math.pow(10, e)).toArray
+
+  /** ALP-style decimal scaling (see [[Meta.ScaledMeta]]): if every value
+    * in the chunk is bit-exactly `m / 10^e` for one small exponent, hand
+    * the integer stream to the integral chooser — FOR/delta/dict do the
+    * real compression (prices, rates, measurements are short decimals far
+    * more often than true reals). Exactness is verified against the
+    * reader's exact arithmetic (`long → double divide [→ float cast]`),
+    * so NaN, ±Inf, -0.0 and full-precision reals force fallback, never
+    * drift. */
+  private def tryScaled(buf: Bytes, elemSize: Int, isDouble: Boolean,
+      plainBytes: Long, validity: ValidityBuilder, sink: PageSink): Option[ColMeta] = {
+    val n = buf.size / elemSize
+    // widen once (same monomorphic-loop reasoning as in `choose`); a
+    // float survives the double round-trip bit-exactly, so `vs(i).toFloat`
+    // recovers the original float for the exactness check below
+    val vs = new Array[Double](n)
+    val vbb = Bytes.le(buf.array)
+    if (isDouble) { var w = 0; while (w < n) { vs(w) = vbb.getDouble(w * 8); w += 1 } }
+    else { var w = 0; while (w < n) { vs(w) = vbb.getFloat(w * 4).toDouble; w += 1 } }
+    // the exact long the reader reconstructs v from, or MinValue sentinel
+    // (|m| < 2^53, so the sentinel is unreachable as a real result)
+    def scaledAt(i: Int, pow: Double): Long = {
+      val v = vs(i)
+      val s = Math.rint(v * pow)
+      if (!(Math.abs(s) < 9.007199254740992e15)) return Long.MinValue
+      val m = s.toLong
+      val back = m.toDouble / pow
+      val exact =
+        if (isDouble) java.lang.Double.doubleToRawLongBits(back) ==
+          java.lang.Double.doubleToRawLongBits(v)
+        else java.lang.Float.floatToRawIntBits(back.toFloat) ==
+          java.lang.Float.floatToRawIntBits(v.toFloat)
+      if (exact) m else Long.MinValue
+    }
+    val maxE = if (isDouble) 14 else 7
+    var e = 0
+    var i = 0 // resumes at the failing value: smaller exponents already
+              // proved exact for [0, i) and exactness is monotone in e
+              // for in-range decimals (out-of-range re-checked below)
+    while (e <= maxE) {
+      val pow = Pow10(e)
+      var ok = true
+      while (i < n && ok) {
+        if (scaledAt(i, pow) == Long.MinValue) ok = false else i += 1
+      }
+      if (ok) {
+        // full verify + build: every value re-checked at the FINAL e, so
+        // the resume optimization can never ship an inexact long
+        val out = new Bytes(n * 8)
+        var j = 0
+        while (j < n) {
+          val m = scaledAt(j, pow)
+          if (m == Long.MinValue) return None
+          out.putLong(m)
+          j += 1
+        }
+        return choose(out, 8, integral = true, plainBytes, () => None, sink)
+          .map(inner => ScaledMeta(validity.write(sink), e.toByte, inner))
+      }
+      e += 1
+    }
+    None
+  }
+
+  /** Measure REE/dict/FOR/delta in one pass; write and return the
+    * smallest iff it saves >= 25% over `barBytes` (the caller's plain
+    * footprint). `writeValidity` runs only inside the winning branch —
+    * pass `() => None` for nested streams whose wrapper owns validity. */
+  private def choose(buf: Bytes, elemSize: Int, integral: Boolean, barBytes: Long,
+      writeValidity: () => Option[BufferMeta], sink: PageSink): Option[ColMeta] = {
+    val n = buf.size / elemSize
 
     val a = buf.array
+    // widen once into a long[]: the measure and encode loops below then
+    // index a flat array with no per-element width dispatch (a local
+    // `bits(i)` def here kept C2 in a deopt/recompile cycle as its match
+    // profile shifted between columns — measured 1.7x slower writes)
+    val vals = new Array[Long](n)
     val bb = Bytes.le(a)
-    def bits(i: Int): Long = elemSize match {
-      case 1 => a(i).toLong
-      case 2 => bb.getShort(i * 2).toLong
-      case 4 => bb.getInt(i * 4).toLong
-      case _ => bb.getLong(i * 8)
+    elemSize match {
+      case 1 => var i = 0; while (i < n) { vals(i) = a(i).toLong; i += 1 }
+      case 2 => var i = 0; while (i < n) { vals(i) = bb.getShort(i * 2).toLong; i += 1 }
+      case 4 => var i = 0; while (i < n) { vals(i) = bb.getInt(i * 4).toLong; i += 1 }
+      case _ => var i = 0; while (i < n) { vals(i) = bb.getLong(i * 8); i += 1 }
     }
     val MaxDictEntries = 1 << 16
     val seen = new java.util.HashMap[java.lang.Long, Integer]()
@@ -243,7 +344,7 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     var maxZig = 0L // max zigzag(consecutive delta); -1 = delta unusable
     var i = 0
     while (i < n) {
-      val v = bits(i)
+      val v = vals(i)
       if (i > 0 && v != prev) runs += 1
       if (i > 0 && maxZig >= 0) {
         val d = v - prev
@@ -291,15 +392,18 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     val deltaBytes = if (deltaW > 0 && deltaW < elemSize) n.toLong * deltaW else Long.MaxValue
 
     val best = Seq(reeBytes, dictBytes, forBytes, deltaBytes).min
-    if (best > plainBytes * 3 / 4) return plain()
+    if (best > barBytes * 3 / 4) return None
 
-    if (deltaBytes == best && deltaBytes < forBytes) {
+    // statement position on purpose: inside `Some(...)` the encode loops
+    // sit on a non-empty JVM expression stack, which blocks OSR
+    // compilation and leaves them running at C1 (measured 1.8x slower)
+    val chosen = if (deltaBytes == best && deltaBytes < forBytes) {
       // zigzag deltas of consecutive values (delta[0] = 0)
       val out = new Bytes(n * deltaW)
       var last = 0L
       i = 0
       while (i < n) {
-        val v = bits(i)
+        val v = vals(i)
         val d = if (i == 0) 0L else v - last
         val z = (d << 1) ^ (d >> 63)
         deltaW match {
@@ -310,14 +414,14 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
         last = v
         i += 1
       }
-      DeltaMeta(validity.write(sink), bits(0), deltaW.toByte,
+      DeltaMeta(writeValidity(), vals(0), deltaW.toByte,
         sink.writeBuffer(out.array, out.size, sink.valuesCodec, deltaW))
     } else if (forBytes == best) {
       // frame-of-reference: base + unsigned narrow deltas
       val out = new Bytes(n * forW)
       i = 0
       while (i < n) {
-        val d = bits(i) - mn
+        val d = vals(i) - mn
         forW match {
           case 1 => out.putByte(d.toByte)
           case 2 => out.putShort(d.toShort)
@@ -325,7 +429,7 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
         }
         i += 1
       }
-      ForMeta(validity.write(sink), mn, forW.toByte,
+      ForMeta(writeValidity(), mn, forW.toByte,
         sink.writeBuffer(out.array, out.size, sink.valuesCodec, forW))
     } else if (dictBytes == best) {
       // per-column primitive dictionary: entries in first-seen order
@@ -336,7 +440,7 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
       val idx = new Bytes(n * dictIdxW)
       i = 0
       while (i < n) {
-        val id = seen.get(bits(i)).intValue()
+        val id = seen.get(vals(i)).intValue()
         if (!written(id)) {
           entries.putBytes(a, i * elemSize, elemSize)
           written(id) = true
@@ -347,30 +451,29 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
         }
         i += 1
       }
-      PrimDictMeta(validity.write(sink), seen.size, dictIdxW.toByte,
+      PrimDictMeta(writeValidity(), seen.size, dictIdxW.toByte,
         sink.writeBuffer(entries.array, entries.size, sink.valuesCodec, elemSize),
         sink.writeBuffer(idx.array, idx.size, sink.valuesCodec, dictIdxW))
     } else {
       // run-end encoding
       val ends = new Bytes(runs * 4)
-      val vals = new Bytes(runs * elemSize)
+      val rvals = new Bytes(runs * elemSize)
       var runStart = 0
       i = 1
       while (i <= n) {
-        if (i == n || bits(i) != bits(runStart)) {
+        if (i == n || vals(i) != vals(runStart)) {
           ends.putInt(i)
-          vals.putBytes(a, runStart * elemSize, elemSize)
+          rvals.putBytes(a, runStart * elemSize, elemSize)
           runStart = i
         }
         i += 1
       }
-      ReeMeta(validity.write(sink),
+      ReeMeta(writeValidity(),
         sink.writeBuffer(ends.array, ends.size, sink.valuesCodec, 4),
-        sink.writeBuffer(vals.array, vals.size, sink.valuesCodec, elemSize))
+        sink.writeBuffer(rvals.array, rvals.size, sink.valuesCodec, elemSize))
     }
+    Some(chosen)
   }
-  override def reset(): Unit = { super.reset(); buf.reset() }
-  def byteSize: Long = buf.size
 }
 
 final class BoolEncoder extends ColumnEncoder {
@@ -415,7 +518,11 @@ final class DecimalEncoder(precision: Int, scale: Int) extends ColumnEncoder {
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
+    // p ≤ 18 decimals are unscaled i64 — the full measured-encoding
+    // menu applies (prices/rates are low-cardinality or narrow-range
+    // in practice); 16-byte decimals stay plain
+    if (elemSize == 8) MeasuredWrite.write(buf, 8, DecimalType(precision, scale), validity, sink)
+    else PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 }
@@ -497,13 +604,25 @@ final class BinaryEncoder extends ColumnEncoder {
           total += e - s
           dOff.add(total)
         }
-        val idxBytes = new Bytes(n * 4)
-        indices.foreach(idxBytes.putInt)
+        // narrowest index width that addresses the dictionary
+        val numEntries = dOff.size - 1
+        val idxW = if (numEntries <= 256) 1 else if (numEntries <= 65536) 2 else 4
+        val idxBytes = new Bytes(n * idxW)
+        var k = 0
+        while (k < indices.length) {
+          val id = indices(k)
+          idxW match {
+            case 1 => idxBytes.putByte(id.toByte)
+            case 2 => idxBytes.putShort(id.toShort)
+            case _ => idxBytes.putInt(id)
+          }
+          k += 1
+        }
         val (dOffBytes, dOffLen) = dOff.toBytes
         val dataMeta = sink.writeDataBuffer(dictData.array, dOff)
         val dOffMeta = sink.writeBuffer(dOffBytes, dOffLen, Codec.Lz4, 4)
-        val idxMeta = sink.writeBuffer(idxBytes.array, idxBytes.size, sink.valuesCodec, 4)
-        BinDictMeta(validity.write(sink), dOff.size - 1, dOffMeta, dataMeta, idxMeta)
+        val idxMeta = sink.writeBuffer(idxBytes.array, idxBytes.size, sink.valuesCodec, idxW)
+        BinDictMeta(validity.write(sink), numEntries, idxW.toByte, dOffMeta, dataMeta, idxMeta)
       case None =>
         val dataMeta = sink.writeDataBuffer(data.array, offsets)
         val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)

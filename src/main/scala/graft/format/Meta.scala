@@ -44,11 +44,13 @@ object Meta {
   /** Var-width binary/string: i32 offsets (len+1, rebased to 0) + data. */
   case class BinaryMeta(validity: Option[BufferMeta], offsets: BufferMeta, data: BufferMeta) extends ColMeta
   /** Per-column dictionary-encoded var-width values: distinct entries as
-    * (offsets, data) + u32 row indices. Chosen by the writer when the
-    * column's distinct ratio makes it pay (low-cardinality strings —
-    * parquet's dictionary trick, applied per column per chunk; distinct
-    * from the chunk-global 20/32 dicts). */
-  case class BinDictMeta(validity: Option[BufferMeta], numEntries: Int,
+    * (offsets, data) + one `idxWidth`-byte unsigned row index per row
+    * (narrowest width that addresses the dictionary — flag columns with
+    * ≤256 distinct values pay 1 byte/row, not 4). Chosen by the writer
+    * when the column's distinct ratio makes it pay (low-cardinality
+    * strings — parquet's dictionary trick, applied per column per chunk;
+    * distinct from the chunk-global 20/32 dicts). */
+  case class BinDictMeta(validity: Option[BufferMeta], numEntries: Int, idxWidth: Byte,
       dictOffsets: BufferMeta, dictData: BufferMeta, indices: BufferMeta) extends ColMeta
   /** Frame-of-reference narrowed integers: values stored as unsigned
     * `width`-byte deltas from `base`. Chosen by the writer when the
@@ -85,6 +87,16 @@ object Meta {
     * mid-range reads pay a full-buffer read for this one encoding. */
   case class DeltaMeta(validity: Option[BufferMeta], first: Long, width: Byte,
       deltas: BufferMeta) extends ColMeta
+  /** ALP-style decimal scaling for float/double columns (the public
+    * technique behind DuckDB's ALP: most "real" doubles are short
+    * decimals): values verified bit-exact as `m / 10^exponent` store the
+    * integer `m` stream under `inner` — one of the integral encodings
+    * (FOR/delta/dict/REE), which is where the actual compression comes
+    * from. `inner` carries no validity (the wrapper owns it). Chosen only
+    * when EVERY value in the chunk round-trips bit-exactly; columns with
+    * NaN/Inf/true-real values fall back to plain. */
+  case class ScaledMeta(validity: Option[BufferMeta], exponent: Byte,
+      inner: ColMeta) extends ColMeta
   case class ListMeta(validity: Option[BufferMeta], offsets: BufferMeta, child: ColMeta) extends ColMeta
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
@@ -165,8 +177,8 @@ object Meta {
       b.putByte(4); writeOptBuffer(b, v); b.putInt(children.size); children.foreach(writeCol(b, _))
     case MapMeta(v, off, k, vl) =>
       b.putByte(5); writeOptBuffer(b, v); writeBuffer(b, off); writeCol(b, k); writeCol(b, vl)
-    case BinDictMeta(v, n, dOff, dData, idx) =>
-      b.putByte(6); writeOptBuffer(b, v); b.putInt(n)
+    case BinDictMeta(v, n, w, dOff, dData, idx) =>
+      b.putByte(6); writeOptBuffer(b, v); b.putInt(n); b.putByte(w)
       writeBuffer(b, dOff); writeBuffer(b, dData); writeBuffer(b, idx)
     case ForMeta(v, base, width, values) =>
       b.putByte(7); writeOptBuffer(b, v); b.putLong(base); b.putByte(width)
@@ -181,6 +193,8 @@ object Meta {
     case DeltaMeta(v, first, width, deltas) =>
       b.putByte(11); writeOptBuffer(b, v); b.putLong(first); b.putByte(width)
       writeBuffer(b, deltas)
+    case ScaledMeta(v, exponent, inner) =>
+      b.putByte(12); writeOptBuffer(b, v); b.putByte(exponent); writeCol(b, inner)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -299,7 +313,10 @@ object Meta {
         val v = readOptBuffer(c)
         val n = c.getInt()
         if (n < 0) throw new OliveFormatException(s"bad dict entry count $n")
-        BinDictMeta(v, n, readBuffer(c), readBuffer(c), readBuffer(c))
+        val w = c.getByte()
+        if (w != 1 && w != 2 && w != 4)
+          throw new OliveFormatException(s"bad dict index width $w")
+        BinDictMeta(v, n, w, readBuffer(c), readBuffer(c), readBuffer(c))
       case 7 =>
         val v = readOptBuffer(c)
         val base = c.getLong()
@@ -331,6 +348,19 @@ object Meta {
         if (width != 1 && width != 2 && width != 4)
           throw new OliveFormatException(s"bad delta width $width")
         DeltaMeta(v, first, width, readBuffer(c))
+      case 12 =>
+        val v = readOptBuffer(c)
+        val exponent = c.getByte()
+        if (exponent < 0 || exponent > 18)
+          throw new OliveFormatException(s"bad scale exponent $exponent")
+        val inner = readCol(c, depth + 1)
+        val innerOk = inner match {
+          case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta | _: DeltaMeta => true
+          case _ => false
+        }
+        if (!innerOk || inner.validity.nonEmpty)
+          throw new OliveFormatException("bad scaled inner encoding")
+        ScaledMeta(v, exponent, inner)
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

@@ -121,8 +121,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
     case (PrimDictMeta(_, _, idxW, _, indices), _) => indices.rawSize / idxW
     case (DeltaMeta(_, _, width, deltas), _) => deltas.rawSize / width
+    case (ScaledMeta(_, _, inner), FloatType | DoubleType) =>
+      impliedCount(inner, LongType) // inner is the scaled i64 stream
     // REE: runs only lower-bound the element count — no exact evidence
-    case (BinDictMeta(_, _, _, _, idx), _) => idx.rawSize / 4
+    case (BinDictMeta(_, _, w, _, _, idx), _) => idx.rawSize / w
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (ListMeta(_, off, _), _) => off.rawSize / 4 - 1
     case (MapMeta(_, off, _, _), _) => off.rawSize / 4 - 1
@@ -239,6 +241,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         val elemSize = dt match {
           case IntegerType | DateType | _: YearMonthIntervalType => 4
           case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+          case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
           case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
         }
         val narrow = readBuffer(values)
@@ -268,6 +271,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           dt, n)
       case (DeltaMeta(_, first, width, deltasBuf), _) =>
         fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, 0L, n.toLong), dt, n)
+      case (ScaledMeta(_, exponent, inner), _) =>
+        fillScaled(vec, dt, exponent, scaledLongs(inner, 0L, n.toLong), n)
       case (UnsignedMeta(_, logical, values), _) =>
         // narrow unsigned/half storage → widened Spark type (Logical)
         if (dt != Logical.sparkType(logical))
@@ -326,12 +331,12 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           } else vec.putArray(i, 0, 0)
           i += 1
         }
-      case (BinDictMeta(_, numEntries, dOffBuf, dDataBuf, idxBuf), StringType | BinaryType) =>
+      case (BinDictMeta(_, numEntries, idxW, dOffBuf, dDataBuf, idxBuf), StringType | BinaryType) =>
         val dictData = readBuffer(dDataBuf)
         val dictOffs = readOffsets(dOffBuf, numEntries, dictData.length)
         val idxBytes = readBuffer(idxBuf)
-        if (idxBytes.length != n * 4L)
-          throw new OliveFormatException(s"dict index buffer ${idxBytes.length} != ${n * 4L}")
+        if (idxBytes.length < n.toLong * idxW)
+          throw new OliveFormatException(s"dict index buffer ${idxBytes.length} < ${n.toLong * idxW}")
         val bb = Bytes.le(idxBytes)
         // dictionary-backed: child data is the dict, rows are (offset, len)
         val child = vec.arrayData()
@@ -340,7 +345,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         var i = 0
         while (i < n) {
           if (!vec.isNullAt(i)) {
-            val idx = bb.getInt(i * 4)
+            val idx = dictIdxAt(bb, i, idxW)
             if (idx < 0 || idx >= numEntries)
               throw new OliveFormatException(s"string dict index $idx out of $numEntries")
             vec.putArray(i, dictOffs(idx), dictOffs(idx + 1) - dictOffs(idx))
@@ -602,6 +607,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     val es = dt match {
       case IntegerType | DateType | _: YearMonthIntervalType => 4
       case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+      case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
       case other => throw new OliveFormatException(s"delta encoding on non-integral $other")
     }
     if (deltaBytes.length < e1 * width)
@@ -628,6 +634,70 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       i += 1
     }
     out
+  }
+
+  /** Scaled i64 stream [e0, e1) of a [[ScaledMeta]] column's inner
+    * encoding, as little-endian 8-byte values (see [[expandRee]] etc. —
+    * the same expansions FOR/delta/dict/REE use, re-aimed at a byte
+    * stream instead of a vector). */
+  private def scaledLongs(inner: ColMeta, e0: Long, e1: Long): Array[Byte] = {
+    val n = (e1 - e0).toInt
+    inner match {
+      case PrimitiveMeta(None, values) => readElems(values, e0, e1, 8)
+      case ForMeta(None, base, width, values) =>
+        val narrow = readElems(values, e0, e1, width)
+        val nb = Bytes.le(narrow)
+        val wide = new Array[Byte](n * 8)
+        val wb = Bytes.le(wide)
+        var i = 0
+        while (i < n) {
+          val d = width match {
+            case 1 => nb.get(i) & 0xffL
+            case 2 => nb.getShort(i * 2) & 0xffffL
+            case 4 => nb.getInt(i * 4) & 0xffffffffL
+            case w => throw new OliveFormatException(s"bad FOR width $w")
+          }
+          wb.putLong(i * 8, base + d)
+          i += 1
+        }
+        wide
+      case ReeMeta(None, ends, vals) => expandRee(ends, vals, LongType, e0, e1)
+      case PrimDictMeta(None, numEntries, idxW, entriesBuf, idxBuf) =>
+        expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
+          readElems(idxBuf, e0, e1, idxW), LongType, n)
+      case DeltaMeta(None, first, width, deltasBuf) =>
+        expandDelta(first, width, readBuffer(deltasBuf), LongType, e0, e1)
+      case _ => throw new OliveFormatException("bad scaled inner encoding")
+    }
+  }
+
+  /** Fill a float/double vector from a [[ScaledMeta]] column: the exact
+    * inverse of the writer's verification arithmetic (long → double
+    * divide [→ float]), so round-trips are bit-exact. */
+  private def fillScaled(vec: WritableColumnVector, dt: DataType, exponent: Byte,
+      bytes: Array[Byte], n: Int): Unit = {
+    if (bytes.length < n.toLong * 8)
+      throw new OliveFormatException(s"scaled buffer ${bytes.length} < ${n.toLong * 8}")
+    if (exponent < 0 || exponent > 18)
+      throw new OliveFormatException(s"bad scale exponent $exponent")
+    val pow = math.pow(10, exponent.toInt)
+    val bb = Bytes.le(bytes)
+    var i = 0
+    dt match {
+      case DoubleType =>
+        while (i < n) { vec.putDouble(i, bb.getLong(i * 8).toDouble / pow); i += 1 }
+      case FloatType =>
+        while (i < n) { vec.putFloat(i, (bb.getLong(i * 8).toDouble / pow).toFloat); i += 1 }
+      case other => throw new OliveFormatException(s"scaled encoding on non-float $other")
+    }
+  }
+
+  /** Unsigned `w`-byte dictionary index at position i. */
+  private def dictIdxAt(bb: java.nio.ByteBuffer, i: Int, w: Int): Int = w match {
+    case 1 => bb.get(i) & 0xff
+    case 2 => bb.getShort(i * 2) & 0xffff
+    case 4 => bb.getInt(i * 4)
+    case _ => throw new OliveFormatException(s"bad dict index width $w")
   }
 
   private def primElemSize(dt: DataType): Int = dt match {
@@ -732,6 +802,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         val elemSize = dt match {
           case IntegerType | DateType | _: YearMonthIntervalType => 4
           case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+          case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
           case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
         }
         val narrow = readElems(values, e0, e1, width)
@@ -762,6 +833,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       case (DeltaMeta(_, first, width, deltasBuf), _) =>
         // prefix sums need the stream from 0: full-buffer read, windowed emit
         fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, e0, e1), dt, n)
+      case (ScaledMeta(_, exponent, inner), _) =>
+        fillScaled(vec, dt, exponent, scaledLongs(inner, e0, e1), n)
       case (UnsignedMeta(_, logical, values), _) =>
         if (dt != Logical.sparkType(logical))
           throw new OliveFormatException(
@@ -809,19 +882,19 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           } else vec.putArray(i, 0, 0)
           i += 1
         }
-      case (BinDictMeta(_, numEntries, dOffBuf, dDataBuf, idxBuf), StringType | BinaryType) =>
+      case (BinDictMeta(_, numEntries, idxW, dOffBuf, dDataBuf, idxBuf), StringType | BinaryType) =>
         // the dictionary is chunk-shared: load it whole; only the row
         // indices are range-read
         val dictData = readBuffer(dDataBuf)
         val dictOffs = readOffsets(dOffBuf, numEntries, dictData.length)
-        val bb = Bytes.le(readElems(idxBuf, e0, e1, 4))
+        val bb = Bytes.le(readElems(idxBuf, e0, e1, idxW))
         val child = vec.arrayData()
         child.reserve(dictData.length)
         child.putBytes(0, dictData.length, dictData, 0)
         var i = 0
         while (i < n) {
           if (!vec.isNullAt(i)) {
-            val idx = bb.getInt(i * 4)
+            val idx = dictIdxAt(bb, i, idxW)
             if (idx < 0 || idx >= numEntries)
               throw new OliveFormatException(s"string dict index $idx out of $numEntries")
             vec.putArray(i, dictOffs(idx), dictOffs(idx + 1) - dictOffs(idx))

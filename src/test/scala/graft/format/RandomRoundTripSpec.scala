@@ -57,11 +57,20 @@ class RandomRoundTripSpec extends SparkSpec {
     }
   }
 
+  /** Whole-column clean decimals: the only way the ALP-style Scaled
+    * encoding engages (one dirty value per chunk forces fallback). */
+  private def cleanDecimalField(r: Random, name: String): StructField = {
+    val dt = if (r.nextBoolean()) DoubleType else FloatType
+    StructField(name, dt, nullable = r.nextBoolean(),
+      new MetadataBuilder().putBoolean("fuzz.clean", true).build())
+  }
+
   private def randSchema(r: Random): StructType = {
     val n = 1 + r.nextInt(7)
     StructType((0 until n).map { i =>
       if (r.nextInt(100) < 15) fsbField(r, s"c$i")
       else if (r.nextInt(100) < 12) logicalField(r, s"c$i")
+      else if (r.nextInt(100) < 10) cleanDecimalField(r, s"c$i")
       else StructField(s"c$i", randType(r, 0), nullable = r.nextBoolean())
     })
   }
@@ -96,6 +105,8 @@ class RandomRoundTripSpec extends SparkSpec {
       if (r.nextInt(8) == 0) 1000L + r.nextInt(3) // tiny pool → REE path
       else if (r.nextInt(4) == 0) 1700000000L + r.nextInt(100000)
       else r.nextLong()
+    case FloatType if meta.contains("fuzz.clean") => (r.nextInt(100000) / 100.0).toFloat
+    case DoubleType if meta.contains("fuzz.clean") => r.nextInt(2000000) / 100.0
     case FloatType => if (r.nextInt(20) == 0) Float.NaN else r.nextFloat() * 1e6f
     case DoubleType => if (r.nextInt(20) == 0) Double.NegativeInfinity else r.nextDouble() * 1e9
     case d: DecimalType =>

@@ -246,6 +246,39 @@ class RoundTripSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("string dict indices narrow to 1 byte; decimal64 takes measured encodings") {
+    val df = spark.range(0, 40000).coalesce(1).select(
+      col("id"),
+      expr("concat('flag-', id % 7)").as("flag"),            // 7 entries → 1-byte indices
+      expr("cast((id % 50) * 0.25 + 900 as decimal(12,2))").as("price"), // 50 distinct i64 → dict
+      expr("cast(id * 0.01 as decimal(12,2))").as("amount"), // monotonic unscaled → delta
+      // clean 2-decimal DOUBLES (the extendedprice shape): ALP-style
+      // scaling must kick in, storing a narrow integer stream
+      expr("cast(id % 5000 as double) / 100.0 + 900.0").as("dprice"),
+      // true reals + NaN: scaling must NOT engage
+      expr("cast(id as double) * 0.7071067811865476").as("dreal"))
+    val dir = tmpDir()
+    df.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val r = GraftFileReader.open(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      def metaOf(name: String) = t.columns(t.schema.fieldIndex(name))
+      val flag = metaOf("flag").asInstanceOf[Meta.BinDictMeta]
+      assert(flag.idxWidth == 1, s"expected 1-byte dict indices, got ${flag.idxWidth}")
+      assert(flag.indices.rawSize == 40000L) // 1 byte/row, not 4
+      assert(metaOf("price").isInstanceOf[Meta.PrimDictMeta], metaOf("price"))
+      assert(metaOf("amount").isInstanceOf[Meta.DeltaMeta], metaOf("amount"))
+      val dprice = metaOf("dprice").asInstanceOf[Meta.ScaledMeta]
+      assert(dprice.exponent == 2, s"expected exponent 2, got ${dprice.exponent}")
+      assert(!dprice.inner.isInstanceOf[Meta.PrimitiveMeta], dprice.inner) // narrow, not plain
+      assert(!metaOf("dreal").isInstanceOf[Meta.ScaledMeta], metaOf("dreal"))
+    } finally r.close()
+  }
+
   test("unsigned u8/u16/u32/u64 and f16 widen, store narrow, and round-trip") {
     val big = "18446744073709551615" // 2^64 - 1
     val df = spark.range(0, 2000).select(
