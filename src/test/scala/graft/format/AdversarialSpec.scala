@@ -14,7 +14,10 @@ class AdversarialSpec extends SparkSpec {
 
   private def writeSample(): java.io.File = {
     val dir = Files.createTempDirectory("graft-adv").toString
-    spark.range(0, 500).selectExpr("id", "concat('s', id) AS s", "id * 1.5 AS d")
+    // d: decimal(22,1) (Spark parses the 1.5 literal as decimal — 16-byte
+    // plain layout); sd: a genuine double that takes the Scaled encoding
+    spark.range(0, 500).selectExpr("id", "concat('s', id) AS s", "id * 1.5 AS d",
+        "cast(id as double) * 1.5 AS sd")
       .write.format("graft").mode("append").save(dir)
     new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
   }
@@ -183,6 +186,54 @@ class AdversarialSpec extends SparkSpec {
     val e = intercept[OliveFormatException](
       tryOpen(Files.readAllBytes(p)))
     assert(e.getMessage.contains("offsets end"), e.getMessage)
+  }
+
+  test("lying scaled-float metadata fails cleanly") {
+    // writeSample's `d` is Decimal(22,1) (Spark parses the 1.5 literal as
+    // decimal) — scaling needs a genuine double column
+    val dir = Files.createTempDirectory("graft-advs").toString
+    spark.range(0, 500).selectExpr("id", "cast(id as double) * 1.5 AS d")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, hp)
+    val footer = r.footer
+    r.close()
+    val raw = openRaw(f)
+    val chunk = footer.chunks.head
+    val table = chunk.tables.head
+    // the sample's `d` column (id * 1.5: clean one-decimal doubles) must
+    // have taken the scaled encoding — this pins the engagement too
+    val dIdx = table.schema.fieldIndex("d")
+    val scaled = table.columns(dIdx) match {
+      case s: Meta.ScaledMeta => s
+      case other => fail(s"expected ScaledMeta for clean-decimal doubles, got $other")
+    }
+    def withCol(c: Meta.ColMeta): Array[Byte] = {
+      val mutated = footer.copy(chunks = Vector(chunk.copy(tables = Vector(
+        table.copy(columns = table.columns.updated(dIdx, c))))))
+      val fb = Meta.write(mutated)
+      val origLen = Bytes.le(raw).getLong(raw.length - 12)
+      val tail = new Bytes(12)
+      tail.putLong(fb.length.toLong)
+      tail.putBytes(Meta.MagicTail)
+      raw.slice(0, raw.length - 12 - origLen.toInt) ++ fb ++ tail.toArray
+    }
+    // exponent outside [0, 18]: rejected at footer parse
+    intercept[OliveFormatException](tryOpen(withCol(scaled.copy(exponent = 19))))
+    // inner encoding outside the fixed-width whitelist: rejected at parse
+    intercept[OliveFormatException](tryOpen(withCol(scaled.copy(inner = scaled))))
+    // inner carrying its own validity: rejected at parse (wrapper owns it)
+    val innerWithValidity = scaled.inner match {
+      case m: Meta.PrimitiveMeta => m.copy(validity = Some(m.values))
+      case m: Meta.ForMeta => m.copy(validity = Some(m.values))
+      case m: Meta.DeltaMeta => m.copy(validity = Some(m.deltas))
+      case m: Meta.ReeMeta => m.copy(validity = Some(m.values))
+      case m: Meta.PrimDictMeta => m.copy(validity = Some(m.indices))
+      case other => fail(s"unexpected inner $other")
+    }
+    intercept[OliveFormatException](tryOpen(withCol(scaled.copy(inner = innerWithValidity))))
   }
 
   test("footer codec round-trips and rejects trailing bytes") {
