@@ -248,8 +248,6 @@ private[format] object MeasuredWrite {
         .getOrElse(plain()))
   }
 
-  private val Pow10: Array[Double] = (0 to 18).map(e => math.pow(10, e)).toArray
-
   /** ALP-style decimal scaling (see [[Meta.ScaledMeta]]): if every value
     * in the chunk is bit-exactly `m / 10^e` for one small exponent, hand
     * the integer stream to the integral chooser — FOR/delta/dict do the
@@ -299,14 +297,18 @@ private[format] object MeasuredWrite {
         // the resume optimization can never ship an inexact long
         val out = new Bytes(n * 8)
         var j = 0
-        while (j < n) {
+        var good = true
+        while (j < n && good) {
           val m = scaledAt(j, pow)
-          if (m == Long.MinValue) return None
-          out.putLong(m)
-          j += 1
+          if (m == Long.MinValue) good = false
+          else { out.putLong(m); j += 1 }
         }
-        return choose(out, 8, integral = true, plainBytes, () => None, sink)
-          .map(inner => ScaledMeta(validity.write(sink), e.toByte, inner))
+        if (good)
+          return choose(out, 8, integral = true, plainBytes, () => None, sink)
+            .map(inner => ScaledMeta(validity.write(sink), e.toByte, inner))
+        // a resume-skipped value crossed the 2^53 magnitude bound at this
+        // larger e: rescan from it at the next exponent, don't give up
+        i = j
       }
       e += 1
     }

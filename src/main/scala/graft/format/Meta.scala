@@ -24,6 +24,15 @@ object Meta {
   val MagicTail: Array[Byte] = "OLV1".getBytes
   val Version = 1
 
+  /** 10^0 .. 10^18 as LITERAL doubles (all exactly representable: 5^18
+    * needs 42 mantissa bits). Shared by the scaled-float writer verify and
+    * reader decode — `math.pow` is allowed 1-ulp error and may differ
+    * across JVMs/platforms, which would silently break the bit-exact
+    * guarantee between writing and reading machines. */
+  val Pow10: Array[Double] = Array(
+    1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9,
+    1e10, 1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18)
+
   /** One compressed page of a logical buffer. `rowEnd` = exclusive end
     * element index, enabling page-range skipping (the reference records
     * this but never exploits it — `src/header.zig:41-45`). */

@@ -244,25 +244,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
           case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
         }
-        val narrow = readBuffer(values)
-        if (narrow.length < n.toLong * width)
-          throw new OliveFormatException(s"FOR buffer ${narrow.length} < ${n.toLong * width}")
-        val nb = Bytes.le(narrow)
-        val wide = new Array[Byte](n * elemSize)
-        val wb = Bytes.le(wide)
-        var i = 0
-        while (i < n) {
-          val d = width match {
-            case 1 => nb.get(i) & 0xffL
-            case 2 => nb.getShort(i * 2) & 0xffffL
-            case 4 => nb.getInt(i * 4) & 0xffffffffL
-            case w => throw new OliveFormatException(s"bad FOR width $w")
-          }
-          val v = base + d
-          if (elemSize == 4) wb.putInt(i * 4, v.toInt) else wb.putLong(i * 8, v)
-          i += 1
-        }
-        fillPrimitive(vec, wide, dt, n)
+        fillPrimitive(vec, expandFor(base, width, readBuffer(values), n, elemSize), dt, n)
       case (ReeMeta(_, endsBuf, valsBuf), _) =>
         fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, 0L, n.toLong), dt, n)
       case (PrimDictMeta(_, numEntries, idxW, entriesBuf, idxBuf), _) =>
@@ -335,8 +317,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         val dictData = readBuffer(dDataBuf)
         val dictOffs = readOffsets(dOffBuf, numEntries, dictData.length)
         val idxBytes = readBuffer(idxBuf)
-        if (idxBytes.length < n.toLong * idxW)
-          throw new OliveFormatException(s"dict index buffer ${idxBytes.length} < ${n.toLong * idxW}")
+        if (idxBytes.length != n.toLong * idxW)
+          throw new OliveFormatException(s"dict index buffer ${idxBytes.length} != ${n.toLong * idxW}")
         val bb = Bytes.le(idxBytes)
         // dictionary-backed: child data is the dict, rows are (offset, len)
         val child = vec.arrayData()
@@ -443,6 +425,14 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         needLen(n * 8L); vec.putLongs(0, n, bytes, 0)
       case FloatType => needLen(n * 4L); vec.putFloats(0, n, bytes, 0)
       case DoubleType => needLen(n * 8L); vec.putDoubles(0, n, bytes, 0)
+      case d: DecimalType if d.precision <= 9 =>
+        // Spark backs p <= 9 decimal vectors with INTs (is32BitDecimalType):
+        // putLongs would Platform.copyMemory into a null longData base
+        // (SIGSEGV, not an exception) — write per-value ints instead
+        needLen(n * 8L)
+        val bb = Bytes.le(bytes)
+        var i = 0
+        while (i < n) { vec.putInt(i, bb.getLong(i * 8).toInt); i += 1 }
       case d: DecimalType if d.precision <= 18 =>
         needLen(n * 8L); vec.putLongs(0, n, bytes, 0)
       case d: DecimalType =>
@@ -636,6 +626,30 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     out
   }
 
+  /** Expand FOR (frame-of-reference) narrow unsigned deltas into
+    * `elemSize`-wide little-endian values: out[i] = base + narrow[i]. */
+  private def expandFor(base: Long, width: Byte, narrow: Array[Byte],
+      n: Int, elemSize: Int): Array[Byte] = {
+    if (narrow.length < n.toLong * width)
+      throw new OliveFormatException(s"FOR buffer ${narrow.length} < ${n.toLong * width}")
+    val nb = Bytes.le(narrow)
+    val wide = new Array[Byte](n * elemSize)
+    val wb = Bytes.le(wide)
+    var i = 0
+    while (i < n) {
+      val d = width match {
+        case 1 => nb.get(i) & 0xffL
+        case 2 => nb.getShort(i * 2) & 0xffffL
+        case 4 => nb.getInt(i * 4) & 0xffffffffL
+        case w => throw new OliveFormatException(s"bad FOR width $w")
+      }
+      val v = base + d
+      if (elemSize == 4) wb.putInt(i * 4, v.toInt) else wb.putLong(i * 8, v)
+      i += 1
+    }
+    wide
+  }
+
   /** Scaled i64 stream [e0, e1) of a [[ScaledMeta]] column's inner
     * encoding, as little-endian 8-byte values (see [[expandRee]] etc. —
     * the same expansions FOR/delta/dict/REE use, re-aimed at a byte
@@ -645,22 +659,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     inner match {
       case PrimitiveMeta(None, values) => readElems(values, e0, e1, 8)
       case ForMeta(None, base, width, values) =>
-        val narrow = readElems(values, e0, e1, width)
-        val nb = Bytes.le(narrow)
-        val wide = new Array[Byte](n * 8)
-        val wb = Bytes.le(wide)
-        var i = 0
-        while (i < n) {
-          val d = width match {
-            case 1 => nb.get(i) & 0xffL
-            case 2 => nb.getShort(i * 2) & 0xffffL
-            case 4 => nb.getInt(i * 4) & 0xffffffffL
-            case w => throw new OliveFormatException(s"bad FOR width $w")
-          }
-          wb.putLong(i * 8, base + d)
-          i += 1
-        }
-        wide
+        expandFor(base, width, readElems(values, e0, e1, width), n, 8)
       case ReeMeta(None, ends, vals) => expandRee(ends, vals, LongType, e0, e1)
       case PrimDictMeta(None, numEntries, idxW, entriesBuf, idxBuf) =>
         expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
@@ -680,7 +679,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       throw new OliveFormatException(s"scaled buffer ${bytes.length} < ${n.toLong * 8}")
     if (exponent < 0 || exponent > 18)
       throw new OliveFormatException(s"bad scale exponent $exponent")
-    val pow = math.pow(10, exponent.toInt)
+    val pow = Pow10(exponent.toInt) // literal table, never math.pow (1-ulp drift)
     val bb = Bytes.le(bytes)
     var i = 0
     dt match {
@@ -805,23 +804,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
           case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
         }
-        val narrow = readElems(values, e0, e1, width)
-        val nb = Bytes.le(narrow)
-        val wide = new Array[Byte](n * elemSize)
-        val wb = Bytes.le(wide)
-        var i = 0
-        while (i < n) {
-          val delta = width match {
-            case 1 => nb.get(i) & 0xffL
-            case 2 => nb.getShort(i * 2) & 0xffffL
-            case 4 => nb.getInt(i * 4) & 0xffffffffL
-            case w => throw new OliveFormatException(s"bad FOR width $w")
-          }
-          val v = base + delta
-          if (elemSize == 4) wb.putInt(i * 4, v.toInt) else wb.putLong(i * 8, v)
-          i += 1
-        }
-        fillPrimitive(vec, wide, dt, n)
+        fillPrimitive(vec, expandFor(base, width, readElems(values, e0, e1, width), n, elemSize), dt, n)
       case (ReeMeta(_, endsBuf, valsBuf), _) =>
         fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, e0, e1), dt, n)
       case (PrimDictMeta(_, numEntries, idxW, entriesBuf, idxBuf), _) =>

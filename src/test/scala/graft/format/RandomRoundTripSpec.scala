@@ -24,6 +24,7 @@ class RandomRoundTripSpec extends SparkSpec {
     val flat = Seq[DataType](
       BooleanType, ByteType, ShortType, IntegerType, LongType,
       FloatType, DoubleType, DecimalType(10, 2), DecimalType(38, 9),
+      DecimalType(5, 2), DecimalType(9, 0), // int-backed vectors (p <= 9)
       DateType, TimestampType, TimestampNTZType, StringType, BinaryType)
     if (depth >= MaxDepth || r.nextInt(100) < 65) flat(r.nextInt(flat.size))
     else r.nextInt(3) match {

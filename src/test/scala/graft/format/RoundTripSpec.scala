@@ -246,6 +246,25 @@ class RoundTripSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("small-precision decimals (int-backed vectors) round-trip through every encoding") {
+    // p <= 9 decimals sit in INT-backed column vectors (is32BitDecimalType);
+    // the fill must never take the bulk putLongs path (null longData ->
+    // SIGSEGV). Shapes chosen to hit plain, dict, FOR, delta and REE.
+    val df = spark.range(0, 40000).coalesce(1).select(
+      expr("cast((id % 37) * 0.25 as decimal(5,2))").as("dict5"),
+      expr("cast(id * 0.01 as decimal(9,2))").as("delta9"),
+      expr("cast(900 + id % 50 as decimal(9,0))").as("for9"),
+      expr("cast(id div 8000 as decimal(5,0))").as("ree5"),
+      when(col("id") % 7 === 0, null)
+        .otherwise(expr("cast(id % 97 as decimal(5,0))")).as("null5"))
+    val dir = tmpDir()
+    df.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    // and under a pushed limit (range-decode path)
+    assert(spark.read.format("graft").load(dir).limit(7).collect().length == 7)
+  }
+
   test("string dict indices narrow to 1 byte; decimal64 takes measured encodings") {
     val df = spark.range(0, 40000).coalesce(1).select(
       col("id"),
