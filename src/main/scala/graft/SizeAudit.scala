@@ -24,6 +24,7 @@ object SizeAudit {
       case PrimDictMeta(_, _, _, entries, indices) => bufBytes(entries) + bufBytes(indices)
       case DeltaMeta(_, _, _, deltas) => bufBytes(deltas)
       case ScaledMeta(_, _, inner) => colBytes(inner)
+      case BitPackMeta(_, _, _, values) => bufBytes(values)
       case ListMeta(_, off, child) => bufBytes(off) + colBytes(child)
       case StructMeta(_, children) => children.map(colBytes).sum
       case MapMeta(_, off, k, v2) => bufBytes(off) + colBytes(k) + colBytes(v2)

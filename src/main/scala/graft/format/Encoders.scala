@@ -385,6 +385,15 @@ private[format] object MeasuredWrite {
       else if (range < (1L << 32) && elemSize == 8) 4
       else 0
     val forBytes = if (forW > 0 && forW < elemSize) n.toLong * forW else Long.MaxValue
+    // bit-packed FOR: any 1..56-bit range, not just byte widths (8 pad
+    // bytes let the reader unpack by whole-word loads)
+    val packBits =
+      if (!integral || range <= 0) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    val packedBytes =
+      if (packBits >= 1 && packBits <= 56 && packBits < 8 * elemSize)
+        (n.toLong * packBits + 7) / 8 + 8
+      else Long.MaxValue
     val deltaW =
       if (!integral || maxZig < 0) 0
       else if (maxZig < (1L << 8)) 1
@@ -393,7 +402,7 @@ private[format] object MeasuredWrite {
       else 0
     val deltaBytes = if (deltaW > 0 && deltaW < elemSize) n.toLong * deltaW else Long.MaxValue
 
-    val best = Seq(reeBytes, dictBytes, forBytes, deltaBytes).min
+    val best = Seq(reeBytes, dictBytes, forBytes, deltaBytes, packedBytes).min
     if (best > barBytes * 3 / 4) return None
 
     // statement position on purpose: inside `Some(...)` the encode loops
@@ -433,6 +442,28 @@ private[format] object MeasuredWrite {
       }
       ForMeta(writeValidity(), mn, forW.toByte,
         sink.writeBuffer(out.array, out.size, sink.valuesCodec, forW))
+    } else if (packedBytes == best) {
+      // LSB-first bitstream of (v - base), 8 zero pad bytes at the end
+      val packedLen = ((n.toLong * packBits + 7) / 8).toInt
+      val out = new Array[Byte](packedLen + 8)
+      var acc = 0L
+      var accBits = 0
+      var bytePos = 0
+      i = 0
+      while (i < n) {
+        acc |= (vals(i) - mn) << accBits // accBits <= 7, packBits <= 56: no overflow
+        accBits += packBits
+        while (accBits >= 8) {
+          out(bytePos) = acc.toByte
+          acc >>>= 8
+          accBits -= 8
+          bytePos += 1
+        }
+        i += 1
+      }
+      if (accBits > 0) { out(bytePos) = acc.toByte; bytePos += 1 }
+      BitPackMeta(writeValidity(), mn, packBits.toByte,
+        sink.writeBuffer(out, out.length, sink.valuesCodec, 1))
     } else if (dictBytes == best) {
       // per-column primitive dictionary: entries in first-seen order
       // (the scan pass assigned ids in that order, so entry writes land

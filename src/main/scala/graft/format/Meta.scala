@@ -89,6 +89,15 @@ object Meta {
     * codes) and clustered dates shrink 4–8×. */
   case class PrimDictMeta(validity: Option[BufferMeta], numEntries: Int,
       idxWidth: Byte, entries: BufferMeta, indices: BufferMeta) extends ColMeta
+  /** Bit-packed frame-of-reference: values stored as `bits`-wide (1..56,
+    * NOT byte-aligned) unsigned deltas from `base` in one LSB-first
+    * little-endian bitstream, with 8 zero pad bytes at the end so the
+    * reader can always unpack via whole-word loads. Extends [[ForMeta]]
+    * to the widths parquet's bit-packing covers: a 20-bit key range pays
+    * 2.5 bytes/value instead of FOR's 4, and 33..56-bit ranges (no FOR
+    * width exists) pack instead of falling to plain. */
+  case class BitPackMeta(validity: Option[BufferMeta], base: Long, bits: Byte,
+      values: BufferMeta) extends ColMeta
   /** Delta encoding for integral columns whose CONSECUTIVE differences
     * are narrow (sorted/clustered keys, timestamps in arrival order):
     * `first` + n zigzag-encoded `width`-byte deltas (delta[0] == 0).
@@ -204,6 +213,9 @@ object Meta {
       writeBuffer(b, deltas)
     case ScaledMeta(v, exponent, inner) =>
       b.putByte(12); writeOptBuffer(b, v); b.putByte(exponent); writeCol(b, inner)
+    case BitPackMeta(v, base, bits, values) =>
+      b.putByte(13); writeOptBuffer(b, v); b.putLong(base); b.putByte(bits)
+      writeBuffer(b, values)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -364,12 +376,20 @@ object Meta {
           throw new OliveFormatException(s"bad scale exponent $exponent")
         val inner = readCol(c, depth + 1)
         val innerOk = inner match {
-          case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta | _: DeltaMeta => true
+          case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta |
+               _: DeltaMeta | _: BitPackMeta => true
           case _ => false
         }
         if (!innerOk || inner.validity.nonEmpty)
           throw new OliveFormatException("bad scaled inner encoding")
         ScaledMeta(v, exponent, inner)
+      case 13 =>
+        val v = readOptBuffer(c)
+        val base = c.getLong()
+        val bits = c.getByte()
+        if (bits < 1 || bits > 56)
+          throw new OliveFormatException(s"bad bit-pack width $bits")
+        BitPackMeta(v, base, bits, readBuffer(c))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

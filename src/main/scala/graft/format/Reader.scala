@@ -245,6 +245,14 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
         }
         fillPrimitive(vec, expandFor(base, width, readBuffer(values), n, elemSize), dt, n)
+      case (BitPackMeta(_, base, bits, values), _) =>
+        val elemSize = dt match {
+          case IntegerType | DateType | _: YearMonthIntervalType => 4
+          case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+          case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
+          case other => throw new OliveFormatException(s"bit-pack encoding on non-integral $other")
+        }
+        fillPrimitive(vec, expandBitPack(base, bits, values, 0L, n.toLong, elemSize), dt, n)
       case (ReeMeta(_, endsBuf, valsBuf), _) =>
         fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, 0L, n.toLong), dt, n)
       case (PrimDictMeta(_, numEntries, idxW, entriesBuf, idxBuf), _) =>
@@ -650,6 +658,35 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     wide
   }
 
+  /** Unpack `bits`-wide unsigned deltas [e0, e1) of an LSB-first
+    * bitstream (the writer guarantees 8 pad bytes at stream end, so every
+    * element loads as one whole word) into `elemSize`-wide LE values:
+    * out[i] = base + delta[e0+i]. */
+  private def expandBitPack(base: Long, bits: Byte, bm: BufferMeta,
+      e0: Long, e1: Long, elemSize: Int): Array[Byte] = {
+    val n = (e1 - e0).toInt
+    if (bits < 1 || bits > 56)
+      throw new OliveFormatException(s"bad bit-pack width $bits")
+    val needEnd = (e1 * bits + 7) / 8 + 8
+    if (needEnd > bm.rawSize)
+      throw new OliveFormatException(s"bit-pack buffer ${bm.rawSize} < $needEnd")
+    val b0 = (e0 * bits) >> 3
+    val (bytes, start) = readBufferRange(bm, b0, needEnd)
+    val bb = Bytes.le(bytes)
+    val mask = (1L << bits) - 1
+    val wide = new Array[Byte](n * elemSize)
+    val wb = Bytes.le(wide)
+    var i = 0
+    while (i < n) {
+      val bitPos = (e0 + i) * bits - start * 8
+      val word = bb.getLong((bitPos >> 3).toInt)
+      val v = base + ((word >>> (bitPos & 7).toInt) & mask)
+      if (elemSize == 4) wb.putInt(i * 4, v.toInt) else wb.putLong(i * 8, v)
+      i += 1
+    }
+    wide
+  }
+
   /** Scaled i64 stream [e0, e1) of a [[ScaledMeta]] column's inner
     * encoding, as little-endian 8-byte values (see [[expandRee]] etc. —
     * the same expansions FOR/delta/dict/REE use, re-aimed at a byte
@@ -660,6 +697,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       case PrimitiveMeta(None, values) => readElems(values, e0, e1, 8)
       case ForMeta(None, base, width, values) =>
         expandFor(base, width, readElems(values, e0, e1, width), n, 8)
+      case BitPackMeta(None, base, bits, values) =>
+        expandBitPack(base, bits, values, e0, e1, 8)
       case ReeMeta(None, ends, vals) => expandRee(ends, vals, LongType, e0, e1)
       case PrimDictMeta(None, numEntries, idxW, entriesBuf, idxBuf) =>
         expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
@@ -805,6 +844,14 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           case other => throw new OliveFormatException(s"FOR encoding on non-integral $other")
         }
         fillPrimitive(vec, expandFor(base, width, readElems(values, e0, e1, width), n, elemSize), dt, n)
+      case (BitPackMeta(_, base, bits, values), _) =>
+        val elemSize = dt match {
+          case IntegerType | DateType | _: YearMonthIntervalType => 4
+          case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+          case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
+          case other => throw new OliveFormatException(s"bit-pack encoding on non-integral $other")
+        }
+        fillPrimitive(vec, expandBitPack(base, bits, values, e0, e1, elemSize), dt, n)
       case (ReeMeta(_, endsBuf, valsBuf), _) =>
         fillPrimitive(vec, expandRee(endsBuf, valsBuf, dt, e0, e1), dt, n)
       case (PrimDictMeta(_, numEntries, idxW, entriesBuf, idxBuf), _) =>

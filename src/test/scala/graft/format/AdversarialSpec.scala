@@ -118,7 +118,9 @@ class AdversarialSpec extends SparkSpec {
             b.copy(pages = b.pages.map(p => p.copy(offset = p.offset + (1L << 40)))))
           case Meta.ForMeta(v, base, w, b) => Meta.ForMeta(v, base, w,
             b.copy(pages = b.pages.map(p => p.copy(offset = p.offset + (1L << 40)))))
-          case other => fail(s"test expects a primitive/FOR first column, got $other")
+          case Meta.BitPackMeta(v, base, bits, b) => Meta.BitPackMeta(v, base, bits,
+            b.copy(pages = b.pages.map(p => p.copy(offset = p.offset + (1L << 40)))))
+          case other => fail(s"test expects a primitive/FOR/bit-pack first column, got $other")
         }))),
       // (a lying dict is legal to IGNORE here: dicts load lazily and this
       // sample has no dict columns — validation happens on first use)

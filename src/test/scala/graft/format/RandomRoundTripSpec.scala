@@ -101,10 +101,12 @@ class RandomRoundTripSpec extends SparkSpec {
     case IntegerType =>
       if (r.nextInt(8) == 0) 7 + r.nextInt(4) // tiny pool: runs after sort → REE path
       else if (r.nextInt(4) == 0) 7000 + r.nextInt(200) // narrow range → FOR path
+      else if (r.nextInt(4) == 0) r.nextInt(100000) // 17-bit range → bit-pack path
       else r.nextInt()
     case LongType =>
       if (r.nextInt(8) == 0) 1000L + r.nextInt(3) // tiny pool → REE path
       else if (r.nextInt(4) == 0) 1700000000L + r.nextInt(100000)
+      else if (r.nextInt(4) == 0) r.nextLong() & ((1L << 40) - 1) // 40-bit → bit-pack
       else r.nextLong()
     case FloatType if meta.contains("fuzz.clean") => (r.nextInt(100000) / 100.0).toFloat
     case DoubleType if meta.contains("fuzz.clean") => r.nextInt(2000000) / 100.0

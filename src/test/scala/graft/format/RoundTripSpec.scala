@@ -246,6 +246,37 @@ class RoundTripSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("bit-packed FOR engages on non-byte ranges, also under scaled floats") {
+    val df = spark.range(0, 40000).coalesce(1).select(
+      col("id"),
+      // 20-bit range int: FOR has no width (>= 2^16, elemSize 4) — packs
+      expr("cast((id * 7919) % 900007 as int)").as("key20"),
+      // 40-bit range long: FOR byte widths top out at 4 — packs at 41 bits
+      expr("(id * 2654435761) % 1099511627776").as("key40"),
+      // clean 2-decimal double whose scaled stream has a 19-bit range:
+      // the scaled inner should bit-pack too
+      expr("cast((id * 7919) % 280001 as double) / 100.0").as("dpacked"))
+    val dir = tmpDir()
+    df.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    assert(spark.read.format("graft").load(dir).limit(9).collect().length == 9)
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val r = GraftFileReader.open(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      def metaOf(name: String) = t.columns(t.schema.fieldIndex(name))
+      val k20 = metaOf("key20").asInstanceOf[Meta.BitPackMeta]
+      assert(k20.bits == 20, s"expected 20 bits, got ${k20.bits}")
+      assert(k20.values.rawSize == 40000L * 20 / 8 + 8)
+      val k40 = metaOf("key40").asInstanceOf[Meta.BitPackMeta]
+      assert(k40.bits >= 39 && k40.bits <= 41, k40.bits)
+      val dp = metaOf("dpacked").asInstanceOf[Meta.ScaledMeta]
+      assert(dp.inner.isInstanceOf[Meta.BitPackMeta], dp.inner)
+    } finally r.close()
+  }
+
   test("small-precision decimals (int-backed vectors) round-trip through every encoding") {
     // p <= 9 decimals sit in INT-backed column vectors (is32BitDecimalType);
     // the fill must never take the bulk putLongs path (null longData ->
