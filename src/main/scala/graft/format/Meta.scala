@@ -119,11 +119,19 @@ object Meta {
   case class StructMeta(validity: Option[BufferMeta], children: Vector[ColMeta]) extends ColMeta
   case class MapMeta(validity: Option[BufferMeta], offsets: BufferMeta, key: ColMeta, value: ColMeta) extends ColMeta
 
+  /** Zone-map granularity: block stats cover [i*BlockRows, (i+1)*BlockRows)
+    * within a chunk (parquet's column-index / ClickHouse-granule idea). */
+  val BlockRows = 8192
+
   /** `stats` is per top-level column, aligned with `columns` (chunk-level
     * min/max/null info for scan pruning — an extension over the
-    * reference; see [[Stats]]). */
+    * reference; see [[Stats]]). `blockStats` refines it per [[BlockRows]]
+    * row block (outer: block index, inner: column) so selective filters
+    * on clustered data decode blocks, not whole 128Ki-row chunks; empty
+    * when the chunk spans <= 1 block. */
   case class TableMeta(name: String, numRows: Int, schema: StructType,
-      columns: Vector[ColMeta], stats: Vector[ColStats])
+      columns: Vector[ColMeta], stats: Vector[ColStats],
+      blockStats: Vector[Vector[ColStats]] = Vector.empty)
   case class ChunkMeta(dict20: DictMeta, dict32: DictMeta, tables: Vector[TableMeta])
   case class Footer(version: Int, dataSectionSize: Long, chunks: Vector[ChunkMeta])
 
@@ -149,6 +157,12 @@ object Meta {
           writeOptBytes(b, st.min)
           writeOptBytes(b, st.max)
         }
+        b.putInt(t.blockStats.size)
+        t.blockStats.foreach(_.foreach { st =>
+          b.putInt(st.nullCount)
+          writeOptBytes(b, st.min)
+          writeOptBytes(b, st.max)
+        })
       }
     }
     b.toArray
@@ -255,7 +269,19 @@ object Meta {
             throw new OliveFormatException(s"null count $nullCount outside $numRows rows")
           ColStats(nullCount, readOptBytes(c), readOptBytes(c))
         }
-        TableMeta(name, numRows, schema, cols, stats)
+        val nBlocks = c.getInt()
+        val expectBlocks = (numRows + BlockRows - 1) / BlockRows
+        if (nBlocks != 0 && nBlocks != expectBlocks)
+          throw new OliveFormatException(s"block stat count $nBlocks != $expectBlocks")
+        val blockStats = Vector.fill(nBlocks) {
+          Vector.fill(nCols) {
+            val nullCount = c.getInt()
+            if (nullCount < 0 || nullCount > BlockRows)
+              throw new OliveFormatException(s"block null count $nullCount > $BlockRows")
+            ColStats(nullCount, readOptBytes(c), readOptBytes(c))
+          }
+        }
+        TableMeta(name, numRows, schema, cols, stats, blockStats)
       }
       ChunkMeta(d20, d32, tables)
     }

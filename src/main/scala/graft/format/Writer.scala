@@ -85,19 +85,39 @@ final class TableBuffer(val name: String, val schema: StructType) {
     schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
   val statCollectors: IndexedSeq[Stats.Collector] =
     schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
+  // zone maps: a second collector set, snapshotted every BlockRows rows
+  private val blockCollectors: IndexedSeq[Stats.Collector] =
+    schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
+  private val blocks = Vector.newBuilder[Vector[ColStats]]
   var numRows: Int = 0
   def appendRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     var i = 0
     while (i < encoders.length) {
       encoders(i).appendFrom(row, i)
       statCollectors(i).update(row)
+      blockCollectors(i).update(row)
       i += 1
     }
     numRows += 1
+    if (numRows % Meta.BlockRows == 0) flushBlock()
+  }
+  private def flushBlock(): Unit = {
+    blocks += blockCollectors.map(_.result()).toVector
+    blockCollectors.foreach(_.reset())
   }
   def chunkStats: Vector[ColStats] = statCollectors.map(_.result()).toVector
+  /** Per-block stats for the footer; empty when the chunk fits one block
+    * (the chunk stats already say everything). Call once per chunk. */
+  def blockStats: Vector[Vector[ColStats]] = {
+    if (numRows % Meta.BlockRows != 0 && numRows > 0) flushBlock()
+    val all = blocks.result()
+    if (all.size <= 1) Vector.empty else all
+  }
   def byteSize: Long = encoders.map(_.byteSize).sum
-  def reset(): Unit = { encoders.foreach(_.reset()); statCollectors.foreach(_.reset()); numRows = 0 }
+  def reset(): Unit = {
+    encoders.foreach(_.reset()); statCollectors.foreach(_.reset())
+    blockCollectors.foreach(_.reset()); blocks.clear(); numRows = 0
+  }
 }
 
 /** Writes a graft file: magic, data section of chunk pages, footer, tail.
@@ -127,7 +147,7 @@ final class GraftFileWriter(out: OutputStream,
     val d32Meta = DictMeta(32, d32.numEntries, sink.writeDictData(dict32Bytes))
     val tableMetas = tables.map { t =>
       TableMeta(t.name, t.numRows, t.schema,
-        t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats)
+        t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats, t.blockStats)
     }.toVector
     chunks += ChunkMeta(d20Meta, d32Meta, tableMetas)
   }

@@ -425,7 +425,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
     new CustomSumMetric { def name = "skippedChunks"; def description = "chunks skipped by stats" },
-    new CustomSumMetric { def name = "decodedChunks"; def description = "chunks decoded" })
+    new CustomSumMetric { def name = "decodedChunks"; def description = "chunks decoded" },
+    new CustomSumMetric { def name = "skippedBlocks"; def description = "row blocks skipped by zone maps" })
 }
 
 case class GraftInputPartition(file: String,
@@ -541,7 +542,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   private val reader = GraftFileReader.open(fs, path)
   private var skipped = 0L
   private var decoded = 0L
-  private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta)] = {
+  private var skippedBlocks = 0L
+  private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta, Int, Int)] = {
     val name = tableOpt.getOrElse {
       val names = reader.tableNames
       if (names.size == 1) names.head
@@ -559,6 +561,7 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
         if (skip) skipped += 1
         skip
       }
+      .flatMap { case (c, t) => keepRanges(t).map { case (r0, r1) => (c, t, r0, r1) } }
   }
   private var current: ColumnarBatch = null
   private var emitted = 0L
@@ -569,35 +572,65 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       filters.exists(f => Stats.canSkip(f, t.schema, stats, t.numRows))
     }
 
+  /** Zone maps: contiguous row ranges whose BLOCK stats survive the
+    * pushed filters — a kept chunk with clustered data decodes the
+    * matching ~8Ki-row blocks, not all 128Ki rows. Spark re-applies the
+    * residual filters, so keeping too much is only wasted work, never
+    * wrong; skipped blocks are PROVEN to hold no matching row. */
+  private def keepRanges(t: Meta.TableMeta): Seq[(Int, Int)] = {
+    val nb = t.blockStats.size
+    if (filters.isEmpty || nb <= 1) return Seq((0, t.numRows))
+    val out = Seq.newBuilder[(Int, Int)]
+    var runStart = -1
+    var i = 0
+    while (i < nb) {
+      val r0 = i * Meta.BlockRows
+      val r1 = math.min(r0 + Meta.BlockRows, t.numRows)
+      val statsMap = t.schema.fieldNames.zip(t.blockStats(i)).toMap
+      val keep = !filters.exists(f => Stats.canSkip(f, t.schema, statsMap, r1 - r0))
+      if (keep && runStart < 0) runStart = r0
+      else if (!keep) {
+        skippedBlocks += 1
+        if (runStart >= 0) { out += ((runStart, r0)); runStart = -1 }
+      }
+      i += 1
+    }
+    if (runStart >= 0) out += ((runStart, t.numRows))
+    out.result()
+  }
+
   override def next(): Boolean = {
     if (current != null) { current.close(); current = null }
     if (!pending.hasNext || (limit >= 0 && emitted >= limit)) false
     else {
-      val (chunk, table) = pending.next()
-      // page-level limit: when the remaining limit is inside this chunk,
-      // decode only the pages covering the prefix instead of the chunk
+      val (chunk, table, r0, r1) = pending.next()
+      // page-level limit: when the remaining limit is inside this range,
+      // decode only the pages covering the prefix instead of the range
       val remaining = if (limit >= 0) limit - emitted else Long.MaxValue
-      val rowLimit = if (remaining < table.numRows) Some(remaining.toInt) else None
-      current = decodeWithPartitions(chunk, table, rowLimit)
+      val rowLimit = if (remaining < r1 - r0) Some(remaining.toInt) else None
+      current = decodeWithPartitions(chunk, table, r0, r1, rowLimit)
       emitted += current.numRows()
       decoded += 1
       true
     }
   }
 
-  /** Decode data columns from the file; partition-path columns become
-    * constant vectors from the file's `k=v` values. `rowLimit` decodes
-    * only the pages covering the first N rows (pushed LIMIT); the rare
-    * range-undecodable shape (fixed-width binary nested under a list)
-    * falls back to the full-chunk decode — correct, just not skipped. */
+  /** Decode rows [r0, r1) (trimmed by `rowLimit`); partition-path columns
+    * become constant vectors from the file's `k=v` values. A full-chunk
+    * fallback for a range-undecodable shape (rare: fixed-width binary
+    * nested under a list) is ONLY legal when this is the chunk's sole
+    * range and starts at 0 — under a pushed LIMIT over-delivery is safe
+    * (Spark re-limits), but a widened MID-CHUNK range would duplicate
+    * rows other emitted ranges already carried. */
   private def decodeWithPartitions(chunk: Meta.ChunkMeta, table: Meta.TableMeta,
-      rowLimit: Option[Int] = None): ColumnarBatch = {
-    def decode(req: StructType): ColumnarBatch = rowLimit match {
-      case Some(lim) =>
-        try reader.decodeTableRange(chunk, table, req, 0, lim)
+      r0: Int, r1: Int, rowLimit: Option[Int]): ColumnarBatch = {
+    val end = rowLimit.map(r0 + _).getOrElse(r1)
+    def decode(req: StructType): ColumnarBatch =
+      if (r0 == 0 && end == table.numRows) reader.decodeTable(chunk, table, req)
+      else if (r0 == 0 && r1 == table.numRows)
+        try reader.decodeTableRange(chunk, table, req, 0, end)
         catch { case _: graft.format.OliveFormatException => reader.decodeTable(chunk, table, req) }
-      case None => reader.decodeTable(chunk, table, req)
-    }
+      else reader.decodeTableRange(chunk, table, req, r0, end)
     def isPartCol(name: String): Boolean =
       partValues.contains(name) && !table.schema.fieldNames.contains(name)
     if (!required.fields.exists(f => isPartCol(f.name)))
@@ -631,7 +664,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     new CustomTaskMetric { def name = "skippedChunks"; def value = skipped },
-    new CustomTaskMetric { def name = "decodedChunks"; def value = decoded })
+    new CustomTaskMetric { def name = "decodedChunks"; def value = decoded },
+    new CustomTaskMetric { def name = "skippedBlocks"; def value = skippedBlocks })
   override def close(): Unit = {
     if (current != null) { current.close(); current = null }
     reader.close()
