@@ -131,7 +131,8 @@ object Meta {
     * when the chunk spans <= 1 block. */
   case class TableMeta(name: String, numRows: Int, schema: StructType,
       columns: Vector[ColMeta], stats: Vector[ColStats],
-      blockStats: Vector[Vector[ColStats]] = Vector.empty)
+      blockStats: Vector[Vector[ColStats]] = Vector.empty,
+      blooms: Map[String, Bloom.Bits] = Map.empty)
   case class ChunkMeta(dict20: DictMeta, dict32: DictMeta, tables: Vector[TableMeta])
   case class Footer(version: Int, dataSectionSize: Long, chunks: Vector[ChunkMeta])
 
@@ -163,6 +164,13 @@ object Meta {
           writeOptBytes(b, st.min)
           writeOptBytes(b, st.max)
         })
+        b.putInt(t.blooms.size)
+        // sorted for a deterministic footer byte-stream
+        t.blooms.toSeq.sortBy(_._1).foreach { case (col, bits) =>
+          writeString(b, col)
+          b.putInt(bits.bytes.length)
+          b.putBytes(bits.bytes)
+        }
       }
     }
     b.toArray
@@ -281,7 +289,19 @@ object Meta {
             ColStats(nullCount, readOptBytes(c), readOptBytes(c))
           }
         }
-        TableMeta(name, numRows, schema, cols, stats, blockStats)
+        val nBlooms = c.getInt()
+        if (nBlooms < 0 || nBlooms > nCols)
+          throw new OliveFormatException(s"bad bloom count $nBlooms")
+        val blooms = Vector.fill(nBlooms) {
+          val col = c.getString()
+          if (!schema.fieldNames.contains(col))
+            throw new OliveFormatException(s"bloom for unknown column $col")
+          val len = c.getInt()
+          if (len < 0 || len > Bloom.MaxBytes)
+            throw new OliveFormatException(s"bad bloom size $len")
+          col -> Bloom.Bits(c.getBytes(len))
+        }.toMap
+        TableMeta(name, numRows, schema, cols, stats, blockStats, blooms)
       }
       ChunkMeta(d20, d32, tables)
     }

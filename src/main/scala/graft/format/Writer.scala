@@ -79,8 +79,11 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
     writeBuffer(src, src.length, Codec.None, 1)
 }
 
-/** One buffered table inside a chunk being assembled. */
-final class TableBuffer(val name: String, val schema: StructType) {
+/** One buffered table inside a chunk being assembled. `bloomCols` names
+  * columns that collect a per-chunk Bloom filter (see [[Bloom]]);
+  * unsupported types in the list are silently ignored. */
+final class TableBuffer(val name: String, val schema: StructType,
+    bloomCols: Set[String] = Set.empty) {
   val encoders: IndexedSeq[ColumnEncoder] =
     schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
   val statCollectors: IndexedSeq[Stats.Collector] =
@@ -89,6 +92,12 @@ final class TableBuffer(val name: String, val schema: StructType) {
   private val blockCollectors: IndexedSeq[Stats.Collector] =
     schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
   private val blocks = Vector.newBuilder[Vector[ColStats]]
+  // (ordinal, byte extractor, builder) per bloom'd column of a supported type
+  private val bloomBuilders: IndexedSeq[(Int, org.apache.spark.sql.catalyst.InternalRow => Array[Byte], Bloom.Builder)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if bloomCols.contains(f.name) =>
+        Bloom.collectorFor(f.dataType, i).map(get => (i, get, new Bloom.Builder))
+    }.flatten.toIndexedSeq
   var numRows: Int = 0
   def appendRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     var i = 0
@@ -96,6 +105,12 @@ final class TableBuffer(val name: String, val schema: StructType) {
       encoders(i).appendFrom(row, i)
       statCollectors(i).update(row)
       blockCollectors(i).update(row)
+      i += 1
+    }
+    i = 0
+    while (i < bloomBuilders.length) {
+      val (ord, get, b) = bloomBuilders(i)
+      if (!row.isNullAt(ord)) b.add(get(row))
       i += 1
     }
     numRows += 1
@@ -113,10 +128,15 @@ final class TableBuffer(val name: String, val schema: StructType) {
     val all = blocks.result()
     if (all.size <= 1) Vector.empty else all
   }
+  def blooms: Map[String, Bloom.Bits] =
+    bloomBuilders.map { case (ord, _, b) =>
+      schema.fields(ord).name -> Bloom.Bits(b.finish())
+    }.toMap
   def byteSize: Long = encoders.map(_.byteSize).sum
   def reset(): Unit = {
     encoders.foreach(_.reset()); statCollectors.foreach(_.reset())
-    blockCollectors.foreach(_.reset()); blocks.clear(); numRows = 0
+    blockCollectors.foreach(_.reset()); blocks.clear()
+    bloomBuilders.foreach(_._3.reset()); numRows = 0
   }
 }
 
@@ -147,7 +167,8 @@ final class GraftFileWriter(out: OutputStream,
     val d32Meta = DictMeta(32, d32.numEntries, sink.writeDictData(dict32Bytes))
     val tableMetas = tables.map { t =>
       TableMeta(t.name, t.numRows, t.schema,
-        t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats, t.blockStats)
+        t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats, t.blockStats,
+        t.blooms)
     }.toVector
     chunks += ChunkMeta(d20Meta, d32Meta, tableMetas)
   }

@@ -569,8 +569,30 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   private def skippable(t: Meta.TableMeta): Boolean =
     filters.nonEmpty && {
       val stats = t.schema.fieldNames.zip(t.stats).toMap
-      filters.exists(f => Stats.canSkip(f, t.schema, stats, t.numRows))
+      filters.exists(f => Stats.canSkip(f, t.schema, stats, t.numRows) || bloomSkip(t, f))
     }
+
+  /** Bloom-filter chunk skipping: an equality literal whose hash probes
+    * miss the column's per-chunk bloom PROVES the chunk holds no match
+    * (the filter shape zone maps can't serve — point lookups on unsorted
+    * high-cardinality ids). */
+  private def bloomSkip(t: Meta.TableMeta, f: Filter): Boolean = {
+    def bytesFor(attr: String, v: Any): Option[Array[Byte]] =
+      t.schema.fields.find(_.name == attr)
+        .flatMap(fl => graft.format.Bloom.literalBytes(fl.dataType, v))
+    f match {
+      case org.apache.spark.sql.sources.EqualTo(a, v) => t.blooms.get(a).exists(bf =>
+        bytesFor(a, v).exists(b => !graft.format.Bloom.mightContain(bf.bytes, b)))
+      case org.apache.spark.sql.sources.In(a, vs) if vs != null && vs.nonEmpty => t.blooms.get(a).exists { bf =>
+        val bs = vs.map(v => bytesFor(a, v))
+        bs.forall(_.isDefined) &&
+          bs.forall(b => !graft.format.Bloom.mightContain(bf.bytes, b.get))
+      }
+      case org.apache.spark.sql.sources.And(l, r) => bloomSkip(t, l) || bloomSkip(t, r)
+      case org.apache.spark.sql.sources.Or(l, r) => bloomSkip(t, l) && bloomSkip(t, r)
+      case _ => false
+    }
+  }
 
   /** Zone maps: contiguous row ranges whose BLOCK stats survive the
     * pushed filters — a kept chunk with clustered data decodes the
@@ -680,12 +702,14 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
+    private def bloomCols = Option(options.get("bloom"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     private def batchWrite = new GraftBatchWrite(dir, info.schema(), doTruncate,
       Option(options.get("table")).getOrElse("data"),
       Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
       Option(options.get("bias")).getOrElse("balanced"),
       Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
-      partCols)
+      partCols, bloomCols)
     override def toBatch: BatchWrite = batchWrite
     // Streaming sink: file names are DETERMINISTIC per (epoch, partition)
     // and commit renames with overwrite, so a retried epoch replaces its
@@ -701,7 +725,7 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
           Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
           Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
-          partCols, new SerializableConfiguration(new Configuration()))
+          partCols, new SerializableConfiguration(new Configuration()), bloomCols)
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
@@ -711,18 +735,19 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
 
 class GraftStreamingWriterFactory(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
-    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+    conf: SerializableConfiguration,
+    bloomCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val name = Some(f"epoch-$epochId%08d-part-$partitionId%05d.graft")
     if (partCols.isEmpty)
       new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        conf.value, partitionId, taskId, fixedName = name)
+        conf.value, partitionId, taskId, fixedName = name, bloomCols = bloomCols)
     else
       // streaming ingest straight into the hive layout the scan prunes;
       // names stay deterministic per (epoch, partition) within each k=v
       // dir, so epoch retries overwrite there too
       new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        partCols, conf.value, partitionId, taskId, fixedName = name)
+        partCols, conf.value, partitionId, taskId, fixedName = name, bloomCols = bloomCols)
   }
 }
 
@@ -735,11 +760,16 @@ object GraftBatchWrite {
 
 class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     table: String, pageSize: Int, bias: String, chunkRows: Int,
-    partCols: Seq[String] = Seq.empty) extends BatchWrite {
+    partCols: Seq[String] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty) extends BatchWrite {
 
   partCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
       throw new IllegalArgumentException(s"partition column $c not in schema ${schema.fieldNames.mkString(",")}")
+  }
+  bloomCols.foreach { c =>
+    if (!schema.fieldNames.contains(c))
+      throw new IllegalArgumentException(s"bloom column $c not in schema ${schema.fieldNames.mkString(",")}")
   }
   if (partCols.nonEmpty && partCols.size >= schema.size)
     throw new IllegalArgumentException("cannot partition by every column")
@@ -761,7 +791,7 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     }
     fs.mkdirs(p)
     new GraftWriterFactory(dir, schema, table, pageSize, bias, chunkRows,
-      partCols, new SerializableConfiguration(conf))
+      partCols, new SerializableConfiguration(conf), bloomCols)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {}
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
@@ -769,14 +799,15 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
 
 class GraftWriterFactory(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        conf.value, partitionId, taskId)
+        conf.value, partitionId, taskId, bloomCols = bloomCols)
     else
       new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        partCols, conf.value, partitionId, taskId)
+        partCols, conf.value, partitionId, taskId, bloomCols = bloomCols)
 }
 
 case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMessage
@@ -791,7 +822,8 @@ case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMess
 class GraftDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, conf: Configuration,
     partitionId: Int, taskId: Long,
-    fixedName: Option[String] = None) extends DataWriter[InternalRow] {
+    fixedName: Option[String] = None,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
 
   private val file = new Path(dir, fixedName.getOrElse(
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft"))
@@ -803,7 +835,7 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   private val fs = file.getFileSystem(conf)
   private val out = fs.create(tmpFile, false)
   private val writer = new GraftFileWriter(out, pageSize, bias)
-  private val buf = new TableBuffer(table, schema)
+  private val buf = new TableBuffer(table, schema, bloomCols.toSet)
   private var rows = 0L
   private final val FlushBytes = 96L << 20
 
@@ -854,7 +886,8 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
 class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: Configuration, partitionId: Int, taskId: Long,
-    fixedName: Option[String] = None) extends DataWriter[InternalRow] {
+    fixedName: Option[String] = None,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
   import GraftPartitionedDataWriter.MaxOpenWriters
 
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
@@ -886,7 +919,8 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
           s"task sees > $MaxOpenWriters distinct partition values for (${partCols.mkString(",")}); " +
             "repartition by the partition columns before writing")
       new GraftDataWriter(s"$dir/$key", dataSchema, table, pageSize, bias, chunkRows,
-        conf, partitionId, taskId, fixedName)
+        conf, partitionId, taskId, fixedName,
+        bloomCols.filterNot(partCols.contains))
     })
     proj.project(record)
     w.write(proj)
