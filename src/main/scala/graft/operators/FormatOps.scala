@@ -313,7 +313,32 @@ object FormatOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---- q91: point lookups through bloom filters + zone maps ----------------
+  // documents written clustered by doc_id with a bloom on the (high-
+  // cardinality) source column: the id-range filter prunes via block zone
+  // maps, the source equality via per-chunk blooms — the two index layers
+  // a 100 TB find-by-id query lives on. Oracle recomputes from parquet.
+  private val q91: Q = (s, d) => {
+    val dir = graftDir(d, "docs_lookup")
+    Tables.documents(s, d).sortWithinPartitions(col("doc_id"))
+      .write.format("graft")
+      .option("bloom", "source,doc_id")
+      .mode("overwrite").save(dir)
+    s.read.format("graft").load(dir)
+      .filter(col("doc_id").between(1000, 1063) && col("source") =!= "nosuch-source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+  private val q91Sql =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 1000 AND 1063 AND source <> 'nosuch-source'
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_graft_lookup" -> q91,
     "q87_graft_unsigned" -> q87,
     "q88_graft_union" -> q88,
     "q89_agg_pushdown" -> q89,
@@ -327,6 +352,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q91_graft_lookup" -> q91Sql,
     "q87_graft_unsigned" -> q87Sql,
     "q88_graft_union" -> q88Sql,
     "q89_agg_pushdown" -> q89Sql,
