@@ -350,7 +350,84 @@ object TextOps {
       |ORDER BY id1, id2
       |LIMIT 100""".stripMargin
 
+  // ---- q47: PII redaction ---------------------------------------------------
+  // The training-data scrub pass: emails/phones replaced by placeholder
+  // tokens, redaction counts reported per source. The synthetic corpus
+  // carries no PII, so both sides INJECT deterministic PII derived from
+  // doc_id first — the oracle performs the identical construction, so a
+  // hash match proves the redaction regexes and counters, not the data.
+  // Codegen'd regexp_replace/regexp_extract_all, no UDFs.
+  private val EmailRe = "[a-z0-9.-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val q47: Q = (s, d) => {
+    val withPii = Tables.documents(s, d).withColumn("text2",
+      concat(col("text"), lit(" contact-"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    withPii
+      .withColumn("n_emails", size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0))))
+      .withColumn("clean", regexp_replace(
+        regexp_replace(col("text2"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).cast("long").as("n_emails"),
+        sum(col("n_phones")).cast("long").as("n_phones"),
+        sum(length(col("clean"))).cast("long").as("clean_chars"))
+      .orderBy(col("source"))
+  }
+  private val q47Sql =
+    """WITH pii AS (
+      |  SELECT source,
+      |    concat(text, ' contact-', CAST(doc_id AS VARCHAR), '@example.com',
+      |      CASE WHEN doc_id % 5 = 0
+      |           THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+      |           ELSE '' END) AS text2
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text2, '[a-z0-9.-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_emails,
+      |  CAST(sum(len(regexp_extract_all(text2, '555-[0-9]{4}'))) AS BIGINT) AS n_phones,
+      |  CAST(sum(len(regexp_replace(regexp_replace(text2, '[a-z0-9.-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT) AS clean_chars
+      |FROM pii
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---- q48: Gopher-style repetition filter ---------------------------------
+  // Per-doc top-word dominance ratio (max single-word count / word count);
+  // docs above threshold flag as repetitive. max() per source keeps the
+  // double aggregation order-independent, so the oracle hashes exactly.
+  private val q48: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+    val perDoc = words.groupBy(col("doc_id"), col("source"), col("w")).count()
+      .groupBy(col("doc_id"), col("source"))
+      .agg((max(col("count")).cast("double") / sum(col("count"))).as("rep_ratio"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rep_ratio") > 0.09, 1L).otherwise(0L)).cast("long").as("n_repetitive"),
+        round(max(col("rep_ratio")), 9).as("max_rep"))
+      .orderBy(col("source"))
+  }
+  private val q48Sql =
+    """WITH words AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (
+      |  SELECT doc_id, source, w, count(*) AS c FROM words GROUP BY doc_id, source, w),
+      |per_doc AS (
+      |  SELECT doc_id, source, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+      |  FROM counts GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rep_ratio > 0.09 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      |  round(max(rep_ratio), 9) AS max_rep
+      |FROM per_doc
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q47_pii_redact" -> q47,
+    "q48_repetition" -> q48,
     "q37b_edit_distance" -> q37b,
     "q38b_rolling_fingerprint" -> q38b,
     "q39_bpe_tokens" -> q39,
@@ -365,6 +442,8 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q47_pii_redact" -> q47Sql,
+    "q48_repetition" -> q48Sql,
     "q37b_edit_distance" -> q37bSql,
     "q39_bpe_tokens" -> q39Sql,
     "q30_dedup_exact" -> q30Sql,
