@@ -425,7 +425,36 @@ object TextOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q49: domain mixing / stratified sampling ----------------------------
+  // The training-mixture op: each source keeps a target fraction of its
+  // documents, deterministically (hash-free doc_id % 100 bucketing, so
+  // re-runs and the oracle pick the SAME rows — reproducible mixtures
+  // matter more than statistical niceties here). Rates ride a broadcast
+  // dimension join; at 100 TB this is a broadcast hash join per row, no
+  // shuffle of the corpus.
+  private val q49: Q = (s, d) => {
+    import s.implicits._
+    // derived, not hard-coded: srcN keeps (5 + 7*N) mod 100 percent
+    val rates = (0 until 20).map(i => (s"src$i", (5 + 7 * i) % 100)).toDF("source", "rate")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("doc_id") % 100 < col("rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("source"))
+  }
+  private val q49Sql =
+    """WITH rates AS (
+      |  SELECT concat('src', CAST(i AS VARCHAR)) AS source, (5 + 7 * i) % 100 AS rate
+      |  FROM range(20) t(i))
+      |SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE d.doc_id % 100 < r.rate
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q49_domain_mix" -> q49,
     "q47_pii_redact" -> q47,
     "q48_repetition" -> q48,
     "q37b_edit_distance" -> q37b,
@@ -442,6 +471,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q49_domain_mix" -> q49Sql,
     "q47_pii_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
     "q37b_edit_distance" -> q37bSql,
