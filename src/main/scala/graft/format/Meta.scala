@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object Meta {
   val MagicHead: Array[Byte] = "GRFT".getBytes
   val MagicTail: Array[Byte] = "OLV1".getBytes
-  val Version = 1
+  /** v2: per-table blockStats (zone maps) + blooms appended to the v1
+    * layout. The footer is parsed positionally, so a version mismatch
+    * must fail AS a version mismatch, not as garbled trailing fields. */
+  val Version = 2
 
   /** 10^0 .. 10^18 as LITERAL doubles (all exactly representable: 5^18
     * needs 42 mantissa bits). Shared by the scaled-float writer verify and

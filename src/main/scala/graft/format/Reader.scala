@@ -121,6 +121,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
     case (PrimDictMeta(_, _, idxW, _, indices), _) => indices.rawSize / idxW
     case (DeltaMeta(_, _, width, deltas), _) => deltas.rawSize / width
+    // bit-pack: floor(packedBits / bits) overshoots true n by at most 7
+    // (pad rounding) — a LOOSE upper bound, see [[looseCount]]
+    case (BitPackMeta(_, _, bits, values), _) =>
+      math.max(0L, values.rawSize - 8) * 8 / bits
     case (ScaledMeta(_, _, inner), FloatType | DoubleType) =>
       impliedCount(inner, LongType) // inner is the scaled i64 stream
     // REE: runs only lower-bound the element count — no exact evidence
@@ -130,11 +134,11 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (MapMeta(_, off, _, _), _) => off.rawSize / 4 - 1
     case (StructMeta(_, children), st: StructType) if children.size == st.size =>
       // a struct's own evidence is the strongest child evidence: every
-      // child must hold one slot per struct row. Bool children are
-      // EXCLUDED — their bitmap only rounds the count up to a byte
-      // boundary (an upper bound, not the exact count checkCount needs)
+      // child must hold one slot per struct row. Loose-count children
+      // (bool bitmaps, bit-packed) are EXCLUDED — they only bound the
+      // count from above, not the exact count checkCount needs
       children.zip(st.fields).map { case (c, f) =>
-        if (f.dataType == BooleanType) -1L else impliedCount(c, f.dataType)
+        if (looseCount(c, f.dataType)) -1L else impliedCount(c, f.dataType)
       }.filter(_ >= 0).minOption.getOrElse(-1L)
     case _ => -1L
   }
@@ -146,10 +150,20 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     * offset, which feeds child allocation sizes). */
   private final val MaxElems: Long = 1L << 28
 
+  /** Encodings whose buffer evidence is an UPPER BOUND within +7 of the
+    * true count, not exact: bool bitmaps and bit-packed streams round up
+    * to byte/pad boundaries. Their counts check loosely in [[checkCount]]
+    * and must NOT feed a struct's exact-evidence minimum. */
+  private def looseCount(meta: ColMeta, dt: DataType): Boolean = meta match {
+    case _: BitPackMeta => true
+    case ScaledMeta(_, _, inner) => inner.isInstanceOf[BitPackMeta]
+    case _ => dt == BooleanType
+  }
+
   private def checkCount(meta: ColMeta, dt: DataType, n: Int, what: String): Unit = {
     val implied = impliedCount(meta, dt)
     val ok = implied < 0 ||
-      (dt == BooleanType && implied >= n && implied < n + 8L) ||
+      (looseCount(meta, dt) && implied >= n && implied < n + 8L) ||
       implied == n
     if (!ok) throw new OliveFormatException(
       s"$what claims $n elements but buffers imply $implied")
@@ -817,14 +831,16 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         }
       case (PrimitiveMeta(_, values), BinaryType) =>
         // fixed-size binary: width only derivable from the FULL element
-        // count; under nested columns that count is the caller's range,
-        // so only top-level widths are safe — reject otherwise
-        if (total <= 0 || values.rawSize % total != 0)
-          throw new OliveFormatException(s"fixed binary range needs exact width")
-        val w = (values.rawSize / total).toInt
-        val bytes = readElems(values, e0, e1, w)
-        var i = 0
-        while (i < n) { vec.putByteArray(i, bytes, i * w, w); i += 1 }
+        // count. An EMPTY range (e.g. every list of a zone-map block is
+        // empty, total may even be 0) needs no width — don't reject it
+        if (n > 0) {
+          if (total <= 0 || values.rawSize % total != 0)
+            throw new OliveFormatException(s"fixed binary range needs exact width")
+          val w = (values.rawSize / total).toInt
+          val bytes = readElems(values, e0, e1, w)
+          var i = 0
+          while (i < n) { vec.putByteArray(i, bytes, i * w, w); i += 1 }
+        }
       case (PrimitiveMeta(_, values), _) =>
         val es = dt match {
           case ByteType => 1

@@ -328,8 +328,13 @@ object FormatOps {
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (fs.exists(old) && !fs.exists(root)) {
+      // a previous run died mid-swap: `old` holds the ONLY copy — restore
+      // it before anything else (deleting it here would destroy the data)
+      if (!fs.rename(old, root))
+        throw new IllegalStateException(s"failed to restore $old after interrupted compaction")
+    } else if (fs.exists(old)) fs.delete(old, true) // completed swap's leftover
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
     // hive-style partition columns re-route to the same layout on rewrite
     val partCols = graft.sources.GraftDataSource.partitionColumns(
       graft.sources.GraftDataSource.listPartitionedFiles(conf, dir))
@@ -338,8 +343,12 @@ object FormatOps {
       .options(writeOptions).mode("overwrite")
     val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
     w.save(tmp.toString)
-    if (!fs.rename(root, old) || !fs.rename(tmp, root))
+    if (!fs.rename(root, old))
       throw new IllegalStateException(s"compaction swap failed for $dir")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // roll back: readers keep the original table
+      throw new IllegalStateException(s"compaction swap failed for $dir; original restored")
+    }
     fs.delete(old, true)
   }
 

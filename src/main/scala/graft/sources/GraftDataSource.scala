@@ -702,8 +702,19 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    private def bloomCols = Option(options.get("bloom"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    private def bloomCols = {
+      val cols = Option(options.get("bloom"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      // validate HERE so the streaming path (which skips GraftBatchWrite's
+      // checks) rejects typo'd columns too instead of silently writing
+      // bloom-less files
+      cols.foreach { c =>
+        if (!info.schema().fieldNames.contains(c))
+          throw new IllegalArgumentException(
+            s"bloom column $c not in schema ${info.schema().fieldNames.mkString(",")}")
+      }
+      cols
+    }
     private def batchWrite = new GraftBatchWrite(dir, info.schema(), doTruncate,
       Option(options.get("table")).getOrElse("data"),
       Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),

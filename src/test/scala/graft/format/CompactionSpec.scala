@@ -35,6 +35,22 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".compact-old").exists)
   }
 
+  test("interrupted swap recovers: .compact-old is restored, never deleted") {
+    val dir = Files.createTempDirectory("graft-compact-crash").toString
+    spark.range(0, 5000).selectExpr("id", "id * 2 AS v")
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    val before = canon(spark.read.format("graft").load(dir))
+    // simulate a crash between the two swap renames: data lives ONLY at
+    // .compact-old, the table dir is gone
+    val root = new java.io.File(dir)
+    val old = new java.io.File(dir + ".compact-old")
+    assert(root.renameTo(old))
+    FormatOps.compact(spark, dir, targetFiles = 2)
+    assert(graftFiles(dir).size == 2)
+    assert(canon(spark.read.format("graft").load(dir)) == before)
+    assert(!old.exists)
+  }
+
   test("partitioned dir: layout survives compaction and still prunes") {
     val dir = Files.createTempDirectory("graft-compact-part").toString
     spark.range(0, 9000)

@@ -103,6 +103,29 @@ class ZoneMapSpec extends SparkSpec {
     assert(g.filter(col("id") > 10000L).limit(5).collect().length == 5)
   }
 
+  test("mid-chunk ranges decode columns with empty fixed-binary lists") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // array<struct<x: fixed_size_binary(20)>> with EVERY list empty: the
+    // FSB child has NO width evidence (total == 0); a mid-chunk zone-map
+    // range must decode it as empty, not reject — mid-chunk ranges
+    // deliberately have no full-chunk fallback
+    val elem = StructType(Seq(StructField("x", BinaryType, nullable = true,
+      new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 20).build())))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("hs", ArrayType(elem, containsNull = true), nullable = true)))
+    val rows = (0L until 40000L).map(i =>
+      org.apache.spark.sql.Row(i, Seq.empty[org.apache.spark.sql.Row]))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val dir = Files.createTempDirectory("graft-zone-fsb").toString
+    df.coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val got = spark.read.format("graft").load(dir)
+      .filter(col("id") === 30000L).collect()
+    assert(got.length == 1)
+    assert(got(0).getSeq[Any](1).isEmpty)
+  }
+
   test("unsorted data: zone maps keep everything, results stay correct") {
     val dir = Files.createTempDirectory("graft-zone-rand").toString
     spark.range(0, 40000).coalesce(1)
