@@ -156,9 +156,11 @@ class RandomRoundTripSpec extends SparkSpec {
     test(s"random round-trip #$iter") {
       val r = new Random(1000 + iter)
       val schema = randSchema(r)
-      val nRows = r.nextInt(4) match {
+      val nRows = r.nextInt(6) match {
         case 0 => 0
         case 1 => 1 + r.nextInt(10)
+        // multi-block chunks: zone-map block stats engage (> 8192 rows)
+        case 2 => 9000 + r.nextInt(11000)
         case _ => 50 + r.nextInt(250)
       }
       val drawn = (0 until nRows).map(_ => randRow(r, schema))
@@ -176,7 +178,11 @@ class RandomRoundTripSpec extends SparkSpec {
       val dir = Files.createTempDirectory(s"graft-fuzz$iter").toString
       val pageSize = Seq(64, 4096, 1 << 20)(r.nextInt(3))
       val bias = if (r.nextBoolean()) "balanced" else "read_optimized"
-      val chunkRows = Seq(7, 100, 1 << 17)(r.nextInt(3))
+      // large draws keep chunks big enough that multi-block (zone-map)
+      // chunks occur without exploding the chunk count
+      val chunkRows =
+        if (nRows > 2000) Seq(16384, 1 << 17)(r.nextInt(2))
+        else Seq(7, 100, 1 << 17)(r.nextInt(3))
       df.coalesce(1 + r.nextInt(3)).write.format("graft")
         .option("pagesize", pageSize.toString)
         .option("bias", bias)
