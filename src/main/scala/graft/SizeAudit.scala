@@ -24,6 +24,7 @@ object SizeAudit {
       case PrimDictMeta(_, _, _, entries, indices) => bufBytes(entries) + bufBytes(indices)
       case DeltaMeta(_, _, _, deltas) => bufBytes(deltas)
       case ScaledMeta(_, _, inner) => colBytes(inner)
+      case UnsignedPackedMeta(_, _, inner) => colBytes(inner)
       case BitPackMeta(_, _, _, values) => bufBytes(values)
       case ListMeta(_, off, child) => bufBytes(off) + colBytes(child)
       case StructMeta(_, children) => children.map(colBytes).sum
@@ -32,6 +33,7 @@ object SizeAudit {
   }
   private def enc(c: ColMeta): String = c match {
     case ScaledMeta(_, _, inner) => s"Scl(${enc(inner)})"
+    case UnsignedPackedMeta(_, _, inner) => s"U(${enc(inner)})"
     case _ => c.getClass.getSimpleName.stripSuffix("Meta")
   }
 

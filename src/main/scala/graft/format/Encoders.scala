@@ -315,6 +315,12 @@ private[format] object MeasuredWrite {
     None
   }
 
+  /** Nested-stream entry for wrappers ([[ScaledMeta]]/[[Meta.UnsignedPackedMeta]]):
+    * choose over an i64 stream against the WRAPPER's own plain footprint;
+    * the winning inner carries no validity. */
+  private[format] def chooseWide(buf: Bytes, barBytes: Long, sink: PageSink): Option[ColMeta] =
+    choose(buf, 8, integral = true, barBytes, () => None, sink)
+
   /** Measure REE/dict/FOR/delta in one pass; write and return the
     * smallest iff it saves >= 25% over `barBytes` (the caller's plain
     * footprint). `writeValidity` runs only inside the winning branch —
@@ -803,9 +809,31 @@ final class UnsignedEncoder(logical: Byte) extends ColumnEncoder {
     var i = 0
     while (i < elemSize) { buf.putByte(0); i += 1 }
   }
-  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta =
-    UnsignedMeta(validity.write(sink), logical,
-      sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
+  def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
+    // u8..u64 widen to their numeric i64 form and compete in the measured
+    // menu against the NARROW plain bar — sorted u64 timestamps
+    // delta-compress, id pools dict, random streams stay narrow plain
+    val n = buf.size / elemSize
+    val packed =
+      if (logical == Logical.F16 || n < 64) None
+      else {
+        val wide = new Bytes(n * 8)
+        val bb = Bytes.le(buf.array)
+        var i = 0
+        logical match {
+          case Logical.U8 => while (i < n) { wide.putLong(bb.get(i) & 0xffL); i += 1 }
+          case Logical.U16 => while (i < n) { wide.putLong(bb.getShort(i * 2) & 0xffffL); i += 1 }
+          case Logical.U32 => while (i < n) { wide.putLong(bb.getInt(i * 4) & 0xffffffffL); i += 1 }
+          case _ => while (i < n) { wide.putLong(bb.getLong(i * 8)); i += 1 } // u64 raw bits
+        }
+        MeasuredWrite.chooseWide(wide, n.toLong * elemSize, sink)
+      }
+    packed match {
+      case Some(inner) => UnsignedPackedMeta(validity.write(sink), logical, inner)
+      case None => UnsignedMeta(validity.write(sink), logical,
+        sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
+    }
+  }
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 }

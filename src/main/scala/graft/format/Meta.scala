@@ -77,6 +77,14 @@ object Meta {
     * original narrow width. `logical` ∈ [[Logical]] codes. */
   case class UnsignedMeta(validity: Option[BufferMeta], logical: Byte,
       values: BufferMeta) extends ColMeta
+  /** Measured-encoding wrapper for olive's unsigned types: the u8..u64
+    * values, widened to their numeric i64 form, stored under one of the
+    * integral encodings (FOR/delta/dict/REE/bit-pack) — chosen only when
+    * it beats the NARROW plain layout by the usual 25%, so sorted u64
+    * timestamps delta-compress while random u8 streams stay [[UnsignedMeta]].
+    * `inner` carries no validity (the wrapper owns it). */
+  case class UnsignedPackedMeta(validity: Option[BufferMeta], logical: Byte,
+      inner: ColMeta) extends ColMeta
   /** Run-end encoding (the reference's REE storage, `src/write.zig:405-421`,
     * `src/read.zig:431-448`): `ends` holds one exclusive i32 row end per
     * run, `values` one fixed-width value per run. Chosen by the writer
@@ -241,6 +249,8 @@ object Meta {
     case BitPackMeta(v, base, bits, values) =>
       b.putByte(13); writeOptBuffer(b, v); b.putLong(base); b.putByte(bits)
       writeBuffer(b, values)
+    case UnsignedPackedMeta(v, logical, inner) =>
+      b.putByte(14); writeOptBuffer(b, v); b.putByte(logical); writeCol(b, inner)
   }
 
   // ---- parsing (untrusted input: every field bounds-checked) --------------
@@ -439,6 +449,20 @@ object Meta {
         if (bits < 1 || bits > 56)
           throw new OliveFormatException(s"bad bit-pack width $bits")
         BitPackMeta(v, base, bits, readBuffer(c))
+      case 14 =>
+        val v = readOptBuffer(c)
+        val logical = c.getByte()
+        if (logical < Logical.U8 || logical > Logical.U64)
+          throw new OliveFormatException(s"bad packed unsigned code $logical")
+        val inner = readCol(c, depth + 1)
+        val innerOk = inner match {
+          case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta |
+               _: DeltaMeta | _: BitPackMeta => true
+          case _ => false
+        }
+        if (!innerOk || inner.validity.nonEmpty)
+          throw new OliveFormatException("bad packed unsigned inner encoding")
+        UnsignedPackedMeta(v, logical, inner)
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }

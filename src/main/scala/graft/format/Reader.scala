@@ -127,6 +127,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       math.max(0L, values.rawSize - 8) * 8 / bits
     case (ScaledMeta(_, _, inner), FloatType | DoubleType) =>
       impliedCount(inner, LongType) // inner is the scaled i64 stream
+    case (UnsignedPackedMeta(_, _, inner), _) =>
+      impliedCount(inner, LongType) // inner is the widened i64 stream
     // REE: runs only lower-bound the element count — no exact evidence
     case (BinDictMeta(_, _, w, _, _, idx), _) => idx.rawSize / w
     case (BinaryMeta(_, off, _), _) => off.rawSize / 4 - 1
@@ -157,6 +159,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
   private def looseCount(meta: ColMeta, dt: DataType): Boolean = meta match {
     case _: BitPackMeta => true
     case ScaledMeta(_, _, inner) => inner.isInstanceOf[BitPackMeta]
+    case UnsignedPackedMeta(_, _, inner) => inner.isInstanceOf[BitPackMeta]
     case _ => dt == BooleanType
   }
 
@@ -277,6 +280,11 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, 0L, n.toLong), dt, n)
       case (ScaledMeta(_, exponent, inner), _) =>
         fillScaled(vec, dt, exponent, scaledLongs(inner, 0L, n.toLong), n)
+      case (UnsignedPackedMeta(_, logical, inner), _) =>
+        if (dt != Logical.sparkType(logical))
+          throw new OliveFormatException(
+            s"${Logical.name(logical)} column requires ${Logical.sparkType(logical)}, scan asked $dt")
+        fillUnsignedWide(vec, logical, scaledLongs(inner, 0L, n.toLong), n)
       case (UnsignedMeta(_, logical, values), _) =>
         // narrow unsigned/half storage → widened Spark type (Logical)
         if (dt != Logical.sparkType(logical))
@@ -744,6 +752,37 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     }
   }
 
+  /** Fill an unsigned-widened vector from the PACKED representation's
+    * i64 stream (see [[Meta.UnsignedPackedMeta]]): each 8-byte value is
+    * already the numeric u8..u64 value (u64 = raw bits). */
+  private def fillUnsignedWide(vec: WritableColumnVector, logical: Byte,
+      bytes: Array[Byte], n: Int): Unit = {
+    if (bytes.length < n.toLong * 8)
+      throw new OliveFormatException(s"packed unsigned buffer ${bytes.length} < ${n.toLong * 8}")
+    val bb = Bytes.le(bytes)
+    var i = 0
+    logical match {
+      case Logical.U8 =>
+        while (i < n) { vec.putShort(i, bb.getLong(i * 8).toShort); i += 1 }
+      case Logical.U16 =>
+        while (i < n) { vec.putInt(i, bb.getLong(i * 8).toInt); i += 1 }
+      case Logical.U32 =>
+        while (i < n) { vec.putLong(i, bb.getLong(i * 8)); i += 1 }
+      case Logical.U64 =>
+        while (i < n) {
+          if (!vec.isNullAt(i)) {
+            val raw = bb.getLong(i * 8)
+            val dec = org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(new java.math.BigInteger(
+                java.lang.Long.toUnsignedString(raw))), 20, 0)
+            vec.putDecimal(i, dec, 20)
+          }
+          i += 1
+        }
+      case other => throw new OliveFormatException(s"bad packed unsigned code $other")
+    }
+  }
+
   /** Unsigned `w`-byte dictionary index at position i. */
   private def dictIdxAt(bb: java.nio.ByteBuffer, i: Int, w: Int): Int = w match {
     case 1 => bb.get(i) & 0xff
@@ -881,6 +920,11 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, e0, e1), dt, n)
       case (ScaledMeta(_, exponent, inner), _) =>
         fillScaled(vec, dt, exponent, scaledLongs(inner, e0, e1), n)
+      case (UnsignedPackedMeta(_, logical, inner), _) =>
+        if (dt != Logical.sparkType(logical))
+          throw new OliveFormatException(
+            s"${Logical.name(logical)} column requires ${Logical.sparkType(logical)}, scan asked $dt")
+        fillUnsignedWide(vec, logical, scaledLongs(inner, e0, e1), n)
       case (UnsignedMeta(_, logical, values), _) =>
         if (dt != Logical.sparkType(logical))
           throw new OliveFormatException(

@@ -246,6 +246,35 @@ class RoundTripSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("unsigned columns take measured encodings when they beat narrow plain") {
+    val big = "18446744073709551615" // 2^64 - 1
+    val df = spark.range(0, 40000).coalesce(1).select(
+      col("id"),
+      // sorted u64 near 2^64: consecutive deltas of 1 → delta-w1 (8x)
+      (lit(big).cast(DecimalType(20, 0)) - col("id").cast(DecimalType(20, 0)))
+        .cast(DecimalType(20, 0)).as("u64sorted", Logical.metadata("u64")),
+      // 40-entry u32 pool → dict beats 4-byte narrow plain
+      ((col("id") % 40) * 50000000L + 2147483648L).as("u32pool", Logical.metadata("u32")),
+      // random-ish u16: nothing beats 2-byte plain → stays UnsignedMeta
+      (col("id") * 31 % 65536).cast("int").as("u16rand", Logical.metadata("u16")))
+    val dir = tmpDir()
+    df.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val r = GraftFileReader.open(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      def metaOf(name: String) = t.columns(t.schema.fieldIndex(name))
+      val u64 = metaOf("u64sorted").asInstanceOf[Meta.UnsignedPackedMeta]
+      assert(u64.inner.isInstanceOf[Meta.DeltaMeta], u64.inner)
+      val u32 = metaOf("u32pool").asInstanceOf[Meta.UnsignedPackedMeta]
+      assert(u32.inner.isInstanceOf[Meta.PrimDictMeta], u32.inner)
+      assert(metaOf("u16rand").isInstanceOf[Meta.UnsignedMeta], metaOf("u16rand"))
+    } finally r.close()
+  }
+
   test("bit-packed FOR engages on non-byte ranges, also under scaled floats") {
     val df = spark.range(0, 40000).coalesce(1).select(
       col("id"),
