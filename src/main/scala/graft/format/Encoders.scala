@@ -816,6 +816,9 @@ final class UnsignedEncoder(logical: Byte) extends ColumnEncoder {
     val n = buf.size / elemSize
     val packed =
       if (logical == Logical.F16 || n < 64) None
+      else if (logical == Logical.U64)
+        // u64 raw bits ARE the i64 stream — no widening copy needed
+        MeasuredWrite.chooseWide(buf, n.toLong * 8, sink)
       else {
         val wide = new Bytes(n * 8)
         val bb = Bytes.le(buf.array)
@@ -823,8 +826,7 @@ final class UnsignedEncoder(logical: Byte) extends ColumnEncoder {
         logical match {
           case Logical.U8 => while (i < n) { wide.putLong(bb.get(i) & 0xffL); i += 1 }
           case Logical.U16 => while (i < n) { wide.putLong(bb.getShort(i * 2) & 0xffffL); i += 1 }
-          case Logical.U32 => while (i < n) { wide.putLong(bb.getInt(i * 4) & 0xffffffffL); i += 1 }
-          case _ => while (i < n) { wide.putLong(bb.getLong(i * 8)); i += 1 } // u64 raw bits
+          case _ => while (i < n) { wide.putLong(bb.getInt(i * 4) & 0xffffffffL); i += 1 } // u32
         }
         MeasuredWrite.chooseWide(wide, n.toLong * elemSize, sink)
       }

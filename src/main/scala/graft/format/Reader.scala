@@ -305,13 +305,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
             while (i < n) { vec.putLong(i, bb.getInt(i * 4) & 0xffffffffL); i += 1 }
           case Logical.U64 =>
             while (i < n) {
-              if (!vec.isNullAt(i)) {
-                val raw = bb.getLong(i * 8)
-                val dec = org.apache.spark.sql.types.Decimal(
-                  new java.math.BigDecimal(new java.math.BigInteger(
-                    java.lang.Long.toUnsignedString(raw))), 20, 0)
-                vec.putDecimal(i, dec, 20)
-              }
+              if (!vec.isNullAt(i)) putU64Decimal(vec, i, bb.getLong(i * 8))
               i += 1
             }
           case Logical.F16 =>
@@ -752,31 +746,40 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     }
   }
 
+  /** Write one u64 raw-bits value as Decimal(20,0) — shared by the
+    * narrow and packed unsigned decode paths. */
+  private def putU64Decimal(vec: WritableColumnVector, i: Int, raw: Long): Unit = {
+    val dec = org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(
+        java.lang.Long.toUnsignedString(raw))), 20, 0)
+    vec.putDecimal(i, dec, 20)
+  }
+
   /** Fill an unsigned-widened vector from the PACKED representation's
     * i64 stream (see [[Meta.UnsignedPackedMeta]]): each 8-byte value is
-    * already the numeric u8..u64 value (u64 = raw bits). */
+    * the numeric u8..u64 value (u64 = raw bits). Values outside the
+    * logical domain prove a lying footer (the writer range-checks every
+    * value) and fail like any other adversarial input — the documented
+    * "a graft file can never hold an out-of-range u8" invariant. */
   private def fillUnsignedWide(vec: WritableColumnVector, logical: Byte,
       bytes: Array[Byte], n: Int): Unit = {
     if (bytes.length < n.toLong * 8)
       throw new OliveFormatException(s"packed unsigned buffer ${bytes.length} < ${n.toLong * 8}")
     val bb = Bytes.le(bytes)
+    def domain(v: Long, max: Long): Long =
+      if (v < 0 || v > max) throw new OliveFormatException(
+        s"value $v outside ${Logical.name(logical)} domain") else v
     var i = 0
     logical match {
       case Logical.U8 =>
-        while (i < n) { vec.putShort(i, bb.getLong(i * 8).toShort); i += 1 }
+        while (i < n) { vec.putShort(i, domain(bb.getLong(i * 8), 0xffL).toShort); i += 1 }
       case Logical.U16 =>
-        while (i < n) { vec.putInt(i, bb.getLong(i * 8).toInt); i += 1 }
+        while (i < n) { vec.putInt(i, domain(bb.getLong(i * 8), 0xffffL).toInt); i += 1 }
       case Logical.U32 =>
-        while (i < n) { vec.putLong(i, bb.getLong(i * 8)); i += 1 }
+        while (i < n) { vec.putLong(i, domain(bb.getLong(i * 8), 0xffffffffL)); i += 1 }
       case Logical.U64 =>
         while (i < n) {
-          if (!vec.isNullAt(i)) {
-            val raw = bb.getLong(i * 8)
-            val dec = org.apache.spark.sql.types.Decimal(
-              new java.math.BigDecimal(new java.math.BigInteger(
-                java.lang.Long.toUnsignedString(raw))), 20, 0)
-            vec.putDecimal(i, dec, 20)
-          }
+          if (!vec.isNullAt(i)) putU64Decimal(vec, i, bb.getLong(i * 8))
           i += 1
         }
       case other => throw new OliveFormatException(s"bad packed unsigned code $other")
@@ -942,13 +945,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
             while (i < n) { vec.putLong(i, bb.getInt(i * 4) & 0xffffffffL); i += 1 }
           case Logical.U64 =>
             while (i < n) {
-              if (!vec.isNullAt(i)) {
-                val raw = bb.getLong(i * 8)
-                val dec = org.apache.spark.sql.types.Decimal(
-                  new java.math.BigDecimal(new java.math.BigInteger(
-                    java.lang.Long.toUnsignedString(raw))), 20, 0)
-                vec.putDecimal(i, dec, 20)
-              }
+              if (!vec.isNullAt(i)) putU64Decimal(vec, i, bb.getLong(i * 8))
               i += 1
             }
           case Logical.F16 =>
