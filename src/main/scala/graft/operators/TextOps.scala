@@ -222,17 +222,33 @@ object TextOps {
   // sharing ≥1 token (a zero-overlap doc can never rank above one with
   // overlap, so top-5 semantics are unchanged while skipping the
   // all-pairs evaluation a broadcast join implies).
+  //
+  // SKEW: stop tokens ("the", "a") post in ~every document, so the raw
+  // (lang, tok) key is quadratically hot — one reducer would generate
+  // |docs|x|probes| pairs for "the" while the rest idle. The join is
+  // therefore SALTED: the doc side sends each posting to one of
+  // `JaccardSalt` buckets keyed by hash(doc_id); the probe side
+  // replicates each posting into all buckets. Every (doc, probe, tok)
+  // pair still meets exactly once (in the doc's bucket), so intersection
+  // counts — and thus results — are bit-identical to the unsalted join,
+  // but the hot key's work is spread over `JaccardSalt` tasks. Probe-side
+  // replication is cheap: probes are 1% of the corpus, so x16 replication
+  // is 16% of one corpus-side explode. Pair counts partial-aggregate
+  // map-side before the (probe, doc) shuffle.
+  private val JaccardSalt = 16
   private val q37: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val toks = docsWithTokens(s, d)
       .withColumn("tset", array_distinct(col("toks")))
       .select(col("doc_id"), col("lang"), col("tset"), size(col("tset")).as("tsize"))
     val docTok = toks.select(col("doc_id"), col("lang"), col("tsize"),
-      explode(col("tset")).as("tok"))
+        explode(col("tset")).as("tok"))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(JaccardSalt)))
     val probeTok = toks.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("probe_id"), col("lang"), col("tsize").as("psize"),
         explode(col("tset")).as("tok"))
-    val joined = docTok.join(probeTok, Seq("lang", "tok"))
+      .withColumn("salt", explode(sequence(lit(0), lit(JaccardSalt - 1))))
+    val joined = docTok.join(probeTok, Seq("lang", "tok", "salt"))
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id"), col("psize"), col("tsize"))
       .agg(count(lit(1)).as("inter"))
