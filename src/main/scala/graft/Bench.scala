@@ -23,15 +23,22 @@ object Bench {
     }
     // min of 2 runs per query: the first run carries one-time codegen
     // compilation and is exposed to co-tenant load bursts; the min is the
-    // reproducible per-query cost (disclosed via "runs" below)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // reproducible per-query cost (disclosed via "runs" below).
+    // Isolation, so round-over-round numbers are comparable:
+    //  - queries run in sorted-name order (SparkEntry.queries is a
+    //    HashMap whose iteration order shifts whenever a query is added,
+    //    which silently reorders any order-dependent interference);
+    //  - a full GC runs before each query so one query's garbage isn't
+    //    charged to the next one's timed runs.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -681,7 +681,13 @@ object Relational {
   // Both sides bucketed on the join key at write time => the join needs
   // no Exchange; at 100 TB this turns every repeated join on the key
   // into a local zip of buckets.
-  private val q29b: Q = (s, d) => {
+  private val q29b: Q = (s0, d) => {
+    // Child session: shares the SparkContext and catalog but owns its
+    // SQLConf, so forcing the bucketed-scan flag here cannot leak into
+    // queries that run later in the caller's session. The returned
+    // DataFrame is bound to the child session, so the flag is still in
+    // effect when the plan executes lazily.
+    val s = s0.newSession()
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val db = "graft_buckets"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")

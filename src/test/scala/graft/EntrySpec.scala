@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract invariants for SparkEntry. */
-class EntrySpec extends AnyFunSuite {
+class EntrySpec extends AnyFunSuite with SparkSpec {
   test("every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
@@ -15,5 +15,15 @@ class EntrySpec extends AnyFunSuite {
     assert(noOracle == Set("q28_approx_distinct", "q35_minhash_lsh", "q36_simhash",
       "q38b_rolling_fingerprint", "q41_ann_lsh", "q44_ivf_ann"),
       s"unexpected rows-only queries: $noOracle")
+  }
+  test("q29b executes under its own conf and leaves the caller session untouched") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, s"driver testdata not present at $sf")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    assert(spark.conf.get(key) == "true", "precondition: flag at default")
+    val df = SparkEntry.queries("q29b_bucketed_join")(spark, sf)
+    assert(df.count() > 0)
+    assert(spark.conf.get(key) == "true",
+      "q29b leaked autoBucketedScan=false into the caller session")
   }
 }
