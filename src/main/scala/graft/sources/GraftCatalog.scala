@@ -53,15 +53,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def schemaMarker(dir: String, table: String): Path =
     new Path(dir, s".schema_$table.json")
 
+  /** Batched-parallel footer probe with early exit: the common "hit in
+    * the first file" case costs one 64-file parallel round; a full miss
+    * costs ceil(n/64) rounds of 16-way-concurrent opens instead of n
+    * serial driver round-trips (minutes at 10^6 object-store files). */
+  private def probeFooters[T](files: Seq[Path])(f: Path => Option[T]): Option[T] =
+    files.grouped(64).map { batch =>
+      GraftDataSource.inParallel(batch)(f).collectFirst { case Some(t) => t }
+    }.collectFirst { case Some(t) => t }
+
+  private def openFooter[T](f: Path)(g: GraftFileReader => T): T = {
+    val r = GraftFileReader.open(f.getFileSystem(conf), f)
+    try g(r) finally r.close()
+  }
+
   /** Search the namespace's files for `table`'s schema (any file may hold
     * it); fall back to the createTable marker for not-yet-written tables. */
   private def findTableSchema(dir: String, table: String): Option[StructType] = {
     val files = GraftDataSource.listFiles(conf, dir)
-    val fromFiles = files.iterator.flatMap { f =>
-      val r = GraftFileReader.open(f.getFileSystem(conf), f)
-      try r.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema)
-      finally r.close()
-    }.nextOption()
+    val fromFiles = probeFooters(files) { f =>
+      openFooter(f)(_.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema))
+    }
     fromFiles.orElse {
       val marker = schemaMarker(dir, table)
       val fs = marker.getFileSystem(conf)
@@ -106,10 +118,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
-    val fromFiles = GraftDataSource.listFiles(conf, dir).flatMap { f =>
-      val r = GraftFileReader.open(f.getFileSystem(conf), f)
-      try r.tableNames finally r.close()
-    }
+    // every footer must be read (a namespace's tables are the union
+    // across files), so probe them all 16-way concurrently
+    val fromFiles = GraftDataSource.inParallel(
+      GraftDataSource.listFiles(conf, dir))(f => openFooter(f)(_.tableNames)).flatten
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     val fromMarkers =
@@ -157,9 +169,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = nsDir(ident.namespace())
     val files = GraftDataSource.listFiles(conf, dir)
-    val owned = files.flatMap { f =>
-      val r = GraftFileReader.open(f.getFileSystem(conf), f)
-      val names = try r.tableNames finally r.close()
+    val probed = GraftDataSource.inParallel(files)(f => (f, openFooter(f)(_.tableNames)))
+    val owned = probed.flatMap { case (f, names) =>
       if (names == Seq(ident.name())) Some(f)
       else if (names.contains(ident.name()))
         throw new UnsupportedOperationException(

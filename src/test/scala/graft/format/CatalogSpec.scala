@@ -71,6 +71,37 @@ class CatalogSpec extends SparkSpec {
     assert(files.length >= 5) // 3 alpha + 2 beta tasks
   }
 
+  test("many-file namespace: parallel footer probes keep listing fast") {
+    val root = Files.createTempDirectory("graft-catp").toString
+    val conf = new Configuration()
+    val sA = StructType(Seq(StructField("k", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(sA).createSerializer()
+    (0 until 300).foreach { i =>
+      val file = new Path(f"$root/dbp/f$i%04d.graft")
+      val fs = file.getFileSystem(conf)
+      fs.mkdirs(file.getParent)
+      val out = fs.create(file, true)
+      val w = new GraftFileWriter(out)
+      val tb = new TableBuffer("wide", sA)
+      tb.appendRow(enc(Row(i.toLong)).copy())
+      w.writeChunk(Seq(tb))
+      w.finish()
+      out.close()
+    }
+    spark.conf.set("spark.sql.catalog.graft_catp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_catp.root", root)
+    val t0 = System.nanoTime()
+    val tables = spark.sql("SHOW TABLES IN graft_catp.dbp").collect().map(_.getString(1)).toSet
+    val n = spark.sql("SELECT count(*) AS n FROM graft_catp.dbp.wide").head.getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(tables == Set("wide"))
+    assert(n == 300)
+    // 300 footers: listTables probes all (16-way concurrent), loadTable's
+    // schema search exits on its first 64-file batch; serial driver opens
+    // at object-store latencies would blow far past this bound
+    assert(sec < 20.0, f"many-file catalog ops took $sec%.1fs")
+  }
+
   test("createTable marker, writeTo append, and dropTable") {
     val root = Files.createTempDirectory("graft-catc").toString
     spark.conf.set("spark.sql.catalog.graft_catc", "graft.sources.GraftCatalog")
