@@ -123,8 +123,14 @@ object GraftDataSource {
   def listPartitionedFiles(conf: Configuration, dir: String): Seq[(Path, Map[String, String])] =
     listPartitionedSized(conf, dir).map { case (p, _, part) => (p, part) }
 
+  /** Test-visible count of recursive directory listings; specs assert a
+    * query's planning costs exactly one (stats + partition planning share
+    * the scan's cached listing). */
+  private[graft] val listingCalls = new java.util.concurrent.atomic.AtomicLong
+
   /** Listing variant carrying on-disk byte sizes (for planner statistics). */
   def listPartitionedSized(conf: Configuration, dir: String): Seq[(Path, Long, Map[String, String])] = {
+    listingCalls.incrementAndGet()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
@@ -320,13 +326,23 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
+  private val conf = new Configuration()
+
+  /** ONE directory listing per scan: estimateStatistics and
+    * planInputPartitions both consume this cache, so planning a query
+    * costs a single recursive listing (at 10^6 object-store files each
+    * listing is seconds — the planner used to pay it twice). The listing
+    * is unfiltered; pruning applies per consumer because runtime (DPP)
+    * filters can arrive between the two calls. */
+  private lazy val listing: Seq[(org.apache.hadoop.fs.Path, Long, Map[String, String])] =
+    dirs.flatMap(GraftDataSource.listPartitionedSized(conf, _))
+
   /** Planner statistics from the (partition-pruned) listing: compressed
     * bytes on disk scaled by a conservative decode-expansion factor.
     * Without this a V2 scan defaults to "unknown = huge" and a small
     * graft dimension never auto-broadcasts in a join. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val conf = new Configuration()
-    val files = dirs.flatMap(GraftDataSource.listPartitionedSized(conf, _))
+    val files = listing
     val partSchema = StructType(
       files.flatMap(_._3.keys).distinct.map(StructField(_, StringType)))
     val kept = files.filterNot { case (_, _, part) =>
@@ -381,8 +397,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * happens for a handful of files), so a single multi-chunk file never
     * serializes onto one task. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
-    val files = dirs.flatMap(GraftDataSource.listPartitionedFiles(conf, _))
+    val files = listing.map { case (p, _, part) => (p, part) }
     val partSchema = StructType(
       GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
     val kept = files.filterNot { case (_, part) =>

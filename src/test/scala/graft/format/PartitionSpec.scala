@@ -108,6 +108,18 @@ class PartitionSpec extends SparkSpec {
     assert(ms < 30000, s"listing took ${ms}ms")
   }
 
+  test("query planning lists the directory exactly once") {
+    val dir = writePartitioned()
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("region") === "eu").groupBy(col("dt")).count()
+    val before = graft.sources.GraftDataSource.listingCalls.get()
+    assert(df.collect().length == 3)
+    val calls = graft.sources.GraftDataSource.listingCalls.get() - before
+    // estimateStatistics + planInputPartitions share the scan's cached
+    // listing; without the cache this query pays 2+ recursive listings
+    assert(calls == 1, s"expected 1 directory listing during planning, saw $calls")
+  }
+
   test("partition pruning drops files at planning time") {
     val dir = writePartitioned()
     val df = spark.read.format("graft").load(dir)
