@@ -15,10 +15,19 @@ final class Bytes(initial: Int = 64) {
   def array: Array[Byte] = buf
 
   private def ensure(extra: Int): Unit = {
+    // i32 offsets cap any one buffer at 2 GiB (the reference's i64-offset
+    // large_binary path is out of scope, `src/write.zig:795-839`): a
+    // pathological value — e.g. one >2 GiB string — must fail as a clean
+    // format error at write time, not wrap the length into a JVM
+    // ArrayIndexOutOfBounds deep in the encoder
+    if (extra < 0 || len.toLong + extra > Bytes.MaxBufferBytes)
+      throw new OliveFormatException(
+        s"buffer would exceed ${Bytes.MaxBufferBytes} bytes (i32-offset format limit); " +
+          "split the chunk or shrink the value")
     if (len + extra > buf.length) {
       var cap = buf.length * 2
-      while (cap < len + extra) cap *= 2
-      buf = java.util.Arrays.copyOf(buf, cap)
+      while (cap < len + extra && cap > 0) cap *= 2
+      buf = java.util.Arrays.copyOf(buf, if (cap > 0) cap else Bytes.MaxBufferBytes)
     }
   }
 
@@ -85,6 +94,10 @@ final class ByteCursor(buf: Array[Byte], start: Int, end: Int) {
 }
 
 object Bytes {
+  /** Hard cap per encoded buffer: i32 offsets address at most 2 GiB, and
+    * the JVM caps arrays a few words short of Int.MaxValue. */
+  val MaxBufferBytes: Int = Int.MaxValue - 16
+
   /** View a byte array region as a little-endian ByteBuffer. */
   def le(buf: Array[Byte]): ByteBuffer =
     ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)

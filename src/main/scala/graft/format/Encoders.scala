@@ -125,6 +125,14 @@ object ColumnEncoder {
     * Spark mapping for olive `fixed_size_binary(w)` — SURVEY.md §1.2). */
   val FixedWidthKey = "graft.fixedWidth"
 
+  /** Writer-asserted "map keys are sorted" flag, the Spark mapping for
+    * the reference's `keys_are_sorted` map header bit
+    * (`src/header.zig:128`). Pure metadata passthrough, exactly like the
+    * reference: the format neither sorts nor verifies — the flag rides
+    * the schema JSON through the footer so a reader that can exploit
+    * sorted keys (merge lookups, binary search) sees the writer's claim. */
+  val MapKeysSortedKey = "graft.mapKeysSorted"
+
   def forType(dt: DataType, metadata: Metadata = Metadata.empty): ColumnEncoder =
     Logical.of(metadata) match {
       case Some(lt) => forLogical(lt, dt, metadata)
@@ -628,7 +636,7 @@ final class BinaryEncoder extends ColumnEncoder {
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
     val (offBytes, offLen) = offsets.toBytes
     val n = offLen / 4 - 1
-    tryDictEncode(n) match {
+    tryDictEncode(n, offBytes) match {
       case Some((entries, entryOffsets, indices)) =>
         val dictData = new Bytes(entries.size)
         // entry bytes are slices of `data` in first-seen order
@@ -671,12 +679,13 @@ final class BinaryEncoder extends ColumnEncoder {
 
   /** (first-seen row index per distinct value, placeholder, per-row dict
     * index) — or None when the column isn't dict-worthy. */
-  private def tryDictEncode(n: Int): Option[(java.util.ArrayList[Integer], Unit, Array[Int])] = {
+  private def tryDictEncode(n: Int,
+      offBytes: Array[Byte]): Option[(java.util.ArrayList[Integer], Unit, Array[Int])] = {
     if (n < 16) return None
     val seen = new java.util.HashMap[ValueKey, Integer]()
     val firstRows = new java.util.ArrayList[Integer]()
     val indices = new Array[Int](n)
-    val bb = Bytes.le({ val (o, _) = offsets.toBytes; o })
+    val bb = Bytes.le(offBytes) // caller's serialization, not a second one
     var i = 0
     while (i < n) {
       val s = bb.getInt(i * 4)

@@ -238,6 +238,21 @@ class AdversarialSpec extends SparkSpec {
     intercept[OliveFormatException](tryOpen(withCol(scaled.copy(inner = innerWithValidity))))
   }
 
+  test("a >2 GiB value fails as a clean format error, not an array wrap") {
+    // the guard fires on the requested length BEFORE allocating, so the
+    // test exercises the real write path without needing 2 GiB of heap
+    val b = new Bytes(16)
+    val e = intercept[OliveFormatException](
+      b.putBytes(new Array[Byte](1), 0, Int.MaxValue - 8))
+    assert(e.getMessage.contains("i32-offset format limit"))
+    // cumulative overflow: a second put that crosses the cap also fails
+    // cleanly (len + extra evaluated in 64-bit, no int wrap)
+    val c = new Bytes(16)
+    c.putBytes(new Array[Byte](1024))
+    intercept[OliveFormatException](c.putBytes(new Array[Byte](1), 0, Int.MaxValue - 900))
+    assert(c.size == 1024) // buffer unchanged after the refused put
+  }
+
   test("footer codec round-trips and rejects trailing bytes") {
     val f = writeSample()
     val hp = new Path(f.toString)
