@@ -69,6 +69,25 @@ class RoundTripSpec extends SparkSpec {
     assert(canon(back) == canon(df))
   }
 
+  test("map keys_are_sorted flag rides field metadata through the footer") {
+    // ref `src/header.zig:128`: writer-asserted, never verified — a pure
+    // metadata passthrough the reader surfaces unchanged
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(ColumnEncoder.MapKeysSortedKey, true).build()
+    val base = spark.range(0, 50).select(
+      col("id"), map(lit("a"), col("id"), lit("b"), col("id") * 2).as("m"))
+    val tagged = base.select(col("id"), col("m").as("m", md))
+    assert(tagged.schema("m").metadata.getBoolean(ColumnEncoder.MapKeysSortedKey))
+    val back = roundTrip(tagged)
+    assert(back.schema("m").metadata.contains(ColumnEncoder.MapKeysSortedKey)
+      && back.schema("m").metadata.getBoolean(ColumnEncoder.MapKeysSortedKey),
+      s"flag lost in round-trip: ${back.schema("m").metadata}")
+    assert(canon(back) == canon(tagged))
+    // untagged maps stay untagged — the flag is opt-in, not inferred
+    val plain = roundTrip(base)
+    assert(!plain.schema("m").metadata.contains(ColumnEncoder.MapKeysSortedKey))
+  }
+
   test("fixed-size binary 20/32 use the chunk-global dict and round-trip") {
     val meta20 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 20).build()
     val meta32 = new MetadataBuilder().putLong(ColumnEncoder.FixedWidthKey, 32).build()
