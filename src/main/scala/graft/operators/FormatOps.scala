@@ -316,40 +316,79 @@ object FormatOps {
   /** Offline compaction — the 100 TB small-files maintenance operator:
     * rewrite a graft dir's many task-sized files into `targetFiles`,
     * preserving schema, hive partition layout, and any write options
-    * (bloom columns, bias, chunkrows). Readers during the final swap see
-    * the dir briefly mid-rename (offline semantics; a manifest-swap
-    * upgrade would make it atomic — out of scope here, the operator
-    * contract is the point). Content is provably preserved: q92 gates the
-    * post-compaction aggregate against the parquet oracle. */
+    * (bloom columns, bias, chunkrows).
+    *
+    * ATOMIC for readers, via a generation pointer: the compacted data is
+    * written FULLY into a fresh `gen-NNNNN` subdirectory beside the live
+    * one, then `.graft-gen` is replaced by a single atomic rename
+    * (FileContext + Rename.OVERWRITE). A concurrent reader resolves the
+    * pointer once per scan and sees the old generation or the new one,
+    * never a mid-swap mixture — and the superseded generation is NOT
+    * deleted here (it is invisible but intact, so in-flight queries that
+    * planned against it keep reading it); a LATER compact run reclaims
+    * it once the last swap is at least `graceMs` old. Offline means no
+    * concurrent WRITERS; readers are safe throughout. Crash anywhere:
+    * the pointer still names a complete generation (a half-written gen
+    * dir is unreferenced garbage the next run removes unconditionally).
+    * Content is provably preserved: q92 gates the post-compaction
+    * aggregate against the parquet oracle. */
   def compact(s: SparkSession, dir: String, targetFiles: Int,
-      writeOptions: Map[String, String] = Map.empty): Unit = {
+      writeOptions: Map[String, String] = Map.empty,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    import graft.sources.GraftDataSource
+    import org.apache.hadoop.fs.Path
     val conf = new org.apache.hadoop.conf.Configuration()
-    val root = new org.apache.hadoop.fs.Path(dir)
+    val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
-    if (fs.exists(old) && !fs.exists(root)) {
-      // a previous run died mid-swap: `old` holds the ONLY copy — restore
-      // it before anything else (deleting it here would destroy the data)
-      if (!fs.rename(old, root))
-        throw new IllegalStateException(s"failed to restore $old after interrupted compaction")
-    } else if (fs.exists(old)) fs.delete(old, true) // completed swap's leftover
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir)
+    val liveIdx = liveGen.map(_.stripPrefix("gen-").toInt)
+    // Entry sweep. Two kinds of dead data, two rules:
+    //  - NEVER-referenced garbage (gen dirs with no pointer, or an index
+    //    above the live one — a crashed compaction's half-written output)
+    //    is deleted unconditionally: no reader can have planned on it.
+    //  - SUPERSEDED data (generations below the live index, legacy loose
+    //    files once a pointer exists) had readers until the last swap, so
+    //    it is reclaimed only when that swap is at least `graceMs` old —
+    //    rapid repeated compactions accumulate grace copies instead of
+    //    yanking files from under in-flight queries.
+    val lastSwapOld = liveGen.exists { _ =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
+      age >= graceMs
+    }
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val genIdx = if (st.isDirectory && n.startsWith("gen-"))
+        n.stripPrefix("gen-").toIntOption else None
+      genIdx match {
+        case Some(i) if liveIdx.isEmpty || i > liveIdx.get => fs.delete(st.getPath, true)
+        case Some(i) if i < liveIdx.get && lastSwapOld => fs.delete(st.getPath, true)
+        case _ =>
+          if (lastSwapOld && st.isDirectory && n.contains("=")) fs.delete(st.getPath, true)
+          else if (lastSwapOld && st.isFile && n.endsWith(".graft")) fs.delete(st.getPath, false)
+      }
+    }
+    val nextGen = f"gen-${liveGen.map(_.stripPrefix("gen-").toInt + 1).getOrElse(1)}%05d"
     // hive-style partition columns re-route to the same layout on rewrite
-    val partCols = graft.sources.GraftDataSource.partitionColumns(
-      graft.sources.GraftDataSource.listPartitionedFiles(conf, dir))
+    val partCols = GraftDataSource.partitionColumns(
+      GraftDataSource.listPartitionedFiles(conf, dir))
     val df = s.read.format("graft").load(dir)
     val base = df.repartition(targetFiles).write.format("graft")
       .options(writeOptions).mode("overwrite")
     val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
-    w.save(tmp.toString)
-    if (!fs.rename(root, old))
-      throw new IllegalStateException(s"compaction swap failed for $dir")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(old, root) // roll back: readers keep the original table
-      throw new IllegalStateException(s"compaction swap failed for $dir; original restored")
-    }
-    fs.delete(old, true)
+    w.save(new Path(root, nextGen).toString)
+    // the swap: one atomic pointer replacement
+    val ptr = new Path(root, GraftDataSource.GenPointerName)
+    val ptrTmp = new Path(root, GraftDataSource.GenPointerName + ".tmp")
+    val out = fs.create(ptrTmp, true)
+    try out.write(nextGen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
+      .rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // deliberately NO deletion here: the superseded data (legacy loose
+    // files or the previous gen dir) is invisible behind the pointer but
+    // intact, so queries planned against it finish cleanly; a later
+    // compact's entry sweep reclaims it after `graceMs`
   }
 
   // ---- q92: compaction preserves content ------------------------------------

@@ -128,10 +128,41 @@ object GraftDataSource {
     * the scan's cached listing). */
   private[graft] val listingCalls = new java.util.concurrent.atomic.AtomicLong
 
+  /** Generation pointer written by [[graft.operators.FormatOps.compact]]:
+    * when `dir/.graft-gen` exists, its single line names the live data
+    * subdirectory (`gen-NNNNN`) and every read and write resolves through
+    * it. The pointer is replaced by an atomic rename, so a concurrent
+    * reader sees the previous generation or the new one — never a
+    * half-swapped directory. Dirs without a pointer (the common layout)
+    * resolve to themselves. */
+  val GenPointerName = ".graft-gen"
+
+  /** The live generation's name from `dir`'s pointer, if any. */
+  def readGenPointer(conf: Configuration, dir: String): Option[String] = {
+    val ptr = new Path(dir, GenPointerName)
+    val fs = ptr.getFileSystem(conf)
+    try {
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(s).filter(_.nonEmpty)
+      }
+    } catch { // pointer replaced between exists() and open(): retry once
+      case _: java.io.FileNotFoundException => readGenPointer(conf, dir)
+    }
+  }
+
+  /** Resolve the live data directory: `dir/<gen>` under a generation
+    * pointer, `dir` itself otherwise. */
+  def resolveDataDir(conf: Configuration, dir: String): String =
+    readGenPointer(conf, dir).map(g => new Path(dir, g).toString).getOrElse(dir)
+
   /** Listing variant carrying on-disk byte sizes (for planner statistics). */
   def listPartitionedSized(conf: Configuration, dir: String): Seq[(Path, Long, Map[String, String])] = {
     listingCalls.incrementAndGet()
-    val root = new Path(dir)
+    val root = new Path(resolveDataDir(conf, dir))
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
     val rootStatus = fs.getFileStatus(root)
@@ -746,7 +777,8 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     private object streamingWrite extends StreamingWrite {
       override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
         batchWrite.createBatchWriterFactory(pinfo) // dir setup / truncate
-        new GraftStreamingWriterFactory(dir, info.schema(),
+        new GraftStreamingWriterFactory(
+          GraftDataSource.resolveDataDir(new Configuration(), dir), info.schema(),
           Option(options.get("table")).getOrElse("data"),
           Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
@@ -805,6 +837,15 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) {
+      // overwrite resets a compacted table to the plain layout: drop the
+      // generation pointer and every generation dir along with loose files
+      val ptr = new Path(p, GraftDataSource.GenPointerName)
+      if (fs.exists(ptr)) {
+        fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+          .foreach(s => fs.delete(s.getPath, true))
+        fs.delete(ptr, false)
+      }
       GraftDataSource.listFiles(conf, dir).foreach(f => fs.delete(f, false))
       // also sweep tmp orphans left by crashed task attempts (root and
       // hive-style partition dirs)
@@ -815,8 +856,11 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       }
       sweep(p)
     }
-    fs.mkdirs(p)
-    new GraftWriterFactory(dir, schema, table, pageSize, bias, chunkRows,
+    // appends land in the live generation, so a compacted table keeps
+    // accepting writes through the same path
+    val dataDir = GraftDataSource.resolveDataDir(conf, dir)
+    fs.mkdirs(new Path(dataDir))
+    new GraftWriterFactory(dataDir, schema, table, pageSize, bias, chunkRows,
       partCols, new SerializableConfiguration(conf), bloomCols)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {}

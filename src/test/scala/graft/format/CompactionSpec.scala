@@ -8,10 +8,11 @@ import graft.SparkSpec
 import graft.operators.FormatOps
 
 /** Offline compaction: many task-sized files collapse to few, content
-  * and hive partition layout preserved. */
+  * and hive partition layout preserved, and the generation-pointer swap
+  * is atomic for concurrent readers. */
 class CompactionSpec extends SparkSpec {
 
-  private def graftFiles(dir: String): Seq[java.io.File] = {
+  private def graftFilesUnder(dir: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".graft")) Seq(f)
@@ -19,36 +20,49 @@ class CompactionSpec extends SparkSpec {
     walk(new java.io.File(dir))
   }
 
+  /** Files of the LIVE generation only (what a reader resolves to). */
+  private def liveFiles(dir: String): Seq[java.io.File] =
+    graftFilesUnder(graft.sources.GraftDataSource.resolveDataDir(
+      new org.apache.hadoop.conf.Configuration(), dir))
+
   test("flat dir: 32 small files compact to 4, content identical") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val df = spark.range(0, 20000)
       .selectExpr("id", "concat('v', id % 100) AS v", "cast(id as double) / 4 AS d")
     df.repartition(32).write.format("graft").option("chunkrows", "500")
       .mode("overwrite").save(dir)
-    assert(graftFiles(dir).size == 32)
+    assert(liveFiles(dir).size == 32)
     val before = canon(spark.read.format("graft").load(dir))
     FormatOps.compact(spark, dir, targetFiles = 4)
-    assert(graftFiles(dir).size == 4, s"got ${graftFiles(dir).size} files")
+    assert(liveFiles(dir).size == 4, s"got ${liveFiles(dir).size} files")
     assert(canon(spark.read.format("graft").load(dir)) == before)
-    // leftovers swept
-    assert(!new java.io.File(dir + ".compact-tmp").exists)
-    assert(!new java.io.File(dir + ".compact-old").exists)
+    // legacy loose files stay (invisible) until the grace period passes
+    assert(graftFilesUnder(dir).size == 32 + 4)
+    // a second compaction with expired grace sweeps them at entry and
+    // keeps gen-1 as the new grace copy
+    FormatOps.compact(spark, dir, targetFiles = 2, graceMs = 0L)
+    assert(liveFiles(dir).size == 2)
+    assert(canon(spark.read.format("graft").load(dir)) == before)
+    assert(graftFilesUnder(dir).size == 2 + 4) // gen-2 live + gen-1 grace copy
   }
 
-  test("interrupted swap recovers: .compact-old is restored, never deleted") {
+  test("crash before the pointer swap leaves readers on the old generation") {
     val dir = Files.createTempDirectory("graft-compact-crash").toString
     spark.range(0, 5000).selectExpr("id", "id * 2 AS v")
       .repartition(8).write.format("graft").mode("overwrite").save(dir)
     val before = canon(spark.read.format("graft").load(dir))
-    // simulate a crash between the two swap renames: data lives ONLY at
-    // .compact-old, the table dir is gone
-    val root = new java.io.File(dir)
-    val old = new java.io.File(dir + ".compact-old")
-    assert(root.renameTo(old))
-    FormatOps.compact(spark, dir, targetFiles = 2)
-    assert(graftFiles(dir).size == 2)
+    // simulate a compaction that died mid-write: a half-baked gen dir
+    // exists but the pointer was never swapped
+    val halfGen = new java.io.File(dir, "gen-00001")
+    assert(halfGen.mkdir())
+    spark.range(0, 7).selectExpr("id", "id AS v").coalesce(1)
+      .write.format("graft").mode("append").save(halfGen.toString)
+    // readers are unaffected: no pointer -> legacy layout is live
     assert(canon(spark.read.format("graft").load(dir)) == before)
-    assert(!old.exists)
+    // the next compaction sweeps the orphan and completes
+    FormatOps.compact(spark, dir, targetFiles = 2)
+    assert(liveFiles(dir).size == 2)
+    assert(canon(spark.read.format("graft").load(dir)) == before)
   }
 
   test("partitioned dir: layout survives compaction and still prunes") {
@@ -59,13 +73,64 @@ class CompactionSpec extends SparkSpec {
       .write.format("graft").option("partitionBy", "grp").option("chunkrows", "200")
       .mode("overwrite").save(dir)
     val before = canon(spark.read.format("graft").load(dir))
-    val nBefore = graftFiles(dir).size
+    val nBefore = liveFiles(dir).size
     FormatOps.compact(spark, dir, targetFiles = 2)
-    assert(graftFiles(dir).size < nBefore)
-    // hive layout preserved: per-partition dirs still exist
-    assert(new java.io.File(dir, "grp=g0").isDirectory)
+    assert(liveFiles(dir).size < nBefore)
+    // hive layout preserved inside the live generation
+    val live = graft.sources.GraftDataSource.resolveDataDir(
+      new org.apache.hadoop.conf.Configuration(), dir)
+    assert(live != dir, "expected a generation pointer after compaction")
+    assert(new java.io.File(live, "grp=g0").isDirectory)
     assert(canon(spark.read.format("graft").load(dir)) == before)
     assert(spark.read.format("graft").load(dir)
       .filter(col("grp") === "g1").count() == 3000)
+  }
+
+  test("appends after compaction land in the live generation and read back") {
+    val dir = Files.createTempDirectory("graft-compact-append").toString
+    spark.range(0, 1000).selectExpr("id", "id * 3 AS v")
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 2)
+    spark.range(1000, 1200).selectExpr("id", "id * 3 AS v")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 1200)
+    assert(back.agg(sum(col("v"))).head.getLong(0) == 3L * 1199 * 1200 / 2)
+    // overwrite resets to the plain layout (pointer + generations gone)
+    spark.range(0, 10).selectExpr("id", "id AS v")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 10)
+    assert(!new java.io.File(dir, ".graft-gen").exists)
+    assert(!new java.io.File(dir, "gen-00001").exists)
+  }
+
+  test("readers racing the swap always see one complete generation") {
+    val dir = Files.createTempDirectory("graft-compact-race").toString
+    spark.range(0, 30000).selectExpr("id", "id % 7 AS v")
+      .repartition(24).write.format("graft").option("chunkrows", "1000")
+      .mode("overwrite").save(dir)
+    val expected = 30000L
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop && failure.isEmpty) {
+          val n = try spark.read.format("graft").load(dir).count()
+          catch { case e: Exception => failure = Some(e.toString); -1L }
+          if (n >= 0 && n != expected)
+            failure = Some(s"reader saw $n rows mid-swap (want $expected)")
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      // several swaps while the readers hammer the table
+      (1 to 3).foreach(_ => FormatOps.compact(spark, dir, targetFiles = 3))
+    } finally {
+      stop = true
+      readers.foreach(_.join(30000))
+    }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(liveFiles(dir).size == 3)
   }
 }
