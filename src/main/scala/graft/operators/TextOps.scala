@@ -202,16 +202,37 @@ object TextOps {
       .limit(100)
   }
 
-  // ---- q36: SimHash fingerprints (custom Catalyst expression; no oracle) --
+  // ---- q36: SimHash fingerprints with a planted-truth oracle --------------
+  // The q46 trick applied to SimHash: gate the custom expression on
+  // outcomes the CONSTRUCTION guarantees, so DuckDB can state the
+  // expected result without computing a SimHash.
+  //  - bag semantics: SimHash weights token votes order-independently,
+  //    so a doc and its token-reversed twin hash EQUAL — always.
+  //  - discrimination: prefixing every token yields a disjoint token
+  //    bag whose 64-bit hash matches the original's only on a 2^-64
+  //    collision (the same assumption q30's md5 oracle already makes).
+  // Both checks run per planted doc across all partitions, so they also
+  // gate expression determinism under distribution.
   private val q36: Q = (s, d) => {
     SimHash64.register(s)
-    docsWithTokens(s, d)
-      .withColumn("simhash", SimHash64.simhash64(col("toks")))
-      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
-      .groupBy(col("bucket16"))
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_distinct"))
-      .orderBy(col("bucket16"))
+    val planted = docsWithTokens(s, d)
+      .filter(col("doc_id") % 20 === 0 && size(col("toks")) > 0)
+      .withColumn("h_orig", SimHash64.simhash64(col("toks")))
+      .withColumn("h_perm", SimHash64.simhash64(reverse(col("toks"))))
+      .withColumn("h_disj",
+        SimHash64.simhash64(transform(col("toks"), t => concat(lit("zq_"), t))))
+    planted.agg(
+      count(lit(1)).as("n_planted"),
+      sum(when(col("h_orig") === col("h_perm"), 1L).otherwise(0L)).as("n_equal_permuted"),
+      sum(when(col("h_orig") =!= col("h_disj"), 1L).otherwise(0L)).as("n_differ_disjoint"))
   }
+  private val q36Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_equal_permuted,
+      |  CAST(count(*) AS BIGINT) AS n_differ_disjoint
+      |FROM documents
+      |WHERE doc_id % 20 = 0
+      |  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0""".stripMargin
 
   // ---- q37: exact n-gram Jaccard similarity, top-5 neighbors per probe ----
   // INVERTED-INDEX join: both sides explode to (lang, token) postings and
@@ -322,17 +343,35 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  // ---- q38b: rolling-hash fingerprints (order-sensitive; no oracle) -------
+  // ---- q38b: rolling-hash fingerprints, planted-truth oracle --------------
+  // Order-SENSITIVE counterpart of q36: the construction guarantees
+  //  - identity: the same token sequence reached through a different
+  //    expression tree (reverse∘reverse) hashes EQUAL — always;
+  //  - order sensitivity: a non-palindromic sequence and its reverse
+  //    hash DIFFERENT up to a 2^-64 collision. "Non-palindromic" is
+  //    computable in plain SQL, so DuckDB can predict the exact count.
   private val q38b: Q = (s, d) => {
     graft.functions.RollingHash64.register(s)
-    docsWithTokens(s, d)
-      .withColumn("rh", graft.functions.RollingHash64.rollingHash64(col("toks")))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("rh")).as("n_rolling_fp"))
-      .orderBy(col("source"))
+    val rh: Column => Column = graft.functions.RollingHash64.rollingHash64
+    val planted = docsWithTokens(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("asym", col("toks") =!= reverse(col("toks")))
+    planted.agg(
+      count(lit(1)).as("n_planted"),
+      sum(when(rh(reverse(reverse(col("toks")))) === rh(col("toks")), 1L)
+        .otherwise(0L)).as("n_equal_identity"),
+      sum(when(col("asym") && rh(reverse(col("toks"))) =!= rh(col("toks")), 1L)
+        .otherwise(0L)).as("n_order_sensitive"))
   }
+  private val q38bSql =
+    """WITH t AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents WHERE doc_id % 20 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_equal_identity,
+      |  CAST(sum(CASE WHEN toks <> list_reverse(toks) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_order_sensitive
+      |FROM t""".stripMargin
 
   // ---- q37b: edit-distance near-dup with prefix blocking -------------------
   // Fuzzy dedup by Levenshtein distance, made linear by blocking: only
@@ -497,8 +536,11 @@ object TextOps {
     "q32_token_stats" -> q32Sql,
     "q33_quality_score" -> q33Sql,
     "q34_langid" -> q34Sql,
-    // q35/q36 are not SQL-expressible (LSH banding / custom expression):
-    // driver records rows-only checks for them.
+    // q35 is not SQL-expressible (LSH banding): driver records a
+    // rows-only check; its banding path is separately gated by q46's
+    // exact planted-truth recall oracle.
+    "q36_simhash" -> q36Sql,
     "q37_ngram_jaccard" -> q37Sql,
-    "q38_fingerprint" -> q38Sql)
+    "q38_fingerprint" -> q38Sql,
+    "q38b_rolling_fingerprint" -> q38bSql)
 }

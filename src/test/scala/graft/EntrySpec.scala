@@ -12,8 +12,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.size >= 70)
     // non-oracled queries are the known non-SQL-expressible set
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q28_approx_distinct", "q35_minhash_lsh", "q36_simhash",
-      "q38b_rolling_fingerprint", "q41_ann_lsh", "q44_ivf_ann"),
+    assert(noOracle == Set("q28_approx_distinct", "q35_minhash_lsh",
+      "q41_ann_lsh", "q44_ivf_ann"),
       s"unexpected rows-only queries: $noOracle")
   }
   test("q29b executes under its own conf and leaves the caller session untouched") {
