@@ -125,7 +125,15 @@ object FormatOps {
   private val q84: Q = (s, d) => {
     val root = graftDir(d, "catalog")
     val ns = s"$root/tpch"
-    Tables.nation(s, d).write.format("graft").option("table", "nation")
+    // `tables` option: nation column-splits into TWO named tables that
+    // share every file and chunk — the reference's signature multi-table
+    // chunk (`src/chunk.zig:15-38`) produced by a plain distributed DSv2
+    // write. The query below reconstructs nation by joining the split
+    // tables back through the catalog, so the oracle proves the shared
+    // file holds both halves losslessly.
+    Tables.nation(s, d)
+      .write.format("graft")
+      .option("tables", "nation_geo:n_nationkey,n_regionkey;nation_names:n_nationkey,n_name")
       .mode("overwrite").save(ns) // overwrite sweeps the whole ns: idempotent reruns
     Tables.region(s, d).write.format("graft").option("table", "region")
       .mode("append").save(ns)
@@ -133,8 +141,9 @@ object FormatOps {
     s.conf.set("spark.sql.catalog.graft_cat.root", root)
     s.sql("""
       SELECT r.r_name, count(*) AS n_nations
-      FROM graft_cat.tpch.nation n JOIN graft_cat.tpch.region r
-        ON n.n_regionkey = r.r_regionkey
+      FROM graft_cat.tpch.nation_geo g
+      JOIN graft_cat.tpch.nation_names nm ON g.n_nationkey = nm.n_nationkey
+      JOIN graft_cat.tpch.region r ON g.n_regionkey = r.r_regionkey
       GROUP BY r.r_name
       ORDER BY r.r_name""")
   }

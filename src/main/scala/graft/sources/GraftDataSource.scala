@@ -198,6 +198,36 @@ object GraftDataSource {
     Option(options.get("partitionby")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
+  /** Parse the multi-table write option — the DSv2 surface for the
+    * reference's several-named-tables-per-chunk shape
+    * (`src/chunk.zig:15-38`): `tables=users:k,name;scores:k,score`
+    * column-splits every task's rows into N named tables that share the
+    * SAME files and chunks. Returns (table name, column ordinals). */
+  def parseTableSplits(spec: String, schema: StructType): Seq[(String, Seq[Int])] = {
+    val splits = spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":", 2) match {
+        case Array(name, cols) if name.trim.nonEmpty =>
+          val ords = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+            val i = schema.fieldNames.indexOf(c)
+            if (i < 0) throw new IllegalArgumentException(
+              s"tables option references unknown column '$c' (schema: ${schema.fieldNames.mkString(",")})")
+            i
+          }
+          if (ords.isEmpty) throw new IllegalArgumentException(
+            s"tables option entry '$part' lists no columns")
+          (name.trim, ords)
+        case _ => throw new IllegalArgumentException(
+          s"tables option entry '$part' is not <name>:<col>,<col>…")
+      }
+    }
+    if (splits.isEmpty)
+      throw new IllegalArgumentException("tables option names no tables")
+    val dup = splits.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(s"tables option repeats table name(s): ${dup.mkString(",")}")
+    splits
+  }
+
   private val EscapedChars = "\"#%'*/:=?\\{[]^ ".toSet
 
   /** Hive-style path escaping (the same set Spark escapes), so partition
@@ -766,7 +796,9 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
       Option(options.get("bias")).getOrElse("balanced"),
       Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
-      partCols, bloomCols)
+      partCols, bloomCols,
+      Option(options.get("tables"))
+        .map(GraftDataSource.parseTableSplits(_, info.schema())))
     override def toBatch: BatchWrite = batchWrite
     // Streaming sink: file names are DETERMINISTIC per (epoch, partition)
     // and commit renames with overwrite, so a retried epoch replaces its
@@ -783,7 +815,9 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
           Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
           Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
-          partCols, new SerializableConfiguration(new Configuration()), bloomCols)
+          partCols, new SerializableConfiguration(new Configuration()), bloomCols,
+          Option(options.get("tables"))
+            .map(GraftDataSource.parseTableSplits(_, info.schema())))
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
@@ -794,12 +828,14 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
 class GraftStreamingWriterFactory(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: SerializableConfiguration,
-    bloomCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
+    bloomCols: Seq[String] = Seq.empty,
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val name = Some(f"epoch-$epochId%08d-part-$partitionId%05d.graft")
     if (partCols.isEmpty)
       new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        conf.value, partitionId, taskId, fixedName = name, bloomCols = bloomCols)
+        conf.value, partitionId, taskId, fixedName = name, bloomCols = bloomCols,
+        tableSplits = tableSplits)
     else
       // streaming ingest straight into the hive layout the scan prunes;
       // names stay deterministic per (epoch, partition) within each k=v
@@ -819,12 +855,16 @@ object GraftBatchWrite {
 class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     table: String, pageSize: Int, bias: String, chunkRows: Int,
     partCols: Seq[String] = Seq.empty,
-    bloomCols: Seq[String] = Seq.empty) extends BatchWrite {
+    bloomCols: Seq[String] = Seq.empty,
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends BatchWrite {
 
   partCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
       throw new IllegalArgumentException(s"partition column $c not in schema ${schema.fieldNames.mkString(",")}")
   }
+  if (tableSplits.isDefined && partCols.nonEmpty)
+    throw new IllegalArgumentException(
+      "tables and partitionBy cannot combine; partition the namespace dir instead")
   bloomCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
       throw new IllegalArgumentException(s"bloom column $c not in schema ${schema.fieldNames.mkString(",")}")
@@ -861,7 +901,7 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val dataDir = GraftDataSource.resolveDataDir(conf, dir)
     fs.mkdirs(new Path(dataDir))
     new GraftWriterFactory(dataDir, schema, table, pageSize, bias, chunkRows,
-      partCols, new SerializableConfiguration(conf), bloomCols)
+      partCols, new SerializableConfiguration(conf), bloomCols, tableSplits)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {}
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
@@ -870,11 +910,13 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
 class GraftWriterFactory(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: SerializableConfiguration,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    bloomCols: Seq[String] = Seq.empty,
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        conf.value, partitionId, taskId, bloomCols = bloomCols)
+        conf.value, partitionId, taskId, bloomCols = bloomCols,
+        tableSplits = tableSplits)
     else
       new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
         partCols, conf.value, partitionId, taskId, bloomCols = bloomCols)
@@ -893,7 +935,8 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, conf: Configuration,
     partitionId: Int, taskId: Long,
     fixedName: Option[String] = None,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    bloomCols: Seq[String] = Seq.empty,
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends DataWriter[InternalRow] {
 
   private val file = new Path(dir, fixedName.getOrElse(
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft"))
@@ -905,25 +948,40 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   private val fs = file.getFileSystem(conf)
   private val out = fs.create(tmpFile, false)
   private val writer = new GraftFileWriter(out, pageSize, bias)
-  private val buf = new TableBuffer(table, schema, bloomCols.toSet)
+  // the single-table write is the degenerate one-split case; a `tables`
+  // option fans each row out column-wise into N named buffers that share
+  // every chunk — the reference's multi-table chunk (`src/chunk.zig:15-38`)
+  // produced by an ordinary distributed DSv2 write
+  private val splits: Seq[(TableBuffer, org.apache.spark.sql.catalyst.ProjectingInternalRow)] =
+    tableSplits.getOrElse(Seq(table -> schema.indices)).map { case (name, ords) =>
+      val sub = StructType(ords.map(schema.fields))
+      (new TableBuffer(name, sub, bloomCols.toSet.intersect(sub.fieldNames.toSet)),
+        org.apache.spark.sql.catalyst.ProjectingInternalRow(sub, ords.toIndexedSeq))
+    }
   private var rows = 0L
   private final val FlushBytes = 96L << 20
 
   override def write(record: InternalRow): Unit = {
-    buf.appendRow(record)
+    splits.foreach { case (buf, proj) => proj.project(record); buf.appendRow(proj) }
     rows += 1
-    if (buf.numRows >= chunkRows || buf.byteSize >= FlushBytes) flush()
+    if (splits.head._1.numRows >= chunkRows ||
+      splits.iterator.map(_._1.byteSize).sum >= FlushBytes) flush()
   }
 
   private var chunksWritten = 0
 
   private def flush(): Unit =
-    if (buf.numRows > 0) { writer.writeChunk(Seq(buf)); buf.reset(); chunksWritten += 1 }
+    if (splits.head._1.numRows > 0) {
+      writer.writeChunk(splits.map(_._1))
+      splits.foreach(_._1.reset())
+      chunksWritten += 1
+    }
 
   override def commit(): WriterCommitMessage = {
     flush()
     // empty partition: still emit a 0-row chunk so the file self-describes
-    if (chunksWritten == 0) writer.writeChunk(Seq(buf))
+    // (with EVERY split table, so multi-table files stay discoverable)
+    if (chunksWritten == 0) writer.writeChunk(splits.map(_._1))
     writer.finish()
     out.close()
     // atomic rename WITH overwrite: replaces a previous attempt's file

@@ -71,6 +71,49 @@ class CatalogSpec extends SparkSpec {
     assert(files.length >= 5) // 3 alpha + 2 beta tasks
   }
 
+  test("DSv2 `tables` option writes one file holding several named tables") {
+    val root = Files.createTempDirectory("graft-catm").toString
+    spark.range(0, 120)
+      .selectExpr("id AS k", "concat('u', id) AS nm", "CAST(id * 1.5 AS DOUBLE) AS score")
+      .coalesce(1)
+      .write.format("graft")
+      .option("tables", "users:k,nm;scores:k,score")
+      .mode("overwrite").save(s"$root/db4")
+    // ONE physical file, TWO catalog tables
+    val files = new java.io.File(s"$root/db4").listFiles().filter(_.getName.endsWith(".graft"))
+    assert(files.length == 1, s"expected one shared file, got ${files.length}")
+    spark.conf.set("spark.sql.catalog.graft_catm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_catm.root", root)
+    val tables = spark.sql("SHOW TABLES IN graft_catm.db4").collect().map(_.getString(1)).toSet
+    assert(tables == Set("users", "scores"))
+    val j = spark.sql(
+      """SELECT count(*) AS n, sum(s.score) AS total
+        |FROM graft_catm.db4.users u JOIN graft_catm.db4.scores s ON u.k = s.k""".stripMargin)
+    val r = j.head
+    assert(r.getLong(0) == 120)
+    assert(math.abs(r.getDouble(1) - 1.5 * 119 * 120 / 2) < 1e-9)
+    // distributed variant: several tasks, each file still holds BOTH tables
+    spark.range(0, 300).selectExpr("id AS k", "concat('u', id) AS nm", "CAST(id * 2.0 AS DOUBLE) AS score")
+      .repartition(3)
+      .write.format("graft")
+      .option("tables", "users:k,nm;scores:k,score")
+      .mode("overwrite").save(s"$root/db4")
+    val conf = new Configuration()
+    graft.sources.GraftDataSource.listFiles(conf, s"$root/db4").foreach { f =>
+      val rdr = GraftFileReader.open(f.getFileSystem(conf), f)
+      val names = try rdr.tableNames finally rdr.close()
+      assert(names.toSet == Set("users", "scores"), s"$f holds $names")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM graft_catm.db4.users").head.getLong(0) == 300)
+    // malformed specs fail loudly
+    intercept[Exception](spark.range(1).selectExpr("id AS k")
+      .write.format("graft").option("tables", "a:nope")
+      .mode("overwrite").save(s"$root/db5"))
+    intercept[Exception](spark.range(1).selectExpr("id AS k")
+      .write.format("graft").option("tables", "a:k;a:k")
+      .mode("overwrite").save(s"$root/db5"))
+  }
+
   test("many-file namespace: parallel footer probes keep listing fast") {
     val root = Files.createTempDirectory("graft-catp").toString
     val conf = new Configuration()
