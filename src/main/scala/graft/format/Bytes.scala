@@ -27,7 +27,10 @@ final class Bytes(initial: Int = 64) {
     if (len + extra > buf.length) {
       var cap = buf.length * 2
       while (cap < len + extra && cap > 0) cap *= 2
-      buf = java.util.Arrays.copyOf(buf, if (cap > 0) cap else Bytes.MaxBufferBytes)
+      // clamp the doubled capacity too: a positive cap above the JVM array
+      // limit would still die in copyOf with OutOfMemoryError
+      buf = java.util.Arrays.copyOf(buf,
+        if (cap > 0) math.min(cap, Bytes.MaxBufferBytes) else Bytes.MaxBufferBytes)
     }
   }
 

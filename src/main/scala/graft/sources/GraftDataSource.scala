@@ -110,7 +110,15 @@ object GraftDataSource {
       try {
         items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
           def call(): B = f(a)
-        })).map(_.get())
+        })).map { fut =>
+          // surface the worker's own exception (e.g. OliveFormatException on
+          // a corrupt footer), not an opaque ExecutionException wrapper
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
       } finally pool.shutdown()
     }
   }
@@ -155,9 +163,28 @@ object GraftDataSource {
   }
 
   /** Resolve the live data directory: `dir/<gen>` under a generation
-    * pointer, `dir` itself otherwise. */
+    * pointer, `dir` itself otherwise. A pointer naming a MISSING dir is a
+    * loud error, not an empty table: re-read once (a concurrent compact
+    * may have swapped the pointer and reclaimed the gen we first read),
+    * then throw — silently resolving a corrupt table to zero rows would
+    * make the data loss look like healthy emptiness. */
   def resolveDataDir(conf: Configuration, dir: String): String =
-    readGenPointer(conf, dir).map(g => new Path(dir, g).toString).getOrElse(dir)
+    readGenPointer(conf, dir) match {
+      case None => dir
+      case Some(g) =>
+        val p = new Path(dir, g)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) p.toString
+        else {
+          val again = readGenPointer(conf, dir)
+          val p2 = again.map(new Path(dir, _))
+          if (again != Some(g) && p2.forall(fs.exists))
+            p2.map(_.toString).getOrElse(dir)
+          else throw new graft.format.OliveFormatException(
+            s"generation pointer in $dir names missing directory $g; " +
+              "the table was corrupted by an interrupted overwrite or manual deletion")
+        }
+    }
 
   /** Listing variant carrying on-disk byte sizes (for planner statistics). */
   def listPartitionedSized(conf: Configuration, dir: String): Seq[(Path, Long, Map[String, String])] = {
@@ -500,9 +527,20 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
-    new CustomSumMetric { def name = "skippedChunks"; def description = "chunks skipped by stats" },
-    new CustomSumMetric { def name = "decodedChunks"; def description = "chunks decoded" },
-    new CustomSumMetric { def name = "skippedBlocks"; def description = "row blocks skipped by zone maps" })
+    new SkippedChunksMetric, new DecodedChunksMetric, new SkippedBlocksMetric)
+}
+
+// Top-level 0-arg classes: Spark's UI listener re-instantiates the metric
+// class reflectively when aggregating; an anonymous inner class (captured
+// outer pointer, no 0-arg ctor) makes every query log a listener stack trace.
+class SkippedChunksMetric extends CustomSumMetric {
+  def name = "skippedChunks"; def description = "chunks skipped by stats"
+}
+class DecodedChunksMetric extends CustomSumMetric {
+  def name = "decodedChunks"; def description = "chunks decoded"
+}
+class SkippedBlocksMetric extends CustomSumMetric {
+  def name = "skippedBlocks"; def description = "row blocks skipped by zone maps"
 }
 
 case class GraftInputPartition(file: String,
@@ -881,10 +919,13 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       // generation pointer and every generation dir along with loose files
       val ptr = new Path(p, GraftDataSource.GenPointerName)
       if (fs.exists(ptr)) {
+        // pointer FIRST: a crash mid-reset then leaves un-pointed gen dirs
+        // (dead but harmless — listing ignores them), never a dangling
+        // pointer that would make resolveDataDir fail every later read
+        fs.delete(ptr, false)
         fs.listStatus(p)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
           .foreach(s => fs.delete(s.getPath, true))
-        fs.delete(ptr, false)
       }
       GraftDataSource.listFiles(conf, dir).foreach(f => fs.delete(f, false))
       // also sweep tmp orphans left by crashed task attempts (root and
@@ -953,19 +994,32 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   // every chunk — the reference's multi-table chunk (`src/chunk.zig:15-38`)
   // produced by an ordinary distributed DSv2 write
   private val splits: Seq[(TableBuffer, org.apache.spark.sql.catalyst.ProjectingInternalRow)] =
-    tableSplits.getOrElse(Seq(table -> schema.indices)).map { case (name, ords) =>
-      val sub = StructType(ords.map(schema.fields))
-      (new TableBuffer(name, sub, bloomCols.toSet.intersect(sub.fieldNames.toSet)),
-        org.apache.spark.sql.catalyst.ProjectingInternalRow(sub, ords.toIndexedSeq))
+    tableSplits match {
+      case None => // common case: rows append directly, no projection
+        Seq((new TableBuffer(table, schema,
+          bloomCols.toSet.intersect(schema.fieldNames.toSet)), null))
+      case Some(ts) => ts.map { case (name, ords) =>
+        val sub = StructType(ords.map(schema.fields))
+        (new TableBuffer(name, sub, bloomCols.toSet.intersect(sub.fieldNames.toSet)),
+          org.apache.spark.sql.catalyst.ProjectingInternalRow(sub, ords.toIndexedSeq))
+      }
     }
+  // single-table fast path: the hottest loop in the write side skips the
+  // per-field ordinal indirection a projecting row would add
+  private val singleBuf: TableBuffer = if (tableSplits.isEmpty) splits.head._1 else null
   private var rows = 0L
   private final val FlushBytes = 96L << 20
 
   override def write(record: InternalRow): Unit = {
-    splits.foreach { case (buf, proj) => proj.project(record); buf.appendRow(proj) }
     rows += 1
-    if (splits.head._1.numRows >= chunkRows ||
-      splits.iterator.map(_._1.byteSize).sum >= FlushBytes) flush()
+    if (singleBuf != null) {
+      singleBuf.appendRow(record)
+      if (singleBuf.numRows >= chunkRows || singleBuf.byteSize >= FlushBytes) flush()
+    } else {
+      splits.foreach { case (buf, proj) => proj.project(record); buf.appendRow(proj) }
+      if (splits.head._1.numRows >= chunkRows ||
+        splits.iterator.map(_._1.byteSize).sum >= FlushBytes) flush()
+    }
   }
 
   private var chunksWritten = 0

@@ -104,6 +104,28 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(dir, "gen-00001").exists)
   }
 
+  test("a dangling generation pointer fails loudly, not as an empty table") {
+    val dir = Files.createTempDirectory("graft-dangling").toString
+    spark.range(0, 100).selectExpr("id", "id AS v")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 1)
+    // corrupt state: pointer intact, generation dir manually deleted
+    val live = new java.io.File(graft.sources.GraftDataSource.resolveDataDir(
+      new org.apache.hadoop.conf.Configuration(), dir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(live)
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(dir).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[OliveFormatException]),
+      s"want OliveFormatException in the cause chain, got $e")
+  }
+
   test("readers racing the swap always see one complete generation") {
     val dir = Files.createTempDirectory("graft-compact-race").toString
     spark.range(0, 30000).selectExpr("id", "id % 7 AS v")
