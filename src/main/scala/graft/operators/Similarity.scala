@@ -246,6 +246,47 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  // ---- q44b: IVF recall gate with multi-probe (planted truth) --------------
+  // The q46 trick applied to the IVF path: the planted near-dups (cosine
+  // ~0.9996 to their originals) must be recoverable through the cell
+  // structure. Corpus vectors live in ONE cell (nearest centroid); each
+  // probe searches its TOP-2 cells — standard multi-probe IVF, which
+  // closes the boundary case where the tiny perturbation lands a copy's
+  // nearest centroid across a cell border: the original's cell is then
+  // the probe's second-nearest, so the pair still meets. Any regression
+  // in centroid building, assignment ranking, or the cell equi-join
+  // hash-fails the gate.
+  private val q44b: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    val scored = withPlanted(e).crossJoin(broadcast(cents))
+      .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    val assigned = scored.filter(col("rk") === 1 && col("vec_id") < PlantShift)
+      .select(col("vec_id"), col("cell"))
+    val probes = scored.filter(col("rk") <= 2 && col("vec_id") >= PlantShift)
+      .select((col("vec_id") - PlantShift).as("orig_id"), col("cell"))
+    val found = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") === col("orig_id"))
+      .select(col("orig_id")).distinct()
+    val plantedIds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("orig_id"))
+    plantedIds.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedIds.join(found, Seq("orig_id"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered")))
+      .select(col("n_planted"), col("n_recovered"),
+        (col("n_recovered") === col("n_planted")).as("recall_ok"))
+  }
+  private val q44bSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_recovered,
+      |  true AS recall_ok
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   // ---- q45: embedding-cosine near-dup dedup (exact oracle) -----------------
   // Dedup on top of the multi-band LSH candidates, over the corpus with
   // planted near-dups (each planted copy's only >0.95 partner is its
@@ -283,6 +324,7 @@ object Similarity {
     "q42_knn_join" -> q42,
     "q43_centroids" -> q43,
     "q44_ivf_ann" -> q44,
+    "q44b_ivf_recall" -> q44b,
     "q45_embedding_dedup" -> q45,
     "q46_lsh_recall" -> q46)
 
@@ -292,6 +334,7 @@ object Similarity {
     // q46 gates the same banding path against a planted truth set.
     "q42_knn_join" -> q42Sql,
     "q43_centroids" -> q43Oracle,
+    "q44b_ivf_recall" -> q44bSql,
     "q45_embedding_dedup" -> q45Sql,
     "q46_lsh_recall" -> q46Sql)
 }

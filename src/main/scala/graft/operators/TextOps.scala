@@ -163,8 +163,12 @@ object TextOps {
   /** doc_id -> minhash signature over 3-word shingles. The i-th hash
     * function is xxhash64 seeded by i (prepended column), so there is no
     * affine arithmetic that could overflow under ANSI mode. */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val docs = docsWithTokens(s, d).filter(size(col("toks")) >= 3)
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSigsOf(docsWithTokens(s, d))
+
+  /** Same, over any (doc_id, toks) corpus (q35b plants twin docs). */
+  private def minhashSigsOf(corpus: DataFrame): DataFrame = {
+    val docs = corpus.filter(size(col("toks")) >= 3)
     val shingled = docs.select(col("doc_id"),
       explode(expr(
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
@@ -178,15 +182,19 @@ object TextOps {
       .select(col("doc_id"), col("sig"))
   }
 
-  private val q35: Q = (s, d) => {
-    val sigs = minhashSignatures(s, d)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  /** One row per (doc, band): the band's signature rows hashed to a
+    * bucket key; equi-joining on (band, bh) is LSH candidate generation. */
+  private def bandHashes(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             (0 until RowsPerBand).map(i => col("sig")(b * RowsPerBand + i)): _*)).as("bh"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+
+  private val q35: Q = (s, d) => {
+    val bands = bandHashes(minhashSignatures(s, d))
     val l = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("band"), col("bh"))
     val r = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("band"), col("bh"))
     // Equi-join on (band, band_hash): LSH candidate generation, linear not quadratic.
@@ -201,6 +209,49 @@ object TextOps {
       .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
       .limit(100)
   }
+
+  // ---- q35b: MinHash-LSH recall against planted duplicate docs ------------
+  // The q46 trick applied to the banding path above: every 20th doc with
+  // >= 20 tokens re-enters the corpus under shifted ids, once VERBATIM
+  // (shingle set identical -> identical signature -> every band collides;
+  // recovery is certain by construction) and once with its first token
+  // dropped (shingle Jaccard >= 17/18; a 4-row band agrees w.p. J^4 >=
+  // 0.79, so >= 1 of 8 bands collides w.p. 1 - 0.21^8 ~ 1 - 4e-6 — and
+  // with the FIXED xxhash64 seeds the outcome per dataset is
+  // deterministic, so the oracle asserts full recovery exactly). Any
+  // regression in shingling, signature aggregation, or band bucketing
+  // hash-fails this gate.
+  private val PlantShiftDocs = 1000000000L
+  private val q35b: Q = (s, d) => {
+    val base = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
+    val eligible = base.filter(col("doc_id") % 20 === 0 && size(col("toks")) >= 20)
+    val exactTwin = eligible.withColumn("doc_id", col("doc_id") + PlantShiftDocs)
+    val nearTwin = eligible
+      .withColumn("toks", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      .withColumn("doc_id", col("doc_id") + 2 * PlantShiftDocs)
+    val bands = bandHashes(minhashSigsOf(
+      base.unionByName(exactTwin).unionByName(nearTwin)))
+    val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
+    val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"))
+    val pairs = l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val plantedIds = eligible.select(col("doc_id").as("id1"))
+    val exactFound = pairs.filter(col("id2") === col("id1") + PlantShiftDocs)
+    val nearFound = pairs.filter(col("id2") === col("id1") + 2 * PlantShiftDocs)
+    plantedIds.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedIds.join(exactFound, Seq("id1"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_recovered")))
+      .crossJoin(plantedIds.join(nearFound, Seq("id1"), "left_semi")
+        .agg(count(lit(1)).as("n_near_recovered")))
+  }
+  private val q35bSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_exact_recovered,
+      |  CAST(count(*) AS BIGINT) AS n_near_recovered
+      |FROM documents
+      |WHERE doc_id % 20 = 0
+      |  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20""".stripMargin
 
   // ---- q36: SimHash fingerprints with a planted-truth oracle --------------
   // The q46 trick applied to SimHash: gate the custom expression on
@@ -521,6 +572,7 @@ object TextOps {
     "q33_quality_score" -> q33,
     "q34_langid" -> q34,
     "q35_minhash_lsh" -> q35,
+    "q35b_minhash_recall" -> q35b,
     "q36_simhash" -> q36,
     "q37_ngram_jaccard" -> q37,
     "q38_fingerprint" -> q38)
@@ -537,8 +589,9 @@ object TextOps {
     "q33_quality_score" -> q33Sql,
     "q34_langid" -> q34Sql,
     // q35 is not SQL-expressible (LSH banding): driver records a
-    // rows-only check; its banding path is separately gated by q46's
-    // exact planted-truth recall oracle.
+    // rows-only check; its banding path is gated by q35b's exact
+    // planted-truth recall oracle.
+    "q35b_minhash_recall" -> q35bSql,
     "q36_simhash" -> q36Sql,
     "q37_ngram_jaccard" -> q37Sql,
     "q38_fingerprint" -> q38Sql,
