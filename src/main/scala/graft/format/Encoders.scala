@@ -351,7 +351,12 @@ private[format] object MeasuredWrite {
       case _ => var i = 0; while (i < n) { vals(i) = bb.getLong(i * 8); i += 1 }
     }
     val MaxDictEntries = 1 << 16
-    val seen = new java.util.HashMap[java.lang.Long, Integer]()
+    // dict can only win (save >= 25% over plain) while d <= 5n/8 — the
+    // most favorable case is elemSize 8 with 1-byte indices: 8d + n <=
+    // 6n. Tracking stops at the first count past that bound, so
+    // high-cardinality columns stop paying for the hash probes early.
+    val dictLimit = math.min(MaxDictEntries, (5L * n / 8).toInt + 1)
+    val seen = new LongIntMap(dictLimit)
     var distinctOver = false
     var runs = 1
     var mn = Long.MaxValue
@@ -374,9 +379,9 @@ private[format] object MeasuredWrite {
         }
       }
       prev = v
-      if (!distinctOver && !seen.containsKey(v)) {
-        if (seen.size >= MaxDictEntries) distinctOver = true
-        else seen.put(v, Integer.valueOf(seen.size))
+      if (!distinctOver && seen.get(v) < 0) {
+        if (seen.size >= dictLimit) distinctOver = true
+        else seen.put(v, seen.size)
       }
       if (v < mn) mn = v
       if (v > mx) mx = v
@@ -487,7 +492,7 @@ private[format] object MeasuredWrite {
       val idx = new Bytes(n * dictIdxW)
       i = 0
       while (i < n) {
-        val id = seen.get(vals(i)).intValue()
+        val id = seen.get(vals(i))
         if (!written(id)) {
           entries.putBytes(a, i * elemSize, elemSize)
           written(id) = true
@@ -520,6 +525,40 @@ private[format] object MeasuredWrite {
         sink.writeBuffer(rvals.array, rvals.size, sink.valuesCodec, elemSize))
     }
     Some(chosen)
+  }
+}
+
+/** Open-addressed long -> int map for the measured-encoding scan. The
+  * boxed java.util.HashMap this replaced allocated two boxes per VALUE
+  * on the hottest write loop. Capacity is preallocated at twice the
+  * caller's entry bound (load factor <= 0.5, so probes stay short and
+  * there is no rehash path at all). Slot state lives in `ids` (0 =
+  * empty, else id + 1). */
+private[format] final class LongIntMap(maxEntries: Int) {
+  private val cap = {
+    var c = 8
+    while (c < maxEntries * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val keys = new Array[Long](cap)
+  private val ids = new Array[Int](cap)
+  private var n = 0
+  def size: Int = n
+
+  private def slot(k: Long): Int = {
+    var h = k * -7046029254386353131L // 64-bit golden-ratio mix
+    h ^= h >>> 32
+    var i = h.toInt & mask
+    while (ids(i) != 0 && keys(i) != k) i = (i + 1) & mask
+    i
+  }
+  /** The id stored for `k`, or -1. */
+  def get(k: Long): Int = { val i = slot(k); ids(i) - 1 }
+  /** Insert `k -> v` (caller guarantees absence and v >= 0). */
+  def put(k: Long, v: Int): Unit = {
+    val i = slot(k)
+    keys(i) = k; ids(i) = v + 1; n += 1
   }
 }
 
@@ -637,19 +676,21 @@ final class BinaryEncoder extends ColumnEncoder {
     val (offBytes, offLen) = offsets.toBytes
     val n = offLen / 4 - 1
     tryDictEncode(n, offBytes) match {
-      case Some((entries, entryOffsets, indices)) =>
-        val dictData = new Bytes(entries.size)
+      case Some((firstRows, nDistinct, indices)) =>
+        val dictData = new Bytes(nDistinct * 8)
         // entry bytes are slices of `data` in first-seen order
         val eb = Bytes.le(offBytes)
         var total = 0
         val dOff = new OffsetsBuilder
-        entries.forEach { rowIdx =>
-          val r = rowIdx.intValue()
+        var t = 0
+        while (t < nDistinct) {
+          val r = firstRows(t)
           val s = eb.getInt(r * 4)
           val e = eb.getInt((r + 1) * 4)
           dictData.putBytes(data.array, s, e - s)
           total += e - s
           dOff.add(total)
+          t += 1
         }
         // narrowest index width that addresses the dictionary
         val numEntries = dOff.size - 1
@@ -677,45 +718,65 @@ final class BinaryEncoder extends ColumnEncoder {
     }
   }
 
-  /** (first-seen row index per distinct value, placeholder, per-row dict
-    * index) — or None when the column isn't dict-worthy. */
+  /** (first-seen row index per distinct value, entry count, per-row dict
+    * index) — or None when the column isn't dict-worthy. Open-addressed
+    * probing over slices of `data` (stored hash + offset compare): no
+    * per-row key object or box on the string write path, and the scan
+    * bails the moment the distinct count proves the dictionary can't
+    * pay for itself (> n/2 distinct). */
   private def tryDictEncode(n: Int,
-      offBytes: Array[Byte]): Option[(java.util.ArrayList[Integer], Unit, Array[Int])] = {
+      offBytes: Array[Byte]): Option[(Array[Int], Int, Array[Int])] = {
     if (n < 16) return None
-    val seen = new java.util.HashMap[ValueKey, Integer]()
-    val firstRows = new java.util.ArrayList[Integer]()
-    val indices = new Array[Int](n)
     val bb = Bytes.le(offBytes) // caller's serialization, not a second one
+    val arr = data.array
+    val entryLimit = math.min(MaxDictEntries, n / 2)
+    var cap = 8
+    while (cap < (entryLimit + 1) * 2) cap <<= 1
+    val mask = cap - 1
+    val slots = new Array[Int](cap) // entryId + 1; 0 = empty
+    val hashes = new Array[Int](cap)
+    val firstRows = new Array[Int](entryLimit)
+    var nEntries = 0
+    val indices = new Array[Int](n)
     var i = 0
     while (i < n) {
       val s = bb.getInt(i * 4)
       val e = bb.getInt((i + 1) * 4)
-      val key = new ValueKey(data.array, s, e - s)
-      var idx = seen.get(key)
-      if (idx == null) {
-        if (seen.size >= MaxDictEntries) return None
-        idx = Integer.valueOf(firstRows.size)
-        seen.put(key, idx)
-        firstRows.add(Integer.valueOf(i))
+      var h = 1
+      var j = s
+      while (j < e) { h = 31 * h + arr(j); j += 1 }
+      var slot = (h ^ (h >>> 16)) & mask
+      var id = -1
+      var probing = true
+      while (probing) {
+        val sv = slots(slot)
+        if (sv == 0) probing = false
+        else {
+          if (hashes(slot) == h) {
+            val r = firstRows(sv - 1)
+            val rs = bb.getInt(r * 4)
+            val re = bb.getInt((r + 1) * 4)
+            if (re - rs == e - s &&
+              java.util.Arrays.equals(arr, s, e, arr, rs, re)) {
+              id = sv - 1; probing = false
+            }
+          }
+          if (probing) slot = (slot + 1) & mask
+        }
       }
-      indices(i) = idx.intValue()
+      if (id < 0) {
+        if (nEntries >= entryLimit) return None // not repetitive enough
+        firstRows(nEntries) = i
+        slots(slot) = nEntries + 1
+        hashes(slot) = h
+        id = nEntries
+        nEntries += 1
+      }
+      indices(i) = id
       i += 1
     }
-    if (seen.size * 2 > n) None // not repetitive enough to pay for itself
-    else Some((firstRows, (), indices))
-  }
-
-  private final class ValueKey(val buf: Array[Byte], val off: Int, val len: Int) {
-    override val hashCode: Int = {
-      var h = 1; var i = off
-      while (i < off + len) { h = 31 * h + buf(i); i += 1 }
-      h
-    }
-    override def equals(o: Any): Boolean = o match {
-      case k: ValueKey => len == k.len && java.util.Arrays.equals(
-        buf, off, off + len, k.buf, k.off, k.off + k.len)
-      case _ => false
-    }
+    if (nEntries * 2 > n) None // not repetitive enough to pay for itself
+    else Some((firstRows, nEntries, indices))
   }
 
   override def reset(): Unit = { super.reset(); data.reset(); offsets.reset() }
