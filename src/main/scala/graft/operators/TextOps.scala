@@ -559,7 +559,99 @@ object TextOps {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  // ---- q54: train/test decontamination (13-gram overlap) -------------------
+  // The GPT-3-style contamination check: a document is flagged when any
+  // of its 13-token runs appears in a benchmark set. The benchmark here
+  // is derived from the corpus itself (first 13 tokens of every 50th
+  // doc), so DuckDB can state the expected flags exactly. Shape for
+  // 100 TB: benchmark n-gram sets are small (millions of hashes), so
+  // they BROADCAST; the corpus explodes to 13-gram xxhash64s (never the
+  // raw text) and left-semi joins — one pass, no corpus shuffle. The
+  // oracle joins raw 13-token strings instead of hashes, so agreement
+  // also certifies hash-collision freedom on this data (same 2^-64
+  // assumption as q30's digest dedup).
+  private val q54: Q = (s, d) => {
+    val toks = docsWithTokens(s, d)
+    val bench = toks.filter(col("doc_id") % 50 === 0 && size(col("toks")) >= 13)
+      .select(expr("xxhash64(concat_ws(' ', slice(toks, 1, 13)))").as("gh"))
+      .distinct()
+    val grams = toks.filter(size(col("toks")) >= 13)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 12), i -> xxhash64(concat_ws(' ', slice(toks, i, 13))))"
+      )).as("gh"))
+    val flagged = grams.join(broadcast(bench), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("fl", lit(1))
+    toks.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("fl")).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+  private val q54Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bench AS (
+      |  SELECT DISTINCT array_to_string(t[1:13], ' ') AS g
+      |  FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 13),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+      |  FROM toks, unnest(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+      |SELECT tk.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(f.doc_id) AS BIGINT) AS n_flagged
+      |FROM toks tk LEFT JOIN flagged f ON tk.doc_id = f.doc_id
+      |GROUP BY tk.source
+      |ORDER BY tk.source""".stripMargin
+
+  // ---- q55: sequence packing for training contexts -------------------------
+  // Greedy-by-cumulative-sum packing of documents into 2048-token bins:
+  // bin = floor((running_sum - n_tok) / 2048) in doc_id order. Packing
+  // runs per SOURCE (window partitioned by source), never as one global
+  // ordered window — a total order would serialize the corpus through a
+  // single task at 100 TB; per-source (or per-shard) packing is the
+  // distributed layout training pipelines actually use.
+  private val q55: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = docsWithTokens(s, d)
+      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = t.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(2048.0)).cast("long"))
+    binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("docs_in_bin"), sum(col("n_tok")).as("fill"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("docs_in_bin")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"),
+        max(col("fill")).as("max_fill"))
+      .orderBy(col("source"))
+  }
+  private val q55Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tok, sum(n_tok) OVER (
+      |    PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |g AS (
+      |  SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+      |    count(*) AS docs_in_bin, sum(n_tok) AS fill
+      |  FROM c GROUP BY source, bin)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(docs_in_bin) AS BIGINT) AS n_docs,
+      |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+      |  CAST(max(fill) AS BIGINT) AS max_fill
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_decontaminate" -> q54,
+    "q55_pack_sequences" -> q55,
     "q49_domain_mix" -> q49,
     "q47_pii_redact" -> q47,
     "q48_repetition" -> q48,
@@ -578,6 +670,8 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q54_decontaminate" -> q54Sql,
+    "q55_pack_sequences" -> q55Sql,
     "q49_domain_mix" -> q49Sql,
     "q47_pii_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
