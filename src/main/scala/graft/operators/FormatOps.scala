@@ -381,11 +381,22 @@ object FormatOps {
     // hive-style partition columns re-route to the same layout on rewrite
     val partCols = GraftDataSource.partitionColumns(
       GraftDataSource.listPartitionedFiles(conf, dir))
-    val df = s.read.format("graft").load(dir)
-    val base = df.repartition(targetFiles).write.format("graft")
-      .options(writeOptions).mode("overwrite")
-    val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
-    w.save(new Path(root, nextGen).toString)
+    // rewrite EVERY named table (a dir may hold several — the catalog's
+    // namespace layout); reading without the table option would collapse
+    // them all into the default name and corrupt the catalog's view
+    val tableNames = GraftDataSource.inParallel(
+      GraftDataSource.listFiles(conf, dir)) { f =>
+        val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
+        try r.tableNames finally r.close()
+      }.flatten.distinct.sorted
+    if (tableNames.isEmpty) return // nothing to compact
+    tableNames.foreach { t =>
+      val df = s.read.format("graft").option("table", t).load(dir)
+      val base = df.repartition(targetFiles).write.format("graft")
+        .option("table", t).options(writeOptions).mode("append")
+      val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
+      w.save(new Path(root, nextGen).toString)
+    }
     // the swap: one atomic pointer replacement
     val ptr = new Path(root, GraftDataSource.GenPointerName)
     val ptrTmp = new Path(root, GraftDataSource.GenPointerName + ".tmp")
@@ -445,7 +456,32 @@ object FormatOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q93: time travel across compaction generations -----------------------
+  // gen-1 is frozen holding ONLY even orderkeys before the odd rows ever
+  // land: write evens -> compact (gen-1) -> compact again (gen-2
+  // supersedes and freezes gen-1) -> append odds (live gen-2 only).
+  // `option("generation", "1")` (the DSv2 path behind SQL `VERSION AS
+  // OF`) must surface exactly the even half, which the oracle states
+  // from parquet; the default read's full view is gated by q92.
+  private val q93: Q = (s, d) => {
+    val dir = graftDir(d, "orders_tt")
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    compact(s, dir, targetFiles = 2)
+    compact(s, dir, targetFiles = 2) // gen-2: freezes gen-1
+    o.filter(col("o_orderkey") % 2 === 1)
+      .repartition(4).write.format("graft").mode("append").save(dir)
+    s.read.format("graft").option("generation", "1").load(dir)
+      .agg(count(lit(1)).as("n_even"), sum(col("o_orderkey")).as("sum_key"))
+  }
+  private val q93Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_even,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
     "q87_graft_unsigned" -> q87,
@@ -461,6 +497,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
     "q87_graft_unsigned" -> q87Sql,

@@ -143,6 +143,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(dir, schema, new CaseInsensitiveStringMap(opts))
   }
 
+  /** SQL time travel: `SELECT … FROM cat.ns.t VERSION AS OF 2` pins the
+    * namespace dir's compaction generation (see
+    * [[GraftDataSource.generationDir]]). The schema comes from the live
+    * layout (schemas only evolve additively; absent columns read as
+    * nulls), the scan from the pinned generation. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = nsDir(ident.namespace())
+    val schema = findTableSchema(dir, ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val opts = Map("path" -> dir, "table" -> ident.name(), "generation" -> version).asJava
+    new GraftTable(GraftDataSource.generationDir(conf, dir, version), schema,
+      new CaseInsensitiveStringMap(opts))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     require(partitions.isEmpty, "catalog tables don't take partition transforms; " +

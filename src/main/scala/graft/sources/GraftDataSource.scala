@@ -80,7 +80,8 @@ object GraftDataSource {
   def path(options: CaseInsensitiveStringMap): String = paths(options).head
 
   /** `load(p)` arrives as option "path"; `load(p1, p2, …)` as a JSON
-    * array in option "paths". */
+    * array in option "paths". A "generation" option (time travel) pins
+    * each dir to a compaction generation instead of the live pointer. */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = options.get("paths")
     val single = options.get("path")
@@ -90,7 +91,29 @@ object GraftDataSource {
         mapper.readValue(multi, classOf[Array[String]]).toSeq
       } else Seq.empty) ++ Option(single).toSeq
     if (all.isEmpty) throw new IllegalArgumentException("graft source requires a path")
-    all.distinct
+    val dirs = all.distinct
+    Option(options.get("generation")) match {
+      case Some(g) => val conf = new Configuration(); dirs.map(generationDir(conf, _, g))
+      case None => dirs
+    }
+  }
+
+  /** Time travel target: `gen` is an integer index or a full `gen-NNNNN`
+    * name. Generations are compaction points — the LIVE one keeps
+    * accepting appends; a superseded one is frozen and stays readable
+    * until a later compaction's grace-period sweep reclaims it. A missing
+    * generation is a loud error, never an empty table. */
+  def generationDir(conf: Configuration, dir: String, gen: String): String = {
+    val name =
+      if (gen.matches("\\d+")) f"gen-${gen.toInt}%05d"
+      else if (gen.matches("gen-\\d{5}")) gen
+      else throw new IllegalArgumentException(
+        s"bad generation '$gen' (want an index like 2, or gen-00002)")
+    val p = new Path(dir, name)
+    if (!p.getFileSystem(conf).exists(p))
+      throw new OliveFormatException(
+        s"generation $name not present under $dir (reclaimed by a later compaction, or never written)")
+    p.toString
   }
 
   def listFiles(conf: Configuration, dir: String): Seq[Path] =
@@ -316,6 +339,8 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(dirs.size == 1, "graft writes take exactly one path")
+    require(options.get("generation") == null,
+      "generation is a read-only (time travel) option; writes land in the live generation")
     // partition columns from native partitionBy transforms, or the
     // "partitionBy" write option (comma-separated) for API paths that
     // don't forward transforms to path-based V2 tables

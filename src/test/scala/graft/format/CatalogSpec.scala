@@ -114,6 +114,29 @@ class CatalogSpec extends SparkSpec {
       .mode("overwrite").save(s"$root/db5"))
   }
 
+  test("SQL VERSION AS OF reads a pinned compaction generation") {
+    val root = Files.createTempDirectory("graft-cattt").toString
+    spark.range(0, 500).selectExpr("id AS k", "id * 3 AS v")
+      .repartition(4).write.format("graft").option("table", "t")
+      .mode("append").save(s"$root/db6")
+    graft.operators.FormatOps.compact(spark, s"$root/db6", targetFiles = 2) // gen-1
+    graft.operators.FormatOps.compact(spark, s"$root/db6", targetFiles = 2) // gen-2
+    spark.range(500, 800).selectExpr("id AS k", "id * 3 AS v")
+      .coalesce(1).write.format("graft").option("table", "t")
+      .mode("append").save(s"$root/db6")
+    spark.conf.set("spark.sql.catalog.graft_cattt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cattt.root", root)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cattt.db6.t")
+      .head.getLong(0) == 800)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cattt.db6.t VERSION AS OF 1")
+      .head.getLong(0) == 500)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_cattt.db6.t VERSION AS OF 'gen-00002'")
+      .head.getLong(0) == 800)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_cattt.db6.t VERSION AS OF 9").collect())
+    assert(e.getMessage.contains("not present"), e.getMessage)
+  }
+
   test("many-file namespace: parallel footer probes keep listing fast") {
     val root = Files.createTempDirectory("graft-catp").toString
     val conf = new Configuration()

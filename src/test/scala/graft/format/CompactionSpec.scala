@@ -104,6 +104,37 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(dir, "gen-00001").exists)
   }
 
+  test("time travel: a superseded generation stays readable and frozen") {
+    val dir = Files.createTempDirectory("graft-tt").toString
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+      .repartition(4).write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 2) // gen-1
+    FormatOps.compact(spark, dir, targetFiles = 2) // gen-2 freezes gen-1
+    spark.range(1000, 1300).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    // live view has the append, gen-1 does not
+    assert(spark.read.format("graft").load(dir).count() == 1300)
+    val v1 = spark.read.format("graft").option("generation", "1").load(dir)
+    assert(v1.count() == 1000)
+    assert(v1.agg(sum(col("v"))).head.getLong(0) == 2L * 999 * 1000 / 2)
+    // full name addressing and both error shapes
+    assert(spark.read.format("graft").option("generation", "gen-00002")
+      .load(dir).count() == 1300)
+    val miss = intercept[Exception] {
+      spark.read.format("graft").option("generation", "7").load(dir).count()
+    }
+    assert(miss.getMessage.contains("not present"), miss.getMessage)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("generation", "nope").load(dir).count()
+    }
+    // writes must not target a pinned generation
+    val w = intercept[Exception] {
+      spark.range(0, 1).selectExpr("id", "id AS v").write.format("graft")
+        .option("generation", "1").mode("append").save(dir)
+    }
+    assert(w.getMessage.contains("read-only"), w.getMessage)
+  }
+
   test("a dangling generation pointer fails loudly, not as an empty table") {
     val dir = Files.createTempDirectory("graft-dangling").toString
     spark.range(0, 100).selectExpr("id", "id AS v")
