@@ -137,6 +137,22 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("not present"), e.getMessage)
   }
 
+  test("SQL DDL/DML: CREATE TABLE, INSERT INTO/OVERWRITE, CTAS") {
+    val root = Files.createTempDirectory("graft-ddl").toString
+    spark.conf.set("spark.sql.catalog.graft_ddl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ddl.root", root)
+    spark.sql("CREATE NAMESPACE graft_ddl.db7")
+    spark.sql("CREATE TABLE graft_ddl.db7.t1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_ddl.db7.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_ddl.db7.t1 VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft_ddl.db7.t1").head.getLong(0) == 3)
+    spark.sql("INSERT OVERWRITE graft_ddl.db7.t1 VALUES (9, 'z')")
+    val r = spark.sql("SELECT k, v FROM graft_ddl.db7.t1").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 9 && r.head.getString(1) == "z")
+    spark.sql("CREATE TABLE graft_ddl.db7.t2 AS SELECT id AS k, id * 2 AS v FROM range(10)")
+    assert(spark.sql("SELECT sum(v) FROM graft_ddl.db7.t2").head.getLong(0) == 90)
+  }
+
   test("many-file namespace: parallel footer probes keep listing fast") {
     val root = Files.createTempDirectory("graft-catp").toString
     val conf = new Configuration()
