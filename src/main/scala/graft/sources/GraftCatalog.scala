@@ -157,6 +157,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       new CaseInsensitiveStringMap(opts))
   }
 
+  /** SQL `TIMESTAMP AS OF t`: the newest generation whose directory
+    * mtime is <= t (micros per the DSv2 contract) — i.e. the generation
+    * that was live at t, to mtime resolution. Pre-compaction history is
+    * not addressable (the plain layout has no snapshots); asking for a
+    * time before the first generation is a loud error. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = nsDir(ident.namespace())
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val ms = timestamp / 1000
+    val gens =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("gen-\\d{5}"))
+        .sortBy(_.getPath.getName)
+    val pick = gens.filter(_.getModificationTime <= ms).lastOption.getOrElse(
+      throw new graft.format.OliveFormatException(
+        s"no generation of $dir existed at timestamp $ms ms " +
+          s"(${gens.length} generations present)"))
+    loadTable(ident, pick.getPath.getName)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     require(partitions.isEmpty, "catalog tables don't take partition transforms; " +

@@ -135,6 +135,21 @@ class CatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft_cattt.db6.t VERSION AS OF 9").collect())
     assert(e.getMessage.contains("not present"), e.getMessage)
+    // TIMESTAMP AS OF: pin mtimes so the cut points are deterministic
+    val fs = new Path(root).getFileSystem(new Configuration())
+    fs.setTimes(new Path(s"$root/db6/gen-00001"),
+      java.sql.Timestamp.valueOf("2019-01-01 00:00:00").getTime, -1)
+    fs.setTimes(new Path(s"$root/db6/gen-00002"),
+      java.sql.Timestamp.valueOf("2021-01-01 00:00:00").getTime, -1)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_cattt.db6.t TIMESTAMP AS OF '2020-06-01 00:00:00'")
+      .head.getLong(0) == 500)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_cattt.db6.t TIMESTAMP AS OF '2022-01-01 00:00:00'")
+      .head.getLong(0) == 800)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_cattt.db6.t TIMESTAMP AS OF '2018-01-01 00:00:00'").collect())
+    assert(e2.getMessage.contains("no generation"), e2.getMessage)
   }
 
   test("SQL DDL/DML: CREATE TABLE, INSERT INTO/OVERWRITE, CTAS") {
