@@ -378,14 +378,15 @@ object FormatOps {
       }
     }
     val nextGen = f"gen-${liveGen.map(_.stripPrefix("gen-").toInt + 1).getOrElse(1)}%05d"
+    // ONE listing serves both the partition-column probe and the table
+    // enumeration (a 10^6-file LIST against an object store is the cost)
+    val listed = GraftDataSource.listPartitionedFiles(conf, dir)
     // hive-style partition columns re-route to the same layout on rewrite
-    val partCols = GraftDataSource.partitionColumns(
-      GraftDataSource.listPartitionedFiles(conf, dir))
+    val partCols = GraftDataSource.partitionColumns(listed)
     // rewrite EVERY named table (a dir may hold several — the catalog's
     // namespace layout); reading without the table option would collapse
     // them all into the default name and corrupt the catalog's view
-    val tableNames = GraftDataSource.inParallel(
-      GraftDataSource.listFiles(conf, dir)) { f =>
+    val tableNames = GraftDataSource.inParallel(listed.map(_._1)) { f =>
         val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
         try r.tableNames finally r.close()
       }.flatten.distinct.sorted
@@ -396,6 +397,16 @@ object FormatOps {
         .option("table", t).options(writeOptions).mode("append")
       val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
       w.save(new Path(root, nextGen).toString)
+    }
+    // birth-time marker INSIDE the gen dir, before the swap: appends keep
+    // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
+    // instead (GraftCatalog.loadTable(ident, timestamp))
+    locally {
+      val ts = new Path(new Path(root, nextGen), GraftDataSource.SwapTsName)
+      val out = fs.create(ts, true)
+      try out.write(String.valueOf(System.currentTimeMillis())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     // the swap: one atomic pointer replacement
     val ptr = new Path(root, GraftDataSource.GenPointerName)

@@ -212,19 +212,28 @@ object TextOps {
 
   // ---- q35b: MinHash-LSH recall against planted duplicate docs ------------
   // The q46 trick applied to the banding path above: every 20th doc with
-  // >= 20 tokens re-enters the corpus under shifted ids, once VERBATIM
-  // (shingle set identical -> identical signature -> every band collides;
-  // recovery is certain by construction) and once with its first token
-  // dropped (shingle Jaccard >= 17/18; a 4-row band agrees w.p. J^4 >=
-  // 0.79, so >= 1 of 8 bands collides w.p. 1 - 0.21^8 ~ 1 - 4e-6 — and
-  // with the FIXED xxhash64 seeds the outcome per dataset is
-  // deterministic, so the oracle asserts full recovery exactly). Any
-  // regression in shingling, signature aggregation, or band bucketing
-  // hash-fails this gate.
+  // >= 20 tokens AND >= 16 DISTINCT shingles re-enters the corpus under
+  // shifted ids, once VERBATIM (shingle set identical -> identical
+  // signature -> every band collides; recovery is certain by
+  // construction) and once with its first token dropped (that removes at
+  // most ONE distinct shingle, so set-Jaccard >= 15/16 — the distinct
+  // floor matters: a repetitive doc like "a b b b…" has only 2 distinct
+  // shingles and J could hit 1/2, where a band miss is likely. At J >=
+  // 15/16 a 4-row band agrees w.p. J^4 >= 0.77 and >= 1 of 8 bands
+  // collides w.p. 1 - 7e-6; with the FIXED xxhash64 seeds the outcome
+  // per dataset is deterministic, so the oracle asserts full recovery
+  // exactly). Any regression in shingling, signature aggregation, or
+  // band bucketing hash-fails this gate.
   private val PlantShiftDocs = 1000000000L
   private val q35b: Q = (s, d) => {
     val base = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
-    val eligible = base.filter(col("doc_id") % 20 === 0 && size(col("toks")) >= 20)
+    // guard the shingle lambda behind the size check: sequence(1, n-2)
+    // with n < 3 draws a descending range and slice() rejects index 0
+    val distinctShingles = when(size(col("toks")) >= 3, size(expr(
+      "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"
+    ))).otherwise(lit(0))
+    val eligible = base.filter(col("doc_id") % 20 === 0 &&
+      size(col("toks")) >= 20 && distinctShingles >= 16)
     val exactTwin = eligible.withColumn("doc_id", col("doc_id") + PlantShiftDocs)
     val nearTwin = eligible
       .withColumn("toks", slice(col("toks"), lit(2), size(col("toks")) - 1))
@@ -246,12 +255,16 @@ object TextOps {
         .agg(count(lit(1)).as("n_near_recovered")))
   }
   private val q35bSql =
-    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_planted,
       |  CAST(count(*) AS BIGINT) AS n_exact_recovered,
       |  CAST(count(*) AS BIGINT) AS n_near_recovered
-      |FROM documents
-      |WHERE doc_id % 20 = 0
-      |  AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20""".stripMargin
+      |FROM t
+      |WHERE doc_id % 20 = 0 AND len(tk) >= 20
+      |  AND len(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |        i -> array_to_string(tk[i:i+2], ' ')))) >= 16""".stripMargin
 
   // ---- q36: SimHash fingerprints with a planted-truth oracle --------------
   // The q46 trick applied to SimHash: gate the custom expression on

@@ -150,29 +150,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * nulls), the scan from the pinned generation. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = nsDir(ident.namespace())
-    val schema = findTableSchema(dir, ident.name()).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val genDir = GraftDataSource.generationDir(conf, dir, version)
+    // schema from the PINNED generation first: a table dropped from the
+    // live layout is still readable out of a frozen generation that
+    // holds it; fall back to the live layout (root markers) for schema-
+    // evolution reads where the old generation predates the table
+    val schema = findTableSchema(genDir, ident.name())
+      .orElse(findTableSchema(dir, ident.name())).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val opts = Map("path" -> dir, "table" -> ident.name(), "generation" -> version).asJava
-    new GraftTable(GraftDataSource.generationDir(conf, dir, version), schema,
-      new CaseInsensitiveStringMap(opts))
+    new GraftTable(genDir, schema, new CaseInsensitiveStringMap(opts))
   }
 
-  /** SQL `TIMESTAMP AS OF t`: the newest generation whose directory
-    * mtime is <= t (micros per the DSv2 contract) — i.e. the generation
-    * that was live at t, to mtime resolution. Pre-compaction history is
-    * not addressable (the plain layout has no snapshots); asking for a
-    * time before the first generation is a loud error. */
+  /** SQL `TIMESTAMP AS OF t` (micros per the DSv2 contract): the newest
+    * generation whose BIRTH — the `.swap-ts` marker compaction writes
+    * just before the pointer swap — is <= t. Dir mtimes cannot serve as
+    * birth times (appends keep bumping the live dir's mtime, which would
+    * time-travel appended rows out of existence); markerless generations
+    * (pre-marker files) fall back to mtime. Only generations at or below
+    * the live pointer are candidates — a higher-indexed dir is a crashed
+    * compaction's half-written output. Pre-compaction history is not
+    * addressable; a time before the first generation is a loud error. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = nsDir(ident.namespace())
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     val ms = timestamp / 1000
+    val liveIdx = GraftDataSource.readGenPointer(conf, dir)
+      .map(_.stripPrefix("gen-").toInt)
     val gens =
-      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      if (liveIdx.isEmpty || !fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.matches("gen-\\d{5}"))
-        .sortBy(_.getPath.getName)
-    val pick = gens.filter(_.getModificationTime <= ms).lastOption.getOrElse(
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.matches(GraftDataSource.GenDirPattern) &&
+          s.getPath.getName.stripPrefix("gen-").toInt <= liveIdx.get)
+        .sortBy(_.getPath.getName.stripPrefix("gen-").toInt)
+    def birth(st: org.apache.hadoop.fs.FileStatus): Long =
+      GraftDataSource.readSwapTs(conf, st.getPath).getOrElse(st.getModificationTime)
+    val pick = gens.filter(birth(_) <= ms).lastOption.getOrElse(
       throw new graft.format.OliveFormatException(
         s"no generation of $dir existed at timestamp $ms ms " +
           s"(${gens.length} generations present)"))

@@ -106,9 +106,19 @@ object GraftDataSource {
   def generationDir(conf: Configuration, dir: String, gen: String): String = {
     val name =
       if (gen.matches("\\d+")) f"gen-${gen.toInt}%05d"
-      else if (gen.matches("gen-\\d{5}")) gen
+      else if (gen.matches(GenDirPattern)) gen
       else throw new IllegalArgumentException(
         s"bad generation '$gen' (want an index like 2, or gen-00002)")
+    // only generations the pointer has made live are addressable: a dir
+    // with a HIGHER index than the pointer is a crashed compaction's
+    // half-written output — serving it would silently return partial data
+    val live = readGenPointer(conf, dir).getOrElse(throw new OliveFormatException(
+      s"$dir has no generation pointer; generations are not addressable"))
+    val reqIdx = name.stripPrefix("gen-").toInt
+    if (reqIdx > live.stripPrefix("gen-").toInt)
+      throw new OliveFormatException(
+        s"generation $name was never made live (live is $live): " +
+          "refusing a half-written compaction output")
     val p = new Path(dir, name)
     if (!p.getFileSystem(conf).exists(p))
       throw new OliveFormatException(
@@ -167,6 +177,30 @@ object GraftDataSource {
     * half-swapped directory. Dirs without a pointer (the common layout)
     * resolve to themselves. */
   val GenPointerName = ".graft-gen"
+
+  /** Generation dir names: `gen-` + zero-padded index (5+ digits — %05d
+    * widens past 99999, so the pattern must too). One definition shared
+    * by the reader, the catalog's timestamp travel, and compaction. */
+  val GenDirPattern = "gen-\\d{5,}"
+
+  /** Swap marker written INSIDE a generation dir just before the pointer
+    * swap makes it live: its content (epoch ms) is the generation's
+    * birth time for `TIMESTAMP AS OF`. Dir mtimes can't serve that role:
+    * appends to the LIVE generation keep bumping its mtime, which would
+    * time-travel rows out of existence. */
+  val SwapTsName = ".swap-ts"
+
+  def readSwapTs(conf: Configuration, genDir: Path): Option[Long] = {
+    val p = new Path(genDir, SwapTsName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.toLongOption
+    }
+  }
 
   /** The live generation's name from `dir`'s pointer, if any. */
   def readGenPointer(conf: Configuration, dir: String): Option[String] = {

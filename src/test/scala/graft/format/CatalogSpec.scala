@@ -134,13 +134,19 @@ class CatalogSpec extends SparkSpec {
       .head.getLong(0) == 800)
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft_cattt.db6.t VERSION AS OF 9").collect())
-    assert(e.getMessage.contains("not present"), e.getMessage)
-    // TIMESTAMP AS OF: pin mtimes so the cut points are deterministic
+    assert(e.getMessage.contains("never made live"), e.getMessage)
+    // TIMESTAMP AS OF: pin birth markers so the cut points are
+    // deterministic (and survive appends, which bump dir mtimes)
     val fs = new Path(root).getFileSystem(new Configuration())
-    fs.setTimes(new Path(s"$root/db6/gen-00001"),
-      java.sql.Timestamp.valueOf("2019-01-01 00:00:00").getTime, -1)
-    fs.setTimes(new Path(s"$root/db6/gen-00002"),
-      java.sql.Timestamp.valueOf("2021-01-01 00:00:00").getTime, -1)
+    def pinBirth(gen: String, ts: String): Unit = {
+      val p = new Path(s"$root/db6/$gen/.swap-ts")
+      val out = fs.create(p, true)
+      try out.write(java.sql.Timestamp.valueOf(ts).getTime.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    pinBirth("gen-00001", "2019-01-01 00:00:00")
+    pinBirth("gen-00002", "2021-01-01 00:00:00")
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft_cattt.db6.t TIMESTAMP AS OF '2020-06-01 00:00:00'")
       .head.getLong(0) == 500)

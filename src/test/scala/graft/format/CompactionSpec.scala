@@ -123,7 +123,7 @@ class CompactionSpec extends SparkSpec {
     val miss = intercept[Exception] {
       spark.read.format("graft").option("generation", "7").load(dir).count()
     }
-    assert(miss.getMessage.contains("not present"), miss.getMessage)
+    assert(miss.getMessage.contains("never made live"), miss.getMessage)
     intercept[IllegalArgumentException] {
       spark.read.format("graft").option("generation", "nope").load(dir).count()
     }
