@@ -278,6 +278,13 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           dt, n)
       case (DeltaMeta(_, first, width, deltasBuf), _) =>
         fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, 0L, n.toLong), dt, n)
+      case (ScaledMeta(_, exponent, BitPackMeta(None, base, bits, values)), DoubleType) =>
+        // fused fast path: ALP-scaled decimals over bit-packed ints are
+        // the hottest decode in a lineitem scan (stack-sampled); unpack
+        // and divide in ONE loop, no intermediate 8n-byte buffer
+        fillScaledBitPack(vec, exponent, base, bits, values, n, toFloat = false)
+      case (ScaledMeta(_, exponent, BitPackMeta(None, base, bits, values)), FloatType) =>
+        fillScaledBitPack(vec, exponent, base, bits, values, n, toFloat = true)
       case (ScaledMeta(_, exponent, inner), _) =>
         fillScaled(vec, dt, exponent, scaledLongs(inner, 0L, n.toLong), n)
       case (UnsignedPackedMeta(_, logical, inner), _) =>
@@ -722,6 +729,41 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       case DeltaMeta(None, first, width, deltasBuf) =>
         expandDelta(first, width, readBuffer(deltasBuf), LongType, e0, e1)
       case _ => throw new OliveFormatException("bad scaled inner encoding")
+    }
+  }
+
+  /** [[fillScaled]] fused with [[expandBitPack]]: same checks, same
+    * arithmetic (unpack then the exact long → double divide), one loop. */
+  private def fillScaledBitPack(vec: WritableColumnVector, exponent: Byte, base: Long,
+      bits: Byte, bm: BufferMeta, n: Int, toFloat: Boolean): Unit = {
+    if (exponent < 0 || exponent > 18)
+      throw new OliveFormatException(s"bad scale exponent $exponent")
+    if (bits < 1 || bits > 56)
+      throw new OliveFormatException(s"bad bit-pack width $bits")
+    val needEnd = (n.toLong * bits + 7) / 8 + 8
+    if (needEnd > bm.rawSize)
+      throw new OliveFormatException(s"bit-pack buffer ${bm.rawSize} < $needEnd")
+    val (bytes, start) = readBufferRange(bm, 0L, needEnd)
+    val bb = Bytes.le(bytes)
+    val mask = (1L << bits) - 1
+    val pow = Pow10(exponent.toInt)
+    var i = 0
+    if (toFloat) {
+      while (i < n) {
+        val bitPos = i.toLong * bits - start * 8
+        val word = bb.getLong((bitPos >> 3).toInt)
+        vec.putFloat(i,
+          ((base + ((word >>> (bitPos & 7).toInt) & mask)).toDouble / pow).toFloat)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val bitPos = i.toLong * bits - start * 8
+        val word = bb.getLong((bitPos >> 3).toInt)
+        vec.putDouble(i,
+          (base + ((word >>> (bitPos & 7).toInt) & mask)).toDouble / pow)
+        i += 1
+      }
     }
   }
 

@@ -202,21 +202,32 @@ object GraftDataSource {
     }
   }
 
-  /** The live generation's name from `dir`'s pointer, if any. */
+  /** The live generation's name from `dir`'s pointer, if any. Reads race
+    * the swap's rename, so two transient errors retry (bounded):
+    * FileNotFound (pointer replaced between exists() and open()) and
+    * ChecksumException (ChecksumFs moves the data file and its .crc
+    * sidecar in TWO renames — a read in between sees new data verified
+    * against the old checksum). */
   def readGenPointer(conf: Configuration, dir: String): Option[String] = {
     val ptr = new Path(dir, GenPointerName)
     val fs = ptr.getFileSystem(conf)
-    try {
-      if (!fs.exists(ptr)) None
-      else {
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(ptr)) return None
         val in = fs.open(ptr)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-        Some(s).filter(_.nonEmpty)
+        return Some(s).filter(_.nonEmpty)
+      } catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.hadoop.fs.ChecksumException) =>
+          attempt += 1
+          if (attempt > 50) throw e // persistent corruption, not the race
+          Thread.sleep(2)
       }
-    } catch { // pointer replaced between exists() and open(): retry once
-      case _: java.io.FileNotFoundException => readGenPointer(conf, dir)
     }
+    None // unreachable
   }
 
   /** Resolve the live data directory: `dir/<gen>` under a generation
