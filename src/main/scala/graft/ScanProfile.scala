@@ -14,7 +14,9 @@ object ScanProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/tmp/graft_scanbench/lineitem"
+    // per-sf cache dir: a stale dir from another scale factor must not be
+    // silently profiled under this one's label
+    val dir = s"/tmp/graft_scanprofile/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/lineitem"
     if (!new java.io.File(dir).exists())
       Tables.lineitem(spark, sfDir).repartition(cpus.toInt)
         .write.format("graft").mode("overwrite").save(dir)

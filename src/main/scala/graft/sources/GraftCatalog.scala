@@ -145,9 +145,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** SQL time travel: `SELECT … FROM cat.ns.t VERSION AS OF 2` pins the
     * namespace dir's compaction generation (see
-    * [[GraftDataSource.generationDir]]). The schema comes from the live
-    * layout (schemas only evolve additively; absent columns read as
-    * nulls), the scan from the pinned generation. */
+    * [[GraftDataSource.generationDir]]). The schema comes from the
+    * PINNED generation itself — history reads see the columns (and
+    * tables: a since-dropped one included) as of that generation — with
+    * the live layout's markers as fallback for empty tables. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = nsDir(ident.namespace())
     val genDir = GraftDataSource.generationDir(conf, dir, version)
@@ -177,17 +178,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fs = p.getFileSystem(conf)
     val ms = timestamp / 1000
     val liveIdx = GraftDataSource.readGenPointer(conf, dir)
-      .map(_.stripPrefix("gen-").toInt)
+      .flatMap(GraftDataSource.genIndex)
     val gens =
       if (liveIdx.isEmpty || !fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(p)
         .filter(s => s.isDirectory &&
-          s.getPath.getName.matches(GraftDataSource.GenDirPattern) &&
-          s.getPath.getName.stripPrefix("gen-").toInt <= liveIdx.get)
-        .sortBy(_.getPath.getName.stripPrefix("gen-").toInt)
+          GraftDataSource.genIndex(s.getPath.getName).exists(_ <= liveIdx.get))
+        .sortBy(s => GraftDataSource.genIndex(s.getPath.getName).get)
     def birth(st: org.apache.hadoop.fs.FileStatus): Long =
       GraftDataSource.readSwapTs(conf, st.getPath).getOrElse(st.getModificationTime)
-    val pick = gens.filter(birth(_) <= ms).lastOption.getOrElse(
+    // newest-first, stop at the first born <= t: the common recent-
+    // timestamp query reads ONE marker, not one per generation
+    val pick = gens.reverseIterator.find(birth(_) <= ms).getOrElse(
       throw new graft.format.OliveFormatException(
         s"no generation of $dir existed at timestamp $ms ms " +
           s"(${gens.length} generations present)"))

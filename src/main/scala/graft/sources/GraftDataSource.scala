@@ -104,18 +104,21 @@ object GraftDataSource {
     * until a later compaction's grace-period sweep reclaims it. A missing
     * generation is a loud error, never an empty table. */
   def generationDir(conf: Configuration, dir: String, gen: String): String = {
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"bad generation '$gen' (want an index like 2, or gen-00002)")
     val name =
-      if (gen.matches("\\d+")) f"gen-${gen.toInt}%05d"
+      if (gen.matches("\\d+")) f"gen-${gen.toIntOption.getOrElse(bad())}%05d"
       else if (gen.matches(GenDirPattern)) gen
-      else throw new IllegalArgumentException(
-        s"bad generation '$gen' (want an index like 2, or gen-00002)")
+      else bad()
     // only generations the pointer has made live are addressable: a dir
     // with a HIGHER index than the pointer is a crashed compaction's
     // half-written output — serving it would silently return partial data
     val live = readGenPointer(conf, dir).getOrElse(throw new OliveFormatException(
       s"$dir has no generation pointer; generations are not addressable"))
-    val reqIdx = name.stripPrefix("gen-").toInt
-    if (reqIdx > live.stripPrefix("gen-").toInt)
+    val reqIdx = genIndex(name).getOrElse(bad())
+    val liveIdx = genIndex(live).getOrElse(throw new OliveFormatException(
+      s"corrupt generation pointer in $dir: '$live'"))
+    if (reqIdx > liveIdx)
       throw new OliveFormatException(
         s"generation $name was never made live (live is $live): " +
           "refusing a half-written compaction output")
@@ -183,6 +186,12 @@ object GraftDataSource {
     * by the reader, the catalog's timestamp travel, and compaction. */
   val GenDirPattern = "gen-\\d{5,}"
 
+  /** Parse a generation dir name's index; None when it isn't one (or the
+    * digits overflow Int — a stray `gen-9999999999` dir must be ignored
+    * or rejected loudly, never crash a query with NumberFormatException). */
+  def genIndex(name: String): Option[Int] =
+    if (name.matches(GenDirPattern)) name.stripPrefix("gen-").toIntOption else None
+
   /** Swap marker written INSIDE a generation dir just before the pointer
     * swap makes it live: its content (epoch ms) is the generation's
     * birth time for `TIMESTAMP AS OF`. Dir mtimes can't serve that role:
@@ -190,17 +199,23 @@ object GraftDataSource {
     * time-travel rows out of existence. */
   val SwapTsName = ".swap-ts"
 
-  def readSwapTs(conf: Configuration, genDir: Path): Option[Long] = {
-    val p = new Path(genDir, SwapTsName)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      s.toLongOption
+  def readSwapTs(conf: Configuration, genDir: Path): Option[Long] =
+    try {
+      val p = new Path(genDir, SwapTsName)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        s.toLongOption
+      }
+    } catch {
+      // a grace-sweep reclaiming this generation between the caller's
+      // listing and this read: fall back to mtime; if the gen is truly
+      // gone, addressing it fails loudly downstream in generationDir
+      case _: java.io.IOException => None
     }
-  }
 
   /** The live generation's name from `dir`'s pointer, if any. Reads race
     * the swap's rename, so two transient errors retry (bounded):
