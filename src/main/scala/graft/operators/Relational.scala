@@ -657,6 +657,31 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  // ---- q28b: HLL accuracy gate (exact-bound oracle) ------------------------
+  // The q46 pattern aimed at the sketch: the estimate itself is
+  // implementation-specific (q28 stays rows-only), but its ERROR BOUND
+  // is checkable — with rsd 0.02 the estimate must land within 5x rsd of
+  // the exact count (HLL++ at this cardinality is far inside that), and
+  // the run is deterministic per dataset. DuckDB states the exact counts
+  // and the bound; any regression in the sketch plumbing (wrong column,
+  // wrong grouping, broken merge) hash-fails.
+  private val q28b: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        (abs(approx_count_distinct(col("l_orderkey"), 0.02) -
+          countDistinct(col("l_orderkey"))) <=
+          countDistinct(col("l_orderkey")) * 0.1).as("within_bound"))
+      .orderBy(col("l_linestatus"))
+  }
+  private val q28bSql =
+    """SELECT l_linestatus, count(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS within_bound
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   // ---- q29a: skew-safe two-phase aggregation (salting) ---------------------
   // The classic hot-key pattern: group by (key, salt) first so the hot
   // key's rows spread over 16 reducers, then re-aggregate by key. With
@@ -775,6 +800,7 @@ object Relational {
     "q26_udaf_weighted_avg" -> q26,
     "q27_sql_api" -> q27,
     "q28_approx_distinct" -> q28,
+    "q28b_approx_bound" -> q28b,
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
     "q3_join_agg_topk" -> q3,
@@ -813,7 +839,9 @@ object Relational {
     "q25_asof_join" -> q25Sql,
     "q26_udaf_weighted_avg" -> q26Sql,
     "q27_sql_api" -> q27Sql,
-    // q28 has no oracle: HLL++ estimates are implementation-specific
+    // q28 has no oracle: HLL++ estimates are implementation-specific;
+    // q28b gates the sketch's error bound with an exact oracle instead
+    "q28b_approx_bound" -> q28bSql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg_topk" -> q3Sql,

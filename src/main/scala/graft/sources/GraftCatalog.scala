@@ -67,27 +67,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     try g(r) finally r.close()
   }
 
-  /** Search the namespace's files for `table`'s schema (any file may hold
-    * it); fall back to the createTable marker for not-yet-written tables. */
-  private def findTableSchema(dir: String, table: String): Option[StructType] = {
-    val files = GraftDataSource.listFiles(conf, dir)
-    val fromFiles = probeFooters(files) { f =>
-      openFooter(f)(_.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema))
-    }
-    fromFiles.orElse {
-      val marker = schemaMarker(dir, table)
-      val fs = marker.getFileSystem(conf)
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        org.apache.spark.sql.types.DataType.fromJson(json) match {
-          case s: StructType => Some(s)
-          case _ => None
-        }
+  private def markerSchema(dir: String, table: String): Option[StructType] = {
+    val marker = schemaMarker(dir, table)
+    val fs = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json) match {
+        case s: StructType => Some(s)
+        case _ => None
       }
     }
   }
+
+  private def writeMarker(dir: String, table: String, schema: StructType): Unit = {
+    val marker = schemaMarker(dir, table)
+    val fs = marker.getFileSystem(conf)
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(marker, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The table's DECLARED schema: the marker when present (createTable
+    * writes it, ALTER TABLE ADD COLUMN evolves it — files written before
+    * an ALTER carry the narrower schema and read the added columns as
+    * nulls), else the schema found in the namespace's file footers. */
+  private def findTableSchema(dir: String, table: String): Option[StructType] =
+    markerSchema(dir, table).orElse {
+      val files = GraftDataSource.listFiles(conf, dir)
+      probeFooters(files) { f =>
+        openFooter(f)(_.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema))
+      }
+    }
 
   override def listNamespaces(): Array[Array[String]] = {
     val p = new Path(root)
@@ -203,18 +216,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
-    val dir = nsDir(ident.namespace())
-    val marker = schemaMarker(dir, ident.name())
-    val fs = marker.getFileSystem(conf)
-    fs.mkdirs(new Path(dir))
-    val out = fs.create(marker, true)
-    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeMarker(nsDir(ident.namespace()), ident.name(), schema)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are append/replace only")
+  /** Additive schema evolution only: ADD COLUMN updates the declared-
+    * schema marker; existing files keep their narrower schema and the
+    * scan reads the new column as nulls (the contract the DSv2 reader
+    * already gives evolving datasets). Anything else is refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = nsDir(ident.namespace())
+    val current = findTableSchema(dir, ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val evolved = changes.foldLeft(current) {
+      case (s, add: TableChange.AddColumn) =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException("nested ADD COLUMN is not supported")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            "added columns must be nullable: files written before the ALTER read them as null")
+        if (s.fieldNames.contains(add.fieldNames().head))
+          throw new IllegalArgumentException(s"column ${add.fieldNames().head} already exists")
+        s.add(add.fieldNames().head, add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog supports only ADD COLUMN; got ${other.getClass.getSimpleName}")
+    }
+    writeMarker(dir, ident.name(), evolved)
+    loadTable(ident)
+  }
 
   /** Drops the table's schema marker and any file holding ONLY this
     * table; a file mixing several tables (multi-table chunk) is shared

@@ -174,6 +174,26 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(v) FROM graft_ddl.db7.t2").head.getLong(0) == 90)
   }
 
+  test("ALTER TABLE ADD COLUMN: old files read the new column as null") {
+    val root = Files.createTempDirectory("graft-evolve").toString
+    spark.conf.set("spark.sql.catalog.graft_ev", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ev.root", root)
+    spark.sql("CREATE NAMESPACE graft_ev.db8")
+    spark.sql("CREATE TABLE graft_ev.db8.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_ev.db8.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft_ev.db8.t ADD COLUMN w BIGINT")
+    // pre-ALTER rows surface the new column as null
+    val r = spark.sql("SELECT k, v, w FROM graft_ev.db8.t ORDER BY k").collect()
+    assert(r.length == 2 && r.forall(_.isNullAt(2)))
+    // post-ALTER inserts carry it; mixed-schema files scan together
+    spark.sql("INSERT INTO graft_ev.db8.t VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT sum(w) FROM graft_ev.db8.t").head.getLong(0) == 30)
+    assert(spark.sql("SELECT count(*) FROM graft_ev.db8.t").head.getLong(0) == 3)
+    // non-additive changes are refused
+    intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t DROP COLUMN v"))
+    intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t ADD COLUMN k STRING"))
+  }
+
   test("many-file namespace: parallel footer probes keep listing fast") {
     val root = Files.createTempDirectory("graft-catp").toString
     val conf = new Configuration()
