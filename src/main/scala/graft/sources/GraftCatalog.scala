@@ -67,27 +67,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     try g(r) finally r.close()
   }
 
-  private def markerSchema(dir: String, table: String): Option[StructType] = {
-    val marker = schemaMarker(dir, table)
-    val fs = marker.getFileSystem(conf)
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(json) match {
-        case s: StructType => Some(s)
-        case _ => None
+  private def markerSchema(dir: String, table: String): Option[StructType] =
+    try {
+      val marker = schemaMarker(dir, table)
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json) match {
+          case s: StructType => Some(s)
+          case _ => None
+        }
       }
+    } catch {
+      // a corrupt/truncated marker (crashed DDL) must not make a table
+      // with readable data files unreadable: fall through to footers
+      case _: Exception => None
     }
-  }
 
+  /** Marker writes are tmp + atomic rename: a reader never sees a
+    * partial marker (a crashed half-write is an orphan tmp file). */
   private def writeMarker(dir: String, table: String, schema: StructType): Unit = {
     val marker = schemaMarker(dir, table)
+    val tmp = new Path(dir, s".schema_$table.json.tmp")
     val fs = marker.getFileSystem(conf)
     fs.mkdirs(new Path(dir))
-    val out = fs.create(marker, true)
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
+      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The table's DECLARED schema: the marker when present (createTable
@@ -220,13 +230,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** Additive schema evolution only: ADD COLUMN updates the declared-
-    * schema marker; existing files keep their narrower schema and the
-    * scan reads the new column as nulls (the contract the DSv2 reader
-    * already gives evolving datasets). Anything else is refused. */
+  /** Additive schema evolution only: ADD COLUMN (appended at the end —
+    * FIRST/AFTER positions are refused, not silently ignored) updates
+    * the declared-schema marker; existing files keep their narrower
+    * schema and the scan reads the new column as nulls (the contract the
+    * DSv2 reader already gives evolving datasets). Anything else is
+    * refused. DDL is single-writer: concurrent ALTERs on one table are a
+    * read-modify-write race (last marker wins) — same offline assumption
+    * as compaction. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = nsDir(ident.namespace())
-    val current = findTableSchema(dir, ident.name()).getOrElse(
+    // seed from the UNION of every file's schema for this table (plus
+    // the marker): a marker-less multi-file dataset may hold files of
+    // different widths (evolution-on-read), and seeding from the first
+    // footer hit would persist the narrowest one as declared, silently
+    // hiding the newer files' columns forever after
+    val current = unionedTableSchema(dir, ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     val evolved = changes.foldLeft(current) {
       case (s, add: TableChange.AddColumn) =>
@@ -235,6 +254,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (!add.isNullable)
           throw new UnsupportedOperationException(
             "added columns must be nullable: files written before the ALTER read them as null")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN FIRST/AFTER is not supported; columns append at the end")
         if (s.fieldNames.contains(add.fieldNames().head))
           throw new IllegalArgumentException(s"column ${add.fieldNames().head} already exists")
         s.add(add.fieldNames().head, add.dataType(), nullable = true)
@@ -243,6 +265,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     writeMarker(dir, ident.name(), evolved)
     loadTable(ident)
+  }
+
+  /** Marker schema + every footer schema for `table`, folded additively
+    * (fields merged by name, first occurrence's type wins; a TYPE
+    * conflict for one name is refused loudly). */
+  private def unionedTableSchema(dir: String, table: String): Option[StructType] = {
+    val files = GraftDataSource.listFiles(conf, dir)
+    val fromFiles = GraftDataSource.inParallel(files) { f =>
+      openFooter(f)(_.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema))
+    }.flatten
+    val all = markerSchema(dir, table).toSeq ++ fromFiles
+    if (all.isEmpty) None
+    else Some(all.reduce { (a, b) =>
+      b.fields.foldLeft(a) { (s, f) =>
+        s.fields.find(_.name == f.name) match {
+          case Some(existing) if existing.dataType != f.dataType =>
+            throw new IllegalArgumentException(
+              s"table $table files disagree on ${f.name}: ${existing.dataType} vs ${f.dataType}")
+          case Some(_) => s
+          case None => s.add(f)
+        }
+      }
+    })
   }
 
   /** Drops the table's schema marker and any file holding ONLY this

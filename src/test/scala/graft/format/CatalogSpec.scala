@@ -192,6 +192,20 @@ class CatalogSpec extends SparkSpec {
     // non-additive changes are refused
     intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t DROP COLUMN v"))
     intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t ADD COLUMN k STRING"))
+    // the catalog's OWN guards, via the TableCatalog API (Spark's
+    // analyzer shields the SQL path, so exercise them directly)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft_ev")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val dup = intercept[IllegalArgumentException](cat.alterTable(
+      Identifier.of(Array("db8"), "t"),
+      TableChange.addColumn(Array("k"), org.apache.spark.sql.types.StringType)))
+    assert(dup.getMessage.contains("already exists"))
+    val pos = intercept[UnsupportedOperationException](cat.alterTable(
+      Identifier.of(Array("db8"), "t"),
+      TableChange.addColumn(Array("z"), org.apache.spark.sql.types.StringType, true,
+        null, TableChange.ColumnPosition.first(), null)))
+    assert(pos.getMessage.contains("FIRST/AFTER"))
   }
 
   test("many-file namespace: parallel footer probes keep listing fast") {
