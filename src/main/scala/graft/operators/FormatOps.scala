@@ -491,7 +491,37 @@ object FormatOps {
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
 
+  // ---- q94: catalog schema evolution end-to-end ----------------------------
+  // CREATE TABLE -> INSERT (narrow) -> ALTER TABLE ADD COLUMN -> INSERT
+  // (wide) -> one query over the MIXED-schema files: pre-ALTER rows read
+  // the added column as null. The oracle derives the same result from
+  // parquet, so the null-fill for schema-drifted files is hash-gated,
+  // not just spec'd.
+  private val q94: Q = (s, d) => {
+    val root = graftDir(d, "evolve_cat")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)) // idempotent reruns
+    s.conf.set("spark.sql.catalog.graft_evq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_evq.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evq.db")
+    s.sql("CREATE TABLE graft_evq.db.docs (doc_id BIGINT, lang STRING)")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .createOrReplaceTempView("q94_docs_src")
+    s.sql("INSERT INTO graft_evq.db.docs SELECT doc_id, lang FROM q94_docs_src WHERE doc_id % 2 = 0")
+    s.sql("ALTER TABLE graft_evq.db.docs ADD COLUMN flag BIGINT")
+    s.sql("INSERT INTO graft_evq.db.docs SELECT doc_id, lang, doc_id % 7 FROM q94_docs_src WHERE doc_id % 2 = 1")
+    s.sql("""SELECT lang, count(*) AS n,
+      CAST(sum(coalesce(flag, -1)) AS BIGINT) AS flag_sum
+      FROM graft_evq.db.docs GROUP BY lang ORDER BY lang""")
+  }
+  private val q94Sql =
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 7 ELSE -1 END) AS BIGINT) AS flag_sum
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_schema_evolution" -> q94,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -508,6 +538,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q94_schema_evolution" -> q94Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
