@@ -343,84 +343,9 @@ object FormatOps {
     * aggregate against the parquet oracle. */
   def compact(s: SparkSession, dir: String, targetFiles: Int,
       writeOptions: Map[String, String] = Map.empty,
-      graceMs: Long = 15 * 60 * 1000L): Unit = {
-    import graft.sources.GraftDataSource
-    import org.apache.hadoop.fs.Path
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val liveGen = GraftDataSource.readGenPointer(conf, dir)
-    val liveIdx = liveGen.map(_.stripPrefix("gen-").toInt)
-    // Entry sweep. Two kinds of dead data, two rules:
-    //  - NEVER-referenced garbage (gen dirs with no pointer, or an index
-    //    above the live one — a crashed compaction's half-written output)
-    //    is deleted unconditionally: no reader can have planned on it.
-    //  - SUPERSEDED data (generations below the live index, legacy loose
-    //    files once a pointer exists) had readers until the last swap, so
-    //    it is reclaimed only when that swap is at least `graceMs` old —
-    //    rapid repeated compactions accumulate grace copies instead of
-    //    yanking files from under in-flight queries.
-    val lastSwapOld = liveGen.exists { _ =>
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
-      age >= graceMs
-    }
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      val genIdx = if (st.isDirectory && n.startsWith("gen-"))
-        n.stripPrefix("gen-").toIntOption else None
-      genIdx match {
-        case Some(i) if liveIdx.isEmpty || i > liveIdx.get => fs.delete(st.getPath, true)
-        case Some(i) if i < liveIdx.get && lastSwapOld => fs.delete(st.getPath, true)
-        case _ =>
-          if (lastSwapOld && st.isDirectory && n.contains("=")) fs.delete(st.getPath, true)
-          else if (lastSwapOld && st.isFile && n.endsWith(".graft")) fs.delete(st.getPath, false)
-      }
-    }
-    val nextGen = f"gen-${liveGen.map(_.stripPrefix("gen-").toInt + 1).getOrElse(1)}%05d"
-    // ONE listing serves both the partition-column probe and the table
-    // enumeration (a 10^6-file LIST against an object store is the cost)
-    val listed = GraftDataSource.listPartitionedFiles(conf, dir)
-    // hive-style partition columns re-route to the same layout on rewrite
-    val partCols = GraftDataSource.partitionColumns(listed)
-    // rewrite EVERY named table (a dir may hold several — the catalog's
-    // namespace layout); reading without the table option would collapse
-    // them all into the default name and corrupt the catalog's view
-    val tableNames = GraftDataSource.inParallel(listed.map(_._1)) { f =>
-        val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
-        try r.tableNames finally r.close()
-      }.flatten.distinct.sorted
-    if (tableNames.isEmpty) return // nothing to compact
-    tableNames.foreach { t =>
-      val df = s.read.format("graft").option("table", t).load(dir)
-      val base = df.repartition(targetFiles).write.format("graft")
-        .option("table", t).options(writeOptions).mode("append")
-      val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
-      w.save(new Path(root, nextGen).toString)
-    }
-    // birth-time marker INSIDE the gen dir, before the swap: appends keep
-    // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
-    // instead (GraftCatalog.loadTable(ident, timestamp))
-    locally {
-      val ts = new Path(new Path(root, nextGen), GraftDataSource.SwapTsName)
-      val out = fs.create(ts, true)
-      try out.write(String.valueOf(System.currentTimeMillis())
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    // the swap: one atomic pointer replacement
-    val ptr = new Path(root, GraftDataSource.GenPointerName)
-    val ptrTmp = new Path(root, GraftDataSource.GenPointerName + ".tmp")
-    val out = fs.create(ptrTmp, true)
-    try out.write(nextGen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
-      .rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // deliberately NO deletion here: the superseded data (legacy loose
-    // files or the previous gen dir) is invisible behind the pointer but
-    // intact, so queries planned against it finish cleanly; a later
-    // compact's entry sweep reclaims it after `graceMs`
-  }
+      graceMs: Long = 15 * 60 * 1000L): Unit =
+    graft.sources.Generations.rewrite(s, dir, (_, df) => df,
+      Some(targetFiles), writeOptions, graceMs)
 
   // ---- q92: compaction preserves content ------------------------------------
   // orders written as MANY tiny files (32 tasks x 2k-row chunks), then
@@ -520,7 +445,142 @@ object FormatOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** `UPDATE t SET c = expr, … WHERE p` via copy-on-write generation
+    * rewrite ([[graft.sources.Generations.rewrite]]): one new generation
+    * holds the table with matching rows' SET columns replaced; the
+    * pointer swap is atomic and the pre-update generation stays
+    * time-travel readable. SQL UPDATE semantics: every SET expression
+    * sees the ORIGINAL row (all replacements are one projection, not a
+    * fold), a NULL WHERE leaves the row unchanged, and each new value is
+    * cast back to the column's declared type so the table schema never
+    * drifts. Offline/single-writer, like compaction. */
+  def updateWhere(s: SparkSession, dir: String, table: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column): Unit = {
+    // a misspelled table name must fail loudly, never "update zero rows":
+    // the rewrite would otherwise copy every table through unchanged
+    var touched = false
+    graft.sources.Generations.rewrite(s, dir, (name, df) =>
+      if (name != table) df
+      else {
+        touched = true
+        val unknown = set.keySet -- df.columns.toSet
+        require(unknown.isEmpty, s"UPDATE SET on unknown columns: ${unknown.mkString(",")}")
+        val cond = coalesce(where, lit(false))
+        df.select(df.schema.fields.map { f =>
+          set.get(f.name)
+            .map(v => when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+            .getOrElse(col(f.name))
+        }.toSeq: _*)
+      })
+    require(touched, s"table '$table' not found in $dir; nothing was updated")
+  }
+
+  /** Keyed upsert (`MERGE … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *`): source rows REPLACE target rows sharing
+    * their key and new-key rows append, in one copy-on-write generation.
+    * The target side anti-joins the source's distinct keys — at scale
+    * that is one shuffle of the (small) CDC batch against the table, and
+    * AQE broadcasts the key set when it fits. Source must carry every
+    * target column (extra columns are dropped). */
+  def upsert(s: SparkSession, dir: String, table: String,
+      source: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    var touched = false
+    graft.sources.Generations.rewrite(s, dir, (name, df) =>
+      if (name != table) df
+      else {
+        touched = true
+        df.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(source.select(df.columns.map(col).toSeq: _*))
+      })
+    require(touched, s"table '$table' not found in $dir; nothing was upserted")
+  }
+
+  // ---- q95: SQL DELETE FROM through the catalog -----------------------------
+  // CTAS the orders table into the catalog, DELETE a predicate slice
+  // (copy-on-write generation + atomic pointer swap, SupportsDelete),
+  // then aggregate what remains; the oracle computes the complement
+  // from parquet, so the row-level delete itself is hash-gated.
+  private val q95: Q = (s, d) => {
+    val root = graftDir(d, "dml_cat")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)) // idempotent reruns
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dml.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.db")
+    Tables.orders(s, d).createOrReplaceTempView("q95_orders_src")
+    s.sql("CREATE TABLE graft_dml.db.orders_t AS SELECT * FROM q95_orders_src")
+    s.sql("""DELETE FROM graft_dml.db.orders_t
+      WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0""")
+    s.sql("""SELECT o_orderstatus, count(*) AS n,
+      round(sum(o_totalprice), 4) AS total
+      FROM graft_dml.db.orders_t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+  private val q95Sql =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
+  // 10% price increase on open orders; the oracle recomputes the same
+  // CASE from parquet. Both sides multiply the identical doubles, so a
+  // hash match proves the rewrite touched exactly the matching rows.
+  private val q96: Q = (s, d) => {
+    val dir = graftDir(d, "orders_update")
+    Tables.orders(s, d).repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    updateWhere(s, dir, table = "data", // the untabled write path's default name
+      set = Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+      where = col("o_orderstatus") === "O")
+    s.read.format("graft").load(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+  private val q96Sql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |                 ELSE o_totalprice END), 4) AS total
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q97: keyed upsert (MERGE-style CDC batch) -----------------------------
+  // Target: customers missing every key % 3 == 0. CDC batch: every even
+  // key with +1000 balance. After the upsert, even keys carry the new
+  // balance (inserted OR updated), odd non-%3 keys are untouched — the
+  // oracle states exactly that set algebra from parquet.
+  private val q97: Q = (s, d) => {
+    val dir = graftDir(d, "customer_upsert")
+    val c = Tables.customer(s, d)
+    c.filter(col("c_custkey") % 3 =!= 0).repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    val cdc = c.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+    upsert(s, dir, table = "data", source = cdc, keys = Seq("c_custkey"))
+    s.read.format("graft").load(dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q97Sql =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(bal), 4) AS total_bal
+      |FROM (
+      |  SELECT c_mktsegment, c_acctbal + 1000.0 AS bal
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_mktsegment, c_acctbal AS bal
+      |  FROM customer WHERE c_custkey % 2 <> 0 AND c_custkey % 3 <> 0
+      |)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_delete" -> q95,
+    "q96_update" -> q96,
+    "q97_upsert" -> q97,
     "q94_schema_evolution" -> q94,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
@@ -538,6 +598,9 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q95_delete" -> q95Sql,
+    "q96_update" -> q96Sql,
+    "q97_upsert" -> q97Sql,
     "q94_schema_evolution" -> q94Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,

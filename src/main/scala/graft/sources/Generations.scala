@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** Copy-on-write generation rewrites — the machinery shared by offline
+  * compaction ([[graft.operators.FormatOps.compact]]) and row-level DML
+  * (`DELETE FROM` via [[GraftTable]]'s `SupportsDelete`, and
+  * [[graft.operators.FormatOps.updateWhere]]/`upsert`).
+  *
+  * The reference format is append-only (chunks are immutable once
+  * written, `src/write.zig`); mutation therefore happens the way every
+  * immutable-file table format does it: write a FULL new copy of the
+  * live data — transformed — into a fresh `gen-NNNNN` directory beside
+  * the live one, then swing the `.graft-gen` pointer in one atomic
+  * rename. Readers resolve the pointer once per scan and see the old
+  * generation or the new one, never a mixture; superseded generations
+  * stay readable (`VERSION AS OF`) until a later rewrite's grace-period
+  * sweep reclaims them.
+  *
+  * Offline/single-writer like compaction: concurrent rewrites of one
+  * directory race on the pointer (last swap wins, no lost-data window —
+  * the loser's generation is simply never referenced). Readers are safe
+  * throughout. Crash anywhere: the pointer still names a complete
+  * generation; a half-written gen dir is unreferenced garbage the next
+  * rewrite removes unconditionally.
+  */
+object Generations {
+
+  /** Table names present in `dir`'s LIVE generation (pointer-resolved
+    * by the DSv2 listing), via a parallel footer probe. */
+  def liveTableNames(conf: Configuration, dir: String): Seq[String] = {
+    val listed = GraftDataSource.listPartitionedFiles(conf, dir)
+    GraftDataSource.inParallel(listed.map(_._1)) { f =>
+      val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
+      try r.tableNames finally r.close()
+    }.flatten.distinct.sorted
+  }
+
+  /** Rewrite `dir`'s live data into a new generation and atomically
+    * swap the pointer to it.
+    *
+    * Every named table in the directory is read from the live view and
+    * passed through `transform(tableName, df)`; the result lands in the
+    * new generation (hive partition layout preserved). `targetFiles`
+    * repartitions each table when set (compaction); when None the
+    * scan's own partitioning flows through (DML rewrites keep the
+    * existing file granularity).
+    *
+    * Sweep rules for dead data (two kinds, two rules):
+    *  - NEVER-referenced garbage (gen dirs above the live index — a
+    *    crashed rewrite's half-written output) is deleted
+    *    unconditionally: no reader can have planned on it.
+    *  - SUPERSEDED data (generations below the live index, legacy loose
+    *    files once a pointer exists) had readers until the last swap,
+    *    so it is reclaimed only when that swap is at least `graceMs`
+    *    old — rapid repeated rewrites accumulate grace copies instead
+    *    of yanking files from under in-flight queries.
+    */
+  def rewrite(s: SparkSession, dir: String,
+      transform: (String, DataFrame) => DataFrame,
+      targetFiles: Option[Int] = None,
+      writeOptions: Map[String, String] = Map.empty,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir)
+    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
+    val lastSwapOld = liveGen.exists { _ =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
+      age >= graceMs
+    }
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val genIdx = if (st.isDirectory && n.startsWith("gen-"))
+        n.stripPrefix("gen-").toIntOption else None
+      genIdx match {
+        case Some(i) if liveIdx.isEmpty || i > liveIdx.get => fs.delete(st.getPath, true)
+        case Some(i) if i < liveIdx.get && lastSwapOld => fs.delete(st.getPath, true)
+        case _ =>
+          if (lastSwapOld && st.isDirectory && n.contains("=")) fs.delete(st.getPath, true)
+          else if (lastSwapOld && st.isFile && n.endsWith(".graft")) fs.delete(st.getPath, false)
+      }
+    }
+    val nextGen = f"gen-${liveIdx.getOrElse(0) + 1}%05d"
+    // ONE listing serves both the partition-column probe and the table
+    // enumeration (a 10^6-file LIST against an object store is the cost)
+    val listed = GraftDataSource.listPartitionedFiles(conf, dir)
+    // hive-style partition columns re-route to the same layout on rewrite
+    val partCols = GraftDataSource.partitionColumns(listed)
+    // rewrite EVERY named table (a dir may hold several — the catalog's
+    // namespace layout); reading without the table option would collapse
+    // them all into the default name and corrupt the catalog's view
+    val tableNames = GraftDataSource.inParallel(listed.map(_._1)) { f =>
+        val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
+        try r.tableNames finally r.close()
+      }.flatten.distinct.sorted
+    if (tableNames.isEmpty) return // nothing to rewrite
+    tableNames.foreach { t =>
+      val df0 = transform(t, s.read.format("graft").option("table", t).load(dir))
+      val df = targetFiles.map(df0.repartition).getOrElse(df0)
+      val base = df.write.format("graft")
+        .option("table", t).options(writeOptions).mode("append")
+      val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
+      w.save(new Path(root, nextGen).toString)
+    }
+    // birth-time marker INSIDE the gen dir, before the swap: appends keep
+    // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
+    // instead (GraftCatalog.loadTable(ident, timestamp))
+    locally {
+      val ts = new Path(new Path(root, nextGen), GraftDataSource.SwapTsName)
+      val out = fs.create(ts, true)
+      try out.write(String.valueOf(System.currentTimeMillis())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // the swap: one atomic pointer replacement
+    val ptr = new Path(root, GraftDataSource.GenPointerName)
+    val ptrTmp = new Path(root, GraftDataSource.GenPointerName + ".tmp")
+    val out = fs.create(ptrTmp, true)
+    try out.write(nextGen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
+      .rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // deliberately NO deletion here: the superseded data (legacy loose
+    // files or the previous gen dir) is invisible behind the pointer but
+    // intact, so queries planned against it finish cleanly; a later
+    // rewrite's entry sweep reclaims it after `graceMs`
+  }
+
+  /** DSv2 source [[Filter]] → [[Column]], for re-evaluating a pushed
+    * DELETE predicate row-by-row during the copy-on-write rewrite. None
+    * when the filter has no exact Column form — the caller must then
+    * refuse the delete (canDeleteWhere=false) rather than guess. */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  /** `DELETE FROM` semantics over the conjunction `filters`: keep the
+    * rows where the predicate is FALSE or NULL (SQL deletes only rows
+    * where the WHERE is true). */
+  def keepColumn(filters: Array[Filter]): Option[Column] = {
+    val cols = filters.map(filterToColumn)
+    if (cols.exists(_.isEmpty)) None
+    else Some(!coalesce(cols.flatten.reduceOption(_ && _).getOrElse(lit(true)), lit(false)))
+  }
+}

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -42,11 +42,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       .flatMap(GraftDataSource.listPartitionedFiles(conf, _))
     if (files.isEmpty) new StructType()
     else {
-      val head = files.head._1
-      val r = GraftFileReader.open(head.getFileSystem(conf), head)
-      val data = try {
-        GraftDataSource.pickTable(r.footer, options.get("table")).schema
-      } finally r.close()
+      // a named table may be absent from the FIRST file (per-table files
+      // sharing a namespace dir): probe footers in parallel batches with
+      // early exit, like the catalog, instead of trusting files.head
+      val data = Option(options.get("table")) match {
+        case Some(t) =>
+          files.map(_._1).grouped(64).map { batch =>
+            GraftDataSource.inParallel(batch) { f =>
+              val r = GraftFileReader.open(f.getFileSystem(conf), f)
+              try r.footer.chunks.flatMap(_.tables).find(_.name == t).map(_.schema)
+              finally r.close()
+            }.collectFirst { case Some(s) => s }
+          }.collectFirst { case Some(s) => s }.getOrElse(
+            throw new IllegalArgumentException(
+              s"table $t not found in any of ${files.size} files"))
+        case None =>
+          val head = files.head._1
+          val r = GraftFileReader.open(head.getFileSystem(conf), head)
+          try GraftDataSource.pickTable(r.footer, null).schema finally r.close()
+      }
       // hive-style partition dirs surface as trailing string columns
       val partCols = GraftDataSource.partitionColumns(files)
         .filterNot(data.fieldNames.contains)
@@ -378,7 +392,7 @@ object GraftDataSource {
 
 class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitiveStringMap,
     partCols: Seq[String] = Seq.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
     this(Seq(dir), schema, options)
   override def name(): String = s"graft:${dirs.mkString(",")}"
@@ -396,6 +410,44 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     new GraftScanBuilder(dirs, schema, Option(options.get("table")),
       Option(scanOptions.get("maxfilespertrigger")).orElse(
         Option(options.get("maxfilespertrigger"))).map(_.toInt))
+
+  /** `DELETE FROM` is deletable only when every conjunct has an exact
+    * Column re-evaluation (Spark then falls back to an analysis error,
+    * never a silent partial delete). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    dirs.size == 1 && options.get("generation") == null &&
+      Generations.keepColumn(filters).isDefined
+
+  /** `DELETE FROM t WHERE p` via copy-on-write: the live generation is
+    * rewritten WITHOUT the matching rows into a fresh `gen-NNNNN` dir
+    * and the generation pointer swaps in one atomic rename
+    * ([[Generations.rewrite]]). Sibling tables sharing the namespace
+    * directory are copied through unchanged; the pre-delete generation
+    * stays intact and time-travel readable (`VERSION AS OF`) until a
+    * later rewrite's grace sweep reclaims it. Offline/single-writer,
+    * like compaction; concurrent readers are safe throughout. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(dirs.size == 1, "graft DELETE takes exactly one path")
+    require(options.get("generation") == null,
+      "cannot DELETE from a time-travel read; only the live generation is writable")
+    val keep = Generations.keepColumn(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicate has no exact row-filter form: ${filters.mkString(", ")}"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new Configuration()
+    val target = Option(options.get("table")).orElse {
+      Generations.liveTableNames(conf, dirs.head) match {
+        case Seq(only) => Some(only)
+        case Seq() => None // marker-only empty table: nothing to delete
+        case many => throw new IllegalArgumentException(
+          s"directory holds tables ${many.mkString(",")}; DELETE needs the table option")
+      }
+    }
+    target.foreach { t =>
+      Generations.rewrite(spark, dirs.head,
+        (name, df) => if (name == t) df.filter(keep) else df)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(dirs.size == 1, "graft writes take exactly one path")

@@ -254,4 +254,41 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW TABLES IN graft_catc.db3").collect()
       .map(_.getString(1)).contains("ev"))
   }
+
+  test("DELETE FROM: copy-on-write; siblings and history stay intact") {
+    val root = Files.createTempDirectory("graft-dml").toString
+    spark.conf.set("spark.sql.catalog.graft_dmlt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dmlt.root", root)
+    spark.range(0, 200).selectExpr("id AS k", "concat('n', id) AS nm")
+      .write.format("graft").option("table", "alpha").mode("append").save(s"$root/db")
+    spark.range(0, 30).selectExpr("id AS k")
+      .write.format("graft").option("table", "beta").mode("append").save(s"$root/db")
+    // freeze the pre-delete state as gen-1 so history is addressable
+    graft.operators.FormatOps.compact(spark, s"$root/db", targetFiles = 1)
+    spark.sql("DELETE FROM graft_dmlt.db.alpha WHERE k < 50")
+    assert(spark.table("graft_dmlt.db.alpha").count() == 150)
+    assert(spark.sql("SELECT min(k) AS m FROM graft_dmlt.db.alpha").head.getLong(0) == 50)
+    // the sibling table in the same namespace dir copied through unchanged
+    assert(spark.table("graft_dmlt.db.beta").count() == 30)
+    // the pre-delete generation is still addressable: DELETE is COW
+    assert(spark.sql("SELECT count(*) AS n FROM graft_dmlt.db.alpha VERSION AS OF 1")
+      .head.getLong(0) == 200)
+    // NULL-predicate semantics: WHERE NULL deletes nothing
+    spark.sql("DELETE FROM graft_dmlt.db.alpha WHERE k < CAST(NULL AS BIGINT)")
+    assert(spark.table("graft_dmlt.db.alpha").count() == 150)
+  }
+
+  test("DELETE with an untranslatable predicate is refused, never partial") {
+    val root = Files.createTempDirectory("graft-dmlr").toString
+    spark.conf.set("spark.sql.catalog.graft_dmlr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dmlr.root", root)
+    spark.range(0, 100).selectExpr("id AS k", "concat('n', id) AS nm")
+      .write.format("graft").option("table", "t").mode("append").save(s"$root/db")
+    // k + 1 has no exact source-Filter form: canDeleteWhere must say no
+    // and Spark must surface an error — not delete a guessed subset
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_dmlr.db.t WHERE k + 1 > 10")
+    }
+    assert(spark.table("graft_dmlr.db.t").count() == 100)
+  }
 }

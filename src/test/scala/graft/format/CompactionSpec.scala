@@ -186,4 +186,40 @@ class CompactionSpec extends SparkSpec {
     assert(failure.isEmpty, failure.getOrElse(""))
     assert(liveFiles(dir).size == 3)
   }
+
+  test("updateWhere: SET expressions see the ORIGINAL row, types stay pinned") {
+    val dir = Files.createTempDirectory("graft-update").toString
+    spark.range(0, 10).selectExpr("id AS a", "id * 100 AS b")
+      .write.format("graft").mode("overwrite").save(dir)
+    // a<->b swap on a >= 5: correct only if both SETs read the pre-update
+    // row (one projection); a sequential fold would make b = new a = old b
+    FormatOps.updateWhere(spark, dir, "data",
+      set = Map("a" -> col("b"), "b" -> col("a")),
+      where = col("a") >= 5)
+    val rows = spark.read.format("graft").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, i * 100L)).toSet ++
+      (5 until 10).map(i => (i * 100L, i.toLong)) // swapped, not folded
+    assert(rows == expected)
+    // misspelled table or SET column: loud refusal, no silent no-op
+    intercept[IllegalArgumentException] {
+      FormatOps.updateWhere(spark, dir, "nosuch", Map("a" -> lit(0L)), lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      FormatOps.updateWhere(spark, dir, "data", Map("zz" -> lit(0L)), lit(true))
+    }
+  }
+
+  test("upsert: matched keys replaced, new keys inserted, rest untouched") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    spark.range(1, 11).selectExpr("id AS k", "cast(id AS double) AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    val cdc = spark.range(6, 16).selectExpr("id AS k", "cast(-1.0 AS double) AS v")
+    FormatOps.upsert(spark, dir, "data", cdc, keys = Seq("k"))
+    val rows = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 15)
+    assert(rows.take(5).toSeq == (1 until 6).map(i => (i.toLong, i.toDouble))) // untouched
+    assert(rows.drop(5).forall(_._2 == -1.0)) // 6..10 replaced, 11..15 inserted
+  }
 }
