@@ -318,7 +318,52 @@ object Similarity {
       |  CAST(n AS BIGINT) AS n_survivors
       |FROM b""".stripMargin
 
+  // ---- q58: int8 scalar quantization + top-k recall gate --------------------
+  // The storage-scale path for embeddings: per-vector symmetric int8
+  // quantization (scale = 127 / max|x|) shrinks a float corpus 4x and
+  // keeps cosine ranks nearly intact on 64-dim vectors. The gate
+  // computes, per probe (every 97th vector), the exact float top-10 and
+  // the top-10 over DEQUANTIZED vectors, and asserts >= 80% average
+  // overlap — so any quantizer regression (wrong scale, clipping,
+  // asymmetry) hash-fails against the constant-truth oracle, the q46
+  // pattern. All array math is codegen'd transform/aggregate; the two
+  // rank passes share one probe×corpus join each, never a corpus self-join.
+  private val q58: Q = (s, d) => {
+    val e = emb(s, d)
+    // round() on array elements via transform; x -> round(x*scale)/scale
+    val quant = e
+      .withColumn("scale", expr("127.0 / aggregate(v, CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("qv", expr("transform(v, x -> round(x * scale) / scale)"))
+      .withColumn("nqv", sqrt(graft.functions.VectorOps.dot(col("qv"), col("qv"))))
+    val probes = quant.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nv").as("np"))
+    def topk(corpus: DataFrame, vcol: String, ncol: String, rank: String) = {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          graft.functions.VectorOps.dot(col(vcol), col("pv")) / (col(ncol) * col("np")))
+        .withColumn(rank, row_number().over(w))
+        .filter(col(rank) <= 10)
+        .select(col("probe_id"), col("vec_id"))
+    }
+    val truth = topk(quant, "v", "nv", "rt")
+    val approx = topk(quant, "qv", "nqv", "ra")
+    val overlap = truth.join(approx, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    probes.select(col("probe_id")).join(overlap, Seq("probe_id"), "left")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        (avg(coalesce(col("hits"), lit(0L)) / 10.0) >= 0.8).as("recall_ok"))
+  }
+  private val q58Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_probes, true AS recall_ok
+      |FROM embeddings WHERE vec_id % 97 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q58_quantized_ann" -> q58,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_knn_join" -> q42,
@@ -329,6 +374,7 @@ object Similarity {
     "q46_lsh_recall" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q58_quantized_ann" -> q58Sql,
     "q40_cosine_topk" -> q40Sql,
     // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check;
     // q46 gates the same banding path against a planted truth set.

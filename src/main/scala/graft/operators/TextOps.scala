@@ -662,7 +662,101 @@ object TextOps {
       |  CAST(max(fill) AS BIGINT) AS max_fill
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q56: duplicated-span (substring) dedup -------------------------------
+  // Exact shared-substring detection, the "dedup at span granularity"
+  // complement to whole-doc (q30) and near-doc (q35) dedup: two documents
+  // share a span when a 40-char window of one equals a window of the
+  // other. Windows are CONTENT-DEFINED — only windows ending on a word
+  // boundary (last char = space) are sampled, so the selection is
+  // alignment-free: the same span selects the same windows in both
+  // documents regardless of where it sits. At 100 TB only (16-byte md5
+  // digest, doc_id) pairs shuffle — never window text — and the group-by
+  // digest is the one shuffle; ~1/6 of positions survive the boundary
+  // filter, bounding the explode fan-out at ~n_chars/6 rows per doc.
+  private val q56: Q = (s, d) => {
+    val W = 40
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= W) // sequence(1, n<1) would count DOWN
+    val wins = t
+      .withColumn("p", explode(sequence(lit(1), length(col("t")) - (W - 1))))
+      .filter(expr(s"substring(t, p + ${W - 1}, 1) = ' '"))
+      .select(col("doc_id"), col("lang"),
+        md5(expr(s"substring(t, p, $W)").cast("binary")).as("h"))
+      .distinct() // a span repeated WITHIN one doc is not a cross-doc dup
+    // rows are distinct per (doc_id, h), so a plain windowed count per h
+    // IS the distinct-doc count — one shuffle on the digest marks the
+    // shared spans, instead of a groupBy + self-semi-join that would
+    // evaluate the window explode twice
+    import org.apache.spark.sql.expressions.Window
+    wins
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("nd") >= 2)
+      .select(col("lang"), col("doc_id")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_with_shared_span"))
+      .orderBy(col("lang"))
+  }
+  private val q56Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, lower(text) AS t
+      |  FROM documents WHERE len(lower(text)) >= 40),
+      |wins AS (
+      |  SELECT DISTINCT doc_id, lang, md5(substr(t, CAST(g AS INT), 40)) AS h
+      |  FROM (
+      |    SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 39)) AS g
+      |    FROM t) u
+      |  WHERE substr(t, CAST(g AS INT) + 39, 1) = ' '),
+      |dup AS (
+      |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT lang, count(DISTINCT doc_id) AS n_docs_with_shared_span
+      |FROM wins WHERE h IN (SELECT h FROM dup)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---- q57: hashed-feature linear quality classifier -------------------------
+  // A fasttext-shaped scorer: tokens hash into 16 buckets (first md5 hex
+  // digit — reproducible in ANY engine, which is what lets DuckDB gate
+  // it), each bucket carries a fixed weight (digit-7.5)/16, a document's
+  // logit is the mean token weight and the score is the logistic of 4x
+  // that. Everything is codegen'd built-ins: explode + md5 + one
+  // aggregate per doc, one per source — two shuffles total, no UDFs, no
+  // model file to distribute.
+  private val q57: Q = (s, d) => {
+    val docs = docsWithTokens(s, d).filter(size(col("toks")) > 0)
+    docs
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+      .withColumn("w",
+        (expr("instr('0123456789abcdef', substring(md5(cast(tok AS binary)), 1, 1))")
+          .cast("double") - 1.0 - 7.5) / 16.0)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(avg(col("w")).as("fh"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("fh") > 0, 1L).otherwise(0L)).as("n_keep"),
+        round(avg(lit(1.0) / (lit(1.0) + exp(col("fh") * -4.0))), 4).as("avg_score"))
+      .orderBy(col("source"))
+  }
+  private val q57Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source,
+      |    avg((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 - 7.5) / 16.0) AS fh
+      |  FROM toks GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN fh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  round(avg(1.0 / (1.0 + exp(-4.0 * fh))), 4) AS avg_score
+      |FROM w
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_span_dedup" -> q56,
+    "q57_hashed_classifier" -> q57,
     "q54_decontaminate" -> q54,
     "q55_pack_sequences" -> q55,
     "q49_domain_mix" -> q49,
@@ -683,6 +777,8 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q56_span_dedup" -> q56Sql,
+    "q57_hashed_classifier" -> q57Sql,
     "q54_decontaminate" -> q54Sql,
     "q55_pack_sequences" -> q55Sql,
     "q49_domain_mix" -> q49Sql,

@@ -260,7 +260,53 @@ object StreamOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- q68: streaming CDC apply (foreachBatch → keyed upsert) ---------------
+  // The change-data-capture shape: a batch-loaded base table, a stream of
+  // keyed updates, and foreachBatch applying each micro-batch through
+  // FormatOps.upsert — one copy-on-write generation per apply, atomic for
+  // concurrent readers, history VERSION AS OF-addressable. event_id is
+  // unique in the stream, so the final state is batch-boundary-invariant
+  // and the parquet oracle can state it exactly. At 100 TB you'd widen
+  // the trigger so each apply amortizes the rewrite; the apply itself is
+  // one anti-join shuffle of the (small) batch against the table.
+  private val q68: Q = (s, d) => withStatePartitions(s, 8) {
+    val base = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val dir = s"$base/events_cdc"
+    val ck = s"$base/events_cdc_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    val cdc = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value") * 2.0).as("value"))
+    val q = cdc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.FormatOps.upsert(
+          batch.sparkSession, dir, "data", batch, keys = Seq("event_id"))
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.format("graft").load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+  private val q68Sql =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END), 4)
+      |    AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q68_stream_cdc_upsert" -> q68,
     "q67_stream_dedup" -> q67,
     "q66_stream_stream_join" -> q66,
     "q65_graft_stream_source" -> q65,
@@ -271,6 +317,7 @@ object StreamOps {
     "q64_graft_stream_sink" -> q64)
 
   val oracle: Map[String, String] = Map(
+    "q68_stream_cdc_upsert" -> q68Sql,
     "q67_stream_dedup" -> q67Sql,
     "q66_stream_stream_join" -> q66Sql,
     "q65_graft_stream_source" -> q60Sql,
