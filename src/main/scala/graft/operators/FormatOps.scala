@@ -497,6 +497,81 @@ object FormatOps {
     require(touched, s"table '$table' not found in $dir; nothing was upserted")
   }
 
+  /** Z-order (Morton) clustering rewrite — the multi-column pruning
+    * path. A lexicographic sort gives zone maps one selective column;
+    * interleaving the bits of per-column bucket indices gives every
+    * clustered column a bounded value range per chunk, so a filter on
+    * ANY of them skips chunks (the Delta/Iceberg OPTIMIZE ZORDER idea).
+    *
+    * Buckets are 256 uniform divisions of each column's [min, max]
+    * (bounds come from one aggregate that graft scans answer from
+    * footer metadata alone); the interleaved key feeds a RANGE
+    * repartition + in-partition sort, so chunks tile the z-curve
+    * globally. Uniform buckets trade quantile fidelity for a
+    * driver-free two-job rewrite — heavily skewed columns cluster
+    * less evenly but never incorrectly (the key only orders rows).
+    * Numeric/date columns only, 2–4 of them. */
+  def cluster(s: SparkSession, dir: String, table: String, cols: Seq[String],
+      targetFiles: Int, writeOptions: Map[String, String] = Map.empty): Unit = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order wants 2-4 columns, got ${cols.size} (one column: just sort)")
+    var touched = false
+    graft.sources.Generations.rewrite(s, dir, (name, df) =>
+      if (name != table) df
+      else {
+        touched = true
+        val missing = cols.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"z-order on unknown columns: ${missing.mkString(",")}")
+        // one metadata-answerable job for all bounds
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = cols.size
+        val buckets = cols.zipWithIndex.map { case (c, i) =>
+          val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+          if (lo == hi) lit(0L)
+          else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
+        }
+        // interleave: bit k of bucket i lands at position k*n + i
+        val z = (0 until 8).flatMap { k =>
+          buckets.zipWithIndex.map { case (b, i) =>
+            shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), k * n + i)
+          }
+        }.reduce(_ + _)
+        df.withColumn("__z", z)
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }, targetFiles = None, writeOptions = writeOptions)
+    require(touched, s"table '$table' not found in $dir; nothing was clustered")
+  }
+
+  // ---- q98: z-order clustering preserves content, prunes both dims ----------
+  // orders written small-chunked, clustered on (o_custkey, o_totalprice);
+  // the OR filter needs BOTH columns' zone maps (an OR skips a chunk only
+  // when each branch is provably disjoint). The oracle recomputes from
+  // parquet: clustering is pure reordering, any row lost or duplicated
+  // by the rewrite hash-fails. ClusterSpec asserts the actual pruning.
+  private val q98: Q = (s, d) => {
+    val dir = graftDir(d, "orders_zorder")
+    Tables.orders(s, d).repartition(16)
+      .write.format("graft").option("chunkrows", "4000")
+      .mode("overwrite").save(dir)
+    cluster(s, dir, "data", Seq("o_custkey", "o_totalprice"),
+      targetFiles = 4, writeOptions = Map("chunkrows" -> "4000"))
+    s.read.format("graft").load(dir)
+      .filter(col("o_custkey") < 500 || col("o_totalprice") > 400000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+  private val q98Sql =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |WHERE o_custkey < 500 OR o_totalprice > 400000.0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ---- q95: SQL DELETE FROM through the catalog -----------------------------
   // CTAS the orders table into the catalog, DELETE a predicate slice
   // (copy-on-write generation + atomic pointer swap, SupportsDelete),
@@ -578,6 +653,7 @@ object FormatOps {
       |ORDER BY c_mktsegment""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q98_zorder" -> q98,
     "q95_delete" -> q95,
     "q96_update" -> q96,
     "q97_upsert" -> q97,
@@ -598,6 +674,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q98_zorder" -> q98Sql,
     "q95_delete" -> q95Sql,
     "q96_update" -> q96Sql,
     "q97_upsert" -> q97Sql,

@@ -278,6 +278,25 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft_dmlt.db.alpha").count() == 150)
   }
 
+  test("TRUNCATE TABLE empties the table but keeps it queryable") {
+    // rides the DELETE path: TruncatableTable's default truncateTable()
+    // is deleteWhere(AlwaysTrue) — one COW generation holding zero rows
+    // for this table, schema marker intact, siblings untouched
+    val root = Files.createTempDirectory("graft-trunc").toString
+    spark.conf.set("spark.sql.catalog.graft_trc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_trc.root", root)
+    spark.range(0, 50).selectExpr("id AS k")
+      .write.format("graft").option("table", "t").mode("append").save(s"$root/db")
+    spark.range(0, 7).selectExpr("id AS k")
+      .write.format("graft").option("table", "other").mode("append").save(s"$root/db")
+    spark.sql("TRUNCATE TABLE graft_trc.db.t")
+    assert(spark.table("graft_trc.db.t").count() == 0)
+    assert(spark.table("graft_trc.db.other").count() == 7)
+    // still writable after the truncate
+    spark.range(0, 3).selectExpr("id AS k").writeTo("graft_trc.db.t").append()
+    assert(spark.table("graft_trc.db.t").count() == 3)
+  }
+
   test("DELETE with an untranslatable predicate is refused, never partial") {
     val root = Files.createTempDirectory("graft-dmlr").toString
     spark.conf.set("spark.sql.catalog.graft_dmlr", "graft.sources.GraftCatalog")
