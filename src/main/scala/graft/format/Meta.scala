@@ -23,9 +23,11 @@ object Meta {
   val MagicHead: Array[Byte] = "GRFT".getBytes
   val MagicTail: Array[Byte] = "OLV1".getBytes
   /** v2: per-table blockStats (zone maps) + blooms appended to the v1
-    * layout. The footer is parsed positionally, so a version mismatch
-    * must fail AS a version mismatch, not as garbled trailing fields. */
-  val Version = 2
+    * layout. v3: per-column chunk `sum` stat (SUM pushdown) appended to
+    * every ColStats record. The footer is parsed positionally, so a
+    * version mismatch must fail AS a version mismatch, not as garbled
+    * trailing fields. */
+  val Version = 3
 
   /** 10^0 .. 10^18 as LITERAL doubles (all exactly representable: 5^18
     * needs 42 mantissa bits). Shared by the scaled-float writer verify and
@@ -168,12 +170,14 @@ object Meta {
           b.putInt(st.nullCount)
           writeOptBytes(b, st.min)
           writeOptBytes(b, st.max)
+          writeOptBytes(b, st.sum)
         }
         b.putInt(t.blockStats.size)
         t.blockStats.foreach(_.foreach { st =>
           b.putInt(st.nullCount)
           writeOptBytes(b, st.min)
           writeOptBytes(b, st.max)
+          writeOptBytes(b, st.sum)
         })
         b.putInt(t.blooms.size)
         // sorted for a deterministic footer byte-stream
@@ -288,7 +292,7 @@ object Meta {
           val nullCount = c.getInt()
           if (nullCount < 0 || nullCount > numRows)
             throw new OliveFormatException(s"null count $nullCount outside $numRows rows")
-          ColStats(nullCount, readOptBytes(c), readOptBytes(c))
+          ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
         }
         val nBlocks = c.getInt()
         val expectBlocks = (numRows + BlockRows - 1) / BlockRows
@@ -299,7 +303,7 @@ object Meta {
             val nullCount = c.getInt()
             if (nullCount < 0 || nullCount > BlockRows)
               throw new OliveFormatException(s"block null count $nullCount > $BlockRows")
-            ColStats(nullCount, readOptBytes(c), readOptBytes(c))
+            ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
           }
         }
         val nBlooms = c.getInt()

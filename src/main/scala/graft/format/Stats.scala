@@ -19,12 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * disable stats for the column's chunk (no truncation tricks — a
   * truncated max is not an upper bound).
   */
-case class ColStats(nullCount: Int, min: Option[Array[Byte]], max: Option[Array[Byte]]) {
+/** `sum` (8 bytes, added in footer v3) carries the column's chunk sum for
+  * SUM pushdown: wrapped-mod-2^64 long bits for integral types (wrapping
+  * is associative, so per-chunk partials combine to exactly the full
+  * wrapped sum Spark's non-ANSI codegen computes), f64 bits for
+  * float/double. None for all-null chunks and non-summable types. */
+case class ColStats(nullCount: Int, min: Option[Array[Byte]], max: Option[Array[Byte]],
+    sum: Option[Array[Byte]] = None) {
   def hasNulls: Boolean = nullCount > 0
   override def equals(o: Any): Boolean = o match {
-    case ColStats(nc, mn, mx) =>
+    case ColStats(nc, mn, mx, sm) =>
       nc == nullCount &&
-        mn.map(_.toSeq) == min.map(_.toSeq) && mx.map(_.toSeq) == max.map(_.toSeq)
+        mn.map(_.toSeq) == min.map(_.toSeq) && mx.map(_.toSeq) == max.map(_.toSeq) &&
+        sm.map(_.toSeq) == sum.map(_.toSeq)
     case _ => false
   }
 }
@@ -38,10 +45,12 @@ object Stats {
     protected var nulls = 0
     protected var seen = false
     protected var broken = false
+    // updateValue runs on EVERY non-null value even after `broken`
+    // (which only poisons min/max): the double collector's sum must keep
+    // accumulating past the NaN that dropped its ordering stats
     final def update(row: InternalRow): Unit =
       if (row.isNullAt(ord)) nulls += 1
-      else if (!broken) { seen = true; updateValue(row) }
-      else ()
+      else { seen = true; updateValue(row) }
     protected def updateValue(row: InternalRow): Unit
     def result(): ColStats
     def reset(): Unit = { nulls = 0; seen = false; broken = false }
@@ -50,31 +59,40 @@ object Stats {
   private final class LongCollector(ord: Int, get: InternalRow => Long) extends Collector(ord) {
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
+    private var sm = 0L
     protected def updateValue(row: InternalRow): Unit = {
       val v = get(row)
       if (v < mn) mn = v
       if (v > mx) mx = v
+      sm += v // deliberate wrap: associative, matches Spark's non-ANSI sum
     }
     def result(): ColStats =
       if (!seen) ColStats(nulls, None, None)
-      else ColStats(nulls, Some(longBytes(mn)), Some(longBytes(mx)))
-    override def reset(): Unit = { super.reset(); mn = Long.MaxValue; mx = Long.MinValue }
+      else ColStats(nulls, Some(longBytes(mn)), Some(longBytes(mx)), Some(longBytes(sm)))
+    override def reset(): Unit = {
+      super.reset(); mn = Long.MaxValue; mx = Long.MinValue; sm = 0L
+    }
   }
 
   private final class DoubleCollector(ord: Int, get: InternalRow => Double) extends Collector(ord) {
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
+    private var sm = 0.0
     protected def updateValue(row: InternalRow): Unit = {
       val v = get(row)
-      if (v.isNaN) { broken = true; return } // NaN breaks ordering; drop stats
+      sm += v // a NaN poisons the sum to NaN — exactly what SUM returns
+      if (broken) return
+      if (v.isNaN) { broken = true; return } // NaN breaks ordering; drop min/max
       if (v < mn) mn = v
       if (v > mx) mx = v
     }
-    def result(): ColStats =
-      if (!seen || broken) ColStats(nulls, None, None)
-      else ColStats(nulls, Some(doubleBytes(mn)), Some(doubleBytes(mx)))
+    def result(): ColStats = {
+      val sum = if (seen) Some(doubleBytes(sm)) else None
+      if (!seen || broken) ColStats(nulls, None, None, sum)
+      else ColStats(nulls, Some(doubleBytes(mn)), Some(doubleBytes(mx)), sum)
+    }
     override def reset(): Unit = {
-      super.reset(); mn = Double.PositiveInfinity; mx = Double.NegativeInfinity
+      super.reset(); mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sm = 0.0
     }
   }
 
@@ -82,6 +100,7 @@ object Stats {
     private var mn: Array[Byte] = null
     private var mx: Array[Byte] = null
     protected def updateValue(row: InternalRow): Unit = {
+      if (broken) return
       val b = row.getUTF8String(ord).getBytes
       if (b.length > MaxStringStat) { broken = true; return }
       if (mn == null || java.util.Arrays.compareUnsigned(b, mn) < 0) mn = b

@@ -572,6 +572,22 @@ object FormatOps {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---- q99: SUM pushdown answered from footer sums ---------------------------
+  // count(*) + sum over a graft scan with no filter: both resolve from
+  // footer metadata (numRows + the v3 per-chunk sums), zero data pages
+  // read — at 100 TB this is the difference between a metadata round and
+  // a full-table scan. l_quantity is integer-valued, so the double sum
+  // is order-independent and matches DuckDB bit-exactly.
+  private val q99: Q = (s, d) => {
+    val dir = graftDir(d, "lineitem_sumpd")
+    Tables.lineitem(s, d).select(col("l_quantity"), col("l_orderkey"))
+      .write.format("graft").mode("overwrite").save(dir)
+    s.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+  }
+  private val q99Sql =
+    """SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem""".stripMargin
+
   // ---- q95: SQL DELETE FROM through the catalog -----------------------------
   // CTAS the orders table into the catalog, DELETE a predicate slice
   // (copy-on-write generation + atomic pointer swap, SupportsDelete),
@@ -653,6 +669,7 @@ object FormatOps {
       |ORDER BY c_mktsegment""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q99_sum_pushdown" -> q99,
     "q98_zorder" -> q98,
     "q95_delete" -> q95,
     "q96_update" -> q96,
@@ -674,6 +691,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q99_sum_pushdown" -> q99Sql,
     "q98_zorder" -> q98Sql,
     "q95_delete" -> q95Sql,
     "q96_update" -> q96Sql,

@@ -470,6 +470,8 @@ case object GraftCountStar extends GraftAggSpec
 case class GraftCountCol(col: String) extends GraftAggSpec
 case class GraftMinSpec(col: String) extends GraftAggSpec
 case class GraftMaxSpec(col: String) extends GraftAggSpec
+/** `integral` picks the combine domain: wrapped i64 vs f64. */
+case class GraftSumSpec(col: String, integral: Boolean) extends GraftAggSpec
 
 class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String],
     maxFilesPerTrigger: Option[Int] = None)
@@ -507,7 +509,7 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     * pre-aggregated rows. */
   override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
     def statType(name: String): Boolean =
       fullSchema.fields.find(_.name == name).exists(_.dataType match {
@@ -515,6 +517,15 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
              TimestampType | TimestampNTZType | BooleanType => true
         case _ => false
       })
+    // footer sums wrap mod 2^64; under ANSI Spark must raise on long
+    // overflow instead, so integral SUM stays unpushed there
+    def sumIntegral(name: String): Option[Boolean] =
+      fullSchema.fields.find(_.name == name).map(_.dataType).flatMap {
+        case ByteType | ShortType | IntegerType | LongType =>
+          if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) None else Some(true)
+        case FloatType | DoubleType => Some(false)
+        case _ => None
+      }
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
           if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
@@ -528,6 +539,23 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
           .map(GraftCountCol).getOrElse(return false)
       case m: Min => colOf(m.column).filter(statType).map(GraftMinSpec).getOrElse(return false)
       case m: Max => colOf(m.column).filter(statType).map(GraftMaxSpec).getOrElse(return false)
+      case s: Sum if !s.isDistinct =>
+        // Sum arrives with the buffer-widening cast attached (int→bigint,
+        // float→double); unwrap it only when the footer's sum domain
+        // already IS the cast target, so the answer is cast-equivalent
+        val sumCol = s.column match {
+          case c: org.apache.spark.sql.connector.expressions.Cast =>
+            colOf(c.expression()).filter { name =>
+              (fullSchema(name).dataType, c.dataType()) match {
+                case (ByteType | ShortType | IntegerType | LongType, LongType) => true
+                case (FloatType | DoubleType, DoubleType) => true
+                case _ => false
+              }
+            }
+          case e => colOf(e)
+        }
+        (for { c <- sumCol; i <- sumIntegral(c) } yield GraftSumSpec(c, i))
+          .getOrElse(return false)
       case _ => return false
     }
     aggSchema = StructType(specs.map {
@@ -535,6 +563,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
       case GraftCountCol(c) => StructField(s"count($c)", LongType, nullable = false)
       case GraftMinSpec(c) => StructField(s"min($c)", fullSchema(c).dataType)
       case GraftMaxSpec(c) => StructField(s"max($c)", fullSchema(c).dataType)
+      case GraftSumSpec(c, integral) =>
+        StructField(s"sum($c)", if (integral) LongType else DoubleType)
     })
     aggSpecs = Some(specs)
     true
@@ -756,6 +786,29 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             }.sum
             case GraftMinSpec(c) => minMax(c, wantMax = false)
             case GraftMaxSpec(c) => minMax(c, wantMax = true)
+            case GraftSumSpec(c, integral) =>
+              // per-file PARTIAL sum; Spark's final agg combines files.
+              // All-null (or absent: schema drift) chunks contribute
+              // nothing; zero contributing chunks => null partial, the
+              // SQL sum-of-no-rows
+              val parts = chunks.flatMap { t =>
+                if (!t.schema.fieldNames.contains(c)) None
+                else {
+                  val st = t.stats(t.schema.fieldIndex(c))
+                  st.sum match {
+                    case Some(b) => Some(Stats.longOf(b))
+                    case None =>
+                      if (t.numRows == 0 || st.nullCount == t.numRows) None
+                      else throw new OliveFormatException(
+                        s"chunk lacks $c sum stats for pushed aggregate")
+                  }
+                }
+              }
+              // explicit boxes: a bare if/else of Long vs Double branches
+              // numeric-widens BOTH to Double and corrupts the long sums
+              if (parts.isEmpty) null
+              else if (integral) java.lang.Long.valueOf(parts.sum) // wraps, like Spark non-ANSI
+              else java.lang.Double.valueOf(parts.map(java.lang.Double.longBitsToDouble).sum)
           }.toArray
           row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           true

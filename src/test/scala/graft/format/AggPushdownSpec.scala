@@ -44,6 +44,48 @@ class AggPushdownSpec extends SparkSpec {
     assert(r.getLong(7) == (0 until 30000).count(_ % 11 != 0).toLong) // count(col) via null counts
   }
 
+  test("SUM pushes to footer sums: integral wrap domain, doubles, null rules") {
+    val dir = writeSample()
+    val base = spark.read.format("graft").load(dir)
+    val n = 30000L
+    // doubles push regardless of ANSI (f64 addition has no error mode)
+    val dfd = base.agg(sum("d").as("sd"))
+    assert(plan(dfd).contains("pushedAggs="), plan(dfd))
+    assert(math.abs(dfd.head.getDouble(0) - 1.5 * n * (n - 1) / 2) < 1e-3)
+    // integral SUM pushes only with ANSI off: footer sums wrap mod 2^64
+    // (= Spark's non-ANSI codegen); ANSI must raise on overflow instead,
+    // so under the default ANSI=on the plan keeps the real scan
+    assert(!plan(base.agg(sum("id"))).contains("pushedAggs="))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = base.agg(sum("id").as("sid"), sum("i").as("si"),
+        sum("d").as("sd"), sum("l_null").as("snn"))
+      assert(plan(df).contains("pushedAggs="), plan(df))
+      val r = df.head
+      assert(r.getLong(0) == n * (n - 1) / 2)
+      assert(r.getLong(1) == (0L until n).map(_ % 97).sum)
+      assert(math.abs(r.getDouble(2) - 1.5 * n * (n - 1) / 2) < 1e-3)
+      assert(r.getLong(3) == (0L until n).filter(_ % 11 != 0).map(_ + 5).sum)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // sum over zero non-null rows is null, answered from null counts alone
+    val allNull = spark.range(0, 100)
+      .select(when(lit(false), col("id").cast("double")).as("v"), col("id"))
+    val d2 = Files.createTempDirectory("graft-aggnull").toString
+    allNull.write.format("graft").mode("append").save(d2)
+    val dfn = spark.read.format("graft").load(d2).agg(sum("v"))
+    assert(plan(dfn).contains("pushedAggs="), plan(dfn))
+    assert(dfn.head.isNullAt(0))
+    // a NaN must poison the pushed double sum exactly like the real one
+    val d3 = Files.createTempDirectory("graft-aggnan").toString
+    spark.range(0, 100)
+      .select(when(col("id") === 50, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("v"))
+      .write.format("graft").mode("append").save(d3)
+    val dfnan = spark.read.format("graft").load(d3).agg(sum("v"))
+    assert(plan(dfnan).contains("pushedAggs="), plan(dfnan))
+    assert(dfnan.head.getDouble(0).isNaN)
+  }
+
   test("pushdown declines when unsupported: filters, doubles, strings, group-by") {
     val dir = writeSample()
     val base = spark.read.format("graft").load(dir)
@@ -70,7 +112,8 @@ class AggPushdownSpec extends SparkSpec {
     g.write.mode("overwrite").parquet(pq)
     val p = spark.read.parquet(pq)
     def agg(df: DataFrame) =
-      df.agg(count(lit(1)), min("id"), max("id"), min("ts"), max("ts"), max("i"))
+      df.agg(count(lit(1)), min("id"), max("id"), min("ts"), max("ts"), max("i"),
+        sum("id"), sum("i"), sum("l_null"))
     assert(canon(agg(g)) == canon(agg(p)))
   }
 }
