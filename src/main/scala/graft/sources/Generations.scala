@@ -21,12 +21,16 @@ import org.apache.spark.sql.sources._
   * stay readable (`VERSION AS OF`) until a later rewrite's grace-period
   * sweep reclaims them.
   *
-  * Offline/single-writer like compaction: concurrent rewrites of one
-  * directory race on the pointer (last swap wins, no lost-data window —
-  * the loser's generation is simply never referenced). Readers are safe
-  * throughout. Crash anywhere: the pointer still names a complete
-  * generation; a half-written gen dir is unreferenced garbage the next
-  * rewrite removes unconditionally.
+  * Offline/single-writer like compaction, but accidental concurrency is
+  * DETECTED, not corrupting: each rewrite stages its output under a
+  * unique `gen-NNNNN.tmp-<uuid>` dir and publishes it with one
+  * no-overwrite directory rename to `gen-NNNNN` — when two rewrites race
+  * to the same next index, exactly one rename wins and the loser fails
+  * loudly before touching the pointer (two writers appending into one
+  * shared gen dir would otherwise interleave half of each rewrite).
+  * Readers are safe throughout. Crash anywhere: the pointer still names
+  * a complete generation; half-written tmp dirs and unreferenced gen
+  * dirs are garbage the next rewrite removes unconditionally.
   */
 object Generations {
 
@@ -75,19 +79,34 @@ object Generations {
         fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
       age >= graceMs
     }
+    var maxSurvivingIdx = liveIdx.getOrElse(0)
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val genIdx = if (st.isDirectory && n.startsWith("gen-"))
         n.stripPrefix("gen-").toIntOption else None
-      genIdx match {
-        case Some(i) if liveIdx.isEmpty || i > liveIdx.get => fs.delete(st.getPath, true)
+      def stale: Boolean =
+        System.currentTimeMillis() - st.getModificationTime >= graceMs
+      if (st.isDirectory && n.matches("gen-\\d+\\.tmp-.*")) {
+        // a crashed rewrite's unpublished staging — but only once it has
+        // gone stale: deleting a fresh tmp would yank a CONCURRENT
+        // rewrite's staging from under it mid-write
+        if (stale) fs.delete(st.getPath, true)
+      } else genIdx match {
+        case Some(i) if liveIdx.isEmpty || i > liveIdx.get =>
+          // above the pointer: a rewrite that published but never swapped
+          // (crash, or a concurrent rewrite in its publish→swap window —
+          // which is why a fresh one is only stepped over, not deleted)
+          if (stale) fs.delete(st.getPath, true)
+          else maxSurvivingIdx = math.max(maxSurvivingIdx, i)
         case Some(i) if i < liveIdx.get && lastSwapOld => fs.delete(st.getPath, true)
         case _ =>
           if (lastSwapOld && st.isDirectory && n.contains("=")) fs.delete(st.getPath, true)
           else if (lastSwapOld && st.isFile && n.endsWith(".graft")) fs.delete(st.getPath, false)
       }
     }
-    val nextGen = f"gen-${liveIdx.getOrElse(0) + 1}%05d"
+    // allocate PAST any surviving published-but-unswapped dir, so a
+    // crash-then-retry doesn't collide with its own phantom
+    val nextGen = f"gen-${maxSurvivingIdx + 1}%05d"
     // ONE listing serves both the partition-column probe and the table
     // enumeration (a 10^6-file LIST against an object store is the cost)
     val listed = GraftDataSource.listPartitionedFiles(conf, dir)
@@ -101,23 +120,43 @@ object Generations {
         try r.tableNames finally r.close()
       }.flatten.distinct.sorted
     if (tableNames.isEmpty) return // nothing to rewrite
+    // stage under a unique tmp name; the publish below is one rename
+    val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
     tableNames.foreach { t =>
       val df0 = transform(t, s.read.format("graft").option("table", t).load(dir))
       val df = targetFiles.map(df0.repartition).getOrElse(df0)
       val base = df.write.format("graft")
         .option("table", t).options(writeOptions).mode("append")
       val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
-      w.save(new Path(root, nextGen).toString)
+      w.save(staging.toString)
     }
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
     // instead (GraftCatalog.loadTable(ident, timestamp))
     locally {
-      val ts = new Path(new Path(root, nextGen), GraftDataSource.SwapTsName)
+      val ts = new Path(staging, GraftDataSource.SwapTsName)
       val out = fs.create(ts, true)
       try out.write(String.valueOf(System.currentTimeMillis())
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    }
+    // publish via FileContext.rename with NO overwrite option: true
+    // no-clobber semantics — it THROWS when the destination exists.
+    // (FileSystem.rename would instead mv the staging INSIDE an existing
+    // gen dir, silently doubling the winner's data.) Of two rewrites
+    // racing to the same next index exactly one wins; the loser must
+    // fail loudly — its work is complete but unreferencable, and going
+    // on to swap the pointer would bless the WINNER's data as its own.
+    val genPath = new Path(root, nextGen)
+    try org.apache.hadoop.fs.FileContext.getFileContext(genPath.toUri, conf)
+      .rename(staging, genPath)
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: org.apache.hadoop.fs.PathExistsException) =>
+        fs.delete(staging, true)
+        throw new graft.format.OliveFormatException(
+          s"concurrent rewrite of $dir: generation $nextGen already exists; " +
+            "rewrites are single-writer — retry after the other completes", e)
     }
     // the swap: one atomic pointer replacement
     val ptr = new Path(root, GraftDataSource.GenPointerName)

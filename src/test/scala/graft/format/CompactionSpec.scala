@@ -187,6 +187,32 @@ class CompactionSpec extends SparkSpec {
     assert(liveFiles(dir).size == 3)
   }
 
+  test("racing rewrites: at most one wins per index, loser loud, content intact") {
+    val dir = Files.createTempDirectory("graft-rewrite-race").toString
+    spark.range(0, 20000).selectExpr("id", "id % 5 AS v")
+      .repartition(16).write.format("graft").option("chunkrows", "1000")
+      .mode("overwrite").save(dir)
+    val before = canon(spark.read.format("graft").load(dir))
+    (1 to 3).foreach { _ =>
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        try FormatOps.compact(spark, dir, targetFiles = 2)
+        catch { case e: Throwable => errs.add(e) }
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      // permitted outcomes per round: both complete (they serialized on
+      // distinct indices) or the loser fails with the CONCURRENT error —
+      // never a silent mixture of two rewrites in one generation
+      errs.forEach { e =>
+        assert(e.isInstanceOf[OliveFormatException] &&
+          e.getMessage.contains("concurrent rewrite"), s"unexpected: $e")
+      }
+      assert(canon(spark.read.format("graft").load(dir)) == before)
+      assert(liveFiles(dir).size == 2)
+    }
+  }
+
   test("updateWhere: SET expressions see the ORIGINAL row, types stay pinned") {
     val dir = Files.createTempDirectory("graft-update").toString
     spark.range(0, 10).selectExpr("id AS a", "id * 100 AS b")
