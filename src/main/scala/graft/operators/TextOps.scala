@@ -754,7 +754,85 @@ object TextOps {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q59: transitive dedup clusters (connected components) ----------------
+  // Near-dup similarity is not transitive, but DEDUP DECISIONS must be:
+  // if A shares a span with B and B with C, the family {A,B,C} is one
+  // cluster even when A and C share nothing. Edges are q56's
+  // content-defined shared-span digests (one equi-join on the digest,
+  // never a cross join); components come from min-label propagation —
+  // per iteration one join + one aggregate, O(component diameter)
+  // iterations (bounded, convergence REQUIRED not assumed), labels
+  // localCheckpoint'ed so the plan doesn't grow exponentially. The
+  // driver loop is scheduling only — every data pass is distributed.
+  // The fixpoint (min doc_id reachable) is unique, so the DuckDB
+  // recursive-CTE oracle matches exactly.
+  private val q59: Q = (s, d) => {
+    val W = 40
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= W)
+    val wins = t
+      .withColumn("p", explode(sequence(lit(1), length(col("t")) - (W - 1))))
+      .filter(expr(s"substring(t, p + ${W - 1}, 1) = ' '"))
+      .select(col("doc_id"), md5(expr(s"substring(t, p, $W)").cast("binary")).as("h"))
+      .distinct()
+    val edges = wins.select(col("doc_id").as("src"), col("h"))
+      .join(wins.select(col("doc_id").as("dst"), col("h")), Seq("h"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      iters += 1
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("label")).as("nl"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    require(converged, s"label propagation did not converge in $iters iterations")
+    val comps = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    comps.agg(
+      sum(col("sz")).cast("long").as("n_docs"),
+      count(lit(1)).as("n_components"),
+      sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_families"),
+      sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).cast("long").as("docs_in_families"),
+      max(col("sz")).cast("long").as("largest_family"))
+  }
+  private val q59Sql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= 40),
+      |wins AS (
+      |  SELECT DISTINCT doc_id, md5(substr(t, CAST(g AS INT), 40)) AS h
+      |  FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 39)) AS g
+      |    FROM t) u
+      |  WHERE substr(t, CAST(g AS INT) + 39, 1) = ' '),
+      |e AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id <> b.doc_id),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+      |lab AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+      |comps AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+      |  count(*) AS n_components,
+      |  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_families,
+      |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS docs_in_families,
+      |  CAST(max(sz) AS BIGINT) AS largest_family
+      |FROM comps""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_dedup_clusters" -> q59,
     "q56_span_dedup" -> q56,
     "q57_hashed_classifier" -> q57,
     "q54_decontaminate" -> q54,
@@ -777,6 +855,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q59_dedup_clusters" -> q59Sql,
     "q56_span_dedup" -> q56Sql,
     "q57_hashed_classifier" -> q57Sql,
     "q54_decontaminate" -> q54Sql,

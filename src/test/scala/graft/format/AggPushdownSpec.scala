@@ -67,6 +67,11 @@ class AggPushdownSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - 1.5 * n * (n - 1) / 2) < 1e-3)
       assert(r.getLong(3) == (0L until n).filter(_ % 11 != 0).map(_ + 5).sum)
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // AVG rides for free: Spark rewrites a partial avg into sum+count,
+    // both of which the scan answers from footers
+    val dfa = base.agg(avg("d").as("ad"))
+    assert(plan(dfa).contains("pushedAggs="), plan(dfa))
+    assert(math.abs(dfa.head.getDouble(0) - 1.5 * (n - 1) / 2) < 1e-9)
     // sum over zero non-null rows is null, answered from null counts alone
     val allNull = spark.range(0, 100)
       .select(when(lit(false), col("id").cast("double")).as("v"), col("id"))
