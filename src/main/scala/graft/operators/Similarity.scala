@@ -287,6 +287,61 @@ object Similarity {
       |  true AS recall_ok
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
+  // ---- q44c: PERSISTENT IVF index — cells as hive partitions ----------------
+  // The index IS data: assignments land in a graft dir PARTITIONED BY
+  // cell (one dynamic-partition write), centroids in a sibling graft
+  // table. A search broadcasts the (tiny) centroids table, ranks top-2
+  // cells per probe, and joins only those cells' rows — on a 100 TB
+  // corpus the cell filter prunes partitions (planning-time for literal
+  // cells, runtime/DPP for join-derived ones — the machinery q90 gates),
+  // so an ANN query schedules tasks for k cells' files, not the corpus.
+  // Unlike q44b, every search-side input here is READ BACK from disk,
+  // so the gate also proves index round-trip fidelity (vectors, norms,
+  // and the cell layout). Exact oracle via the planted truth set.
+  private val q44c: Q = (s, d) => {
+    val root = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_index"
+    val e = emb(s, d)
+    val corpus = withPlanted(e)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").cast("long").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    def rankCells(df: DataFrame, against: DataFrame) =
+      df.crossJoin(broadcast(against))
+        .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    // build: corpus vectors live in their ONE nearest cell on disk
+    rankCells(corpus.filter(col("vec_id") < PlantShift), cents)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+      .write.format("graft").option("partitionBy", "cell")
+      .mode("overwrite").save(s"$root/cells")
+    cents.write.format("graft").mode("overwrite").save(s"$root/centroids")
+    // search: centroids and cells both come back off disk
+    val centsR = s.read.format("graft").load(s"$root/centroids")
+    val probeCells = rankCells(corpus.filter(col("vec_id") >= PlantShift), centsR)
+      .filter(col("rk") <= 2) // multi-probe: top-2 cells per probe
+      .select((col("vec_id") - PlantShift).as("orig_id"), col("cell"))
+    val cellsR = s.read.format("graft").load(s"$root/cells")
+      .withColumn("cell", col("cell").cast("long")) // hive partition col reads as string
+    val found = probeCells.join(cellsR, Seq("cell"))
+      .filter(col("vec_id") === col("orig_id"))
+      .select(col("orig_id")).distinct()
+    val plantedIds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("orig_id"))
+    plantedIds.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedIds.join(found, Seq("orig_id"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered")))
+      .select(col("n_planted"), col("n_recovered"),
+        (col("n_recovered") === col("n_planted")).as("recall_ok"))
+  }
+  private val q44cSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_recovered,
+      |  true AS recall_ok
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   // ---- q45: embedding-cosine near-dup dedup (exact oracle) -----------------
   // Dedup on top of the multi-band LSH candidates, over the corpus with
   // planted near-dups (each planted copy's only >0.95 partner is its
@@ -364,6 +419,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q58_quantized_ann" -> q58,
+    "q44c_ivf_persisted" -> q44c,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_knn_join" -> q42,
@@ -375,6 +431,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q58_quantized_ann" -> q58Sql,
+    "q44c_ivf_persisted" -> q44cSql,
     "q40_cosine_topk" -> q40Sql,
     // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check;
     // q46 gates the same banding path against a planted truth set.
