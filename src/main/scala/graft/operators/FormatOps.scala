@@ -668,7 +668,66 @@ object FormatOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q100: bucketed tables + storage-partitioned join ---------------------
+  // lineitem and orders are written BUCKETED on their join key (the write
+  // routes rows to per-bucket files with the same murmur3 the catalog's
+  // V2 `bucket` function exposes); the scan then reports key-grouped
+  // partitioning and Spark plans the join with ZERO shuffles on either
+  // side — at 100 TB the single biggest cost in a fact-fact join. The
+  // query asserts the plan really is exchange-free (AQE off in a child
+  // session so the plan is final at planning time), and the oracle joins
+  // the original parquet, so both the claim and the results are gated.
+  private val q100: Q = (s0, d) => {
+    val root = graftDir(d, "spj")
+    val buckets = 16
+    // repartition by the bucket column first: Spark's hash partitioning
+    // and GraftBucket.id are the same murmur3(seed 42) mod n, so each
+    // write task holds exactly ONE bucket -> n files total, not n*tasks
+    Tables.lineitem(s0, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(buckets, col("l_orderkey"))
+      .write.format("graft").option("table", "lineitem")
+      .option("bucketBy", s"l_orderkey:$buckets").mode("overwrite").save(s"$root/li")
+    Tables.orders(s0, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(buckets, col("o_orderkey"))
+      .write.format("graft").option("table", "orders")
+      .option("bucketBy", s"o_orderkey:$buckets").mode("overwrite").save(s"$root/ord")
+    val s = s0.newSession() // child session: SPJ confs stay out of the caller
+    s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_spj.root", root)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // group on the join key too: the aggregation rides the same
+    // key-grouped distribution, so the whole sub-plan has no exchange
+    val agg = s.sql("""
+      SELECT l.l_orderkey, count(*) AS n_items, sum(l.l_quantity) AS qty,
+             max(o.o_orderstatus) AS status
+      FROM graft_spj.li.lineitem l
+      JOIN graft_spj.ord.orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey
+      HAVING count(*) >= 5""")
+    val exchanges = agg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    if (exchanges != 0)
+      throw new IllegalStateException(
+        s"storage-partitioned join regressed: $exchanges shuffle(s) in\n" +
+          agg.queryExecution.executedPlan)
+    agg.orderBy(col("l_orderkey")) // deterministic output (one range exchange)
+  }
+  private val q100Sql =
+    """SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS qty,
+      |  max(o_orderstatus) AS status
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey
+      |HAVING count(*) >= 5
+      |ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_spj_join" -> q100,
     "q99_sum_pushdown" -> q99,
     "q98_zorder" -> q98,
     "q95_delete" -> q95,
@@ -691,6 +750,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q100_spj_join" -> q100Sql,
     "q99_sum_pushdown" -> q99Sql,
     "q98_zorder" -> q98Sql,
     "q95_delete" -> q95Sql,

@@ -34,7 +34,7 @@ import graft.format.GraftFileReader
   * arrives); `df.writeTo("cat.ns.t").append()` routes through the
   * path-based DSv2 writer with the table option pinned.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -314,4 +314,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog tables cannot be renamed")
+
+  /** FunctionCatalog surface: exactly one function, `bucket`, the
+    * write-side hash the scan's reported key-grouped partitioning names.
+    * Spark resolves it from the relation's catalog when comparing two
+    * bucketed graft scans for join co-partitioning — this registration is
+    * the last link that lets a lineitem⋈orders over same-spec bucketed
+    * tables run with zero shuffle (storage-partitioned join). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("bucket")
 }

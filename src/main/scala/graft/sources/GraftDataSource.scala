@@ -378,6 +378,64 @@ object GraftDataSource {
     sb.toString
   }
 
+  // ---- bucketed layout markers + file-name tags ---------------------------
+
+  private val BucketTagRe = """.*-b(\d{5})\.of(\d{5})\.t([0-9a-f]{8})\.graft$""".r
+
+  /** Bucketed file name suffix: `-bBBBBB.ofNNNNN.tTTTTTTTT.graft`. */
+  def bucketFileName(partitionId: Int, taskId: Long, bucket: Int, n: Int, tag: Long): String =
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}" +
+      f"-b$bucket%05d.of$n%05d.t$tag%08x.graft"
+
+  /** Bucket id from a file name, ONLY when its tag proves the same
+    * (table, column, n) layout this scan expects. */
+  def bucketOf(name: String, n: Int, tag: Long): Option[Int] = name match {
+    case BucketTagRe(b, nn, t)
+        if nn.toInt == n && java.lang.Long.parseLong(t, 16) == tag => Some(b.toInt)
+    case _ => None
+  }
+
+  def bucketMarkerPath(dataDir: String, table: String): Path =
+    new Path(dataDir, s".bucket_$table.json")
+
+  /** Driver-side spec marker (tmp + atomic rename, like schema markers):
+    * records which column and bucket count the table's files are routed
+    * by. The marker alone proves nothing — the scan cross-checks every
+    * file's name tag against it before claiming key-grouped layout. */
+  def writeBucketMarker(conf: Configuration, dataDir: String, table: String,
+      col: String, n: Int): Unit = {
+    val marker = bucketMarkerPath(dataDir, table)
+    val tmp = new Path(dataDir, s".bucket_$table.json.tmp")
+    val fs = marker.getFileSystem(conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = s"""{"col":${mapper.writeValueAsString(col)},"n":$n,"hash":"murmur3-${GraftBucket.Seed}"}"""
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
+      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read the table's bucket spec from the LIVE data dir (generation-
+    * aware). A missing/corrupt marker or an unexpected hash id simply
+    * means "not bucketed". */
+  def readBucketMarker(conf: Configuration, dir: String, table: String): Option[(String, Int)] =
+    try {
+      val marker = bucketMarkerPath(resolveDataDir(conf, dir), table)
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        val col = node.get("col").asText()
+        val n = node.get("n").asInt()
+        if (col.nonEmpty && n >= 1 &&
+            node.get("hash").asText() == s"murmur3-${GraftBucket.Seed}") Some((col, n))
+        else None
+      }
+    } catch { case _: Exception => None }
+
   def pickTable(footer: Meta.Footer, tableOpt: String): Meta.TableMeta = {
     val names = footer.chunks.flatMap(_.tables.map(_.name)).distinct
     val name = Option(tableOpt).getOrElse {
@@ -579,7 +637,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     planFilters: Array[Filter], limit: Int,
     aggSpecs: Option[Seq[GraftAggSpec]] = None,
     maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   private val conf = new Configuration()
 
@@ -628,6 +687,59 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   override def filter(incoming: Array[Filter]): Unit = { runtimeFilters = incoming }
 
   private def filters: Array[Filter] = planFilters ++ runtimeFilters
+
+  /** Bucketed-table layout, when provable: the write-side marker names
+    * (column, n), and EVERY listed file must carry the matching
+    * `-bBBBBB.ofNNNNN.tTTTTTTTT` name tag — the tag hashes
+    * (table, column, n), so files bucketed under a different spec, a
+    * different table's files sharing the dir, or plain unbucketed
+    * appends all deactivate the claim instead of corrupting a
+    * shuffle-free join. Requires the bucket column in the read schema
+    * (Spark resolves the reported transform against scan output) and no
+    * aggregate pushdown (whose reader rewrites row shape). */
+  private lazy val bucketSpec: Option[(String, Int)] = {
+    if (dirs.size != 1 || aggSpecs.nonEmpty) None
+    else {
+      val table = tableOpt.getOrElse("data")
+      GraftDataSource.readBucketMarker(conf, dirs.head, table).filter { case (col, n) =>
+        required.fieldNames.contains(col) && {
+          val tag = GraftBucket.layoutTag(table, col, n)
+          listing.nonEmpty && listing.forall { case (p, _, _) =>
+            GraftDataSource.bucketOf(p.getName, n, tag).isDefined
+          }
+        }
+      }
+    }
+  }
+
+  private def v2BucketingOn: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    catch { case _: Exception => false }
+
+  /** Files grouped per bucket id using PLANNING-time filters only, so the
+    * group count reported by [[outputPartitioning]] (physical planning)
+    * and produced by [[planInputPartitions]] (execution, possibly after
+    * runtime filters arrived) always agree; runtime filters then prune
+    * files WITHIN a group, leaving empty groups in place. */
+  private lazy val bucketGroupsPlan: Option[Seq[(Int, Seq[(org.apache.hadoop.fs.Path, Map[String, String])])]] =
+    bucketSpec.filter(_ => v2BucketingOn).map { case (col, n) =>
+      val tag = GraftBucket.layoutTag(tableOpt.getOrElse("data"), col, n)
+      listing.map { case (p, _, part) => (p, part) }
+        .groupBy { case (p, _) => GraftDataSource.bucketOf(p.getName, n, tag).get }
+        .toSeq.sortBy(_._1)
+    }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (bucketSpec, bucketGroupsPlan) match {
+      case (Some((col, n)), Some(groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
+          groups.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(dirs.size == 1, "graft streaming reads take exactly one path")
@@ -652,6 +764,18 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * happens for a handful of files), so a single multi-chunk file never
     * serializes onto one task. */
   override def planInputPartitions(): Array[InputPartition] = {
+    bucketGroupsPlan match {
+      case Some(groups) =>
+        // one keyed input partition per bucket — the group count the
+        // planner committed to in outputPartitioning. File-level pruning
+        // is a no-op here (bucketed layouts are flat, no hive partition
+        // values); pushed AND runtime filters still skip chunks/blocks
+        // inside each reader via footer stats
+        return groups.map { case (b, fs) =>
+          GraftBucketedPartition(fs.map { case (p, part) => (p.toString, part) }, b): InputPartition
+        }.toArray
+      case None =>
+    }
     val files = listing.map { case (p, _, part) => (p, part) }
     val partSchema = StructType(
       GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
@@ -713,6 +837,15 @@ class SkippedBlocksMetric extends CustomSumMetric {
 case class GraftInputPartition(file: String,
     partValues: Map[String, String] = Map.empty,
     chunkIdx: Option[Int] = None) extends InputPartition
+
+/** All files of one bucket of a bucketed graft table, keyed so Spark's
+  * key-grouped planner can line both join sides up task-for-task. */
+case class GraftBucketedPartition(files: Seq[(String, Map[String, String])],
+    bucketId: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
 
 /** Pushed-aggregate reader: ONE partial row per input partition, computed
   * entirely from footer metadata (numRows, chunk min/max stats) — no data
@@ -826,12 +959,53 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("columnar-only scan")
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val gp = partition.asInstanceOf[GraftInputPartition]
-    val path = new Path(gp.file)
-    new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
-      filters, limit, gp.partValues, gp.chunkIdx)
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = partition match {
+    case bp: GraftBucketedPartition =>
+      new GraftConcatReader(bp.files.map { case (f, pv) => () =>
+        val path = new Path(f)
+        new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
+          tableOpt, filters, limit, pv, None)
+      })
+    case _ =>
+      val gp = partition.asInstanceOf[GraftInputPartition]
+      val path = new Path(gp.file)
+      new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
+        filters, limit, gp.partValues, gp.chunkIdx)
   }
+}
+
+/** Chains one bucket's per-file readers into a single partition stream;
+  * files open lazily, one at a time, so a many-file bucket holds one
+  * open reader's memory. Skip/decode metrics accumulate across files. */
+class GraftConcatReader(mk: Seq[() => GraftPartitionReader])
+    extends PartitionReader[ColumnarBatch] {
+  private val it = mk.iterator
+  private var cur: GraftPartitionReader = null
+  private val closedTotals = scala.collection.mutable.Map.empty[String, Long]
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = it.next()()
+      }
+      if (cur.next()) return true
+      cur.currentMetricsValues().foreach(m =>
+        closedTotals(m.name) = closedTotals.getOrElse(m.name, 0L) + m.value)
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
+  override def get(): ColumnarBatch = cur.get()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    val live = if (cur == null) Map.empty[String, Long]
+      else cur.currentMetricsValues().map(m => m.name -> m.value).toMap
+    (closedTotals.keySet ++ live.keySet).toArray.map { k =>
+      val total = closedTotals.getOrElse(k, 0L) + live.getOrElse(k, 0L)
+      new CustomTaskMetric { def name = k; def value = total }
+    }
+  }
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Emits one ColumnarBatch per (chunk, table) — chunk size is the batch
@@ -1026,7 +1200,8 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
       partCols, bloomCols,
       Option(options.get("tables"))
-        .map(GraftDataSource.parseTableSplits(_, info.schema())))
+        .map(GraftDataSource.parseTableSplits(_, info.schema())),
+      Option(options.get("bucketby")).map(GraftBucket.parseSpec))
     override def toBatch: BatchWrite = batchWrite
     // Streaming sink: file names are DETERMINISTIC per (epoch, partition)
     // and commit renames with overwrite, so a retried epoch replaces its
@@ -1036,6 +1211,9 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     override def toStreaming: StreamingWrite = streamingWrite
     private object streamingWrite extends StreamingWrite {
       override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+        require(options.get("bucketby") == null,
+          "bucketBy is batch-only: a micro-batch writes too few rows per " +
+            "bucket file; bucket with a batch compaction pass instead")
         batchWrite.createBatchWriterFactory(pinfo) // dir setup / truncate
         new GraftStreamingWriterFactory(
           GraftDataSource.resolveDataDir(new Configuration(), dir), info.schema(),
@@ -1084,7 +1262,8 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     table: String, pageSize: Int, bias: String, chunkRows: Int,
     partCols: Seq[String] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
-    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends BatchWrite {
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None,
+    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
 
   partCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
@@ -1093,6 +1272,18 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
   if (tableSplits.isDefined && partCols.nonEmpty)
     throw new IllegalArgumentException(
       "tables and partitionBy cannot combine; partition the namespace dir instead")
+  bucketSpec.foreach { case (col, _) =>
+    if (partCols.nonEmpty || tableSplits.isDefined)
+      throw new IllegalArgumentException(
+        "bucketBy cannot combine with partitionBy or tables: the key-grouped " +
+          "claim requires the table to own its directory outright")
+    val f = schema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucket column $col not in schema ${schema.fieldNames.mkString(",")}"))
+    if (!GraftBucket.supported(f.dataType))
+      throw new IllegalArgumentException(
+        s"bucketBy unsupported for ${f.dataType.simpleString} column $col")
+  }
   bloomCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
       throw new IllegalArgumentException(s"bloom column $c not in schema ${schema.fieldNames.mkString(",")}")
@@ -1131,8 +1322,14 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     // accepting writes through the same path
     val dataDir = GraftDataSource.resolveDataDir(conf, dir)
     fs.mkdirs(new Path(dataDir))
+    // spec marker BEFORE tasks run: readers racing the write see marker +
+    // zero matching files (inactive claim), never tagged files sans spec
+    bucketSpec.foreach { case (col, n) =>
+      GraftDataSource.writeBucketMarker(conf, dataDir, table, col, n)
+    }
     new GraftWriterFactory(dataDir, schema, table, pageSize, bias, chunkRows,
-      partCols, new SerializableConfiguration(conf), bloomCols, tableSplits)
+      partCols, new SerializableConfiguration(conf), bloomCols, tableSplits,
+      bucketSpec)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {}
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
@@ -1142,15 +1339,21 @@ class GraftWriterFactory(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: SerializableConfiguration,
     bloomCols: Seq[String] = Seq.empty,
-    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends DataWriterFactory {
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None,
+    bucketSpec: Option[(String, Int)] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partCols.isEmpty)
-      new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        conf.value, partitionId, taskId, bloomCols = bloomCols,
-        tableSplits = tableSplits)
-    else
-      new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        partCols, conf.value, partitionId, taskId, bloomCols = bloomCols)
+    bucketSpec match {
+      case Some((col, n)) =>
+        new GraftBucketedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+          col, n, conf.value, partitionId, taskId, bloomCols)
+      case None if partCols.isEmpty =>
+        new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+          conf.value, partitionId, taskId, bloomCols = bloomCols,
+          tableSplits = tableSplits)
+      case None =>
+        new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+          partCols, conf.value, partitionId, taskId, bloomCols = bloomCols)
+    }
 }
 
 case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMessage
@@ -1304,6 +1507,49 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
   }
   override def abort(): Unit = writers.values.foreach(_.abort())
   override def close(): Unit = writers.values.foreach(_.close())
+}
+
+/** Bucketed writer: routes each row to one of `n` per-bucket
+  * [[GraftDataWriter]]s by [[GraftBucket.id]] over the bucket column —
+  * the SAME function the catalog's V2 `bucket` exposes, which is what
+  * lets the scan report key-grouped partitioning and Spark plan
+  * bucketed-table joins with NO shuffle on either side.
+  *
+  * All routing is task-side. Memory is bounded by n open chunk buffers;
+  * `n` is validated small (≤ 2^20, practically hundreds), and at real
+  * scale the writing query repartitions by the bucket column first so
+  * each task sees few buckets (same guidance as the hive-partitioned
+  * writer). Writers open lazily: a task that sees 3 buckets holds 3. */
+class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
+    pageSize: Int, bias: String, chunkRows: Int, col: String, n: Int,
+    conf: Configuration, partitionId: Int, taskId: Long,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+
+  private val ord = schema.fieldIndex(col)
+  private val dt = schema.fields(ord).dataType
+  private val tag = GraftBucket.layoutTag(table, col, n)
+  private val writers = new Array[GraftDataWriter](n)
+
+  override def write(record: InternalRow): Unit = {
+    val v = if (record.isNullAt(ord)) null else record.get(ord, dt)
+    val b = GraftBucket.id(v, dt, n)
+    var w = writers(b)
+    if (w == null) {
+      w = new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+        conf, partitionId, taskId,
+        fixedName = Some(GraftDataSource.bucketFileName(partitionId, taskId, b, n, tag)),
+        bloomCols = bloomCols)
+      writers(b) = w
+    }
+    w.write(record)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val msgs = writers.filter(_ != null).map(_.commit().asInstanceOf[GraftCommitMessage])
+    GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum)
+  }
+  override def abort(): Unit = writers.filter(_ != null).foreach(_.abort())
+  override def close(): Unit = writers.filter(_ != null).foreach(_.close())
 }
 
 object GraftPartitionedDataWriter {
