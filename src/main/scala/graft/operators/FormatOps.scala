@@ -683,21 +683,30 @@ object FormatOps {
     // repartition by the bucket column first: Spark's hash partitioning
     // and GraftBucket.id are the same murmur3(seed 42) mod n, so each
     // write task holds exactly ONE bucket -> n files total, not n*tasks
+    // sortWithinPartitions on top of the bucket repartition: each bucket
+    // file is written key-sorted (validated by the writer), so the scan
+    // also reports per-partition ordering and the merge join below runs
+    // with no sort either
     Tables.lineitem(s0, d)
       .select(col("l_orderkey"), col("l_quantity"))
       .repartition(buckets, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
       .write.format("graft").option("table", "lineitem")
-      .option("bucketBy", s"l_orderkey:$buckets").mode("overwrite").save(s"$root/li")
+      .option("bucketBy", s"l_orderkey:$buckets").option("sortBy", "l_orderkey")
+      .mode("overwrite").save(s"$root/li")
     Tables.orders(s0, d)
       .select(col("o_orderkey"), col("o_orderstatus"))
       .repartition(buckets, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
       .write.format("graft").option("table", "orders")
-      .option("bucketBy", s"o_orderkey:$buckets").mode("overwrite").save(s"$root/ord")
+      .option("bucketBy", s"o_orderkey:$buckets").option("sortBy", "o_orderkey")
+      .mode("overwrite").save(s"$root/ord")
     val s = s0.newSession() // child session: SPJ confs stay out of the caller
     s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_spj.root", root)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     // group on the join key too: the aggregation rides the same
@@ -715,6 +724,13 @@ object FormatOps {
     if (exchanges != 0)
       throw new IllegalStateException(
         s"storage-partitioned join regressed: $exchanges shuffle(s) in\n" +
+          agg.queryExecution.executedPlan)
+    val sorts = agg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.SortExec => e
+    }.size
+    if (sorts != 0)
+      throw new IllegalStateException(
+        s"sorted-bucket merge join regressed: $sorts SortExec in\n" +
           agg.queryExecution.executedPlan)
     agg.orderBy(col("l_orderkey")) // deterministic output (one range exchange)
   }

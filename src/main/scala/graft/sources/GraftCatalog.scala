@@ -162,7 +162,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = nsDir(ident.namespace())
     val schema = findTableSchema(dir, ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
-    val opts = Map("path" -> dir, "table" -> ident.name()).asJava
+    // a bucketed table's spec marker becomes the `bucketBy` option, so
+    // INSERT INTO / writeTo().append() route rows through the bucketed
+    // writer automatically — DDL declares the layout once, every later
+    // write maintains it, and the scan keeps its shuffle-free join claim
+    val marker = GraftDataSource.readBucketMarker(conf, dir, ident.name())
+    val bucketOpt = marker.map { case (col, n, _) => "bucketby" -> s"$col:$n" }
+    val sortOpt = marker.flatMap(_._3).map("sortby" -> _)
+    val opts = (Map("path" -> dir, "table" -> ident.name()) ++ bucketOpt ++ sortOpt).asJava
     new GraftTable(dir, schema, new CaseInsensitiveStringMap(opts))
   }
 
@@ -219,14 +226,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     loadTable(ident, pick.getPath.getName)
   }
 
+  /** `PARTITIONED BY (bucket(n, col))` is the one transform accepted:
+    * it records the bucket spec marker, and every later write through
+    * the catalog routes bucketed (see [[loadTable]]) — the SQL-DDL
+    * surface of the storage-partitioned-join layout. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "catalog tables don't take partition transforms; " +
-      "use the path API's partitionBy option for hive-style layouts")
+    val bucketSpec = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" =>
+        import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+        val cols = t.arguments().collect {
+          case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+        }
+        val ns = t.arguments().collect {
+          case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }
+        (cols, ns) match {
+          case (Array(c), Array(n)) if n >= 1 =>
+            val f = schema.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"bucket column $c not in schema ${schema.fieldNames.mkString(",")}"))
+            if (!GraftBucket.supported(f.dataType))
+              throw new IllegalArgumentException(
+                s"bucket unsupported for ${f.dataType.simpleString} column $c")
+            Some((c, n))
+          case _ => throw new IllegalArgumentException(
+            s"unsupported bucket transform ${t.describe()}; want bucket(n, col)")
+        }
+      case other => throw new UnsupportedOperationException(
+        "graft catalog tables take at most one bucket(n, col) transform; " +
+          s"got ${other.map(_.describe()).mkString(", ")} — use the path API's " +
+          "partitionBy option for hive-style layouts")
+    }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
-    writeMarker(nsDir(ident.namespace()), ident.name(), schema)
+    val dir = nsDir(ident.namespace())
+    writeMarker(dir, ident.name(), schema)
+    bucketSpec.foreach { case (c, n) =>
+      val dataDir = GraftDataSource.resolveDataDir(conf, dir)
+      new Path(dataDir).getFileSystem(conf).mkdirs(new Path(dataDir))
+      GraftDataSource.writeBucketMarker(conf, dataDir, ident.name(), c, n)
+    }
     loadTable(ident)
   }
 

@@ -400,15 +400,17 @@ object GraftDataSource {
 
   /** Driver-side spec marker (tmp + atomic rename, like schema markers):
     * records which column and bucket count the table's files are routed
-    * by. The marker alone proves nothing — the scan cross-checks every
-    * file's name tag against it before claiming key-grouped layout. */
+    * by, plus the optional within-file sort column. The marker alone
+    * proves nothing — the scan cross-checks every file's name tag
+    * against it before claiming key-grouped layout. */
   def writeBucketMarker(conf: Configuration, dataDir: String, table: String,
-      col: String, n: Int): Unit = {
+      col: String, n: Int, sortCol: Option[String] = None): Unit = {
     val marker = bucketMarkerPath(dataDir, table)
     val tmp = new Path(dataDir, s".bucket_$table.json.tmp")
     val fs = marker.getFileSystem(conf)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val json = s"""{"col":${mapper.writeValueAsString(col)},"n":$n,"hash":"murmur3-${GraftBucket.Seed}"}"""
+    val sortField = sortCol.map(s => s""","sort":${mapper.writeValueAsString(s)}""").getOrElse("")
+    val json = s"""{"col":${mapper.writeValueAsString(col)},"n":$n$sortField,"hash":"murmur3-${GraftBucket.Seed}"}"""
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -416,10 +418,11 @@ object GraftDataSource {
       .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Read the table's bucket spec from the LIVE data dir (generation-
-    * aware). A missing/corrupt marker or an unexpected hash id simply
-    * means "not bucketed". */
-  def readBucketMarker(conf: Configuration, dir: String, table: String): Option[(String, Int)] =
+  /** Read the table's bucket spec `(col, n, sortCol)` from the LIVE data
+    * dir (generation-aware). A missing/corrupt marker or an unexpected
+    * hash id simply means "not bucketed". */
+  def readBucketMarker(conf: Configuration, dir: String,
+      table: String): Option[(String, Int, Option[String])] =
     try {
       val marker = bucketMarkerPath(resolveDataDir(conf, dir), table)
       val fs = marker.getFileSystem(conf)
@@ -430,8 +433,9 @@ object GraftDataSource {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
         val col = node.get("col").asText()
         val n = node.get("n").asInt()
+        val sort = Option(node.get("sort")).map(_.asText()).filter(_.nonEmpty)
         if (col.nonEmpty && n >= 1 &&
-            node.get("hash").asText() == s"murmur3-${GraftBucket.Seed}") Some((col, n))
+            node.get("hash").asText() == s"murmur3-${GraftBucket.Seed}") Some((col, n, sort))
         else None
       }
     } catch { case _: Exception => None }
@@ -457,7 +461,12 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
   override def schema(): StructType = schema
   override def partitioning(): Array[Transform] = {
     val cols = if (partCols.nonEmpty) partCols else GraftDataSource.optionPartitionCols(options)
-    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    val bucketT = Option(options.get("bucketby")).map { spec =>
+      val (c, n) = GraftBucket.parseSpec(spec)
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }
+    (cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)) ++
+      bucketT).toArray
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -638,7 +647,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     aggSpecs: Option[Seq[GraftAggSpec]] = None,
     maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   private val conf = new Configuration()
 
@@ -697,13 +706,13 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * shuffle-free join. Requires the bucket column in the read schema
     * (Spark resolves the reported transform against scan output) and no
     * aggregate pushdown (whose reader rewrites row shape). */
-  private lazy val bucketSpec: Option[(String, Int)] = {
+  private lazy val bucketSpec: Option[(String, Int, Option[String])] = {
     if (dirs.size != 1 || aggSpecs.nonEmpty) None
     else {
       val table = tableOpt.getOrElse("data")
-      GraftDataSource.readBucketMarker(conf, dirs.head, table).filter { case (col, n) =>
+      GraftDataSource.readBucketMarker(conf, dirs.head, table).filter { case (col, n, sort) =>
         required.fieldNames.contains(col) && {
-          val tag = GraftBucket.layoutTag(table, col, n)
+          val tag = GraftBucket.layoutTag(table, col, n, sort)
           listing.nonEmpty && listing.forall { case (p, _, _) =>
             GraftDataSource.bucketOf(p.getName, n, tag).isDefined
           }
@@ -723,8 +732,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * runtime filters arrived) always agree; runtime filters then prune
     * files WITHIN a group, leaving empty groups in place. */
   private lazy val bucketGroupsPlan: Option[Seq[(Int, Seq[(org.apache.hadoop.fs.Path, Map[String, String])])]] =
-    bucketSpec.filter(_ => v2BucketingOn).map { case (col, n) =>
-      val tag = GraftBucket.layoutTag(tableOpt.getOrElse("data"), col, n)
+    bucketSpec.filter(_ => v2BucketingOn).map { case (col, n, sort) =>
+      val tag = GraftBucket.layoutTag(tableOpt.getOrElse("data"), col, n, sort)
       listing.map { case (p, _, part) => (p, part) }
         .groupBy { case (p, _) => GraftDataSource.bucketOf(p.getName, n, tag).get }
         .toSeq.sortBy(_._1)
@@ -732,12 +741,31 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     (bucketSpec, bucketGroupsPlan) match {
-      case (Some((col, n)), Some(groups)) =>
+      case (Some((col, n, _)), Some(groups)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)),
           groups.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Within-partition sort order, claimable ONLY when the write-time
+    * sort survives partition assembly: every file is tagged with the
+    * sorted layout AND each bucket group holds a single file (a
+    * concatenation of two sorted files is not sorted — a second append
+    * drops this claim until a compaction rewrites one file per bucket,
+    * while the shuffle-free join claim itself stays). Lets a
+    * storage-partitioned sort-merge join skip its SortExec on both
+    * sides: the 100 TB fact-fact join becomes pure streaming merge work
+    * with no shuffle, no sort, no spill. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    (bucketSpec, bucketGroupsPlan) match {
+      case (Some((_, _, Some(sortCol))), Some(groups))
+          if required.fieldNames.contains(sortCol) && groups.forall(_._2.size == 1) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(sortCol),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
     }
 
   override def toBatch: Batch = this
@@ -1201,7 +1229,8 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       partCols, bloomCols,
       Option(options.get("tables"))
         .map(GraftDataSource.parseTableSplits(_, info.schema())),
-      Option(options.get("bucketby")).map(GraftBucket.parseSpec))
+      Option(options.get("bucketby")).map(GraftBucket.parseSpec),
+      Option(options.get("sortby")).map(_.trim).filter(_.nonEmpty))
     override def toBatch: BatchWrite = batchWrite
     // Streaming sink: file names are DETERMINISTIC per (epoch, partition)
     // and commit renames with overwrite, so a retried epoch replaces its
@@ -1263,7 +1292,8 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     partCols: Seq[String] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
     tableSplits: Option[Seq[(String, Seq[Int])]] = None,
-    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
+    bucketSpec: Option[(String, Int)] = None,
+    sortCol: Option[String] = None) extends BatchWrite {
 
   partCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
@@ -1283,6 +1313,22 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     if (!GraftBucket.supported(f.dataType))
       throw new IllegalArgumentException(
         s"bucketBy unsupported for ${f.dataType.simpleString} column $col")
+  }
+  sortCol.foreach { c =>
+    if (bucketSpec.isEmpty)
+      throw new IllegalArgumentException("sortBy requires bucketBy (sorted bucket files)")
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"sort column $c not in schema ${schema.fieldNames.mkString(",")}"))
+    val sortable = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+          StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    if (!sortable)
+      throw new IllegalArgumentException(
+        s"sortBy unsupported for ${f.dataType.simpleString} column $c")
   }
   bloomCols.foreach { c =>
     if (!schema.fieldNames.contains(c))
@@ -1325,11 +1371,11 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     // spec marker BEFORE tasks run: readers racing the write see marker +
     // zero matching files (inactive claim), never tagged files sans spec
     bucketSpec.foreach { case (col, n) =>
-      GraftDataSource.writeBucketMarker(conf, dataDir, table, col, n)
+      GraftDataSource.writeBucketMarker(conf, dataDir, table, col, n, sortCol)
     }
     new GraftWriterFactory(dataDir, schema, table, pageSize, bias, chunkRows,
       partCols, new SerializableConfiguration(conf), bloomCols, tableSplits,
-      bucketSpec)
+      bucketSpec, sortCol)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {}
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
@@ -1340,12 +1386,13 @@ class GraftWriterFactory(dir: String, schema: StructType, table: String,
     conf: SerializableConfiguration,
     bloomCols: Seq[String] = Seq.empty,
     tableSplits: Option[Seq[(String, Seq[Int])]] = None,
-    bucketSpec: Option[(String, Int)] = None) extends DataWriterFactory {
+    bucketSpec: Option[(String, Int)] = None,
+    sortCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketSpec match {
       case Some((col, n)) =>
         new GraftBucketedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-          col, n, conf.value, partitionId, taskId, bloomCols)
+          col, n, conf.value, partitionId, taskId, bloomCols, sortCol)
       case None if partCols.isEmpty =>
         new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
           conf.value, partitionId, taskId, bloomCols = bloomCols,
@@ -1523,16 +1570,51 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
 class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, col: String, n: Int,
     conf: Configuration, partitionId: Int, taskId: Long,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val ord = schema.fieldIndex(col)
   private val dt = schema.fields(ord).dataType
-  private val tag = GraftBucket.layoutTag(table, col, n)
+  private val tag = GraftBucket.layoutTag(table, col, n, sortCol)
   private val writers = new Array[GraftDataWriter](n)
+
+  // sorted buckets: rows must ARRIVE ascending (nulls first) per bucket —
+  // the writer streams chunks out as they fill and cannot re-sort, so a
+  // violation is refused with guidance, never silently written. The
+  // sorted-layout claim downstream (scan outputOrdering -> sort-free
+  // merge join) is only ever made over files this check admitted.
+  private val sortOrd = sortCol.map(schema.fieldIndex)
+  private val sortDt = sortOrd.map(schema.fields(_).dataType)
+  private val sortCmp = sortDt.map(org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
+  private val lastSort = new Array[Any](n)
+  private val seenRow = new Array[Boolean](n)
 
   override def write(record: InternalRow): Unit = {
     val v = if (record.isNullAt(ord)) null else record.get(ord, dt)
     val b = GraftBucket.id(v, dt, n)
+    sortOrd.foreach { so =>
+      val sv = if (record.isNullAt(so)) null else record.get(so, sortDt.get)
+      if (seenRow(b)) {
+        val prev = lastSort(b)
+        val ok =
+          if (prev == null) true // nulls-first: anything follows null
+          else if (sv == null) false // null after non-null breaks nulls-first
+          else sortCmp.get.compare(prev, sv) <= 0
+        if (!ok) throw new IllegalArgumentException(
+          s"sortBy=${sortCol.get}: rows arrived out of order within bucket $b " +
+            s"($prev then $sv); sortWithinPartitions(bucket column, sort column) " +
+            "after repartitioning by the bucket column, or drop the sortBy option")
+      }
+      // values may be reused buffers (UTF8String, mutable Decimal):
+      // keep a stable copy
+      lastSort(b) = sv match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case d: org.apache.spark.sql.types.Decimal =>
+          org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
+        case other => other
+      }
+      seenRow(b) = true
+    }
     var w = writers(b)
     if (w == null) {
       w = new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,

@@ -33,14 +33,15 @@ object GraftBucket {
     case _ => false
   }
 
-  /** Tag embedded in bucketed file names: identifies (table, column, n)
-    * so a later write bucketed DIFFERENTLY — or a different table reusing
-    * the directory — can never masquerade as the same layout; the scan
-    * only claims key-grouping when every file's tag matches the spec
-    * marker for ITS table. */
-  def layoutTag(table: String, col: String, n: Int): Long =
+  /** Tag embedded in bucketed file names: identifies (table, column, n,
+    * sort column) so a later write bucketed or sorted DIFFERENTLY — or a
+    * different table reusing the directory — can never masquerade as the
+    * same layout; the scan only claims key-grouping (and per-file sort
+    * order) when every file's tag matches the spec marker for ITS table. */
+  def layoutTag(table: String, col: String, n: Int, sortCol: Option[String] = None): Long =
     Murmur3HashFunction.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s"$table:$col:$n"),
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"$table:$col:$n${sortCol.map(s => s":sort=$s").getOrElse("")}"),
       StringType, Seed) & 0xffffffffL
 
   /** `bucketBy` write option: `<col>:<n>`. */

@@ -120,6 +120,110 @@ class SpjSpec extends SparkSpec {
     assert(s.sql("SELECT count(DISTINCT name) AS c FROM spj_cat.f.facts").head.getLong(0) == 2000L)
   }
 
+  private def sorts(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.SortExec => e
+    }.size
+  }
+
+  test("sorted buckets: merge join with zero shuffles AND zero sorts") {
+    val root = Files.createTempDirectory("graft-smb").toString
+    val s = spjSession(root)
+    s.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+    import s.implicits._
+    val facts = (0 until 2000).map(i => (i.toLong % 97, i * 1.5)).toDF("k", "amount")
+      .repartition(8, $"k").sortWithinPartitions("k")
+    val dims = (0 until 97).map(i => (i.toLong, s"d-$i")).toDF("dk", "label")
+      .repartition(8, $"dk").sortWithinPartitions("dk")
+    facts.write.format("graft").option("table", "facts")
+      .option("bucketBy", "k:8").option("sortBy", "k").mode("overwrite").save(s"$root/f")
+    dims.write.format("graft").option("table", "dims")
+      .option("bucketBy", "dk:8").option("sortBy", "dk").mode("overwrite").save(s"$root/d")
+    val joined = s.sql("""
+      SELECT f.k, d.label, f.amount
+      FROM spj_cat.f.facts f JOIN spj_cat.d.dims d ON f.k = d.dk""")
+    val plan = joined.queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isDefined, plan.toString)
+    assert(shuffles(joined) == 0, plan.toString)
+    assert(sorts(joined) == 0, plan.toString)
+    assert(joined.count() == 2000L)
+  }
+
+  test("sortBy: unsorted input refuses; second append drops only the sort claim") {
+    val root = Files.createTempDirectory("graft-smb2").toString
+    val s = spjSession(root)
+    s.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+    import s.implicits._
+    // descending input: the write must fail loudly, not write garbage
+    val bad = (0 until 100).map(i => (5L, 100L - i)).toDF("k", "v")
+      .coalesce(1)
+    val e = intercept[Exception] {
+      bad.write.format("graft").option("bucketBy", "k:4").option("sortBy", "v")
+        .mode("overwrite").save(s"$root/bad")
+    }
+    def rootMsg(t: Throwable): String = {
+      var c = t; while (c.getCause != null && c.getCause != c) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("out of order") || e.getMessage.contains("out of order"))
+    // sortBy without bucketBy refuses
+    intercept[Exception] {
+      bad.write.format("graft").option("sortBy", "v").mode("overwrite").save(s"$root/bad2")
+    }
+    // two sorted writes -> two files per bucket: concatenation is not
+    // sorted, so the ordering claim must drop (sort reappears) while the
+    // shuffle-free join claim stays
+    val mk = (0 until 500).map(i => (i.toLong % 23, i.toLong)).toDF("k", "v")
+      .repartition(4, $"k").sortWithinPartitions("k", "v")
+    mk.write.format("graft").option("table", "t").option("bucketBy", "k:4")
+      .option("sortBy", "k").mode("overwrite").save(s"$root/t")
+    mk.write.format("graft").option("table", "t").option("bucketBy", "k:4")
+      .option("sortBy", "k").mode("append").save(s"$root/t")
+    val dim = (0 until 23).map(i => (i.toLong, s"x$i")).toDF("dk", "lbl")
+      .repartition(4, $"dk").sortWithinPartitions("dk")
+    dim.write.format("graft").option("table", "d").option("bucketBy", "dk:4")
+      .option("sortBy", "dk").mode("overwrite").save(s"$root/dd")
+    val j = s.sql("SELECT t.k, d.lbl FROM spj_cat.t.t t JOIN spj_cat.dd.d d ON t.k = d.dk")
+    assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+    assert(sorts(j) > 0) // honest fallback: files per bucket > 1
+    assert(j.count() == 1000L)
+  }
+
+  test("SQL DDL: CREATE TABLE PARTITIONED BY bucket(n, col) buckets every INSERT") {
+    val root = Files.createTempDirectory("graft-spj-ddl").toString
+    val s = spjSession(root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS spj_cat.f2")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS spj_cat.d2")
+    s.sql("""CREATE TABLE spj_cat.f2.facts (k BIGINT, amount DOUBLE)
+             PARTITIONED BY (bucket(8, k))""")
+    s.sql("""CREATE TABLE spj_cat.d2.dims (dk BIGINT, label STRING)
+             PARTITIONED BY (bucket(8, dk))""")
+    // plain INSERT INTO — no write options anywhere: the DDL-declared
+    // layout alone must route the rows bucketed
+    s.sql("""INSERT INTO spj_cat.f2.facts
+             SELECT CAST(id % 37 AS BIGINT), id * 2.0 FROM range(1000)""")
+    s.sql("""INSERT INTO spj_cat.d2.dims
+             SELECT CAST(id AS BIGINT), concat('d-', id) FROM range(37)""")
+    val joined = s.sql("""
+      SELECT f.k, count(*) AS n, sum(f.amount) AS total
+      FROM spj_cat.f2.facts f JOIN spj_cat.d2.dims d ON f.k = d.dk
+      GROUP BY f.k""")
+    assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+    assert(joined.collect().map(_.getLong(1)).sum == 1000L)
+    // a second INSERT keeps the layout (appends stay bucketed)
+    s.sql("""INSERT INTO spj_cat.f2.facts
+             SELECT CAST(id % 37 AS BIGINT), 1.0 FROM range(100)""")
+    val again = s.sql("""
+      SELECT f.k, count(*) AS n
+      FROM spj_cat.f2.facts f JOIN spj_cat.d2.dims d ON f.k = d.dk
+      GROUP BY f.k""")
+    assert(shuffles(again) == 0, again.queryExecution.executedPlan.toString)
+    assert(again.collect().map(_.getLong(1)).sum == 1100L)
+  }
+
   test("bucketBy validation: bad specs and illegal combinations refuse loudly") {
     val s = spark
     import s.implicits._
