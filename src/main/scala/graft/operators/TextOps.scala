@@ -831,7 +831,57 @@ object TextOps {
       |  CAST(max(sz) AS BIGINT) AS largest_family
       |FROM comps""".stripMargin
 
+  // ---- q101: TF-IDF keyword extraction ------------------------------------
+  // Top-3 characteristic terms per document: tf from a (doc, token)
+  // count, df from distinct docs per token, idf = ln((N+1)/(df+1))
+  // (smoothed). Scale shape: the corpus is tokenized ONCE — tf shuffles
+  // (doc_id, tok) pairs with map-side combine, then df is a COUNT WINDOW
+  // over tf partitioned by token (a tf.groupBy("tok") referenced twice
+  // would make Catalyst re-scan and re-explode the whole corpus — a
+  // second 100 TB pass); the doc total rides a 1-row broadcast; the
+  // per-doc top-3 uses a row_number window that WindowGroupLimit prunes
+  // to 3 rows per doc before the final shuffle. RANKING uses the integer
+  // triple (tf desc, df asc, tok) — fully deterministic across engines,
+  // immune to 1-ulp ln() divergence between JVM and DuckDB; the reported
+  // score is rounded to 4 places.
+  private val q101: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rnk", row_number().over(wDoc))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+  private val q101Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok
+      |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT count(*) AS nd FROM documents)
+      |SELECT doc_id, rnk, tok, score FROM (
+      |  SELECT tf.doc_id, tf.tok,
+      |    round(tf.tf * ln((nd + 1.0) / (df + 1.0)), 4) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf DESC, df ASC, tf.tok ASC) AS rnk
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+      |)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_tfidf" -> q101,
     "q59_dedup_clusters" -> q59,
     "q56_span_dedup" -> q56,
     "q57_hashed_classifier" -> q57,
@@ -855,6 +905,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q101_tfidf" -> q101Sql,
     "q59_dedup_clusters" -> q59Sql,
     "q56_span_dedup" -> q56Sql,
     "q57_hashed_classifier" -> q57Sql,
