@@ -124,9 +124,29 @@ object Generations {
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
     tableNames.foreach { t =>
       val df0 = transform(t, s.read.format("graft").option("table", t).load(dir))
-      val df = targetFiles.map(df0.repartition).getOrElse(df0)
-      val base = df.write.format("graft")
+      // a declared bucket layout OUTLIVES every rewrite: compaction and
+      // row-level DML route the rewritten rows through the bucketed
+      // writer again (one repartition by the bucket column — each task
+      // holds exactly one bucket, so compaction lands ONE file per
+      // bucket and RESTORES the per-file sort claim multi-file appends
+      // had suspended). targetFiles is overridden by the layout: the
+      // bucket count IS the file count. Without a layout, plain
+      // compaction/DML shapes apply unchanged.
+      val layout = GraftDataSource.readBucketMarker(conf, dir, t)
+      val df = layout match {
+        case Some((bcol, n, sortOpt)) =>
+          val rep = df0.repartition(n, col(bcol))
+          sortOpt.map(sc => rep.sortWithinPartitions(col(sc))).getOrElse(rep)
+        case None => targetFiles.map(df0.repartition).getOrElse(df0)
+      }
+      val base0 = df.write.format("graft")
         .option("table", t).options(writeOptions).mode("append")
+      val base = layout match {
+        case Some((bcol, n, sortOpt)) =>
+          val b = base0.option("bucketBy", s"$bcol:$n")
+          sortOpt.map(sc => b.option("sortBy", sc)).getOrElse(b)
+        case None => base0
+      }
       val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
       w.save(staging.toString)
     }
