@@ -742,7 +742,39 @@ object FormatOps {
       |HAVING count(*) >= 5
       |ORDER BY l_orderkey""".stripMargin
 
+  // ---- q102: top-k pushdown over a time-clustered table ---------------------
+  // "Latest 20 events" — THE dashboard query over an append-mostly 100 TB
+  // event table. Events are written range-clustered by the monotonic
+  // event_id (a unique key, so the top-k is deterministic and single-key
+  // pushable); the scan receives the pushed ORDER BY ... LIMIT and skips
+  // every chunk whose footer max can't beat the k-th id already seen —
+  // one tail chunk decoded, not the table (TopNSpec proves the skip
+  // counts; here the plan is asserted and the rows are oracle-gated).
+  private val q102: Q = (s, d) => {
+    val dir = graftDir(d, "events_topn")
+    Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = s.read.format("graft").load(dir)
+    val top = g.orderBy(col("event_id").desc).limit(20)
+    val scanDesc = top.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.mkString("\n")
+    if (!scanDesc.contains("pushedTopN=[event_id DESC k=20]"))
+      throw new IllegalStateException(s"top-k pushdown regressed: $scanDesc")
+    top.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_sec"), col("value"))
+      .orderBy(col("event_id").desc)
+  }
+  private val q102Sql =
+    """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+      |FROM events
+      |ORDER BY event_id DESC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q102_topn_pushdown" -> q102,
     "q100_spj_join" -> q100,
     "q99_sum_pushdown" -> q99,
     "q98_zorder" -> q98,
@@ -766,6 +798,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q102_topn_pushdown" -> q102Sql,
     "q100_spj_join" -> q100Sql,
     "q99_sum_pushdown" -> q99Sql,
     "q98_zorder" -> q98Sql,

@@ -544,12 +544,46 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownTopN {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Option[GraftTopN] = None
   private var aggSpecs: Option[Seq[GraftAggSpec]] = None
   private var aggSchema: StructType = _
+
+  /** ORDER BY col LIMIT k, pushed PARTIALLY (Spark keeps the final
+    * sort+limit): the reader visits chunks best-stat-first and, once k
+    * candidate rows are on hand, PROVES the remaining chunks can't beat
+    * the current k-th value from their footer min/max alone — "latest k
+    * events" over a time-clustered 100 TB table decodes a handful of
+    * chunks, not the table. Declined when filters are pushed (residually
+    * filtered rows would poison the k-th-value threshold), for
+    * multi-key orders, non-stat-exact types, or absurd k (heap-bounded). */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (pushed.nonEmpty || aggSpecs.nonEmpty || n <= 0 || n > (1 << 16)) return false
+    orders match {
+      case Array(o) =>
+        val colName = o.expression() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().length == 1 => r.fieldNames()(0)
+          case _ => return false
+        }
+        val statExact = fullSchema.fields.find(_.name == colName).exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | BooleanType => true
+          case _ => false
+        })
+        if (!statExact) return false
+        val desc = o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+        val nullsFirst = o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+        topN = Some(GraftTopN(colName, desc, nullsFirst, n))
+        true
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
@@ -639,13 +673,18 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
   override def build(): Scan =
     new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
-      limit, aggSpecs, maxFilesPerTrigger)
+      limit, aggSpecs, maxFilesPerTrigger, topN)
 }
+
+/** Pushed ORDER BY col LIMIT k: `desc`/`nullsFirst` mirror the query's
+  * sort; the reader only SKIPS with this, over-delivery is always safe. */
+case class GraftTopN(col: String, desc: Boolean, nullsFirst: Boolean, k: Int)
 
 class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
     planFilters: Array[Filter], limit: Int,
     aggSpecs: Option[Seq[GraftAggSpec]] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
+    maxFilesPerTrigger: Option[Int] = None,
+    topN: Option[GraftTopN] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -779,7 +818,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       s"cols=[${required.fieldNames.mkString(",")}] " +
       s"skipFilters=[${filters.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
-      aggSpecs.map(s => s" pushedAggs=[${s.mkString(",")}]").getOrElse("")
+      aggSpecs.map(s => s" pushedAggs=[${s.mkString(",")}]").getOrElse("") +
+      topN.map(t => s" pushedTopN=[${t.col} ${if (t.desc) "DESC" else "ASC"} k=${t.k}]").getOrElse("")
 
   /** Planning-time partition pruning: a filter on a partition column that
     * contradicts a file's `k=v` path values drops the file before any
@@ -842,7 +882,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         new SerializableConfiguration(new Configuration()))
     case None =>
       new GraftReaderFactory(required, tableOpt, filters, limit,
-        new SerializableConfiguration(new Configuration()))
+        new SerializableConfiguration(new Configuration()), topN)
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
@@ -983,7 +1023,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
 
 class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    topN: Option[GraftTopN] = None) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("columnar-only scan")
@@ -992,13 +1033,87 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
       new GraftConcatReader(bp.files.map { case (f, pv) => () =>
         val path = new Path(f)
         new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
-          tableOpt, filters, limit, pv, None)
+          tableOpt, filters, limit, pv, None, topN)
       })
     case _ =>
       val gp = partition.asInstanceOf[GraftInputPartition]
       val path = new Path(gp.file)
       new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
-        filters, limit, gp.partValues, gp.chunkIdx)
+        filters, limit, gp.partValues, gp.chunkIdx, topN)
+  }
+}
+
+/** Task-side top-k chunk skipping for a pushed ORDER BY col LIMIT k.
+  *
+  * Keeps a size-k heap of the best `col` values decoded SO FAR; a chunk
+  * whose footer stat (max for DESC, min for ASC) cannot beat the current
+  * k-th best — once k non-null candidates are on hand — is PROVEN to
+  * contribute nothing to the final top-k Spark computes from the
+  * delivered rows, and is skipped without touching its pages. Sound by
+  * construction: skipping requires evidence, over-delivery is always
+  * safe (partial pushdown — Spark re-sorts and re-limits), and ties at
+  * the threshold are interchangeable. Nulls: under NULLS LAST the top-k
+  * is all non-null once k non-nulls exist (skip freely); under NULLS
+  * FIRST a null-holding chunk is never skipped (its nulls outrank every
+  * value). Types are the stat-exact set, compared in their long domain. */
+class TopNSkipper(spec: GraftTopN, required: StructType) {
+  private val colIdx = required.fieldIndex(spec.col)
+  private val dt = required.fields(colIdx).dataType
+  // size-k heap of the best values so far: a MIN-heap for DESC (root =
+  // current k-th largest), MAX-heap for ASC (root = current k-th smallest)
+  private val heap = new java.util.PriorityQueue[java.lang.Long](spec.k,
+    if (spec.desc) java.util.Comparator.naturalOrder[java.lang.Long]()
+    else java.util.Comparator.reverseOrder[java.lang.Long]())
+
+  private def longAt(v: org.apache.spark.sql.vectorized.ColumnVector, i: Int): Long = dt match {
+    case ByteType => v.getByte(i).toLong
+    case ShortType => v.getShort(i).toLong
+    case IntegerType | DateType => v.getInt(i).toLong
+    case BooleanType => if (v.getBoolean(i)) 1L else 0L
+    case _ => v.getLong(i) // Long, Timestamp[NTZ]
+  }
+
+  def observe(batch: ColumnarBatch): Unit = {
+    val v = batch.column(colIdx)
+    var i = 0
+    val n = batch.numRows()
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = longAt(v, i)
+        if (heap.size < spec.k) heap.add(x)
+        else if (spec.desc && x > heap.peek()) { heap.poll(); heap.add(x) }
+        else if (!spec.desc && x < heap.peek()) { heap.poll(); heap.add(x) }
+      }
+      i += 1
+    }
+  }
+
+  /** Visit best-stat-first so the threshold tightens immediately; chunks
+    * without the stat (all-null, absent column) go last. */
+  def visitOrder(t: Meta.TableMeta): Long = statOf(t) match {
+    case Some(s) => if (spec.desc) -s else s
+    case None => Long.MaxValue
+  }
+
+  private def statOf(t: Meta.TableMeta): Option[Long] = {
+    val idx = t.schema.fieldNames.indexOf(spec.col)
+    if (idx < 0) None
+    else {
+      val st = t.stats(idx)
+      (if (spec.desc) st.max else st.min).map(Stats.longOf)
+    }
+  }
+
+  def canSkip(t: Meta.TableMeta): Boolean = {
+    if (heap.size < spec.k) return false
+    val idx = t.schema.fieldNames.indexOf(spec.col)
+    if (idx < 0) return spec.nullsFirst == false // absent column = all null
+    val st = t.stats(idx)
+    if (spec.nullsFirst && st.nullCount > 0) return false // nulls outrank values
+    statOf(t) match {
+      case Some(s) => if (spec.desc) s <= heap.peek() else s >= heap.peek()
+      case None => !spec.nullsFirst && st.nullCount == t.numRows // all-null chunk
+    }
   }
 }
 
@@ -1043,12 +1158,15 @@ class GraftConcatReader(mk: Seq[() => GraftPartitionReader])
 class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     tableOpt: Option[String], filters: Array[Filter], limit: Int,
     partValues: Map[String, String] = Map.empty,
-    chunkIdx: Option[Int] = None)
+    chunkIdx: Option[Int] = None,
+    topN: Option[GraftTopN] = None)
     extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
   private var skipped = 0L
   private var decoded = 0L
   private var skippedBlocks = 0L
+  private val topNSkip: Option[TopNSkipper] =
+    topN.filter(t => required.fieldNames.contains(t.col)).map(new TopNSkipper(_, required))
   private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta, Int, Int)] = {
     val name = tableOpt.getOrElse {
       val names = reader.tableNames
@@ -1060,10 +1178,19 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       case Some(i) => reader.footer.chunks.slice(i, i + 1).iterator
       case None => reader.footer.chunks.iterator
     }
-    chunks
-      .flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
+    val cts = chunks.flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
+    // pushed top-k: visit chunks best-stat-first so the k-th-value
+    // threshold tightens as early as possible — on time-clustered data
+    // the first chunk usually closes the door on all the others. The
+    // dynamic skip check runs at PULL time (after earlier chunks'
+    // values were observed), which the sequential iterator guarantees.
+    val ordered = topNSkip match {
+      case Some(ts) => cts.toSeq.sortBy { case (_, t) => ts.visitOrder(t) }.iterator
+      case None => cts
+    }
+    ordered
       .filterNot { case (_, t) =>
-        val skip = skippable(t)
+        val skip = skippable(t) || topNSkip.exists(_.canSkip(t))
         if (skip) skipped += 1
         skip
       }
@@ -1139,6 +1266,7 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       current = decodeWithPartitions(chunk, table, r0, r1, rowLimit)
       emitted += current.numRows()
       decoded += 1
+      topNSkip.foreach(_.observe(current))
       true
     }
   }

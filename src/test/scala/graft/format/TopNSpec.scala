@@ -1,0 +1,114 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{GraftPartitionReader, GraftTopN}
+
+/** Pushed ORDER BY col LIMIT k: the reader visits chunks best-stat-first
+  * and skips every chunk the current k-th value already beats.
+  */
+class TopNSpec extends SparkSpec {
+
+  private def graftFile(dir: String): org.apache.hadoop.fs.Path =
+    graft.sources.GraftDataSource.listFiles(new Configuration(), dir).head
+
+  private def writeSorted(rows: Int, chunkRows: Int): String = {
+    val dir = Files.createTempDirectory("graft-topn").toString
+    spark.range(0, rows).coalesce(1)
+      .selectExpr("id", "id * 7 AS v")
+      .write.format("graft").option("chunkrows", chunkRows.toString)
+      .mode("overwrite").save(dir)
+    dir
+  }
+
+  test("DESC top-k decodes one chunk of clustered data, skips the rest") {
+    val dir = writeSorted(40000, 4096) // 10 chunks, ids ascending
+    val p = graftFile(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    val rd = new GraftPartitionReader(p.getFileSystem(new Configuration()), p,
+      schema, None, Array.empty, -1, Map.empty, None,
+      Some(GraftTopN("id", desc = true, nullsFirst = false, k = 10)))
+    var rows = 0L
+    var batches = 0
+    try { while (rd.next()) { rows += rd.get().numRows(); batches += 1 } }
+    finally rd.close()
+    assert(batches == 1, s"expected 1 decoded chunk, got $batches")
+    assert(rows == 3136L, s"expected only the 3136-row tail chunk, got $rows")
+  }
+
+  test("ASC top-k visits the low chunk first and stops") {
+    val dir = writeSorted(40000, 4096)
+    val p = graftFile(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    val rd = new GraftPartitionReader(p.getFileSystem(new Configuration()), p,
+      schema, None, Array.empty, -1, Map.empty, None,
+      Some(GraftTopN("id", desc = false, nullsFirst = true, k = 100)))
+    var rows = 0L
+    var batches = 0
+    try { while (rd.next()) { rows += rd.get().numRows(); batches += 1 } }
+    finally rd.close()
+    assert(batches == 1 && rows == 4096L, s"got $batches batches / $rows rows")
+  }
+
+  test("end-to-end: ORDER BY ... LIMIT pushes and matches the unpushed answer") {
+    val dir = writeSorted(40000, 4096)
+    val g = spark.read.format("graft").load(dir)
+    val got = g.orderBy(col("id").desc).limit(10)
+    val scanDesc = got.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scanDesc.contains("pushedTopN=[id DESC k=10]"), scanDesc)
+    val expect = spark.range(0, 40000).selectExpr("id", "id * 7 AS v")
+      .orderBy(col("id").desc).limit(10)
+    assert(canon(got) == canon(expect))
+    // ascending too
+    val gotAsc = g.orderBy(col("v")).limit(7)
+    val expAsc = spark.range(0, 40000).selectExpr("id", "id * 7 AS v")
+      .orderBy(col("v")).limit(7)
+    assert(canon(gotAsc) == canon(expAsc))
+  }
+
+  test("nulls-first ordering never skips a null-bearing chunk") {
+    val dir = Files.createTempDirectory("graft-topn-null").toString
+    // nulls live in the MIDDLE chunks; ASC NULLS FIRST must surface them
+    spark.range(0, 30000).coalesce(1)
+      .selectExpr("IF(id BETWEEN 10000 AND 10004, NULL, id) AS id")
+      .write.format("graft").option("chunkrows", "4096").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val got = g.orderBy(col("id").asc_nulls_first).limit(8)
+    val expect = spark.range(0, 30000)
+      .selectExpr("IF(id BETWEEN 10000 AND 10004, NULL, id) AS id")
+      .orderBy(col("id").asc_nulls_first).limit(8)
+    assert(canon(got) == canon(expect)) // 5 nulls + 0,1,2
+  }
+
+  test("filters present decline the pushdown (threshold would be unsound)") {
+    val dir = writeSorted(40000, 4096)
+    val g = spark.read.format("graft").load(dir)
+    val got = g.filter(col("v") < 70000).orderBy(col("id").desc).limit(5)
+    val scanDesc = got.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(!scanDesc.contains("pushedTopN"), scanDesc)
+    val expect = spark.range(0, 40000).selectExpr("id", "id * 7 AS v")
+      .filter(col("v") < 70000).orderBy(col("id").desc).limit(5)
+    assert(canon(got) == canon(expect))
+  }
+
+  test("unsorted data stays exact (skipping just finds less to skip)") {
+    val dir = Files.createTempDirectory("graft-topn-shuffled").toString
+    spark.range(0, 30000).coalesce(1)
+      .selectExpr("CAST(hash(id) AS BIGINT) AS h", "id")
+      .write.format("graft").option("chunkrows", "4096").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val got = g.orderBy(col("h").desc).limit(12)
+    val expect = spark.range(0, 30000)
+      .selectExpr("CAST(hash(id) AS BIGINT) AS h", "id")
+      .orderBy(col("h").desc).limit(12)
+    assert(canon(got) == canon(expect))
+  }
+}
