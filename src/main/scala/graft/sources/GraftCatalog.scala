@@ -244,7 +244,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             l.value().asInstanceOf[Number].intValue()
         }
         (cols, ns) match {
-          case (Array(c), Array(n)) if n >= 1 =>
+          case (Array(c), Array(n)) if n >= 1 && n <= GraftBucket.MaxBuckets =>
             val f = schema.fields.find(_.name == c).getOrElse(
               throw new IllegalArgumentException(
                 s"bucket column $c not in schema ${schema.fieldNames.mkString(",")}"))
@@ -352,6 +352,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val hadMarker = fs.exists(marker)
     owned.foreach(f => f.getFileSystem(conf).delete(f, false))
     if (hadMarker) fs.delete(marker, false)
+    // the bucket-spec marker dies with the table: a later CREATE TABLE
+    // under the same name must not inherit a layout it never declared
+    // (loadTable injects the marker as write options)
+    val bucketMarker = GraftDataSource.bucketMarkerPath(
+      GraftDataSource.resolveDataDir(conf, dir), ident.name())
+    if (fs.exists(bucketMarker)) fs.delete(bucketMarker, false)
     hadMarker || owned.nonEmpty
   }
 

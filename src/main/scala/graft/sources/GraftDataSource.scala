@@ -419,17 +419,19 @@ object GraftDataSource {
   }
 
   /** Read the table's bucket spec `(col, n, sortCol)` from the LIVE data
-    * dir (generation-aware). A missing/corrupt marker or an unexpected
-    * hash id simply means "not bucketed". */
+    * dir (generation-aware). A MISSING or CORRUPT marker means "not
+    * bucketed"; a transport-level IO failure propagates — swallowing it
+    * here would silently route the next INSERT unbucketed and
+    * permanently deactivate the table's shuffle-free join claim. */
   def readBucketMarker(conf: Configuration, dir: String,
-      table: String): Option[(String, Int, Option[String])] =
-    try {
-      val marker = bucketMarkerPath(resolveDataDir(conf, dir), table)
-      val fs = marker.getFileSystem(conf)
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      table: String): Option[(String, Int, Option[String])] = {
+    val marker = bucketMarkerPath(resolveDataDir(conf, dir), table)
+    val fs = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
         val col = node.get("col").asText()
         val n = node.get("n").asInt()
@@ -437,8 +439,9 @@ object GraftDataSource {
         if (col.nonEmpty && n >= 1 &&
             node.get("hash").asText() == s"murmur3-${GraftBucket.Seed}") Some((col, n, sort))
         else None
-      }
-    } catch { case _: Exception => None }
+      } catch { case _: Exception => None } // corrupt marker content only
+    }
+  }
 
   def pickTable(footer: Meta.Footer, tableOpt: String): Meta.TableMeta = {
     val names = footer.chunks.flatMap(_.tables.map(_.name)).distinct
@@ -858,7 +861,13 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     val slots = try {
       org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
     } catch { case _: Exception => 16 }
-    if (kept.size >= slots) {
+    // a pushed top-k skips via evidence ACCUMULATED ACROSS a file's
+    // chunks: splitting the file into per-chunk partitions would give
+    // every chunk its own one-chunk skipper that can never prove
+    // anything — keep whole-file partitions instead (the skipper then
+    // reads ~1 chunk per file; chunk-splitting's parallelism would cost
+    // more than it buys here)
+    if (kept.size >= slots || topN.isDefined) {
       kept.map { case (p, part) =>
         GraftInputPartition(p.toString, part): InputPartition
       }.toArray
@@ -1501,6 +1510,13 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     bucketSpec.foreach { case (col, n) =>
       GraftDataSource.writeBucketMarker(conf, dataDir, table, col, n, sortCol)
     }
+    // an UNBUCKETED overwrite deliberately resets the layout: a stale
+    // marker would make the next compaction/DML rewrite re-bucket the
+    // table (or fail outright if the bucket column left the schema)
+    if (bucketSpec.isEmpty && truncate) {
+      val stale = GraftDataSource.bucketMarkerPath(dataDir, table)
+      if (fs.exists(stale)) fs.delete(stale, false)
+    }
     new GraftWriterFactory(dataDir, schema, table, pageSize, bias, chunkRows,
       partCols, new SerializableConfiguration(conf), bloomCols, tableSplits,
       bucketSpec, sortCol)
@@ -1755,6 +1771,17 @@ class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
   }
 
   override def commit(): WriterCommitMessage = {
+    // an all-empty task still emits ONE 0-row tagged file (bucket 0,
+    // partition 0 only — not one per task), so a delete-everything
+    // rewrite leaves a self-describing table behind instead of a bare
+    // marker no schema can be inferred from
+    if (partitionId == 0 && writers.forall(_ == null)) {
+      val w = new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
+        conf, partitionId, taskId,
+        fixedName = Some(GraftDataSource.bucketFileName(partitionId, taskId, 0, n, tag)),
+        bloomCols = bloomCols)
+      writers(0) = w
+    }
     val msgs = writers.filter(_ != null).map(_.commit().asInstanceOf[GraftCommitMessage])
     GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum)
   }

@@ -19,6 +19,10 @@ import org.apache.spark.sql.types._
 object GraftBucket {
   val Seed = 42L
 
+  /** Bucket ids and counts print as %05d in file names and must stay
+    * within 5 digits — the name-tag regex is the layout's proof. */
+  val MaxBuckets = 65536
+
   def id(value: Any, dt: DataType, n: Int): Int = {
     val h = Murmur3HashFunction.hash(value, dt, Seed)
     (((h % n) + n) % n).toInt
@@ -51,8 +55,9 @@ object GraftBucket {
         try n.trim.toInt
         catch { case _: NumberFormatException =>
           throw new IllegalArgumentException(s"bucketBy '$spec' is not <col>:<numBuckets>") }
-      if (buckets < 1 || buckets > (1 << 20))
-        throw new IllegalArgumentException(s"bucketBy bucket count $buckets out of range [1, 2^20]")
+      if (buckets < 1 || buckets > MaxBuckets)
+        throw new IllegalArgumentException(
+          s"bucketBy bucket count $buckets out of range [1, $MaxBuckets]")
       (c.trim, buckets)
     case _ => throw new IllegalArgumentException(s"bucketBy '$spec' is not <col>:<numBuckets>")
   }

@@ -272,6 +272,50 @@ class SpjSpec extends SparkSpec {
     assert(join().count() == 900L)
   }
 
+  test("DROP TABLE clears the bucket spec; unbucketed overwrite resets the layout") {
+    val root = Files.createTempDirectory("graft-spj-lifecycle").toString
+    val s = spjSession(root)
+    import s.implicits._
+    // DDL lifecycle: drop must not leak the layout into a recreated table
+    s.sql("CREATE NAMESPACE IF NOT EXISTS spj_cat.lc")
+    s.sql("CREATE TABLE spj_cat.lc.t (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    s.sql("INSERT INTO spj_cat.lc.t SELECT CAST(id AS BIGINT), concat('v', id) FROM range(100)")
+    s.sql("DROP TABLE spj_cat.lc.t")
+    s.sql("CREATE TABLE spj_cat.lc.t (a BIGINT, b STRING)") // no k, no bucket
+    s.sql("INSERT INTO spj_cat.lc.t SELECT CAST(id AS BIGINT), 'x' FROM range(10)")
+    assert(s.sql("SELECT count(*) c FROM spj_cat.lc.t").head.getLong(0) == 10L)
+    // oversized bucket counts refuse at DDL time, not at first use
+    intercept[Exception] {
+      s.sql("CREATE TABLE spj_cat.lc.big (k BIGINT) PARTITIONED BY (bucket(2000000, k))")
+    }
+    // path lifecycle: a plain overwrite resets the declared layout, so a
+    // later compaction must NOT try to re-bucket by a long-gone column
+    val dir = s"$root/reset"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft").option("bucketBy", "k:4").mode("overwrite").save(dir)
+    Seq(("x", 1.0), ("y", 2.0)).toDF("name", "score") // k no longer exists
+      .write.format("graft").mode("overwrite").save(dir)
+    graft.operators.FormatOps.compact(s, dir, targetFiles = 1)
+    assert(spark.read.format("graft").load(dir).count() == 2L)
+  }
+
+  test("a delete-everything rewrite keeps a bucketed table self-describing") {
+    val root = Files.createTempDirectory("graft-spj-empty").toString
+    val s = spjSession(root)
+    import s.implicits._
+    val dir = s"$root/t"
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(4, $"k")
+      .write.format("graft").option("table", "t").option("bucketBy", "k:4")
+      .mode("overwrite").save(dir)
+    graft.operators.FormatOps.updateWhere(s, dir, "t",
+      Map.empty, org.apache.spark.sql.functions.lit(false)) // no-op touchpoint
+    s.sql(s"DELETE FROM spj_cat.t.t WHERE k >= 0") // removes every row
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 0L)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "v")) // still self-describing
+  }
+
   test("bucketBy validation: bad specs and illegal combinations refuse loudly") {
     val s = spark
     import s.implicits._

@@ -99,6 +99,26 @@ class TopNSpec extends SparkSpec {
     assert(canon(got) == canon(expect))
   }
 
+  test("top-k planning keeps whole-file partitions (no per-chunk split)") {
+    val dir = writeSorted(40000, 4096) // 1 file, 10 chunks, fewer files than slots
+    val schema = spark.read.format("graft").load(dir).schema
+    val b = new graft.sources.GraftScanBuilder(Seq(dir), schema, None)
+    b.pruneColumns(schema)
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    assert(b.pushTopN(Array(
+      Expressions.sort(Expressions.column("id"), SortDirection.DESCENDING)), 10))
+    val parts = b.build().toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    // per-chunk splitting would hand each chunk a one-chunk skipper that
+    // can never accumulate the k rows needed to prove a skip
+    assert(parts.forall(_.asInstanceOf[graft.sources.GraftInputPartition].chunkIdx.isEmpty))
+    // without the pushed top-k the same listing DOES split for parallelism
+    val b2 = new graft.sources.GraftScanBuilder(Seq(dir), schema, None)
+    b2.pruneColumns(schema)
+    val parts2 = b2.build().toBatch.planInputPartitions()
+    assert(parts2.length > parts.length)
+  }
+
   test("unsorted data stays exact (skipping just finds less to skip)") {
     val dir = Files.createTempDirectory("graft-topn-shuffled").toString
     spark.range(0, 30000).coalesce(1)
