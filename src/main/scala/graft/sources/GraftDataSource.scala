@@ -890,8 +890,14 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       new GraftAggReaderFactory(specs, required, tableOpt,
         new SerializableConfiguration(new Configuration()))
     case None =>
+      // top-k skipping is only sound when EVERY delivered row survives to
+      // the final TakeOrdered: pushTopN already declines on planned
+      // filters, and runtime (DPP) filters arriving here disable it the
+      // same way — a heap row the later join drops would otherwise
+      // license skipping chunks that hold the true top-k
+      val effectiveTopN = if (runtimeFilters.isEmpty) topN else None
       new GraftReaderFactory(required, tableOpt, filters, limit,
-        new SerializableConfiguration(new Configuration()), topN)
+        new SerializableConfiguration(new Configuration()), effectiveTopN)
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
@@ -1039,10 +1045,15 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     throw new UnsupportedOperationException("columnar-only scan")
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = partition match {
     case bp: GraftBucketedPartition =>
+      // ONE skipper for the whole bucket: the concat reader drains files
+      // strictly sequentially, so evidence from earlier files carries
+      // into later ones and a multi-file bucket converges just as fast
+      val shared = topN.filter(t => required.fieldNames.contains(t.col))
+        .map(new TopNSkipper(_, required))
       new GraftConcatReader(bp.files.map { case (f, pv) => () =>
         val path = new Path(f)
         new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
-          tableOpt, filters, limit, pv, None, topN)
+          tableOpt, filters, limit, pv, None, topN, shared)
       })
     case _ =>
       val gp = partition.asInstanceOf[GraftInputPartition]
@@ -1124,6 +1135,38 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
       case None => !spec.nullsFirst && st.nullCount == t.numRows // all-null chunk
     }
   }
+
+  // ---- zone-map (block) granularity: same proofs, 8Ki-row resolution ----
+
+  private def blockStat(t: Meta.TableMeta, bi: Int): Option[(graft.format.ColStats, Option[Long])] = {
+    val idx = t.schema.fieldNames.indexOf(spec.col)
+    if (idx < 0 || bi >= t.blockStats.size) None
+    else {
+      val st = t.blockStats(bi)(idx)
+      Some((st, (if (spec.desc) st.max else st.min).map(Stats.longOf)))
+    }
+  }
+
+  /** Best-first visit order WITHIN a kept chunk: the top block fills the
+    * heap with the chunk's best values immediately, so its sibling
+    * blocks skip instead of being decoded on the way up. */
+  def blockVisitOrder(t: Meta.TableMeta, bi: Int): Long = blockStat(t, bi) match {
+    case Some((_, Some(s))) => if (spec.desc) -s else s
+    case _ => Long.MaxValue
+  }
+
+  def canSkipBlock(t: Meta.TableMeta, bi: Int, rows: Int): Boolean = {
+    if (heap.size < spec.k) return false
+    blockStat(t, bi) match {
+      case Some((st, statOpt)) =>
+        if (spec.nullsFirst && st.nullCount > 0) return false
+        statOpt match {
+          case Some(s) => if (spec.desc) s <= heap.peek() else s >= heap.peek()
+          case None => !spec.nullsFirst && st.nullCount == rows // all-null block
+        }
+      case None => false
+    }
+  }
 }
 
 /** Chains one bucket's per-file readers into a single partition stream;
@@ -1168,14 +1211,15 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     tableOpt: Option[String], filters: Array[Filter], limit: Int,
     partValues: Map[String, String] = Map.empty,
     chunkIdx: Option[Int] = None,
-    topN: Option[GraftTopN] = None)
+    topN: Option[GraftTopN] = None,
+    sharedSkipper: Option[TopNSkipper] = None)
     extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
   private var skipped = 0L
   private var decoded = 0L
   private var skippedBlocks = 0L
-  private val topNSkip: Option[TopNSkipper] =
-    topN.filter(t => required.fieldNames.contains(t.col)).map(new TopNSkipper(_, required))
+  private val topNSkip: Option[TopNSkipper] = sharedSkipper.orElse(
+    topN.filter(t => required.fieldNames.contains(t.col)).map(new TopNSkipper(_, required)))
   private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta, Int, Int)] = {
     val name = tableOpt.getOrElse {
       val names = reader.tableNames
@@ -1203,7 +1247,31 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
         if (skip) skipped += 1
         skip
       }
-      .flatMap { case (c, t) => keepRanges(t).map { case (r0, r1) => (c, t, r0, r1) } }
+      .flatMap { case (c, t) =>
+        topNSkip match {
+          case Some(ts) => topNRanges(t, ts).map { case (r0, r1) => (c, t, r0, r1) }
+          case None => keepRanges(t).iterator.map { case (r0, r1) => (c, t, r0, r1) }
+        }
+      }
+  }
+
+  /** Top-k block ranges for a KEPT chunk: single-block ranges visited
+    * best-stat-first, each re-checked against the (by then tighter)
+    * k-th-value threshold at pull time — on clustered data the first
+    * 8Ki-row block usually closes out the rest of the chunk. Lazy by
+    * construction: the skip test for block i+1 runs AFTER block i's
+    * values were observed. */
+  private def topNRanges(t: Meta.TableMeta, ts: TopNSkipper): Iterator[(Int, Int)] = {
+    val nb = t.blockStats.size
+    if (nb <= 1) Iterator((0, t.numRows))
+    else (0 until nb).sortBy(ts.blockVisitOrder(t, _)).iterator
+      .filterNot { bi =>
+        val r1 = math.min((bi + 1) * Meta.BlockRows, t.numRows)
+        val skip = ts.canSkipBlock(t, bi, r1 - bi * Meta.BlockRows)
+        if (skip) skippedBlocks += 1
+        skip
+      }
+      .map(bi => (bi * Meta.BlockRows, math.min((bi + 1) * Meta.BlockRows, t.numRows)))
   }
   private var current: ColumnarBatch = null
   private var emitted = 0L

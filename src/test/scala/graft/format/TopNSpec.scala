@@ -119,6 +119,27 @@ class TopNSpec extends SparkSpec {
     assert(parts2.length > parts.length)
   }
 
+  test("block-level skip: the top chunk decodes one 8Ki block, not 128Ki rows") {
+    val dir = Files.createTempDirectory("graft-topn-block").toString
+    // ONE chunk of 120k sorted rows with zone maps (>1 block)
+    spark.range(0, 120000).coalesce(1).selectExpr("id")
+      .write.format("graft").mode("overwrite").save(dir)
+    val p = graftFile(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    val rd = new GraftPartitionReader(p.getFileSystem(new Configuration()), p,
+      schema, None, Array.empty, -1, Map.empty, None,
+      Some(GraftTopN("id", desc = true, nullsFirst = false, k = 10)))
+    var rows = 0L
+    try { while (rd.next()) rows += rd.get().numRows() } finally rd.close()
+    // best block visited first fills the heap; every other block skips.
+    // 120000 rows = 14 full 8192-row blocks + a 5312-row tail (the best)
+    assert(rows <= 2 * Meta.BlockRows, s"expected ~1 block decoded, got $rows rows")
+    // exactness end-to-end on the same layout
+    val got = spark.read.format("graft").load(dir).orderBy(col("id").desc).limit(10)
+    val expect = spark.range(0, 120000).selectExpr("id").orderBy(col("id").desc).limit(10)
+    assert(canon(got) == canon(expect))
+  }
+
   test("unsorted data stays exact (skipping just finds less to skip)") {
     val dir = Files.createTempDirectory("graft-topn-shuffled").toString
     spark.range(0, 30000).coalesce(1)
