@@ -880,7 +880,54 @@ object TextOps {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- q103: leakage-free train/valid/test split ---------------------------
+  // Split assignment hangs off the DEDUP CLUSTER, not the document: all
+  // copies of a duplicated document share a digest, the cluster's
+  // representative (min doc_id) is hashed into 256 cells (two md5 hex
+  // digits — the q57 engine-reproducible idiom), and the cell picks
+  // train/valid/test — so near-identical text can never sit on both
+  // sides of the split and leak eval data into training. Scale shape:
+  // 16-byte digests shuffle (never text), the representative map is an
+  // equi-join on digest (it grows with the corpus — NOT broadcast), one
+  // aggregate ends it.
+  private val q103: Q = (s, d) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val withD = Tables.documents(s, d)
+      .withColumn("digest", md5(norm.cast("binary")))
+      .select(col("digest"), col("doc_id"), col("n_chars"))
+    val reps = withD.groupBy("digest").agg(min("doc_id").as("cluster_id"))
+    def hexDigit(pos: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(md5(cast(cast(cluster_id AS string) AS binary)), $pos, 1))") - 1
+    withD.join(reps, "digest")
+      .withColumn("h", (hexDigit(1) * 16 + hexDigit(2)) % 100)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_clusters"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"))
+  }
+  private val q103Sql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS digest
+      |  FROM documents),
+      |reps AS (SELECT digest, min(doc_id) AS cluster_id FROM d GROUP BY digest),
+      |a AS (
+      |  SELECT d.digest, d.n_chars,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(r.cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(r.cluster_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS h
+      |  FROM d JOIN reps r USING (digest))
+      |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT digest) AS n_clusters,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q103_leakfree_split" -> q103,
     "q101_tfidf" -> q101,
     "q59_dedup_clusters" -> q59,
     "q56_span_dedup" -> q56,
@@ -905,6 +952,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q103_leakfree_split" -> q103Sql,
     "q101_tfidf" -> q101Sql,
     "q59_dedup_clusters" -> q59Sql,
     "q56_span_dedup" -> q56Sql,
