@@ -926,7 +926,146 @@ object TextOps {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q104: BM25 retrieval ------------------------------------------------
+  // Top-10 documents for a fixed 3-term keyword query under BM25
+  // (k1=1.2, b=0.75, Lucene's ln(1+...) idf smoothing). Scale shape: the
+  // corpus is tokenized ONCE; probe-term tokens are filtered BEFORE the
+  // (doc, tok) aggregate, so the tf table holds only matching docs; the
+  // 3-row df table and the 1-row corpus constants broadcast; the top-10
+  // is orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+  // global sort). avgdl enters as len*nd/total — integer corpus totals,
+  // not a precomputed float mean — so both engines evaluate the same
+  // arithmetic tree; ties break on doc_id.
+  private val Bm25Terms = Seq("spark", "window", "hash")
+  private val q104: Q = (s, d) => {
+    val withLen = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("len", size(col("toks")))
+    val consts = withLen.agg(
+      count(lit(1)).as("nd"), sum(col("len")).cast("long").as("total"))
+    val tf = withLen
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(consts))
+      .withColumn("term_score",
+        log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") * col("nd") / col("total")))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("score"))
+  }
+  private val q104Sql =
+    """WITH dl AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS len
+      |  FROM documents),
+      |c AS (SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS total FROM dl),
+      |tf AS (
+      |  SELECT doc_id, len, tok, count(*) AS tf
+      |  FROM dl, UNNEST(toks) AS t(tok)
+      |  WHERE tok IN ('spark', 'window', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, score FROM (
+      |  SELECT tf.doc_id,
+      |    round(sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len * nd / total)))), 4) AS score
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN c
+      |  GROUP BY tf.doc_id)
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- q105: alpha-temperature mixture weights -----------------------------
+  // Per-source sampling weights for training-mixture construction:
+  // w_i = n_i^alpha / sum(n_j^alpha) with alpha=0.3 (the multilingual-
+  // sampling temperature trick — upweights small sources, keeps big ones
+  // dominant), plus effective epochs per source at a 1e9-token budget.
+  // Scale shape: one tokenize pass collapses to a per-source token count
+  // (map-side combine), everything after runs on a handful of rows.
+  // Cross-engine determinism: pow() is the only libm call — its result
+  // is scaled to a 6-decimal INTEGER per source, so the normalizing sum
+  // and the division are exact-input arithmetic in both engines.
+  private val q105: Q = (s, d) => {
+    val counts = docsWithTokens(s, d)
+      .select(col("source"), size(col("toks")).as("len"))
+      .groupBy("source").agg(sum(col("len")).cast("long").as("n_toks"))
+      .withColumn("p6", round(pow(col("n_toks"), lit(0.3)) * lit(1e6)).cast("long"))
+    val tot = counts.agg(sum(col("p6")).cast("long").as("ptot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("p6") / col("ptot"), 6))
+      .withColumn("epochs", round(col("weight") * lit(1e9) / col("n_toks"), 4))
+      .select(col("source"), col("n_toks"), col("weight"), col("epochs"))
+      .orderBy(col("source"))
+  }
+  private val q105Sql =
+    """WITH counts AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |scaled AS (
+      |  SELECT source, n_toks,
+      |    CAST(round(pow(n_toks, 0.3) * 1e6) AS BIGINT) AS p6
+      |  FROM counts),
+      |tot AS (SELECT CAST(sum(p6) AS BIGINT) AS ptot FROM scaled)
+      |SELECT source, n_toks,
+      |  round(p6 / ptot, 6) AS weight,
+      |  round(round(p6 / ptot, 6) * 1e9 / n_toks, 4) AS epochs
+      |FROM scaled CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
+  // ---- q106: vocabulary coverage (95% token-occurrence cutoff) -------------
+  // Smallest frequency-ranked vocabulary covering >= 95% of token
+  // occurrences, per language — the sizing pass before tokenizer
+  // training. Pure integer arithmetic end to end (cum*20 >= total*19),
+  // so the gate is exact. Scale shape: the corpus collapses to
+  // (lang, tok, count) with map-side combine FIRST; the running-sum
+  // window then ranks the VOCABULARY (distinct tokens, ~1e6-1e8 rows at
+  // 100 TB), never the corpus — one task per language handles its
+  // vocab, not its tokens.
+  private val q106: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docsWithTokens(s, d)
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
+    val run = byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tf.withColumn("cum", sum(col("cnt")).over(run))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .withColumn("rnk", row_number().over(byFreq))
+      .filter(col("cum") * 20 >= col("total") * 19)
+      .groupBy("lang")
+      .agg(min(col("rnk")).as("vocab_95"),
+        countDistinct(col("tok")).as("tail_toks"),
+        max(col("total")).cast("long").as("total_toks"))
+      .orderBy("lang")
+  }
+  private val q106Sql =
+    """WITH tf AS (
+      |  SELECT lang, tok, count(*) AS cnt
+      |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, tok, cnt,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tok
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS total,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk
+      |  FROM tf)
+      |SELECT lang, min(rnk) AS vocab_95, count(DISTINCT tok) AS tail_toks,
+      |  CAST(max(total) AS BIGINT) AS total_toks
+      |FROM r WHERE cum * 20 >= total * 19
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q106_vocab_coverage" -> q106,
+    "q105_mixture_weights" -> q105,
+    "q104_bm25" -> q104,
     "q103_leakfree_split" -> q103,
     "q101_tfidf" -> q101,
     "q59_dedup_clusters" -> q59,
@@ -952,6 +1091,9 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q106_vocab_coverage" -> q106Sql,
+    "q105_mixture_weights" -> q105Sql,
+    "q104_bm25" -> q104Sql,
     "q103_leakfree_split" -> q103Sql,
     "q101_tfidf" -> q101Sql,
     "q59_dedup_clusters" -> q59Sql,

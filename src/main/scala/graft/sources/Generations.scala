@@ -179,13 +179,7 @@ object Generations {
             "rewrites are single-writer — retry after the other completes", e)
     }
     // the swap: one atomic pointer replacement
-    val ptr = new Path(root, GraftDataSource.GenPointerName)
-    val ptrTmp = new Path(root, GraftDataSource.GenPointerName + ".tmp")
-    val out = fs.create(ptrTmp, true)
-    try out.write(nextGen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
-      .rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), nextGen)
     // deliberately NO deletion here: the superseded data (legacy loose
     // files or the previous gen dir) is invisible behind the pointer but
     // intact, so queries planned against it finish cleanly; a later

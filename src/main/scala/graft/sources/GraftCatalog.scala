@@ -86,19 +86,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case _: Exception => None
     }
 
-  /** Marker writes are tmp + atomic rename: a reader never sees a
-    * partial marker (a crashed half-write is an orphan tmp file). */
-  private def writeMarker(dir: String, table: String, schema: StructType): Unit = {
-    val marker = schemaMarker(dir, table)
-    val tmp = new Path(dir, s".schema_$table.json.tmp")
-    val fs = marker.getFileSystem(conf)
-    fs.mkdirs(new Path(dir))
-    val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
-      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def writeMarker(dir: String, table: String, schema: StructType): Unit =
+    AtomicPublish.text(conf, schemaMarker(dir, table), schema.json)
 
   /** The table's DECLARED schema: the marker when present (createTable
     * writes it, ALTER TABLE ADD COLUMN evolves it — files written before

@@ -405,17 +405,10 @@ object GraftDataSource {
     * against it before claiming key-grouped layout. */
   def writeBucketMarker(conf: Configuration, dataDir: String, table: String,
       col: String, n: Int, sortCol: Option[String] = None): Unit = {
-    val marker = bucketMarkerPath(dataDir, table)
-    val tmp = new Path(dataDir, s".bucket_$table.json.tmp")
-    val fs = marker.getFileSystem(conf)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val sortField = sortCol.map(s => s""","sort":${mapper.writeValueAsString(s)}""").getOrElse("")
     val json = s"""{"col":${mapper.writeValueAsString(col)},"n":$n$sortField,"hash":"murmur3-${GraftBucket.Seed}"}"""
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
-      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicPublish.text(conf, bucketMarkerPath(dataDir, table), json)
   }
 
   /** Read the table's bucket spec `(col, n, sortCol)` from the LIVE data

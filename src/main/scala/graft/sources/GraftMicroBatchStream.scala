@@ -48,19 +48,12 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
       } finally in.close()
     }
 
-  private def writeLog(files: Vector[String]): Unit = {
-    val tmp = new Path(checkpointLocation, "graft-file-log.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(files.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-with-OVERWRITE is a single atomic step (FileContext contract
-    // on HDFS/local): the log is always the previous or the new version —
-    // a delete-then-rename pair would open a crash window in which the
-    // log vanishes and committed offsets re-map onto a re-discovered,
-    // possibly different file order
-    org.apache.hadoop.fs.FileContext.getFileContext(logPath.toUri, conf)
-      .rename(tmp, logPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  // the log is always the previous or the new version (AtomicPublish):
+  // a delete-then-rename pair would open a crash window in which the
+  // log vanishes and committed offsets re-map onto a re-discovered,
+  // possibly different file order
+  private def writeLog(files: Vector[String]): Unit =
+    AtomicPublish.text(conf, logPath, files.mkString("", "\n", "\n"))
 
   override def initialOffset(): Offset = GraftStreamOffset(0)
 
