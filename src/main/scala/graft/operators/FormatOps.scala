@@ -497,6 +497,93 @@ object FormatOps {
     require(touched, s"table '$table' not found in $dir; nothing was upserted")
   }
 
+  /** Row-level DELETE by an arbitrary [[org.apache.spark.sql.Column]]
+    * predicate through the same copy-on-write generation machinery as
+    * SQL `DELETE FROM` — the path-based twin of the catalog's
+    * `SupportsDelete`, for predicates that don't translate to V2
+    * filters. A null predicate result means "don't delete" (the row is
+    * kept), matching SQL DELETE's three-valued WHERE. */
+  def deleteWhere(s: SparkSession, dir: String, table: String,
+      where: org.apache.spark.sql.Column): Unit = {
+    var touched = false
+    graft.sources.Generations.rewrite(s, dir, (name, df) =>
+      if (name != table) df
+      else { touched = true; df.filter(!coalesce(where, lit(false))) })
+    require(touched, s"table '$table' not found in $dir; nothing was deleted")
+  }
+
+  /** Change data feed between two generations of a graft table: every
+    * key classified `insert` / `update` / `delete` from `fromGen` to
+    * `toGen` (None = live). This is what makes a 100 TB table's
+    * downstream pipelines INCREMENTAL — reprocess the changed keys, not
+    * the table.
+    *
+    * Scale shape: each side is projected to (keys, 8-byte content
+    * digest) BEFORE the full-outer join, so the diff shuffles key+digest
+    * pairs, never rows; unchanged keys (the overwhelming majority) are
+    * dropped immediately after the join. Columns added by schema
+    * evolution between the two generations are excluded from the digest
+    * (an old row is "unchanged" until its values change), and the digest
+    * itself never crosses the API — only the classification does. */
+  def changesBetween(s: SparkSession, dir: String, fromGen: Int,
+      toGen: Option[Int], keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changesBetween needs key columns")
+    def readGen(g: Option[Int]): DataFrame = {
+      val r = s.read.format("graft")
+      g.fold(r)(n => r.option("generation", n.toString)).load(dir)
+    }
+    val before = readGen(Some(fromGen))
+    val after = readGen(toGen)
+    val common = before.columns.toSet.intersect(after.columns.toSet)
+    require(keys.forall(common.contains),
+      s"key columns ${keys.filterNot(common.contains).mkString(",")} absent from a generation")
+    val nonKey = common.toSeq.filterNot(keys.contains).sorted
+    def digested(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        xxhash64(to_json(struct(nonKey.map(col): _*))).as(as): _*)
+    digested(before, "_hb").join(digested(after, "_ha"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_hb").isNull, "insert")
+          .when(col("_ha").isNull, "delete")
+          .when(col("_hb") =!= col("_ha"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
+  // ---- q108: change data feed across generations -----------------------------
+  // gen-1 freezes the baseline; an upsert (updates on %13 keys, inserts
+  // on %17 keys shifted out of the key range) makes gen-2; a delete of
+  // %19==3 keys makes gen-3. changesBetween(gen-1, live) must classify
+  // every key exactly — the oracle restates the set algebra from
+  // parquet (a %13 key later deleted is a DELETE, not an update; an
+  // inserted key later deleted never appears at all).
+  private val q108: Q = (s, d) => {
+    val dir = graftDir(d, "orders_cdf")
+    Tables.orders(s, d).repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    compact(s, dir, targetFiles = 2) // gen-1: frozen baseline
+    val o = Tables.orders(s, d)
+    val updates = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val inserts = o.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+    upsert(s, dir, "data", updates.unionByName(inserts), Seq("o_orderkey"))
+    deleteWhere(s, dir, "data", col("o_orderkey") % 19 === 3)
+    changesBetween(s, dir, fromGen = 1, toGen = None, keys = Seq("o_orderkey"))
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+  private val q108Sql =
+    """WITH ks AS (SELECT o_orderkey AS k FROM orders)
+      |SELECT 'delete' AS change_type, count(*) AS n FROM ks WHERE k % 19 = 3
+      |UNION ALL
+      |SELECT 'insert' AS change_type, count(*) AS n FROM ks
+      |WHERE k % 17 = 0 AND (k + 900000000) % 19 <> 3
+      |UNION ALL
+      |SELECT 'update' AS change_type, count(*) AS n FROM ks
+      |WHERE k % 13 = 0 AND k % 19 <> 3
+      |ORDER BY change_type""".stripMargin
+
   /** Z-order (Morton) clustering rewrite — the multi-column pruning
     * path. A lexicographic sort gives zone maps one selective column;
     * interleaving the bits of per-column bucket indices gives every
@@ -774,6 +861,7 @@ object FormatOps {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q108_changes_between" -> q108,
     "q102_topn_pushdown" -> q102,
     "q100_spj_join" -> q100,
     "q99_sum_pushdown" -> q99,
@@ -798,6 +886,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q108_changes_between" -> q108Sql,
     "q102_topn_pushdown" -> q102Sql,
     "q100_spj_join" -> q100Sql,
     "q99_sum_pushdown" -> q99Sql,

@@ -1062,7 +1062,70 @@ object TextOps {
       |FROM r WHERE cum * 20 >= total * 19
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q107: persistent dedup ledger (cross-batch ingest dedup) ------------
+  /** Dedup a batch against every PREVIOUS batch: the accepted-documents
+    * graft table doubles as the digest ledger. The batch first collapses
+    * to one representative per digest (row_number over the digest — the
+    * window's hash partitioning is exactly the anti-join's requirement,
+    * so Catalyst plans ONE shuffle of the batch), then anti-joins the
+    * ledger's digest column (a digest-only scan: column pruning reaches
+    * the graft reader), and survivors append. At 100 TB the ledger join
+    * shuffles 16-byte digests, never text; survivors are re-read from
+    * disk so the returned frame is the COMMITTED state, not a lazy plan
+    * that would re-run the anti-join against the now-updated ledger.
+    *
+    * Contract: `batch` carries a digest column `h` and an id column
+    * `doc_id` (the per-digest representative is the min id —
+    * deterministic under replays).
+    */
+  def dedupIngest(s: SparkSession, ledgerDir: String, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val exists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val withinBatch = batch
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val survivors =
+      if (!exists) withinBatch
+      else withinBatch.join(
+        s.read.format("graft").load(ledgerDir).select(col("h")),
+        Seq("h"), "left_anti")
+    survivors.write.format("graft")
+      .mode(if (exists) "append" else "overwrite").save(ledgerDir)
+    s.read.format("graft").load(ledgerDir)
+  }
+
+  // The gate replays two ingests from scratch (fresh ledger) and reads
+  // the committed table back: batch-2 documents whose digest landed in
+  // batch-1 must be rejected BY THE LEDGER ON DISK, not by any in-memory
+  // state — the oracle states the same set algebra from parquet.
+  private val q107: Q = (s, d) => {
+    val dir = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/dedup_ledger"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.documents(s, d)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .select(col("doc_id"), col("source"), col("h"))
+    dedupIngest(s, dir, docs.filter(col("doc_id") % 2 === 0).withColumn("batch", lit(1)))
+    val ledger = dedupIngest(s, dir,
+      docs.filter(col("doc_id") % 2 === 1).withColumn("batch", lit(2)))
+    ledger.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_accepted"))
+      .orderBy(col("batch"))
+  }
+  private val q107Sql =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |b1 AS (SELECT h FROM d WHERE doc_id % 2 = 0 GROUP BY h),
+      |b2 AS (SELECT h FROM d WHERE doc_id % 2 = 1 GROUP BY h)
+      |SELECT 1 AS batch, count(*) AS n_accepted FROM b1
+      |UNION ALL
+      |SELECT 2 AS batch, count(*) AS n_accepted FROM b2
+      |WHERE h NOT IN (SELECT h FROM b1)
+      |ORDER BY batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_dedup_ledger" -> q107,
     "q106_vocab_coverage" -> q106,
     "q105_mixture_weights" -> q105,
     "q104_bm25" -> q104,
@@ -1091,6 +1154,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q107_dedup_ledger" -> q107Sql,
     "q106_vocab_coverage" -> q106Sql,
     "q105_mixture_weights" -> q105Sql,
     "q104_bm25" -> q104Sql,
