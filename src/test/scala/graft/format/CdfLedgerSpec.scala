@@ -1,0 +1,64 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{FormatOps, TextOps}
+
+/** Row-level semantics the aggregate gate queries can't pin down:
+  * changesBetween's per-key classification, deleteWhere's three-valued
+  * WHERE, and the dedup ledger's on-disk (not in-memory) rejection. */
+class CdfLedgerSpec extends SparkSpec {
+
+  test("changesBetween classifies every key; unchanged keys are absent") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    spark.range(0, 8).selectExpr("id", "concat('v', id) AS v")
+      .repartition(2).write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 1) // gen-1 baseline
+    FormatOps.upsert(spark, dir, "data",
+      spark.range(0, 1).selectExpr("2 AS id", "'CHANGED' AS v")
+        .unionByName(spark.range(0, 1).selectExpr("10 AS id", "'NEW' AS v")),
+      Seq("id"))                                    // gen-2: update 2, insert 10
+    FormatOps.deleteWhere(spark, dir, "data", col("id") === 3) // gen-3
+    val live = FormatOps.changesBetween(spark, dir, fromGen = 1, toGen = None, keys = Seq("id"))
+    assert(canon(live) == Seq("List(10, insert)", "List(2, update)", "List(3, delete)").sorted)
+    // bounded diff: gen-1 -> gen-2 hasn't seen the delete yet
+    val g2 = FormatOps.changesBetween(spark, dir, fromGen = 1, toGen = Some(2), keys = Seq("id"))
+    assert(canon(g2) == Seq("List(10, insert)", "List(2, update)").sorted)
+  }
+
+  test("deleteWhere: null predicate keeps the row (SQL three-valued WHERE)") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    spark.range(0, 4)
+      .selectExpr("id", "CASE WHEN id < 2 THEN concat('x', id) ELSE NULL END AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    FormatOps.deleteWhere(spark, dir, "data", col("v") === "x1")
+    val left = spark.read.format("graft").load(dir).select("id")
+    // only id=1 matched; the NULL-v rows (predicate -> NULL) survive
+    assert(canon(left) == Seq("List(0)", "List(2)", "List(3)").sorted)
+    intercept[IllegalArgumentException] {
+      FormatOps.deleteWhere(spark, dir, "nope", col("id") === 0)
+    }
+  }
+
+  test("dedup ledger rejects cross-batch duplicates from disk, idempotently") {
+    val dir = Files.createTempDirectory("graft-ledger").toString + "/ledger"
+    def batch(lo: Int, hi: Int, mod: Int) =
+      spark.range(lo, hi).selectExpr("id AS doc_id", s"concat('t', id % $mod) AS text")
+        .withColumn("h", md5(col("text").cast("binary")))
+    // batch 1: ids 0..9 over 5 distinct texts -> 5 representatives (min ids)
+    val after1 = TextOps.dedupIngest(spark, dir, batch(0, 10, 5))
+    assert(canon(after1.select("doc_id")) ==
+      Seq(0, 1, 2, 3, 4).map(i => s"List($i)").sorted)
+    // batch 2: ids 10..19 over texts t0..t9 — t0..t4 already in the
+    // ledger ON DISK, so only t5..t9 (reps 15..19) survive
+    val after2 = TextOps.dedupIngest(spark, dir, batch(10, 20, 10))
+    assert(canon(after2.select("doc_id")) ==
+      (Seq(0, 1, 2, 3, 4) ++ Seq(15, 16, 17, 18, 19)).map(i => s"List($i)").sorted)
+    // replaying batch 2 adds nothing: every digest is now in the ledger
+    val after3 = TextOps.dedupIngest(spark, dir, batch(10, 20, 10))
+    assert(canon(after3.select("doc_id")) == canon(after2.select("doc_id")))
+  }
+}
