@@ -929,13 +929,16 @@ object TextOps {
   // ---- q104: BM25 retrieval ------------------------------------------------
   // Top-10 documents for a fixed 3-term keyword query under BM25
   // (k1=1.2, b=0.75, Lucene's ln(1+...) idf smoothing). Scale shape: the
-  // corpus is tokenized ONCE; probe-term tokens are filtered BEFORE the
-  // (doc, tok) aggregate, so the tf table holds only matching docs; the
-  // 3-row df table and the 1-row corpus constants broadcast; the top-10
-  // is orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
-  // global sort). avgdl enters as len*nd/total — integer corpus totals,
-  // not a precomputed float mean — so both engines evaluate the same
-  // arithmetic tree; ties break on doc_id.
+  // corpus is tokenized in ONE heavy pass (probe-term tokens filtered
+  // BEFORE the (doc, tok) aggregate, so tf holds only matching docs);
+  // document frequency is a COUNT WINDOW over tf partitioned by token —
+  // a tf.groupBy("tok") would make Catalyst re-scan and re-tokenize the
+  // corpus (plan-audited: it did) — and the corpus constants (N, total
+  // tokens) ride one projection-only pass that never explodes. The
+  // top-10 is orderBy+limit = TakeOrderedAndProject (per-partition
+  // heaps, no global sort). avgdl enters as len*nd/total — integer
+  // corpus totals, not a precomputed float mean — so both engines
+  // evaluate the same arithmetic tree; ties break on doc_id.
   private val Bm25Terms = Seq("spark", "window", "hash")
   private val q104: Q = (s, d) => {
     val withLen = Tables.documents(s, d)
@@ -948,8 +951,8 @@ object TextOps {
       .filter(col("tok").isin(Bm25Terms: _*))
       .groupBy(col("doc_id"), col("len"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "tok")
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    tf.withColumn("df", count(lit(1)).over(wTok))
       .crossJoin(broadcast(consts))
       .withColumn("term_score",
         log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
