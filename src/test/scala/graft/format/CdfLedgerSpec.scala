@@ -61,4 +61,30 @@ class CdfLedgerSpec extends SparkSpec {
     val after3 = TextOps.dedupIngest(spark, dir, batch(10, 20, 10))
     assert(canon(after3.select("doc_id")) == canon(after2.select("doc_id")))
   }
+
+  test("streaming ingest dedups against the persistent ledger via foreachBatch") {
+    val srcDir = Files.createTempDirectory("graft-ledger-src").toString
+    val ck = Files.createTempDirectory("graft-ledger-ck").toString
+    val ledger = Files.createTempDirectory("graft-ledger-tbl").toString + "/ledger"
+    def land(lo: Int, hi: Int, mod: Int): Unit =
+      spark.range(lo, hi).selectExpr("id AS doc_id", s"concat('t', id % $mod) AS text")
+        .withColumn("h", md5(col("text").cast("binary")))
+        .coalesce(1).write.format("graft").mode("append").save(srcDir)
+    def ledgerIds: Seq[String] =
+      canon(spark.read.format("graft").load(ledger).select("doc_id"))
+    land(0, 10, 5)
+    val q = spark.readStream.format("graft").load(srcDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextOps.dedupIngest(spark, ledger, b); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(ledgerIds == Seq(0, 1, 2, 3, 4).map(i => s"List($i)").sorted)
+      land(10, 20, 10) // 5 digests repeat history, 5 are new
+      q.processAllAvailable()
+      assert(ledgerIds ==
+        (Seq(0, 1, 2, 3, 4) ++ Seq(15, 16, 17, 18, 19)).map(i => s"List($i)").sorted)
+    } finally q.stop()
+  }
 }
