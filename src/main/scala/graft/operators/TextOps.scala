@@ -1065,6 +1065,62 @@ object TextOps {
       |FROM r WHERE cum * 20 >= total * 19
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q109: bigram-LM quality score (perplexity-style filtering) ----------
+  // CCNet-style LM filtering, with the model TRAINED ON THE CORPUS in
+  // the same job: per-document mean log-probability under an add-one
+  // bigram model (fixed 64Ki smoothing vocabulary — the constant keeps
+  // the model engine-reproducible), aggregated per source. Low avg_lp
+  // sources are the ones whose text the corpus LM finds surprising —
+  // the classic quality-filter signal. Scale shape: bigrams come from an
+  // array-local transform (NO shuffle, unlike a lead() window over the
+  // exploded corpus); the per-doc bigram-type table then takes the two
+  // canonical LM shuffles — sum over (w1,w2) and over (w1) as window
+  // counts on the SAME table, never a re-scan — and collapses straight
+  // back to per-doc, then per-source rows. Documents under 2 tokens
+  // can't be scored and are excluded (both engines state the filter).
+  private val q109: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bi = docsWithTokens(s, d)
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("source"), col("doc_id"), col("b.w1"), col("b.w2"))
+    val d12 = bi.groupBy("source", "doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val scored = d12
+      .withColumn("c12", sum(col("k")).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum(col("k")).over(Window.partitionBy("w1")))
+      .withColumn("lp", col("k") * log((col("c12") + 1.0) / (col("c1") + 65536.0)))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((sum(col("lp")) / sum(col("k"))).as("doc_lp"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("doc_lp")), 4).as("avg_lp"))
+      .orderBy(col("source"))
+  }
+  private val q109Sql =
+    """WITH bi AS (
+      |  SELECT source, doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT source, doc_id,
+      |      list_transform(range(1, len(t)),
+      |        i -> struct_pack(w1 := t[i], w2 := t[i + 1])) AS pairs
+      |    FROM (SELECT source, doc_id,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |          FROM documents)
+      |    WHERE len(t) >= 2), UNNEST(pairs) AS u(b)),
+      |d12 AS (
+      |  SELECT source, doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3, 4),
+      |scored AS (
+      |  SELECT source, doc_id,
+      |    sum(k * ln((c12 + 1.0) / (c1 + 65536.0))) / sum(k) AS doc_lp
+      |  FROM (
+      |    SELECT source, doc_id, k,
+      |      sum(k) OVER (PARTITION BY w1, w2) AS c12,
+      |      sum(k) OVER (PARTITION BY w1) AS c1
+      |    FROM d12)
+      |  GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs, round(avg(doc_lp), 4) AS avg_lp
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q107: persistent dedup ledger (cross-batch ingest dedup) ------------
   /** Dedup a batch against every PREVIOUS batch: the accepted-documents
     * graft table doubles as the digest ledger. The batch first collapses
@@ -1128,6 +1184,7 @@ object TextOps {
       |ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q109_lm_quality" -> q109,
     "q107_dedup_ledger" -> q107,
     "q106_vocab_coverage" -> q106,
     "q105_mixture_weights" -> q105,
@@ -1157,6 +1214,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q109_lm_quality" -> q109Sql,
     "q107_dedup_ledger" -> q107Sql,
     "q106_vocab_coverage" -> q106Sql,
     "q105_mixture_weights" -> q105Sql,
