@@ -1121,6 +1121,32 @@ object TextOps {
       |SELECT source, count(*) AS n_docs, round(avg(doc_lp), 4) AS avg_lp
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q110: exact-k stratified sample (eval-set extraction) ---------------
+  // Exactly k=5 documents per (source, lang) stratum, chosen by a
+  // deterministic hashed order (md5 of the id) — reproducible across
+  // runs, partitionings, and engines, unlike rand()-based sampling, and
+  // exact-k unlike the rate-based q49/q2s. Scale shape: one shuffle by
+  // stratum; WindowGroupLimit prunes each partition to its top-5 BEFORE
+  // rows leave the exchange, so the window never materializes a stratum.
+  private val q110: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("lang"), col("rnk"))
+  }
+  private val q110Sql =
+    """SELECT source, lang, rnk, doc_id, n_chars FROM (
+      |  SELECT source, lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source, lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 5
+      |ORDER BY source, lang, rnk""".stripMargin
+
   // ---- q107: persistent dedup ledger (cross-batch ingest dedup) ------------
   /** Dedup a batch against every PREVIOUS batch: the accepted-documents
     * graft table doubles as the digest ledger. The batch first collapses
@@ -1184,6 +1210,7 @@ object TextOps {
       |ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q110_stratified_sample" -> q110,
     "q109_lm_quality" -> q109,
     "q107_dedup_ledger" -> q107,
     "q106_vocab_coverage" -> q106,
@@ -1214,6 +1241,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q110_stratified_sample" -> q110Sql,
     "q109_lm_quality" -> q109Sql,
     "q107_dedup_ledger" -> q107Sql,
     "q106_vocab_coverage" -> q106Sql,
