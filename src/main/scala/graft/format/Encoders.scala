@@ -79,9 +79,14 @@ final class ValidityBuilder {
   def reset(): Unit = { java.util.Arrays.fill(bits, 0.toByte); n = 0; nulls = 0 }
 }
 
-/** Growable i32 offsets starting at 0 (always rebased on disk, like the
-  * reference `src/write.zig:962-980`). */
-final class OffsetsBuilder {
+/** Growable offsets starting at 0 (always rebased on disk, like the
+  * reference `src/write.zig:962-980`). Serializes as i32 by default; a
+  * column tagged `graft.largeOffsets` writes the i64 dialect instead —
+  * the reference's `large_binary`/`large_list` offset width
+  * (`src/write.zig:795-839`). Values themselves stay <= 2 GiB either
+  * way: that is the JVM single-array materialization cap ([[Bytes
+  * .MaxBufferBytes]]), an environment limit rather than a format one. */
+final class OffsetsBuilder(val wide: Boolean = false) {
   private var arr = new Array[Int](64)
   private var n = 1 // offsets[0] == 0
   def last: Int = arr(n - 1)
@@ -90,12 +95,16 @@ final class OffsetsBuilder {
     arr(n) = end; n += 1
   }
   def size: Int = n
+  def entry(i: Int): Int = arr(i)
+  def width: Int = if (wide) 8 else 4
   def toBytes: (Array[Byte], Int) = {
-    val out = new Array[Byte](n * 4)
+    val w = width
+    val out = new Array[Byte](n * w)
     val bb = Bytes.le(out)
     var i = 0
-    while (i < n) { bb.putInt(arr(i)); i += 1 }
-    (out, n * 4)
+    if (wide) while (i < n) { bb.putLong(arr(i).toLong); i += 1 }
+    else while (i < n) { bb.putInt(arr(i)); i += 1 }
+    (out, n * w)
   }
   def reset(): Unit = { arr(0) = 0; n = 1 }
 }
@@ -132,6 +141,16 @@ object ColumnEncoder {
     * the schema JSON through the footer so a reader that can exploit
     * sorted keys (merge lookups, binary search) sees the writer's claim. */
   val MapKeysSortedKey = "graft.mapKeysSorted"
+
+  /** Field metadata flag mapping olive's `large_binary`/`large_utf8`/
+    * `large_list` (i64 offsets, ref `src/write.zig:795-839`,
+    * `src/read.zig:719-754`): the tagged top-level binary/string/array/
+    * map column serializes 8-byte offsets; the reader infers width from
+    * buffer size, so untagged files are unaffected. */
+  val LargeOffsetsKey = "graft.largeOffsets"
+
+  private def wantsLargeOffsets(metadata: Metadata): Boolean =
+    metadata.contains(LargeOffsetsKey) && metadata.getBoolean(LargeOffsetsKey)
 
   def forType(dt: DataType, metadata: Metadata = Metadata.empty): ColumnEncoder =
     Logical.of(metadata) match {
@@ -179,12 +198,13 @@ object ColumnEncoder {
     case d: DecimalType => new DecimalEncoder(d.precision, d.scale)
     case BinaryType if metadata.contains(FixedWidthKey) =>
       new FixedBinaryEncoder(metadata.getLong(FixedWidthKey).toInt)
-    case StringType => new BinaryEncoder
-    case BinaryType => new BinaryEncoder
-    case ArrayType(et, _) => new ListEncoder(forType(et), et)
+    case StringType => new BinaryEncoder(wide = wantsLargeOffsets(metadata))
+    case BinaryType => new BinaryEncoder(wide = wantsLargeOffsets(metadata))
+    case ArrayType(et, _) => new ListEncoder(forType(et), et, wide = wantsLargeOffsets(metadata))
     case st: StructType =>
       new StructEncoder(st.fields.map(f => forType(f.dataType, f.metadata)).toIndexedSeq, st.size)
-    case MapType(kt, vt, _) => new MapEncoder(forType(kt), forType(vt), kt, vt)
+    case MapType(kt, vt, _) =>
+      new MapEncoder(forType(kt), forType(vt), kt, vt, wide = wantsLargeOffsets(metadata))
     case other => throw new OliveFormatException(s"unsupported graft type $other")
   }
 }
@@ -660,9 +680,9 @@ final class FixedBinaryEncoder(val width: Int, dictEncode: Boolean = true) exten
   * parquet's dictionary trick, applied per chunk. Low-cardinality flag
   * columns shrink 10×+ and decode dictionary-backed (no per-row copies).
   */
-final class BinaryEncoder extends ColumnEncoder {
+final class BinaryEncoder(wide: Boolean = false) extends ColumnEncoder {
   private val data = new Bytes(1024)
-  private val offsets = new OffsetsBuilder
+  private val offsets = new OffsetsBuilder(wide)
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
     val b = src.getBinary(ord)
     data.putBytes(b)
@@ -674,8 +694,10 @@ final class BinaryEncoder extends ColumnEncoder {
 
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
     val (offBytes, offLen) = offsets.toBytes
-    val n = offLen / 4 - 1
-    tryDictEncode(n, offBytes) match {
+    val n = offLen / offsets.width - 1
+    // the i64 dialect stays plain: tryDictEncode walks 4-byte entries,
+    // and large-offsets columns hold huge values a dict can't pay for
+    (if (offsets.wide) None else tryDictEncode(n, offBytes)) match {
       case Some((firstRows, nDistinct, indices)) =>
         val dictData = new Bytes(nDistinct * 8)
         // entry bytes are slices of `data` in first-seen order
@@ -713,7 +735,7 @@ final class BinaryEncoder extends ColumnEncoder {
         BinDictMeta(validity.write(sink), numEntries, idxW.toByte, dOffMeta, dataMeta, idxMeta)
       case None =>
         val dataMeta = sink.writeDataBuffer(data.array, offsets)
-        val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+        val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, offsets.width)
         BinaryMeta(validity.write(sink), offMeta, dataMeta)
     }
   }
@@ -783,8 +805,9 @@ final class BinaryEncoder extends ColumnEncoder {
   def byteSize: Long = data.size + offsets.size * 4L
 }
 
-final class ListEncoder(child: ColumnEncoder, elemType: DataType) extends ColumnEncoder {
-  private val offsets = new OffsetsBuilder
+final class ListEncoder(child: ColumnEncoder, elemType: DataType,
+    wide: Boolean = false) extends ColumnEncoder {
+  private val offsets = new OffsetsBuilder(wide)
   private var childCount = 0
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
     val arr = src.getArray(ord)
@@ -798,7 +821,7 @@ final class ListEncoder(child: ColumnEncoder, elemType: DataType) extends Column
   override def collectDict(d20: DictBuild, d32: DictBuild): Unit = child.collectDict(d20, d32)
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
     val (offBytes, offLen) = offsets.toBytes
-    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, offsets.width)
     ListMeta(validity.write(sink), offMeta, child.write(sink, d20, d32))
   }
   override def reset(): Unit = { super.reset(); offsets.reset(); child.reset(); childCount = 0 }
@@ -954,9 +977,9 @@ final class UnionEncoder(st: StructType) extends ColumnEncoder {
   def byteSize: Long = inner.byteSize
 }
 
-final class MapEncoder(key: ColumnEncoder, value: ColumnEncoder, kt: DataType, vt: DataType)
-    extends ColumnEncoder {
-  private val offsets = new OffsetsBuilder
+final class MapEncoder(key: ColumnEncoder, value: ColumnEncoder, kt: DataType, vt: DataType,
+    wide: Boolean = false) extends ColumnEncoder {
+  private val offsets = new OffsetsBuilder(wide)
   private var entryCount = 0
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
     val m: MapData = src.getMap(ord)
@@ -974,7 +997,7 @@ final class MapEncoder(key: ColumnEncoder, value: ColumnEncoder, kt: DataType, v
   }
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta = {
     val (offBytes, offLen) = offsets.toBytes
-    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, 4)
+    val offMeta = sink.writeBuffer(offBytes, offLen, Codec.Lz4, offsets.width)
     MapMeta(validity.write(sink), offMeta, key.write(sink, d20, d32), value.write(sink, d20, d32))
   }
   override def reset(): Unit = { super.reset(); offsets.reset(); key.reset(); value.reset(); entryCount = 0 }

@@ -163,11 +163,23 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case _ => dt == BooleanType
   }
 
+  /** Offsets buffer size for offset-bearing metas, -1 otherwise: lets
+    * [[checkCount]] accept the i64 (`graft.largeOffsets`) dialect, whose
+    * buffer is (n+1)*8 where [[impliedCount]]'s default guess is i32. */
+  private def offsetsRawSize(meta: ColMeta): Long = meta match {
+    case BinaryMeta(_, off, _) => off.rawSize
+    case ListMeta(_, off, _) => off.rawSize
+    case MapMeta(_, off, _, _) => off.rawSize
+    case _ => -1L
+  }
+
   private def checkCount(meta: ColMeta, dt: DataType, n: Int, what: String): Unit = {
     val implied = impliedCount(meta, dt)
+    val oraw = offsetsRawSize(meta)
     val ok = implied < 0 ||
       (looseCount(meta, dt) && implied >= n && implied < n + 8L) ||
-      implied == n
+      implied == n ||
+      (oraw >= 0 && oraw == (n + 1) * 8L)
     if (!ok) throw new OliveFormatException(
       s"$what claims $n elements but buffers imply $implied")
   }
@@ -219,18 +231,31 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       }
     }
 
+  /** Offsets entry width for a buffer holding `n`+1 entries: 4 (i32,
+    * the default) or 8 (the `graft.largeOffsets` i64 dialect — olive's
+    * large_binary/large_list, ref `src/read.zig:719-754`, which the
+    * reference likewise reads by unifying both widths). */
+  private def offsetsWidth(rawSize: Long, n: Long): Int =
+    if (rawSize == (n + 1) * 4L) 4
+    else if (rawSize == (n + 1) * 8L) 8
+    else throw new OliveFormatException(
+      s"offsets buffer $rawSize matches neither i32 nor i64 for ${n + 1} entries")
+
   private def readOffsets(bm: BufferMeta, n: Int, maxEnd: Long): Array[Int] = {
+    val w = offsetsWidth(bm.rawSize, n)
     val bytes = readBuffer(bm)
-    if (bytes.length != (n + 1) * 4L)
-      throw new OliveFormatException(s"offsets buffer ${bytes.length} != ${(n + 1) * 4L}")
     val bb = Bytes.le(bytes)
     val out = new Array[Int](n + 1)
     var i = 0
-    var prev = 0
+    var prev = 0L
     while (i <= n) {
-      val o = bb.getInt(i * 4)
+      val o = if (w == 4) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
       if (o < prev) throw new OliveFormatException(s"offsets not monotonic at $i")
-      out(i) = o
+      // i64 entries above the JVM single-array cap can't materialize in
+      // a column vector: reject cleanly, never wrap into a negative Int
+      if (o > Int.MaxValue) throw new OliveFormatException(
+        s"offset $o exceeds the JVM 2 GiB buffer cap")
+      out(i) = o.toInt
       prev = o
       i += 1
     }
@@ -856,25 +881,38 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     else java.util.Arrays.copyOfRange(bytes, (b0 - start).toInt, (b1 - start).toInt)
   }
 
-  /** Offsets entries e0..e1 INCLUSIVE, monotonicity-checked. */
-  private def readOffsetsRange(bm: BufferMeta, e0: Long, e1: Long, maxEnd: Long): Array[Int] = {
-    if ((e1 + 1) * 4 > bm.rawSize)
+  /** Offsets entries e0..e1 INCLUSIVE, monotonicity-checked. `total` is
+    * the column's full row count — it disambiguates the i32/i64 entry
+    * width the same way [[offsetsWidth]] does on the full-decode path. */
+  private def readOffsetsRange(bm: BufferMeta, e0: Long, e1: Long, maxEnd: Long,
+      total: Long): Array[Int] = {
+    val w = offsetsWidth(bm.rawSize, total)
+    if ((e1 + 1) * w > bm.rawSize)
       throw new OliveFormatException(s"offsets range $e1 outside buffer ${bm.rawSize}")
-    val bytes = readElems(bm, e0, e1 + 1, 4)
+    val bytes = readElems(bm, e0, e1 + 1, w)
     val bb = Bytes.le(bytes)
     val out = new Array[Int]((e1 - e0 + 1).toInt)
     var i = 0
-    var prev = if (e0 == 0) 0 else Int.MinValue
+    var prev = if (e0 == 0) 0L else Long.MinValue
     while (i < out.length) {
-      val o = bb.getInt(i * 4)
+      val o = if (w == 4) bb.getInt(i * 4).toLong else bb.getLong(i * 8)
       if (o < prev || o < 0) throw new OliveFormatException(s"offsets not monotonic at ${e0 + i}")
-      out(i) = o
+      if (o > Int.MaxValue) throw new OliveFormatException(
+        s"offset $o exceeds the JVM 2 GiB buffer cap")
+      out(i) = o.toInt
       prev = o
       i += 1
     }
     if (out(out.length - 1) > maxEnd)
       throw new OliveFormatException(s"offsets end ${out(out.length - 1)} > data $maxEnd")
     out
+  }
+
+  /** One offsets entry (the `idx`-th of `total`+1), width-inferred. */
+  private def offsetEntryAt(bm: BufferMeta, idx: Long, total: Long): Long = {
+    val w = offsetsWidth(bm.rawSize, total)
+    val bb = Bytes.le(readElems(bm, idx, idx + 1, w))
+    if (w == 4) bb.getInt(0).toLong else bb.getLong(0)
   }
 
   private def applyValidityRange(vec: WritableColumnVector, v: Option[BufferMeta],
@@ -1031,7 +1069,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           i += 1
         }
       case (BinaryMeta(_, offBuf, dataBuf), StringType | BinaryType) =>
-        val offs = readOffsetsRange(offBuf, e0, e1, dataBuf.rawSize)
+        val offs = readOffsetsRange(offBuf, e0, e1, dataBuf.rawSize, total)
         val d0 = offs(0).toLong
         val d1 = offs(n).toLong
         val (data, dStart) = readBufferRange(dataBuf, d0, d1)
@@ -1057,12 +1095,12 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         // element read; exact `total` lets evidence-free children (fixed
         // binary under structs) derive widths in range mode too
         val childTotal = {
-          val last = Bytes.le(readElems(offBuf, total, total + 1, 4)).getInt(0).toLong
+          val last = offsetEntryAt(offBuf, total, total)
           if (last < 0 || (childEv >= 0 && last > childEv) || last > MaxElems)
             throw new OliveFormatException(s"list child total $last out of bounds")
           last
         }
-        val offs = readOffsetsRange(offBuf, e0, e1, childTotal)
+        val offs = readOffsetsRange(offBuf, e0, e1, childTotal, total)
         val c0 = offs(0).toLong
         val c1 = offs(n).toLong
         val child = vec.getChild(0)
@@ -1099,12 +1137,12 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         val vEv = impliedCount(valMeta, fileVt)
         val ev = Seq(kEv, vEv).filter(_ >= 0).minOption.getOrElse(MaxElems)
         val entryTotal = {
-          val last = Bytes.le(readElems(offBuf, total, total + 1, 4)).getInt(0).toLong
+          val last = offsetEntryAt(offBuf, total, total)
           if (last < 0 || last > ev)
             throw new OliveFormatException(s"map entry total $last out of bounds")
           last
         }
-        val offs = readOffsetsRange(offBuf, e0, e1, entryTotal)
+        val offs = readOffsetsRange(offBuf, e0, e1, entryTotal, total)
         val c0 = offs(0).toLong
         val c1 = offs(n).toLong
         decodeColRange(vec.getChild(0), keyMeta, fileKt, kt, c0, c1, entryTotal, chunk, dict20, dict32)

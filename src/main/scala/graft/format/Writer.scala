@@ -46,18 +46,19 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
     BufferMeta(codec, len, if (len == 0) pages.result().take(1) else pages.result())
   }
 
-  /** Var-width data buffer paged on value boundaries, bias-compressed. */
+  /** Var-width data buffer paged on value boundaries, bias-compressed.
+    * Reads the builder's entries directly — width-agnostic (i32 and the
+    * largeOffsets i64 dialect page identically), and no throwaway
+    * serialization of the offsets on the hot write path. */
   def writeDataBuffer(src: Array[Byte], offsets: OffsetsBuilder): BufferMeta = {
-    val (offBytes, offLen) = offsets.toBytes
-    val bb = Bytes.le(offBytes)
-    val numVals = offLen / 4 - 1
+    val numVals = offsets.size - 1
     val pages = Vector.newBuilder[PageMeta]
     var pageStart = 0
     var v = 0
     var total = 0
     var lastEnd = 0
     while (v < numVals) {
-      val end = bb.getInt((v + 1) * 4)
+      val end = offsets.entry(v + 1)
       if (end - pageStart >= pageSize) {
         pages += writePage(src, pageStart, end - pageStart, dataCodec, v + 1)
         total += end - pageStart

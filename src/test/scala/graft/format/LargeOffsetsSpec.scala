@@ -1,0 +1,82 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+import graft.SparkSpec
+
+/** The i64-offsets dialect (`graft.largeOffsets` — olive's large_binary/
+  * large_utf8/large_list, ref `src/write.zig:795-839`): tagged columns
+  * serialize 8-byte offsets, the reader infers the width from buffer
+  * size, and content is bit-identical to the i32 form. */
+class LargeOffsetsSpec extends SparkSpec {
+
+  private val wide = new MetadataBuilder()
+    .putBoolean(ColumnEncoder.LargeOffsetsKey, true).build()
+
+  private def openOnly(dir: String): GraftFileReader = {
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    GraftFileReader.open(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  test("string, list, and map columns round-trip with i64 offsets") {
+    val n = 1200
+    val df = spark.range(0, n).coalesce(1).select(
+      col("id"),
+      when(col("id") % 7 === 0, null)
+        .otherwise(concat(lit("large-"), col("id"))).as("s", wide),
+      sequence(lit(0), col("id") % 5).as("arr", wide),
+      map_from_arrays(array(concat(lit("k"), col("id"))), array(col("id") * 2)).as("m", wide),
+      concat(lit("narrow-"), col("id")).as("s32")) // untagged control column
+    val dir = Files.createTempDirectory("graft-i64").toString
+    df.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+    val r = openOnly(dir)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      def metaOf(name: String) = t.columns(t.schema.fieldIndex(name))
+      val sOff = metaOf("s").asInstanceOf[Meta.BinaryMeta].offsets
+      val aOff = metaOf("arr").asInstanceOf[Meta.ListMeta].offsets
+      val mOff = metaOf("m").asInstanceOf[Meta.MapMeta].offsets
+      assert(sOff.rawSize == (n + 1) * 8L, s"s offsets ${sOff.rawSize}")
+      assert(aOff.rawSize == (n + 1) * 8L)
+      assert(mOff.rawSize == (n + 1) * 8L)
+      // the untagged sibling keeps i32 offsets in the same chunk
+      metaOf("s32") match {
+        case b: Meta.BinaryMeta => assert(b.offsets.rawSize == (n + 1) * 4L)
+        case _: Meta.BinDictMeta => // dict-compressed: no per-row offsets buffer
+        case other => fail(s"unexpected meta $other")
+      }
+    } finally r.close()
+  }
+
+  test("i64 offsets serve page-range reads (pushed limit decodes a prefix)") {
+    val n = 5000
+    val df = spark.range(0, n).coalesce(1).select(
+      col("id"), concat(lit("v-"), col("id")).as("s", wide))
+    val dir = Files.createTempDirectory("graft-i64-range").toString
+    // tiny pages so a limit genuinely reads a page prefix
+    df.write.format("graft").option("pagesize", "512").mode("append").save(dir)
+    val got = spark.read.format("graft").load(dir).orderBy("id").limit(7)
+    assert(canon(got) == canon(df.orderBy("id").limit(7)))
+  }
+
+  test("a repetitive wide column stays plain (dict path is i32-only)") {
+    val df = spark.range(0, 2000).coalesce(1)
+      .select(col("id"), (col("id") % 4).cast("string").as("rep", wide))
+    val dir = Files.createTempDirectory("graft-i64-dict").toString
+    df.write.format("graft").mode("append").save(dir)
+    assert(canon(spark.read.format("graft").load(dir)) == canon(df))
+    val r = openOnly(dir)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      val m = t.columns(t.schema.fieldIndex("rep"))
+      assert(m.isInstanceOf[Meta.BinaryMeta], s"wide column dict-encoded: $m")
+      assert(m.asInstanceOf[Meta.BinaryMeta].offsets.rawSize == 2001 * 8L)
+    } finally r.close()
+  }
+}
