@@ -72,7 +72,16 @@ class RandomRoundTripSpec extends SparkSpec {
       if (r.nextInt(100) < 15) fsbField(r, s"c$i")
       else if (r.nextInt(100) < 12) logicalField(r, s"c$i")
       else if (r.nextInt(100) < 10) cleanDecimalField(r, s"c$i")
-      else StructField(s"c$i", randType(r, 0), nullable = r.nextBoolean())
+      else {
+        val dt = randType(r, 0)
+        // offset-bearing columns sometimes draw the i64 dialect
+        val md = dt match {
+          case StringType | BinaryType | _: ArrayType | _: MapType if r.nextInt(100) < 20 =>
+            new MetadataBuilder().putBoolean(ColumnEncoder.LargeOffsetsKey, true).build()
+          case _ => Metadata.empty
+        }
+        StructField(s"c$i", dt, nullable = r.nextBoolean(), md)
+      }
     })
   }
 
