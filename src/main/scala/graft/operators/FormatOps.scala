@@ -512,6 +512,53 @@ object FormatOps {
     require(touched, s"table '$table' not found in $dir; nothing was deleted")
   }
 
+  /** Write-time data expectations (the quality gate a 100 TB ingest
+    * needs IN the write, not as a later audit): each named expectation
+    * is a boolean [[org.apache.spark.sql.Column]]; a row violates it
+    * when the predicate is false OR null. Returns per-expectation
+    * violation counts.
+    *
+    *  - `onViolation="drop"` — ONE pass: the counters ride the write job
+    *    itself as [[org.apache.spark.sql.Observation]] metrics (a
+    *    CollectMetrics node above the quarantine filter sees every input
+    *    row), violating rows are dropped, passing rows land. No second
+    *    scan of the input.
+    *  - `onViolation="fail"` — validate-first: one counting job; nothing
+    *    is written unless every expectation holds (two passes by
+    *    necessity — failing AFTER landing bad data would not be a gate).
+    */
+  def writeWithExpectations(s: SparkSession, df: DataFrame, dir: String,
+      expectations: Map[String, org.apache.spark.sql.Column],
+      onViolation: String = "drop",
+      writeOptions: Map[String, String] = Map.empty): Map[String, Long] = {
+    require(expectations.nonEmpty, "need at least one expectation")
+    require(onViolation == "drop" || onViolation == "fail",
+      s"onViolation must be drop|fail, got $onViolation")
+    val names = expectations.keys.toSeq
+    def violated(c: org.apache.spark.sql.Column) = !coalesce(c, lit(false))
+    val counters = names.map(n => count(when(violated(expectations(n)), 1)).as(n))
+    val passesAll = expectations.values.map(c => coalesce(c, lit(false))).reduce(_ && _)
+    def save(data: DataFrame): Unit = {
+      val w = data.write.format("graft").mode("append")
+      writeOptions.foreach { case (k, v) => w.option(k, v) }
+      w.save(dir)
+    }
+    if (onViolation == "fail") {
+      val row = df.agg(counters.head, counters.tail: _*).head()
+      val counts = names.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }.toMap
+      if (counts.values.exists(_ > 0))
+        throw new graft.format.OliveFormatException(
+          s"expectations violated, nothing written: " +
+            counts.filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(", "))
+      save(df)
+      counts
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      save(df.observe(obs, counters.head, counters.tail: _*).filter(passesAll))
+      names.map(n => n -> obs.get(n).asInstanceOf[Long]).toMap
+    }
+  }
+
   /** Change data feed between two generations of a graft table: every
     * key classified `insert` / `update` / `delete` from `fromGen` to
     * `toGen` (None = live). This is what makes a 100 TB table's
@@ -583,6 +630,33 @@ object FormatOps {
       |SELECT 'update' AS change_type, count(*) AS n FROM ks
       |WHERE k % 13 = 0 AND k % 19 <> 3
       |ORDER BY change_type""".stripMargin
+
+  // ---- q111: write-time expectations gate ------------------------------------
+  // Ingest documents under two expectations (drop mode): rows whose
+  // n_chars < 60 or whose doc_id is a multiple of 97 are quarantined in
+  // the SAME job that writes the survivors (Observation counters above
+  // the filter). The oracle restates the surviving set from parquet, so
+  // the gate proves both the filter semantics and that ONLY passing rows
+  // landed; the counter values themselves are asserted in
+  // ExpectationsSpec.
+  private val q111: Q = (s, d) => {
+    val dir = graftDir(d, "docs_expect")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    writeWithExpectations(s, Tables.documents(s, d), dir, Map(
+      "min_length" -> (col("n_chars") >= 60),
+      "id_ok" -> (col("doc_id") % 97 =!= 0)))
+    s.read.format("graft").load(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+  private val q111Sql =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE n_chars >= 60 AND doc_id % 97 <> 0
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   /** Z-order (Morton) clustering rewrite — the multi-column pruning
     * path. A lexicographic sort gives zone maps one selective column;
@@ -861,6 +935,7 @@ object FormatOps {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q111_expectations" -> q111,
     "q108_changes_between" -> q108,
     "q102_topn_pushdown" -> q102,
     "q100_spj_join" -> q100,
@@ -886,6 +961,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q111_expectations" -> q111Sql,
     "q108_changes_between" -> q108Sql,
     "q102_topn_pushdown" -> q102Sql,
     "q100_spj_join" -> q100Sql,

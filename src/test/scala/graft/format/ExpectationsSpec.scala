@@ -1,0 +1,46 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.FormatOps
+
+/** Write-time expectations: exact violation counters, drop vs fail
+  * semantics, and null-predicate handling (null = violation). */
+class ExpectationsSpec extends SparkSpec {
+
+  test("drop mode: counters exact, only passing rows land, one pass") {
+    val dir = Files.createTempDirectory("graft-expect").toString + "/t"
+    val df = spark.range(0, 100).selectExpr(
+      "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 7 END AS v")
+    val counts = FormatOps.writeWithExpectations(spark, df, dir, Map(
+      "v_known" -> col("v").isNotNull, // 10 nulls -> 10 violations
+      "v_small" -> (col("v") < 6)))    // v==6 (id%7==6, id%10!=0): 13 violations + nulls
+    assert(counts("v_known") == 10)
+    // null v rows also violate v_small (predicate -> null counts as violation)
+    val vSmallViolations = (0 until 100).count(i => i % 10 == 0 || i % 7 == 6)
+    assert(counts("v_small") == vSmallViolations)
+    val landed = spark.read.format("graft").load(dir)
+    val expected = (0 until 100).filterNot(i => i % 10 == 0 || i % 7 == 6)
+    assert(landed.count() == expected.size)
+    assert(canon(landed.select("id")) == expected.map(i => s"List($i)").sorted)
+  }
+
+  test("fail mode: nothing lands when an expectation is violated") {
+    val dir = Files.createTempDirectory("graft-expect-fail").toString + "/t"
+    val df = spark.range(0, 50).selectExpr("id", "id % 5 AS v")
+    val e = intercept[OliveFormatException] {
+      FormatOps.writeWithExpectations(spark, df, dir,
+        Map("no_fours" -> (col("v") =!= 4)), onViolation = "fail")
+    }
+    assert(e.getMessage.contains("no_fours=10"))
+    assert(!new java.io.File(dir).exists(), "fail mode must not write")
+    // a clean batch through fail mode lands normally
+    val counts = FormatOps.writeWithExpectations(spark, df.filter(col("v") =!= 4), dir,
+      Map("no_fours" -> (col("v") =!= 4)), onViolation = "fail")
+    assert(counts == Map("no_fours" -> 0L))
+    assert(spark.read.format("graft").load(dir).count() == 40)
+  }
+}
