@@ -1147,6 +1147,43 @@ object TextOps {
       |WHERE rnk <= 5
       |ORDER BY source, lang, rnk""".stripMargin
 
+  // ---- q112: RAG document chunking (overlapping token windows) -------------
+  // Split documents into 32-token windows with stride 24 (8-token
+  // overlap) — the retrieval-chunking pass every RAG/embedding pipeline
+  // runs before indexing. Chunk construction is ARRAY-LOCAL (transform
+  // over the token array, no shuffle, no window function): each row
+  // explodes into its chunks where it sits, so the operator is pure
+  // map-side at any scale. Chunk count uses integer arithmetic only
+  // (CASE + div), so both engines cut identical windows; a 1-in-37 doc
+  // sample bounds the gate's output without changing the shape.
+  private val q112: Q = (s, d) => {
+    val (w, st) = (32, 24)
+    docsWithTokens(s, d)
+      .filter(col("doc_id") % 37 === 0)
+      .withColumn("chunk", explode(expr(
+        s"""transform(
+           |  sequence(0, CASE WHEN size(toks) <= $w THEN 0
+           |                   ELSE (size(toks) - $w + ${st - 1}) div $st END),
+           |  i -> struct(
+           |    i AS chunk_idx,
+           |    i * $st AS start_tok,
+           |    size(slice(toks, i * $st + 1, $w)) AS n_toks,
+           |    array_join(slice(toks, i * $st + 1, $w), ' ') AS chunk_text))""".stripMargin)))
+      .select(col("doc_id"), col("chunk.chunk_idx"), col("chunk.start_tok"),
+        col("chunk.n_toks"), col("chunk.chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  private val q112Sql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents WHERE doc_id % 37 = 0)
+      |SELECT doc_id, i AS chunk_idx, i * 24 AS start_tok,
+      |  len(t[i * 24 + 1 : i * 24 + 32]) AS n_toks,
+      |  array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+      |FROM d, UNNEST(range(0, CASE WHEN len(t) <= 32 THEN 1
+      |                            ELSE (len(t) - 32 + 23) // 24 + 1 END)) AS u(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- q107: persistent dedup ledger (cross-batch ingest dedup) ------------
   /** Dedup a batch against every PREVIOUS batch: the accepted-documents
     * graft table doubles as the digest ledger. The batch first collapses
@@ -1210,6 +1247,7 @@ object TextOps {
       |ORDER BY batch""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q112_rag_chunking" -> q112,
     "q110_stratified_sample" -> q110,
     "q109_lm_quality" -> q109,
     "q107_dedup_ledger" -> q107,
@@ -1241,6 +1279,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q112_rag_chunking" -> q112Sql,
     "q110_stratified_sample" -> q110Sql,
     "q109_lm_quality" -> q109Sql,
     "q107_dedup_ledger" -> q107Sql,
