@@ -65,6 +65,62 @@ class LargeOffsetsSpec extends SparkSpec {
     assert(canon(got) == canon(df.orderBy("id").limit(7)))
   }
 
+  test("hostile i64 offsets fail cleanly: cap overflow, bad width, non-monotonic") {
+    import org.apache.spark.sql.types._
+    // hand-build a one-row string column with attacker-chosen offsets
+    def hostileFile(offBytes: Array[Byte], entrySize: Int): Array[Byte] = {
+      val dir = Files.createTempDirectory("graft-i64-adv")
+      val p = dir.resolve("lie.graft")
+      val out = new java.io.FileOutputStream(p.toFile)
+      out.write(Meta.MagicHead)
+      val sink = new PageSink(out, 1 << 20, "balanced")
+      val d20 = Meta.DictMeta(20, 0, sink.writeDictData(Array.empty))
+      val d32 = Meta.DictMeta(32, 0, sink.writeDictData(Array.empty))
+      val offMeta = sink.writeBuffer(offBytes, offBytes.length, Codec.None, entrySize)
+      val dataMeta = sink.writeBuffer(Array[Byte](120), 1, Codec.None, 1)
+      val colMeta = Meta.BinaryMeta(None, offMeta, dataMeta)
+      val schema = StructType(Seq(StructField("s", StringType)))
+      val footer = Meta.Footer(Meta.Version, sink.position, Vector(Meta.ChunkMeta(d20, d32,
+        Vector(Meta.TableMeta("data", 1, schema, Vector(colMeta),
+          Vector(ColStats(0, None, None)))))))
+      val fb = Meta.write(footer)
+      out.write(fb)
+      val tail = new Bytes(12)
+      tail.putLong(fb.length.toLong)
+      tail.putBytes(Meta.MagicTail)
+      out.close()
+      Files.readAllBytes(p) ++ tail.toArray
+    }
+    def le(vs: Long*): Array[Byte] = {
+      val b = new Bytes(vs.size * 8); vs.foreach(b.putLong); b.toArray
+    }
+    def leInts(vs: Int*): Array[Byte] = {
+      val b = new Bytes(vs.size * 4); vs.foreach(b.putInt); b.toArray
+    }
+    def decodeAll(bytes: Array[Byte]): Unit = {
+      val tmp = Files.createTempDirectory("graft-i64-adv2")
+      val p = tmp.resolve("x.graft")
+      Files.write(p, bytes)
+      val hp = new org.apache.hadoop.fs.Path(p.toString)
+      val r = GraftFileReader.open(hp.getFileSystem(new org.apache.hadoop.conf.Configuration()), hp)
+      try r.footer.chunks.foreach(c => c.tables.foreach { t =>
+        r.decodeTable(c, t, t.schema).close()
+      }) finally r.close()
+    }
+    // an i64 entry above the JVM single-array cap must raise, not wrap
+    val cap = intercept[OliveFormatException](
+      decodeAll(hostileFile(le(0L, 3000000000L), 8)))
+    assert(cap.getMessage.contains("2 GiB"), cap.getMessage)
+    // a buffer matching neither width is rejected before decode
+    intercept[OliveFormatException](
+      decodeAll(hostileFile(leInts(0, 1, 1), 4))) // 12 bytes for 1 row: neither 8 nor 16
+    // non-monotonic i64 offsets are rejected
+    val mono = intercept[OliveFormatException](
+      decodeAll(hostileFile(le(1L, 0L), 8)))
+    assert(mono.getMessage.contains("monotonic") || mono.getMessage.contains("rebased"),
+      mono.getMessage)
+  }
+
   test("a repetitive wide column stays plain (dict path is i32-only)") {
     val df = spark.range(0, 2000).coalesce(1)
       .select(col("id"), (col("id") % 4).cast("string").as("rep", wide))
