@@ -802,7 +802,7 @@ final class BinaryEncoder(wide: Boolean = false) extends ColumnEncoder {
   }
 
   override def reset(): Unit = { super.reset(); data.reset(); offsets.reset() }
-  def byteSize: Long = data.size + offsets.size * 4L
+  def byteSize: Long = data.size + offsets.size.toLong * offsets.width
 }
 
 final class ListEncoder(child: ColumnEncoder, elemType: DataType,
@@ -825,7 +825,7 @@ final class ListEncoder(child: ColumnEncoder, elemType: DataType,
     ListMeta(validity.write(sink), offMeta, child.write(sink, d20, d32))
   }
   override def reset(): Unit = { super.reset(); offsets.reset(); child.reset(); childCount = 0 }
-  def byteSize: Long = child.byteSize + offsets.size * 4L
+  def byteSize: Long = child.byteSize + offsets.size.toLong * offsets.width
 }
 
 final class StructEncoder(children: IndexedSeq[ColumnEncoder], numFields: Int) extends ColumnEncoder {
@@ -1001,5 +1001,5 @@ final class MapEncoder(key: ColumnEncoder, value: ColumnEncoder, kt: DataType, v
     MapMeta(validity.write(sink), offMeta, key.write(sink, d20, d32), value.write(sink, d20, d32))
   }
   override def reset(): Unit = { super.reset(); offsets.reset(); key.reset(); value.reset(); entryCount = 0 }
-  def byteSize: Long = key.byteSize + value.byteSize + offsets.size * 4L
+  def byteSize: Long = key.byteSize + value.byteSize + offsets.size.toLong * offsets.width
 }

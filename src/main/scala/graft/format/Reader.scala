@@ -173,15 +173,23 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case _ => -1L
   }
 
-  private def checkCount(meta: ColMeta, dt: DataType, n: Int, what: String): Unit = {
-    val implied = impliedCount(meta, dt)
-    val oraw = offsetsRawSize(meta)
-    val ok = implied < 0 ||
-      (looseCount(meta, dt) && implied >= n && implied < n + 8L) ||
-      implied == n ||
-      (oraw >= 0 && oraw == (n + 1) * 8L)
-    if (!ok) throw new OliveFormatException(
-      s"$what claims $n elements but buffers imply $implied")
+  private def checkCount(meta: ColMeta, dt: DataType, n: Int, what: String): Unit = (meta, dt) match {
+    // struct children each hold exactly n slots (null structs keep
+    // children aligned): check every child directly so offset-bearing
+    // children get the i64-dialect escape below — a min-over-children
+    // here would mistake a wide child's (n+1)*8 buffer for 2n+1 rows
+    case (StructMeta(_, children), st: StructType) if children.size == st.size =>
+      children.zip(st.fields).foreach { case (c, f) =>
+        checkCount(c, f.dataType, n, s"$what.${f.name}") }
+    case _ =>
+      val implied = impliedCount(meta, dt)
+      val oraw = offsetsRawSize(meta)
+      val ok = implied < 0 ||
+        (looseCount(meta, dt) && implied >= n && implied < n + 8L) ||
+        implied == n ||
+        (oraw >= 0 && oraw == (n + 1) * 8L)
+      if (!ok) throw new OliveFormatException(
+        s"$what claims $n elements but buffers imply $implied")
   }
 
   def decodeTable(chunk: ChunkMeta, table: TableMeta, required: StructType): ColumnarBatch = {

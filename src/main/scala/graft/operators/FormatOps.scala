@@ -17,8 +17,9 @@ object FormatOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic per-sf scratch dir for graft files. */
-  private def graftDir(d: String, name: String): String =
+  /** Deterministic per-sf scratch dir for graft files (shared with the
+    * other gate-query modules so every query scratches under one root). */
+  private[operators] def graftDir(d: String, name: String): String =
     s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   private def roundTrip(s: SparkSession, df: DataFrame, dir: String): DataFrame = {

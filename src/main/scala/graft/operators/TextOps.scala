@@ -992,8 +992,10 @@ object TextOps {
   // Scale shape: one tokenize pass collapses to a per-source token count
   // (map-side combine), everything after runs on a handful of rows.
   // Cross-engine determinism: pow() is the only libm call — its result
-  // is scaled to a 6-decimal INTEGER per source, so the normalizing sum
-  // and the division are exact-input arithmetic in both engines.
+  // is scaled to a 6-decimal INTEGER per source, so everything AFTER the
+  // pow (normalizing sum, divisions) is exact-input arithmetic in both
+  // engines; a 1-ulp pow divergence landing exactly on a .5 rounding
+  // boundary remains possible (shrunk, not eliminated).
   private val q105: Q = (s, d) => {
     val counts = docsWithTokens(s, d)
       .select(col("source"), size(col("toks")).as("len"))
@@ -1223,7 +1225,7 @@ object TextOps {
   // batch-1 must be rejected BY THE LEDGER ON DISK, not by any in-memory
   // state — the oracle states the same set algebra from parquet.
   private val q107: Q = (s, d) => {
-    val dir = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/dedup_ledger"
+    val dir = FormatOps.graftDir(d, "dedup_ledger")
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val docs = Tables.documents(s, d)

@@ -65,6 +65,26 @@ class LargeOffsetsSpec extends SparkSpec {
     assert(canon(got) == canon(df.orderBy("id").limit(7)))
   }
 
+  test("a wide child under a struct stays readable (evidence check per child)") {
+    import org.apache.spark.sql.types._
+    // the struct's count evidence must check each child with the i64
+    // escape — a min-over-children would read the wide child's (n+1)*8
+    // offsets buffer as 2n+1 rows and reject the file it just wrote
+    val inner = StructType(Seq(
+      StructField("a", LongType),
+      StructField("s", StringType, nullable = true,
+        new MetadataBuilder().putBoolean(ColumnEncoder.LargeOffsetsKey, true).build())))
+    val df = spark.range(0, 100).coalesce(1)
+      .select(col("id"), struct(col("id").as("a"),
+        concat(lit("w"), col("id")).as("s")).as("st"))
+    val dir = Files.createTempDirectory("graft-i64-struct").toString
+    val tagged = spark.createDataFrame(df.rdd,
+      StructType(Seq(StructField("id", LongType), StructField("st", inner))))
+    tagged.write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(canon(back) == canon(df))
+  }
+
   test("hostile i64 offsets fail cleanly: cap overflow, bad width, non-monotonic") {
     import org.apache.spark.sql.types._
     // hand-build a one-row string column with attacker-chosen offsets
