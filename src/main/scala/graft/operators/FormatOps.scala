@@ -455,9 +455,48 @@ object FormatOps {
     * fold), a NULL WHERE leaves the row unchanged, and each new value is
     * cast back to the column's declared type so the table schema never
     * drifts. Offline/single-writer, like compaction. */
+  /** Subdir holding write-time change capture (the Delta-CDF idea mapped
+    * to graft): DML ops with `captureChanges=true` append their change
+    * set — post-image rows plus a `_change_type` column — to
+    * `<dir>/_changes` as an ordinary graft table BEFORE the rewrite
+    * swaps. The subdir is invisible to the main table's scans (the
+    * lister only descends `k=v` partition dirs) and immune to the
+    * generation sweep (no `=`, not a `gen-*`). Downstream pipelines
+    * tail it INCREMENTALLY with the existing graft streaming source
+    * (`readStream.format("graft").load(dir + "/_changes")`) — no 100 TB
+    * diff; [[changesBetween]] stays the retrospective fallback.
+    * Capture is proportional to the CHANGE SET (the delete predicate's
+    * matches, the upsert batch), never the table. Crash window: changes
+    * land before the pointer swap, so a failure between the two
+    * over-captures (at-least-once) rather than losing changes. */
+  val ChangesSubdir = "_changes"
+
+  private def captureTo(dir: String, rows: DataFrame): Unit =
+    rows.write.format("graft").option("table", "changes")
+      .mode("append").save(s"$dir/$ChangesSubdir")
+
+  private def readTable(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.format("graft").option("table", table).load(dir)
+
   def updateWhere(s: SparkSession, dir: String, table: String,
       set: Map[String, org.apache.spark.sql.Column],
-      where: org.apache.spark.sql.Column): Unit = {
+      where: org.apache.spark.sql.Column,
+      captureChanges: Boolean = false): Unit = {
+    def project(df: DataFrame, cond: org.apache.spark.sql.Column): DataFrame = {
+      val unknown = set.keySet -- df.columns.toSet
+      require(unknown.isEmpty, s"UPDATE SET on unknown columns: ${unknown.mkString(",")}")
+      df.select(df.schema.fields.map { f =>
+        set.get(f.name)
+          .map(v => when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+    }
+    if (captureChanges) {
+      val pre = readTable(s, dir, table)
+      val cond = coalesce(where, lit(false))
+      captureTo(dir, project(pre.filter(cond), cond)
+        .withColumn("_change_type", lit("update")))
+    }
     // a misspelled table name must fail loudly, never "update zero rows":
     // the rewrite would otherwise copy every table through unchanged
     var touched = false
@@ -465,14 +504,7 @@ object FormatOps {
       if (name != table) df
       else {
         touched = true
-        val unknown = set.keySet -- df.columns.toSet
-        require(unknown.isEmpty, s"UPDATE SET on unknown columns: ${unknown.mkString(",")}")
-        val cond = coalesce(where, lit(false))
-        df.select(df.schema.fields.map { f =>
-          set.get(f.name)
-            .map(v => when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
-            .getOrElse(col(f.name))
-        }.toSeq: _*)
+        project(df, coalesce(where, lit(false)))
       })
     require(touched, s"table '$table' not found in $dir; nothing was updated")
   }
@@ -485,8 +517,22 @@ object FormatOps {
     * AQE broadcasts the key set when it fits. Source must carry every
     * target column (extra columns are dropped). */
   def upsert(s: SparkSession, dir: String, table: String,
-      source: DataFrame, keys: Seq[String]): Unit = {
+      source: DataFrame, keys: Seq[String],
+      captureChanges: Boolean = false): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    if (captureChanges) {
+      // insert-vs-update split needs only the PRE-image's key column for
+      // the batch's keys: one column-pruned semi-probe, sized by the
+      // batch, never the table
+      val pre = readTable(s, dir, table)
+      val marked = source.select(pre.columns.map(col).toSeq: _*)
+        .join(pre.select(keys.map(col): _*).distinct()
+          .withColumn("_matched", lit(1)), keys, "left")
+        .withColumn("_change_type",
+          when(col("_matched").isNotNull, "update").otherwise("insert"))
+        .drop("_matched")
+      captureTo(dir, marked)
+    }
     var touched = false
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
@@ -505,7 +551,12 @@ object FormatOps {
     * filters. A null predicate result means "don't delete" (the row is
     * kept), matching SQL DELETE's three-valued WHERE. */
   def deleteWhere(s: SparkSession, dir: String, table: String,
-      where: org.apache.spark.sql.Column): Unit = {
+      where: org.apache.spark.sql.Column,
+      captureChanges: Boolean = false): Unit = {
+    if (captureChanges)
+      captureTo(dir, readTable(s, dir, table)
+        .filter(coalesce(where, lit(false)))
+        .withColumn("_change_type", lit("delete")))
     var touched = false
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
