@@ -336,7 +336,9 @@ object FormatOps {
     * never a mid-swap mixture — and the superseded generation is NOT
     * deleted here (it is invisible but intact, so in-flight queries that
     * planned against it keep reading it); a LATER compact run reclaims
-    * it once the last swap is at least `graceMs` old. Offline means no
+    * it once the last swap is at least `graceMs` old (< 0 = resolve
+    * `spark.graft.graceMs` from the session conf, default 15 min — see
+    * [[graft.sources.Generations.rewrite]]). Offline means no
     * concurrent WRITERS; readers are safe throughout. Crash anywhere:
     * the pointer still names a complete generation (a half-written gen
     * dir is unreferenced garbage the next run removes unconditionally).
@@ -344,7 +346,7 @@ object FormatOps {
     * aggregate against the parquet oracle. */
   def compact(s: SparkSession, dir: String, targetFiles: Int,
       writeOptions: Map[String, String] = Map.empty,
-      graceMs: Long = 15 * 60 * 1000L): Unit =
+      graceMs: Long = -1L): Unit =
     graft.sources.Generations.rewrite(s, dir, (_, df) => df,
       Some(targetFiles), writeOptions, graceMs)
 
@@ -515,11 +517,29 @@ object FormatOps {
     * The target side anti-joins the source's distinct keys — at scale
     * that is one shuffle of the (small) CDC batch against the table, and
     * AQE broadcasts the key set when it fits. Source must carry every
-    * target column (extra columns are dropped). */
+    * target column (extra columns are dropped).
+    *
+    * Key semantics follow SQL MERGE: a null key never matches (null =
+    * null is unknown), so a null-key source row INSERTS and any existing
+    * null-key target rows survive — the change capture classifies it
+    * `insert`, mirroring what the rewrite actually does. The batch must
+    * be key-unique (MERGE's "multiple source rows matched" error): with
+    * duplicates, "replace the row for this key" has no deterministic
+    * meaning, so the batch is validated (one small job, sized by the CDC
+    * batch, early-exits on the first duplicate) and refused loudly. */
   def upsert(s: SparkSession, dir: String, table: String,
       source: DataFrame, keys: Seq[String],
       captureChanges: Boolean = false): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // null-key rows are exempt: they match no target row, so several of
+    // them are independent inserts, not an ambiguous "replace"
+    val dup = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsert batch has multiple rows for key ${dup.head.toSeq.init.mkString("[", ",", "]")}" +
+          s" — dedupe the batch to one row per (${keys.mkString(",")}) first")
     if (captureChanges) {
       // insert-vs-update split needs only the PRE-image's key column for
       // the batch's keys: one column-pruned semi-probe, sized by the
@@ -578,6 +598,12 @@ object FormatOps {
     *  - `onViolation="fail"` — validate-first: one counting job; nothing
     *    is written unless every expectation holds (two passes by
     *    necessity — failing AFTER landing bad data would not be a gate).
+    *    The input is persisted across the two passes so the rows the
+    *    gate validated are EXACTLY the rows that land — a
+    *    non-deterministic or concurrently-changing input cannot sneak
+    *    violating rows in between the count and the write. The table
+    *    itself still assumes a single writer (as all generation writes
+    *    do); persistence pins the INPUT, not the target.
     */
   def writeWithExpectations(s: SparkSession, df: DataFrame, dir: String,
       expectations: Map[String, org.apache.spark.sql.Column],
@@ -596,14 +622,18 @@ object FormatOps {
       w.save(dir)
     }
     if (onViolation == "fail") {
-      val row = df.agg(counters.head, counters.tail: _*).head()
-      val counts = names.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }.toMap
-      if (counts.values.exists(_ > 0))
-        throw new graft.format.OliveFormatException(
-          s"expectations violated, nothing written: " +
-            counts.filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(", "))
-      save(df)
-      counts
+      // pin the validated rows: count and write must see one input
+      val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val row = pinned.agg(counters.head, counters.tail: _*).head()
+        val counts = names.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }.toMap
+        if (counts.values.exists(_ > 0))
+          throw new graft.format.OliveFormatException(
+            s"expectations violated, nothing written: " +
+              counts.filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(", "))
+        save(pinned)
+        counts
+      } finally pinned.unpersist()
     } else {
       val obs = org.apache.spark.sql.Observation()
       save(df.observe(obs, counters.head, counters.tail: _*).filter(passesAll))
@@ -637,9 +667,31 @@ object FormatOps {
     require(keys.forall(common.contains),
       s"key columns ${keys.filterNot(common.contains).mkString(",")} absent from a generation")
     val nonKey = common.toSeq.filterNot(keys.contains).sorted
-    def digested(df: DataFrame, as: String): DataFrame =
-      df.select(keys.map(col) :+
-        xxhash64(to_json(struct(nonKey.map(col): _*))).as(as): _*)
+    // Content digest straight over the columns — no to_json string
+    // materialization in the per-row inner loop of a two-full-scan diff.
+    // Two subtleties the naive xxhash64(cols…) gets wrong:
+    //  - multi-arg hash SKIPS null children, so (null, x) would collide
+    //    with (x, null); each column therefore hashes into its own slot,
+    //    nulls taking a fixed sentinel (a real value colliding with the
+    //    sentinel is a ~2^-64 event, the same tolerance as the digest
+    //    join itself — an undetected collision reads as "unchanged");
+    //  - MapType has no deterministic hash (and is rejected by hash
+    //    functions outright), so top-level maps digest as their
+    //    key-sorted entry array. Maps nested inside structs/arrays still
+    //    fail loudly in Spark's hash expression rather than silently
+    //    misclassifying.
+    def digested(df: DataFrame, as: String): DataFrame = {
+      val dt = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val slots = nonKey.map { n =>
+        val c = dt(n) match {
+          case _: org.apache.spark.sql.types.MapType =>
+            array_sort(map_entries(col(n)))
+          case _ => col(n)
+        }
+        coalesce(xxhash64(c), lit(0x9e3779b97f4a7c15L))
+      }
+      df.select(keys.map(col) :+ xxhash64(slots: _*).as(as): _*)
+    }
     digested(before, "_hb").join(digested(after, "_ha"), keys, "full_outer")
       .withColumn("change_type",
         when(col("_hb").isNull, "insert")

@@ -299,7 +299,7 @@ object Similarity {
   // so the gate also proves index round-trip fidelity (vectors, norms,
   // and the cell layout). Exact oracle via the planted truth set.
   private val q44c: Q = (s, d) => {
-    val root = s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_index"
+    val root = FormatOps.graftDir(d, "ivf_index")
     val e = emb(s, d)
     val corpus = withPlanted(e)
     val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))

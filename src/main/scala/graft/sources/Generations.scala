@@ -63,12 +63,26 @@ object Generations {
     *    so it is reclaimed only when that swap is at least `graceMs`
     *    old — rapid repeated rewrites accumulate grace copies instead
     *    of yanking files from under in-flight queries.
-    */
+    *
+    * `graceMs` < 0 (the default) resolves `spark.graft.graceMs` from the
+    * session conf, falling back to 15 minutes — deployments tune the
+    * reader window per cluster without threading a parameter through
+    * every compaction/DML call. The grace window is a LEASE BY
+    * CONVENTION, not an enforced one: a scan that stays planned on a
+    * superseded generation for longer than the grace (a long queue wait,
+    * a straggler stage) can lose files mid-read; it fails cleanly
+    * (missing-file task error), never silently returns partial rows,
+    * because the file list was pinned at planning. Size the window above
+    * the cluster's longest query. */
   def rewrite(s: SparkSession, dir: String,
       transform: (String, DataFrame) => DataFrame,
       targetFiles: Option[Int] = None,
       writeOptions: Map[String, String] = Map.empty,
-      graceMs: Long = 15 * 60 * 1000L): Unit = {
+      graceMs: Long = -1L): Unit = {
+    val grace: Long =
+      if (graceMs >= 0) graceMs
+      else s.conf.getOption("spark.graft.graceMs").map(_.toLong)
+        .getOrElse(15 * 60 * 1000L)
     val conf = new Configuration()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -77,7 +91,7 @@ object Generations {
     val lastSwapOld = liveGen.exists { _ =>
       val age = System.currentTimeMillis() -
         fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
-      age >= graceMs
+      age >= grace
     }
     var maxSurvivingIdx = liveIdx.getOrElse(0)
     fs.listStatus(root).foreach { st =>
@@ -85,7 +99,7 @@ object Generations {
       val genIdx = if (st.isDirectory && n.startsWith("gen-"))
         n.stripPrefix("gen-").toIntOption else None
       def stale: Boolean =
-        System.currentTimeMillis() - st.getModificationTime >= graceMs
+        System.currentTimeMillis() - st.getModificationTime >= grace
       if (st.isDirectory && n.matches("gen-\\d+\\.tmp-.*")) {
         // a crashed rewrite's unpublished staging — but only once it has
         // gone stale: deleting a fresh tmp would yank a CONCURRENT

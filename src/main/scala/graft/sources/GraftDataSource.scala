@@ -1768,7 +1768,7 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
   * bucketed-table joins with NO shuffle on either side.
   *
   * All routing is task-side. Memory is bounded by n open chunk buffers;
-  * `n` is validated small (≤ 2^20, practically hundreds), and at real
+  * `n` is validated small (≤ 2^16 = 65536, practically hundreds), and at real
   * scale the writing query repartitions by the bucket column first so
   * each task sees few buckets (same guidance as the hive-partitioned
   * writer). Writers open lazily: a task that sees 3 buckets holds 3. */

@@ -62,6 +62,48 @@ class CdfLedgerSpec extends SparkSpec {
     assert(canon(after3.select("doc_id")) == canon(after2.select("doc_id")))
   }
 
+  test("upsert refuses duplicate-key batches; null keys insert (MERGE semantics)") {
+    val dir = Files.createTempDirectory("graft-ups").toString
+    spark.sql("SELECT * FROM VALUES (1L, 'a'), (CAST(NULL AS BIGINT), 'oldnull') AS t(id, v)")
+      .write.format("graft").mode("overwrite").save(dir)
+    // two rows for key 1: "replace the row for key 1" is ambiguous
+    intercept[IllegalArgumentException] {
+      FormatOps.upsert(spark, dir, "data",
+        spark.sql("SELECT * FROM VALUES (1L, 'x'), (1L, 'y') AS t(id, v)"), Seq("id"))
+    }
+    // the refused batch landed nothing
+    assert(canon(spark.read.format("graft").load(dir)) ==
+      Seq("List(1, a)", "List(null, oldnull)").sorted)
+    // null never matches null: the old null-key row SURVIVES and the new
+    // one appends — and two null-key rows in one batch are legal inserts
+    FormatOps.upsert(spark, dir, "data",
+      spark.sql("SELECT * FROM VALUES (CAST(NULL AS BIGINT), 'n1'), (CAST(NULL AS BIGINT), 'n2') AS t(id, v)"),
+      Seq("id"))
+    assert(canon(spark.read.format("graft").load(dir)) ==
+      Seq("List(1, a)", "List(null, oldnull)", "List(null, n1)", "List(null, n2)").sorted)
+  }
+
+  test("changesBetween: null-position swap is an update; map key order is not a change") {
+    // (null, x) -> (x, null) must NOT hash-collide into "unchanged"
+    val dir = Files.createTempDirectory("graft-cdf-null").toString
+    spark.sql("SELECT 1L AS id, CAST(NULL AS STRING) AS a, 'x' AS b")
+      .write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 1) // gen-1 baseline
+    FormatOps.upsert(spark, dir, "data",
+      spark.sql("SELECT 1L AS id, 'x' AS a, CAST(NULL AS STRING) AS b"), Seq("id"))
+    assert(canon(FormatOps.changesBetween(spark, dir, 1, None, Seq("id"))) ==
+      Seq("List(1, update)"))
+    // same map content written in a different entry order digests equal
+    val dir2 = Files.createTempDirectory("graft-cdf-map").toString
+    spark.sql("SELECT 1L AS id, map('k1', 1, 'k2', 2) AS m")
+      .write.format("graft").mode("overwrite").save(dir2)
+    FormatOps.compact(spark, dir2, targetFiles = 1) // gen-1 baseline
+    FormatOps.upsert(spark, dir2, "data",
+      spark.sql("SELECT 1L AS id, map('k2', 2, 'k1', 1) AS m"), Seq("id"))
+    assert(FormatOps.changesBetween(spark, dir2, 1, None, Seq("id")).isEmpty,
+      "map entry order alone must not classify as an update")
+  }
+
   test("streaming ingest dedups against the persistent ledger via foreachBatch") {
     val srcDir = Files.createTempDirectory("graft-ledger-src").toString
     val ck = Files.createTempDirectory("graft-ledger-ck").toString

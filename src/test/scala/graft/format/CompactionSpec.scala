@@ -187,6 +187,49 @@ class CompactionSpec extends SparkSpec {
     assert(liveFiles(dir).size == 3)
   }
 
+  test("tiny grace from session conf: racing readers finish or fail cleanly, never wrong rows") {
+    val dir = Files.createTempDirectory("graft-compact-grace").toString
+    spark.range(0, 30000).selectExpr("id", "id % 7 AS v")
+      .repartition(24).write.format("graft").option("chunkrows", "1000")
+      .mode("overwrite").save(dir)
+    val expected = 30000L
+    @volatile var wrong: Option[String] = None
+    @volatile var stop = false
+    val cleanFailures = new java.util.concurrent.atomic.AtomicLong
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop && wrong.isEmpty) {
+          try {
+            val n = spark.read.format("graft").load(dir).count()
+            if (n != expected) wrong = Some(s"reader saw $n rows (want $expected)")
+          } catch {
+            // planned files swept mid-read: a CLEAN failure is the
+            // documented behavior when a scan outlives the grace window
+            case _: Exception => cleanFailures.incrementAndGet()
+          }
+        }
+      })
+    }
+    spark.conf.set("spark.graft.graceMs", "0")
+    readers.foreach(_.start())
+    try (1 to 4).foreach(_ => FormatOps.compact(spark, dir, targetFiles = 3))
+    finally {
+      stop = true
+      readers.foreach(_.join(30000))
+      spark.conf.unset("spark.graft.graceMs")
+    }
+    assert(wrong.isEmpty, wrong.getOrElse(""))
+    // the 0ms grace really came from the session conf: each rewrite's
+    // entry sweep reclaimed every earlier superseded generation, leaving
+    // only the live one and its immediate predecessor (superseded AFTER
+    // the last sweep ran) — under the 15-min default all four would
+    // still be on disk
+    val gens = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.matches("gen-\\d+")).toSeq.sorted
+    assert(gens == Seq("gen-00003", "gen-00004"),
+      s"grace 0 should leave only the last two generations, got $gens")
+  }
+
   test("racing rewrites: at most one wins per index, loser loud, content intact") {
     val dir = Files.createTempDirectory("graft-rewrite-race").toString
     spark.range(0, 20000).selectExpr("id", "id % 5 AS v")
