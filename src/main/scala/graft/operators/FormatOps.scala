@@ -477,6 +477,26 @@ object FormatOps {
     rows.write.format("graft").option("table", "changes")
       .mode("append").save(s"$dir/$ChangesSubdir")
 
+  /** Streaming change data feed: `readStream` over the write-time
+    * capture log, making incremental consumers streaming-native —
+    * downstream pipelines `changeFeedStream(...).writeStream...` and
+    * each DML's change set arrives as a micro-batch of post-image rows
+    * plus `_change_type`, discovered by the existing graft streaming
+    * source's file tailing.
+    *
+    * Deliberately NOT a per-pointer-swap `changesBetween` diff inside a
+    * source: a diff is two full scans plus a shuffle-join PER SWAP (at
+    * 100 TB, petabyte-scale re-reads to recover kilobytes of change),
+    * and a DSv2 source cannot run a join during partition planning
+    * anyway without collecting to the driver. Capture-at-write is the
+    * Delta-CDF shape: cost proportional to the change set, and the
+    * stream is plain append-only file tailing. [[changesBetween]]
+    * remains the retrospective fallback for tables written without
+    * capture. Requires the capture log to exist (one captured DML). */
+  def changeFeedStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.format("graft").option("table", "changes")
+      .load(s"$dir/$ChangesSubdir")
+
   private def readTable(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.format("graft").option("table", table).load(dir)
 
@@ -733,6 +753,68 @@ object FormatOps {
       |UNION ALL
       |SELECT 'update' AS change_type, count(*) AS n FROM ks
       |WHERE k % 13 = 0 AND k % 19 <> 3
+      |ORDER BY change_type""".stripMargin
+
+  // ---- q113: streaming change data feed --------------------------------------
+  // The incremental-pipeline story end-to-end: a baseline table takes a
+  // captured upsert, THEN a change-feed stream starts (batch 0 = the
+  // upsert's capture), THEN a captured delete lands while the stream
+  // runs and must arrive as a LATER micro-batch — foreachBatch relays
+  // every change row into a second graft table. The gate aggregates the
+  // relayed log per change type with key SUMS, so the oracle (the same
+  // %13/%17/%19 set algebra as q108 restated from parquet) pins the
+  // exact key sets that flowed through the stream, not just counts.
+  // Unlike q108's retrospective diff, 'update' here includes %13 keys
+  // later deleted (the capture log is a journal, not a net diff) — the
+  // oracle states exactly that.
+  private val q113: Q = (s, d) => {
+    val dir = graftDir(d, "orders_cdf_stream")
+    val sinkDir = graftDir(d, "orders_cdf_collected")
+    val ck = graftDir(d, "orders_cdf_ck")
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(dir, sinkDir, ck).foreach { p => // idempotent re-run
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    Tables.orders(s, d).repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    val o = Tables.orders(s, d)
+    val updates = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val inserts = o.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+    upsert(s, dir, "data", updates.unionByName(inserts), Seq("o_orderkey"),
+      captureChanges = true)
+    val q = changeFeedStream(s, dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.format("graft").mode("append").save(sinkDir); ()
+      }.start()
+    try {
+      q.processAllAvailable() // batch 0: the upsert's change set
+      deleteWhere(s, dir, "data", col("o_orderkey") % 19 === 3,
+        captureChanges = true)
+      q.processAllAvailable() // a later batch: the delete's change set
+    } finally q.stop()
+    s.read.format("graft").load(sinkDir)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("change_type"))
+  }
+  private val q113Sql =
+    """WITH ks AS (SELECT o_orderkey AS k FROM orders),
+      |post AS (
+      |  SELECT k FROM ks
+      |  UNION ALL
+      |  SELECT k + 900000000 FROM ks WHERE k % 17 = 0)
+      |SELECT 'delete' AS change_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS key_sum FROM post WHERE k % 19 = 3
+      |UNION ALL
+      |SELECT 'insert' AS change_type, count(*) AS n,
+      |  CAST(sum(k + 900000000) AS BIGINT) AS key_sum FROM ks WHERE k % 17 = 0
+      |UNION ALL
+      |SELECT 'update' AS change_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS key_sum FROM ks WHERE k % 13 = 0
       |ORDER BY change_type""".stripMargin
 
   // ---- q111: write-time expectations gate ------------------------------------
@@ -1039,6 +1121,7 @@ object FormatOps {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q113_change_feed_stream" -> q113,
     "q111_expectations" -> q111,
     "q108_changes_between" -> q108,
     "q102_topn_pushdown" -> q102,
@@ -1065,6 +1148,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q113_change_feed_stream" -> q113Sql,
     "q111_expectations" -> q111Sql,
     "q108_changes_between" -> q108Sql,
     "q102_topn_pushdown" -> q102Sql,
