@@ -42,7 +42,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}"""
+    println(line)
+    // the driver keeps only a tail of stdout, which can truncate the
+    // per-query map past ~100 queries — persist the full line where it
+    // can be committed and read back whole
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }
