@@ -459,9 +459,12 @@ object FormatOps {
     * drifts. Offline/single-writer, like compaction. */
   /** Subdir holding write-time change capture (the Delta-CDF idea mapped
     * to graft): DML ops with `captureChanges=true` append their change
-    * set — post-image rows plus a `_change_type` column — to
-    * `<dir>/_changes` as an ordinary graft table BEFORE the rewrite
-    * swaps. The subdir is invisible to the main table's scans (the
+    * set — full rows plus a `_change_type` column with the Delta-CDF
+    * vocabulary (`insert`, `update_preimage`, `update_postimage`,
+    * `delete`) — to `<dir>/_changes` as an ordinary graft table BEFORE
+    * the rewrite swaps. Pre-images are what let a consumer SUBTRACT a
+    * row's old contribution, which turns the feed into an incremental
+    * view maintenance substrate (q114). The subdir is invisible to the main table's scans (the
     * lister only descends `k=v` partition dirs) and immune to the
     * generation sweep (no `=`, not a `gen-*`). Downstream pipelines
     * tail it INCREMENTALLY with the existing graft streaming source
@@ -514,10 +517,16 @@ object FormatOps {
       }.toSeq: _*)
     }
     if (captureChanges) {
+      // pre- AND post-image per touched row (the Delta-CDF vocabulary):
+      // downstream consumers can invert the old contribution and add the
+      // new one — what incremental view maintenance (q114) needs. One
+      // filtered scan feeds both sides of the union.
       val pre = readTable(s, dir, table)
       val cond = coalesce(where, lit(false))
-      captureTo(dir, project(pre.filter(cond), cond)
-        .withColumn("_change_type", lit("update")))
+      val touched = pre.filter(cond)
+      captureTo(dir, touched.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(project(touched, cond)
+          .withColumn("_change_type", lit("update_postimage"))))
     }
     // a misspelled table name must fail loudly, never "update zero rows":
     // the rewrite would otherwise copy every table through unchanged
@@ -569,9 +578,16 @@ object FormatOps {
         .join(pre.select(keys.map(col): _*).distinct()
           .withColumn("_matched", lit(1)), keys, "left")
         .withColumn("_change_type",
-          when(col("_matched").isNotNull, "update").otherwise("insert"))
+          when(col("_matched").isNotNull, "update_postimage").otherwise("insert"))
         .drop("_matched")
-      captureTo(dir, marked)
+      // pre-images of the replaced rows (Delta-CDF vocabulary), so
+      // consumers can subtract the old contribution: one keyed
+      // semi-probe of the table by the batch's keys — the probe side is
+      // the batch, so the shuffle is batch-sized (AQE broadcasts it)
+      val preImages = pre.join(source.select(keys.map(col): _*).distinct(),
+          keys, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      captureTo(dir, marked.unionByName(preImages))
     }
     var touched = false
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
@@ -764,9 +780,11 @@ object FormatOps {
   // relayed log per change type with key SUMS, so the oracle (the same
   // %13/%17/%19 set algebra as q108 restated from parquet) pins the
   // exact key sets that flowed through the stream, not just counts.
-  // Unlike q108's retrospective diff, 'update' here includes %13 keys
-  // later deleted (the capture log is a journal, not a net diff) — the
-  // oracle states exactly that.
+  // Unlike q108's retrospective diff, updates here include %13 keys
+  // later deleted (the capture log is a journal, not a net diff), and
+  // each update appears TWICE — pre-image and post-image, the Delta-CDF
+  // vocabulary — with identical key sums. The oracle states exactly
+  // that.
   private val q113: Q = (s, d) => {
     val dir = graftDir(d, "orders_cdf_stream")
     val sinkDir = graftDir(d, "orders_cdf_collected")
@@ -813,9 +831,99 @@ object FormatOps {
       |SELECT 'insert' AS change_type, count(*) AS n,
       |  CAST(sum(k + 900000000) AS BIGINT) AS key_sum FROM ks WHERE k % 17 = 0
       |UNION ALL
-      |SELECT 'update' AS change_type, count(*) AS n,
+      |SELECT 'update_postimage' AS change_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS key_sum FROM ks WHERE k % 13 = 0
+      |UNION ALL
+      |SELECT 'update_preimage' AS change_type, count(*) AS n,
       |  CAST(sum(k) AS BIGINT) AS key_sum FROM ks WHERE k % 13 = 0
       |ORDER BY change_type""".stripMargin
+
+  // ---- q114: incremental view maintenance over the change feed ---------------
+  // THE 100 TB use of a change feed: a grouped aggregate (count + sum
+  // per priority) is seeded ONCE from the baseline, then maintained
+  // purely from change rows — insert/update_postimage ADD a row's
+  // contribution, update_preimage/delete SUBTRACT it; after the whole
+  // DML sequence the view must equal a from-scratch recompute (which is
+  // what the oracle states from parquet) without ever rescanning the
+  // table. Per micro-batch the work is: one batch-sized aggregate plus
+  // a copy-on-write rewrite of the view (rows = number of groups).
+  // Money is exact end-to-end: every per-row price casts to
+  // DECIMAL(18,2) before any sum, so +x then -x cancels to the cent and
+  // the incremental total is bit-equal to the recompute, not
+  // FP-approximately equal. Exactly-once caveat: foreachBatch is
+  // at-least-once under retries; production folds would stamp the
+  // batchId into the view generation and skip replays (the same ledger
+  // idea as TextOps.dedupIngest). A clean run, as here, applies once.
+  private val q114: Q = (s, d) => {
+    val dir = graftDir(d, "orders_ivm")
+    val viewDir = graftDir(d, "orders_ivm_view")
+    val ck = graftDir(d, "orders_ivm_ck")
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(dir, viewDir, ck).foreach { p => // idempotent re-run
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    Tables.orders(s, d).repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    val money = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    // seed: the LAST full scan this view ever needs
+    s.read.format("graft").load(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("o_totalprice"))).cast("decimal(20,2)").as("total"))
+      .write.format("graft").mode("overwrite").save(viewDir)
+    val o = Tables.orders(s, d)
+    val updates = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = o.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+    upsert(s, dir, "data", updates.unionByName(inserts), Seq("o_orderkey"),
+      captureChanges = true)
+    val q = changeFeedStream(s, dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val delta = b.withColumn("sgn",
+            when(col("_change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn") * money(col("o_totalprice"))).as("dt"))
+        graft.sources.Generations.rewrite(b.sparkSession, viewDir, (_, v) =>
+          v.join(delta, Seq("o_orderpriority"), "full_outer")
+            .select(col("o_orderpriority"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+              (coalesce(col("total"), lit(0).cast("decimal(20,2)"))
+                + coalesce(col("dt"), lit(0).cast("decimal(20,2)")))
+                .cast("decimal(20,2)").as("total"))
+            .filter(col("n") > 0))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // fold the upsert's change set
+      deleteWhere(s, dir, "data", col("o_orderkey") % 19 === 3,
+        captureChanges = true)
+      q.processAllAvailable() // fold the delete's change set
+    } finally q.stop()
+    s.read.format("graft").load(viewDir)
+      .select(col("o_orderpriority"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q114Sql =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      |upd AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+      |        FROM o WHERE o_orderkey % 13 = 0),
+      |ins AS (SELECT o_orderkey + 900000000 AS o_orderkey, o_orderpriority, o_totalprice
+      |        FROM o WHERE o_orderkey % 17 = 0),
+      |post AS (
+      |  SELECT * FROM o WHERE o_orderkey % 13 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins),
+      |fin AS (SELECT * FROM post WHERE o_orderkey % 19 <> 3)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM fin GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   // ---- q111: write-time expectations gate ------------------------------------
   // Ingest documents under two expectations (drop mode): rows whose
@@ -1121,6 +1229,7 @@ object FormatOps {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q114_incremental_view" -> q114,
     "q113_change_feed_stream" -> q113,
     "q111_expectations" -> q111,
     "q108_changes_between" -> q108,
@@ -1148,6 +1257,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q114_incremental_view" -> q114Sql,
     "q113_change_feed_stream" -> q113Sql,
     "q111_expectations" -> q111Sql,
     "q108_changes_between" -> q108Sql,
