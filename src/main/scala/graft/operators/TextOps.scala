@@ -1273,7 +1273,60 @@ object TextOps {
       |WHERE h NOT IN (SELECT h FROM b1)
       |ORDER BY batch""".stripMargin
 
+  // ---- q115: corpus-level n-gram pruning (inter-document repetition) --------
+  // The C4/Gopher-style corpus signal that per-doc repetition (q48)
+  // can't see: a document whose 5-grams mostly ALSO appear in other
+  // documents is boilerplate even if internally non-repetitive. Grams
+  // are built array-locally (one transform over the word array, no
+  // per-position shuffle), deduped per doc, and digested to md5 BEFORE
+  // the document-frequency shuffle — 16-byte digests cross the wire,
+  // never gram text (the q56 discipline). df rides a window over the
+  // already-shuffled digests, so the whole op is two shuffles (df, then
+  // per-doc regroup) regardless of corpus size. The oracle replays the
+  // same md5 digests in DuckDB, so df counts match exactly.
+  private val q115: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(regexp_replace(trim(lower(col("text"))), "\\s+", " "), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+    val grams = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 5), i -> md5(array_join(slice(w, i + 1, 5), ' ')))")).as("g"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val scored = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(when(col("df") >= 3, 1L).otherwise(0L)) / count(lit(1))).as("dup_frac"))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_frac") > 0.5, 1L).otherwise(0L)).as("n_flagged"),
+        avg(col("dup_frac")).as("avg_dup_frac"))
+      .orderBy(col("lang"))
+  }
+  private val q115Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |d AS (SELECT * FROM t WHERE len(w) >= 5),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, lang, md5(array_to_string(w[g:g+4], ' ')) AS gm
+      |  FROM (SELECT doc_id, lang, w,
+      |          unnest(generate_series(1, len(w) - 4)) AS g FROM d) u),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+      |  FROM (SELECT doc_id, lang, gm,
+      |          count(*) OVER (PARTITION BY gm) AS df FROM grams) x
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  avg(dup_frac) AS avg_dup_frac
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q115_corpus_ngram_prune" -> q115,
     "q112_rag_chunking" -> q112,
     "q110_stratified_sample" -> q110,
     "q109_lm_quality" -> q109,
@@ -1306,6 +1359,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q115_corpus_ngram_prune" -> q115Sql,
     "q112_rag_chunking" -> q112Sql,
     "q110_stratified_sample" -> q110Sql,
     "q109_lm_quality" -> q109Sql,
