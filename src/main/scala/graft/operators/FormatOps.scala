@@ -350,6 +350,13 @@ object FormatOps {
     graft.sources.Generations.rewrite(s, dir, (_, df) => df,
       Some(targetFiles), writeOptions, graceMs)
 
+  /** `VACUUM`: reclaim superseded generations and stale staging WITHOUT
+    * creating a new generation — the explicit end of time-travel
+    * retention for a table that is no longer being rewritten. See
+    * [[graft.sources.Generations.vacuum]] for the grace rules. */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L): Unit =
+    graft.sources.Generations.vacuum(s, dir, graceMs)
+
   // ---- q92: compaction preserves content ------------------------------------
   // orders written as MANY tiny files (32 tasks x 2k-row chunks), then
   // compacted to 4; the aggregate + oracle prove losslessness, the file

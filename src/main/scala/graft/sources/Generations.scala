@@ -74,25 +74,19 @@ object Generations {
     * (missing-file task error), never silently returns partial rows,
     * because the file list was pinned at planning. Size the window above
     * the cluster's longest query. */
-  def rewrite(s: SparkSession, dir: String,
-      transform: (String, DataFrame) => DataFrame,
-      targetFiles: Option[Int] = None,
-      writeOptions: Map[String, String] = Map.empty,
-      graceMs: Long = -1L): Unit = {
-    val grace: Long =
-      if (graceMs >= 0) graceMs
-      else s.conf.getOption("spark.graft.graceMs").map(_.toLong)
-        .getOrElse(15 * 60 * 1000L)
-    val conf = new Configuration()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val liveGen = GraftDataSource.readGenPointer(conf, dir)
-    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
-    val lastSwapOld = liveGen.exists { _ =>
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
-      age >= grace
-    }
+  /** Resolve an explicit grace against the session conf default. */
+  private def resolveGrace(s: SparkSession, graceMs: Long): Long =
+    if (graceMs >= 0) graceMs
+    else s.conf.getOption("spark.graft.graceMs").map(_.toLong)
+      .getOrElse(15 * 60 * 1000L)
+
+  /** One pass of the dead-data sweep (rules in [[rewrite]]'s doc):
+    * deletes reclaimable entries under `root` and returns the highest
+    * surviving generation index (live or published-but-unswapped), which
+    * a rewrite must allocate past. Shared by [[rewrite]] (entry sweep)
+    * and [[vacuum]] (standalone reclaim). */
+  private def sweepDeadData(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      liveIdx: Option[Int], lastSwapOld: Boolean, grace: Long): Int = {
     var maxSurvivingIdx = liveIdx.getOrElse(0)
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
@@ -118,6 +112,50 @@ object Generations {
           else if (lastSwapOld && st.isFile && n.endsWith(".graft")) fs.delete(st.getPath, false)
       }
     }
+    maxSurvivingIdx
+  }
+
+  /** Standalone retention reclaim (`VACUUM`): run the dead-data sweep
+    * WITHOUT creating a new generation. [[rewrite]] only sweeps on
+    * entry, so a table that stops being rewritten would otherwise keep
+    * its superseded generations (and their time-travel readability)
+    * forever; vacuum is the explicit end of that retention. Same grace
+    * rules as the rewrite sweep — the live generation and anything
+    * younger than the grace window survive, so in-flight readers keep
+    * the same guarantees (finish or fail cleanly, never wrong rows). */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L): Unit = {
+    val grace = resolveGrace(s, graceMs)
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir)
+    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
+    val lastSwapOld = liveGen.exists { _ =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
+      age >= grace
+    }
+    sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
+    ()
+  }
+
+  def rewrite(s: SparkSession, dir: String,
+      transform: (String, DataFrame) => DataFrame,
+      targetFiles: Option[Int] = None,
+      writeOptions: Map[String, String] = Map.empty,
+      graceMs: Long = -1L): Unit = {
+    val grace = resolveGrace(s, graceMs)
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir)
+    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
+    val lastSwapOld = liveGen.exists { _ =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
+      age >= grace
+    }
+    val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
     // allocate PAST any surviving published-but-unswapped dir, so a
     // crash-then-retry doesn't collide with its own phantom
     val nextGen = f"gen-${maxSurvivingIdx + 1}%05d"

@@ -230,6 +230,30 @@ class CompactionSpec extends SparkSpec {
       s"grace 0 should leave only the last two generations, got $gens")
   }
 
+  test("vacuum reclaims superseded generations without a rewrite; live content intact") {
+    val dir = Files.createTempDirectory("graft-vacuum").toString
+    spark.range(0, 5000).selectExpr("id", "id % 3 AS v")
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    // default (15 min) grace: three compactions accumulate generations
+    (1 to 3).foreach(_ => FormatOps.compact(spark, dir, targetFiles = 2))
+    val expected = canon(spark.read.format("graft").load(dir))
+    def gens = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.matches("gen-\\d+")).toSeq.sorted
+    assert(gens.size == 3, s"setup should accumulate 3 generations, got $gens")
+    // a superseded generation is still time-travel readable pre-vacuum
+    assert(spark.read.format("graft").option("generation", 1).load(dir).count() == 5000)
+    FormatOps.vacuum(spark, dir, graceMs = 0)
+    // only the live generation survives, with identical content; no new
+    // generation was created
+    assert(gens == Seq("gen-00003"), s"vacuum should leave only the live gen, got $gens")
+    assert(canon(spark.read.format("graft").load(dir)) == expected)
+    // retention has genuinely ended: time travel to the swept generation
+    // now fails loudly, not as an empty table
+    intercept[Exception] {
+      spark.read.format("graft").option("generation", 1).load(dir).count()
+    }
+  }
+
   test("racing rewrites: at most one wins per index, loser loud, content intact") {
     val dir = Files.createTempDirectory("graft-rewrite-race").toString
     spark.range(0, 20000).selectExpr("id", "id % 5 AS v")
