@@ -857,10 +857,11 @@ object FormatOps {
   // Money is exact end-to-end: every per-row price casts to
   // DECIMAL(18,2) before any sum, so +x then -x cancels to the cent and
   // the incremental total is bit-equal to the recompute, not
-  // FP-approximately equal. Exactly-once caveat: foreachBatch is
-  // at-least-once under retries; production folds would stamp the
-  // batchId into the view generation and skip replays (the same ledger
-  // idea as TextOps.dedupIngest). A clean run, as here, applies once.
+  // FP-approximately equal. The fold is EXACTLY-once under foreachBatch's
+  // at-least-once contract: each batch's rewrite carries the batchId as
+  // an idempotency key stamped into the generation (rides the atomic
+  // publish rename), so a replayed batch whose generation already
+  // swapped is a no-op (IdempotentRewriteSpec proves the replay path).
   private val q114: Q = (s, d) => {
     val dir = graftDir(d, "orders_ivm")
     val viewDir = graftDir(d, "orders_ivm_view")
@@ -888,13 +889,15 @@ object FormatOps {
       captureChanges = true)
     val q = changeFeedStream(s, dir)
       .writeStream.option("checkpointLocation", ck)
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         val delta = b.withColumn("sgn",
             when(col("_change_type").isin("insert", "update_postimage"), 1L)
               .otherwise(-1L))
           .groupBy(col("o_orderpriority"))
           .agg(sum(col("sgn")).as("dn"),
             sum(col("sgn") * money(col("o_totalprice"))).as("dt"))
+        // the batchId as idempotency key makes the fold EXACTLY-once: a
+        // foreachBatch retry whose generation already swapped no-ops
         graft.sources.Generations.rewrite(b.sparkSession, viewDir, (_, v) =>
           v.join(delta, Seq("o_orderpriority"), "full_outer")
             .select(col("o_orderpriority"),
@@ -902,7 +905,8 @@ object FormatOps {
               (coalesce(col("total"), lit(0).cast("decimal(20,2)"))
                 + coalesce(col("dt"), lit(0).cast("decimal(20,2)")))
                 .cast("decimal(20,2)").as("total"))
-            .filter(col("n") > 0))
+            .filter(col("n") > 0),
+          idempotencyKey = Some(s"q114-$batchId"))
         ()
       }.start()
     try {

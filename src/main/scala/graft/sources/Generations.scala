@@ -139,15 +139,38 @@ object Generations {
     ()
   }
 
+  /** The idempotency key stamped on `dir`'s LIVE generation, if any —
+    * the `.rewrite-tag` written by the rewrite that produced it. */
+  def liveRewriteTag(conf: Configuration, dir: String): Option[String] = {
+    val root = new Path(dir)
+    GraftDataSource.readGenPointer(conf, dir).flatMap { gen =>
+      val p = new Path(new Path(root, gen), GraftDataSource.RewriteTagName)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    }
+  }
+
   def rewrite(s: SparkSession, dir: String,
       transform: (String, DataFrame) => DataFrame,
       targetFiles: Option[Int] = None,
       writeOptions: Map[String, String] = Map.empty,
-      graceMs: Long = -1L): Unit = {
+      graceMs: Long = -1L,
+      idempotencyKey: Option[String] = None): Unit = {
     val grace = resolveGrace(s, graceMs)
     val conf = new Configuration()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    // replay detection FIRST: if the live generation already carries this
+    // rewrite's key, the work was applied and swapped — re-applying would
+    // double it (the exactly-once contract for at-least-once drivers)
+    if (idempotencyKey.isDefined &&
+        liveRewriteTag(conf, dir) == idempotencyKey) return
     val liveGen = GraftDataSource.readGenPointer(conf, dir)
     val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
     val lastSwapOld = liveGen.exists { _ =>
@@ -210,6 +233,16 @@ object Generations {
       val out = fs.create(ts, true)
       try out.write(String.valueOf(System.currentTimeMillis())
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // idempotency key rides the same atomic publish: crash BEFORE the
+    // swap → no tag visible, a retry re-applies (correct: nothing
+    // landed); crash AFTER → the live tag marks the batch applied and
+    // the retry no-ops at entry
+    idempotencyKey.foreach { k =>
+      val tp = new Path(staging, GraftDataSource.RewriteTagName)
+      val out = fs.create(tp, true)
+      try out.write(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
     // publish via FileContext.rename with NO overwrite option: true

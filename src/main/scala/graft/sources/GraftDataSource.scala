@@ -213,6 +213,15 @@ object GraftDataSource {
     * time-travel rows out of existence. */
   val SwapTsName = ".swap-ts"
 
+  /** Idempotency-key marker written INSIDE a generation dir before the
+    * pointer swap (rides the same atomic publish rename): holds the
+    * `idempotencyKey` of the rewrite that produced the generation. A
+    * rewrite finding its own key on the LIVE generation is a replay and
+    * becomes a no-op — what turns at-least-once drivers (foreachBatch
+    * retries) into exactly-once table folds. Delta's txnAppId/txnVersion
+    * idea mapped to generations. */
+  val RewriteTagName = ".rewrite-tag"
+
   def readSwapTs(conf: Configuration, genDir: Path): Option[Long] =
     try {
       val p = new Path(genDir, SwapTsName)
