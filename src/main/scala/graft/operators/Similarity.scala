@@ -417,7 +417,81 @@ object Similarity {
     """SELECT CAST(count(*) AS BIGINT) AS n_probes, true AS recall_ok
       |FROM embeddings WHERE vec_id % 97 = 0""".stripMargin
 
+  // ---- q116: hybrid retrieval — reciprocal rank fusion ----------------------
+  // The standard RAG-era hybrid: fuse a LEXICAL ranking (q104's BM25
+  // scorer over documents) with a DENSE ranking (cosine vs the probe
+  // vector over embeddings) by reciprocal rank: rrf(d) = Σ 1/(60+rank).
+  // Scale shape: each list is cut to its top-50 by TakeOrderedAndProject
+  // (distributed per-partition heaps — NO global sort of the corpus);
+  // row_number's unpartitioned window then runs over 50 rows, not the
+  // table. The fusion itself is a full-outer join of two 50-row sets
+  // (items in only one list still score). Every rank order carries a
+  // unique tie-break (score desc, id asc), so ranks — and therefore the
+  // fused rationals — are engine-exact; the DuckDB oracle replays both
+  // rankings and the same 1/(60+r) arithmetic.
+  private val q116: Q = (s, d) => {
+    val topN = 50
+    val lex = TextOps.bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+      .withColumn("lr", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("id"), col("lr"))
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nv").as("np"))
+    val dense = e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", round(dot("v", "pv") / (col("nv") * col("np")), 6))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(topN)
+      .withColumn("dr", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("dr"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(15)
+      .select(col("id"), col("rrf"))
+  }
+  private val q116Sql =
+    """WITH dl AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS len
+      |  FROM documents),
+      |c AS (SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS total FROM dl),
+      |tf AS (
+      |  SELECT doc_id, len, tok, count(*) AS tf
+      |  FROM dl, UNNEST(toks) AS t(tok)
+      |  WHERE tok IN ('spark', 'window', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |bm AS (
+      |  SELECT tf.doc_id,
+      |    round(sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len * nd / total)))), 4) AS score
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN c
+      |  GROUP BY tf.doc_id),
+      |lex AS (
+      |  SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+      |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT e.vec_id,
+      |    round(list_dot_product(e.v, p.pv)
+      |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cosine
+      |  FROM e CROSS JOIN p WHERE e.vec_id > 0),
+      |dense AS (
+      |  SELECT vec_id AS id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS dr
+      |  FROM sc ORDER BY cosine DESC, vec_id LIMIT 50)
+      |SELECT id,
+      |  round(coalesce(1.0 / (60 + lr), 0) + coalesce(1.0 / (60 + dr), 0), 6) AS rrf
+      |FROM lex FULL OUTER JOIN dense USING (id)
+      |ORDER BY rrf DESC, id LIMIT 15""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q116_hybrid_rrf" -> q116,
     "q58_quantized_ann" -> q58,
     "q44c_ivf_persisted" -> q44c,
     "q40_cosine_topk" -> q40,
@@ -430,6 +504,7 @@ object Similarity {
     "q46_lsh_recall" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q116_hybrid_rrf" -> q116Sql,
     "q58_quantized_ann" -> q58Sql,
     "q44c_ivf_persisted" -> q44cSql,
     "q40_cosine_topk" -> q40Sql,

@@ -965,7 +965,9 @@ object TextOps {
   // corpus totals, not a precomputed float mean — so both engines
   // evaluate the same arithmetic tree; ties break on doc_id.
   private val Bm25Terms = Seq("spark", "window", "hash")
-  private val q104: Q = (s, d) => {
+  /** Per-doc BM25 scores for the fixed probe terms (q104's scorer,
+    * shared with q116's hybrid fusion): (doc_id, score), unranked. */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val withLen = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("len", size(col("toks")))
@@ -985,10 +987,12 @@ object TextOps {
             (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") * col("nd") / col("total")))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")), 4).as("score"))
+  }
+  private val q104: Q = (s, d) =>
+    bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
       .select(col("doc_id"), col("score"))
-  }
   private val q104Sql =
     """WITH dl AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
@@ -1278,21 +1282,25 @@ object TextOps {
   // can't see: a document whose 5-grams mostly ALSO appear in other
   // documents is boilerplate even if internally non-repetitive. Grams
   // are built array-locally (one transform over the word array, no
-  // per-position shuffle), deduped per doc, and digested to md5 BEFORE
-  // the document-frequency shuffle — 16-byte digests cross the wire,
-  // never gram text (the q56 discipline). df rides a window over the
-  // already-shuffled digests, so the whole op is two shuffles (df, then
-  // per-doc regroup) regardless of corpus size. The oracle replays the
-  // same md5 digests in DuckDB, so df counts match exactly.
+  // per-position shuffle), deduped per doc INSIDE the row
+  // (array_distinct before the explode — plan-audited to save a full
+  // exchange vs a distinct aggregate), and digested to md5 BEFORE the
+  // document-frequency shuffle — 16-byte digests cross the wire, never
+  // gram text (the q56 discipline). df rides a window over the shuffled
+  // digests, so the whole op is two data shuffles (df, then per-doc
+  // regroup) regardless of corpus size. The oracle replays the same md5
+  // digests in DuckDB, so df counts match exactly.
   private val q115: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         split(regexp_replace(trim(lower(col("text"))), "\\s+", " "), " ").as("w"))
       .filter(size(col("w")) >= 5)
+    // per-doc dedup happens INSIDE the row (array_distinct before the
+    // explode), not as a distinct aggregate — plan-audited to save a
+    // full exchange of the gram set
     val grams = docs
       .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(0, size(w) - 5), i -> md5(array_join(slice(w, i + 1, 5), ' ')))")).as("g"))
-      .distinct()
+        "array_distinct(transform(sequence(0, size(w) - 5), i -> md5(array_join(slice(w, i + 1, 5), ' '))))")).as("g"))
     import org.apache.spark.sql.expressions.Window
     val scored = grams
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
