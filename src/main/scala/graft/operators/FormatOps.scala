@@ -357,6 +357,19 @@ object FormatOps {
   def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L): Unit =
     graft.sources.Generations.vacuum(s, dir, graceMs)
 
+  /** `RESTORE TABLE … TO VERSION AS OF n`: roll the table back to a
+    * still-present generation by swinging the pointer — one atomic
+    * rename, NO data copied or rewritten. The abandoned newer
+    * generations become published-but-unswapped garbage a later sweep
+    * reclaims after the grace window (exactly the crash-between-
+    * publish-and-swap shape the sweep already handles), and the next
+    * rewrite allocates PAST them, so restore never collides with the
+    * rolled-back future. Fails loudly when the generation was already
+    * vacuumed — a restore that silently resurrects nothing would be a
+    * data-loss bug. */
+  def restore(s: SparkSession, dir: String, generation: Int): Unit =
+    graft.sources.Generations.restore(s, dir, generation)
+
   // ---- q92: compaction preserves content ------------------------------------
   // orders written as MANY tiny files (32 tasks x 2k-row chunks), then
   // compacted to 4; the aggregate + oracle prove losslessness, the file

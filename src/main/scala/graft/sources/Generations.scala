@@ -156,6 +156,22 @@ object Generations {
     }
   }
 
+  /** Roll `dir` back to `generation` by swinging the pointer (see
+    * [[graft.operators.FormatOps.restore]] for the contract). */
+  def restore(s: SparkSession, dir: String, generation: Int): Unit = {
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val target = f"gen-$generation%05d"
+    require(fs.exists(new Path(root, target)) &&
+      fs.exists(new Path(new Path(root, target), GraftDataSource.SwapTsName)),
+      s"generation $generation is not present in $dir (never existed, or " +
+        "already vacuumed) — nothing to restore to")
+    // same atomic publish as a rewrite's swap; readers see old or new,
+    // never a mixture
+    AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), target)
+  }
+
   def rewrite(s: SparkSession, dir: String,
       transform: (String, DataFrame) => DataFrame,
       targetFiles: Option[Int] = None,

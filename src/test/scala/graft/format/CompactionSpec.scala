@@ -254,6 +254,28 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls back by pointer swing; future abandoned; next rewrite allocates past it") {
+    val dir = Files.createTempDirectory("graft-restore").toString
+    spark.range(0, 1000).selectExpr("id", "CAST(0 AS BIGINT) AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 2) // gen-1
+    val original = canon(spark.read.format("graft").load(dir))
+    FormatOps.updateWhere(spark, dir, "data",
+      Map("v" -> lit(1L)), col("id") >= 0)         // gen-2: every row touched
+    assert(canon(spark.read.format("graft").load(dir)) != original)
+    FormatOps.restore(spark, dir, 1)
+    assert(canon(spark.read.format("graft").load(dir)) == original,
+      "restore must read back the gen-1 content bit-for-bit")
+    // a generation that never existed (or was vacuumed) refuses loudly
+    intercept[IllegalArgumentException] { FormatOps.restore(spark, dir, 99) }
+    // the next rewrite allocates PAST the abandoned gen-2
+    FormatOps.compact(spark, dir, targetFiles = 1)
+    val live = graft.sources.GraftDataSource
+      .readGenPointer(new org.apache.hadoop.conf.Configuration(), dir).get
+    assert(live == "gen-00003", s"expected gen-00003 after restore+compact, got $live")
+    assert(canon(spark.read.format("graft").load(dir)) == original)
+  }
+
   test("racing rewrites: at most one wins per index, loser loud, content intact") {
     val dir = Files.createTempDirectory("graft-rewrite-race").toString
     spark.range(0, 20000).selectExpr("id", "id % 5 AS v")
