@@ -490,7 +490,54 @@ object Similarity {
       |FROM lex FULL OUTER JOIN dense USING (id)
       |ORDER BY rrf DESC, id LIMIT 15""".stripMargin
 
+  // ---- q117: multi-vector late interaction (ColBERT-style MaxSim) -----------
+  // Each 64-d embedding is treated as 4 sub-vectors of 16 (token-level
+  // vectors in a real late-interaction index); the score against the
+  // probe is MaxSim: for each probe sub-vector take the best-matching
+  // doc sub-vector's cosine, then sum the four maxima. The entire
+  // 4x4 score matrix evaluates ARRAY-LOCALLY inside one nested
+  // higher-order expression (sequence/slice/zip_with/aggregate) — per
+  // row, no explode, no shuffle; the only distributed moves are the
+  // broadcast probe and the TakeOrdered top-10. Sub-vector dots fold
+  // left-to-right exactly like DuckDB's list_dot_product, so the oracle
+  // replays the identical arithmetic on the identical slices.
+  private val q117: Q = (s, d) => {
+    def sub(arr: String, i: String) = s"slice($arr, $i * 16 + 1, 16)"
+    def dotE(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    def cosE(qi: String, dj: String) =
+      s"${dotE(sub("pv", qi), sub("v", dj))} / " +
+        s"(sqrt(${dotE(sub("pv", qi), sub("pv", qi))}) * sqrt(${dotE(sub("v", dj), sub("v", dj))}))"
+    val maxsim =
+      s"""aggregate(sequence(0, 3), CAST(0.0 AS DOUBLE), (acc, qi) ->
+         |  acc + aggregate(sequence(0, 3), CAST(-1.0 AS DOUBLE),
+         |    (m, dj) -> greatest(m, ${cosE("qi", "dj")})))""".stripMargin
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("maxsim", round(expr(maxsim), 6))
+      .select(col("vec_id"), col("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(10)
+  }
+  private val q117Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |parts AS (SELECT UNNEST(generate_series(0, 3)) AS i),
+      |pairs AS (
+      |  SELECT e.vec_id, q.i AS qi,
+      |    list_dot_product(pv[q.i*16+1 : q.i*16+16], v[d.i*16+1 : d.i*16+16])
+      |      / (sqrt(list_dot_product(pv[q.i*16+1 : q.i*16+16], pv[q.i*16+1 : q.i*16+16]))
+      |         * sqrt(list_dot_product(v[d.i*16+1 : d.i*16+16], v[d.i*16+1 : d.i*16+16]))) AS s
+      |  FROM e CROSS JOIN p CROSS JOIN parts q CROSS JOIN parts d
+      |  WHERE e.vec_id > 0),
+      |mx AS (SELECT vec_id, qi, max(s) AS ms FROM pairs GROUP BY vec_id, qi)
+      |SELECT vec_id, round(sum(ms), 6) AS maxsim FROM mx GROUP BY vec_id
+      |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q117_maxsim" -> q117,
     "q116_hybrid_rrf" -> q116,
     "q58_quantized_ann" -> q58,
     "q44c_ivf_persisted" -> q44c,
@@ -504,6 +551,7 @@ object Similarity {
     "q46_lsh_recall" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q117_maxsim" -> q117Sql,
     "q116_hybrid_rrf" -> q116Sql,
     "q58_quantized_ann" -> q58Sql,
     "q44c_ivf_persisted" -> q44cSql,
