@@ -515,9 +515,14 @@ object FormatOps {
     * Delta-CDF shape: cost proportional to the change set, and the
     * stream is plain append-only file tailing. [[changesBetween]]
     * remains the retrospective fallback for tables written without
-    * capture. Requires the capture log to exist (one captured DML). */
-  def changeFeedStream(s: SparkSession, dir: String): DataFrame =
+    * capture. Requires the capture log to exist (one captured DML).
+    * `startingOffsets = "latest"` attaches past the existing log — only
+    * changes captured AFTER the stream starts are emitted (history is
+    * the batch reader's job, not a replay). */
+  def changeFeedStream(s: SparkSession, dir: String,
+      startingOffsets: String = "earliest"): DataFrame =
     s.readStream.format("graft").option("table", "changes")
+      .option("startingOffsets", startingOffsets)
       .load(s"$dir/$ChangesSubdir")
 
   private def readTable(s: SparkSession, dir: String, table: String): DataFrame =

@@ -481,7 +481,9 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dirs, schema, Option(options.get("table")),
       Option(scanOptions.get("maxfilespertrigger")).orElse(
-        Option(options.get("maxfilespertrigger"))).map(_.toInt))
+        Option(options.get("maxfilespertrigger"))).map(_.toInt),
+      Option(scanOptions.get("startingoffsets")).orElse(
+        Option(options.get("startingoffsets"))).getOrElse("earliest"))
 
   /** `DELETE FROM` is deletable only when every conjunct has an exact
     * Column re-evaluation (Spark then falls back to an analysis error,
@@ -546,7 +548,8 @@ case class GraftMaxSpec(col: String) extends GraftAggSpec
 case class GraftSumSpec(col: String, integral: Boolean) extends GraftAggSpec
 
 class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    startingOffsets: String = "earliest")
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -678,7 +681,7 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
   override def build(): Scan =
     new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
-      limit, aggSpecs, maxFilesPerTrigger, topN)
+      limit, aggSpecs, maxFilesPerTrigger, topN, startingOffsets)
 }
 
 /** Pushed ORDER BY col LIMIT k: `desc`/`nullsFirst` mirror the query's
@@ -689,7 +692,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     planFilters: Array[Filter], limit: Int,
     aggSpecs: Option[Seq[GraftAggSpec]] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    topN: Option[GraftTopN] = None) extends Scan with Batch
+    topN: Option[GraftTopN] = None,
+    startingOffsets: String = "earliest") extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -816,7 +820,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(dirs.size == 1, "graft streaming reads take exactly one path")
     new GraftMicroBatchStream(dirs.head, checkpointLocation, required, tableOpt,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, startingOffsets)
   }
   override def description(): String =
     s"graft ${dirs.mkString(",")} table=${tableOpt.getOrElse("<single>")} " +

@@ -27,8 +27,12 @@ import org.apache.spark.util.SerializableConfiguration
   */
 class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     required: StructType, tableOpt: Option[String],
-    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int] = None,
+    startingOffsets: String = "earliest") extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  require(startingOffsets == "earliest" || startingOffsets == "latest",
+    s"startingOffsets must be earliest|latest, got '$startingOffsets'")
 
   private val conf = new Configuration()
   private val logPath = new Path(checkpointLocation, "graft-file-log")
@@ -55,7 +59,22 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   private def writeLog(files: Vector[String]): Unit =
     AtomicPublish.text(conf, logPath, files.mkString("", "\n", "\n"))
 
-  override def initialOffset(): Offset = GraftStreamOffset(0)
+  /** First-start offset (a restart resumes from the checkpoint instead):
+    * `earliest` replays the whole directory; `latest` seeds the file log
+    * with everything already present and starts past it, so only files
+    * landing AFTER the stream starts are emitted — what a change-feed
+    * consumer attaching to an existing capture log wants (the history is
+    * served by the batch reader, not a replay). */
+  override def initialOffset(): Offset =
+    if (startingOffsets == "latest") {
+      val known = readLog()
+      val all = if (known.nonEmpty) known else {
+        val now = GraftDataSource.listFiles(conf, dir).map(_.toString).toVector
+        if (now.nonEmpty) writeLog(now)
+        now
+      }
+      GraftStreamOffset(all.size)
+    } else GraftStreamOffset(0)
 
   override def latestOffset(): Offset =
     latestOffset(GraftStreamOffset(0),

@@ -2,6 +2,8 @@ package graft.format
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -29,6 +31,47 @@ class StreamingSpec extends SparkSpec {
       assert(got.count() == 150)
       assert(got.agg(sum("id")).head.getLong(0) == (0 until 150).map(_.toLong).sum)
     } finally q.stop()
+  }
+
+  test("startingOffsets=latest skips existing files; restart resumes from checkpoint") {
+    val dir = Files.createTempDirectory("graft-latest").toString
+    val ck = Files.createTempDirectory("graft-latest-ck").toString
+    // 100 rows of history that a latest-attaching consumer must NOT replay
+    spark.range(0, 100).selectExpr("id")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startCollector() = spark.readStream.format("graft")
+      .option("startingOffsets", "latest").load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => collected.add(r.getLong(0))); ()
+      }.start()
+    val q = startCollector()
+    try {
+      q.processAllAvailable()
+      assert(collected.isEmpty, "latest must not replay pre-existing files")
+      spark.range(100, 120).selectExpr("id")
+        .coalesce(1).write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(collected.asScala.toSeq.sorted == (100L until 120L))
+    } finally q.stop()
+    // restart on the same checkpoint: committed offsets win over the
+    // starting position — nothing replays, new files still arrive
+    spark.range(120, 130).selectExpr("id")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val q2 = startCollector()
+    try {
+      q2.processAllAvailable()
+      assert(collected.asScala.toSeq.sorted == (100L until 130L),
+        "restart must deliver exactly the new files, no replay, no loss")
+    } finally q2.stop()
+    intercept[Exception] {
+      spark.readStream.format("graft").option("startingOffsets", "bogus")
+        .load(dir).writeStream.format("memory").queryName("graft_latest_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-bad-ck").toString)
+        .start().processAllAvailable()
+    }
   }
 
   test("graft streaming sink writes readable epoch files") {
