@@ -954,6 +954,85 @@ object FormatOps {
       |FROM fin GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q118: CDC replica — a downstream table kept in sync by the feed -------
+  // The other canonical change-feed consumer besides aggregates (q114):
+  // a full REPLICA table seeded once from a snapshot, then maintained
+  // purely from change rows. Per micro-batch: anti-join the replica on
+  // the batch's removed keys (delete + update_preimage), append the
+  // batch's new rows (insert + update_postimage) — one copy-on-write
+  // rewrite, work ∝ replica rewrite + batch, the source is never
+  // re-read. Folds are exactly-once via the batchId idempotency key.
+  // Within one micro-batch the apply is SET-semantics (removals then
+  // additions); change sets for the same key arriving in one batch from
+  // DIFFERENT DMLs would need the journal order — here each DML lands
+  // in its own batch, which is the capture log's natural granularity.
+  // The gate compares the replica (count, key sum, money sum per
+  // priority) against the oracle's restatement of the FINAL source
+  // table — proving the replica converged to the source.
+  private val q118: Q = (s, d) => {
+    val dir = graftDir(d, "orders_cdc_src")
+    val repl = graftDir(d, "orders_cdc_replica")
+    val ck = graftDir(d, "orders_cdc_rck")
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(dir, repl, ck).foreach { p => // idempotent re-run
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    Tables.orders(s, d).repartition(8)
+      .write.format("graft").mode("overwrite").save(dir)
+    // seed the replica from the baseline snapshot — the only bulk copy
+    s.read.format("graft").load(dir).repartition(8)
+      .write.format("graft").mode("overwrite").save(repl)
+    val o = Tables.orders(s, d)
+    val updates = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = o.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+    upsert(s, dir, "data", updates.unionByName(inserts), Seq("o_orderkey"),
+      captureChanges = true)
+    val q = changeFeedStream(s, dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val gone = b.filter(col("_change_type").isin("delete", "update_preimage"))
+          .select(col("o_orderkey")).distinct()
+        val added = b.filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop("_change_type")
+        graft.sources.Generations.rewrite(b.sparkSession, repl, (_, t) =>
+          t.join(gone, Seq("o_orderkey"), "left_anti")
+            .unionByName(added.select(t.columns.map(col).toSeq: _*)),
+          idempotencyKey = Some(s"q118-$batchId"))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      deleteWhere(s, dir, "data", col("o_orderkey") % 19 === 3,
+        captureChanges = true)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("graft").load(repl)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q118Sql =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      |upd AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+      |        FROM o WHERE o_orderkey % 13 = 0),
+      |ins AS (SELECT o_orderkey + 900000000 AS o_orderkey, o_orderpriority, o_totalprice
+      |        FROM o WHERE o_orderkey % 17 = 0),
+      |post AS (
+      |  SELECT * FROM o WHERE o_orderkey % 13 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins),
+      |fin AS (SELECT * FROM post WHERE o_orderkey % 19 <> 3)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM fin GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- q111: write-time expectations gate ------------------------------------
   // Ingest documents under two expectations (drop mode): rows whose
   // n_chars < 60 or whose doc_id is a multiple of 97 are quarantined in
@@ -1258,6 +1337,7 @@ object FormatOps {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q118_cdc_replica" -> q118,
     "q114_incremental_view" -> q114,
     "q113_change_feed_stream" -> q113,
     "q111_expectations" -> q111,
@@ -1286,6 +1366,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q118_cdc_replica" -> q118Sql,
     "q114_incremental_view" -> q114Sql,
     "q113_change_feed_stream" -> q113Sql,
     "q111_expectations" -> q111Sql,
