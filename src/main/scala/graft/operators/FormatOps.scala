@@ -669,10 +669,21 @@ object FormatOps {
   def writeWithExpectations(s: SparkSession, df: DataFrame, dir: String,
       expectations: Map[String, org.apache.spark.sql.Column],
       onViolation: String = "drop",
-      writeOptions: Map[String, String] = Map.empty): Map[String, Long] = {
+      writeOptions: Map[String, String] = Map.empty,
+      persistContract: Boolean = false): Map[String, Long] = {
     require(expectations.nonEmpty, "need at least one expectation")
     require(onViolation == "drop" || onViolation == "fail",
       s"onViolation must be drop|fail, got $onViolation")
+    val result = writeWithExpectations0(s, df, dir, expectations, onViolation, writeOptions)
+    // contract publishes only after the data landed under it
+    if (persistContract) publishContract(s, dir, expectations)
+    result
+  }
+
+  private def writeWithExpectations0(s: SparkSession, df: DataFrame, dir: String,
+      expectations: Map[String, org.apache.spark.sql.Column],
+      onViolation: String,
+      writeOptions: Map[String, String]): Map[String, Long] = {
     val names = expectations.keys.toSeq
     def violated(c: org.apache.spark.sql.Column) = !coalesce(c, lit(false))
     val counters = names.map(n => count(when(violated(expectations(n)), 1)).as(n))
@@ -700,6 +711,74 @@ object FormatOps {
       save(df.observe(obs, counters.head, counters.tail: _*).filter(passesAll))
       names.map(n => n -> obs.get(n).asInstanceOf[Long]).toMap
     }
+  }
+
+  /** Expectations persisted WITH the table (`.expectations` marker, one
+    * `name\tSQL` line per expectation): the one-shot argument to
+    * [[writeWithExpectations]] becomes a standing DATA CONTRACT that
+    * every later [[appendWithContract]] ingest re-enforces — the
+    * contract travels with the data, not with the job that first wrote
+    * it. Predicates round-trip as SQL text (the Catalyst expression's
+    * `.sql`, re-parsed with `expr`), so any engine session can load and
+    * re-apply them — the spec proves the round-trip behaviorally. */
+  val ExpectationsName = ".expectations"
+
+  /** Persist `expectations` as `dir`'s standing contract (atomic
+    * tmp+rename publish, same protocol as every graft marker). The
+    * predicates are ANALYZED against the table before publishing — a
+    * contract referencing a column the table doesn't have refuses here,
+    * not at the first ingest; the analyzed expressions' SQL is what
+    * lands on disk. Requires the table to exist. */
+  def publishContract(s: SparkSession, dir: String,
+      expectations: Map[String, org.apache.spark.sql.Column]): Unit = {
+    require(expectations.nonEmpty, "a contract needs at least one expectation")
+    val ordered = expectations.toSeq.sortBy(_._1)
+    val analyzed = s.read.format("graft").load(dir)
+      .select(ordered.map(_._2): _*)
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList
+      .map {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child.sql
+        case e => e.sql
+      }
+    val lines = ordered.map(_._1).zip(analyzed).map { case (n, sql) =>
+      require(!n.contains("\t") && !n.contains("\n"), s"bad expectation name: $n")
+      s"$n\t$sql"
+    }
+    graft.sources.AtomicPublish.text(s.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dir, ExpectationsName),
+      lines.mkString("\n"))
+  }
+
+  /** The standing contract persisted at `dir`, empty when none. */
+  def tableContract(s: SparkSession, dir: String): Map[String, org.apache.spark.sql.Column] = {
+    val p = new org.apache.hadoop.fs.Path(dir, ExpectationsName)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(n, sql) = line.split("\t", 2)
+        n -> expr(sql)
+      }.toMap
+    }
+  }
+
+  /** Append under the table's standing contract: loads the persisted
+    * expectations and runs the same one-pass Observation-counted
+    * quarantine (or fail-first gate) as [[writeWithExpectations]].
+    * Refuses when no contract exists — silently skipping validation on
+    * a typo'd path would defeat the contract's purpose. */
+  def appendWithContract(s: SparkSession, df: DataFrame, dir: String,
+      onViolation: String = "drop",
+      writeOptions: Map[String, String] = Map.empty): Map[String, Long] = {
+    val contract = tableContract(s, dir)
+    require(contract.nonEmpty, s"no $ExpectationsName contract at $dir — " +
+      "publish one with publishContract/writeWithExpectations(persistContract=true)")
+    writeWithExpectations(s, df, dir, contract, onViolation, writeOptions)
   }
 
   /** Change data feed between two generations of a graft table: every

@@ -28,6 +28,35 @@ class ExpectationsSpec extends SparkSpec {
     assert(canon(landed.select("id")) == expected.map(i => s"List($i)").sorted)
   }
 
+  test("persisted contract: later appends re-enforce it from disk") {
+    val dir = Files.createTempDirectory("graft-contract").toString + "/t"
+    val batch1 = spark.range(0, 50).selectExpr(
+      "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS v")
+    val c1 = FormatOps.writeWithExpectations(spark, batch1, dir,
+      Map("v_known" -> col("v").isNotNull, "v_pos" -> (col("v") >= 0)),
+      persistContract = true)
+    assert(c1("v_known") == 5)
+    // the contract is on DISK: a fresh load sees both expectations
+    val loaded = FormatOps.tableContract(spark, dir)
+    assert(loaded.keySet == Set("v_known", "v_pos"))
+    // a later ingest session appends UNDER the standing contract —
+    // no expectations passed, the table enforces its own
+    val batch2 = spark.range(100, 140).selectExpr(
+      "id", "CASE WHEN id % 4 = 0 THEN NULL ELSE id END AS v")
+    val c2 = FormatOps.appendWithContract(spark, batch2, dir)
+    assert(c2("v_known") == 10)
+    val landed = spark.read.format("graft").load(dir)
+    assert(landed.count() == 45 + 30, "both batches quarantined their nulls")
+    assert(landed.filter(col("v").isNull).count() == 0)
+    // no contract -> loud refusal, never a silent unvalidated append
+    val bare = Files.createTempDirectory("graft-nocontract").toString + "/t"
+    spark.range(0, 5).selectExpr("id", "id AS v")
+      .write.format("graft").mode("overwrite").save(bare)
+    intercept[IllegalArgumentException] {
+      FormatOps.appendWithContract(spark, batch2, bare)
+    }
+  }
+
   test("fail mode: nothing lands when an expectation is violated") {
     val dir = Files.createTempDirectory("graft-expect-fail").toString + "/t"
     val df = spark.range(0, 50).selectExpr("id", "id % 5 AS v")
