@@ -1333,7 +1333,85 @@ object TextOps {
       |  avg(dup_frac) AS avg_dup_frac
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q119: BPE merge learning (distributed tokenizer training) ------------
+  // Learns the first 4 byte-pair merges over the corpus — the training
+  // side of tokenization, not just token counting (q39). The classic
+  // scaling shape: the corpus is reduced ONCE to a (word, count) vocab
+  // (one shuffle over the text), and every merge iteration then runs
+  // over the VOCAB, not the corpus — pair counting is an explode +
+  // groupBy over distinct words weighted by their counts, the argmax is
+  // one collected row (count desc, pair asc tie-break), and the merge
+  // applies vocab-wide as a literal string replace. Words render as
+  // space-delimited symbol strings (' a  b  c ': single-space ends,
+  // double-space separators) so a pair occurrence is the literal
+  // ' a  b ' and left-to-right non-overlapping replace IS greedy BPE —
+  // both engines use the same representation and the same replace
+  // semantics, making merges and counts engine-exact. Symbols stay
+  // alphanumeric ([a-z0-9] tokenization), so literal interpolation is
+  // injection-safe. The driver loop is scheduling only: k=4 one-row
+  // collects, every data pass distributed, vocab checkpointed per step.
+  private val q119: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    var vocab = words
+      .withColumn("s",
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")))
+      .select(col("c"), col("s")).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to 4) {
+      val pairs = vocab
+        .select(col("c"), expr(
+          """explode(zip_with(
+            |  slice(split(trim(s), '  '), 1, size(split(trim(s), '  ')) - 1),
+            |  slice(split(trim(s), '  '), 2, size(split(trim(s), '  ')) - 1),
+            |  (x, y) -> struct(x AS a, y AS b)))""".stripMargin).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, a, b, cnt))
+      vocab = vocab
+        .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    merges.toSeq.toDF("step", "a", "b", "cnt").orderBy(col("step"))
+  }
+  private val q119Sql = {
+    def stage(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT t[i] AS a, t[i+1] AS b, sum(c) AS cnt
+         |  FROM (SELECT c, string_split(trim(s), '  ') AS t FROM $prev),
+         |       UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS (
+         |  SELECT c, replace(s,
+         |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS s
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT tok AS word, count(*) AS c
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |        FROM documents) u
+       |  GROUP BY tok),
+       |s0 AS (
+       |  SELECT c, ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s
+       |  FROM w),
+       |${(1 to 4).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 1 AS step, a, b, CAST(cnt AS BIGINT) AS cnt FROM b1
+       |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b2
+       |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM b3
+       |  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM b4)
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_bpe_merges" -> q119,
     "q115_corpus_ngram_prune" -> q115,
     "q112_rag_chunking" -> q112,
     "q110_stratified_sample" -> q110,
@@ -1367,6 +1445,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q119_bpe_merges" -> q119Sql,
     "q115_corpus_ngram_prune" -> q115Sql,
     "q112_rag_chunking" -> q112Sql,
     "q110_stratified_sample" -> q110Sql,
