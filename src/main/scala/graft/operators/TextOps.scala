@@ -1410,7 +1410,50 @@ object TextOps {
        |ORDER BY step""".stripMargin
   }
 
+  // ---- q120: character-entropy quality scoring -------------------------------
+  // Shannon entropy of the character distribution per document — the
+  // cheap detector for low-information text (repeated boilerplate,
+  // padding, degenerate generations) that length/stopword heuristics
+  // (q33) miss. One explode to (doc, char) counts, per-doc totals as a
+  // window over those counts (no second scan), entropy as
+  // -Σ (n/t)·ln(n/t) rounded to 6dp BEFORE thresholding so the
+  // flag can't straddle the cutoff on summation-order FP noise between
+  // engines. Identical '(?s)(.)' extraction on both sides keeps char
+  // sets (incl. newlines) equal.
+  private val q120: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '(?s)(.)', 1)")).as("ch"))
+      .groupBy(col("doc_id"), col("lang"), col("ch")).agg(count(lit(1)).as("n"))
+    val ent = freq
+      .withColumn("t", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(-sum((col("n") / col("t")) * log(col("n") / col("t"))), 6).as("h"))
+    ent.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < 3.0, 1L).otherwise(0L)).as("n_low_entropy"),
+        avg(col("h")).as("avg_entropy"))
+      .orderBy(col("lang"))
+  }
+  private val q120Sql =
+    """WITH ch AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_extract_all(lower(text), '(?s)(.)', 1)) AS c
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang, c, count(*) AS n FROM ch GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT doc_id, lang,
+      |    round(-sum((n::DOUBLE / t) * ln(n::DOUBLE / t)), 6) AS h
+      |  FROM (SELECT *, sum(n) OVER (PARTITION BY doc_id) AS t FROM f) x
+      |  GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy,
+      |  avg(h) AS avg_entropy
+      |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q120_char_entropy" -> q120,
     "q119_bpe_merges" -> q119,
     "q115_corpus_ngram_prune" -> q115,
     "q112_rag_chunking" -> q112,
@@ -1445,6 +1488,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q120_char_entropy" -> q120Sql,
     "q119_bpe_merges" -> q119Sql,
     "q115_corpus_ngram_prune" -> q115Sql,
     "q112_rag_chunking" -> q112Sql,
