@@ -1350,16 +1350,21 @@ object TextOps {
   // alphanumeric ([a-z0-9] tokenization), so literal interpolation is
   // injection-safe. The driver loop is scheduling only: k=4 one-row
   // collects, every data pass distributed, vocab checkpointed per step.
-  private val q119: Q = (s, d) => {
+  /** Learn `k` BPE merges over the corpus vocab; returns the merged
+    * vocab (word, c, s — s in the symbol-string representation) and the
+    * merge list (step, a, b, weighted pair count). Shared by q119
+    * (the merges) and q121 (the encoded vocab). */
+  private def bpeLearn(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     val words = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
     var vocab = words
       .withColumn("s",
         concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")))
-      .select(col("c"), col("s")).localCheckpoint()
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (step <- 1 to 4) {
+    for (step <- 1 to k) {
       val pairs = vocab
         .select(col("c"), expr(
           """explode(zip_with(
@@ -1375,8 +1380,12 @@ object TextOps {
         .withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
         .localCheckpoint()
     }
+    (vocab, merges.toSeq)
+  }
+
+  private val q119: Q = (s, d) => {
     import s.implicits._
-    merges.toSeq.toDF("step", "a", "b", "cnt").orderBy(col("step"))
+    bpeLearn(s, d, 4)._2.toDF("step", "a", "b", "cnt").orderBy(col("step"))
   }
   private val q119Sql = {
     def stage(i: Int): String = {
@@ -1452,7 +1461,55 @@ object TextOps {
       |  avg(h) AS avg_entropy
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q121: BPE encode — apply the learned merges to the corpus -------------
+  // The encode side of q119: after 4 learned merges, the vocab table IS
+  // the tokenizer dictionary — at 100 TB you encode a corpus by joining
+  // its words against this (word → subtoken count/ids) table, never by
+  // re-running merges over raw text. The gate reports exact integers
+  // (occurrence-weighted word, char, and subtoken totals): chars vs
+  // subtokens is the compression the 4 merges bought, and every number
+  // is engine-exact because the oracle replays the same merge chain on
+  // the same representation.
+  private val q121: Q = (s, d) => {
+    val (vocab, _) = bpeLearn(s, d, 4)
+    vocab.agg(
+      sum(col("c")).as("n_words"),
+      sum(col("c") * length(col("word"))).cast("long").as("n_chars"),
+      sum(col("c") * size(split(trim(col("s")), "  "))).cast("long").as("n_subtokens"))
+  }
+  private val q121Sql = {
+    def stage(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT t[i] AS a, t[i+1] AS b, sum(c) AS cnt
+         |  FROM (SELECT c, string_split(trim(s), '  ') AS t FROM $prev),
+         |       UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS (
+         |  SELECT word, c, replace(s,
+         |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS s
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT tok AS word, count(*) AS c
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |        FROM documents) u
+       |  GROUP BY tok),
+       |s0 AS (
+       |  SELECT word, c,
+       |    ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s
+       |  FROM w),
+       |${(1 to 4).map(stage).mkString(",\n")}
+       |SELECT CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * len(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * len(string_split(trim(s), '  '))) AS BIGINT) AS n_subtokens
+       |FROM s4""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_bpe_encode" -> q121,
     "q120_char_entropy" -> q120,
     "q119_bpe_merges" -> q119,
     "q115_corpus_ngram_prune" -> q115,
@@ -1488,6 +1545,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q121_bpe_encode" -> q121Sql,
     "q120_char_entropy" -> q120Sql,
     "q119_bpe_merges" -> q119Sql,
     "q115_corpus_ngram_prune" -> q115Sql,
