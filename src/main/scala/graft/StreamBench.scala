@@ -33,13 +33,15 @@ object StreamBench {
     }
     names.foreach { name =>
       System.gc()
-      val times = (1 to runs).map { _ =>
+      // a failed run must NOT contribute its (near-zero) elapsed time to
+      // the min — a broken query would read as a fast one
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => println(s"$name ERR ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => println(s"$name ERR ${e.getMessage}"); None }
       }
-      println(f"SB $name min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
+      if (times.isEmpty) println(s"SB $name FAILED all $runs runs")
+      else println(f"SB $name min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

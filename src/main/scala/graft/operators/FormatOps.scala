@@ -744,11 +744,37 @@ object FormatOps {
       }
     val lines = ordered.map(_._1).zip(analyzed).map { case (n, sql) =>
       require(!n.contains("\t") && !n.contains("\n"), s"bad expectation name: $n")
-      s"$n\t$sql"
+      // the SQL itself may contain the framing chars (a string literal
+      // with an embedded newline breaks the one-line-per-expectation
+      // format in two) — escape on publish, unescape on load
+      s"$n\t${escapeMarker(sql)}"
     }
     graft.sources.AtomicPublish.text(s.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(dir, ExpectationsName),
       lines.mkString("\n"))
+  }
+
+  private def escapeMarker(x: String): String =
+    x.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private def unescapeMarker(x: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < x.length) {
+      val c = x.charAt(i)
+      if (c == '\\' && i + 1 < x.length) {
+        x.charAt(i + 1) match {
+          case 'n' => b.append('\n')
+          case 't' => b.append('\t')
+          case 'r' => b.append('\r')
+          case '\\' => b.append('\\')
+          case o => b.append('\\').append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   /** The standing contract persisted at `dir`, empty when none. */
@@ -762,7 +788,7 @@ object FormatOps {
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       text.split("\n").filter(_.nonEmpty).map { line =>
         val Array(n, sql) = line.split("\t", 2)
-        n -> expr(sql)
+        n -> expr(unescapeMarker(sql))
       }.toMap
     }
   }
@@ -807,25 +833,31 @@ object FormatOps {
     require(keys.forall(common.contains),
       s"key columns ${keys.filterNot(common.contains).mkString(",")} absent from a generation")
     val nonKey = common.toSeq.filterNot(keys.contains).sorted
-    // Content digest straight over the columns — no to_json string
-    // materialization in the per-row inner loop of a two-full-scan diff.
-    // Two subtleties the naive xxhash64(cols…) gets wrong:
+    // Content digest straight over the columns. Three subtleties the
+    // naive xxhash64(cols…) gets wrong:
     //  - multi-arg hash SKIPS null children, so (null, x) would collide
     //    with (x, null); each column therefore hashes into its own slot,
     //    nulls taking a fixed sentinel (a real value colliding with the
     //    sentinel is a ~2^-64 event, the same tolerance as the digest
     //    join itself — an undetected collision reads as "unchanged");
-    //  - MapType has no deterministic hash (and is rejected by hash
-    //    functions outright), so top-level maps digest as their
-    //    key-sorted entry array. Maps nested inside structs/arrays still
-    //    fail loudly in Spark's hash expression rather than silently
-    //    misclassifying.
+    //  - the same null-skipping applies INSIDE structs and arrays, where
+    //    a per-column slot can't see it — struct<a,b> (null,'x') vs
+    //    ('x',null) hash identically. Nested types therefore digest via
+    //    to_json, which keeps field names and null positions. The flat
+    //    fast path (the overwhelming majority of columns) still pays no
+    //    string materialization;
+    //  - MapType has no deterministic order (and is rejected by hash
+    //    functions outright), so maps digest as their key-sorted entry
+    //    array through the same to_json path. Maps nested deeper inside
+    //    structs keep to_json's insertion order — same tolerance as the
+    //    original all-to_json digest.
     def digested(df: DataFrame, as: String): DataFrame = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
       val dt = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val slots = nonKey.map { n =>
         val c = dt(n) match {
-          case _: org.apache.spark.sql.types.MapType =>
-            array_sort(map_entries(col(n)))
+          case _: MapType => to_json(array_sort(map_entries(col(n))))
+          case _: StructType | _: ArrayType => to_json(col(n))
           case _ => col(n)
         }
         coalesce(xxhash64(c), lit(0x9e3779b97f4a7c15L))

@@ -674,17 +674,10 @@ object TextOps {
   // digest is the one shuffle; ~1/6 of positions survive the boundary
   // filter, bounding the explode fan-out at ~n_chars/6 rows per doc.
   private val q56: Q = (s, d) => {
-    val W = 40
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      .filter(length(col("t")) >= W)
-    // one regex-lookahead scan materializes only the space-anchored
-    // windows (see spanWindows) — no per-character sequence explode
-    val wins = t
-      .select(col("doc_id"), col("lang"),
-        explode(expr(s"regexp_extract_all(t, '(?s)(?=(.{${W - 1}} ))', 1)")).as("w"))
-      .select(col("doc_id"), col("lang"), md5(col("w").cast("binary")).as("h"))
-      .distinct() // a span repeated WITHIN one doc is not a cross-doc dup
+    // shared window substrate (regex-lookahead scan, per-doc distinct —
+    // a span repeated WITHIN one doc is not a cross-doc dup), lang
+    // carried through for the final per-language rollup
+    val wins = spanWindows(Tables.documents(s, d), carry = Seq("lang"))
     // rows are distinct per (doc_id, h), so a plain windowed count per h
     // IS the distinct-doc count — one shuffle on the digest marks the
     // shared spans, instead of a groupBy + self-semi-join that would
@@ -775,29 +768,37 @@ object TextOps {
   // 10^12. Connected components are identical: any two docs sharing a
   // digest are joined through the digest's hub doc.
   /** Symmetric star edges (src, dst) over (doc_id, h) span windows — one
-    * groupBy + one equi-join, O(k) edges per digest group of size k. */
+    * groupBy + one equi-join + ONE distinct: both edge directions come
+    * from a single explode over the joined row, so the join subtree is
+    * evaluated once and the only shuffle-dedup is the final distinct. */
   def spanStarEdges(wins: DataFrame): DataFrame = {
     val hubs = wins.groupBy(col("h")).agg(min(col("doc_id")).as("hub"))
-    val star = wins.join(hubs, Seq("h"))
+    wins.join(hubs, Seq("h"))
       .filter(col("doc_id") =!= col("hub"))
-      .select(col("doc_id").as("src"), col("hub").as("dst"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"), col("hub").as("dst")),
+        struct(col("hub").as("src"), col("doc_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-    star.union(star.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  /** Distinct (doc_id, h) content-defined span-window digests (width W,
-    * windows ending at a space) — the q56/q59 edge substrate. Windows
-    * come from one regex-lookahead scan (`(?=(.{W-1} ))` under DOTALL,
-    * zero-width so overlapping windows all match) — only the ~1/6 of
-    * positions ending at a space are ever materialized, vs exploding a
-    * per-character `sequence` and filtering (2.2x faster measured). */
-  def spanWindows(docs: DataFrame, W: Int = 40): DataFrame = {
+  /** Distinct (doc_id [, carry...], h) content-defined span-window
+    * digests (width W, windows ending at a space) — the q56/q59 edge
+    * substrate. Windows come from one regex-lookahead scan
+    * (`(?=(.{W-1} ))` under DOTALL, zero-width so overlapping windows
+    * all match) — only the ~1/6 of positions ending at a space are ever
+    * materialized, vs exploding a per-character `sequence` and
+    * filtering (2.2x faster measured). `carry` columns ride along
+    * unchanged (q56 keeps lang). */
+  def spanWindows(docs: DataFrame, W: Int = 40,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
     val t = docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(keep :+ lower(col("text")).as("t"): _*)
       .filter(length(col("t")) >= W)
-    t.select(col("doc_id"),
-        explode(expr(s"regexp_extract_all(t, '(?s)(?=(.{${W - 1}} ))', 1)")).as("w"))
-      .select(col("doc_id"), md5(col("w").cast("binary")).as("h"))
+    t.select(keep :+
+        explode(expr(s"regexp_extract_all(t, '(?s)(?=(.{${W - 1}} ))', 1)")).as("w"): _*)
+      .select(keep :+ md5(col("w").cast("binary")).as("h"): _*)
       .distinct()
   }
 
@@ -1309,7 +1310,7 @@ object TextOps {
     scored.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("dup_frac") > 0.5, 1L).otherwise(0L)).as("n_flagged"),
-        avg(col("dup_frac")).as("avg_dup_frac"))
+        round(avg(col("dup_frac")), 6).as("avg_dup_frac"))
       .orderBy(col("lang"))
   }
   private val q115Sql =
@@ -1330,7 +1331,7 @@ object TextOps {
       |  GROUP BY doc_id, lang)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-      |  avg(dup_frac) AS avg_dup_frac
+      |  round(avg(dup_frac), 6) AS avg_dup_frac
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- q119: BPE merge learning (distributed tokenizer training) ------------
@@ -1442,7 +1443,7 @@ object TextOps {
     ent.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("h") < 3.0, 1L).otherwise(0L)).as("n_low_entropy"),
-        avg(col("h")).as("avg_entropy"))
+        round(avg(col("h")), 6).as("avg_entropy"))
       .orderBy(col("lang"))
   }
   private val q120Sql =
@@ -1458,7 +1459,7 @@ object TextOps {
       |  GROUP BY 1, 2)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy,
-      |  avg(h) AS avg_entropy
+      |  round(avg(h), 6) AS avg_entropy
       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- q121: BPE encode — apply the learned merges to the corpus -------------

@@ -170,6 +170,18 @@ object Generations {
     // same atomic publish as a rewrite's swap; readers see old or new,
     // never a mixture
     AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), target)
+    // restart the abandoned future's staleness clock: the sweep judges
+    // above-pointer generations by their own mtime, and a generation
+    // that was LIVE for an hour is already "stale" the instant the
+    // pointer swings back — without this touch its in-flight readers
+    // would lose their files with zero grace instead of the promised
+    // window
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory &&
+          GraftDataSource.genIndex(st.getPath.getName).exists(_ > generation))
+        fs.setTimes(st.getPath, now, -1)
+    }
   }
 
   def rewrite(s: SparkSession, dir: String,

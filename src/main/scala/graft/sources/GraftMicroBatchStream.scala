@@ -64,16 +64,33 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     * with everything already present and starts past it, so only files
     * landing AFTER the stream starts are emitted — what a change-feed
     * consumer attaching to an existing capture log wants (the history is
-    * served by the batch reader, not a replay). */
+    * served by the batch reader, not a replay).
+    *
+    * The start position is pinned in its OWN marker
+    * (`graft-start-offset`), not derived from the file log's size: the
+    * log durably grows in `latestOffset` BEFORE Spark commits the
+    * batch's offsets, so a crash in that window would otherwise make a
+    * re-run initialOffset see the grown log and silently skip the files
+    * discovered pre-crash. */
   override def initialOffset(): Offset =
     if (startingOffsets == "latest") {
-      val known = readLog()
-      val all = if (known.nonEmpty) known else {
-        val now = GraftDataSource.listFiles(conf, dir).map(_.toString).toVector
-        if (now.nonEmpty) writeLog(now)
-        now
-      }
-      GraftStreamOffset(all.size)
+      val startPath = new Path(checkpointLocation, "graft-start-offset")
+      val n =
+        if (fs.exists(startPath)) {
+          val in = fs.open(startPath)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
+          finally in.close()
+        } else {
+          val known = readLog()
+          val all = if (known.nonEmpty) known else {
+            val now = GraftDataSource.listFiles(conf, dir).map(_.toString).toVector
+            if (now.nonEmpty) writeLog(now)
+            now
+          }
+          AtomicPublish.text(conf, startPath, all.size.toString)
+          all.size
+        }
+      GraftStreamOffset(n)
     } else GraftStreamOffset(0)
 
   override def latestOffset(): Offset =

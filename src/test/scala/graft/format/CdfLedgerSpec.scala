@@ -93,6 +93,19 @@ class CdfLedgerSpec extends SparkSpec {
       spark.sql("SELECT 1L AS id, 'x' AS a, CAST(NULL AS STRING) AS b"), Seq("id"))
     assert(canon(FormatOps.changesBetween(spark, dir, 1, None, Seq("id"))) ==
       Seq("List(1, update)"))
+    // null swaps NESTED inside a struct must also classify as updates
+    // (plain xxhash64 over a struct skips null fields without position
+    // mixing — the to_json path preserves names and null positions)
+    val dirS = Files.createTempDirectory("graft-cdf-struct").toString
+    spark.sql("SELECT 1L AS id, named_struct('a', CAST(NULL AS STRING), 'b', 'x') AS s")
+      .write.format("graft").mode("overwrite").save(dirS)
+    FormatOps.compact(spark, dirS, targetFiles = 1) // gen-1 baseline
+    FormatOps.upsert(spark, dirS, "data",
+      spark.sql("SELECT 1L AS id, named_struct('a', 'x', 'b', CAST(NULL AS STRING)) AS s"),
+      Seq("id"))
+    assert(canon(FormatOps.changesBetween(spark, dirS, 1, None, Seq("id"))) ==
+      Seq("List(1, update)"),
+      "struct-nested null swap must not hash-collide into 'unchanged'")
     // same map content written in a different entry order digests equal
     val dir2 = Files.createTempDirectory("graft-cdf-map").toString
     spark.sql("SELECT 1L AS id, map('k1', 1, 'k2', 2) AS m")
