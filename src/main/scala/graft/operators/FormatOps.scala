@@ -357,6 +357,39 @@ object FormatOps {
   def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L): Unit =
     graft.sources.Generations.vacuum(s, dir, graceMs)
 
+  /** `DESCRIBE HISTORY`: the table's generations as a DataFrame — one
+    * row per generation still on disk with its index, live flag, birth
+    * timestamp (`.swap-ts`), idempotency tag (`.rewrite-tag`), file
+    * count and bytes. Metadata-only (a directory listing plus two tiny
+    * marker reads per generation, never data); superseded generations
+    * appear until the sweep reclaims them, which is exactly the
+    * time-travel horizon a `VERSION AS OF` reader wants to see. */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveIdx = graft.sources.GraftDataSource.readGenPointer(conf, dir)
+      .flatMap(graft.sources.GraftDataSource.genIndex)
+    val rows = fs.listStatus(root).toSeq.flatMap { st =>
+      graft.sources.GraftDataSource.genIndex(st.getPath.getName).map { i =>
+        var nFiles = 0L
+        var bytes = 0L
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".graft")) { nFiles += 1; bytes += f.getLen }
+        }
+        (i, liveIdx.contains(i),
+          graft.sources.GraftDataSource.readSwapTs(conf, st.getPath)
+            .map(new java.sql.Timestamp(_)),
+          graft.sources.Generations.rewriteTag(conf, st.getPath),
+          nFiles, bytes)
+      }
+    }.sortBy(_._1)
+    import s.implicits._
+    rows.toDF("generation", "is_live", "birth", "tag", "n_files", "bytes")
+  }
+
   /** `RESTORE TABLE … TO VERSION AS OF n`: roll the table back to a
     * still-present generation by swinging the pointer — one atomic
     * rename, NO data copied or rewritten. The abandoned newer

@@ -139,22 +139,24 @@ object Generations {
     ()
   }
 
-  /** The idempotency key stamped on `dir`'s LIVE generation, if any —
-    * the `.rewrite-tag` written by the rewrite that produced it. */
-  def liveRewriteTag(conf: Configuration, dir: String): Option[String] = {
-    val root = new Path(dir)
-    GraftDataSource.readGenPointer(conf, dir).flatMap { gen =>
-      val p = new Path(new Path(root, gen), GraftDataSource.RewriteTagName)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        finally in.close()
-      }
+  /** The idempotency key stamped on a generation dir, if any. */
+  def rewriteTag(conf: Configuration, genDir: Path): Option[String] = {
+    val p = new Path(genDir, GraftDataSource.RewriteTagName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
     }
   }
+
+  /** The idempotency key stamped on `dir`'s LIVE generation, if any —
+    * the `.rewrite-tag` written by the rewrite that produced it. */
+  def liveRewriteTag(conf: Configuration, dir: String): Option[String] =
+    GraftDataSource.readGenPointer(conf, dir)
+      .flatMap(gen => rewriteTag(conf, new Path(new Path(dir), gen)))
 
   /** Roll `dir` back to `generation` by swinging the pointer (see
     * [[graft.operators.FormatOps.restore]] for the contract). */

@@ -276,6 +276,25 @@ class CompactionSpec extends SparkSpec {
     assert(canon(spark.read.format("graft").load(dir)) == original)
   }
 
+  test("history lists generations with live flag, birth, tag, sizes; restore flips the flag") {
+    val dir = Files.createTempDirectory("graft-history").toString
+    spark.range(0, 200).selectExpr("id", "id % 3 AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    FormatOps.compact(spark, dir, targetFiles = 2) // gen-1
+    graft.sources.Generations.rewrite(spark, dir,
+      (_, df) => df.filter(col("v") =!= 0),
+      idempotencyKey = Some("batch-42"))           // gen-2, tagged
+    val h = FormatOps.history(spark, dir).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h.map(_.getBoolean(1)).toSeq == Seq(false, true))
+    assert(h.forall(r => r.getTimestamp(2) != null), "every generation carries a birth ts")
+    assert(h.map(r => Option(r.getString(3))).toSeq == Seq(None, Some("batch-42")))
+    assert(h.forall(r => r.getLong(4) > 0 && r.getLong(5) > 0))
+    FormatOps.restore(spark, dir, 1)
+    val h2 = FormatOps.history(spark, dir).collect()
+    assert(h2.map(r => (r.getInt(0), r.getBoolean(1))).toSeq == Seq((1, true), (2, false)))
+  }
+
   test("cross-table transfer is atomic: generation-pinned readers always see the total conserved") {
     val dir = Files.createTempDirectory("graft-xfer").toString
     spark.range(0, 500).selectExpr("id", "CAST(100 AS BIGINT) AS bal")
