@@ -536,7 +536,62 @@ object Similarity {
       |SELECT vec_id, round(sum(ms), 6) AS maxsim FROM mx GROUP BY vec_id
       |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---- q122: embedding outlier detection (distance-to-centroid z-score) -----
+  // The curation op that catches mislabeled or corrupt vectors: each
+  // embedding's Euclidean distance to its label's centroid, z-scored
+  // within the label, outliers = z > 2. Scale shape: centroids are one
+  // dimension-exploded aggregate (labels × dims rows) broadcast back;
+  // distances are one pass over the vectors via the expansion
+  // |v-c|² = v·v − 2 v·c + c·c (codegen'd dots, no per-dim explode on
+  // the big side); the per-label mean/stddev ride a window. z rounds to
+  // 4dp BEFORE thresholding so the outlier flag can't straddle the
+  // cutoff on FP summation noise between engines.
+  private val q122: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    val dist = e.join(broadcast(cents), Seq("label"))
+      .withColumn("d", sqrt(greatest(
+        dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"), lit(0.0))))
+    val w = Window.partitionBy(col("label"))
+    dist
+      .withColumn("z", round((col("d") - avg(col("d")).over(w))
+        / stddev_samp(col("d")).over(w), 4))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(avg(col("d")), 6).as("avg_dist"))
+      .orderBy(col("label"))
+  }
+  private val q122Sql =
+    """WITH t AS (
+      |  SELECT label,
+      |    CAST(unnest(generate_series(0, 63)) AS INT) AS pos,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |c AS (SELECT label, pos, avg(x) AS cx FROM t GROUP BY 1, 2),
+      |cv AS (SELECT label, list(cx ORDER BY pos) AS cv FROM c GROUP BY label),
+      |e2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dd AS (
+      |  SELECT e2.vec_id, e2.label,
+      |    sqrt(greatest(list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+      |      + list_dot_product(cv, cv), 0)) AS d
+      |  FROM e2 JOIN cv USING (label)),
+      |z AS (
+      |  SELECT label, d,
+      |    round((d - avg(d) OVER (PARTITION BY label))
+      |      / stddev_samp(d) OVER (PARTITION BY label), 4) AS z
+      |  FROM dd)
+      |SELECT label, count(*) AS n,
+      |  CAST(sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(avg(d), 6) AS avg_dist
+      |FROM z GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q122_embedding_outliers" -> q122,
     "q117_maxsim" -> q117,
     "q116_hybrid_rrf" -> q116,
     "q58_quantized_ann" -> q58,
@@ -551,6 +606,7 @@ object Similarity {
     "q46_lsh_recall" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q122_embedding_outliers" -> q122Sql,
     "q117_maxsim" -> q117Sql,
     "q116_hybrid_rrf" -> q116Sql,
     "q58_quantized_ann" -> q58Sql,
