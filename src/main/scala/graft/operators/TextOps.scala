@@ -1278,6 +1278,88 @@ object TextOps {
       |WHERE h NOT IN (SELECT h FROM b1)
       |ORDER BY batch""".stripMargin
 
+  // ---- q35c: LSH precision — verified pipeline rejects planted negatives ----
+  // The PRECISION twin of q35b's recall gate: the full near-dup pipeline
+  // is candidates (banded LSH) + VERIFICATION (exact trigram-shingle
+  // Jaccard over the candidate pairs, the standard LSH verify stage) —
+  // and the gate proves the verified output contains every planted TRUE
+  // duplicate and ZERO planted non-duplicates. Negatives are
+  // constructed to be provably disjoint: every 2nd token is replaced by
+  // a per-doc synthetic token, so EVERY 3-token shingle window contains
+  // one, shingle overlap with the original is exactly zero, and J = 0
+  // regardless of band collisions — the verification stage must filter
+  // any spurious candidate deterministically. Verification cost is
+  // bounded by the CANDIDATES (a semi-joined shingle join), never the
+  // corpus — the property that makes verify affordable at 100 TB.
+  private val q35c: Q = (s, d) => {
+    val base = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
+    val distinctShingles = when(size(col("toks")) >= 3, size(expr(
+      "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"
+    ))).otherwise(lit(0))
+    val eligible = base.filter(col("doc_id") % 20 === 0 &&
+      size(col("toks")) >= 20 && distinctShingles >= 16)
+    val exactTwin = eligible.withColumn("doc_id", col("doc_id") + PlantShiftDocs)
+    // provably-disjoint negative: every 2nd token becomes a synthetic
+    // one, so every shingle window holds at least one
+    val negTwin = eligible
+      .withColumn("toks", expr(
+        "transform(toks, (t, i) -> IF(i % 2 = 1, concat('qq', doc_id, 'x', i), t))"))
+      .withColumn("doc_id", col("doc_id") + 2 * PlantShiftDocs)
+    val fam = base.unionByName(exactTwin).unionByName(negTwin)
+    // the band table feeds both join sides and, transitively, the
+    // verify stage — checkpoint so the minhash pipeline runs once
+    val bands = bandHashes(minhashSigsOf(fam)).localCheckpoint()
+    val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
+    val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"))
+    // the gate's assertions concern only pairs with a planted member, so
+    // the verify stage runs on that slice (production verifies every
+    // candidate; the cost shape — bounded by candidates, not corpus —
+    // is what the gate demonstrates)
+    val candidates = l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2") && col("id2") >= PlantShiftDocs)
+      .select(col("id1"), col("id2")).distinct().localCheckpoint()
+    // exact verify: true trigram-shingle Jaccard, computed only for docs
+    // that appear in a candidate pair — the semi-join runs BEFORE the
+    // shingle explode (plan-audited: joining after would explode the
+    // whole corpus first)
+    val inCand = candidates.select(col("id1").as("doc_id"))
+      .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    val candSh = fam.join(inCand, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', slice(toks, i, 3)))))"))
+        .as("sh"))
+    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = candidates
+      .join(candSh.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
+      .join(candSh.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ninter"))
+    val verified = candidates
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2")), Seq("id2"))
+      .withColumn("j", coalesce(col("ninter"), lit(0L))
+        / (col("n1") + col("n2") - coalesce(col("ninter"), lit(0L))))
+      .filter(col("j") >= 0.8)
+    val plantedIds = eligible.select(col("doc_id").as("id1"))
+    plantedIds.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedIds.join(
+        verified.filter(col("id2") === col("id1") + PlantShiftDocs),
+        Seq("id1"), "left_semi").agg(count(lit(1)).as("n_true_dups_verified")))
+      .crossJoin(verified.filter(col("id2") >= 2 * PlantShiftDocs)
+        .agg(count(lit(1)).as("n_planted_negatives_reported")))
+  }
+  private val q35cSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(count(*) AS BIGINT) AS n_true_dups_verified,
+      |  CAST(0 AS BIGINT) AS n_planted_negatives_reported
+      |FROM t
+      |WHERE doc_id % 20 = 0 AND len(tk) >= 20
+      |  AND len(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |        i -> array_to_string(tk[i:i+2], ' ')))) >= 16""".stripMargin
+
   // ---- q115: corpus-level n-gram pruning (inter-document repetition) --------
   // The C4/Gopher-style corpus signal that per-doc repetition (q48)
   // can't see: a document whose 5-grams mostly ALSO appear in other
@@ -1510,6 +1592,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q35c_lsh_precision" -> q35c,
     "q121_bpe_encode" -> q121,
     "q120_char_entropy" -> q120,
     "q119_bpe_merges" -> q119,
@@ -1546,6 +1629,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q35c_lsh_precision" -> q35cSql,
     "q121_bpe_encode" -> q121Sql,
     "q120_char_entropy" -> q120Sql,
     "q119_bpe_merges" -> q119Sql,
