@@ -365,27 +365,11 @@ object FormatOps {
     * appear until the sweep reclaims them, which is exactly the
     * time-travel horizon a `VERSION AS OF` reader wants to see. */
   def history(s: SparkSession, dir: String): DataFrame = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(conf)
-    val liveIdx = graft.sources.GraftDataSource.readGenPointer(conf, dir)
-      .flatMap(graft.sources.GraftDataSource.genIndex)
-    val rows = fs.listStatus(root).toSeq.flatMap { st =>
-      graft.sources.GraftDataSource.genIndex(st.getPath.getName).map { i =>
-        var nFiles = 0L
-        var bytes = 0L
-        val it = fs.listFiles(st.getPath, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".graft")) { nFiles += 1; bytes += f.getLen }
-        }
-        (i, liveIdx.contains(i),
-          graft.sources.GraftDataSource.readSwapTs(conf, st.getPath)
-            .map(new java.sql.Timestamp(_)),
-          graft.sources.Generations.rewriteTag(conf, st.getPath),
-          nFiles, bytes)
+    val rows = graft.sources.Generations
+      .historyRows(s.sparkContext.hadoopConfiguration, dir)
+      .map { case (i, live, birth, tag, n, b) =>
+        (i, live, birth.map(new java.sql.Timestamp(_)), tag, n, b)
       }
-    }.sortBy(_._1)
     import s.implicits._
     rows.toDF("generation", "is_live", "birth", "tag", "n_files", "bytes")
   }

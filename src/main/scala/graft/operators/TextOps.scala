@@ -1324,11 +1324,18 @@ object TextOps {
     // whole corpus first)
     val inCand = candidates.select(col("id1").as("doc_id"))
       .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    // guarded like q35b (sequence(1, n-2) with n < 3 draws a descending
+    // range); checkpointed because the shingle table feeds BOTH sides of
+    // the intersection join plus both size joins — unchecked, the corpus
+    // scan + tokenize + explode would re-run per reference
     val candSh = fam.join(inCand, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', slice(toks, i, 3)))))"))
-        .as("sh"))
-    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        """IF(size(toks) >= 3,
+          |  array_distinct(transform(sequence(1, size(toks) - 2),
+          |    i -> md5(concat_ws(' ', slice(toks, i, 3))))),
+          |  array())""".stripMargin)).as("sh"))
+      .localCheckpoint()
+    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")).localCheckpoint()
     val inter = candidates
       .join(candSh.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
       .join(candSh.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))

@@ -139,17 +139,51 @@ object Generations {
     ()
   }
 
-  /** The idempotency key stamped on a generation dir, if any. */
-  def rewriteTag(conf: Configuration, genDir: Path): Option[String] = {
-    val p = new Path(genDir, GraftDataSource.RewriteTagName)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
+  /** The idempotency key stamped on a generation dir, if any. Tolerates
+    * the dir (or marker) vanishing under a concurrent grace-sweep — the
+    * same contract as [[GraftDataSource.readSwapTs]]. */
+  def rewriteTag(conf: Configuration, genDir: Path): Option[String] =
+    try {
+      val p = new Path(genDir, GraftDataSource.RewriteTagName)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** One row per generation still on disk: (index, isLive, birth epoch
+    * ms, idempotency tag, graft file count, bytes). Metadata-only; a
+    * generation reclaimed by a concurrent sweep mid-listing is simply
+    * omitted rather than failing the whole call. */
+  def historyRows(conf: Configuration, dir: String)
+      : Seq[(Int, Boolean, Option[Long], Option[String], Long, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveIdx = GraftDataSource.readGenPointer(conf, dir)
+      .flatMap(GraftDataSource.genIndex)
+    fs.listStatus(root).toSeq.flatMap { st =>
+      // a stray FILE named gen-NNNNN is not a generation (the sweep
+      // guards identically)
+      if (!st.isDirectory) None
+      else GraftDataSource.genIndex(st.getPath.getName).flatMap { i =>
+        try {
+          var nFiles = 0L
+          var bytes = 0L
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".graft")) { nFiles += 1; bytes += f.getLen }
+          }
+          Some((i, liveIdx.contains(i),
+            GraftDataSource.readSwapTs(conf, st.getPath),
+            rewriteTag(conf, st.getPath), nFiles, bytes))
+        } catch { case _: java.io.IOException => None } // swept mid-listing
+      }
+    }.sortBy(_._1)
   }
 
   /** The idempotency key stamped on `dir`'s LIVE generation, if any —
