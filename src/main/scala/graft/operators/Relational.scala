@@ -789,7 +789,53 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q123: interval OVERLAP join via binned equi-join ---------------------
+  // The temporal-join family q19's point-in-range join doesn't cover:
+  // two sets of time INTERVALS (90 s attribution windows around
+  // purchases and views), paired per user when they overlap. The naive
+  // form is a per-user theta join; the scale shape is the classic
+  // binning reduction: each interval explodes to the W-aligned bins it
+  // touches (≤ 2 here, since length = W), the join is a hash equi-join
+  // on (user, bin) — shuffle ∝ data, never the cross product — and the
+  // exact overlap predicate re-checks the candidates; distinct collapses
+  // pairs that met in both shared bins. Same answer as the theta join
+  // (every overlapping pair shares ≥ 1 bin), DuckDB oracles it with the
+  // quadratic form.
+  private val q123: Q = (s, d) => {
+    val W = 90L
+    val e = Tables.events(s, d).withColumn("ts_sec", col("ts").cast("long"))
+    def iv(tpe: String, p: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(s"${p}_id"),
+        col("ts_sec").as(s"${p}_s"), (col("ts_sec") + W).as(s"${p}_e"))
+    def binned(df: DataFrame, p: String) = df.withColumn("bin",
+      explode(expr(s"sequence(${p}_s div $W, (${p}_e - 1) div $W)")))
+    val pairs = binned(iv("purchase", "a"), "a")
+      .join(binned(iv("view", "b"), "b"), Seq("user_id", "bin"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id")).distinct()
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("a_id")).as("sum_a"), sum(col("b_id")).as("sum_b"))
+  }
+  private val q123Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |a AS (SELECT user_id, event_id AS a_id, t AS a_s, t + 90 AS a_e
+      |      FROM e WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, event_id AS b_id, t AS b_s, t + 90 AS b_e
+      |      FROM e WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT DISTINCT a_id, b_id
+      |  FROM a JOIN b USING (user_id)
+      |  WHERE a_s < b_e AND b_s < a_e)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(a_id) AS BIGINT) AS sum_a,
+      |  CAST(sum(b_id) AS BIGINT) AS sum_b
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q123_interval_overlap" -> q123,
     "q2s_hash_sample" -> q2s,
     "q2p_pivot" -> q2p,
     "q29a_salted_agg" -> q29a,
@@ -828,6 +874,7 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q123_interval_overlap" -> q123Sql,
     "q13b_percentiles" -> q13bSql,
     "q13c_stat_aggs" -> q13cSql,
     "q2s_hash_sample" -> q2sSql,
