@@ -804,8 +804,16 @@ object FormatOps {
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       text.split("\n").filter(_.nonEmpty).map { line =>
-        val Array(n, sql) = line.split("\t", 2)
-        n -> expr(unescapeMarker(sql))
+        line.split("\t", 2) match {
+          case Array(n, sql) =>
+            try n -> expr(unescapeMarker(sql))
+            catch {
+              case e: Exception => throw new graft.format.OliveFormatException(
+                s"corrupt expectation '$n' in $ExpectationsName at $dir: ${e.getMessage}", e)
+            }
+          case _ => throw new graft.format.OliveFormatException(
+            s"corrupt $ExpectationsName line at $dir: '$line'")
+        }
       }.toMap
     }
   }

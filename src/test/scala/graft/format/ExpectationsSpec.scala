@@ -55,6 +55,16 @@ class ExpectationsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FormatOps.appendWithContract(spark, batch2, bare)
     }
+    // a corrupt marker fails with a typed contextual error, never a
+    // silent weaker contract or a bare MatchError
+    graft.sources.AtomicPublish.text(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dir, FormatOps.ExpectationsName),
+      "garbage with no tab\n")
+    val e = intercept[OliveFormatException] {
+      FormatOps.appendWithContract(spark, batch2, dir)
+    }
+    assert(e.getMessage.contains("corrupt"))
   }
 
   test("fail mode: nothing lands when an expectation is violated") {
