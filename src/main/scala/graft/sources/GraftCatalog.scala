@@ -34,7 +34,8 @@ import graft.format.GraftFileReader
   * arrives); `df.writeTo("cat.ns.t").append()` routes through the
   * path-based DSv2 writer with the table option pinned.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -370,4 +371,95 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def functionExists(ident: Identifier): Boolean =
     ident.name().equalsIgnoreCase("bucket")
+
+  // ---- SQL procedures: CALL cat.sys.{history,vacuum,restore}(...) -----------
+  // The maintenance surface as first-class SQL (Spark 4's DSv2
+  // ProcedureCatalog): `CALL graft.sys.history(ns => 'db')` returns the
+  // generation history as rows (LocalScan), `vacuum` reclaims retention,
+  // `restore` rolls the namespace back — no Scala API needed for the
+  // operational story. Procedures live under the reserved `sys`
+  // namespace; the `ns` argument is the catalog namespace (dotted for
+  // nested), resolved through the same nsDir as every table.
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
+      Array("history", "vacuum", "restore").map(Identifier.of(Array("sys"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    (ident.namespace.toSeq.map(_.toLowerCase), ident.name.toLowerCase) match {
+      case (Seq("sys"), "history") => historyProc
+      case (Seq("sys"), "vacuum") => vacuumProc
+      case (Seq("sys"), "restore") => restoreProc
+      case _ => throw new IllegalArgumentException(
+        s"unknown procedure $ident — available: sys.history(ns), " +
+          "sys.vacuum(ns, grace_ms), sys.restore(ns, generation)")
+    }
+
+  /** Shared shape: unbound and bound in one object (binding is trivial —
+    * parameters are declared statically). */
+  private abstract class SysProc(procName: String, desc: String,
+      params: Array[ProcedureParameter]) extends UnboundProcedure with BoundProcedure {
+    override def name: String = procName
+    override def description: String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters: Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def dirOf(input: InternalRow): String =
+      nsDir(input.getUTF8String(0).toString.split("\\.").filter(_.nonEmpty))
+    protected def done: java.util.Iterator[Scan] =
+      java.util.Collections.emptyIterator[Scan]()
+  }
+
+  private val historySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("generation", IntegerType),
+    org.apache.spark.sql.types.StructField("is_live", BooleanType),
+    org.apache.spark.sql.types.StructField("birth", TimestampType),
+    org.apache.spark.sql.types.StructField("tag", StringType),
+    org.apache.spark.sql.types.StructField("n_files", LongType),
+    org.apache.spark.sql.types.StructField("bytes", LongType)))
+
+  private lazy val historyProc: UnboundProcedure = new SysProc("history",
+    "generation history of a graft namespace (index, live, birth, tag, files, bytes)",
+    Array(ProcedureParameter.in("ns", StringType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = Generations.historyRows(conf, dirOf(input))
+        .map { case (i, live, birth, tag, n, b) =>
+          InternalRow(i, live,
+            birth.map(ms => Long.box(ms * 1000L)).orNull, // epoch ms → µs
+            tag.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+            n, b): InternalRow
+        }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = historySchema
+      }).iterator()
+    }
+  }
+
+  private lazy val vacuumProc: UnboundProcedure = new SysProc("vacuum",
+    "reclaim superseded generations past the grace window (grace_ms < 0 = session default)",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("grace_ms", LongType).defaultValue("-1").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      Generations.vacuum(org.apache.spark.sql.SparkSession.active, dirOf(input),
+        if (input.isNullAt(1)) -1L else input.getLong(1))
+      done
+    }
+  }
+
+  private lazy val restoreProc: UnboundProcedure = new SysProc("restore",
+    "roll a namespace back to a still-present generation (pointer swing, no data copied)",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("generation", IntegerType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      Generations.restore(org.apache.spark.sql.SparkSession.active, dirOf(input),
+        input.getInt(1))
+      done
+    }
+  }
 }

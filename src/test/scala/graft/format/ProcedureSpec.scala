@@ -1,0 +1,53 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.FormatOps
+
+/** SQL procedure surface (Spark 4 DSv2 ProcedureCatalog):
+  * `CALL cat.sys.{history,vacuum,restore}` — the maintenance story
+  * without a Scala API. */
+class ProcedureSpec extends SparkSpec {
+
+  private def withCatalog(f: String => Unit): Unit = {
+    val root = Files.createTempDirectory("graft-proc").toString
+    spark.conf.set("spark.sql.catalog.graft_proc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_proc.root", root)
+    try f(root)
+    finally spark.conf.unset("spark.sql.catalog.graft_proc")
+  }
+
+  test("CALL sys.history / sys.restore / sys.vacuum over a namespace") {
+    withCatalog { root =>
+      val dir = s"$root/db"
+      spark.range(0, 500).selectExpr("id", "CAST(0 AS BIGINT) AS v")
+        .write.format("graft").mode("overwrite").save(dir)
+      FormatOps.compact(spark, dir, targetFiles = 2) // gen-1
+      graft.sources.Generations.rewrite(spark, dir,
+        (_, df) => df.withColumn("v", col("v") + 1L),
+        idempotencyKey = Some("b7"))                 // gen-2, tagged
+      // history returns rows straight from SQL
+      val h = spark.sql("CALL graft_proc.sys.history('db')").collect()
+      assert(h.map(r => (r.getInt(0), r.getBoolean(1))).toSeq == Seq((1, false), (2, true)))
+      assert(h.forall(_.getTimestamp(2) != null))
+      assert(h.map(r => Option(r.getString(3))).toSeq == Seq(None, Some("b7")))
+      // restore by SQL: content rolls back to gen-1
+      spark.sql("CALL graft_proc.sys.restore('db', 1)")
+      val total = spark.read.format("graft").load(dir).agg(sum("v")).head.getLong(0)
+      assert(total == 0L, s"restore should roll v back to 0s, got sum $total")
+      // vacuum by SQL with zero grace: only the live generation survives
+      spark.sql("CALL graft_proc.sys.vacuum('db', 0)")
+      val gens = new java.io.File(dir).listFiles.map(_.getName)
+        .filter(_.matches("gen-\\d+")).toSeq
+      assert(gens == Seq("gen-00001"), s"vacuum(0) should leave the live gen, got $gens")
+      // named-argument form works too; default grace keeps everything
+      spark.sql("CALL graft_proc.sys.vacuum(ns => 'db')")
+      assert(spark.read.format("graft").load(dir).count() == 500)
+      // unknown procedure refuses loudly
+      intercept[Exception] { spark.sql("CALL graft_proc.sys.nope('db')") }
+    }
+  }
+}
