@@ -387,7 +387,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
-      Array("history", "vacuum", "restore").map(Identifier.of(Array("sys"), _))
+      Array("history", "vacuum", "restore", "compact").map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -395,9 +395,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "history") => historyProc
       case (Seq("sys"), "vacuum") => vacuumProc
       case (Seq("sys"), "restore") => restoreProc
+      case (Seq("sys"), "compact") => compactProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
-          "sys.vacuum(ns, grace_ms), sys.restore(ns, generation)")
+          "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
+          "sys.compact(ns, target_files)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -448,6 +450,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       Generations.vacuum(org.apache.spark.sql.SparkSession.active, dirOf(input),
         if (input.isNullAt(1)) -1L else input.getLong(1))
+      done
+    }
+  }
+
+  private lazy val compactProc: UnboundProcedure = new SysProc("compact",
+    "rewrite a namespace's live data into target_files files per table (OPTIMIZE)",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("target_files", IntegerType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      graft.operators.FormatOps.compact(
+        org.apache.spark.sql.SparkSession.active, dirOf(input), input.getInt(1))
       done
     }
   }

@@ -46,6 +46,13 @@ class ProcedureSpec extends SparkSpec {
       // named-argument form works too; default grace keeps everything
       spark.sql("CALL graft_proc.sys.vacuum(ns => 'db')")
       assert(spark.read.format("graft").load(dir).count() == 500)
+      // OPTIMIZE by SQL: compaction to one file per table, content intact
+      spark.sql("CALL graft_proc.sys.compact('db', 1)")
+      val live = graft.sources.GraftDataSource
+        .readGenPointer(new org.apache.hadoop.conf.Configuration(), dir).get
+      assert(new java.io.File(s"$dir/$live").listFiles
+        .count(_.getName.endsWith(".graft")) == 1)
+      assert(spark.read.format("graft").load(dir).count() == 500)
       // unknown procedure refuses loudly
       intercept[Exception] { spark.sql("CALL graft_proc.sys.nope('db')") }
     }
