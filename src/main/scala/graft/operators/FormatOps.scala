@@ -1169,6 +1169,44 @@ object FormatOps {
       |FROM fin GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q124: SQL maintenance cycle through CALL procedures --------------------
+  // The operational story as the driver's gate sees it: a baseline table
+  // is compacted via `CALL sys.compact`, mutated by a row-level UPDATE
+  // (new generation), rolled back via `CALL sys.restore`, and swept via
+  // `CALL sys.vacuum(0)` — after which the live data must equal the
+  // ORIGINAL baseline exactly (the oracle restates it straight from
+  // parquet). Proves the whole pointer-machinery round trip — compact,
+  // COW update, rollback, retention — is reachable and correct from
+  // pure SQL, and that an aggressive vacuum never touches live data.
+  private val q124: Q = (s, d) => {
+    val root = graftDir(d, "proc_root")
+    val dir = s"$root/db"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    s.conf.set("spark.sql.catalog.graft_m", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_m.root", root)
+    try {
+      Tables.orders(s, d).repartition(4)
+        .write.format("graft").mode("overwrite").save(dir)
+      s.sql("CALL graft_m.sys.compact('db', 2)") // gen-1 baseline
+      updateWhere(s, dir, "data",
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))),
+        col("o_orderkey") % 13 === 0)            // gen-2: the mistake
+      s.sql("CALL graft_m.sys.restore('db', 1)") // roll it back
+      s.sql("CALL graft_m.sys.vacuum('db', 0)")  // sweep everything dead
+      s.read.format("graft").load(dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    } finally s.conf.unset("spark.sql.catalog.graft_m")
+  }
+  private val q124Sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- q111: write-time expectations gate ------------------------------------
   // Ingest documents under two expectations (drop mode): rows whose
   // n_chars < 60 or whose doc_id is a multiple of 97 are quarantined in
@@ -1473,6 +1511,7 @@ object FormatOps {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q124_sql_maintenance" -> q124,
     "q118_cdc_replica" -> q118,
     "q114_incremental_view" -> q114,
     "q113_change_feed_stream" -> q113,
@@ -1502,6 +1541,7 @@ object FormatOps {
     "q83_graft_lists" -> q83)
 
   val oracle: Map[String, String] = Map(
+    "q124_sql_maintenance" -> q124Sql,
     "q118_cdc_replica" -> q118Sql,
     "q114_incremental_view" -> q114Sql,
     "q113_change_feed_stream" -> q113Sql,
