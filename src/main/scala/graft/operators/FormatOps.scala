@@ -803,7 +803,7 @@ object FormatOps {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      text.split("\n").filter(_.nonEmpty).map { line =>
+      val entries = text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
         line.split("\t", 2) match {
           case Array(n, sql) =>
             try n -> expr(unescapeMarker(sql))
@@ -814,7 +814,13 @@ object FormatOps {
           case _ => throw new graft.format.OliveFormatException(
             s"corrupt $ExpectationsName line at $dir: '$line'")
         }
-      }.toMap
+      }
+      // a duplicated name (botched merge, manual edit) must not quietly
+      // keep only the LAST predicate — that reads as a weaker contract
+      val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+      if (dups.nonEmpty) throw new graft.format.OliveFormatException(
+        s"corrupt $ExpectationsName at $dir: duplicate expectation(s) ${dups.mkString(", ")}")
+      entries.toMap
     }
   }
 
@@ -1199,7 +1205,13 @@ object FormatOps {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("o_orderpriority"))
-    } finally s.conf.unset("spark.sql.catalog.graft_m")
+    } finally {
+      // both conf keys; the CatalogManager's cached instance stays
+      // registered either way, which is fine here because the root is
+      // deterministic per sfDir (a re-run re-resolves identically)
+      s.conf.unset("spark.sql.catalog.graft_m")
+      s.conf.unset("spark.sql.catalog.graft_m.root")
+    }
   }
   private val q124Sql =
     """SELECT o_orderpriority, count(*) AS n,

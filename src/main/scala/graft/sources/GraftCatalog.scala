@@ -411,8 +411,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters: Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false
-    protected def dirOf(input: InternalRow): String =
-      nsDir(input.getUTF8String(0).toString.split("\\.").filter(_.nonEmpty))
+    protected def dirOf(input: InternalRow): String = {
+      require(!input.isNullAt(0), s"$procName: ns must not be NULL")
+      val parts = input.getUTF8String(0).toString.split("\\.").filter(_.nonEmpty)
+      // '' or '.' would resolve to the catalog ROOT — maintenance aimed
+      // at the whole warehouse is never what a typo'd CALL meant
+      require(parts.nonEmpty, s"$procName: ns must name a namespace, got ''")
+      nsDir(parts)
+    }
     protected def done: java.util.Iterator[Scan] =
       java.util.Collections.emptyIterator[Scan]()
   }

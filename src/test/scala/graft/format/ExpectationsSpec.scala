@@ -65,6 +65,16 @@ class ExpectationsSpec extends SparkSpec {
       FormatOps.appendWithContract(spark, batch2, dir)
     }
     assert(e.getMessage.contains("corrupt"))
+    // duplicate names (botched merge) must not quietly keep only the
+    // LAST predicate — that would read as a weaker contract
+    graft.sources.AtomicPublish.text(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(dir, FormatOps.ExpectationsName),
+      "v_known\tv IS NOT NULL\nv_known\ttrue\n")
+    val dup = intercept[OliveFormatException] {
+      FormatOps.appendWithContract(spark, batch2, dir)
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("fail mode: nothing lands when an expectation is violated") {

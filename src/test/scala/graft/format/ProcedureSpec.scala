@@ -12,16 +12,24 @@ import graft.operators.FormatOps
   * without a Scala API. */
 class ProcedureSpec extends SparkSpec {
 
-  private def withCatalog(f: String => Unit): Unit = {
+  // a FRESH catalog name per invocation: Spark's CatalogManager caches
+  // the instance by name for the session's life, so re-registering the
+  // same name with a new root would silently keep serving the old one
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger
+  private def withCatalog(f: (String, String) => Unit): Unit = {
+    val cat = s"graft_proc_${catalogSeq.incrementAndGet()}"
     val root = Files.createTempDirectory("graft-proc").toString
-    spark.conf.set("spark.sql.catalog.graft_proc", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft_proc.root", root)
-    try f(root)
-    finally spark.conf.unset("spark.sql.catalog.graft_proc")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try f(cat, root)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
   }
 
   test("CALL sys.history / sys.restore / sys.vacuum over a namespace") {
-    withCatalog { root =>
+    withCatalog { (cat, root) =>
       val dir = s"$root/db"
       spark.range(0, 500).selectExpr("id", "CAST(0 AS BIGINT) AS v")
         .write.format("graft").mode("overwrite").save(dir)
@@ -30,31 +38,38 @@ class ProcedureSpec extends SparkSpec {
         (_, df) => df.withColumn("v", col("v") + 1L),
         idempotencyKey = Some("b7"))                 // gen-2, tagged
       // history returns rows straight from SQL
-      val h = spark.sql("CALL graft_proc.sys.history('db')").collect()
+      val h = spark.sql(s"CALL $cat.sys.history('db')").collect()
       assert(h.map(r => (r.getInt(0), r.getBoolean(1))).toSeq == Seq((1, false), (2, true)))
       assert(h.forall(_.getTimestamp(2) != null))
       assert(h.map(r => Option(r.getString(3))).toSeq == Seq(None, Some("b7")))
       // restore by SQL: content rolls back to gen-1
-      spark.sql("CALL graft_proc.sys.restore('db', 1)")
+      spark.sql(s"CALL $cat.sys.restore('db', 1)")
       val total = spark.read.format("graft").load(dir).agg(sum("v")).head.getLong(0)
       assert(total == 0L, s"restore should roll v back to 0s, got sum $total")
       // vacuum by SQL with zero grace: only the live generation survives
-      spark.sql("CALL graft_proc.sys.vacuum('db', 0)")
+      spark.sql(s"CALL $cat.sys.vacuum('db', 0)")
       val gens = new java.io.File(dir).listFiles.map(_.getName)
         .filter(_.matches("gen-\\d+")).toSeq
       assert(gens == Seq("gen-00001"), s"vacuum(0) should leave the live gen, got $gens")
       // named-argument form works too; default grace keeps everything
-      spark.sql("CALL graft_proc.sys.vacuum(ns => 'db')")
+      spark.sql(s"CALL $cat.sys.vacuum(ns => 'db')")
       assert(spark.read.format("graft").load(dir).count() == 500)
       // OPTIMIZE by SQL: compaction to one file per table, content intact
-      spark.sql("CALL graft_proc.sys.compact('db', 1)")
+      spark.sql(s"CALL $cat.sys.compact('db', 1)")
       val live = graft.sources.GraftDataSource
         .readGenPointer(new org.apache.hadoop.conf.Configuration(), dir).get
       assert(new java.io.File(s"$dir/$live").listFiles
         .count(_.getName.endsWith(".graft")) == 1)
       assert(spark.read.format("graft").load(dir).count() == 500)
       // unknown procedure refuses loudly
-      intercept[Exception] { spark.sql("CALL graft_proc.sys.nope('db')") }
+      intercept[Exception] { spark.sql(s"CALL $cat.sys.nope('db')") }
+    }
+  }
+
+  test("ns argument validated: empty or NULL refuses, never resolves to the root") {
+    withCatalog { (cat, _) =>
+      intercept[Exception] { spark.sql(s"CALL $cat.sys.vacuum('', 0)") }
+      intercept[Exception] { spark.sql(s"CALL $cat.sys.history(CAST(NULL AS STRING))") }
     }
   }
 }
