@@ -9,7 +9,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
   test("inventory is populated and documented") {
-    assert(SparkEntry.queries.size >= 70)
+    // the round-4 floor: a refactor that silently drops a module's
+    // queries map from SparkEntry must fail here, not at the driver
+    assert(SparkEntry.queries.size >= 126)
     // non-oracled queries are the known non-SQL-expressible set
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q28_approx_distinct", "q35_minhash_lsh",
