@@ -794,23 +794,21 @@ object FormatOps {
     b.toString
   }
 
-  /** The standing contract persisted at `dir`, empty when none. */
-  def tableContract(s: SparkSession, dir: String): Map[String, org.apache.spark.sql.Column] = {
+  /** The standing contract's raw (name, SQL) pairs — validated framing
+    * and uniqueness, SQL unescaped but not parsed (the SQL surface:
+    * `CALL sys.contract`). Empty when no contract exists. */
+  def contractSql(conf: org.apache.hadoop.conf.Configuration, dir: String)
+      : Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(dir, ExpectationsName)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
     else {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val entries = text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
         line.split("\t", 2) match {
-          case Array(n, sql) =>
-            try n -> expr(unescapeMarker(sql))
-            catch {
-              case e: Exception => throw new graft.format.OliveFormatException(
-                s"corrupt expectation '$n' in $ExpectationsName at $dir: ${e.getMessage}", e)
-            }
+          case Array(n, sql) => n -> unescapeMarker(sql)
           case _ => throw new graft.format.OliveFormatException(
             s"corrupt $ExpectationsName line at $dir: '$line'")
         }
@@ -820,9 +818,19 @@ object FormatOps {
       val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
       if (dups.nonEmpty) throw new graft.format.OliveFormatException(
         s"corrupt $ExpectationsName at $dir: duplicate expectation(s) ${dups.mkString(", ")}")
-      entries.toMap
+      entries
     }
   }
+
+  /** The standing contract persisted at `dir`, empty when none. */
+  def tableContract(s: SparkSession, dir: String): Map[String, org.apache.spark.sql.Column] =
+    contractSql(s.sparkContext.hadoopConfiguration, dir).map { case (n, sql) =>
+      try n -> expr(sql)
+      catch {
+        case e: Exception => throw new graft.format.OliveFormatException(
+          s"corrupt expectation '$n' in $ExpectationsName at $dir: ${e.getMessage}", e)
+      }
+    }.toMap
 
   /** Append under the table's standing contract: loads the persisted
     * expectations and runs the same one-pass Observation-counted

@@ -387,7 +387,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
-      Array("history", "vacuum", "restore", "compact").map(Identifier.of(Array("sys"), _))
+      Array("history", "vacuum", "restore", "compact", "contract")
+        .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -396,10 +397,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "vacuum") => vacuumProc
       case (Seq("sys"), "restore") => restoreProc
       case (Seq("sys"), "compact") => compactProc
+      case (Seq("sys"), "contract") => contractProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
-          "sys.compact(ns, target_files)")
+          "sys.compact(ns, target_files), sys.contract(ns)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -457,6 +459,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Generations.vacuum(org.apache.spark.sql.SparkSession.active, dirOf(input),
         if (input.isNullAt(1)) -1L else input.getLong(1))
       done
+    }
+  }
+
+  private val contractSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("name", StringType),
+    org.apache.spark.sql.types.StructField("sql", StringType)))
+
+  private lazy val contractProc: UnboundProcedure = new SysProc("contract",
+    "the namespace's standing data-contract expectations as (name, sql) rows",
+    Array(ProcedureParameter.in("ns", StringType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = graft.operators.FormatOps.contractSql(conf, dirOf(input))
+        .map { case (n, sql) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            org.apache.spark.unsafe.types.UTF8String.fromString(sql)): InternalRow
+        }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = contractSchema
+      }).iterator()
     }
   }
 

@@ -66,6 +66,24 @@ class ProcedureSpec extends SparkSpec {
     }
   }
 
+  test("CALL sys.contract returns the standing expectations as rows") {
+    withCatalog { (cat, root) =>
+      val dir = s"$root/db"
+      FormatOps.writeWithExpectations(spark,
+        spark.range(0, 50).selectExpr("id", "id % 7 AS v"), dir,
+        Map("v_small" -> (col("v") < 6), "id_pos" -> (col("id") >= 0)),
+        persistContract = true)
+      val rows = spark.sql(s"CALL $cat.sys.contract('db')").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set("v_small", "id_pos"))
+      assert(rows("v_small").toLowerCase.contains("v"))
+      // a namespace without a contract returns zero rows, not an error
+      spark.range(0, 5).selectExpr("id")
+        .write.format("graft").mode("overwrite").save(s"$root/bare")
+      assert(spark.sql(s"CALL $cat.sys.contract('bare')").count() == 0)
+    }
+  }
+
   test("ns argument validated: empty or NULL refuses, never resolves to the root") {
     withCatalog { (cat, _) =>
       intercept[Exception] { spark.sql(s"CALL $cat.sys.vacuum('', 0)") }
