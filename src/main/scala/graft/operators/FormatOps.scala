@@ -832,6 +832,22 @@ object FormatOps {
       }
     }.toMap
 
+  /** Audit the LIVE table against its standing contract: one aggregate
+    * pass over the data, per-expectation violation counts back — the
+    * on-demand data-quality check for a table whose contract was
+    * published after some data had already landed (or whose writers
+    * bypassed `appendWithContract`). Refuses without a contract. */
+  def auditContract(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val contract = tableContract(s, dir)
+    require(contract.nonEmpty, s"no $ExpectationsName contract at $dir — nothing to audit")
+    val names = contract.keys.toSeq.sorted
+    val counters = names.map(n =>
+      count(when(!coalesce(contract(n), lit(false)), 1)).as(n))
+    val row = s.read.format("graft").load(dir)
+      .agg(counters.head, counters.tail: _*).head()
+    names.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }
+  }
+
   /** Append under the table's standing contract: loads the persisted
     * expectations and runs the same one-pass Observation-counted
     * quarantine (or fail-first gate) as [[writeWithExpectations]].

@@ -387,7 +387,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
-      Array("history", "vacuum", "restore", "compact", "contract")
+      Array("history", "vacuum", "restore", "compact", "contract", "audit")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -398,10 +398,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "restore") => restoreProc
       case (Seq("sys"), "compact") => compactProc
       case (Seq("sys"), "contract") => contractProc
+      case (Seq("sys"), "audit") => auditProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
-          "sys.compact(ns, target_files), sys.contract(ns)")
+          "sys.compact(ns, target_files), sys.contract(ns), sys.audit(ns)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -478,6 +479,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       java.util.List.of[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = out
         override def readSchema(): StructType = contractSchema
+      }).iterator()
+    }
+  }
+
+  private val auditSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("name", StringType),
+    org.apache.spark.sql.types.StructField("violations", LongType)))
+
+  private lazy val auditProc: UnboundProcedure = new SysProc("audit",
+    "validate the LIVE table against its standing contract: per-expectation violation counts",
+    Array(ProcedureParameter.in("ns", StringType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = graft.operators.FormatOps.auditContract(
+        org.apache.spark.sql.SparkSession.active, dirOf(input))
+        .map { case (n, v) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n), v): InternalRow
+        }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = auditSchema
       }).iterator()
     }
   }

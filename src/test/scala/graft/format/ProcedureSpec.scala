@@ -81,6 +81,16 @@ class ProcedureSpec extends SparkSpec {
       spark.range(0, 5).selectExpr("id")
         .write.format("graft").mode("overwrite").save(s"$root/bare")
       assert(spark.sql(s"CALL $cat.sys.contract('bare')").count() == 0)
+      // audit: a contract-BYPASSING append lands violating rows; the
+      // on-demand audit counts them exactly per expectation
+      spark.range(100, 110).selectExpr("id", "CAST(9 AS BIGINT) AS v")
+        .write.format("graft").mode("append").save(dir) // 10 rows with v = 9
+      val audit = spark.sql(s"CALL $cat.sys.audit('db')").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit == Map("v_small" -> 10L, "id_pos" -> 0L),
+        s"audit must count the bypassing append's violations, got $audit")
+      // no contract -> loud refusal
+      intercept[Exception] { spark.sql(s"CALL $cat.sys.audit('bare')") }
     }
   }
 
