@@ -834,7 +834,54 @@ object Relational {
       |  CAST(sum(b_id) AS BIGINT) AS sum_b
       |FROM p""".stripMargin
 
+  // ---- q125: ordered event funnel (sequential pattern analytics) ------------
+  // The sequence-analytics family windows alone don't express: per user,
+  // did view → click → purchase happen IN ORDER, completing within an
+  // hour of the first view? Each stage is one filtered aggregate over
+  // events joined on user to the previous stage's anchor time (min ts
+  // AFTER the anchor — min-based anchors make the funnel deterministic),
+  // so the whole funnel is three user-keyed aggregates + joins: shuffle
+  // ∝ per-stage event counts, no per-user explode, no cross product, and
+  // each stage's input is pre-filtered to its event type before any
+  // shuffle. Integer outputs, exact oracle.
+  private val q125: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+    def stage(tpe: String, prev: DataFrame, anchor: String, as: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("t") > col(anchor))
+        .groupBy(col("user_id")).agg(min(col("t")).as(as))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("v"))
+    val c = stage("click", v, "v", "c")
+    val p = stage("purchase", c, "c", "p")
+    val completed = p.join(v, Seq("user_id"))
+      .filter(col("p") - col("v") <= 3600L)
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after")))
+      .crossJoin(completed.agg(count(lit(1)).as("n_completed_1h")))
+  }
+  private val q125Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |v AS (SELECT user_id, min(t) AS v FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(t) AS c FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND t > v GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(t) AS p FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND t > c.c GROUP BY 1),
+      |done AS (SELECT p.user_id FROM p JOIN v USING (user_id) WHERE p.p - v.v <= 3600)
+      |SELECT (SELECT count(*) FROM v) AS n_viewed,
+      |  (SELECT count(*) FROM c) AS n_clicked_after,
+      |  (SELECT count(*) FROM p) AS n_purchased_after,
+      |  (SELECT count(*) FROM done) AS n_completed_1h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_event_funnel" -> q125,
     "q123_interval_overlap" -> q123,
     "q2s_hash_sample" -> q2s,
     "q2p_pivot" -> q2p,
@@ -874,6 +921,7 @@ object Relational {
     "q22_sessionize" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q125_event_funnel" -> q125Sql,
     "q123_interval_overlap" -> q123Sql,
     "q13b_percentiles" -> q13bSql,
     "q13c_stat_aggs" -> q13cSql,
