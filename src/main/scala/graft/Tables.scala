@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -37,10 +37,17 @@ object Tables {
     load(s, d, "events")
   }
 
+  /** The driver has shipped `events.ts` in two shapes over time:
+    * TIMESTAMP(NANOS) (read as nanos-since-epoch long under the legacy
+    * conf) and plain TIMESTAMP_NTZ. Normalize both to a session-tz
+    * TIMESTAMP; every harness pins the session tz to UTC, so the NTZ
+    * cast preserves the instant and downstream `cast(ts as long)` /
+    * `withWatermark("ts", …)` stay legal. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => df
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
 
   /** Streaming source over events with the same ts normalization. */

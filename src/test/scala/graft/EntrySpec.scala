@@ -18,6 +18,23 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q41_ann_lsh", "q44_ivf_ann"),
       s"unexpected rows-only queries: $noOracle")
   }
+  test("every declared query executes at sf0.001") {
+    // Round-6 lesson: a driver fixture-schema drift (events.ts became
+    // TIMESTAMP_NTZ) killed 9 gates while `sbt test` stayed green because
+    // only one query was ever executed here. Run ALL of them — any
+    // AnalysisException from drift turns the build red immediately.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, s"driver testdata not present at $sf")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try { q(spark, sf).count(); None }
+      catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} queries failed:\n${failures.mkString("\n")}")
+  }
+
   test("q29b executes under its own conf and leaves the caller session untouched") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(sf).isDirectory, s"driver testdata not present at $sf")
