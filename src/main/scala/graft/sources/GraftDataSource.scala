@@ -292,12 +292,48 @@ object GraftDataSource {
         }
     }
 
-  /** Listing variant carrying on-disk byte sizes (for planner statistics). */
+  /** Listing variant carrying on-disk byte sizes (for planner statistics).
+    *
+    * Race with a concurrent rewrite's grace sweep: the pointer can be
+    * re-resolved and the listing retried when the generation it named
+    * vanishes between pointer read and directory walk. The one outcome
+    * this must NEVER produce is an EMPTY listing for a pointer-resolved
+    * table — a swept generation looked exactly like a healthy empty
+    * table here once, and a racing reader silently returned 0 of 30 000
+    * rows (CompactionSpec "tiny grace"). Vanished-under-pointer is now
+    * retry-then-throw, never Seq.empty. */
   def listPartitionedSized(conf: Configuration, dir: String): Seq[(Path, Long, Map[String, String])] = {
     listingCalls.incrementAndGet()
-    val root = new Path(resolveDataDir(conf, dir))
+    var attempt = 0
+    while (true) {
+      val resolved = resolveDataDir(conf, dir)
+      val viaPointer = resolved != dir
+      try return listPartitionedSizedAt(conf, resolved, viaPointer)
+      catch {
+        case e: java.io.FileNotFoundException if viaPointer =>
+          // the generation the pointer named was reclaimed between our
+          // pointer read and the walk — the pointer has already moved
+          // on, so re-resolve and plan against the new live generation
+          attempt += 1
+          if (attempt > 5) throw new graft.format.OliveFormatException(
+            s"live generation of $dir kept vanishing during planning " +
+              s"($attempt attempts): concurrent rewrites are sweeping " +
+              "faster than this scan can plan; raise spark.graft.graceMs", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def listPartitionedSizedAt(conf: Configuration, resolved: String,
+      viaPointer: Boolean): Seq[(Path, Long, Map[String, String])] = {
+    val root = new Path(resolved)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return Seq.empty
+    if (!fs.exists(root)) {
+      // a plain dir that doesn't exist is an empty table; a MISSING
+      // pointer target is the sweep race — escalate to the retry loop
+      if (viaPointer) throw new java.io.FileNotFoundException(resolved)
+      return Seq.empty
+    }
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile) return Seq((root, rootStatus.getLen, Map.empty[String, String]))
     val out = Seq.newBuilder[(Path, Long, Map[String, String])]
