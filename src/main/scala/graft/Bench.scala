@@ -39,10 +39,17 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line inside the driver's stdout
+    // tail window (full-precision doubles tripled its size and truncated
+    // the JSON mid-map in past rounds); errored queries carry -1.0 in the
+    // map but are EXCLUDED from the total and named explicitly instead
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}"""
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}"""
     println(line)
     // the driver keeps only a tail of stdout, which can truncate the
     // per-query map past ~100 queries — persist the full line where it

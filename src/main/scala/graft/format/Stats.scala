@@ -198,4 +198,34 @@ object Stats {
       case _ => false
     }
   }
+
+  /** Bloom-filter chunk skipping: an equality literal whose hash probes
+    * miss the column's per-chunk bloom PROVES the chunk holds no match
+    * (the filter shape zone maps can't serve — point lookups on unsorted
+    * high-cardinality ids). Shared by the executor-side reader and the
+    * driver-side DML candidate-file selection. */
+  def bloomSkip(t: Meta.TableMeta, f: Filter): Boolean = {
+    def bytesFor(attr: String, v: Any): Option[Array[Byte]] =
+      t.schema.fields.find(_.name == attr)
+        .flatMap(fl => Bloom.literalBytes(fl.dataType, v))
+    f match {
+      case EqualTo(a, v) => t.blooms.get(a).exists(bf =>
+        bytesFor(a, v).exists(b => !Bloom.mightContain(bf.bytes, b)))
+      case In(a, vs) if vs != null && vs.nonEmpty => t.blooms.get(a).exists { bf =>
+        val bs = vs.map(v => bytesFor(a, v))
+        bs.forall(_.isDefined) &&
+          bs.forall(b => !Bloom.mightContain(bf.bytes, b.get))
+      }
+      case And(l, r) => bloomSkip(t, l) || bloomSkip(t, r)
+      case Or(l, r) => bloomSkip(t, l) && bloomSkip(t, r)
+      case _ => false
+    }
+  }
+
+  /** True iff `f` proves this chunk of the table holds NO matching row —
+    * zone maps plus blooms, the full skip arsenal over one TableMeta. */
+  def canSkipChunk(f: Filter, t: Meta.TableMeta): Boolean = {
+    val stats = t.schema.fieldNames.zip(t.stats).toMap
+    canSkip(f, t.schema, stats, t.numRows) || bloomSkip(t, f)
+  }
 }

@@ -138,13 +138,13 @@ object FormatOps {
       .mode("overwrite").save(ns) // overwrite sweeps the whole ns: idempotent reruns
     Tables.region(s, d).write.format("graft").option("table", "region")
       .mode("append").save(ns)
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_cat.root", root)
+    s.conf.set("spark.sql.catalog.graft_q84", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q84.root", root)
     s.sql("""
       SELECT r.r_name, count(*) AS n_nations
-      FROM graft_cat.tpch.nation_geo g
-      JOIN graft_cat.tpch.nation_names nm ON g.n_nationkey = nm.n_nationkey
-      JOIN graft_cat.tpch.region r ON g.n_regionkey = r.r_regionkey
+      FROM graft_q84.tpch.nation_geo g
+      JOIN graft_q84.tpch.nation_names nm ON g.n_nationkey = nm.n_nationkey
+      JOIN graft_q84.tpch.region r ON g.n_regionkey = r.r_regionkey
       GROUP BY r.r_name
       ORDER BY r.r_name""")
   }
@@ -570,15 +570,12 @@ object FormatOps {
         .unionByName(project(touched, cond)
           .withColumn("_change_type", lit("update_postimage"))))
     }
-    // a misspelled table name must fail loudly, never "update zero rows":
-    // the rewrite would otherwise copy every table through unchanged
-    var touched = false
-    graft.sources.Generations.rewrite(s, dir, (name, df) =>
-      if (name != table) df
-      else {
-        touched = true
-        project(df, coalesce(where, lit(false)))
-      })
+    // a misspelled table name must fail loudly, never "update zero rows".
+    // File-granular COW: files whose zone maps/blooms prove the WHERE
+    // matches nothing are carried by reference, not copied
+    val prune = graft.sources.Generations.pruneFiltersFor(readTable(s, dir, table), where)
+    val touched = graft.sources.Generations.rewriteTable(s, dir, table,
+      df => project(df, coalesce(where, lit(false))), prune, alwaysWrite = false)
     require(touched, s"table '$table' not found in $dir; nothing was updated")
   }
 
@@ -631,14 +628,24 @@ object FormatOps {
         .withColumn("_change_type", lit("update_preimage"))
       captureTo(dir, marked.unionByName(preImages))
     }
-    var touched = false
-    graft.sources.Generations.rewrite(s, dir, (name, df) =>
-      if (name != table) df
-      else {
-        touched = true
-        df.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(source.select(df.columns.map(col).toSeq: _*))
+    // File-granular COW: only files whose zone maps/blooms admit one of
+    // the batch's keys can hold a row the anti-join removes — the rest
+    // carry by reference. Key values collect to the driver (the batch is
+    // the SMALL side of a MERGE by design); a batch past the cap skips
+    // pruning rather than building an absurd IN-list.
+    val keyFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+      val cap = 1000
+      val rows = source.select(keys.map(col): _*).distinct().limit(cap + 1).collect()
+      if (rows.length > cap) None
+      else Some(keys.zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.sources.In(k,
+          rows.map(_.get(i)).filter(_ != null).distinct.toArray)
       })
+    }
+    val touched = graft.sources.Generations.rewriteTable(s, dir, table,
+      df => df.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(source.select(df.columns.map(col).toSeq: _*)),
+      keyFilters, alwaysWrite = true)
     require(touched, s"table '$table' not found in $dir; nothing was upserted")
   }
 
@@ -655,10 +662,9 @@ object FormatOps {
       captureTo(dir, readTable(s, dir, table)
         .filter(coalesce(where, lit(false)))
         .withColumn("_change_type", lit("delete")))
-    var touched = false
-    graft.sources.Generations.rewrite(s, dir, (name, df) =>
-      if (name != table) df
-      else { touched = true; df.filter(!coalesce(where, lit(false))) })
+    val prune = graft.sources.Generations.pruneFiltersFor(readTable(s, dir, table), where)
+    val touched = graft.sources.Generations.rewriteTable(s, dir, table,
+      df => df.filter(!coalesce(where, lit(false))), prune, alwaysWrite = false)
     require(touched, s"table '$table' not found in $dir; nothing was deleted")
   }
 
@@ -1163,9 +1169,17 @@ object FormatOps {
           .select(col("o_orderkey")).distinct()
         val added = b.filter(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type")
-        graft.sources.Generations.rewrite(b.sparkSession, repl, (_, t) =>
-          t.join(gone, Seq("o_orderkey"), "left_anti")
+        // file-granular fold: only replica files whose zone maps/blooms
+        // admit one of the batch's removed keys are rewritten; the rest
+        // of a 100 TB replica carries by reference — per-batch cost is
+        // O(batch + touched files), not O(replica)
+        val goneKeys = gone.limit(1001).collect().map(_.get(0)).filter(_ != null)
+        val prune = if (goneKeys.length > 1000) None
+          else Some(Seq(org.apache.spark.sql.sources.In("o_orderkey", goneKeys.distinct)))
+        graft.sources.Generations.rewriteTable(b.sparkSession, repl, "data",
+          t => t.join(gone, Seq("o_orderkey"), "left_anti")
             .unionByName(added.select(t.columns.map(col).toSeq: _*)),
+          prune, alwaysWrite = true,
           idempotencyKey = Some(s"q118-$batchId"))
         ()
       }.start()
@@ -1441,6 +1455,55 @@ object FormatOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q96b: literal SQL UPDATE through DSv2 row-level operations -----------
+  // Same math as q96, but driven by the SQL statement itself:
+  // RewriteUpdateTable plans a group-based ReplaceData over
+  // GraftRowLevelOperation — candidate files pruned by zone maps/blooms,
+  // untouched files carried by reference into the new generation. The
+  // oracle is q96's: a hash match proves SQL UPDATE touched exactly the
+  // matching rows.
+  private val q96b: Q = (s, d) => {
+    val root = graftDir(d, "dml_sql_update")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    s.conf.set("spark.sql.catalog.graft_squ", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_squ.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_squ.db")
+    Tables.orders(s, d).createOrReplaceTempView("q96b_orders_src")
+    s.sql("CREATE TABLE graft_squ.db.orders_t AS SELECT * FROM q96b_orders_src")
+    s.sql("""UPDATE graft_squ.db.orders_t
+      SET o_totalprice = o_totalprice * 1.1
+      WHERE o_orderstatus = 'O'""")
+    s.sql("""SELECT o_orderstatus, count(*) AS n,
+      round(sum(o_totalprice), 4) AS total
+      FROM graft_squ.db.orders_t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  // ---- q97b: literal SQL MERGE INTO (group-based COW) ------------------------
+  // q97's upsert semantics written as the MERGE statement:
+  // RewriteMergeIntoTable joins the target's candidate files with the
+  // source and ReplaceData writes the merged rows; matched keys update,
+  // unmatched insert. Oracle = q97's set algebra over parquet.
+  private val q97b: Q = (s, d) => {
+    val root = graftDir(d, "dml_sql_merge")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    s.conf.set("spark.sql.catalog.graft_smg", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_smg.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_smg.db")
+    val c = Tables.customer(s, d)
+    c.filter(col("c_custkey") % 3 =!= 0).createOrReplaceTempView("q97b_target_src")
+    s.sql("CREATE TABLE graft_smg.db.cust_t AS SELECT * FROM q97b_target_src")
+    c.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .createOrReplaceTempView("q97b_cdc")
+    s.sql("""MERGE INTO graft_smg.db.cust_t t USING q97b_cdc s
+      ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.sql("""SELECT c_mktsegment, count(*) AS n,
+      round(sum(c_acctbal), 4) AS total_bal
+      FROM graft_smg.db.cust_t GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   // ---- q100: bucketed tables + storage-partitioned join ---------------------
   // lineitem and orders are written BUCKETED on their join key (the write
   // routes rows to per-bucket files with the same murmur3 the catalog's
@@ -1559,7 +1622,9 @@ object FormatOps {
     "q98_zorder" -> q98,
     "q95_delete" -> q95,
     "q96_update" -> q96,
+    "q96b_sql_update" -> q96b,
     "q97_upsert" -> q97,
+    "q97b_sql_merge" -> q97b,
     "q94_schema_evolution" -> q94,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
@@ -1589,7 +1654,9 @@ object FormatOps {
     "q98_zorder" -> q98Sql,
     "q95_delete" -> q95Sql,
     "q96_update" -> q96Sql,
+    "q96b_sql_update" -> q96Sql,
     "q97_upsert" -> q97Sql,
+    "q97b_sql_merge" -> q97Sql,
     "q94_schema_evolution" -> q94Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,

@@ -88,31 +88,77 @@ object Generations {
   private def sweepDeadData(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       liveIdx: Option[Int], lastSwapOld: Boolean, grace: Long): Int = {
     var maxSurvivingIdx = liveIdx.getOrElse(0)
-    fs.listStatus(root).foreach { st =>
+    val entries = fs.listStatus(root)
+    def stale(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      System.currentTimeMillis() - st.getModificationTime >= grace
+    // Pass 1 — classify. Reclaimable entries can still hold files a
+    // SURVIVING generation's carry manifest references (file-granular
+    // DML carries untouched files of older generations by reference),
+    // so deletion below is file-selective, never blind.
+    val tmpVictims = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val victims = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val survivors = Seq.newBuilder[Path]
+    entries.foreach { st =>
       val n = st.getPath.getName
       val genIdx = if (st.isDirectory && n.startsWith("gen-"))
         n.stripPrefix("gen-").toIntOption else None
-      def stale: Boolean =
-        System.currentTimeMillis() - st.getModificationTime >= grace
       if (st.isDirectory && n.matches("gen-\\d+\\.tmp-.*")) {
         // a crashed rewrite's unpublished staging — but only once it has
         // gone stale: deleting a fresh tmp would yank a CONCURRENT
         // rewrite's staging from under it mid-write
-        if (stale) fs.delete(st.getPath, true)
+        if (stale(st)) tmpVictims += st else survivors += st.getPath
       } else genIdx match {
         case Some(i) if liveIdx.isEmpty || i > liveIdx.get =>
           // above the pointer: a rewrite that published but never swapped
           // (crash, or a concurrent rewrite in its publish→swap window —
           // which is why a fresh one is only stepped over, not deleted)
-          if (stale) fs.delete(st.getPath, true)
-          else maxSurvivingIdx = math.max(maxSurvivingIdx, i)
-        case Some(i) if i < liveIdx.get && lastSwapOld => fs.delete(st.getPath, true)
-        case _ =>
-          if (lastSwapOld && st.isDirectory && n.contains("=")) fs.delete(st.getPath, true)
-          else if (lastSwapOld && st.isFile && n.endsWith(".graft")) fs.delete(st.getPath, false)
+          if (stale(st)) victims += st
+          else { maxSurvivingIdx = math.max(maxSurvivingIdx, i); survivors += st.getPath }
+        case Some(i) if i < liveIdx.get && lastSwapOld => victims += st
+        case Some(_) => survivors += st.getPath // live, or within grace
+        case None =>
+          if (lastSwapOld && st.isDirectory && n.contains("=")) victims += st
+          else if (lastSwapOld && st.isFile && n.endsWith(".graft")) victims += st
       }
     }
+    // files pinned by any survivor's carry manifest (root-relative paths;
+    // fresh stagings pin too — their manifest is about to become live)
+    val referenced: Set[String] = survivors.result().flatMap(d =>
+      GraftDataSource.readCarryManifest(fs, d).map(_._1)).toSet
+    tmpVictims.result().foreach(st => fs.delete(st.getPath, true))
+    victims.result().foreach(st => deleteUnreferenced(fs, root, st, referenced))
     maxSurvivingIdx
+  }
+
+  /** Reclaim `st` except the files `referenced` pins. A generation dir
+    * that loses SOME files stops being a complete snapshot: its
+    * `.swap-ts` (and tag/manifest) markers are removed so time travel
+    * refuses it loudly instead of serving partial rows; the pinned files
+    * stay until the manifests referencing them are themselves swept. */
+  private def deleteUnreferenced(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      st: org.apache.hadoop.fs.FileStatus, referenced: Set[String]): Unit = {
+    if (st.isFile) {
+      if (!referenced.contains(GraftDataSource.relativePath(root, st.getPath)))
+        fs.delete(st.getPath, false)
+      return
+    }
+    // ORDERING INVARIANT the racing-reader guard depends on
+    // (GraftDataSource.listPartitionedSizedAt): the generation's
+    // `.swap-ts` marker is removed BEFORE any data file, so a reader
+    // that still sees the marker after finishing its walk is guaranteed
+    // a complete listing — a walk overlapping this sweep finds the
+    // marker gone and retries instead of silently returning partial rows
+    fs.delete(new Path(st.getPath, GraftDataSource.SwapTsName), false)
+    if (referenced.isEmpty) { fs.delete(st.getPath, true); return }
+    val files = Seq.newBuilder[Path]
+    val it = fs.listFiles(st.getPath, true)
+    while (it.hasNext) files += it.next().getPath
+    val (pinned, dead) = files.result()
+      .partition(p => referenced.contains(GraftDataSource.relativePath(root, p)))
+    if (pinned.isEmpty) { fs.delete(st.getPath, true); return }
+    dead.foreach(fs.delete(_, false))
+    fs.delete(new Path(st.getPath, GraftDataSource.RewriteTagName), false)
+    fs.delete(new Path(st.getPath, GraftDataSource.CarryManifestName), false)
   }
 
   /** Standalone retention reclaim (`VACUUM`): run the dead-data sweep
@@ -289,6 +335,36 @@ object Generations {
       val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
       w.save(staging.toString)
     }
+    publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir)
+  }
+
+  /** Entry sweep + next-generation allocation, for a COW write whose
+    * data lands through Spark's own write path rather than a [[rewrite]]
+    * callback (SQL row-level operations, [[GraftCowBatchWrite]]): the
+    * caller stages into `<returned>.tmp-<uuid>` and hands the staging to
+    * [[publishStaging]] on commit. */
+  private[sources] def prepareRewrite(s: SparkSession, dir: String): String = {
+    val conf = new Configuration()
+    val grace = resolveGrace(s, -1L)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir)
+    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
+    val lastSwapOld = liveGen.exists { _ =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
+      age >= grace
+    }
+    val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
+    f"gen-${maxSurvivingIdx + 1}%05d"
+  }
+
+  /** Publish a complete staging dir as generation `nextGen` and swing the
+    * pointer — the atomic tail shared by the full [[rewrite]], the
+    * file-granular [[rewriteTable]], and the SQL row-level COW write. */
+  private[sources] def publishStaging(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
+      root: Path, staging: Path, nextGen: String,
+      idempotencyKey: Option[String], dir: String): Unit = {
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
     // instead (GraftCatalog.loadTable(ident, timestamp))
@@ -333,6 +409,181 @@ object Generations {
     // files or the previous gen dir) is invisible behind the pointer but
     // intact, so queries planned against it finish cleanly; a later
     // rewrite's entry sweep reclaims it after `graceMs`
+  }
+
+  /** File-granular copy-on-write DML for ONE table: rewrite only the
+    * files that can hold rows the operation touches, carry every other
+    * file of the live view BY REFERENCE in the new generation's
+    * `.carry` manifest ([[GraftDataSource.CarryManifestName]]).
+    *
+    * Candidate selection is the scan's own skip arsenal turned around:
+    * a file whose every chunk PROVES (zone maps + blooms,
+    * [[graft.format.Stats.canSkipChunk]]) that no row satisfies some
+    * conjunct of `pruneFilters` cannot be touched by the DML and is
+    * carried untouched — a 1-row upsert against a 100 TB table rewrites
+    * one file, not the directory. `pruneFilters = None` means "no proof
+    * available": every file holding the table is rewritten (still
+    * file-granular for SIBLING tables sharing a namespace dir, which
+    * the full [[rewrite]] used to copy through).
+    *
+    * `transform` sees exactly the candidate rows (plus nothing, when no
+    * file is a candidate); its output lands in the new generation next
+    * to the carried references. That is sound for DML shapes whose
+    * non-matching rows pass through unchanged — delete keeps them,
+    * update's `CASE WHEN` leaves them, upsert's anti-join can't touch a
+    * row whose key provably isn't in the batch.
+    *
+    * `alwaysWrite` forces a new generation even with zero candidate
+    * files (an upsert's inserts land regardless; an idempotency key
+    * must be recorded even for a no-op fold). Without it, a DML whose
+    * predicate provably matches nothing returns without creating a
+    * generation at all.
+    *
+    * Mixed-table files (several tables in ONE .graft file) that need a
+    * rewrite can't be split; those fall back to the full [[rewrite]].
+    *
+    * Returns false iff no live file holds `table` (caller decides
+    * whether that's an error). */
+  def rewriteTable(s: SparkSession, dir: String, table: String,
+      transform: DataFrame => DataFrame,
+      pruneFilters: Option[Seq[Filter]],
+      alwaysWrite: Boolean,
+      writeOptions: Map[String, String] = Map.empty,
+      graceMs: Long = -1L,
+      idempotencyKey: Option[String] = None): Boolean = {
+    val conf = new Configuration()
+    if (idempotencyKey.isDefined &&
+        liveRewriteTag(conf, dir) == idempotencyKey) return true
+    val grace = resolveGrace(s, graceMs)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir)
+    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
+    val lastSwapOld = liveGen.exists { _ =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
+      age >= grace
+    }
+    val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
+    val nextGen = f"gen-${maxSurvivingIdx + 1}%05d"
+    val listed = GraftDataSource.listPartitionedSized(conf, dir)
+    if (listed.isEmpty) return false
+    val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+    // one parallel footer probe decides every file's fate
+    val probes = GraftDataSource.inParallel(listed) { case (p, size, _) =>
+      val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+      try {
+        val ts = r.footer.chunks.flatMap(_.tables)
+        (p, size, ts.map(_.name).distinct, ts.filter(_.name == table))
+      } finally r.close()
+    }
+    if (!probes.exists(_._4.nonEmpty)) return false
+    def mustRewrite(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
+      pruneFilters match {
+        case Some(fls) if fls.nonEmpty =>
+          !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunk(f, t)))
+        case _ => true
+      }
+    if (probes.exists(pr => pr._4.nonEmpty && pr._3.size > 1 && mustRewrite(pr._4))) {
+      // a mixed-table candidate file can't be rewritten for one table
+      // and carried for the others — full COW handles it
+      rewrite(s, dir, (n, df) => if (n == table) transform(df) else df,
+        None, writeOptions, graceMs, idempotencyKey)
+      return true
+    }
+    val (candidates, carried) = probes.partition(pr => pr._4.nonEmpty && mustRewrite(pr._4))
+    if (candidates.isEmpty && !alwaysWrite && idempotencyKey.isEmpty) return true
+    val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+    // candidate rows flow through the normal scan (partition values and
+    // all), restricted to the candidate files; zero candidates → an
+    // empty relation with the table's schema (Catalyst prunes the
+    // always-false filter to a LocalRelation, no scan runs)
+    val reader = s.read.format("graft").option("table", table)
+    val df0 =
+      if (candidates.nonEmpty)
+        reader.option("fileFilter", candidates.map(_._1.toString).mkString("\n")).load(dir)
+      else reader.load(dir).where(lit(false))
+    val out = transform(df0)
+    // a declared bucket layout outlives every rewrite (same contract as
+    // the full rewrite): route the rewritten rows through the bucketed
+    // writer so carried and new files keep one provable layout
+    val layout = GraftDataSource.readBucketMarker(conf, dir, table)
+    val shaped = layout match {
+      case Some((bcol, n, sortOpt)) =>
+        val rep = out.repartition(n, col(bcol))
+        sortOpt.map(sc => rep.sortWithinPartitions(col(sc))).getOrElse(rep)
+      case None => out
+    }
+    val base0 = shaped.write.format("graft")
+      .option("table", table).options(writeOptions).mode("append")
+    val base = layout match {
+      case Some((bcol, n, sortOpt)) =>
+        val b = base0.option("bucketBy", s"$bcol:$n")
+        sortOpt.map(sc => b.option("sortBy", sc)).getOrElse(b)
+      case None => base0
+    }
+    val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
+    w.save(staging.toString)
+    // sibling tables' bucket markers live in the data dir — carry them
+    // (the write above re-created at most this table's own)
+    val oldDataDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
+    if (fs.getFileStatus(oldDataDir).isDirectory) fs.listStatus(oldDataDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".bucket_") && n.endsWith(".json") &&
+          !fs.exists(new Path(staging, n)))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(staging, n),
+          false, conf)
+    }
+    // everything untouched is carried by root-relative reference;
+    // re-carried files keep their ORIGINAL location (flattened chains)
+    GraftDataSource.writeCarryManifest(fs, staging,
+      carried.map { case (p, size, _, _) =>
+        (GraftDataSource.relativePath(root, p), size) })
+    publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir)
+    true
+  }
+
+  /** Best-effort [[Column]] → source [[Filter]] translation for
+    * candidate-FILE pruning in [[rewriteTable]]: each returned filter is
+    * one conjunct of the predicate, translated EXACTLY (a file where a
+    * conjunct provably matches nothing can hold no row the whole
+    * predicate matches). Untranslatable conjuncts are dropped — less
+    * pruning, never wrong. None when nothing translated. */
+  def pruneFiltersFor(df: DataFrame, cond: Column): Option[Seq[Filter]] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val cvt = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    // the OPTIMIZED plan, not the analyzed one: the analyzer leaves type
+    // promotion as Cast(Literal) wrappers (`id < CAST(100 AS BIGINT)`)
+    // that only constant folding collapses into translatable literals
+    val condition = df.filter(cond).queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def sv(l: ce.Literal): Any = cvt.convertToScala(l.value, l.dataType)
+    def toV2(e: ce.Expression): Option[Filter] = e match {
+      case ce.EqualTo(a: ce.Attribute, l: ce.Literal) => Some(EqualTo(a.name, sv(l)))
+      case ce.EqualTo(l: ce.Literal, a: ce.Attribute) => Some(EqualTo(a.name, sv(l)))
+      case ce.GreaterThan(a: ce.Attribute, l: ce.Literal) => Some(GreaterThan(a.name, sv(l)))
+      case ce.GreaterThan(l: ce.Literal, a: ce.Attribute) => Some(LessThan(a.name, sv(l)))
+      case ce.GreaterThanOrEqual(a: ce.Attribute, l: ce.Literal) => Some(GreaterThanOrEqual(a.name, sv(l)))
+      case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.Attribute) => Some(LessThanOrEqual(a.name, sv(l)))
+      case ce.LessThan(a: ce.Attribute, l: ce.Literal) => Some(LessThan(a.name, sv(l)))
+      case ce.LessThan(l: ce.Literal, a: ce.Attribute) => Some(GreaterThan(a.name, sv(l)))
+      case ce.LessThanOrEqual(a: ce.Attribute, l: ce.Literal) => Some(LessThanOrEqual(a.name, sv(l)))
+      case ce.LessThanOrEqual(l: ce.Literal, a: ce.Attribute) => Some(GreaterThanOrEqual(a.name, sv(l)))
+      case ce.In(a: ce.Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(In(a.name, vs.map(v => sv(v.asInstanceOf[ce.Literal])).toArray))
+      case ce.InSet(a: ce.Attribute, vs) if vs.nonEmpty =>
+        Some(In(a.name, vs.map(v => cvt.convertToScala(v, a.dataType)).toArray))
+      case ce.IsNull(a: ce.Attribute) => Some(IsNull(a.name))
+      case ce.IsNotNull(a: ce.Attribute) => Some(IsNotNull(a.name))
+      case ce.Or(l, r) => for (lf <- toV2(l); rf <- toV2(r)) yield Or(lf, rf)
+      case _ => None
+    }
+    condition.map(c => conjuncts(c).flatMap(e => toV2(e).toSeq)).filter(_.nonEmpty)
   }
 
   /** DSv2 source [[Filter]] → [[Column]], for re-evaluating a pushed

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -137,9 +137,18 @@ object GraftDataSource {
         s"generation $name was never made live (live is $live): " +
           "refusing a half-written compaction output")
     val p = new Path(dir, name)
-    if (!p.getFileSystem(conf).exists(p))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p))
       throw new OliveFormatException(
         s"generation $name not present under $dir (reclaimed by a later compaction, or never written)")
+    // a partially-swept generation (its unreferenced files reclaimed, the
+    // referenced ones carried forward by a newer manifest) loses its
+    // .swap-ts marker — serving it would silently return PARTIAL data
+    if (!fs.exists(new Path(p, SwapTsName)))
+      throw new OliveFormatException(
+        s"generation $name under $dir is no longer a complete snapshot " +
+          "(partially reclaimed after its retention lapsed); only files " +
+          "carried forward by newer generations remain")
     p.toString
   }
 
@@ -221,6 +230,52 @@ object GraftDataSource {
     * retries) into exactly-once table folds. Delta's txnAppId/txnVersion
     * idea mapped to generations. */
   val RewriteTagName = ".rewrite-tag"
+
+  /** Carry manifest written INSIDE a generation dir by a file-granular
+    * DML rewrite ([[Generations.rewriteTable]]): each line is
+    * `<bytes>\t<path relative to the TABLE ROOT>` naming a data file of
+    * an OLDER generation (or a pre-pointer loose file) that is still
+    * part of this generation's live view. A 1-row upsert then rewrites
+    * only the files that can hold matching rows and carries the other
+    * 99.99% of a 100 TB table by reference — the manifest is the
+    * "manifest lists data files" half of an iceberg/delta-style table
+    * format, scoped to what the sweep needs. References are FLATTENED
+    * at write time (a carried file's path points at the generation that
+    * physically holds it), so the sweep never chases chains. */
+  val CarryManifestName = ".carry"
+
+  /** Parse a generation's carry manifest: (root-relative path, bytes)
+    * per carried file; empty when the manifest is absent (a full-rewrite
+    * generation owns all its files physically). */
+  def readCarryManifest(fs: FileSystem, genDir: Path): Seq[(String, Long)] = {
+    val p = new Path(genDir, CarryManifestName)
+    try {
+      if (!fs.exists(p)) return Seq.empty
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"corrupt carry manifest line in $p: '$line'")
+        (line.substring(i + 1), line.substring(0, i).toLong)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => Seq.empty // swept mid-read
+    }
+  }
+
+  def writeCarryManifest(fs: FileSystem, genDir: Path,
+      entries: Seq[(String, Long)]): Unit = {
+    val out = fs.create(new Path(genDir, CarryManifestName), true)
+    try out.write(entries.map { case (rel, size) => s"$size\t$rel" }
+      .sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** `p` relative to `root` (both from the same filesystem). */
+  def relativePath(root: Path, p: Path): String = {
+    val b = root.toUri.getPath
+    p.toUri.getPath.stripPrefix(if (b.endsWith("/")) b else b + "/")
+  }
 
   def readSwapTs(conf: Configuration, genDir: Path): Option[Long] =
     try {
@@ -308,15 +363,17 @@ object GraftDataSource {
     while (true) {
       val resolved = resolveDataDir(conf, dir)
       val viaPointer = resolved != dir
-      try return listPartitionedSizedAt(conf, resolved, viaPointer)
+      try return listPartitionedSizedAt(conf, dir, resolved, viaPointer)
       catch {
-        case e: java.io.FileNotFoundException if viaPointer =>
-          // the generation the pointer named was reclaimed between our
-          // pointer read and the walk — the pointer has already moved
-          // on, so re-resolve and plan against the new live generation
+        case e: java.io.FileNotFoundException =>
+          // the view we were walking was replaced under us: the pointer's
+          // generation was reclaimed mid-walk (its .swap-ts marker —
+          // removed FIRST by every sweep, before any data file — is the
+          // tell), or a first rewrite published a pointer while we walked
+          // the loose-file layout. Re-resolve and retry (bounded).
           attempt += 1
           if (attempt > 5) throw new graft.format.OliveFormatException(
-            s"live generation of $dir kept vanishing during planning " +
+            s"live view of $dir kept changing during planning " +
               s"($attempt attempts): concurrent rewrites are sweeping " +
               "faster than this scan can plan; raise spark.graft.graceMs", e)
       }
@@ -324,8 +381,8 @@ object GraftDataSource {
     throw new IllegalStateException("unreachable")
   }
 
-  private def listPartitionedSizedAt(conf: Configuration, resolved: String,
-      viaPointer: Boolean): Seq[(Path, Long, Map[String, String])] = {
+  private def listPartitionedSizedAt(conf: Configuration, dir: String,
+      resolved: String, viaPointer: Boolean): Seq[(Path, Long, Map[String, String])] = {
     val root = new Path(resolved)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) {
@@ -334,6 +391,15 @@ object GraftDataSource {
       if (viaPointer) throw new java.io.FileNotFoundException(resolved)
       return Seq.empty
     }
+    // Sweep-race guard, pre-walk half: every sweep removes a generation's
+    // `.swap-ts` marker BEFORE touching any of its data files, so a
+    // pointer-resolved dir with no marker is mid-reclaim (or a corrupt
+    // half-publish) — never walk it, a partial walk would silently drop
+    // rows. Two fs.exists round-trips per planning-time listing buy the
+    // invariant "marker present after the walk ⇒ the walk saw every file".
+    val marker = new Path(root, SwapTsName)
+    if (viaPointer && !fs.exists(marker))
+      throw new java.io.FileNotFoundException(s"$marker (generation mid-reclaim)")
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile) return Seq((root, rootStatus.getLen, Map.empty[String, String]))
     val out = Seq.newBuilder[(Path, Long, Map[String, String])]
@@ -352,6 +418,31 @@ object GraftDataSource {
         }
       }
     }
+    // a file-granular DML generation carries its untouched files by
+    // reference: manifest entries are relative to the TABLE ROOT (the
+    // gen dir's parent), partition values ride the relative path's
+    // `k=v` components exactly as they would a walked path. Sizes come
+    // from the manifest — planning a carried 10^6-file view costs zero
+    // extra stat calls.
+    readCarryManifest(fs, root).foreach { case (rel, size) =>
+      val part = rel.split('/').dropRight(1).iterator
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> unescapePathValue(v)
+        }.toMap
+      out += ((new Path(root.getParent, rel), size, part))
+    }
+    // Sweep-race guard, post-walk half: a marker still present AFTER the
+    // walk proves no sweep began before the walk finished (markers go
+    // first), so the listing is complete. For a pointerless walk, a
+    // pointer APPEARING mid-walk means a first rewrite published (and
+    // with a tiny grace may already have reclaimed loose files under
+    // us) — retry through the pointer.
+    if (viaPointer && !fs.exists(marker))
+      throw new java.io.FileNotFoundException(s"$marker (generation reclaimed mid-walk)")
+    if (!viaPointer && readGenPointer(conf, dir).isDefined)
+      throw new java.io.FileNotFoundException(
+        s"$dir gained a generation pointer mid-walk")
     out.result().sortBy(_._1.toString)
   }
 
@@ -495,7 +586,8 @@ object GraftDataSource {
 
 class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitiveStringMap,
     partCols: Seq[String] = Seq.empty)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
     this(Seq(dir), schema, options)
   override def name(): String = s"graft:${dirs.mkString(",")}"
@@ -519,7 +611,22 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       Option(scanOptions.get("maxfilespertrigger")).orElse(
         Option(options.get("maxfilespertrigger"))).map(_.toInt),
       Option(scanOptions.get("startingoffsets")).orElse(
-        Option(options.get("startingoffsets"))).getOrElse("earliest"))
+        Option(options.get("startingoffsets"))).getOrElse("earliest"),
+      // internal (DML candidate reads): restrict the scan to these
+      // newline-joined absolute file paths from the live listing
+      Option(options.get("filefilter")).map(_.split('\n').toSet))
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-pushable `DELETE`: group-based
+    * copy-on-write via [[GraftRowLevelOperation]] — candidate files are
+    * pruned by zone maps/blooms and replaced; every other live file is
+    * carried by reference into the new generation. */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(dirs.size == 1, "row-level SQL operations take exactly one path")
+    require(options.get("generation") == null,
+      "cannot UPDATE/MERGE/DELETE a time-travel read; only the live generation is writable")
+    () => new GraftRowLevelOperation(dirs.head,
+      Option(options.get("table")).getOrElse("data"), schema, info.command())
+  }
 
   /** `DELETE FROM` is deletable only when every conjunct has an exact
     * Column re-evaluation (Spark then falls back to an analysis error,
@@ -554,8 +661,11 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       }
     }
     target.foreach { t =>
-      Generations.rewrite(spark, dirs.head,
-        (name, df) => if (name == t) df.filter(keep) else df)
+      // the pushed V2 filters double as candidate-file pruning: files
+      // whose zone maps/blooms prove no row matches are carried by
+      // reference instead of copied (file-granular COW)
+      Generations.rewriteTable(spark, dirs.head, t,
+        df => df.filter(keep), Some(filters.toSeq), alwaysWrite = false)
     }
   }
 
@@ -585,7 +695,8 @@ case class GraftSumSpec(col: String, integral: Boolean) extends GraftAggSpec
 
 class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
-    startingOffsets: String = "earliest")
+    startingOffsets: String = "earliest",
+    fileFilter: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -717,7 +828,7 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
   override def build(): Scan =
     new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
-      limit, aggSpecs, maxFilesPerTrigger, topN, startingOffsets)
+      limit, aggSpecs, maxFilesPerTrigger, topN, startingOffsets, fileFilter)
 }
 
 /** Pushed ORDER BY col LIMIT k: `desc`/`nullsFirst` mirror the query's
@@ -729,7 +840,12 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     aggSpecs: Option[Seq[GraftAggSpec]] = None,
     maxFilesPerTrigger: Option[Int] = None,
     topN: Option[GraftTopN] = None,
-    startingOffsets: String = "earliest") extends Scan with Batch
+    startingOffsets: String = "earliest",
+    fileFilter: Option[Set[String]] = None,
+    // group-based row-level (COW) candidate read: the replaced-file set
+    // was recorded at scan build, so nothing may shrink the files
+    // actually read after that point — runtime filtering is declined
+    cow: Boolean = false) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -741,8 +857,13 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * listing is seconds — the planner used to pay it twice). The listing
     * is unfiltered; pruning applies per consumer because runtime (DPP)
     * filters can arrive between the two calls. */
-  private lazy val listing: Seq[(org.apache.hadoop.fs.Path, Long, Map[String, String])] =
-    dirs.flatMap(GraftDataSource.listPartitionedSized(conf, _))
+  private lazy val listing: Seq[(org.apache.hadoop.fs.Path, Long, Map[String, String])] = {
+    val all = dirs.flatMap(GraftDataSource.listPartitionedSized(conf, _))
+    fileFilter match {
+      case Some(allowed) => all.filter { case (p, _, _) => allowed.contains(p.toString) }
+      case None => all
+    }
+  }
 
   /** Planner statistics from the (partition-pruned) listing: compressed
     * bytes on disk scaled by a conservative decode-expansion factor.
@@ -776,8 +897,10 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * this source. */
   private var runtimeFilters: Array[Filter] = Array.empty
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
-  override def filter(incoming: Array[Filter]): Unit = { runtimeFilters = incoming }
+    if (cow) Array.empty
+    else required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(incoming: Array[Filter]): Unit =
+    if (!cow) { runtimeFilters = incoming }
 
   private def filters: Array[Filter] = planFilters ++ runtimeFilters
 
@@ -1318,33 +1441,10 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   private var current: ColumnarBatch = null
   private var emitted = 0L
 
+  /** Zone maps + blooms, via the shared [[Stats.canSkipChunk]] (also the
+    * driver-side DML candidate-file selection). */
   private def skippable(t: Meta.TableMeta): Boolean =
-    filters.nonEmpty && {
-      val stats = t.schema.fieldNames.zip(t.stats).toMap
-      filters.exists(f => Stats.canSkip(f, t.schema, stats, t.numRows) || bloomSkip(t, f))
-    }
-
-  /** Bloom-filter chunk skipping: an equality literal whose hash probes
-    * miss the column's per-chunk bloom PROVES the chunk holds no match
-    * (the filter shape zone maps can't serve — point lookups on unsorted
-    * high-cardinality ids). */
-  private def bloomSkip(t: Meta.TableMeta, f: Filter): Boolean = {
-    def bytesFor(attr: String, v: Any): Option[Array[Byte]] =
-      t.schema.fields.find(_.name == attr)
-        .flatMap(fl => graft.format.Bloom.literalBytes(fl.dataType, v))
-    f match {
-      case org.apache.spark.sql.sources.EqualTo(a, v) => t.blooms.get(a).exists(bf =>
-        bytesFor(a, v).exists(b => !graft.format.Bloom.mightContain(bf.bytes, b)))
-      case org.apache.spark.sql.sources.In(a, vs) if vs != null && vs.nonEmpty => t.blooms.get(a).exists { bf =>
-        val bs = vs.map(v => bytesFor(a, v))
-        bs.forall(_.isDefined) &&
-          bs.forall(b => !graft.format.Bloom.mightContain(bf.bytes, b.get))
-      }
-      case org.apache.spark.sql.sources.And(l, r) => bloomSkip(t, l) || bloomSkip(t, r)
-      case org.apache.spark.sql.sources.Or(l, r) => bloomSkip(t, l) && bloomSkip(t, r)
-      case _ => false
-    }
-  }
+    filters.nonEmpty && filters.exists(f => Stats.canSkipChunk(f, t))
 
   /** Zone maps: contiguous row ranges whose BLOCK stats survive the
     * pushed filters — a kept chunk with clustered data decodes the

@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL `UPDATE` / `MERGE INTO` / non-pushable `DELETE` for graft catalog
+  * tables, as a DSv2 group-based (copy-on-write) row-level operation.
+  *
+  * Spark's own rewrite rules (`RewriteUpdateTable`,
+  * `RewriteMergeIntoTable`, `RewriteDeleteFromTable`) plan the command
+  * into a ReplaceData over this operation: the scan below reads the
+  * "groups" (files) that may hold affected rows, the rewritten rows flow
+  * through the write below, and commit publishes a new generation that
+  * holds the replacement files physically and carries every untouched
+  * live file BY REFERENCE in the generation's `.carry` manifest — the
+  * same file-granular COW as [[Generations.rewriteTable]], so a 1-row
+  * SQL MERGE against a 100 TB table rewrites the files its keys can
+  * touch, not the table.
+  *
+  * Group-based contract (RowLevelOperation javadoc): pushed filters may
+  * prune which groups are read, but the scan must return EVERY row of a
+  * selected group — the rewrite plan copies non-matching rows through.
+  * Candidate selection therefore uses the filters only file-granularly
+  * (a file where some conjunct provably matches nothing, by zone maps +
+  * blooms via [[graft.format.Stats.canSkipChunk]], is carried), and the
+  * candidate read itself carries NO row filters. For the same reason the
+  * scan declines runtime group filtering (empty `filterAttributes`):
+  * the replaced-file set is recorded when the scan is built, and a
+  * runtime filter shrinking the files actually read after that point
+  * would turn "not read" into "not carried" — silent row loss. Declining
+  * is always safe: unmatched rows of an over-read file are copied
+  * through unchanged.
+  *
+  * Pushable `DELETE FROM` never reaches this path —
+  * `OptimizeMetadataOnlyDeleteFromTable` restores
+  * [[GraftTable.deleteWhere]] when every conjunct translates exactly.
+  */
+class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the write's commit will REPLACE (everything else is carried).
+    * Recorded by the scan builder; read by the write's commit. Both run
+    * on the driver: scan planning strictly precedes write commit. */
+  @volatile private[sources] var replaced: Option[Seq[Path]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft copy-on-write $cmd on $table"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(this, dir, table, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftCowBatchWrite(GraftRowLevelOperation.this, dir, table, info.schema())
+      }
+    }
+}
+
+/** Candidate-file selection for the COW rewrite, at `build()` time: one
+  * parallel footer probe classifies every live file (replace vs carry),
+  * exactly like [[Generations.rewriteTable]]. The returned scan is a
+  * plain [[GraftScan]] pinned to the candidate files with NO filters —
+  * all rows of every candidate file, per the group-based contract. */
+class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
+    table: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var cond: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    cond = filters
+    filters // group-pruning hints only; every filter still re-evaluates above
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val conf = new Configuration()
+    val listed = GraftDataSource.listPartitionedSized(conf, dir)
+    val probes = GraftDataSource.inParallel(listed) { case (p, _, _) =>
+      val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+      try {
+        val ts = r.footer.chunks.flatMap(_.tables)
+        (p, ts.map(_.name).distinct, ts.filter(_.name == table))
+      } finally r.close()
+    }
+    def candidate(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
+      metas.nonEmpty && (cond.isEmpty ||
+        !cond.exists(f => metas.forall(t => graft.format.Stats.canSkipChunk(f, t))))
+    val cands = probes.filter(pr => candidate(pr._3))
+    // replacing a file means dropping EVERYTHING in it that the write
+    // doesn't re-emit — a file shared with a sibling table can't be
+    // replaced for one table only. Catalog tables own their directory,
+    // so this only trips on hand-built namespace layouts; those have the
+    // (full-COW) FormatOps API.
+    cands.find(_._2.size > 1).foreach { pr =>
+      throw new UnsupportedOperationException(
+        s"${pr._1} holds tables ${pr._2.mkString(",")}; SQL row-level " +
+          s"operations need single-table files — use the FormatOps API " +
+          "(updateWhere/upsert), whose full rewrite handles shared files")
+    }
+    op.replaced = Some(cands.map(_._1))
+    new GraftScan(Seq(dir), schema, Some(table), Array.empty, -1,
+      fileFilter = Some(cands.map(_._1.toString).toSet), cow = true)
+  }
+}
+
+/** The replacement write: rows land in a `gen-N.tmp-*` staging dir via
+  * the ordinary [[GraftBatchWrite]]; commit writes the `.carry` manifest
+  * (live files minus the replaced set, by reference at their original
+  * location) and publishes the generation atomically — crash before
+  * commit leaves only unreferenced staging for the next sweep, identical
+  * to every other rewrite in this source. */
+class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
+    table: String, schema: StructType) extends BatchWrite {
+
+  private val conf = new Configuration()
+  private val root = new Path(dir)
+  private val fs = root.getFileSystem(conf)
+  private var staging: Path = _
+  private var nextGen: String = _
+  private var inner: GraftBatchWrite = _
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val s = SparkSession.active
+    nextGen = Generations.prepareRewrite(s, dir)
+    staging = new Path(root, s"$nextGen.tmp-${UUID.randomUUID()}")
+    val listed = GraftDataSource.listPartitionedSized(conf, dir)
+    val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+    inner = new GraftBatchWrite(staging.toString, schema, truncate = false,
+      table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
+      GraftBatchWrite.DefaultChunkRows, partCols)
+    new GraftCowRowShapeFactory(inner.createBatchWriterFactory(pinfo), schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    inner.commit(messages)
+    val replaced = op.replaced.getOrElse(throw new IllegalStateException(
+      "row-level write committed before its scan planned; no replaced-file " +
+        "set to anchor the carry manifest")).map(_.toString).toSet
+    val carried = GraftDataSource.listPartitionedSized(conf, dir)
+      .filterNot { case (p, _, _) => replaced.contains(p.toString) }
+    GraftDataSource.writeCarryManifest(fs, staging,
+      carried.map { case (p, size, _) =>
+        (GraftDataSource.relativePath(root, p), size) })
+    Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    if (staging != null) fs.delete(staging, true)
+}
+
+/** Shape adapter for Spark's group-based ReplaceData rows. When the
+  * operation declares no metadata attributes, Spark 4.1 hands the writer
+  * the rewrite plan's RAW output — `__row_operation: int` (always
+  * WRITE/WRITE_WITH_METADATA for group-based plans) followed by the row
+  * attributes in write-schema order — without applying the
+  * ReplaceDataProjections it planned (ReplaceDataExec.writingTask falls
+  * back to the plain DataWritingSparkTask unless a metadata projection
+  * exists). Encoding those rows by ordinal would write the operation
+  * marker into the first column; this factory projects the marker away.
+  * Rows already matching the write schema pass through untouched, so a
+  * Spark that starts applying its own projection stays correct; any
+  * OTHER shape fails loudly rather than writing garbage. */
+private[sources] class GraftCowRowShapeFactory(inner: DataWriterFactory,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, (1 to schema.length).toIndexedSeq)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == schema.length) w.write(row)
+        else {
+          if (row.numFields != schema.length + 1)
+            throw new IllegalStateException(
+              s"row-level write expected ${schema.length} fields (or +1 " +
+                s"operation marker), got ${row.numFields}")
+          proj.project(row)
+          w.write(proj)
+        }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}

@@ -297,17 +297,20 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft_trc.db.t").count() == 3)
   }
 
-  test("DELETE with an untranslatable predicate is refused, never partial") {
+  test("DELETE with an untranslatable predicate runs through the row-level COW path") {
     val root = Files.createTempDirectory("graft-dmlr").toString
     spark.conf.set("spark.sql.catalog.graft_dmlr", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_dmlr.root", root)
     spark.range(0, 100).selectExpr("id AS k", "concat('n', id) AS nm")
       .write.format("graft").option("table", "t").mode("append").save(s"$root/db")
-    // k + 1 has no exact source-Filter form: canDeleteWhere must say no
-    // and Spark must surface an error — not delete a guessed subset
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_dmlr.db.t WHERE k + 1 > 10")
-    }
-    assert(spark.table("graft_dmlr.db.t").count() == 100)
+    // k + 1 has no exact source-Filter form, so canDeleteWhere says no
+    // and the metadata-only path is off the table; Spark falls back to
+    // the group-based row-level rewrite (GraftRowLevelOperation), which
+    // re-evaluates the predicate row-by-row — exact, never a guess
+    spark.sql("DELETE FROM graft_dmlr.db.t WHERE k + 1 > 10")
+    val left = spark.table("graft_dmlr.db.t")
+    assert(left.count() == 10)
+    assert(canon(left.selectExpr("k")) ==
+      canon(spark.range(0, 10).selectExpr("id AS k")))
   }
 }

@@ -1,0 +1,108 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.GraftDataSource
+
+/** SQL UPDATE / MERGE INTO / non-pushable DELETE via DSv2 group-based
+  * row-level operations ([[graft.sources.GraftRowLevelOperation]]): the
+  * statement itself drives a file-granular COW rewrite — candidate files
+  * replaced, everything else carried by reference. */
+class SqlRowLevelSpec extends SparkSpec {
+  private val conf = new Configuration()
+
+  private def mkCatalog(name: String): String = {
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    root
+  }
+
+  test("SQL UPDATE: matching rows changed, others byte-identical carried files") {
+    val root = mkCatalog("rl_upd")
+    // range-clustered on k so per-file zone maps cover disjoint ranges
+    spark.range(0, 8000).selectExpr("id AS k", "id % 7 AS v")
+      .repartitionByRange(8, col("id"))
+      .createOrReplaceTempView("rl_upd_src")
+    spark.sql("CREATE TABLE rl_upd.db.t AS SELECT * FROM rl_upd_src")
+    val dir = s"$root/db" // catalog tables share the namespace dir, table-tagged
+    val before = GraftDataSource.listFiles(conf, dir).map { p =>
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      GraftDataSource.relativePath(new Path(dir), p) -> (st.getLen, st.getModificationTime)
+    }.toMap
+    assert(before.size == 8)
+    spark.sql("UPDATE rl_upd.db.t SET v = -1 WHERE k < 100")
+    val t = spark.table("rl_upd.db.t")
+    assert(t.count() == 8000)
+    assert(t.filter(col("v") === -1).count() == 100)
+    assert(t.filter(col("k") >= 100 && col("v") === -1).count() == 0)
+    // zone maps prune to the single file holding k<100; 7 carried intact
+    val live = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, live))
+    assert(carried.size >= 7, s"expected >=7 carried files, got ${carried.size}")
+    carried.foreach { case (rel, size) =>
+      val (sz, mt) = before.getOrElse(rel, fail(s"carried $rel not in pre-UPDATE state"))
+      assert(sz == size, s"$rel size drifted")
+      val st = new Path(dir).getFileSystem(conf).getFileStatus(new Path(dir, rel))
+      assert(st.getModificationTime == mt, s"$rel was rewritten, not carried")
+    }
+  }
+
+  test("SQL MERGE INTO: update + delete + insert clauses, exact results") {
+    mkCatalog("rl_mrg")
+    spark.range(0, 100).selectExpr("id AS k", "concat('n', id) AS nm")
+      .createOrReplaceTempView("rl_mrg_tgt")
+    spark.sql("CREATE TABLE rl_mrg.db.t AS SELECT * FROM rl_mrg_tgt")
+    // source: keys 90..109 → 90..99 matched, 100..109 unmatched
+    spark.range(90, 110).selectExpr("id AS k", "concat('m', id) AS nm")
+      .createOrReplaceTempView("rl_mrg_src")
+    spark.sql("""MERGE INTO rl_mrg.db.t t USING rl_mrg_src s ON t.k = s.k
+      WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET t.nm = s.nm
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (k, nm) VALUES (s.k, s.nm)""")
+    val t = spark.table("rl_mrg.db.t")
+    // 0..89 untouched (90), evens of 90..98 updated (5), odds deleted,
+    // 100..109 inserted (10) → 105 rows
+    assert(t.count() == 105)
+    assert(canon(t.filter(col("k").between(90, 99))) ==
+      canon(spark.range(90, 100).filter(col("id") % 2 === 0)
+        .selectExpr("id AS k", "concat('m', id) AS nm")))
+    assert(canon(t.filter(col("k") >= 100)) ==
+      canon(spark.range(100, 110).selectExpr("id AS k", "concat('m', id) AS nm")))
+    assert(t.filter(col("k") === 0).select("nm").head().getString(0) == "n0")
+  }
+
+  test("MERGE into an EMPTY-candidate target still lands inserts") {
+    mkCatalog("rl_ins")
+    spark.range(0, 50).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("rl_ins_tgt")
+    spark.sql("CREATE TABLE rl_ins.db.t AS SELECT * FROM rl_ins_tgt")
+    spark.range(100, 105).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("rl_ins_src")
+    spark.sql("""MERGE INTO rl_ins.db.t t USING rl_ins_src s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("rl_ins.db.t").count() == 55)
+    assert(spark.table("rl_ins.db.t").agg(max("k")).head().getLong(0) == 104L)
+  }
+
+  test("UPDATE keeps sibling rows bit-exact through the rewrite") {
+    mkCatalog("rl_bits")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "rand(7) AS f", "CAST(id AS DECIMAL(12,2)) * 3 AS dec",
+        "concat('s', id) AS s")
+      .createOrReplaceTempView("rl_bits_src")
+    spark.sql("CREATE TABLE rl_bits.db.t AS SELECT * FROM rl_bits_src")
+    val beforeRows = canon(spark.table("rl_bits.db.t").filter(col("k") >= 500))
+    spark.sql("UPDATE rl_bits.db.t SET s = 'gone' WHERE k < 500")
+    assert(canon(spark.table("rl_bits.db.t").filter(col("k") >= 500)) == beforeRows)
+    assert(spark.table("rl_bits.db.t").filter(col("s") === "gone").count() == 500)
+  }
+
+}
