@@ -353,9 +353,37 @@ object FormatOps {
   /** `VACUUM`: reclaim superseded generations and stale staging WITHOUT
     * creating a new generation — the explicit end of time-travel
     * retention for a table that is no longer being rewritten. See
-    * [[graft.sources.Generations.vacuum]] for the grace rules. */
-  def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L): Unit =
+    * [[graft.sources.Generations.vacuum]] for the grace rules.
+    *
+    * Also the end of CHANGE-FEED retention: capture files under
+    * `_changes` older than `changesRetentionMs` (session conf
+    * `spark.graft.changesRetentionMs`, default 7 days — a change log
+    * outlives generation grace by design) are reclaimed here, bounding
+    * the otherwise append-forever capture log. Safe for streams: the
+    * micro-batch source's offsets are a checkpoint-persisted log of file
+    * PATHS, so reclaiming consumed files never re-maps offsets, a
+    * resumed consumer just tails newcomers; a consumer lagging past the
+    * horizon fails LOUDLY on the missing file (never a silent skip) —
+    * the same contract as Delta's CDF retention. Size retention to your
+    * slowest consumer. */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L,
+      changesRetentionMs: Long = -1L): Unit = {
     graft.sources.Generations.vacuum(s, dir, graceMs)
+    val retention =
+      if (changesRetentionMs >= 0) changesRetentionMs
+      else s.conf.getOption("spark.graft.changesRetentionMs")
+        .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
+    val ch = new org.apache.hadoop.fs.Path(s"$dir/$ChangesSubdir")
+    val fs = ch.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(ch)) {
+      val cutoff = System.currentTimeMillis() - retention
+      fs.listStatus(ch).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".graft") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
 
   /** `DESCRIBE HISTORY`: the table's generations as a DataFrame — one
     * row per generation still on disk with its index, live flag, birth

@@ -342,6 +342,78 @@ object Similarity {
       |  true AS recall_ok
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
+  /** Incremental IVF maintenance: assign a batch of NEW vectors to their
+    * nearest existing cell (the tiny centroids table broadcast off disk)
+    * and append them into the cell-partitioned index — no rebuild. Cost
+    * is O(batch × centroids) scoring plus one dynamic-partition append;
+    * the corpus-sized cells dir is never re-read or rewritten, which at
+    * 100 TB is the difference between index upkeep and index
+    * reconstruction. Centroids drift as the corpus grows; re-clustering
+    * cadence stays an offline policy knob — the standard IVF trade.
+    * `batch` needs (vec_id, v: array<double>, nv). */
+  def ivfAppend(s: SparkSession, indexRoot: String, batch: DataFrame): Unit = {
+    graft.functions.VectorOps.register(s)
+    val cents = s.read.format("graft").load(s"$indexRoot/centroids")
+    batch.crossJoin(broadcast(cents))
+      .withColumn("score", graft.functions.VectorOps.dot(col("v"), col("cv")) /
+        (col("nv") * sqrt(graft.functions.VectorOps.dot(col("cv"), col("cv")))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+      .write.format("graft").option("partitionBy", "cell")
+      .mode("append").save(s"$indexRoot/cells")
+  }
+
+  // ---- q44d: incremental IVF append (planted truth through disk) -----------
+  // q44c's persisted index, maintained instead of rebuilt: the index is
+  // built from the BASE corpus only, then the planted near-dups arrive
+  // as a later batch through [[ivfAppend]]. Each original then probes
+  // its top-2 cells off disk and must find its planted twin — proving
+  // appended vectors are discoverable through the persisted layout with
+  // zero index rebuild. Exact oracle via the planted truth set.
+  private val q44d: Q = (s, d) => {
+    val root = FormatOps.graftDir(d, "ivf_incr")
+    val e = emb(s, d)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").cast("long").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    def rankCells(df: DataFrame, against: DataFrame) =
+      df.crossJoin(broadcast(against))
+        .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    // build from the base corpus only (overwrite = idempotent reruns)
+    rankCells(e.select(col("vec_id"), col("v"), col("nv")), cents)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+      .write.format("graft").option("partitionBy", "cell")
+      .mode("overwrite").save(s"$root/cells")
+    cents.write.format("graft").mode("overwrite").save(s"$root/centroids")
+    // the planted copies arrive LATER: incremental append, no rebuild
+    ivfAppend(s, root, withPlanted(e).filter(col("vec_id") >= PlantShift))
+    // search off disk: each original probes its top-2 cells for its twin
+    val centsR = s.read.format("graft").load(s"$root/centroids")
+    val probeCells = rankCells(e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("v"), col("nv")), centsR)
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("orig_id"), col("cell"))
+    val cellsR = s.read.format("graft").load(s"$root/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val found = probeCells.join(cellsR, Seq("cell"))
+      .filter(col("vec_id") === col("orig_id") + PlantShift)
+      .select(col("orig_id")).distinct()
+    val plantedIds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("orig_id"))
+    plantedIds.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedIds.join(found, Seq("orig_id"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered")))
+      .select(col("n_planted"), col("n_recovered"),
+        (col("n_recovered") === col("n_planted")).as("recall_ok"))
+  }
+  private val q44dSql = q44cSql
+
   // ---- q45: embedding-cosine near-dup dedup (exact oracle) -----------------
   // Dedup on top of the multi-band LSH candidates, over the corpus with
   // planted near-dups (each planted copy's only >0.95 partner is its
@@ -596,6 +668,7 @@ object Similarity {
     "q116_hybrid_rrf" -> q116,
     "q58_quantized_ann" -> q58,
     "q44c_ivf_persisted" -> q44c,
+    "q44d_ivf_append" -> q44d,
     "q40_cosine_topk" -> q40,
     "q41_ann_lsh" -> q41,
     "q42_knn_join" -> q42,
@@ -611,6 +684,7 @@ object Similarity {
     "q116_hybrid_rrf" -> q116Sql,
     "q58_quantized_ann" -> q58Sql,
     "q44c_ivf_persisted" -> q44cSql,
+    "q44d_ivf_append" -> q44dSql,
     "q40_cosine_topk" -> q40Sql,
     // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check;
     // q46 gates the same banding path against a planted truth set.

@@ -376,6 +376,7 @@ object GraftDataSource {
             s"live view of $dir kept changing during planning " +
               s"($attempt attempts): concurrent rewrites are sweeping " +
               "faster than this scan can plan; raise spark.graft.graceMs", e)
+          Thread.sleep(5L * attempt) // outlast a pointer swap in flight
       }
     }
     throw new IllegalStateException("unreachable")
@@ -443,7 +444,20 @@ object GraftDataSource {
     if (!viaPointer && readGenPointer(conf, dir).isDefined)
       throw new java.io.FileNotFoundException(
         s"$dir gained a generation pointer mid-walk")
-    out.result().sortBy(_._1.toString)
+    val res = out.result().sortBy(_._1.toString)
+    // Last line of defense for a non-atomic pointer swap (any scheme
+    // whose overwrite-rename passes through delete-then-rename): a
+    // pointerless walk that found NOTHING while the root holds `gen-*`
+    // dirs is a table whose pointer is mid-swap — its loose files were
+    // swept long ago, so "empty" here would be the silent-0-rows bug.
+    // Real pointerless tables either have loose files (walk non-empty)
+    // or never had generations at all.
+    if (res.isEmpty && !viaPointer && fs.exists(root) &&
+        fs.listStatus(root).exists(st => st.isDirectory &&
+          st.getPath.getName.matches("gen-\\d+")))
+      throw new java.io.FileNotFoundException(
+        s"$dir holds generations but no pointer resolved (swap in flight)")
+    res
   }
 
   /** Partition column names in first-seen order across the listing. */
