@@ -49,7 +49,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}"""
+    // 1-min system load at end of run: round-over-round totals on a
+    // shared box swing 2-3x with co-tenant load — trend tooling should
+    // discount any run whose loadavg is far above the core count's idle
+    val load = fmt(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}"""
     println(line)
     // the driver keeps only a tail of stdout, which can truncate the
     // per-query map past ~100 queries — persist the full line where it
