@@ -1164,7 +1164,12 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
 }
 
 object GraftFileReader {
+  /** Footer-open counter, for specs asserting I/O-free planning paths
+    * (e.g. manifest-stats DML classification opens no carried file). */
+  val opens = new java.util.concurrent.atomic.AtomicLong
+
   def open(fs: FileSystem, path: Path): GraftFileReader = {
+    opens.incrementAndGet()
     val len = fs.getFileStatus(path).getLen
     if (len < MagicHead.length + 12)
       throw new OliveFormatException(s"file too small: $len bytes")

@@ -228,4 +228,58 @@ object Stats {
     val stats = t.schema.fieldNames.zip(t.stats).toMap
     canSkip(f, t.schema, stats, t.numRows) || bloomSkip(t, f)
   }
+
+  // ---- manifest stats codec -------------------------------------------------
+  // A file's per-chunk zone maps, serialized small enough to ride a carry
+  // manifest line: DML candidate selection then prunes manifest-covered
+  // files with ZERO per-file I/O (the iceberg/delta "stats in the
+  // manifest" shape), and only footer-probes recent files plus the few
+  // candidates min/max alone can't clear (giving blooms a second pass).
+  // One JSON array entry per (chunk, table): name, numRows, schema DDL,
+  // per-column {nc, mn, mx} with bytes base64'd. Blooms deliberately
+  // stay in footers — they are KBs-MBs per column.
+
+  def statsToJson(tables: Seq[Meta.TableMeta]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    val b64 = java.util.Base64.getEncoder
+    tables.foreach { t =>
+      val e = arr.addObject()
+      e.put("t", t.name)
+      e.put("n", t.numRows)
+      e.put("s", t.schema.toDDL)
+      val cols = e.putArray("c")
+      t.stats.foreach { cs =>
+        val c = cols.addObject()
+        c.put("nc", cs.nullCount)
+        cs.min.foreach(m => c.put("mn", b64.encodeToString(m)))
+        cs.max.foreach(m => c.put("mx", b64.encodeToString(m)))
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  /** Inverse of [[statsToJson]]: synthetic TableMetas carrying exactly
+    * what [[canSkipChunk]]'s zone-map half consumes (no columns, no
+    * blooms). Any parse failure returns None — the caller falls back to
+    * the footer probe, never a wrong skip. */
+  def statsFromJson(json: String): Option[Seq[Meta.TableMeta]] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val b64 = java.util.Base64.getDecoder
+      val out = Vector.newBuilder[Meta.TableMeta]
+      node.forEach { e =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(e.get("s").asText())
+        val stats = Vector.newBuilder[ColStats]
+        e.get("c").forEach { c =>
+          stats += ColStats(
+            c.get("nc").asInt(),
+            Option(c.get("mn")).map(m => b64.decode(m.asText())),
+            Option(c.get("mx")).map(m => b64.decode(m.asText())))
+        }
+        out += Meta.TableMeta(e.get("t").asText(), e.get("n").asInt(), schema,
+          Vector.empty, stats.result())
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
 }

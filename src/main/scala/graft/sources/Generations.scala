@@ -469,29 +469,16 @@ object Generations {
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     if (listed.isEmpty) return false
     val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
-    // one parallel footer probe decides every file's fate
-    val probes = GraftDataSource.inParallel(listed) { case (p, size, _) =>
-      val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
-      try {
-        val ts = r.footer.chunks.flatMap(_.tables)
-        (p, size, ts.map(_.name).distinct, ts.filter(_.name == table))
-      } finally r.close()
-    }
-    if (!probes.exists(_._4.nonEmpty)) return false
-    def mustRewrite(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
-      pruneFilters match {
-        case Some(fls) if fls.nonEmpty =>
-          !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunk(f, t)))
-        case _ => true
-      }
-    if (probes.exists(pr => pr._4.nonEmpty && pr._3.size > 1 && mustRewrite(pr._4))) {
+    val files = classifyForDml(conf, root, listed, table, pruneFilters, dir)
+    if (!files.exists(_.metas.nonEmpty)) return false
+    if (files.exists(f => f.candidate && f.names.size > 1)) {
       // a mixed-table candidate file can't be rewritten for one table
       // and carried for the others — full COW handles it
       rewrite(s, dir, (n, df) => if (n == table) transform(df) else df,
         None, writeOptions, graceMs, idempotencyKey)
       return true
     }
-    val (candidates, carried) = probes.partition(pr => pr._4.nonEmpty && mustRewrite(pr._4))
+    val (candidates, carried) = files.partition(_.candidate)
     if (candidates.isEmpty && !alwaysWrite && idempotencyKey.isEmpty) return true
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
     // candidate rows flow through the normal scan (partition values and
@@ -501,7 +488,7 @@ object Generations {
     val reader = s.read.format("graft").option("table", table)
     val df0 =
       if (candidates.nonEmpty)
-        reader.option("fileFilter", candidates.map(_._1.toString).mkString("\n")).load(dir)
+        reader.option("fileFilter", candidates.map(_.path.toString).mkString("\n")).load(dir)
       else reader.load(dir).where(lit(false))
     val out = transform(df0)
     // a declared bucket layout outlives every rewrite (same contract as
@@ -536,11 +523,64 @@ object Generations {
     }
     // everything untouched is carried by root-relative reference;
     // re-carried files keep their ORIGINAL location (flattened chains)
+    // and their zone-map stats ride along, so the NEXT DML prunes them
+    // with zero per-file I/O
     GraftDataSource.writeCarryManifest(fs, staging,
-      carried.map { case (p, size, _, _) =>
-        (GraftDataSource.relativePath(root, p), size) })
+      carried.map(f =>
+        (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
     publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir)
     true
+  }
+
+  /** One live file's classification for a file-granular DML. */
+  private[sources] case class DmlFile(path: Path, size: Long,
+      names: Seq[String], metas: Seq[graft.format.Meta.TableMeta],
+      statsJson: String, candidate: Boolean)
+
+  /** Classify every listed file for a file-granular DML on `table`:
+    * candidate (can hold touched rows → rewrite) vs carried. Zone-map
+    * stats come from the live generation's carry manifest where present,
+    * so the overwhelming majority of a large table's files — everything
+    * the previous rewrite carried — is classified with ZERO per-file
+    * I/O; footers are opened only for files the manifest doesn't cover
+    * (the previous rewrite's own output) and for manifest-kept
+    * candidates, where the footer's blooms get a second chance to
+    * prune. Each record carries a fresh-or-reused statsJson so the next
+    * manifest keeps the zero-I/O property (files are immutable, stats
+    * never go stale). A corrupt/legacy stats field falls back to the
+    * footer probe — never a wrong skip. */
+  private[sources] def classifyForDml(conf: Configuration, root: Path,
+      listed: Seq[(Path, Long, Map[String, String])], table: String,
+      pruneFilters: Option[Seq[Filter]], dir: String): Seq[DmlFile] = {
+    def mustRewrite(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
+      pruneFilters match {
+        case Some(fls) if fls.nonEmpty =>
+          !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunk(f, t)))
+        case _ => true
+      }
+    val manifestStats = GraftDataSource.liveCarryStats(conf, dir)
+    GraftDataSource.inParallel(listed) { case (p, size, _) =>
+      def footer(): Seq[graft.format.Meta.TableMeta] = {
+        val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+        try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
+      }
+      def fromFooter(): DmlFile = {
+        val full = footer()
+        val mine = full.filter(_.name == table)
+        DmlFile(p, size, full.map(_.name).distinct, mine,
+          graft.format.Stats.statsToJson(full),
+          mine.nonEmpty && mustRewrite(mine))
+      }
+      val rel = GraftDataSource.relativePath(root, p)
+      manifestStats.get(rel).flatMap(graft.format.Stats.statsFromJson) match {
+        case Some(all) =>
+          val mine = all.filter(_.name == table)
+          if (mine.nonEmpty && mustRewrite(mine)) fromFooter() // bloom pass
+          else DmlFile(p, size, all.map(_.name).distinct, mine,
+            manifestStats(rel), candidate = false)
+        case None => fromFooter()
+      }
+    }
   }
 
   /** Best-effort [[Column]] → source [[Filter]] translation for

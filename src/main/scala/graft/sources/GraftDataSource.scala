@@ -247,16 +247,25 @@ object GraftDataSource {
   /** Parse a generation's carry manifest: (root-relative path, bytes)
     * per carried file; empty when the manifest is absent (a full-rewrite
     * generation owns all its files physically). */
-  def readCarryManifest(fs: FileSystem, genDir: Path): Seq[(String, Long)] = {
+  def readCarryManifest(fs: FileSystem, genDir: Path): Seq[(String, Long)] =
+    readCarryManifestFull(fs, genDir).map { case (rel, size, _) => (rel, size) }
+
+  /** Full manifest rows including the optional third field: the carried
+    * file's per-chunk zone-map stats ([[graft.format.Stats.statsToJson]]),
+    * which lets DML candidate selection prune manifest-covered files with
+    * zero per-file I/O. */
+  def readCarryManifestFull(fs: FileSystem, genDir: Path): Seq[(String, Long, Option[String])] = {
     val p = new Path(genDir, CarryManifestName)
     try {
       if (!fs.exists(p)) return Seq.empty
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        require(i > 0, s"corrupt carry manifest line in $p: '$line'")
-        (line.substring(i + 1), line.substring(0, i).toLong)
+        val parts = line.split('\t')
+        require(parts.length >= 2 && parts(0).nonEmpty,
+          s"corrupt carry manifest line in $p: '$line'")
+        (parts(1), parts(0).toLong,
+          if (parts.length >= 3 && parts(2).nonEmpty) Some(parts(2)) else None)
       }
     } catch {
       case _: java.io.FileNotFoundException => Seq.empty // swept mid-read
@@ -264,11 +273,25 @@ object GraftDataSource {
   }
 
   def writeCarryManifest(fs: FileSystem, genDir: Path,
-      entries: Seq[(String, Long)]): Unit = {
+      entries: Seq[(String, Long, Option[String])]): Unit = {
     val out = fs.create(new Path(genDir, CarryManifestName), true)
-    try out.write(entries.map { case (rel, size) => s"$size\t$rel" }
+    try out.write(entries.map { case (rel, size, stats) =>
+      s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
       .sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** rel → stats-json for every stats-carrying entry of the LIVE
+    * generation's manifest; empty for pointerless tables or manifests
+    * written before stats rode along. */
+  def liveCarryStats(conf: Configuration, dir: String): Map[String, String] = {
+    val resolved = resolveDataDir(conf, dir)
+    if (resolved == dir) Map.empty
+    else {
+      val p = new Path(resolved)
+      readCarryManifestFull(p.getFileSystem(conf), p)
+        .flatMap { case (rel, _, js) => js.map(rel -> _) }.toMap
+    }
   }
 
   /** `p` relative to `root` (both from the same filesystem). */

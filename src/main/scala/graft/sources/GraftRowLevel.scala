@@ -85,32 +85,27 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
 
   override def build(): Scan = {
     val conf = new Configuration()
+    val root = new Path(dir)
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
-    val probes = GraftDataSource.inParallel(listed) { case (p, _, _) =>
-      val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
-      try {
-        val ts = r.footer.chunks.flatMap(_.tables)
-        (p, ts.map(_.name).distinct, ts.filter(_.name == table))
-      } finally r.close()
-    }
-    def candidate(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
-      metas.nonEmpty && (cond.isEmpty ||
-        !cond.exists(f => metas.forall(t => graft.format.Stats.canSkipChunk(f, t))))
-    val cands = probes.filter(pr => candidate(pr._3))
+    // manifest-covered files classify with zero per-file I/O; footers
+    // open only for uncovered files and bloom-refinable candidates
+    val files = Generations.classifyForDml(conf, root, listed, table,
+      Some(cond.toSeq).filter(_.nonEmpty), dir)
+    val cands = files.filter(_.candidate)
     // replacing a file means dropping EVERYTHING in it that the write
     // doesn't re-emit — a file shared with a sibling table can't be
     // replaced for one table only. Catalog tables own their directory,
     // so this only trips on hand-built namespace layouts; those have the
     // (full-COW) FormatOps API.
-    cands.find(_._2.size > 1).foreach { pr =>
+    cands.find(_.names.size > 1).foreach { f =>
       throw new UnsupportedOperationException(
-        s"${pr._1} holds tables ${pr._2.mkString(",")}; SQL row-level " +
+        s"${f.path} holds tables ${f.names.mkString(",")}; SQL row-level " +
           s"operations need single-table files — use the FormatOps API " +
           "(updateWhere/upsert), whose full rewrite handles shared files")
     }
-    op.replaced = Some(cands.map(_._1))
+    op.replaced = Some(cands.map(_.path))
     new GraftScan(Seq(dir), schema, Some(table), Array.empty, -1,
-      fileFilter = Some(cands.map(_._1.toString).toSet), cow = true)
+      fileFilter = Some(cands.map(_.path.toString).toSet), cow = true)
   }
 }
 
@@ -149,9 +144,13 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
         "set to anchor the carry manifest")).map(_.toString).toSet
     val carried = GraftDataSource.listPartitionedSized(conf, dir)
       .filterNot { case (p, _, _) => replaced.contains(p.toString) }
+    // carried files keep their manifest-borne zone-map stats (immutable
+    // files, stats never stale) so later DML stays zero-I/O for them
+    val liveStats = GraftDataSource.liveCarryStats(conf, dir)
     GraftDataSource.writeCarryManifest(fs, staging,
       carried.map { case (p, size, _) =>
-        (GraftDataSource.relativePath(root, p), size) })
+        val rel = GraftDataSource.relativePath(root, p)
+        (rel, size, liveStats.get(rel)) })
     Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir)
   }
 
