@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -230,6 +230,9 @@ object GraftDataSource {
     * retries) into exactly-once table folds. Delta's txnAppId/txnVersion
     * idea mapped to generations. */
   val RewriteTagName = ".rewrite-tag"
+
+  /** Name of the `_file` metadata column (the row's source file path). */
+  val FileColName = "_file"
 
   /** Carry manifest written INSIDE a generation dir by a file-granular
     * DML rewrite ([[Generations.rewriteTable]]): each line is
@@ -624,7 +627,22 @@ object GraftDataSource {
 class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitiveStringMap,
     partCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file`: the absolute path of the file each row came from, served
+    * as a constant-per-file vector (same mechanism as partition-path
+    * columns — no per-row cost). Besides being generally useful
+    * (`SELECT _file, count(*) ... GROUP BY _file` audits layout), it is
+    * what lets Spark's runtime GROUP FILTERING narrow a MERGE's
+    * copy-on-write rewrite to the files that actually hold matching
+    * rows. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftDataSource.FileColName
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "absolute path of the graft file holding the row"
+    })
   def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
     this(Seq(dir), schema, options)
   override def name(): String = s"graft:${dirs.mkString(",")}"
@@ -879,12 +897,14 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     topN: Option[GraftTopN] = None,
     startingOffsets: String = "earliest",
     fileFilter: Option[Set[String]] = None,
-    // group-based row-level (COW) candidate read: the replaced-file set
-    // was recorded at scan build, so nothing may shrink the files
-    // actually read after that point — runtime filtering is declined
-    cow: Boolean = false) extends Scan with Batch
+    // group-based row-level (COW) candidate read: the operation handle
+    // receives the FINAL planned file set (post runtime group filtering)
+    // so commit replaces exactly what was read — see planInputPartitions
+    cowOp: Option[GraftRowLevelOperation] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
+
+  private def cow: Boolean = cowOp.isDefined
 
   private val conf = new Configuration()
 
@@ -934,10 +954,33 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * this source. */
   private var runtimeFilters: Array[Filter] = Array.empty
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (cow) Array.empty
+    if (cow)
+      // the ONE safe runtime-filter key for a COW candidate read: Spark's
+      // RowLevelOperationRuntimeGroupFiltering sends the matching rows'
+      // `_file` values, whole files drop out of the rewrite, and commit
+      // sees the post-filter set (recorded in planInputPartitions) —
+      // row-valued keys would instead shrink the rows READ out of files
+      // still being REPLACED, which is row loss
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftDataSource.FileColName))
     else required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
-  override def filter(incoming: Array[Filter]): Unit =
-    if (!cow) { runtimeFilters = incoming }
+  override def filter(incoming: Array[Filter]): Unit = { runtimeFilters = incoming }
+
+  /** `_file`-valued (planning or runtime) filters prune whole FILES from
+    * the listing — the group-filtering hook above, and free for any
+    * user query filtering on the metadata column. Conservative: only
+    * whole-conjunct EqualTo/In on `_file` prune; anything else keeps the
+    * file (Spark re-applies all filters row-level). */
+  private def fileColKeep(path: Path): Boolean = {
+    val s = path.toString
+    filters.forall {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if a == GraftDataSource.FileColName =>
+        v == s
+      case org.apache.spark.sql.sources.In(a, vs) if a == GraftDataSource.FileColName =>
+        vs != null && vs.contains(s)
+      case _ => true
+    }
+  }
 
   private def filters: Array[Filter] = planFilters ++ runtimeFilters
 
@@ -1044,6 +1087,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         // is a no-op here (bucketed layouts are flat, no hive partition
         // values); pushed AND runtime filters still skip chunks/blocks
         // inside each reader via footer stats
+        cowOp.foreach(_.replaced = Some(groups.flatMap(_._2.map(_._1))))
         return groups.map { case (b, fs) =>
           GraftBucketedPartition(fs.map { case (p, part) => (p.toString, part) }, b): InputPartition
         }.toArray
@@ -1052,14 +1096,18 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     val files = listing.map { case (p, _, part) => (p, part) }
     val partSchema = StructType(
       GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
-    val kept = files.filterNot { case (_, part) =>
-      // exact partition values = degenerate min==max ranges
-      val stats = part.map { case (k, v) =>
-        val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
-        k -> graft.format.ColStats(0, Some(b), Some(b))
+    val kept = files.filter { case (p, _) => fileColKeep(p) }
+      .filterNot { case (_, part) =>
+        // exact partition values = degenerate min==max ranges
+        val stats = part.map { case (k, v) =>
+          val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
+          k -> graft.format.ColStats(0, Some(b), Some(b))
+        }
+        filters.exists(f => Stats.canSkip(f, partSchema, stats))
       }
-      filters.exists(f => Stats.canSkip(f, partSchema, stats))
-    }
+    // COW commit replaces exactly the files planned HERE — after runtime
+    // group filtering narrowed them — and carries every other live file
+    cowOp.foreach(_.replaced = Some(kept.map(_._1)))
     val slots = try {
       org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
     } catch { case _: Exception => 16 }
@@ -1543,17 +1591,22 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
         try reader.decodeTableRange(chunk, table, req, 0, end)
         catch { case _: graft.format.OliveFormatException => reader.decodeTable(chunk, table, req) }
       else reader.decodeTableRange(chunk, table, req, r0, end)
-    def isPartCol(name: String): Boolean =
-      partValues.contains(name) && !table.schema.fieldNames.contains(name)
-    if (!required.fields.exists(f => isPartCol(f.name)))
+    // `_file` (metadata column) and partition-path columns both become
+    // constant vectors — no per-row storage or decode cost
+    def isConstCol(name: String): Boolean =
+      name == GraftDataSource.FileColName ||
+        (partValues.contains(name) && !table.schema.fieldNames.contains(name))
+    def constValue(name: String): String =
+      if (name == GraftDataSource.FileColName) path.toString else partValues(name)
+    if (!required.fields.exists(f => isConstCol(f.name)))
       decode(required)
     else {
-      val dataReq = StructType(required.fields.filterNot(f => isPartCol(f.name)))
+      val dataReq = StructType(required.fields.filterNot(f => isConstCol(f.name)))
       val dataBatch = decode(dataReq)
       val n = dataBatch.numRows()
       var dataIdx = 0
       val vectors = required.fields.map { f =>
-        if (isPartCol(f.name)) {
+        if (isConstCol(f.name)) {
           if (f.dataType != StringType)
             throw new IllegalArgumentException(
               s"partition column ${f.name} must be string-typed in the schema " +
@@ -1561,7 +1614,7 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
           val vec = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
             math.max(n, 1), f.dataType)
           val bytes = org.apache.spark.unsafe.types.UTF8String
-            .fromString(partValues(f.name)).getBytes
+            .fromString(constValue(f.name)).getBytes
           var i = 0
           while (i < n) { vec.putByteArray(i, bytes, 0, bytes.length); i += 1 }
           vec: org.apache.spark.sql.vectorized.ColumnVector

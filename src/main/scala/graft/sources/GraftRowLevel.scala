@@ -54,6 +54,16 @@ class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd on $table"
 
+  /** Ask for `_file` alongside every row: it keys the runtime GROUP
+    * FILTER (Spark computes the matching rows' distinct files in a
+    * subquery and runtime-filters this scan to them), which is what
+    * makes a MERGE whose ON condition can't push statically still
+    * rewrite only the files holding matched rows — file-granular COW
+    * even for join-shaped predicates. */
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftDataSource.FileColName))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCowScanBuilder(this, dir, table, schema)
 
@@ -73,15 +83,20 @@ class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
   * all rows of every candidate file, per the group-based contract. */
 class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
     table: String, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private var cond: Array[Filter] = Array.empty
+  // the rewrite reads full rows (it writes them back) plus any requested
+  // metadata column (`_file`, which the runtime group filter keys on)
+  private var required: StructType = schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     cond = filters
     filters // group-pruning hints only; every filter still re-evaluates above
   }
   override def pushedFilters(): Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
   override def build(): Scan = {
     val conf = new Configuration()
@@ -103,9 +118,12 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
           s"operations need single-table files — use the FormatOps API " +
           "(updateWhere/upsert), whose full rewrite handles shared files")
     }
+    // initial replaced set (planInputPartitions re-records it after
+    // runtime group filtering narrows the read further)
     op.replaced = Some(cands.map(_.path))
-    new GraftScan(Seq(dir), schema, Some(table), Array.empty, -1,
-      fileFilter = Some(cands.map(_.path.toString).toSet), cow = true)
+    new GraftScan(Seq(dir), required, Some(table), Array.empty, -1,
+      fileFilter = Some(cands.map(_.path.toString).toSet),
+      cowOp = Some(op))
   }
 }
 
@@ -187,6 +205,12 @@ private[sources] class GraftCowRowShapeFactory(inner: DataWriterFactory,
           proj.project(row)
           w.write(proj)
         }
+      // metadata-projected path (DataAndMetadataWritingSparkTask): the
+      // row arrives already projected to the write schema; the metadata
+      // (`_file` of the row's SOURCE file) has no place in the replacement
+      // file and is dropped
+      override def write(meta: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit = w.write(row)
       override def commit(): WriterCommitMessage = w.commit()
       override def abort(): Unit = w.abort()
       override def close(): Unit = w.close()

@@ -79,6 +79,53 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(t.filter(col("k") === 0).select("nm").head().getString(0) == "n0")
   }
 
+  test("_file metadata column: constant per file, group-by audits layout") {
+    val root = mkCatalog("rl_file")
+    spark.range(0, 4000).selectExpr("id AS k", "id % 3 AS v")
+      .repartitionByRange(4, col("id"))
+      .createOrReplaceTempView("rl_file_src")
+    spark.sql("CREATE TABLE rl_file.db.t AS SELECT * FROM rl_file_src")
+    val byFile = spark.sql(
+      "SELECT _file, count(*) AS n, min(k) AS lo, max(k) AS hi FROM rl_file.db.t GROUP BY _file")
+      .collect()
+    assert(byFile.length == 4)
+    assert(byFile.map(_.getLong(1)).sum == 4000)
+    // ranges are disjoint (range-clustered write) and paths are real files
+    byFile.foreach { r =>
+      assert(r.getString(0).endsWith(".graft"))
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    // filtering on _file prunes to that file's rows
+    val one = byFile.head
+    assert(spark.table("rl_file.db.t").filter(col("_file") === one.getString(0)).count()
+      == one.getLong(1))
+  }
+
+  test("MERGE with a join-shaped ON still rewrites only matched files") {
+    val root = mkCatalog("rl_gf")
+    spark.range(0, 8000).selectExpr("id AS k", "id % 7 AS v")
+      .repartitionByRange(8, col("id"))
+      .createOrReplaceTempView("rl_gf_tgt")
+    spark.sql("CREATE TABLE rl_gf.db.t AS SELECT * FROM rl_gf_tgt")
+    // the ON condition has no static pushdown; Spark's runtime GROUP
+    // FILTER computes the matched rows' distinct _file values and
+    // narrows the COW scan to them — 1 of 8 files rewritten
+    spark.range(100, 105).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("rl_gf_src")
+    spark.sql("""MERGE INTO rl_gf.db.t t USING rl_gf_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    val t = spark.table("rl_gf.db.t")
+    assert(t.count() == 8000)
+    assert(t.filter(col("v") === -1).count() == 5)
+    assert(t.filter(col("v") === -1).agg(min("k"), max("k")).head() ==
+      org.apache.spark.sql.Row(100L, 104L))
+    val live = GraftDataSource.readGenPointer(conf, s"$root/db").get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(s"$root/db").getFileSystem(conf), new Path(s"$root/db", live))
+    assert(carried.size >= 7,
+      s"runtime group filtering should carry >=7 of 8 files, carried ${carried.size}")
+  }
+
   test("MERGE into an EMPTY-candidate target still lands inserts") {
     mkCatalog("rl_ins")
     spark.range(0, 50).selectExpr("id AS k", "id AS v")
