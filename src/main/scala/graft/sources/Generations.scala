@@ -119,6 +119,10 @@ object Generations {
         case None =>
           if (lastSwapOld && st.isDirectory && n.contains("=")) victims += st
           else if (lastSwapOld && st.isFile && n.endsWith(".graft")) victims += st
+          // a crashed pointer publish's orphan tmp (the atomic move never
+          // ran); a FRESH one is a swap in flight — only stale is garbage
+          else if (st.isFile && n == GraftDataSource.GenPointerName + ".tmp" && stale(st))
+            tmpVictims += st
       }
     }
     // files pinned by any survivor's carry manifest (root-relative paths;
