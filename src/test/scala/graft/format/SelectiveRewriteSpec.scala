@@ -141,6 +141,52 @@ class SelectiveRewriteSpec extends SparkSpec {
       "bucket layout lost by selective rewrite")
   }
 
+  test("racing readers vs selective upserts at grace 0: never wrong rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-selective-race").toString
+    // conserved invariant: sum(v) stays 0 — every upsert rewrites one
+    // key's v to a new value and another's to its negation
+    spark.range(0, 8000).selectExpr("id", "CAST(0 AS BIGINT) AS v")
+      .repartitionByRange(8, col("id"))
+      .write.format("graft").mode("overwrite").save(dir)
+    @volatile var wrong: Option[String] = None
+    @volatile var stop = false
+    val clean = new java.util.concurrent.atomic.AtomicLong
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop && wrong.isEmpty) {
+          try {
+            val row = spark.read.format("graft").load(dir)
+              .agg(count(lit(1)), sum(col("v"))).head()
+            val (n, sv) = (row.getLong(0), row.getLong(1))
+            if (n != 8000 || sv != 0L)
+              wrong = Some(s"reader saw n=$n sum(v)=$sv (want 8000/0)")
+          } catch { case _: Exception => clean.incrementAndGet() }
+        }
+      })
+    }
+    spark.conf.set("spark.graft.graceMs", "0")
+    readers.foreach(_.start())
+    try {
+      (1 to 6).foreach { i =>
+        // touches two distant key ranges -> two candidate files, six carried
+        FormatOps.upsert(spark, dir, "data",
+          Seq((i.toLong, i * 100L), (7000L + i, -i * 100L)).toDF("id", "v"),
+          Seq("id"))
+      }
+    } finally {
+      stop = true
+      readers.foreach(_.join(30000))
+      spark.conf.unset("spark.graft.graceMs")
+    }
+    assert(wrong.isEmpty, wrong.getOrElse(""))
+    // final state: conserved and exact
+    val fin = spark.read.format("graft").load(dir)
+    assert(fin.count() == 8000)
+    assert(fin.agg(sum("v")).head().getLong(0) == 0L)
+    assert(fin.filter(col("id") === 6).select("v").as[Long].head() == 600L)
+  }
+
   test("sibling tables in a namespace dir are carried, never copied") {
     val dir = Files.createTempDirectory("graft-selective-ns").toString
     spark.range(0, 1000).selectExpr("id", "id % 3 AS a")
