@@ -186,6 +186,10 @@ object Stats {
       case GreaterThanOrEqual(a, v) => range(a).exists(_.cmpMax(v).exists(_ < 0))
       case LessThan(a, v) => range(a).exists(_.cmpMin(v).exists(_ >= 0))
       case LessThanOrEqual(a, v) => range(a).exists(_.cmpMin(v).exists(_ > 0))
+      // an EMPTY In-list matches nothing, for every chunk — without this
+      // an empty CDC batch's In(key, []) can never prove a skip and a
+      // no-op fold degrades to a full-table rewrite
+      case In(_, vs) if vs != null && vs.isEmpty => true
       case In(a, vs) if vs != null && vs.nonEmpty =>
         range(a).exists(r => vs.forall(v =>
           r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0)))

@@ -32,8 +32,13 @@ private[graft] object AtomicPublish {
   def text(conf: Configuration, dest: Path, content: String): Unit = {
     val fs = dest.getFileSystem(conf)
     fs.mkdirs(dest.getParent)
-    val scheme = Option(dest.toUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
+    // branch on the RESOLVED filesystem, not the raw URI scheme: a
+    // scheme-less path on a cluster whose fs.defaultFS is HDFS resolves
+    // to HDFS, and writing its marker to the driver's local disk would
+    // silently diverge from every reader
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
       val raw = org.apache.hadoop.fs.FileSystem.getLocal(conf).getRaw
       val tmp = new Path(dest.getParent, dest.getName + ".tmp")
       // raw create: no .crc sidecar to fall out of sync with the move

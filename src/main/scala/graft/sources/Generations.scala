@@ -347,9 +347,10 @@ object Generations {
     * callback (SQL row-level operations, [[GraftCowBatchWrite]]): the
     * caller stages into `<returned>.tmp-<uuid>` and hands the staging to
     * [[publishStaging]] on commit. */
-  private[sources] def prepareRewrite(s: SparkSession, dir: String): String = {
+  private[sources] def prepareRewrite(s: SparkSession, dir: String,
+      graceMs: Long = -1L): String = {
     val conf = new Configuration()
-    val grace = resolveGrace(s, -1L)
+    val grace = resolveGrace(s, graceMs)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val liveGen = GraftDataSource.readGenPointer(conf, dir)
@@ -458,18 +459,9 @@ object Generations {
     val conf = new Configuration()
     if (idempotencyKey.isDefined &&
         liveRewriteTag(conf, dir) == idempotencyKey) return true
-    val grace = resolveGrace(s, graceMs)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val liveGen = GraftDataSource.readGenPointer(conf, dir)
-    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
-    val lastSwapOld = liveGen.exists { _ =>
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
-      age >= grace
-    }
-    val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
-    val nextGen = f"gen-${maxSurvivingIdx + 1}%05d"
+    val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     if (listed.isEmpty) return false
     val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })

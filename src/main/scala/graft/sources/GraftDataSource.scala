@@ -276,13 +276,14 @@ object GraftDataSource {
   }
 
   def writeCarryManifest(fs: FileSystem, genDir: Path,
-      entries: Seq[(String, Long, Option[String])]): Unit = {
-    val out = fs.create(new Path(genDir, CarryManifestName), true)
-    try out.write(entries.map { case (rel, size, stats) =>
-      s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
-      .sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      entries: Seq[(String, Long, Option[String])]): Unit =
+    // atomic publish: a concurrent DML's entry sweep reads SURVIVOR
+    // manifests (fresh stagings included) to compute its pinned-file
+    // set — it must see a complete manifest or none, never a torn line
+    AtomicPublish.text(new Configuration(), new Path(genDir, CarryManifestName),
+      entries.map { case (rel, size, stats) =>
+        s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
+        .sorted.mkString("\n"))
 
   /** rel → stats-json for every stats-carrying entry of the LIVE
     * generation's manifest; empty for pointerless tables or manifests
@@ -424,8 +425,14 @@ object GraftDataSource {
     // half-publish) — never walk it, a partial walk would silently drop
     // rows. Two fs.exists round-trips per planning-time listing buy the
     // invariant "marker present after the walk ⇒ the walk saw every file".
+    // A generation-PINNED read (time travel resolved the gen dir itself,
+    // so resolved == dir and viaPointer is false) gets the same guard:
+    // generationDir validated the marker at resolve time, and a sweep
+    // that partially reclaims the generation mid-walk must surface as a
+    // loud retry/error, never a quiet partial snapshot.
+    val genPinned = root.getName.matches("gen-\\d+")
     val marker = new Path(root, SwapTsName)
-    if (viaPointer && !fs.exists(marker))
+    if ((viaPointer || genPinned) && !fs.exists(marker))
       throw new java.io.FileNotFoundException(s"$marker (generation mid-reclaim)")
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile) return Seq((root, rootStatus.getLen, Map.empty[String, String]))
@@ -465,9 +472,9 @@ object GraftDataSource {
     // pointer APPEARING mid-walk means a first rewrite published (and
     // with a tiny grace may already have reclaimed loose files under
     // us) — retry through the pointer.
-    if (viaPointer && !fs.exists(marker))
+    if ((viaPointer || genPinned) && !fs.exists(marker))
       throw new java.io.FileNotFoundException(s"$marker (generation reclaimed mid-walk)")
-    if (!viaPointer && readGenPointer(conf, dir).isDefined)
+    if (!viaPointer && !genPinned && readGenPointer(conf, dir).isDefined)
       throw new java.io.FileNotFoundException(
         s"$dir gained a generation pointer mid-walk")
     val res = out.result().sortBy(_._1.toString)
@@ -1592,10 +1599,12 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
         catch { case _: graft.format.OliveFormatException => reader.decodeTable(chunk, table, req) }
       else reader.decodeTableRange(chunk, table, req, r0, end)
     // `_file` (metadata column) and partition-path columns both become
-    // constant vectors — no per-row storage or decode cost
+    // constant vectors — no per-row storage or decode cost. A REAL data
+    // column named `_file` wins (Spark likewise hides the metadata
+    // column on conflict): its stored values must never be hijacked
     def isConstCol(name: String): Boolean =
-      name == GraftDataSource.FileColName ||
-        (partValues.contains(name) && !table.schema.fieldNames.contains(name))
+      !table.schema.fieldNames.contains(name) &&
+        (name == GraftDataSource.FileColName || partValues.contains(name))
     def constValue(name: String): String =
       if (name == GraftDataSource.FileColName) path.toString else partValues(name)
     if (!required.fields.exists(f => isConstCol(f.name)))

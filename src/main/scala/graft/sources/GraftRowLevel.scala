@@ -47,9 +47,16 @@ class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** Files the write's commit will REPLACE (everything else is carried).
-    * Recorded by the scan builder; read by the write's commit. Both run
-    * on the driver: scan planning strictly precedes write commit. */
+    * Recorded by the scan builder (then narrowed by planInputPartitions
+    * after runtime group filtering); read by the write's commit. All on
+    * the driver: scan planning strictly precedes write commit. */
   @volatile private[sources] var replaced: Option[Seq[Path]] = None
+
+  /** rel → stats-json for every file the scan's classification touched
+    * (manifest-reused or freshly probed) — commit re-carries these so
+    * the next DML keeps the zero-footer-I/O property even for files
+    * carried for the first time. */
+  @volatile private[sources] var fileStats: Map[String, String] = Map.empty
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd on $table"
@@ -69,9 +76,32 @@ class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        // a declared bucket layout survives SQL DML exactly like the
+        // FormatOps rewrites: Spark hash-clusters the replacement rows
+        // on the bucket column into n partitions (the same murmur3 the
+        // bucketed writer tags files with) and sorts within partitions,
+        // so carried and new files keep one provable layout
+        private val layout =
+          GraftDataSource.readBucketMarker(new Configuration(), dir, table)
+        override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+          layout match {
+            case Some((bcol, _, _)) =>
+              org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                Array(org.apache.spark.sql.connector.expressions.Expressions.column(bcol)))
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          }
+        override def requiredNumPartitions(): Int = layout.map(_._2).getOrElse(0)
+        override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          layout.flatMap(_._3) match {
+            case Some(sc) => Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(sc),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+            case None => Array.empty
+          }
         override def toBatch: BatchWrite =
-          new GraftCowBatchWrite(GraftRowLevelOperation.this, dir, table, info.schema())
+          new GraftCowBatchWrite(GraftRowLevelOperation.this, dir, table, info.schema(), layout)
       }
     }
 }
@@ -121,6 +151,8 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
     // initial replaced set (planInputPartitions re-records it after
     // runtime group filtering narrows the read further)
     op.replaced = Some(cands.map(_.path))
+    op.fileStats = files.map(f =>
+      GraftDataSource.relativePath(root, f.path) -> f.statsJson).toMap
     new GraftScan(Seq(dir), required, Some(table), Array.empty, -1,
       fileFilter = Some(cands.map(_.path.toString).toSet),
       cowOp = Some(op))
@@ -134,7 +166,8 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
   * commit leaves only unreferenced staging for the next sweep, identical
   * to every other rewrite in this source. */
 class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
-    table: String, schema: StructType) extends BatchWrite {
+    table: String, schema: StructType,
+    layout: Option[(String, Int, Option[String])] = None) extends BatchWrite {
 
   private val conf = new Configuration()
   private val root = new Path(dir)
@@ -151,7 +184,9 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
     val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
     inner = new GraftBatchWrite(staging.toString, schema, truncate = false,
       table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
-      GraftBatchWrite.DefaultChunkRows, partCols)
+      GraftBatchWrite.DefaultChunkRows, partCols,
+      bucketSpec = layout.map { case (c, n, _) => (c, n) },
+      sortCol = layout.flatMap(_._3))
     new GraftCowRowShapeFactory(inner.createBatchWriterFactory(pinfo), schema)
   }
 
@@ -162,13 +197,23 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
         "set to anchor the carry manifest")).map(_.toString).toSet
     val carried = GraftDataSource.listPartitionedSized(conf, dir)
       .filterNot { case (p, _, _) => replaced.contains(p.toString) }
-    // carried files keep their manifest-borne zone-map stats (immutable
-    // files, stats never stale) so later DML stays zero-I/O for them
-    val liveStats = GraftDataSource.liveCarryStats(conf, dir)
+    // sibling tables' bucket markers live in the data dir — carry them
+    // (the write above re-created at most this table's own)
+    val oldDataDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
+    if (fs.getFileStatus(oldDataDir).isDirectory) fs.listStatus(oldDataDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".bucket_") && n.endsWith(".json") &&
+          !fs.exists(new Path(staging, n)))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(staging, n),
+          false, conf)
+    }
+    // carried files keep their zone-map stats — from the scan's own
+    // classification (covers files carried for the FIRST time) with the
+    // live manifest as fallback; immutable files, stats never stale
     GraftDataSource.writeCarryManifest(fs, staging,
       carried.map { case (p, size, _) =>
         val rel = GraftDataSource.relativePath(root, p)
-        (rel, size, liveStats.get(rel)) })
+        (rel, size, op.fileStats.get(rel)) })
     Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir)
   }
 

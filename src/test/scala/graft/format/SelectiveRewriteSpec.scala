@@ -187,6 +187,27 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(fin.filter(col("id") === 6).select("v").as[Long].head() == 600L)
   }
 
+  test("an EMPTY upsert batch carries every file; nothing is rewritten") {
+    val dir = Files.createTempDirectory("graft-selective-empty").toString
+    writeRangeClustered(dir)
+    val before = fileState(dir)
+    import spark.implicits._
+    // empty CDC batch: In(key, []) proves every file skippable — the
+    // no-op fold must not degrade to a full-table rewrite
+    FormatOps.upsert(spark, dir, "data",
+      Seq.empty[(Long, Long, String)].toDF("id", "v", "s"), Seq("id"))
+    assert(spark.read.format("graft").load(dir).count() == 8000)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
+    assert(carried.size == 8, s"want all 8 files carried, got ${carried.size}")
+    carried.foreach { case (rel, _) =>
+      val (_, mt) = before(rel)
+      val st = new Path(dir).getFileSystem(conf).getFileStatus(new Path(dir, rel))
+      assert(st.getModificationTime == mt, s"$rel was rewritten for a no-op batch")
+    }
+  }
+
   test("sibling tables in a namespace dir are carried, never copied") {
     val dir = Files.createTempDirectory("graft-selective-ns").toString
     spark.range(0, 1000).selectExpr("id", "id % 3 AS a")

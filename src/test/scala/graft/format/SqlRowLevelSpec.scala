@@ -126,6 +126,38 @@ class SqlRowLevelSpec extends SparkSpec {
       s"runtime group filtering should carry >=7 of 8 files, carried ${carried.size}")
   }
 
+  test("SQL UPDATE on a bucketed table keeps the shuffle-free layout claim") {
+    val root = mkCatalog("rl_bkt")
+    val dir = s"$root/db"
+    spark.range(0, 4000).selectExpr("id AS k", "id % 5 AS v")
+      .repartition(4, col("k"))
+      .write.format("graft").option("table", "t").option("bucketBy", "k:4")
+      .mode("append").save(dir)
+    assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined)
+    spark.sql("UPDATE rl_bkt.db.t SET v = -1 WHERE k = 17")
+    val t = spark.table("rl_bkt.db.t")
+    assert(t.count() == 4000)
+    assert(t.filter(col("v") === -1).count() == 1)
+    // the marker survived AND every live file still carries the layout
+    // tag (the provable-claim precondition) — replacement files were
+    // routed through the bucketed writer by the declared distribution
+    assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined,
+      "bucket marker lost by SQL UPDATE")
+    val live = GraftDataSource.listFiles(conf, dir)
+    assert(live.nonEmpty && live.forall(_.getName.contains(".of")),
+      s"untagged files break the bucket claim: ${live.map(_.getName)}")
+  }
+
+  test("a real data column named _file is never hijacked by the metadata column") {
+    val dir = Files.createTempDirectory("graft-filecol").toString
+    spark.range(0, 50).selectExpr("id AS k", "concat('orig', id) AS _file")
+      .write.format("graft").mode("overwrite").save(dir)
+    val vals = spark.read.format("graft").load(dir)
+      .select("_file").collect().map(_.getString(0))
+    assert(vals.length == 50 && vals.forall(_.startsWith("orig")),
+      s"stored _file values hijacked: ${vals.take(3).mkString(",")}")
+  }
+
   test("MERGE into an EMPTY-candidate target still lands inserts") {
     mkCatalog("rl_ins")
     spark.range(0, 50).selectExpr("id AS k", "id AS v")
