@@ -58,6 +58,10 @@ class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
     * carried for the first time. */
   @volatile private[sources] var fileStats: Map[String, String] = Map.empty
 
+  /** Partition columns observed by the scan's listing — saves the write
+    * factory its own recursive listing (seconds at object-store scale). */
+  @volatile private[sources] var partCols: Option[Seq[String]] = None
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd on $table"
 
@@ -153,6 +157,8 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
     op.replaced = Some(cands.map(_.path))
     op.fileStats = files.map(f =>
       GraftDataSource.relativePath(root, f.path) -> f.statsJson).toMap
+    op.partCols = Some(GraftDataSource.partitionColumns(
+      listed.map { case (p, _, m) => (p, m) }))
     new GraftScan(Seq(dir), required, Some(table), Array.empty, -1,
       fileFilter = Some(cands.map(_.path.toString).toSet),
       cowOp = Some(op))
@@ -180,8 +186,10 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
     val s = SparkSession.active
     nextGen = Generations.prepareRewrite(s, dir)
     staging = new Path(root, s"$nextGen.tmp-${UUID.randomUUID()}")
-    val listed = GraftDataSource.listPartitionedSized(conf, dir)
-    val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+    val partCols = op.partCols.getOrElse {
+      val listed = GraftDataSource.listPartitionedSized(conf, dir)
+      GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+    }
     inner = new GraftBatchWrite(staging.toString, schema, truncate = false,
       table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
       GraftBatchWrite.DefaultChunkRows, partCols,
