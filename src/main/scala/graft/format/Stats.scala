@@ -52,6 +52,17 @@ object Stats {
       if (row.isNullAt(ord)) nulls += 1
       else { seen = true; updateValue(row) }
     protected def updateValue(row: InternalRow): Unit
+    /** Fold another collector's state into this one — the chunk-level
+      * collector absorbs each block collector as its block closes, so the
+      * hot row loop updates ONE collector set, not two. Same-type only
+      * (both sides come from the same `collectorFor`). */
+    def merge(other: Collector): Unit = {
+      nulls += other.nulls
+      seen |= other.seen
+      broken |= other.broken
+      mergeValue(other)
+    }
+    protected def mergeValue(other: Collector): Unit
     def result(): ColStats
     def reset(): Unit = { nulls = 0; seen = false; broken = false }
   }
@@ -65,6 +76,12 @@ object Stats {
       if (v < mn) mn = v
       if (v > mx) mx = v
       sm += v // deliberate wrap: associative, matches Spark's non-ANSI sum
+    }
+    protected def mergeValue(other: Collector): Unit = {
+      val o = other.asInstanceOf[LongCollector]
+      if (o.mn < mn) mn = o.mn
+      if (o.mx > mx) mx = o.mx
+      sm += o.sm
     }
     def result(): ColStats =
       if (!seen) ColStats(nulls, None, None)
@@ -86,6 +103,15 @@ object Stats {
       if (v < mn) mn = v
       if (v > mx) mx = v
     }
+    protected def mergeValue(other: Collector): Unit = {
+      val o = other.asInstanceOf[DoubleCollector]
+      // sum accumulates past `broken` (NaN poisons it to NaN, which is
+      // what SUM returns); block-sum addition instead of sequential
+      // addition is an equally valid FP order
+      sm += o.sm
+      if (o.mn < mn) mn = o.mn
+      if (o.mx > mx) mx = o.mx
+    }
     def result(): ColStats = {
       val sum = if (seen) Some(doubleBytes(sm)) else None
       if (!seen || broken) ColStats(nulls, None, None, sum)
@@ -106,6 +132,11 @@ object Stats {
       if (mn == null || java.util.Arrays.compareUnsigned(b, mn) < 0) mn = b
       if (mx == null || java.util.Arrays.compareUnsigned(b, mx) > 0) mx = b
     }
+    protected def mergeValue(other: Collector): Unit = {
+      val o = other.asInstanceOf[StringCollector]
+      if (o.mn != null && (mn == null || java.util.Arrays.compareUnsigned(o.mn, mn) < 0)) mn = o.mn
+      if (o.mx != null && (mx == null || java.util.Arrays.compareUnsigned(o.mx, mx) > 0)) mx = o.mx
+    }
     def result(): ColStats =
       if (!seen || broken) ColStats(nulls, None, None)
       else ColStats(nulls, Some(mn), Some(mx))
@@ -114,6 +145,7 @@ object Stats {
 
   private final class NullOnlyCollector(ord: Int) extends Collector(ord) {
     protected def updateValue(row: InternalRow): Unit = {}
+    protected def mergeValue(other: Collector): Unit = {}
     def result(): ColStats = ColStats(nulls, None, None)
   }
 

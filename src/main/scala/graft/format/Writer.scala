@@ -87,12 +87,15 @@ final class TableBuffer(val name: String, val schema: StructType,
     bloomCols: Set[String] = Set.empty) {
   val encoders: IndexedSeq[ColumnEncoder] =
     schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
-  val statCollectors: IndexedSeq[Stats.Collector] =
+  // the row loop updates ONLY the block collectors; the chunk-level set
+  // absorbs each block by merge() as it closes (per block, not per row —
+  // stats were ~half the append loop's cost when both sets updated per row)
+  private val chunkCollectors: IndexedSeq[Stats.Collector] =
     schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
-  // zone maps: a second collector set, snapshotted every BlockRows rows
-  private val blockCollectors: IndexedSeq[Stats.Collector] =
-    schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
+  private val blockCollectors: Array[Stats.Collector] =
+    schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toArray
   private val blocks = Vector.newBuilder[Vector[ColStats]]
+  private var rowsInBlock = 0
   // (ordinal, byte extractor, builder) per bloom'd column of a supported type
   private val bloomBuilders: IndexedSeq[(Int, org.apache.spark.sql.catalyst.InternalRow => Array[Byte], Bloom.Builder)] =
     schema.fields.zipWithIndex.collect {
@@ -104,7 +107,6 @@ final class TableBuffer(val name: String, val schema: StructType,
     var i = 0
     while (i < encoders.length) {
       encoders(i).appendFrom(row, i)
-      statCollectors(i).update(row)
       blockCollectors(i).update(row)
       i += 1
     }
@@ -115,17 +117,28 @@ final class TableBuffer(val name: String, val schema: StructType,
       i += 1
     }
     numRows += 1
-    if (numRows % Meta.BlockRows == 0) flushBlock()
+    rowsInBlock += 1
+    if (rowsInBlock == Meta.BlockRows) flushBlock()
   }
   private def flushBlock(): Unit = {
     blocks += blockCollectors.map(_.result()).toVector
-    blockCollectors.foreach(_.reset())
+    var i = 0
+    while (i < blockCollectors.length) {
+      chunkCollectors(i).merge(blockCollectors(i))
+      blockCollectors(i).reset()
+      i += 1
+    }
+    rowsInBlock = 0
   }
-  def chunkStats: Vector[ColStats] = statCollectors.map(_.result()).toVector
+  private def finishBlocks(): Unit = if (rowsInBlock > 0) flushBlock()
+  def chunkStats: Vector[ColStats] = {
+    finishBlocks()
+    chunkCollectors.map(_.result()).toVector
+  }
   /** Per-block stats for the footer; empty when the chunk fits one block
     * (the chunk stats already say everything). Call once per chunk. */
   def blockStats: Vector[Vector[ColStats]] = {
-    if (numRows % Meta.BlockRows != 0 && numRows > 0) flushBlock()
+    finishBlocks()
     val all = blocks.result()
     if (all.size <= 1) Vector.empty else all
   }
@@ -135,9 +148,9 @@ final class TableBuffer(val name: String, val schema: StructType,
     }.toMap
   def byteSize: Long = encoders.map(_.byteSize).sum
   def reset(): Unit = {
-    encoders.foreach(_.reset()); statCollectors.foreach(_.reset())
+    encoders.foreach(_.reset()); chunkCollectors.foreach(_.reset())
     blockCollectors.foreach(_.reset()); blocks.clear()
-    bloomBuilders.foreach(_._3.reset()); numRows = 0
+    bloomBuilders.foreach(_._3.reset()); numRows = 0; rowsInBlock = 0
   }
 }
 
