@@ -2030,44 +2030,24 @@ class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
   private val dt = schema.fields(ord).dataType
   private val tag = GraftBucket.layoutTag(table, col, n, sortCol)
   private val writers = new Array[GraftDataWriter](n)
+  // type dispatch + boxing resolved once, not per row (spec-gated equal
+  // to GraftBucket.id — the SPJ contract rides on the agreement)
+  private val bucketOf = GraftBucket.accessor(dt, ord, n)
 
   // sorted buckets: rows must ARRIVE ascending (nulls first) per bucket —
   // the writer streams chunks out as they fill and cannot re-sort, so a
   // violation is refused with guidance, never silently written. The
   // sorted-layout claim downstream (scan outputOrdering -> sort-free
   // merge join) is only ever made over files this check admitted.
-  private val sortOrd = sortCol.map(schema.fieldIndex)
-  private val sortDt = sortOrd.map(schema.fields(_).dataType)
-  private val sortCmp = sortDt.map(org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
-  private val lastSort = new Array[Any](n)
-  private val seenRow = new Array[Boolean](n)
+  // Specialized per sort type: the fixed-width types track a primitive
+  // last-value per bucket (no boxing, no interpreted ordering on the hot
+  // row loop); everything else keeps the generic boxed path.
+  private val sortTracker: GraftSortTracker =
+    sortCol.map(c => GraftSortTracker(schema, c, n)).orNull
 
   override def write(record: InternalRow): Unit = {
-    val v = if (record.isNullAt(ord)) null else record.get(ord, dt)
-    val b = GraftBucket.id(v, dt, n)
-    sortOrd.foreach { so =>
-      val sv = if (record.isNullAt(so)) null else record.get(so, sortDt.get)
-      if (seenRow(b)) {
-        val prev = lastSort(b)
-        val ok =
-          if (prev == null) true // nulls-first: anything follows null
-          else if (sv == null) false // null after non-null breaks nulls-first
-          else sortCmp.get.compare(prev, sv) <= 0
-        if (!ok) throw new IllegalArgumentException(
-          s"sortBy=${sortCol.get}: rows arrived out of order within bucket $b " +
-            s"($prev then $sv); sortWithinPartitions(bucket column, sort column) " +
-            "after repartitioning by the bucket column, or drop the sortBy option")
-      }
-      // values may be reused buffers (UTF8String, mutable Decimal):
-      // keep a stable copy
-      lastSort(b) = sv match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-        case d: org.apache.spark.sql.types.Decimal =>
-          org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
-        case other => other
-      }
-      seenRow(b) = true
-    }
+    val b = bucketOf(record)
+    if (sortTracker != null) sortTracker.check(record, b)
     var w = writers(b)
     if (w == null) {
       w = new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,

@@ -28,6 +28,52 @@ object GraftBucket {
     (((h % n) + n) % n).toInt
   }
 
+  /** Per-row bucket-id accessor resolved ONCE per (type, ordinal): the
+    * fixed-width and string/binary types hash through `Murmur3_x86_32`
+    * directly — no per-row boxing and no per-row type dispatch on the
+    * bucketed write's hot loop. Each arm mirrors what
+    * `InterpretedHashFunction.hash` does for that type at the same seed;
+    * bit-equality with [[id]] is spec-gated (BucketAccessorSpec), because
+    * the storage-partitioned-join contract rides on it. */
+  def accessor(dt: DataType, ord: Int, n: Int): InternalRow => Int = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val seedInt = Seed.toInt
+    // hash(null) = seed, same for every type
+    val nullId = (((Seed % n) + n) % n).toInt
+    def m(h: Int): Int = {
+      val hl = h.toLong // sign-extended, as InterpretedHashFunction widens
+      (((hl % n) + n) % n).toInt
+    }
+    dt match {
+      case ByteType => row =>
+        if (row.isNullAt(ord)) nullId else m(Murmur3_x86_32.hashInt(row.getByte(ord).toInt, seedInt))
+      case ShortType => row =>
+        if (row.isNullAt(ord)) nullId else m(Murmur3_x86_32.hashInt(row.getShort(ord).toInt, seedInt))
+      case IntegerType | DateType => row =>
+        if (row.isNullAt(ord)) nullId else m(Murmur3_x86_32.hashInt(row.getInt(ord), seedInt))
+      case LongType | TimestampType => row =>
+        if (row.isNullAt(ord)) nullId else m(Murmur3_x86_32.hashLong(row.getLong(ord), seedInt))
+      case BooleanType => row =>
+        if (row.isNullAt(ord)) nullId
+        else m(Murmur3_x86_32.hashInt(if (row.getBoolean(ord)) 1 else 0, seedInt))
+      case StringType => row =>
+        if (row.isNullAt(ord)) nullId
+        else {
+          val s = row.getUTF8String(ord)
+          m(Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seedInt))
+        }
+      case BinaryType => row =>
+        if (row.isNullAt(ord)) nullId
+        else {
+          val b = row.getBinary(ord)
+          m(Murmur3_x86_32.hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seedInt))
+        }
+      // Decimal hashing is precision-dependent; keep the boxed reference path
+      case _ => row => id(if (row.isNullAt(ord)) null else row.get(ord, dt), dt, n)
+    }
+  }
+
   /** Atomic types with a stable catalyst hash; nested/float types are
     * refused at write time (float equality is a join-key smell anyway). */
   def supported(dt: DataType): Boolean = dt match {
@@ -85,6 +131,105 @@ object GraftBucketFunction extends UnboundFunction {
       throw new UnsupportedOperationException(s"bucket unsupported for ${dt.simpleString}")
     new GraftBucketBound(dt)
   }
+}
+
+/** Per-bucket arrival-order validator for sorted bucketed writes: rows
+  * must arrive ascending, nulls first, WITHIN each bucket (the writer
+  * streams chunks out as they fill and cannot re-sort). Specialized per
+  * sort type so the hot row loop stays boxing-free for the fixed-width
+  * types; String/Decimal/anything else keeps the generic boxed path with
+  * a stable copy of reused buffers. */
+private[sources] abstract class GraftSortTracker(col: String, n: Int) {
+  protected val seen = new Array[Boolean](n)
+  protected val lastNull = new Array[Boolean](n)
+  def check(row: InternalRow, b: Int): Unit
+  protected def fail(b: Int, prev: Any, cur: Any): Nothing =
+    throw new IllegalArgumentException(
+      s"sortBy=$col: rows arrived out of order within bucket $b " +
+        s"($prev then $cur); sortWithinPartitions(bucket column, sort column) " +
+        "after repartitioning by the bucket column, or drop the sortBy option")
+  /** nulls-first bookkeeping shared by every arm: returns true when the
+    * non-null comparison should run (a prior non-null value exists). */
+  protected final def arriveValue(b: Int): Boolean = {
+    val cmp = seen(b) && !lastNull(b)
+    seen(b) = true
+    lastNull(b) = false
+    cmp
+  }
+  protected final def arriveNull(b: Int, lastShown: => Any): Unit = {
+    if (seen(b) && !lastNull(b)) fail(b, lastShown, null)
+    seen(b) = true
+    lastNull(b) = true
+  }
+}
+
+private[sources] object GraftSortTracker {
+  def apply(schema: StructType, col: String, n: Int): GraftSortTracker = {
+    val ord = schema.fieldIndex(col)
+    schema.fields(ord).dataType match {
+      case ByteType => longTracker(col, n, ord, (r, o) => r.getByte(o).toLong)
+      case ShortType => longTracker(col, n, ord, (r, o) => r.getShort(o).toLong)
+      case IntegerType | DateType => longTracker(col, n, ord, (r, o) => r.getInt(o).toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        longTracker(col, n, ord, (r, o) => r.getLong(o))
+      case BooleanType => longTracker(col, n, ord, (r, o) => if (r.getBoolean(o)) 1L else 0L)
+      case FloatType => new GraftSortTracker(col, n) {
+        private val last = new Array[Float](n)
+        def check(row: InternalRow, b: Int): Unit =
+          if (row.isNullAt(ord)) arriveNull(b, last(b))
+          else {
+            val v = row.getFloat(ord)
+            if (arriveValue(b) &&
+                org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(last(b), v) > 0)
+              fail(b, last(b), v)
+            last(b) = v
+          }
+      }
+      case DoubleType => new GraftSortTracker(col, n) {
+        private val last = new Array[Double](n)
+        def check(row: InternalRow, b: Int): Unit =
+          if (row.isNullAt(ord)) arriveNull(b, last(b))
+          else {
+            val v = row.getDouble(ord)
+            if (arriveValue(b) &&
+                org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(last(b), v) > 0)
+              fail(b, last(b), v)
+            last(b) = v
+          }
+      }
+      case dt => new GraftSortTracker(col, n) { // generic boxed path
+        private val cmp = org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+        private val last = new Array[Any](n)
+        def check(row: InternalRow, b: Int): Unit =
+          if (row.isNullAt(ord)) arriveNull(b, last(b))
+          else {
+            val v = row.get(ord, dt)
+            if (arriveValue(b) && cmp.compare(last(b), v) > 0) fail(b, last(b), v)
+            // values may be reused buffers (UTF8String, mutable Decimal):
+            // keep a stable copy
+            last(b) = v match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+              case d: org.apache.spark.sql.types.Decimal =>
+                org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
+              case other => other
+            }
+          }
+      }
+    }
+  }
+
+  private def longTracker(col: String, n: Int, ord: Int,
+      get: (InternalRow, Int) => Long): GraftSortTracker =
+    new GraftSortTracker(col, n) {
+      private val last = new Array[Long](n)
+      def check(row: InternalRow, b: Int): Unit =
+        if (row.isNullAt(ord)) arriveNull(b, last(b))
+        else {
+          val v = get(row, ord)
+          if (arriveValue(b) && last(b) > v) fail(b, last(b), v)
+          last(b) = v
+        }
+    }
 }
 
 class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer] {
