@@ -14,7 +14,9 @@ object ProfileQ80 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/tmp/graft_prof/lineitem"
-    val li = Tables.lineitem(spark, sfDir)
+    val nPart = args.drop(1).headOption.map(_.toInt).getOrElse(0)
+    val li0 = Tables.lineitem(spark, sfDir)
+    val li = if (nPart > 0) li0.repartition(nPart) else li0
     li.groupBy().count().collect() // warm parquet read
     // track per-job wall time + summed task time, so driver-side commit
     // cost shows as (write wall) - (job wall)

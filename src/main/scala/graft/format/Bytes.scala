@@ -57,6 +57,14 @@ final class Bytes(initial: Int = 64) {
     ensure(n); System.arraycopy(src, off, buf, len, n); len += n
   }
   def putBytes(src: Array[Byte]): Unit = putBytes(src, 0, src.length)
+  /** Copy a UTF8String's bytes directly out of its backing memory —
+    * no intermediate `getBytes` array on the per-row string hot path. */
+  def putUTF8(s: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val n = s.numBytes
+    ensure(n)
+    s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+    len += n
+  }
 
   def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   def reset(): Unit = { len = 0 }

@@ -73,6 +73,18 @@ final class ValidityBuilder {
   }
   def count: Int = n
   def nullCount: Int = nulls
+  def isValidAt(i: Int): Boolean = (bits(i >> 3) & (1 << (i & 7))) != 0
+  /** Nulls among positions [from, to): popcount over the validity bits —
+    * the null-count half of columnar stats computation. */
+  def nullCountIn(from: Int, to: Int): Int = {
+    if (nulls == 0 || to <= from) return 0
+    var valid = 0
+    var i = from
+    while (i < to && (i & 7) != 0) { if (isValidAt(i)) valid += 1; i += 1 }
+    while (i + 8 <= to) { valid += java.lang.Integer.bitCount(bits(i >> 3) & 0xff); i += 8 }
+    while (i < to) { if (isValidAt(i)) valid += 1; i += 1 }
+    (to - from) - valid
+  }
   def write(sink: PageSink): Option[BufferMeta] =
     if (nulls == 0) None
     else Some(sink.writeBuffer(bits, (n + 7) / 8, Codec.Lz4, 1))
@@ -127,6 +139,13 @@ sealed abstract class ColumnEncoder {
   def write(sink: PageSink, d20: DictBuild, d32: DictBuild): ColMeta
   def reset(): Unit = validity.reset()
   def byteSize: Long
+  /** Zone-map stats over rows [from, to), computed COLUMNAR from the
+    * already-buffered values at chunk-encode time — the per-row append
+    * loop does NO stats work. The default carries only the null count
+    * (types without orderable value stats); flat orderable types
+    * override with min/max (+ sum for SUM pushdown). */
+  def statsRange(from: Int, to: Int): ColStats =
+    ColStats(validity.nullCountIn(from, to), None, None)
 }
 
 object ColumnEncoder {
@@ -198,7 +217,7 @@ object ColumnEncoder {
     case d: DecimalType => new DecimalEncoder(d.precision, d.scale)
     case BinaryType if metadata.contains(FixedWidthKey) =>
       new FixedBinaryEncoder(metadata.getLong(FixedWidthKey).toInt)
-    case StringType => new BinaryEncoder(wide = wantsLargeOffsets(metadata))
+    case StringType => new BinaryEncoder(wide = wantsLargeOffsets(metadata), isString = true)
     case BinaryType => new BinaryEncoder(wide = wantsLargeOffsets(metadata))
     case ArrayType(et, _) => new ListEncoder(forType(et), et, wide = wantsLargeOffsets(metadata))
     case st: StructType =>
@@ -232,6 +251,78 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
     MeasuredWrite.write(buf, elemSize, dt, validity, sink)
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
+
+  // 0 = no value stats (intervals), 1/2/4/8 = integral widths, -4/-8 = float/double
+  private val statKind: Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType | DateType => 4
+    case LongType | TimestampType | TimestampNTZType => 8
+    case FloatType => -4
+    case DoubleType => -8
+    case _ => 0
+  }
+
+  override def statsRange(from: Int, to: Int): ColStats = {
+    val nulls = validity.nullCountIn(from, to)
+    if (statKind == 0 || to - from - nulls <= 0) return ColStats(nulls, None, None)
+    val noNulls = nulls == 0
+    val bb = Bytes.le(buf.array)
+    if (statKind > 0) {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var sm = 0L // deliberate wrap: associative, matches Spark's non-ANSI sum
+      var i = from
+      statKind match {
+        case 1 => while (i < to) {
+          if (noNulls || validity.isValidAt(i)) {
+            val v = buf.array(i).toLong
+            if (v < mn) mn = v; if (v > mx) mx = v; sm += v
+          }; i += 1
+        }
+        case 2 => while (i < to) {
+          if (noNulls || validity.isValidAt(i)) {
+            val v = bb.getShort(i * 2).toLong
+            if (v < mn) mn = v; if (v > mx) mx = v; sm += v
+          }; i += 1
+        }
+        case 4 => while (i < to) {
+          if (noNulls || validity.isValidAt(i)) {
+            val v = bb.getInt(i * 4).toLong
+            if (v < mn) mn = v; if (v > mx) mx = v; sm += v
+          }; i += 1
+        }
+        case _ => while (i < to) {
+          if (noNulls || validity.isValidAt(i)) {
+            val v = bb.getLong(i * 8)
+            if (v < mn) mn = v; if (v > mx) mx = v; sm += v
+          }; i += 1
+        }
+      }
+      ColStats(nulls, Some(Stats.longBytes(mn)), Some(Stats.longBytes(mx)),
+        Some(Stats.longBytes(sm)))
+    } else {
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      var sm = 0.0
+      var broken = false // NaN drops min/max; the sum keeps accumulating (-> NaN, what SUM returns)
+      var i = from
+      while (i < to) {
+        if (noNulls || validity.isValidAt(i)) {
+          val v = if (statKind == -4) bb.getFloat(i * 4).toDouble else bb.getDouble(i * 8)
+          sm += v
+          if (!broken) {
+            if (v != v) broken = true
+            else { if (v < mn) mn = v; if (v > mx) mx = v }
+          }
+        }
+        i += 1
+      }
+      val sum = Some(Stats.doubleBytes(sm))
+      if (broken) ColStats(nulls, None, None, sum)
+      else ColStats(nulls, Some(Stats.doubleBytes(mn)), Some(Stats.doubleBytes(mx)), sum)
+    }
+  }
 }
 
 /** Pick the SMALLEST of five physical encodings for a fixed-width value
@@ -597,6 +688,26 @@ final class BoolEncoder extends ColumnEncoder {
     PrimitiveMeta(validity.write(sink), sink.writeBuffer(bits, (n + 7) / 8, sink.valuesCodec, 1))
   override def reset(): Unit = { super.reset(); java.util.Arrays.fill(bits, 0.toByte); n = 0 }
   def byteSize: Long = (n + 7) / 8
+
+  override def statsRange(from: Int, to: Int): ColStats = {
+    val nulls = validity.nullCountIn(from, to)
+    if (to - from - nulls <= 0) return ColStats(nulls, None, None)
+    val noNulls = nulls == 0
+    var trues = 0L
+    var count = 0L
+    var i = from
+    while (i < to) {
+      if (noNulls || validity.isValidAt(i)) {
+        count += 1
+        if ((bits(i >> 3) & (1 << (i & 7))) != 0) trues += 1
+      }
+      i += 1
+    }
+    val mn = if (trues == count) 1L else 0L
+    val mx = if (trues > 0) 1L else 0L
+    ColStats(nulls, Some(Stats.longBytes(mn)), Some(Stats.longBytes(mx)),
+      Some(Stats.longBytes(trues)))
+  }
 }
 
 /** Decimals: unscaled long (p ≤ 18) or 16-byte little-endian two's
@@ -680,12 +791,17 @@ final class FixedBinaryEncoder(val width: Int, dictEncode: Boolean = true) exten
   * parquet's dictionary trick, applied per chunk. Low-cardinality flag
   * columns shrink 10×+ and decode dictionary-backed (no per-row copies).
   */
-final class BinaryEncoder(wide: Boolean = false) extends ColumnEncoder {
+final class BinaryEncoder(wide: Boolean = false, isString: Boolean = false)
+    extends ColumnEncoder {
   private val data = new Bytes(1024)
   private val offsets = new OffsetsBuilder(wide)
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
-    val b = src.getBinary(ord)
-    data.putBytes(b)
+    // strings: getUTF8String is a zero-copy view into the row's memory on
+    // every InternalRow flavor, where getBinary materializes a fresh
+    // byte[] per row — one allocation per string value saved on the
+    // hottest write loop
+    if (isString) data.putUTF8(src.getUTF8String(ord))
+    else data.putBytes(src.getBinary(ord))
     offsets.add(data.size)
   }
   protected def appendNullSlot(): Unit = offsets.add(data.size)
@@ -803,6 +919,32 @@ final class BinaryEncoder(wide: Boolean = false) extends ColumnEncoder {
 
   override def reset(): Unit = { super.reset(); data.reset(); offsets.reset() }
   def byteSize: Long = data.size + offsets.size.toLong * offsets.width
+
+  /** String min/max by in-place unsigned range comparison over the data
+    * buffer — zero allocation until the two winning slices are copied out
+    * once per chunk/block. Any value past [[Stats.MaxStringStat]] drops
+    * the range's min/max (a truncated max is not an upper bound). */
+  override def statsRange(from: Int, to: Int): ColStats = {
+    val nulls = validity.nullCountIn(from, to)
+    if (!isString || to - from - nulls <= 0) return ColStats(nulls, None, None)
+    val noNulls = nulls == 0
+    val arr = data.array
+    var mnS = -1; var mnE = -1
+    var mxS = -1; var mxE = -1
+    var i = from
+    while (i < to) {
+      if (noNulls || validity.isValidAt(i)) {
+        val s = offsets.entry(i)
+        val e = offsets.entry(i + 1)
+        if (e - s > Stats.MaxStringStat) return ColStats(nulls, None, None)
+        if (mnS < 0 || java.util.Arrays.compareUnsigned(arr, s, e, arr, mnS, mnE) < 0) { mnS = s; mnE = e }
+        if (mxS < 0 || java.util.Arrays.compareUnsigned(arr, s, e, arr, mxS, mxE) > 0) { mxS = s; mxE = e }
+      }
+      i += 1
+    }
+    ColStats(nulls, Some(java.util.Arrays.copyOfRange(arr, mnS, mnE)),
+      Some(java.util.Arrays.copyOfRange(arr, mxS, mxE)))
+  }
 }
 
 final class ListEncoder(child: ColumnEncoder, elemType: DataType,
@@ -931,6 +1073,58 @@ final class UnsignedEncoder(logical: Byte) extends ColumnEncoder {
   }
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
+
+  /** Stats over the UNSIGNED-widened values (what the Spark-facing widened
+    * signed column holds). u64 carries no value stats: its Spark face is
+    * Decimal(20,0), which the zone-map comparator doesn't serve. f16
+    * stats describe the STORED (rounded) halfs — bounds that contain
+    * every value a reader can decode. */
+  override def statsRange(from: Int, to: Int): ColStats = {
+    val nulls = validity.nullCountIn(from, to)
+    if (to - from - nulls <= 0) return ColStats(nulls, None, None)
+    if (logical == Logical.U64) return ColStats(nulls, None, None)
+    val noNulls = nulls == 0
+    val bb = Bytes.le(buf.array)
+    if (logical == Logical.F16) {
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      var sm = 0.0
+      var broken = false
+      var i = from
+      while (i < to) {
+        if (noNulls || validity.isValidAt(i)) {
+          val v = Half.toFloat(bb.getShort(i * 2)).toDouble
+          sm += v
+          if (!broken) {
+            if (v != v) broken = true
+            else { if (v < mn) mn = v; if (v > mx) mx = v }
+          }
+        }
+        i += 1
+      }
+      val sum = Some(Stats.doubleBytes(sm))
+      if (broken) ColStats(nulls, None, None, sum)
+      else ColStats(nulls, Some(Stats.doubleBytes(mn)), Some(Stats.doubleBytes(mx)), sum)
+    } else {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var sm = 0L
+      var i = from
+      while (i < to) {
+        if (noNulls || validity.isValidAt(i)) {
+          val v = logical match {
+            case Logical.U8 => buf.array(i) & 0xffL
+            case Logical.U16 => bb.getShort(i * 2) & 0xffffL
+            case _ => bb.getInt(i * 4) & 0xffffffffL // u32
+          }
+          if (v < mn) mn = v; if (v > mx) mx = v; sm += v
+        }
+        i += 1
+      }
+      ColStats(nulls, Some(Stats.longBytes(mn)), Some(Stats.longBytes(mx)),
+        Some(Stats.longBytes(sm)))
+    }
+  }
 }
 
 /** Olive dense/sparse unions (ref `src/write.zig:463-549`,

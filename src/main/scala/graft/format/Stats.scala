@@ -39,127 +39,10 @@ case class ColStats(nullCount: Int, min: Option[Array[Byte]], max: Option[Array[
 object Stats {
   val MaxStringStat = 48
 
-  /** Collects min/max/null stats for one top-level column while rows are
-    * appended. Only "flat" orderable types participate. */
-  sealed abstract class Collector(ord: Int) {
-    protected var nulls = 0
-    protected var seen = false
-    protected var broken = false
-    // updateValue runs on EVERY non-null value even after `broken`
-    // (which only poisons min/max): the double collector's sum must keep
-    // accumulating past the NaN that dropped its ordering stats
-    final def update(row: InternalRow): Unit =
-      if (row.isNullAt(ord)) nulls += 1
-      else { seen = true; updateValue(row) }
-    protected def updateValue(row: InternalRow): Unit
-    /** Fold another collector's state into this one — the chunk-level
-      * collector absorbs each block collector as its block closes, so the
-      * hot row loop updates ONE collector set, not two. Same-type only
-      * (both sides come from the same `collectorFor`). */
-    def merge(other: Collector): Unit = {
-      nulls += other.nulls
-      seen |= other.seen
-      broken |= other.broken
-      mergeValue(other)
-    }
-    protected def mergeValue(other: Collector): Unit
-    def result(): ColStats
-    def reset(): Unit = { nulls = 0; seen = false; broken = false }
-  }
-
-  private final class LongCollector(ord: Int, get: InternalRow => Long) extends Collector(ord) {
-    private var mn = Long.MaxValue
-    private var mx = Long.MinValue
-    private var sm = 0L
-    protected def updateValue(row: InternalRow): Unit = {
-      val v = get(row)
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-      sm += v // deliberate wrap: associative, matches Spark's non-ANSI sum
-    }
-    protected def mergeValue(other: Collector): Unit = {
-      val o = other.asInstanceOf[LongCollector]
-      if (o.mn < mn) mn = o.mn
-      if (o.mx > mx) mx = o.mx
-      sm += o.sm
-    }
-    def result(): ColStats =
-      if (!seen) ColStats(nulls, None, None)
-      else ColStats(nulls, Some(longBytes(mn)), Some(longBytes(mx)), Some(longBytes(sm)))
-    override def reset(): Unit = {
-      super.reset(); mn = Long.MaxValue; mx = Long.MinValue; sm = 0L
-    }
-  }
-
-  private final class DoubleCollector(ord: Int, get: InternalRow => Double) extends Collector(ord) {
-    private var mn = Double.PositiveInfinity
-    private var mx = Double.NegativeInfinity
-    private var sm = 0.0
-    protected def updateValue(row: InternalRow): Unit = {
-      val v = get(row)
-      sm += v // a NaN poisons the sum to NaN — exactly what SUM returns
-      if (broken) return
-      if (v.isNaN) { broken = true; return } // NaN breaks ordering; drop min/max
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-    }
-    protected def mergeValue(other: Collector): Unit = {
-      val o = other.asInstanceOf[DoubleCollector]
-      // sum accumulates past `broken` (NaN poisons it to NaN, which is
-      // what SUM returns); block-sum addition instead of sequential
-      // addition is an equally valid FP order
-      sm += o.sm
-      if (o.mn < mn) mn = o.mn
-      if (o.mx > mx) mx = o.mx
-    }
-    def result(): ColStats = {
-      val sum = if (seen) Some(doubleBytes(sm)) else None
-      if (!seen || broken) ColStats(nulls, None, None, sum)
-      else ColStats(nulls, Some(doubleBytes(mn)), Some(doubleBytes(mx)), sum)
-    }
-    override def reset(): Unit = {
-      super.reset(); mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sm = 0.0
-    }
-  }
-
-  private final class StringCollector(ord: Int) extends Collector(ord) {
-    private var mn: Array[Byte] = null
-    private var mx: Array[Byte] = null
-    protected def updateValue(row: InternalRow): Unit = {
-      if (broken) return
-      val b = row.getUTF8String(ord).getBytes
-      if (b.length > MaxStringStat) { broken = true; return }
-      if (mn == null || java.util.Arrays.compareUnsigned(b, mn) < 0) mn = b
-      if (mx == null || java.util.Arrays.compareUnsigned(b, mx) > 0) mx = b
-    }
-    protected def mergeValue(other: Collector): Unit = {
-      val o = other.asInstanceOf[StringCollector]
-      if (o.mn != null && (mn == null || java.util.Arrays.compareUnsigned(o.mn, mn) < 0)) mn = o.mn
-      if (o.mx != null && (mx == null || java.util.Arrays.compareUnsigned(o.mx, mx) > 0)) mx = o.mx
-    }
-    def result(): ColStats =
-      if (!seen || broken) ColStats(nulls, None, None)
-      else ColStats(nulls, Some(mn), Some(mx))
-    override def reset(): Unit = { super.reset(); mn = null; mx = null }
-  }
-
-  private final class NullOnlyCollector(ord: Int) extends Collector(ord) {
-    protected def updateValue(row: InternalRow): Unit = {}
-    protected def mergeValue(other: Collector): Unit = {}
-    def result(): ColStats = ColStats(nulls, None, None)
-  }
-
-  def collectorFor(dt: DataType, ord: Int): Collector = dt match {
-    case ByteType => new LongCollector(ord, _.getByte(ord).toLong)
-    case ShortType => new LongCollector(ord, _.getShort(ord).toLong)
-    case IntegerType | DateType => new LongCollector(ord, _.getInt(ord).toLong)
-    case LongType | TimestampType | TimestampNTZType => new LongCollector(ord, _.getLong(ord))
-    case FloatType => new DoubleCollector(ord, _.getFloat(ord).toDouble)
-    case DoubleType => new DoubleCollector(ord, _.getDouble(ord))
-    case BooleanType => new LongCollector(ord, r => if (r.getBoolean(ord)) 1L else 0L)
-    case StringType => new StringCollector(ord)
-    case _ => new NullOnlyCollector(ord)
-  }
+  /** Zone-map stat collection moved to [[ColumnEncoder.statsRange]]:
+    * stats are computed columnar from the encoders' buffers at
+    * chunk-encode time, not per appended row. This object keeps the stat
+    * byte codecs and the skip logic both sides share. */
 
   def longBytes(v: Long): Array[Byte] = { val b = new Bytes(8); b.putLong(v); b.toArray }
   def doubleBytes(v: Double): Array[Byte] = { val b = new Bytes(8); b.putDouble(v); b.toArray }
@@ -263,6 +146,108 @@ object Stats {
   def canSkipChunk(f: Filter, t: Meta.TableMeta): Boolean = {
     val stats = t.schema.fieldNames.zip(t.stats).toMap
     canSkip(f, t.schema, stats, t.numRows) || bloomSkip(t, f)
+  }
+
+  /** [[canSkipChunk]] over the DML-side [[Prune]] union: Spark filters
+    * take the zone-map + bloom path; the removed-key summary skips iff
+    * the chunk's integral [min,max] crosses no occupied key bucket. */
+  def canSkipChunkPrune(p: Prune, t: Meta.TableMeta): Boolean = p match {
+    case FilterPrune(f) => canSkipChunk(f, t)
+    case kr: InKeyRange if kr.empty => true
+    case kr: InKeyRange =>
+      val idx = t.schema.fieldNames.indexOf(kr.attribute)
+      idx >= 0 && idx < t.stats.size && {
+        val integral = t.schema.fields(idx).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val s = t.stats(idx)
+        integral && s.min.isDefined && s.max.isDefined &&
+          !kr.mightIntersect(longOf(s.min.get), longOf(s.max.get))
+      }
+  }
+
+  /** A driver-side file-prune predicate for file-granular DML: either an
+    * exactly-translated Spark source [[Filter]] conjunct, or graft's own
+    * unbounded removed-key summary (Spark's `Filter` is sealed, so the
+    * summary cannot pose as one). Consumed only by
+    * [[canSkipChunkPrune]] on the driver — never pushed into a scan. */
+  sealed trait Prune extends Serializable
+  final case class FilterPrune(f: Filter) extends Prune
+
+  /** Prune-only predicate: "column ∈ <removed-key set>" for file-granular
+    * DML, summarized UNBOUNDED as a fixed-resolution bucket bitmap over
+    * the keys' value range (2^16 buckets, 8 KiB) — built by a
+    * distributed aggregation, never a driver key collect, so a CDC batch
+    * removing millions of scattered keys still prunes file-granularly
+    * instead of falling back to a full rewrite.
+    *
+    * A chunk whose zone-map [min,max] intersects NO occupied bucket
+    * provably holds none of the removed keys. Bucket resolution only
+    * costs precision (a key within bucketWidth of a chunk's range keeps
+    * the chunk), never correctness. */
+  final case class InKeyRange(attribute: String, base: Long, maxKey: Long,
+      bucketWidth: Long, bits: Array[Long], empty: Boolean) extends Prune {
+    private def bucketOf(v: Long): Int =
+      java.lang.Long.divideUnsigned(v - base, bucketWidth).toInt
+    def mightIntersect(mn: Long, mx: Long): Boolean = {
+      if (empty || mx < base || mn > maxKey) return false
+      val lo = bucketOf(math.max(mn, base))
+      val hi = bucketOf(math.min(mx, maxKey))
+      var w = lo >> 6
+      val wHi = hi >> 6
+      while (w <= wHi) {
+        var word = bits(w)
+        if (w == lo >> 6) word &= -1L << (lo & 63)
+        if (w == wHi) word &= -1L >>> (63 - (hi & 63))
+        if (word != 0L) return true
+        w += 1
+      }
+      false
+    }
+  }
+
+  object InKeyRange {
+    private val Buckets = 1 << 16
+
+    /** Summarize a single-column DataFrame of removed keys. None when the
+      * column isn't integral (caller falls back to a capped In-list).
+      * Two batch-sized jobs: (min,max) then the bitmap tree-aggregate. */
+    def of(keys: org.apache.spark.sql.DataFrame): Option[InKeyRange] = {
+      val f = keys.schema.fields.head
+      val integral = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!integral) return None
+      val name = f.name
+      val ks = keys.filter(keys.col(name).isNotNull)
+        .select(keys.col(name).cast("long").as("k"))
+      val mm = ks.groupBy()
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).collect().head
+      if (mm.isNullAt(0)) // no keys: every chunk is provably disjoint
+        return Some(InKeyRange(name, 0L, -1L, 1L, new Array[Long](Buckets / 64),
+          empty = true))
+      val mn = mm.getLong(0)
+      val mx = mm.getLong(1)
+      val span = mx - mn // as unsigned (a full-long-range key set wraps)
+      val width = java.lang.Long.divideUnsigned(span, Buckets) + 1
+      import org.apache.spark.sql.Encoders
+      val bits = ks.as[Long](Encoders.scalaLong).rdd.treeAggregate(
+        new Array[Long](Buckets / 64))(
+        (acc, v) => {
+          val b = java.lang.Long.divideUnsigned(v - mn, width).toInt
+          acc(b >> 6) |= 1L << (b & 63)
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
+      Some(InKeyRange(name, mn, mx, width, bits, empty = false))
+    }
   }
 
   // ---- manifest stats codec -------------------------------------------------

@@ -87,15 +87,10 @@ final class TableBuffer(val name: String, val schema: StructType,
     bloomCols: Set[String] = Set.empty) {
   val encoders: IndexedSeq[ColumnEncoder] =
     schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
-  // the row loop updates ONLY the block collectors; the chunk-level set
-  // absorbs each block by merge() as it closes (per block, not per row —
-  // stats were ~half the append loop's cost when both sets updated per row)
-  private val chunkCollectors: IndexedSeq[Stats.Collector] =
-    schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toIndexedSeq
-  private val blockCollectors: Array[Stats.Collector] =
-    schema.fields.zipWithIndex.map { case (f, i) => Stats.collectorFor(f.dataType, i) }.toArray
-  private val blocks = Vector.newBuilder[Vector[ColStats]]
-  private var rowsInBlock = 0
+  // stats do NO per-row work: chunk and block zone maps are computed
+  // columnar from the encoders' buffers at encode time
+  // ([[ColumnEncoder.statsRange]]) — a tight per-column loop over
+  // contiguous memory instead of two collector updates per cell
   // (ordinal, byte extractor, builder) per bloom'd column of a supported type
   private val bloomBuilders: IndexedSeq[(Int, org.apache.spark.sql.catalyst.InternalRow => Array[Byte], Bloom.Builder)] =
     schema.fields.zipWithIndex.collect {
@@ -107,7 +102,6 @@ final class TableBuffer(val name: String, val schema: StructType,
     var i = 0
     while (i < encoders.length) {
       encoders(i).appendFrom(row, i)
-      blockCollectors(i).update(row)
       i += 1
     }
     i = 0
@@ -117,30 +111,19 @@ final class TableBuffer(val name: String, val schema: StructType,
       i += 1
     }
     numRows += 1
-    rowsInBlock += 1
-    if (rowsInBlock == Meta.BlockRows) flushBlock()
   }
-  private def flushBlock(): Unit = {
-    blocks += blockCollectors.map(_.result()).toVector
-    var i = 0
-    while (i < blockCollectors.length) {
-      chunkCollectors(i).merge(blockCollectors(i))
-      blockCollectors(i).reset()
-      i += 1
-    }
-    rowsInBlock = 0
-  }
-  private def finishBlocks(): Unit = if (rowsInBlock > 0) flushBlock()
-  def chunkStats: Vector[ColStats] = {
-    finishBlocks()
-    chunkCollectors.map(_.result()).toVector
-  }
+  def chunkStats: Vector[ColStats] =
+    encoders.map(_.statsRange(0, numRows)).toVector
   /** Per-block stats for the footer; empty when the chunk fits one block
-    * (the chunk stats already say everything). Call once per chunk. */
+    * (the chunk stats already say everything). */
   def blockStats: Vector[Vector[ColStats]] = {
-    finishBlocks()
-    val all = blocks.result()
-    if (all.size <= 1) Vector.empty else all
+    if (numRows <= Meta.BlockRows) return Vector.empty
+    val nb = (numRows + Meta.BlockRows - 1) / Meta.BlockRows
+    Vector.tabulate(nb) { b =>
+      val from = b * Meta.BlockRows
+      val to = math.min(from + Meta.BlockRows, numRows)
+      encoders.map(_.statsRange(from, to)).toVector
+    }
   }
   def blooms: Map[String, Bloom.Bits] =
     bloomBuilders.map { case (ord, _, b) =>
@@ -148,9 +131,8 @@ final class TableBuffer(val name: String, val schema: StructType,
     }.toMap
   def byteSize: Long = encoders.map(_.byteSize).sum
   def reset(): Unit = {
-    encoders.foreach(_.reset()); chunkCollectors.foreach(_.reset())
-    blockCollectors.foreach(_.reset()); blocks.clear()
-    bloomBuilders.foreach(_._3.reset()); numRows = 0; rowsInBlock = 0
+    encoders.foreach(_.reset())
+    bloomBuilders.foreach(_._3.reset()); numRows = 0
   }
 }
 

@@ -627,9 +627,19 @@ object FormatOps {
       source: DataFrame, keys: Seq[String],
       captureChanges: Boolean = false): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // Materialize the batch ONCE before anything reads it: the dup
+    // check, the change capture, the prune-key collect and the rewrite's
+    // anti-join/union would otherwise each re-evaluate `source`,
+    // and a non-deterministic or concurrently-changing source could
+    // surface a key in the rewrite that the prune collect never saw —
+    // that key's file gets carried (never anti-joined) while the new
+    // row still inserts: silent duplicate keys. localCheckpoint severs
+    // the lineage, so every consumer below reads the same frozen rows
+    // (Delta materializes its MERGE source for exactly this reason).
+    val batch = source.localCheckpoint()
     // null-key rows are exempt: they match no target row, so several of
     // them are independent inserts, not an ambiguous "replace"
-    val dup = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val dup = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
     if (dup.nonEmpty)
@@ -641,7 +651,7 @@ object FormatOps {
       // the batch's keys: one column-pruned semi-probe, sized by the
       // batch, never the table
       val pre = readTable(s, dir, table)
-      val marked = source.select(pre.columns.map(col).toSeq: _*)
+      val marked = batch.select(pre.columns.map(col).toSeq: _*)
         .join(pre.select(keys.map(col): _*).distinct()
           .withColumn("_matched", lit(1)), keys, "left")
         .withColumn("_change_type",
@@ -651,28 +661,35 @@ object FormatOps {
       // consumers can subtract the old contribution: one keyed
       // semi-probe of the table by the batch's keys — the probe side is
       // the batch, so the shuffle is batch-sized (AQE broadcasts it)
-      val preImages = pre.join(source.select(keys.map(col): _*).distinct(),
+      val preImages = pre.join(batch.select(keys.map(col): _*).distinct(),
           keys, "left_semi")
         .withColumn("_change_type", lit("update_preimage"))
       captureTo(dir, marked.unionByName(preImages))
     }
     // File-granular COW: only files whose zone maps/blooms admit one of
     // the batch's keys can hold a row the anti-join removes — the rest
-    // carry by reference. Key values collect to the driver (the batch is
-    // the SMALL side of a MERGE by design); a batch past the cap skips
-    // pruning rather than building an absurd IN-list.
-    val keyFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = {
-      val cap = 1000
-      val rows = source.select(keys.map(col): _*).distinct().limit(cap + 1).collect()
-      if (rows.length > cap) None
-      else Some(keys.zipWithIndex.map { case (k, i) =>
-        org.apache.spark.sql.sources.In(k,
-          rows.map(_.get(i)).filter(_ != null).distinct.toArray)
-      })
+    // carry by reference. Integral key columns summarize UNBOUNDED via a
+    // distributed bucket-bitmap aggregation ([[graft.format.Stats.InKeyRange]])
+    // — no driver key collect, no batch-size cap, so a million-key CDC
+    // batch still folds file-granularly. Non-integral key columns fall
+    // back to a capped driver IN-list (their values have no range
+    // buckets); past the cap that column simply stops pruning — the
+    // remaining conjuncts still carry whatever they can prove.
+    val keyFilters: Option[Seq[graft.format.Stats.Prune]] = {
+      val fs: Seq[graft.format.Stats.Prune] = keys.flatMap { k =>
+        graft.format.Stats.InKeyRange.of(batch.select(col(k))).orElse {
+          val cap = 1000
+          val rows = batch.select(col(k)).distinct().limit(cap + 1).collect()
+          if (rows.length > cap) None
+          else Some(graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
+            rows.map(_.get(0)).filter(_ != null).distinct.toArray)))
+        }
+      }
+      Some(fs).filter(_.nonEmpty)
     }
     val touched = graft.sources.Generations.rewriteTable(s, dir, table,
-      df => df.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(source.select(df.columns.map(col).toSeq: _*)),
+      df => df.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(batch.select(df.columns.map(col).toSeq: _*)),
       keyFilters, alwaysWrite = true)
     require(touched, s"table '$table' not found in $dir; nothing was upserted")
   }
@@ -1197,13 +1214,13 @@ object FormatOps {
           .select(col("o_orderkey")).distinct()
         val added = b.filter(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type")
-        // file-granular fold: only replica files whose zone maps/blooms
-        // admit one of the batch's removed keys are rewritten; the rest
-        // of a 100 TB replica carries by reference — per-batch cost is
-        // O(batch + touched files), not O(replica)
-        val goneKeys = gone.limit(1001).collect().map(_.get(0)).filter(_ != null)
-        val prune = if (goneKeys.length > 1000) None
-          else Some(Seq(org.apache.spark.sql.sources.In("o_orderkey", goneKeys.distinct)))
+        // file-granular fold: only replica files whose zone maps admit
+        // one of the batch's removed keys are rewritten; the rest of a
+        // 100 TB replica carries by reference — per-batch cost is
+        // O(batch + touched files), not O(replica). The removed-key set
+        // summarizes UNBOUNDED (distributed bucket bitmap, no driver
+        // collect, no cap), so arbitrarily large batches stay pruned.
+        val prune = graft.format.Stats.InKeyRange.of(gone).map(Seq(_))
         graft.sources.Generations.rewriteTable(b.sparkSession, repl, "data",
           t => t.join(gone, Seq("o_orderkey"), "left_anti")
             .unionByName(added.select(t.columns.map(col).toSeq: _*)),

@@ -49,13 +49,23 @@ private[graft] object AtomicPublish {
       // checksummed reader treats a missing sidecar as "don't verify"
       raw.delete(new Path(dest.getParent, s".${dest.getName}.crc"), false)
       raw.delete(new Path(dest.getParent, s".${dest.getName}.tmp.crc"), false)
-      // ATOMIC_MOVE alone: POSIX rename(2) replaces an existing dest
-      // natively (REPLACE_EXISTING alongside it is implementation-
-      // defined and redundant on the only scheme this branch serves)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dest.toUri.getPath),
+      // ATOMIC_MOVE alone: on POSIX, rename(2) replaces an existing dest
+      // natively. The javadoc leaves replace-on-existing-dest
+      // implementation-specific, though — a non-POSIX local fs (Windows)
+      // may throw instead of replacing; retry once with an explicit
+      // REPLACE_EXISTING, which those implementations honor (still a
+      // single atomic move where the platform can provide one)
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dst = java.nio.file.Paths.get(dest.toUri.getPath)
+      try java.nio.file.Files.move(src, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException =>
+          java.nio.file.Files.move(src, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } else {
       val tmp = new Path(dest.getParent, dest.getName + ".tmp")
       val out = fs.create(tmp, true)

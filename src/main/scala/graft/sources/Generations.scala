@@ -451,7 +451,7 @@ object Generations {
     * whether that's an error). */
   def rewriteTable(s: SparkSession, dir: String, table: String,
       transform: DataFrame => DataFrame,
-      pruneFilters: Option[Seq[Filter]],
+      pruneFilters: Option[Seq[graft.format.Stats.Prune]],
       alwaysWrite: Boolean,
       writeOptions: Map[String, String] = Map.empty,
       graceMs: Long = -1L,
@@ -547,11 +547,11 @@ object Generations {
     * footer probe — never a wrong skip. */
   private[sources] def classifyForDml(conf: Configuration, root: Path,
       listed: Seq[(Path, Long, Map[String, String])], table: String,
-      pruneFilters: Option[Seq[Filter]], dir: String): Seq[DmlFile] = {
+      pruneFilters: Option[Seq[graft.format.Stats.Prune]], dir: String): Seq[DmlFile] = {
     def mustRewrite(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
       pruneFilters match {
         case Some(fls) if fls.nonEmpty =>
-          !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunk(f, t)))
+          !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunkPrune(f, t)))
         case _ => true
       }
     val manifestStats = GraftDataSource.liveCarryStats(conf, dir)
@@ -585,7 +585,7 @@ object Generations {
     * conjunct provably matches nothing can hold no row the whole
     * predicate matches). Untranslatable conjuncts are dropped — less
     * pruning, never wrong. None when nothing translated. */
-  def pruneFiltersFor(df: DataFrame, cond: Column): Option[Seq[Filter]] = {
+  def pruneFiltersFor(df: DataFrame, cond: Column): Option[Seq[graft.format.Stats.Prune]] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     val cvt = org.apache.spark.sql.catalyst.CatalystTypeConverters
     // the OPTIMIZED plan, not the analyzed one: the analyzer leaves type
@@ -619,7 +619,8 @@ object Generations {
       case ce.Or(l, r) => for (lf <- toV2(l); rf <- toV2(r)) yield Or(lf, rf)
       case _ => None
     }
-    condition.map(c => conjuncts(c).flatMap(e => toV2(e).toSeq)).filter(_.nonEmpty)
+    condition.map(c => conjuncts(c).flatMap(e => toV2(e).toSeq)
+      .map(graft.format.Stats.FilterPrune)).filter(_.nonEmpty)
   }
 
   /** DSv2 source [[Filter]] → [[Column]], for re-evaluating a pushed

@@ -727,7 +727,8 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       // whose zone maps/blooms prove no row matches are carried by
       // reference instead of copied (file-granular COW)
       Generations.rewriteTable(spark, dirs.head, t,
-        df => df.filter(keep), Some(filters.toSeq), alwaysWrite = false)
+        df => df.filter(keep),
+        Some(filters.toSeq.map(graft.format.Stats.FilterPrune)), alwaysWrite = false)
     }
   }
 
@@ -1907,11 +1908,16 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     rows += 1
     if (singleBuf != null) {
       singleBuf.appendRow(record)
-      if (singleBuf.numRows >= chunkRows || singleBuf.byteSize >= FlushBytes) flush()
+      // byteSize walks every encoder (a virtual call per column) — probing
+      // it once per 512 rows keeps the row loop free of it; the worst
+      // overshoot is 511 rows past FlushBytes, noise against a 96 MB cap
+      if (singleBuf.numRows >= chunkRows ||
+        ((singleBuf.numRows & 511) == 0 && singleBuf.byteSize >= FlushBytes)) flush()
     } else {
       splits.foreach { case (buf, proj) => proj.project(record); buf.appendRow(proj) }
       if (splits.head._1.numRows >= chunkRows ||
-        splits.iterator.map(_._1.byteSize).sum >= FlushBytes) flush()
+        ((splits.head._1.numRows & 511) == 0 &&
+          splits.iterator.map(_._1.byteSize).sum >= FlushBytes)) flush()
     }
   }
 

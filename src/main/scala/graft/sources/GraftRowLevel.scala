@@ -31,13 +31,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Candidate selection therefore uses the filters only file-granularly
   * (a file where some conjunct provably matches nothing, by zone maps +
   * blooms via [[graft.format.Stats.canSkipChunk]], is carried), and the
-  * candidate read itself carries NO row filters. For the same reason the
-  * scan declines runtime group filtering (empty `filterAttributes`):
-  * the replaced-file set is recorded when the scan is built, and a
-  * runtime filter shrinking the files actually read after that point
-  * would turn "not read" into "not carried" — silent row loss. Declining
-  * is always safe: unmatched rows of an over-read file are copied
-  * through unchanged.
+  * candidate read itself carries NO row filters.
+  *
+  * Two distinct runtime-filtering mechanisms meet here — they are NOT
+  * the same thing, and they are handled oppositely:
+  *   - Row-level `SupportsRuntimeFiltering` on data columns is DECLINED
+  *     (the cow scan reports only `_file` in `filterAttributes`): a
+  *     runtime filter that dropped data ROWS of a candidate file would
+  *     violate the every-row-of-a-selected-group contract above.
+  *   - Runtime GROUP filtering keyed solely on the `_file` metadata
+  *     column IS accepted: Spark computes the matching rows' distinct
+  *     files in a subquery and narrows which candidate FILES are read.
+  *     This is safe — whole files, never rows — because
+  *     `planInputPartitions` re-records the narrowed set as `replaced`
+  *     BEFORE commit computes carried = live − replaced, so a file the
+  *     group filter excluded is carried by reference, never dropped.
+  *     Commit ordering guarantees the re-record happens first: scan
+  *     planning strictly precedes write execution.
   *
   * Pushable `DELETE FROM` never reaches this path —
   * `OptimizeMetadataOnlyDeleteFromTable` restores
@@ -139,7 +149,7 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
     // manifest-covered files classify with zero per-file I/O; footers
     // open only for uncovered files and bloom-refinable candidates
     val files = Generations.classifyForDml(conf, root, listed, table,
-      Some(cond.toSeq).filter(_.nonEmpty), dir)
+      Some(cond.toSeq.map(graft.format.Stats.FilterPrune)).filter(_.nonEmpty), dir)
     val cands = files.filter(_.candidate)
     // replacing a file means dropping EVERYTHING in it that the write
     // doesn't re-emit — a file shared with a sibling table can't be
@@ -255,6 +265,18 @@ private[sources] class GraftCowRowShapeFactory(inner: DataWriterFactory,
             throw new IllegalStateException(
               s"row-level write expected ${schema.length} fields (or +1 " +
                 s"operation marker), got ${row.numFields}")
+          // field count alone can't prove the layout is (marker, data...):
+          // a future Spark emitting schema.length+1 fields in another
+          // shape (marker last, trailing metadata) would silently shift
+          // every column. Require field 0 to BE a known group-based
+          // operation ordinal before projecting it away.
+          val marker = row.getInt(0)
+          val rdu = org.apache.spark.sql.catalyst.util.RowDeltaUtils
+          if (marker != rdu.WRITE_OPERATION && marker != rdu.WRITE_WITH_METADATA_OPERATION)
+            throw new IllegalStateException(
+              s"row-level write: leading field $marker is not a group-based " +
+                "operation marker (WRITE/WRITE_WITH_METADATA); the plan's row " +
+                "layout changed — refusing to project")
           proj.project(row)
           w.write(proj)
         }

@@ -187,6 +187,65 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(fin.filter(col("id") === 6).select("v").as[Long].head() == 600L)
   }
 
+  test("a 5000-key scattered fold still carries untouched files byte-identical") {
+    // the >1000-key regression: the old capped IN-list collect silently
+    // degraded large CDC batches to an UNPRUNED rewrite; the unbounded
+    // InKeyRange summary must keep the fold file-granular at any batch size
+    val dir = Files.createTempDirectory("graft-selective-bigbatch").toString
+    spark.range(0, 16000).selectExpr("id", "id % 7 AS v", "CAST(id AS STRING) AS s")
+      .repartitionByRange(16, col("id"))
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = fileState(dir)
+    assert(before.size == 16)
+    import spark.implicits._
+    // 5000 distinct keys scattered over [0, 5000): five files' ranges,
+    // none of the other eleven
+    val batch = spark.range(0, 5000)
+      .selectExpr("id", "CAST(-1 AS BIGINT) AS v", "'patched' AS s")
+    FormatOps.upsert(spark, dir, "data", batch, Seq("id"))
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 16000)
+    assert(live.filter(col("v") === -1).count() == 5000)
+    assert(live.filter(col("id") >= 5000 && col("v") === -1).count() == 0)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
+    // 11 of 16 ranges are disjoint from the batch, minus at most one
+    // whose sampled repartitionByRange boundary genuinely straddles 5000
+    assert(carried.size >= 10, s"want >=10 of 16 files carried, got ${carried.size}")
+    carried.foreach { case (rel, size) =>
+      val (sz, mt) = before.getOrElse(rel, fail(s"carried $rel not in pre-DML state"))
+      assert(sz == size, s"$rel size drifted")
+      val st = new Path(dir).getFileSystem(conf).getFileStatus(new Path(dir, rel))
+      assert(st.getModificationTime == mt, s"$rel was rewritten, not carried")
+    }
+  }
+
+  test("InKeyRange summary: intersection answers and non-integral fallback") {
+    import spark.implicits._
+    val kr = Stats.InKeyRange.of(
+      Seq(10L, 500L, 99999L).toDF("k")).get
+    assert(kr.mightIntersect(0L, 10L))       // boundary hit
+    assert(kr.mightIntersect(400L, 600L))    // interior hit
+    assert(kr.mightIntersect(99999L, 99999L))
+    assert(!kr.mightIntersect(Long.MinValue, 9L), "below-base range must miss")
+    assert(!kr.mightIntersect(100000L, Long.MaxValue), "above-max range must miss")
+    // narrow span -> bucketWidth 1: gaps between keys resolve exactly
+    val fine = Stats.InKeyRange.of(Seq(10L, 500L).toDF("k")).get
+    assert(fine.bucketWidth == 1L)
+    assert(!fine.mightIntersect(11L, 499L), "gap between keys must miss")
+    assert(fine.mightIntersect(500L, 777L))
+    // empty key set: provably disjoint from everything
+    val empty = Stats.InKeyRange.of(Seq.empty[Long].toDF("k")).get
+    assert(empty.empty && !empty.mightIntersect(Long.MinValue, Long.MaxValue))
+    // non-integral key column: no summary (callers fall back to IN-lists)
+    assert(Stats.InKeyRange.of(Seq("a", "b").toDF("k")).isEmpty)
+    // wide span: bucketed coarsely but never wrong
+    val wide = Stats.InKeyRange.of(Seq(Long.MinValue, 0L, Long.MaxValue).toDF("k")).get
+    assert(wide.mightIntersect(-5L, 5L))
+    assert(wide.mightIntersect(Long.MaxValue - 1, Long.MaxValue))
+  }
+
   test("an EMPTY upsert batch carries every file; nothing is rewritten") {
     val dir = Files.createTempDirectory("graft-selective-empty").toString
     writeRangeClustered(dir)

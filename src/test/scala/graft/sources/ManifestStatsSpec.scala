@@ -50,7 +50,8 @@ class ManifestStatsSpec extends SparkSpec {
     // range predicate hitting ONE carried file (ids 7000+ live in the
     // last range partition)
     val files = Generations.classifyForDml(conf, root, listed, "data",
-      Some(Seq(In("id", (7000L until 7010L).toArray.map(_.asInstanceOf[Any])))), dir)
+      Some(Seq(graft.format.Stats.FilterPrune(
+        In("id", (7000L until 7010L).toArray.map(_.asInstanceOf[Any]))))), dir)
     val opened = graft.format.GraftFileReader.opens.get() - before
     val cands = files.filter(_.candidate)
     assert(cands.size == 1, s"want 1 candidate, got ${cands.map(_.path.getName)}")
