@@ -56,12 +56,22 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$qs,"sf":"$sfDir","runs":2,"timing":"min_of_2"}"""
     println(line)
-    // the driver keeps only a tail of stdout, which can truncate the
-    // per-query map past ~100 queries — persist the full line where it
-    // can be committed and read back whole
+    // the driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line it finds there — the full 130-query line is ~3.5 KB and
+    // always arrived beheaded (BENCH_r07 "parsed: null"). Persist the
+    // full line to a committable file, then print a COMPACT line LAST:
+    // query names shortened to their unique qNN prefix and 2-decimal
+    // seconds, ~1.6 KB — whole inside the tail window, so the driver's
+    // artifact finally parses standalone.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
     catch { case _: Throwable => }
+    def fmt2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortQs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$shortQs,"sf":"$sfDir","runs":2,"timing":"min_of_2","names":"qNN prefixes of BENCH_FULL.json"}""")
     spark.stop()
   }
 }

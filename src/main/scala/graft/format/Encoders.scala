@@ -742,6 +742,30 @@ final class DecimalEncoder(precision: Int, scale: Int) extends ColumnEncoder {
     else PrimitiveMeta(validity.write(sink), sink.writeBuffer(buf.array, buf.size, sink.valuesCodec, elemSize))
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
+
+  /** Decimal zone maps (p <= 18): min/max as the unscaled i64 — unscaled
+    * order IS value order at one fixed scale, and the skip side rescales
+    * through BigDecimal so a money predicate (`o_totalprice > X`) can
+    * finally skip chunks. No sum (decimal SUM isn't pushed down).
+    * 16-byte decimals keep null-count-only stats. */
+  override def statsRange(from: Int, to: Int): ColStats = {
+    val nulls = validity.nullCountIn(from, to)
+    if (elemSize != 8 || to - from - nulls <= 0) return ColStats(nulls, None, None)
+    val noNulls = nulls == 0
+    val bb = Bytes.le(buf.array)
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = from
+    while (i < to) {
+      if (noNulls || validity.isValidAt(i)) {
+        val v = bb.getLong(i * 8)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    ColStats(nulls, Some(Stats.longBytes(mn)), Some(Stats.longBytes(mx)))
+  }
 }
 
 /** Fixed-width binary; widths 20/32 go through the chunk-global dict.

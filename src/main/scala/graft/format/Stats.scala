@@ -79,6 +79,20 @@ object Stats {
           org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
       case (FloatType | DoubleType, n: Number) =>
         Some(java.lang.Double.compare(doubleOf(stat), n.doubleValue()))
+      case (d: DecimalType, v) if d.precision <= 18 =>
+        // stat bytes are the unscaled i64 at the column's declared scale;
+        // rescale both sides through BigDecimal for an EXACT compare (a
+        // literal with more fractional digits than the scale must still
+        // order correctly, never round first)
+        val lit: Option[java.math.BigDecimal] = v match {
+          case bd: java.math.BigDecimal => Some(bd)
+          case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
+          case sd: org.apache.spark.sql.types.Decimal => Some(sd.toJavaBigDecimal)
+          case n: Number if !n.doubleValue().isNaN && !n.doubleValue().isInfinite =>
+            Some(new java.math.BigDecimal(n.doubleValue())) // exact binary expansion
+          case _ => None
+        }
+        lit.map(l => java.math.BigDecimal.valueOf(longOf(stat), d.scale).compareTo(l))
       case (StringType, s: String) =>
         Some(java.util.Arrays.compareUnsigned(stat, UTF8String.fromString(s).getBytes))
       case (BooleanType, bl: java.lang.Boolean) =>

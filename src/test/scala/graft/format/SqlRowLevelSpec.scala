@@ -171,6 +171,68 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(spark.table("rl_ins.db.t").agg(max("k")).head().getLong(0) == 104L)
   }
 
+  test("racing readers vs SQL UPDATE/MERGE at grace 0: never wrong rows") {
+    // the GraftCowBatchWrite commit path under the same stress the
+    // FormatOps rewrites get in SelectiveRewriteSpec: readers aggregate
+    // continuously while literal SQL DML swaps generations with grace 0
+    // (every commit's entry sweep reclaims unreferenced files at once).
+    // Conserved invariant: count stays 8000 and sum(v) stays 0 — each
+    // statement writes +x to one key and -x to its partner. A reader may
+    // fail CLEANLY mid-swap (retry exception); it must never see a
+    // partial or mixed view.
+    mkCatalog("rl_race")
+    spark.range(0, 8000).selectExpr("id AS k", "CAST(0 AS BIGINT) AS v")
+      .repartitionByRange(8, col("id"))
+      .createOrReplaceTempView("rl_race_src")
+    spark.sql("CREATE TABLE rl_race.db.t AS SELECT * FROM rl_race_src")
+    @volatile var wrong: Option[String] = None
+    @volatile var stop = false
+    val clean = new java.util.concurrent.atomic.AtomicLong
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (!stop && wrong.isEmpty) {
+          try {
+            val row = spark.table("rl_race.db.t")
+              .agg(count(lit(1)), sum(col("v"))).head()
+            val (n, sv) = (row.getLong(0), row.getLong(1))
+            if (n != 8000 || sv != 0L)
+              wrong = Some(s"reader saw n=$n sum(v)=$sv (want 8000/0)")
+          } catch { case _: Exception => clean.incrementAndGet() }
+        }
+      })
+    }
+    spark.conf.set("spark.graft.graceMs", "0")
+    readers.foreach(_.start())
+    try {
+      (1 to 6).foreach { i =>
+        val x = i * 100L
+        if (i % 2 == 1)
+          spark.sql(s"""UPDATE rl_race.db.t
+            SET v = CASE WHEN k < 4000 THEN $x ELSE ${-x} END
+            WHERE k = $i OR k = ${7000 + i}""")
+        else {
+          spark.sql(s"SELECT $i AS k, CAST($x AS BIGINT) AS v " +
+            s"UNION ALL SELECT ${7000 + i} AS k, CAST(${-x} AS BIGINT) AS v")
+            .createOrReplaceTempView("rl_race_batch")
+          spark.sql("""MERGE INTO rl_race.db.t t USING rl_race_batch s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+        }
+      }
+    } finally {
+      stop = true
+      readers.foreach(_.join(30000))
+      spark.conf.unset("spark.graft.graceMs")
+    }
+    assert(wrong.isEmpty, wrong.getOrElse(""))
+    val fin = spark.table("rl_race.db.t")
+    assert(fin.count() == 8000)
+    assert(fin.agg(sum("v")).head().getLong(0) == 0L)
+    assert(fin.filter(col("k") === 5).select("v").as(
+      org.apache.spark.sql.Encoders.scalaLong).head() == 500L)
+    assert(fin.filter(col("k") === 7006).select("v").as(
+      org.apache.spark.sql.Encoders.scalaLong).head() == -600L)
+  }
+
   test("UPDATE keeps sibling rows bit-exact through the rewrite") {
     mkCatalog("rl_bits")
     spark.range(0, 1000)

@@ -126,6 +126,44 @@ class ZoneMapSpec extends SparkSpec {
     assert(got(0).getSeq[Any](1).isEmpty)
   }
 
+  test("decimal zone maps: money predicates skip blocks, results exact") {
+    val dir = Files.createTempDirectory("graft-zone-dec").toString
+    // d = id * 0.25 exactly, as DECIMAL(12,2): ascending money values
+    spark.range(0, 40000).coalesce(1)
+      .selectExpr("id", "CAST(CAST(id AS DECIMAL(10,0)) * 0.25 AS DECIMAL(12,2)) AS d")
+      .write.format("graft").mode("overwrite").save(dir)
+    val p = graftFile(dir)
+    val conf = new Configuration()
+    val r = GraftFileReader.open(p.getFileSystem(conf), p)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      val ds = t.stats(t.schema.fieldIndex("d"))
+      assert(ds.min.isDefined && ds.max.isDefined, "decimal chunk stats missing")
+      assert(Stats.longOf(ds.min.get) == 0L)
+      assert(Stats.longOf(ds.max.get) == 999975L) // 9999.75 unscaled at scale 2
+    } finally r.close()
+    // d > 9000.50 keeps only the last block (ids 36003.. live in block 4)
+    val schema = spark.read.format("graft").load(dir).schema
+    val rd = new GraftPartitionReader(p.getFileSystem(conf), p, schema, None,
+      Array[Filter](GreaterThan("d", new java.math.BigDecimal("9000.50"))), -1)
+    var rows = 0L
+    var batches = 0
+    try { while (rd.next()) { rows += rd.get().numRows(); batches += 1 } }
+    finally rd.close()
+    assert(batches == 1, s"expected one kept block for the money range, got $batches")
+    assert(rows == 40000L - 4 * Meta.BlockRows, s"decoded $rows rows")
+    // provably-empty range skips the whole chunk
+    val rd2 = new GraftPartitionReader(p.getFileSystem(conf), p, schema, None,
+      Array[Filter](GreaterThan("d", new java.math.BigDecimal("10000.00"))), -1)
+    var rows2 = 0L
+    try { while (rd2.next()) rows2 += rd2.get().numRows() } finally rd2.close()
+    assert(rows2 == 0L)
+    // end-to-end through the scan: exact results either way
+    val g = spark.read.format("graft").load(dir)
+    assert(g.filter(col("d") > 9000.5).count() == 3997)
+    assert(g.filter(col("d") === lit(new java.math.BigDecimal("25.00"))).count() == 1)
+  }
+
   test("unsorted data: zone maps keep everything, results stay correct") {
     val dir = Files.createTempDirectory("graft-zone-rand").toString
     spark.range(0, 40000).coalesce(1)
