@@ -44,6 +44,50 @@ object Stats {
     * chunk-encode time, not per appended row. This object keeps the stat
     * byte codecs and the skip logic both sides share. */
 
+  /** Merge per-block [[ColStats]] into the chunk-level ColStats (min of
+    * mins, max of maxes, sum of sums) so the encode path scans each row
+    * range ONCE — block stats are computed, chunk stats derived.
+    * `hasValues(i)` = block i holds ≥1 non-null value. A value-bearing
+    * block with absent min/max was "broken" (NaN, over-long string, or a
+    * statless type) and poisons the merged min/max; sums merge only when
+    * every value-bearing block carries one (double block sums add — the
+    * same FP order the per-row collectors used; long sums wrap,
+    * associative). */
+  def mergeColStats(dt: DataType, parts: IndexedSeq[ColStats],
+      hasValues: IndexedSeq[Boolean]): ColStats = {
+    val nulls = parts.iterator.map(_.nullCount).sum
+    val vals = parts.indices.filter(hasValues)
+    if (vals.isEmpty) return ColStats(nulls, None, None)
+    val broken = vals.exists(i => parts(i).min.isEmpty || parts(i).max.isEmpty)
+    def lt(a: Array[Byte], b: Array[Byte]): Boolean = dt match {
+      case FloatType | DoubleType => doubleOf(a) < doubleOf(b)
+      case StringType => java.util.Arrays.compareUnsigned(a, b) < 0
+      case _ => longOf(a) < longOf(b) // integral/bool/ts/decimal-unscaled
+    }
+    val (mn, mx) =
+      if (broken) (None, None)
+      else {
+        var lo = parts(vals.head).min.get
+        var hi = parts(vals.head).max.get
+        vals.tail.foreach { i =>
+          val p = parts(i)
+          if (lt(p.min.get, lo)) lo = p.min.get
+          if (lt(hi, p.max.get)) hi = p.max.get
+        }
+        (Some(lo), Some(hi))
+      }
+    val sums = vals.map(parts(_).sum)
+    val sum =
+      if (sums.exists(_.isEmpty)) None
+      else dt match {
+        case FloatType | DoubleType =>
+          Some(doubleBytes(sums.iterator.map(s => doubleOf(s.get)).sum))
+        case StringType | _: DecimalType => None
+        case _ => Some(longBytes(sums.iterator.map(s => longOf(s.get)).foldLeft(0L)(_ + _)))
+      }
+    ColStats(nulls, mn, mx, sum)
+  }
+
   def longBytes(v: Long): Array[Byte] = { val b = new Bytes(8); b.putLong(v); b.toArray }
   def doubleBytes(v: Double): Array[Byte] = { val b = new Bytes(8); b.putDouble(v); b.toArray }
   def longOf(b: Array[Byte]): Long = Bytes.le(b).getLong(0)
@@ -88,6 +132,12 @@ object Stats {
           case bd: java.math.BigDecimal => Some(bd)
           case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
           case sd: org.apache.spark.sql.types.Decimal => Some(sd.toJavaBigDecimal)
+          // integral literals convert via longValue — a double round-trip
+          // would round above 2^53 and could prove a WRONG skip
+          case n @ (_: java.lang.Long | _: java.lang.Integer |
+                    _: java.lang.Short | _: java.lang.Byte) =>
+            Some(java.math.BigDecimal.valueOf(n.asInstanceOf[Number].longValue()))
+          case bi: java.math.BigInteger => Some(new java.math.BigDecimal(bi))
           case n: Number if !n.doubleValue().isNaN && !n.doubleValue().isInfinite =>
             Some(new java.math.BigDecimal(n.doubleValue())) // exact binary expansion
           case _ => None

@@ -112,19 +112,37 @@ final class TableBuffer(val name: String, val schema: StructType,
     }
     numRows += 1
   }
-  def chunkStats: Vector[ColStats] =
-    encoders.map(_.statsRange(0, numRows)).toVector
-  /** Per-block stats for the footer; empty when the chunk fits one block
-    * (the chunk stats already say everything). */
-  def blockStats: Vector[Vector[ColStats]] = {
-    if (numRows <= Meta.BlockRows) return Vector.empty
-    val nb = (numRows + Meta.BlockRows - 1) / Meta.BlockRows
-    Vector.tabulate(nb) { b =>
-      val from = b * Meta.BlockRows
-      val to = math.min(from + Meta.BlockRows, numRows)
-      encoders.map(_.statsRange(from, to)).toVector
+  // each row range is scanned ONCE: block stats are computed, chunk
+  // stats derived by a typed merge (Stats.mergeColStats)
+  private var cachedBlocks: Vector[Vector[ColStats]] = null
+  private def allBlocks: Vector[Vector[ColStats]] = {
+    if (cachedBlocks == null) {
+      val nb = math.max(1, (numRows + Meta.BlockRows - 1) / Meta.BlockRows)
+      cachedBlocks = Vector.tabulate(nb) { b =>
+        val from = b * Meta.BlockRows
+        val to = math.min(from + Meta.BlockRows, numRows)
+        encoders.map(_.statsRange(from, to)).toVector
+      }
+    }
+    cachedBlocks
+  }
+  def chunkStats: Vector[ColStats] = {
+    val blocks = allBlocks
+    if (blocks.size == 1) blocks.head
+    else {
+      val rowsOf = blocks.indices.map(b =>
+        math.min((b + 1) * Meta.BlockRows, numRows) - b * Meta.BlockRows)
+      schema.fields.indices.map { c =>
+        val parts = blocks.map(_(c))
+        val hasValues = blocks.indices.map(b => rowsOf(b) - parts(b).nullCount > 0)
+        Stats.mergeColStats(schema.fields(c).dataType, parts, hasValues)
+      }.toVector
     }
   }
+  /** Per-block stats for the footer; empty when the chunk fits one block
+    * (the chunk stats already say everything). */
+  def blockStats: Vector[Vector[ColStats]] =
+    if (allBlocks.size <= 1) Vector.empty else allBlocks
   def blooms: Map[String, Bloom.Bits] =
     bloomBuilders.map { case (ord, _, b) =>
       schema.fields(ord).name -> Bloom.Bits(b.finish())
@@ -132,7 +150,7 @@ final class TableBuffer(val name: String, val schema: StructType,
   def byteSize: Long = encoders.map(_.byteSize).sum
   def reset(): Unit = {
     encoders.foreach(_.reset())
-    bloomBuilders.foreach(_._3.reset()); numRows = 0
+    bloomBuilders.foreach(_._3.reset()); numRows = 0; cachedBlocks = null
   }
 }
 

@@ -573,6 +573,25 @@ object FormatOps {
   private def readTable(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.format("graft").option("table", table).load(dir)
 
+  /** One key column's candidate-file prune predicate for a keyed DML.
+    * Small batches (≤1000 distinct values) collect an EXACT IN-list —
+    * the strongest prune, since both zone maps AND blooms can refute it
+    * per chunk, which matters on tables NOT clustered by the key. Past
+    * the cap, integral columns fall back to the unbounded
+    * [[graft.format.Stats.InKeyRange]] bucket-bitmap summary (zone maps
+    * only, no driver key collect, no cap), so a million-key CDC fold
+    * still prunes file-granularly on clustered tables instead of
+    * silently degrading to a full rewrite. Non-integral past the cap:
+    * no prune from this column (the remaining conjuncts still apply). */
+  private def keyPrune(batch: DataFrame, k: String): Option[graft.format.Stats.Prune] = {
+    val cap = 1000
+    val rows = batch.select(col(k)).distinct().limit(cap + 1).collect()
+    if (rows.length <= cap)
+      Some(graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
+        rows.map(_.get(0)).filter(_ != null).distinct.toArray)))
+    else graft.format.Stats.InKeyRange.of(batch.select(col(k)))
+  }
+
   def updateWhere(s: SparkSession, dir: String, table: String,
       set: Map[String, org.apache.spark.sql.Column],
       where: org.apache.spark.sql.Column,
@@ -637,6 +656,19 @@ object FormatOps {
     // the lineage, so every consumer below reads the same frozen rows
     // (Delta materializes its MERGE source for exactly this reason).
     val batch = source.localCheckpoint()
+    try upsertChecked(s, dir, table, batch, keys, captureChanges)
+    // release the checkpoint's storage blocks NOW — a long-lived CDC
+    // session upserting in a loop would otherwise accumulate dead
+    // MEMORY_AND_DISK blocks until driver GC notices (Dataset.unpersist
+    // only serves CacheManager entries, so walk to the RDD itself)
+    finally try batch.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    } catch { case _: Exception => }
+  }
+
+  private def upsertChecked(s: SparkSession, dir: String, table: String,
+      batch: DataFrame, keys: Seq[String], captureChanges: Boolean): Unit = {
     // null-key rows are exempt: they match no target row, so several of
     // them are independent inserts, not an ambiguous "replace"
     val dup = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
@@ -668,23 +700,9 @@ object FormatOps {
     }
     // File-granular COW: only files whose zone maps/blooms admit one of
     // the batch's keys can hold a row the anti-join removes — the rest
-    // carry by reference. Integral key columns summarize UNBOUNDED via a
-    // distributed bucket-bitmap aggregation ([[graft.format.Stats.InKeyRange]])
-    // — no driver key collect, no batch-size cap, so a million-key CDC
-    // batch still folds file-granularly. Non-integral key columns fall
-    // back to a capped driver IN-list (their values have no range
-    // buckets); past the cap that column simply stops pruning — the
-    // remaining conjuncts still carry whatever they can prove.
+    // carry by reference.
     val keyFilters: Option[Seq[graft.format.Stats.Prune]] = {
-      val fs: Seq[graft.format.Stats.Prune] = keys.flatMap { k =>
-        graft.format.Stats.InKeyRange.of(batch.select(col(k))).orElse {
-          val cap = 1000
-          val rows = batch.select(col(k)).distinct().limit(cap + 1).collect()
-          if (rows.length > cap) None
-          else Some(graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
-            rows.map(_.get(0)).filter(_ != null).distinct.toArray)))
-        }
-      }
+      val fs: Seq[graft.format.Stats.Prune] = keys.flatMap(k => keyPrune(batch, k))
       Some(fs).filter(_.nonEmpty)
     }
     val touched = graft.sources.Generations.rewriteTable(s, dir, table,
@@ -1214,13 +1232,13 @@ object FormatOps {
           .select(col("o_orderkey")).distinct()
         val added = b.filter(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type")
-        // file-granular fold: only replica files whose zone maps admit
-        // one of the batch's removed keys are rewritten; the rest of a
-        // 100 TB replica carries by reference — per-batch cost is
-        // O(batch + touched files), not O(replica). The removed-key set
-        // summarizes UNBOUNDED (distributed bucket bitmap, no driver
-        // collect, no cap), so arbitrarily large batches stay pruned.
-        val prune = graft.format.Stats.InKeyRange.of(gone).map(Seq(_))
+        // file-granular fold: only replica files whose zone maps/blooms
+        // admit one of the batch's removed keys are rewritten; the rest
+        // of a 100 TB replica carries by reference — per-batch cost is
+        // O(batch + touched files), not O(replica). Small batches prune
+        // by exact IN-list (blooms apply); large ones by the unbounded
+        // InKeyRange summary — no cap, no silent full rewrites.
+        val prune = keyPrune(gone, "o_orderkey").map(Seq(_))
         graft.sources.Generations.rewriteTable(b.sparkSession, repl, "data",
           t => t.join(gone, Seq("o_orderkey"), "left_anti")
             .unionByName(added.select(t.columns.map(col).toSeq: _*)),

@@ -1904,20 +1904,39 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   private var rows = 0L
   private final val FlushBytes = 96L << 20
 
+  // byteSize walks every encoder (a virtual call per column), so the row
+  // loop probes it only at `probeAt`: after each probe the next one is
+  // scheduled ~half the remaining headroom away at the OBSERVED average
+  // row width (capped at 512 rows). Narrow rows pay one probe per ~512
+  // appends; multi-MB blob rows re-probe every few rows, so the buffer
+  // can never blow past FlushBytes by more than ~half its headroom —
+  // the failure mode a fixed 512-row stride had (511 unchecked 4 MB rows
+  // overflowing the 2 GiB i32-offset cap).
+  private var probeAt = 1L
+  private def scheduleNextProbe(n: Long, bytes: Long): Unit = {
+    val avg = math.max(1L, bytes / math.max(1L, n))
+    probeAt = n + math.max(1L, math.min(512L, (FlushBytes - bytes) / (2 * avg)))
+  }
+
   override def write(record: InternalRow): Unit = {
     rows += 1
     if (singleBuf != null) {
       singleBuf.appendRow(record)
-      // byteSize walks every encoder (a virtual call per column) — probing
-      // it once per 512 rows keeps the row loop free of it; the worst
-      // overshoot is 511 rows past FlushBytes, noise against a 96 MB cap
-      if (singleBuf.numRows >= chunkRows ||
-        ((singleBuf.numRows & 511) == 0 && singleBuf.byteSize >= FlushBytes)) flush()
+      if (singleBuf.numRows >= chunkRows) flush()
+      else if (singleBuf.numRows >= probeAt) {
+        val bs = singleBuf.byteSize
+        if (bs >= FlushBytes) flush()
+        else scheduleNextProbe(singleBuf.numRows, bs)
+      }
     } else {
       splits.foreach { case (buf, proj) => proj.project(record); buf.appendRow(proj) }
-      if (splits.head._1.numRows >= chunkRows ||
-        ((splits.head._1.numRows & 511) == 0 &&
-          splits.iterator.map(_._1.byteSize).sum >= FlushBytes)) flush()
+      val n = splits.head._1.numRows
+      if (n >= chunkRows) flush()
+      else if (n >= probeAt) {
+        val bs = splits.iterator.map(_._1.byteSize).sum
+        if (bs >= FlushBytes) flush()
+        else scheduleNextProbe(n, bs)
+      }
     }
   }
 
@@ -1928,6 +1947,7 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
       writer.writeChunk(splits.map(_._1))
       splits.foreach(_._1.reset())
       chunksWritten += 1
+      probeAt = 1L // re-learn the row width per chunk
     }
 
   override def commit(): WriterCommitMessage = {

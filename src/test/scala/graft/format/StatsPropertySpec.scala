@@ -1,0 +1,195 @@
+package graft.format
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property gates for the columnar stats path: zone maps DRIVE chunk and
+  * block skipping (a wrong min/max is silent row loss), so
+  * [[ColumnEncoder.statsRange]] is checked against a brute-force
+  * reference over random values/nulls/ranges, and [[Stats.InKeyRange]]
+  * is checked for the only property that matters — NO false negatives
+  * (a probed range containing a key must always intersect). Seeded, so
+  * failures reproduce. */
+class StatsPropertySpec extends AnyFunSuite {
+
+  private val Iters = 200
+
+  private def rowOf(v: Any): InternalRow = new GenericInternalRow(Array[Any](v))
+
+  private def encode(dt: DataType, values: Seq[Option[Any]]): ColumnEncoder = {
+    val enc = ColumnEncoder.forType(dt)
+    values.foreach {
+      case Some(v) => enc.appendFrom(rowOf(v), 0)
+      case None => enc.appendFrom(rowOf(null), 0)
+    }
+    enc
+  }
+
+  private def randRange(r: Random): (Int, Int, Int) = {
+    val n = r.nextInt(300)
+    val from = if (n == 0) 0 else r.nextInt(n + 1)
+    val to = from + (if (n - from == 0) 0 else r.nextInt(n - from + 1))
+    (n, from, to)
+  }
+
+  test("long statsRange equals brute force over random values, nulls, ranges") {
+    val r = new Random(0xA11CE)
+    (1 to Iters).foreach { _ =>
+      val (n, from, to) = randRange(r)
+      val vals = Seq.fill(n)(
+        if (r.nextInt(5) == 0) None
+        else Some(java.lang.Long.valueOf(r.nextLong() >> r.nextInt(40))))
+      val st = encode(LongType, vals).statsRange(from, to)
+      val slice = vals.slice(from, to)
+      val present = slice.flatten.map(_.asInstanceOf[java.lang.Long].longValue())
+      assert(st.nullCount == slice.count(_.isEmpty))
+      if (present.isEmpty) assert(st.min.isEmpty && st.max.isEmpty)
+      else {
+        assert(Stats.longOf(st.min.get) == present.min)
+        assert(Stats.longOf(st.max.get) == present.max)
+        assert(Stats.longOf(st.sum.get) == present.foldLeft(0L)(_ + _))
+      }
+    }
+  }
+
+  test("double statsRange: NaN poisons min/max but never the sum") {
+    val r = new Random(0xB0B)
+    (1 to Iters).foreach { _ =>
+      val (n, from, to) = randRange(r)
+      val vals = Seq.fill(n)(r.nextInt(7) match {
+        case 0 => None
+        case 1 => Some(java.lang.Double.valueOf(Double.NaN))
+        case _ => Some(java.lang.Double.valueOf(r.nextDouble() * 1e6 - 5e5))
+      })
+      val st = encode(DoubleType, vals).statsRange(from, to)
+      val slice = vals.slice(from, to)
+      val present = slice.flatten.map(_.asInstanceOf[java.lang.Double].doubleValue())
+      assert(st.nullCount == slice.count(_.isEmpty))
+      if (present.isEmpty) assert(st.min.isEmpty && st.max.isEmpty && st.sum.isEmpty)
+      else if (present.exists(_.isNaN)) {
+        assert(st.min.isEmpty && st.max.isEmpty)
+        assert(java.lang.Double.isNaN(Stats.doubleOf(st.sum.get)))
+      } else {
+        assert(Stats.doubleOf(st.min.get) == present.min)
+        assert(Stats.doubleOf(st.max.get) == present.max)
+      }
+    }
+  }
+
+  test("string statsRange: unsigned-lex min/max; long strings drop stats") {
+    val r = new Random(0xCAFE)
+    (1 to Iters).foreach { _ =>
+      val (n, from, to) = randRange(r)
+      val vals = Seq.fill(n)(r.nextInt(6) match {
+        case 0 => None
+        case 1 => Some(UTF8String.fromString("x" * (Stats.MaxStringStat + 1 + r.nextInt(5))))
+        case _ => Some(UTF8String.fromString(
+          Seq.fill(r.nextInt(8))(r.nextPrintableChar()).mkString))
+      })
+      val st = encode(StringType, vals).statsRange(from, to)
+      val slice = vals.slice(from, to)
+      val present = slice.flatten.map(_.asInstanceOf[UTF8String].getBytes)
+      assert(st.nullCount == slice.count(_.isEmpty))
+      if (present.isEmpty || present.exists(_.length > Stats.MaxStringStat))
+        assert(st.min.isEmpty && st.max.isEmpty)
+      else {
+        def less(a: Array[Byte], b: Array[Byte]) =
+          java.util.Arrays.compareUnsigned(a, b) < 0
+        assert(st.min.get.toSeq ==
+          present.reduceLeft((a, b) => if (less(b, a)) b else a).toSeq)
+        assert(st.max.get.toSeq ==
+          present.reduceLeft((a, b) => if (less(a, b)) b else a).toSeq)
+      }
+    }
+  }
+
+  test("decimal statsRange: unscaled min/max for p<=18, no sum ever") {
+    val r = new Random(0xD0C)
+    (1 to Iters).foreach { _ =>
+      val (n, from, to) = randRange(r)
+      val dt = DecimalType(12, 2)
+      val vals = Seq.fill(n)(
+        if (r.nextInt(5) == 0) None
+        else Some(Decimal(BigDecimal(r.nextInt(2000000) - 1000000, 2), 12, 2)))
+      val st = encode(dt, vals).statsRange(from, to)
+      val present = vals.slice(from, to).flatten
+        .map(_.asInstanceOf[Decimal].toUnscaledLong)
+      if (present.isEmpty) assert(st.min.isEmpty && st.max.isEmpty)
+      else {
+        assert(Stats.longOf(st.min.get) == present.min)
+        assert(Stats.longOf(st.max.get) == present.max)
+        assert(st.sum.isEmpty) // decimal SUM is never answered from stats
+      }
+    }
+  }
+
+  test("mergeColStats(blocks) equals statsRange over the whole range") {
+    val r = new Random(0xFEED)
+    (1 to Iters).foreach { _ =>
+      val blockRows = 64
+      val nBlocks = 1 + r.nextInt(5)
+      val n = math.max(1, nBlocks * blockRows - r.nextInt(blockRows))
+      val vals = Seq.fill(n)(r.nextInt(6) match {
+        case 0 => None
+        case 1 => Some(java.lang.Double.valueOf(Double.NaN))
+        case _ => Some(java.lang.Double.valueOf(r.nextInt(1000).toDouble))
+      })
+      val enc = encode(DoubleType, vals)
+      val whole = enc.statsRange(0, n)
+      val nb = (n + blockRows - 1) / blockRows
+      val parts = (0 until nb).map { b =>
+        enc.statsRange(b * blockRows, math.min((b + 1) * blockRows, n))
+      }
+      val hasValues = (0 until nb).map { b =>
+        val rows = math.min((b + 1) * blockRows, n) - b * blockRows
+        rows - parts(b).nullCount > 0
+      }
+      val merged = Stats.mergeColStats(DoubleType, parts, hasValues)
+      assert(merged.nullCount == whole.nullCount)
+      assert(merged.min.map(_.toSeq) == whole.min.map(_.toSeq))
+      assert(merged.max.map(_.toSeq) == whole.max.map(_.toSeq))
+      // double sums: identical block-add order → bit-identical
+      assert(merged.sum.map(_.toSeq) == whole.sum.map(_.toSeq))
+    }
+  }
+
+  test("InKeyRange never misses a probed range that contains a key") {
+    val r = new Random(0x5EED)
+    (1 to Iters).foreach { _ =>
+      val keys = Seq.fill(1 + r.nextInt(50))(r.nextInt(4) match {
+        case 0 => r.nextLong() // full-range chaos (wrap-span coverage)
+        case _ => r.nextInt(1000000).toLong - 500000L
+      })
+      val kr = buildSummary(keys)
+      (1 to 20).foreach { _ =>
+        val a = r.nextLong()
+        val b = r.nextLong()
+        val (mn, mx) = if (a <= b) (a, b) else (b, a)
+        if (keys.exists(k => k >= mn && k <= mx))
+          assert(kr.mightIntersect(mn, mx), s"missed [$mn,$mx] containing a key")
+      }
+      keys.foreach(k => assert(kr.mightIntersect(k, k), s"missed own key $k"))
+    }
+  }
+
+  /** Driver-side twin of [[Stats.InKeyRange.of]]'s bucket math (no Spark
+    * session in this suite — the distributed build is exercised end-to-end
+    * by SelectiveRewriteSpec; THIS pins the bitmap/probe logic). */
+  private def buildSummary(keys: Seq[Long]): Stats.InKeyRange = {
+    val mn = keys.min
+    val mx = keys.max
+    val span = mx - mn
+    val width = java.lang.Long.divideUnsigned(span, 1 << 16) + 1
+    val bits = new Array[Long]((1 << 16) / 64)
+    keys.foreach { v =>
+      val b = java.lang.Long.divideUnsigned(v - mn, width).toInt
+      bits(b >> 6) |= 1L << (b & 63)
+    }
+    Stats.InKeyRange("k", mn, mx, width, bits, empty = false)
+  }
+}
