@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Multimodal._
+
+/** The real BMP/WAV decoders (q126/q127): encode→decode round-trips on
+  * known values, stride/padding handling, and loud failure on malformed
+  * bytes — a decoder contract, not a length heuristic. */
+class MediaDecodeSpec extends AnyFunSuite {
+
+  test("BMP round-trip: dimensions and exact channel sum, padding honored") {
+    // w=5 -> rowSize 16 (3*5=15 padded to 16): exercises the stride path
+    val f = decodeBmp(42L, bmpBytes(42L, 5, 3))
+    assert(f.width == 5 && f.height == 3 && f.bpp == 24)
+    val expect = 3L * (for (x <- 0 until 5; y <- 0 until 3)
+      yield (7 * x + 13 * y + 42L) % 256).sum
+    assert(f.channel_sum == expect)
+    // w=4: no padding (3*4=12, already 4-aligned)
+    val g = decodeBmp(7L, bmpBytes(7L, 4, 4))
+    assert(g.channel_sum ==
+      3L * (for (x <- 0 until 4; y <- 0 until 4) yield (7 * x + 13 * y + 7L) % 256).sum)
+  }
+
+  test("BMP refuses junk, truncation, and unsupported variants") {
+    intercept[IllegalArgumentException](decodeBmp(1L, Array.fill(54)(0x41.toByte)))
+    val ok = bmpBytes(1L, 6, 6)
+    intercept[IllegalArgumentException](decodeBmp(1L, ok.take(ok.length - 8)))
+    val wrongBpp = ok.clone()
+    wrongBpp(28) = 8 // claim 8-bit palette
+    intercept[IllegalArgumentException](decodeBmp(1L, wrongBpp))
+  }
+
+  test("WAV round-trip: format fields, sample count, exact abs sum") {
+    val f = decodeWav(11L, wavBytes(11L, 33))
+    assert(f.sample_rate == 16000 && f.channels == 1 && f.bits == 16)
+    assert(f.n_samples == 33)
+    val expect = (0 until 33).map(i =>
+      math.abs(((31 * 11L + 17 * i) % 65536) - 32768)).sum
+    assert(f.abs_sum == expect)
+  }
+
+  test("WAV walks unknown chunks and refuses junk/truncation") {
+    // splice a LIST chunk (odd length -> exercises 2-byte alignment)
+    // between fmt and data: a real reader skips it
+    val base = wavBytes(3L, 10)
+    val bb = java.nio.ByteBuffer.allocate(base.length + 8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF..fmt chunk end
+    bb.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5, 0))
+    bb.put(base, 36, base.length - 36) // data chunk
+    val spliced = bb.array()
+    // fix RIFF size field
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val f = decodeWav(3L, spliced)
+    assert(f.n_samples == 10 && f.abs_sum == decodeWav(3L, base).abs_sum)
+    intercept[IllegalArgumentException](decodeWav(1L, "nonsense".getBytes))
+    intercept[IllegalArgumentException](decodeWav(1L, base.take(40)))
+  }
+}
