@@ -221,12 +221,15 @@ object Stats {
     case kr: InKeyRange =>
       val idx = t.schema.fieldNames.indexOf(kr.attribute)
       idx >= 0 && idx < t.stats.size && {
-        val integral = t.schema.fields(idx).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
+        // types whose zone-map stat bytes are the SAME i64 encoding the
+        // summary was built over (days for dates, micros for timestamps)
+        val comparable = t.schema.fields(idx).dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               DateType | TimestampType => true
           case _ => false
         }
         val s = t.stats(idx)
-        integral && s.min.isDefined && s.max.isDefined &&
+        comparable && s.min.isDefined && s.max.isDefined &&
           !kr.mightIntersect(longOf(s.min.get), longOf(s.max.get))
       }
   }
@@ -278,15 +281,22 @@ object Stats {
       * column isn't integral (caller falls back to a capped In-list).
       * Two batch-sized jobs: (min,max) then the bitmap tree-aggregate. */
     def of(keys: org.apache.spark.sql.DataFrame): Option[InKeyRange] = {
+      import org.apache.spark.sql.functions.{unix_date, unix_micros}
       val f = keys.schema.fields.head
-      val integral = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      if (!integral) return None
       val name = f.name
-      val ks = keys.filter(keys.col(name).isNotNull)
-        .select(keys.col(name).cast("long").as("k"))
+      val nn = keys.filter(keys.col(name).isNotNull)
+      // the i64 projection must match the zone maps' stat encoding
+      // exactly: integral → value, date → epoch DAYS, timestamp → epoch
+      // MICROS (a plain cast would give seconds and silently mis-prune)
+      val asLong = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(nn.col(name).cast("long"))
+        case DateType => Some(unix_date(nn.col(name)).cast("long"))
+        case TimestampType => Some(unix_micros(nn.col(name)))
+        case _ => None
+      }
+      if (asLong.isEmpty) return None
+      val ks = nn.select(asLong.get.as("k"))
       val mm = ks.groupBy()
         .agg(org.apache.spark.sql.functions.min("k"),
           org.apache.spark.sql.functions.max("k")).collect().head

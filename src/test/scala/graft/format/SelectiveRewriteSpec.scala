@@ -240,6 +240,18 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(empty.empty && !empty.mightIntersect(Long.MinValue, Long.MaxValue))
     // non-integral key column: no summary (callers fall back to IN-lists)
     assert(Stats.InKeyRange.of(Seq("a", "b").toDF("k")).isEmpty)
+    // date keys bucket over epoch DAYS — the zone maps' own encoding
+    val dk = Stats.InKeyRange.of(
+      Seq(java.sql.Date.valueOf("2020-01-10")).toDF("k")).get
+    val day = java.time.LocalDate.parse("2020-01-10").toEpochDay
+    assert(dk.mightIntersect(day, day) && !dk.mightIntersect(day + 1, day + 400))
+    // timestamp keys bucket over epoch MICROS (a seconds cast would
+    // silently mis-prune by a factor of 10^6)
+    val ts = java.sql.Timestamp.valueOf("2020-01-10 12:00:00")
+    val tk = Stats.InKeyRange.of(Seq(ts).toDF("k")).get
+    val micros = ts.getTime * 1000L
+    assert(tk.mightIntersect(micros, micros))
+    assert(!tk.mightIntersect(micros + 1000000L, micros + 2000000L))
     // wide span: bucketed coarsely but never wrong
     val wide = Stats.InKeyRange.of(Seq(Long.MinValue, 0L, Long.MaxValue).toDF("k")).get
     assert(wide.mightIntersect(-5L, 5L))
