@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the default FileContext-based checkpoint manager forks a
+      // readlink/chmod subprocess per metadata op on the local scheme
+      // (no libhadoop.so); the FileSystem-based one stays in the JVM
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen infra + parquet footers/schemas, so

@@ -375,7 +375,7 @@ object Generations {
     // instead (GraftCatalog.loadTable(ident, timestamp))
     locally {
       val ts = new Path(staging, GraftDataSource.SwapTsName)
-      val out = fs.create(ts, true)
+      val out = AtomicPublish.createStream(conf, ts, overwrite = true)
       try out.write(String.valueOf(System.currentTimeMillis())
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -386,20 +386,19 @@ object Generations {
     // the retry no-ops at entry
     idempotencyKey.foreach { k =>
       val tp = new Path(staging, GraftDataSource.RewriteTagName)
-      val out = fs.create(tp, true)
+      val out = AtomicPublish.createStream(conf, tp, overwrite = true)
       try out.write(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    // publish via FileContext.rename with NO overwrite option: true
-    // no-clobber semantics — it THROWS when the destination exists.
-    // (FileSystem.rename would instead mv the staging INSIDE an existing
-    // gen dir, silently doubling the winner's data.) Of two rewrites
-    // racing to the same next index exactly one wins; the loser must
-    // fail loudly — its work is complete but unreferencable, and going
-    // on to swap the pointer would bless the WINNER's data as its own.
+    // publish via a NO-overwrite rename: true no-clobber semantics — it
+    // THROWS when the destination exists. (FileSystem.rename would
+    // instead mv the staging INSIDE an existing gen dir, silently
+    // doubling the winner's data.) Of two rewrites racing to the same
+    // next index exactly one wins; the loser must fail loudly — its
+    // work is complete but unreferencable, and going on to swap the
+    // pointer would bless the WINNER's data as its own.
     val genPath = new Path(root, nextGen)
-    try org.apache.hadoop.fs.FileContext.getFileContext(genPath.toUri, conf)
-      .rename(staging, genPath)
+    try AtomicPublish.renameNoClobber(conf, staging, genPath)
     catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: org.apache.hadoop.fs.PathExistsException) =>

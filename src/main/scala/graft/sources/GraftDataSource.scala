@@ -1881,7 +1881,9 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   private val tmpFile = new Path(dir,
     s".${file.getName}.$taskId-${UUID.randomUUID().toString.take(8)}.tmp")
   private val fs = file.getFileSystem(conf)
-  private val out = fs.create(tmpFile, false)
+  // fork-free on local (no chmod subprocess, no .crc sidecar); Hadoop
+  // create elsewhere — see AtomicPublish.createStream
+  private val out = AtomicPublish.createStream(conf, tmpFile, overwrite = false)
   private val writer = new GraftFileWriter(out, pageSize, bias)
   // the single-table write is the degenerate one-split case; a `tables`
   // option fans each row out column-wise into N named buffers that share
@@ -1958,9 +1960,9 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     writer.finish()
     out.close()
     // atomic rename WITH overwrite: replaces a previous attempt's file
-    // under the same deterministic name (streaming epoch retries)
-    org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, conf)
-      .rename(tmpFile, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // under the same deterministic name (streaming epoch retries).
+    // Zero-fork single rename(2) on local; FileContext elsewhere
+    AtomicPublish.renameOverwrite(conf, tmpFile, file)
     GraftCommitMessage(file.toString, rows)
   }
 

@@ -31,6 +31,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fork-free streaming checkpoints on the local scheme (the
+      // FileContext manager shells out per metadata op; see AtomicPublish)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
