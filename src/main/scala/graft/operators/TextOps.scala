@@ -166,20 +166,17 @@ object TextOps {
   private def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSigsOf(docsWithTokens(s, d))
 
-  /** Same, over any (doc_id, toks) corpus (q35b plants twin docs). */
+  /** Same, over any (doc_id, toks) corpus (q35b plants twin docs).
+    * Signatures come from the per-row [[graft.functions.MinHashSig]]
+    * expression — bit-identical to the explode → groupBy → 32×min
+    * construction (`MinHashSigSpec` proves equality) but with ZERO
+    * shuffles: no per-shingle rows, no exchange to regroup them; the LSH
+    * banding join downstream is the first exchange the pipeline pays. */
   private def minhashSigsOf(corpus: DataFrame): DataFrame = {
-    val docs = corpus.filter(size(col("toks")) >= 3)
-    val shingled = docs.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"
-      )).as("shingle"))
-    val minExprs = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i")
-    }
-    shingled.groupBy(col("doc_id"))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .withColumn("sig", array((0 until NumHashes).map(i => col(s"m$i")): _*))
-      .select(col("doc_id"), col("sig"))
+    graft.functions.MinHashSig.register(corpus.sparkSession, NumHashes)
+    corpus.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("toks")).as("sig"))
   }
 
   /** One row per (doc, band): the band's signature rows hashed to a
