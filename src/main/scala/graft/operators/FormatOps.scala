@@ -669,15 +669,28 @@ object FormatOps {
 
   private def upsertChecked(s: SparkSession, dir: String, table: String,
       batch: DataFrame, keys: Seq[String], captureChanges: Boolean): Unit = {
-    // null-key rows are exempt: they match no target row, so several of
-    // them are independent inserts, not an ambiguous "replace"
-    val dup = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    // ONE capped job serves both MERGE validation and candidate-file
+    // pruning: per-key-tuple counts, collected while the distinct key
+    // set fits the prune cap (the common CDC-batch case). Null-key rows
+    // are exempt from the dup check: they match no target row, so
+    // several of them are independent inserts, not an ambiguous
+    // "replace" — and the anti-join below can never match them either,
+    // so their values don't belong in the prune.
+    val cap = 1000
+    val grouped = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
-    if (dup.nonEmpty)
+      .agg(count(lit(1)).as("_n")).limit(cap + 1).collect()
+    val smallKeySet = grouped.length <= cap
+    val dup =
+      if (smallKeySet) grouped.find(_.getLong(keys.length) > 1)
+      else batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect().headOption
+    dup.foreach { r =>
       throw new IllegalArgumentException(
-        s"upsert batch has multiple rows for key ${dup.head.toSeq.init.mkString("[", ",", "]")}" +
+        s"upsert batch has multiple rows for key ${r.toSeq.init.mkString("[", ",", "]")}" +
           s" — dedupe the batch to one row per (${keys.mkString(",")}) first")
+    }
     if (captureChanges) {
       // insert-vs-update split needs only the PRE-image's key column for
       // the batch's keys: one column-pruned semi-probe, sized by the
@@ -700,9 +713,17 @@ object FormatOps {
     }
     // File-granular COW: only files whose zone maps/blooms admit one of
     // the batch's keys can hold a row the anti-join removes — the rest
-    // carry by reference.
+    // carry by reference. Small batches reuse the validation collect's
+    // key tuples (exact IN-lists per column, zero extra jobs); past the
+    // cap, integral columns fall back to the unbounded InKeyRange
+    // summary exactly like keyPrune.
     val keyFilters: Option[Seq[graft.format.Stats.Prune]] = {
-      val fs: Seq[graft.format.Stats.Prune] = keys.flatMap(k => keyPrune(batch, k))
+      val fs: Seq[graft.format.Stats.Prune] =
+        if (smallKeySet) keys.zipWithIndex.map { case (k, i) =>
+          graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
+            grouped.map(_.get(i)).distinct.toArray))
+        }
+        else keys.flatMap(k => keyPrune(batch, k)) // per-column caps intact
       Some(fs).filter(_.nonEmpty)
     }
     val touched = graft.sources.Generations.rewriteTable(s, dir, table,

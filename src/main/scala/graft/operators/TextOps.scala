@@ -813,12 +813,15 @@ object TextOps {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("label")).as("nl"))
+      // carry the old label THROUGH the checkpoint: the convergence probe
+      // is then a filter over the materialized frame, not a fresh
+      // labels⋈next join per iteration
       val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
     }
     require(converged, s"label propagation did not converge in $iters iterations")
     val comps = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
