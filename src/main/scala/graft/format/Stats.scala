@@ -50,9 +50,13 @@ object Stats {
     * `hasValues(i)` = block i holds ≥1 non-null value. A value-bearing
     * block with absent min/max was "broken" (NaN, over-long string, or a
     * statless type) and poisons the merged min/max; sums merge only when
-    * every value-bearing block carries one (double block sums add — the
-    * same FP order the per-row collectors used; long sums wrap,
-    * associative). */
+    * every value-bearing block carries one. Double block sums add in
+    * block order — DETERMINISTIC for a given chunking but a different FP
+    * association than a flat per-value scan, so the stored sum may
+    * differ from `statsRange(0, n)` in the last ulps on fractional data.
+    * That is sound: SQL double SUM is association-free (Spark's own
+    * result shifts with partitioning), and any fixed association is a
+    * correct pushdown answer. Long sums wrap, associative — exact. */
   def mergeColStats(dt: DataType, parts: IndexedSeq[ColStats],
       hasValues: IndexedSeq[Boolean]): ColStats = {
     val nulls = parts.iterator.map(_.nullCount).sum

@@ -98,12 +98,25 @@ final class TableBuffer(val name: String, val schema: StructType,
         Bloom.collectorFor(f.dataType, i).map(get => (i, get, new Bloom.Builder))
     }.flatten.toIndexedSeq
   var numRows: Int = 0
+
+  /** Buffered bytes after the last [[appendRow]] — maintained IN the
+    * append loop (one extra virtual call per column), so flush decisions
+    * can be exact per row. An adaptive "probe every N rows" scheme here
+    * once let a narrow-rows→wide-blobs shift append up to 511 rows
+    * unchecked — enough for a media column to blow the 2 GiB per-buffer
+    * cap on data that per-row checking writes fine. */
+  var currentByteSize: Long = 0L
+
   def appendRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    var sz = 0L
     var i = 0
     while (i < encoders.length) {
-      encoders(i).appendFrom(row, i)
+      val e = encoders(i)
+      e.appendFrom(row, i)
+      sz += e.byteSize
       i += 1
     }
+    currentByteSize = sz
     i = 0
     while (i < bloomBuilders.length) {
       val (ord, get, b) = bloomBuilders(i)
@@ -151,6 +164,7 @@ final class TableBuffer(val name: String, val schema: StructType,
   def reset(): Unit = {
     encoders.foreach(_.reset())
     bloomBuilders.foreach(_._3.reset()); numRows = 0; cachedBlocks = null
+    currentByteSize = 0L
   }
 }
 

@@ -44,10 +44,17 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"minhash_sig requires array<string>, got $other")
   }
 
+  require(numHashes >= 1, s"minhash_sig needs at least one hash, got $numHashes")
+
   // xxhash64(lit(i), shingle) folds the int literal into the seed before
   // the string bytes — constant per hash function, precomputed
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  // sized to THIS width (a shared 64-wide template would zero-pad past
+  // 64 and silently corrupt wider signatures), cloned per row
+  @transient private lazy val maxInit: Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
 
   // shingle byte-assembly buffer, grown on demand and reused across
   // shingles and rows (expression instances are per-task copies)
@@ -58,7 +65,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = toks.numElements()
     if (n < 3) return null
     if (buf == null) buf = new Array[Byte](256)
-    val mins = java.util.Arrays.copyOf(MinHashSig.MaxInit, numHashes)
+    val mins = maxInit.clone()
     var w = 0
     while (w <= n - 3) {
       // "t0 t1 t2" with concat_ws semantics: null tokens skipped, single
@@ -97,15 +104,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
-  private val MaxInit: Array[Long] = Array.fill(64)(Long.MaxValue)
-
   /** Register `minhash_sig` (fixed signature width `numHashes`) in the
     * session's function registry. Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession, numHashes: Int): Unit = {
-    require(numHashes <= 64, s"minhash_sig supports up to 64 hashes, got $numHashes")
+  def register(spark: org.apache.spark.sql.SparkSession, numHashes: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, numHashes), "built-in")
-  }
 
   /** Column-API entry: minhash_sig(tokensCol); requires register() first. */
   def minhashSig(tokens: Column): Column =

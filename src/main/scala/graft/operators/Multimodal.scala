@@ -213,20 +213,30 @@ object Multimodal {
     require(bytes.length >= 54 && bb.get(0) == 'B' && bb.get(1) == 'M', "not a BMP")
     val pixelOff = bb.getInt(10)
     val w = bb.getInt(18)
-    val h = bb.getInt(22)
+    val rawH = bb.getInt(22)
+    // negative biHeight is a LEGAL top-down BMP (rows stored first-to-
+    // last); the channel sum is orientation-invariant so both store
+    // orders decode identically. Guard Int.MinValue (|h| overflows) and
+    // non-positive width loudly instead of a vacuous bounds check — a
+    // negative rowSize*h product used to sail through `require(... <=
+    // length)` and return a silent channel_sum=0.
+    require(rawH != 0 && rawH != Int.MinValue && w > 0,
+      s"malformed BMP dimensions ${w}x$rawH")
+    val h = math.abs(rawH)
     val bpp = bb.getShort(28).toInt
     require(bpp == 24 && bb.getInt(30) == 0, s"unsupported BMP variant bpp=$bpp")
-    val rowSize = ((bpp / 8 * w + 3) / 4) * 4
-    require(pixelOff + rowSize.toLong * h <= bytes.length, "truncated pixel array")
+    val rowSize = ((3L * w + 3) / 4) * 4 // long math: 4-byte stride, no int wrap
+    require(pixelOff >= 54 && pixelOff + rowSize * h <= bytes.length,
+      "truncated pixel array")
     var sum = 0L
     var y = 0
     while (y < h) {
-      val base = pixelOff + y * rowSize
+      val base = pixelOff + y * rowSize.toInt
       var i = 0
       while (i < 3 * w) { sum += bytes(base + i) & 0xff; i += 1 }
       y += 1
     }
-    BmpFeatures(docId, w, h, bpp, sum)
+    BmpFeatures(docId, w, rawH, bpp, sum)
   }
 
   // ---- q126: REAL BMP encode -> decode -> exact pixel-sum oracle -----------

@@ -1906,39 +1906,25 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   private var rows = 0L
   private final val FlushBytes = 96L << 20
 
-  // byteSize walks every encoder (a virtual call per column), so the row
-  // loop probes it only at `probeAt`: after each probe the next one is
-  // scheduled ~half the remaining headroom away at the OBSERVED average
-  // row width (capped at 512 rows). Narrow rows pay one probe per ~512
-  // appends; multi-MB blob rows re-probe every few rows, so the buffer
-  // can never blow past FlushBytes by more than ~half its headroom —
-  // the failure mode a fixed 512-row stride had (511 unchecked 4 MB rows
-  // overflowing the 2 GiB i32-offset cap).
-  private var probeAt = 1L
-  private def scheduleNextProbe(n: Long, bytes: Long): Unit = {
-    val avg = math.max(1L, bytes / math.max(1L, n))
-    probeAt = n + math.max(1L, math.min(512L, (FlushBytes - bytes) / (2 * avg)))
-  }
-
+  // flush checks are exact PER ROW: TableBuffer maintains its buffered
+  // byte count inside the append loop itself (`currentByteSize`), so a
+  // narrow-rows→wide-blobs shift flushes on the first row that crosses
+  // the bound. (A probe-every-N heuristic here scheduled checks from the
+  // observed AVERAGE row width — a width shift could append up to 511
+  // multi-MB rows unchecked and overflow the 2 GiB per-buffer cap on
+  // data the exact check writes fine.)
   override def write(record: InternalRow): Unit = {
     rows += 1
     if (singleBuf != null) {
       singleBuf.appendRow(record)
-      if (singleBuf.numRows >= chunkRows) flush()
-      else if (singleBuf.numRows >= probeAt) {
-        val bs = singleBuf.byteSize
-        if (bs >= FlushBytes) flush()
-        else scheduleNextProbe(singleBuf.numRows, bs)
-      }
+      if (singleBuf.numRows >= chunkRows ||
+        singleBuf.currentByteSize >= FlushBytes) flush()
     } else {
-      splits.foreach { case (buf, proj) => proj.project(record); buf.appendRow(proj) }
-      val n = splits.head._1.numRows
-      if (n >= chunkRows) flush()
-      else if (n >= probeAt) {
-        val bs = splits.iterator.map(_._1.byteSize).sum
-        if (bs >= FlushBytes) flush()
-        else scheduleNextProbe(n, bs)
+      var sz = 0L
+      splits.foreach { case (buf, proj) =>
+        proj.project(record); buf.appendRow(proj); sz += buf.currentByteSize
       }
+      if (splits.head._1.numRows >= chunkRows || sz >= FlushBytes) flush()
     }
   }
 
@@ -1947,9 +1933,8 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   private def flush(): Unit =
     if (splits.head._1.numRows > 0) {
       writer.writeChunk(splits.map(_._1))
-      splits.foreach(_._1.reset())
+      splits.foreach(_._1.reset()) // also zeroes currentByteSize
       chunksWritten += 1
-      probeAt = 1L // re-learn the row width per chunk
     }
 
   override def commit(): WriterCommitMessage = {

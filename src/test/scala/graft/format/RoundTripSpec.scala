@@ -503,4 +503,24 @@ class RoundTripSpec extends SparkSpec {
     assert(a.agg(sum("x")).head.getLong(0) == (0 until 100).sum.toLong)
     assert(b.agg(sum("y")).head.getLong(0) == (0 until 40).map(_ * 2).sum.toLong)
   }
+
+  test("TableBuffer.currentByteSize tracks byteSize exactly through width shifts") {
+    // the flush decision relies on per-row exactness: narrow rows then
+    // sudden wide blobs must be visible on the FIRST wide row, not at
+    // the next probe of an average-width schedule
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema).asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[Row]]
+    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc).createSerializer()
+    val buf = new TableBuffer("t", schema)
+    (0 until 1000).foreach(i => buf.appendRow(ser(Row(i.toLong, Array[Byte](1))).copy()))
+    assert(buf.currentByteSize == buf.byteSize)
+    buf.appendRow(ser(Row(9L, new Array[Byte](4 << 20))).copy()) // 4 MB blob
+    assert(buf.currentByteSize == buf.byteSize)
+    assert(buf.currentByteSize > (4 << 20).toLong)
+    buf.reset()
+    assert(buf.currentByteSize == 0L)
+  }
 }

@@ -134,10 +134,17 @@ class StatsPropertySpec extends AnyFunSuite {
       val blockRows = 64
       val nBlocks = 1 + r.nextInt(5)
       val n = math.max(1, nBlocks * blockRows - r.nextInt(blockRows))
+      // fractional values half the time: block-order addition is a
+      // DIFFERENT FP association than the flat scan, so sums agree only
+      // to ulp-level tolerance (any association is a correct SQL double
+      // SUM); integer-valued doubles under 2^53 are exact in every
+      // association and must match bit-for-bit
+      val fractional = r.nextBoolean()
       val vals = Seq.fill(n)(r.nextInt(6) match {
         case 0 => None
         case 1 => Some(java.lang.Double.valueOf(Double.NaN))
-        case _ => Some(java.lang.Double.valueOf(r.nextInt(1000).toDouble))
+        case _ => Some(java.lang.Double.valueOf(
+          if (fractional) r.nextDouble() * 1000 - 500 else r.nextInt(1000).toDouble))
       })
       val enc = encode(DoubleType, vals)
       val whole = enc.statsRange(0, n)
@@ -153,8 +160,18 @@ class StatsPropertySpec extends AnyFunSuite {
       assert(merged.nullCount == whole.nullCount)
       assert(merged.min.map(_.toSeq) == whole.min.map(_.toSeq))
       assert(merged.max.map(_.toSeq) == whole.max.map(_.toSeq))
-      // double sums: identical block-add order → bit-identical
-      assert(merged.sum.map(_.toSeq) == whole.sum.map(_.toSeq))
+      assert(merged.sum.isDefined == whole.sum.isDefined)
+      (merged.sum, whole.sum) match {
+        case (Some(mb), Some(wb)) =>
+          val m = Stats.doubleOf(mb)
+          val w = Stats.doubleOf(wb)
+          if (m.isNaN || w.isNaN) assert(m.isNaN && w.isNaN)
+          else if (fractional)
+            assert(math.abs(m - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+              s"block-merged sum $m drifted beyond ulp noise from $w")
+          else assert(mb.toSeq == wb.toSeq) // integral values: bit-exact
+        case _ =>
+      }
     }
   }
 

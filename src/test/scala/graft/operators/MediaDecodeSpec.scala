@@ -31,6 +31,30 @@ class MediaDecodeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](decodeBmp(1L, wrongBpp))
   }
 
+  test("BMP top-down (negative height) decodes; degenerate dims refuse") {
+    // a LEGAL top-down BMP stores height negative; the channel sum is
+    // orientation-invariant, so flipping the sign must not change it
+    // (nor silently skip the pixel loop, which it once did)
+    val up = bmpBytes(9L, 5, 4)
+    val down = up.clone()
+    java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -4)
+    val f = decodeBmp(9L, down)
+    assert(f.height == -4 && f.channel_sum == decodeBmp(9L, up).channel_sum)
+    // zero height / negative width / Int.MinValue height: loud refusal,
+    // never a vacuous bounds check returning sum=0
+    val zeroH = up.clone()
+    java.nio.ByteBuffer.wrap(zeroH).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, 0)
+    intercept[IllegalArgumentException](decodeBmp(9L, zeroH))
+    val negW = up.clone()
+    java.nio.ByteBuffer.wrap(negW).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, -5)
+    intercept[IllegalArgumentException](decodeBmp(9L, negW))
+    val minH = up.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    intercept[IllegalArgumentException](decodeBmp(9L, minH))
+  }
+
   test("WAV round-trip: format fields, sample count, exact abs sum") {
     val f = decodeWav(11L, wavBytes(11L, 33))
     assert(f.sample_rate == 16000 && f.channels == 1 && f.bits == 16)
