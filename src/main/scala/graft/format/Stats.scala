@@ -226,16 +226,34 @@ object Stats {
       val idx = t.schema.fieldNames.indexOf(kr.attribute)
       idx >= 0 && idx < t.stats.size && {
         // types whose zone-map stat bytes are the SAME i64 encoding the
-        // summary was built over (days for dates, micros for timestamps)
+        // summary was built over (days for dates, micros for timestamps,
+        // unscaled-at-matching-scale for short decimals — a scale
+        // mismatch between batch and column makes the i64s incomparable,
+        // so the prune simply doesn't apply)
         val comparable = t.schema.fields(idx).dataType match {
           case ByteType | ShortType | IntegerType | LongType |
-               DateType | TimestampType => true
+               DateType | TimestampType => kr.decimalScale < 0
+          case d: DecimalType if d.precision <= 18 =>
+            kr.decimalScale == d.scale
           case _ => false
         }
         val s = t.stats(idx)
         comparable && s.min.isDefined && s.max.isDefined &&
           !kr.mightIntersect(longOf(s.min.get), longOf(s.max.get))
       }
+    case kb: KeyBytesRange if kb.empty => true
+    case kb: KeyBytesRange =>
+      val idx = t.schema.fieldNames.indexOf(kb.attribute)
+      idx >= 0 && idx < t.stats.size &&
+        // string zone maps store EXACT value bytes (over-long values
+        // disable the chunk's stats entirely — Encoders.statsRange), so
+        // unsigned-lex disjointness is a proof, never a prefix guess
+        t.schema.fields(idx).dataType == StringType && {
+          val s = t.stats(idx)
+          s.min.isDefined && s.max.isDefined &&
+            (java.util.Arrays.compareUnsigned(s.max.get, kb.lo) < 0 ||
+              java.util.Arrays.compareUnsigned(s.min.get, kb.hi) > 0)
+        }
   }
 
   /** A driver-side file-prune predicate for file-granular DML: either an
@@ -258,7 +276,8 @@ object Stats {
     * costs precision (a key within bucketWidth of a chunk's range keeps
     * the chunk), never correctness. */
   final case class InKeyRange(attribute: String, base: Long, maxKey: Long,
-      bucketWidth: Long, bits: Array[Long], empty: Boolean) extends Prune {
+      bucketWidth: Long, bits: Array[Long], empty: Boolean,
+      decimalScale: Int = -1) extends Prune {
     private def bucketOf(v: Long): Int =
       java.lang.Long.divideUnsigned(v - base, bucketWidth).toInt
     def mightIntersect(mn: Long, mx: Long): Boolean = {
@@ -278,11 +297,47 @@ object Stats {
     }
   }
 
+  /** Prune-only predicate for STRING key columns past the In-list cap:
+    * the removed-key set summarized by its [min,max] UTF-8 byte range
+    * (unsigned-lexicographic, the same total order the string zone maps
+    * use). One batch-sized aggregation builds it — no driver key
+    * collect, no cap — so a CDC batch removing millions of string keys
+    * (URLs, document ids) still prunes file-granularly on key-clustered
+    * tables. Coarser than [[InKeyRange]]'s bucket bitmap (one interval,
+    * no holes), but range disjointness is the common win on clustered
+    * layouts. */
+  final case class KeyBytesRange(attribute: String, lo: Array[Byte],
+      hi: Array[Byte], empty: Boolean) extends Prune
+
+  object KeyBytesRange {
+    /** Summarize a single-column STRING DataFrame of removed keys; None
+      * for other types. One (min,max) aggregation job — Spark's string
+      * min/max compare UTF8String bytes unsigned, matching the zone
+      * maps' `Arrays.compareUnsigned`. */
+    def of(keys: org.apache.spark.sql.DataFrame): Option[KeyBytesRange] = {
+      val f = keys.schema.fields.head
+      if (f.dataType != StringType) return None
+      val name = f.name
+      val nn = keys.filter(keys.col(name).isNotNull)
+      val mm = nn.groupBy()
+        .agg(org.apache.spark.sql.functions.min(name),
+          org.apache.spark.sql.functions.max(name)).collect().head
+      if (mm.isNullAt(0)) // no keys: every chunk is provably disjoint
+        return Some(KeyBytesRange(name, Array.empty, Array.empty, empty = true))
+      Some(KeyBytesRange(name,
+        mm.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        mm.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        empty = false))
+    }
+  }
+
   object InKeyRange {
     private val Buckets = 1 << 16
 
-    /** Summarize a single-column DataFrame of removed keys. None when the
-      * column isn't integral (caller falls back to a capped In-list).
+    /** Summarize a single-column DataFrame of removed keys. None when
+      * the column has no exact i64 projection (integral, date,
+      * timestamp, decimal p≤18) — callers fall back to
+      * [[KeyBytesRange]] for strings, else no prune from this column.
       * Two batch-sized jobs: (min,max) then the bitmap tree-aggregate. */
     def of(keys: org.apache.spark.sql.DataFrame): Option[InKeyRange] = {
       import org.apache.spark.sql.functions.{unix_date, unix_micros}
@@ -291,22 +346,35 @@ object Stats {
       val nn = keys.filter(keys.col(name).isNotNull)
       // the i64 projection must match the zone maps' stat encoding
       // exactly: integral → value, date → epoch DAYS, timestamp → epoch
-      // MICROS (a plain cast would give seconds and silently mis-prune)
+      // MICROS (a plain cast would give seconds and silently mis-prune),
+      // short decimal → UNSCALED value at the batch's declared scale
+      // (canSkipChunkPrune applies the summary only to columns of that
+      // same scale)
       val asLong = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           Some(nn.col(name).cast("long"))
         case DateType => Some(unix_date(nn.col(name)).cast("long"))
         case TimestampType => Some(unix_micros(nn.col(name)))
+        case d: DecimalType if d.precision <= 18 =>
+          keys.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "graft_unscaled",
+            exprs => org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs.head),
+            "built-in")
+          Some(org.apache.spark.sql.functions.call_function("graft_unscaled", nn.col(name)))
         case _ => None
       }
       if (asLong.isEmpty) return None
+      val scale = f.dataType match {
+        case d: DecimalType => d.scale
+        case _ => -1
+      }
       val ks = nn.select(asLong.get.as("k"))
       val mm = ks.groupBy()
         .agg(org.apache.spark.sql.functions.min("k"),
           org.apache.spark.sql.functions.max("k")).collect().head
       if (mm.isNullAt(0)) // no keys: every chunk is provably disjoint
         return Some(InKeyRange(name, 0L, -1L, 1L, new Array[Long](Buckets / 64),
-          empty = true))
+          empty = true, decimalScale = scale))
       val mn = mm.getLong(0)
       val mx = mm.getLong(1)
       val span = mx - mn // as unsigned (a full-long-range key set wraps)
@@ -324,7 +392,8 @@ object Stats {
           while (i < a.length) { a(i) |= b(i); i += 1 }
           a
         })
-      Some(InKeyRange(name, mn, mx, width, bits, empty = false))
+      Some(InKeyRange(name, mn, mx, width, bits, empty = false,
+        decimalScale = scale))
     }
   }
 

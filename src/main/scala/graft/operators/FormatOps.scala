@@ -579,9 +579,11 @@ object FormatOps {
     * per chunk, which matters on tables NOT clustered by the key. Past
     * the cap, integral columns fall back to the unbounded
     * [[graft.format.Stats.InKeyRange]] bucket-bitmap summary (zone maps
-    * only, no driver key collect, no cap), so a million-key CDC fold
-    * still prunes file-granularly on clustered tables instead of
-    * silently degrading to a full rewrite. Non-integral past the cap:
+    * only, no driver key collect, no cap) and string columns to the
+    * [[graft.format.Stats.KeyBytesRange]] min/max byte range, so a
+    * million-key CDC fold still prunes file-granularly on clustered
+    * tables — integral OR string keyed (URLs, document ids) — instead
+    * of silently degrading to a full rewrite. Other types past the cap:
     * no prune from this column (the remaining conjuncts still apply). */
   private def keyPrune(batch: DataFrame, k: String): Option[graft.format.Stats.Prune] = {
     val cap = 1000
@@ -590,6 +592,7 @@ object FormatOps {
       Some(graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
         rows.map(_.get(0)).filter(_ != null).distinct.toArray)))
     else graft.format.Stats.InKeyRange.of(batch.select(col(k)))
+      .orElse(graft.format.Stats.KeyBytesRange.of(batch.select(col(k))))
   }
 
   def updateWhere(s: SparkSession, dir: String, table: String,

@@ -238,8 +238,15 @@ class SelectiveRewriteSpec extends SparkSpec {
     // empty key set: provably disjoint from everything
     val empty = Stats.InKeyRange.of(Seq.empty[Long].toDF("k")).get
     assert(empty.empty && !empty.mightIntersect(Long.MinValue, Long.MaxValue))
-    // non-integral key column: no summary (callers fall back to IN-lists)
+    // string key column: no i64 summary (callers use KeyBytesRange)
     assert(Stats.InKeyRange.of(Seq("a", "b").toDF("k")).isEmpty)
+    // decimal p<=18 keys summarize over UNSCALED values at the batch's
+    // scale, and the summary only applies to columns of that exact scale
+    val dec = Stats.InKeyRange.of(
+      Seq(BigDecimal("12.34"), BigDecimal("56.78"))
+        .toDF("k").select(col("k").cast("decimal(10,2)").as("k"))).get
+    assert(dec.decimalScale == 2)
+    assert(dec.mightIntersect(1234L, 1234L) && !dec.mightIntersect(1235L, 5677L))
     // date keys bucket over epoch DAYS — the zone maps' own encoding
     val dk = Stats.InKeyRange.of(
       Seq(java.sql.Date.valueOf("2020-01-10")).toDF("k")).get
@@ -256,6 +263,104 @@ class SelectiveRewriteSpec extends SparkSpec {
     val wide = Stats.InKeyRange.of(Seq(Long.MinValue, 0L, Long.MaxValue).toDF("k")).get
     assert(wide.mightIntersect(-5L, 5L))
     assert(wide.mightIntersect(Long.MaxValue - 1, Long.MaxValue))
+  }
+
+  test("a 5000-key STRING fold carries untouched files byte-identical") {
+    // the string twin of the scattered-fold case above: past the
+    // In-list cap, string key columns summarize to a KeyBytesRange
+    // (unsigned-lex min/max) instead of degrading to an unpruned rewrite
+    val dir = Files.createTempDirectory("graft-selective-strkeys").toString
+    // zero-padded keys cluster lexicographically like numerically
+    spark.range(0, 16000)
+      .selectExpr("format_string('k%08d', id) AS sk", "id % 7 AS v")
+      .repartitionByRange(16, col("sk"))
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = fileState(dir)
+    assert(before.size == 16)
+    val batch = spark.range(0, 5000)
+      .selectExpr("format_string('k%08d', id) AS sk", "CAST(-1 AS BIGINT) AS v")
+    FormatOps.upsert(spark, dir, "data", batch, Seq("sk"))
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 16000)
+    assert(live.filter(col("v") === -1).count() == 5000)
+    assert(live.filter(col("sk") >= "k00005000" && col("v") === -1).count() == 0)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
+    assert(carried.size >= 10, s"want >=10 of 16 files carried, got ${carried.size}")
+    carried.foreach { case (rel, size) =>
+      val (sz, mt) = before.getOrElse(rel, fail(s"carried $rel not in pre-DML state"))
+      assert(sz == size, s"$rel size drifted")
+      val st = new Path(dir).getFileSystem(conf).getFileStatus(new Path(dir, rel))
+      assert(st.getModificationTime == mt, s"$rel was rewritten, not carried")
+    }
+  }
+
+  test("KeyBytesRange: builder answers and canSkipChunkPrune soundness") {
+    import spark.implicits._
+    val kb = Stats.KeyBytesRange.of(Seq("banana", "apple", "cherry").toDF("k")).get
+    assert(new String(kb.lo, "UTF-8") == "apple" && new String(kb.hi, "UTF-8") == "cherry")
+    // empty set: provably disjoint from everything
+    val empty = Stats.KeyBytesRange.of(Seq.empty[String].toDF("k")).get
+    assert(empty.empty)
+    // non-string columns: no summary
+    assert(Stats.KeyBytesRange.of(Seq(1L, 2L).toDF("k")).isEmpty)
+    // soundness against real chunk stats: write one string-keyed file,
+    // read its footer stats, and check skip answers both ways
+    val dir = Files.createTempDirectory("graft-kbr").toString
+    Seq(("mmm", 1L), ("nnn", 2L), ("ooo", 3L)).toDF("sk", "v")
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(file.toString)
+    val r = GraftFileReader.open(hp.getFileSystem(new Configuration()), hp)
+    val t = try r.footer.chunks.head.tables.head finally r.close()
+    val inside = Stats.KeyBytesRange("sk",
+      "na".getBytes("UTF-8"), "nz".getBytes("UTF-8"), empty = false)
+    assert(!Stats.canSkipChunkPrune(inside, t), "range overlapping [mmm,ooo] must keep")
+    val below = Stats.KeyBytesRange("sk",
+      "aaa".getBytes("UTF-8"), "bbb".getBytes("UTF-8"), empty = false)
+    assert(Stats.canSkipChunkPrune(below, t), "range below min must skip")
+    val above = Stats.KeyBytesRange("sk",
+      "ppp".getBytes("UTF-8"), "zzz".getBytes("UTF-8"), empty = false)
+    assert(Stats.canSkipChunkPrune(above, t), "range above max must skip")
+    // boundary containment: exact min and exact max both keep
+    val atMin = Stats.KeyBytesRange("sk",
+      "mmm".getBytes("UTF-8"), "mmm".getBytes("UTF-8"), empty = false)
+    assert(!Stats.canSkipChunkPrune(atMin, t))
+  }
+
+  test("decimal InKeyRange prunes real chunks; scale mismatch never prunes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-decprune").toString
+    Seq(BigDecimal("100.00"), BigDecimal("200.00"), BigDecimal("300.00"))
+      .toDF("m").select(col("m").cast("decimal(10,2)").as("m"))
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(file.toString)
+    val r = GraftFileReader.open(hp.getFileSystem(new Configuration()), hp)
+    val t = try r.footer.chunks.head.tables.head finally r.close()
+    // chunk holds unscaled [10000, 30000] at scale 2
+    val hit = Stats.InKeyRange.of(
+      Seq(BigDecimal("200.00")).toDF("k")
+        .select(col("k").cast("decimal(10,2)").as("m"))).get
+    assert(!Stats.canSkipChunkPrune(hit, t), "key inside the chunk range must keep")
+    val miss = Stats.InKeyRange.of(
+      Seq(BigDecimal("999.99")).toDF("k")
+        .select(col("k").cast("decimal(10,2)").as("m"))).get
+    assert(Stats.canSkipChunkPrune(miss, t), "key outside the chunk range must skip")
+    // a batch at scale 3 would compare unscaled 200000 against stats at
+    // scale 2 — incomparable i64s; the prune must refuse, never misfire
+    val wrongScale = Stats.InKeyRange.of(
+      Seq(BigDecimal("999.999")).toDF("k")
+        .select(col("k").cast("decimal(10,3)").as("m"))).get
+    assert(wrongScale.decimalScale == 3)
+    assert(!Stats.canSkipChunkPrune(wrongScale, t),
+      "scale mismatch: summary must not apply")
+    // and the plain-integral summary never applies to decimal columns
+    val intKr = Stats.InKeyRange.of(Seq(999999L).toDF("m")).get
+    assert(!Stats.canSkipChunkPrune(intKr, t))
   }
 
   test("an EMPTY upsert batch carries every file; nothing is rewritten") {
