@@ -371,8 +371,10 @@ object FormatOps {
     graft.sources.Generations.vacuum(s, dir, graceMs)
     val retention =
       if (changesRetentionMs >= 0) changesRetentionMs
-      else s.conf.getOption("spark.graft.changesRetentionMs")
-        .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
+      else s.conf.getOption("spark.graft.changesRetentionMs").map { v =>
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.changesRetentionMs must be a millisecond count, got '$v'"))
+      }.getOrElse(7L * 24 * 3600 * 1000)
     val ch = new org.apache.hadoop.fs.Path(s"$dir/$ChangesSubdir")
     val fs = ch.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(ch)) {

@@ -73,8 +73,17 @@ private[graft] object AtomicPublish {
       val opts =
         if (overwrite) Array[java.nio.file.OpenOption](CREATE, TRUNCATE_EXISTING, WRITE)
         else Array[java.nio.file.OpenOption](CREATE_NEW, WRITE)
-      new java.io.BufferedOutputStream(
+      // translate the NIO exists-collision to the HADOOP exception type:
+      // "matching fs.create(p, false)" must include the failure contract,
+      // or a caller's catch of the Hadoop type works on HDFS and silently
+      // misses on local
+      try new java.io.BufferedOutputStream(
         java.nio.file.Files.newOutputStream(target, opts: _*), 1 << 16)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"create destination $p exists: $e")
+      }
     } else fs.create(p, overwrite)
   }
 

@@ -74,11 +74,15 @@ object Generations {
     * (missing-file task error), never silently returns partial rows,
     * because the file list was pinned at planning. Size the window above
     * the cluster's longest query. */
-  /** Resolve an explicit grace against the session conf default. */
+  /** Resolve an explicit grace against the session conf default. A
+    * malformed conf value fails NAMING the key — a bare
+    * NumberFormatException from deep inside a DELETE is undebuggable. */
   private def resolveGrace(s: SparkSession, graceMs: Long): Long =
     if (graceMs >= 0) graceMs
-    else s.conf.getOption("spark.graft.graceMs").map(_.toLong)
-      .getOrElse(15 * 60 * 1000L)
+    else s.conf.getOption("spark.graft.graceMs").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.graceMs must be a millisecond count, got '$v'"))
+    }.getOrElse(15 * 60 * 1000L)
 
   /** One pass of the dead-data sweep (rules in [[rewrite]]'s doc):
     * deletes reclaimable entries under `root` and returns the highest
@@ -91,6 +95,23 @@ object Generations {
     val entries = fs.listStatus(root)
     def stale(st: org.apache.hadoop.fs.FileStatus): Boolean =
       System.currentTimeMillis() - st.getModificationTime >= grace
+    // staging staleness must look INSIDE the dir: a partitioned write
+    // lands files under k=v/ subdirs, bumping only those dirs' mtimes —
+    // the staging ROOT's mtime stays at job start, so a long-running
+    // rewrite would look stale to a concurrent sweep while actively
+    // writing. The newest mtime across the root, its children, and its
+    // files is the real activity signal (walk cost only paid for
+    // root-stale candidates, and sweeps are rare).
+    def deepStale(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      stale(st) && {
+        var newest = st.getModificationTime
+        try {
+          fs.listStatus(st.getPath).foreach(c => newest = math.max(newest, c.getModificationTime))
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+        } catch { case _: java.io.IOException => } // vanished mid-walk
+        System.currentTimeMillis() - newest >= grace
+      }
     // Pass 1 — classify. Reclaimable entries can still hold files a
     // SURVIVING generation's carry manifest references (file-granular
     // DML carries untouched files of older generations by reference),
@@ -100,13 +121,15 @@ object Generations {
     val survivors = Seq.newBuilder[Path]
     entries.foreach { st =>
       val n = st.getPath.getName
-      val genIdx = if (st.isDirectory && n.startsWith("gen-"))
-        n.stripPrefix("gen-").toIntOption else None
+      // the strict 5-digit pattern readers/history/time-travel use — a
+      // loose startsWith("gen-") parse classified dirs (gen-1, a user
+      // backup) that no other path recognizes, and DELETED them
+      val genIdx = if (st.isDirectory) GraftDataSource.genIndex(n) else None
       if (st.isDirectory && n.matches("gen-\\d+\\.tmp-.*")) {
         // a crashed rewrite's unpublished staging — but only once it has
         // gone stale: deleting a fresh tmp would yank a CONCURRENT
         // rewrite's staging from under it mid-write
-        if (stale(st)) tmpVictims += st else survivors += st.getPath
+        if (deepStale(st)) tmpVictims += st else survivors += st.getPath
       } else genIdx match {
         case Some(i) if liveIdx.isEmpty || i > liveIdx.get =>
           // above the pointer: a rewrite that published but never swapped
@@ -174,18 +197,7 @@ object Generations {
     * younger than the grace window survive, so in-flight readers keep
     * the same guarantees (finish or fail cleanly, never wrong rows). */
   def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L): Unit = {
-    val grace = resolveGrace(s, graceMs)
-    val conf = new Configuration()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val liveGen = GraftDataSource.readGenPointer(conf, dir)
-    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
-    val lastSwapOld = liveGen.exists { _ =>
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
-      age >= grace
-    }
-    sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
+    prepareRewrite(s, dir, graceMs)
     ()
   }
 
@@ -245,10 +257,11 @@ object Generations {
   /** Roll `dir` back to `generation` by swinging the pointer (see
     * [[graft.operators.FormatOps.restore]] for the contract). */
   def restore(s: SparkSession, dir: String, generation: Int): Unit = {
-    val conf = new Configuration()
+    val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val target = f"gen-$generation%05d"
+    val prev = GraftDataSource.readGenPointer(conf, dir)
     require(fs.exists(new Path(root, target)) &&
       fs.exists(new Path(new Path(root, target), GraftDataSource.SwapTsName)),
       s"generation $generation is not present in $dir (never existed, or " +
@@ -256,6 +269,21 @@ object Generations {
     // same atomic publish as a rewrite's swap; readers see old or new,
     // never a mixture
     AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), target)
+    // check-then-act hardening: a concurrent grace sweep could reclaim
+    // the target between the require above and the swap (it was a
+    // below-pointer generation until the swap made it live). Re-verify
+    // AFTER the swap and roll the pointer back rather than leaving it
+    // naming a deleted directory — the accidental-concurrency contract
+    // is DETECTED, not wedged. (A sweep landing after THIS check loses
+    // the race cleanly: the pointer already protects the target.)
+    if (!fs.exists(new Path(new Path(root, target), GraftDataSource.SwapTsName))) {
+      prev.foreach(p =>
+        AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), p))
+      throw new graft.format.OliveFormatException(
+        s"restore of $dir to generation $generation raced a concurrent " +
+          s"sweep that reclaimed the target; pointer ${
+            prev.fold("left unset")(p => s"restored to $p")} — nothing changed")
+    }
     // restart the abandoned future's staleness clock: the sweep judges
     // above-pointer generations by their own mtime, and a generation
     // that was LIVE for an hour is already "stale" the instant the
@@ -276,8 +304,7 @@ object Generations {
       writeOptions: Map[String, String] = Map.empty,
       graceMs: Long = -1L,
       idempotencyKey: Option[String] = None): Unit = {
-    val grace = resolveGrace(s, graceMs)
-    val conf = new Configuration()
+    val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     // replay detection FIRST: if the live generation already carries this
@@ -285,17 +312,7 @@ object Generations {
     // double it (the exactly-once contract for at-least-once drivers)
     if (idempotencyKey.isDefined &&
         liveRewriteTag(conf, dir) == idempotencyKey) return
-    val liveGen = GraftDataSource.readGenPointer(conf, dir)
-    val liveIdx = liveGen.flatMap(GraftDataSource.genIndex)
-    val lastSwapOld = liveGen.exists { _ =>
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
-      age >= grace
-    }
-    val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
-    // allocate PAST any surviving published-but-unswapped dir, so a
-    // crash-then-retry doesn't collide with its own phantom
-    val nextGen = f"gen-${maxSurvivingIdx + 1}%05d"
+    val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
     // ONE listing serves both the partition-column probe and the table
     // enumeration (a 10^6-file LIST against an object store is the cost)
     val listed = GraftDataSource.listPartitionedFiles(conf, dir)
@@ -311,33 +328,12 @@ object Generations {
     if (tableNames.isEmpty) return // nothing to rewrite
     // stage under a unique tmp name; the publish below is one rename
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+    claimStaging(conf, staging)
     tableNames.foreach { t =>
       val df0 = transform(t, s.read.format("graft").option("table", t).load(dir))
-      // a declared bucket layout OUTLIVES every rewrite: compaction and
-      // row-level DML route the rewritten rows through the bucketed
-      // writer again (one repartition by the bucket column — each task
-      // holds exactly one bucket, so compaction lands ONE file per
-      // bucket and RESTORES the per-file sort claim multi-file appends
-      // had suspended). targetFiles is overridden by the layout: the
-      // bucket count IS the file count. Without a layout, plain
-      // compaction/DML shapes apply unchanged.
       val layout = GraftDataSource.readBucketMarker(conf, dir, t)
-      val df = layout match {
-        case Some((bcol, n, sortOpt)) =>
-          val rep = df0.repartition(n, col(bcol))
-          sortOpt.map(sc => rep.sortWithinPartitions(col(sc))).getOrElse(rep)
-        case None => targetFiles.map(df0.repartition).getOrElse(df0)
-      }
-      val base0 = df.write.format("graft")
-        .option("table", t).options(writeOptions).mode("append")
-      val base = layout match {
-        case Some((bcol, n, sortOpt)) =>
-          val b = base0.option("bucketBy", s"$bcol:$n")
-          sortOpt.map(sc => b.option("sortBy", sc)).getOrElse(b)
-        case None => base0
-      }
-      val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
-      w.save(staging.toString)
+      shapedWriter(df0, layout, targetFiles, t, writeOptions, partCols)
+        .save(staging.toString)
     }
     publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir)
   }
@@ -349,7 +345,12 @@ object Generations {
     * [[publishStaging]] on commit. */
   private[sources] def prepareRewrite(s: SparkSession, dir: String,
       graceMs: Long = -1L): String = {
-    val conf = new Configuration()
+    // the session's hadoop conf, NOT a bare new Configuration(): the
+    // data plane (df reads/writes in the same call) resolves filesystems
+    // through spark.hadoop.* — metadata ops must see the same world or a
+    // scheme-less dir could swing a pointer on a different store than
+    // the one the data landed on
+    val conf = s.sparkContext.hadoopConfiguration
     val grace = resolveGrace(s, graceMs)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -362,6 +363,47 @@ object Generations {
     }
     val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
     f"gen-${maxSurvivingIdx + 1}%05d"
+  }
+
+  /** Shape a rewrite's output for the table's declared layout and build
+    * its writer — ONE implementation for the full [[rewrite]] and the
+    * file-granular [[rewriteTable]] (two hand-kept copies drifted
+    * apart once already). A declared bucket layout outlives every
+    * rewrite: rows re-route through the bucketed writer (repartition by
+    * the bucket column — one file per bucket — plus the optional
+    * within-partition sort), and the layout overrides `targetFiles`
+    * because the bucket count IS the file count. */
+  private def shapedWriter(df0: DataFrame,
+      layout: Option[(String, Int, Option[String])], targetFiles: Option[Int],
+      table: String, writeOptions: Map[String, String], partCols: Seq[String])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val df = layout match {
+      case Some((bcol, n, sortOpt)) =>
+        val rep = df0.repartition(n, col(bcol))
+        sortOpt.map(sc => rep.sortWithinPartitions(col(sc))).getOrElse(rep)
+      case None => targetFiles.map(df0.repartition).getOrElse(df0)
+    }
+    val base0 = df.write.format("graft")
+      .option("table", table).options(writeOptions).mode("append")
+    val base = layout match {
+      case Some((bcol, n, sortOpt)) =>
+        val b = base0.option("bucketBy", s"$bcol:$n")
+        sortOpt.map(sc => b.option("sortBy", sc)).getOrElse(b)
+      case None => base0
+    }
+    if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(","))
+    else base
+  }
+
+  /** Stamp a fresh staging dir with its liveness claim (see
+    * [[GraftDataSource.StagingClaimName]]) — called by every rewrite
+    * path right after choosing the staging name, BEFORE any data write,
+    * so [[publishStaging]] can prove the dir was never swept-and-
+    * resurrected underneath the rewrite. */
+  private[sources] def claimStaging(conf: Configuration, staging: Path): Unit = {
+    val out = AtomicPublish.createStream(conf,
+      new Path(staging, GraftDataSource.StagingClaimName), overwrite = true)
+    try out.write('1'.toByte) finally out.close()
   }
 
   /** Publish a complete staging dir as generation `nextGen` and swing the
@@ -390,6 +432,23 @@ object Generations {
       try out.write(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    // the staging-claim gate: claimStaging wrote this marker when the
+    // staging was created; a grace sweep that reclaimed the dir took the
+    // claim with it, and the marker writes just above would then have
+    // RESURRECTED an empty shell via implicit mkdirs. Publishing that
+    // shell would swing the pointer to a generation missing every
+    // rewritten row — silent data loss; refuse loudly instead. (The
+    // sweep's staleness signal is the newest mtime in the tree, so
+    // losing the race additionally requires a rewrite idle past the
+    // grace window — raise spark.graft.graceMs if this fires.)
+    val claim = new Path(staging, GraftDataSource.StagingClaimName)
+    if (!fs.exists(claim))
+      throw new graft.format.OliveFormatException(
+        s"staging $staging lost its liveness claim — a concurrent grace " +
+          "sweep reclaimed it mid-rewrite (rewrite ran longer than the " +
+          "grace window?); nothing was published. Re-run the operation, " +
+          "and size spark.graft.graceMs above the longest rewrite")
+    fs.delete(claim, false) // published generations don't carry the claim
     // publish via a NO-overwrite rename: true no-clobber semantics — it
     // THROWS when the destination exists. (FileSystem.rename would
     // instead mv the staging INSIDE an existing gen dir, silently
@@ -455,7 +514,7 @@ object Generations {
       writeOptions: Map[String, String] = Map.empty,
       graceMs: Long = -1L,
       idempotencyKey: Option[String] = None): Boolean = {
-    val conf = new Configuration()
+    val conf = s.sparkContext.hadoopConfiguration
     if (idempotencyKey.isDefined &&
         liveRewriteTag(conf, dir) == idempotencyKey) return true
     val root = new Path(dir)
@@ -476,6 +535,7 @@ object Generations {
     val (candidates, carried) = files.partition(_.candidate)
     if (candidates.isEmpty && !alwaysWrite && idempotencyKey.isEmpty) return true
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+    claimStaging(conf, staging)
     // candidate rows flow through the normal scan (partition values and
     // all), restricted to the candidate files; zero candidates → an
     // empty relation with the table's schema (Catalyst prunes the
@@ -490,32 +550,11 @@ object Generations {
     // the full rewrite): route the rewritten rows through the bucketed
     // writer so carried and new files keep one provable layout
     val layout = GraftDataSource.readBucketMarker(conf, dir, table)
-    val shaped = layout match {
-      case Some((bcol, n, sortOpt)) =>
-        val rep = out.repartition(n, col(bcol))
-        sortOpt.map(sc => rep.sortWithinPartitions(col(sc))).getOrElse(rep)
-      case None => out
-    }
-    val base0 = shaped.write.format("graft")
-      .option("table", table).options(writeOptions).mode("append")
-    val base = layout match {
-      case Some((bcol, n, sortOpt)) =>
-        val b = base0.option("bucketBy", s"$bcol:$n")
-        sortOpt.map(sc => b.option("sortBy", sc)).getOrElse(b)
-      case None => base0
-    }
-    val w = if (partCols.nonEmpty) base.option("partitionBy", partCols.mkString(",")) else base
-    w.save(staging.toString)
+    shapedWriter(out, layout, None, table, writeOptions, partCols)
+      .save(staging.toString)
     // sibling tables' bucket markers live in the data dir — carry them
     // (the write above re-created at most this table's own)
-    val oldDataDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
-    if (fs.getFileStatus(oldDataDir).isDirectory) fs.listStatus(oldDataDir).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && n.startsWith(".bucket_") && n.endsWith(".json") &&
-          !fs.exists(new Path(staging, n)))
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(staging, n),
-          false, conf)
-    }
+    GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
     // everything untouched is carried by root-relative reference;
     // re-carried files keep their ORIGINAL location (flattened chains)
     // and their zone-map stats ride along, so the NEXT DML prunes them

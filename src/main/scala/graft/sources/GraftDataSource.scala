@@ -222,6 +222,16 @@ object GraftDataSource {
     * time-travel rows out of existence. */
   val SwapTsName = ".swap-ts"
 
+  /** Liveness claim written at staging-dir creation by every rewrite
+    * path. The dead-data sweep reclaims a stale staging WHOLE (claim
+    * included); helper writes after such a sweep would silently
+    * resurrect the dir via implicit mkdirs — and a publish of that
+    * resurrected, data-less shell would swing the pointer to a
+    * generation missing every rewritten row. [[Generations.publishStaging]]
+    * therefore requires the claim immediately before the rename and
+    * fails LOUDLY when a sweep won the race. */
+  val StagingClaimName = ".staging-claim"
+
   /** Idempotency-key marker written INSIDE a generation dir before the
     * pointer swap (rides the same atomic publish rename): holds the
     * `idempotencyKey` of the rewrite that produced the generation. A
@@ -284,6 +294,22 @@ object GraftDataSource {
       entries.map { case (rel, size, stats) =>
         s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
         .sorted.mkString("\n"))
+
+  /** Copy sibling tables' bucket markers from the live data dir into a
+    * rewrite's staging (the rewrite re-created at most its OWN table's
+    * marker) — one implementation shared by [[Generations.rewriteTable]]
+    * and the SQL row-level COW commit. */
+  def carryBucketMarkers(fs: FileSystem, conf: Configuration,
+      dir: String, staging: Path): Unit = {
+    val oldDataDir = new Path(resolveDataDir(conf, dir))
+    if (fs.getFileStatus(oldDataDir).isDirectory) fs.listStatus(oldDataDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".bucket_") && n.endsWith(".json") &&
+          !fs.exists(new Path(staging, n)))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(staging, n),
+          false, conf)
+    }
+  }
 
   /** rel → stats-json for every stats-carrying entry of the LIVE
     * generation's manifest; empty for pointerless tables or manifests

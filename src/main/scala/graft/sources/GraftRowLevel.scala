@@ -196,6 +196,7 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
     val s = SparkSession.active
     nextGen = Generations.prepareRewrite(s, dir)
     staging = new Path(root, s"$nextGen.tmp-${UUID.randomUUID()}")
+    Generations.claimStaging(conf, staging)
     val partCols = op.partCols.getOrElse {
       val listed = GraftDataSource.listPartitionedSized(conf, dir)
       GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
@@ -217,14 +218,7 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
       .filterNot { case (p, _, _) => replaced.contains(p.toString) }
     // sibling tables' bucket markers live in the data dir — carry them
     // (the write above re-created at most this table's own)
-    val oldDataDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
-    if (fs.getFileStatus(oldDataDir).isDirectory) fs.listStatus(oldDataDir).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && n.startsWith(".bucket_") && n.endsWith(".json") &&
-          !fs.exists(new Path(staging, n)))
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, new Path(staging, n),
-          false, conf)
-    }
+    GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
     // carried files keep their zone-map stats — from the scan's own
     // classification (covers files carried for the FIRST time) with the
     // live manifest as fallback; immutable files, stats never stale
