@@ -456,7 +456,10 @@ object GraftDataSource {
     // generationDir validated the marker at resolve time, and a sweep
     // that partially reclaims the generation mid-walk must surface as a
     // loud retry/error, never a quiet partial snapshot.
-    val genPinned = root.getName.matches("gen-\\d+")
+    // strict pattern: a plain directory that HAPPENS to be named gen-1
+    // is not a generation (genIndex agrees) and must not be required to
+    // carry a .swap-ts marker to be readable
+    val genPinned = genIndex(root.getName).isDefined
     val marker = new Path(root, SwapTsName)
     if ((viaPointer || genPinned) && !fs.exists(marker))
       throw new java.io.FileNotFoundException(s"$marker (generation mid-reclaim)")
@@ -513,7 +516,7 @@ object GraftDataSource {
     // or never had generations at all.
     if (res.isEmpty && !viaPointer && fs.exists(root) &&
         fs.listStatus(root).exists(st => st.isDirectory &&
-          st.getPath.getName.matches("gen-\\d+")))
+          genIndex(st.getPath.getName).isDefined))
       throw new java.io.FileNotFoundException(
         s"$dir holds generations but no pointer resolved (swap in flight)")
     res
@@ -697,7 +700,9 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dirs, schema, Option(options.get("table")),
       Option(scanOptions.get("maxfilespertrigger")).orElse(
-        Option(options.get("maxfilespertrigger"))).map(_.toInt),
+        Option(options.get("maxfilespertrigger"))).map(v =>
+        v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"maxFilesPerTrigger must be a positive int, got '$v'"))),
       Option(scanOptions.get("startingoffsets")).orElse(
         Option(options.get("startingoffsets"))).getOrElse("earliest"),
       // internal (DML candidate reads): restrict the scan to these

@@ -13,17 +13,34 @@ import org.apache.spark.util.SerializableConfiguration
 /** Micro-batch streaming source over a graft directory.
   *
   * Offset model: a monotonically growing, checkpoint-persisted log of
-  * discovered file paths (`<checkpoint>/graft-file-log`); offset N = "the
-  * first N files of the log". `latestOffset` diffs the directory against
-  * the log and appends newcomers, so file-name ordering never matters and
-  * recovery replays identical batches from the persisted log — the same
-  * contract as Spark's own FileStreamSource metadata log. (The reference
-  * format has no streaming surface at all; SURVEY.md §2.B flags the
-  * source as the later milestone of the streaming row.)
+  * discovered file paths; offset N = "the first N files of the log".
+  * `latestOffset` diffs the directory against the log and appends
+  * newcomers, so file-name ordering never matters and recovery replays
+  * identical batches from the persisted log — the same contract as
+  * Spark's own FileStreamSource metadata log. (The reference format has
+  * no streaming surface at all; SURVEY.md §2.B flags the source as the
+  * later milestone of the streaming row.)
   *
-  * Scale: the log is append-only text, one line per file; a 100 TB feed
-  * of multi-GB graft files is millions of lines — fine for a driver-side
-  * log (FileStreamSource carries the same cost).
+  * Log layout (scale): one base file (`graft-file-log`, legacy whole-log
+  * format, still read for old checkpoints) plus per-discovery SEGMENT
+  * files (`graft-file-log.seg-NNNNNN`), each holding only that trigger's
+  * fresh paths. A trigger writes one small segment — never the whole
+  * history — so a 100 TB feed's millions-of-lines log costs O(new files)
+  * per trigger instead of a quadratic full rewrite, and the in-memory
+  * cache means the log is read from disk once per stream instance, not
+  * twice per batch. (FileStreamSource's per-batch metadata files are the
+  * same shape.)
+  *
+  * APPEND-ONLY contract: a file stream assumes discovered files are
+  * immutable and never replaced — the same assumption FileStreamSource
+  * makes. A graft REWRITE (compaction, DML, overwrite) republishes the
+  * table under a new generation: re-emitting those files would duplicate
+  * every already-delivered row, and the swept old generation would wedge
+  * recovery with FileNotFound. The stream therefore PINS the generation
+  * pointer at first start (persisted in the checkpoint) and fails loudly
+  * the moment the pointer moves, directing DML'd-table consumers to the
+  * change feed (`FormatOps.changeFeedStream`), which is built for
+  * exactly that.
   */
 class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     required: StructType, tableOpt: Option[String],
@@ -33,31 +50,77 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
 
   require(startingOffsets == "earliest" || startingOffsets == "latest",
     s"startingOffsets must be earliest|latest, got '$startingOffsets'")
+  // 0 would idle the stream forever with no error; negative would move
+  // offsets BACKWARD and corrupt the checkpoint's monotonic invariant
+  maxFilesPerTrigger.foreach(n => require(n > 0,
+    s"maxFilesPerTrigger must be positive, got $n"))
 
   private val conf = new Configuration()
   private val logPath = new Path(checkpointLocation, "graft-file-log")
   private val fs = logPath.getFileSystem(conf)
 
-  private def readLog(): Vector[String] =
-    if (!fs.exists(logPath)) Vector.empty
-    else {
-      val in = fs.open(logPath)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, StandardCharsets.UTF_8)
-          .split("\n").toVector.filter(_.nonEmpty)
-      } finally in.close()
-    }
+  private def segPath(i: Int) = new Path(checkpointLocation, f"graft-file-log.seg-$i%06d")
 
-  // the log is always the previous or the new version (AtomicPublish):
-  // a delete-then-rename pair would open a crash window in which the
-  // log vanishes and committed offsets re-map onto a re-discovered,
-  // possibly different file order
-  private def writeLog(files: Vector[String]): Unit =
-    AtomicPublish.text(conf, logPath, files.mkString("", "\n", "\n"))
+  // in-memory mirror of the on-disk log: loaded once per stream
+  // instance (single driver-side owner per running query), appended in
+  // step with segment writes
+  private var cached: Vector[String] = null
+  private var nextSeg: Int = 0
+
+  private def parse(bytes: Array[Byte]): Vector[String] =
+    new String(bytes, StandardCharsets.UTF_8)
+      .split("\n").toVector.filter(_.nonEmpty)
+
+  private def readFully(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def log(): Vector[String] = {
+    if (cached == null) {
+      val base = if (fs.exists(logPath)) parse(readFully(logPath)) else Vector.empty
+      val segs = Iterator.from(0).map(segPath)
+        .takeWhile(fs.exists).map(p => parse(readFully(p))).toVector
+      nextSeg = segs.size
+      cached = base ++ segs.flatten
+    }
+    cached
+  }
+
+  /** Durably append one discovery batch: ONE small atomic segment write,
+    * never a rewrite of the whole history. */
+  private def appendSegment(fresh: Vector[String]): Unit = {
+    AtomicPublish.text(conf, segPath(nextSeg), fresh.mkString("", "\n", "\n"))
+    nextSeg += 1
+    cached = cached ++ fresh
+  }
+
+  // ---- append-only guard ----------------------------------------------------
+  private val genPinPath = new Path(checkpointLocation, "graft-stream-gen")
+  private def currentGen(): String =
+    GraftDataSource.readGenPointer(conf, dir).getOrElse("")
+  /** The generation pointer observed when this stream first started —
+    * persisted so restarts keep the pin. */
+  private lazy val pinnedGen: String =
+    if (fs.exists(genPinPath))
+      new String(readFully(genPinPath), StandardCharsets.UTF_8).trim
+    else {
+      val g = currentGen()
+      AtomicPublish.text(conf, genPinPath, g)
+      g
+    }
+  private def assertAppendOnly(): Unit = {
+    val now = currentGen()
+    if (now != pinnedGen)
+      throw new graft.format.OliveFormatException(
+        s"graft file stream over $dir: the table was REWRITTEN under the " +
+          s"stream (generation '$pinnedGen' → '$now' — a compaction, DML, " +
+          "or overwrite). A file stream requires an append-only directory; " +
+          "re-emitting a rewritten generation would duplicate every " +
+          "delivered row. For tables that take DML, consume the change " +
+          "feed instead (FormatOps.changeFeedStream), or restart the " +
+          "stream with a fresh checkpoint to re-read the current snapshot")
+  }
 
   /** First-start offset (a restart resumes from the checkpoint instead):
     * `earliest` replays the whole directory; `latest` seeds the file log
@@ -76,15 +139,13 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     if (startingOffsets == "latest") {
       val startPath = new Path(checkpointLocation, "graft-start-offset")
       val n =
-        if (fs.exists(startPath)) {
-          val in = fs.open(startPath)
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toInt
-          finally in.close()
-        } else {
-          val known = readLog()
+        if (fs.exists(startPath))
+          new String(readFully(startPath), StandardCharsets.UTF_8).trim.toInt
+        else {
+          val known = log()
           val all = if (known.nonEmpty) known else {
             val now = GraftDataSource.listFiles(conf, dir).map(_.toString).toVector
-            if (now.nonEmpty) writeLog(now)
+            if (now.nonEmpty) appendSegment(now)
             now
           }
           AtomicPublish.text(conf, startPath, all.size.toString)
@@ -104,11 +165,12 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     * of one giant catch-up micro-batch. */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val known = readLog()
+    assertAppendOnly()
+    val known = log()
     val seen = known.toSet
     val now = GraftDataSource.listFiles(conf, dir).map(_.toString)
-    val fresh = now.filterNot(seen)
-    val all = if (fresh.nonEmpty) { val v = known ++ fresh; writeLog(v); v } else known
+    val fresh = now.filterNot(seen).toVector
+    val all = if (fresh.nonEmpty) { appendSegment(fresh); cached } else known
     val cap = limit match {
       case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles => f.maxFiles()
       case _ => Int.MaxValue
@@ -124,12 +186,15 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
 
   /** Hive-style partition values re-derived from the file's path relative
     * to the source dir (the log stores plain paths): a stream over a
-    * partitioned layout surfaces `k=v` columns exactly like a batch scan. */
+    * partitioned layout surfaces `k=v` columns exactly like a batch scan.
+    * DIRECTORY segments only — the batch listing and the carry-manifest
+    * parser both ignore the file NAME, and a `.graft` file named with an
+    * `=` must not inject a phantom partition column here either. */
   private def partValuesOf(file: String): Map[String, String] = {
     val filePath = new Path(file).toUri.getPath // scheme-independent
     val dirPath = new Path(dir).toUri.getPath
     val rel = if (filePath.startsWith(dirPath)) filePath.substring(dirPath.length) else filePath
-    rel.split("/").filter(_.contains("=")).map { seg =>
+    rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
       val Array(k, v) = seg.split("=", 2)
       k -> GraftDataSource.unescapePathValue(v)
     }.toMap
@@ -138,7 +203,7 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].index
     val e = end.asInstanceOf[GraftStreamOffset].index
-    readLog().slice(s, e)
+    log().slice(s, e)
       .map(f => GraftInputPartition(f, partValuesOf(f)): InputPartition).toArray
   }
 

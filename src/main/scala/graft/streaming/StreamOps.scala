@@ -55,19 +55,26 @@ object StreamOps {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Drain a streaming frame into a uniquely-named in-memory sink and
+    * return the sink table — the shared run pattern of every memory-sink
+    * gate (one implementation; four hand-copies drifted before). The
+    * sink's temp view lives for the session: the returned frame reads it
+    * LAZILY, so dropping it here would empty the gate's result. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
+      checkpoint: Option[String] = None): DataFrame = {
+    val name = s"graft_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
+    val q = checkpoint.fold(w0)(ck => w0.option("checkpointLocation", ck)).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
   // ---- q61: the same aggregation through a real streaming query -----------
   private val q61: Q = (s, d) => withStatePartitions(s, 8) {
     val src = Tables.eventsStream(s, d)
     val agg = windowedAgg(src.withWatermark("ts", "2 hours"))
-    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name).orderBy(col("window_start"), col("event_type"))
+    runToMemory(s, agg, "complete").orderBy(col("window_start"), col("event_type"))
   }
 
   // ---- q62: session windows (gap-based) on the streaming table, batch -----
@@ -191,14 +198,8 @@ object StreamOps {
     Tables.events(s, d).write.format("graft").mode("overwrite").save(srcDir)
     val stream = s.readStream.format("graft").load(srcDir)
     val agg = windowedAgg(stream.withWatermark("ts", "2 hours"))
-    val name = s"graft_stream_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(name)
-      .option("checkpointLocation", ckDir)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name).orderBy(col("window_start"), col("event_type"))
+    runToMemory(s, agg, "complete", Some(ckDir))
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   // ---- q66: stream-stream join (clicks ⋈ purchases within 1 hour) ---------
@@ -219,11 +220,7 @@ object StreamOps {
       .withWatermark("pts", "2 hours")
     val joined = clicks.join(purchases,
       expr("user_id = p_user AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"))
-    val name = s"graft_ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name)
+    runToMemory(s, joined, "append")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"), round(sum(col("value")), 4).as("attributed_value"))
       .orderBy(col("user_id"))
@@ -237,19 +234,25 @@ object StreamOps {
       |ORDER BY user_id""".stripMargin
 
   // ---- q67: streaming deduplication (stateful dropDuplicates) --------------
-  // Ingest-time dedup: first arrival per (user_id, event_type) wins; the
-  // watermark expires state so the store holds a bounded window of keys,
-  // not the stream's history. Count-distinct is arrival-order-independent,
-  // so the batch oracle matches exactly.
+  // Ingest-time dedup: first arrival per (user_id, event_type) wins.
+  // State honesty: with the event-time column EXCLUDED from the dedup
+  // keys, Spark never watermark-expires this state — that is the point,
+  // not an oversight: the gate's semantics are EXACT global uniqueness
+  // (the oracle is a plain COUNT(DISTINCT)), so every key ever seen must
+  // stay remembered. The state store therefore grows with the DISTINCT
+  // KEY CARDINALITY (|users| × |event types|), not with stream length —
+  // bounded and modest for an entity-keyed feed like this one. A feed
+  // whose key space itself is unbounded (e.g. event ids) must trade
+  // exactness for expiry: dropDuplicatesWithinWatermark bounds state to
+  // the watermark window but re-emits a duplicate arriving after its
+  // original expired, which would break this gate's exact oracle.
+  // Count-distinct is arrival-order-independent, so the batch oracle
+  // matches exactly.
   private val q67: Q = (s, d) => withStatePartitions(s, 8) {
     val src = Tables.eventsStream(s, d)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
-    val name = s"graft_sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(name)
+    runToMemory(s, src, "append")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique_users"))
       .orderBy(col("event_type"))

@@ -74,6 +74,106 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file log is segmented: per-trigger segments, never a history rewrite") {
+    val dir = Files.createTempDirectory("graft-seglog").toString
+    val ck = Files.createTempDirectory("graft-seglog-ck").toString
+    spark.range(0, 10).selectExpr("id")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_seglog_test")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.range(10, 20).selectExpr("id")
+        .coalesce(1).write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      spark.range(20, 30).selectExpr("id")
+        .coalesce(1).write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("graft_seglog_test").count() == 30)
+    } finally q.stop()
+    // the source's private checkpoint dir is <ck>/sources/0
+    val ckFiles = new java.io.File(s"$ck/sources/0").listFiles().map(_.getName).toSet
+    val segs = ckFiles.filter(_.startsWith("graft-file-log.seg-"))
+    assert(segs.size == 3, s"want one segment per discovery, got $segs")
+    assert(!ckFiles.contains("graft-file-log"),
+      "no whole-history base log should be written by the segmented path")
+  }
+
+  test("stream fails loudly when the table is rewritten underneath it") {
+    val dir = Files.createTempDirectory("graft-rewrite-under").toString
+    val ck = Files.createTempDirectory("graft-rewrite-under-ck").toString
+    spark.range(0, 50).selectExpr("id", "id % 5 AS g")
+      .coalesce(2).write.format("graft").mode("append").save(dir)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_rw_test")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_rw_test").count() == 50)
+      // a compaction republishes the table under a generation pointer:
+      // re-emitting those files would duplicate all 50 delivered rows,
+      // so the stream must refuse instead of silently re-reading
+      graft.operators.FormatOps.compact(spark, dir, targetFiles = 1)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(c => Option(c.getMessage).exists(_.contains("REWRITTEN"))),
+        s"want the append-only violation surfaced, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("a file named with '=' injects no phantom partition column") {
+    val dir = Files.createTempDirectory("graft-eqname").toString
+    val ck = Files.createTempDirectory("graft-eqname-ck").toString
+    spark.range(0, 5).selectExpr("id")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    // an externally-produced file whose NAME contains '=' — the batch
+    // listing ignores file names for partition parsing; the stream must too
+    val src = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "weird=5.graft").toPath)
+    val batch = spark.read.format("graft").load(dir)
+    assert(batch.columns.toSeq == Seq("id") && batch.count() == 10)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_eqname_test")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_eqname_test")
+      assert(got.columns.toSeq == Seq("id"), s"phantom column: ${got.columns.toSeq}")
+      assert(got.count() == 10)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger rejects zero, negative, and junk") {
+    val dir = Files.createTempDirectory("graft-mft").toString
+    spark.range(0, 5).selectExpr("id")
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    def startWith(v: String) =
+      spark.readStream.format("graft").option("maxFilesPerTrigger", v).load(dir)
+        .writeStream.format("memory")
+        .queryName(s"graft_mft_${v.replaceAll("[^a-z0-9]", "x")}")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-mft-ck").toString)
+        .start()
+    Seq("0", "-3", "nope").foreach { v =>
+      val ex = intercept[Exception] {
+        val q = startWith(v)
+        try { q.processAllAvailable(); q.awaitTermination(10000) } finally q.stop()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(ex).exists(c => Option(c.getMessage).exists(m =>
+        m.contains("maxFilesPerTrigger") || m.contains("positive"))),
+        s"'$v' must be rejected naming the option, got: ${ex.getMessage}")
+    }
+  }
+
   test("graft streaming sink writes readable epoch files") {
     val src = Files.createTempDirectory("graft-sink-src").toString
     val out = Files.createTempDirectory("graft-sink-out").toString
