@@ -129,8 +129,13 @@ object Similarity {
 
   /** Candidate pairs (id1 < id2), UNIONED across bands and de-duplicated
     * BEFORE any scoring — a pair colliding in 3 bands is scored once. */
-  private def candidatePairs(corpus: DataFrame): DataFrame = {
-    val b = banded(corpus)
+  private def candidatePairs(corpus0: DataFrame): DataFrame = {
+    // the corpus feeds FOUR subtrees (both band sides + both vector
+    // probes) as different projections Catalyst won't unify — checkpoint
+    // once so the embedding pipeline (incl. any planted-twin synthesis)
+    // runs once, not four times
+    val corpus = corpus0.localCheckpoint()
+    val b = banded(corpus).localCheckpoint() // both join sides below
     val l = b.select(col("vec_id").as("id1"), col("bucket"))
     val r = b.select(col("vec_id").as("id2"), col("bucket"))
     val pairs = l.join(r, Seq("bucket"))
@@ -212,6 +217,31 @@ object Similarity {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** Coarse-quantizer centroids: label → mean vector, one
+    * dimension-exploded distributed aggregate (tiny result; every
+    * caller broadcasts it). `cellAsLong` casts the cell id for the
+    * persisted index paths, whose hive partition column round-trips as
+    * a string. ONE implementation — five hand-copies of this pipeline
+    * (q44/q44b/q44c/q44d/q122) drifted before. */
+  private def centroidsOf(e: DataFrame, cellAsLong: Boolean = false): DataFrame = {
+    val base = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+    val cell = if (cellAsLong) col("label").cast("long") else col("label")
+    base.select(cell.as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+  }
+
+  /** Score every vector against every (broadcast) centroid and rank its
+    * cells — rk 1 is the home cell, rk ≤ k the multi-probe set. The
+    * (score desc, cell) tie-break is the assignment contract all IVF
+    * gates share. */
+  private def rankCells(df: DataFrame, against: DataFrame): DataFrame =
+    df.crossJoin(broadcast(against))
+      .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+
   // ---- q44: IVF-style ANN (coarse quantize -> search one cell) ------------
   // The scale path for ANN: build coarse centroids (here: per-label means,
   // a distributed agg), assign every vector + probe to its nearest
@@ -220,17 +250,9 @@ object Similarity {
   // (approximate by construction): rows-only check.
   private val q44: Q = (s, d) => {
     val e = emb(s, d)
-    // centroids: label -> mean vector (tiny; collected into a broadcast join)
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    val cents = centroidsOf(e)
     // assign: nearest centroid by cosine (centroid set is tiny => broadcast)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    val assigned = rankCells(e, cents)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nv"), col("cell"))
     val probes = assigned.filter(col("vec_id") % 100 === 0)
@@ -258,15 +280,8 @@ object Similarity {
   // hash-fails the gate.
   private val q44b: Q = (s, d) => {
     val e = emb(s, d)
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
-    val scored = withPlanted(e).crossJoin(broadcast(cents))
-      .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    val cents = centroidsOf(e)
+    val scored = rankCells(withPlanted(e), cents)
     val assigned = scored.filter(col("rk") === 1 && col("vec_id") < PlantShift)
       .select(col("vec_id"), col("cell"))
     val probes = scored.filter(col("rk") <= 2 && col("vec_id") >= PlantShift)
@@ -302,16 +317,7 @@ object Similarity {
     val root = FormatOps.graftDir(d, "ivf_index")
     val e = emb(s, d)
     val corpus = withPlanted(e)
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").cast("long").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
-    def rankCells(df: DataFrame, against: DataFrame) =
-      df.crossJoin(broadcast(against))
-        .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    val cents = centroidsOf(e, cellAsLong = true)
     // build: corpus vectors live in their ONE nearest cell on disk
     rankCells(corpus.filter(col("vec_id") < PlantShift), cents)
       .filter(col("rk") === 1)
@@ -375,16 +381,7 @@ object Similarity {
   private val q44d: Q = (s, d) => {
     val root = FormatOps.graftDir(d, "ivf_incr")
     val e = emb(s, d)
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").cast("long").as("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
-    def rankCells(df: DataFrame, against: DataFrame) =
-      df.crossJoin(broadcast(against))
-        .withColumn("score", dot("v", "cv") / (col("nv") * sqrt(dot("cv", "cv"))))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    val cents = centroidsOf(e, cellAsLong = true)
     // build from the base corpus only (overwrite = idempotent reruns)
     rankCells(e.select(col("vec_id"), col("v"), col("nv")), cents)
       .filter(col("rk") === 1)
@@ -620,18 +617,18 @@ object Similarity {
   // cutoff on FP summation noise between engines.
   private val q122: Q = (s, d) => {
     val e = emb(s, d)
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    val cents = centroidsOf(e).withColumnRenamed("cell", "label")
     val dist = e.join(broadcast(cents), Seq("label"))
       .withColumn("d", sqrt(greatest(
         dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"), lit(0.0))))
     val w = Window.partitionBy(col("label"))
     dist
-      .withColumn("z", round((col("d") - avg(col("d")).over(w))
-        / stddev_samp(col("d")).over(w), 4))
+      // zero-variance guard BOTH sides: Spark's x/0 is NULL (never an
+      // outlier) while DuckDB's is NaN (whose NaN > 2.0 is TRUE — every
+      // row an outlier). A label of identical vectors must z-score 0.
+      .withColumn("sd", stddev_samp(col("d")).over(w))
+      .withColumn("z", when(col("sd") > 0.0,
+        round((col("d") - avg(col("d")).over(w)) / col("sd"), 4)).otherwise(0.0))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_outliers"),
@@ -654,8 +651,10 @@ object Similarity {
       |  FROM e2 JOIN cv USING (label)),
       |z AS (
       |  SELECT label, d,
-      |    round((d - avg(d) OVER (PARTITION BY label))
-      |      / stddev_samp(d) OVER (PARTITION BY label), 4) AS z
+      |    CASE WHEN stddev_samp(d) OVER (PARTITION BY label) > 0
+      |         THEN round((d - avg(d) OVER (PARTITION BY label))
+      |           / stddev_samp(d) OVER (PARTITION BY label), 4)
+      |         ELSE 0.0 END AS z
       |  FROM dd)
       |SELECT label, count(*) AS n,
       |  CAST(sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,

@@ -93,7 +93,11 @@ object TextOps {
       .withColumn("n_len", length(col("text")))
       .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("alpha_ratio", round(col("n_alpha").cast("double") / col("n_len"), 4))
+      // zero-length guard BOTH sides: Spark's x/0 is NULL, DuckDB's is
+      // NaN — an empty document would hash-diverge the gate; pin 0.0
+      .withColumn("alpha_ratio",
+        when(col("n_len") > 0,
+          round(col("n_alpha").cast("double") / col("n_len"), 4)).otherwise(0.0))
       .withColumn("stopwords",
         size(expr("regexp_extract_all(lower(text), '\\\\b(the|and|of|to|in|is|a)\\\\b', 0)")))
       .withColumn("quality",
@@ -113,8 +117,12 @@ object TextOps {
       |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS INT) AS stopwords
       |  FROM documents)
       |SELECT doc_id, n_len, n_tokens,
-      |  round(CAST(n_alpha AS DOUBLE) / n_len, 4) AS alpha_ratio, stopwords,
-      |  CASE WHEN n_tokens >= 20 AND round(CAST(n_alpha AS DOUBLE) / n_len, 4) > 0.7
+      |  CASE WHEN n_len > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_len, 4)
+      |       ELSE 0.0 END AS alpha_ratio, stopwords,
+      |  CASE WHEN n_tokens >= 20
+      |            AND (CASE WHEN n_len > 0
+      |                      THEN round(CAST(n_alpha AS DOUBLE) / n_len, 4)
+      |                      ELSE 0.0 END) > 0.7
       |            AND stopwords >= 2 THEN 'good'
       |       WHEN n_tokens >= 5 THEN 'fair' ELSE 'poor' END AS quality
       |FROM t
@@ -191,7 +199,10 @@ object TextOps {
       .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
   private val q35: Q = (s, d) => {
-    val bands = bandHashes(minhashSignatures(s, d))
+    // the band table feeds BOTH join sides as different projections —
+    // checkpoint so the tokenize+signature pipeline runs once, not twice
+    // (q35c's established pattern)
+    val bands = bandHashes(minhashSignatures(s, d)).localCheckpoint()
     val l = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("band"), col("bh"))
     val r = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("band"), col("bh"))
     // Equi-join on (band, band_hash): LSH candidate generation, linear not quadratic.
@@ -222,7 +233,13 @@ object TextOps {
   // exactly). Any regression in shingling, signature aggregation, or
   // band bucketing hash-fails this gate.
   private val PlantShiftDocs = 1000000000L
-  private val q35b: Q = (s, d) => {
+
+  /** Planted-twin substrate SHARED by the recall (q35b) and precision
+    * (q35c) gates: (base corpus, eligible planted population). One
+    * definition on purpose — if the eligibility thresholds or the
+    * shingle expression drifted between the two gates, recall and
+    * precision would silently test different populations. */
+  private def plantEligible(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
     // guard the shingle lambda behind the size check: sequence(1, n-2)
     // with n < 3 draws a descending range and slice() rejects index 0
@@ -231,12 +248,17 @@ object TextOps {
     ))).otherwise(lit(0))
     val eligible = base.filter(col("doc_id") % 20 === 0 &&
       size(col("toks")) >= 20 && distinctShingles >= 16)
+    (base, eligible)
+  }
+
+  private val q35b: Q = (s, d) => {
+    val (base, eligible) = plantEligible(s, d)
     val exactTwin = eligible.withColumn("doc_id", col("doc_id") + PlantShiftDocs)
     val nearTwin = eligible
       .withColumn("toks", slice(col("toks"), lit(2), size(col("toks")) - 1))
       .withColumn("doc_id", col("doc_id") + 2 * PlantShiftDocs)
     val bands = bandHashes(minhashSigsOf(
-      base.unionByName(exactTwin).unionByName(nearTwin)))
+      base.unionByName(exactTwin).unionByName(nearTwin))).localCheckpoint()
     val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
     val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"))
     val pairs = l.join(r, Seq("band", "bh"))
@@ -336,6 +358,10 @@ object TextOps {
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("psize") + col("tsize") - col("inter")), 6))
+    // semantics note (mirrored in the oracle's intersect>0 filter): only
+    // OVERLAPPING pairs rank — the inverted index can't see, and top-k
+    // near-dup genuinely doesn't want, jaccard-0 strangers; a probe with
+    // fewer than 5 overlapping neighbors returns fewer than 5 rows
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("jaccard").desc, col("doc_id"))
     joined.withColumn("rk", row_number().over(w))
@@ -353,7 +379,8 @@ object TextOps {
       |  SELECT p.probe_id, t.doc_id,
       |    round(CAST(len(list_intersect(t.tset, p.probe_set)) AS DOUBLE)
       |          / len(list_distinct(list_concat(t.tset, p.probe_set))), 6) AS jaccard
-      |  FROM t JOIN p ON t.lang = p.lang AND t.doc_id <> p.probe_id),
+      |  FROM t JOIN p ON t.lang = p.lang AND t.doc_id <> p.probe_id
+      |  WHERE len(list_intersect(t.tset, p.probe_set)) > 0),
       |r AS (
       |  SELECT probe_id, doc_id, jaccard,
       |    row_number() OVER (PARTITION BY probe_id ORDER BY jaccard DESC, doc_id) AS rk
@@ -1292,12 +1319,7 @@ object TextOps {
   // bounded by the CANDIDATES (a semi-joined shingle join), never the
   // corpus — the property that makes verify affordable at 100 TB.
   private val q35c: Q = (s, d) => {
-    val base = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
-    val distinctShingles = when(size(col("toks")) >= 3, size(expr(
-      "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"
-    ))).otherwise(lit(0))
-    val eligible = base.filter(col("doc_id") % 20 === 0 &&
-      size(col("toks")) >= 20 && distinctShingles >= 16)
+    val (base, eligible) = plantEligible(s, d)
     val exactTwin = eligible.withColumn("doc_id", col("doc_id") + PlantShiftDocs)
     // provably-disjoint negative: every 2nd token becomes a synthetic
     // one, so every shingle window holds at least one
