@@ -719,7 +719,10 @@ object Relational {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val oT = s"$db.orders_b_$tag"
     val cT = s"$db.customer_b_$tag"
-    if (!s.catalog.tableExists(oT)) {
+    // guard on BOTH tables: a crash between the two saveAsTable calls
+    // would otherwise satisfy the single-table check forever while
+    // s.table(cT) throws NoSuchTableException on every later run
+    if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(cT)) {
       // the warehouse dir outlives the in-memory catalog: clear stale
       // locations or saveAsTable fails with LOCATION_ALREADY_EXISTS
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")

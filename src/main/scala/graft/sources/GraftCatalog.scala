@@ -54,15 +54,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private def schemaMarker(dir: String, table: String): Path =
     new Path(dir, s".schema_$table.json")
 
-  /** Batched-parallel footer probe with early exit: the common "hit in
-    * the first file" case costs one 64-file parallel round; a full miss
-    * costs ceil(n/64) rounds of 16-way-concurrent opens instead of n
-    * serial driver round-trips (minutes at 10^6 object-store files). */
-  private def probeFooters[T](files: Seq[Path])(f: Path => Option[T]): Option[T] =
-    files.grouped(64).map { batch =>
-      GraftDataSource.inParallel(batch)(f).collectFirst { case Some(t) => t }
-    }.collectFirst { case Some(t) => t }
-
   private def openFooter[T](f: Path)(g: GraftFileReader => T): T = {
     val r = GraftFileReader.open(f.getFileSystem(conf), f)
     try g(r) finally r.close()
@@ -93,14 +84,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   /** The table's DECLARED schema: the marker when present (createTable
     * writes it, ALTER TABLE ADD COLUMN evolves it — files written before
     * an ALTER carry the narrower schema and read the added columns as
-    * nulls), else the schema found in the namespace's file footers. */
+    * nulls), else the UNION of every footer's schema for the table — a
+    * marker-less multi-file dataset may hold files of different widths
+    * (evolution-on-read), and serving the first footer hit would
+    * silently hide the newer files' columns (the exact hazard
+    * [[alterTable]] documents; the read path must agree with it). */
   private def findTableSchema(dir: String, table: String): Option[StructType] =
-    markerSchema(dir, table).orElse {
-      val files = GraftDataSource.listFiles(conf, dir)
-      probeFooters(files) { f =>
-        openFooter(f)(_.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema))
-      }
-    }
+    markerSchema(dir, table).orElse(unionedTableSchema(dir, table))
 
   override def listNamespaces(): Array[Array[String]] = {
     val p = new Path(root)
@@ -145,8 +135,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     (fromFiles ++ fromMarkers).distinct.map(t => Identifier.of(namespace, t)).toArray
   }
 
+  /** Only "no such table" maps to false — an infrastructure failure (a
+    * corrupt generation pointer, an IO outage) must PROPAGATE, or
+    * `CREATE TABLE`'s existence check would read it as "absent" and
+    * clobber the existing table's schema marker behind the outage. */
   override def tableExists(ident: Identifier): Boolean =
-    try { loadTable(ident); true } catch { case _: Exception => false }
+    try { loadTable(ident); true } catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException => false
+    }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = nsDir(ident.namespace())
@@ -179,7 +176,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val schema = findTableSchema(genDir, ident.name())
       .orElse(findTableSchema(dir, ident.name())).getOrElse(
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
-    val opts = Map("path" -> dir, "table" -> ident.name(), "generation" -> version).asJava
+    // the PINNED generation's bucket marker rides along exactly like the
+    // live loadTable's: without it a VERSION AS OF join of two same-spec
+    // bucketed tables silently loses the storage-partitioned-join claim
+    // and plans a full shuffle
+    val marker = GraftDataSource.readBucketMarkerAt(conf, genDir, ident.name())
+    val bucketOpt = marker.map { case (c, n, _) => "bucketby" -> s"$c:$n" }
+    val sortOpt = marker.flatMap(_._3).map("sortby" -> _)
+    val opts = (Map("path" -> dir, "table" -> ident.name(),
+      "generation" -> version) ++ bucketOpt ++ sortOpt).asJava
     new GraftTable(genDir, schema, new CaseInsensitiveStringMap(opts))
   }
 
@@ -235,13 +240,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         }
         (cols, ns) match {
           case (Array(c), Array(n)) if n >= 1 && n <= GraftBucket.MaxBuckets =>
-            val f = schema.fields.find(_.name == c).getOrElse(
+            // case-insensitive like Spark's own resolution; the marker
+            // records the SCHEMA's spelling so the write side and the
+            // scan's name-tag cross-check agree on one casing
+            val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
               throw new IllegalArgumentException(
                 s"bucket column $c not in schema ${schema.fieldNames.mkString(",")}"))
             if (!GraftBucket.supported(f.dataType))
               throw new IllegalArgumentException(
                 s"bucket unsupported for ${f.dataType.simpleString} column $c")
-            Some((c, n))
+            Some((f.name, n))
           case _ => throw new IllegalArgumentException(
             s"unsupported bucket transform ${t.describe()}; want bucket(n, col)")
         }
@@ -290,7 +298,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         if (add.position() != null)
           throw new UnsupportedOperationException(
             "ADD COLUMN FIRST/AFTER is not supported; columns append at the end")
-        if (s.fieldNames.contains(add.fieldNames().head))
+        // case-insensitive: Spark resolves identifiers case-insensitively
+        // by default, so persisting both l_comment and L_Comment would
+        // brick every later query with AMBIGUOUS_REFERENCE
+        if (s.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames().head)))
           throw new IllegalArgumentException(s"column ${add.fieldNames().head} already exists")
         s.add(add.fieldNames().head, add.dataType(), nullable = true)
       case (_, other) => throw new UnsupportedOperationException(
@@ -323,24 +334,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     })
   }
 
-  /** Drops the table's schema marker and any file holding ONLY this
-    * table; a file mixing several tables (multi-table chunk) is shared
-    * state and refuses the drop. */
+  /** Drops the table's schema marker and its single-table files; a file
+    * mixing several tables (multi-table chunk) is shared state and
+    * refuses the drop.
+    *
+    * GENERATION-POINTERED namespaces never delete bytes here: the drop
+    * publishes a NEW generation whose carry manifest simply omits the
+    * table's files. Physically deleting them would leave the live
+    * manifest's entries dangling — every sibling table's next scan would
+    * list a carried path and crash on its missing footer — and would
+    * gut the frozen older generations whose time-travel readability
+    * (`loadTable(ident, version)`: "a since-dropped table included") is
+    * part of the contract. The dropped files stop being referenced and
+    * the normal grace sweep reclaims them later. Pointerless (loose-
+    * file) namespaces have no manifests and no generations to protect,
+    * so they keep the direct physical delete. */
   override def dropTable(ident: Identifier): Boolean = {
     val dir = nsDir(ident.namespace())
-    val files = GraftDataSource.listFiles(conf, dir)
-    val probed = GraftDataSource.inParallel(files)(f => (f, openFooter(f)(_.tableNames)))
-    val owned = probed.flatMap { case (f, names) =>
-      if (names == Seq(ident.name())) Some(f)
-      else if (names.contains(ident.name()))
-        throw new UnsupportedOperationException(
-          s"table ${ident.name()} shares multi-table file $f; drop the namespace directory instead")
-      else None
-    }
     val marker = schemaMarker(dir, ident.name())
     val fs = marker.getFileSystem(conf)
     val hadMarker = fs.exists(marker)
-    owned.foreach(f => f.getFileSystem(conf).delete(f, false))
+    val resolved = GraftDataSource.resolveDataDir(conf, dir)
+    var hadFiles = false
+    if (resolved != dir) {
+      // pointered: classify the live view (manifest stats, zero footer
+      // I/O for covered files) and publish a generation WITHOUT the
+      // table's files — copy-on-write drop, bytes reclaimed by the sweep
+      val s = org.apache.spark.sql.SparkSession.active
+      val root = new Path(dir)
+      val listed = GraftDataSource.listPartitionedSized(conf, dir)
+      val files = Generations.classifyForDml(conf, root, listed,
+        ident.name(), None, dir)
+      files.find(f => f.candidate && f.names.size > 1).foreach { f =>
+        throw new UnsupportedOperationException(
+          s"table ${ident.name()} shares multi-table file ${f.path}; " +
+            "drop the namespace directory instead")
+      }
+      val (dropped, carried) = files.partition(_.candidate)
+      hadFiles = dropped.nonEmpty
+      if (hadFiles) {
+        val nextGen = Generations.prepareRewrite(s, dir)
+        val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+        Generations.claimStaging(conf, staging)
+        GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
+        // the dropped table's own bucket marker must NOT carry forward
+        fs.delete(GraftDataSource.bucketMarkerPath(staging.toString, ident.name()), false)
+        GraftDataSource.writeCarryManifest(fs, staging,
+          carried.map(f =>
+            (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+        Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir)
+      }
+    } else {
+      val files = GraftDataSource.listFiles(conf, dir)
+      val probed = GraftDataSource.inParallel(files)(f => (f, openFooter(f)(_.tableNames)))
+      val owned = probed.flatMap { case (f, names) =>
+        if (names == Seq(ident.name())) Some(f)
+        else if (names.contains(ident.name()))
+          throw new UnsupportedOperationException(
+            s"table ${ident.name()} shares multi-table file $f; drop the namespace directory instead")
+        else None
+      }
+      hadFiles = owned.nonEmpty
+      owned.foreach(f => f.getFileSystem(conf).delete(f, false))
+    }
     if (hadMarker) fs.delete(marker, false)
     // the bucket-spec marker dies with the table: a later CREATE TABLE
     // under the same name must not inherit a layout it never declared
@@ -348,7 +404,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val bucketMarker = GraftDataSource.bucketMarkerPath(
       GraftDataSource.resolveDataDir(conf, dir), ident.name())
     if (fs.exists(bucketMarker)) fs.delete(bucketMarker, false)
-    hadMarker || owned.nonEmpty
+    hadMarker || hadFiles
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -503,13 +559,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
   }
 
+  // NULL int args must refuse, never unbox: getInt on a null slot yields
+  // 0, and `restore(ns, NULL)` silently rolling back to gen-00000 is a
+  // destructive surprise (vacuum's grace guard had this right already)
+  private def requiredInt(input: InternalRow, ord: Int, arg: String): Int = {
+    if (input.isNullAt(ord))
+      throw new IllegalArgumentException(s"procedure argument $arg must not be NULL")
+    input.getInt(ord)
+  }
+
   private lazy val compactProc: UnboundProcedure = new SysProc("compact",
     "rewrite a namespace's live data into target_files files per table (OPTIMIZE)",
     Array(ProcedureParameter.in("ns", StringType).build(),
       ProcedureParameter.in("target_files", IntegerType).build())) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       graft.operators.FormatOps.compact(
-        org.apache.spark.sql.SparkSession.active, dirOf(input), input.getInt(1))
+        org.apache.spark.sql.SparkSession.active, dirOf(input),
+        requiredInt(input, 1, "target_files"))
       done
     }
   }
@@ -520,7 +586,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       ProcedureParameter.in("generation", IntegerType).build())) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       Generations.restore(org.apache.spark.sql.SparkSession.active, dirOf(input),
-        input.getInt(1))
+        requiredInt(input, 1, "generation"))
       done
     }
   }

@@ -629,8 +629,14 @@ object GraftDataSource {
     * here would silently route the next INSERT unbucketed and
     * permanently deactivate the table's shuffle-free join claim. */
   def readBucketMarker(conf: Configuration, dir: String,
+      table: String): Option[(String, Int, Option[String])] =
+    readBucketMarkerAt(conf, resolveDataDir(conf, dir), table)
+
+  /** Same, against an ALREADY-RESOLVED data dir — time travel pins a
+    * generation dir directly and must read ITS marker, not the live one. */
+  def readBucketMarkerAt(conf: Configuration, dataDir: String,
       table: String): Option[(String, Int, Option[String])] = {
-    val marker = bucketMarkerPath(resolveDataDir(conf, dir), table)
+    val marker = bucketMarkerPath(dataDir, table)
     val fs = marker.getFileSystem(conf)
     if (!fs.exists(marker)) None
     else {

@@ -255,6 +255,55 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(1)).contains("ev"))
   }
 
+  test("DROP TABLE in a pointered namespace: siblings intact, history readable") {
+    val root = Files.createTempDirectory("graft-catd").toString
+    spark.conf.set("spark.sql.catalog.graft_catd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_catd.root", root)
+    spark.sql("CREATE NAMESPACE graft_catd.db")
+    spark.range(0, 40).selectExpr("id AS k", "id * 2 AS a")
+      .writeTo("graft_catd.db.ta").using("graft").create()
+    spark.range(0, 25).selectExpr("id AS k", "id * 3 AS b")
+      .writeTo("graft_catd.db.tb").using("graft").create()
+    // compact -> generation pointer + carry manifests in play
+    graft.operators.FormatOps.compact(spark, s"$root/db", targetFiles = 1)
+    assert(spark.table("graft_catd.db.ta").count() == 40)
+    spark.sql("DROP TABLE graft_catd.db.tb")
+    // the sibling MUST stay fully readable: the drop may not physically
+    // delete carried files the live manifest still references
+    assert(spark.table("graft_catd.db.ta").count() == 40)
+    assert(spark.table("graft_catd.db.ta")
+      .agg(org.apache.spark.sql.functions.sum("a")).head.getLong(0) ==
+      (0L until 40L).map(_ * 2).sum)
+    assert(!spark.sql("SHOW TABLES IN graft_catd.db").collect()
+      .map(_.getString(1)).contains("tb"))
+    intercept[Exception](spark.table("graft_catd.db.tb").count())
+    // frozen pre-drop generation still serves the dropped table
+    val preDrop = spark.sql(
+      "SELECT count(*) AS n FROM graft_catd.db.tb VERSION AS OF 1")
+    assert(preDrop.head.getLong(0) == 25)
+  }
+
+  test("procedures refuse NULL int args; ALTER refuses case-duplicate columns") {
+    val root = Files.createTempDirectory("graft-cate").toString
+    spark.conf.set("spark.sql.catalog.graft_cate", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cate.root", root)
+    spark.sql("CREATE NAMESPACE graft_cate.db")
+    spark.range(0, 10).selectExpr("id AS k", "id AS v")
+      .writeTo("graft_cate.db.t").using("graft").create()
+    graft.operators.FormatOps.compact(spark, s"$root/db", targetFiles = 1)
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft_cate.sys.restore(ns => 'db', generation => NULL)").collect())
+    assert(e1.getMessage.contains("NULL") || e1.getMessage.contains("null"))
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft_cate.sys.compact(ns => 'db', target_files => NULL)").collect())
+    assert(e2.getMessage.contains("NULL") || e2.getMessage.contains("null"))
+    // case-insensitive duplicate: Spark resolves identifiers
+    // case-insensitively, so K must collide with k
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE graft_cate.db.t ADD COLUMN K STRING"))
+    assert(e3.getMessage.contains("already exists"))
+  }
+
   test("DELETE FROM: copy-on-write; siblings and history stay intact") {
     val root = Files.createTempDirectory("graft-dml").toString
     spark.conf.set("spark.sql.catalog.graft_dmlt", "graft.sources.GraftCatalog")
