@@ -22,6 +22,16 @@ object FormatOps {
   private[operators] def graftDir(d: String, name: String): String =
     s"/tmp/graft_gate/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
+  /** Idempotent-rerun cleanup through the HADOOP filesystem the graft
+    * writes resolve paths with — a java.io.File delete silently no-ops
+    * when fs.defaultFS is non-local, and the gate's CREATE TABLE then
+    * fails "already exists" on every second run. */
+  private def deleteDirQuietly(s: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: java.io.IOException => }
+
   private def roundTrip(s: SparkSession, df: DataFrame, dir: String): DataFrame = {
     df.write.format("graft").mode("overwrite").save(dir)
     s.read.format("graft").load(dir)
@@ -368,13 +378,16 @@ object FormatOps {
     * slowest consumer. */
   def vacuum(s: SparkSession, dir: String, graceMs: Long = -1L,
       changesRetentionMs: Long = -1L): Unit = {
-    graft.sources.Generations.vacuum(s, dir, graceMs)
+    // parse EVERY conf before the first destructive call: the generation
+    // sweep is irreversible, and a malformed retention value failing
+    // after it would leave the vacuum half-applied
     val retention =
       if (changesRetentionMs >= 0) changesRetentionMs
       else s.conf.getOption("spark.graft.changesRetentionMs").map { v =>
         v.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"spark.graft.changesRetentionMs must be a millisecond count, got '$v'"))
       }.getOrElse(7L * 24 * 3600 * 1000)
+    graft.sources.Generations.vacuum(s, dir, graceMs)
     val ch = new org.apache.hadoop.fs.Path(s"$dir/$ChangesSubdir")
     val fs = ch.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(ch)) {
@@ -494,7 +507,7 @@ object FormatOps {
   // not just spec'd.
   private val q94: Q = (s, d) => {
     val root = graftDir(d, "evolve_cat")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)) // idempotent reruns
+    deleteDirQuietly(s, root) // idempotent reruns
     s.conf.set("spark.sql.catalog.graft_evq", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_evq.root", root)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evq.db")
@@ -845,11 +858,18 @@ object FormatOps {
       expectations: Map[String, org.apache.spark.sql.Column]): Unit = {
     require(expectations.nonEmpty, "a contract needs at least one expectation")
     val ordered = expectations.toSeq.sortBy(_._1)
-    val analyzed = s.read.format("graft").load(dir)
+    val analyzed = (s.read.format("graft").load(dir)
       .select(ordered.map(_._2): _*)
-      .queryExecution.analyzed
-      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-      .projectList
+      .queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+        // an aggregate/window "expectation" analyzes to a different node;
+        // a blind cast here read as an opaque ClassCastException — name
+        // the contract rule that isn't row-level instead
+        case other => throw new IllegalArgumentException(
+          s"expectations must be per-ROW boolean predicates; " +
+            s"${ordered.map(_._1).mkString(",")} analyzed to ${other.nodeName} " +
+            "(aggregates/windows cannot gate individual rows)")
+      }).projectList
       .map {
         case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child.sql
         case e => e.sql
@@ -1012,7 +1032,13 @@ object FormatOps {
         }
         coalesce(xxhash64(c), lit(0x9e3779b97f4a7c15L))
       }
-      df.select(keys.map(col) :+ xxhash64(slots: _*).as(as): _*)
+      // a table whose EVERY common column is a key (pure key-set /
+      // membership table) has no content to digest: a constant digest is
+      // exactly right (a present key can only be "unchanged"), and
+      // insert/delete classification still works through the full-outer
+      // join — zero-arg xxhash64() would fail Spark's arity check
+      val digest = if (slots.isEmpty) lit(0L) else xxhash64(slots: _*)
+      df.select(keys.map(col) :+ digest.as(as): _*)
     }
     digested(before, "_hb").join(digested(after, "_ha"), keys, "full_outer")
       .withColumn("change_type",
@@ -1404,9 +1430,19 @@ object FormatOps {
         val bounds = df.agg(aggs.head, aggs.tail: _*).head()
         val n = cols.size
         val buckets = cols.zipWithIndex.map { case (c, i) =>
-          val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-          if (lo == hi) lit(0L)
-          else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
+          // an empty table or all-null column has NULL bounds (a bare
+          // getDouble would NPE mid-rewrite); NaN bounds poison the
+          // interpolated width_bucket SQL (the literal parses as a
+          // COLUMN reference) and NaN == NaN is false so the flat-range
+          // guard misses — both degrade to a constant bucket: the
+          // column simply contributes no z-order bits, everything else
+          // still clusters
+          if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+          else {
+            val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+            if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite || lo == hi) lit(0L)
+            else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
+          }
         }
         // interleave: bit k of bucket i lands at position k*n + i
         val z = (0 until 8).flatMap { k =>
@@ -1471,7 +1507,7 @@ object FormatOps {
   // from parquet, so the row-level delete itself is hash-gated.
   private val q95: Q = (s, d) => {
     val root = graftDir(d, "dml_cat")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)) // idempotent reruns
+    deleteDirQuietly(s, root) // idempotent reruns
     s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_dml.root", root)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.db")
@@ -1553,7 +1589,7 @@ object FormatOps {
   // matching rows.
   private val q96b: Q = (s, d) => {
     val root = graftDir(d, "dml_sql_update")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    deleteDirQuietly(s, root)
     s.conf.set("spark.sql.catalog.graft_squ", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_squ.root", root)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_squ.db")
@@ -1574,7 +1610,7 @@ object FormatOps {
   // unmatched insert. Oracle = q97's set algebra over parquet.
   private val q97b: Q = (s, d) => {
     val root = graftDir(d, "dml_sql_merge")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    deleteDirQuietly(s, root)
     s.conf.set("spark.sql.catalog.graft_smg", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_smg.root", root)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_smg.db")
