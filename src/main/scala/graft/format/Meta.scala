@@ -166,19 +166,21 @@ object Meta {
         writeString(b, t.schema.json)
         b.putInt(t.columns.size)
         t.columns.foreach(writeCol(b, _))
-        t.stats.foreach { st =>
-          b.putInt(st.nullCount)
-          writeOptBytes(b, st.min)
-          writeOptBytes(b, st.max)
-          writeOptBytes(b, st.sum)
+        // the stats sections are POSITIONAL (read() consumes exactly
+        // nCols per table/block with no count of their own): a
+        // mis-sized TableMeta would serialize into a footer that fails
+        // far downstream with a misleading error — refuse at the source
+        if (t.stats.size != t.columns.size)
+          throw new OliveFormatException(
+            s"table ${t.name}: ${t.stats.size} chunk stats for ${t.columns.size} columns")
+        t.blockStats.zipWithIndex.foreach { case (blk, i) =>
+          if (blk.size != t.columns.size)
+            throw new OliveFormatException(
+              s"table ${t.name}: block $i has ${blk.size} stats for ${t.columns.size} columns")
         }
+        t.stats.foreach(writeStats(b, _))
         b.putInt(t.blockStats.size)
-        t.blockStats.foreach(_.foreach { st =>
-          b.putInt(st.nullCount)
-          writeOptBytes(b, st.min)
-          writeOptBytes(b, st.max)
-          writeOptBytes(b, st.sum)
-        })
+        t.blockStats.foreach(_.foreach(writeStats(b, _)))
         b.putInt(t.blooms.size)
         // sorted for a deterministic footer byte-stream
         t.blooms.toSeq.sortBy(_._1).foreach { case (col, bits) =>
@@ -189,6 +191,13 @@ object Meta {
       }
     }
     b.toArray
+  }
+
+  private def writeStats(b: Bytes, st: ColStats): Unit = {
+    b.putInt(st.nullCount)
+    writeOptBytes(b, st.min)
+    writeOptBytes(b, st.max)
+    writeOptBytes(b, st.sum)
   }
 
   private def writeOptBytes(b: Bytes, v: Option[Array[Byte]]): Unit = v match {
@@ -375,7 +384,10 @@ object Meta {
     case other => throw new OliveFormatException(s"bad option tag $other")
   }
 
-  private final val MaxDepth = 16
+  /** Deepest column-meta nesting the reader accepts; the write side
+    * ([[TableBuffer.schemaDepthOk]]) caps declared schemas one level
+    * lower so a measured wrapper can never push a written file past it. */
+  private[format] final val MaxDepth = 16
 
   private def readCol(c: ByteCursor, depth: Int): ColMeta = {
     if (depth > MaxDepth) throw new OliveFormatException("column nesting too deep")
@@ -437,15 +449,7 @@ object Meta {
         val exponent = c.getByte()
         if (exponent < 0 || exponent > 18)
           throw new OliveFormatException(s"bad scale exponent $exponent")
-        val inner = readCol(c, depth + 1)
-        val innerOk = inner match {
-          case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta |
-               _: DeltaMeta | _: BitPackMeta => true
-          case _ => false
-        }
-        if (!innerOk || inner.validity.nonEmpty)
-          throw new OliveFormatException("bad scaled inner encoding")
-        ScaledMeta(v, exponent, inner)
+        ScaledMeta(v, exponent, readWrappedInner(c, depth, "scaled"))
       case 13 =>
         val v = readOptBuffer(c)
         val base = c.getLong()
@@ -458,16 +462,24 @@ object Meta {
         val logical = c.getByte()
         if (logical < Logical.U8 || logical > Logical.U64)
           throw new OliveFormatException(s"bad packed unsigned code $logical")
-        val inner = readCol(c, depth + 1)
-        val innerOk = inner match {
-          case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta |
-               _: DeltaMeta | _: BitPackMeta => true
-          case _ => false
-        }
-        if (!innerOk || inner.validity.nonEmpty)
-          throw new OliveFormatException("bad packed unsigned inner encoding")
-        UnsignedPackedMeta(v, logical, inner)
+        UnsignedPackedMeta(v, logical, readWrappedInner(c, depth, "packed unsigned"))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
+  }
+
+  /** The inner stream of a measured WRAPPER (ScaledMeta /
+    * UnsignedPackedMeta): a validity-less flat integral encoding — the
+    * one allowed-set definition both wrappers share, so the validation
+    * can never drift between them. */
+  private def readWrappedInner(c: ByteCursor, depth: Int, kind: String): ColMeta = {
+    val inner = readCol(c, depth + 1)
+    val innerOk = inner match {
+      case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta |
+           _: DeltaMeta | _: BitPackMeta => true
+      case _ => false
+    }
+    if (!innerOk || inner.validity.nonEmpty)
+      throw new OliveFormatException(s"bad $kind inner encoding")
+    inner
   }
 }

@@ -13,6 +13,16 @@ import Meta._
   * (`src/write.zig:859-917`).
   */
 final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
+  // pageSize <= 0 would make writeBuffer's paging loop spin forever
+  // writing empty pages (min(0, remaining) never advances) — and the
+  // value is user-reachable through .option("pagesize", ...)
+  require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+  // an unknown bias must refuse, not silently behave as `balanced` —
+  // option("bias", "read-optimized") (dash typo) would otherwise write
+  // the wrong codecs with no signal
+  require(bias == "balanced" || bias == "read_optimized" || bias == "compact",
+    s"bias must be balanced|read_optimized|compact, got '$bias'")
+
   private var pos: Long = 0L
   def position: Long = pos
 
@@ -33,17 +43,25 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
     m
   }
 
-  /** Fixed-width buffer: ⌈len/pageSize⌉ pages; rowEnd = element index. */
+  /** Fixed-width buffer: ~⌈len/pageSize⌉ pages; rowEnd = element index.
+    * Pages split at ELEMENT-aligned boundaries (the largest multiple of
+    * elemSize within pageSize): a split mid-element would make rowEnd —
+    * documented as "exclusive end element index" — mislabel the page
+    * whose boundary straddles an element, and any rowEnd-based page
+    * skipping would then drop or duplicate that element. */
   def writeBuffer(src: Array[Byte], len: Int, codec: Byte, elemSize: Int): BufferMeta = {
+    if (len == 0)
+      return BufferMeta(codec, 0, Vector(writePage(src, 0, 0, codec, 0)))
+    val e = math.max(elemSize, 1)
+    val step = math.max(e, pageSize - pageSize % e)
     val pages = Vector.newBuilder[PageMeta]
     var off = 0
-    while (off < len || (off == 0 && len == 0)) {
-      val n = math.min(pageSize, len - off)
-      pages += writePage(src, off, n, codec, (off + n) / math.max(elemSize, 1))
+    while (off < len) {
+      val n = math.min(step, len - off)
+      pages += writePage(src, off, n, codec, (off + n) / e)
       off += n
-      if (len == 0) off = 1 // single empty page, then stop
     }
-    BufferMeta(codec, len, if (len == 0) pages.result().take(1) else pages.result())
+    BufferMeta(codec, len, pages.result())
   }
 
   /** Var-width data buffer paged on value boundaries, bias-compressed.
@@ -80,11 +98,39 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
     writeBuffer(src, src.length, Codec.None, 1)
 }
 
+object TableBuffer {
+  /** Per-chunk row bound: keeps every block-index product inside Int
+    * (the reference's u32 per-chunk framing makes anything larger
+    * unrepresentable anyway). */
+  val MaxRows: Int = Int.MaxValue - 2 * Meta.BlockRows
+
+  /** The deepest schema the READER accepts is [[Meta.MaxDepth]] levels
+    * of column metas; measured wrappers (ALP decimal scaling, unsigned
+    * packing) may add ONE level around a leaf, so the write side caps
+    * declared nesting a level lower — a deeper schema would WRITE fine
+    * and then be permanently unreadable. */
+  def schemaDepthOk(schema: StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def depth(dt: DataType): Int = dt match {
+      case s: StructType => 1 + s.fields.map(f => depth(f.dataType)).foldLeft(0)(math.max)
+      case a: ArrayType => 1 + depth(a.elementType)
+      case m: MapType => 2 + math.max(depth(m.keyType), depth(m.valueType))
+      case _ => 1
+    }
+    val d = schema.fields.map(f => depth(f.dataType)).foldLeft(0)(math.max)
+    if (d + 1 > Meta.MaxDepth)
+      throw new OliveFormatException(
+        s"schema nests $d levels; the format reads at most ${Meta.MaxDepth} " +
+          "(one reserved for measured encoding wrappers) — flatten the schema")
+  }
+}
+
 /** One buffered table inside a chunk being assembled. `bloomCols` names
   * columns that collect a per-chunk Bloom filter (see [[Bloom]]);
   * unsupported types in the list are silently ignored. */
 final class TableBuffer(val name: String, val schema: StructType,
     bloomCols: Set[String] = Set.empty) {
+  TableBuffer.schemaDepthOk(schema)
   val encoders: IndexedSeq[ColumnEncoder] =
     schema.fields.map(f => ColumnEncoder.forType(f.dataType, f.metadata)).toIndexedSeq
   // stats do NO per-row work: chunk and block zone maps are computed
@@ -108,6 +154,14 @@ final class TableBuffer(val name: String, val schema: StructType,
   var currentByteSize: Long = 0L
 
   def appendRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    // the block-index arithmetic in allBlocks is Int; past this bound it
+    // would wrap negative and silently compute ONE block's stats for
+    // billions of rows (wrong zone maps → wrong pruning). The normal
+    // writer flushes at 96 MB long before this; the bound protects
+    // direct TableBuffer users.
+    if (numRows >= TableBuffer.MaxRows)
+      throw new OliveFormatException(
+        s"chunk exceeds ${TableBuffer.MaxRows} rows; flush to a new chunk")
     var sz = 0L
     var i = 0
     while (i < encoders.length) {
@@ -124,6 +178,10 @@ final class TableBuffer(val name: String, val schema: StructType,
       i += 1
     }
     numRows += 1
+    // stats computed BEFORE this append are stale now — a caller probing
+    // chunkStats mid-buffer then appending more would otherwise write a
+    // footer whose zone maps exclude the later rows
+    cachedBlocks = null
   }
   // each row range is scanned ONCE: block stats are computed, chunk
   // stats derived by a typed merge (Stats.mergeColStats)

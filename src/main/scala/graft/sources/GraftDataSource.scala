@@ -324,6 +324,15 @@ object GraftDataSource {
     }
   }
 
+  /** Positive-int write option, refused loudly by NAME on junk or a
+    * non-positive value (pagesize=0 once spun the page loop forever). */
+  def positiveIntOption(options: CaseInsensitiveStringMap, key: String,
+      default: Int): Int =
+    Option(options.get(key)).map { v =>
+      v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"$key must be a positive int, got '$v'"))
+    }.getOrElse(default)
+
   /** `p` relative to `root` (both from the same filesystem). */
   def relativePath(root: Path, p: Path): String = {
     val b = root.toUri.getPath
@@ -1707,9 +1716,9 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     }
     private def batchWrite = new GraftBatchWrite(dir, info.schema(), doTruncate,
       Option(options.get("table")).getOrElse("data"),
-      Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
+      GraftDataSource.positiveIntOption(options, "pagesize", GraftFileWriter.DefaultPageSize),
       Option(options.get("bias")).getOrElse("balanced"),
-      Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
+      GraftDataSource.positiveIntOption(options, "chunkrows", GraftBatchWrite.DefaultChunkRows),
       partCols, bloomCols,
       Option(options.get("tables"))
         .map(GraftDataSource.parseTableSplits(_, info.schema())),
@@ -1731,9 +1740,9 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
         new GraftStreamingWriterFactory(
           GraftDataSource.resolveDataDir(new Configuration(), dir), info.schema(),
           Option(options.get("table")).getOrElse("data"),
-          Option(options.get("pagesize")).map(_.toInt).getOrElse(GraftFileWriter.DefaultPageSize),
+          GraftDataSource.positiveIntOption(options, "pagesize", GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
-          Option(options.get("chunkrows")).map(_.toInt).getOrElse(GraftBatchWrite.DefaultChunkRows),
+          GraftDataSource.positiveIntOption(options, "chunkrows", GraftBatchWrite.DefaultChunkRows),
           partCols, new SerializableConfiguration(new Configuration()), bloomCols,
           Option(options.get("tables"))
             .map(GraftDataSource.parseTableSplits(_, info.schema())))
