@@ -311,23 +311,28 @@ object Stats {
 
   object KeyBytesRange {
     /** Summarize a single-column STRING DataFrame of removed keys; None
-      * for other types. One (min,max) aggregation job — Spark's string
-      * min/max compare UTF8String bytes unsigned, matching the zone
-      * maps' `Arrays.compareUnsigned`. */
+      * for other types. One (min,max) aggregation job over the column
+      * cast to BINARY: Spark's binary min/max compare bytes unsigned,
+      * matching the zone maps' `Arrays.compareUnsigned`, and the BINARY
+      * cast hands back the UTF8String's RAW bytes. (Aggregating as
+      * STRING and re-encoding driver-side via getString.getBytes would
+      * round-trip through java.lang.String, which substitutes U+FFFD
+      * for invalid UTF-8 — possible via binary casts — so lo/hi could
+      * fail to bound the true key byte range and a DELETE could
+      * silently skip a chunk that still holds a removed key.) */
     def of(keys: org.apache.spark.sql.DataFrame): Option[KeyBytesRange] = {
       val f = keys.schema.fields.head
       if (f.dataType != StringType) return None
       val name = f.name
       val nn = keys.filter(keys.col(name).isNotNull)
-      val mm = nn.groupBy()
-        .agg(org.apache.spark.sql.functions.min(name),
-          org.apache.spark.sql.functions.max(name)).collect().head
+      val b = nn.select(nn.col(name).cast(BinaryType).as("b"))
+      val mm = b.groupBy()
+        .agg(org.apache.spark.sql.functions.min("b"),
+          org.apache.spark.sql.functions.max("b")).collect().head
       if (mm.isNullAt(0)) // no keys: every chunk is provably disjoint
         return Some(KeyBytesRange(name, Array.empty, Array.empty, empty = true))
-      Some(KeyBytesRange(name,
-        mm.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        mm.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        empty = false))
+      Some(KeyBytesRange(name, mm.getAs[Array[Byte]](0),
+        mm.getAs[Array[Byte]](1), empty = false))
     }
   }
 
@@ -356,11 +361,17 @@ object Stats {
         case DateType => Some(unix_date(nn.col(name)).cast("long"))
         case TimestampType => Some(unix_micros(nn.col(name)))
         case d: DecimalType if d.precision <= 18 =>
-          keys.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-            "graft_unscaled",
-            exprs => org.apache.spark.sql.catalyst.expressions.UnscaledValue(exprs.head),
-            "built-in")
-          Some(org.apache.spark.sql.functions.call_function("graft_unscaled", nn.col(name)))
+          // unscaled(v) = v * 10^scale in EXACT decimal arithmetic
+          // (result precision p + scale + 2 ≤ 38 for p ≤ 18 — no
+          // precision-loss rescale), integral by construction and
+          // < 10^18, so the long cast is exact. Built from plain
+          // Column ops: registering an UnscaledValue temp function
+          // here would mutate the session's function registry as a
+          // hidden side effect of DML planning and shadow any
+          // same-named user function for the session's lifetime.
+          val shift = org.apache.spark.sql.functions.lit(
+            java.math.BigDecimal.TEN.pow(d.scale))
+          Some((nn.col(name) * shift).cast("long"))
         case _ => None
       }
       if (asLong.isEmpty) return None

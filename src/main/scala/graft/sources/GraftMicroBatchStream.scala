@@ -55,7 +55,16 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   maxFilesPerTrigger.foreach(n => require(n > 0,
     s"maxFilesPerTrigger must be positive, got $n"))
 
-  private val conf = new Configuration()
+  // The session's Hadoop conf, not a bare `new Configuration()`: the
+  // pin/segment/log paths must resolve against the same filesystem world
+  // as the data plane (spark.hadoop.* overrides, fs.defaultFS), or a
+  // configured object store would checkpoint to a different store than
+  // it reads. Falls back to defaults only when no session is active
+  // (never the case in a running query — streams are planned driver-side).
+  private[sources] val conf =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
   private val logPath = new Path(checkpointLocation, "graft-file-log")
   private val fs = logPath.getFileSystem(conf)
 
@@ -158,6 +167,11 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     latestOffset(GraftStreamOffset(0),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
 
+  /** One directory listing; a seam so the TOCTOU spec can interleave a
+    * generation swap between the listing and the segment append. */
+  protected def listDir(): Seq[String] =
+    GraftDataSource.listFiles(conf, dir).map(_.toString)
+
   /** Admission control (`maxFilesPerTrigger`): ALL newly discovered files
     * still append to the log (the stable order every offset indexes), but
     * the returned offset advances at most `maxFiles` past the batch start
@@ -168,9 +182,15 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     assertAppendOnly()
     val known = log()
     val seen = known.toSet
-    val now = GraftDataSource.listFiles(conf, dir).map(_.toString)
+    val now = listDir()
     val fresh = now.filterNot(seen).toVector
-    val all = if (fresh.nonEmpty) { appendSegment(fresh); cached } else known
+    // TOCTOU guard: a rewrite can swap the generation pointer between the
+    // assert above and the listing, in which case `fresh` holds the NEW
+    // generation's files — persisting them would poison the checkpoint log
+    // with rewritten paths and deliver a full batch of duplicate rows
+    // before the next trigger's assert fires. Re-read the pointer AFTER
+    // the listing and BEFORE any durable append or offset advance.
+    val all = if (fresh.nonEmpty) { assertAppendOnly(); appendSegment(fresh); cached } else known
     val cap = limit match {
       case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles => f.maxFiles()
       case _ => Int.MaxValue

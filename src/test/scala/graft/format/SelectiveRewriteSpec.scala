@@ -330,6 +330,50 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(!Stats.canSkipChunkPrune(atMin, t))
   }
 
+  test("KeyBytesRange is byte-exact for invalid-UTF-8 string keys") {
+    import spark.implicits._
+    // 0xFF can appear in NO valid UTF-8 sequence; such bytes reach string
+    // data via a binary->string cast. A java.lang.String round-trip
+    // (getString.getBytes) would substitute U+FFFD (ef bf bd) and the
+    // summary's bounds would no longer bound the true key byte range —
+    // a DELETE could then skip a chunk that still holds a removed key.
+    val raw = Seq(Array[Byte](0x61, 0xFF.toByte, 0x01),
+      Array[Byte](0x7A, 0xFE.toByte))
+    val df = raw.toDF("b").select(col("b").cast("string").as("k"))
+    val kb = Stats.KeyBytesRange.of(df).get
+    assert(kb.lo.toSeq == Seq[Byte](0x61, 0xFF.toByte, 0x01),
+      s"lo must be the raw bytes, got ${kb.lo.toSeq}")
+    assert(kb.hi.toSeq == Seq[Byte](0x7A, 0xFE.toByte),
+      s"hi must be the raw bytes, got ${kb.hi.toSeq}")
+  }
+
+  test("decimal InKeyRange mutates no session function registry state") {
+    import spark.implicits._
+    // a user's own function named graft_unscaled must survive DML
+    // planning (the summary used to createOrReplaceTempFunction that
+    // name as a hidden side effect)
+    spark.udf.register("graft_unscaled", (x: Long) => x + 1)
+    try {
+      val dec = Stats.InKeyRange.of(
+        Seq(BigDecimal("12.34"), BigDecimal("-56.78")).toDF("k")
+          .select(col("k").cast("decimal(10,2)").as("k"))).get
+      // unscaled projection still exact, negatives included
+      assert(dec.mightIntersect(1234L, 1234L))
+      assert(dec.mightIntersect(-5678L, -5678L))
+      assert(!dec.mightIntersect(-5677L, 1233L))
+      assert(spark.sql("SELECT graft_unscaled(1)").head.getLong(0) == 2L,
+        "user function was clobbered by DML planning")
+    } finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_unscaled"))
+    // max-precision boundary: p=18, s=18 exercises the widest exact
+    // decimal multiply (result precision 38)
+    val tiny = Stats.InKeyRange.of(
+      Seq(BigDecimal("0.123456789012345678")).toDF("k")
+        .select(col("k").cast("decimal(18,18)").as("k"))).get
+    assert(tiny.mightIntersect(123456789012345678L, 123456789012345678L))
+    assert(!tiny.mightIntersect(123456789012345679L, Long.MaxValue))
+  }
+
   test("decimal InKeyRange prunes real chunks; scale mismatch never prunes") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-decprune").toString
