@@ -1205,7 +1205,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
-    new SkippedChunksMetric, new DecodedChunksMetric, new SkippedBlocksMetric)
+    new SkippedChunksMetric, new DecodedChunksMetric, new SkippedBlocksMetric,
+    new PagesReadMetric)
 }
 
 // Top-level 0-arg classes: Spark's UI listener re-instantiates the metric
@@ -1219,6 +1220,9 @@ class DecodedChunksMetric extends CustomSumMetric {
 }
 class SkippedBlocksMetric extends CustomSumMetric {
   def name = "skippedBlocks"; def description = "row blocks skipped by zone maps"
+}
+class PagesReadMetric extends CustomSumMetric {
+  def name = "pagesRead"; def description = "data pages decompressed"
 }
 
 case class GraftInputPartition(file: String,
@@ -1686,7 +1690,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     new CustomTaskMetric { def name = "skippedChunks"; def value = skipped },
     new CustomTaskMetric { def name = "decodedChunks"; def value = decoded },
-    new CustomTaskMetric { def name = "skippedBlocks"; def value = skippedBlocks })
+    new CustomTaskMetric { def name = "skippedBlocks"; def value = skippedBlocks },
+    new CustomTaskMetric { def name = "pagesRead"; def value = reader.pagesRead })
   override def close(): Unit = {
     if (current != null) { current.close(); current = null }
     reader.close()

@@ -109,4 +109,59 @@ class PageSkipSpec extends SparkSpec {
     assert(got.length == 5)
     assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("a selective predicate on a many-page chunk decodes strictly fewer pages") {
+    // the intra-chunk value-skipping path end-to-end: block zone maps
+    // (8Ki-row granularity, FINER than 1 MiB pages on narrow columns)
+    // intersect a pushed equality with each block's min/max; only pages
+    // overlapping the surviving row ranges are decompressed
+    val dir = Files.createTempDirectory("graft-pskip4").toString
+    spark.range(0, 200000).coalesce(1).select(
+      col("id"),
+      (col("id") * 7).as("y"),
+      concat(lit("doc-"), col("id")).as("s"))
+      .write.format("graft").option("pagesize", "4096").mode("append").save(dir)
+    val p = new Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val fs = p.getFileSystem(new Configuration())
+    val schema = new StructType()
+      .add("id", LongType).add("y", LongType).add("s", StringType)
+
+    def scan(filters: Array[org.apache.spark.sql.sources.Filter])
+        : (Seq[org.apache.spark.sql.catalyst.InternalRow], Map[String, Long]) = {
+      val r = new graft.sources.GraftPartitionReader(fs, p, schema, None, filters, -1)
+      val rows = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+      try {
+        while (r.next()) {
+          val b = r.get()
+          val it = b.rowIterator()
+          while (it.hasNext) rows += it.next().copy()
+        }
+        (rows.result(), r.currentMetricsValues().map(m => m.name -> m.value).toMap)
+      } finally r.close()
+    }
+
+    val (allRows, fullM) = scan(Array.empty)
+    assert(allRows.size == 200000)
+    val fullPages = fullM("pagesRead")
+    assert(fullPages > 100, s"want a many-page chunk, got $fullPages pages")
+
+    val (hit, selM) = scan(Array(
+      org.apache.spark.sql.sources.EqualTo("id", 123456L)))
+    // block-granular decode over-delivers (Spark re-applies residuals);
+    // the match must be present and the decode must stay block-sized
+    assert(hit.exists(_.getLong(0) == 123456L))
+    assert(hit.size <= Meta.BlockRows,
+      s"selective scan decoded ${hit.size} rows; want <= one block")
+    // 200K rows span two chunks (128Ki-row writer flush): the chunk not
+    // holding the key skips WHOLE at chunk level; the kept chunk's 16
+    // blocks prune to the single one covering the key
+    assert(selM("skippedChunks") >= 1,
+      s"chunk stats skipped ${selM("skippedChunks")} chunks; want >=1")
+    assert(selM("skippedBlocks") >= 15,
+      s"zone maps skipped ${selM("skippedBlocks")} blocks; want >=15 of 16")
+    val selPages = selM("pagesRead")
+    assert(selPages * 5 < fullPages,
+      s"selective predicate read $selPages of $fullPages pages")
+  }
 }
