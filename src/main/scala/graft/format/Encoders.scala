@@ -743,28 +743,76 @@ final class DecimalEncoder(precision: Int, scale: Int) extends ColumnEncoder {
   override def reset(): Unit = { super.reset(); buf.reset() }
   def byteSize: Long = buf.size
 
-  /** Decimal zone maps (p <= 18): min/max as the unscaled i64 — unscaled
-    * order IS value order at one fixed scale, and the skip side rescales
+  /** Decimal zone maps: min/max as the unscaled value — unscaled order
+    * IS value order at one fixed scale, and the skip side rescales
     * through BigDecimal so a money predicate (`o_totalprice > X`) can
-    * finally skip chunks. No sum (decimal SUM isn't pushed down).
-    * 16-byte decimals keep null-count-only stats. */
+    * finally skip chunks. p <= 18 stores the unscaled i64; wider
+    * decimals (DECIMAL(38,x) money/ID columns) store a 16-byte
+    * BIG-ENDIAN two's-complement stat slot — comparisons run over the
+    * buffered little-endian slots in place (no BigInteger per row), only
+    * the two winners are re-ordered for storage. No sum (decimal SUM
+    * isn't pushed down). */
   override def statsRange(from: Int, to: Int): ColStats = {
     val nulls = validity.nullCountIn(from, to)
-    if (elemSize != 8 || to - from - nulls <= 0) return ColStats(nulls, None, None)
+    if (to - from - nulls <= 0) return ColStats(nulls, None, None)
     val noNulls = nulls == 0
     val bb = Bytes.le(buf.array)
-    var mn = Long.MaxValue
-    var mx = Long.MinValue
-    var i = from
-    while (i < to) {
-      if (noNulls || validity.isValidAt(i)) {
-        val v = bb.getLong(i * 8)
-        if (v < mn) mn = v
-        if (v > mx) mx = v
+    if (elemSize == 8) {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var i = from
+      while (i < to) {
+        if (noNulls || validity.isValidAt(i)) {
+          val v = bb.getLong(i * 8)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        i += 1
       }
-      i += 1
+      ColStats(nulls, Some(Stats.longBytes(mn)), Some(Stats.longBytes(mx)))
+    } else {
+      var mnI = -1
+      var mxI = -1
+      var i = from
+      while (i < to) {
+        if (noNulls || validity.isValidAt(i)) {
+          if (mnI < 0) { mnI = i; mxI = i }
+          else {
+            if (cmp16le(i, mnI) < 0) mnI = i
+            if (cmp16le(i, mxI) > 0) mxI = i
+          }
+        }
+        i += 1
+      }
+      ColStats(nulls, Some(be16(mnI)), Some(be16(mxI)))
     }
-    ColStats(nulls, Some(Stats.longBytes(mn)), Some(Stats.longBytes(mx)))
+  }
+
+  /** Signed compare of two buffered 16-byte little-endian
+    * two's-complement slots: most-significant byte (LE index 15) signed,
+    * the rest unsigned, high to low. */
+  private def cmp16le(i: Int, j: Int): Int = {
+    val a = buf.array
+    val ai = i * 16
+    val aj = j * 16
+    var c = java.lang.Byte.compare(a(ai + 15), a(aj + 15))
+    if (c != 0) return c
+    var k = 14
+    while (k >= 0) {
+      c = java.lang.Integer.compare(a(ai + k) & 0xFF, a(aj + k) & 0xFF)
+      if (c != 0) return c
+      k -= 1
+    }
+    0
+  }
+
+  /** Buffered LE slot -> 16-byte big-endian stat bytes (BigInteger-ready
+    * on the skip side). */
+  private def be16(idx: Int): Array[Byte] = {
+    val out = new Array[Byte](16)
+    var k = 0
+    while (k < 16) { out(k) = buf.array(idx * 16 + 15 - k); k += 1 }
+    out
   }
 }
 

@@ -66,6 +66,10 @@ object Stats {
     def lt(a: Array[Byte], b: Array[Byte]): Boolean = dt match {
       case FloatType | DoubleType => doubleOf(a) < doubleOf(b)
       case StringType => java.util.Arrays.compareUnsigned(a, b) < 0
+      case d: DecimalType if d.precision > 18 =>
+        // 16-byte big-endian two's-complement unscaled (sign-extended
+        // fixed width, so BigInteger order is value order)
+        new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b)) < 0
       case _ => longOf(a) < longOf(b) // integral/bool/ts/decimal-unscaled
     }
     val (mn, mx) =
@@ -127,32 +131,40 @@ object Stats {
           org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
       case (FloatType | DoubleType, n: Number) =>
         Some(java.lang.Double.compare(doubleOf(stat), n.doubleValue()))
-      case (d: DecimalType, v) if d.precision <= 18 =>
-        // stat bytes are the unscaled i64 at the column's declared scale;
-        // rescale both sides through BigDecimal for an EXACT compare (a
-        // literal with more fractional digits than the scale must still
-        // order correctly, never round first)
-        val lit: Option[java.math.BigDecimal] = v match {
-          case bd: java.math.BigDecimal => Some(bd)
-          case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
-          case sd: org.apache.spark.sql.types.Decimal => Some(sd.toJavaBigDecimal)
-          // integral literals convert via longValue — a double round-trip
-          // would round above 2^53 and could prove a WRONG skip
-          case n @ (_: java.lang.Long | _: java.lang.Integer |
-                    _: java.lang.Short | _: java.lang.Byte) =>
-            Some(java.math.BigDecimal.valueOf(n.asInstanceOf[Number].longValue()))
-          case bi: java.math.BigInteger => Some(new java.math.BigDecimal(bi))
-          case n: Number if !n.doubleValue().isNaN && !n.doubleValue().isInfinite =>
-            Some(new java.math.BigDecimal(n.doubleValue())) // exact binary expansion
-          case _ => None
+      case (d: DecimalType, v) =>
+        // stat bytes are the unscaled value at the column's declared
+        // scale (i64 for p <= 18, 16-byte big-endian for wider); rescale
+        // both sides through BigDecimal for an EXACT compare (a literal
+        // with more fractional digits than the scale must still order
+        // correctly, never round first)
+        decimalLit(v).map { l =>
+          val statDec =
+            if (d.precision <= 18) java.math.BigDecimal.valueOf(longOf(stat), d.scale)
+            else new java.math.BigDecimal(new java.math.BigInteger(stat), d.scale)
+          statDec.compareTo(l)
         }
-        lit.map(l => java.math.BigDecimal.valueOf(longOf(stat), d.scale).compareTo(l))
       case (StringType, s: String) =>
         Some(java.util.Arrays.compareUnsigned(stat, UTF8String.fromString(s).getBytes))
       case (BooleanType, bl: java.lang.Boolean) =>
         Some(java.lang.Long.compare(longOf(stat), if (bl) 1L else 0L))
       case _ => None
     }
+  }
+
+  /** Filter literal -> exact BigDecimal, or None for incomparable shapes.
+    * Integral literals convert via longValue — a double round-trip would
+    * round above 2^53 and could prove a WRONG skip. */
+  private def decimalLit(v: Any): Option[java.math.BigDecimal] = v match {
+    case bd: java.math.BigDecimal => Some(bd)
+    case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
+    case sd: org.apache.spark.sql.types.Decimal => Some(sd.toJavaBigDecimal)
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) =>
+      Some(java.math.BigDecimal.valueOf(n.asInstanceOf[Number].longValue()))
+    case bi: java.math.BigInteger => Some(new java.math.BigDecimal(bi))
+    case n: Number if !n.doubleValue().isNaN && !n.doubleValue().isInfinite =>
+      Some(new java.math.BigDecimal(n.doubleValue())) // exact binary expansion
+    case _ => None
   }
 
   /** True iff `filter` proves the chunk can contain NO matching row.
@@ -254,6 +266,24 @@ object Stats {
             (java.util.Arrays.compareUnsigned(s.max.get, kb.lo) < 0 ||
               java.util.Arrays.compareUnsigned(s.min.get, kb.hi) > 0)
         }
+    case kd: KeyDecimalRange if kd.empty => true
+    case kd: KeyDecimalRange =>
+      val idx = t.schema.fieldNames.indexOf(kd.attribute)
+      idx >= 0 && idx < t.stats.size && {
+        // wide-decimal zone maps store the 16-byte big-endian unscaled
+        // value at the COLUMN's scale; the summary's bounds are unscaled
+        // at the BATCH's scale — comparable only when the scales match
+        val comparable = t.schema.fields(idx).dataType match {
+          case d: DecimalType if d.precision > 18 => d.scale == kd.scale
+          case _ => false
+        }
+        val s = t.stats(idx)
+        comparable && s.min.isDefined && s.max.isDefined && {
+          import java.math.BigInteger
+          new BigInteger(s.max.get).compareTo(new BigInteger(kd.lo)) < 0 ||
+            new BigInteger(s.min.get).compareTo(new BigInteger(kd.hi)) > 0
+        }
+      }
   }
 
   /** A driver-side file-prune predicate for file-granular DML: either an
@@ -333,6 +363,42 @@ object Stats {
         return Some(KeyBytesRange(name, Array.empty, Array.empty, empty = true))
       Some(KeyBytesRange(name, mm.getAs[Array[Byte]](0),
         mm.getAs[Array[Byte]](1), empty = false))
+    }
+  }
+
+  /** Prune-only predicate for WIDE-DECIMAL (p > 18) key columns past the
+    * In-list cap: the removed-key set summarized by its [min,max]
+    * unscaled values at the batch's declared scale, each stored as the
+    * BIG-ENDIAN two's-complement bytes the wide-decimal zone maps use.
+    * One batch-sized aggregation — no driver key collect, no cap.
+    * `scale` gates application exactly like [[InKeyRange.decimalScale]]:
+    * unscaled values at different scales are incomparable, so a scale
+    * mismatch means "no prune from this column", never a wrong skip. */
+  final case class KeyDecimalRange(attribute: String, lo: Array[Byte],
+      hi: Array[Byte], scale: Int, empty: Boolean) extends Prune
+
+  object KeyDecimalRange {
+    /** Summarize a single-column DECIMAL(p>18) DataFrame of removed
+      * keys; None for other types (p <= 18 takes [[InKeyRange]]'s finer
+      * bucket bitmap). One (min,max) decimal aggregation job. */
+    def of(keys: org.apache.spark.sql.DataFrame): Option[KeyDecimalRange] = {
+      val f = keys.schema.fields.head
+      val d = f.dataType match {
+        case dt: DecimalType if dt.precision > 18 => dt
+        case _ => return None
+      }
+      val name = f.name
+      val nn = keys.filter(keys.col(name).isNotNull)
+      val mm = nn.groupBy()
+        .agg(org.apache.spark.sql.functions.min(name),
+          org.apache.spark.sql.functions.max(name)).collect().head
+      if (mm.isNullAt(0)) // no keys: every chunk is provably disjoint
+        return Some(KeyDecimalRange(name, Array.empty, Array.empty, d.scale,
+          empty = true))
+      def unscaledBe(bd: java.math.BigDecimal): Array[Byte] =
+        bd.setScale(d.scale).unscaledValue().toByteArray // minimal BE, sign OK
+      Some(KeyDecimalRange(name, unscaledBe(mm.getDecimal(0)),
+        unscaledBe(mm.getDecimal(1)), d.scale, empty = false))
     }
   }
 

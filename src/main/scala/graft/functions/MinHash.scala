@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
@@ -33,9 +33,13 @@ import org.apache.spark.unsafe.Platform
   * is part of the LLM-pipeline surface.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // null for short docs (n < 3) even when the input array is non-null —
+  // the codegen template must declare isNull as a real variable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(StringType, _) =>
@@ -60,8 +64,27 @@ case class MinHashSig(child: Expression, numHashes: Int)
   // shingles and rows (expression instances are per-task copies)
   @transient private var buf: Array[Byte] = _
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalArray(input.asInstanceOf[ArrayData])
+
+  /** Generated code stays inside whole-stage codegen and calls THIS via a
+    * reference object: the signature loop is real compiled Scala either
+    * way, so interpreted and codegen paths are the same code path —
+    * bit-identical by construction. One virtual call per row, no
+    * fallback-expression row materialization around the stage. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = $ref.evalArray($arr);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  /** The per-row signature kernel (shared by both eval paths); null for
+    * docs with fewer than 3 tokens. */
+  def evalArray(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < 3) return null
     if (buf == null) buf = new Array[Byte](256)

@@ -595,11 +595,14 @@ object FormatOps {
     * the cap, integral columns fall back to the unbounded
     * [[graft.format.Stats.InKeyRange]] bucket-bitmap summary (zone maps
     * only, no driver key collect, no cap) and string columns to the
-    * [[graft.format.Stats.KeyBytesRange]] min/max byte range, so a
+    * [[graft.format.Stats.KeyBytesRange]] min/max byte range, and
+    * wide-decimal (p > 18) columns to the
+    * [[graft.format.Stats.KeyDecimalRange]] unscaled min/max, so a
     * million-key CDC fold still prunes file-granularly on clustered
-    * tables — integral OR string keyed (URLs, document ids) — instead
-    * of silently degrading to a full rewrite. Other types past the cap:
-    * no prune from this column (the remaining conjuncts still apply). */
+    * tables — integral, string (URLs, document ids), OR DECIMAL(38)
+    * money/ID keyed — instead of silently degrading to a full rewrite.
+    * Other types past the cap: no prune from this column (the remaining
+    * conjuncts still apply). */
   private def keyPrune(batch: DataFrame, k: String): Option[graft.format.Stats.Prune] = {
     val cap = 1000
     val rows = batch.select(col(k)).distinct().limit(cap + 1).collect()
@@ -608,6 +611,7 @@ object FormatOps {
         rows.map(_.get(0)).filter(_ != null).distinct.toArray)))
     else graft.format.Stats.InKeyRange.of(batch.select(col(k)))
       .orElse(graft.format.Stats.KeyBytesRange.of(batch.select(col(k))))
+      .orElse(graft.format.Stats.KeyDecimalRange.of(batch.select(col(k))))
   }
 
   def updateWhere(s: SparkSession, dir: String, table: String,

@@ -296,6 +296,83 @@ class SelectiveRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a 5000-key DECIMAL(38) fold carries untouched files byte-identical") {
+    // wide-decimal twin of the scattered/string fold cases: past the
+    // In-list cap, DECIMAL(38) key columns summarize to a KeyDecimalRange
+    // (unscaled min/max at the batch's scale) instead of degrading to an
+    // unpruned full rewrite. Key values are beyond i64 so only the
+    // 16-byte stat path can prune them.
+    val dir = Files.createTempDirectory("graft-selective-deckeys").toString
+    val big = "CAST(CAST(id AS DECIMAL(18,0)) * CAST('100000000000000000000' AS DECIMAL(21,0)) AS DECIMAL(38,0))"
+    spark.range(0, 16000)
+      .selectExpr(s"$big AS dk", "id % 7 AS v")
+      .repartitionByRange(16, col("dk"))
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = fileState(dir)
+    assert(before.size == 16)
+    val batch = spark.range(0, 5000)
+      .selectExpr(s"$big AS dk", "CAST(-1 AS BIGINT) AS v")
+    FormatOps.upsert(spark, dir, "data", batch, Seq("dk"))
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 16000)
+    assert(live.filter(col("v") === -1).count() == 5000)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
+    assert(carried.size >= 10, s"want >=10 of 16 files carried, got ${carried.size}")
+    carried.foreach { case (rel, size) =>
+      val (sz, mt) = before.getOrElse(rel, fail(s"carried $rel not in pre-DML state"))
+      assert(sz == size, s"$rel size drifted")
+      val st = new Path(dir).getFileSystem(conf).getFileStatus(new Path(dir, rel))
+      assert(st.getModificationTime == mt, s"$rel was rewritten, not carried")
+    }
+  }
+
+  test("KeyDecimalRange: builder answers and canSkipChunkPrune soundness") {
+    import spark.implicits._
+    def dec38(s: String) = col("k").cast("decimal(38,4)").as("k")
+    val kd = Stats.KeyDecimalRange.of(
+      Seq("200000000000000000000.5", "-1.25", "7.0").toDF("k").select(dec38("k"))).get
+    assert(kd.scale == 4 && !kd.empty)
+    def big(s: String) = new java.math.BigDecimal(s)
+    assert(new java.math.BigDecimal(new java.math.BigInteger(kd.lo), 4)
+      .compareTo(big("-1.25")) == 0)
+    assert(new java.math.BigDecimal(new java.math.BigInteger(kd.hi), 4)
+      .compareTo(big("200000000000000000000.5")) == 0)
+    // empty key set: provably disjoint from everything
+    assert(Stats.KeyDecimalRange.of(
+      Seq.empty[String].toDF("k").select(dec38("k"))).get.empty)
+    // narrow decimals take InKeyRange's bitmap, not this summary
+    assert(Stats.KeyDecimalRange.of(
+      Seq(BigDecimal("1.5")).toDF("k").select(col("k").cast("decimal(10,2)").as("k"))).isEmpty)
+    assert(Stats.KeyDecimalRange.of(Seq(1L).toDF("k")).isEmpty)
+
+    // soundness against real chunk stats
+    val dir = Files.createTempDirectory("graft-kdr").toString
+    Seq("100000000000000000000.0000", "300000000000000000000.0000")
+      .toDF("k").select(col("k").cast("decimal(38,4)").as("m"))
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(file.toString)
+    val r = GraftFileReader.open(hp.getFileSystem(new Configuration()), hp)
+    val t = try r.footer.chunks.head.tables.head finally r.close()
+    def summaryOf(vals: String*) = Stats.KeyDecimalRange.of(
+      vals.toDF("k").select(col("k").cast("decimal(38,4)").as("m"))).get
+    assert(!Stats.canSkipChunkPrune(summaryOf("200000000000000000000.0"), t),
+      "key inside the chunk range must keep")
+    assert(Stats.canSkipChunkPrune(summaryOf("999000000000000000000.0"), t),
+      "key above the chunk range must skip")
+    assert(Stats.canSkipChunkPrune(summaryOf("-5.0"), t),
+      "key below the chunk range must skip")
+    // scale mismatch: unscaled values incomparable — must refuse to prune
+    val wrongScale = Stats.KeyDecimalRange.of(
+      Seq("999000000000000000000.0").toDF("k")
+        .select(col("k").cast("decimal(38,6)").as("m"))).get
+    assert(wrongScale.scale == 6)
+    assert(!Stats.canSkipChunkPrune(wrongScale, t))
+  }
+
   test("KeyBytesRange: builder answers and canSkipChunkPrune soundness") {
     import spark.implicits._
     val kb = Stats.KeyBytesRange.of(Seq("banana", "apple", "cherry").toDF("k")).get

@@ -164,6 +164,59 @@ class ZoneMapSpec extends SparkSpec {
     assert(g.filter(col("d") === lit(new java.math.BigDecimal("25.00"))).count() == 1)
   }
 
+  test("wide-decimal (p>18) zone maps: predicates beyond long range skip, sign handled") {
+    val dir = Files.createTempDirectory("graft-zone-dec38").toString
+    // d = (id - 20000) * 10^20 as DECIMAL(38,4): spans negative to
+    // positive with unscaled magnitudes ~2e28 — far outside i64, so any
+    // 8-byte shortcut in the stat path would order these WRONG
+    spark.range(0, 40000).coalesce(1)
+      .selectExpr("id",
+        "CAST((CAST(id AS DECIMAL(20,0)) - 20000) * CAST('100000000000000000000' AS DECIMAL(21,0)) AS DECIMAL(38,4)) AS d")
+      .write.format("graft").mode("overwrite").save(dir)
+    val p = graftFile(dir)
+    val conf = new Configuration()
+    val r = GraftFileReader.open(p.getFileSystem(conf), p)
+    try {
+      val t = r.footer.chunks.head.tables.head
+      val ds = t.stats(t.schema.fieldIndex("d"))
+      assert(ds.min.isDefined && ds.max.isDefined, "wide-decimal chunk stats missing")
+      def dec(b: Array[Byte]) = new java.math.BigDecimal(new java.math.BigInteger(b), 4)
+      assert(dec(ds.min.get).compareTo(new java.math.BigDecimal("-2000000000000000000000000")) == 0,
+        s"min=${dec(ds.min.get)}")
+      assert(dec(ds.max.get).compareTo(new java.math.BigDecimal("1999900000000000000000000")) == 0,
+        s"max=${dec(ds.max.get)}")
+      // block stats carry 16-byte slots too
+      assert(t.blockStats.nonEmpty &&
+        t.blockStats.head(t.schema.fieldIndex("d")).min.exists(_.length == 16))
+    } finally r.close()
+    val schema = spark.read.format("graft").load(dir).schema
+    def scanRows(f: Filter): (Long, Long) = {
+      val rd = new GraftPartitionReader(p.getFileSystem(conf), p, schema, None, Array(f), -1)
+      var rows = 0L; var batches = 0L
+      try { while (rd.next()) { rows += rd.get().numRows(); batches += 1 } }
+      finally rd.close()
+      (rows, batches)
+    }
+    // top of the range: only the last block survives
+    val (hiRows, hiBatches) = scanRows(
+      GreaterThan("d", new java.math.BigDecimal("1600000000000000000000000")))
+    assert(hiBatches == 1, s"want one kept block, got $hiBatches")
+    assert(hiRows == 40000L - 4 * Meta.BlockRows, s"decoded $hiRows rows")
+    // bottom (negative) end: sign-aware compare keeps only the first block
+    val (loRows, loBatches) = scanRows(
+      LessThan("d", new java.math.BigDecimal("-1300000000000000000000000")))
+    assert(loBatches == 1, s"want one kept block, got $loBatches")
+    assert(loRows == Meta.BlockRows.toLong, s"decoded $loRows rows")
+    // provably-empty ranges skip the whole chunk
+    assert(scanRows(GreaterThan("d", new java.math.BigDecimal("2000000000000000000000000")))._1 == 0L)
+    assert(scanRows(LessThan("d", new java.math.BigDecimal("-2000000000000000000000000")))._1 == 0L)
+    // end-to-end: results exact with skipping in play
+    val g = spark.read.format("graft").load(dir)
+    assert(g.filter(col("d") > lit(new java.math.BigDecimal("1999800000000000000000000"))).count() == 1)
+    assert(g.filter(col("d") === lit(new java.math.BigDecimal("-2000000000000000000000000"))).count() == 1)
+    assert(g.filter(col("d") < lit(new java.math.BigDecimal("0"))).count() == 20000)
+  }
+
   test("unsorted data: zone maps keep everything, results stay correct") {
     val dir = Files.createTempDirectory("graft-zone-rand").toString
     spark.range(0, 40000).coalesce(1)

@@ -60,6 +60,42 @@ class MinHashSigSpec extends SparkSpec {
     assert(exprSigs(df).count() == 1L && referenceSigs(df).count() == 1L)
   }
 
+  test("whole-stage codegen stays intact and agrees with interpreted eval") {
+    MinHashSig.register(spark, N)
+    // through a REAL source scan: a local relation would be folded by
+    // ConvertToLocalRelation and never reach codegen at all
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-cg").toString + "/t"
+    Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq[String]("x", null, "y", "z", "w")),
+      (3L, Seq("p", "q")), // short: null signature through the codegen path
+      (4L, null.asInstanceOf[Seq[String]])
+    ).toDF("doc_id", "toks").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val q = df.select(col("doc_id"), MinHashSig.minhashSig(col("toks")).as("sig"))
+    // the whole point of dropping CodegenFallback: the projection stage
+    // containing the expression must BE a WholeStageCodegen stage
+    val plan = q.queryExecution.executedPlan
+    val inCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("minhash_sig") => w
+    }
+    assert(inCodegen.nonEmpty,
+      s"minhash_sig fell out of whole-stage codegen:\n$plan")
+    val withCodegen = canon(q)
+    val interpreted = try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      canon(df.select(col("doc_id"), MinHashSig.minhashSig(col("toks")).as("sig")))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(withCodegen == interpreted)
+    // short and null docs both surface as null signatures, not crashes
+    assert(q.filter(col("sig").isNull).count() == 2)
+  }
+
   test("identical token arrays produce identical signatures (exact-twin recall)") {
     val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "it")
     val df = Seq((1L, toks), (2L, toks)).toDF("doc_id", "toks")

@@ -82,4 +82,54 @@ class MediaDecodeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](decodeWav(1L, "nonsense".getBytes))
     intercept[IllegalArgumentException](decodeWav(1L, base.take(40)))
   }
+
+  test("PNG round-trip: all five filters inverted, gray and truecolor exact") {
+    // h >= 6 covers every filter type (y % 5) plus a repeat with real
+    // up-row context; both color types hit
+    for (id <- Seq(2L, 7L)) { // even = grayscale, odd = RGB
+      val w = 9; val h = 7
+      val f = decodePng(id, pngBytes(id, w, h))
+      assert(f.width == w && f.height == h)
+      assert(f.color_type == (if (id % 2 == 0) 0 else 2))
+      val chans = if (id % 2 == 0) 1 else 3
+      val expect = (for {
+        y <- 0 until h; x <- 0 until w; c <- 0 until chans
+      } yield (7 * x + 13 * y + 11 * c + id) % 256).sum
+      assert(f.channel_sum == expect, s"doc $id channel sum")
+    }
+    // 1x1 edge: no left/up context anywhere
+    assert(decodePng(4L, pngBytes(4L, 1, 1)).channel_sum == 4L % 256)
+  }
+
+  test("PNG refuses junk, bad CRC, truncation; skips ancillary chunks") {
+    intercept[IllegalArgumentException](decodePng(1L, "nonsense".getBytes))
+    val good = pngBytes(5L, 6, 6)
+    intercept[IllegalArgumentException](decodePng(5L, good.take(good.length - 9)))
+    // flip one byte inside the first IDAT's data: CRC check must refuse
+    // (find the chunk rather than hard-coding its offset)
+    def chunkOffset(bytes: Array[Byte], typ: String): Int = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      var off = 8
+      while (new String(bytes, off + 4, 4, "US-ASCII") != typ)
+        off += 12 + bb.getInt(off)
+      off
+    }
+    val corrupt = good.clone()
+    val idatOff = chunkOffset(corrupt, "IDAT")
+    corrupt(idatOff + 8) = (corrupt(idatOff + 8) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](decodePng(5L, corrupt))
+    assert(e.getMessage.contains("CRC"))
+    // the generator embeds a tEXt ancillary chunk — the decode above
+    // proving exact sums already shows it is skipped; also verify the
+    // chunk really is present in the byte stream
+    assert(chunkOffset(good, "tEXt") > 8)
+    // and the IDAT payload really is split in two (concatenation proven)
+    val secondIdat = {
+      val first = chunkOffset(good, "IDAT")
+      val bb = java.nio.ByteBuffer.wrap(good)
+      val next = first + 12 + bb.getInt(first)
+      new String(good, next + 4, 4, "US-ASCII")
+    }
+    assert(secondIdat == "IDAT", "generator must emit two IDAT chunks")
+  }
 }
