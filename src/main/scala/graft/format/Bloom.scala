@@ -87,6 +87,11 @@ object Bloom {
     * bloom-comparable (never skip on it). */
   def literalBytes(dt: DataType, v: Any): Option[Array[Byte]] = (dt, v) match {
     case (StringType, s: String) => Some(UTF8String.fromString(s).getBytes)
+    // a string key supplied as its RAW UTF-8 bytes (the driver-side DML
+    // prune collects string keys through a BINARY cast: a String
+    // round-trip would substitute U+FFFD for invalid UTF-8 and probe the
+    // bloom with the WRONG bytes — a false "not present" proof)
+    case (StringType, b: Array[Byte]) => Some(b)
     case (BinaryType, b: Array[Byte]) => Some(b)
     case (ByteType | ShortType | IntegerType | LongType, n: Number)
         if n.doubleValue() == n.longValue().toDouble =>

@@ -145,6 +145,10 @@ object Stats {
         }
       case (StringType, s: String) =>
         Some(java.util.Arrays.compareUnsigned(stat, UTF8String.fromString(s).getBytes))
+      // raw UTF-8 bytes of a string key (driver-side DML prune literals
+      // travel as bytes so invalid UTF-8 never corrupts the compare)
+      case (StringType, b: Array[Byte]) =>
+        Some(java.util.Arrays.compareUnsigned(stat, b))
       case (BooleanType, bl: java.lang.Boolean) =>
         Some(java.lang.Long.compare(longOf(stat), if (bl) 1L else 0L))
       case _ => None
@@ -402,6 +406,30 @@ object Stats {
     }
   }
 
+  /** The exact i64 projection a key column's zone-map stats use, or None
+    * for unprojectable types: integral → value, date → epoch DAYS,
+    * timestamp → epoch MICROS (a plain cast would give seconds and
+    * silently mis-prune), short decimal → UNSCALED value at the batch's
+    * declared scale via EXACT decimal arithmetic (v * 10^scale, result
+    * precision p + scale + 2 ≤ 38 for p ≤ 18, integral by construction
+    * so the long cast is exact; built from plain Column ops — an
+    * UnscaledValue temp function here would mutate the session's
+    * function registry as a hidden side effect of DML planning). */
+  private[format] def i64Proj(col: org.apache.spark.sql.Column,
+      dt: DataType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(col.cast("long"))
+      case DateType => Some(unix_date(col).cast("long"))
+      case TimestampType => Some(unix_micros(col))
+      case d: DecimalType if d.precision <= 18 =>
+        val shift = org.apache.spark.sql.functions.lit(
+          java.math.BigDecimal.TEN.pow(d.scale))
+        Some((col * shift).cast("long"))
+      case _ => None
+    }
+  }
+
   object InKeyRange {
     private val Buckets = 1 << 16
 
@@ -409,37 +437,13 @@ object Stats {
       * the column has no exact i64 projection (integral, date,
       * timestamp, decimal p≤18) — callers fall back to
       * [[KeyBytesRange]] for strings, else no prune from this column.
-      * Two batch-sized jobs: (min,max) then the bitmap tree-aggregate. */
+      * Two batch-sized jobs: (min,max) then the bitmap tree-aggregate;
+      * [[Stats.keyPrune]]'s one-pass sketch skips the first. */
     def of(keys: org.apache.spark.sql.DataFrame): Option[InKeyRange] = {
-      import org.apache.spark.sql.functions.{unix_date, unix_micros}
       val f = keys.schema.fields.head
       val name = f.name
       val nn = keys.filter(keys.col(name).isNotNull)
-      // the i64 projection must match the zone maps' stat encoding
-      // exactly: integral → value, date → epoch DAYS, timestamp → epoch
-      // MICROS (a plain cast would give seconds and silently mis-prune),
-      // short decimal → UNSCALED value at the batch's declared scale
-      // (canSkipChunkPrune applies the summary only to columns of that
-      // same scale)
-      val asLong = f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          Some(nn.col(name).cast("long"))
-        case DateType => Some(unix_date(nn.col(name)).cast("long"))
-        case TimestampType => Some(unix_micros(nn.col(name)))
-        case d: DecimalType if d.precision <= 18 =>
-          // unscaled(v) = v * 10^scale in EXACT decimal arithmetic
-          // (result precision p + scale + 2 ≤ 38 for p ≤ 18 — no
-          // precision-loss rescale), integral by construction and
-          // < 10^18, so the long cast is exact. Built from plain
-          // Column ops: registering an UnscaledValue temp function
-          // here would mutate the session's function registry as a
-          // hidden side effect of DML planning and shadow any
-          // same-named user function for the session's lifetime.
-          val shift = org.apache.spark.sql.functions.lit(
-            java.math.BigDecimal.TEN.pow(d.scale))
-          Some((nn.col(name) * shift).cast("long"))
-        case _ => None
-      }
+      val asLong = i64Proj(nn.col(name), f.dataType)
       if (asLong.isEmpty) return None
       val scale = f.dataType match {
         case d: DecimalType => d.scale
@@ -452,8 +456,13 @@ object Stats {
       if (mm.isNullAt(0)) // no keys: every chunk is provably disjoint
         return Some(InKeyRange(name, 0L, -1L, 1L, new Array[Long](Buckets / 64),
           empty = true, decimalScale = scale))
-      val mn = mm.getLong(0)
-      val mx = mm.getLong(1)
+      Some(fromBounds(ks, name, mm.getLong(0), mm.getLong(1), scale))
+    }
+
+    /** Build the bucket bitmap for keys whose [min,max] is already known
+      * (ONE tree-aggregate job over the projected i64 keys). */
+    def fromBounds(ks: org.apache.spark.sql.DataFrame, name: String,
+        mn: Long, mx: Long, scale: Int): InKeyRange = {
       val span = mx - mn // as unsigned (a full-long-range key set wraps)
       val width = java.lang.Long.divideUnsigned(span, Buckets) + 1
       import org.apache.spark.sql.Encoders
@@ -469,8 +478,141 @@ object Stats {
           while (i < a.length) { a(i) |= b(i); i += 1 }
           a
         })
-      Some(InKeyRange(name, mn, mx, width, bits, empty = false,
-        decimalScale = scale))
+      InKeyRange(name, mn, mx, width, bits, empty = false, decimalScale = scale)
+    }
+  }
+
+  // ---- one-pass key-prune builder ------------------------------------------
+
+  /** Mutable per-partition key-sketch state for [[keyPrune]]'s single
+    * tree-aggregate: a distinct-value set capped at `cap` entries (null
+    * once exceeded — overflow is a one-way door) plus typed bounds
+    * running in the SAME pass (projected i64, raw UTF-8 bytes, or wide
+    * BigDecimal, per the column's summary type). */
+  private final class KeySketch(cap: Int) extends Serializable {
+    var set: java.util.HashSet[Any] = new java.util.HashSet[Any]()
+    var minL: Long = Long.MaxValue
+    var maxL: Long = Long.MinValue
+    var hasBounds: Boolean = false
+    var minB: Array[Byte] = null
+    var maxB: Array[Byte] = null
+    var minD: java.math.BigDecimal = null
+    var maxD: java.math.BigDecimal = null
+
+    def add(value: Any): Unit = if (set != null) {
+      set.add(value)
+      if (set.size > cap) set = null
+    }
+    def boundL(v: Long): Unit = {
+      if (v < minL) minL = v
+      if (v > maxL) maxL = v
+      hasBounds = true
+    }
+    def boundB(b: Array[Byte]): Unit = {
+      if (minB == null || java.util.Arrays.compareUnsigned(b, minB) < 0) minB = b
+      if (maxB == null || java.util.Arrays.compareUnsigned(b, maxB) > 0) maxB = b
+    }
+    def boundD(d: java.math.BigDecimal): Unit = {
+      if (minD == null || d.compareTo(minD) < 0) minD = d
+      if (maxD == null || d.compareTo(maxD) > 0) maxD = d
+    }
+    def merge(o: KeySketch): KeySketch = {
+      if (set == null || o.set == null) set = null
+      else { set.addAll(o.set); if (set.size > cap) set = null }
+      if (o.hasBounds) { boundL(o.minL); boundL(o.maxL) }
+      if (o.minB != null) { boundB(o.minB); boundB(o.maxB) }
+      if (o.minD != null) { boundD(o.minD); boundD(o.maxD) }
+      this
+    }
+  }
+
+  /** One key column's candidate-file prune for a keyed DML, built in ONE
+    * pass over the batch (plus one bitmap pass only for over-cap
+    * i64-projectable keys):
+    *
+    *  - ≤ `cap` distinct keys → an exact [[FilterPrune]] IN-list, the
+    *    strongest prune (zone maps AND blooms refute it per chunk).
+    *    STRING keys travel as their raw UTF-8 bytes from a BINARY cast —
+    *    a driver `collect()` of the String values would substitute
+    *    U+FFFD for invalid UTF-8 and the IN-list could prove a WRONG
+    *    skip ([[canSkip]]/[[Bloom.literalBytes]] take byte literals).
+    *  - past the cap: i64-projectable keys → [[InKeyRange]] (bounds from
+    *    the same pass, one extra bitmap job); strings →
+    *    [[KeyBytesRange]]; wide decimals → [[KeyDecimalRange]] — both
+    *    with ZERO extra jobs.
+    *
+    * Replaces the distinct+limit probe / (min,max) / bitmap three-job
+    * chain: the capped set rides a tree-aggregate with NO shuffle (each
+    * partition's distinct set is capped at `cap`+1 before it moves), so
+    * a keyed DML costs one batch pass regardless of key count. None =
+    * no prune from this column (remaining conjuncts still apply). */
+  def keyPrune(keys: org.apache.spark.sql.DataFrame,
+      cap: Int = 1000): Option[Prune] = {
+    val f = keys.schema.fields.head
+    val name = f.name
+    val kcol = keys.col(name)
+    val nn = keys.filter(kcol.isNotNull)
+    val proj = i64Proj(nn.col(name), f.dataType)
+    val scale = f.dataType match {
+      case d: DecimalType => d.scale
+      case _ => -1
+    }
+    // mode: how the sketch reads each row. 1 = i64 projection in col 1;
+    // 2 = string, raw bytes in BOTH cols (bytes are the IN-list literals
+    // AND the bounds); 3 = wide decimal, value in col 0; 0 = plain
+    // (IN-list only; no over-cap summary exists for the type)
+    val (mode, selected) = f.dataType match {
+      case _ if proj.isDefined => (1, nn.select(kcol, proj.get.as("_p")))
+      case StringType => (2, nn.select(kcol.cast(BinaryType).as("_b")))
+      case d: DecimalType if d.precision > 18 => (3, nn.select(kcol))
+      case _ => (0, nn.select(kcol))
+    }
+    val sk = selected.rdd.treeAggregate(new KeySketch(cap))(
+      (a, row) => {
+        mode match {
+          case 1 =>
+            a.add(row.get(0))
+            a.boundL(row.getLong(1))
+          case 2 =>
+            val b = row.getAs[Array[Byte]](0)
+            a.add(new BytesKey(b))
+            a.boundB(b)
+          case 3 =>
+            val d = row.getDecimal(0)
+            a.add(d)
+            a.boundD(d)
+          case _ => a.add(row.get(0))
+        }
+        a
+      },
+      (a, b) => a.merge(b))
+    if (sk.set != null) {
+      val raw = sk.set.toArray // Array[AnyRef]
+      val values: Array[Any] = mode match {
+        case 2 => raw.map(_.asInstanceOf[BytesKey].bytes: Any)
+        case _ => raw.map(x => x: Any)
+      }
+      return Some(FilterPrune(org.apache.spark.sql.sources.In(name, values)))
+    }
+    mode match {
+      case 1 => Some(InKeyRange.fromBounds(nn.select(proj.get.as("k")), name,
+        sk.minL, sk.maxL, scale))
+      case 2 => Some(KeyBytesRange(name, sk.minB, sk.maxB, empty = false))
+      case 3 => Some(KeyDecimalRange(name,
+        sk.minD.setScale(scale).unscaledValue().toByteArray,
+        sk.maxD.setScale(scale).unscaledValue().toByteArray, scale,
+        empty = false))
+      case _ => None
+    }
+  }
+
+  /** Byte-array set key with VALUE equality (Array[Byte] hashes by
+    * identity, which would make every row "distinct"). */
+  private final class BytesKey(val bytes: Array[Byte]) extends Serializable {
+    override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case b: BytesKey => java.util.Arrays.equals(bytes, b.bytes)
+      case _ => false
     }
   }
 

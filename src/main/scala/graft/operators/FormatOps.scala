@@ -588,31 +588,17 @@ object FormatOps {
   private def readTable(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.format("graft").option("table", table).load(dir)
 
-  /** One key column's candidate-file prune predicate for a keyed DML.
-    * Small batches (≤1000 distinct values) collect an EXACT IN-list —
-    * the strongest prune, since both zone maps AND blooms can refute it
-    * per chunk, which matters on tables NOT clustered by the key. Past
-    * the cap, integral columns fall back to the unbounded
-    * [[graft.format.Stats.InKeyRange]] bucket-bitmap summary (zone maps
-    * only, no driver key collect, no cap) and string columns to the
-    * [[graft.format.Stats.KeyBytesRange]] min/max byte range, and
-    * wide-decimal (p > 18) columns to the
-    * [[graft.format.Stats.KeyDecimalRange]] unscaled min/max, so a
+  /** One key column's candidate-file prune predicate for a keyed DML:
+    * [[graft.format.Stats.keyPrune]]'s one-pass sketch. Small batches
+    * (≤1000 distinct values) yield an EXACT IN-list — the strongest
+    * prune, since both zone maps AND blooms can refute it per chunk,
+    * which matters on tables NOT clustered by the key. Past the cap the
+    * unbounded typed summaries take over (integral/date/ts/decimal
+    * bitmap, string byte range, wide-decimal unscaled range), so a
     * million-key CDC fold still prunes file-granularly on clustered
-    * tables — integral, string (URLs, document ids), OR DECIMAL(38)
-    * money/ID keyed — instead of silently degrading to a full rewrite.
-    * Other types past the cap: no prune from this column (the remaining
-    * conjuncts still apply). */
-  private def keyPrune(batch: DataFrame, k: String): Option[graft.format.Stats.Prune] = {
-    val cap = 1000
-    val rows = batch.select(col(k)).distinct().limit(cap + 1).collect()
-    if (rows.length <= cap)
-      Some(graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
-        rows.map(_.get(0)).filter(_ != null).distinct.toArray)))
-    else graft.format.Stats.InKeyRange.of(batch.select(col(k)))
-      .orElse(graft.format.Stats.KeyBytesRange.of(batch.select(col(k))))
-      .orElse(graft.format.Stats.KeyDecimalRange.of(batch.select(col(k))))
-  }
+    * tables instead of silently degrading to a full rewrite. */
+  private def keyPrune(batch: DataFrame, k: String): Option[graft.format.Stats.Prune] =
+    graft.format.Stats.keyPrune(batch.select(col(k)))
 
   def updateWhere(s: SparkSession, dir: String, table: String,
       set: Map[String, org.apache.spark.sql.Column],
@@ -699,18 +685,34 @@ object FormatOps {
     // "replace" — and the anti-join below can never match them either,
     // so their values don't belong in the prune.
     val cap = 1000
+    // string keys group (and later prune) through a BINARY cast: a
+    // driver collect() of String values substitutes U+FFFD for invalid
+    // UTF-8, and an IN-list built from those corrupted literals could
+    // prove a WRONG chunk skip (the fold then carries a file still
+    // holding the true key's row). Byte literals compare exactly
+    // (Stats.canSkip / Bloom.literalBytes take them directly).
+    val keyExprs = keys.map { k =>
+      batch.schema(k).dataType match {
+        case org.apache.spark.sql.types.StringType => col(k).cast("binary").as(k)
+        case _ => col(k)
+      }
+    }
     val grouped = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keys.map(col): _*)
+      .groupBy(keyExprs: _*)
       .agg(count(lit(1)).as("_n")).limit(cap + 1).collect()
     val smallKeySet = grouped.length <= cap
     val dup =
       if (smallKeySet) grouped.find(_.getLong(keys.length) > 1)
       else batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-        .groupBy(keys.map(col): _*)
+        .groupBy(keyExprs: _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect().headOption
     dup.foreach { r =>
+      val shown = r.toSeq.init.map {
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case v => v
+      }
       throw new IllegalArgumentException(
-        s"upsert batch has multiple rows for key ${r.toSeq.init.mkString("[", ",", "]")}" +
+        s"upsert batch has multiple rows for key ${shown.mkString("[", ",", "]")}" +
           s" — dedupe the batch to one row per (${keys.mkString(",")}) first")
     }
     if (captureChanges) {

@@ -407,6 +407,94 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(!Stats.canSkipChunkPrune(atMin, t))
   }
 
+  test("one-pass keyPrune: IN-lists under the cap, typed summaries past it") {
+    import spark.implicits._
+    // small integral batch -> exact IN-list
+    Stats.keyPrune(Seq(1L, 2L, 2L, 3L).toDF("k")) match {
+      case Some(Stats.FilterPrune(org.apache.spark.sql.sources.In("k", vs))) =>
+        assert(vs.map(_.asInstanceOf[Long]).sorted.toSeq == Seq(1L, 2L, 3L))
+      case other => fail(s"want IN-list, got $other")
+    }
+    // nulls match no target row: excluded from the list
+    Stats.keyPrune(Seq[java.lang.Long](5L, null).toDF("k")) match {
+      case Some(Stats.FilterPrune(org.apache.spark.sql.sources.In("k", vs))) =>
+        assert(vs.toSeq == Seq(5L))
+      case other => fail(s"want IN-list, got $other")
+    }
+    // empty batch -> empty IN-list (provable skip-everything)
+    Stats.keyPrune(Seq.empty[Long].toDF("k")) match {
+      case Some(Stats.FilterPrune(org.apache.spark.sql.sources.In("k", vs))) =>
+        assert(vs.isEmpty)
+      case other => fail(s"want empty IN-list, got $other")
+    }
+    // small STRING batch: IN-list literals are raw bytes
+    Stats.keyPrune(Seq("ab", "cd").toDF("k")) match {
+      case Some(Stats.FilterPrune(org.apache.spark.sql.sources.In("k", vs))) =>
+        assert(vs.map(_.asInstanceOf[Array[Byte]].toSeq).toSet ==
+          Set("ab".getBytes.toSeq, "cd".getBytes.toSeq))
+      case other => fail(s"want byte IN-list, got $other")
+    }
+    // over the cap: integral -> InKeyRange with the same bounds of(
+    // would compute; string -> KeyBytesRange; wide decimal -> KeyDecimalRange
+    val bigLongs = spark.range(0, 3000).selectExpr("id * 7 AS k")
+    Stats.keyPrune(bigLongs) match {
+      case Some(kr: Stats.InKeyRange) =>
+        assert(kr.base == 0L && kr.maxKey == 2999L * 7)
+        assert(kr.mightIntersect(7L, 7L) && !kr.mightIntersect(21000L, 22000L))
+      case other => fail(s"want InKeyRange, got $other")
+    }
+    val bigStrs = spark.range(0, 3000).selectExpr("format_string('s%08d', id) AS k")
+    Stats.keyPrune(bigStrs) match {
+      case Some(kb: Stats.KeyBytesRange) =>
+        assert(new String(kb.lo, "UTF-8") == "s00000000")
+        assert(new String(kb.hi, "UTF-8") == "s00002999")
+      case other => fail(s"want KeyBytesRange, got $other")
+    }
+    val bigDecs = spark.range(0, 3000).selectExpr(
+      "CAST(CAST(id AS DECIMAL(18,0)) * CAST('100000000000000000000' AS DECIMAL(21,0)) AS DECIMAL(38,0)) AS k")
+    Stats.keyPrune(bigDecs) match {
+      case Some(kd: Stats.KeyDecimalRange) =>
+        assert(new java.math.BigDecimal(new java.math.BigInteger(kd.hi), 0)
+          .compareTo(new java.math.BigDecimal("2999").multiply(
+            new java.math.BigDecimal("100000000000000000000"))) == 0)
+      case other => fail(s"want KeyDecimalRange, got $other")
+    }
+    // unsummarizable type over the cap: no prune, never a wrong one
+    val bigDoubles = spark.range(0, 3000).selectExpr("CAST(id AS DOUBLE) / 3 AS k")
+    assert(Stats.keyPrune(bigDoubles).isEmpty)
+  }
+
+  test("invalid-UTF-8 string keys: the IN-list prune never proves a wrong skip") {
+    import spark.implicits._
+    // a chunk whose string key is NOT valid UTF-8 (written via a binary
+    // cast). A String-collected IN-list would hold U+FFFD-corrupted
+    // literals that compare ABOVE the chunk's true max and wrongly skip
+    // the file — its row would then survive the fold.
+    val dir = Files.createTempDirectory("graft-badutf-fold").toString
+    val raw = Array[Byte]('k'.toByte, 0xFF.toByte, 0x01)
+    Seq((raw, 1L)).toDF("b", "v")
+      .select(col("b").cast("string").as("sk"), col("v"))
+      .coalesce(1).write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 1)
+    // the prune literal is byte-exact
+    val prune = Stats.keyPrune(
+      Seq(raw).toDF("b").select(col("b").cast("string").as("sk"))).get
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(file.toString)
+    val r = GraftFileReader.open(hp.getFileSystem(new Configuration()), hp)
+    val t = try r.footer.chunks.head.tables.head finally r.close()
+    assert(!Stats.canSkipChunkPrune(prune, t),
+      "the file holding the key must NOT be skipped")
+    // end-to-end: the delete-by-upsert path really removes the row
+    val batch = Seq((raw, -1L)).toDF("b", "v")
+      .select(col("b").cast("string").as("sk"), col("v"))
+    FormatOps.upsert(spark, dir, "data", batch, Seq("sk"))
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 1 && live.select("v").head.getLong(0) == -1L,
+      "the invalid-UTF-8-keyed row must have been replaced, not carried")
+  }
+
   test("KeyBytesRange is byte-exact for invalid-UTF-8 string keys") {
     import spark.implicits._
     // 0xFF can appear in NO valid UTF-8 sequence; such bytes reach string
