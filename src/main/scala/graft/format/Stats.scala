@@ -491,6 +491,7 @@ object Stats {
     * BigDecimal, per the column's summary type). */
   private final class KeySketch(cap: Int) extends Serializable {
     var set: java.util.HashSet[Any] = new java.util.HashSet[Any]()
+    var rows: Long = 0L
     var minL: Long = Long.MaxValue
     var maxL: Long = Long.MinValue
     var hasBounds: Boolean = false
@@ -499,9 +500,12 @@ object Stats {
     var minD: java.math.BigDecimal = null
     var maxD: java.math.BigDecimal = null
 
-    def add(value: Any): Unit = if (set != null) {
-      set.add(value)
-      if (set.size > cap) set = null
+    def add(value: Any): Unit = {
+      rows += 1
+      if (set != null) {
+        set.add(value)
+        if (set.size > cap) set = null
+      }
     }
     def boundL(v: Long): Unit = {
       if (v < minL) minL = v
@@ -519,12 +523,20 @@ object Stats {
     def merge(o: KeySketch): KeySketch = {
       if (set == null || o.set == null) set = null
       else { set.addAll(o.set); if (set.size > cap) set = null }
+      rows += o.rows
       if (o.hasBounds) { boundL(o.minL); boundL(o.maxL) }
       if (o.minB != null) { boundB(o.minB); boundB(o.maxB) }
       if (o.minD != null) { boundD(o.minD); boundD(o.maxD) }
       this
     }
   }
+
+  /** [[keyPrune]]'s result plus what the same pass learned about the
+    * batch: non-null row count, and the exact distinct-key count when it
+    * fit the cap (None past it). A single-key MERGE admission check
+    * falls out for free — duplicates exist iff `rows > distinct`. */
+  final case class KeyPruneResult(prune: Option[Prune], rows: Long,
+      distinct: Option[Int])
 
   /** One key column's candidate-file prune for a keyed DML, built in ONE
     * pass over the batch (plus one bitmap pass only for over-cap
@@ -547,7 +559,12 @@ object Stats {
     * a keyed DML costs one batch pass regardless of key count. None =
     * no prune from this column (remaining conjuncts still apply). */
   def keyPrune(keys: org.apache.spark.sql.DataFrame,
-      cap: Int = 1000): Option[Prune] = {
+      cap: Int = 1000): Option[Prune] = keyPruneFull(keys, cap).prune
+
+  /** [[keyPrune]] exposing the pass's row/distinct counts (see
+    * [[KeyPruneResult]]). */
+  def keyPruneFull(keys: org.apache.spark.sql.DataFrame,
+      cap: Int = 1000): KeyPruneResult = {
     val f = keys.schema.fields.head
     val name = f.name
     val kcol = keys.col(name)
@@ -592,9 +609,11 @@ object Stats {
         case 2 => raw.map(_.asInstanceOf[BytesKey].bytes: Any)
         case _ => raw.map(x => x: Any)
       }
-      return Some(FilterPrune(org.apache.spark.sql.sources.In(name, values)))
+      return KeyPruneResult(
+        Some(FilterPrune(org.apache.spark.sql.sources.In(name, values))),
+        sk.rows, Some(raw.length))
     }
-    mode match {
+    val prune = mode match {
       case 1 => Some(InKeyRange.fromBounds(nn.select(proj.get.as("k")), name,
         sk.minL, sk.maxL, scale))
       case 2 => Some(KeyBytesRange(name, sk.minB, sk.maxB, empty = false))
@@ -604,6 +623,7 @@ object Stats {
         empty = false))
       case _ => None
     }
+    KeyPruneResult(prune, sk.rows, distinct = None)
   }
 
   /** Byte-array set key with VALUE equality (Array[Byte] hashes by

@@ -697,16 +697,11 @@ object FormatOps {
         case _ => col(k)
       }
     }
-    val grouped = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keyExprs: _*)
-      .agg(count(lit(1)).as("_n")).limit(cap + 1).collect()
-    val smallKeySet = grouped.length <= cap
-    val dup =
-      if (smallKeySet) grouped.find(_.getLong(keys.length) > 1)
-      else batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    def dupRefusal(): Nothing = {
+      // failure path only: re-derive ONE offending key for the message
+      val r = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
         .groupBy(keyExprs: _*)
-        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect().headOption
-    dup.foreach { r =>
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect().head
       val shown = r.toSeq.init.map {
         case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
         case v => v
@@ -714,6 +709,40 @@ object FormatOps {
       throw new IllegalArgumentException(
         s"upsert batch has multiple rows for key ${shown.mkString("[", ",", "]")}" +
           s" — dedupe the batch to one row per (${keys.mkString(",")}) first")
+    }
+    // Single-key admission + pruning in ONE shuffle-free pass: the prune
+    // sketch's (rows, distinct) answers the MERGE dup check directly for
+    // small batches; only over-cap batches pay the full dup groupBy.
+    // Multi-key upserts keep the tuple-grouped path (the dup check is on
+    // the key TUPLE, which per-column sketches can't see).
+    var multiKeyGrouped: Option[Array[org.apache.spark.sql.Row]] = None
+    val singleKeyPrune: Option[graft.format.Stats.KeyPruneResult] =
+      if (keys.size == 1) // raw column: keyPruneFull does its own string cast
+        Some(graft.format.Stats.keyPruneFull(batch.select(col(keys.head))))
+      else None
+    singleKeyPrune match {
+      case Some(res) =>
+        val hasDup = res.distinct match {
+          case Some(d) => res.rows > d
+          case None => batch.filter(col(keys.head).isNotNull)
+            .groupBy(keyExprs: _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+            .limit(1).collect().nonEmpty
+        }
+        if (hasDup) dupRefusal()
+      case None =>
+        val grouped = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(keyExprs: _*)
+          .agg(count(lit(1)).as("_n")).limit(cap + 1).collect()
+        val smallKeySet = grouped.length <= cap
+        val dup =
+          if (smallKeySet) grouped.exists(_.getLong(keys.length) > 1)
+          else batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+            .groupBy(keyExprs: _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+            .limit(1).collect().nonEmpty
+        if (dup) dupRefusal()
+        multiKeyGrouped = if (smallKeySet) Some(grouped) else None
     }
     if (captureChanges) {
       // insert-vs-update split needs only the PRE-image's key column for
@@ -737,17 +766,21 @@ object FormatOps {
     }
     // File-granular COW: only files whose zone maps/blooms admit one of
     // the batch's keys can hold a row the anti-join removes — the rest
-    // carry by reference. Small batches reuse the validation collect's
-    // key tuples (exact IN-lists per column, zero extra jobs); past the
-    // cap, integral columns fall back to the unbounded InKeyRange
-    // summary exactly like keyPrune.
+    // carry by reference. Single-key: the admission pass's own prune.
+    // Multi-key small batches reuse the validation collect's key tuples
+    // (exact IN-lists per column, zero extra jobs); past the cap the
+    // per-column sketches run.
     val keyFilters: Option[Seq[graft.format.Stats.Prune]] = {
-      val fs: Seq[graft.format.Stats.Prune] =
-        if (smallKeySet) keys.zipWithIndex.map { case (k, i) =>
-          graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
-            grouped.map(_.get(i)).distinct.toArray))
+      val fs: Seq[graft.format.Stats.Prune] = singleKeyPrune match {
+        case Some(res) => res.prune.toSeq
+        case None => multiKeyGrouped match {
+          case Some(grouped) => keys.zipWithIndex.map { case (k, i) =>
+            graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
+              grouped.map(_.get(i)).distinct.toArray))
+          }
+          case None => keys.flatMap(k => keyPrune(batch, k)) // per-column caps intact
         }
-        else keys.flatMap(k => keyPrune(batch, k)) // per-column caps intact
+      }
       Some(fs).filter(_.nonEmpty)
     }
     val touched = graft.sources.Generations.rewriteTable(s, dir, table,

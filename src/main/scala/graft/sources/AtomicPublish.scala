@@ -33,8 +33,10 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * counted 2 574 process forks in 16 s of work, nearly all from these
   * two calls — a pure-JVM NIO create/move eliminates them. Non-local
   * schemes keep the Hadoop path: HDFS renameInternal is atomic in the
-  * NameNode (and never forks), and object stores need their own
-  * conditional-put story anyway.
+  * NameNode (and never forks). Object stores have no atomic rename at
+  * all — pointer publishes there go through [[ConditionalPut]]'s
+  * compare-and-swap protocol (etag-conditioned PUTs; see that file for
+  * the lost-update analysis and the raced spec).
   */
 private[graft] object AtomicPublish {
 

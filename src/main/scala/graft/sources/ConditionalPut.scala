@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** Conditional-put (compare-and-swap) pointer publish for stores with NO
+  * atomic rename.
+  *
+  * [[AtomicPublish]] covers filesystems where a single atomic rename
+  * exists (POSIX `rename(2)` locally, the NameNode's rename on HDFS).
+  * Object stores have neither — a blind PUT of the generation pointer is
+  * last-writer-wins, so two concurrent publishers (say a compaction and
+  * a CDC fold, each read pointer → write generation → publish pointer)
+  * can interleave as read(g0) / read(g0) / put(gA) / put(gB): gB
+  * silently erases gA's generation — a LOST UPDATE whose data files
+  * linger unreferenced until vacuum.
+  *
+  * The industry protocol is the conditional write every major store now
+  * exposes (HTTP `If-Match: <etag>` / `If-None-Match: *` preconditions;
+  * S3/GCS/Azure all support it, and Delta/Iceberg commit services are
+  * built on exactly this): PUT the new pointer ONLY IF the object's
+  * version is still the one the writer read. A losing writer gets a
+  * precondition failure, re-reads, re-bases, retries — optimistic
+  * concurrency, no lock service.
+  *
+  * [[ObjectStore]] is the minimal seam (get → bytes+etag, putIf →
+  * conditional PUT); wiring a real S3/GCS client is one small adapter
+  * this container can't exercise (zero egress), so the contract is
+  * proved on [[MemoryStore]] instead: [[CasPointerSpec]] races
+  * concurrent publishers and shows every update survives through the
+  * CAS loop while blind puts demonstrably lose one.
+  */
+object ConditionalPut {
+
+  type Etag = String
+
+  /** The two object-store primitives the protocol needs. Adapters for a
+    * real store map `get` to GET (content + ETag header) and `putIf` to
+    * PUT with `If-Match`/`If-None-Match: *` preconditions. */
+  trait ObjectStore {
+    /** Current content and version token, or None if absent. */
+    def get(key: String): Option[(Array[Byte], Etag)]
+
+    /** Conditional PUT. `expect = None` → create only if ABSENT
+      * (`If-None-Match: *`); `expect = Some(etag)` → replace only that
+      * exact version (`If-Match`). Returns the new etag, or None when
+      * the precondition failed (someone else won the race). */
+    def putIf(key: String, expect: Option[Etag], bytes: Array[Byte]): Option[Etag]
+  }
+
+  /** Read-modify-write through the CAS loop: apply `f` to the current
+    * content until a conditional put lands. `f` may be invoked several
+    * times (once per race lost) — it must be pure. Returns the content
+    * that finally landed. `maxRetries` bounds pathological contention:
+    * exceeding it throws rather than spinning forever. */
+  def update(store: ObjectStore, key: String, maxRetries: Int = 64)(
+      f: Option[String] => String): String = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = store.get(key)
+      val expect = cur.map(_._2)
+      val content = f(cur.map(c => new String(c._1, StandardCharsets.UTF_8)))
+      if (store.putIf(key, expect, content.getBytes(StandardCharsets.UTF_8)).isDefined)
+        return content
+      attempt += 1
+    }
+    throw new graft.format.OliveFormatException(
+      s"conditional put on $key lost $maxRetries races; giving up")
+  }
+
+  /** The generation-pointer swap, object-store edition: advance the
+    * pointer from `expectGen` to `newGen` ONLY if nobody moved it in
+    * between. False = the precondition failed (pointer changed or the
+    * read raced a create) — the caller must re-read the table state and
+    * REBASE its generation (its carry manifest references the old
+    * files), not just retry the put; that is a planning decision, so no
+    * loop lives here. */
+  def swapPointer(store: ObjectStore, key: String,
+      expectGen: Option[String], newGen: String): Boolean = {
+    val expect: Option[Option[Etag]] = expectGen match {
+      case None => // table must still be un-pointed
+        store.get(key) match {
+          case None => Some(None)
+          case Some(_) => None
+        }
+      case Some(g) =>
+        store.get(key) match {
+          case Some((bytes, etag))
+              if new String(bytes, StandardCharsets.UTF_8).trim == g =>
+            Some(Some(etag))
+          case _ => None
+        }
+    }
+    expect.exists(e =>
+      store.putIf(key, e, newGen.getBytes(StandardCharsets.UTF_8)).isDefined)
+  }
+
+  /** In-memory [[ObjectStore]] with real conditional-put semantics
+    * (atomic per key, monotonically fresh etags) — the test double the
+    * protocol spec races against. */
+  final class MemoryStore extends ObjectStore {
+    private val lock = new Object
+    private var objects = Map.empty[String, (Array[Byte], Etag)]
+    private var nextTag = 0L
+
+    def get(key: String): Option[(Array[Byte], Etag)] = lock.synchronized {
+      objects.get(key).map { case (b, e) => (b.clone(), e) }
+    }
+
+    def putIf(key: String, expect: Option[Etag], bytes: Array[Byte]): Option[Etag] =
+      lock.synchronized {
+        val current = objects.get(key).map(_._2)
+        val ok = expect match {
+          case None => current.isEmpty // If-None-Match: *
+          case Some(e) => current.contains(e) // If-Match: e
+        }
+        if (!ok) None
+        else {
+          nextTag += 1
+          val tag = s"etag-$nextTag"
+          objects = objects.updated(key, (bytes.clone(), tag))
+          Some(tag)
+        }
+      }
+
+    /** A deliberately UNconditional PUT — what a rename-less store does
+      * without preconditions; exists so the spec can demonstrate the
+      * lost update the protocol prevents. */
+    def putBlind(key: String, bytes: Array[Byte]): Unit = lock.synchronized {
+      nextTag += 1
+      objects = objects.updated(key, (bytes.clone(), s"etag-$nextTag"))
+    }
+  }
+}

@@ -81,6 +81,33 @@ class CdfLedgerSpec extends SparkSpec {
       Seq("id"))
     assert(canon(spark.read.format("graft").load(dir)) ==
       Seq("List(1, a)", "List(null, oldnull)", "List(null, n1)", "List(null, n2)").sorted)
+    // an OVER-CAP batch (distinct keys > 1000, so the sketch can't see
+    // the dup) with one duplicated key must still refuse through the
+    // full groupBy fallback
+    import org.apache.spark.sql.functions.{col, lit}
+    intercept[IllegalArgumentException] {
+      FormatOps.upsert(spark, dir, "data",
+        spark.range(0, 2000).selectExpr("id + 100 AS id", "'z' AS v")
+          .unionAll(spark.range(0, 1).selectExpr("CAST(150 AS BIGINT) AS id", "'dup' AS v")),
+        Seq("id"))
+    }
+    // multi-key dup refusal still works (tuple-grouped path): same
+    // (a, b) tuple twice is ambiguous even though each column alone has
+    // duplicates legally
+    val dir2 = Files.createTempDirectory("graft-ups-mk").toString
+    spark.sql("SELECT * FROM VALUES (1L, 10L, 'a') AS t(a, b, v)")
+      .write.format("graft").mode("overwrite").save(dir2)
+    intercept[IllegalArgumentException] {
+      FormatOps.upsert(spark, dir2, "data",
+        spark.sql("SELECT * FROM VALUES (1L, 10L, 'x'), (1L, 10L, 'y') AS t(a, b, v)"),
+        Seq("a", "b"))
+    }
+    // distinct tuples sharing column values are fine
+    FormatOps.upsert(spark, dir2, "data",
+      spark.sql("SELECT * FROM VALUES (1L, 10L, 'x'), (1L, 11L, 'y') AS t(a, b, v)"),
+      Seq("a", "b"))
+    assert(canon(spark.read.format("graft").load(dir2)) ==
+      Seq("List(1, 10, x)", "List(1, 11, y)").sorted)
   }
 
   test("changesBetween: null-position swap is an update; map key order is not a change") {
