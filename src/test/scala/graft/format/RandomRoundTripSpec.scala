@@ -200,8 +200,75 @@ class RandomRoundTripSpec extends SparkSpec {
       val back = spark.read.format("graft").load(dir)
       assert(back.schema.map(f => (f.name, f.dataType)) == schema.map(f => (f.name, f.dataType)),
         s"schema mismatch (seed ${1000 + iter})")
+      // the widened types are only themselves THROUGH their tags: a
+      // u64/f16/decimal256/union column whose metadata didn't survive
+      // the round-trip would silently read back as its carrier type
+      assert(back.schema.map(tagsOf) == schema.map(tagsOf),
+        s"metadata tag mismatch (seed ${1000 + iter})")
       assert(canon(back) == canon(df),
         s"data mismatch (seed ${1000 + iter}, schema $schema, page $pageSize, bias $bias, chunk $chunkRows)")
     }
+  }
+
+  /** The metadata projection that must survive a round-trip: logical
+    * type + scale tags and the fixed-width marker. */
+  private def tagsOf(f: StructField): (String, Option[String], Option[Long], Option[Long]) = (
+    f.name,
+    if (f.metadata.contains(Logical.Key)) Some(f.metadata.getString(Logical.Key)) else None,
+    if (f.metadata.contains(Logical.ScaleKey)) Some(f.metadata.getLong(Logical.ScaleKey)) else None,
+    if (f.metadata.contains(ColumnEncoder.FixedWidthKey))
+      Some(f.metadata.getLong(ColumnEncoder.FixedWidthKey)) else None)
+
+  test("generator provably emits every widened logical type (seed-pinned)") {
+    // the fuzz sweep only covers what the generator actually draws: pin
+    // that u8..u64, f16, decimal256, and union ALL appear across the
+    // deterministic seed range the suite runs, so none can silently
+    // drop out of the mix
+    val want = Set("u8", "u16", "u32", "u64", "f16", "decimal256", "union")
+    val seen = scala.collection.mutable.Set[String]()
+    var seed = 1000
+    while (seed < 1300 && seen != want) {
+      val r = new Random(seed)
+      randSchema(r).fields.foreach { f =>
+        if (f.metadata.contains(Logical.Key)) seen += f.metadata.getString(Logical.Key)
+      }
+      seed += 1
+    }
+    assert(seen == want, s"generator never drew ${want -- seen} in 300 seeds")
+  }
+
+  test("all widened types in one schema: tags and values round-trip bit-exact") {
+    val schema = StructType(Seq(
+      StructField("u", Logical.sparkType(Logical.code("u64")), nullable = true,
+        Logical.metadata("u64")),
+      StructField("h", Logical.sparkType(Logical.code("f16")), nullable = true,
+        Logical.metadata("f16")),
+      StructField("d", BinaryType, nullable = true,
+        new MetadataBuilder().putString(Logical.Key, "decimal256")
+          .putLong(Logical.ScaleKey, 10).build())))
+    val r = new Random(42)
+    val rows = (0 until 500).map { i =>
+      Row(
+        if (i % 7 == 0) null
+        else new java.math.BigDecimal(new java.math.BigInteger(64, r.self)),
+        if (i % 11 == 0) null else Half.toFloat(r.nextInt(0x10000).toShort),
+        if (i % 13 == 0) null else { val b = new Array[Byte](32); r.nextBytes(b); b })
+    }
+    // pin the boundary values explicitly: u64 max, f16 ±Inf and a NaN bit
+    // pattern, an all-0xFF (negative) decimal256
+    val pinned = Seq(
+      Row(new java.math.BigDecimal("18446744073709551615"), // 2^64 - 1
+        Half.toFloat(0x7c00.toShort), // +Inf
+        Array.fill[Byte](32)(0xFF.toByte)),
+      Row(new java.math.BigDecimal(0),
+        Half.toFloat(0xfc00.toShort), // -Inf
+        new Array[Byte](32)))
+    val df = spark.createDataFrame((rows ++ pinned).asJava, schema)
+    val dir = Files.createTempDirectory("graft-widened").toString
+    df.coalesce(1).write.format("graft").mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema.map(tagsOf) == schema.map(tagsOf))
+    assert(back.schema.map(f => (f.name, f.dataType)) == schema.map(f => (f.name, f.dataType)))
+    assert(canon(back) == canon(df))
   }
 }
