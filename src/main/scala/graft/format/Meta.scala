@@ -297,22 +297,40 @@ object Meta {
         if (nCols != schema.size)
           throw new OliveFormatException(s"column count $nCols != schema fields ${schema.size}")
         val cols = Vector.fill(nCols)(readCol(c, 0))
-        val stats = Vector.fill(nCols) {
+        // min/max widths are checked against the declared column type
+        // HERE, not at compare time: a hostile 3-byte "min" on a long
+        // column would otherwise crash the skip compare mid-scan instead
+        // of refusing cleanly; sums are always written as 8 bytes
+        def readStats(ci: Int, nullCount: Int): ColStats = {
+          val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+          val dt = schema.fields(ci).dataType
+          (st.min.toSeq ++ st.max.toSeq).foreach { b =>
+            if (!Stats.statBytesOk(dt, b))
+              throw new OliveFormatException(
+                s"stat width ${b.length} illegal for ${dt.simpleString} column ${schema.fields(ci).name}")
+          }
+          st.sum.foreach { b =>
+            if (b.length != 8)
+              throw new OliveFormatException(s"sum stat width ${b.length} != 8")
+          }
+          st
+        }
+        val stats = Vector.tabulate(nCols) { ci =>
           val nullCount = c.getInt()
           if (nullCount < 0 || nullCount > numRows)
             throw new OliveFormatException(s"null count $nullCount outside $numRows rows")
-          ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+          readStats(ci, nullCount)
         }
         val nBlocks = c.getInt()
         val expectBlocks = (numRows + BlockRows - 1) / BlockRows
         if (nBlocks != 0 && nBlocks != expectBlocks)
           throw new OliveFormatException(s"block stat count $nBlocks != $expectBlocks")
         val blockStats = Vector.fill(nBlocks) {
-          Vector.fill(nCols) {
+          Vector.tabulate(nCols) { ci =>
             val nullCount = c.getInt()
             if (nullCount < 0 || nullCount > BlockRows)
               throw new OliveFormatException(s"block null count $nullCount > $BlockRows")
-            ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+            readStats(ci, nullCount)
           }
         }
         val nBlooms = c.getInt()

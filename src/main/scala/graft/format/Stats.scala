@@ -96,6 +96,21 @@ object Stats {
     ColStats(nulls, mn, mx, sum)
   }
 
+  /** Is `b` a legal min/max stat payload for a `dt` column? The footer
+    * is UNTRUSTED: a wrong-width stat would crash the skip compares
+    * (BigInteger on empty bytes, an 8-byte read past a 3-byte array)
+    * instead of failing the clean-refusal contract — so widths are
+    * checked at PARSE time, against the schema the footer itself
+    * declares. */
+  def statBytesOk(dt: DataType, b: Array[Byte]): Boolean = dt match {
+    case StringType => b.length <= MaxStringStat
+    case d: DecimalType => b.length == (if (d.precision <= 18) 8 else 16)
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType | FloatType | DoubleType =>
+      b.length == 8
+    case _ => true // never numerically compared (no cmp branch exists)
+  }
+
   def longBytes(v: Long): Array[Byte] = { val b = new Bytes(8); b.putLong(v); b.toArray }
   def doubleBytes(v: Double): Array[Byte] = { val b = new Bytes(8); b.putDouble(v); b.toArray }
   def longOf(b: Array[Byte]): Long = Bytes.le(b).getLong(0)
@@ -678,11 +693,22 @@ object Stats {
       node.forEach { e =>
         val schema = org.apache.spark.sql.types.StructType.fromDDL(e.get("s").asText())
         val stats = Vector.newBuilder[ColStats]
+        var ci = 0
         e.get("c").forEach { c =>
-          stats += ColStats(
+          val st = ColStats(
             c.get("nc").asInt(),
             Option(c.get("mn")).map(m => b64.decode(m.asText())),
             Option(c.get("mx")).map(m => b64.decode(m.asText())))
+          // same width rule as the footer parse: a corrupt manifest must
+          // fall back to the footer probe, never crash a skip compare
+          if (ci < schema.size)
+            (st.min.toSeq ++ st.max.toSeq).foreach { b =>
+              if (!statBytesOk(schema.fields(ci).dataType, b))
+                throw new OliveFormatException(
+                  s"manifest stat width ${b.length} illegal for ${schema.fields(ci).dataType.simpleString}")
+            }
+          stats += st
+          ci += 1
         }
         out += Meta.TableMeta(e.get("t").asText(), e.get("n").asInt(), schema,
           Vector.empty, stats.result())

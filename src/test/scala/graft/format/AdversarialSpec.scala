@@ -132,6 +132,46 @@ class AdversarialSpec extends SparkSpec {
     }
   }
 
+  test("wrong-width stat bytes are refused at parse, not crashed on at skip time") {
+    val f = writeSample()
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, hp)
+    val footer = r.footer
+    r.close()
+    val raw = openRaw(f)
+    def rebuild(mutated: Meta.Footer): Array[Byte] = {
+      val fb = Meta.write(mutated)
+      val origFooterLen = Bytes.le(raw).getLong(raw.length - 12)
+      val body = raw.slice(0, raw.length - 12 - origFooterLen.toInt)
+      val tail = new Bytes(12)
+      tail.putLong(fb.length.toLong)
+      tail.putBytes(Meta.MagicTail)
+      body ++ fb ++ tail.toArray
+    }
+    val chunk = footer.chunks.head
+    val table = chunk.tables.head
+    def withStat(colName: String, st: ColStats): Meta.Footer = {
+      val ci = table.schema.fieldIndex(colName)
+      footer.copy(chunks = Vector(chunk.copy(tables = Vector(
+        table.copy(stats = table.stats.updated(ci, st))))))
+    }
+    // sample schema: id long (8-byte stats), s string (<=48), d
+    // decimal(22,1) (16-byte), sd double (8-byte)
+    val liars = Seq(
+      withStat("id", ColStats(0, Some(Array[Byte](1, 2, 3)), Some(Stats.longBytes(9)))),
+      withStat("id", ColStats(0, Some(Stats.longBytes(0)), Some(Array.empty[Byte]))),
+      withStat("d", ColStats(0, Some(Stats.longBytes(0)), Some(Stats.longBytes(9)))), // 8 != 16
+      withStat("s", ColStats(0, Some(new Array[Byte](49)), Some(new Array[Byte](49)))),
+      withStat("sd", ColStats(0, Some(Array[Byte](1)), Some(Stats.longBytes(1)))),
+      withStat("id", ColStats(0, Some(Stats.longBytes(0)), Some(Stats.longBytes(9)),
+        sum = Some(Array[Byte](1, 2))))) // sums are always 8 bytes
+    liars.foreach { lie =>
+      val e = intercept[OliveFormatException](tryOpen(rebuild(lie)))
+      assert(e.getMessage.contains("stat width"), s"got: ${e.getMessage}")
+    }
+  }
+
   test("huge claimed row counts fail BEFORE allocation, not by OOM") {
     val f = writeSample()
     val hp = new Path(f.toString)
