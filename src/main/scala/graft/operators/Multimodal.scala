@@ -310,6 +310,9 @@ object Multimodal {
       require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
       id match {
         case "fmt " =>
+          // PCM fmt is 16 bytes; the fields below read up to off+23 and
+          // a lying shorter length could read past the chunk/file
+          require(len >= 16, s"fmt chunk length $len < 16")
           require(bb.getShort(off + 8) == 1, "not PCM")
           channels = bb.getShort(off + 10).toInt
           rate = bb.getInt(off + 12)
@@ -463,6 +466,10 @@ object Multimodal {
       require(crc.getValue.toInt == bb.getInt(off + 8 + len), s"bad CRC in $typ")
       typ match {
         case "IHDR" =>
+          // the 13-byte fixed layout is read field-by-field below — a
+          // lying shorter length would read past the chunk into the CRC
+          // or off the array end
+          require(len == 13, s"IHDR length $len != 13")
           w = bb.getInt(off + 8); h = bb.getInt(off + 12)
           require(w > 0 && h > 0, s"malformed PNG dimensions ${w}x$h")
           require(bytes(off + 16) == 8, "only 8-bit depth supported")
