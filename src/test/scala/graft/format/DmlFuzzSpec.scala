@@ -1,0 +1,95 @@
+package graft.format
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.FormatOps
+import graft.sources.GraftDataSource
+
+/** Property-based fuzz over the MUTATION layer — the row-level-DML twin
+  * of [[RandomRoundTripSpec]]'s format fuzz: a seeded random sequence of
+  * upsert / delete / update / compact operations runs against both the
+  * graft table and an in-memory model; after EVERY operation the live
+  * table must equal the model exactly, and at the end every recorded
+  * generation must still time-travel to the state the model had when
+  * that generation was published. Exercises the interactions no single
+  * gate does: capture-on/off upserts into freshly compacted layouts,
+  * deletes whose predicate prunes everything (no-op fold), updates over
+  * carried files, chains of carry manifests across many generations. */
+class DmlFuzzSpec extends SparkSpec {
+
+  private def genIndexOf(dir: String): Option[Int] =
+    GraftDataSource.readGenPointer(new Configuration(), dir)
+      .map(_.replaceAll("[^0-9]", "").toInt)
+
+  for (seed <- Seq(11, 23)) {
+    test(s"random DML sequences match an in-memory model (seed $seed)") {
+      val r = new Random(seed)
+      val dir = Files.createTempDirectory(s"graft-dmlfuzz$seed").toString
+      import spark.implicits._
+
+      var model: Map[Long, (Long, String)] =
+        (0L until 400L).map(id => id -> (id * 3, s"s$id")).toMap
+      model.toSeq.map { case (id, (v, s)) => (id, v, s) }
+        .toDF("id", "v", "s")
+        .repartitionByRange(4, col("id"))
+        .write.format("graft").mode("overwrite").save(dir)
+
+      def liveState(): Map[Long, (Long, String)] =
+        spark.read.format("graft").load(dir).collect()
+          .map(row => row.getLong(row.fieldIndex("id")) ->
+            (row.getLong(row.fieldIndex("v")), row.getString(row.fieldIndex("s"))))
+          .toMap
+
+      // genIndex -> the model state that generation must keep serving
+      val snapshots = mutable.Map[Int, Map[Long, (Long, String)]]()
+
+      (1 to 14).foreach { step =>
+        val op = r.nextInt(4)
+        op match {
+          case 0 => // keyed upsert: mix of existing and brand-new keys
+            val ks = r.shuffle((0L until 600L).toVector).take(1 + r.nextInt(80))
+            val batch = ks.map(id => (id, r.nextLong() % 1000, s"u$step-$id"))
+            FormatOps.upsert(spark, dir, "data",
+              batch.toDF("id", "v", "s"), Seq("id"),
+              captureChanges = r.nextBoolean())
+            model = model ++ batch.map { case (id, v, s) => id -> (v, s) }
+          case 1 => // predicate delete (sometimes matches nothing)
+            val m = 2 + r.nextInt(9)
+            val rem = r.nextInt(m)
+            FormatOps.deleteWhere(spark, dir, "data", col("id") % m === rem)
+            model = model.filterNot { case (id, _) => id % m == rem }
+          case 2 => // computed update below a random threshold
+            val x = r.nextInt(600)
+            FormatOps.updateWhere(spark, dir, "data",
+              Map("v" -> (col("v") + 7)), col("id") < x)
+            model = model.map { case (id, (v, s)) =>
+              id -> (if (id < x) (v + 7, s) else (v, s))
+            }
+          case 3 => // layout churn: everything above must survive it
+            FormatOps.compact(spark, dir, 1 + r.nextInt(3))
+        }
+        assert(liveState() == model,
+          s"seed $seed step $step (op $op): table diverged from model")
+        genIndexOf(dir).foreach(g => snapshots(g) = model)
+      }
+
+      // every recorded generation still serves EXACTLY its state (the
+      // default 15-min grace keeps them all alive within the test)
+      snapshots.foreach { case (g, expect) =>
+        val got = spark.read.format("graft").option("generation", g.toString)
+          .load(dir).collect()
+          .map(row => row.getLong(row.fieldIndex("id")) ->
+            (row.getLong(row.fieldIndex("v")), row.getString(row.fieldIndex("s"))))
+          .toMap
+        assert(got == expect, s"seed $seed: generation $g no longer serves its snapshot")
+      }
+    }
+  }
+}
