@@ -49,17 +49,8 @@ object ProfileQ118 {
       val q = FormatOps.changeFeedStream(spark, dir)
         .writeStream.option("checkpointLocation", ck)
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val gone = b.filter(col("_change_type").isin("delete", "update_preimage"))
-            .select(col("o_orderkey")).distinct()
-          val added = b.filter(col("_change_type").isin("insert", "update_postimage"))
-            .drop("_change_type")
-          val prune = graft.format.Stats.InKeyRange.of(gone).map(Seq(_))
-          graft.sources.Generations.rewriteTable(b.sparkSession, repl, "data",
-            tt => tt.join(gone, Seq("o_orderkey"), "left_anti")
-              .unionByName(added.select(tt.columns.map(col).toSeq: _*)),
-            prune, alwaysWrite = true,
-            idempotencyKey = Some(s"q118p-$batchId"))
-          ()
+          FormatOps.applyCdcBatch(b.sparkSession, repl, "data", b,
+            Seq("o_orderkey"), idempotencyKey = Some(s"q118p-$batchId"))
         }.start()
       try {
         q.processAllAvailable()

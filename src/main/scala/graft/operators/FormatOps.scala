@@ -556,9 +556,72 @@ object FormatOps {
     * over-captures (at-least-once) rather than losing changes. */
   val ChangesSubdir = "_changes"
 
-  private def captureTo(dir: String, rows: DataFrame): Unit =
-    rows.write.format("graft").option("table", "changes")
+  /** Append one DML's change set, stamped with `_commit_version` — the
+    * generation index the capturing DML is about to publish (strictly
+    * increasing across DMLs; the Delta-CDF `_commit_version` idea). The
+    * version is what makes change CONSUMERS order-robust: a capture
+    * append is multiple files, and a stream trigger racing the append
+    * can list HALF of them — one DML's change set then spans two
+    * micro-batches, in whatever order the listing saw the files. A fold
+    * that keys removals on `update_preimage` rows loses data under that
+    * split (postimage applied in batch N, preimage DELETES the key in
+    * batch N+1 — found by `CdcFoldFuzzSpec`); [[applyCdcBatch]] uses the
+    * version + change kind instead and converges under any split. */
+  private def captureTo(s: SparkSession, dir: String, rows: DataFrame): Unit = {
+    val next = graft.sources.GraftDataSource
+      .readGenPointer(s.sparkContext.hadoopConfiguration, dir)
+      .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L) + 1L
+    rows.withColumn("_commit_version", lit(next))
+      .write.format("graft").option("table", "changes")
       .mode("append").save(s"$dir/$ChangesSubdir")
+  }
+
+  /** Canonical, order-robust CDC apply: fold one change-feed micro-batch
+    * into a replica table kept in sync purely from changes (the q118
+    * shape, packaged). Semantics: per key, the HIGHEST-`_commit_version`
+    * non-preimage change wins — `delete` removes the key,
+    * `insert`/`update_postimage` replace it. Pre-images are deliberately
+    * IGNORED: they exist for aggregate maintenance (subtracting an old
+    * contribution, q114 — order-independent math), and keying a
+    * replica's removals on them is wrong the moment a capture append's
+    * files split across micro-batches (see [[captureTo]]). Under any
+    * such split this fold converges: a postimage-only half applies the
+    * new row; a preimage-only half is a no-op; a stale lower-version
+    * change never overwrites a higher one folded earlier in the same
+    * batch. Feeds captured before versioning (no `_commit_version`
+    * column) fold with a constant version — correct for the
+    * one-DML-per-batch case they were written under.
+    *
+    * File-granular: removals prune candidate files through
+    * [[graft.format.Stats.keyPrune]]'s typed summaries, so a batch
+    * touches O(batch + overlapping files) of a 100 TB replica, and the
+    * `idempotencyKey` (pass the micro-batch id) makes retried
+    * foreachBatch invocations exactly-once. */
+  def applyCdcBatch(s: SparkSession, replicaDir: String, table: String,
+      batch: DataFrame, keys: Seq[String],
+      idempotencyKey: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "applyCdcBatch needs key columns")
+    val eff0 = batch.filter(col("_change_type") =!= "update_preimage")
+    val eff = if (eff0.columns.contains("_commit_version")) eff0
+      else eff0.withColumn("_commit_version", lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc, col("_change_type"))
+    val last = eff.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+    val touched = last.select(keys.map(col): _*)
+    val adds = last.filter(col("_change_type") =!= "delete")
+      .drop("_change_type", "_commit_version")
+    val prune = {
+      val fs = keys.flatMap(k => keyPrune(touched, k))
+      Some(fs).filter(_.nonEmpty)
+    }
+    graft.sources.Generations.rewriteTable(s, replicaDir, table,
+      t => t.join(touched, keys, "left_anti")
+        .unionByName(adds.select(t.columns.map(col).toSeq: _*)),
+      prune, alwaysWrite = true, idempotencyKey = idempotencyKey)
+    ()
+  }
 
   /** Streaming change data feed: `readStream` over the write-time
     * capture log, making incremental consumers streaming-native —
@@ -621,7 +684,7 @@ object FormatOps {
       val pre = readTable(s, dir, table)
       val cond = coalesce(where, lit(false))
       val touched = pre.filter(cond)
-      captureTo(dir, touched.withColumn("_change_type", lit("update_preimage"))
+      captureTo(s, dir, touched.withColumn("_change_type", lit("update_preimage"))
         .unionByName(project(touched, cond)
           .withColumn("_change_type", lit("update_postimage"))))
     }
@@ -762,7 +825,7 @@ object FormatOps {
       val preImages = pre.join(batch.select(keys.map(col): _*).distinct(),
           keys, "left_semi")
         .withColumn("_change_type", lit("update_preimage"))
-      captureTo(dir, marked.unionByName(preImages))
+      captureTo(s, dir, marked.unionByName(preImages))
     }
     // File-granular COW: only files whose zone maps/blooms admit one of
     // the batch's keys can hold a row the anti-join removes — the rest
@@ -800,7 +863,7 @@ object FormatOps {
       where: org.apache.spark.sql.Column,
       captureChanges: Boolean = false): Unit = {
     if (captureChanges)
-      captureTo(dir, readTable(s, dir, table)
+      captureTo(s, dir, readTable(s, dir, table)
         .filter(coalesce(where, lit(false)))
         .withColumn("_change_type", lit("delete")))
     val prune = graft.sources.Generations.pruneFiltersFor(readTable(s, dir, table), where)
@@ -1319,23 +1382,14 @@ object FormatOps {
     val q = changeFeedStream(s, dir)
       .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val gone = b.filter(col("_change_type").isin("delete", "update_preimage"))
-          .select(col("o_orderkey")).distinct()
-        val added = b.filter(col("_change_type").isin("insert", "update_postimage"))
-          .drop("_change_type")
-        // file-granular fold: only replica files whose zone maps/blooms
-        // admit one of the batch's removed keys are rewritten; the rest
-        // of a 100 TB replica carries by reference — per-batch cost is
-        // O(batch + touched files), not O(replica). Small batches prune
-        // by exact IN-list (blooms apply); large ones by the unbounded
-        // InKeyRange summary — no cap, no silent full rewrites.
-        val prune = keyPrune(gone, "o_orderkey").map(Seq(_))
-        graft.sources.Generations.rewriteTable(b.sparkSession, repl, "data",
-          t => t.join(gone, Seq("o_orderkey"), "left_anti")
-            .unionByName(added.select(t.columns.map(col).toSeq: _*)),
-          prune, alwaysWrite = true,
+        // the canonical order-robust fold: per key the highest
+        // `_commit_version` non-preimage change wins, removals prune
+        // candidate files through the typed key summaries — per-batch
+        // cost is O(batch + touched files), not O(replica), and a
+        // capture append split across micro-batches still converges
+        // (see applyCdcBatch)
+        applyCdcBatch(b.sparkSession, repl, "data", b, Seq("o_orderkey"),
           idempotencyKey = Some(s"q118-$batchId"))
-        ()
       }.start()
     try {
       q.processAllAvailable()
