@@ -20,8 +20,9 @@ import graft.operators.FormatOps
   * nothing, and repeated keys re-upserted across batches. */
 class CdcFoldFuzzSpec extends SparkSpec {
 
-  test("random captured DML streams fold a replica to the model (seed 7)") {
-    val r = new Random(7)
+  for (seed <- Seq(7, 19)) {
+  test(s"random captured DML streams fold a replica to the model (seed $seed)") {
+    val r = new Random(seed)
     val base = Files.createTempDirectory("graft-cdcfuzz")
     val dir = s"$base/src"
     val repl = s"$base/replica"
@@ -82,6 +83,7 @@ class CdcFoldFuzzSpec extends SparkSpec {
     assert(replicaState() == spark.read.format("graft").load(dir).collect()
       .map(row => row.getLong(row.fieldIndex("id")) -> row.getLong(row.fieldIndex("v")))
       .toMap)
+  }
   }
 
   test("a capture append split across micro-batches converges (the exact race, pinned)") {

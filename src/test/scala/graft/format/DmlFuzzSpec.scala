@@ -28,7 +28,7 @@ class DmlFuzzSpec extends SparkSpec {
     GraftDataSource.readGenPointer(new Configuration(), dir)
       .map(_.replaceAll("[^0-9]", "").toInt)
 
-  for (seed <- Seq(11, 23)) {
+  for (seed <- Seq(11, 23, 47)) {
     test(s"random DML sequences match an in-memory model (seed $seed)") {
       val r = new Random(seed)
       val dir = Files.createTempDirectory(s"graft-dmlfuzz$seed").toString
