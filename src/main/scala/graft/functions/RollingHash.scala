@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * it's one pass, no per-row allocation.
   */
 case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -40,8 +40,17 @@ case class RollingHash64(child: Expression)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(evalArray(input.asInstanceOf[ArrayData]))
+
+  /** Whole-stage codegen calls the same kernel via a reference object —
+    * no fallback-stage collapse, primitive long on the generated path. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingHash", this, classOf[RollingHash64].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.evalArray($arr);")
+  }
+
+  def evalArray(arr: ArrayData): Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
@@ -50,7 +59,7 @@ case class RollingHash64(child: Expression)
       acc = acc * Base + t // wrapping multiply-add: the rolling step
       i += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY.md §2.B) — this is part of the LLM-pipeline surface.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
@@ -43,8 +43,18 @@ case class SimHash64(child: Expression)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(evalArray(input.asInstanceOf[ArrayData]))
+
+  /** Whole-stage codegen calls the same kernel via a reference object
+    * (one virtual call per row, primitive long out — no fallback-stage
+    * collapse, no boxing on the generated path). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.evalArray($arr);")
+  }
+
+  def evalArray(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -65,7 +75,7 @@ case class SimHash64(child: Expression)
       if (acc(j) > 0) out |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

@@ -32,6 +32,33 @@ class FunctionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hdf(0) ^ hdf(1)) == ham)
   }
 
+  test("simhash64 and rolling_hash64 agree across codegen and interpreted paths") {
+    import spark.implicits._
+    SimHash64.register(spark)
+    RollingHash64.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")), // rolling hash must differ (order-sensitive)
+      (3L, Seq[String]("a", null, "c")),
+      (4L, Seq.empty[String])
+    ).toDF("id", "toks")
+    def run(): Seq[(Long, Long, Long)] = df
+      .select(col("id"), SimHash64.simhash64(col("toks")).as("s"),
+        RollingHash64.rollingHash64(col("toks")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(withCodegen == interpreted)
+    val byId = withCodegen.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L)._2 != byId(2L)._2, "rolling hash must be order-sensitive")
+    assert(byId(1L)._1 == byId(2L)._1, "simhash must be bag-semantics")
+  }
+
   test("graft_dot matches manual dot product in both eval paths") {
     import spark.implicits._
     VectorOps.register(spark)
