@@ -67,6 +67,17 @@ object Similarity {
   // broadcasts at runtime, and a probe side that grows with the corpus
   // (it's 2% of it) degrades to a blocked cartesian instead of an
   // executor-OOM broadcast. The sub-quadratic scale path is q44's IVF.
+  //
+  // A triangle-inequality cell-pruned EXACT variant (per-cell centroid +
+  // radius over normalized vectors; prune cells whose best-possible
+  // cosine can't beat a counted kth-lower-bound) was evaluated and
+  // REJECTED with data: this corpus is isotropic — per-label centroids
+  // of the normalized vectors have ||c|| ≈ 0.07 and radius ≈ 1.02
+  // (essentially random unit vectors in 64-d), so every cell's cosine
+  // upper bound ≈ 1 and the bound prunes NOTHING; the "pruned" plan is
+  // the cartesian plus overhead. Metric pruning only works on clustered
+  // embeddings, and the clustered case is exactly what the IVF family
+  // (q44/q44b planted truths) already serves sub-quadratically.
   private val q42: Q = (s, d) => {
     val e = emb(s, d)
     val probes = e.filter(col("vec_id") % 50 === 0)
