@@ -602,6 +602,10 @@ object FormatOps {
       idempotencyKey: Option[String] = None): Unit = {
     require(keys.nonEmpty, "applyCdcBatch needs key columns")
     val eff0 = batch.filter(col("_change_type") =!= "update_preimage")
+    // an empty micro-batch (or a preimage-only split half) must be a
+    // TRUE no-op — without this, every empty trigger would still churn
+    // a full carry generation of the replica
+    if (eff0.isEmpty) return
     val eff = if (eff0.columns.contains("_commit_version")) eff0
       else eff0.withColumn("_commit_version", lit(0L))
     val w = org.apache.spark.sql.expressions.Window
