@@ -1221,11 +1221,16 @@ object FormatOps {
       .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
     upsert(s, dir, "data", updates.unionByName(inserts), Seq("o_orderkey"),
       captureChanges = true)
+    // relay through the NATIVE graft sink, not foreachBatch+append:
+    // deterministic per-(epoch, partition) file names make a retried
+    // epoch overwrite its own output — exactly-once relay where a plain
+    // append would duplicate rows under foreachBatch's at-least-once
     val q = changeFeedStream(s, dir)
-      .writeStream.option("checkpointLocation", ck)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.format("graft").mode("append").save(sinkDir); ()
-      }.start()
+      .writeStream.format("graft")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .start()
     try {
       q.processAllAvailable() // batch 0: the upsert's change set
       deleteWhere(s, dir, "data", col("o_orderkey") % 19 === 3,
