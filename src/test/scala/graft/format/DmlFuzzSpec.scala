@@ -51,7 +51,7 @@ class DmlFuzzSpec extends SparkSpec {
       val snapshots = mutable.Map[Int, Map[Long, (Long, String)]]()
 
       (1 to 14).foreach { step =>
-        val op = r.nextInt(4)
+        val op = r.nextInt(5)
         op match {
           case 0 => // keyed upsert: mix of existing and brand-new keys
             val ks = r.shuffle((0L until 600L).toVector).take(1 + r.nextInt(80))
@@ -74,6 +74,9 @@ class DmlFuzzSpec extends SparkSpec {
             }
           case 3 => // layout churn: everything above must survive it
             FormatOps.compact(spark, dir, 1 + r.nextInt(3))
+          case 4 => // zero-grace vacuum: history reclaimed, LIVE state intact
+            FormatOps.vacuum(spark, dir, graceMs = 0L)
+            snapshots.clear() // time travel to reclaimed generations is over
         }
         assert(liveState() == model,
           s"seed $seed step $step (op $op): table diverged from model")
