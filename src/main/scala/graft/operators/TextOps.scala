@@ -1620,7 +1620,75 @@ object TextOps {
        |FROM s4""".stripMargin
   }
 
+  // ---- q130: the curation funnel, end to end --------------------------------
+  // The composite a real training-data pipeline runs as ONE job, chained
+  // from the individually-gated stages: quality filter (q33's token /
+  // alpha-ratio machinery) → global exact dedup on normalized text
+  // (q31's normalization, min-doc_id representative) → token accounting
+  // of the survivors, attributed per source. Each stage is a narrow
+  // projection; the only shuffles are the dedup window (hash-partitioned
+  // by digest) and the final per-source aggregates — no stage
+  // materializes more than (digest, ids, counts). The oracle restates
+  // the whole funnel in SQL, so any drift in ANY stage's semantics —
+  // tokenization, the ratio guard, normalization, representative
+  // choice — hash-fails the composite even while the per-stage gates
+  // stay green.
+  private val q130: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+      .withColumn("alpha_ratio",
+        when(col("n_len") > 0, col("n_alpha").cast("double") / col("n_len"))
+          .otherwise(0.0))
+    val quality = t.filter(col("n_tokens") >= 5 && col("alpha_ratio") > 0.5)
+    val deduped = quality
+      .withColumn("h", md5(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).cast("binary")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    val inBySource = t.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+    val qBySource = quality.groupBy(col("source")).agg(count(lit(1)).as("n_quality"))
+    val keptBySource = deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    inBySource
+      .join(qBySource, Seq("source"), "left")
+      .join(keptBySource, Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+  private val q130Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN length(text) > 0
+      |         THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |              / length(text)
+      |         ELSE 0.0 END AS alpha_ratio
+      |  FROM documents),
+      |q AS (SELECT * FROM t WHERE n_tokens >= 5 AND alpha_ratio > 0.5),
+      |dd AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+      |    ORDER BY doc_id) AS rk
+      |  FROM q),
+      |kept AS (SELECT * FROM dd WHERE rk = 1)
+      |SELECT t.source,
+      |  count(*) AS n_in,
+      |  coalesce((SELECT count(*) FROM q WHERE q.source = t.source), 0) AS n_quality,
+      |  coalesce((SELECT count(*) FROM kept WHERE kept.source = t.source), 0) AS n_kept,
+      |  coalesce((SELECT CAST(sum(n_tokens) AS BIGINT) FROM kept WHERE kept.source = t.source), 0) AS tokens_kept
+      |FROM t
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q130_curation_funnel" -> q130,
     "q35c_lsh_precision" -> q35c,
     "q121_bpe_encode" -> q121,
     "q120_char_entropy" -> q120,
@@ -1658,6 +1726,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q130_curation_funnel" -> q130Sql,
     "q35c_lsh_precision" -> q35cSql,
     "q121_bpe_encode" -> q121Sql,
     "q120_char_entropy" -> q120Sql,
