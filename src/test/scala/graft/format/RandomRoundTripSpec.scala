@@ -237,6 +237,82 @@ class RandomRoundTripSpec extends SparkSpec {
     assert(seen == want, s"generator never drew ${want -- seen} in 300 seeds")
   }
 
+  test("random row-range decodes equal full-decode slices (seed-pinned)") {
+    // decodeTableRange owns the subtlest reader arithmetic (per-encoding
+    // element rebasing, page overlap, REE expansion windows): fuzz it
+    // directly by comparing random [a, b) range decodes against slices
+    // of the full decode, bit-exact, across random schemas/pagings
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.MapData
+    def norm(get: (Int, DataType) => Any, i: Int, dt: DataType,
+        isNull: Boolean): Any = {
+      if (isNull) return null
+      dt match {
+        case FloatType => java.lang.Float.floatToRawIntBits(
+          get(i, dt).asInstanceOf[Float])
+        case DoubleType => java.lang.Double.doubleToRawLongBits(
+          get(i, dt).asInstanceOf[Double])
+        case BinaryType => get(i, dt).asInstanceOf[Array[Byte]].toList
+        case st: StructType =>
+          val r = get(i, dt).asInstanceOf[InternalRow]
+          normRow(r, st)
+        case ArrayType(et, _) =>
+          val a = get(i, dt).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until a.numElements()).map(j =>
+            norm((jj, d) => a.get(jj, d), j, et, a.isNullAt(j))).toList
+        case MapType(kt, vt, _) =>
+          val m = get(i, dt).asInstanceOf[MapData]
+          val ks = m.keyArray(); val vs = m.valueArray()
+          (0 until m.numElements()).map(j => (
+            norm((jj, d) => ks.get(jj, d), j, kt, ks.isNullAt(j)),
+            norm((jj, d) => vs.get(jj, d), j, vt, vs.isNullAt(j)))).toList
+        case _ => get(i, dt) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+      }
+    }
+    def normRow(row: InternalRow, schema: StructType): List[Any] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        norm((ii, d) => row.get(ii, d), i, f.dataType, row.isNullAt(i))
+      }.toList
+
+    for (seed <- Seq(5000, 5001, 5002)) {
+      val r = new Random(seed)
+      val schema = randSchema(r)
+      val nRows = 500 + r.nextInt(3500)
+      val rows = (0 until nRows).map(_ => randRow(r, schema))
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val dir = Files.createTempDirectory(s"graft-rangefuzz$seed").toString
+      df.coalesce(1).write.format("graft")
+        .option("pagesize", Seq(64, 1024, 4096)(r.nextInt(3)).toString)
+        .mode("append").save(dir)
+      val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".graft")).head.toString)
+      val rd = GraftFileReader.open(
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+      try {
+        val chunk = rd.footer.chunks.head
+        val table = chunk.tables.head
+        val full = rd.decodeTable(chunk, table, table.schema)
+        val fullRows = (0 until table.numRows).map(i =>
+          normRow(full.getRow(i), table.schema))
+        full.close()
+        (0 until 8).foreach { _ =>
+          val a = r.nextInt(table.numRows)
+          val b = a + 1 + r.nextInt(table.numRows - a)
+          val batch = rd.decodeTableRange(chunk, table, table.schema, a, b)
+          assert(batch.numRows() == b - a, s"seed $seed range [$a,$b)")
+          (0 until b - a).foreach { i =>
+            assert(normRow(batch.getRow(i), table.schema) == fullRows(a + i),
+              s"seed $seed range [$a,$b): row ${a + i} diverged")
+          }
+          batch.close()
+        }
+      } finally rd.close()
+    }
+  }
+
   test("all widened types in one schema: tags and values round-trip bit-exact") {
     val schema = StructType(Seq(
       StructField("u", Logical.sparkType(Logical.code("u64")), nullable = true,
