@@ -28,18 +28,25 @@ class DmlFuzzSpec extends SparkSpec {
     GraftDataSource.readGenPointer(new Configuration(), dir)
       .map(_.replaceAll("[^0-9]", "").toInt)
 
-  for (seed <- Seq(11, 23, 47)) {
-    test(s"random DML sequences match an in-memory model (seed $seed)") {
+  // seed 47 runs over a HIVE-PARTITIONED layout (p = id % 4): the same
+  // op sequence must hold when candidate files live in k=v dirs, the
+  // rewrite re-routes rows through the partitioned writer, and carried
+  // files keep their partition-relative paths
+  for ((seed, partitioned) <- Seq((11, false), (23, false), (47, true))) {
+    test(s"random DML sequences match an in-memory model (seed $seed" +
+        (if (partitioned) ", partitioned layout)" else ")")) {
       val r = new Random(seed)
       val dir = Files.createTempDirectory(s"graft-dmlfuzz$seed").toString
       import spark.implicits._
 
       var model: Map[Long, (Long, String)] =
         (0L until 400L).map(id => id -> (id * 3, s"s$id")).toMap
-      model.toSeq.map { case (id, (v, s)) => (id, v, s) }
+      val init = model.toSeq.map { case (id, (v, s)) => (id, v, s) }
         .toDF("id", "v", "s")
+        .withColumn("p", col("id") % 4)
         .repartitionByRange(4, col("id"))
-        .write.format("graft").mode("overwrite").save(dir)
+      val w = init.write.format("graft").mode("overwrite")
+      (if (partitioned) w.option("partitionBy", "p") else w).save(dir)
 
       def liveState(): Map[Long, (Long, String)] =
         spark.read.format("graft").load(dir).collect()
@@ -57,8 +64,8 @@ class DmlFuzzSpec extends SparkSpec {
             val ks = r.shuffle((0L until 600L).toVector).take(1 + r.nextInt(80))
             val batch = ks.map(id => (id, r.nextLong() % 1000, s"u$step-$id"))
             FormatOps.upsert(spark, dir, "data",
-              batch.toDF("id", "v", "s"), Seq("id"),
-              captureChanges = r.nextBoolean())
+              batch.toDF("id", "v", "s").withColumn("p", col("id") % 4),
+              Seq("id"), captureChanges = r.nextBoolean())
             model = model ++ batch.map { case (id, v, s) => id -> (v, s) }
           case 1 => // predicate delete (sometimes matches nothing)
             val m = 2 + r.nextInt(9)
