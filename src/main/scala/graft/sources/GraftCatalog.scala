@@ -39,7 +39,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private var catalogName: String = _
   private var root: String = _
-  private val conf = new Configuration()
+  private val conf = GraftDataSource.sessionConf()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

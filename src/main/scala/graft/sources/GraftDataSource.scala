@@ -37,7 +37,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val conf = new Configuration()
+    val conf = GraftDataSource.sessionConf()
     val files = GraftDataSource.paths(options)
       .flatMap(GraftDataSource.listPartitionedFiles(conf, _))
     if (files.isEmpty) new StructType()
@@ -91,6 +91,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftDataSource {
+
+  /** The session's Hadoop configuration when a session is active (always
+    * the case on the driver paths that call this) — metadata and data
+    * I/O must resolve filesystems through the same `spark.hadoop.*` /
+    * `fs.defaultFS` world as the rest of the plan, or a configured
+    * object store would get default-config listings. Bare
+    * `new Configuration()` only as the sessionless fallback. */
+  private[sources] def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
   def path(options: CaseInsensitiveStringMap): String = paths(options).head
 
   /** `load(p)` arrives as option "path"; `load(p1, p2, …)` as a JSON
@@ -107,7 +118,7 @@ object GraftDataSource {
     if (all.isEmpty) throw new IllegalArgumentException("graft source requires a path")
     val dirs = all.distinct
     Option(options.get("generation")) match {
-      case Some(g) => val conf = new Configuration(); dirs.map(generationDir(conf, _, g))
+      case Some(g) => val conf = GraftDataSource.sessionConf(); dirs.map(generationDir(conf, _, g))
       case None => dirs
     }
   }
@@ -290,7 +301,7 @@ object GraftDataSource {
     // atomic publish: a concurrent DML's entry sweep reads SURVIVOR
     // manifests (fresh stagings included) to compute its pinned-file
     // set — it must see a complete manifest or none, never a torn line
-    AtomicPublish.text(new Configuration(), new Path(genDir, CarryManifestName),
+    AtomicPublish.text(GraftDataSource.sessionConf(), new Path(genDir, CarryManifestName),
       entries.map { case (rel, size, stats) =>
         s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
         .sorted.mkString("\n"))
@@ -759,7 +770,7 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       throw new UnsupportedOperationException(
         s"DELETE predicate has no exact row-filter form: ${filters.mkString(", ")}"))
     val spark = org.apache.spark.sql.SparkSession.active
-    val conf = new Configuration()
+    val conf = GraftDataSource.sessionConf()
     val target = Option(options.get("table")).orElse {
       Generations.liveTableNames(conf, dirs.head) match {
         case Seq(only) => Some(only)
@@ -960,7 +971,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 
   private def cow: Boolean = cowOp.isDefined
 
-  private val conf = new Configuration()
+  private val conf = GraftDataSource.sessionConf()
 
   /** ONE directory listing per scan: estimateStatistics and
     * planInputPartitions both consume this cache, so planning a query
@@ -1192,7 +1203,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   override def createReaderFactory(): PartitionReaderFactory = aggSpecs match {
     case Some(specs) =>
       new GraftAggReaderFactory(specs, required, tableOpt,
-        new SerializableConfiguration(new Configuration()))
+        new SerializableConfiguration(GraftDataSource.sessionConf()))
     case None =>
       // top-k skipping is only sound when EVERY delivered row survives to
       // the final TakeOrdered: pushTopN already declines on planned
@@ -1201,7 +1212,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       // license skipping chunks that hold the true top-k
       val effectiveTopN = if (runtimeFilters.isEmpty) topN else None
       new GraftReaderFactory(required, tableOpt, filters, limit,
-        new SerializableConfiguration(new Configuration()), effectiveTopN)
+        new SerializableConfiguration(GraftDataSource.sessionConf()), effectiveTopN)
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
@@ -1743,12 +1754,12 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
             "bucket file; bucket with a batch compaction pass instead")
         batchWrite.createBatchWriterFactory(pinfo) // dir setup / truncate
         new GraftStreamingWriterFactory(
-          GraftDataSource.resolveDataDir(new Configuration(), dir), info.schema(),
+          GraftDataSource.resolveDataDir(GraftDataSource.sessionConf(), dir), info.schema(),
           Option(options.get("table")).getOrElse("data"),
           GraftDataSource.positiveIntOption(options, "pagesize", GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
           GraftDataSource.positiveIntOption(options, "chunkrows", GraftBatchWrite.DefaultChunkRows),
-          partCols, new SerializableConfiguration(new Configuration()), bloomCols,
+          partCols, new SerializableConfiguration(GraftDataSource.sessionConf()), bloomCols,
           Option(options.get("tables"))
             .map(GraftDataSource.parseTableSplits(_, info.schema())))
       }
@@ -1836,7 +1847,7 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     throw new IllegalArgumentException("cannot partition by every column")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = new Configuration()
+    val conf = GraftDataSource.sessionConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) {

@@ -97,7 +97,7 @@ class GraftRowLevelOperation(dir: String, table: String, schema: StructType,
         // bucketed writer tags files with) and sorts within partitions,
         // so carried and new files keep one provable layout
         private val layout =
-          GraftDataSource.readBucketMarker(new Configuration(), dir, table)
+          GraftDataSource.readBucketMarker(GraftDataSource.sessionConf(), dir, table)
         override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
           layout match {
             case Some((bcol, _, _)) =>
@@ -143,7 +143,7 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation, dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
   override def build(): Scan = {
-    val conf = new Configuration()
+    val conf = GraftDataSource.sessionConf()
     val root = new Path(dir)
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     // manifest-covered files classify with zero per-file I/O; footers
@@ -185,7 +185,7 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
     table: String, schema: StructType,
     layout: Option[(String, Int, Option[String])] = None) extends BatchWrite {
 
-  private val conf = new Configuration()
+  private val conf = GraftDataSource.sessionConf()
   private val root = new Path(dir)
   private val fs = root.getFileSystem(conf)
   private var staging: Path = _
