@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   *    closed-form oracle.
   *  - q50's decoder stays a clearly-marked DETERMINISTIC STUB standing
   *    in for formats whose codecs this container genuinely doesn't ship
-  *    (JPEG's DCT entropy coding, H.264). Everything around it — the
-  *    binary column, the metadata struct schema, the Dataset[T] encoder,
-  *    the per-partition batch shape — is the real plumbing a production
-  *    decode (JNI into a codec, or `mapInPandas`) would plug into.
+  *    (JPEG, H.264). A pure-JVM baseline JPEG codec WOULD be writable
+  *    (~1 kLoC of Huffman + DCT), but was deliberately not: JPEG is
+  *    LOSSY, so no closed-form oracle can recompute its decoded pixels
+  *    the way the BMP/WAV/PNG oracles do, and with no independent codec
+  *    in the container to cross-check against, a hand-rolled lossy
+  *    decoder would be unverifiable — plausible-looking output with no
+  *    gate able to catch a subtly wrong IDCT. The repo's standard for
+  *    "real decoder" is ORACLE-VERIFIED decode; formats that can't meet
+  *    it stay stubbed rather than pretending. Everything around the
+  *    stub — the binary column, the metadata struct schema, the
+  *    Dataset[T] encoder, the per-partition batch shape — is the real
+  *    plumbing a production decode (JNI into a codec, or `mapInPandas`)
+  *    would plug into.
   */
 object Multimodal {
 
