@@ -31,8 +31,15 @@ class DmlFuzzSpec extends SparkSpec {
   // seed 47 runs over a HIVE-PARTITIONED layout (p = id % 4): the same
   // op sequence must hold when candidate files live in k=v dirs, the
   // rewrite re-routes rows through the partitioned writer, and carried
-  // files keep their partition-relative paths
-  for ((seed, partitioned) <- Seq((11, false), (23, false), (47, true))) {
+  // files keep their partition-relative paths.
+  // -Dgraft.dmlfuzz.seeds=1,2,3,... widens the sweep for soak sessions
+  // (seeds ending in 7 take the partitioned layout).
+  private val fuzzSeeds: Seq[(Int, Boolean)] =
+    sys.props.get("graft.dmlfuzz.seeds") match {
+      case Some(s) => s.split(",").map(_.trim.toInt).toSeq.map(n => (n, n % 10 == 7))
+      case None => Seq((11, false), (23, false), (47, true))
+    }
+  for ((seed, partitioned) <- fuzzSeeds) {
     test(s"random DML sequences match an in-memory model (seed $seed" +
         (if (partitioned) ", partitioned layout)" else ")")) {
       val r = new Random(seed)
