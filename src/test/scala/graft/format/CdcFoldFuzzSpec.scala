@@ -20,7 +20,11 @@ import graft.operators.FormatOps
   * nothing, and repeated keys re-upserted across batches. */
 class CdcFoldFuzzSpec extends SparkSpec {
 
-  for (seed <- Seq(7, 19)) {
+  // -Dgraft.cdcfuzz.seeds=1,2,... widens the sweep for soak sessions
+  private val fuzzSeeds: Seq[Int] =
+    sys.props.get("graft.cdcfuzz.seeds")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(7, 19))
+  for (seed <- fuzzSeeds) {
   test(s"random captured DML streams fold a replica to the model (seed $seed)") {
     val r = new Random(seed)
     val base = Files.createTempDirectory("graft-cdcfuzz")

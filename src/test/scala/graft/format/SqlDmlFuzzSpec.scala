@@ -16,7 +16,11 @@ import graft.SparkSpec
   * statement. */
 class SqlDmlFuzzSpec extends SparkSpec {
 
-  for (seed <- Seq(5, 31)) {
+  // -Dgraft.sqlfuzz.seeds=1,2,... widens the sweep for soak sessions
+  private val fuzzSeeds: Seq[Int] =
+    sys.props.get("graft.sqlfuzz.seeds")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(5, 31))
+  for (seed <- fuzzSeeds) {
     test(s"random SQL UPDATE/DELETE/MERGE sequences match a model (seed $seed)") {
       val r = new Random(seed)
       val cat = s"sqlfuzz$seed"
