@@ -1158,11 +1158,12 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         }.toArray
       case None =>
     }
-    val files = listing.map { case (p, _, part) => (p, part) }
+    val files = listing.map { case (p, sz, part) => (p, sz, part) }
     val partSchema = StructType(
-      GraftDataSource.partitionColumns(files).map(StructField(_, StringType)))
-    val kept = files.filter { case (p, _) => fileColKeep(p) }
-      .filterNot { case (_, part) =>
+      GraftDataSource.partitionColumns(files.map { case (p, _, m) => (p, m) })
+        .map(StructField(_, StringType)))
+    val keptSized = files.filter { case (p, _, _) => fileColKeep(p) }
+      .filterNot { case (_, _, part) =>
         // exact partition values = degenerate min==max ranges
         val stats = part.map { case (k, v) =>
           val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
@@ -1170,6 +1171,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         }
         filters.exists(f => Stats.canSkip(f, partSchema, stats))
       }
+    val kept = keptSized.map { case (p, _, part) => (p, part) }
     // COW commit replaces exactly the files planned HERE — after runtime
     // group filtering narrowed them — and carries every other live file
     cowOp.foreach(_.replaced = Some(kept.map(_._1)))
@@ -1179,12 +1181,36 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     // a pushed top-k skips via evidence ACCUMULATED ACROSS a file's
     // chunks: splitting the file into per-chunk partitions would give
     // every chunk its own one-chunk skipper that can never prove
-    // anything — keep whole-file partitions instead (the skipper then
-    // reads ~1 chunk per file; chunk-splitting's parallelism would cost
-    // more than it buys here)
+    // anything — keep whole-file (or packed multi-file) partitions
+    // instead; a packed bin even SHARES one skipper across its files,
+    // so evidence carries file to file
     if (kept.size >= slots || topN.isDefined) {
-      kept.map { case (p, part) =>
-        GraftInputPartition(p.toString, part): InputPartition
+      // many files: BIN-PACK small files into partitions with Spark's own
+      // file-source split formula (maxPartitionBytes / openCostInBytes /
+      // bytes-per-core) — a 10^5-tiny-file table schedules hundreds of
+      // concatenated-read tasks, not 10^5, while few-but-chunky files
+      // keep one task each (a file never splits here; bins only merge)
+      val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+      val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
+      val openCost = sqlConf.filesOpenCostInBytes
+      val totalSize = keptSized.map(_._2).sum
+      val bytesPerCore = (totalSize + kept.size.toLong * openCost) / math.max(slots, 1)
+      val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+      val bins = Vector.newBuilder[Vector[(String, Map[String, String])]]
+      var bin = Vector.empty[(String, Map[String, String])]
+      var binBytes = 0L
+      keptSized.sortBy(-_._2).foreach { case (p, sz, part) =>
+        val cost = sz + openCost
+        if (bin.nonEmpty && binBytes + cost > maxSplit) {
+          bins += bin; bin = Vector.empty; binBytes = 0L
+        }
+        bin = bin :+ ((p.toString, part))
+        binBytes += cost
+      }
+      if (bin.nonEmpty) bins += bin
+      bins.result().map { fs =>
+        if (fs.size == 1) GraftInputPartition(fs.head._1, fs.head._2): InputPartition
+        else GraftPackedPartition(fs): InputPartition
       }.toArray
     } else {
       // few files: read their footers (in parallel — bounded work) and
@@ -1240,6 +1266,13 @@ case class GraftInputPartition(file: String,
     partValues: Map[String, String] = Map.empty,
     chunkIdx: Option[Int] = None) extends InputPartition
 
+/** Several small files bin-packed into ONE task (the Spark file-source
+  * maxPartitionBytes/openCost packing re-expressed for graft): served by
+  * a [[GraftConcatReader]] that opens files one at a time and, under a
+  * pushed top-k, carries ONE skipper's evidence across all of them. */
+case class GraftPackedPartition(files: Seq[(String, Map[String, String])])
+    extends InputPartition
+
 /** All files of one bucket of a bucketed graft table, keyed so Spark's
   * key-grouped planner can line both join sides up task-for-task. */
 case class GraftBucketedPartition(files: Seq[(String, Map[String, String])],
@@ -1256,8 +1289,32 @@ case class GraftBucketedPartition(files: Seq[(String, Map[String, String])],
   * contributes a null partial (Spark's final Min/Max ignore nulls). */
 class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
     tableOpt: Option[String], conf: SerializableConfiguration) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val gp = partition.asInstanceOf[GraftInputPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case pp: GraftPackedPartition =>
+      // a packed bin yields one partial row PER FILE (Spark's final
+      // aggregate combines partials, so per-file vs per-bin is identity)
+      val parts = pp.files.map { case (f, pv) => GraftInputPartition(f, pv) }
+      new PartitionReader[InternalRow] {
+        private val it = parts.iterator
+        private var cur: PartitionReader[InternalRow] = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              cur = readerFor(it.next())
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false // unreachable
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+      }
+    case gp: GraftInputPartition => readerFor(gp)
+  }
+
+  private def readerFor(gp: GraftInputPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
@@ -1370,6 +1427,16 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
       val shared = topN.filter(t => required.fieldNames.contains(t.col))
         .map(new TopNSkipper(_, required))
       new GraftConcatReader(bp.files.map { case (f, pv) => () =>
+        val path = new Path(f)
+        new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
+          tableOpt, filters, limit, pv, None, topN, shared)
+      })
+    case pp: GraftPackedPartition =>
+      // like the bucketed case: one shared skipper, files drained
+      // strictly sequentially so top-k evidence carries file to file
+      val shared = topN.filter(t => required.fieldNames.contains(t.col))
+        .map(new TopNSkipper(_, required))
+      new GraftConcatReader(pp.files.map { case (f, pv) => () =>
         val path = new Path(f)
         new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
           tableOpt, filters, limit, pv, None, topN, shared)

@@ -120,6 +120,42 @@ class PartitionSpec extends SparkSpec {
     assert(calls == 1, s"expected 1 directory listing during planning, saw $calls")
   }
 
+  test("many tiny files bin-pack into few tasks; results and metrics exact") {
+    // the small-file problem: a 10^5-file table must not schedule 10^5
+    // tasks. With openCost forced to 0 the packing formula reduces to
+    // bytes-per-core bins — 40 tiny files on local[4] pack to ~4
+    // partitions, read through the concatenated reader
+    val dir = Files.createTempDirectory("graft-packing").toString
+    spark.range(0, 4000).repartition(40)
+      .selectExpr("id", "id % 7 AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".graft")) == 40)
+    val old = (spark.conf.getOption("spark.sql.files.openCostInBytes"),
+      spark.conf.getOption("spark.sql.files.maxPartitionBytes"))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val df = spark.read.format("graft").load(dir)
+      val n = df.rdd.getNumPartitions
+      assert(n <= 8, s"40 tiny files should pack to a handful of tasks, got $n")
+      assert(n >= 2, s"packing must still parallelize, got $n")
+      assert(df.count() == 4000)
+      assert(df.agg(sum(col("id"))).head.getLong(0) == 4000L * 3999 / 2)
+      // selective predicate through packed bins: chunk skipping intact
+      assert(df.filter(col("id") === 1234L).count() == 1)
+    } finally {
+      old._1.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        spark.conf.set("spark.sql.files.openCostInBytes", _))
+      old._2.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+    }
+    // with the DEFAULT 4 MB openCost, tiny-file bins stay near one file
+    // per task (Spark's own behavior) — the 40-file listing still caps
+    // well below 40 only when sizes say so; here openCost dominates
+    val dfDefault = spark.read.format("graft").load(dir)
+    assert(dfDefault.count() == 4000)
+  }
+
   test("partition pruning drops files at planning time") {
     val dir = writePartitioned()
     val df = spark.read.format("graft").load(dir)
