@@ -46,7 +46,8 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     required: StructType, tableOpt: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
     startingOffsets: String = "earliest") extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   require(startingOffsets == "earliest" || startingOffsets == "latest",
     s"startingOffsets must be earliest|latest, got '$startingOffsets'")
@@ -177,26 +178,41 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     * the returned offset advances at most `maxFiles` past the batch start
     * — a backlog of thousands of files drains in bounded batches instead
     * of one giant catch-up micro-batch. */
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+  /** One discovery: list the dir, durably log newcomers, return the log
+    * size. The TOCTOU guard re-reads the generation pointer AFTER the
+    * listing and BEFORE any durable append — a rewrite swapping the
+    * pointer mid-trigger would otherwise poison the checkpoint log with
+    * the NEW generation's files and deliver a batch of duplicates
+    * before the next trigger's assert fires. */
+  private def discover(): Int = {
     assertAppendOnly()
     val known = log()
     val seen = known.toSet
     val now = listDir()
     val fresh = now.filterNot(seen).toVector
-    // TOCTOU guard: a rewrite can swap the generation pointer between the
-    // assert above and the listing, in which case `fresh` holds the NEW
-    // generation's files — persisting them would poison the checkpoint log
-    // with rewritten paths and deliver a full batch of duplicate rows
-    // before the next trigger's assert fires. Re-read the pointer AFTER
-    // the listing and BEFORE any durable append or offset advance.
     val all = if (fresh.nonEmpty) { assertAppendOnly(); appendSegment(fresh); cached } else known
+    all.size
+  }
+
+  // ---- Trigger.AvailableNow -------------------------------------------------
+  // The batch-job-over-a-stream shape: Spark calls
+  // prepareForTriggerAvailableNow once at query start; the stream
+  // snapshots ONE discovery and then reports that fixed endpoint from
+  // latestOffset (in maxFilesPerTrigger-bounded steps), so the query
+  // drains exactly the files present at start and terminates — files
+  // landing mid-run wait for the next scheduled run.
+  private var fixedEnd: Int = -1
+  override def prepareForTriggerAvailableNow(): Unit = { fixedEnd = discover() }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val end = if (fixedEnd >= 0) fixedEnd else discover()
     val cap = limit match {
       case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles => f.maxFiles()
       case _ => Int.MaxValue
     }
     val from = start.asInstanceOf[GraftStreamOffset].index
-    GraftStreamOffset(math.min(all.size.toLong, from.toLong + cap).toInt)
+    GraftStreamOffset(math.min(end.toLong, from.toLong + cap).toInt)
   }
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =

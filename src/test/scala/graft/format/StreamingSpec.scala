@@ -74,6 +74,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains the backlog, stops, and resumes exactly-once") {
+    // the batch-job-over-a-stream shape users actually run on a
+    // schedule: AvailableNow must drain everything present, terminate,
+    // and a later run must deliver ONLY what arrived in between
+    val dir = Files.createTempDirectory("graft-avnow").toString
+    val ck = Files.createTempDirectory("graft-avnow-ck").toString
+    val out = Files.createTempDirectory("graft-avnow-out").toString + "/t"
+    spark.range(0, 25).selectExpr("id")
+      .repartition(3).write.format("graft").mode("append").save(dir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2") // several bounded batches per run
+        .load(dir)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    }
+    runOnce()
+    assert(spark.read.format("graft").load(out).count() == 25)
+    spark.range(25, 40).selectExpr("id")
+      .repartition(2).write.format("graft").mode("append").save(dir)
+    runOnce()
+    val got = spark.read.format("graft").load(out)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 40L), s"resume must add exactly the new rows: ${got.length}")
+  }
+
   test("file log is segmented: per-trigger segments, never a history rewrite") {
     val dir = Files.createTempDirectory("graft-seglog").toString
     val ck = Files.createTempDirectory("graft-seglog-ck").toString
