@@ -47,7 +47,8 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
     startingOffsets: String = "earliest") extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   require(startingOffsets == "earliest" || startingOffsets == "latest",
     s"startingOffsets must be earliest|latest, got '$startingOffsets'")
@@ -246,6 +247,20 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, tableOpt, Array.empty[Filter], -1,
       new SerializableConfiguration(conf))
+
+  /** Backlog observability in `StreamingQueryProgress.sources[i].metrics`
+    * (the FileStreamSource/Kafka pattern): how many discovered files the
+    * last committed batch still hasn't consumed — what a 100 TB feed's
+    * lag monitoring alerts on. Reads the in-memory log mirror only; no
+    * extra filesystem work per progress event. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val discovered = if (cached == null) 0 else cached.size
+    val consumed = if (latestConsumedOffset.isPresent)
+      latestConsumedOffset.get().asInstanceOf[GraftStreamOffset].index else 0
+    java.util.Map.of(
+      "numFilesDiscovered", discovered.toString,
+      "numFilesBehindLatest", math.max(0, discovered - consumed).toString)
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toInt)

@@ -103,6 +103,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == (0L until 40L), s"resume must add exactly the new rows: ${got.length}")
   }
 
+  test("source reports backlog metrics in query progress") {
+    val dir = Files.createTempDirectory("graft-srcmetrics").toString
+    val ck = Files.createTempDirectory("graft-srcmetrics-ck").toString
+    spark.range(0, 30).selectExpr("id")
+      .repartition(3).write.format("graft").mode("append").save(dir)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_srcmetrics")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val progress = q.recentProgress.lastOption.getOrElse(fail("no progress"))
+      val m = progress.sources.head.metrics
+      assert(m.get("numFilesDiscovered").toInt == 3, s"metrics: $m")
+      assert(m.get("numFilesBehindLatest").toInt == 0, s"metrics: $m")
+    } finally q.stop()
+  }
+
   test("file log is segmented: per-trigger segments, never a history rewrite") {
     val dir = Files.createTempDirectory("graft-seglog").toString
     val ck = Files.createTempDirectory("graft-seglog-ck").toString
