@@ -35,7 +35,7 @@ import graft.format.GraftFileReader
   * path-based DSv2 writer with the table option pinned.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -225,39 +225,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * it records the bucket spec marker, and every later write through
     * the catalog routes bucketed (see [[loadTable]]) — the SQL-DDL
     * surface of the storage-partitioned-join layout. */
+  private def parseBucketTransform(partitions: Array[Transform],
+      schema: StructType): Option[(String, Int)] = partitions.toSeq match {
+    case Seq() => None
+    case Seq(t) if t.name() == "bucket" =>
+      import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+      val cols = t.arguments().collect {
+        case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      }
+      val ns = t.arguments().collect {
+        case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }
+      (cols, ns) match {
+        case (Array(c), Array(n)) if n >= 1 && n <= GraftBucket.MaxBuckets =>
+          // case-insensitive like Spark's own resolution; the marker
+          // records the SCHEMA's spelling so the write side and the
+          // scan's name-tag cross-check agree on one casing
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"bucket column $c not in schema ${schema.fieldNames.mkString(",")}"))
+          if (!GraftBucket.supported(f.dataType))
+            throw new IllegalArgumentException(
+              s"bucket unsupported for ${f.dataType.simpleString} column $c")
+          Some((f.name, n))
+        case _ => throw new IllegalArgumentException(
+          s"unsupported bucket transform ${t.describe()}; want bucket(n, col)")
+      }
+    case other => throw new UnsupportedOperationException(
+      "graft catalog tables take at most one bucket(n, col) transform; " +
+        s"got ${other.map(_.describe()).mkString(", ")} — use the path API's " +
+        "partitionBy option for hive-style layouts")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    val bucketSpec = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name() == "bucket" =>
-        import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
-        val cols = t.arguments().collect {
-          case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
-        }
-        val ns = t.arguments().collect {
-          case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
-        }
-        (cols, ns) match {
-          case (Array(c), Array(n)) if n >= 1 && n <= GraftBucket.MaxBuckets =>
-            // case-insensitive like Spark's own resolution; the marker
-            // records the SCHEMA's spelling so the write side and the
-            // scan's name-tag cross-check agree on one casing
-            val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-              throw new IllegalArgumentException(
-                s"bucket column $c not in schema ${schema.fieldNames.mkString(",")}"))
-            if (!GraftBucket.supported(f.dataType))
-              throw new IllegalArgumentException(
-                s"bucket unsupported for ${f.dataType.simpleString} column $c")
-            Some((f.name, n))
-          case _ => throw new IllegalArgumentException(
-            s"unsupported bucket transform ${t.describe()}; want bucket(n, col)")
-        }
-      case other => throw new UnsupportedOperationException(
-        "graft catalog tables take at most one bucket(n, col) transform; " +
-          s"got ${other.map(_.describe()).mkString(", ")} — use the path API's " +
-          "partitionBy option for hive-style layouts")
-    }
+    val bucketSpec = parseBucketTransform(partitions, schema)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
@@ -269,6 +272,91 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftDataSource.writeBucketMarker(conf, dataDir, ident.name(), c, n)
     }
     loadTable(ident)
+  }
+
+  // ---- atomic CTAS (StagingTableCatalog) -----------------------------------
+  // Without staging, Spark runs CTAS as CREATE then INSERT: a failed
+  // insert leaves an empty (or, worse, partially-written) table behind,
+  // and concurrent readers can observe the table mid-fill. Staged CTAS
+  // writes the data into a DOT-prefixed stage dir — invisible to every
+  // lister, which only descends k=v dirs — and makes the table visible
+  // in ONE event at commit: the schema marker lands LAST on loose-file
+  // namespaces (catalog readers see no table, then the whole table), and
+  // generation-pointered namespaces publish a whole new generation (the
+  // staged files physically inside it, every live file carried by
+  // reference) so even path-based readers switch atomically.
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val bucketSpec = parseBucketTransform(partitions, schema)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
+    val dir = nsDir(ident.namespace())
+    new Path(dir).getFileSystem(conf).mkdirs(new Path(dir))
+    val stage = s"$dir/.ctas-${ident.name()}-${java.util.UUID.randomUUID()}"
+    new GraftStagedCreate(this, ident, schema, bucketSpec, dir, stage)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE AS SELECT is not supported; DROP TABLE then CTAS")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    throw new UnsupportedOperationException(
+      "CREATE OR REPLACE TABLE AS SELECT is not supported; DROP TABLE then CTAS")
+
+  private[sources] def commitStagedCreate(ident: Identifier, schema: StructType,
+      bucketSpec: Option[(String, Int)], dir: String, stage: String): Unit = {
+    val stagePath = new Path(stage)
+    val fs = stagePath.getFileSystem(conf)
+    // DDL is single-writer (same offline assumption as every marker
+    // write), but a racing CREATE is still refused rather than clobbered
+    if (findTableSchema(dir, ident.name()).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
+    val staged: Seq[Path] =
+      if (fs.exists(stagePath))
+        fs.listStatus(stagePath).toSeq.filter(_.isFile)
+          .map(_.getPath).filter(_.getName.endsWith(".graft"))
+      else Seq.empty
+    val stageMarker = GraftDataSource.bucketMarkerPath(stage, ident.name())
+    val resolved = GraftDataSource.resolveDataDir(conf, dir)
+    if (resolved != dir) {
+      // pointered namespace: one atomic pointer swap publishes the table
+      val s = org.apache.spark.sql.SparkSession.active
+      val root = new Path(dir)
+      val listed = GraftDataSource.listPartitionedSized(conf, dir)
+      // no live file can hold the NEW table ⇒ candidates empty, every
+      // live file carries with its stats riding the manifest
+      val files = Generations.classifyForDml(conf, root, listed, ident.name(), None, dir)
+      val nextGen = Generations.prepareRewrite(s, dir)
+      val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+      Generations.claimStaging(conf, staging)
+      staged.foreach(f => AtomicPublish.renameNoClobber(conf, f, new Path(staging, f.getName)))
+      GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
+      if (fs.exists(stageMarker))
+        AtomicPublish.renameNoClobber(conf, stageMarker,
+          new Path(staging, stageMarker.getName))
+      GraftDataSource.writeCarryManifest(fs, staging,
+        files.map(f =>
+          (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+      Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir)
+      writeMarker(dir, ident.name(), schema)
+    } else {
+      // loose layout: data files land first (names are uuid-unique; the
+      // CATALOG table stays invisible without its marker), marker LAST
+      staged.foreach(f => AtomicPublish.renameNoClobber(conf, f, new Path(dir, f.getName)))
+      if (fs.exists(stageMarker))
+        AtomicPublish.renameNoClobber(conf, stageMarker,
+          GraftDataSource.bucketMarkerPath(dir, ident.name()))
+      writeMarker(dir, ident.name(), schema)
+    }
+    fs.delete(stagePath, true)
   }
 
   /** Additive schema evolution only: ADD COLUMN (appended at the end —
@@ -589,5 +677,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         requiredInt(input, 1, "generation"))
       done
     }
+  }
+}
+
+/** The CTAS stage handle: a table whose writes land in the invisible
+  * dot-prefixed stage dir; commit publishes atomically through
+  * [[GraftCatalog.commitStagedCreate]], abort deletes the stage. */
+private[sources] class GraftStagedCreate(cat: GraftCatalog,
+    ident: Identifier, tableSchema: StructType,
+    bucketSpec: Option[(String, Int)], dir: String, stage: String)
+    extends StagedTable with SupportsWrite {
+
+  private val inner: GraftTable = {
+    val opts = Map("path" -> stage, "table" -> ident.name()) ++
+      bucketSpec.map { case (c, n) => "bucketby" -> s"$c:$n" }
+    new GraftTable(stage, tableSchema, new CaseInsensitiveStringMap(opts.asJava))
+  }
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    cat.commitStagedCreate(ident, tableSchema, bucketSpec, dir, stage)
+  override def abortStagedChanges(): Unit = {
+    val p = new Path(stage)
+    p.getFileSystem(GraftDataSource.sessionConf()).delete(p, true)
   }
 }
