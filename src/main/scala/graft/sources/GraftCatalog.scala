@@ -117,7 +117,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft catalog namespaces are immutable")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only; delete the directory instead")
+    throw new UnsupportedOperationException(
+      "DROP NAMESPACE is not supported (a namespace is a shared directory " +
+        "of multi-table files); drop its tables, then delete the directory")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
