@@ -857,6 +857,55 @@ object FormatOps {
     require(touched, s"table '$table' not found in $dir; nothing was upserted")
   }
 
+  /** The other canonical change-feed consumer (pairing [[applyCdcBatch]]
+    * for replicas): fold one micro-batch into a maintained GROUPED
+    * AGGREGATE view — per group a row count plus SUMs of value
+    * expressions. Insert/update_postimage rows ADD their contribution;
+    * delete/update_preimage rows SUBTRACT it. The math is commutative,
+    * so this fold is batch-split-tolerant BY NATURE (no versioning
+    * needed, unlike replica maintenance): a pre/post pair split across
+    * two micro-batches contributes −old in one and +new in the other,
+    * in either order, and converges. Output columns follow the VIEW's
+    * own schema order and types (each sum coalesced and cast back to
+    * the declared column type, so exact decimal money stays exact);
+    * groups whose count reaches zero drop out. Exactly-once per
+    * micro-batch via `idempotencyKey` (pass the batch id). Per batch
+    * the work is one batch-sized aggregate plus a copy-on-write rewrite
+    * of the view (rows = number of groups), never a table rescan. */
+  def applyCdcAggregate(s: SparkSession, viewDir: String, batch: DataFrame,
+      groupCols: Seq[String], countCol: String,
+      sums: Map[String, org.apache.spark.sql.Column],
+      idempotencyKey: Option[String] = None): Unit = {
+    require(groupCols.nonEmpty, "applyCdcAggregate needs group columns")
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(0L)
+    val deltaAggs = sum(col("_sgn")).as(s"_d_$countCol") +:
+      sums.toSeq.map { case (n, c) => sum(col("_sgn") * c).as(s"_d_$n") }
+    val delta = batch.withColumn("_sgn", sgn)
+      .groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    graft.sources.Generations.rewrite(s, viewDir, (_, v) => {
+      val types = v.schema.fields.map(f => f.name -> f.dataType).toMap
+      Seq(countCol).++(sums.keys).foreach { n =>
+        require(types.contains(n), s"view at $viewDir lacks column $n") }
+      val merged = v.join(delta, groupCols, "full_outer")
+      val outCols = v.schema.fields.map { f =>
+        f.name match {
+          case g if groupCols.contains(g) => col(g)
+          case n if n == countCol || sums.contains(n) =>
+            (coalesce(col(n), lit(0).cast(f.dataType))
+              + coalesce(col(s"_d_$n"), lit(0).cast(f.dataType)))
+              .cast(f.dataType).as(n)
+          case other => throw new IllegalArgumentException(
+            s"view column $other is neither a group column, the count, nor a maintained sum")
+        }
+      }
+      merged.select(outCols.toSeq: _*).filter(col(countCol) > 0)
+    }, idempotencyKey = idempotencyKey)
+    ()
+  }
+
   /** Row-level DELETE by an arbitrary [[org.apache.spark.sql.Column]]
     * predicate through the same copy-on-write generation machinery as
     * SQL `DELETE FROM` — the path-based twin of the catalog's
@@ -1306,24 +1355,11 @@ object FormatOps {
     val q = changeFeedStream(s, dir)
       .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val delta = b.withColumn("sgn",
-            when(col("_change_type").isin("insert", "update_postimage"), 1L)
-              .otherwise(-1L))
-          .groupBy(col("o_orderpriority"))
-          .agg(sum(col("sgn")).as("dn"),
-            sum(col("sgn") * money(col("o_totalprice"))).as("dt"))
-        // the batchId as idempotency key makes the fold EXACTLY-once: a
-        // foreachBatch retry whose generation already swapped no-ops
-        graft.sources.Generations.rewrite(b.sparkSession, viewDir, (_, v) =>
-          v.join(delta, Seq("o_orderpriority"), "full_outer")
-            .select(col("o_orderpriority"),
-              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-              (coalesce(col("total"), lit(0).cast("decimal(20,2)"))
-                + coalesce(col("dt"), lit(0).cast("decimal(20,2)")))
-                .cast("decimal(20,2)").as("total"))
-            .filter(col("n") > 0),
+        // the canonical aggregate fold: signed contributions per group,
+        // exact decimal money, exactly-once via the batch id
+        applyCdcAggregate(b.sparkSession, viewDir, b, Seq("o_orderpriority"),
+          "n", Map("total" -> money(col("o_totalprice"))),
           idempotencyKey = Some(s"q114-$batchId"))
-        ()
       }.start()
     try {
       q.processAllAvailable() // fold the upsert's change set

@@ -90,6 +90,43 @@ class CdcFoldFuzzSpec extends SparkSpec {
   }
   }
 
+  test("applyCdcAggregate: split-tolerant signed folding, exact decimals, zero-count drop") {
+    import spark.implicits._
+    val viewDir = Files.createTempDirectory("graft-cdcagg").toString + "/v"
+    // seeded view over groups 0..2: n and an exact decimal total
+    spark.sql("""SELECT g, CAST(n AS BIGINT) AS n, CAST(total AS DECIMAL(20,2)) AS total
+      FROM VALUES (0L, 2, 10.50), (1L, 1, 3.25) AS t(g, n, total)""")
+      .write.format("graft").mode("overwrite").save(viewDir)
+    def state(): Map[Long, (Long, java.math.BigDecimal)] =
+      spark.read.format("graft").load(viewDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    def fold(rows: Seq[(Long, String, String)]): Unit =
+      graft.operators.FormatOps.applyCdcAggregate(spark, viewDir,
+        rows.toDF("g", "v", "_change_type")
+          .select(col("g"), col("v").cast("decimal(18,2)").as("v"), col("_change_type")),
+        Seq("g"), "n", Map("total" -> col("v")))
+    // an update to group 0 SPLIT across batches, postimage first: the
+    // commutative math must converge regardless of order
+    fold(Seq((0L, "7.25", "update_postimage")))
+    fold(Seq((0L, "5.25", "update_preimage")))
+    assert(state() == Map(
+      0L -> (2L, new java.math.BigDecimal("12.50")),
+      1L -> (1L, new java.math.BigDecimal("3.25"))))
+    // inserts create a new group; deletes drain one to zero and it drops
+    fold(Seq((2L, "1.00", "insert"), (1L, "3.25", "delete")))
+    assert(state() == Map(
+      0L -> (2L, new java.math.BigDecimal("12.50")),
+      2L -> (1L, new java.math.BigDecimal("1.00"))))
+    // a view column that is neither group, count, nor sum refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.FormatOps.applyCdcAggregate(spark, viewDir,
+        Seq((0L, "1.00", "insert")).toDF("g", "v", "_change_type")
+          .select(col("g"), col("v").cast("decimal(18,2)").as("v"), col("_change_type")),
+        Seq("g"), "n", Map.empty)
+    }
+    assert(e.getMessage.contains("neither"), e.getMessage)
+  }
+
   test("a capture append split across micro-batches converges (the exact race, pinned)") {
     // the failure CdcFoldFuzzSpec originally caught: a stream trigger
     // racing a multi-file capture append lists HALF the files, so one
