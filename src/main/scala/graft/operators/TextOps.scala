@@ -1687,7 +1687,51 @@ object TextOps {
       |GROUP BY t.source
       |ORDER BY t.source""".stripMargin
 
+  // ---- q131: deterministic training-order shuffle + sharding ---------------
+  // Reproducible training order is a pipeline CONTRACT: the global
+  // document order for an epoch must be a pure function of (seed,
+  // doc_id) — re-runs, resumed jobs, and a 1000-executor re-shard must
+  // all produce the identical order. Order key = md5(seed '-' doc_id)
+  // (hex strings order identically everywhere); shard = first two hex
+  // digits mod 8, so assignment needs NO global sort or row numbering —
+  // one narrow pass, no shuffle until the per-shard audit aggregate. In
+  // production the epoch export is repartitionByRange(ord) over the
+  // same key; this gate pins the determinism contract per shard
+  // (counts, boundary keys, id sums) against the oracle's restatement.
+  private val q131: Q = (s, d) => {
+    val seed = "epoch-0"
+    Tables.documents(s, d)
+      .withColumn("ord", md5(concat(lit(seed), lit("-"),
+        col("doc_id").cast("string")).cast("binary")))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(ord, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(ord, 2, 1))") - 1) % 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ord")).as("first_ord"),
+        max(col("ord")).as("last_ord"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard"))
+  }
+  private val q131Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    md5('epoch-0-' || CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ord,
+      |    ((strpos('0123456789abcdef', substr(ord, 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(ord, 2, 1)) - 1) % 8 AS shard
+      |  FROM t)
+      |SELECT shard, count(*) AS n_docs,
+      |  min(ord) AS first_ord, max(ord) AS last_ord,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM s
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_training_order" -> q131,
     "q130_curation_funnel" -> q130,
     "q35c_lsh_precision" -> q35c,
     "q121_bpe_encode" -> q121,
@@ -1726,6 +1770,7 @@ object TextOps {
     "q38_fingerprint" -> q38)
 
   val oracle: Map[String, String] = Map(
+    "q131_training_order" -> q131Sql,
     "q130_curation_funnel" -> q130Sql,
     "q35c_lsh_precision" -> q35cSql,
     "q121_bpe_encode" -> q121Sql,
