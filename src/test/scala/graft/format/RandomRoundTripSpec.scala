@@ -237,6 +237,36 @@ class RandomRoundTripSpec extends SparkSpec {
     assert(seen == want, s"generator never drew ${want -- seen} in 300 seeds")
   }
 
+  test("multi-table chunk files: random column splits round-trip per table") {
+    // the reference's defining layout — several named tables written
+    // into one chunk — fuzzed: random schemas split into two tables
+    // (sharing one join-key-style column), each read back independently
+    for (seed <- Seq(7000, 7001, 7002)) {
+      val r = new Random(seed)
+      var schema = randSchema(r)
+      while (schema.size < 3) schema = randSchema(r)
+      val names = schema.fieldNames.toVector
+      val shared = names(r.nextInt(names.size))
+      val rest = r.shuffle(names.filterNot(_ == shared))
+      val (aCols, bCols) = rest.splitAt(math.max(1, rest.size / 2))
+      val ta = (shared +: aCols).distinct
+      val tb = (shared +: bCols).distinct
+      val spec = s"ta:${ta.mkString(",")};tb:${tb.mkString(",")}"
+      val nRows = 50 + r.nextInt(300)
+      val rows = (0 until nRows).map(_ => randRow(r, schema))
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val dir = Files.createTempDirectory(s"graft-mt$seed").toString
+      df.coalesce(1 + r.nextInt(2)).write.format("graft")
+        .option("tables", spec).mode("append").save(dir)
+      val backA = spark.read.format("graft").option("table", "ta").load(dir)
+      val backB = spark.read.format("graft").option("table", "tb").load(dir)
+      assert(canon(backA) == canon(df.select(ta.head, ta.tail: _*)),
+        s"seed $seed table ta diverged (spec $spec)")
+      assert(canon(backB) == canon(df.select(tb.head, tb.tail: _*)),
+        s"seed $seed table tb diverged (spec $spec)")
+    }
+  }
+
   test("random row-range decodes equal full-decode slices (seed-pinned)") {
     // decodeTableRange owns the subtlest reader arithmetic (per-encoding
     // element rebasing, page overlap, REE expansion windows): fuzz it
