@@ -360,6 +360,21 @@ object FormatOps {
     graft.sources.Generations.rewrite(s, dir, (_, df) => df,
       Some(targetFiles), writeOptions, graceMs)
 
+  /** Size-targeted compaction — the knob an operator actually reasons
+    * in at 100 TB ("~1 GiB files"), resolved against the LIVE listing's
+    * compressed bytes: targetFiles = ceil(totalBytes / targetBytes),
+    * min 1. A table smaller than one target lands in a single file. */
+  def compactToSize(s: SparkSession, dir: String, targetBytes: Long,
+      writeOptions: Map[String, String] = Map.empty,
+      graceMs: Long = -1L): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val total = graft.sources.GraftDataSource
+      .listPartitionedSized(s.sparkContext.hadoopConfiguration, dir)
+      .map(_._2).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes)
+    compact(s, dir, math.min(n, Int.MaxValue.toLong).toInt, writeOptions, graceMs)
+  }
+
   /** `VACUUM`: reclaim superseded generations and stale staging WITHOUT
     * creating a new generation — the explicit end of time-travel
     * retention for a table that is no longer being rewritten. See

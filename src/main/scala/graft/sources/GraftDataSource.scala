@@ -707,6 +707,16 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     })
   def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
     this(Seq(dir), schema, options)
+  /** Surfaced by `DESCRIBE TABLE EXTENDED`: where the data lives and the
+    * declared layout, so an operator can see a table's shape without
+    * reading code. */
+  override def properties(): java.util.Map[String, String] = {
+    val base = Map("provider" -> "graft", "location" -> dirs.mkString(","))
+    val tbl = Option(options.get("table")).map("table" -> _)
+    val bucket = Option(options.get("bucketby")).map("bucketBy" -> _)
+    val sort = Option(options.get("sortby")).map("sortBy" -> _)
+    (base ++ tbl ++ bucket ++ sort).asJava
+  }
   override def name(): String = s"graft:${dirs.mkString(",")}"
   override def schema(): StructType = schema
   override def partitioning(): Array[Transform] = {

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+// (compactToSize coverage lives in "size-targeted compaction" below)
 import graft.operators.FormatOps
 
 /** Offline compaction: many task-sized files collapse to few, content
@@ -404,5 +405,26 @@ class CompactionSpec extends SparkSpec {
     assert(rows.length == 15)
     assert(rows.take(5).toSeq == (1 until 6).map(i => (i.toLong, i.toDouble))) // untouched
     assert(rows.drop(5).forall(_._2 == -1.0)) // 6..10 replaced, 11..15 inserted
+  }
+
+  test("size-targeted compaction lands near the requested file size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sizecompact").toString
+    spark.range(0, 60000).repartition(12)
+      .selectExpr("id", "concat('v', id) AS v")
+      .write.format("graft").mode("overwrite").save(dir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val total = graft.sources.GraftDataSource
+      .listPartitionedSized(conf, dir).map(_._2).sum
+    // target ~ a third of the table => ~3 files
+    FormatOps.compactToSize(spark, dir, targetBytes = total / 3 + 1)
+    val n = graft.sources.GraftDataSource.listFiles(conf, dir).size
+    assert(n >= 2 && n <= 4, s"want ~3 compacted files, got $n")
+    assert(spark.read.format("graft").load(dir).count() == 60000)
+    // a target far above the table size compacts to ONE file
+    FormatOps.compactToSize(spark, dir, targetBytes = Long.MaxValue / 2)
+    assert(graft.sources.GraftDataSource.listFiles(conf, dir).size == 1)
+    assert(spark.read.format("graft").load(dir).count() == 60000)
+    intercept[IllegalArgumentException](
+      FormatOps.compactToSize(spark, dir, targetBytes = 0))
   }
 }
