@@ -533,7 +533,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
-      Array("history", "vacuum", "restore", "compact", "contract", "audit")
+      Array("history", "vacuum", "restore", "compact", "compact_to_size",
+        "contract", "audit")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -543,12 +544,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "vacuum") => vacuumProc
       case (Seq("sys"), "restore") => restoreProc
       case (Seq("sys"), "compact") => compactProc
+      case (Seq("sys"), "compact_to_size") => compactToSizeProc
       case (Seq("sys"), "contract") => contractProc
       case (Seq("sys"), "audit") => auditProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
-          "sys.compact(ns, target_files), sys.contract(ns), sys.audit(ns)")
+          "sys.compact(ns, target_files), sys.compact_to_size(ns, target_bytes), " +
+          "sys.contract(ns), sys.audit(ns)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -666,6 +669,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       graft.operators.FormatOps.compact(
         org.apache.spark.sql.SparkSession.active, dirOf(input),
         requiredInt(input, 1, "target_files"))
+      done
+    }
+  }
+
+  private lazy val compactToSizeProc: UnboundProcedure = new SysProc("compact_to_size",
+    "rewrite a namespace's live data into files of ~target_bytes each",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("target_bytes", LongType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      if (input.isNullAt(1))
+        throw new IllegalArgumentException("procedure argument target_bytes must not be NULL")
+      graft.operators.FormatOps.compactToSize(
+        org.apache.spark.sql.SparkSession.active, dirOf(input), input.getLong(1))
       done
     }
   }

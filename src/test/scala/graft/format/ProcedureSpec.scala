@@ -61,6 +61,14 @@ class ProcedureSpec extends SparkSpec {
       assert(new java.io.File(s"$dir/$live").listFiles
         .count(_.getName.endsWith(".graft")) == 1)
       assert(spark.read.format("graft").load(dir).count() == 500)
+      // size-targeted OPTIMIZE: a huge byte target collapses to one file
+      spark.sql(s"CALL $cat.sys.compact_to_size('db', ${1L << 40})")
+      val live2 = graft.sources.GraftDataSource
+        .readGenPointer(new org.apache.hadoop.conf.Configuration(), dir).get
+      assert(new java.io.File(s"$dir/$live2").listFiles
+        .count(_.getName.endsWith(".graft")) == 1)
+      assert(spark.read.format("graft").load(dir).count() == 500)
+      intercept[Exception] { spark.sql(s"CALL $cat.sys.compact_to_size('db', 0)") }
       // unknown procedure refuses loudly
       intercept[Exception] { spark.sql(s"CALL $cat.sys.nope('db')") }
     }
