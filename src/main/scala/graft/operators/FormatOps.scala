@@ -1406,18 +1406,15 @@ object FormatOps {
   // ---- q118: CDC replica — a downstream table kept in sync by the feed -------
   // The other canonical change-feed consumer besides aggregates (q114):
   // a full REPLICA table seeded once from a snapshot, then maintained
-  // purely from change rows. Per micro-batch: anti-join the replica on
-  // the batch's removed keys (delete + update_preimage), append the
-  // batch's new rows (insert + update_postimage) — one copy-on-write
-  // rewrite, work ∝ replica rewrite + batch, the source is never
-  // re-read. Folds are exactly-once via the batchId idempotency key.
-  // Within one micro-batch the apply is SET-semantics (removals then
-  // additions); change sets for the same key arriving in one batch from
-  // DIFFERENT DMLs would need the journal order — here each DML lands
-  // in its own batch, which is the capture log's natural granularity.
-  // The gate compares the replica (count, key sum, money sum per
-  // priority) against the oracle's restatement of the FINAL source
-  // table — proving the replica converged to the source.
+  // purely from change rows through [[applyCdcBatch]] — per key the
+  // highest-`_commit_version` non-preimage change wins, so the fold is
+  // correct under multi-DML micro-batches AND under a capture append
+  // split across batches (the CdcFoldFuzzSpec-found race). One
+  // copy-on-write rewrite per batch, work ∝ replica rewrite + batch,
+  // the source is never re-read; exactly-once via the batchId
+  // idempotency key. The gate compares the replica (count, key sum,
+  // money sum per priority) against the oracle's restatement of the
+  // FINAL source table — proving the replica converged to the source.
   private val q118: Q = (s, d) => {
     val dir = graftDir(d, "orders_cdc_src")
     val repl = graftDir(d, "orders_cdc_replica")
