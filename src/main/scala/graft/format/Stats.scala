@@ -145,7 +145,12 @@ object Stats {
         Some(java.lang.Long.compare(longOf(stat),
           org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
       case (FloatType | DoubleType, n: Number) =>
-        Some(java.lang.Double.compare(doubleOf(stat), n.doubleValue()))
+        // primitive == before Double.compare — Spark's own ordering
+        // (SQLOrderingUtil) treats -0.0 equal to 0.0, but Double.compare
+        // orders them, so a chunk whose stats are [-0.0,-0.0] would
+        // wrongly prove max < 0.0 and skip EqualTo(col, 0.0)
+        val sv = doubleOf(stat); val lv = n.doubleValue()
+        Some(if (sv == lv) 0 else java.lang.Double.compare(sv, lv))
       case (d: DecimalType, v) =>
         // stat bytes are the unscaled value at the column's declared
         // scale (i64 for p <= 18, 16-byte big-endian for wider); rescale
@@ -613,16 +618,16 @@ object Stats {
             val d = row.getDecimal(0)
             a.add(d)
             a.boundD(d)
-          case _ => a.add(row.get(0))
+          case _ => a.add(plainKey(row.get(0)))
         }
         a
       },
       (a, b) => a.merge(b))
     if (sk.set != null) {
       val raw = sk.set.toArray // Array[AnyRef]
-      val values: Array[Any] = mode match {
-        case 2 => raw.map(_.asInstanceOf[BytesKey].bytes: Any)
-        case _ => raw.map(x => x: Any)
+      val values: Array[Any] = raw.map {
+        case b: BytesKey => b.bytes: Any
+        case x => x: Any
       }
       return KeyPruneResult(
         Some(FilterPrune(org.apache.spark.sql.sources.In(name, values))),
@@ -639,6 +644,22 @@ object Stats {
       case _ => None
     }
     KeyPruneResult(prune, sk.rows, distinct = None)
+  }
+
+  /** SQL-equality view of a plain (mode-0) key value for the distinct
+    * sketch and its IN-list literals: Array[Byte] gets value equality
+    * via [[BytesKey]] (identity hashing counted every BINARY row as
+    * distinct, so the rows>distinct duplicate-key admission check could
+    * never fire), and floating zeros normalize to +0.0 (Spark's
+    * comparisons treat -0.0 = 0.0 — boxed they differ, splitting one
+    * SQL group into two sketch entries). */
+  private def plainKey(v: Any): Any = v match {
+    case b: Array[Byte] => new BytesKey(b)
+    case d: java.lang.Double if d.doubleValue() == 0.0d =>
+      java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case x => x
   }
 
   /** Byte-array set key with VALUE equality (Array[Byte] hashes by

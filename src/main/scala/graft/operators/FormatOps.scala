@@ -571,9 +571,9 @@ object FormatOps {
     * over-captures (at-least-once) rather than losing changes. */
   val ChangesSubdir = "_changes"
 
-  /** Append one DML's change set, stamped with `_commit_version` — the
-    * generation index the capturing DML is about to publish (strictly
-    * increasing across DMLs; the Delta-CDF `_commit_version` idea). The
+  /** Append one DML's change set, stamped with `_commit_version` — a
+    * strictly-increasing commit number from a DEDICATED counter
+    * ([[nextCommitVersion]]; the Delta-CDF `_commit_version` idea). The
     * version is what makes change CONSUMERS order-robust: a capture
     * append is multiple files, and a stream trigger racing the append
     * can list HALF of them — one DML's change set then spans two
@@ -581,14 +581,87 @@ object FormatOps {
     * that keys removals on `update_preimage` rows loses data under that
     * split (postimage applied in batch N, preimage DELETES the key in
     * batch N+1 — found by `CdcFoldFuzzSpec`); [[applyCdcBatch]] uses the
-    * version + change kind instead and converges under any split. */
+    * version + change kind instead and converges under any split.
+    *
+    * Why NOT the generation index the DML is about to publish (the
+    * original stamp): (a) a `sys.restore` swings the pointer BACK while
+    * higher-numbered generations survive, so subsequent DMLs would
+    * re-issue versions already in the feed and the fold's per-key
+    * highest-version winner could pick a stale pre-restore change; (b)
+    * the rewrite allocates `maxSurvivingIdx+1` (not pointer+1), and an
+    * optimistic-concurrency rebase can move the index again between
+    * capture and publish. A counter that only ever increments is immune
+    * to all three. */
   private def captureTo(s: SparkSession, dir: String, rows: DataFrame): Unit = {
-    val next = graft.sources.GraftDataSource
-      .readGenPointer(s.sparkContext.hadoopConfiguration, dir)
-      .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L) + 1L
+    val next = nextCommitVersion(s, dir)
     rows.withColumn("_commit_version", lit(next))
       .write.format("graft").option("table", "changes")
       .mode("append").save(s"$dir/$ChangesSubdir")
+  }
+
+  /** The change feed's commit counter: marker files `v-NNNNNNNNNNNN`
+    * under `_changes/_seq`, allocated by exclusive create (the same
+    * atomic create-no-overwrite every marker publish here uses) — a CAS
+    * counter with no lock service, and one `restore` NEVER rewinds
+    * (generation pointers swing back; this directory only grows).
+    *
+    * Allocation: list → next = max+1 → create-exclusive; a lost race
+    * re-lists and retries. The max marker is never deleted, so a fresh
+    * listing always yields a correct floor; markers far below the max
+    * are pruned only once STALE by mtime (the repo-wide `graceMs`
+    * contract) so a writer that listed long ago cannot resurrect a
+    * pruned low version inside the window. Seeding on a feed captured by
+    * the pre-counter scheme (live pointer + 1) starts past BOTH that
+    * scheme's next value and the feed's own max `_commit_version`, so
+    * new versions never sort below stamped ones. */
+  private def nextCommitVersion(s: SparkSession, dir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val seqDir = new org.apache.hadoop.fs.Path(s"$dir/$ChangesSubdir/_seq")
+    val fs = seqDir.getFileSystem(conf)
+    def markers(): Seq[(Long, Long)] = // (version, mtime)
+      try fs.listStatus(seqDir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v-")) n.drop(2).toLongOption.map((_, st.getModificationTime))
+        else None
+      } catch { case _: java.io.IOException => Seq.empty }
+    var floor: Long = markers().map(_._1).maxOption.getOrElse {
+      val ptr = graft.sources.GraftDataSource.readGenPointer(conf, dir)
+        .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L)
+      val inFeed: Long =
+        try {
+          val ch = s.read.format("graft").option("table", "changes")
+            .load(s"$dir/$ChangesSubdir")
+          if (!ch.columns.contains("_commit_version")) 0L
+          else {
+            val r = ch.agg(max(col("_commit_version"))).collect().head
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+        } catch { case _: Exception => 0L } // no feed yet
+      math.max(ptr, inFeed)
+    }
+    var attempt = 0
+    while (attempt < 64) {
+      val next = floor + 1
+      try {
+        val out = graft.sources.AtomicPublish.createStream(conf,
+          new org.apache.hadoop.fs.Path(seqDir, f"v-$next%012d"), overwrite = false)
+        try out.write('1'.toByte) finally out.close()
+        // prune the tail: below a 16-marker window AND stale by mtime
+        val cutoff = System.currentTimeMillis() - 15 * 60 * 1000L
+        markers().foreach { case (v, mt) =>
+          if (v < next - 16 && mt < cutoff)
+            try fs.delete(new org.apache.hadoop.fs.Path(seqDir, f"v-$v%012d"), false)
+            catch { case _: java.io.IOException => }
+        }
+        return next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          floor = markers().map(_._1).maxOption.getOrElse(next)
+          attempt += 1
+      }
+    }
+    throw new graft.format.OliveFormatException(
+      s"commit-version allocation for $dir lost 64 races; giving up")
   }
 
   /** Canonical, order-robust CDC apply: fold one change-feed micro-batch
@@ -857,8 +930,19 @@ object FormatOps {
         case Some(res) => res.prune.toSeq
         case None => multiKeyGrouped match {
           case Some(grouped) => keys.zipWithIndex.map { case (k, i) =>
-            graft.format.Stats.FilterPrune(org.apache.spark.sql.sources.In(k,
-              grouped.map(_.get(i)).distinct.toArray))
+            // binary-cast string keys arrive as Array[Byte], on which
+            // Seq.distinct is reference equality — dedup through
+            // value-equal ByteBuffer keys or the IN-list carries one
+            // literal per duplicate row (redundant zone-map/bloom probes)
+            val deduped: Array[Any] = grouped.map(_.get(i)).map {
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b): Any
+              case v => v: Any
+            }.distinct.map {
+              case bb: java.nio.ByteBuffer => bb.array(): Any
+              case v => v
+            }.toArray
+            graft.format.Stats.FilterPrune(
+              org.apache.spark.sql.sources.In(k, deduped))
           }
           case None => keys.flatMap(k => keyPrune(batch, k)) // per-column caps intact
         }

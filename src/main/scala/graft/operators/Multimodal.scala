@@ -495,9 +495,15 @@ object Multimodal {
     }
     require(w > 0, "missing IHDR")
     val bpp = if (colorType == 0) 1 else 3
+    // size arithmetic in LONG, with w/h bounded first: hostile IHDR
+    // dimensions overflow Int (and even Long, at 2^31×2^33) into a
+    // small/negative "expect" that slips past the size guard and dies in
+    // the allocator instead of the documented clean refusal
+    require(w <= (1 << 26) && h <= (1 << 26), "PNG too large")
+    val expectL = h.toLong * (1L + w.toLong * bpp)
+    require(expectL <= (1L << 26), "PNG too large") // before allocating
     val rowBytes = w * bpp
-    val expect = h * (1 + rowBytes)
-    require(expect <= (1 << 26), "PNG too large") // before allocating
+    val expect = expectL.toInt
     val filtered = new Array[Byte](expect)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
