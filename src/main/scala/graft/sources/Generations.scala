@@ -21,18 +21,31 @@ import org.apache.spark.sql.sources._
   * stay readable (`VERSION AS OF`) until a later rewrite's grace-period
   * sweep reclaims them.
   *
-  * Offline/single-writer like compaction, but accidental concurrency is
-  * DETECTED, not corrupting: each rewrite stages its output under a
-  * unique `gen-NNNNN.tmp-<uuid>` dir and publishes it with one
-  * no-overwrite directory rename to `gen-NNNNN` — when two rewrites race
-  * to the same next index, exactly one rename wins and the loser fails
-  * loudly before touching the pointer (two writers appending into one
-  * shared gen dir would otherwise interleave half of each rewrite).
+  * Concurrency: each rewrite stages its output under a unique
+  * `gen-NNNNN.tmp-<uuid>` dir and publishes it with one no-overwrite
+  * directory rename to `gen-NNNNN` — the rename is the commit CAS: when
+  * two rewrites race to the same next index, exactly one wins (two
+  * writers appending into one shared gen dir would otherwise interleave
+  * half of each rewrite). File-granular DML ([[rewriteTable]]) then
+  * resolves the race OPTIMISTICALLY: the loser re-reads the winner's
+  * view, checks file-level conflict (the files it rewrote must be
+  * carried untouched by the winner, and nothing the winner added may
+  * admit its key filters), rebases its carry manifest, and re-publishes
+  * at the next index — two upserts on disjoint keys BOTH commit, equal
+  * to a serial order ([[rebaseStaging]]). A true overlap, and the full
+  * [[rewrite]] (whose footprint is the whole table), still fail loudly.
   * Readers are safe throughout. Crash anywhere: the pointer still names
   * a complete generation; half-written tmp dirs and unreferenced gen
   * dirs are garbage the next rewrite removes unconditionally.
   */
 object Generations {
+
+  /** A generation publish lost its `gen-NNNNN` rename to a concurrent
+    * rewrite. [[rewriteTable]] catches this and attempts an optimistic
+    * REBASE (conflict-checked re-publish at the next index); every other
+    * path propagates it as the loud single-writer failure. */
+  final class GenerationConflictException(msg: String, cause: Throwable = null)
+      extends graft.format.OliveFormatException(msg, cause)
 
   /** Table names present in `dir`'s LIVE generation (pointer-resolved
     * by the DSv2 listing), via a parallel footer probe. */
@@ -289,14 +302,32 @@ object Generations {
     // that was LIVE for an hour is already "stale" the instant the
     // pointer swings back — without this touch its in-flight readers
     // would lose their files with zero grace instead of the promised
-    // window
+    // window. The ABANDON MARKER distinguishes these deliberately
+    // orphaned generations from a concurrent publish caught in its
+    // rename→swap window: prepareRewrite refuses to allocate past an
+    // unmarked fresh above-pointer generation (deriving from the older
+    // pointer view would drop the in-flight commit), but allocating past
+    // a restore's abandoned future IS the restore semantics.
     val now = System.currentTimeMillis()
     fs.listStatus(root).foreach { st =>
       if (st.isDirectory &&
-          GraftDataSource.genIndex(st.getPath.getName).exists(_ > generation))
+          GraftDataSource.genIndex(st.getPath.getName).exists(_ > generation)) {
         fs.setTimes(st.getPath, now, -1)
+        val out = AtomicPublish.createStream(conf,
+          new Path(st.getPath, AbandonMarkerName), overwrite = true)
+        try out.write('1'.toByte) finally out.close()
+      }
     }
+    // restoring FORWARD onto a previously abandoned generation re-adopts
+    // it — clear its marker so the next rewrite treats it as live history
+    try fs.delete(new Path(new Path(root, target), AbandonMarkerName), false)
+    catch { case _: java.io.IOException => }
   }
+
+  /** Marker [[restore]] stamps into each above-pointer generation it
+    * orphans, so [[prepareRewrite]] can tell "deliberately abandoned"
+    * from "concurrent publish mid-swap". */
+  private[sources] val AbandonMarkerName = ".graft-abandoned"
 
   def rewrite(s: SparkSession, dir: String,
       transform: (String, DataFrame) => DataFrame,
@@ -362,6 +393,34 @@ object Generations {
       age >= grace
     }
     val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
+    // A fresh PUBLISHED generation above the pointer is a concurrent
+    // rewrite in its rename→swap window. Allocating past it while
+    // reading the pointer view would derive gen N+1 from gen N−k and
+    // silently drop the in-flight commit's changes the moment our swap
+    // superseded its — the one lost-update shape the rename CAS can't
+    // see (different indices never collide). The swap lands microseconds
+    // after the rename, so wait briefly for the pointer to catch up;
+    // a publisher that crashed inside the window leaves an ambiguous
+    // above-pointer generation, and the only safe answer is a loud
+    // refusal (the gen goes stale within the grace window, after which
+    // the sweep reclaims it and rewrites proceed normally).
+    val topGen = new Path(root, f"gen-$maxSurvivingIdx%05d")
+    if (liveIdx.getOrElse(0) < maxSurvivingIdx &&
+        fs.exists(new Path(topGen, GraftDataSource.SwapTsName)) &&
+        !fs.exists(new Path(topGen, AbandonMarkerName))) {
+      val deadline = System.currentTimeMillis() + 2000L
+      var caughtUp = false
+      while (!caughtUp && System.currentTimeMillis() < deadline) {
+        caughtUp = GraftDataSource.readGenPointer(conf, dir)
+          .flatMap(GraftDataSource.genIndex).exists(_ >= maxSurvivingIdx)
+        if (!caughtUp) Thread.sleep(10)
+      }
+      if (!caughtUp) throw new graft.format.OliveFormatException(
+        s"concurrent rewrite of $dir: generation $maxSurvivingIdx is " +
+          "published but not yet live (another rewrite mid-swap, or one " +
+          "that crashed between publish and swap); retry after it " +
+          "completes or goes stale")
+    }
     f"gen-${maxSurvivingIdx + 1}%05d"
   }
 
@@ -411,7 +470,8 @@ object Generations {
     * file-granular [[rewriteTable]], and the SQL row-level COW write. */
   private[sources] def publishStaging(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
       root: Path, staging: Path, nextGen: String,
-      idempotencyKey: Option[String], dir: String): Unit = {
+      idempotencyKey: Option[String], dir: String,
+      keepStagingOnConflict: Boolean = false): Unit = {
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
     // instead (GraftCatalog.loadTable(ident, timestamp))
@@ -461,13 +521,32 @@ object Generations {
     catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: org.apache.hadoop.fs.PathExistsException) =>
-        fs.delete(staging, true)
-        throw new graft.format.OliveFormatException(
+        if (!keepStagingOnConflict) fs.delete(staging, true)
+        throw new GenerationConflictException(
           s"concurrent rewrite of $dir: generation $nextGen already exists; " +
             "rewrites are single-writer — retry after the other completes", e)
     }
-    // the swap: one atomic pointer replacement
-    AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), nextGen)
+    // the swap: one atomic pointer replacement, then FORWARD-ONLY
+    // convergence. With optimistic rebase two racing DMLs both commit:
+    // the loser's gen N+1 carries the winner's gen N (its whole view
+    // rides the rebased manifest), so the pointer must settle on the
+    // HIGHEST published index. A blind overwrite alone can finish-order
+    // invert that (winner's swap lands after the rebased loser's and the
+    // loser's superset generation goes silently unreferenced), so each
+    // publisher re-asserts until it reads an index >= its own — two
+    // racers converge on the max in <=1 extra write each. A concurrent
+    // `restore` (the one legitimate backward swing) can interleave; it
+    // is an offline operation by contract, and the loop is bounded.
+    val ptr = new Path(root, GraftDataSource.GenPointerName)
+    val myIdx = GraftDataSource.genIndex(nextGen).getOrElse(Int.MaxValue)
+    AtomicPublish.text(conf, ptr, nextGen)
+    var spins = 0
+    while (spins >= 0 && spins < 50) {
+      val cur = GraftDataSource.readGenPointer(conf, dir)
+        .flatMap(GraftDataSource.genIndex).getOrElse(-1)
+      if (cur >= myIdx) spins = -1 // converged: ours, or a newer superset
+      else { AtomicPublish.text(conf, ptr, nextGen); spins += 1; Thread.sleep(1) }
+    }
     // deliberately NO deletion here: the superseded data (legacy loose
     // files or the previous gen dir) is invisible behind the pointer but
     // intact, so queries planned against it finish cleanly; a later
@@ -562,8 +641,92 @@ object Generations {
     GraftDataSource.writeCarryManifest(fs, staging,
       carried.map(f =>
         (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
-    publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir)
-    true
+    // Optimistic-concurrency publish: losing the `gen-NNNNN` rename to a
+    // concurrent rewrite is NOT fatal for a file-granular DML — the
+    // staged output only depends on the candidate files' rows, so if the
+    // winner provably touched none of them (and added nothing this DML's
+    // key filters admit), the staging rebases onto the winner's view and
+    // re-publishes at the next index. Two ingest jobs upserting DISJOINT
+    // keys both commit, final state equal to either serial order; a true
+    // overlap still fails loudly (re-running the DML against the new
+    // state is the only sound answer, and only the caller can decide).
+    val myCands = candidates.map(f =>
+      GraftDataSource.relativePath(root, f.path)).toSet
+    var gen = nextGen
+    var attempts = 0
+    while (true) {
+      try {
+        publishStaging(fs, conf, root, staging, gen, idempotencyKey, dir,
+          keepStagingOnConflict = true)
+        return true
+      } catch {
+        case e: GenerationConflictException =>
+          attempts += 1
+          if (attempts > 5) { fs.delete(staging, true); throw e }
+          rebaseStaging(conf, fs, root, dir, table, staging, gen,
+            myCands, pruneFilters) match {
+            case Some(next) => gen = next
+            case None =>
+              fs.delete(staging, true)
+              throw new GenerationConflictException(
+                s"concurrent DML on $dir/$table: generation $gen landed " +
+                  "while this rewrite was staging and its changes overlap " +
+                  "the files this DML must touch — re-run the operation " +
+                  "against the new table state", e)
+          }
+      }
+    }
+    true // unreachable
+  }
+
+  /** Rebase a collided file-granular DML staging onto the race winner
+    * (generation `lostGen`, whose rename beat ours): re-classify the
+    * winner's view under OUR key filters, and iff the set of files this
+    * DML must rewrite is UNCHANGED — the winner carried every one of our
+    * candidate files untouched, and none of its new/rewritten files can
+    * hold a row our filters admit — swap the staging's carry manifest
+    * for (winner's view − our candidates) and return the next free
+    * generation index to publish at. None = true conflict (including
+    * un-pruned DMLs, whose footprint is the whole table by definition).
+    *
+    * Soundness: candidate files are immutable, so our staged transform
+    * output is byte-identical to what a serial re-run after the winner
+    * would produce for those files; everything else of the winner's view
+    * rides the manifest by reference. The published generation therefore
+    * equals the winner-then-us serial order. The winner's view is listed
+    * from its GEN DIR, not the pointer (its swap may not have landed
+    * yet — the pointer view could still be the pre-race world). */
+  private def rebaseStaging(conf: Configuration, fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, dir: String, table: String, staging: Path, lostGen: String,
+      myCands: Set[String],
+      pruneFilters: Option[Seq[graft.format.Stats.Prune]]): Option[String] = {
+    if (pruneFilters.forall(_.isEmpty)) return None // whole-table footprint
+    val winnerView =
+      try GraftDataSource.listGenerationSized(conf, dir, lostGen)
+      catch { case _: java.io.IOException => return None } // winner swept?
+    val winnerStats = GraftDataSource.genCarryStats(conf, dir, lostGen)
+    val files = classifyForDml(conf, root, winnerView, table, pruneFilters,
+      dir, manifestStatsOverride = Some(winnerStats))
+    val newCands = files.filter(_.candidate)
+      .map(f => GraftDataSource.relativePath(root, f.path)).toSet
+    if (newCands != myCands) return None // winner moved our footprint
+    val carried2 = files.filterNot(_.candidate)
+    // the failed publish consumed the staging's liveness claim just
+    // before its rename; the staging is demonstrably fresh (we wrote it
+    // this call), so re-claim for the re-publish
+    claimStaging(conf, staging)
+    GraftDataSource.writeCarryManifest(fs, staging,
+      carried2.map(f =>
+        (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+    // allocate past every generation now on disk (the winner, plus any
+    // racer that landed while we rebased — a further collision just
+    // loops back here)
+    val maxIdx = fs.listStatus(root).foldLeft(0) { (m, st) =>
+      if (st.isDirectory)
+        GraftDataSource.genIndex(st.getPath.getName).fold(m)(math.max(m, _))
+      else m
+    }
+    Some(f"gen-${maxIdx + 1}%05d")
   }
 
   /** One live file's classification for a file-granular DML. */
@@ -585,14 +748,16 @@ object Generations {
     * footer probe — never a wrong skip. */
   private[sources] def classifyForDml(conf: Configuration, root: Path,
       listed: Seq[(Path, Long, Map[String, String])], table: String,
-      pruneFilters: Option[Seq[graft.format.Stats.Prune]], dir: String): Seq[DmlFile] = {
+      pruneFilters: Option[Seq[graft.format.Stats.Prune]], dir: String,
+      manifestStatsOverride: Option[Map[String, String]] = None): Seq[DmlFile] = {
     def mustRewrite(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
       pruneFilters match {
         case Some(fls) if fls.nonEmpty =>
           !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunkPrune(f, t)))
         case _ => true
       }
-    val manifestStats = GraftDataSource.liveCarryStats(conf, dir)
+    val manifestStats = manifestStatsOverride
+      .getOrElse(GraftDataSource.liveCarryStats(conf, dir))
     GraftDataSource.inParallel(listed) { case (p, size, _) =>
       def footer(): Seq[graft.format.Meta.TableMeta] = {
         val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)

@@ -322,6 +322,28 @@ object GraftDataSource {
     }
   }
 
+  /** The complete view of one PUBLISHED generation — its own files plus
+    * its carry manifest's references — regardless of where the pointer
+    * currently points. The optimistic-DML rebase path reads the race
+    * winner's view through this: at rebase time the winner's `gen-N`
+    * rename has landed (that is what the loser collided with) but its
+    * pointer swap may not have, so the pointer-resolved listing would
+    * show the PRE-race world and the rebase would silently drop the
+    * winner's changes. */
+  private[sources] def listGenerationSized(conf: Configuration, dir: String,
+      genName: String): Seq[(Path, Long, Map[String, String])] =
+    listPartitionedSizedAt(conf, dir, new Path(dir, genName).toString,
+      viaPointer = false)
+
+  /** [[liveCarryStats]] pinned to one generation dir (the rebase path's
+    * zero-I/O classification over the race winner's manifest). */
+  private[sources] def genCarryStats(conf: Configuration, dir: String,
+      genName: String): Map[String, String] = {
+    val p = new Path(dir, genName)
+    readCarryManifestFull(p.getFileSystem(conf), p)
+      .flatMap { case (rel, _, js) => js.map(rel -> _) }.toMap
+  }
+
   /** rel → stats-json for every stats-carrying entry of the LIVE
     * generation's manifest; empty for pointerless tables or manifests
     * written before stats rode along. */
