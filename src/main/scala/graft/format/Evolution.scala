@@ -1,0 +1,83 @@
+package graft.format
+
+import org.apache.spark.sql.types._
+
+/** Schema-evolution bookkeeping shared by the catalog (which evolves the
+  * declared-schema marker) and the reader (which maps evolved columns
+  * back onto files written before the DDL).
+  *
+  * The declared schema is the source of truth; files are immutable and
+  * never rewritten by DDL. Three evolutions ride the marker's FIELD
+  * METADATA so every path that holds a StructField can resolve them:
+  *
+  *  - RENAME: the field keeps its prior spellings in [[PrevNamesKey]]
+  *    (most recent first). Old files still store the column under an old
+  *    name; [[fileFieldIndex]] maps the request through the rename
+  *    chain. New files write the current name, so renames heal
+  *    physically with every rewrite.
+  *  - DROP: the field STAYS in the marker, hidden behind [[DroppedKey]]
+  *    (a tombstone). Visible schemas filter it; re-adding the same name
+  *    is refused while the tombstone exists, because old files still
+  *    hold the dropped column's values and a fresh same-named column
+  *    would silently resurrect them (the failure field-id systems like
+  *    Iceberg's exist to prevent; the tombstone is the refusal-flavored
+  *    equivalent).
+  *  - WIDEN: the field's type changes along [[widens]] (the lossless
+  *    promotions Spark itself allows); old files decode their narrower
+  *    physical values into the widened vector.
+  */
+object Evolution {
+  val PrevNamesKey = "graft.prevNames"
+  val DroppedKey = "graft.dropped"
+
+  def prevNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(PrevNamesKey)) f.metadata.getStringArray(PrevNamesKey).toSeq
+    else Seq.empty
+
+  def isDropped(f: StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The user-visible schema: tombstoned (dropped) fields filtered out. */
+  def visible(s: StructType): StructType = StructType(s.fields.filterNot(isDropped))
+
+  /** Every name a field has ever answered to, current first. */
+  def allNames(f: StructField): Seq[String] = f.name +: prevNames(f)
+
+  /** True iff this field was touched by a rename (old files may store it
+    * under another name) — pushed aggregates/top-k answer from footer
+    * stats BY NAME and must decline such columns. */
+  def renamed(f: StructField): Boolean = prevNames(f).nonEmpty
+
+  /** Lossless widenings `ALTER COLUMN ... TYPE` accepts — the same set
+    * Spark's own `Cast.canUpCast` blesses for integral/float promotion. */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Index of requested field `f` in a FILE's schema: exact name first,
+    * then the rename chain. -1 = the file predates the column. */
+  def fileFieldIndex(fileSchema: StructType, f: StructField): Int = {
+    val names = fileSchema.fieldNames
+    val exact = names.indexOf(f.name)
+    if (exact >= 0) exact
+    else prevNames(f).iterator.map(n => names.indexOf(n)).find(_ >= 0).getOrElse(-1)
+  }
+
+  /** Stamp a rename onto a field: new name in front, old name joins the
+    * prior-names chain. */
+  def renameField(f: StructField, newName: String): StructField = {
+    val chain = f.name +: prevNames(f)
+    val md = new MetadataBuilder().withMetadata(f.metadata)
+      .putStringArray(PrevNamesKey, chain.toArray).build()
+    f.copy(name = newName, metadata = md)
+  }
+
+  /** Tombstone a dropped field (kept in the marker, hidden from view). */
+  def dropField(f: StructField): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putBoolean(DroppedKey, true).build())
+}

@@ -202,17 +202,28 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     // buffer evidence BEFORE any vector allocation: a lying numRows must
     // raise OliveFormatException, not OOM the executor on reserve()
     required.fields.foreach { f =>
-      if (table.schema.fieldNames.contains(f.name)) {
-        val idx = table.schema.fieldIndex(f.name)
-        checkCount(table.columns(idx), table.schema.fields(idx).dataType, n,
+      val cidx = Evolution.fileFieldIndex(table.schema, f)
+      if (cidx >= 0)
+        checkCount(table.columns(cidx), table.schema.fields(cidx).dataType, n,
           s"column ${f.name}")
-      }
     }
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(math.max(n, 1), f.dataType)
-      if (table.schema.fieldNames.contains(f.name)) {
-        val idx = table.schema.fieldIndex(f.name)
-        decodeCol(vec, table.columns(idx), table.schema.fields(idx).dataType, f.dataType, n,
+      // resolve through the rename chain: a file written before an
+      // ALTER ... RENAME stores this column under a prior name
+      val idx = Evolution.fileFieldIndex(table.schema, f)
+      if (idx >= 0) {
+        val fileDt = table.schema.fields(idx).dataType
+        if (fileDt != f.dataType && Evolution.widens(fileDt, f.dataType)) {
+          // schema-evolution WIDEN (int→long etc.): decode at the file's
+          // physical width, then promote into the requested vector
+          val tmp = new OnHeapColumnVector(math.max(n, 1), fileDt)
+          try {
+            decodeCol(tmp, table.columns(idx), fileDt, fileDt, n,
+              chunk, dict20 _, dict32 _)
+            widenCopy(tmp, vec, fileDt, f.dataType, n)
+          } finally tmp.close()
+        } else decodeCol(vec, table.columns(idx), fileDt, f.dataType, n,
           chunk, dict20 _, dict32 _)
       } else if (f.nullable) {
         // schema drift: an older file predates this column — read nulls,
@@ -225,6 +236,26 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       vec
     }.toArray
     new ColumnarBatch(vectors, n)
+  }
+
+  /** Row-by-row promotion for a schema-evolution widened column (the
+    * file stores the pre-ALTER narrower type). Nulls carry over. */
+  private def widenCopy(src: OnHeapColumnVector, dst: WritableColumnVector,
+      from: DataType, to: DataType, n: Int): Unit = {
+    def loop(put: Int => Unit): Unit = {
+      var i = 0
+      while (i < n) { if (src.isNullAt(i)) dst.putNull(i) else put(i); i += 1 }
+    }
+    (from, to) match {
+      case (ByteType, ShortType) => loop(i => dst.putShort(i, src.getByte(i)))
+      case (ByteType, IntegerType) => loop(i => dst.putInt(i, src.getByte(i)))
+      case (ByteType, LongType) => loop(i => dst.putLong(i, src.getByte(i)))
+      case (ShortType, IntegerType) => loop(i => dst.putInt(i, src.getShort(i)))
+      case (ShortType, LongType) => loop(i => dst.putLong(i, src.getShort(i)))
+      case (IntegerType, LongType) => loop(i => dst.putLong(i, src.getInt(i)))
+      case (FloatType, DoubleType) => loop(i => dst.putDouble(i, src.getFloat(i)))
+      case other => throw new OliveFormatException(s"unsupported widen $other")
+    }
   }
 
   private def applyValidity(vec: WritableColumnVector, v: Option[BufferMeta], n: Int): Unit =
@@ -557,19 +588,27 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       throw new OliveFormatException(s"chunk row count $total out of range")
     val n = row1 - row0
     required.fields.foreach { f =>
-      if (table.schema.fieldNames.contains(f.name)) {
-        val idx = table.schema.fieldIndex(f.name)
-        checkCount(table.columns(idx), table.schema.fields(idx).dataType, total,
+      val cidx = Evolution.fileFieldIndex(table.schema, f)
+      if (cidx >= 0)
+        checkCount(table.columns(cidx), table.schema.fields(cidx).dataType, total,
           s"column ${f.name}")
-      }
     }
     lazy val dict20 = readBuffer(chunk.dict20.data)
     lazy val dict32 = readBuffer(chunk.dict32.data)
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(math.max(n, 1), f.dataType)
-      if (table.schema.fieldNames.contains(f.name)) {
-        val idx = table.schema.fieldIndex(f.name)
-        decodeColRange(vec, table.columns(idx), table.schema.fields(idx).dataType, f.dataType,
+      // rename-chain resolution + widen, mirroring decodeTable
+      val idx = Evolution.fileFieldIndex(table.schema, f)
+      if (idx >= 0) {
+        val fileDt = table.schema.fields(idx).dataType
+        if (fileDt != f.dataType && Evolution.widens(fileDt, f.dataType)) {
+          val tmp = new OnHeapColumnVector(math.max(n, 1), fileDt)
+          try {
+            decodeColRange(tmp, table.columns(idx), fileDt, fileDt,
+              row0, row1, total.toLong, chunk, dict20 _, dict32 _)
+            widenCopy(tmp, vec, fileDt, f.dataType, n)
+          } finally tmp.close()
+        } else decodeColRange(vec, table.columns(idx), fileDt, f.dataType,
           row0, row1, total.toLong, chunk, dict20 _, dict32 _)
       } else if (f.nullable) vec.putNulls(0, n)
       else throw new OliveFormatException(

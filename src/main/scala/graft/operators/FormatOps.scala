@@ -543,6 +543,69 @@ object FormatOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---- q132: RENAME + WIDEN evolution end-to-end ---------------------------
+  // CREATE -> INSERT (old name, INT flag) -> RENAME COLUMN + widen flag
+  // to BIGINT -> INSERT (new name, long-range flags) -> one query over
+  // the MIXED files: pre-DDL files must serve the renamed column and
+  // promote their int flags; the oracle recomputes from parquet, so the
+  // rename-chain mapping and the widen promotion are hash-gated.
+  private val q132: Q = (s, d) => {
+    val root = graftDir(d, "evolve_rw")
+    deleteDirQuietly(s, root) // idempotent reruns
+    s.conf.set("spark.sql.catalog.graft_evrw", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_evrw.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evrw.db")
+    s.sql("CREATE TABLE graft_evrw.db.docs (doc_id BIGINT, lang STRING, flag INT)")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .createOrReplaceTempView("q132_src")
+    s.sql("""INSERT INTO graft_evrw.db.docs
+      SELECT doc_id, lang, CAST(doc_id % 7 AS INT) FROM q132_src WHERE doc_id % 2 = 0""")
+    s.sql("ALTER TABLE graft_evrw.db.docs RENAME COLUMN lang TO language")
+    s.sql("ALTER TABLE graft_evrw.db.docs ALTER COLUMN flag TYPE BIGINT")
+    s.sql("""INSERT INTO graft_evrw.db.docs
+      SELECT doc_id, lang, doc_id % 7 + 34359738368 FROM q132_src WHERE doc_id % 2 = 1""")
+    s.sql("""SELECT language, count(*) AS n, CAST(sum(flag) AS BIGINT) AS flag_sum
+      FROM graft_evrw.db.docs GROUP BY language ORDER BY language""")
+  }
+  private val q132Sql =
+    """SELECT lang AS language, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7
+      |                ELSE doc_id % 7 + 34359738368 END) AS BIGINT) AS flag_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q133: DROP COLUMN + time travel --------------------------------------
+  // CREATE -> INSERT -> compact (freezes a generation) -> DROP COLUMN ->
+  // live reads hide the column while VERSION AS OF the frozen generation
+  // still serves it; one query joins both views so the tombstone AND the
+  // time-travel resurrection are hash-gated together.
+  private val q133: Q = (s, d) => {
+    val root = graftDir(d, "evolve_drop")
+    deleteDirQuietly(s, root) // idempotent reruns
+    s.conf.set("spark.sql.catalog.graft_evdr", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_evdr.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evdr.db")
+    s.sql("CREATE TABLE graft_evdr.db.docs (doc_id BIGINT, lang STRING, source STRING)")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      .createOrReplaceTempView("q133_src")
+    s.sql("INSERT INTO graft_evdr.db.docs SELECT doc_id, lang, source FROM q133_src")
+    compact(s, s"$root/db", targetFiles = 2)
+    val gen = graft.sources.GraftDataSource
+      .readGenPointer(s.sparkContext.hadoopConfiguration, s"$root/db")
+      .flatMap(graft.sources.GraftDataSource.genIndex).getOrElse(
+        throw new IllegalStateException("compact left no generation"))
+    s.sql("ALTER TABLE graft_evdr.db.docs DROP COLUMN source")
+    s.sql(s"""SELECT l.lang AS lang, l.n_live, t.n_sources
+      FROM (SELECT lang, count(*) AS n_live FROM graft_evdr.db.docs GROUP BY lang) l
+      JOIN (SELECT lang, count(DISTINCT source) AS n_sources
+            FROM graft_evdr.db.docs VERSION AS OF $gen GROUP BY lang) t
+        ON l.lang = t.lang
+      ORDER BY lang""")
+  }
+  private val q133Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_live,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** `UPDATE t SET c = expr, … WHERE p` via copy-on-write generation
     * rewrite ([[graft.sources.Generations.rewrite]]): one new generation
     * holds the table with matching rows' SET columns replaced; the
@@ -1985,6 +2048,8 @@ object FormatOps {
     "q97_upsert" -> q97,
     "q97b_sql_merge" -> q97b,
     "q94_schema_evolution" -> q94,
+    "q132_rename_widen" -> q132,
+    "q133_drop_timetravel" -> q133,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2017,6 +2082,8 @@ object FormatOps {
     "q97_upsert" -> q97Sql,
     "q97b_sql_merge" -> q97Sql,
     "q94_schema_evolution" -> q94Sql,
+    "q132_rename_widen" -> q132Sql,
+    "q133_drop_timetravel" -> q133Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -149,8 +149,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     val dir = nsDir(ident.namespace())
-    val schema = findTableSchema(dir, ident.name()).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    // visible = tombstoned (dropped) fields filtered out; rename-chain
+    // metadata stays on the fields so the scan can map older files
+    val schema = findTableSchema(dir, ident.name())
+      .map(graft.format.Evolution.visible).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     // a bucketed table's spec marker becomes the `bucketBy` option, so
     // INSERT INTO / writeTo().append() route rows through the bucketed
     // writer automatically — DDL declares the layout once, every later
@@ -175,8 +178,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // live layout is still readable out of a frozen generation that
     // holds it; fall back to the live layout (root markers) for schema-
     // evolution reads where the old generation predates the table
+    // the pinned generation's own footers serve PRE-DDL names and types
+    // (a since-dropped column included — that is the time-travel
+    // contract); only the live-marker fallback filters tombstones
     val schema = findTableSchema(genDir, ident.name())
-      .orElse(findTableSchema(dir, ident.name())).getOrElse(
+      .orElse(findTableSchema(dir, ident.name())
+        .map(graft.format.Evolution.visible)).getOrElse(
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     // the PINNED generation's bucket marker rides along exactly like the
     // live loadTable's: without it a VERSION AS OF join of two same-spec
@@ -361,15 +368,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     fs.delete(stagePath, true)
   }
 
-  /** Additive schema evolution only: ADD COLUMN (appended at the end —
-    * FIRST/AFTER positions are refused, not silently ignored) updates
-    * the declared-schema marker; existing files keep their narrower
-    * schema and the scan reads the new column as nulls (the contract the
-    * DSv2 reader already gives evolving datasets). Anything else is
-    * refused. DDL is single-writer: concurrent ALTERs on one table are a
-    * read-modify-write race (last marker wins) — same offline assumption
-    * as compaction. */
+  /** Metadata-only schema evolution over the declared-schema marker; no
+    * data file is ever rewritten by DDL (see [[graft.format.Evolution]]
+    * for the rename-chain / tombstone / widen model):
+    *
+    *  - ADD COLUMN appends at the end (FIRST/AFTER refused); older files
+    *    read the new column as nulls.
+    *  - RENAME COLUMN records the prior spelling in the field's rename
+    *    chain; the reader maps old files through it, new writes use the
+    *    new name, so the rename heals physically with every rewrite.
+    *  - DROP COLUMN tombstones the field (hidden, not deleted from the
+    *    marker): old files keep the data for time travel, and re-adding
+    *    the dropped name is refused — a fresh same-named column would
+    *    silently resurrect the old files' values.
+    *  - ALTER COLUMN TYPE accepts the lossless widenings (int→long,
+    *    float→double, …); old files decode their narrower values into
+    *    the widened vector.
+    *
+    * Bucket/sort-layout columns refuse rename/drop/widen: the bucket
+    * hash and the scan's reported ordering are keyed by name (and, for
+    * the hash, by type). DDL is single-writer: concurrent ALTERs on one
+    * table are a read-modify-write race (last marker wins) — same
+    * offline assumption as compaction. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.format.Evolution
     val dir = nsDir(ident.namespace())
     // seed from the UNION of every file's schema for this table (plus
     // the marker): a marker-less multi-file dataset may hold files of
@@ -378,6 +400,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // hiding the newer files' columns forever after
     val current = unionedTableSchema(dir, ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val layoutCols: Set[String] = GraftDataSource.readBucketMarker(conf, dir, ident.name())
+      .toSeq.flatMap { case (c, _, sort) => c +: sort.toSeq }
+      .map(_.toLowerCase).toSet
+    // every spelling the marker already owns — visible names, tombstoned
+    // names, prior names in rename chains (all case-insensitive, like
+    // Spark's identifier resolution)
+    def claimedNames(s: StructType): Set[String] =
+      s.fields.flatMap(Evolution.allNames).map(_.toLowerCase).toSet
+    def locate(s: StructType, names: Array[String], what: String): Int = {
+      if (names.length != 1)
+        throw new UnsupportedOperationException(s"nested $what is not supported")
+      val i = s.fields.indexWhere(f =>
+        f.name.equalsIgnoreCase(names.head) && !Evolution.isDropped(f))
+      if (i < 0) throw new IllegalArgumentException(
+        s"column ${names.head} does not exist in ${ident.name()}")
+      i
+    }
+    def refuseLayout(name: String, what: String): Unit =
+      if (layoutCols.contains(name.toLowerCase))
+        throw new UnsupportedOperationException(
+          s"cannot $what column $name: it anchors the table's declared " +
+            "bucket/sort layout (drop the layout first by recreating the table)")
     val evolved = changes.foldLeft(current) {
       case (s, add: TableChange.AddColumn) =>
         if (add.fieldNames().length != 1)
@@ -390,12 +434,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             "ADD COLUMN FIRST/AFTER is not supported; columns append at the end")
         // case-insensitive: Spark resolves identifiers case-insensitively
         // by default, so persisting both l_comment and L_Comment would
-        // brick every later query with AMBIGUOUS_REFERENCE
-        if (s.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames().head)))
-          throw new IllegalArgumentException(s"column ${add.fieldNames().head} already exists")
+        // brick every later query with AMBIGUOUS_REFERENCE. Tombstoned
+        // and prior-renamed names are claimed too: old files still store
+        // values under them, and a fresh column reusing the name would
+        // resurrect that data.
+        if (claimedNames(s).contains(add.fieldNames().head.toLowerCase))
+          throw new IllegalArgumentException(
+            s"column name ${add.fieldNames().head} is already in use " +
+              "(live, previously dropped, or a pre-rename spelling); " +
+              "pick a fresh name")
         s.add(add.fieldNames().head, add.dataType(), nullable = true)
+      case (s, rn: TableChange.RenameColumn) =>
+        val i = locate(s, rn.fieldNames(), "RENAME COLUMN")
+        refuseLayout(s.fields(i).name, "rename")
+        if (claimedNames(s).contains(rn.newName().toLowerCase))
+          throw new IllegalArgumentException(
+            s"column name ${rn.newName()} is already in use " +
+              "(live, previously dropped, or a pre-rename spelling)")
+        StructType(s.fields.updated(i, Evolution.renameField(s.fields(i), rn.newName())))
+      case (s, del: TableChange.DeleteColumn) =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException("nested DROP COLUMN is not supported")
+        val i = s.fields.indexWhere(f =>
+          f.name.equalsIgnoreCase(del.fieldNames().head) && !Evolution.isDropped(f))
+        if (i < 0) {
+          if (del.ifExists()) s
+          else throw new IllegalArgumentException(
+            s"column ${del.fieldNames().head} does not exist in ${ident.name()}")
+        } else {
+          refuseLayout(s.fields(i).name, "drop")
+          if (s.fields.count(!Evolution.isDropped(_)) == 1)
+            throw new IllegalArgumentException("cannot drop a table's last column")
+          StructType(s.fields.updated(i, Evolution.dropField(s.fields(i))))
+        }
+      case (s, up: TableChange.UpdateColumnType) =>
+        val i = locate(s, up.fieldNames(), "ALTER COLUMN TYPE")
+        refuseLayout(s.fields(i).name, "change the type of")
+        val from = s.fields(i).dataType
+        if (!Evolution.widens(from, up.newDataType()))
+          throw new UnsupportedOperationException(
+            s"only lossless widenings are supported (byte→short→int→long, " +
+              s"float→double); got ${from.simpleString} → ${up.newDataType().simpleString}")
+        StructType(s.fields.updated(i, s.fields(i).copy(dataType = up.newDataType())))
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog supports only ADD COLUMN; got ${other.getClass.getSimpleName}")
+        "graft catalog supports ADD/RENAME/DROP COLUMN and widening " +
+          s"ALTER COLUMN TYPE; got ${other.getClass.getSimpleName}")
     }
     writeMarker(dir, ident.name(), evolved)
     loadTable(ident)
@@ -403,22 +486,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   /** Marker schema + every footer schema for `table`, folded additively
     * (fields merged by name, first occurrence's type wins; a TYPE
-    * conflict for one name is refused loudly). */
+    * conflict for one name is refused loudly — except the lossless
+    * widenings ALTER COLUMN TYPE produces, where the wider type wins).
+    * Footer fields the marker already CLAIMS under another spelling
+    * (rename chains) or as a tombstone (dropped columns) never surface
+    * as separate columns. */
   private def unionedTableSchema(dir: String, table: String): Option[StructType] = {
+    import graft.format.Evolution
     val files = GraftDataSource.listFiles(conf, dir)
     val fromFiles = GraftDataSource.inParallel(files) { f =>
       openFooter(f)(_.footer.chunks.flatMap(_.tables).find(_.name == table).map(_.schema))
     }.flatten
-    val all = markerSchema(dir, table).toSeq ++ fromFiles
+    val marker = markerSchema(dir, table)
+    val claimed: Set[String] = marker.toSeq.flatMap(_.fields.toSeq)
+      .flatMap(Evolution.allNames).map(_.toLowerCase).toSet
+    val all = marker.toSeq ++ fromFiles
     if (all.isEmpty) None
     else Some(all.reduce { (a, b) =>
       b.fields.foldLeft(a) { (s, f) =>
-        s.fields.find(_.name == f.name) match {
-          case Some(existing) if existing.dataType != f.dataType =>
-            throw new IllegalArgumentException(
+        s.fields.indexWhere(_.name == f.name) match {
+          case i if i >= 0 =>
+            val existing = s.fields(i)
+            if (existing.dataType == f.dataType) s
+            else if (Evolution.widens(f.dataType, existing.dataType)) s // marker widened
+            else if (Evolution.widens(existing.dataType, f.dataType))
+              StructType(s.fields.updated(i, existing.copy(dataType = f.dataType)))
+            else throw new IllegalArgumentException(
               s"table $table files disagree on ${f.name}: ${existing.dataType} vs ${f.dataType}")
-          case Some(_) => s
-          case None => s.add(f)
+          case _ if claimed.contains(f.name.toLowerCase) => s // old spelling/tombstoned
+          case _ => s.add(f)
         }
       }
     })

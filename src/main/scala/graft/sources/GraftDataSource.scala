@@ -47,6 +47,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       // early exit, like the catalog, instead of trusting files.head
       val data = Option(options.get("table")) match {
         case Some(t) =>
+          // the catalog's declared-schema marker is authoritative when
+          // present: after a RENAME/DROP/WIDEN DDL the footers disagree
+          // file-by-file (old spellings, narrower types), and a
+          // first-footer-wins inference would hand DML a pre-DDL schema
+          GraftDataSource.paths(options).iterator
+            .flatMap(d => GraftDataSource.markerSchemaAt(conf, d, t))
+            .nextOption()
+            .map(graft.format.Evolution.visible)
+            .getOrElse {
           files.map(_._1).grouped(64).map { batch =>
             GraftDataSource.inParallel(batch) { f =>
               val r = GraftFileReader.open(f.getFileSystem(conf), f)
@@ -56,6 +65,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           }.collectFirst { case Some(s) => s }.getOrElse(
             throw new IllegalArgumentException(
               s"table $t not found in any of ${files.size} files"))
+            }
         case None =>
           val head = files.head._1
           val r = GraftFileReader.open(head.getFileSystem(conf), head)
@@ -343,6 +353,27 @@ object GraftDataSource {
     readCarryManifestFull(p.getFileSystem(conf), p)
       .flatMap { case (rel, _, js) => js.map(rel -> _) }.toMap
   }
+
+  /** The catalog's declared-schema marker for `table` under `dir`, if
+    * present and parseable — the path API consults it so DML reads agree
+    * with the catalog's evolved (renamed/dropped/widened) view. Corrupt
+    * or missing markers fall through to footer inference. */
+  def markerSchemaAt(conf: Configuration, dir: String,
+      table: String): Option[StructType] =
+    try {
+      val marker = new Path(dir, s".schema_$table.json")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json) match {
+          case s: StructType => Some(s)
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
 
   /** rel → stats-json for every stats-carrying entry of the LIVE
     * generation's manifest; empty for pointerless tables or manifests
@@ -877,11 +908,14 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
               if r.fieldNames().length == 1 => r.fieldNames()(0)
           case _ => return false
         }
-        val statExact = fullSchema.fields.find(_.name == colName).exists(_.dataType match {
-          case ByteType | ShortType | IntegerType | LongType | DateType |
-               TimestampType | TimestampNTZType | BooleanType => true
-          case _ => false
-        })
+        // a renamed column's stats live under an OLD name in pre-DDL
+        // files; footer-only answers would treat those files as all-null
+        val statExact = fullSchema.fields.find(_.name == colName).exists(f =>
+          !graft.format.Evolution.renamed(f) && (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType | TimestampNTZType | BooleanType => true
+            case _ => false
+          }))
         if (!statExact) return false
         val desc = o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
         val nullsFirst = o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
@@ -919,8 +953,13 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
+    // renamed columns decline every footer-answered aggregate: pre-DDL
+    // files record the stats under an old name and would read as all-null
+    def unrenamed(name: String): Boolean =
+      fullSchema.fields.find(_.name == name).exists(f =>
+        !graft.format.Evolution.renamed(f))
     def statType(name: String): Boolean =
-      fullSchema.fields.find(_.name == name).exists(_.dataType match {
+      unrenamed(name) && fullSchema.fields.find(_.name == name).exists(_.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType |
              TimestampType | TimestampNTZType | BooleanType => true
         case _ => false
@@ -928,7 +967,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     // footer sums wrap mod 2^64; under ANSI Spark must raise on long
     // overflow instead, so integral SUM stays unpushed there
     def sumIntegral(name: String): Option[Boolean] =
-      fullSchema.fields.find(_.name == name).map(_.dataType).flatMap {
+      fullSchema.fields.find(_.name == name).filter(f =>
+        !graft.format.Evolution.renamed(f)).map(_.dataType).flatMap {
         case ByteType | ShortType | IntegerType | LongType =>
           if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) None else Some(true)
         case FloatType | DoubleType => Some(false)
@@ -943,7 +983,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
       case _: CountStar => GraftCountStar
       case c: Count if !c.isDistinct =>
         // COUNT(col) = numRows - nullCount, both footer-recorded
-        colOf(c.column).filter(fullSchema.fieldNames.contains)
+        colOf(c.column).filter(n =>
+            fullSchema.fieldNames.contains(n) && unrenamed(n))
           .map(GraftCountCol).getOrElse(return false)
       case m: Min => colOf(m.column).filter(statType).map(GraftMinSpec).getOrElse(return false)
       case m: Max => colOf(m.column).filter(statType).map(GraftMaxSpec).getOrElse(return false)

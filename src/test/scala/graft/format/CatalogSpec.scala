@@ -189,8 +189,12 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft_ev.db8.t VALUES (3, 'c', 30)")
     assert(spark.sql("SELECT sum(w) FROM graft_ev.db8.t").head.getLong(0) == 30)
     assert(spark.sql("SELECT count(*) FROM graft_ev.db8.t").head.getLong(0) == 3)
-    // non-additive changes are refused
-    intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t DROP COLUMN v"))
+    // DROP COLUMN is supported (tombstoned): the column hides, and its
+    // name stays claimed — re-adding it would resurrect the old files'
+    // values (SchemaEvolutionDdlSpec covers the full contract)
+    spark.sql("ALTER TABLE graft_ev.db8.t DROP COLUMN v")
+    assert(spark.table("graft_ev.db8.t").columns.toSeq == Seq("k", "w"))
+    intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t ADD COLUMN v STRING"))
     intercept[Exception](spark.sql("ALTER TABLE graft_ev.db8.t ADD COLUMN k STRING"))
     // the catalog's OWN guards, via the TableCatalog API (Spark's
     // analyzer shields the SQL path, so exercise them directly)
@@ -200,7 +204,7 @@ class CatalogSpec extends SparkSpec {
     val dup = intercept[IllegalArgumentException](cat.alterTable(
       Identifier.of(Array("db8"), "t"),
       TableChange.addColumn(Array("k"), org.apache.spark.sql.types.StringType)))
-    assert(dup.getMessage.contains("already exists"))
+    assert(dup.getMessage.contains("already in use"))
     val pos = intercept[UnsupportedOperationException](cat.alterTable(
       Identifier.of(Array("db8"), "t"),
       TableChange.addColumn(Array("z"), org.apache.spark.sql.types.StringType, true,

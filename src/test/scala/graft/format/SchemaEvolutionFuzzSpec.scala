@@ -63,4 +63,97 @@ class SchemaEvolutionFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // Full-evolution fuzz: random interleavings of ADD, RENAME, DROP,
+  // widening ALTER TYPE, and appends written at the table's shape AT
+  // THAT MOMENT. The model tracks columns by IDENTITY (renames don't
+  // move data); after every step the table must serve exactly the
+  // model: rows appended before a column read null, renamed columns
+  // keep serving pre-rename files, widened columns promote, dropped
+  // columns vanish.
+  for (seed <- Seq(5, 17)) {
+    test(s"random RENAME/DROP/WIDEN/append interleavings (seed $seed)") {
+      val r = new Random(seed)
+      val cat = s"evofull$seed"
+      val root = Files.createTempDirectory(s"graft-$cat").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, c0 INT) USING graft")
+
+      // live columns in declared order: (identity, currentName, isLong)
+      var cols = Vector((0, "c0", false))
+      var nextIdent = 1
+      var nextId = 0L
+      // per appended row: id -> values by column identity (only columns
+      // live at append time have entries)
+      var rows = Vector.empty[(Long, Map[Int, Long])]
+
+      (1 to 18).foreach { step =>
+        r.nextInt(6) match {
+          case 0 => // ADD (fresh name, INT)
+            val ident = nextIdent; nextIdent += 1
+            spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN c$ident INT")
+            cols :+= ((ident, s"c$ident", false))
+          case 1 if cols.size > 1 => // RENAME a random column to a fresh spelling
+            val i = r.nextInt(cols.size)
+            val (ident, old, isLong) = cols(i)
+            spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN $old TO r${ident}_$step")
+            cols = cols.updated(i, (ident, s"r${ident}_$step", isLong))
+          case 2 if cols.size > 1 => // DROP a random column
+            val i = r.nextInt(cols.size)
+            spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN ${cols(i)._2}")
+            cols = cols.patch(i, Nil, 1)
+          case 3 if cols.exists(!_._3) => // WIDEN a random INT column
+            val narrow = cols.zipWithIndex.filter(!_._1._3)
+            val (c, i) = narrow(r.nextInt(narrow.size))
+            spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN ${c._2} TYPE BIGINT")
+            cols = cols.updated(i, (c._1, c._2, true))
+          case _ => // APPEND at the current shape
+            val n = 1 + r.nextInt(20)
+            val fresh = (0 until n).map { _ =>
+              val id = nextId; nextId += 1
+              id -> cols.map { case (ident, _, isLong) =>
+                val v = if (isLong) (1L << 35) + id * 100 + ident
+                        else (id * 100 + ident) % 100000
+                ident -> v
+              }.toMap
+            }
+            rows ++= fresh
+            val schema = StructType(StructField("id", LongType) +:
+              cols.map { case (_, nm, isLong) =>
+                StructField(nm, if (isLong) LongType else IntegerType) })
+            val df = spark.createDataFrame(
+              java.util.Arrays.asList(fresh.map { case (id, vs) =>
+                // branch types annotated: a bare if(long else int) gets
+                // numerically WIDENED to Long, poisoning the Int slot
+                Row.fromSeq((id: Any) +: cols.map { case (ident, _, isLong) =>
+                  if (isLong) vs(ident): Any else vs(ident).toInt: Any })
+              }: _*), schema)
+            df.writeTo(s"$cat.db.t").append()
+        }
+        // verify after EVERY step
+        val live = spark.table(s"$cat.db.t")
+        assert(live.columns.toSeq == ("id" +: cols.map(_._2)),
+          s"seed $seed step $step: schema diverged")
+        val got = live.collect().map { row =>
+          row.getLong(0) -> cols.zipWithIndex.map { case ((_, _, isLong), i) =>
+            if (row.isNullAt(i + 1)) null
+            else if (isLong) row.getLong(i + 1)
+            else row.getInt(i + 1).toLong
+          }.toVector
+        }.sortBy(_._1).toVector
+        val want = rows.map { case (id, vs) =>
+          id -> cols.map { case (ident, _, _) =>
+            vs.get(ident).map(v => v: Any).orNull
+          }.toVector
+        }.sortBy(_._1)
+        assert(got.map(_._1) == want.map(_._1), s"seed $seed step $step: ids")
+        got.zip(want).foreach { case ((id, g), (_, w)) =>
+          val gn = g.map(x => if (x == null) null else x.asInstanceOf[Long])
+          assert(gn == w, s"seed $seed step $step row $id: $gn != $w")
+        }
+      }
+    }
+  }
 }
