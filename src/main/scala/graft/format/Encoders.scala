@@ -1042,7 +1042,7 @@ final class ListEncoder(child: ColumnEncoder, elemType: DataType,
   def byteSize: Long = child.byteSize + offsets.size.toLong * offsets.width
 }
 
-final class StructEncoder(children: IndexedSeq[ColumnEncoder], numFields: Int) extends ColumnEncoder {
+final class StructEncoder(val children: IndexedSeq[ColumnEncoder], numFields: Int) extends ColumnEncoder {
   protected def appendValue(src: SpecializedGetters, ord: Int): Unit = {
     val row = src.getStruct(ord, numFields)
     var i = 0

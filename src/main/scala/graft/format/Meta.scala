@@ -27,7 +27,7 @@ object Meta {
     * every ColStats record. The footer is parsed positionally, so a
     * version mismatch must fail AS a version mismatch, not as garbled
     * trailing fields. */
-  val Version = 3
+  val Version = 4
 
   /** 10^0 .. 10^18 as LITERAL doubles (all exactly representable: 5^18
     * needs 42 mantissa bits). Shared by the scaled-float writer verify and
@@ -142,10 +142,17 @@ object Meta {
     * row block (outer: block index, inner: column) so selective filters
     * on clustered data decode blocks, not whole 128Ki-row chunks; empty
     * when the chunk spans <= 1 block. */
+  /** `nestedStats` (footer v4): chunk-level zone maps for ONE level of
+    * struct leaves, keyed by the dotted name Spark's filter translation
+    * uses for nested references (`meta.source`) — a predicate into a
+    * metadata struct prunes chunks exactly like a top-level column.
+    * Optional and advisory: files written by older versions simply
+    * don't prune on nested fields. */
   case class TableMeta(name: String, numRows: Int, schema: StructType,
       columns: Vector[ColMeta], stats: Vector[ColStats],
       blockStats: Vector[Vector[ColStats]] = Vector.empty,
-      blooms: Map[String, Bloom.Bits] = Map.empty)
+      blooms: Map[String, Bloom.Bits] = Map.empty,
+      nestedStats: Map[String, ColStats] = Map.empty)
   case class ChunkMeta(dict20: DictMeta, dict32: DictMeta, tables: Vector[TableMeta])
   case class Footer(version: Int, dataSectionSize: Long, chunks: Vector[ChunkMeta])
 
@@ -187,6 +194,11 @@ object Meta {
           writeString(b, col)
           b.putInt(bits.bytes.length)
           b.putBytes(bits.bytes)
+        }
+        b.putInt(t.nestedStats.size)
+        t.nestedStats.toSeq.sortBy(_._1).foreach { case (attr, st) =>
+          writeString(b, attr)
+          writeStats(b, st)
         }
       }
     }
@@ -345,7 +357,31 @@ object Meta {
             throw new OliveFormatException(s"bad bloom size $len")
           col -> Bloom.Bits(c.getBytes(len))
         }.toMap
-        TableMeta(name, numRows, schema, cols, stats, blockStats, blooms)
+        // v4 nested-leaf zone maps: every entry must resolve to a real
+        // struct leaf and pass the same width checks as column stats —
+        // the footer is untrusted, a lying width must refuse cleanly
+        val nNested = checkedCount(c.getInt(), "nested stats")
+        val nestedStats = Vector.fill(nNested) {
+          val attr = c.getString()
+          val dt = Stats.leafType(schema, attr).getOrElse(
+            throw new OliveFormatException(s"nested stat for unknown leaf $attr"))
+          val nullCount = c.getInt()
+          if (nullCount < 0 || nullCount > numRows)
+            throw new OliveFormatException(
+              s"nested null count $nullCount outside $numRows rows")
+          val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+          (st.min.toSeq ++ st.max.toSeq).foreach { b =>
+            if (!Stats.statBytesOk(dt, b))
+              throw new OliveFormatException(
+                s"nested stat width ${b.length} illegal for ${dt.simpleString} leaf $attr")
+          }
+          st.sum.foreach { b =>
+            if (b.length != 8)
+              throw new OliveFormatException(s"nested sum stat width ${b.length} != 8")
+          }
+          attr -> st
+        }.toMap
+        TableMeta(name, numRows, schema, cols, stats, blockStats, blooms, nestedStats)
       }
       ChunkMeta(d20, d32, tables)
     }

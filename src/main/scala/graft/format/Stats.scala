@@ -196,8 +196,7 @@ object Stats {
   def canSkip(filter: Filter, schema: StructType, stats: Map[String, ColStats],
       numRows: Int = -1): Boolean = {
     def range(attr: String): Option[Range] =
-      stats.get(attr).flatMap(s =>
-        schema.fields.find(_.name == attr).map(f => Range(f.dataType, s)))
+      stats.get(attr).flatMap(s => leafType(schema, attr).map(dt => Range(dt, s)))
     filter match {
       case EqualTo(a, v) => range(a).exists(r =>
         r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0))
@@ -245,10 +244,28 @@ object Stats {
     }
   }
 
+  /** Type of `attr` in `schema`: a top-level field, or ONE level into a
+    * struct via the dotted name Spark's DSv2 filter translation uses for
+    * nested references (`meta.source`). A top-level field whose name
+    * literally contains the dot wins — the dotted parse only runs when
+    * no exact field matches, so such filters simply never prune (safe). */
+  def leafType(schema: StructType, attr: String): Option[DataType] =
+    schema.fields.find(_.name == attr).map(_.dataType).orElse {
+      val i = attr.indexOf('.')
+      if (i <= 0 || i == attr.length - 1) None
+      else schema.fields.find(_.name == attr.substring(0, i)).map(_.dataType).flatMap {
+        case st: StructType =>
+          st.fields.find(_.name == attr.substring(i + 1)).map(_.dataType)
+        case _ => None
+      }
+    }
+
   /** True iff `f` proves this chunk of the table holds NO matching row —
-    * zone maps plus blooms, the full skip arsenal over one TableMeta. */
+    * zone maps plus blooms, the full skip arsenal over one TableMeta.
+    * Nested-leaf stats (footer v4) join the map under their dotted
+    * names, so struct-field predicates prune chunks too. */
   def canSkipChunk(f: Filter, t: Meta.TableMeta): Boolean = {
-    val stats = t.schema.fieldNames.zip(t.stats).toMap
+    val stats = t.schema.fieldNames.zip(t.stats).toMap ++ t.nestedStats
     canSkip(f, t.schema, stats, t.numRows) || bloomSkip(t, f)
   }
 

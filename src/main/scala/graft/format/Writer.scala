@@ -218,6 +218,35 @@ final class TableBuffer(val name: String, val schema: StructType,
     bloomBuilders.map { case (ord, _, b) =>
       schema.fields(ord).name -> Bloom.Bits(b.finish())
     }.toMap
+  /** Chunk-level zone maps for ONE level of struct leaves, keyed
+    * `parent.child` (footer v4). A struct-null row appends a null slot
+    * to every child encoder, so each child's own validity/stats already
+    * describe exactly the table's rows — the leaf stats fall out of the
+    * same columnar statsRange pass as top-level columns. */
+  def nestedStats: Map[String, ColStats] = {
+    val out = Map.newBuilder[String, ColStats]
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      (f.dataType, encoders(i)) match {
+        case (st: StructType, se: StructEncoder) =>
+          st.fields.zipWithIndex.foreach { case (cf, ci) =>
+            if (nestedStatable(cf.dataType))
+              out += (s"${f.name}.${cf.name}" -> se.children(ci).statsRange(0, numRows))
+          }
+        case _ =>
+      }
+    }
+    out.result()
+  }
+  private def nestedStatable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | FloatType | DoubleType |
+           StringType | BooleanType => true
+      case d: DecimalType => d.precision <= 38
+      case _ => false
+    }
+  }
   def byteSize: Long = encoders.map(_.byteSize).sum
   def reset(): Unit = {
     encoders.foreach(_.reset())
@@ -254,7 +283,7 @@ final class GraftFileWriter(out: OutputStream,
     val tableMetas = tables.map { t =>
       TableMeta(t.name, t.numRows, t.schema,
         t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats, t.blockStats,
-        t.blooms)
+        t.blooms, t.nestedStats)
     }.toVector
     chunks += ChunkMeta(d20Meta, d32Meta, tableMetas)
   }

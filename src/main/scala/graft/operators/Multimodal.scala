@@ -55,6 +55,46 @@ object Multimodal {
     MediaFeatures(m.doc_id, n, width, height, frames, mode)
   }
 
+  /** The PLUGGABLE decode seam a production codec (JNI into
+    * libjpeg/ffmpeg, or a `mapInPandas` Arrow handoff) implements. The
+    * lifecycle contract [[decodeWith]] guarantees:
+    *  - one decoder instance per PARTITION, `open()` before the first
+    *    row — codec-context setup amortizes across the partition, never
+    *    per row;
+    *  - rows stream through `decode` iterator-lazily — a partition is
+    *    never materialized, so arbitrarily large media partitions hold
+    *    one row's bytes at a time;
+    *  - `close()` runs when the partition is exhausted OR the task
+    *    fails, via a task-completion hook — codec contexts never leak.
+    * Implementations must be serializable (constructed on the driver,
+    * opened on executors). */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(m: MediaRow): MediaFeatures
+    def close(): Unit = ()
+  }
+
+  /** The default decoder behind q50 — [[decodeStub]] through the seam. */
+  class StubDecoder extends MediaDecoder {
+    def decode(m: MediaRow): MediaFeatures = decodeStub(m)
+  }
+
+  /** Run a decoder over a media dataset under the [[MediaDecoder]]
+    * lifecycle contract (the q50 plumbing, decoder-agnostic). */
+  def decodeWith(media: org.apache.spark.sql.Dataset[MediaRow],
+      mk: () => MediaDecoder): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    implicit val enc: org.apache.spark.sql.Encoder[MediaFeatures] =
+      org.apache.spark.sql.Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      val dec = mk()
+      dec.open()
+      // close on BOTH clean exhaustion and task failure/cancellation
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.map(dec.decode)
+    }
+  }
+
   // ---- q50: binary media column -> per-partition decode -> features -------
   private val q50: Q = (s, d) => {
     import s.implicits._
@@ -62,9 +102,10 @@ object Multimodal {
     val media = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
-    // mapPartitions = the batch shape of a real decoder (amortizes codec
-    // init per partition, the same contract mapInPandas gives in PySpark).
-    media.mapPartitions(_.map(decodeStub))
+    // through the pluggable seam: swapping StubDecoder for a JNI-backed
+    // implementation changes no plumbing (MediaDecodeSpec proves the
+    // swap and the lifecycle contract)
+    decodeWith(media, () => new StubDecoder)
       .toDF()
       .orderBy(col("doc_id"))
   }

@@ -94,6 +94,91 @@ object ConditionalPut {
       store.putIf(key, e, newGen.getBytes(StandardCharsets.UTF_8)).isDefined)
   }
 
+  /** Hadoop-`FileSystem`-backed [[ObjectStore]]: the bridge that lets
+    * the pointer-publish CAS protocol run against any filesystem Hadoop
+    * can mount, TODAY, without a vendored store SDK (zero egress here).
+    *
+    * Semantics by store class:
+    *  - POSIX local / HDFS: REAL mutual exclusion. `putIf` serializes
+    *    writers through a create-exclusive `.cas-lock` sibling (atomic
+    *    create on both), verifies the precondition under the lock, and
+    *    publishes with the same atomic tmp+rename readers already
+    *    tolerate. A crashed holder's lock goes stale by mtime and is
+    *    broken after `lockTimeoutMs`.
+    *  - True object stores (S3/GCS/Azure): this bridge is BEST-EFFORT
+    *    (their create/rename are not atomic) — production deployments
+    *    should drop in a thin adapter mapping `putIf` straight to the
+    *    store's native conditional write (`If-Match`/`If-None-Match: *`,
+    *    which S3, GCS and Azure all expose); the protocol above this
+    *    seam is already exactly that shape.
+    *
+    * Etags are content digests (MD5 hex): version identity follows the
+    * bytes, so a re-read after a lost race compares correctly even if
+    * the store rewrites timestamps. A busy lock surfaces as a FAILED
+    * precondition (`None`) — spurious CAS failure is legal; callers
+    * re-read and retry, same as a genuine lost race. */
+  final class HadoopFsStore(conf: org.apache.hadoop.conf.Configuration,
+      lockTimeoutMs: Long = 30000L) extends ObjectStore {
+    import org.apache.hadoop.fs.Path
+
+    private def etagOf(b: Array[Byte]): Etag = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+      d.map("%02x".format(_)).mkString
+    }
+
+    def get(key: String): Option[(Array[Byte], Etag)] = {
+      val path = new Path(key)
+      val fs = path.getFileSystem(conf)
+      try {
+        if (!fs.exists(path)) None
+        else {
+          val in = fs.open(path)
+          val b = try in.readAllBytes() finally in.close()
+          Some((b, etagOf(b)))
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+
+    def putIf(key: String, expect: Option[Etag], bytes: Array[Byte]): Option[Etag] = {
+      val path = new Path(key)
+      val fs = path.getFileSystem(conf)
+      val lock = new Path(path.getParent, s".${path.getName}.cas-lock")
+      // break a crashed holder's stale lock (mtime-aged, same staleness
+      // contract as the generation sweep); both breakers racing is fine —
+      // the create-exclusive below still admits exactly one
+      try {
+        val st = fs.getFileStatus(lock)
+        if (System.currentTimeMillis() - st.getModificationTime > lockTimeoutMs)
+          fs.delete(lock, false)
+      } catch { case _: java.io.IOException => }
+      val out =
+        try AtomicPublish.createStream(conf, lock, overwrite = false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return None // busy = spurious precondition failure; caller retries
+        }
+      try {
+        try out.write('1'.toByte) finally out.close()
+        val ok = expect match {
+          case None => get(key).isEmpty
+          case Some(e) => get(key).exists(_._2 == e)
+        }
+        if (!ok) None
+        else {
+          // atomic publish under the lock: tmp + rename, so readers see
+          // old bytes or new bytes, never torn content
+          val tmp = new Path(path.getParent, s".${path.getName}.cas-tmp")
+          val w = AtomicPublish.createStream(conf, tmp, overwrite = true)
+          try w.write(bytes) finally w.close()
+          AtomicPublish.renameOverwrite(conf, tmp, path)
+          Some(etagOf(bytes))
+        }
+      } finally {
+        try fs.delete(lock, false) catch { case _: java.io.IOException => }
+      }
+    }
+  }
+
   /** In-memory [[ObjectStore]] with real conditional-put semantics
     * (atomic per key, monotonically fresh etags) — the test double the
     * protocol spec races against. */

@@ -47,6 +47,22 @@ object Generations {
   final class GenerationConflictException(msg: String, cause: Throwable = null)
       extends graft.format.OliveFormatException(msg, cause)
 
+  /** The pointer-publish [[ConditionalPut.ObjectStore]] for `dir`, when
+    * its scheme has no atomic rename (true object stores) or the CAS
+    * path is forced via hadoop conf `spark.graft.pointer.cas=true`
+    * (how the contract spec and gates exercise it on the local scheme).
+    * None = rename-based [[AtomicPublish]] protocol (POSIX/HDFS). */
+  private[sources] def casStoreFor(conf: Configuration,
+      dir: String): Option[ConditionalPut.ObjectStore] = {
+    val objectSchemes = Set("s3", "s3a", "s3n", "gs", "abfs", "abfss",
+      "wasb", "wasbs", "oss", "cos", "swift")
+    val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("")
+    if (conf.getBoolean("spark.graft.pointer.cas", false) ||
+        objectSchemes.contains(scheme))
+      Some(new ConditionalPut.HadoopFsStore(conf))
+    else None
+  }
+
   /** Table names present in `dir`'s LIVE generation (pointer-resolved
     * by the DSv2 listing), via a parallel footer probe. */
   def liveTableNames(conf: Configuration, dir: String): Seq[String] = {
@@ -267,6 +283,19 @@ object Generations {
     GraftDataSource.readGenPointer(conf, dir)
       .flatMap(gen => rewriteTag(conf, new Path(new Path(dir), gen)))
 
+  /** A deliberate pointer write outside the publish path (restore's
+    * backward swing and its rollback): routed through the CAS seam on
+    * rename-less stores, the rename protocol elsewhere. */
+  private def writePointer(conf: Configuration, dir: String, root: Path,
+      target: String): Unit = casStoreFor(conf, dir) match {
+    case Some(store) =>
+      ConditionalPut.update(store,
+        new Path(root, GraftDataSource.GenPointerName).toString)(_ => target)
+      ()
+    case None =>
+      AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), target)
+  }
+
   /** Roll `dir` back to `generation` by swinging the pointer (see
     * [[graft.operators.FormatOps.restore]] for the contract). */
   def restore(s: SparkSession, dir: String, generation: Int): Unit = {
@@ -281,7 +310,7 @@ object Generations {
         "already vacuumed) — nothing to restore to")
     // same atomic publish as a rewrite's swap; readers see old or new,
     // never a mixture
-    AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), target)
+    writePointer(conf, dir, root, target)
     // check-then-act hardening: a concurrent grace sweep could reclaim
     // the target between the require above and the swap (it was a
     // below-pointer generation until the swap made it live). Re-verify
@@ -290,8 +319,7 @@ object Generations {
     // is DETECTED, not wedged. (A sweep landing after THIS check loses
     // the race cleanly: the pointer already protects the target.)
     if (!fs.exists(new Path(new Path(root, target), GraftDataSource.SwapTsName))) {
-      prev.foreach(p =>
-        AtomicPublish.text(conf, new Path(root, GraftDataSource.GenPointerName), p))
+      prev.foreach(p => writePointer(conf, dir, root, p))
       throw new graft.format.OliveFormatException(
         s"restore of $dir to generation $generation raced a concurrent " +
           s"sweep that reclaimed the target; pointer ${
@@ -539,13 +567,34 @@ object Generations {
     // is an offline operation by contract, and the loop is bounded.
     val ptr = new Path(root, GraftDataSource.GenPointerName)
     val myIdx = GraftDataSource.genIndex(nextGen).getOrElse(Int.MaxValue)
-    AtomicPublish.text(conf, ptr, nextGen)
-    var spins = 0
-    while (spins >= 0 && spins < 50) {
-      val cur = GraftDataSource.readGenPointer(conf, dir)
-        .flatMap(GraftDataSource.genIndex).getOrElse(-1)
-      if (cur >= myIdx) spins = -1 // converged: ours, or a newer superset
-      else { AtomicPublish.text(conf, ptr, nextGen); spins += 1; Thread.sleep(1) }
+    casStoreFor(conf, dir) match {
+      case Some(store) =>
+        // rename-less stores: the forward-only convergence runs as a
+        // true CAS loop — advance only from the observed value, stop
+        // once the pointer names an index >= ours
+        val key = ptr.toString
+        var spins = 0
+        var converged = false
+        while (!converged && spins < 64) {
+          val cur = store.get(key).map(b =>
+            new String(b._1, java.nio.charset.StandardCharsets.UTF_8).trim)
+          if (cur.flatMap(GraftDataSource.genIndex).getOrElse(-1) >= myIdx)
+            converged = true
+          else if (ConditionalPut.swapPointer(store, key, cur, nextGen))
+            converged = true
+          else spins += 1
+        }
+        if (!converged) throw new graft.format.OliveFormatException(
+          s"pointer CAS publish of $nextGen on $dir lost 64 races; giving up")
+      case None =>
+        AtomicPublish.text(conf, ptr, nextGen)
+        var spins = 0
+        while (spins >= 0 && spins < 50) {
+          val cur = GraftDataSource.readGenPointer(conf, dir)
+            .flatMap(GraftDataSource.genIndex).getOrElse(-1)
+          if (cur >= myIdx) spins = -1 // converged: ours, or a newer superset
+          else { AtomicPublish.text(conf, ptr, nextGen); spins += 1; Thread.sleep(1) }
+        }
     }
     // deliberately NO deletion here: the superseded data (legacy loose
     // files or the previous gen dir) is invisible behind the pointer but

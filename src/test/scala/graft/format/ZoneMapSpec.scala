@@ -217,6 +217,56 @@ class ZoneMapSpec extends SparkSpec {
     assert(g.filter(col("d") < lit(new java.math.BigDecimal("0"))).count() == 20000)
   }
 
+  test("nested-leaf zone maps: struct-field predicates skip chunks (q51 shape)") {
+    // the multimodal layout: opaque binary payload + typed metadata
+    // struct — the exact shape where top-level-only stats prune nothing
+    val dir = Files.createTempDirectory("graft-zone-nested").toString
+    spark.range(0, 5000).coalesce(1)
+      .selectExpr("id AS doc_id",
+        "CAST(concat('payload', id) AS BINARY) AS payload",
+        "named_struct('source', concat('site', id % 3), 'w', CAST(id AS INT), 'score', id * 0.5) AS meta")
+      .write.format("graft").mode("overwrite").save(dir)
+    val p = graftFile(dir)
+    val r = GraftFileReader.open(p.getFileSystem(new Configuration()), p)
+    val t = try r.footer.chunks.head.tables.head finally r.close()
+    // footer v4 carries dotted leaf stats for every statable child
+    assert(t.nestedStats.keySet == Set("meta.source", "meta.w", "meta.score"),
+      s"got ${t.nestedStats.keySet}")
+    assert(new String(t.nestedStats("meta.source").min.get, "UTF-8") == "site0")
+    assert(new String(t.nestedStats("meta.source").max.get, "UTF-8") == "site2")
+    assert(Stats.longOf(t.nestedStats("meta.w").min.get) == 0L)
+    assert(Stats.longOf(t.nestedStats("meta.w").max.get) == 4999L)
+    // a disprovable struct-field predicate skips the whole chunk
+    assert(Stats.canSkipChunk(EqualTo("meta.source", "zzz"), t))
+    assert(Stats.canSkipChunk(GreaterThan("meta.w", 10000), t))
+    assert(Stats.canSkipChunk(LessThan("meta.score", -1.0d), t))
+    // a satisfiable one must NOT skip
+    assert(!Stats.canSkipChunk(EqualTo("meta.source", "site1"), t))
+    assert(!Stats.canSkipChunk(EqualTo("meta.w", 4000), t))
+    // reader drive: zero batches decoded under the disprovable filter
+    val schema = spark.read.format("graft").load(dir).schema
+    val rd = new GraftPartitionReader(p.getFileSystem(new Configuration()), p,
+      schema, None, Array[Filter](EqualTo("meta.source", "zzz")), -1)
+    var batches = 0
+    try { while (rd.next()) batches += 1 } finally rd.close()
+    assert(batches == 0, s"expected the chunk skipped, decoded $batches batches")
+    // end-to-end through Spark: correctness with the skip in play
+    val g = spark.read.format("graft").load(dir)
+    assert(g.filter(col("meta.source") === "zzz").count() == 0L)
+    assert(g.filter(col("meta.source") === "site1").count() ==
+      (0 until 5000).count(_ % 3 == 1))
+    // struct-null rows: nested nullCount covers them; IsNotNull prunes
+    val dir2 = Files.createTempDirectory("graft-zone-nested-null").toString
+    spark.range(0, 100).coalesce(1)
+      .selectExpr("id", "CAST(NULL AS STRUCT<source: STRING>) AS meta")
+      .write.format("graft").mode("overwrite").save(dir2)
+    val p2 = graftFile(dir2)
+    val r2 = GraftFileReader.open(p2.getFileSystem(new Configuration()), p2)
+    val t2 = try r2.footer.chunks.head.tables.head finally r2.close()
+    assert(t2.nestedStats("meta.source").nullCount == 100)
+    assert(Stats.canSkipChunk(org.apache.spark.sql.sources.IsNotNull("meta.source"), t2))
+  }
+
   test("unsorted data: zone maps keep everything, results stay correct") {
     val dir = Files.createTempDirectory("graft-zone-rand").toString
     spark.range(0, 40000).coalesce(1)

@@ -133,3 +133,84 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(secondIdat == "IDAT", "generator must emit two IDAT chunks")
   }
 }
+
+/** Counters for [[PluggableDecoderSpec]] — static because decoder
+  * instances serialize driver→executor; in local mode all tasks share
+  * this JVM, so the counts observe the real per-partition lifecycle. */
+object DecoderProbe {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val decodes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0); decodes.set(0) }
+}
+
+/** Stands in for a JNI/codec decoder: counts its lifecycle and emits
+  * features the stub would never produce. Top-level: decoder instances
+  * serialize into tasks (an inner class would drag the spec along). */
+class ProbeDecoder extends Multimodal.MediaDecoder {
+  override def open(): Unit = DecoderProbe.opens.incrementAndGet()
+  override def close(): Unit = DecoderProbe.closes.incrementAndGet()
+  def decode(m: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    DecoderProbe.decodes.incrementAndGet()
+    Multimodal.MediaFeatures(m.doc_id, m.media.length.toLong, -1, -1, 99, "probe")
+  }
+}
+
+/** A decoder whose decode always throws — proves close() runs on task
+  * failure. */
+class ExplodingDecoder extends Multimodal.MediaDecoder {
+  override def open(): Unit = DecoderProbe.opens.incrementAndGet()
+  override def close(): Unit = DecoderProbe.closes.incrementAndGet()
+  def decode(m: Multimodal.MediaRow): Multimodal.MediaFeatures =
+    throw new IllegalStateException("codec blew up")
+}
+
+/** The pluggable decode seam ([[Multimodal.MediaDecoder]]): a swapped
+  * decoder flows through the identical q50 plumbing, and the lifecycle
+  * contract (one open/close per partition, streaming decode) holds. */
+class PluggableDecoderSpec extends graft.SparkSpec {
+  import Multimodal._
+  import org.apache.spark.sql.functions._
+
+  test("a swapped decoder runs through the q50 plumbing under the lifecycle contract") {
+    val s = spark
+    import s.implicits._
+    DecoderProbe.reset()
+    val parts = 3
+    val media = s.range(0, 300)
+      .select(col("id").as("doc_id"),
+        encode(concat(lit("doc"), col("id")), "UTF-8").as("media"))
+      .repartition(parts).as[MediaRow]
+    val out = decodeWith(media, () => new ProbeDecoder).collect()
+    assert(out.length == 300)
+    assert(out.forall(f => f.mode == "probe" && f.n_frames == 99))
+    assert(DecoderProbe.decodes.get() == 300)
+    assert(DecoderProbe.opens.get() == parts,
+      s"one open per partition: ${DecoderProbe.opens.get()} != $parts")
+    assert(DecoderProbe.closes.get() == parts,
+      s"close must run per partition: ${DecoderProbe.closes.get()} != $parts")
+    // the default stub through the SAME seam equals the direct stub map
+    val viaSeam = decodeWith(media, () => new StubDecoder).collect()
+      .sortBy(_.doc_id).toSeq
+    val direct = media.collect().map(decodeStub).sortBy(_.doc_id).toSeq
+    assert(viaSeam == direct)
+  }
+
+  test("close() still runs when a decode throws mid-partition") {
+    val s = spark
+    import s.implicits._
+    DecoderProbe.reset()
+    val media = s.range(0, 10)
+      .select(col("id").as("doc_id"), encode(lit("x"), "UTF-8").as("media"))
+      .coalesce(1).as[MediaRow]
+    intercept[org.apache.spark.SparkException] {
+      decodeWith(media, () => new ExplodingDecoder).collect()
+    }
+    // Spark retries the task locally (4 attempts by default in tests is
+    // 1 for local[*] with failFast? attempts vary) — every open must be
+    // paired with a close, and at least one pair must have run
+    assert(DecoderProbe.opens.get() >= 1)
+    assert(DecoderProbe.closes.get() == DecoderProbe.opens.get(),
+      "every opened codec context must be closed on task failure")
+  }
+}

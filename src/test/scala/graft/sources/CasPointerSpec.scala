@@ -104,6 +104,99 @@ class CasPointerSpec extends AnyFunSuite {
     assert(utf8(store.get(key).get._1).startsWith("gen-by-"))
   }
 
+  // ---- the same contract against the REAL Hadoop-FS adapter ----------------
+  // HadoopFsStore is the production bridge (lock-serialized CAS over
+  // atomic create/rename); it must satisfy every guarantee the protocol
+  // spec proved on MemoryStore.
+
+  private def fsStore(): (ConditionalPut.HadoopFsStore, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("cas-fs").toString
+    (new HadoopFsStore(new org.apache.hadoop.conf.Configuration()), dir)
+  }
+
+  test("HadoopFsStore: concurrent read-modify-write publishers lose nothing") {
+    val (store, dir) = fsStore()
+    val key = s"$dir/_graft_generation"
+    val threads = 8
+    val perThread = 10
+    val pool = Executors.newFixedThreadPool(threads)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(threads)
+    (0 until threads).foreach { t =>
+      pool.execute { () =>
+        start.await()
+        try (0 until perThread).foreach { i =>
+          update(store, key, maxRetries = 10000)(cur =>
+            cur.getOrElse("") + s"t$t-i$i\n")
+        } finally done.countDown()
+      }
+    }
+    start.countDown()
+    assert(done.await(120, TimeUnit.SECONDS), "publishers wedged")
+    pool.shutdown()
+    val lines = utf8(store.get(key).get._1).split("\n").filter(_.nonEmpty)
+    assert(lines.length == threads * perThread,
+      s"lost updates: ${threads * perThread - lines.length} of ${threads * perThread}")
+    assert(lines.toSet.size == threads * perThread, "duplicated lines")
+  }
+
+  test("HadoopFsStore: preconditions hold (create-if-absent, If-Match)") {
+    val (store, dir) = fsStore()
+    val key = s"$dir/k"
+    val e1 = store.putIf(key, None, "A\n".getBytes(StandardCharsets.UTF_8))
+    assert(e1.isDefined)
+    assert(store.putIf(key, None, "B\n".getBytes(StandardCharsets.UTF_8)).isEmpty,
+      "create-if-absent must fail once the object exists")
+    assert(store.putIf(key, Some("bogus"), "B\n".getBytes(StandardCharsets.UTF_8)).isEmpty,
+      "If-Match on a stale etag must fail")
+    assert(utf8(store.get(key).get._1) == "A\n")
+    // If-Match on the REAL etag succeeds
+    assert(store.putIf(key, e1, "C\n".getBytes(StandardCharsets.UTF_8)).isDefined)
+    assert(utf8(store.get(key).get._1) == "C\n")
+  }
+
+  test("HadoopFsStore: swapPointer semantics and single-winner concurrency") {
+    val (store, dir) = fsStore()
+    val key = s"$dir/_graft_generation"
+    assert(swapPointer(store, key, None, "gen-000"))
+    assert(!swapPointer(store, key, None, "gen-000b"))
+    val threads = 8
+    val pool = Executors.newFixedThreadPool(threads)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(threads)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until threads).foreach { t =>
+      pool.execute { () =>
+        start.await()
+        try {
+          if (swapPointer(store, key, Some("gen-000"), s"gen-by-$t"))
+            wins.incrementAndGet()
+        } finally done.countDown()
+      }
+    }
+    start.countDown()
+    assert(done.await(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.get() == 1, s"${wins.get()} writers advanced from the same base")
+    assert(utf8(store.get(key).get._1).startsWith("gen-by-"))
+  }
+
+  test("HadoopFsStore: a crashed holder's stale lock is broken, fresh ones are not") {
+    val (_, dir) = fsStore()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val store = new HadoopFsStore(conf, lockTimeoutMs = 50L)
+    val key = s"$dir/p"
+    // simulate a crashed CAS: the lock exists, its holder is gone
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.p.cas-lock")
+    val out = AtomicPublish.createStream(conf, lock, overwrite = false)
+    out.write('1'.toByte); out.close()
+    // fresh lock: precondition failure, no break
+    assert(store.putIf(key, None, "x".getBytes(StandardCharsets.UTF_8)).isEmpty)
+    Thread.sleep(120) // let it go stale
+    assert(store.putIf(key, None, "x".getBytes(StandardCharsets.UTF_8)).isDefined,
+      "stale lock must be broken after the timeout")
+  }
+
   test("the CAS loop refuses to spin forever") {
     // a store whose preconditions always fail (someone else always wins)
     val hostile = new ObjectStore {
