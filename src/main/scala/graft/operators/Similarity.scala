@@ -422,6 +422,92 @@ object Similarity {
   }
   private val q44dSql = q44cSql
 
+  /** Offline IVF index maintenance: re-cluster a persisted index into
+    * `nCells` cells (SQL surface: `CALL sys.reindex_ivf(ns, cells)`).
+    * Centroids drift as [[ivfAppend]] grows the corpus; this is the
+    * re-clustering the append path's contract defers to an offline
+    * policy knob.
+    *
+    * One pass of Lloyd's iteration, fully distributed: seed groups by
+    * `vec_id % nCells` (deterministic — gates replay byte-identically),
+    * seed centroids = per-group dimension means (the same exploded
+    * aggregate shape as the build), then every vector re-assigns to its
+    * nearest seed centroid (tiny centroid set broadcast) and the final
+    * centroids are recomputed over the REAL assignment. Writes overwrite
+    * `cells` (hive-partitioned by cell — the partition-pruned search
+    * layout q44c gates) and `centroids`; each dir's overwrite publishes
+    * through the source's atomic swap, and the tiny centroids table
+    * lands LAST so a racing search pairs old-with-old or new-with-new
+    * cells for every centroid set it can read. Cost is two corpus scans
+    * plus one dynamic-partition write — never a pairwise join. */
+  def ivfReindex(s: SparkSession, indexRoot: String, nCells: Int): Unit = {
+    require(nCells >= 1 && nCells <= (1 << 16), s"bad cell count $nCells")
+    graft.functions.VectorOps.register(s)
+    val all = s.read.format("graft").load(s"$indexRoot/cells")
+      .select(col("vec_id"), col("v"), col("nv"))
+    val seeds = centroidsOf(
+      all.withColumn("label", col("vec_id") % nCells), cellAsLong = true)
+    val assigned = rankCells(all, seeds)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+    val finalCents = centroidsOf(
+      assigned.withColumn("label", col("cell")), cellAsLong = true)
+    assigned
+      .write.format("graft").option("partitionBy", "cell")
+      .mode("overwrite").save(s"$indexRoot/cells")
+    finalCents.write.format("graft").mode("overwrite")
+      .save(s"$indexRoot/centroids")
+  }
+
+  // ---- q134: IVF reindex procedure (planted truth through the swap) --------
+  // q44d's maintained index, then `CALL sys.reindex_ivf` re-clusters it
+  // into a DIFFERENT cell count — and every original must still find its
+  // planted twin through the reindexed layout (top-2 multi-probe off
+  // disk). Proves the procedure preserves searchability end-to-end:
+  // assignments, centroid fidelity, and the partition-pruned layout all
+  // survive the swap. Exact oracle via the planted truth set.
+  private val q134: Q = (s, d) => {
+    val root = FormatOps.graftDir(d, "ivf_reindex")
+    val e = emb(s, d)
+    val cents = centroidsOf(e, cellAsLong = true)
+    // build + append, exactly the q44d lifecycle
+    rankCells(e.select(col("vec_id"), col("v"), col("nv")), cents)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+      .write.format("graft").option("partitionBy", "cell")
+      .mode("overwrite").save(s"$root/cells")
+    cents.write.format("graft").mode("overwrite").save(s"$root/centroids")
+    ivfAppend(s, root, withPlanted(e).filter(col("vec_id") >= PlantShift))
+    // the maintenance procedure, through the SQL surface
+    val parent = new java.io.File(root).getParent
+    val ns = new java.io.File(root).getName
+    s.conf.set("spark.sql.catalog.graft_ivfm", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_ivfm.root", parent)
+    s.sql(s"CALL graft_ivfm.sys.reindex_ivf(ns => '$ns', cells => 7)")
+    // search the REINDEXED layout off disk. Top-3 multi-probe (vs the
+    // label-clustered q44c/q44d's top-2): seeded Lloyd cells are not
+    // semantically separated, so near-dup pairs sit closer to cell
+    // boundaries — the standard IVF answer is one more probe, still k
+    // cells' partitions scheduled, never the corpus
+    val centsR = s.read.format("graft").load(s"$root/centroids")
+    val probeCells = rankCells(e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("v"), col("nv")), centsR)
+      .filter(col("rk") <= 3)
+      .select(col("vec_id").as("orig_id"), col("cell"))
+    val cellsR = s.read.format("graft").load(s"$root/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val found = probeCells.join(cellsR, Seq("cell"))
+      .filter(col("vec_id") === col("orig_id") + PlantShift)
+      .select(col("orig_id")).distinct()
+    val plantedIds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("orig_id"))
+    plantedIds.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(plantedIds.join(found, Seq("orig_id"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered")))
+      .select(col("n_planted"), col("n_recovered"),
+        (col("n_recovered") === col("n_planted")).as("recall_ok"))
+  }
+  private val q134Sql = q44cSql
+
   // ---- q45: embedding-cosine near-dup dedup (exact oracle) -----------------
   // Dedup on top of the multi-band LSH candidates, over the corpus with
   // planted near-dups (each planted copy's only >0.95 partner is its
@@ -686,6 +772,7 @@ object Similarity {
     "q44_ivf_ann" -> q44,
     "q44b_ivf_recall" -> q44b,
     "q45_embedding_dedup" -> q45,
+    "q134_ivf_reindex" -> q134,
     "q46_lsh_recall" -> q46)
 
   val oracle: Map[String, String] = Map(
@@ -702,5 +789,6 @@ object Similarity {
     "q43_centroids" -> q43Oracle,
     "q44b_ivf_recall" -> q44bSql,
     "q45_embedding_dedup" -> q45Sql,
+    "q134_ivf_reindex" -> q134Sql,
     "q46_lsh_recall" -> q46Sql)
 }

@@ -630,7 +630,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
       Array("history", "vacuum", "restore", "compact", "compact_to_size",
-        "contract", "audit")
+        "contract", "audit", "reindex_ivf")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -643,11 +643,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "compact_to_size") => compactToSizeProc
       case (Seq("sys"), "contract") => contractProc
       case (Seq("sys"), "audit") => auditProc
+      case (Seq("sys"), "reindex_ivf") => reindexIvfProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
           "sys.compact(ns, target_files), sys.compact_to_size(ns, target_bytes), " +
-          "sys.contract(ns), sys.audit(ns)")
+          "sys.contract(ns), sys.audit(ns), sys.reindex_ivf(ns, cells)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -778,6 +779,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         throw new IllegalArgumentException("procedure argument target_bytes must not be NULL")
       graft.operators.FormatOps.compactToSize(
         org.apache.spark.sql.SparkSession.active, dirOf(input), input.getLong(1))
+      done
+    }
+  }
+
+  private lazy val reindexIvfProc: UnboundProcedure = new SysProc("reindex_ivf",
+    "re-cluster a persisted IVF index (cells/ + centroids/ under ns) into `cells` cells",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("cells", IntegerType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      graft.operators.Similarity.ivfReindex(
+        org.apache.spark.sql.SparkSession.active, dirOf(input),
+        requiredInt(input, 1, "cells"))
       done
     }
   }
