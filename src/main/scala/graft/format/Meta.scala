@@ -152,7 +152,8 @@ object Meta {
       columns: Vector[ColMeta], stats: Vector[ColStats],
       blockStats: Vector[Vector[ColStats]] = Vector.empty,
       blooms: Map[String, Bloom.Bits] = Map.empty,
-      nestedStats: Map[String, ColStats] = Map.empty)
+      nestedStats: Map[String, ColStats] = Map.empty,
+      blockNestedStats: Vector[Map[String, ColStats]] = Vector.empty)
   case class ChunkMeta(dict20: DictMeta, dict32: DictMeta, tables: Vector[TableMeta])
   case class Footer(version: Int, dataSectionSize: Long, chunks: Vector[ChunkMeta])
 
@@ -199,6 +200,16 @@ object Meta {
         t.nestedStats.toSeq.sortBy(_._1).foreach { case (attr, st) =>
           writeString(b, attr)
           writeStats(b, st)
+        }
+        // per-block refinement of the nested-leaf maps (empty when the
+        // chunk fits one block, like blockStats)
+        b.putInt(t.blockNestedStats.size)
+        t.blockNestedStats.foreach { m =>
+          b.putInt(m.size)
+          m.toSeq.sortBy(_._1).foreach { case (attr, st) =>
+            writeString(b, attr)
+            writeStats(b, st)
+          }
         }
       }
     }
@@ -381,7 +392,35 @@ object Meta {
           }
           attr -> st
         }.toMap
-        TableMeta(name, numRows, schema, cols, stats, blockStats, blooms, nestedStats)
+        val nNestedBlocks = c.getInt()
+        if (nNestedBlocks != 0 && nNestedBlocks != expectBlocks)
+          throw new OliveFormatException(
+            s"nested block stat count $nNestedBlocks != $expectBlocks")
+        val blockNestedStats = Vector.fill(nNestedBlocks) {
+          val m = checkedCount(c.getInt(), "nested block stats")
+          Vector.fill(m) {
+            val attr = c.getString()
+            val dt = Stats.leafType(schema, attr).getOrElse(
+              throw new OliveFormatException(s"nested block stat for unknown leaf $attr"))
+            val nullCount = c.getInt()
+            if (nullCount < 0 || nullCount > BlockRows)
+              throw new OliveFormatException(
+                s"nested block null count $nullCount > $BlockRows")
+            val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+            (st.min.toSeq ++ st.max.toSeq).foreach { b =>
+              if (!Stats.statBytesOk(dt, b))
+                throw new OliveFormatException(
+                  s"nested block stat width ${b.length} illegal for ${dt.simpleString} leaf $attr")
+            }
+            st.sum.foreach { b =>
+              if (b.length != 8)
+                throw new OliveFormatException(s"nested sum stat width ${b.length} != 8")
+            }
+            attr -> st
+          }.toMap
+        }
+        TableMeta(name, numRows, schema, cols, stats, blockStats, blooms,
+          nestedStats, blockNestedStats)
       }
       ChunkMeta(d20, d32, tables)
     }

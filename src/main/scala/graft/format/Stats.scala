@@ -715,6 +715,18 @@ object Stats {
         cs.min.foreach(m => c.put("mn", b64.encodeToString(m)))
         cs.max.foreach(m => c.put("mx", b64.encodeToString(m)))
       }
+      // nested-leaf zone maps (footer v4) ride the manifest too, so a
+      // DML with a struct-field predicate classifies carried files with
+      // zero per-file I/O (absent on older manifests — tolerated)
+      if (t.nestedStats.nonEmpty) {
+        val ns = e.putObject("ns")
+        t.nestedStats.toSeq.sortBy(_._1).foreach { case (attr, cs) =>
+          val c = ns.putObject(attr)
+          c.put("nc", cs.nullCount)
+          cs.min.foreach(m => c.put("mn", b64.encodeToString(m)))
+          cs.max.foreach(m => c.put("mx", b64.encodeToString(m)))
+        }
+      }
     }
     mapper.writeValueAsString(arr)
   }
@@ -748,8 +760,29 @@ object Stats {
           stats += st
           ci += 1
         }
+        val nested = Map.newBuilder[String, ColStats]
+        Option(e.get("ns")).foreach { ns =>
+          ns.fields().forEachRemaining { kv =>
+            val attr = kv.getKey
+            val c = kv.getValue
+            val st = ColStats(
+              c.get("nc").asInt(),
+              Option(c.get("mn")).map(m => b64.decode(m.asText())),
+              Option(c.get("mx")).map(m => b64.decode(m.asText())))
+            leafType(schema, attr) match {
+              case Some(dt) =>
+                (st.min.toSeq ++ st.max.toSeq).foreach { b =>
+                  if (!statBytesOk(dt, b))
+                    throw new OliveFormatException(
+                      s"manifest nested stat width ${b.length} illegal for ${dt.simpleString}")
+                }
+                nested += (attr -> st)
+              case None => // unknown leaf in a stale manifest: drop it
+            }
+          }
+        }
         out += Meta.TableMeta(e.get("t").asText(), e.get("n").asInt(), schema,
-          Vector.empty, stats.result())
+          Vector.empty, stats.result(), nestedStats = nested.result())
       }
       Some(out.result())
     } catch { case _: Exception => None }

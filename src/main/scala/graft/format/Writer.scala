@@ -223,14 +223,34 @@ final class TableBuffer(val name: String, val schema: StructType,
     * to every child encoder, so each child's own validity/stats already
     * describe exactly the table's rows — the leaf stats fall out of the
     * same columnar statsRange pass as top-level columns. */
-  def nestedStats: Map[String, ColStats] = {
+  def nestedStats: Map[String, ColStats] =
+    nestedLeafStats(0, numRows)
+  /** Per-block refinement of [[nestedStats]]; empty when the chunk fits
+    * one block or has no statable struct leaf. Same dotted keys, same
+    * columnar statsRange pass over each [[Meta.BlockRows]] window —
+    * leaf-clustered struct data then decodes blocks, not whole chunks. */
+  def blockNestedStats: Vector[Map[String, ColStats]] = {
+    val blocks = allBlocks
+    val anyLeaf = schema.fields.exists {
+      case f => f.dataType match {
+        case st: StructType => st.fields.exists(cf => nestedStatable(cf.dataType))
+        case _ => false
+      }
+    }
+    if (blocks.size <= 1 || !anyLeaf) Vector.empty
+    else Vector.tabulate(blocks.size) { b =>
+      val from = b * Meta.BlockRows
+      nestedLeafStats(from, math.min(from + Meta.BlockRows, numRows))
+    }
+  }
+  private def nestedLeafStats(from: Int, to: Int): Map[String, ColStats] = {
     val out = Map.newBuilder[String, ColStats]
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       (f.dataType, encoders(i)) match {
         case (st: StructType, se: StructEncoder) =>
           st.fields.zipWithIndex.foreach { case (cf, ci) =>
             if (nestedStatable(cf.dataType))
-              out += (s"${f.name}.${cf.name}" -> se.children(ci).statsRange(0, numRows))
+              out += (s"${f.name}.${cf.name}" -> se.children(ci).statsRange(from, to))
           }
         case _ =>
       }
@@ -283,7 +303,7 @@ final class GraftFileWriter(out: OutputStream,
     val tableMetas = tables.map { t =>
       TableMeta(t.name, t.numRows, t.schema,
         t.encoders.map(_.write(sink, d20, d32)).toVector, t.chunkStats, t.blockStats,
-        t.blooms, t.nestedStats)
+        t.blooms, t.nestedStats, t.blockNestedStats)
     }.toVector
     chunks += ChunkMeta(d20Meta, d32Meta, tableMetas)
   }

@@ -851,23 +851,35 @@ object Generations {
       case other => Seq(other)
     }
     def sv(l: ce.Literal): Any = cvt.convertToScala(l.value, l.dataType)
+    // a reference the skip machinery can prune on: a plain attribute, or
+    // ONE GetStructField step off an attribute — spelled dotted, the key
+    // the nested-leaf zone maps (footer v4) store. Deeper nesting and
+    // computed children stay untranslated (less pruning, never wrong).
+    def ref(e: ce.Expression): Option[String] = e match {
+      case a: ce.Attribute => Some(a.name)
+      case g: ce.GetStructField => g.child match {
+        case a: ce.Attribute => Some(s"${a.name}.${g.extractFieldName}")
+        case _ => None
+      }
+      case _ => None
+    }
     def toV2(e: ce.Expression): Option[Filter] = e match {
-      case ce.EqualTo(a: ce.Attribute, l: ce.Literal) => Some(EqualTo(a.name, sv(l)))
-      case ce.EqualTo(l: ce.Literal, a: ce.Attribute) => Some(EqualTo(a.name, sv(l)))
-      case ce.GreaterThan(a: ce.Attribute, l: ce.Literal) => Some(GreaterThan(a.name, sv(l)))
-      case ce.GreaterThan(l: ce.Literal, a: ce.Attribute) => Some(LessThan(a.name, sv(l)))
-      case ce.GreaterThanOrEqual(a: ce.Attribute, l: ce.Literal) => Some(GreaterThanOrEqual(a.name, sv(l)))
-      case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.Attribute) => Some(LessThanOrEqual(a.name, sv(l)))
-      case ce.LessThan(a: ce.Attribute, l: ce.Literal) => Some(LessThan(a.name, sv(l)))
-      case ce.LessThan(l: ce.Literal, a: ce.Attribute) => Some(GreaterThan(a.name, sv(l)))
-      case ce.LessThanOrEqual(a: ce.Attribute, l: ce.Literal) => Some(LessThanOrEqual(a.name, sv(l)))
-      case ce.LessThanOrEqual(l: ce.Literal, a: ce.Attribute) => Some(GreaterThanOrEqual(a.name, sv(l)))
-      case ce.In(a: ce.Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
-        Some(In(a.name, vs.map(v => sv(v.asInstanceOf[ce.Literal])).toArray))
-      case ce.InSet(a: ce.Attribute, vs) if vs.nonEmpty =>
-        Some(In(a.name, vs.map(v => cvt.convertToScala(v, a.dataType)).toArray))
-      case ce.IsNull(a: ce.Attribute) => Some(IsNull(a.name))
-      case ce.IsNotNull(a: ce.Attribute) => Some(IsNotNull(a.name))
+      case ce.EqualTo(r, l: ce.Literal) if ref(r).isDefined => Some(EqualTo(ref(r).get, sv(l)))
+      case ce.EqualTo(l: ce.Literal, r) if ref(r).isDefined => Some(EqualTo(ref(r).get, sv(l)))
+      case ce.GreaterThan(r, l: ce.Literal) if ref(r).isDefined => Some(GreaterThan(ref(r).get, sv(l)))
+      case ce.GreaterThan(l: ce.Literal, r) if ref(r).isDefined => Some(LessThan(ref(r).get, sv(l)))
+      case ce.GreaterThanOrEqual(r, l: ce.Literal) if ref(r).isDefined => Some(GreaterThanOrEqual(ref(r).get, sv(l)))
+      case ce.GreaterThanOrEqual(l: ce.Literal, r) if ref(r).isDefined => Some(LessThanOrEqual(ref(r).get, sv(l)))
+      case ce.LessThan(r, l: ce.Literal) if ref(r).isDefined => Some(LessThan(ref(r).get, sv(l)))
+      case ce.LessThan(l: ce.Literal, r) if ref(r).isDefined => Some(GreaterThan(ref(r).get, sv(l)))
+      case ce.LessThanOrEqual(r, l: ce.Literal) if ref(r).isDefined => Some(LessThanOrEqual(ref(r).get, sv(l)))
+      case ce.LessThanOrEqual(l: ce.Literal, r) if ref(r).isDefined => Some(GreaterThanOrEqual(ref(r).get, sv(l)))
+      case ce.In(r, vs) if ref(r).isDefined && vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(In(ref(r).get, vs.map(v => sv(v.asInstanceOf[ce.Literal])).toArray))
+      case ce.InSet(r, vs) if ref(r).isDefined && vs.nonEmpty =>
+        Some(In(ref(r).get, vs.map(v => cvt.convertToScala(v, e.children.head.dataType)).toArray))
+      case ce.IsNull(r) if ref(r).isDefined => Some(IsNull(ref(r).get))
+      case ce.IsNotNull(r) if ref(r).isDefined => Some(IsNotNull(ref(r).get))
       case ce.Or(l, r) => for (lf <- toV2(l); rf <- toV2(r)) yield Or(lf, rf)
       case _ => None
     }

@@ -1754,7 +1754,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     while (i < nb) {
       val r0 = i * Meta.BlockRows
       val r1 = math.min(r0 + Meta.BlockRows, t.numRows)
-      val statsMap = t.schema.fieldNames.zip(t.blockStats(i)).toMap
+      val statsMap = t.schema.fieldNames.zip(t.blockStats(i)).toMap ++
+        (if (i < t.blockNestedStats.size) t.blockNestedStats(i) else Map.empty)
       val keep = !filters.exists(f => Stats.canSkip(f, t.schema, statsMap, r1 - r0))
       if (keep && runStart < 0) runStart = r0
       else if (!keep) {

@@ -164,4 +164,41 @@ class PageSkipSpec extends SparkSpec {
     assert(selPages * 5 < fullPages,
       s"selective predicate read $selPages of $fullPages pages")
   }
+
+  test("a struct-leaf predicate prunes 8Ki-row blocks via nested zone maps") {
+    // footer v4 per-block nested-leaf stats: a dotted filter (the shape
+    // Spark's DSv2 translation and the DML prune emit for struct fields)
+    // must decode blocks, not the whole chunk, when the leaf is clustered
+    val dir = Files.createTempDirectory("graft-pskip5").toString
+    spark.range(0, 120000).coalesce(1).selectExpr(
+      "id",
+      "named_struct('source', concat('s', CAST(id % 3 AS STRING)), 'w', CAST(id AS INT)) AS meta")
+      .write.format("graft").option("pagesize", "4096").mode("append").save(dir)
+    val p = new Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val fs = p.getFileSystem(new Configuration())
+    val schema = new StructType()
+      .add("id", LongType)
+      .add("meta", new StructType().add("source", StringType).add("w", IntegerType))
+
+    def scan(filters: Array[org.apache.spark.sql.sources.Filter])
+        : (Long, Map[String, Long]) = {
+      val r = new graft.sources.GraftPartitionReader(fs, p, schema, None, filters, -1)
+      var n = 0L
+      try {
+        while (r.next()) n += r.get().numRows()
+        (n, r.currentMetricsValues().map(m => m.name -> m.value).toMap)
+      } finally r.close()
+    }
+
+    val (all, _) = scan(Array.empty)
+    assert(all == 120000)
+    // 120K rows = one chunk of 15 blocks; the leaf equality lives in one
+    val (hit, selM) = scan(Array(
+      org.apache.spark.sql.sources.EqualTo("meta.w", 99999)))
+    assert(hit >= 1 && hit <= Meta.BlockRows,
+      s"nested block prune decoded $hit rows; want <= one block")
+    assert(selM("skippedBlocks") >= 13,
+      s"nested zone maps skipped ${selM("skippedBlocks")} blocks; want >=13 of 15")
+  }
 }

@@ -76,6 +76,40 @@ class SelectiveRewriteSpec extends SparkSpec {
     carried.foreach { case (rel, _) => assert(before.contains(rel)) }
   }
 
+  test("delete on a STRUCT-FIELD predicate prunes files via nested zone maps") {
+    val dir = Files.createTempDirectory("graft-selective-nested").toString
+    // the q51 multimodal shape, range-clustered on the struct leaf
+    spark.range(0, 8000)
+      .selectExpr("id",
+        "named_struct('source', concat('s', CAST(id % 5 AS STRING)), 'w', CAST(id AS INT)) AS meta")
+      .repartitionByRange(8, col("id"))
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = fileState(dir)
+    assert(before.size == 8)
+    // meta.w < 100 lives in ONE file's leaf range
+    FormatOps.deleteWhere(spark, dir, "data", col("meta.w") < 100)
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 7900)
+    assert(live.agg(min(col("meta.w"))).head().getInt(0) == 100)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
+    assert(carried.size >= 7,
+      s"nested-leaf prune should carry >=7 of 8 files, got ${carried.size}")
+    carried.foreach { case (rel, _) => assert(before.contains(rel)) }
+    // a SECOND nested-predicate DML classifies the carried files from
+    // the manifest's nested stats (zero footer I/O for them) — prune
+    // must hold through the statsToJson/statsFromJson round-trip
+    FormatOps.deleteWhere(spark, dir, "data", col("meta.w") >= 7900)
+    val live2 = spark.read.format("graft").load(dir)
+    assert(live2.count() == 7800)
+    val gen2 = GraftDataSource.readGenPointer(conf, dir).get
+    val carried2 = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, gen2))
+    assert(carried2.size >= 7,
+      s"manifest-carried nested stats should keep pruning, got ${carried2.size}")
+  }
+
   test("a provably no-op delete creates no generation at all") {
     val dir = Files.createTempDirectory("graft-selective-noop").toString
     writeRangeClustered(dir)
