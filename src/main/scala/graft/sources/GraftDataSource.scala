@@ -388,6 +388,39 @@ object GraftDataSource {
     }
   }
 
+  /** [[liveCarryStats]] PARSED, cached per generation dir. A generation's
+    * content is immutable once its rename lands (the manifest is written
+    * into the staging dir before the publish rename), so the parse can be
+    * shared JVM-wide; without this every scan re-read and re-parsed the
+    * same manifest JSON — AQE and multi-statement pipelines plan scans
+    * constantly, and the per-scan parse throttled whole pipelines. */
+  def parsedCarryStats(conf: Configuration,
+      dir: String): Map[String, Seq[graft.format.Meta.TableMeta]] = {
+    val resolved = resolveDataDir(conf, dir)
+    if (resolved == dir) Map.empty
+    else {
+      val cached = parsedStatsCache.get(resolved)
+      if (cached != null) cached
+      else {
+        val p = new Path(resolved)
+        val raw = readCarryManifestFull(p.getFileSystem(conf), p)
+          .flatMap { case (rel, _, js) => js.map(rel -> _) }
+        val parsed = inParallel(raw) { case (rel, js) =>
+          graft.format.Stats.statsFromJson(js).map(rel -> _)
+        }.flatten.toMap
+        parsedStatsCache.put(resolved, parsed)
+        parsed
+      }
+    }
+  }
+  private val parsedStatsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, Seq[graft.format.Meta.TableMeta]]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Seq[graft.format.Meta.TableMeta]]])
+          : Boolean = size() > 256
+    })
+
   /** Positive-int write option, refused loudly by NAME on junk or a
     * non-positive value (pagesize=0 once spun the page loop forever). */
   def positiveIntOption(options: CaseInsensitiveStringMap, key: String,
@@ -1060,26 +1093,74 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     }
   }
 
+  /** Per-file zone maps parsed from the live carry manifest(s), keyed by
+    * URI path: FILE-level pruning at PLANNING time, zero per-file I/O.
+    * Files the manifest doesn't cover (the last rewrite's own output,
+    * pointerless tables, pre-stats manifests) simply stay unpruned —
+    * their chunks still skip inside readers from footer stats. Parsed
+    * once per scan, and only on first use from a filtered consumer. */
+  private lazy val manifestMetas: Map[String, Seq[graft.format.Meta.TableMeta]] =
+    dirs.flatMap { d =>
+      val rootUri = new org.apache.hadoop.fs.Path(d).toUri.getPath.stripSuffix("/")
+      GraftDataSource.parsedCarryStats(conf, d).toSeq.map { case (rel, ms) =>
+        (s"$rootUri/$rel", ms)
+      }
+    }.toMap
+
+  /** True iff the live manifest PROVES file `p` holds no row of the
+    * scan's table matching some pushed filter — [[Stats.canSkipChunk]]
+    * lifted to planning, so a skipped file costs no task, no open, no
+    * footer read. At 10^5 DML-carried files a selective predicate
+    * schedules the handful of files that can match instead of a full
+    * task wave that each discovers "nothing here" from its footer. */
+  private def manifestSkip(p: org.apache.hadoop.fs.Path, fls: Array[Filter]): Boolean =
+    fls.nonEmpty && manifestMetas.get(p.toUri.getPath).exists { metas =>
+      val mine = metas.filter(_.name == tableOpt.getOrElse("data"))
+      mine.nonEmpty && fls.exists(f => mine.forall(t => Stats.canSkipChunk(f, t)))
+    }
+
   /** Planner statistics from the (partition-pruned) listing: compressed
     * bytes on disk scaled by a conservative decode-expansion factor.
     * Without this a V2 scan defaults to "unknown = huge" and a small
-    * graft dimension never auto-broadcasts in a join. */
+    * graft dimension never auto-broadcasts in a join.
+    *
+    * Pushed filters shrink the estimate through BOTH planning-time prune
+    * layers — hive-partition values and manifest zone maps — so a
+    * selectively-filtered fact side reports its post-prune size and
+    * Spark's join selection broadcasts it without a hint. When every
+    * kept file is manifest-covered the row count is exact and reported
+    * (CBO/AQE consume it); any uncovered file leaves it unknown rather
+    * than wrong. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val files = listing
     val partSchema = StructType(
       files.flatMap(_._3.keys).distinct.map(StructField(_, StringType)))
-    val kept = files.filterNot { case (_, _, part) =>
+    val kept = files.filterNot { case (p, _, part) =>
       val stats = part.map { case (k, v) =>
         val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
         k -> graft.format.ColStats(0, Some(b), Some(b))
       }
-      filters.exists(f => Stats.canSkip(f, partSchema, stats))
+      filters.exists(f => Stats.canSkip(f, partSchema, stats)) ||
+        manifestSkip(p, filters)
     }
     val onDisk = kept.map(_._2).sum
+    // exact only when the manifest covers every kept file AND no pushed
+    // operator rewrites the row shape (aggregate/top-k/limit readers
+    // emit fewer rows than the files hold)
+    val table = tableOpt.getOrElse("data")
+    val exactRows: Option[Long] =
+      if (aggSpecs.nonEmpty || topN.isDefined || limit >= 0) None
+      else kept.foldLeft(Option(0L)) { (acc, f) =>
+        acc.flatMap(n => manifestMetas.get(f._1.toUri.getPath)
+          .map(ms => n + ms.filter(_.name == table).map(_.numRows.toLong).sum))
+      }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(onDisk * 3, 1L)) // decode expansion
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = exactRows match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => java.util.OptionalLong.empty()
+      }
     }
   }
   override def readSchema(): StructType = required
@@ -1236,13 +1317,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       GraftDataSource.partitionColumns(files.map { case (p, _, m) => (p, m) })
         .map(StructField(_, StringType)))
     val keptSized = files.filter { case (p, _, _) => fileColKeep(p) }
-      .filterNot { case (_, _, part) =>
+      .filterNot { case (p, _, part) =>
         // exact partition values = degenerate min==max ranges
         val stats = part.map { case (k, v) =>
           val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
           k -> graft.format.ColStats(0, Some(b), Some(b))
         }
-        filters.exists(f => Stats.canSkip(f, partSchema, stats))
+        filters.exists(f => Stats.canSkip(f, partSchema, stats)) ||
+          // manifest zone maps drop whole FILES before any task exists
+          // (runtime DPP IN-lists included — a star join's dimension
+          // filter unschedules the fact files it excludes)
+          manifestSkip(p, filters)
       }
     val kept = keptSized.map { case (p, _, part) => (p, part) }
     // COW commit replaces exactly the files planned HERE — after runtime
