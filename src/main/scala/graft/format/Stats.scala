@@ -786,4 +786,68 @@ object Stats {
       }
       Some(out.result())
     } catch { case _: Exception => None }
+
+  // ---- ANALYZE sidecar codec -------------------------------------------------
+  // `CALL sys.analyze(ns)` persists table-level column statistics (NDV,
+  // null count, byte lengths, numeric min/max) in a root-level sidecar;
+  // the scan serves them to Spark as DSv2 columnStats when CBO is on.
+  // Stats are a snapshot (stamped with the generation they were computed
+  // at) — estimates tolerate staleness, pruning never consumes these.
+
+  /** One column's ANALYZE result. `min`/`max` hold CATALYST-internal
+    * numerics (Long for integral/timestamps, Int for date, Double for
+    * floating) — exactly what the planner's ColumnStat expects. */
+  case class ColAnalysis(ndv: Long, nullCount: Long, avgLen: Option[Long],
+      maxLen: Option[Long], min: Option[Any], max: Option[Any])
+  case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
+      cols: Map[String, ColAnalysis])
+
+  def analysisToJson(a: TableAnalysis): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("rows", a.rows)
+    root.put("exact", a.exact)
+    a.gen.foreach(g => root.put("gen", g))
+    val cols = root.putObject("cols")
+    a.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      val o = cols.putObject(name)
+      o.put("ndv", c.ndv)
+      o.put("nc", c.nullCount)
+      c.avgLen.foreach(v => o.put("al", v))
+      c.maxLen.foreach(v => o.put("ml", v))
+      def putNum(k: String, v: Any): Unit = v match {
+        case l: Long => o.put(k, l)
+        case i: Int => o.put(k, i.toLong)
+        case d: Double => o.put(k, d)
+        case f: Float => o.put(k, f.toDouble)
+        case _ =>
+      }
+      c.min.foreach(putNum("mn", _))
+      c.max.foreach(putNum("mx", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Inverse of [[analysisToJson]]; any parse failure yields None (the
+    * scan simply reports no column stats — never wrong ones). Numeric
+    * min/max come back as Long (integral JSON) or Double. */
+  def analysisFromJson(json: String): Option[TableAnalysis] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val cols = Map.newBuilder[String, ColAnalysis]
+      Option(root.get("cols")).foreach(_.fields().forEachRemaining { kv =>
+        val c = kv.getValue
+        def num(k: String): Option[Any] = Option(c.get(k)).map { n =>
+          if (n.isIntegralNumber) n.asLong(): Any else n.asDouble(): Any
+        }
+        cols += (kv.getKey -> ColAnalysis(
+          c.get("ndv").asLong(), c.get("nc").asLong(),
+          Option(c.get("al")).map(_.asLong()),
+          Option(c.get("ml")).map(_.asLong()),
+          num("mn"), num("mx")))
+      })
+      Some(TableAnalysis(root.get("rows").asLong(),
+        Option(root.get("exact")).exists(_.asBoolean()),
+        Option(root.get("gen")).map(_.asText()), cols.result()))
+    } catch { case _: Exception => None }
 }

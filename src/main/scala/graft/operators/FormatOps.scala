@@ -375,6 +375,80 @@ object FormatOps {
     compact(s, dir, math.min(n, Int.MaxValue.toLong).toInt, writeOptions, graceMs)
   }
 
+  /** `ANALYZE TABLE` for a graft dir (SQL surface: `CALL sys.analyze(ns
+    * [, exact])`): one aggregation pass computes per-column NDV (exact
+    * `count(DISTINCT)` or an HLL sketch — sketch is the 100 TB default,
+    * one scan, no expand), null counts, string/binary byte lengths, and
+    * numeric min/max, then persists them in a root-level sidecar the
+    * scan serves to Spark's CBO as DSv2 columnStats. Returns the rows
+    * the procedure surfaces. Complex-typed columns are skipped (no
+    * ColumnStat consumer exists for them). */
+  def analyzeTable(s: SparkSession, dir: String, table: String = "data",
+      exact: Boolean = false): Seq[(String, graft.format.Stats.ColAnalysis)] = {
+    import org.apache.spark.sql.types._
+    val df = s.read.format("graft").load(dir)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def analyzable(dt: DataType): Boolean = dt match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }
+    def ranged(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val fields = df.schema.fields.filter(f => analyzable(f.dataType)).toSeq
+    val exprs = Seq(count(lit(1)).as("__rows")) ++ fields.zipWithIndex.flatMap {
+      case (f, i) =>
+        val c = col(s"`${f.name}`")
+        val base = Seq(
+          count(c).as(s"c$i"),
+          (if (exact) count_distinct(c) else approx_count_distinct(c)).as(s"d$i"))
+        val lens = f.dataType match {
+          case StringType => Seq(avg(octet_length(c)).as(s"a$i"),
+            max(octet_length(c)).as(s"l$i"))
+          case BinaryType => Seq(avg(length(c)).as(s"a$i"), max(length(c)).as(s"l$i"))
+          case _ => Seq.empty
+        }
+        val range = if (ranged(f.dataType)) Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i"))
+          else Seq.empty
+        base ++ lens ++ range
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    def at(name: String): Option[Any] =
+      row.schema.fieldNames.indexOf(name) match {
+        case -1 => None
+        case idx if row.isNullAt(idx) => None
+        case idx => Some(row.get(idx))
+      }
+    val rows = row.getLong(row.fieldIndex("__rows"))
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = at(s"c$i").map(_.asInstanceOf[Long]).getOrElse(0L)
+      val toCat = conv.createToCatalystConverter(f.dataType)
+      def catNum(v: Any): Option[Any] = toCat(v) match {
+        case l: java.lang.Long => Some(l.longValue(): Any)
+        case i2: java.lang.Integer => Some(i2.intValue().toLong: Any)
+        case sh: java.lang.Short => Some(sh.longValue(): Any)
+        case b: java.lang.Byte => Some(b.longValue(): Any)
+        case d2: java.lang.Double => Some(d2.doubleValue(): Any)
+        case fl: java.lang.Float => Some(fl.doubleValue(): Any)
+        case _ => None
+      }
+      f.name -> graft.format.Stats.ColAnalysis(
+        ndv = at(s"d$i").map(_.asInstanceOf[Long]).getOrElse(0L),
+        nullCount = rows - nonNull,
+        avgLen = at(s"a$i").map(v => math.round(v.asInstanceOf[Double])),
+        maxLen = at(s"l$i").map(_.asInstanceOf[Number].longValue()),
+        min = at(s"mn$i").flatMap(catNum),
+        max = at(s"mx$i").flatMap(catNum))
+    }
+    val conf = s.sparkContext.hadoopConfiguration
+    val analysis = graft.format.Stats.TableAnalysis(rows, exact,
+      graft.sources.GraftDataSource.readGenPointer(conf, dir), cols.toMap)
+    graft.sources.GraftDataSource.writeColStats(conf, dir, table, analysis)
+    cols
+  }
+
   /** `VACUUM`: reclaim superseded generations and stale staging WITHOUT
     * creating a new generation — the explicit end of time-travel
     * retention for a table that is no longer being rewritten. See
@@ -1823,6 +1897,36 @@ object FormatOps {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---- q135: ANALYZE through the SQL procedure (exact oracle) ---------------
+  // `CALL sys.analyze(ns, exact => true)` over a lineitem projection; the
+  // oracle recomputes every NDV and null count with DuckDB's own
+  // count(DISTINCT) on the source parquet, so a hash match proves the
+  // one-pass multi-distinct aggregation AND the procedure surface. The
+  // sketch mode (the 100 TB default) is spec-gated for bounded error.
+  private val q135: Q = (s, d) => {
+    val root = graftDir(d, "analyze")
+    deleteDirQuietly(s, root)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.format("graft").mode("overwrite").save(s"$root/t")
+    s.conf.set("spark.sql.catalog.graft_an", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_an.root", root)
+    s.sql("CALL graft_an.sys.analyze(ns => 't', exact => true)")
+      .select(col("col_name"), col("ndv"), col("null_count"))
+      .orderBy(col("col_name"))
+  }
+  private val q135Sql =
+    """SELECT * FROM (
+      |  SELECT 'l_orderkey' AS col_name, count(DISTINCT l_orderkey) AS ndv,
+      |         count(*) - count(l_orderkey) AS null_count FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', count(DISTINCT l_quantity),
+      |         count(*) - count(l_quantity) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+      |         count(*) - count(l_returnflag) FROM lineitem
+      |) ORDER BY col_name""".stripMargin
+
   // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
   // 10% price increase on open orders; the oracle recomputes the same
   // CASE from parquet. Both sides multiply the identical doubles, so a
@@ -2044,6 +2148,7 @@ object FormatOps {
     "q98_zorder" -> q98,
     "q95_delete" -> q95,
     "q96_update" -> q96,
+    "q135_analyze" -> q135,
     "q96b_sql_update" -> q96b,
     "q97_upsert" -> q97,
     "q97b_sql_merge" -> q97b,
@@ -2078,6 +2183,7 @@ object FormatOps {
     "q98_zorder" -> q98Sql,
     "q95_delete" -> q95Sql,
     "q96_update" -> q96Sql,
+    "q135_analyze" -> q135Sql,
     "q96b_sql_update" -> q96Sql,
     "q97_upsert" -> q97Sql,
     "q97b_sql_merge" -> q97Sql,

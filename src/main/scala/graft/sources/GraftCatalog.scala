@@ -630,7 +630,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
       Array("history", "vacuum", "restore", "compact", "compact_to_size",
-        "contract", "audit", "reindex_ivf")
+        "contract", "audit", "reindex_ivf", "analyze")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -644,11 +644,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "contract") => contractProc
       case (Seq("sys"), "audit") => auditProc
       case (Seq("sys"), "reindex_ivf") => reindexIvfProc
+      case (Seq("sys"), "analyze") => analyzeProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
           "sys.compact(ns, target_files), sys.compact_to_size(ns, target_bytes), " +
-          "sys.contract(ns), sys.audit(ns), sys.reindex_ivf(ns, cells)")
+          "sys.contract(ns), sys.audit(ns), sys.reindex_ivf(ns, cells), " +
+          "sys.analyze(ns, exact)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -745,6 +747,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       java.util.List.of[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = out
         override def readSchema(): StructType = auditSchema
+      }).iterator()
+    }
+  }
+
+  private val analyzeSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("col_name", StringType),
+    org.apache.spark.sql.types.StructField("ndv", LongType),
+    org.apache.spark.sql.types.StructField("null_count", LongType),
+    org.apache.spark.sql.types.StructField("avg_len", LongType),
+    org.apache.spark.sql.types.StructField("max_len", LongType)))
+
+  private lazy val analyzeProc: UnboundProcedure = new SysProc("analyze",
+    "compute + persist column statistics (NDV, nulls, lengths, min/max) for CBO; " +
+      "exact=false uses an HLL sketch for NDV (the at-scale default)",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("exact", BooleanType).defaultValue("false").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val exact = !input.isNullAt(1) && input.getBoolean(1)
+      val out = graft.operators.FormatOps.analyzeTable(
+        org.apache.spark.sql.SparkSession.active, dirOf(input), exact = exact)
+        .map { case (name, c) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(name),
+            c.ndv, c.nullCount,
+            c.avgLen.map(Long.box).orNull, c.maxLen.map(Long.box).orNull): InternalRow
+        }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = analyzeSchema
       }).iterator()
     }
   }

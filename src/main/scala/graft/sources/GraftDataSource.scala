@@ -421,6 +421,43 @@ object GraftDataSource {
           : Boolean = size() > 256
     })
 
+  /** ANALYZE sidecar (`.colstats_<table>.json` at the table root):
+    * persisted column statistics `CALL sys.analyze` computed. Read is
+    * cached by (path, mtime) — re-analyze replaces the file atomically
+    * and the next scan re-parses. */
+  def writeColStats(conf: Configuration, dir: String, table: String,
+      a: graft.format.Stats.TableAnalysis): Unit =
+    AtomicPublish.text(conf, new Path(dir, s".colstats_$table.json"),
+      graft.format.Stats.analysisToJson(a))
+
+  def readColStats(conf: Configuration, dir: String,
+      table: String): Option[graft.format.Stats.TableAnalysis] =
+    try {
+      val p = new Path(dir, s".colstats_$table.json")
+      val fs = p.getFileSystem(conf)
+      val st = try fs.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
+      val key = s"${p.toUri.getPath}@${st.getModificationTime}"
+      val cached = colStatsCache.get(key)
+      if (cached != null) cached
+      else {
+        val in = fs.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val parsed = graft.format.Stats.analysisFromJson(json)
+        colStatsCache.put(key, parsed)
+        parsed
+      }
+    } catch { case _: Exception => None }
+  private val colStatsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[graft.format.Stats.TableAnalysis]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[graft.format.Stats.TableAnalysis]])
+          : Boolean = size() > 64
+    })
+
   /** Positive-int write option, refused loudly by NAME on junk or a
     * non-positive value (pagesize=0 once spun the page loop forever). */
   def positiveIntOption(options: CaseInsensitiveStringMap, key: String,
@@ -1154,6 +1191,28 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         acc.flatMap(n => manifestMetas.get(f._1.toUri.getPath)
           .map(ms => n + ms.filter(_.name == table).map(_.numRows.toLong).sum))
       }
+    // ANALYZE sidecar → DSv2 columnStats, served only when CBO is on
+    // (its sole consumer) so the default path pays zero sidecar I/O
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val cboOn = try org.apache.spark.sql.internal.SQLConf.get.cboEnabled
+        catch { case _: Exception => false }
+      if (!cboOn || dirs.size != 1 || aggSpecs.nonEmpty) java.util.Collections.emptyMap()
+      else GraftDataSource.readColStats(conf, dirs.head, table) match {
+        case None => java.util.Collections.emptyMap()
+        case Some(a) =>
+          val m = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          required.fields.foreach { f =>
+            a.cols.get(f.name).foreach { c =>
+              m.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name), GraftColumnStatistics(c, f.dataType))
+            }
+          }
+          m
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(onDisk * 3, 1L)) // decode expansion
@@ -1161,6 +1220,9 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         case Some(n) => java.util.OptionalLong.of(n)
         case None => java.util.OptionalLong.empty()
       }
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
   override def readSchema(): StructType = required
@@ -1418,6 +1480,32 @@ class SkippedBlocksMetric extends CustomSumMetric {
 }
 class PagesReadMetric extends CustomSumMetric {
   def name = "pagesRead"; def description = "data pages decompressed"
+}
+
+/** DSv2 ColumnStatistics view of one ANALYZE-sidecar column. min/max box
+  * to the column's CATALYST-internal representation (Int for int/date,
+  * Long for long/timestamps, Float/Double for floating) — that is what
+  * the planner's ColumnStat-based estimation consumes directly. */
+case class GraftColumnStatistics(c: graft.format.Stats.ColAnalysis, dt: DataType)
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  import java.util.{Optional, OptionalLong}
+  override def distinctCount(): OptionalLong = OptionalLong.of(c.ndv)
+  override def nullCount(): OptionalLong = OptionalLong.of(c.nullCount)
+  override def avgLen(): OptionalLong =
+    c.avgLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  override def maxLen(): OptionalLong =
+    c.maxLen.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  private def box(v: Any): Object = (dt, v) match {
+    case (ByteType, l: Long) => java.lang.Byte.valueOf(l.toByte)
+    case (ShortType, l: Long) => java.lang.Short.valueOf(l.toShort)
+    case (IntegerType | DateType, l: Long) => java.lang.Integer.valueOf(l.toInt)
+    case (LongType | TimestampType | TimestampNTZType, l: Long) => java.lang.Long.valueOf(l)
+    case (FloatType, d: Double) => java.lang.Float.valueOf(d.toFloat)
+    case (DoubleType, d: Double) => java.lang.Double.valueOf(d)
+    case _ => null
+  }
+  override def min(): Optional[Object] = Optional.ofNullable(c.min.map(box).orNull)
+  override def max(): Optional[Object] = Optional.ofNullable(c.max.map(box).orNull)
 }
 
 case class GraftInputPartition(file: String,

@@ -47,11 +47,13 @@ class ManifestStatsSpec extends SparkSpec {
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     assert(listed.size == 8)
     val before = graft.format.GraftFileReader.opens.get()
-    // range predicate hitting ONE carried file (ids 7000+ live in the
-    // last range partition)
+    // range predicate hitting ONE carried file: probe MID-file (7490..)
+    // — repartitionByRange boundaries are sampled (seeded by global RDD
+    // ids, so they drift ±tens with suite ordering) and a probe at a
+    // nominal boundary once straddled two files
     val files = Generations.classifyForDml(conf, root, listed, "data",
       Some(Seq(graft.format.Stats.FilterPrune(
-        In("id", (7000L until 7010L).toArray.map(_.asInstanceOf[Any]))))), dir)
+        In("id", (7490L until 7500L).toArray.map(_.asInstanceOf[Any]))))), dir)
     val opened = graft.format.GraftFileReader.opens.get() - before
     val cands = files.filter(_.candidate)
     assert(cands.size == 1, s"want 1 candidate, got ${cands.map(_.path.getName)}")
