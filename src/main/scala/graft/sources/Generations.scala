@@ -372,6 +372,8 @@ object Generations {
     if (idempotencyKey.isDefined &&
         liveRewriteTag(conf, dir) == idempotencyKey) return
     val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
+    // pin the source view for the publish's late-append fold
+    val srcDir = GraftDataSource.resolveDataDir(conf, dir)
     // ONE listing serves both the partition-column probe and the table
     // enumeration (a 10^6-file LIST against an object store is the cost)
     val listed = GraftDataSource.listPartitionedFiles(conf, dir)
@@ -389,12 +391,18 @@ object Generations {
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
     claimStaging(conf, staging)
     tableNames.foreach { t =>
-      val df0 = transform(t, s.read.format("graft").option("table", t).load(dir))
+      // PIN the data read to the same listing the late-append fold
+      // compares against: the lazy data-plane read otherwise lists at
+      // job-run time and can absorb a file that lands between — which
+      // the fold would then reference a second time (duplicate rows)
+      val df0 = transform(t, s.read.format("graft").option("table", t)
+        .option("fileFilter", listed.map(_._1.toString).mkString("\n")).load(dir))
       val layout = GraftDataSource.readBucketMarker(conf, dir, t)
       shapedWriter(df0, layout, targetFiles, t, writeOptions, partCols)
         .save(staging.toString)
     }
-    publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir)
+    publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir,
+      sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
   }
 
   /** Entry sweep + next-generation allocation, for a COW write whose
@@ -499,7 +507,8 @@ object Generations {
   private[sources] def publishStaging(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
       root: Path, staging: Path, nextGen: String,
       idempotencyKey: Option[String], dir: String,
-      keepStagingOnConflict: Boolean = false): Unit = {
+      keepStagingOnConflict: Boolean = false,
+      sourceView: Option[(String, Set[String])] = None): Unit = {
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
     // instead (GraftCatalog.loadTable(ident, timestamp))
@@ -596,6 +605,54 @@ object Generations {
           else { AtomicPublish.text(conf, ptr, nextGen); spins += 1; Thread.sleep(1) }
         }
     }
+    // Late-append fold: a plain append targets the LIVE view it resolved
+    // BEFORE this swap, so anything that landed in the source view after
+    // the rewrite's own listing would fall invisible the moment the
+    // pointer moved — silent row loss for a writer that did everything
+    // right. Post-swap, re-list the superseded source (PINNED, not via
+    // the pointer) and fold unknown files into the published manifest by
+    // reference, which linearizes the append AFTER this rewrite. The
+    // complementary half lives in GraftBatchWrite.commit: an appender
+    // that observes the moved pointer re-homes its own files. The two
+    // halves meet at the swap — a file visible before it is seen by this
+    // re-list; one visible after it sees the new pointer. Manifest-add
+    // is monotone (only ever adds visibility), so the overwrite is safe
+    // under concurrent readers.
+    sourceView.foreach { case (srcDir, known) =>
+      try {
+        // RAW physical walk, not the guarded listing: the pointer-
+        // appeared / marker guards exist to protect READERS from
+        // partial views, but here the pointer moving is exactly what we
+        // just did, and manifest refs of the source gen are immutable
+        // (they were in `known`). Only physical newcomers matter.
+        val srcRoot = new Path(srcDir)
+        def walkSrc(p: Path): Seq[(Path, Long)] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (st.isFile && n.endsWith(".graft")) Seq((st.getPath, st.getLen))
+            else if (st.isDirectory && n.contains("=")) walkSrc(st.getPath)
+            else Seq.empty
+          }
+        val late = (if (fs.exists(srcRoot)) walkSrc(srcRoot) else Seq.empty)
+          .filter { case (p, _) =>
+            !known.contains(p.toUri.getPath) &&
+              // an appender's own re-home (the other half) may have moved
+              // the file already — a manifest entry must never dangle
+              fs.exists(p)
+          }
+        if (late.nonEmpty) {
+          val genPath2 = new Path(root, nextGen)
+          val existing = GraftDataSource.readCarryManifestFull(fs, genPath2)
+          val have = existing.map(_._1).toSet
+          val add = late
+            .map { case (p, sz) =>
+              (GraftDataSource.relativePath(root, p), sz, None: Option[String]) }
+            .filterNot(e => have.contains(e._1))
+          if (add.nonEmpty)
+            GraftDataSource.writeCarryManifest(fs, genPath2, existing ++ add)
+        }
+      } catch { case _: java.io.IOException => } // best-effort: the appender's guard closes the gap
+    }
     // deliberately NO deletion here: the superseded data (legacy loose
     // files or the previous gen dir) is invisible behind the pointer but
     // intact, so queries planned against it finish cleanly; a later
@@ -648,8 +705,11 @@ object Generations {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
+    // pin the source view for the publish's late-append fold
+    var srcDir = GraftDataSource.resolveDataDir(conf, dir)
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     if (listed.isEmpty) return false
+    var srcKnown = listed.map(_._1.toUri.getPath).toSet
     val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
     val files = classifyForDml(conf, root, listed, table, pruneFilters, dir)
     if (!files.exists(_.metas.nonEmpty)) return false
@@ -706,7 +766,8 @@ object Generations {
     while (true) {
       try {
         publishStaging(fs, conf, root, staging, gen, idempotencyKey, dir,
-          keepStagingOnConflict = true)
+          keepStagingOnConflict = true,
+          sourceView = Some((srcDir, srcKnown)))
         return true
       } catch {
         case e: GenerationConflictException =>
@@ -714,7 +775,12 @@ object Generations {
           if (attempts > 5) { fs.delete(staging, true); throw e }
           rebaseStaging(conf, fs, root, dir, table, staging, gen,
             myCands, pruneFilters) match {
-            case Some(next) => gen = next
+            case Some((next, winSrc, winKnown)) =>
+              gen = next
+              // the fold must now compare against the WINNER's view —
+              // late appends land in ITS gen dir, the new live target
+              srcDir = winSrc
+              srcKnown = winKnown
             case None =>
               fs.delete(staging, true)
               throw new GenerationConflictException(
@@ -748,7 +814,8 @@ object Generations {
   private def rebaseStaging(conf: Configuration, fs: org.apache.hadoop.fs.FileSystem,
       root: Path, dir: String, table: String, staging: Path, lostGen: String,
       myCands: Set[String],
-      pruneFilters: Option[Seq[graft.format.Stats.Prune]]): Option[String] = {
+      pruneFilters: Option[Seq[graft.format.Stats.Prune]])
+      : Option[(String, String, Set[String])] = {
     if (pruneFilters.forall(_.isEmpty)) return None // whole-table footprint
     val winnerView =
       try GraftDataSource.listGenerationSized(conf, dir, lostGen)
@@ -775,7 +842,8 @@ object Generations {
         GraftDataSource.genIndex(st.getPath.getName).fold(m)(math.max(m, _))
       else m
     }
-    Some(f"gen-${maxIdx + 1}%05d")
+    Some((f"gen-${maxIdx + 1}%05d", new Path(root, lostGen).toString,
+      winnerView.map(_._1.toUri.getPath).toSet))
   }
 
   /** One live file's classification for a file-granular DML. */

@@ -578,7 +578,7 @@ object GraftDataSource {
     throw new IllegalStateException("unreachable")
   }
 
-  private def listPartitionedSizedAt(conf: Configuration, dir: String,
+  private[sources] def listPartitionedSizedAt(conf: Configuration, dir: String,
       resolved: String, viaPointer: Boolean): Seq[(Path, Long, Map[String, String])] = {
     val root = new Path(resolved)
     val fs = root.getFileSystem(conf)
@@ -2190,6 +2190,7 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     // appends land in the live generation, so a compacted table keeps
     // accepting writes through the same path
     val dataDir = GraftDataSource.resolveDataDir(conf, dir)
+    resolvedDataDir = dataDir
     fs.mkdirs(new Path(dataDir))
     // spec marker BEFORE tasks run: readers racing the write see marker +
     // zero matching files (inactive claim), never tagged files sans spec
@@ -2207,7 +2208,57 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       partCols, new SerializableConfiguration(conf), bloomCols, tableSplits,
       bucketSpec, sortCol)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {}
+  @volatile private var resolvedDataDir: String = dir
+
+  /** Append-vs-rewrite race guard, the appender's half (the rewrite's
+    * half is the publish-time late-append fold in
+    * [[Generations.publishStaging]]): if the generation pointer moved
+    * while this append was writing, its files may sit in a superseded
+    * generation the new manifest never saw. Re-home any file the LIVE
+    * view doesn't already surface (by its globally-unique name) into the
+    * live data dir — file-level atomic renames, partition subpaths
+    * preserved. The two halves meet at the pointer swap: a file visible
+    * before it is folded by the publisher's re-list; one visible after
+    * it observes the moved pointer here. Bounded retries; still-missing
+    * files after that fail LOUDLY, never silently invisible rows. The
+    * common case costs exactly one pointer read. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) return // overwrite rebuilt the table root outright
+    val conf = GraftDataSource.sessionConf()
+    val committed = messages.collect { case m: GraftCommitMessage =>
+      m.file.split(";").toSeq
+    }.flatten.filter(_.nonEmpty)
+    if (committed.isEmpty) return
+    if (GraftDataSource.resolveDataDir(conf, dir) == resolvedDataDir) return
+    val rootPath = new Path(resolvedDataDir)
+    val fs = rootPath.getFileSystem(conf)
+    var attempts = 0
+    while (attempts < 4) {
+      val visibleNames = GraftDataSource.listPartitionedSized(conf, dir)
+        .map(_._1.getName).toSet
+      val missing = committed.filterNot(f => visibleNames.contains(new Path(f).getName))
+      if (missing.isEmpty) return
+      val liveDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
+      missing.foreach { f =>
+        val p = new Path(f)
+        if (fs.exists(p)) {
+          val dest = new Path(liveDir, GraftDataSource.relativePath(rootPath, p))
+          fs.mkdirs(dest.getParent)
+          fs.rename(p, dest)
+        }
+      }
+      attempts += 1
+    }
+    val visibleNames = GraftDataSource.listPartitionedSized(conf, dir)
+      .map(_._1.getName).toSet
+    val lost = committed.filterNot(f => visibleNames.contains(new Path(f).getName))
+    if (lost.nonEmpty)
+      throw new graft.format.OliveFormatException(
+        s"append to $dir raced concurrent rewrites and could not surface " +
+          s"${lost.size} committed file(s) in the live view after $attempts " +
+          "re-home attempts; the files are on disk but unreferenced — " +
+          "retry the append")
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }
 

@@ -214,7 +214,10 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
     val replaced = op.replaced.getOrElse(throw new IllegalStateException(
       "row-level write committed before its scan planned; no replaced-file " +
         "set to anchor the carry manifest")).map(_.toString).toSet
-    val carried = GraftDataSource.listPartitionedSized(conf, dir)
+    // pin the source view for the publish's late-append fold
+    val srcDir = GraftDataSource.resolveDataDir(conf, dir)
+    val commitListing = GraftDataSource.listPartitionedSized(conf, dir)
+    val carried = commitListing
       .filterNot { case (p, _, _) => replaced.contains(p.toString) }
     // sibling tables' bucket markers live in the data dir — carry them
     // (the write above re-created at most this table's own)
@@ -226,7 +229,8 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
       carried.map { case (p, size, _) =>
         val rel = GraftDataSource.relativePath(root, p)
         (rel, size, op.fileStats.get(rel)) })
-    Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir)
+    Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir,
+      sourceView = Some((srcDir, commitListing.map(_._1.toUri.getPath).toSet)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
