@@ -421,6 +421,52 @@ object GraftDataSource {
           : Boolean = size() > 256
     })
 
+  /** Appender's half of the append-vs-rewrite race guard (shared by the
+    * batch commit and every streaming epoch commit): if the pointer
+    * moved while the write ran, re-home any committed file the LIVE
+    * view doesn't surface (by its globally-unique name) into the live
+    * data dir — file-level atomic renames, partition subpaths
+    * preserved. A retried streaming epoch whose earlier attempt was
+    * already re-homed sees its deterministic name visible and no-ops.
+    * Bounded retries, then a LOUD failure — never silently invisible
+    * rows. */
+  private[sources] def ensureAppendVisibility(conf: Configuration, dir: String,
+      plannedDataDir: String, messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case m: GraftCommitMessage =>
+      m.file.split(";").toSeq
+    }.flatten.filter(_.nonEmpty)
+    if (committed.isEmpty) return
+    if (resolveDataDir(conf, dir) == plannedDataDir) return
+    val rootPath = new Path(plannedDataDir)
+    val fs = rootPath.getFileSystem(conf)
+    def missingNow(): Seq[String] = {
+      val visibleNames = listPartitionedSized(conf, dir).map(_._1.getName).toSet
+      committed.filterNot(f => visibleNames.contains(new Path(f).getName))
+    }
+    var attempts = 0
+    while (attempts < 4) {
+      val missing = missingNow()
+      if (missing.isEmpty) return
+      val liveDir = new Path(resolveDataDir(conf, dir))
+      missing.foreach { f =>
+        val p = new Path(f)
+        if (fs.exists(p)) {
+          val dest = new Path(liveDir, relativePath(rootPath, p))
+          fs.mkdirs(dest.getParent)
+          fs.rename(p, dest)
+        }
+      }
+      attempts += 1
+    }
+    val lost = missingNow()
+    if (lost.nonEmpty)
+      throw new graft.format.OliveFormatException(
+        s"append to $dir raced concurrent rewrites and could not surface " +
+          s"${lost.size} committed file(s) in the live view after $attempts " +
+          "re-home attempts; the files are on disk but unreferenced — " +
+          "retry the write")
+  }
+
   /** ANALYZE sidecar (`.colstats_<table>.json` at the table root):
     * persisted column statistics `CALL sys.analyze` computed. Read is
     * cached by (path, mtime) — re-analyze replaces the file atomically
@@ -2062,13 +2108,15 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
     // never reader-visible (scan lists *.graft only; tmp names differ).
     override def toStreaming: StreamingWrite = streamingWrite
     private object streamingWrite extends StreamingWrite {
+      @volatile private var epochDataDir: String = dir
       override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
         require(options.get("bucketby") == null,
           "bucketBy is batch-only: a micro-batch writes too few rows per " +
             "bucket file; bucket with a batch compaction pass instead")
         batchWrite.createBatchWriterFactory(pinfo) // dir setup / truncate
+        epochDataDir = GraftDataSource.resolveDataDir(GraftDataSource.sessionConf(), dir)
         new GraftStreamingWriterFactory(
-          GraftDataSource.resolveDataDir(GraftDataSource.sessionConf(), dir), info.schema(),
+          epochDataDir, info.schema(),
           Option(options.get("table")).getOrElse("data"),
           GraftDataSource.positiveIntOption(options, "pagesize", GraftFileWriter.DefaultPageSize),
           Option(options.get("bias")).getOrElse("balanced"),
@@ -2077,7 +2125,14 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
           Option(options.get("tables"))
             .map(GraftDataSource.parseTableSplits(_, info.schema())))
       }
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
+      /** Every epoch gets the appender's race guard: the data dir was
+        * pinned at query start, and a compaction swinging the pointer
+        * mid-stream would otherwise strand every later epoch's files in
+        * the superseded generation — invisible rows from a sink that
+        * committed successfully. */
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        GraftDataSource.ensureAppendVisibility(GraftDataSource.sessionConf(), dir,
+          epochDataDir, messages)
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
     }
   }
@@ -2214,50 +2269,14 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     * half is the publish-time late-append fold in
     * [[Generations.publishStaging]]): if the generation pointer moved
     * while this append was writing, its files may sit in a superseded
-    * generation the new manifest never saw. Re-home any file the LIVE
-    * view doesn't already surface (by its globally-unique name) into the
-    * live data dir — file-level atomic renames, partition subpaths
-    * preserved. The two halves meet at the pointer swap: a file visible
-    * before it is folded by the publisher's re-list; one visible after
-    * it observes the moved pointer here. Bounded retries; still-missing
-    * files after that fail LOUDLY, never silently invisible rows. The
-    * common case costs exactly one pointer read. */
+    * generation the new manifest never saw. The two halves meet at the
+    * pointer swap: a file visible before it is folded by the
+    * publisher's re-list; one visible after it observes the moved
+    * pointer here. The common case costs exactly one pointer read. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) return // overwrite rebuilt the table root outright
-    val conf = GraftDataSource.sessionConf()
-    val committed = messages.collect { case m: GraftCommitMessage =>
-      m.file.split(";").toSeq
-    }.flatten.filter(_.nonEmpty)
-    if (committed.isEmpty) return
-    if (GraftDataSource.resolveDataDir(conf, dir) == resolvedDataDir) return
-    val rootPath = new Path(resolvedDataDir)
-    val fs = rootPath.getFileSystem(conf)
-    var attempts = 0
-    while (attempts < 4) {
-      val visibleNames = GraftDataSource.listPartitionedSized(conf, dir)
-        .map(_._1.getName).toSet
-      val missing = committed.filterNot(f => visibleNames.contains(new Path(f).getName))
-      if (missing.isEmpty) return
-      val liveDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
-      missing.foreach { f =>
-        val p = new Path(f)
-        if (fs.exists(p)) {
-          val dest = new Path(liveDir, GraftDataSource.relativePath(rootPath, p))
-          fs.mkdirs(dest.getParent)
-          fs.rename(p, dest)
-        }
-      }
-      attempts += 1
-    }
-    val visibleNames = GraftDataSource.listPartitionedSized(conf, dir)
-      .map(_._1.getName).toSet
-    val lost = committed.filterNot(f => visibleNames.contains(new Path(f).getName))
-    if (lost.nonEmpty)
-      throw new graft.format.OliveFormatException(
-        s"append to $dir raced concurrent rewrites and could not surface " +
-          s"${lost.size} committed file(s) in the live view after $attempts " +
-          "re-home attempts; the files are on disk but unreferenced — " +
-          "retry the append")
+    GraftDataSource.ensureAppendVisibility(GraftDataSource.sessionConf(), dir,
+      resolvedDataDir, messages)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }

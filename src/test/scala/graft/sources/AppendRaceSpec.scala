@@ -48,6 +48,35 @@ class AppendRaceSpec extends SparkSpec {
     assert(rows.filter(col("id") >= 5000).count() == 100)
   }
 
+  test("streaming epochs survive a mid-stream compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-apstream").toString
+    val ckpt = Files.createTempDirectory("graft-apstream-ck").toString
+    spark.conf.set("spark.graft.graceMs", "600000")
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().selectExpr("value AS id")
+      .writeStream.format("graft").option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50))
+      .start(dir)
+    try {
+      mem.addData(0L until 100L: _*)
+      q.processAllAvailable() // epoch 0 lands, table pointerless
+      FormatOps.compact(spark, dir, targetFiles = 1) // pointer appears mid-stream
+      mem.addData(100L until 200L: _*)
+      q.processAllAvailable() // post-compaction epoch: pinned dir is stale
+      FormatOps.compact(spark, dir, targetFiles = 1)
+      mem.addData(200L until 300L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 300, s"stream lost rows: ${live.count()}")
+    assert(live.distinct().count() == 300)
+    spark.conf.unset("spark.graft.graceMs")
+  }
+
   test("stress: concurrent appends and rewrites lose zero rows") {
     val dir = Files.createTempDirectory("graft-aprace").toString
     spark.range(0, 2000).selectExpr("id")
