@@ -244,18 +244,18 @@ object Stats {
     }
   }
 
-  /** Type of `attr` in `schema`: a top-level field, or ONE level into a
-    * struct via the dotted name Spark's DSv2 filter translation uses for
-    * nested references (`meta.source`). A top-level field whose name
-    * literally contains the dot wins — the dotted parse only runs when
-    * no exact field matches, so such filters simply never prune (safe). */
+  /** Type of `attr` in `schema`: a top-level field, or ANY depth into
+    * nested structs via the dotted name Spark's DSv2 filter translation
+    * uses for nested references (`meta.inner.w`). At every level an
+    * exact field whose name literally contains the dot wins — the dotted
+    * descent only runs when no exact field matches, so such filters
+    * simply never prune (safe). */
   def leafType(schema: StructType, attr: String): Option[DataType] =
     schema.fields.find(_.name == attr).map(_.dataType).orElse {
       val i = attr.indexOf('.')
       if (i <= 0 || i == attr.length - 1) None
       else schema.fields.find(_.name == attr.substring(0, i)).map(_.dataType).flatMap {
-        case st: StructType =>
-          st.fields.find(_.name == attr.substring(i + 1)).map(_.dataType)
+        case st: StructType => leafType(st, attr.substring(i + 1))
         case _ => None
       }
     }

@@ -218,11 +218,12 @@ final class TableBuffer(val name: String, val schema: StructType,
     bloomBuilders.map { case (ord, _, b) =>
       schema.fields(ord).name -> Bloom.Bits(b.finish())
     }.toMap
-  /** Chunk-level zone maps for ONE level of struct leaves, keyed
-    * `parent.child` (footer v4). A struct-null row appends a null slot
-    * to every child encoder, so each child's own validity/stats already
-    * describe exactly the table's rows — the leaf stats fall out of the
-    * same columnar statsRange pass as top-level columns. */
+  /** Chunk-level zone maps for struct leaves at ANY depth, keyed by the
+    * dotted path (`meta.inner.w`, footer v4). A struct-null row appends
+    * a null slot to every child encoder — recursively, so an arbitrarily
+    * deep leaf's own validity/stats already describe exactly the table's
+    * rows, and the leaf stats fall out of the same columnar statsRange
+    * pass as top-level columns. */
   def nestedStats: Map[String, ColStats] =
     nestedLeafStats(0, numRows)
   /** Per-block refinement of [[nestedStats]]; empty when the chunk fits
@@ -230,13 +231,16 @@ final class TableBuffer(val name: String, val schema: StructType,
     * columnar statsRange pass over each [[Meta.BlockRows]] window —
     * leaf-clustered struct data then decodes blocks, not whole chunks. */
   def blockNestedStats: Vector[Map[String, ColStats]] = {
+    import org.apache.spark.sql.types.StructType
     val blocks = allBlocks
-    val anyLeaf = schema.fields.exists {
-      case f => f.dataType match {
-        case st: StructType => st.fields.exists(cf => nestedStatable(cf.dataType))
-        case _ => false
-      }
-    }
+    def hasLeaf(st: StructType): Boolean = st.fields.exists(f => f.dataType match {
+      case c: StructType => hasLeaf(c)
+      case dt => nestedStatable(dt)
+    })
+    val anyLeaf = schema.fields.exists(_.dataType match {
+      case st: StructType => hasLeaf(st)
+      case _ => false
+    })
     if (blocks.size <= 1 || !anyLeaf) Vector.empty
     else Vector.tabulate(blocks.size) { b =>
       val from = b * Meta.BlockRows
@@ -244,14 +248,21 @@ final class TableBuffer(val name: String, val schema: StructType,
     }
   }
   private def nestedLeafStats(from: Int, to: Int): Map[String, ColStats] = {
+    import org.apache.spark.sql.types.StructType
     val out = Map.newBuilder[String, ColStats]
+    def recurse(prefix: String, st: StructType, se: StructEncoder): Unit =
+      st.fields.zipWithIndex.foreach { case (cf, ci) =>
+        (cf.dataType, se.children(ci)) match {
+          case (child: StructType, cse: StructEncoder) =>
+            recurse(s"$prefix.${cf.name}", child, cse)
+          case (dt, enc) if nestedStatable(dt) =>
+            out += (s"$prefix.${cf.name}" -> enc.statsRange(from, to))
+          case _ =>
+        }
+      }
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       (f.dataType, encoders(i)) match {
-        case (st: StructType, se: StructEncoder) =>
-          st.fields.zipWithIndex.foreach { case (cf, ci) =>
-            if (nestedStatable(cf.dataType))
-              out += (s"${f.name}.${cf.name}" -> se.children(ci).statsRange(from, to))
-          }
+        case (st: StructType, se: StructEncoder) => recurse(f.name, st, se)
         case _ =>
       }
     }

@@ -920,15 +920,13 @@ object Generations {
     }
     def sv(l: ce.Literal): Any = cvt.convertToScala(l.value, l.dataType)
     // a reference the skip machinery can prune on: a plain attribute, or
-    // ONE GetStructField step off an attribute — spelled dotted, the key
-    // the nested-leaf zone maps (footer v4) store. Deeper nesting and
-    // computed children stay untranslated (less pruning, never wrong).
+    // a chain of GetStructField steps off an attribute at any depth —
+    // spelled dotted, the key the nested-leaf zone maps (footer v4)
+    // store. Computed children stay untranslated (less pruning, never
+    // wrong).
     def ref(e: ce.Expression): Option[String] = e match {
       case a: ce.Attribute => Some(a.name)
-      case g: ce.GetStructField => g.child match {
-        case a: ce.Attribute => Some(s"${a.name}.${g.extractFieldName}")
-        case _ => None
-      }
+      case g: ce.GetStructField => ref(g.child).map(p => s"$p.${g.extractFieldName}")
       case _ => None
     }
     def toV2(e: ce.Expression): Option[Filter] = e match {

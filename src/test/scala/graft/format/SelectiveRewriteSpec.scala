@@ -110,6 +110,27 @@ class SelectiveRewriteSpec extends SparkSpec {
       s"manifest-carried nested stats should keep pruning, got ${carried2.size}")
   }
 
+  test("delete on a DEPTH-2 struct predicate prunes files via nested zone maps") {
+    val dir = Files.createTempDirectory("graft-selective-deep").toString
+    spark.range(0, 8000)
+      .selectExpr("id",
+        "named_struct('inner', named_struct('w', CAST(id AS INT)), " +
+          "'src', concat('s', id % 5)) AS meta")
+      .repartitionByRange(8, col("id"))
+      .write.format("graft").mode("overwrite").save(dir)
+    val before = fileState(dir)
+    assert(before.size == 8)
+    FormatOps.deleteWhere(spark, dir, "data", col("meta.inner.w") < 100)
+    val live = spark.read.format("graft").load(dir)
+    assert(live.count() == 7900)
+    assert(live.agg(min(col("meta.inner.w"))).head().getInt(0) == 100)
+    val liveGen = GraftDataSource.readGenPointer(conf, dir).get
+    val carried = GraftDataSource.readCarryManifest(
+      new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
+    assert(carried.size >= 7,
+      s"depth-2 leaf prune should carry >=7 of 8 files, got ${carried.size}")
+  }
+
   test("a provably no-op delete creates no generation at all") {
     val dir = Files.createTempDirectory("graft-selective-noop").toString
     writeRangeClustered(dir)
