@@ -796,9 +796,15 @@ object Stats {
 
   /** One column's ANALYZE result. `min`/`max` hold CATALYST-internal
     * numerics (Long for integral/timestamps, Int for date, Double for
-    * floating) — exactly what the planner's ColumnStat expects. */
+    * floating) — exactly what the planner's ColumnStat expects.
+    * `histogram` holds equi-height bin ENDPOINTS (n+1 doubles from an
+    * approx-percentile pass over plain numeric columns); heights and
+    * per-bin NDV derive at read time (rows/n, ndv/n) — the boundaries
+    * carry the range-selectivity value, the per-bin ndv approximation
+    * is the standard uniform split. */
   case class ColAnalysis(ndv: Long, nullCount: Long, avgLen: Option[Long],
-      maxLen: Option[Long], min: Option[Any], max: Option[Any])
+      maxLen: Option[Long], min: Option[Any], max: Option[Any],
+      histogram: Option[Seq[Double]] = None)
   case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
       cols: Map[String, ColAnalysis])
 
@@ -824,6 +830,10 @@ object Stats {
       }
       c.min.foreach(putNum("mn", _))
       c.max.foreach(putNum("mx", _))
+      c.histogram.foreach { es =>
+        val arr = o.putArray("h")
+        es.foreach(arr.add)
+      }
     }
     mapper.writeValueAsString(root)
   }
@@ -840,11 +850,16 @@ object Stats {
         def num(k: String): Option[Any] = Option(c.get(k)).map { n =>
           if (n.isIntegralNumber) n.asLong(): Any else n.asDouble(): Any
         }
+        val hist = Option(c.get("h")).map { arr =>
+          val b = Seq.newBuilder[Double]
+          arr.forEach(n => b += n.asDouble())
+          b.result()
+        }.filter(_.size >= 2)
         cols += (kv.getKey -> ColAnalysis(
           c.get("ndv").asLong(), c.get("nc").asLong(),
           Option(c.get("al")).map(_.asLong()),
           Option(c.get("ml")).map(_.asLong()),
-          num("mn"), num("mx")))
+          num("mn"), num("mx"), hist))
       })
       Some(TableAnalysis(root.get("rows").asLong(),
         Option(root.get("exact")).exists(_.asBoolean()),

@@ -422,6 +422,30 @@ object FormatOps {
         case idx => Some(row.get(idx))
       }
     val rows = row.getLong(row.fieldIndex("__rows"))
+    // equi-height histogram boundaries for PLAIN numeric columns (the
+    // double domain matches catalyst's estimation; date/timestamp would
+    // need internal-unit endpoints and stay histogram-less): one extra
+    // approx-percentile pass covering every such column at once
+    val HistBins = 32
+    def histType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }
+    val histCols = fields.zipWithIndex.filter { case (f, _) => histType(f.dataType) }
+    val histograms: Map[Int, Seq[Double]] =
+      if (histCols.isEmpty || rows == 0) Map.empty
+      else {
+        val pcts = lit((0 to HistBins).map(_.toDouble / HistBins).toArray)
+        val hExprs = histCols.map { case (f, i) =>
+          percentile_approx(col(s"`${f.name}`").cast("double"), pcts, lit(10000)).as(s"h$i")
+        }
+        val hrow = df.agg(hExprs.head, hExprs.tail: _*).head()
+        histCols.flatMap { case (_, i) =>
+          val idx = hrow.fieldIndex(s"h$i")
+          if (hrow.isNullAt(idx)) None
+          else Some(i -> hrow.getSeq[Double](idx).toSeq)
+        }.toMap
+      }
     val cols = fields.zipWithIndex.map { case (f, i) =>
       val nonNull = at(s"c$i").map(_.asInstanceOf[Long]).getOrElse(0L)
       val toCat = conv.createToCatalystConverter(f.dataType)
@@ -440,7 +464,8 @@ object FormatOps {
         avgLen = at(s"a$i").map(v => math.round(v.asInstanceOf[Double])),
         maxLen = at(s"l$i").map(_.asInstanceOf[Number].longValue()),
         min = at(s"mn$i").flatMap(catNum),
-        max = at(s"mx$i").flatMap(catNum))
+        max = at(s"mx$i").flatMap(catNum),
+        histogram = histograms.get(i))
     }
     val conf = s.sparkContext.hadoopConfiguration
     val analysis = graft.format.Stats.TableAnalysis(rows, exact,

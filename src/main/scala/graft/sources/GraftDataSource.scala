@@ -1239,30 +1239,37 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       }
     // ANALYZE sidecar → DSv2 columnStats, served only when CBO is on
     // (its sole consumer) so the default path pays zero sidecar I/O
+    val cboOn = try org.apache.spark.sql.internal.SQLConf.get.cboEnabled
+      catch { case _: Exception => false }
+    val sidecar: Option[graft.format.Stats.TableAnalysis] =
+      if (!cboOn || dirs.size != 1 || aggSpecs.nonEmpty) None
+      else GraftDataSource.readColStats(conf, dirs.head, table)
     val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-      val cboOn = try org.apache.spark.sql.internal.SQLConf.get.cboEnabled
-        catch { case _: Exception => false }
-      if (!cboOn || dirs.size != 1 || aggSpecs.nonEmpty) java.util.Collections.emptyMap()
-      else GraftDataSource.readColStats(conf, dirs.head, table) match {
-        case None => java.util.Collections.emptyMap()
-        case Some(a) =>
-          val m = new java.util.HashMap[
-            org.apache.spark.sql.connector.expressions.NamedReference,
-            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-          required.fields.foreach { f =>
-            a.cols.get(f.name).foreach { c =>
-              m.put(org.apache.spark.sql.connector.expressions.Expressions
-                .column(f.name), GraftColumnStatistics(c, f.dataType))
-            }
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = sidecar match {
+      case None => java.util.Collections.emptyMap()
+      case Some(a) =>
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fields.foreach { f =>
+          a.cols.get(f.name).foreach { c =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name), GraftColumnStatistics(c, f.dataType, a.rows))
           }
-          m
-      }
+        }
+        m
     }
+    // row count: exact from full manifest coverage; else the ANALYZE
+    // snapshot — an estimate, stale after appends, same contract as
+    // Spark's own ANALYZE-based stats, and the rowCount CBO estimation
+    // needs before it will use the column stats at all. Pushed filters
+    // stay residual, so Spark's Filter node applies selectivity ON TOP
+    // of this scan cardinality — the standard division of labor.
+    val estRows: Option[Long] = exactRows.orElse(sidecar.map(_.rows))
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(onDisk * 3, 1L)) // decode expansion
-      override def numRows(): java.util.OptionalLong = exactRows match {
+      override def numRows(): java.util.OptionalLong = estRows match {
         case Some(n) => java.util.OptionalLong.of(n)
         case None => java.util.OptionalLong.empty()
       }
@@ -1532,9 +1539,11 @@ class PagesReadMetric extends CustomSumMetric {
   * to the column's CATALYST-internal representation (Int for int/date,
   * Long for long/timestamps, Float/Double for floating) — that is what
   * the planner's ColumnStat-based estimation consumes directly. */
-case class GraftColumnStatistics(c: graft.format.Stats.ColAnalysis, dt: DataType)
+case class GraftColumnStatistics(c: graft.format.Stats.ColAnalysis, dt: DataType,
+    tableRows: Long)
     extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
   import java.util.{Optional, OptionalLong}
+  private def rowsNonNull: Long = math.max(0L, tableRows - c.nullCount)
   override def distinctCount(): OptionalLong = OptionalLong.of(c.ndv)
   override def nullCount(): OptionalLong = OptionalLong.of(c.nullCount)
   override def avgLen(): OptionalLong =
@@ -1552,6 +1561,28 @@ case class GraftColumnStatistics(c: graft.format.Stats.ColAnalysis, dt: DataType
   }
   override def min(): Optional[Object] = Optional.ofNullable(c.min.map(box).orNull)
   override def max(): Optional[Object] = Optional.ofNullable(c.max.map(box).orNull)
+  /** Equi-height histogram from the ANALYZE boundaries: n bins of
+    * (rows − nulls)/n rows each, per-bin NDV the uniform split of the
+    * column NDV — boundaries carry the range-selectivity signal. */
+  override def histogram(): Optional[org.apache.spark.sql.connector.read.colstats.Histogram] =
+    c.histogram match {
+      case Some(es) if es.size >= 2 && rowsNonNull > 0 =>
+        val n = es.size - 1
+        val binNdv = math.max(1L, (c.ndv + n - 1) / n)
+        val binArr = (0 until n).map { i =>
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo(): Double = es(i)
+            override def hi(): Double = es(i + 1)
+            override def ndv(): Long = binNdv
+          }
+        }.toArray[org.apache.spark.sql.connector.read.colstats.HistogramBin]
+        Optional.of(new org.apache.spark.sql.connector.read.colstats.Histogram {
+          override def height(): Double = rowsNonNull.toDouble / n
+          override def bins(): Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+            binArr
+        })
+      case _ => Optional.empty()
+    }
 }
 
 case class GraftInputPartition(file: String,

@@ -81,6 +81,26 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("histograms: analyze boundaries drive range selectivity under CBO") {
+    val dir = buildTable() // id uniform over [0, 10000)
+    FormatOps.analyzeTable(spark, dir, exact = true)
+    val a = GraftDataSource.readColStats(conf, dir, "data").get
+    val h = a.cols("id").histogram.getOrElse(fail("no histogram for id"))
+    assert(h.size == 33, s"expected 33 endpoints, got ${h.size}")
+    assert(h == h.sorted && h.head <= 0.0 && h.last >= 9999.0)
+    // strings carry no histogram; doubles do
+    assert(a.cols("label").histogram.isEmpty)
+    assert(a.cols("ratio").histogram.isDefined)
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.read.format("graft").load(dir).filter($"id" < 1000L)
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(rc => rc.toLong > 400 && rc.toLong < 2500),
+        s"range-filter estimate should be ~1000 of 10000, got $est")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("re-analyze replaces the sidecar; corrupt sidecar degrades silently") {
     val dir = buildTable()
     FormatOps.analyzeTable(spark, dir, exact = true)
