@@ -1952,6 +1952,40 @@ object FormatOps {
       |         count(*) - count(l_returnflag) FROM lineitem
       |) ORDER BY col_name""".stripMargin
 
+  // ---- q136: planning-time file pruning from manifest zone maps -------------
+  // A DML-maintained, range-clustered orders table: a selective key
+  // filter must schedule only the files the carry manifest's zone maps
+  // allow — asserted on the physical plan's input-partition count, with
+  // the rows oracle-gated. At 10^5 carried files this is the difference
+  // between one task and a cluster-wide wave of "nothing here" probes.
+  private val q136: Q = (s, d) => {
+    val dir = graftDir(d, "plan_prune")
+    Tables.orders(s, d).repartitionByRange(8, col("o_orderkey"))
+      .write.format("graft").mode("overwrite").save(dir)
+    // a tiny single-key DML creates the stats-carrying manifest
+    updateWhere(s, dir, "data",
+      set = Map("o_totalprice" -> col("o_totalprice")),
+      where = col("o_orderkey") === 1L)
+    val g = s.read.format("graft").load(dir)
+    val keyMax = g.agg(max(col("o_orderkey"))).head().getLong(0)
+    val sel = g.filter(col("o_orderkey") === keyMax)
+    val parts = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    if (parts > 2)
+      throw new IllegalStateException(
+        s"manifest planning prune regressed: $parts input partitions for a " +
+          "single-key filter over 8 range-clustered files")
+    sel.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q136Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
   // 10% price increase on open orders; the oracle recomputes the same
   // CASE from parquet. Both sides multiply the identical doubles, so a
@@ -2174,6 +2208,7 @@ object FormatOps {
     "q95_delete" -> q95,
     "q96_update" -> q96,
     "q135_analyze" -> q135,
+    "q136_plan_prune" -> q136,
     "q96b_sql_update" -> q96b,
     "q97_upsert" -> q97,
     "q97b_sql_merge" -> q97b,
@@ -2209,6 +2244,7 @@ object FormatOps {
     "q95_delete" -> q95Sql,
     "q96_update" -> q96Sql,
     "q135_analyze" -> q135Sql,
+    "q136_plan_prune" -> q136Sql,
     "q96b_sql_update" -> q96Sql,
     "q97_upsert" -> q97Sql,
     "q97b_sql_merge" -> q97Sql,
