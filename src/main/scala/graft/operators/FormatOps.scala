@@ -1969,13 +1969,18 @@ object FormatOps {
     val g = s.read.format("graft").load(dir)
     val keyMax = g.agg(max(col("o_orderkey"))).head().getLong(0)
     val sel = g.filter(col("o_orderkey") === keyMax)
-    val parts = sel.queryExecution.executedPlan.collect {
+    // distinct FILES, not partitions: a kept multi-chunk file legitimately
+    // splits into per-chunk tasks at larger scale factors
+    val files = sel.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.inputPartitions.size
-    }.sum
-    if (parts > 2)
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten.distinct.size
+    if (files > 2)
       throw new IllegalStateException(
-        s"manifest planning prune regressed: $parts input partitions for a " +
+        s"manifest planning prune regressed: $files files scheduled for a " +
           "single-key filter over 8 range-clustered files")
     sel.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))

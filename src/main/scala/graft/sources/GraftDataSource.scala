@@ -388,27 +388,40 @@ object GraftDataSource {
     }
   }
 
-  /** [[liveCarryStats]] PARSED, cached per generation dir. A generation's
-    * content is immutable once its rename lands (the manifest is written
-    * into the staging dir before the publish rename), so the parse can be
-    * shared JVM-wide; without this every scan re-read and re-parsed the
-    * same manifest JSON — AQE and multi-statement pipelines plan scans
-    * constantly, and the per-scan parse throttled whole pipelines. */
+  /** [[liveCarryStats]] PARSED, cached per generation MANIFEST identity
+    * (path + the `.carry` file's mtime and length — an `overwrite` can
+    * delete every generation and a later DML re-create the same
+    * `gen-00001` path with different content, and the late-append fold
+    * can grow a published manifest in place, so the path alone is not
+    * an identity). The parse is shared JVM-wide; without this every
+    * scan re-read and re-parsed the same manifest JSON — AQE and
+    * multi-statement pipelines plan scans constantly, and the per-scan
+    * parse throttled whole pipelines. A stale entry can only LOSE
+    * pruning, never mis-prune (entries are keyed by globally-unique
+    * file names), but the identity key makes even that window one
+    * getFileStatus wide. */
   def parsedCarryStats(conf: Configuration,
       dir: String): Map[String, Seq[graft.format.Meta.TableMeta]] = {
     val resolved = resolveDataDir(conf, dir)
     if (resolved == dir) Map.empty
     else {
-      val cached = parsedStatsCache.get(resolved)
+      val p = new Path(resolved)
+      val fs = p.getFileSystem(conf)
+      val carry = new Path(p, CarryManifestName)
+      val st = try fs.getFileStatus(carry) catch {
+        case _: java.io.FileNotFoundException => return Map.empty
+        case _: java.io.IOException => return Map.empty
+      }
+      val key = s"$resolved@${st.getModificationTime}:${st.getLen}"
+      val cached = parsedStatsCache.get(key)
       if (cached != null) cached
       else {
-        val p = new Path(resolved)
-        val raw = readCarryManifestFull(p.getFileSystem(conf), p)
+        val raw = readCarryManifestFull(fs, p)
           .flatMap { case (rel, _, js) => js.map(rel -> _) }
         val parsed = inParallel(raw) { case (rel, js) =>
           graft.format.Stats.statsFromJson(js).map(rel -> _)
         }.flatten.toMap
-        parsedStatsCache.put(resolved, parsed)
+        parsedStatsCache.put(key, parsed)
         parsed
       }
     }
