@@ -422,22 +422,32 @@ object FormatOps {
         case idx => Some(row.get(idx))
       }
     val rows = row.getLong(row.fieldIndex("__rows"))
-    // equi-height histogram boundaries for PLAIN numeric columns (the
-    // double domain matches catalyst's estimation; date/timestamp would
-    // need internal-unit endpoints and stay histogram-less): one extra
-    // approx-percentile pass covering every such column at once
+    // equi-height histogram boundaries, one extra approx-percentile pass
+    // covering every eligible column at once. Endpoints live in the
+    // domain catalyst's estimation compares literals in: plain doubles
+    // for numerics, CATALYST-INTERNAL units for date (epoch days) and
+    // timestamp (epoch micros) — a seconds-domain timestamp histogram
+    // would mis-estimate every range by 10^6.
     val HistBins = 32
-    def histType(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
-      case _ => false
+    def histExpr(f: StructField): Option[org.apache.spark.sql.Column] = {
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType => Some(c.cast("double"))
+        case DateType => Some(datediff(c, lit("1970-01-01").cast("date")).cast("double"))
+        case TimestampType => Some(unix_micros(c).cast("double"))
+        case _ => None // TimestampNTZ: internal micros aren't reachable tz-free
+      }
     }
-    val histCols = fields.zipWithIndex.filter { case (f, _) => histType(f.dataType) }
+    val histCols = fields.zipWithIndex.flatMap { case (f, i) =>
+      histExpr(f).map(e => (e, i))
+    }
     val histograms: Map[Int, Seq[Double]] =
       if (histCols.isEmpty || rows == 0) Map.empty
       else {
         val pcts = lit((0 to HistBins).map(_.toDouble / HistBins).toArray)
-        val hExprs = histCols.map { case (f, i) =>
-          percentile_approx(col(s"`${f.name}`").cast("double"), pcts, lit(10000)).as(s"h$i")
+        val hExprs = histCols.map { case (e, i) =>
+          percentile_approx(e, pcts, lit(10000)).as(s"h$i")
         }
         val hrow = df.agg(hExprs.head, hExprs.tail: _*).head()
         histCols.flatMap { case (_, i) =>

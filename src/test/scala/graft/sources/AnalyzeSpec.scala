@@ -91,6 +91,20 @@ class AnalyzeSpec extends SparkSpec {
     // strings carry no histogram; doubles do
     assert(a.cols("label").histogram.isEmpty)
     assert(a.cols("ratio").histogram.isDefined)
+    // timestamps histogram in CATALYST-INTERNAL micros, dates in days
+    val tdir = Files.createTempDirectory("graft-analyze-ts").toString
+    spark.range(0, 10000)
+      .selectExpr("id", "timestamp_seconds(id * 3600) AS ts",
+        "date_add(DATE '1970-01-01', CAST(id % 365 AS INT)) AS d")
+      .write.format("graft").mode("overwrite").save(tdir)
+    FormatOps.analyzeTable(spark, tdir, exact = true)
+    val ta = GraftDataSource.readColStats(conf, tdir, "data").get
+    val th = ta.cols("ts").histogram.getOrElse(fail("no ts histogram"))
+    assert(math.abs(th.last - 9999.0 * 3600 * 1e6) < 3600 * 1e6 * 200,
+      s"ts endpoints should be epoch micros, got last=${th.last}")
+    val dh = ta.cols("d").histogram.getOrElse(fail("no date histogram"))
+    assert(dh.head >= 0.0 && dh.last <= 365.0,
+      s"date endpoints should be epoch days, got [${dh.head}, ${dh.last}]")
     val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
     try {
       spark.conf.set("spark.sql.cbo.enabled", "true")
