@@ -65,7 +65,7 @@ class DmlFuzzSpec extends SparkSpec {
       val snapshots = mutable.Map[Int, Map[Long, (Long, String)]]()
 
       (1 to 14).foreach { step =>
-        val op = r.nextInt(5)
+        val op = r.nextInt(6)
         op match {
           case 0 => // keyed upsert: mix of existing and brand-new keys
             val ks = r.shuffle((0L until 600L).toVector).take(1 + r.nextInt(80))
@@ -91,6 +91,18 @@ class DmlFuzzSpec extends SparkSpec {
           case 4 => // zero-grace vacuum: history reclaimed, LIVE state intact
             FormatOps.vacuum(spark, dir, graceMs = 0L)
             snapshots.clear() // time travel to reclaimed generations is over
+          case 5 => // plain append of brand-new keys: lands in the LIVE
+            // generation and every later DML/compact/vacuum must carry,
+            // classify, and fold it like any other file
+            val n = 1 + r.nextInt(30)
+            val batch = (0 until n).map { j =>
+              val id = 1000L + step * 100L + j
+              (id, id * 2, s"a$step-$j")
+            }
+            val w2 = batch.toDF("id", "v", "s").withColumn("p", col("id") % 4)
+              .coalesce(1).write.format("graft").mode("append")
+            (if (partitioned) w2.option("partitionBy", "p") else w2).save(dir)
+            model = model ++ batch.map { case (id, v, s) => id -> (v, s) }
         }
         assert(liveState() == model,
           s"seed $seed step $step (op $op): table diverged from model")
