@@ -1429,13 +1429,19 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   override def planInputPartitions(): Array[InputPartition] = {
     bucketGroupsPlan match {
       case Some(groups) =>
-        // one keyed input partition per bucket — the group count the
-        // planner committed to in outputPartitioning. File-level pruning
-        // is a no-op here (bucketed layouts are flat, no hive partition
-        // values); pushed AND runtime filters still skip chunks/blocks
-        // inside each reader via footer stats
-        cowOp.foreach(_.replaced = Some(groups.flatMap(_._2.map(_._1))))
-        return groups.map { case (b, fs) =>
+        // one keyed input partition per bucket — the group COUNT the
+        // planner committed to in outputPartitioning is preserved (empty
+        // groups stay in place); manifest zone maps still prune FILES
+        // within each group, so a selective filter over a DML-maintained
+        // bucketed table schedules the provably-relevant files only.
+        // COW scans carry no data filters (only `_file` runtime keys,
+        // which manifestSkip can't serve), so the replaced set is
+        // unaffected there.
+        val pruned = groups.map { case (b, fs) =>
+          (b, fs.filterNot { case (p, _) => manifestSkip(p, filters) })
+        }
+        cowOp.foreach(_.replaced = Some(pruned.flatMap(_._2.map(_._1))))
+        return pruned.map { case (b, fs) =>
           GraftBucketedPartition(fs.map { case (p, part) => (p.toString, part) }, b): InputPartition
         }.toArray
       case None =>

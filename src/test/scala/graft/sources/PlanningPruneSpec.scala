@@ -108,6 +108,35 @@ class PlanningPruneSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed scans prune files within groups, keeping the group count") {
+    val dir = Files.createTempDirectory("graft-planprune-bkt").toString
+    // 4 buckets × 2 appends = 8 files; id ranges separate per append so
+    // zone maps can tell the two file sets apart within each bucket
+    spark.range(0, 4000).selectExpr("id", "id % 97 AS k")
+      .write.format("graft").option("bucketBy", "id:4").mode("append").save(dir)
+    spark.range(100000, 104000).selectExpr("id", "id % 97 AS k")
+      .write.format("graft").option("bucketBy", "id:4").mode("append").save(dir)
+    graft.operators.FormatOps.deleteWhere(spark, dir, "data", col("id") === 17L)
+    val prevB = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def bucketFiles(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        scanExec(df).inputPartitions.collect {
+          case p: GraftBucketedPartition => p.files.size
+        }
+      val full = spark.read.format("graft").load(dir)
+      val allCounts = bucketFiles(full)
+      // high-range filter: each group should drop its low-range file(s)
+      val sel = full.filter($"id" >= 100000L)
+      val selCounts = bucketFiles(sel)
+      assert(selCounts.size == allCounts.size,
+        s"group count must not change: ${selCounts.size} vs ${allCounts.size}")
+      assert(selCounts.sum < allCounts.sum,
+        s"expected within-group file pruning: $selCounts vs $allCounts")
+      assert(sel.count() == 4000)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevB)
+  }
+
   test("runtime DPP filters prune carried files at execution planning") {
     val dir = buildTable()
     // a COW DML must not lose rows to the new prune layer: delete via the
