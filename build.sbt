@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// soak knobs reach the FORKED test JVM (sbt -D lands on the sbt JVM only)
+Test / javaOptions ++= sys.props.get("graft.dmlfuzz.seeds").toSeq
+  .map(s => s"-Dgraft.dmlfuzz.seeds=$s")

@@ -1208,11 +1208,22 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * lifted to planning, so a skipped file costs no task, no open, no
     * footer read. At 10^5 DML-carried files a selective predicate
     * schedules the handful of files that can match instead of a full
-    * task wave that each discovers "nothing here" from its footer. */
+    * task wave that each discovers "nothing here" from its footer.
+    *
+    * Oversized IN-lists (runtime DPP join keys can arrive by the
+    * thousands) are excluded from the DRIVER-side per-file sweep — the
+    * O(files × keys) compare would stall planning; executors still
+    * apply them to chunk/block skipping in parallel. */
   private def manifestSkip(p: org.apache.hadoop.fs.Path, fls: Array[Filter]): Boolean =
     fls.nonEmpty && manifestMetas.get(p.toUri.getPath).exists { metas =>
       val mine = metas.filter(_.name == tableOpt.getOrElse("data"))
-      mine.nonEmpty && fls.exists(f => mine.forall(t => Stats.canSkipChunk(f, t)))
+      mine.nonEmpty && fls.exists { f =>
+        val bounded = f match {
+          case org.apache.spark.sql.sources.In(_, vs) => vs == null || vs.length <= 4096
+          case _ => true
+        }
+        bounded && mine.forall(t => Stats.canSkipChunk(f, t))
+      }
     }
 
   /** Planner statistics from the (partition-pruned) listing: compressed
