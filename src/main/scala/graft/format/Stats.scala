@@ -806,13 +806,14 @@ object Stats {
       maxLen: Option[Long], min: Option[Any], max: Option[Any],
       histogram: Option[Seq[Double]] = None)
   case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
-      cols: Map[String, ColAnalysis])
+      cols: Map[String, ColAnalysis], bytes: Long = 0L)
 
   def analysisToJson(a: TableAnalysis): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("rows", a.rows)
     root.put("exact", a.exact)
+    if (a.bytes > 0) root.put("bytes", a.bytes)
     a.gen.foreach(g => root.put("gen", g))
     val cols = root.putObject("cols")
     a.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
@@ -863,6 +864,7 @@ object Stats {
       })
       Some(TableAnalysis(root.get("rows").asLong(),
         Option(root.get("exact")).exists(_.asBoolean()),
-        Option(root.get("gen")).map(_.asText()), cols.result()))
+        Option(root.get("gen")).map(_.asText()), cols.result(),
+        Option(root.get("bytes")).map(_.asLong()).getOrElse(0L)))
     } catch { case _: Exception => None }
 }

@@ -478,8 +478,13 @@ object FormatOps {
         histogram = histograms.get(i))
     }
     val conf = s.sparkContext.hadoopConfiguration
+    // on-disk bytes at analyze time anchor staleness extrapolation: a
+    // scan whose listing has grown scales the row estimate by the byte
+    // ratio instead of serving the stale absolute count
+    val bytes = graft.sources.GraftDataSource
+      .listPartitionedSized(conf, dir).map(_._2).sum
     val analysis = graft.format.Stats.TableAnalysis(rows, exact,
-      graft.sources.GraftDataSource.readGenPointer(conf, dir), cols.toMap)
+      graft.sources.GraftDataSource.readGenPointer(conf, dir), cols.toMap, bytes)
     graft.sources.GraftDataSource.writeColStats(conf, dir, table, analysis)
     cols
   }

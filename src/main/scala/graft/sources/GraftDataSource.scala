@@ -1284,12 +1284,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         m
     }
     // row count: exact from full manifest coverage; else the ANALYZE
-    // snapshot — an estimate, stale after appends, same contract as
-    // Spark's own ANALYZE-based stats, and the rowCount CBO estimation
-    // needs before it will use the column stats at all. Pushed filters
-    // stay residual, so Spark's Filter node applies selectivity ON TOP
-    // of this scan cardinality — the standard division of labor.
-    val estRows: Option[Long] = exactRows.orElse(sidecar.map(_.rows))
+    // snapshot — the rowCount CBO estimation needs before it will use
+    // the column stats at all — EXTRAPOLATED by the byte ratio between
+    // the kept listing and the analyzed table, so a stale sidecar on a
+    // grown (or pruned-down) table scales instead of lying. Pushed
+    // filters stay residual, so Spark's Filter node applies selectivity
+    // ON TOP of this scan cardinality — the standard division of labor.
+    val estRows: Option[Long] = exactRows.orElse(sidecar.map { a =>
+      if (a.bytes > 0 && onDisk > 0)
+        math.max(1L, math.round(a.rows.toDouble * onDisk / a.bytes))
+      else a.rows
+    })
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(onDisk * 3, 1L)) // decode expansion

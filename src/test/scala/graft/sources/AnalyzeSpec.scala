@@ -125,10 +125,21 @@ class AnalyzeSpec extends SparkSpec {
         "concat('v', CAST(id % 500 AS STRING)) AS label",
         "CAST(id AS DOUBLE) / 7.0 AS ratio")
       .write.format("graft").mode("append").save(dir)
+    // BEFORE re-analyze: the stale sidecar extrapolates by byte ratio,
+    // so a grown table estimates ~12000, not the stale 10000
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val est = spark.read.format("graft").load(dir)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(rc => rc.toLong > 10500 && rc.toLong < 13500),
+        s"stale sidecar should extrapolate to ~12000, got $est")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
     Thread.sleep(1100) // local-fs mtime granularity can be 1s
     FormatOps.analyzeTable(spark, dir, exact = true)
     val a2 = GraftDataSource.readColStats(conf, dir, "data").get
     assert(a2.rows == 12000 && a2.cols("id").ndv == 12000)
+    assert(a2.bytes > 0)
     // corrupt sidecar: readColStats yields None, scans stay unaffected
     val p = new org.apache.hadoop.fs.Path(dir, ".colstats_data.json")
     val out = p.getFileSystem(conf).create(p, true)
