@@ -897,7 +897,19 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     val tbl = Option(options.get("table")).map("table" -> _)
     val bucket = Option(options.get("bucketby")).map("bucketBy" -> _)
     val sort = Option(options.get("sortby")).map("sortBy" -> _)
-    (base ++ tbl ++ bucket ++ sort).asJava
+    // ANALYZE snapshot, when one exists: DESCRIBE EXTENDED shows the
+    // recorded row count, its generation, and the NDV mode at a glance
+    val stats = (if (dirs.size == 1)
+      GraftDataSource.readColStats(GraftDataSource.sessionConf(), dirs.head,
+        Option(options.get("table")).getOrElse("data"))
+    else None) match {
+      case Some(a) => Map(
+        "stats.rows" -> a.rows.toString,
+        "stats.ndvMode" -> (if (a.exact) "exact" else "sketch")) ++
+        a.gen.map("stats.analyzedAtGeneration" -> _)
+      case None => Map.empty[String, String]
+    }
+    (base ++ tbl ++ bucket ++ sort ++ stats).asJava
   }
   override def name(): String = s"graft:${dirs.mkString(",")}"
   override def schema(): StructType = schema

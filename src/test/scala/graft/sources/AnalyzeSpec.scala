@@ -152,11 +152,17 @@ class AnalyzeSpec extends SparkSpec {
   test("the SQL procedure surface returns the stats as rows") {
     val dir = Files.createTempDirectory("graft-analyze-proc").toString
     spark.range(0, 1000).selectExpr("id", "CAST(id % 10 AS INT) AS b")
-      .write.format("graft").mode("overwrite").save(s"$dir/t")
+      .write.format("graft").mode("overwrite").save(s"$dir/db/t")
     spark.conf.set("spark.sql.catalog.graft_anz", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_anz.root", dir)
-    val rows = spark.sql("CALL graft_anz.sys.analyze(ns => 't', exact => true)")
+    val rows = spark.sql("CALL graft_anz.sys.analyze(ns => 'db.t', exact => true)")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("id") == 1000L && rows("b") == 10L)
+    // DESCRIBE EXTENDED surfaces the snapshot
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_anz.db.t.data")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val props = desc.getOrElse("Table Properties", "")
+    assert(props.contains("stats.rows=1000") && props.contains("stats.ndvMode=exact"),
+      s"expected analyze stats in properties, got: $props")
   }
 }
