@@ -386,7 +386,9 @@ object FormatOps {
   def analyzeTable(s: SparkSession, dir: String, table: String = "data",
       exact: Boolean = false): Seq[(String, graft.format.Stats.ColAnalysis)] = {
     import org.apache.spark.sql.types._
-    val df = s.read.format("graft").load(dir)
+    // the NAMED table's rows — a multi-table namespace dir must not
+    // blend siblings into one sidecar (the sidecar is per-table)
+    val df = s.read.format("graft").option("table", table).load(dir)
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
     def analyzable(dt: DataType): Boolean = dt match {
       case _: StructType | _: ArrayType | _: MapType => false

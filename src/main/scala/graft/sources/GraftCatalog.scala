@@ -760,13 +760,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private lazy val analyzeProc: UnboundProcedure = new SysProc("analyze",
     "compute + persist column statistics (NDV, nulls, lengths, min/max) for CBO; " +
-      "exact=false uses an HLL sketch for NDV (the at-scale default)",
+      "exact=false uses an HLL sketch for NDV (the at-scale default); " +
+      "table names which table of the namespace dir to analyze",
     Array(ProcedureParameter.in("ns", StringType).build(),
-      ProcedureParameter.in("exact", BooleanType).defaultValue("false").build())) {
+      ProcedureParameter.in("exact", BooleanType).defaultValue("false").build(),
+      ProcedureParameter.in("table", StringType).defaultValue("'data'").build())) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val exact = !input.isNullAt(1) && input.getBoolean(1)
+      val table = if (input.isNullAt(2)) "data" else input.getUTF8String(2).toString
       val out = graft.operators.FormatOps.analyzeTable(
-        org.apache.spark.sql.SparkSession.active, dirOf(input), exact = exact)
+        org.apache.spark.sql.SparkSession.active, dirOf(input), table, exact = exact)
         .map { case (name, c) =>
           InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(name),
             c.ndv, c.nullCount,

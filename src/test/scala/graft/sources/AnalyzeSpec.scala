@@ -164,5 +164,15 @@ class AnalyzeSpec extends SparkSpec {
     val props = desc.getOrElse("Table Properties", "")
     assert(props.contains("stats.rows=1000") && props.contains("stats.ndvMode=exact"),
       s"expected analyze stats in properties, got: $props")
+    // a multi-table namespace: analyze names ITS table, sidecars stay
+    // per-table, sibling rows never blend
+    spark.range(0, 300).selectExpr("id")
+      .write.format("graft").option("table", "aux").mode("append").save(s"$dir/db/t")
+    val aux = spark.sql(
+      "CALL graft_anz.sys.analyze(ns => 'db.t', exact => true, table => 'aux')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aux("id") == 300L, s"aux table ndv: $aux")
+    assert(GraftDataSource.readColStats(conf, s"$dir/db/t", "aux").get.rows == 300)
+    assert(GraftDataSource.readColStats(conf, s"$dir/db/t", "data").get.rows == 1000)
   }
 }
