@@ -182,17 +182,26 @@ class CasPointerSpec extends AnyFunSuite {
   }
 
   test("HadoopFsStore: a crashed holder's stale lock is broken, fresh ones are not") {
+    // Deterministic by construction — NO wall-clock races. Freshness uses
+    // a 60 s timeout (no scheduler pause on this box approaches that);
+    // staleness is manufactured by explicitly backdating the lock's
+    // mtime, not by sleeping past a 50 ms window.
     val (_, dir) = fsStore()
     val conf = new org.apache.hadoop.conf.Configuration()
-    val store = new HadoopFsStore(conf, lockTimeoutMs = 50L)
+    val timeoutMs = 60000L
+    val store = new HadoopFsStore(conf, lockTimeoutMs = timeoutMs)
     val key = s"$dir/p"
     // simulate a crashed CAS: the lock exists, its holder is gone
     val lock = new org.apache.hadoop.fs.Path(s"$dir/.p.cas-lock")
+    val fs = lock.getFileSystem(conf)
     val out = AtomicPublish.createStream(conf, lock, overwrite = false)
     out.write('1'.toByte); out.close()
     // fresh lock: precondition failure, no break
     assert(store.putIf(key, None, "x".getBytes(StandardCharsets.UTF_8)).isEmpty)
-    Thread.sleep(120) // let it go stale
+    assert(fs.exists(lock), "a fresh lock must not be broken")
+    // backdate the lock well past the staleness horizon — what a crashed
+    // holder's abandoned lock looks like after the timeout elapses
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * timeoutMs, -1)
     assert(store.putIf(key, None, "x".getBytes(StandardCharsets.UTF_8)).isDefined,
       "stale lock must be broken after the timeout")
   }
