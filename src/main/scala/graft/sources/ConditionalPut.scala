@@ -33,6 +33,25 @@ object ConditionalPut {
 
   type Etag = String
 
+  /** Tri-state outcome of a conditional PUT against a store whose
+    * network can lose the RESPONSE after the server applied the write.
+    * `Rejected` is a DEFINITE precondition failure; `Unknown` means the
+    * client cannot tell whether the write landed (response lost) — the
+    * protocol layer must resolve it by re-reading, exactly the
+    * commit-state-unknown discipline table formats built on object-store
+    * commits use. */
+  sealed trait PutOutcome
+  final case class Committed(etag: Etag) extends PutOutcome
+  case object Rejected extends PutOutcome
+  case object Unknown extends PutOutcome
+
+  /** A conditional put's outcome could not be determined AND the caller
+    * supplied no idempotency predicate to resolve it. Retrying blindly
+    * could apply the update twice; surfacing loudly is the only safe
+    * move (same stance as Iceberg's CommitStateUnknownException). */
+  final class AmbiguousCommitException(msg: String)
+      extends graft.format.OliveFormatException(msg)
+
   /** The two object-store primitives the protocol needs. Adapters for a
     * real store map `get` to GET (content + ETag header) and `putIf` to
     * PUT with `If-Match`/`If-None-Match: *` preconditions. */
@@ -45,23 +64,68 @@ object ConditionalPut {
       * exact version (`If-Match`). Returns the new etag, or None when
       * the precondition failed (someone else won the race). */
     def putIf(key: String, expect: Option[Etag], bytes: Array[Byte]): Option[Etag]
+
+    /** Conditional PUT that can also report an AMBIGUOUS outcome.
+      * Stores with an in-process or lock-serialized path (memory,
+      * Hadoop FS) never lose responses, so the default maps the binary
+      * `putIf`; network clients ([[NativeCas.S3CasStore]],
+      * [[NativeCas.GcsCasStore]]) override with real recovery. */
+    def putIfChecked(key: String, expect: Option[Etag],
+        bytes: Array[Byte]): PutOutcome =
+      putIf(key, expect, bytes) match {
+        case Some(e) => Committed(e)
+        case None => Rejected
+      }
   }
 
   /** Read-modify-write through the CAS loop: apply `f` to the current
     * content until a conditional put lands. `f` may be invoked several
     * times (once per race lost) — it must be pure. Returns the content
     * that finally landed. `maxRetries` bounds pathological contention:
-    * exceeding it throws rather than spinning forever. */
-  def update(store: ObjectStore, key: String, maxRetries: Int = 64)(
+    * exceeding it throws rather than spinning forever.
+    *
+    * `landed` resolves AMBIGUOUS outcomes (response lost after the
+    * server may have applied the write — only native network stores
+    * produce these): given the content observed on re-read, return true
+    * iff this update's effect is already reflected in it. For
+    * append-style RMW that is a containment check on the caller's
+    * unique contribution; retrying `f` without it could apply the
+    * update TWICE, so with no predicate an unresolved ambiguity throws
+    * [[AmbiguousCommitException]] instead of guessing. */
+  def update(store: ObjectStore, key: String, maxRetries: Int = 64,
+      landed: String => Boolean = null)(
       f: Option[String] => String): String = {
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = store.get(key)
       val expect = cur.map(_._2)
       val content = f(cur.map(c => new String(c._1, StandardCharsets.UTF_8)))
-      if (store.putIf(key, expect, content.getBytes(StandardCharsets.UTF_8)).isDefined)
-        return content
+      store.putIfChecked(key, expect, content.getBytes(StandardCharsets.UTF_8)) match {
+        case Committed(_) => return content
+        case Rejected => // definite loss: re-read and retry
+        case Unknown =>
+          // the write may or may not have landed; resolve by re-reading
+          val now = store.get(key).map(c => new String(c._1, StandardCharsets.UTF_8))
+          if (now.contains(content)) return content // ours is the live version
+          else if (landed != null && now.exists(landed)) return now.get
+          else if (landed == null)
+            throw new AmbiguousCommitException(
+              s"conditional put on $key: response lost and the current " +
+                "content neither matches the attempt nor can be resolved " +
+                "(no idempotency predicate) — commit state unknown")
+        // landed predicate says our effect is absent → safe to retry
+      }
       attempt += 1
+      // contention backoff: a tight spin against a lock-serialized or
+      // rate-limited store can burn the whole retry budget while one
+      // holder works (observed: 10k retries in <1s on the fs-lock
+      // bridge). Exponential + jitter after a few free retries —
+      // cheap-store races still resolve instantly, hot ones breathe.
+      if (attempt > 4) {
+        val cap = math.min(1L << math.min(attempt / 4, 6), 50L)
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(1L, cap + 1))
+      }
     }
     throw new graft.format.OliveFormatException(
       s"conditional put on $key lost $maxRetries races; giving up")
@@ -91,12 +155,28 @@ object ConditionalPut {
         }
     }
     expect.exists(e =>
-      store.putIf(key, e, newGen.getBytes(StandardCharsets.UTF_8)).isDefined)
+      store.putIfChecked(key, e, newGen.getBytes(StandardCharsets.UTF_8)) match {
+        case Committed(_) => true
+        case Rejected => false
+        case Unknown =>
+          // resolve by re-read: pointer names our generation → landed.
+          // Anything else reads as failure, which is SAFE under the
+          // publish loop's forward-only convergence (Generations): if
+          // our swap actually landed and a successor already advanced
+          // past it, the caller's next iteration observes an index
+          // >= its own and converges without re-publishing.
+          store.get(key).exists(c =>
+            new String(c._1, StandardCharsets.UTF_8).trim == newGen)
+      })
   }
 
-  /** Hadoop-`FileSystem`-backed [[ObjectStore]]: the bridge that lets
-    * the pointer-publish CAS protocol run against any filesystem Hadoop
-    * can mount, TODAY, without a vendored store SDK (zero egress here).
+  /** Hadoop-`FileSystem`-backed [[ObjectStore]] — the documented
+    * FALLBACK, not the production path. Deployments on stores with
+    * native conditional writes should use [[NativeCas.S3CasStore]] /
+    * [[NativeCas.GcsCasStore]] (true `If-Match` / generation-match
+    * preconditions, ambiguity-recovering); this bridge exists for
+    * filesystems Hadoop can mount that lack them, without a vendored
+    * store SDK (zero egress here).
     *
     * Semantics by store class:
     *  - POSIX local / HDFS: REAL mutual exclusion. `putIf` serializes
