@@ -37,8 +37,18 @@ object Evolution {
   def isDropped(f: StructField): Boolean =
     f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
 
-  /** The user-visible schema: tombstoned (dropped) fields filtered out. */
-  def visible(s: StructType): StructType = StructType(s.fields.filterNot(isDropped))
+  /** The user-visible schema: tombstoned (dropped) fields filtered out,
+    * at EVERY nesting level — a dropped struct leaf hides exactly like a
+    * dropped top-level column. */
+  def visible(s: StructType): StructType = StructType(
+    s.fields.filterNot(isDropped).map(f => f.copy(dataType = visibleType(f.dataType))))
+
+  private def visibleType(dt: DataType): DataType = dt match {
+    case st: StructType => visible(st)
+    case ArrayType(et, n) => ArrayType(visibleType(et), n)
+    case MapType(k, v, n) => MapType(visibleType(k), visibleType(v), n)
+    case other => other
+  }
 
   /** Every name a field has ever answered to, current first. */
   def allNames(f: StructField): Seq[String] = f.name +: prevNames(f)
@@ -65,6 +75,41 @@ object Evolution {
     val exact = names.indexOf(f.name)
     if (exact >= 0) exact
     else prevNames(f).iterator.map(n => names.indexOf(n)).find(_ >= 0).getOrElse(-1)
+  }
+
+  /** Reconcile a FILE's variant of a field's type with the DECLARED
+    * one: equal types stand; lossless width differences resolve to the
+    * wider side (a pre-widen file decodes narrower; drift-written wider
+    * files widen the declared type, matching the top-level union rule);
+    * struct sides merge RECURSIVELY — nested fields match through the
+    * declared side's rename chains, spellings the declared side claims
+    * (tombstones, prior names) never surface as separate leaves, and
+    * genuinely new file-side leaves join as drift (same contract as
+    * top-level evolution-on-read). Anything else is a loud disagreement. */
+  def reconcileType(declared: DataType, file: DataType,
+      where: String): DataType = (declared, file) match {
+    case (d, f) if d == f => d
+    case (d, f) if widens(f, d) => d
+    case (d, f) if widens(d, f) => f
+    case (d: StructType, f: StructType) =>
+      val claimed = d.fields.flatMap(allNames).map(_.toLowerCase).toSet
+      f.fields.foldLeft(d) { (s, ff) =>
+        s.fields.indexWhere(df => allNames(df).exists(_.equalsIgnoreCase(ff.name))) match {
+          case i if i >= 0 =>
+            val df = s.fields(i)
+            StructType(s.fields.updated(i, df.copy(dataType =
+              reconcileType(df.dataType, ff.dataType, s"$where.${df.name}"))))
+          case _ if claimed.contains(ff.name.toLowerCase) => s
+          case _ => StructType(s.fields :+ ff) // nested drift: new leaf
+        }
+      }
+    case (ArrayType(de, dn), ArrayType(fe, _)) =>
+      ArrayType(reconcileType(de, fe, s"$where.element"), dn)
+    case (MapType(dk, dv, dn), MapType(fk, fv, _)) =>
+      MapType(reconcileType(dk, fk, s"$where.key"),
+        reconcileType(dv, fv, s"$where.value"), dn)
+    case (d, f) => throw new IllegalArgumentException(
+      s"files disagree on $where: ${d.simpleString} vs ${f.simpleString}")
   }
 
   /** Stamp a rename onto a field: new name in front, old name joins the

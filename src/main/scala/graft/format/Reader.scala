@@ -465,13 +465,22 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         }
         if (children.size != fileSt.size)
           throw new OliveFormatException("struct children mismatch")
-        // nested schema pruning requests a SUBSET of the file's fields
+        // nested schema pruning requests a SUBSET of the file's fields;
+        // nested DDL resolves through rename chains and widens leaves,
+        // same contract as top-level decodeTable
         var c = 0
         while (c < st.size) {
           val f = st.fields(c)
-          if (fileSt.fieldNames.contains(f.name)) {
-            val idx = fileSt.fieldIndex(f.name)
-            decodeCol(vec.getChild(c), children(idx), fileSt.fields(idx).dataType,
+          val idx = Evolution.fileFieldIndex(fileSt, f)
+          if (idx >= 0) {
+            val fdt = fileSt.fields(idx).dataType
+            if (fdt != f.dataType && Evolution.widens(fdt, f.dataType)) {
+              val tmp = new OnHeapColumnVector(math.max(n, 1), fdt)
+              try {
+                decodeCol(tmp, children(idx), fdt, fdt, n, chunk, dict20, dict32)
+                widenCopy(tmp, vec.getChild(c), fdt, f.dataType, n)
+              } finally tmp.close()
+            } else decodeCol(vec.getChild(c), children(idx), fdt,
               f.dataType, n, chunk, dict20, dict32)
           } else if (f.nullable) {
             vec.getChild(c).reserve(math.max(n, 1))
@@ -1164,9 +1173,17 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         var c = 0
         while (c < st.size) {
           val f = st.fields(c)
-          if (fileSt.fieldNames.contains(f.name)) {
-            val idx = fileSt.fieldIndex(f.name)
-            decodeColRange(vec.getChild(c), children(idx), fileSt.fields(idx).dataType,
+          val idx = Evolution.fileFieldIndex(fileSt, f)
+          if (idx >= 0) {
+            val fdt = fileSt.fields(idx).dataType
+            if (fdt != f.dataType && Evolution.widens(fdt, f.dataType)) {
+              val tmp = new OnHeapColumnVector(math.max(n, 1), fdt)
+              try {
+                decodeColRange(tmp, children(idx), fdt, fdt, e0, e1, total,
+                  chunk, dict20, dict32)
+                widenCopy(tmp, vec.getChild(c), fdt, f.dataType, n)
+              } finally tmp.close()
+            } else decodeColRange(vec.getChild(c), children(idx), fdt,
               f.dataType, e0, e1, total, chunk, dict20, dict32)
           } else if (f.nullable) {
             vec.getChild(c).reserve(math.max(n, 1))

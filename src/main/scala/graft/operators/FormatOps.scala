@@ -722,6 +722,45 @@ object FormatOps {
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q137: NESTED + positional DDL over mixed files ----------------------
+  // The q51 shape: documents carrying a typed metadata STRUCT. Pre-DDL
+  // files are written, then the struct's leaves are renamed
+  // (meta.source→origin), widened (meta.chars INT→BIGINT), and a new
+  // leaf lands at a POSITION (meta.flag AFTER origin); post-DDL files
+  // mix in. One aggregate over the mixed files hash-gates the whole
+  // nested-evolution read path: rename-chain resolution, per-leaf widen
+  // promotion, and null-fill for the late leaf.
+  private val q137: Q = (s, d) => {
+    val root = graftDir(d, "evolve_nested")
+    deleteDirQuietly(s, root) // idempotent reruns
+    s.conf.set("spark.sql.catalog.graft_evn", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_evn.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evn.db")
+    s.sql("CREATE TABLE graft_evn.db.docs (doc_id BIGINT, " +
+      "meta STRUCT<source: STRING, chars: INT>)")
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("q137_src")
+    s.sql("""INSERT INTO graft_evn.db.docs
+      SELECT doc_id, named_struct('source', source, 'chars', CAST(n_chars AS INT))
+      FROM q137_src WHERE doc_id % 2 = 0""")
+    s.sql("ALTER TABLE graft_evn.db.docs RENAME COLUMN meta.source TO origin")
+    s.sql("ALTER TABLE graft_evn.db.docs ALTER COLUMN meta.chars TYPE BIGINT")
+    s.sql("ALTER TABLE graft_evn.db.docs ADD COLUMN meta.flag INT AFTER origin")
+    s.sql("""INSERT INTO graft_evn.db.docs
+      SELECT doc_id, named_struct('origin', source,
+        'flag', CAST(doc_id % 5 AS INT), 'chars', n_chars)
+      FROM q137_src WHERE doc_id % 2 = 1""")
+    s.sql("""SELECT meta.origin AS origin, count(*) AS n,
+      CAST(sum(meta.chars) AS BIGINT) AS chars_sum,
+      CAST(sum(coalesce(meta.flag, -1)) AS BIGINT) AS flag_sum
+      FROM graft_evn.db.docs GROUP BY meta.origin ORDER BY origin""")
+  }
+  private val q137Sql =
+    """SELECT source AS origin, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 5 ELSE -1 END) AS BIGINT) AS flag_sum
+      |FROM documents GROUP BY source ORDER BY origin""".stripMargin
+
   /** `UPDATE t SET c = expr, … WHERE p` via copy-on-write generation
     * rewrite ([[graft.sources.Generations.rewrite]]): one new generation
     * holds the table with matching rows' SET columns replaced; the
@@ -2237,6 +2276,7 @@ object FormatOps {
     "q94_schema_evolution" -> q94,
     "q132_rename_widen" -> q132,
     "q133_drop_timetravel" -> q133,
+    "q137_nested_ddl" -> q137,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2273,6 +2313,7 @@ object FormatOps {
     "q94_schema_evolution" -> q94Sql,
     "q132_rename_widen" -> q132Sql,
     "q133_drop_timetravel" -> q133Sql,
+    "q137_nested_ddl" -> q137Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -408,77 +408,122 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // Spark's identifier resolution)
     def claimedNames(s: StructType): Set[String] =
       s.fields.flatMap(Evolution.allNames).map(_.toLowerCase).toSet
-    def locate(s: StructType, names: Array[String], what: String): Int = {
-      if (names.length != 1)
-        throw new UnsupportedOperationException(s"nested $what is not supported")
-      val i = s.fields.indexWhere(f =>
-        f.name.equalsIgnoreCase(names.head) && !Evolution.isDropped(f))
+    def liveIndex(s: StructType, name: String): Int = s.fields.indexWhere(f =>
+      f.name.equalsIgnoreCase(name) && !Evolution.isDropped(f))
+    // navigate a dotted path's PARENT segments into nested structs and
+    // rewrite the level the operation targets. Paths descend through
+    // struct fields only (array element / map entry DDL is refused —
+    // the reader's evolution mapping is name-keyed per struct level).
+    def navigate(s: StructType, parents: Seq[String], what: String)(
+        op: StructType => StructType): StructType = parents match {
+      case Seq() => op(s)
+      case head +: rest =>
+        val i = liveIndex(s, head)
+        if (i < 0) throw new IllegalArgumentException(
+          s"column $head does not exist in ${ident.name()}")
+        s.fields(i).dataType match {
+          case st: StructType => StructType(s.fields.updated(i,
+            s.fields(i).copy(dataType = navigate(st, rest, what)(op))))
+          case other => throw new UnsupportedOperationException(
+            s"nested $what: $head is ${other.simpleString}, not a struct — " +
+              "only struct paths are supported")
+        }
+    }
+    def locateLeaf(s: StructType, name: String, what: String): Int = {
+      val i = liveIndex(s, name)
       if (i < 0) throw new IllegalArgumentException(
-        s"column ${names.head} does not exist in ${ident.name()}")
+        s"column $name does not exist in ${ident.name()}")
       i
     }
-    def refuseLayout(name: String, what: String): Unit =
-      if (layoutCols.contains(name.toLowerCase))
+    // layout columns are top-level; any DDL under a layout ROOT is
+    // refused too (the bucket hash is keyed by the column's full value)
+    def refuseLayout(names: Array[String], what: String): Unit =
+      if (layoutCols.contains(names.head.toLowerCase))
         throw new UnsupportedOperationException(
-          s"cannot $what column $name: it anchors the table's declared " +
-            "bucket/sort layout (drop the layout first by recreating the table)")
+          s"cannot $what column ${names.mkString(".")}: it anchors the " +
+            "table's declared bucket/sort layout (drop the layout first " +
+            "by recreating the table)")
+    def insertAt(s: StructType, field: org.apache.spark.sql.types.StructField,
+        position: TableChange.ColumnPosition, what: String): StructType = {
+      val idx = position match {
+        case null => s.fields.length
+        case _: TableChange.First => 0
+        case after: TableChange.After =>
+          val i = liveIndex(s, after.column())
+          if (i < 0) throw new IllegalArgumentException(
+            s"$what: AFTER column ${after.column()} does not exist")
+          i + 1
+        case other => throw new UnsupportedOperationException(
+          s"unsupported column position ${other.getClass.getSimpleName}")
+      }
+      StructType((s.fields.take(idx) :+ field) ++ s.fields.drop(idx))
+    }
     val evolved = changes.foldLeft(current) {
-      case (s, add: TableChange.AddColumn) =>
-        if (add.fieldNames().length != 1)
-          throw new UnsupportedOperationException("nested ADD COLUMN is not supported")
+      case (top, add: TableChange.AddColumn) =>
         if (!add.isNullable)
           throw new UnsupportedOperationException(
             "added columns must be nullable: files written before the ALTER read them as null")
-        if (add.position() != null)
-          throw new UnsupportedOperationException(
-            "ADD COLUMN FIRST/AFTER is not supported; columns append at the end")
-        // case-insensitive: Spark resolves identifiers case-insensitively
-        // by default, so persisting both l_comment and L_Comment would
-        // brick every later query with AMBIGUOUS_REFERENCE. Tombstoned
-        // and prior-renamed names are claimed too: old files still store
-        // values under them, and a fresh column reusing the name would
-        // resurrect that data.
-        if (claimedNames(s).contains(add.fieldNames().head.toLowerCase))
-          throw new IllegalArgumentException(
-            s"column name ${add.fieldNames().head} is already in use " +
-              "(live, previously dropped, or a pre-rename spelling); " +
-              "pick a fresh name")
-        s.add(add.fieldNames().head, add.dataType(), nullable = true)
-      case (s, rn: TableChange.RenameColumn) =>
-        val i = locate(s, rn.fieldNames(), "RENAME COLUMN")
-        refuseLayout(s.fields(i).name, "rename")
-        if (claimedNames(s).contains(rn.newName().toLowerCase))
-          throw new IllegalArgumentException(
-            s"column name ${rn.newName()} is already in use " +
-              "(live, previously dropped, or a pre-rename spelling)")
-        StructType(s.fields.updated(i, Evolution.renameField(s.fields(i), rn.newName())))
-      case (s, del: TableChange.DeleteColumn) =>
-        if (del.fieldNames().length != 1)
-          throw new UnsupportedOperationException("nested DROP COLUMN is not supported")
-        val i = s.fields.indexWhere(f =>
-          f.name.equalsIgnoreCase(del.fieldNames().head) && !Evolution.isDropped(f))
-        if (i < 0) {
-          if (del.ifExists()) s
-          else throw new IllegalArgumentException(
-            s"column ${del.fieldNames().head} does not exist in ${ident.name()}")
-        } else {
-          refuseLayout(s.fields(i).name, "drop")
-          if (s.fields.count(!Evolution.isDropped(_)) == 1)
-            throw new IllegalArgumentException("cannot drop a table's last column")
-          StructType(s.fields.updated(i, Evolution.dropField(s.fields(i))))
+        navigate(top, add.fieldNames().init.toSeq, "ADD COLUMN") { s =>
+          // case-insensitive: Spark resolves identifiers case-insensitively
+          // by default, so persisting both l_comment and L_Comment would
+          // brick every later query with AMBIGUOUS_REFERENCE. Tombstoned
+          // and prior-renamed names are claimed too: old files still store
+          // values under them, and a fresh column reusing the name would
+          // resurrect that data. Claims are PER STRUCT LEVEL — the same
+          // leaf name under two different structs is fine.
+          val leaf = add.fieldNames().last
+          if (claimedNames(s).contains(leaf.toLowerCase))
+            throw new IllegalArgumentException(
+              s"column name ${add.fieldNames().mkString(".")} is already in " +
+                "use (live, previously dropped, or a pre-rename spelling); " +
+                "pick a fresh name")
+          insertAt(s,
+            org.apache.spark.sql.types.StructField(leaf, add.dataType(), nullable = true),
+            add.position(), "ADD COLUMN")
         }
-      case (s, up: TableChange.UpdateColumnType) =>
-        val i = locate(s, up.fieldNames(), "ALTER COLUMN TYPE")
-        refuseLayout(s.fields(i).name, "change the type of")
-        val from = s.fields(i).dataType
-        if (!Evolution.widens(from, up.newDataType()))
-          throw new UnsupportedOperationException(
-            s"only lossless widenings are supported (byte→short→int→long, " +
-              s"float→double); got ${from.simpleString} → ${up.newDataType().simpleString}")
-        StructType(s.fields.updated(i, s.fields(i).copy(dataType = up.newDataType())))
+      case (top, rn: TableChange.RenameColumn) =>
+        refuseLayout(rn.fieldNames(), "rename")
+        navigate(top, rn.fieldNames().init.toSeq, "RENAME COLUMN") { s =>
+          val i = locateLeaf(s, rn.fieldNames().last, "RENAME COLUMN")
+          if (claimedNames(s).contains(rn.newName().toLowerCase))
+            throw new IllegalArgumentException(
+              s"column name ${rn.newName()} is already in use " +
+                "(live, previously dropped, or a pre-rename spelling)")
+          StructType(s.fields.updated(i, Evolution.renameField(s.fields(i), rn.newName())))
+        }
+      case (top, del: TableChange.DeleteColumn) =>
+        // IF EXISTS swallows a missing path at ANY segment (catch below);
+        // refusals (layout anchor, last field) still surface loudly
+        try navigate(top, del.fieldNames().init.toSeq, "DROP COLUMN") { s =>
+          val i = liveIndex(s, del.fieldNames().last)
+          if (i < 0) throw new IllegalArgumentException(
+            s"column ${del.fieldNames().mkString(".")} does not exist " +
+              s"in ${ident.name()}")
+          refuseLayout(del.fieldNames(), "drop")
+          if (s.fields.count(!Evolution.isDropped(_)) == 1)
+            throw new UnsupportedOperationException(
+              if (del.fieldNames().length == 1) "cannot drop a table's last column"
+              else s"cannot drop the last field of struct " +
+                s"${del.fieldNames().init.mkString(".")} (drop the struct itself)")
+          StructType(s.fields.updated(i, Evolution.dropField(s.fields(i))))
+        } catch {
+          case _: IllegalArgumentException if del.ifExists() => top
+        }
+      case (top, up: TableChange.UpdateColumnType) =>
+        refuseLayout(up.fieldNames(), "change the type of")
+        navigate(top, up.fieldNames().init.toSeq, "ALTER COLUMN TYPE") { s =>
+          val i = locateLeaf(s, up.fieldNames().last, "ALTER COLUMN TYPE")
+          val from = s.fields(i).dataType
+          if (!Evolution.widens(from, up.newDataType()))
+            throw new UnsupportedOperationException(
+              s"only lossless widenings are supported (byte→short→int→long, " +
+                s"float→double); got ${from.simpleString} → ${up.newDataType().simpleString}")
+          StructType(s.fields.updated(i, s.fields(i).copy(dataType = up.newDataType())))
+        }
       case (_, other) => throw new UnsupportedOperationException(
-        "graft catalog supports ADD/RENAME/DROP COLUMN and widening " +
-          s"ALTER COLUMN TYPE; got ${other.getClass.getSimpleName}")
+        "graft catalog supports ADD/RENAME/DROP COLUMN (incl. nested and " +
+          "FIRST/AFTER positions) and widening ALTER COLUMN TYPE; got " +
+          other.getClass.getSimpleName)
     }
     writeMarker(dir, ident.name(), evolved)
     loadTable(ident)
@@ -508,11 +553,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case i if i >= 0 =>
             val existing = s.fields(i)
             if (existing.dataType == f.dataType) s
-            else if (Evolution.widens(f.dataType, existing.dataType)) s // marker widened
-            else if (Evolution.widens(existing.dataType, f.dataType))
-              StructType(s.fields.updated(i, existing.copy(dataType = f.dataType)))
-            else throw new IllegalArgumentException(
-              s"table $table files disagree on ${f.name}: ${existing.dataType} vs ${f.dataType}")
+            else StructType(s.fields.updated(i, existing.copy(dataType =
+              // wider side wins; struct sides merge recursively through
+              // the marker's nested rename chains and tombstones
+              Evolution.reconcileType(existing.dataType, f.dataType,
+                s"table $table ${f.name}"))))
           case _ if claimed.contains(f.name.toLowerCase) => s // old spelling/tombstoned
           case _ => s.add(f)
         }

@@ -205,11 +205,21 @@ class CatalogSpec extends SparkSpec {
       Identifier.of(Array("db8"), "t"),
       TableChange.addColumn(Array("k"), org.apache.spark.sql.types.StringType)))
     assert(dup.getMessage.contains("already in use"))
-    val pos = intercept[UnsupportedOperationException](cat.alterTable(
-      Identifier.of(Array("db8"), "t"),
+    // positional ADD: FIRST prepends, AFTER anchors mid-schema; decode
+    // stays name-keyed so old files are unaffected by declared order
+    cat.alterTable(Identifier.of(Array("db8"), "t"),
       TableChange.addColumn(Array("z"), org.apache.spark.sql.types.StringType, true,
-        null, TableChange.ColumnPosition.first(), null)))
-    assert(pos.getMessage.contains("FIRST/AFTER"))
+        null, TableChange.ColumnPosition.first(), null))
+    assert(spark.table("graft_ev.db8.t").columns.toSeq == Seq("z", "k", "w"))
+    cat.alterTable(Identifier.of(Array("db8"), "t"),
+      TableChange.addColumn(Array("z2"), org.apache.spark.sql.types.StringType, true,
+        null, TableChange.ColumnPosition.after("k"), null))
+    assert(spark.table("graft_ev.db8.t").columns.toSeq == Seq("z", "k", "z2", "w"))
+    val badAfter = intercept[IllegalArgumentException](cat.alterTable(
+      Identifier.of(Array("db8"), "t"),
+      TableChange.addColumn(Array("z3"), org.apache.spark.sql.types.StringType, true,
+        null, TableChange.ColumnPosition.after("nope"), null)))
+    assert(badAfter.getMessage.contains("does not exist"))
   }
 
   test("many-file namespace: parallel footer probes keep listing fast") {

@@ -156,4 +156,108 @@ class SchemaEvolutionFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // NESTED-op fuzz: the same identity model, but every evolving column
+  // is a LEAF of one struct `m`, and ADDs fuzz FIRST/AFTER positions.
+  // After each step the table must serve exactly the model: per-leaf
+  // null padding for rows appended before the leaf existed, renamed
+  // leaves resolving pre-rename files through the chain, widened leaves
+  // promoting, dropped leaves gone, and declared leaf ORDER matching
+  // the positional adds.
+  for (seed <- Seq(7, 23)) {
+    test(s"random NESTED rename/drop/widen/positional-add interleavings (seed $seed)") {
+      val r = new Random(seed)
+      val cat = s"evonest$seed"
+      val root = Files.createTempDirectory(s"graft-$cat").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, m STRUCT<c0: INT>) USING graft")
+
+      var cols = Vector((0, "c0", false)) // struct leaves in declared order
+      var nextIdent = 1
+      var nextId = 0L
+      var rows = Vector.empty[(Long, Map[Int, Long])]
+
+      (1 to 18).foreach { step =>
+        r.nextInt(6) match {
+          case 0 => // ADD leaf at a random position
+            val ident = nextIdent; nextIdent += 1
+            val nm = s"c$ident"
+            r.nextInt(3) match {
+              case 0 =>
+                spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN m.$nm INT FIRST")
+                cols +:= ((ident, nm, false))
+              case 1 =>
+                val anchor = cols(r.nextInt(cols.size))
+                spark.sql(
+                  s"ALTER TABLE $cat.db.t ADD COLUMN m.$nm INT AFTER ${anchor._2}")
+                val i = cols.indexWhere(_._1 == anchor._1)
+                cols = cols.patch(i + 1, Seq((ident, nm, false)), 0)
+              case _ =>
+                spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN m.$nm INT")
+                cols :+= ((ident, nm, false))
+            }
+          case 1 if cols.size > 1 => // RENAME a random leaf
+            val i = r.nextInt(cols.size)
+            val (ident, old, isLong) = cols(i)
+            spark.sql(
+              s"ALTER TABLE $cat.db.t RENAME COLUMN m.$old TO r${ident}_$step")
+            cols = cols.updated(i, (ident, s"r${ident}_$step", isLong))
+          case 2 if cols.size > 1 => // DROP a random leaf
+            val i = r.nextInt(cols.size)
+            spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN m.${cols(i)._2}")
+            cols = cols.patch(i, Nil, 1)
+          case 3 if cols.exists(!_._3) => // WIDEN a random INT leaf
+            val narrow = cols.zipWithIndex.filter(!_._1._3)
+            val (c, i) = narrow(r.nextInt(narrow.size))
+            spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN m.${c._2} TYPE BIGINT")
+            cols = cols.updated(i, (c._1, c._2, true))
+          case _ => // APPEND at the current struct shape
+            val n = 1 + r.nextInt(20)
+            val fresh = (0 until n).map { _ =>
+              val id = nextId; nextId += 1
+              id -> cols.map { case (ident, _, isLong) =>
+                val v = if (isLong) (1L << 35) + id * 100 + ident
+                        else (id * 100 + ident) % 100000
+                ident -> v
+              }.toMap
+            }
+            rows ++= fresh
+            val mType = StructType(cols.map { case (_, nm, isLong) =>
+              StructField(nm, if (isLong) LongType else IntegerType) })
+            val schema = StructType(Seq(
+              StructField("id", LongType), StructField("m", mType)))
+            val df = spark.createDataFrame(
+              java.util.Arrays.asList(fresh.map { case (id, vs) =>
+                Row(id, Row.fromSeq(cols.map { case (ident, _, isLong) =>
+                  if (isLong) vs(ident): Any else vs(ident).toInt: Any }))
+              }: _*), schema)
+            df.writeTo(s"$cat.db.t").append()
+        }
+        // verify after EVERY step: declared leaf order AND values
+        val live = spark.table(s"$cat.db.t")
+        val mFields = live.schema("m").dataType
+          .asInstanceOf[StructType].fieldNames.toSeq
+        assert(mFields == cols.map(_._2), s"seed $seed step $step: leaf order")
+        val got = live.collect().map { row =>
+          val st = row.getStruct(1)
+          row.getLong(0) -> cols.zipWithIndex.map { case ((_, _, isLong), i) =>
+            if (st.isNullAt(i)) null
+            else if (isLong) st.getLong(i)
+            else st.getInt(i).toLong
+          }.toVector
+        }.sortBy(_._1).toVector
+        val want = rows.map { case (id, vs) =>
+          id -> cols.map { case (ident, _, _) =>
+            vs.get(ident).map(v => v: Any).orNull }.toVector
+        }.sortBy(_._1)
+        assert(got.map(_._1) == want.map(_._1), s"seed $seed step $step: ids")
+        got.zip(want).foreach { case ((id, g), (_, w)) =>
+          val gn = g.map(x => if (x == null) null else x.asInstanceOf[Long])
+          assert(gn == w, s"seed $seed step $step row $id: $gn != $w")
+        }
+      }
+    }
+  }
 }
