@@ -804,9 +804,23 @@ object Stats {
     * is the standard uniform split. */
   case class ColAnalysis(ndv: Long, nullCount: Long, avgLen: Option[Long],
       maxLen: Option[Long], min: Option[Any], max: Option[Any],
-      histogram: Option[Seq[Double]] = None)
+      histogram: Option[Seq[Double]] = None,
+      sketch: Option[Array[Byte]] = None)
+
+  /** `churnedBytes` is the DML-lifecycle half of the snapshot: every
+    * row-churning rewrite (DELETE/UPDATE/MERGE, CDC fold) adds the bytes
+    * of the files it rewrote. Row counts extrapolate under staleness
+    * (byte ratio) and NDV merges under APPENDS (per-column HLL
+    * sketches), but neither survives churn — once
+    * churnedBytes/bytes crosses `spark.graft.statsChurnThreshold`
+    * the scan stops serving per-column stats (a wrong NDV misleads the
+    * CBO worse than no NDV). ANALYZE resets the counter. */
   case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
-      cols: Map[String, ColAnalysis], bytes: Long = 0L)
+      cols: Map[String, ColAnalysis], bytes: Long = 0L,
+      churnedBytes: Long = 0L) {
+    def churnFraction: Double =
+      if (bytes <= 0) 0.0 else churnedBytes.toDouble / bytes
+  }
 
   def analysisToJson(a: TableAnalysis): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -814,6 +828,7 @@ object Stats {
     root.put("rows", a.rows)
     root.put("exact", a.exact)
     if (a.bytes > 0) root.put("bytes", a.bytes)
+    if (a.churnedBytes > 0) root.put("churn", a.churnedBytes)
     a.gen.foreach(g => root.put("gen", g))
     val cols = root.putObject("cols")
     a.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
@@ -835,6 +850,8 @@ object Stats {
         val arr = o.putArray("h")
         es.foreach(arr.add)
       }
+      c.sketch.foreach(b =>
+        o.put("sk", java.util.Base64.getEncoder.encodeToString(b)))
     }
     mapper.writeValueAsString(root)
   }
@@ -860,11 +877,14 @@ object Stats {
           c.get("ndv").asLong(), c.get("nc").asLong(),
           Option(c.get("al")).map(_.asLong()),
           Option(c.get("ml")).map(_.asLong()),
-          num("mn"), num("mx"), hist))
+          num("mn"), num("mx"), hist,
+          Option(c.get("sk")).map(n =>
+            java.util.Base64.getDecoder.decode(n.asText()))))
       })
       Some(TableAnalysis(root.get("rows").asLong(),
         Option(root.get("exact")).exists(_.asBoolean()),
         Option(root.get("gen")).map(_.asText()), cols.result(),
-        Option(root.get("bytes")).map(_.asLong()).getOrElse(0L)))
+        Option(root.get("bytes")).map(_.asLong()).getOrElse(0L),
+        Option(root.get("churn")).map(_.asLong()).getOrElse(0L)))
     } catch { case _: Exception => None }
 }

@@ -358,7 +358,7 @@ object FormatOps {
       writeOptions: Map[String, String] = Map.empty,
       graceMs: Long = -1L): Unit =
     graft.sources.Generations.rewrite(s, dir, (_, df) => df,
-      Some(targetFiles), writeOptions, graceMs)
+      Some(targetFiles), writeOptions, graceMs, rowChurning = false)
 
   /** Size-targeted compaction — the knob an operator actually reasons
     * in at 100 TB ("~1 GiB files"), resolved against the LIVE listing's
@@ -389,6 +389,10 @@ object FormatOps {
     // the NAMED table's rows — a multi-table namespace dir must not
     // blend siblings into one sidecar (the sidecar is per-table)
     val df = s.read.format("graft").option("table", table).load(dir)
+    // a typo'd dir/table would otherwise persist a rows=0, zero-column
+    // sidecar that silently poisons CBO estimates for the real table
+    require(df.schema.nonEmpty,
+      s"ANALYZE: no table '$table' found under $dir")
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
     def analyzable(dt: DataType): Boolean = dt match {
       case _: StructType | _: ArrayType | _: MapType => false
@@ -1906,7 +1910,7 @@ object FormatOps {
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      }, targetFiles = None, writeOptions = writeOptions)
+      }, targetFiles = None, writeOptions = writeOptions, rowChurning = false)
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
   }
 
@@ -2007,6 +2011,60 @@ object FormatOps {
       |  SELECT 'l_returnflag', count(DISTINCT l_returnflag),
       |         count(*) - count(l_returnflag) FROM lineitem
       |) ORDER BY col_name""".stripMargin
+
+  // ---- q138: ANALYZE staleness lifecycle through the SQL surface ------------
+  // The DML lifecycle the CBO snapshot needs: ANALYZE → DESCRIBE shows
+  // `fresh` and the scan serves column stats; a SQL UPDATE churning every
+  // row crosses the churn threshold → DESCRIBE shows `stale` and the scan
+  // goes stats-dark (a churned NDV misleads join planning worse than no
+  // NDV); re-ANALYZE → `fresh` again. The phase/state rows are the
+  // contract; the row counts tie each phase to the real table. Plan
+  // introspection inside the gate asserts the serve/dark transitions.
+  private val q138: Q = (s, d) => {
+    val root = graftDir(d, "stats_churn")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_sc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_sc.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sc.db")
+    Tables.orders(s, d).createOrReplaceTempView("q138_src")
+    s.sql("""CREATE TABLE graft_sc.db.t AS
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM q138_src""")
+    def state(): String = s.sql("DESCRIBE TABLE EXTENDED graft_sc.db.t")
+      .filter(col("col_name") === "Table Properties")
+      .select(regexp_extract(col("data_type"), "stats\\.state=([a-z]+)", 1))
+      .head().getString(0)
+    def servesColStats(): Boolean = {
+      val prev = s.conf.get("spark.sql.cbo.enabled", "false")
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.table("graft_sc.db.t").filter(col("o_orderstatus") === "O")
+          .queryExecution.optimizedPlan.collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              r.stats.attributeStats.nonEmpty
+          }.getOrElse(false)
+      } finally s.conf.set("spark.sql.cbo.enabled", prev)
+    }
+    def phase(name: String): (String, String, Long) =
+      (name, state(), s.table("graft_sc.db.t").count())
+    s.sql("CALL graft_sc.sys.analyze(ns => 'db', exact => true, table => 't')")
+    require(servesColStats(), "q138: fresh ANALYZE must serve column stats")
+    val p1 = phase("analyzed")
+    s.sql("UPDATE graft_sc.db.t SET o_totalprice = o_totalprice * 1.1")
+    require(!servesColStats(), "q138: 100%-churned stats must go dark")
+    val p2 = phase("churned")
+    s.sql("CALL graft_sc.sys.analyze(ns => 'db', exact => true, table => 't')")
+    require(servesColStats(), "q138: re-ANALYZE must serve again")
+    val p3 = phase("reanalyzed")
+    import s.implicits._
+    Seq(p1, p2, p3).toDF("phase", "state", "n_rows").orderBy("phase")
+  }
+  private val q138Sql =
+    """SELECT 'analyzed' AS phase, 'fresh' AS state, count(*) AS n_rows FROM orders
+      |UNION ALL
+      |SELECT 'churned', 'stale', count(*) FROM orders
+      |UNION ALL
+      |SELECT 'reanalyzed', 'fresh', count(*) FROM orders
+      |ORDER BY phase""".stripMargin
 
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
@@ -2277,6 +2335,7 @@ object FormatOps {
     "q132_rename_widen" -> q132,
     "q133_drop_timetravel" -> q133,
     "q137_nested_ddl" -> q137,
+    "q138_stats_churn" -> q138,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2314,6 +2373,7 @@ object FormatOps {
     "q132_rename_widen" -> q132Sql,
     "q133_drop_timetravel" -> q133Sql,
     "q137_nested_ddl" -> q137Sql,
+    "q138_stats_churn" -> q138Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -362,7 +362,8 @@ object Generations {
       targetFiles: Option[Int] = None,
       writeOptions: Map[String, String] = Map.empty,
       graceMs: Long = -1L,
-      idempotencyKey: Option[String] = None): Unit = {
+      idempotencyKey: Option[String] = None,
+      rowChurning: Boolean = true): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -403,6 +404,18 @@ object Generations {
     }
     publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir,
       sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
+    // stats lifecycle: a full rewrite either churned every row (DML —
+    // the whole listing counts against each table's ANALYZE snapshot)
+    // or preserved them all (compaction/clustering — re-anchor the byte
+    // extrapolation so a 2× compaction doesn't halve row estimates)
+    if (rowChurning) {
+      val total = GraftDataSource.inParallel(listed.map(_._1)) { p =>
+        try p.getFileSystem(conf).getFileStatus(p).getLen catch {
+          case _: Exception => 0L
+        }
+      }.sum
+      tableNames.foreach(t => GraftDataSource.recordChurn(s, dir, t, total))
+    } else GraftDataSource.rebaseStatsBytes(conf, dir)
   }
 
   /** Entry sweep + next-generation allocation, for a COW write whose
@@ -768,6 +781,9 @@ object Generations {
         publishStaging(fs, conf, root, staging, gen, idempotencyKey, dir,
           keepStagingOnConflict = true,
           sourceView = Some((srcDir, srcKnown)))
+        // stats lifecycle: the candidate files' rows were rewritten —
+        // their bytes count against the ANALYZE snapshot's churn budget
+        GraftDataSource.recordChurn(s, dir, table, candidates.map(_.size).sum)
         return true
       } catch {
         case e: GenerationConflictException =>

@@ -509,6 +509,60 @@ object GraftDataSource {
         parsed
       }
     } catch { case _: Exception => None }
+  /** Churn fraction past which a sidecar's per-column stats stop being
+    * served (and, with `spark.graft.autoReanalyze=true`, DML re-runs
+    * ANALYZE instead of leaving the table stats-dark). */
+  def statsChurnThreshold: Double =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.statsChurnThreshold", "0.5").toDouble
+    catch { case _: Exception => 0.5 }
+
+  private def autoReanalyze: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.autoReanalyze", "false").toBoolean
+    catch { case _: Exception => false }
+
+  /** Record `bytes` of row-churning rewrite against `table`'s ANALYZE
+    * sidecar (no-op for never-analyzed tables). Crossing the churn
+    * threshold either re-runs ANALYZE in place (opt-in conf — one
+    * aggregation pass, priced like the DML that triggered it) or leaves
+    * the counter for the scan-side policy to act on. The sidecar is
+    * advisory, so the read-modify-write here tolerates a concurrent
+    * ANALYZE racing it (last writer wins; both outcomes are sound). */
+  private[graft] def recordChurn(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, bytes: Long): Unit = {
+    if (bytes <= 0) return
+    val conf = s.sparkContext.hadoopConfiguration
+    readColStats(conf, dir, table).foreach { a =>
+      val bumped = a.copy(churnedBytes = a.churnedBytes + bytes)
+      if (bumped.churnFraction > statsChurnThreshold && autoReanalyze)
+        try graft.operators.FormatOps.analyzeTable(s, dir, table, exact = a.exact)
+        catch { case _: Exception => writeColStats(conf, dir, table, bumped) }
+      else writeColStats(conf, dir, table, bumped)
+    }
+  }
+
+  /** After a row-PRESERVING rewrite (compaction, clustering): the rows
+    * and column stats still describe the table exactly, but the on-disk
+    * bytes the staleness extrapolation anchors on just changed shape.
+    * Re-anchor bytes and generation so a 2× compaction doesn't halve
+    * every row estimate. */
+  private[graft] def rebaseStatsBytes(conf: Configuration, dir: String): Unit = {
+    val bytes = listPartitionedSized(conf, dir).map(_._2).sum
+    val gen = readGenPointer(conf, dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val prefix = ".colstats_"
+    val sidecars = try fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+    catch { case _: Exception => Seq.empty }
+    sidecars.foreach { n =>
+      val table = n.substring(prefix.length, n.length - ".json".length)
+      readColStats(conf, dir, table).foreach(a =>
+        writeColStats(conf, dir, table, a.copy(bytes = bytes, gen = gen)))
+    }
+  }
+
   private val colStatsCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Option[graft.format.Stats.TableAnalysis]](
         16, 0.75f, true) {
@@ -903,10 +957,27 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       GraftDataSource.readColStats(GraftDataSource.sessionConf(), dirs.head,
         Option(options.get("table")).getOrElse("data"))
     else None) match {
-      case Some(a) => Map(
-        "stats.rows" -> a.rows.toString,
-        "stats.ndvMode" -> (if (a.exact) "exact" else "sketch")) ++
-        a.gen.map("stats.analyzedAtGeneration" -> _)
+      case Some(a) =>
+        // lifecycle state, the transition DESCRIBE makes visible:
+        // fresh → extrapolated (bytes grew/shrank; rows scale by the
+        // ratio) → stale (DML churn crossed the threshold; the scan
+        // stops serving per-column stats until the next ANALYZE)
+        val onDisk = try GraftDataSource
+          .listPartitionedSized(GraftDataSource.sessionConf(), dirs.head)
+          .map(_._2).sum catch { case _: Exception => a.bytes }
+        val churnPct = math.round(a.churnFraction * 100)
+        val state =
+          if (a.churnFraction > GraftDataSource.statsChurnThreshold)
+            s"stale ($churnPct% churned by DML; column stats disabled — run sys.analyze)"
+          else if (a.bytes > 0 && onDisk != a.bytes)
+            f"extrapolated (rows scaled ×${onDisk.toDouble / a.bytes}%.2f by byte ratio)"
+          else "fresh"
+        Map(
+          "stats.rows" -> a.rows.toString,
+          "stats.state" -> state,
+          "stats.churnedPct" -> churnPct.toString,
+          "stats.ndvMode" -> (if (a.exact) "exact" else "sketch")) ++
+          a.gen.map("stats.analyzedAtGeneration" -> _)
       case None => Map.empty[String, String]
     }
     (base ++ tbl ++ bucket ++ sort ++ stats).asJava
@@ -1280,9 +1351,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     val sidecar: Option[graft.format.Stats.TableAnalysis] =
       if (!cboOn || dirs.size != 1 || aggSpecs.nonEmpty) None
       else GraftDataSource.readColStats(conf, dirs.head, table)
+    // DML staleness policy: row counts extrapolate (byte ratio below)
+    // but per-column NDV/histograms don't survive churn — once DML has
+    // rewritten more than `statsChurnThreshold` of the analyzed bytes,
+    // a served NDV is a guess that misleads join planning worse than
+    // no estimate. Drop the column stats, keep the row scaling.
+    val churned = sidecar.exists(
+      _.churnFraction > GraftDataSource.statsChurnThreshold)
     val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = sidecar match {
       case None => java.util.Collections.emptyMap()
+      case Some(_) if churned => java.util.Collections.emptyMap()
       case Some(a) =>
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,

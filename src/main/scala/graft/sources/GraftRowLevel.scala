@@ -231,6 +231,12 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
         (rel, size, op.fileStats.get(rel)) })
     Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir,
       sourceView = Some((srcDir, commitListing.map(_._1.toUri.getPath).toSet)))
+    // stats lifecycle: the replaced files' rows were churned by this
+    // DELETE/UPDATE/MERGE — bill their bytes against the ANALYZE snapshot
+    GraftDataSource.recordChurn(SparkSession.active, dir, table,
+      commitListing.collect {
+        case (p, size, _) if replaced.contains(p.toString) => size
+      }.sum)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
