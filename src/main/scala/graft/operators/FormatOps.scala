@@ -407,9 +407,19 @@ object FormatOps {
     val exprs = Seq(count(lit(1)).as("__rows")) ++ fields.zipWithIndex.flatMap {
       case (f, i) =>
         val c = col(s"`${f.name}`")
-        val base = Seq(
-          count(c).as(s"c$i"),
+        // int/long/string/binary columns also persist an HLL sketch —
+        // the mergeable form of NDV that keeps the sidecar fresh across
+        // appends (writer tasks union their deltas in at commit). In
+        // sketch mode the NDV itself comes from it (one estimator, not
+        // two that disagree); exact mode still counts distinct.
+        val sk =
+          if (graft.sources.ColSketcher.sketchable(f.dataType))
+            Seq(hll_sketch_agg(c, lit(graft.sources.ColSketcher.LgK)).as(s"sk$i"))
+          else Seq.empty
+        val needNdvAgg = exact || sk.isEmpty
+        val base = Seq(count(c).as(s"c$i")) ++ (if (needNdvAgg) Seq(
           (if (exact) count_distinct(c) else approx_count_distinct(c)).as(s"d$i"))
+        else Seq.empty) ++ sk
         val lens = f.dataType match {
           case StringType => Seq(avg(octet_length(c)).as(s"a$i"),
             max(octet_length(c)).as(s"l$i"))
@@ -474,14 +484,20 @@ object FormatOps {
         case fl: java.lang.Float => Some(fl.doubleValue(): Any)
         case _ => None
       }
+      val sketch = at(s"sk$i").map(_.asInstanceOf[Array[Byte]])
+      val ndv = at(s"d$i").map(_.asInstanceOf[Long]).orElse(
+        sketch.map(b => math.round(
+          org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate)))
+        .getOrElse(0L)
       f.name -> graft.format.Stats.ColAnalysis(
-        ndv = at(s"d$i").map(_.asInstanceOf[Long]).getOrElse(0L),
+        ndv = ndv,
         nullCount = rows - nonNull,
         avgLen = at(s"a$i").map(v => math.round(v.asInstanceOf[Double])),
         maxLen = at(s"l$i").map(_.asInstanceOf[Number].longValue()),
         min = at(s"mn$i").flatMap(catNum),
         max = at(s"mx$i").flatMap(catNum),
-        histogram = histograms.get(i))
+        histogram = histograms.get(i),
+        sketch = sketch)
     }
     val conf = s.sparkContext.hadoopConfiguration
     // on-disk bytes at analyze time anchor staleness extrapolation: a

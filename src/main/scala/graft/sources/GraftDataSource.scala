@@ -542,6 +542,52 @@ object GraftDataSource {
     }
   }
 
+  /** APPEND half of the stats lifecycle: union the writer tasks' HLL
+    * deltas into the sidecar, keeping NDV (the one statistic byte-ratio
+    * extrapolation cannot fake) fresh across appends with zero extra
+    * scans. Rows, null counts, integral min/max, and the byte anchor
+    * update alongside; the `exact` flag drops because merged NDVs are
+    * sketch estimates from here on. Advisory read-modify-write — a
+    * concurrent ANALYZE racing this loses nothing worse than one
+    * append's delta, which the next ANALYZE recomputes anyway. */
+  private[sources] def mergeAppendStats(conf: Configuration, dir: String,
+      table: String, messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: GraftCommitMessage => m }
+    if (!msgs.exists(_.statDeltas.nonEmpty)) return
+    readColStats(conf, dir, table).foreach { a =>
+      val deltas = ColSketcher.combine(msgs.map(_.statDeltas).toSeq)
+      val cols = a.cols.map { case (name, c) =>
+        (deltas.get(name), c.sketch) match {
+          case (Some(d), Some(stored)) =>
+            val (ndv, merged) = ColSketcher.merge(stored, Seq(d.sketch))
+            val lo = d.range.map(_._1)
+            val hi = d.range.map(_._2)
+            name -> c.copy(
+              ndv = math.max(c.ndv, ndv),
+              nullCount = c.nullCount + d.nulls,
+              sketch = Some(merged),
+              min = (c.min, lo) match {
+                case (Some(m: Long), Some(l)) => Some(math.min(m, l): Any)
+                case (None, l @ Some(_)) if c.nullCount + c.ndv == 0 => l.map(v => v: Any)
+                case _ => c.min
+              },
+              max = (c.max, hi) match {
+                case (Some(m: Long), Some(h)) => Some(math.max(m, h): Any)
+                case (None, h @ Some(_)) if c.nullCount + c.ndv == 0 => h.map(v => v: Any)
+                case _ => c.max
+              })
+          case _ => name -> c
+        }
+      }
+      val bytesNow = listPartitionedSized(conf, dir).map(_._2).sum
+      writeColStats(conf, dir, table, a.copy(
+        rows = a.rows + msgs.map(_.rows).sum,
+        exact = false,
+        cols = cols,
+        bytes = bytesNow))
+    }
+  }
+
   /** After a row-PRESERVING rewrite (compaction, clustering): the rows
     * and column stats still describe the table exactly, but the on-disk
     * bytes the staleness extrapolation anchors on just changed shape.
@@ -2416,9 +2462,26 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       val stale = GraftDataSource.bucketMarkerPath(dataDir, table)
       if (fs.exists(stale)) fs.delete(stale, false)
     }
+    // stats lifecycle at the write boundary. Overwrite REPLACES the
+    // data outright — a surviving ANALYZE sidecar would keep describing
+    // rows that no longer exist, so drop them all. An append instead
+    // picks up the sidecar's sketch-tracked columns: writer tasks
+    // maintain per-column HLL deltas over the rows they write and
+    // commit() below unions them in, keeping NDV fresh forever without
+    // ever re-scanning (rows extrapolate; NDV can't).
+    val sketchCols: Seq[String] =
+      if (truncate) {
+        try fs.listStatus(p).map(_.getPath)
+          .filter(q => q.getName.startsWith(".colstats_") && q.getName.endsWith(".json"))
+          .foreach(q => fs.delete(q, false))
+        catch { case _: Exception => }
+        Seq.empty
+      } else if (tableSplits.isDefined) Seq.empty // multi-table fan-out: per-split sidecars unsupported
+      else GraftDataSource.readColStats(conf, dir, table).toSeq.flatMap(
+        _.cols.collect { case (n, c) if c.sketch.isDefined => n })
     new GraftWriterFactory(dataDir, schema, table, pageSize, bias, chunkRows,
       partCols, new SerializableConfiguration(conf), bloomCols, tableSplits,
-      bucketSpec, sortCol)
+      bucketSpec, sortCol, sketchCols)
   }
   @volatile private var resolvedDataDir: String = dir
 
@@ -2432,8 +2495,9 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     * pointer here. The common case costs exactly one pointer read. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) return // overwrite rebuilt the table root outright
-    GraftDataSource.ensureAppendVisibility(GraftDataSource.sessionConf(), dir,
-      resolvedDataDir, messages)
+    val conf = GraftDataSource.sessionConf()
+    GraftDataSource.ensureAppendVisibility(conf, dir, resolvedDataDir, messages)
+    GraftDataSource.mergeAppendStats(conf, dir, table, messages)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }
@@ -2444,23 +2508,27 @@ class GraftWriterFactory(dir: String, schema: StructType, table: String,
     bloomCols: Seq[String] = Seq.empty,
     tableSplits: Option[Seq[(String, Seq[Int])]] = None,
     bucketSpec: Option[(String, Int)] = None,
-    sortCol: Option[String] = None) extends DataWriterFactory {
+    sortCol: Option[String] = None,
+    sketchCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketSpec match {
       case Some((col, n)) =>
         new GraftBucketedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-          col, n, conf.value, partitionId, taskId, bloomCols, sortCol)
+          col, n, conf.value, partitionId, taskId, bloomCols, sortCol, sketchCols)
       case None if partCols.isEmpty =>
         new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
           conf.value, partitionId, taskId, bloomCols = bloomCols,
-          tableSplits = tableSplits)
+          tableSplits = tableSplits, sketchCols = sketchCols)
       case None =>
         new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-          partCols, conf.value, partitionId, taskId, bloomCols = bloomCols)
+          partCols, conf.value, partitionId, taskId, bloomCols = bloomCols,
+          sketchCols = sketchCols)
     }
 }
 
-case class GraftCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+case class GraftCommitMessage(file: String, rows: Long,
+    statDeltas: Map[String, ColSketcher.ColDelta] = Map.empty)
+  extends WriterCommitMessage
 
 /** Task-side writer: buffers rows columnar, flushes a chunk per
   * `chunkRows` (or ~96 MB buffered), one file per task attempt. Batch
@@ -2474,7 +2542,18 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     partitionId: Int, taskId: Long,
     fixedName: Option[String] = None,
     bloomCols: Seq[String] = Seq.empty,
-    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends DataWriter[InternalRow] {
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None,
+    sketchCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+
+  // APPEND stats maintenance: non-null only when the table's ANALYZE
+  // sidecar already tracks sketches for columns this write carries —
+  // un-analyzed tables pay nothing per row
+  private val sketcher: ColSketcher =
+    if (sketchCols.isEmpty) null
+    else {
+      val cs = new ColSketcher(schema, sketchCols)
+      if (cs.isEmpty) null else cs
+    }
 
   private val file = new Path(dir, fixedName.getOrElse(
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.graft"))
@@ -2518,6 +2597,7 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
   // data the exact check writes fine.)
   override def write(record: InternalRow): Unit = {
     rows += 1
+    if (sketcher != null) sketcher.update(record)
     if (singleBuf != null) {
       singleBuf.appendRow(record)
       if (singleBuf.numRows >= chunkRows ||
@@ -2551,7 +2631,8 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     // under the same deterministic name (streaming epoch retries).
     // Zero-fork single rename(2) on local; FileContext elsewhere
     AtomicPublish.renameOverwrite(conf, tmpFile, file)
-    GraftCommitMessage(file.toString, rows)
+    GraftCommitMessage(file.toString, rows,
+      if (sketcher == null) Map.empty else sketcher.result())
   }
 
   override def abort(): Unit = {
@@ -2578,7 +2659,8 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: Configuration, partitionId: Int, taskId: Long,
     fixedName: Option[String] = None,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    bloomCols: Seq[String] = Seq.empty,
+    sketchCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
   import GraftPartitionedDataWriter.MaxOpenWriters
 
   private val partOrdinals = partCols.map(schema.fieldIndex).toArray
@@ -2611,15 +2693,17 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
             "repartition by the partition columns before writing")
       new GraftDataWriter(s"$dir/$key", dataSchema, table, pageSize, bias, chunkRows,
         conf, partitionId, taskId, fixedName,
-        bloomCols.filterNot(partCols.contains))
+        bloomCols.filterNot(partCols.contains),
+        sketchCols = sketchCols.filterNot(partCols.contains))
     })
     proj.project(record)
     w.write(proj)
   }
 
   override def commit(): WriterCommitMessage = {
-    val msgs = writers.values.map(_.commit().asInstanceOf[GraftCommitMessage])
-    GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum)
+    val msgs = writers.values.map(_.commit().asInstanceOf[GraftCommitMessage]).toSeq
+    GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum,
+      ColSketcher.combine(msgs.map(_.statDeltas)))
   }
   override def abort(): Unit = writers.values.foreach(_.abort())
   override def close(): Unit = writers.values.foreach(_.close())
@@ -2640,7 +2724,8 @@ class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
     pageSize: Int, bias: String, chunkRows: Int, col: String, n: Int,
     conf: Configuration, partitionId: Int, taskId: Long,
     bloomCols: Seq[String] = Seq.empty,
-    sortCol: Option[String] = None) extends DataWriter[InternalRow] {
+    sortCol: Option[String] = None,
+    sketchCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
 
   private val ord = schema.fieldIndex(col)
   private val dt = schema.fields(ord).dataType
@@ -2669,7 +2754,7 @@ class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
       w = new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
         conf, partitionId, taskId,
         fixedName = Some(GraftDataSource.bucketFileName(partitionId, taskId, b, n, tag)),
-        bloomCols = bloomCols)
+        bloomCols = bloomCols, sketchCols = sketchCols)
       writers(b) = w
     }
     w.write(record)
@@ -2687,8 +2772,9 @@ class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
         bloomCols = bloomCols)
       writers(0) = w
     }
-    val msgs = writers.filter(_ != null).map(_.commit().asInstanceOf[GraftCommitMessage])
-    GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum)
+    val msgs = writers.filter(_ != null).map(_.commit().asInstanceOf[GraftCommitMessage]).toSeq
+    GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum,
+      ColSketcher.combine(msgs.map(_.statDeltas)))
   }
   override def abort(): Unit = writers.filter(_ != null).foreach(_.abort())
   override def close(): Unit = writers.filter(_ != null).foreach(_.close())

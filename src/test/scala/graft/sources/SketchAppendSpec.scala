@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+
+import graft.SparkSpec
+
+/** APPEND half of the stats lifecycle: ANALYZE persists per-column HLL
+  * sketches (int/long/string/binary); every later append unions writer-
+  * task deltas into them at commit, so NDV — the one statistic byte-ratio
+  * extrapolation cannot fake — stays fresh with zero extra scans. The
+  * task-side value→hash mapping must MATCH `hll_sketch_agg`'s, or every
+  * re-appended value double-counts: the overlap tests are the proof. */
+class SketchAppendSpec extends SparkSpec {
+
+  private def conf = new Configuration()
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-sketch").toString
+
+  private def write(dir: String, mode: String, lo: Long, hi: Long): Unit =
+    spark.range(lo, hi)
+      .selectExpr("id", "CAST(id % 97 AS INT) AS small",
+        "concat('k', CAST(id % 250 AS STRING)) AS label",
+        "IF(id % 5 = 0, NULL, CAST(id % 13 AS STRING)) AS gappy")
+      .write.format("graft").mode(mode).save(dir)
+
+  private def sidecar(dir: String) =
+    GraftDataSource.readColStats(conf, dir, "data").get
+
+  test("disjoint append: NDV grows to the union, rows and bytes re-anchor") {
+    val dir = freshDir()
+    write(dir, "overwrite", 0, 2000)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    val a0 = sidecar(dir)
+    assert(a0.cols("id").sketch.isDefined && a0.cols("label").sketch.isDefined)
+    assert(math.abs(a0.cols("id").ndv - 2000) <= 40)
+
+    write(dir, "append", 2000, 3000) // id: 1000 NEW values; label/small: all overlap
+    val a1 = sidecar(dir)
+    assert(a1.rows == 3000, s"rows must accrue: ${a1.rows}")
+    assert(math.abs(a1.cols("id").ndv - 3000) <= 60,
+      s"id ndv must grow to ~3000, got ${a1.cols("id").ndv}")
+    assert(!a1.exact, "merged NDVs are sketch estimates")
+    val onDisk = GraftDataSource.listPartitionedSized(conf, dir).map(_._2).sum
+    assert(a1.bytes == onDisk, "bytes must re-anchor at commit")
+    // min/max track the append for integral columns
+    assert(a1.cols("id").max.contains(2999L), a1.cols("id").max.toString)
+    assert(a1.cols("id").min.contains(0L))
+  }
+
+  test("overlapping append: matching hash mapping means NDV must NOT double") {
+    val dir = freshDir()
+    write(dir, "overwrite", 0, 2000)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    val before = sidecar(dir)
+    // append the SAME id/label/small value sets (ids 0..2000 rehashed
+    // through the task-side sketcher); a mapping divergent from
+    // hll_sketch_agg would land them in fresh registers and ~double NDV
+    write(dir, "append", 0, 2000)
+    val after = sidecar(dir)
+    for (c <- Seq("id", "small", "label", "gappy")) {
+      val (b, a) = (before.cols(c).ndv, after.cols(c).ndv)
+      assert(math.abs(a - b).toDouble <= math.max(2.0, b * 0.02),
+        s"col $c: ndv $b -> $a after a fully-overlapping append " +
+          "(task-side hashing diverged from hll_sketch_agg)")
+    }
+    assert(after.rows == 4000)
+    // null counts accrue (gappy is null for id % 5 == 0 → 400 more)
+    assert(after.cols("gappy").nullCount == before.cols("gappy").nullCount + 400)
+  }
+
+  test("partitioned append merges deltas across per-partition writers") {
+    val dir = freshDir()
+    spark.range(0, 1000)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS p")
+      .write.format("graft").partitionBy("p").mode("overwrite").save(dir)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    assert(math.abs(sidecar(dir).cols("id").ndv - 1000) <= 20)
+    spark.range(1000, 1500)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS p")
+      .write.format("graft").partitionBy("p").mode("append").save(dir)
+    val a = sidecar(dir)
+    assert(math.abs(a.cols("id").ndv - 1500) <= 30, s"got ${a.cols("id").ndv}")
+    assert(a.rows == 1500)
+  }
+
+  test("overwrite drops the sidecar: replaced data invalidates the snapshot") {
+    val dir = freshDir()
+    write(dir, "overwrite", 0, 1000)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    assert(GraftDataSource.readColStats(conf, dir, "data").isDefined)
+    write(dir, "overwrite", 0, 10)
+    assert(GraftDataSource.readColStats(conf, dir, "data").isEmpty,
+      "an overwrite must not leave a sidecar describing vanished rows")
+  }
+
+  test("un-analyzed tables pay nothing: no sidecar, no deltas in messages") {
+    val dir = freshDir()
+    write(dir, "overwrite", 0, 100)
+    write(dir, "append", 100, 200)
+    assert(GraftDataSource.readColStats(conf, dir, "data").isEmpty)
+  }
+}

@@ -88,7 +88,15 @@ class StatsLifecycleSpec extends SparkSpec {
     assert(after.bytes == onDisk,
       s"bytes must re-anchor to the compacted listing: ${after.bytes} vs $onDisk")
     assert(after.gen == GraftDataSource.readGenPointer(conf, dir))
-    assert(after.rows == before.rows && after.cols == before.cols)
+    assert(after.rows == before.rows)
+    // column stats unchanged (sketch bytes compare by content — the
+    // Array field makes whole-ColAnalysis equality reference-based)
+    assert(after.cols.keySet == before.cols.keySet)
+    after.cols.foreach { case (n, c) =>
+      val b = before.cols(n)
+      assert(c.copy(sketch = None) == b.copy(sketch = None), s"col $n changed")
+      assert(c.sketch.map(_.toSeq) == b.sketch.map(_.toSeq), s"col $n sketch changed")
+    }
     assert(servedAttributeStats(dir).nonEmpty, "compaction must not dim stats")
   }
 
@@ -119,8 +127,14 @@ class StatsLifecycleSpec extends SparkSpec {
     assert(!props().contains("stats."), "no snapshot yet → no stats properties")
     spark.sql("CALL graft_sd.sys.analyze(ns => 'db', table => 't')")
     assert(props().contains("stats.state=fresh"), props())
-    // an append grows the listing: rows extrapolate, state says so
+    // an append MERGES sketch deltas and re-anchors bytes at commit —
+    // the snapshot stays fresh, rows accrue instead of extrapolating
     spark.sql("INSERT INTO graft_sd.db.t SELECT id, CAST(id % 7 AS INT) FROM sd_src")
+    assert(props().contains("stats.state=fresh"), props())
+    assert(props().contains("stats.rows=10000"), props())
+    // an under-threshold DELETE shrinks the listing without a merge:
+    // rows extrapolate by byte ratio, state says so
+    spark.sql("DELETE FROM graft_sd.db.t WHERE id < 500")
     assert(props().contains("stats.state=extrapolated"), props())
     // churning DML past the threshold: stale, and the message says why
     spark.sql("UPDATE graft_sd.db.t SET b = 0")
