@@ -2082,6 +2082,66 @@ object FormatOps {
       |SELECT 'reanalyzed', 'fresh', count(*) FROM orders
       |ORDER BY phase""".stripMargin
 
+  // ---- q139: histogram-driven CBO — the plan FLIP, not just the serve -------
+  // A skewed derived column over orders (99% of values below 97, 1%
+  // spread to ~10^6): filtering above the knee selects ~1% of rows, but
+  // uniform (hi−lo)/(max−min) estimation says ~99%. With the ANALYZE
+  // histogram served the filtered side broadcasts; with histograms off
+  // the same join plans sort-merge — both asserted from the physical
+  // plan, threshold scaled to the SF so the flip holds at every size.
+  // The returned aggregate is identical either way (oracle-gated): the
+  // flip is pure strategy.
+  private val q139: Q = (s, d) => {
+    val factDir = graftDir(d, "hist_cbo")
+    deleteDirQuietly(s, factDir)
+    Tables.orders(s, d).selectExpr("o_orderkey AS k",
+      """CASE WHEN o_orderkey % 100 = 0 THEN 1000 + (o_orderkey % 997) * 1000
+         ELSE o_orderkey % 97 END AS v""")
+      .write.format("graft").mode("overwrite").save(factDir)
+    analyzeTable(s, factDir, exact = true)
+    val n = s.read.format("graft").load(factDir).count()
+    def plan() = {
+      val fact = s.read.format("graft").load(factDir).filter(col("v") >= 1000L)
+      fact.join(Tables.lineitem(s, d), col("k") === col("l_orderkey"))
+        .groupBy((col("v") % 7).as("g"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("qty"))
+        .orderBy(col("g"))
+    }
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.graft.cbo.histograms").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // between the histogram estimate (~n/32 rows × 24 B) and the
+      // uniform one (~n × 24 B), with ≥5× margin each way at every SF
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", (n * 4).toString)
+      s.conf.set("spark.graft.cbo.histograms", "true")
+      val bhj = plan().queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      require(bhj.nonEmpty, "q139: histogram estimate must broadcast the filtered side")
+      s.conf.set("spark.graft.cbo.histograms", "false")
+      val p2 = plan().queryExecution.sparkPlan
+      require(p2.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.isEmpty, "q139: uniform estimate must NOT broadcast")
+      s.conf.set("spark.graft.cbo.histograms", "true")
+      plan()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+  private val q139Sql =
+    """WITH fact AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 100 = 0 THEN 1000 + (o_orderkey % 997) * 1000
+      |    ELSE o_orderkey % 97 END AS v
+      |  FROM orders)
+      |SELECT v % 7 AS g, count(*) AS n_rows, round(sum(l_quantity), 4) AS qty
+      |FROM fact JOIN lineitem ON k = l_orderkey
+      |WHERE v >= 1000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2352,6 +2412,7 @@ object FormatOps {
     "q133_drop_timetravel" -> q133,
     "q137_nested_ddl" -> q137,
     "q138_stats_churn" -> q138,
+    "q139_histogram_cbo" -> q139,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2390,6 +2451,7 @@ object FormatOps {
     "q133_drop_timetravel" -> q133Sql,
     "q137_nested_ddl" -> q137Sql,
     "q138_stats_churn" -> q138Sql,
+    "q139_histogram_cbo" -> q139Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

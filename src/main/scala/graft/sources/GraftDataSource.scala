@@ -1409,13 +1409,23 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       case None => java.util.Collections.emptyMap()
       case Some(_) if churned => java.util.Collections.emptyMap()
       case Some(a) =>
+        // histogram kill-switch (spark.graft.cbo.histograms=false):
+        // min/max/NDV still serve, only the equi-height boundaries drop —
+        // the A/B lever HistogramCboSpec uses to prove histograms CHANGE
+        // plans, and the operator's escape hatch if a distribution shifts
+        // faster than ANALYZE runs
+        val histOn =
+          try org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.cbo.histograms", "true").toBoolean
+          catch { case _: Exception => true }
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         required.fields.foreach { f =>
           a.cols.get(f.name).foreach { c =>
+            val served = if (histOn) c else c.copy(histogram = None)
             m.put(org.apache.spark.sql.connector.expressions.Expressions
-              .column(f.name), GraftColumnStatistics(c, f.dataType, a.rows))
+              .column(f.name), GraftColumnStatistics(served, f.dataType, a.rows))
           }
         }
         m
