@@ -469,14 +469,21 @@ object Similarity {
   private val q134: Q = (s, d) => {
     val root = FormatOps.graftDir(d, "ivf_reindex")
     val e = emb(s, d)
-    val cents = centroidsOf(e, cellAsLong = true)
-    // build + append, exactly the q44d lifecycle
-    rankCells(e.select(col("vec_id"), col("v"), col("nv")), cents)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+    // Prologue on a budget: reindex_ivf re-seeds and reassigns EVERY
+    // vector, so the initial cell layout it consumes is irrelevant — a
+    // deterministic vec_id % 5 split stands in for q44d's scored build
+    // (which q44d itself still gates), saving a corpus-wide
+    // score-and-rank pass here. The final reindexed state is identical:
+    // the procedure only reads the vector set. Initial centroids are
+    // the % 5 group means so the ivfAppend step still scores the
+    // planted batch against a real centroid table.
+    val initCells = 5
+    e.select(col("vec_id"), col("v"), col("nv"),
+        (col("vec_id") % initCells).as("cell"))
       .write.format("graft").option("partitionBy", "cell")
       .mode("overwrite").save(s"$root/cells")
-    cents.write.format("graft").mode("overwrite").save(s"$root/centroids")
+    centroidsOf(e.withColumn("label", col("vec_id") % initCells), cellAsLong = true)
+      .write.format("graft").mode("overwrite").save(s"$root/centroids")
     ivfAppend(s, root, withPlanted(e).filter(col("vec_id") >= PlantShift))
     // the maintenance procedure, through the SQL surface
     val parent = new java.io.File(root).getParent
