@@ -180,7 +180,7 @@ object TextOps {
     * construction (`MinHashSigSpec` proves equality) but with ZERO
     * shuffles: no per-shingle rows, no exchange to regroup them; the LSH
     * banding join downstream is the first exchange the pipeline pays. */
-  private def minhashSigsOf(corpus: DataFrame): DataFrame = {
+  private[operators] def minhashSigsOf(corpus: DataFrame): DataFrame = {
     graft.functions.MinHashSig.register(corpus.sparkSession, NumHashes)
     corpus.filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -189,7 +189,7 @@ object TextOps {
 
   /** One row per (doc, band): the band's signature rows hashed to a
     * bucket key; equi-joining on (band, bh) is LSH candidate generation. */
-  private def bandHashes(sigs: DataFrame): DataFrame =
+  private[operators] def bandHashes(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
@@ -198,15 +198,54 @@ object TextOps {
       }: _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bh").as("bh"))
 
+  /** Hot-bucket guard for the LSH band join. A bucket of n members emits
+    * n² candidate pairs INSIDE ONE JOIN KEY — no partitioning scheme can
+    * split it, so one viral document copied 10⁵ times turns a linear
+    * banding pass into a 10¹⁰-pair task. Buckets larger than `cap` are
+    * salt-split into ⌈n/cap⌉ sub-buckets keyed by hash(doc_id, band):
+    * pairs then form within sub-buckets only, bounding every task's
+    * bucket input at ~cap members (~cap² pairs).
+    *
+    * Recall cost, stated: a true pair inside a SPLIT bucket survives
+    * that band w.p. 1/⌈n/cap⌉ (same salt), and overall w.p.
+    * 1−(1−J⁴/m)⁸ across the 8 bands — but split buckets are by
+    * construction NEAR-DUPLICATE CLUSTERS far above the cap, where any
+    * surviving edge keeps the member attached to the cluster for dedup
+    * purposes (an expected ≤ m·ln(m)/8 of orphaned members is the
+    * theoretical tail, ~0 at m ≤ 16). Buckets at or under the cap are
+    * untouched: salt is the 0 literal there, so un-skewed corpora (and
+    * the q35/q35b/q35c oracles) produce bit-identical pairs. */
+  private[operators] def saltHotBuckets(bands: DataFrame, cap: Int): DataFrame = {
+    // the hot set is tiny by construction (only buckets > cap) — one
+    // aggregation finds it, a broadcast joins it back
+    val hot = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+    bands.join(broadcast(hot), Seq("band", "bh"), "left")
+      .withColumn("salt", when(col("n").isNull, lit(0L)).otherwise(
+        pmod(xxhash64(col("doc_id"), col("band")),
+          ceil(col("n") / lit(cap.toDouble)).cast("long"))))
+      .drop("n")
+  }
+
+  /** Default hot-bucket cap: 4096 members ≈ 16M pairs per bucket task —
+    * large enough that no legitimate near-dup cluster in the gates ever
+    * splits, small enough that a viral bucket stays one task's work. */
+  private[operators] val HotBucketCap = 4096
+
   private val q35: Q = (s, d) => {
     // the band table feeds BOTH join sides as different projections —
     // checkpoint so the tokenize+signature pipeline runs once, not twice
     // (q35c's established pattern)
-    val bands = bandHashes(minhashSignatures(s, d)).localCheckpoint()
-    val l = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("band"), col("bh"))
-    val r = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("band"), col("bh"))
-    // Equi-join on (band, band_hash): LSH candidate generation, linear not quadratic.
-    l.join(r, Seq("band", "bh"))
+    val bands = saltHotBuckets(
+      bandHashes(minhashSignatures(s, d)), HotBucketCap).localCheckpoint()
+    val l = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"),
+      col("band"), col("bh"), col("salt"))
+    val r = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"),
+      col("band"), col("bh"), col("salt"))
+    // Equi-join on (band, band_hash, salt): LSH candidate generation —
+    // linear not quadratic, with viral buckets salt-bounded (see
+    // saltHotBuckets; salt is identically 0 on un-skewed corpora)
+    l.join(r, Seq("band", "bh", "salt"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
       .distinct()
@@ -257,11 +296,12 @@ object TextOps {
     val nearTwin = eligible
       .withColumn("toks", slice(col("toks"), lit(2), size(col("toks")) - 1))
       .withColumn("doc_id", col("doc_id") + 2 * PlantShiftDocs)
-    val bands = bandHashes(minhashSigsOf(
-      base.unionByName(exactTwin).unionByName(nearTwin))).localCheckpoint()
-    val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
-    val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"))
-    val pairs = l.join(r, Seq("band", "bh"))
+    val bands = saltHotBuckets(bandHashes(minhashSigsOf(
+      base.unionByName(exactTwin).unionByName(nearTwin))), HotBucketCap)
+      .localCheckpoint()
+    val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"), col("salt"))
+    val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"), col("salt"))
+    val pairs = l.join(r, Seq("band", "bh", "salt"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     val plantedIds = eligible.select(col("doc_id").as("id1"))
@@ -1330,14 +1370,15 @@ object TextOps {
     val fam = base.unionByName(exactTwin).unionByName(negTwin)
     // the band table feeds both join sides and, transitively, the
     // verify stage — checkpoint so the minhash pipeline runs once
-    val bands = bandHashes(minhashSigsOf(fam)).localCheckpoint()
-    val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"))
-    val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"))
+    val bands = saltHotBuckets(bandHashes(minhashSigsOf(fam)), HotBucketCap)
+      .localCheckpoint()
+    val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"), col("salt"))
+    val r = bands.select(col("doc_id").as("id2"), col("band"), col("bh"), col("salt"))
     // the gate's assertions concern only pairs with a planted member, so
     // the verify stage runs on that slice (production verifies every
     // candidate; the cost shape — bounded by candidates, not corpus —
     // is what the gate demonstrates)
-    val candidates = l.join(r, Seq("band", "bh"))
+    val candidates = l.join(r, Seq("band", "bh", "salt"))
       .filter(col("id1") < col("id2") && col("id2") >= PlantShiftDocs)
       .select(col("id1"), col("id2")).distinct().localCheckpoint()
     // exact verify: true trigram-shingle Jaccard, computed only for docs
