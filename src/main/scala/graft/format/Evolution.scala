@@ -77,6 +77,78 @@ object Evolution {
     else prevNames(f).iterator.map(n => names.indexOf(n)).find(_ >= 0).getOrElse(-1)
   }
 
+  /** A pushed filter attribute (dotted for nested leaves) in a FILE's
+    * own spelling: each path level resolves by current name first, then
+    * the rename chain — the filter-side mirror of [[fileFieldIndex]].
+    * Returns None when the file predates the column (some level has no
+    * spelling) — the caller may then skip on absence (null never
+    * satisfies a comparison). Claimed-name discipline makes the chain
+    * lookup unambiguous: no spelling is ever reused for a different
+    * column at the same level. */
+  def fileAttrName(declared: StructType, file: StructType,
+      attr: String): Option[String] =
+    // exact declared field first (names literally containing dots win,
+    // exactly like Stats.leafType), then descend at the first dot
+    declared.fields.find(_.name.equalsIgnoreCase(attr)) match {
+      case Some(df) =>
+        val idx = fileFieldIndex(file, df)
+        if (idx >= 0) Some(file.fields(idx).name) else None
+      case None =>
+        val i = attr.indexOf('.')
+        if (i <= 0 || i == attr.length - 1) None
+        else declared.fields.find(_.name.equalsIgnoreCase(attr.substring(0, i)))
+          .flatMap { df =>
+            val idx = fileFieldIndex(file, df)
+            if (idx < 0) None
+            else (df.dataType, file.fields(idx).dataType) match {
+              case (dn: StructType, fn: StructType) =>
+                fileAttrName(dn, fn, attr.substring(i + 1))
+                  .map(rest => s"${file.fields(idx).name}.$rest")
+              case _ => None
+            }
+          }
+    }
+
+  /** Rewrite pushed filters' attribute names from DECLARED (current)
+    * spellings into a FILE's spellings, and report which attributes the
+    * file provably predates (read as all-null there). Only the filter
+    * shapes the skip machinery consumes are rewritten; anything else
+    * passes through untouched (it never proves a skip anyway). */
+  def translateFilters(filters: Array[org.apache.spark.sql.sources.Filter],
+      declared: StructType, file: StructType)
+      : (Array[org.apache.spark.sql.sources.Filter], Set[String]) = {
+    import org.apache.spark.sql.sources._
+    val cache = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    val absent = scala.collection.mutable.HashSet.empty[String]
+    def res(a: String): String = cache.getOrElseUpdate(a, {
+      val r = fileAttrName(declared, file, a)
+      if (r.isEmpty &&
+          // absent ONLY when the declared schema actually has the leaf
+          // (unknown attrs stay unknown, never "provably null")
+          graft.format.Stats.leafType(declared, a).isDefined)
+        absent += a
+      r
+    }).getOrElse(a)
+    def tr(f: Filter): Filter = f match {
+      case EqualTo(a, v) => EqualTo(res(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(res(a), v)
+      case GreaterThan(a, v) => GreaterThan(res(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(res(a), v)
+      case LessThan(a, v) => LessThan(res(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(res(a), v)
+      case In(a, vs) => In(res(a), vs)
+      case IsNull(a) => IsNull(res(a))
+      case IsNotNull(a) => IsNotNull(res(a))
+      case StringStartsWith(a, v) => StringStartsWith(res(a), v)
+      case And(l, r) => And(tr(l), tr(r))
+      case Or(l, r) => Or(tr(l), tr(r))
+      case Not(c) => Not(tr(c))
+      case other => other
+    }
+    val out = filters.map(tr)
+    (out, absent.toSet)
+  }
+
   /** Reconcile a FILE's variant of a field's type with the DECLARED
     * one: equal types stand; lossless width differences resolve to the
     * wider side (a pre-widen file decodes narrower; drift-written wider

@@ -197,19 +197,25 @@ object Stats {
       numRows: Int = -1): Boolean = {
     def range(attr: String): Option[Range] =
       stats.get(attr).flatMap(s => leafType(schema, attr).map(dt => Range(dt, s)))
+    // an ALL-null column satisfies no comparison (null op x is null,
+    // which a filter treats as false) — skips chunks whose column is
+    // entirely null even though they record no min/max, including files
+    // that predate an ADD COLUMN (their synthesized stats are all-null)
+    def allNull(attr: String): Boolean =
+      numRows >= 0 && stats.get(attr).exists(_.nullCount == numRows)
     filter match {
-      case EqualTo(a, v) => range(a).exists(r =>
+      case EqualTo(a, v) => allNull(a) || range(a).exists(r =>
         r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0))
-      case GreaterThan(a, v) => range(a).exists(_.cmpMax(v).exists(_ <= 0))
-      case GreaterThanOrEqual(a, v) => range(a).exists(_.cmpMax(v).exists(_ < 0))
-      case LessThan(a, v) => range(a).exists(_.cmpMin(v).exists(_ >= 0))
-      case LessThanOrEqual(a, v) => range(a).exists(_.cmpMin(v).exists(_ > 0))
+      case GreaterThan(a, v) => allNull(a) || range(a).exists(_.cmpMax(v).exists(_ <= 0))
+      case GreaterThanOrEqual(a, v) => allNull(a) || range(a).exists(_.cmpMax(v).exists(_ < 0))
+      case LessThan(a, v) => allNull(a) || range(a).exists(_.cmpMin(v).exists(_ >= 0))
+      case LessThanOrEqual(a, v) => allNull(a) || range(a).exists(_.cmpMin(v).exists(_ > 0))
       // an EMPTY In-list matches nothing, for every chunk — without this
       // an empty CDC batch's In(key, []) can never prove a skip and a
       // no-op fold degrades to a full-table rewrite
       case In(_, vs) if vs != null && vs.isEmpty => true
       case In(a, vs) if vs != null && vs.nonEmpty =>
-        range(a).exists(r => vs.forall(v =>
+        allNull(a) || range(a).exists(r => vs.forall(v =>
           r.cmpMin(v).exists(_ > 0) || r.cmpMax(v).exists(_ < 0)))
       case IsNull(a) => stats.get(a).exists(_.nullCount == 0)
       case org.apache.spark.sql.sources.IsNotNull(a) =>
@@ -220,6 +226,28 @@ object Stats {
       case _ => false
     }
   }
+
+  /** Skip proof from COLUMN ABSENCE alone: a declared column this file
+    * predates reads as all-null, and null satisfies no comparison — a
+    * selective filter on a recently-ADDed column prunes every pre-DDL
+    * file without opening it. Conservative by shape: IsNull (matches
+    * everything here), null-safe equality to null, and anything not
+    * understood keep the chunk. */
+  def canSkipAbsent(f: Filter, absent: Set[String]): Boolean =
+    if (absent.isEmpty) false else f match {
+      case EqualTo(a, v) => absent(a) && v != null
+      case EqualNullSafe(a, v) => absent(a) && v != null
+      case GreaterThan(a, _) => absent(a)
+      case GreaterThanOrEqual(a, _) => absent(a)
+      case LessThan(a, _) => absent(a)
+      case LessThanOrEqual(a, _) => absent(a)
+      case In(a, vs) => absent(a) && vs != null // null IN (...) is never TRUE
+      case org.apache.spark.sql.sources.IsNotNull(a) => absent(a)
+      case StringStartsWith(a, _) => absent(a)
+      case And(l, r) => canSkipAbsent(l, absent) || canSkipAbsent(r, absent)
+      case Or(l, r) => canSkipAbsent(l, absent) && canSkipAbsent(r, absent)
+      case _ => false
+    }
 
   /** Bloom-filter chunk skipping: an equality literal whose hash probes
     * miss the column's per-chunk bloom PROVES the chunk holds no match

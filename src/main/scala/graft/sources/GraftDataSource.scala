@@ -1343,15 +1343,32 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * thousands) are excluded from the DRIVER-side per-file sweep — the
     * O(files × keys) compare would stall planning; executors still
     * apply them to chunk/block skipping in parallel. */
+  private lazy val listedPartCols: Set[String] =
+    listing.iterator.flatMap(_._3.keys).toSet
+
   private def manifestSkip(p: org.apache.hadoop.fs.Path, fls: Array[Filter]): Boolean =
     fls.nonEmpty && manifestMetas.get(p.toUri.getPath).exists { metas =>
       val mine = metas.filter(_.name == tableOpt.getOrElse("data"))
-      mine.nonEmpty && fls.exists { f =>
-        val bounded = f match {
-          case org.apache.spark.sql.sources.In(_, vs) => vs == null || vs.length <= 4096
-          case _ => true
+      mine.nonEmpty && {
+        // filters name columns by CURRENT spellings; a carried pre-DDL
+        // file's manifest stats live under the file's own spellings —
+        // resolve through rename chains per file (same contract as the
+        // executor reader), and let absence prove skips too. Partition
+        // and `_file` columns never count as absent: their values come
+        // from the path, not the file schema.
+        val (tf, abs0) = graft.format.Evolution.translateFilters(
+          fls, required, mine.head.schema)
+        val abs = if (abs0.isEmpty) abs0
+          else abs0.filterNot(a => a == GraftDataSource.FileColName ||
+            listedPartCols.contains(a))
+        tf.exists { f =>
+          val bounded = f match {
+            case org.apache.spark.sql.sources.In(_, vs) => vs == null || vs.length <= 4096
+            case _ => true
+          }
+          bounded && (Stats.canSkipAbsent(f, abs) ||
+            mine.forall(t => Stats.canSkipChunk(f, t)))
         }
-        bounded && mine.forall(t => Stats.canSkipChunk(f, t))
       }
     }
 
@@ -2167,10 +2184,40 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   private var current: ColumnarBatch = null
   private var emitted = 0L
 
+  /** Pushed filters in THIS FILE's name space: attributes name columns
+    * by their CURRENT spellings, but a pre-rename file records stats
+    * (and blooms, and block stats) under the old spelling — translating
+    * once per reader through the rename chains keeps pruning alive
+    * across DDL instead of silently degrading to full scans until the
+    * next rewrite heals the names. Declared columns the file PREDATES
+    * (`absentCols`) read as all-null there, which proves a skip for any
+    * null-never-matches shape — partition and `_file` metadata columns
+    * are excluded (their values come from the path, not the file). */
+  private lazy val (fileFilters: Array[Filter], absentCols: Set[String]) = {
+    if (filters.isEmpty) (filters, Set.empty[String])
+    else {
+      // same table-name resolution as the chunk iterator below: the
+      // explicit option, or the single table a one-table file holds
+      val name = tableOpt.orElse(
+        Some(reader.tableNames).collect { case Seq(one) => one })
+      name.flatMap(n => reader.footer.chunks.iterator
+        .flatMap(_.tables.find(_.name == n)).nextOption()) match {
+        case Some(t) =>
+          val (fs2, abs) = graft.format.Evolution.translateFilters(
+            filters, required, t.schema)
+          (fs2, abs -- partValues.keySet - GraftDataSource.FileColName)
+        case None => (filters, Set.empty[String])
+      }
+    }
+  }
+
   /** Zone maps + blooms, via the shared [[Stats.canSkipChunk]] (also the
-    * driver-side DML candidate-file selection). */
+    * driver-side DML candidate-file selection) — plus absence: a column
+    * this file predates is all-null here, so a comparison on it proves
+    * the whole chunk skips. */
   private def skippable(t: Meta.TableMeta): Boolean =
-    filters.nonEmpty && filters.exists(f => Stats.canSkipChunk(f, t))
+    filters.nonEmpty && fileFilters.exists(f =>
+      Stats.canSkipAbsent(f, absentCols) || Stats.canSkipChunk(f, t))
 
   /** Zone maps: contiguous row ranges whose BLOCK stats survive the
     * pushed filters — a kept chunk with clustered data decodes the
@@ -2188,7 +2235,7 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
       val r1 = math.min(r0 + Meta.BlockRows, t.numRows)
       val statsMap = t.schema.fieldNames.zip(t.blockStats(i)).toMap ++
         (if (i < t.blockNestedStats.size) t.blockNestedStats(i) else Map.empty)
-      val keep = !filters.exists(f => Stats.canSkip(f, t.schema, statsMap, r1 - r0))
+      val keep = !fileFilters.exists(f => Stats.canSkip(f, t.schema, statsMap, r1 - r0))
       if (keep && runStart < 0) runStart = r0
       else if (!keep) {
         skippedBlocks += 1
