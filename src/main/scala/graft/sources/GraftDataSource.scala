@@ -1128,11 +1128,16 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
 /** Footer-computable aggregate, pushed via [[SupportsPushDownAggregates]]. */
 sealed trait GraftAggSpec extends Serializable
 case object GraftCountStar extends GraftAggSpec
-case class GraftCountCol(col: String) extends GraftAggSpec
-case class GraftMinSpec(col: String) extends GraftAggSpec
-case class GraftMaxSpec(col: String) extends GraftAggSpec
+/** `prevNames`: the column's rename chain (current spelling first is
+  * `col`; prior spellings follow) — pre-rename files record their stats
+  * under an old spelling and the per-file readers resolve through it,
+  * so footer-answered aggregates survive DDL instead of declining. */
+case class GraftCountCol(col: String, prevNames: Seq[String] = Nil) extends GraftAggSpec
+case class GraftMinSpec(col: String, prevNames: Seq[String] = Nil) extends GraftAggSpec
+case class GraftMaxSpec(col: String, prevNames: Seq[String] = Nil) extends GraftAggSpec
 /** `integral` picks the combine domain: wrapped i64 vs f64. */
-case class GraftSumSpec(col: String, integral: Boolean) extends GraftAggSpec
+case class GraftSumSpec(col: String, integral: Boolean,
+    prevNames: Seq[String] = Nil) extends GraftAggSpec
 
 class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
@@ -1142,6 +1147,11 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates with SupportsPushDownTopN {
   private var required: StructType = fullSchema
+  /** A column's prior spellings, for per-file stat resolution in the
+    * pushed-aggregate/top-k readers. Empty for never-renamed columns. */
+  private def chainOf(name: String): Seq[String] =
+    fullSchema.fields.find(_.name == name)
+      .map(graft.format.Evolution.prevNames).getOrElse(Nil)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var topN: Option[GraftTopN] = None
@@ -1166,18 +1176,17 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
               if r.fieldNames().length == 1 => r.fieldNames()(0)
           case _ => return false
         }
-        // a renamed column's stats live under an OLD name in pre-DDL
-        // files; footer-only answers would treat those files as all-null
-        val statExact = fullSchema.fields.find(_.name == colName).exists(f =>
-          !graft.format.Evolution.renamed(f) && (f.dataType match {
-            case ByteType | ShortType | IntegerType | LongType | DateType |
-                 TimestampType | TimestampNTZType | BooleanType => true
-            case _ => false
-          }))
+        val statExact = fullSchema.fields.find(_.name == colName).exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | BooleanType => true
+          case _ => false
+        })
         if (!statExact) return false
         val desc = o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
         val nullsFirst = o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
-        topN = Some(GraftTopN(colName, desc, nullsFirst, n))
+        // renamed columns carry their chain: pre-rename files' stats
+        // resolve through it (TopNSkipper), so top-k stays pushable
+        topN = Some(GraftTopN(colName, desc, nullsFirst, n, chainOf(colName)))
         true
       case _ => false
     }
@@ -1211,13 +1220,12 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
-    // renamed columns decline every footer-answered aggregate: pre-DDL
-    // files record the stats under an old name and would read as all-null
-    def unrenamed(name: String): Boolean =
-      fullSchema.fields.find(_.name == name).exists(f =>
-        !graft.format.Evolution.renamed(f))
+    // renamed columns carry their rename chain into the spec: pre-DDL
+    // files record stats under an old spelling and the per-file reader
+    // resolves through the chain, so aggregates keep answering from
+    // footers across DDL
     def statType(name: String): Boolean =
-      unrenamed(name) && fullSchema.fields.find(_.name == name).exists(_.dataType match {
+      fullSchema.fields.find(_.name == name).exists(_.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType |
              TimestampType | TimestampNTZType | BooleanType => true
         case _ => false
@@ -1225,8 +1233,7 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     // footer sums wrap mod 2^64; under ANSI Spark must raise on long
     // overflow instead, so integral SUM stays unpushed there
     def sumIntegral(name: String): Option[Boolean] =
-      fullSchema.fields.find(_.name == name).filter(f =>
-        !graft.format.Evolution.renamed(f)).map(_.dataType).flatMap {
+      fullSchema.fields.find(_.name == name).map(_.dataType).flatMap {
         case ByteType | ShortType | IntegerType | LongType =>
           if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) None else Some(true)
         case FloatType | DoubleType => Some(false)
@@ -1241,11 +1248,12 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
       case _: CountStar => GraftCountStar
       case c: Count if !c.isDistinct =>
         // COUNT(col) = numRows - nullCount, both footer-recorded
-        colOf(c.column).filter(n =>
-            fullSchema.fieldNames.contains(n) && unrenamed(n))
-          .map(GraftCountCol).getOrElse(return false)
-      case m: Min => colOf(m.column).filter(statType).map(GraftMinSpec).getOrElse(return false)
-      case m: Max => colOf(m.column).filter(statType).map(GraftMaxSpec).getOrElse(return false)
+        colOf(c.column).filter(fullSchema.fieldNames.contains)
+          .map(n => GraftCountCol(n, chainOf(n))).getOrElse(return false)
+      case m: Min => colOf(m.column).filter(statType)
+        .map(n => GraftMinSpec(n, chainOf(n))).getOrElse(return false)
+      case m: Max => colOf(m.column).filter(statType)
+        .map(n => GraftMaxSpec(n, chainOf(n))).getOrElse(return false)
       case s: Sum if !s.isDistinct =>
         // Sum arrives with the buffer-widening cast attached (int→bigint,
         // float→double); unwrap it only when the footer's sum domain
@@ -1261,16 +1269,16 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
             }
           case e => colOf(e)
         }
-        (for { c <- sumCol; i <- sumIntegral(c) } yield GraftSumSpec(c, i))
+        (for { c <- sumCol; i <- sumIntegral(c) } yield GraftSumSpec(c, i, chainOf(c)))
           .getOrElse(return false)
       case _ => return false
     }
     aggSchema = StructType(specs.map {
       case GraftCountStar => StructField("count(*)", LongType, nullable = false)
-      case GraftCountCol(c) => StructField(s"count($c)", LongType, nullable = false)
-      case GraftMinSpec(c) => StructField(s"min($c)", fullSchema(c).dataType)
-      case GraftMaxSpec(c) => StructField(s"max($c)", fullSchema(c).dataType)
-      case GraftSumSpec(c, integral) =>
+      case GraftCountCol(c, _) => StructField(s"count($c)", LongType, nullable = false)
+      case GraftMinSpec(c, _) => StructField(s"min($c)", fullSchema(c).dataType)
+      case GraftMaxSpec(c, _) => StructField(s"max($c)", fullSchema(c).dataType)
+      case GraftSumSpec(c, integral, _) =>
         StructField(s"sum($c)", if (integral) LongType else DoubleType)
     })
     aggSpecs = Some(specs)
@@ -1284,7 +1292,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
 /** Pushed ORDER BY col LIMIT k: `desc`/`nullsFirst` mirror the query's
   * sort; the reader only SKIPS with this, over-delivery is always safe. */
-case class GraftTopN(col: String, desc: Boolean, nullsFirst: Boolean, k: Int)
+case class GraftTopN(col: String, desc: Boolean, nullsFirst: Boolean, k: Int,
+    prevNames: Seq[String] = Nil)
 
 class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
     planFilters: Array[Filter], limit: Int,
@@ -1856,14 +1865,17 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             case Some(i) => r.footer.chunks.slice(i, i + 1)
             case None => r.footer.chunks
           }).flatMap(c => c.tables.filter(_.name == name))
-          def minMax(col: String, wantMax: Boolean): Any = {
+          // a chunk's spelling of a (possibly renamed) column: current
+          // name first, then the chain. None = the file predates it.
+          def chunkIdxOf(t: Meta.TableMeta, col: String, prev: Seq[String]): Option[Int] =
+            (col +: prev).iterator.map(n => t.schema.fieldNames.indexOf(n))
+              .find(_ >= 0)
+          def minMax(col: String, prev: Seq[String], wantMax: Boolean): Any = {
             if (gp.partValues.contains(col) &&
-                !chunks.headOption.exists(_.schema.fieldNames.contains(col)))
+                !chunks.headOption.exists(t => chunkIdxOf(t, col, prev).isDefined))
               return org.apache.spark.unsafe.types.UTF8String.fromString(gp.partValues(col))
             val longs = chunks.flatMap { t =>
-              if (!t.schema.fieldNames.contains(col)) None
-              else {
-                val idx = t.schema.fieldIndex(col)
+              chunkIdxOf(t, col, prev).flatMap { idx =>
                 val stat = if (wantMax) t.stats(idx).max else t.stats(idx).min
                 if (t.numRows == 0) None
                 else stat match {
@@ -1892,23 +1904,23 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
           }
           val values: Array[Any] = specs.map {
             case GraftCountStar => chunks.map(_.numRows.toLong).sum
-            case GraftCountCol(c) => chunks.map { t =>
-              if (t.schema.fieldNames.contains(c))
-                t.numRows.toLong - t.stats(t.schema.fieldIndex(c)).nullCount
-              else if (gp.partValues.contains(c)) t.numRows.toLong // path constant: never null
-              else 0L // schema drift: column absent => all null
+            case GraftCountCol(c, prev) => chunks.map { t =>
+              chunkIdxOf(t, c, prev) match {
+                case Some(idx) => t.numRows.toLong - t.stats(idx).nullCount
+                case None if gp.partValues.contains(c) => t.numRows.toLong // path constant: never null
+                case None => 0L // pre-ADD file or schema drift: all null
+              }
             }.sum
-            case GraftMinSpec(c) => minMax(c, wantMax = false)
-            case GraftMaxSpec(c) => minMax(c, wantMax = true)
-            case GraftSumSpec(c, integral) =>
+            case GraftMinSpec(c, prev) => minMax(c, prev, wantMax = false)
+            case GraftMaxSpec(c, prev) => minMax(c, prev, wantMax = true)
+            case GraftSumSpec(c, integral, prev) =>
               // per-file PARTIAL sum; Spark's final agg combines files.
               // All-null (or absent: schema drift) chunks contribute
               // nothing; zero contributing chunks => null partial, the
               // SQL sum-of-no-rows
               val parts = chunks.flatMap { t =>
-                if (!t.schema.fieldNames.contains(c)) None
-                else {
-                  val st = t.stats(t.schema.fieldIndex(c))
+                chunkIdxOf(t, c, prev).flatMap { idx =>
+                  val st = t.stats(idx)
                   st.sum match {
                     case Some(b) => Some(Stats.longOf(b))
                     case None =>
@@ -2023,8 +2035,14 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
     case None => Long.MaxValue
   }
 
+  /** The chunk's spelling of the sort column, resolved through the
+    * rename chain — pre-rename files keep their stats consultable. */
+  private def fieldIdx(t: Meta.TableMeta): Int =
+    (spec.col +: spec.prevNames).iterator
+      .map(n => t.schema.fieldNames.indexOf(n)).find(_ >= 0).getOrElse(-1)
+
   private def statOf(t: Meta.TableMeta): Option[Long] = {
-    val idx = t.schema.fieldNames.indexOf(spec.col)
+    val idx = fieldIdx(t)
     if (idx < 0) None
     else {
       val st = t.stats(idx)
@@ -2034,7 +2052,7 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
 
   def canSkip(t: Meta.TableMeta): Boolean = {
     if (heap.size < spec.k) return false
-    val idx = t.schema.fieldNames.indexOf(spec.col)
+    val idx = fieldIdx(t)
     if (idx < 0) return spec.nullsFirst == false // absent column = all null
     val st = t.stats(idx)
     if (spec.nullsFirst && st.nullCount > 0) return false // nulls outrank values
@@ -2047,7 +2065,7 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
   // ---- zone-map (block) granularity: same proofs, 8Ki-row resolution ----
 
   private def blockStat(t: Meta.TableMeta, bi: Int): Option[(graft.format.ColStats, Option[Long])] = {
-    val idx = t.schema.fieldNames.indexOf(spec.col)
+    val idx = fieldIdx(t)
     if (idx < 0 || bi >= t.blockStats.size) None
     else {
       val st = t.blockStats(bi)(idx)

@@ -64,6 +64,42 @@ class PushdownRenameSpec extends SparkSpec {
     assert(t.count() == 50000L)
   }
 
+  test("footer-answered aggregates and top-k survive a rename") {
+    val root = Files.createTempDirectory("graft-pragg").toString
+    spark.conf.set("spark.sql.catalog.graft_pg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pg.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_pg.db")
+    spark.sql("CREATE TABLE graft_pg.db.t (id BIGINT, v BIGINT) USING graft")
+    spark.range(0, 30000).selectExpr("id", "id AS v").repartition(3)
+      .writeTo("graft_pg.db.t").append()
+    spark.sql("ALTER TABLE graft_pg.db.t RENAME COLUMN v TO val")
+    spark.range(30000, 31000).selectExpr("id", "id AS val")
+      .writeTo("graft_pg.db.t").append()
+
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // aggregates answer from footers ACROSS the rename: pre-rename
+    // files' stats resolve through the chain carried in the spec.
+    // (SUM of BIGINT stays unpushed under ANSI — wrap semantics — which
+    // is the pre-existing decline, not a rename one.)
+    val agg = spark.sql(
+      "SELECT min(val), max(val), count(val) FROM graft_pg.db.t")
+    assert(plan(agg).contains("pushedAggs="),
+      s"renamed column must not decline footer aggregates:\n${plan(agg)}")
+    val r = agg.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 30999L)
+    assert(r.getLong(2) == 31000L)
+    assert(spark.sql("SELECT sum(val) FROM graft_pg.db.t").head().getLong(0)
+      == 31000L * 30999L / 2)
+    // pushed top-k keeps skipping via the chain
+    val top = spark.table("graft_pg.db.t").orderBy(col("val").desc).limit(3)
+    assert(plan(top).contains("pushedTopN=[val DESC k=3]"), plan(top))
+    assert(top.collect().map(_.getAs[Long]("val")).toSeq ==
+      Seq(30999L, 30998L, 30997L))
+    val bottom = spark.table("graft_pg.db.t").orderBy(col("val")).limit(2)
+    assert(bottom.collect().map(_.getAs[Long]("val")).toSeq == Seq(0L, 1L))
+  }
+
   test("planning-time manifest pruning survives a rename (files unscheduled)") {
     val root = Files.createTempDirectory("graft-prplan").toString
     spark.conf.set("spark.sql.catalog.graft_pp", "graft.sources.GraftCatalog")
