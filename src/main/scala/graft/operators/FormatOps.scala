@@ -2142,6 +2142,64 @@ object FormatOps {
       |WHERE v >= 1000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q141: pushdown SURVIVES a rename — pruning + footer aggregates -------
+  // Mixed pre/post-rename files over a DML-maintained, range-clustered
+  // table: a selective filter on the RENAMED key must still schedule
+  // only the files the (old-name) manifest zone maps allow, and
+  // MIN/MAX/COUNT on the renamed column must still answer from footers —
+  // both asserted from the physical plan inside the gate. Without
+  // per-file rename-chain resolution every rename silently turns pruned
+  // scans into full scans until a rewrite heals the names. Oracle
+  // recomputes the aggregate from the source parquet.
+  private val q141: Q = (s, d) => {
+    val root = graftDir(d, "rename_prune")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_rp", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_rp.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rp.db")
+    s.sql("CREATE TABLE graft_rp.db.t (k BIGINT, tp DOUBLE) USING graft")
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").cast("double").as("tp"))
+    src.filter(col("k") % 2 === 0)
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .writeTo("graft_rp.db.t").append()
+    // a tiny DML writes the stats-carrying manifest over the 8 files
+    updateWhere(s, s"$root/db", "t",
+      set = Map("tp" -> col("tp")), where = col("k") === 2L)
+    s.sql("ALTER TABLE graft_rp.db.t RENAME COLUMN k TO okey")
+    src.filter(col("k") % 2 === 1).withColumnRenamed("k", "okey")
+      .writeTo("graft_rp.db.t").append()
+    val t = s.table("graft_rp.db.t")
+    val keyMax = t.agg(max(col("okey"))).head().getLong(0)
+    // plan assert 1: the selective renamed-key filter prunes carried
+    // pre-rename files via their old-name zone maps
+    val sel = t.filter(col("okey") === keyMax)
+    val scheduled = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten
+    require(scheduled.size <= 3,
+      s"q141: rename must not disable file pruning (scheduled ${scheduled.size})")
+    // plan assert 2: footer aggregates keep answering across the rename
+    val agg = s.sql("SELECT min(okey), max(okey), count(okey) FROM graft_rp.db.t")
+    require(agg.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "q141: rename must not decline footer aggregates")
+    s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+      min(okey) AS mn, max(okey) AS mx,
+      CAST(sum(CASE WHEN okey < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      round(sum(tp), 4) AS total
+      FROM graft_rp.db.t""")
+  }
+  private val q141Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+      |  CAST(sum(CASE WHEN o_orderkey < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  round(sum(o_totalprice), 4) AS total
+      |FROM orders""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2413,6 +2471,7 @@ object FormatOps {
     "q137_nested_ddl" -> q137,
     "q138_stats_churn" -> q138,
     "q139_histogram_cbo" -> q139,
+    "q141_rename_prune" -> q141,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2452,6 +2511,7 @@ object FormatOps {
     "q137_nested_ddl" -> q137Sql,
     "q138_stats_churn" -> q138Sql,
     "q139_histogram_cbo" -> q139Sql,
+    "q141_rename_prune" -> q141Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
