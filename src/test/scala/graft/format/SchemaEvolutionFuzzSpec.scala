@@ -153,6 +153,27 @@ class SchemaEvolutionFuzzSpec extends SparkSpec {
           val gn = g.map(x => if (x == null) null else x.asInstanceOf[Long])
           assert(gn == w, s"seed $seed step $step row $id: $gn != $w")
         }
+        // FILTER probes over the evolved table: pushed filters drive
+        // zone-map/absence skipping through rename chains — a WRONG skip
+        // shows up here as a lost row, across random DDL interleavings
+        if (cols.nonEmpty) {
+          val (pIdent, pName, _) = cols(r.nextInt(cols.size))
+          val probe = rows.collectFirst {
+            case (_, vs) if vs.contains(pIdent) => vs(pIdent)
+          }
+          probe.foreach { v =>
+            val wantN = rows.count(_._2.get(pIdent).contains(v)).toLong
+            val gotN = spark.table(s"$cat.db.t")
+              .filter(org.apache.spark.sql.functions.col(pName) === v).count()
+            assert(gotN == wantN,
+              s"seed $seed step $step: filter $pName=$v lost rows: $gotN != $wantN")
+            val wantNull = rows.count(!_._2.contains(pIdent)).toLong
+            val gotNull = spark.table(s"$cat.db.t")
+              .filter(org.apache.spark.sql.functions.col(pName).isNull).count()
+            assert(gotNull == wantNull,
+              s"seed $seed step $step: IsNull($pName): $gotNull != $wantNull")
+          }
+        }
       }
     }
   }
@@ -256,6 +277,21 @@ class SchemaEvolutionFuzzSpec extends SparkSpec {
         got.zip(want).foreach { case ((id, g), (_, w)) =>
           val gn = g.map(x => if (x == null) null else x.asInstanceOf[Long])
           assert(gn == w, s"seed $seed step $step row $id: $gn != $w")
+        }
+        // nested FILTER probe: dotted-leaf predicates drive nested
+        // zone-map skipping through per-level rename chains — a wrong
+        // skip surfaces as a lost row
+        if (cols.nonEmpty) {
+          val (pIdent, pName, _) = cols(r.nextInt(cols.size))
+          rows.collectFirst { case (_, vs) if vs.contains(pIdent) => vs(pIdent) }
+            .foreach { v =>
+              val wantN = rows.count(_._2.get(pIdent).contains(v)).toLong
+              val gotN = spark.table(s"$cat.db.t")
+                .filter(org.apache.spark.sql.functions.col(s"m.$pName") === v)
+                .count()
+              assert(gotN == wantN,
+                s"seed $seed step $step: filter m.$pName=$v: $gotN != $wantN")
+            }
         }
       }
     }
