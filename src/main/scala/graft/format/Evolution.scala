@@ -54,17 +54,23 @@ object Evolution {
   def allNames(f: StructField): Seq[String] = f.name +: prevNames(f)
 
   /** True iff this field was touched by a rename (old files may store it
-    * under another name) — pushed aggregates/top-k answer from footer
-    * stats BY NAME and must decline such columns. */
+    * under another name). Stat-consuming paths resolve through the chain
+    * ([[fileAttrName]], the prevNames carried in agg/top-k specs) rather
+    * than declining. */
   def renamed(f: StructField): Boolean = prevNames(f).nonEmpty
 
   /** Lossless widenings `ALTER COLUMN ... TYPE` accepts — the same set
-    * Spark's own `Cast.canUpCast` blesses for integral/float promotion. */
+    * Spark's own `Cast.canUpCast` blesses: integral/float promotion plus
+    * decimal widening (both integer digits and scale may only GROW, so
+    * every stored unscaled value rescales exactly, never rounds). */
   def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ByteType, ShortType | IntegerType | LongType) => true
     case (ShortType, IntegerType | LongType) => true
     case (IntegerType, LongType) => true
     case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale &&
+        (t.precision > f.precision || t.scale > f.scale)
     case _ => false
   }
 

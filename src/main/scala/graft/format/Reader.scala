@@ -254,6 +254,15 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       case (ShortType, LongType) => loop(i => dst.putLong(i, src.getShort(i)))
       case (IntegerType, LongType) => loop(i => dst.putLong(i, src.getInt(i)))
       case (FloatType, DoubleType) => loop(i => dst.putDouble(i, src.getFloat(i)))
+      case (f: DecimalType, t: DecimalType) => loop { i =>
+        // exact rescale: widens() admits only grown integer digits and
+        // scale, so changePrecision can neither round nor overflow
+        val d = src.getDecimal(i, f.precision, f.scale)
+        if (!d.changePrecision(t.precision, t.scale))
+          throw new OliveFormatException(
+            s"decimal widen overflow: $d to (${t.precision},${t.scale})")
+        dst.putDecimal(i, d, t.precision)
+      }
       case other => throw new OliveFormatException(s"unsupported widen $other")
     }
   }

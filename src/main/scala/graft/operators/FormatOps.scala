@@ -2043,8 +2043,12 @@ object FormatOps {
     s.conf.set("spark.sql.catalog.graft_sc.root", root)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sc.db")
     Tables.orders(s, d).createOrReplaceTempView("q138_src")
+    // a quarter of orders: the gate's subject is the LIFECYCLE (analyze →
+    // churn → stale → re-analyze), which two exact ANALYZE passes and a
+    // full-table UPDATE exercise identically at any size
     s.sql("""CREATE TABLE graft_sc.db.t AS
-      SELECT o_orderkey, o_orderstatus, o_totalprice FROM q138_src""")
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM q138_src
+      WHERE o_orderkey % 4 = 0""")
     def state(): String = s.sql("DESCRIBE TABLE EXTENDED graft_sc.db.t")
       .filter(col("col_name") === "Table Properties")
       .select(regexp_extract(col("data_type"), "stats\\.state=([a-z]+)", 1))
@@ -2075,11 +2079,12 @@ object FormatOps {
     Seq(p1, p2, p3).toDF("phase", "state", "n_rows").orderBy("phase")
   }
   private val q138Sql =
-    """SELECT 'analyzed' AS phase, 'fresh' AS state, count(*) AS n_rows FROM orders
+    """WITH s AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 0)
+      |SELECT 'analyzed' AS phase, 'fresh' AS state, n AS n_rows FROM s
       |UNION ALL
-      |SELECT 'churned', 'stale', count(*) FROM orders
+      |SELECT 'churned', 'stale', n FROM s
       |UNION ALL
-      |SELECT 'reanalyzed', 'fresh', count(*) FROM orders
+      |SELECT 'reanalyzed', 'fresh', n FROM s
       |ORDER BY phase""".stripMargin
 
   // ---- q139: histogram-driven CBO — the plan FLIP, not just the serve -------

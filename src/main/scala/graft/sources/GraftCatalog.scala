@@ -517,7 +517,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (!Evolution.widens(from, up.newDataType()))
             throw new UnsupportedOperationException(
               s"only lossless widenings are supported (byte→short→int→long, " +
-                s"float→double); got ${from.simpleString} → ${up.newDataType().simpleString}")
+                s"float→double, decimal growing digits/scale); got " +
+                s"${from.simpleString} → ${up.newDataType().simpleString}")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = up.newDataType())))
         }
       case (_, other) => throw new UnsupportedOperationException(
