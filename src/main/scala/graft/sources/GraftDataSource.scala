@@ -1150,7 +1150,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
   /** A column's prior spellings, for per-file stat resolution in the
     * pushed-aggregate/top-k readers. Empty for never-renamed columns. */
   private def chainOf(name: String): Seq[String] =
-    fullSchema.fields.find(_.name == name)
+    if (name.indexOf('.') >= 0) Nil // dotted paths push only when chain-free
+    else fullSchema.fields.find(_.name == name)
       .map(graft.format.Evolution.prevNames).getOrElse(Nil)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
@@ -1224,31 +1225,56 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     // files record stats under an old spelling and the per-file reader
     // resolves through the chain, so aggregates keep answering from
     // footers across DDL
+    // dotted = a struct leaf: answered from the footer's nestedStats
+    // (v4 zone maps carry min/max/nulls/sums for statable leaves at any
+    // depth). Renamed dotted paths decline — the per-file chain
+    // resolution below is single-level; nested renames are rare enough
+    // that a full scan is the honest answer there.
+    def dottedChainFree(name: String): Boolean = {
+      def walk(st: StructType, parts: List[String]): Boolean = parts match {
+        case Nil => true
+        case h :: rest => st.fields.find(_.name == h).exists(f =>
+          !graft.format.Evolution.renamed(f) && (f.dataType match {
+            case c: StructType => walk(c, rest)
+            case _ => rest.isEmpty
+          }))
+      }
+      walk(fullSchema, name.split('.').toList)
+    }
+    def leafOf(name: String): Option[DataType] =
+      if (name.indexOf('.') < 0) fullSchema.fields.find(_.name == name).map(_.dataType)
+      else if (dottedChainFree(name)) graft.format.Stats.leafType(fullSchema, name)
+      else None
     def statType(name: String): Boolean =
-      fullSchema.fields.find(_.name == name).exists(_.dataType match {
+      leafOf(name).exists {
         case ByteType | ShortType | IntegerType | LongType | DateType |
              TimestampType | TimestampNTZType | BooleanType => true
         case _ => false
-      })
+      }
     // footer sums wrap mod 2^64; under ANSI Spark must raise on long
     // overflow instead, so integral SUM stays unpushed there
     def sumIntegral(name: String): Option[Boolean] =
-      fullSchema.fields.find(_.name == name).map(_.dataType).flatMap {
+      leafOf(name).flatMap {
         case ByteType | ShortType | IntegerType | LongType =>
           if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) None else Some(true)
         case FloatType | DoubleType => Some(false)
         case _ => None
       }
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
-      case f: org.apache.spark.sql.connector.expressions.NamedReference
-          if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+      case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+        Some(f.fieldNames().mkString("."))
       case _ => None
     }
     val specs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => GraftCountStar
       case c: Count if !c.isDistinct =>
-        // COUNT(col) = numRows - nullCount, both footer-recorded
-        colOf(c.column).filter(fullSchema.fieldNames.contains)
+        // COUNT(col) = numRows - nullCount, both footer-recorded.
+        // Dotted leaves restrict to statable types: non-statable leaves
+        // (strings, nested structs) have no nestedStats entry, which the
+        // reader cannot tell apart from an all-null added leaf.
+        colOf(c.column).filter(n =>
+            if (n.indexOf('.') < 0) fullSchema.fieldNames.contains(n)
+            else statType(n))
           .map(n => GraftCountCol(n, chainOf(n))).getOrElse(return false)
       case m: Min => colOf(m.column).filter(statType)
         .map(n => GraftMinSpec(n, chainOf(n))).getOrElse(return false)
@@ -1276,8 +1302,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     aggSchema = StructType(specs.map {
       case GraftCountStar => StructField("count(*)", LongType, nullable = false)
       case GraftCountCol(c, _) => StructField(s"count($c)", LongType, nullable = false)
-      case GraftMinSpec(c, _) => StructField(s"min($c)", fullSchema(c).dataType)
-      case GraftMaxSpec(c, _) => StructField(s"max($c)", fullSchema(c).dataType)
+      case GraftMinSpec(c, _) => StructField(s"min($c)", leafOf(c).get)
+      case GraftMaxSpec(c, _) => StructField(s"max($c)", leafOf(c).get)
       case GraftSumSpec(c, integral, _) =>
         StructField(s"sum($c)", if (integral) LongType else DoubleType)
     })
@@ -1870,20 +1896,38 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
           def chunkIdxOf(t: Meta.TableMeta, col: String, prev: Seq[String]): Option[Int] =
             (col +: prev).iterator.map(n => t.schema.fieldNames.indexOf(n))
               .find(_ >= 0)
+          // the chunk's stats for `col`: top-level by (chain-resolved)
+          // schema index, DOTTED struct leaves from the footer's
+          // nestedStats. None = the column/leaf provably reads all-null
+          // in this chunk (pre-ADD file). A file that HAS the leaf but
+          // carries no nested stats refuses loudly — a silent all-null
+          // answer there would be wrong data, not a degraded plan.
+          def statsOf(t: Meta.TableMeta, col: String,
+              prev: Seq[String]): Option[graft.format.ColStats] =
+            if (col.indexOf('.') >= 0) t.nestedStats.get(col) match {
+              case s @ Some(_) => s
+              case None =>
+                if (Stats.leafType(t.schema, col).isDefined)
+                  throw new OliveFormatException(
+                    s"file carries leaf $col but no nested stats — " +
+                      "cannot answer a pushed aggregate from this footer")
+                else None // leaf absent from this file's struct: all-null
+            }
+            else chunkIdxOf(t, col, prev).map(t.stats)
           def minMax(col: String, prev: Seq[String], wantMax: Boolean): Any = {
             if (gp.partValues.contains(col) &&
-                !chunks.headOption.exists(t => chunkIdxOf(t, col, prev).isDefined))
+                !chunks.headOption.exists(t => statsOf(t, col, prev).isDefined))
               return org.apache.spark.unsafe.types.UTF8String.fromString(gp.partValues(col))
             val longs = chunks.flatMap { t =>
-              chunkIdxOf(t, col, prev).flatMap { idx =>
-                val stat = if (wantMax) t.stats(idx).max else t.stats(idx).min
+              statsOf(t, col, prev).flatMap { cs =>
+                val stat = if (wantMax) cs.max else cs.min
                 if (t.numRows == 0) None
                 else stat match {
                   case Some(b) => Some(Stats.longOf(b))
                   case None =>
                     // stats exist for every accepted type unless the chunk
                     // is all-null (null partial is correct then)
-                    if (t.stats(idx).nullCount == t.numRows) None // all-null chunk
+                    if (cs.nullCount == t.numRows) None // all-null chunk
                     else throw new OliveFormatException(
                       s"chunk lacks $col stats for pushed aggregate")
                 }
@@ -1905,8 +1949,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
           val values: Array[Any] = specs.map {
             case GraftCountStar => chunks.map(_.numRows.toLong).sum
             case GraftCountCol(c, prev) => chunks.map { t =>
-              chunkIdxOf(t, c, prev) match {
-                case Some(idx) => t.numRows.toLong - t.stats(idx).nullCount
+              statsOf(t, c, prev) match {
+                case Some(cs) => t.numRows.toLong - cs.nullCount
                 case None if gp.partValues.contains(c) => t.numRows.toLong // path constant: never null
                 case None => 0L // pre-ADD file or schema drift: all null
               }
@@ -1919,8 +1963,7 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
               // nothing; zero contributing chunks => null partial, the
               // SQL sum-of-no-rows
               val parts = chunks.flatMap { t =>
-                chunkIdxOf(t, c, prev).flatMap { idx =>
-                  val st = t.stats(idx)
+                statsOf(t, c, prev).flatMap { st =>
                   st.sum match {
                     case Some(b) => Some(Stats.longOf(b))
                     case None =>

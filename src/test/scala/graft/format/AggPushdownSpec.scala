@@ -121,4 +121,38 @@ class AggPushdownSpec extends SparkSpec {
         sum("id"), sum("i"), sum("l_null"))
     assert(canon(agg(g)) == canon(agg(p)))
   }
+
+  test("nested struct leaves answer MIN/MAX/COUNT/SUM from nested zone maps") {
+    val dir = Files.createTempDirectory("graft-aggnest").toString
+    // struct-null every 11th row: nested nullCount must cover them
+    spark.range(0, 20000).select(
+      col("id"),
+      when(col("id") % 11 === 0, null).otherwise(struct(
+        (col("id") * 2).as("w"),
+        concat(lit("s"), col("id")).as("s"),
+        (col("id") * 1.5).as("d"))).as("m"))
+      .repartition(3)
+      .write.format("graft").option("chunkrows", "4000").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val nn = (0 until 20000).count(_ % 11 != 0) // non-struct-null rows
+    val df = g.agg(min("m.w").as("mn"), max("m.w").as("mx"),
+      count(col("m.w")).as("n"), sum("m.d").as("sd"))
+    assert(plan(df).contains("pushedAggs="), plan(df))
+    val r = df.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 39998L) // id=0 is struct-null
+    assert(r.getLong(2) == nn.toLong)
+    assert(math.abs(r.getDouble(3) -
+      1.5 * (0 until 20000).filter(_ % 11 != 0).map(_.toLong).sum) < 1e-3)
+    // non-statable leaf types decline (a missing nestedStats entry is
+    // indistinguishable from an all-null added leaf)
+    val s = g.agg(max("m.s"))
+    assert(!plan(s).contains("pushedAggs="), plan(s))
+    assert(s.head.getString(0) == "s9998") // s9999 is struct-null (9999 % 11 == 0)
+    // values agree with the unpushed answer over the same data
+    val pq = Files.createTempDirectory("graft-aggnestpq").toString
+    g.write.mode("overwrite").parquet(pq)
+    val p = spark.read.parquet(pq)
+    def a(x: DataFrame) = x.agg(min("m.w"), max("m.w"), count(col("m.w")), sum("m.d"))
+    assert(canon(a(g)) == canon(a(p)))
+  }
 }
