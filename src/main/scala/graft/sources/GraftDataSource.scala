@@ -551,7 +551,8 @@ object GraftDataSource {
     * concurrent ANALYZE racing this loses nothing worse than one
     * append's delta, which the next ANALYZE recomputes anyway. */
   private[sources] def mergeAppendStats(conf: Configuration, dir: String,
-      table: String, messages: Array[WriterCommitMessage]): Unit = {
+      table: String, messages: Array[WriterCommitMessage],
+      accrueCounts: Boolean = true): Unit = {
     val msgs = messages.collect { case m: GraftCommitMessage => m }
     if (!msgs.exists(_.statDeltas.nonEmpty)) return
     readColStats(conf, dir, table).foreach { a =>
@@ -564,7 +565,9 @@ object GraftDataSource {
             val hi = d.range.map(_._2)
             name -> c.copy(
               ndv = math.max(c.ndv, ndv),
-              nullCount = c.nullCount + d.nulls,
+              // count accrual is NOT retry-safe (a replayed streaming
+              // epoch would double-bill); sketch/min/max are sets
+              nullCount = if (accrueCounts) c.nullCount + d.nulls else c.nullCount,
               sketch = Some(merged),
               min = (c.min, lo) match {
                 case (Some(m: Long), Some(l)) => Some(math.min(m, l): Any)
@@ -579,12 +582,17 @@ object GraftDataSource {
           case _ => name -> c
         }
       }
-      val bytesNow = listPartitionedSized(conf, dir).map(_._2).sum
-      writeColStats(conf, dir, table, a.copy(
-        rows = a.rows + msgs.map(_.rows).sum,
-        exact = false,
-        cols = cols,
-        bytes = bytesNow))
+      if (accrueCounts) {
+        val bytesNow = listPartitionedSized(conf, dir).map(_._2).sum
+        writeColStats(conf, dir, table, a.copy(
+          rows = a.rows + msgs.map(_.rows).sum,
+          exact = false,
+          cols = cols,
+          bytes = bytesNow))
+      } else
+        // rows/bytes stay anchored: the scan keeps extrapolating row
+        // counts by byte growth while NDV/min/max stay exactly fresh
+        writeColStats(conf, dir, table, a.copy(exact = false, cols = cols))
     }
   }
 
@@ -2444,16 +2452,28 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
           GraftDataSource.positiveIntOption(options, "chunkrows", GraftBatchWrite.DefaultChunkRows),
           partCols, new SerializableConfiguration(GraftDataSource.sessionConf()), bloomCols,
           Option(options.get("tables"))
-            .map(GraftDataSource.parseTableSplits(_, info.schema())))
+            .map(GraftDataSource.parseTableSplits(_, info.schema())),
+          sketchCols = GraftDataSource.readColStats(GraftDataSource.sessionConf(),
+            dir, Option(options.get("table")).getOrElse("data")).toSeq
+            .flatMap(_.cols.collect { case (n, c) if c.sketch.isDefined => n }))
       }
       /** Every epoch gets the appender's race guard: the data dir was
         * pinned at query start, and a compaction swinging the pointer
         * mid-stream would otherwise strand every later epoch's files in
         * the superseded generation — invisible rows from a sink that
         * committed successfully. */
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-        GraftDataSource.ensureAppendVisibility(GraftDataSource.sessionConf(), dir,
-          epochDataDir, messages)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        val c = GraftDataSource.sessionConf()
+        GraftDataSource.ensureAppendVisibility(c, dir, epochDataDir, messages)
+        // stats maintenance, RETRY-SAFE subset only: sketch union and
+        // min/max extension are set-semantics (a replayed epoch merges
+        // the same values again, changing nothing), but row/null-count
+        // accrual would double-bill on an epoch retry — those stay with
+        // byte-ratio extrapolation
+        GraftDataSource.mergeAppendStats(c, dir,
+          Option(options.get("table")).getOrElse("data"), messages,
+          accrueCounts = false)
+      }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
     }
   }
@@ -2463,19 +2483,21 @@ class GraftStreamingWriterFactory(dir: String, schema: StructType, table: String
     pageSize: Int, bias: String, chunkRows: Int, partCols: Seq[String],
     conf: SerializableConfiguration,
     bloomCols: Seq[String] = Seq.empty,
-    tableSplits: Option[Seq[(String, Seq[Int])]] = None) extends StreamingDataWriterFactory {
+    tableSplits: Option[Seq[(String, Seq[Int])]] = None,
+    sketchCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val name = Some(f"epoch-$epochId%08d-part-$partitionId%05d.graft")
     if (partCols.isEmpty)
       new GraftDataWriter(dir, schema, table, pageSize, bias, chunkRows,
         conf.value, partitionId, taskId, fixedName = name, bloomCols = bloomCols,
-        tableSplits = tableSplits)
+        tableSplits = tableSplits, sketchCols = sketchCols)
     else
       // streaming ingest straight into the hive layout the scan prunes;
       // names stay deterministic per (epoch, partition) within each k=v
       // dir, so epoch retries overwrite there too
       new GraftPartitionedDataWriter(dir, schema, table, pageSize, bias, chunkRows,
-        partCols, conf.value, partitionId, taskId, fixedName = name, bloomCols = bloomCols)
+        partCols, conf.value, partitionId, taskId, fixedName = name,
+        bloomCols = bloomCols, sketchCols = sketchCols.filterNot(partCols.contains))
   }
 }
 

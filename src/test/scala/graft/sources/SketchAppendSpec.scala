@@ -96,6 +96,38 @@ class SketchAppendSpec extends SparkSpec {
       "an overwrite must not leave a sidecar describing vanished rows")
   }
 
+  test("streaming appends merge the RETRY-SAFE subset: NDV/min/max fresh, counts anchored") {
+    val dir = freshDir()
+    spark.range(0, 1000).selectExpr("id", "concat('k', CAST(id % 50 AS STRING)) AS label")
+      .write.format("graft").mode("overwrite").save(dir)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    val before = sidecar(dir)
+    // stream 500 NEW ids into the analyzed table through the graft sink
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Long]
+    src.addData(1000L until 1500L: _*)
+    val ck = Files.createTempDirectory("graft-sketch-ck").toString
+    val q = src.toDF().selectExpr("value AS id",
+        "concat('k', CAST(value % 50 AS STRING)) AS label")
+      .writeStream.format("graft").option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination(60000)
+    q.stop()
+    val after = sidecar(dir)
+    // sketch union is set-semantics: NDV reflects the streamed ids
+    assert(math.abs(after.cols("id").ndv - 1500) <= 30,
+      s"streamed NDV must merge: ${after.cols("id").ndv}")
+    assert(after.cols("id").max.contains(1499L))
+    // counts stay ANCHORED (epoch retries would double-bill them): rows
+    // keep extrapolating by byte growth instead
+    assert(after.rows == before.rows && after.bytes == before.bytes)
+    assert(after.cols("label").nullCount == before.cols("label").nullCount)
+    assert(spark.read.format("graft").load(dir).count() == 1500L)
+  }
+
   test("un-analyzed tables pay nothing: no sidecar, no deltas in messages") {
     val dir = freshDir()
     write(dir, "overwrite", 0, 100)
