@@ -215,7 +215,11 @@ object TextOps {
     * theoretical tail, ~0 at m ≤ 16). Buckets at or under the cap are
     * untouched: salt is the 0 literal there, so un-skewed corpora (and
     * the q35/q35b/q35c oracles) produce bit-identical pairs. */
-  private[operators] def saltHotBuckets(bands: DataFrame, cap: Int): DataFrame = {
+  private[operators] def saltHotBuckets(bands0: DataFrame, cap: Int): DataFrame = {
+    // the band table feeds BOTH the hot-set aggregation and the
+    // join-back — checkpoint it or the upstream tokenize+signature
+    // pipeline runs twice
+    val bands = bands0.localCheckpoint()
     // the hot set is tiny by construction (only buckets > cap) — one
     // aggregation finds it, a broadcast joins it back
     val hot = bands.groupBy(col("band"), col("bh"))
