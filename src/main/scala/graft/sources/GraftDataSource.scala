@@ -530,17 +530,21 @@ object GraftDataSource {
     * advisory, so the read-modify-write here tolerates a concurrent
     * ANALYZE racing it (last writer wins; both outcomes are sound). */
   private[graft] def recordChurn(s: org.apache.spark.sql.SparkSession,
-      dir: String, table: String, bytes: Long): Unit = {
-    if (bytes <= 0) return
-    val conf = s.sparkContext.hadoopConfiguration
-    readColStats(conf, dir, table).foreach { a =>
-      val bumped = a.copy(churnedBytes = a.churnedBytes + bytes)
-      if (bumped.churnFraction > statsChurnThreshold && autoReanalyze)
-        try graft.operators.FormatOps.analyzeTable(s, dir, table, exact = a.exact)
-        catch { case _: Exception => writeColStats(conf, dir, table, bumped) }
-      else writeColStats(conf, dir, table, bumped)
-    }
-  }
+      dir: String, table: String, bytes: Long): Unit =
+    // runs AFTER the DML committed: a stats bookkeeping failure must
+    // never fail the operation (worst case the counter under-bills and
+    // the next ANALYZE resets it anyway)
+    try {
+      if (bytes <= 0) return
+      val conf = s.sparkContext.hadoopConfiguration
+      readColStats(conf, dir, table).foreach { a =>
+        val bumped = a.copy(churnedBytes = a.churnedBytes + bytes)
+        if (bumped.churnFraction > statsChurnThreshold && autoReanalyze)
+          try graft.operators.FormatOps.analyzeTable(s, dir, table, exact = a.exact)
+          catch { case _: Exception => writeColStats(conf, dir, table, bumped) }
+        else writeColStats(conf, dir, table, bumped)
+      }
+    } catch { case _: Exception => }
 
   /** APPEND half of the stats lifecycle: union the writer tasks' HLL
     * deltas into the sidecar, keeping NDV (the one statistic byte-ratio
@@ -552,7 +556,7 @@ object GraftDataSource {
     * append's delta, which the next ANALYZE recomputes anyway. */
   private[sources] def mergeAppendStats(conf: Configuration, dir: String,
       table: String, messages: Array[WriterCommitMessage],
-      accrueCounts: Boolean = true): Unit = {
+      accrueCounts: Boolean = true): Unit = try {
     val msgs = messages.collect { case m: GraftCommitMessage => m }
     if (!msgs.exists(_.statDeltas.nonEmpty)) return
     readColStats(conf, dir, table).foreach { a =>
@@ -594,28 +598,36 @@ object GraftDataSource {
         // counts by byte growth while NDV/min/max stay exactly fresh
         writeColStats(conf, dir, table, a.copy(exact = false, cols = cols))
     }
-  }
+    // runs AFTER the append's files are visible: the data is committed,
+    // so advisory stats maintenance must never fail the job (a racing
+    // rewrite can invalidate the listing mid-merge; the delta is simply
+    // dropped and NDV degrades to the next ANALYZE, never wrong data)
+  } catch { case _: Exception => }
 
   /** After a row-PRESERVING rewrite (compaction, clustering): the rows
     * and column stats still describe the table exactly, but the on-disk
     * bytes the staleness extrapolation anchors on just changed shape.
     * Re-anchor bytes and generation so a 2× compaction doesn't halve
     * every row estimate. */
-  private[graft] def rebaseStatsBytes(conf: Configuration, dir: String): Unit = {
-    val bytes = listPartitionedSized(conf, dir).map(_._2).sum
-    val gen = readGenPointer(conf, dir)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val prefix = ".colstats_"
-    val sidecars = try fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
-    catch { case _: Exception => Seq.empty }
-    sidecars.foreach { n =>
-      val table = n.substring(prefix.length, n.length - ".json".length)
-      readColStats(conf, dir, table).foreach(a =>
-        writeColStats(conf, dir, table, a.copy(bytes = bytes, gen = gen)))
-    }
-  }
+  private[graft] def rebaseStatsBytes(conf: Configuration, dir: String): Unit =
+    // ADVISORY metadata: a concurrent append re-homing files mid-listing
+    // can race this (FileNotFound on a just-renamed file) — skipping the
+    // rebase is always sound (extrapolation just stays byte-anchored at
+    // the pre-compaction listing), failing the compaction is not
+    try {
+      val bytes = listPartitionedSized(conf, dir).map(_._2).sum
+      val gen = readGenPointer(conf, dir)
+      val root = new Path(dir)
+      val fs = root.getFileSystem(conf)
+      val prefix = ".colstats_"
+      val sidecars = fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+      sidecars.foreach { n =>
+        val table = n.substring(prefix.length, n.length - ".json".length)
+        readColStats(conf, dir, table).foreach(a =>
+          writeColStats(conf, dir, table, a.copy(bytes = bytes, gen = gen)))
+      }
+    } catch { case _: Exception => }
 
   private val colStatsCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Option[graft.format.Stats.TableAnalysis]](
