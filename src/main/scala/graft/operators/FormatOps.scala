@@ -2205,6 +2205,99 @@ object FormatOps {
       |  round(sum(o_totalprice), 4) AS total
       |FROM orders""".stripMargin
 
+  // ---- q142: decimal widening over mixed files (exact money math) -----------
+  // Pre-widen files store DECIMAL(12,2) as unscaled i64; the ALTER grows
+  // digits AND scale to DECIMAL(24,4) (post-widen files store 16-byte
+  // binary); one exact SUM over the mixed physical forms hash-gates the
+  // promotion path — any rounding in the rescale, or a wrong unscaled
+  // interpretation on either side of the i64/binary boundary, shifts the
+  // 4-decimal total. DuckDB recomputes in its own exact decimal domain.
+  private val q142: Q = (s, d) => {
+    val root = graftDir(d, "decimal_widen")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_dw", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dw.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dw.db")
+    s.sql("CREATE TABLE graft_dw.db.t (k BIGINT, amt DECIMAL(12,2)) USING graft")
+    Tables.orders(s, d).createOrReplaceTempView("q142_src")
+    s.sql("""INSERT INTO graft_dw.db.t
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM q142_src WHERE o_orderkey % 2 = 0""")
+    s.sql("ALTER TABLE graft_dw.db.t ALTER COLUMN amt TYPE DECIMAL(24,4)")
+    s.sql("""INSERT INTO graft_dw.db.t
+      SELECT o_orderkey,
+        CAST(o_totalprice AS DECIMAL(24,4)) + CAST(111111111111.1111 AS DECIMAL(24,4))
+      FROM q142_src WHERE o_orderkey % 2 = 1""")
+    s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(amt) AS DECIMAL(38,4)) AS total,
+      CAST(min(amt) AS DECIMAL(38,4)) AS mn,
+      CAST(max(amt) AS DECIMAL(38,4)) AS mx
+      FROM graft_dw.db.t""")
+  }
+  private val q142Sql =
+    """WITH t AS (
+      |  SELECT CASE WHEN o_orderkey % 2 = 0
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(24,4))
+      |    ELSE CAST(o_totalprice AS DECIMAL(24,4)) + CAST(111111111111.1111 AS DECIMAL(24,4))
+      |  END AS amt FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amt) AS DECIMAL(38,4)) AS total,
+      |  CAST(min(amt) AS DECIMAL(38,4)) AS mn,
+      |  CAST(max(amt) AS DECIMAL(38,4)) AS mx
+      |FROM t""".stripMargin
+
+  // ---- q143: ADD COLUMN absence pruning — the pre-DDL tail unschedules ------
+  // Files written before an ADD COLUMN provably read the new column as
+  // all-null, so a comparison filter on it must not schedule them AT ALL
+  // (asserted from the physical plan's input partitions): on a 100 TB
+  // table a filter on a freshly added column scans only the post-DDL
+  // slice, not the archive. Rows oracle-gated.
+  private val q143: Q = (s, d) => {
+    val root = graftDir(d, "add_prune")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_ap", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_ap.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ap.db")
+    s.sql("CREATE TABLE graft_ap.db.t (k BIGINT, tp DOUBLE) USING graft")
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("tp"))
+    src.filter(col("k") % 2 === 0)
+      .repartitionByRange(6, col("k")).sortWithinPartitions("k")
+      .writeTo("graft_ap.db.t").append()
+    // a tiny DML writes the stats-carrying manifest: PLANNING-time
+    // pruning consumes per-file schemas from it (plain appends leave
+    // no manifest; executor-side absence skips would still engage, but
+    // the point here is zero tasks for the pre-DDL tail)
+    updateWhere(s, s"$root/db", "t",
+      set = Map("tp" -> col("tp")), where = col("k") === 2L)
+    s.sql("ALTER TABLE graft_ap.db.t ADD COLUMN batch_tag BIGINT")
+    src.filter(col("k") % 2 === 1)
+      .withColumn("batch_tag", col("k") % 5).repartition(2)
+      .writeTo("graft_ap.db.t").append()
+    val sel = s.table("graft_ap.db.t").filter(col("batch_tag") === 3L)
+    val scheduled = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten
+    // ≤3: the two post-ADD files plus the one file the manifest-creating
+    // DML itself rewrote (a rewrite's own output is manifest-uncovered)
+    require(scheduled.size <= 3,
+      s"q143: pre-ADD files must unschedule on a new-column comparison " +
+        s"(scheduled ${scheduled.size})")
+    s.table("graft_ap.db.t")
+      .groupBy(col("batch_tag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("tp")), 4).as("total"))
+      .orderBy(col("batch_tag"))
+  }
+  private val q143Sql =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 5 END AS batch_tag,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY 1 ORDER BY batch_tag""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2477,6 +2570,8 @@ object FormatOps {
     "q138_stats_churn" -> q138,
     "q139_histogram_cbo" -> q139,
     "q141_rename_prune" -> q141,
+    "q142_decimal_widen" -> q142,
+    "q143_add_column_prune" -> q143,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2517,6 +2612,8 @@ object FormatOps {
     "q138_stats_churn" -> q138Sql,
     "q139_histogram_cbo" -> q139Sql,
     "q141_rename_prune" -> q141Sql,
+    "q142_decimal_widen" -> q142Sql,
+    "q143_add_column_prune" -> q143Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
