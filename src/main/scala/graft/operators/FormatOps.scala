@@ -2212,6 +2212,12 @@ object FormatOps {
   // promotion path — any rounding in the rescale, or a wrong unscaled
   // interpretation on either side of the i64/binary boundary, shifts the
   // 4-decimal total. DuckDB recomputes in its own exact decimal domain.
+  // The decimal inputs are string-assembled from integer digits, never
+  // cast from the DOUBLE o_totalprice: DOUBLE->DECIMAL rounding at a
+  // scale finer than the source's 2 decimals exposes the binary
+  // representation error and is engine/version-dependent (the r12
+  // driver-vs-local hash split); string->DECIMAL parsing is exact in
+  // every engine.
   private val q142: Q = (s, d) => {
     val root = graftDir(d, "decimal_widen")
     deleteDirQuietly(s, root)
@@ -2221,12 +2227,16 @@ object FormatOps {
     s.sql("CREATE TABLE graft_dw.db.t (k BIGINT, amt DECIMAL(12,2)) USING graft")
     Tables.orders(s, d).createOrReplaceTempView("q142_src")
     s.sql("""INSERT INTO graft_dw.db.t
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+      SELECT o_orderkey,
+        CAST(concat(CAST(o_orderkey AS STRING), '.',
+                    lpad(CAST(o_orderkey % 97 AS STRING), 2, '0')) AS DECIMAL(12,2))
       FROM q142_src WHERE o_orderkey % 2 = 0""")
     s.sql("ALTER TABLE graft_dw.db.t ALTER COLUMN amt TYPE DECIMAL(24,4)")
     s.sql("""INSERT INTO graft_dw.db.t
       SELECT o_orderkey,
-        CAST(o_totalprice AS DECIMAL(24,4)) + CAST(111111111111.1111 AS DECIMAL(24,4))
+        CAST(concat(CAST(o_orderkey AS STRING), '.',
+                    lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(24,4))
+          + CAST(111111111111.1111 AS DECIMAL(24,4))
       FROM q142_src WHERE o_orderkey % 2 = 1""")
     s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
       CAST(sum(amt) AS DECIMAL(38,4)) AS total,
@@ -2237,8 +2247,11 @@ object FormatOps {
   private val q142Sql =
     """WITH t AS (
       |  SELECT CASE WHEN o_orderkey % 2 = 0
-      |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(24,4))
-      |    ELSE CAST(o_totalprice AS DECIMAL(24,4)) + CAST(111111111111.1111 AS DECIMAL(24,4))
+      |    THEN CAST(CAST(concat(CAST(o_orderkey AS STRING), '.',
+      |           lpad(CAST(o_orderkey % 97 AS STRING), 2, '0')) AS DECIMAL(12,2)) AS DECIMAL(24,4))
+      |    ELSE CAST(concat(CAST(o_orderkey AS STRING), '.',
+      |           lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(24,4))
+      |         + CAST(111111111111.1111 AS DECIMAL(24,4))
       |  END AS amt FROM orders)
       |SELECT CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(amt) AS DECIMAL(38,4)) AS total,

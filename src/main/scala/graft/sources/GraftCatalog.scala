@@ -372,8 +372,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * data file is ever rewritten by DDL (see [[graft.format.Evolution]]
     * for the rename-chain / tombstone / widen model):
     *
-    *  - ADD COLUMN appends at the end (FIRST/AFTER refused); older files
-    *    read the new column as nulls.
+    *  - ADD COLUMN appends at the end by default, or at a declared
+    *    position via FIRST/AFTER (top-level and nested, see [[insertAt]]);
+    *    older files read the new column as nulls.
     *  - RENAME COLUMN records the prior spelling in the field's rename
     *    chain; the reader maps old files through it, new writes use the
     *    new name, so the rename heals physically with every rewrite.
