@@ -878,20 +878,64 @@ object Generations {
     * prune. Each record carries a fresh-or-reused statsJson so the next
     * manifest keeps the zero-I/O property (files are immutable, stats
     * never go stale). A corrupt/legacy stats field falls back to the
-    * footer probe — never a wrong skip. */
+    * footer probe — never a wrong skip.
+    *
+    * Prune filters name columns by their CURRENT (declared) spellings,
+    * but a pre-rename file records stats under the old spelling — each
+    * probe translates through the marker's rename chains per file (the
+    * exact contract of the scan's manifest sweep and executor reader),
+    * and a column the file provably PREDATES reads as all-null there, so
+    * a null-never-matches conjunct carries the file untouched. Without
+    * this, a keyed DELETE after a RENAME classifies every pre-rename
+    * file as a candidate and a 1-row DML rewrites the whole archive.
+    * Partition and `_file` columns never count as absent (their values
+    * come from the path); no marker (plain-dir table, DDL impossible)
+    * means identity translation — today's behavior. */
   private[sources] def classifyForDml(conf: Configuration, root: Path,
       listed: Seq[(Path, Long, Map[String, String])], table: String,
       pruneFilters: Option[Seq[graft.format.Stats.Prune]], dir: String,
       manifestStatsOverride: Option[Map[String, String]] = None): Seq[DmlFile] = {
-    def mustRewrite(metas: Seq[graft.format.Meta.TableMeta]): Boolean =
+    import graft.format.{Evolution, Stats}
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      if (pruneFilters.forall(_.isEmpty)) None // nothing to translate
+      else GraftDataSource.markerSchemaAt(conf, dir, table).map(Evolution.visible)
+    // one conjunct proves the skip for one chunk, in the FILE's spellings
+    def skipProven(p: Stats.Prune, t: graft.format.Meta.TableMeta,
+        partCols: Set[String]): Boolean = declared match {
+      case None => Stats.canSkipChunkPrune(p, t)
+      case Some(dec) => p match {
+        case Stats.FilterPrune(sf) =>
+          val (tfs, abs0) = Evolution.translateFilters(Array(sf), dec, t.schema)
+          val abs = abs0 -- partCols - GraftDataSource.FileColName
+          Stats.canSkipAbsent(tfs.head, abs) ||
+            Stats.canSkipChunkPrune(Stats.FilterPrune(tfs.head), t)
+        case kr: Stats.InKeyRange =>
+          Evolution.fileAttrName(dec, t.schema, kr.attribute) match {
+            case Some(n) =>
+              Stats.canSkipChunkPrune(
+                if (n == kr.attribute) kr else kr.copy(attribute = n), t)
+            case None =>
+              // declared leaf the file predates (and not a path-valued
+              // column): its keys read all-null there, and null is never
+              // in the removed set; unknown attrs stay unprovable
+              (Stats.leafType(dec, kr.attribute).isDefined &&
+                !partCols.contains(kr.attribute) &&
+                kr.attribute != GraftDataSource.FileColName) ||
+                Stats.canSkipChunkPrune(kr, t)
+          }
+      }
+    }
+    def mustRewrite(metas: Seq[graft.format.Meta.TableMeta],
+        partCols: Set[String]): Boolean =
       pruneFilters match {
         case Some(fls) if fls.nonEmpty =>
-          !fls.exists(f => metas.forall(t => graft.format.Stats.canSkipChunkPrune(f, t)))
+          !fls.exists(f => metas.forall(t => skipProven(f, t, partCols)))
         case _ => true
       }
     val manifestStats = manifestStatsOverride
       .getOrElse(GraftDataSource.liveCarryStats(conf, dir))
-    GraftDataSource.inParallel(listed) { case (p, size, _) =>
+    GraftDataSource.inParallel(listed) { case (p, size, parts) =>
+      val partCols = parts.keySet
       def footer(): Seq[graft.format.Meta.TableMeta] = {
         val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
         try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
@@ -901,13 +945,13 @@ object Generations {
         val mine = full.filter(_.name == table)
         DmlFile(p, size, full.map(_.name).distinct, mine,
           graft.format.Stats.statsToJson(full),
-          mine.nonEmpty && mustRewrite(mine))
+          mine.nonEmpty && mustRewrite(mine, partCols))
       }
       val rel = GraftDataSource.relativePath(root, p)
       manifestStats.get(rel).flatMap(graft.format.Stats.statsFromJson) match {
         case Some(all) =>
           val mine = all.filter(_.name == table)
-          if (mine.nonEmpty && mustRewrite(mine)) fromFooter() // bloom pass
+          if (mine.nonEmpty && mustRewrite(mine, partCols)) fromFooter() // bloom pass
           else DmlFile(p, size, all.map(_.name).distinct, mine,
             manifestStats(rel), candidate = false)
         case None => fromFooter()
