@@ -416,6 +416,7 @@ object GraftDataSource {
       val cached = parsedStatsCache.get(key)
       if (cached != null) cached
       else {
+        manifestParses.incrementAndGet()
         val raw = readCarryManifestFull(fs, p)
           .flatMap { case (rel, _, js) => js.map(rel -> _) }
         val parsed = inParallel(raw) { case (rel, js) =>
@@ -426,6 +427,9 @@ object GraftDataSource {
       }
     }
   }
+  /** Cache-miss counter for [[parsedCarryStats]] — planning the same live
+    * view twice must parse the manifest once (PlanningSoakSpec). */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
   private val parsedStatsCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Map[String, Seq[graft.format.Meta.TableMeta]]](
         64, 0.75f, true) {
