@@ -22,7 +22,7 @@ object SizeAudit {
       case UnsignedMeta(_, _, values) => bufBytes(values)
       case ReeMeta(_, ends, values) => bufBytes(ends) + bufBytes(values)
       case PrimDictMeta(_, _, _, entries, indices) => bufBytes(entries) + bufBytes(indices)
-      case DeltaMeta(_, _, _, deltas) => bufBytes(deltas)
+      case DeltaMeta(_, _, _, deltas, _) => bufBytes(deltas)
       case ScaledMeta(_, _, inner) => colBytes(inner)
       case UnsignedPackedMeta(_, _, inner) => colBytes(inner)
       case BitPackMeta(_, _, _, values) => bufBytes(values)

@@ -555,8 +555,12 @@ private[format] object MeasuredWrite {
         last = v
         i += 1
       }
-      DeltaMeta(writeValidity(), vals(0), deltaW.toByte,
-        sink.writeBuffer(out.array, out.size, sink.valuesCodec, deltaW))
+      val bm = sink.writeBuffer(out.array, out.size, sink.valuesCodec, deltaW)
+      // per-page running bases (footer v5): the value at each page's LAST
+      // element — a mid-range read resumes the prefix sum at the first
+      // overlapping page instead of replaying from 0 (Reader.expandDeltaFrom)
+      DeltaMeta(writeValidity(), vals(0), deltaW.toByte, bm,
+        bm.pages.map(p => vals(p.rowEnd - 1)))
     } else if (forBytes == best) {
       // frame-of-reference: base + unsigned narrow deltas
       val out = new Bytes(n * forW)

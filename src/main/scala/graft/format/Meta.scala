@@ -27,7 +27,7 @@ object Meta {
     * every ColStats record. The footer is parsed positionally, so a
     * version mismatch must fail AS a version mismatch, not as garbled
     * trailing fields. */
-  val Version = 4
+  val Version = 5 // v5: DeltaMeta carries per-page running bases
 
   /** 10^0 .. 10^18 as LITERAL doubles (all exactly representable: 5^18
     * needs 42 mantissa bits). Shared by the scaled-float writer verify and
@@ -114,10 +114,14 @@ object Meta {
   /** Delta encoding for integral columns whose CONSECUTIVE differences
     * are narrow (sorted/clustered keys, timestamps in arrival order):
     * `first` + n zigzag-encoded `width`-byte deltas (delta[0] == 0).
-    * Prefix-decodable (cumulative sum), so pushed limits still work;
-    * mid-range reads pay a full-buffer read for this one encoding. */
+    * Prefix-decodable (cumulative sum). `pageBases` (footer v5) records
+    * the running value at each page's LAST element, aligned with
+    * `deltas.pages`, so a mid-range read resumes the sum at the first
+    * overlapping page instead of replaying the stream from 0 — the
+    * natural delta targets (sorted long keys) are exactly the columns
+    * selective range reads hit. Empty = pre-v5 fallback (full replay). */
   case class DeltaMeta(validity: Option[BufferMeta], first: Long, width: Byte,
-      deltas: BufferMeta) extends ColMeta
+      deltas: BufferMeta, pageBases: Vector[Long] = Vector.empty) extends ColMeta
   /** ALP-style decimal scaling for float/double columns (the public
     * technique behind DuckDB's ALP: most "real" doubles are short
     * decimals): values verified bit-exact as `m / 10^exponent` store the
@@ -277,9 +281,10 @@ object Meta {
     case PrimDictMeta(v, n, w, entries, indices) =>
       b.putByte(10); writeOptBuffer(b, v); b.putInt(n); b.putByte(w)
       writeBuffer(b, entries); writeBuffer(b, indices)
-    case DeltaMeta(v, first, width, deltas) =>
+    case DeltaMeta(v, first, width, deltas, bases) =>
       b.putByte(11); writeOptBuffer(b, v); b.putLong(first); b.putByte(width)
       writeBuffer(b, deltas)
+      b.putInt(bases.size); bases.foreach(b.putLong)
     case ScaledMeta(v, exponent, inner) =>
       b.putByte(12); writeOptBuffer(b, v); b.putByte(exponent); writeCol(b, inner)
     case BitPackMeta(v, base, bits, values) =>
@@ -536,7 +541,14 @@ object Meta {
         val width = c.getByte()
         if (width != 1 && width != 2 && width != 4)
           throw new OliveFormatException(s"bad delta width $width")
-        DeltaMeta(v, first, width, readBuffer(c))
+        val deltas = readBuffer(c)
+        val nBases = checkedCount(c.getInt(), "delta page bases")
+        // bases align 1:1 with pages (or are wholly absent); a count that
+        // disagrees is a malformed footer, not a degraded decode
+        if (nBases != 0 && nBases != deltas.pages.size)
+          throw new OliveFormatException(
+            s"delta page bases $nBases != pages ${deltas.pages.size}")
+        DeltaMeta(v, first, width, deltas, Vector.fill(nBases)(c.getLong()))
       case 12 =>
         val v = readOptBuffer(c)
         val exponent = c.getByte()

@@ -120,7 +120,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     case (ForMeta(_, _, width, values), _) => values.rawSize / width
     case (UnsignedMeta(_, logical, values), _) => values.rawSize / Logical.elemSize(logical)
     case (PrimDictMeta(_, _, idxW, _, indices), _) => indices.rawSize / idxW
-    case (DeltaMeta(_, _, width, deltas), _) => deltas.rawSize / width
+    case (DeltaMeta(_, _, width, deltas, _), _) => deltas.rawSize / width
     // bit-pack: floor(packedBits / bits) overshoots true n by at most 7
     // (pad rounding) — a LOOSE upper bound, see [[looseCount]]
     case (BitPackMeta(_, _, bits, values), _) =>
@@ -349,7 +349,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         fillPrimitive(vec,
           expandPrimDict(numEntries, idxW, readBuffer(entriesBuf), readBuffer(idxBuf), dt, n),
           dt, n)
-      case (DeltaMeta(_, first, width, deltasBuf), _) =>
+      case (DeltaMeta(_, first, width, deltasBuf, _), _) =>
         fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, 0L, n.toLong), dt, n)
       case (ScaledMeta(_, exponent, BitPackMeta(None, base, bits, values)), DoubleType) =>
         // fused fast path: ALP-scaled decimals over bit-packed ints are
@@ -710,17 +710,67 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     out
   }
 
+  private def deltaElemSize(dt: DataType): Int = dt match {
+    case IntegerType | DateType | _: YearMonthIntervalType => 4
+    case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
+    case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
+    case other => throw new OliveFormatException(s"delta encoding on non-integral $other")
+  }
+
+  /** Page-resuming delta expansion [e0, e1): restart the prefix sum at
+    * the last page whose end is at-or-before e0 ([[Meta.DeltaMeta]]
+    * `pageBases`, footer v5) so a mid-range read decompresses only the
+    * pages overlapping [that base, e1) — sorted long keys, the natural
+    * delta targets, keep page-granular selective reads like every other
+    * encoding. Files without bases replay [0, e1) (still never pages
+    * past e1). */
+  private def expandDeltaFrom(m: DeltaMeta, dt: DataType, e0: Long, e1: Long): Array[Byte] = {
+    var start = 0L
+    var base = 0L
+    if (m.pageBases.size == m.deltas.pages.size) {
+      var pi = 0
+      // hostile footers: rowEnd must strictly advance for the resume to
+      // be meaningful; a non-monotonic page list degrades to start=0
+      while (pi < m.pageBases.size && m.deltas.pages(pi).rowEnd <= e0 &&
+          m.deltas.pages(pi).rowEnd > start) {
+        start = m.deltas.pages(pi).rowEnd.toLong
+        base = m.pageBases(pi)
+        pi += 1
+      }
+    }
+    if (start <= 0L)
+      return expandDelta(m.first, m.width, readElems(m.deltas, 0, e1, m.width), dt, e0, e1)
+    val es = deltaElemSize(dt)
+    val bytes = readElems(m.deltas, start, e1, m.width)
+    val bb = Bytes.le(bytes)
+    val out = new Array[Byte]((e1 - e0).toInt * es)
+    val ob = Bytes.le(out)
+    var v = base // value of element (start - 1)
+    var i = start
+    while (i < e1) {
+      val at = (i - start).toInt
+      val z = m.width match {
+        case 1 => bb.get(at) & 0xffL
+        case 2 => bb.getShort(at * 2) & 0xffffL
+        case 4 => bb.getInt(at * 4) & 0xffffffffL
+        case w => throw new OliveFormatException(s"bad delta width $w")
+      }
+      v += (z >>> 1) ^ -(z & 1) // un-zigzag; i >= 1 here, so always applied
+      if (i >= e0) {
+        val o = (i - e0).toInt
+        if (es == 4) ob.putInt(o * 4, v.toInt) else ob.putLong(o * 8, v)
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Cumulative-sum expansion of zigzag deltas: emit elements [e0, e1).
-    * Needs the delta stream from the start (prefix sums), so the whole
-    * buffer loads; only the emission window is bounded. */
+    * Needs the delta stream from the start (prefix sums); callers bound
+    * the load to [0, e1) pages. */
   private def expandDelta(first: Long, width: Byte, deltaBytes: Array[Byte],
       dt: DataType, e0: Long, e1: Long): Array[Byte] = {
-    val es = dt match {
-      case IntegerType | DateType | _: YearMonthIntervalType => 4
-      case LongType | TimestampType | TimestampNTZType | _: DayTimeIntervalType => 8
-      case d: DecimalType if d.precision <= 18 => 8 // unscaled i64
-      case other => throw new OliveFormatException(s"delta encoding on non-integral $other")
-    }
+    val es = deltaElemSize(dt)
     if (deltaBytes.length < e1 * width)
       throw new OliveFormatException(s"delta buffer ${deltaBytes.length} < ${e1 * width}")
     val bb = Bytes.le(deltaBytes)
@@ -816,8 +866,8 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       case PrimDictMeta(None, numEntries, idxW, entriesBuf, idxBuf) =>
         expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
           readElems(idxBuf, e0, e1, idxW), LongType, n)
-      case DeltaMeta(None, first, width, deltasBuf) =>
-        expandDelta(first, width, readBuffer(deltasBuf), LongType, e0, e1)
+      case dm @ DeltaMeta(None, _, _, _, _) =>
+        expandDeltaFrom(dm, LongType, e0, e1)
       case _ => throw new OliveFormatException("bad scaled inner encoding")
     }
   }
@@ -1063,9 +1113,9 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           expandPrimDict(numEntries, idxW, readBuffer(entriesBuf),
             readElems(idxBuf, e0, e1, idxW), dt, n),
           dt, n)
-      case (DeltaMeta(_, first, width, deltasBuf), _) =>
-        // prefix sums need the stream from 0: full-buffer read, windowed emit
-        fillPrimitive(vec, expandDelta(first, width, readBuffer(deltasBuf), dt, e0, e1), dt, n)
+      case (dm: DeltaMeta, _) =>
+        // prefix sums resume at the nearest page base (footer v5)
+        fillPrimitive(vec, expandDeltaFrom(dm, dt, e0, e1), dt, n)
       case (ScaledMeta(_, exponent, inner), _) =>
         fillScaled(vec, dt, exponent, scaledLongs(inner, e0, e1), n)
       case (UnsignedPackedMeta(_, logical, inner), _) =>

@@ -165,6 +165,35 @@ class PageSkipSpec extends SparkSpec {
       s"selective predicate read $selPages of $fullPages pages")
   }
 
+  test("a mid-range read on a DELTA column resumes at a page base (footer v5)") {
+    val dir = Files.createTempDirectory("graft-pskip6").toString
+    // one lone sequential long column: consecutive deltas are all 1, so
+    // delta encoding wins; 4 KiB pages make the chunk many-paged
+    spark.range(0, 200000).coalesce(1).select(col("id"))
+      .write.format("graft").option("pagesize", "4096").mode("append").save(dir)
+    val p = new Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val fs = p.getFileSystem(new Configuration())
+    val r = GraftFileReader.open(fs, p)
+    val chunk = r.footer.chunks.head
+    val table = chunk.tables.head
+    val dm = table.columns.head match {
+      case d: Meta.DeltaMeta => d
+      case other => fail(s"precondition: id must delta-encode, got $other")
+    }
+    assert(dm.pageBases.size == dm.deltas.pages.size && dm.pageBases.size > 10,
+      s"want per-page bases over many pages, got ${dm.pageBases.size}")
+    // deep mid-range probe: before v5 this decompressed every page from
+    // 0 to the range (prefix sums); now only the pages from the nearest
+    // base load
+    val batch = r.decodeTableRange(chunk, table, table.schema, 100000, 100100)
+    val pages = r.pagesRead
+    assert(batch.numRows() == 100)
+    (0 until 100).foreach(i => assert(batch.getRow(i).getLong(0) == 100000L + i))
+    batch.close(); r.close()
+    assert(pages <= 3, s"delta mid-range read decompressed $pages pages (want <=3)")
+  }
+
   test("a struct-leaf predicate prunes 8Ki-row blocks via nested zone maps") {
     // footer v4 per-block nested-leaf stats: a dotted filter (the shape
     // Spark's DSv2 translation and the DML prune emit for struct fields)
