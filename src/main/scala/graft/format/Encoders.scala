@@ -305,22 +305,25 @@ final class PrimitiveEncoder(dt: DataType, elemSize: Int) extends ColumnEncoder 
       var mn = Double.PositiveInfinity
       var mx = Double.NegativeInfinity
       var sm = 0.0
-      var broken = false // NaN drops min/max; the sum keeps accumulating (-> NaN, what SUM returns)
+      // NaNs are COUNTED (footer v5), not poison: min/max cover the
+      // non-NaN values and nanCount tells the skip/aggregate logic how
+      // many the range omits. The sum keeps accumulating (-> NaN, what
+      // SQL SUM returns).
+      var nans = 0
+      var seen = false
       var i = from
       while (i < to) {
         if (noNulls || validity.isValidAt(i)) {
           val v = if (statKind == -4) bb.getFloat(i * 4).toDouble else bb.getDouble(i * 8)
           sm += v
-          if (!broken) {
-            if (v != v) broken = true
-            else { if (v < mn) mn = v; if (v > mx) mx = v }
-          }
+          if (v != v) nans += 1
+          else { seen = true; if (v < mn) mn = v; if (v > mx) mx = v }
         }
         i += 1
       }
       val sum = Some(Stats.doubleBytes(sm))
-      if (broken) ColStats(nulls, None, None, sum)
-      else ColStats(nulls, Some(Stats.doubleBytes(mn)), Some(Stats.doubleBytes(mx)), sum)
+      if (!seen) ColStats(nulls, None, None, sum, nans) // all values NaN
+      else ColStats(nulls, Some(Stats.doubleBytes(mn)), Some(Stats.doubleBytes(mx)), sum, nans)
     }
   }
 }

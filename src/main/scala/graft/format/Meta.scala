@@ -222,6 +222,7 @@ object Meta {
 
   private def writeStats(b: Bytes, st: ColStats): Unit = {
     b.putInt(st.nullCount)
+    b.putInt(st.nanCount) // v5: float/double NaN accounting
     writeOptBytes(b, st.min)
     writeOptBytes(b, st.max)
     writeOptBytes(b, st.sum)
@@ -329,9 +330,24 @@ object Meta {
         // HERE, not at compare time: a hostile 3-byte "min" on a long
         // column would otherwise crash the skip compare mid-scan instead
         // of refusing cleanly; sums are always written as 8 bytes
-        def readStats(ci: Int, nullCount: Int): ColStats = {
-          val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+        def readNanCount(dt: DataType, nullCount: Int, maxRows: Int): Int = {
+          val nanCount = c.getInt()
+          if (nanCount < 0 || nanCount.toLong + nullCount > maxRows)
+            throw new OliveFormatException(
+              s"NaN count $nanCount + $nullCount nulls outside $maxRows rows")
+          // only float/double columns can hold NaNs — a lying count on
+          // any other type must refuse, not silently skew skip logic
+          if (nanCount > 0 && dt != org.apache.spark.sql.types.FloatType &&
+              dt != org.apache.spark.sql.types.DoubleType)
+            throw new OliveFormatException(
+              s"NaN count $nanCount on non-float ${dt.simpleString}")
+          nanCount
+        }
+        def readStats(ci: Int, nullCount: Int, maxRows: Int): ColStats = {
           val dt = schema.fields(ci).dataType
+          val nanCount = readNanCount(dt, nullCount, maxRows)
+          val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c),
+            readOptBytes(c), nanCount)
           (st.min.toSeq ++ st.max.toSeq).foreach { b =>
             if (!Stats.statBytesOk(dt, b))
               throw new OliveFormatException(
@@ -347,7 +363,7 @@ object Meta {
           val nullCount = c.getInt()
           if (nullCount < 0 || nullCount > numRows)
             throw new OliveFormatException(s"null count $nullCount outside $numRows rows")
-          readStats(ci, nullCount)
+          readStats(ci, nullCount, numRows)
         }
         val nBlocks = c.getInt()
         val expectBlocks = (numRows + BlockRows - 1) / BlockRows
@@ -358,7 +374,7 @@ object Meta {
             val nullCount = c.getInt()
             if (nullCount < 0 || nullCount > BlockRows)
               throw new OliveFormatException(s"block null count $nullCount > $BlockRows")
-            readStats(ci, nullCount)
+            readStats(ci, nullCount, BlockRows)
           }
         }
         val nBlooms = c.getInt()
@@ -385,7 +401,9 @@ object Meta {
           if (nullCount < 0 || nullCount > numRows)
             throw new OliveFormatException(
               s"nested null count $nullCount outside $numRows rows")
-          val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+          val nanCount = readNanCount(dt, nullCount, numRows)
+          val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c),
+            readOptBytes(c), nanCount)
           (st.min.toSeq ++ st.max.toSeq).foreach { b =>
             if (!Stats.statBytesOk(dt, b))
               throw new OliveFormatException(
@@ -411,7 +429,9 @@ object Meta {
             if (nullCount < 0 || nullCount > BlockRows)
               throw new OliveFormatException(
                 s"nested block null count $nullCount > $BlockRows")
-            val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c), readOptBytes(c))
+            val nanCount = readNanCount(dt, nullCount, BlockRows)
+            val st = ColStats(nullCount, readOptBytes(c), readOptBytes(c),
+              readOptBytes(c), nanCount)
             (st.min.toSeq ++ st.max.toSeq).foreach { b =>
               if (!Stats.statBytesOk(dt, b))
                 throw new OliveFormatException(

@@ -24,12 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * is associative, so per-chunk partials combine to exactly the full
   * wrapped sum Spark's non-ANSI codegen computes), f64 bits for
   * float/double. None for all-null chunks and non-summable types. */
+/** `nanCount` (footer v5) makes float/double min/max servable: min/max
+  * cover the non-NaN values and nanCount says how many NaNs the range
+  * omits — a NaN-free chunk (the overwhelming case for quality scores
+  * and embedding norms) prunes and answers footer aggregates exactly;
+  * NaN-bearing chunks serve min-side proofs only (Spark and the skip
+  * logic both order NaN above every value). Always 0 for other types. */
 case class ColStats(nullCount: Int, min: Option[Array[Byte]], max: Option[Array[Byte]],
-    sum: Option[Array[Byte]] = None) {
+    sum: Option[Array[Byte]] = None, nanCount: Int = 0) {
   def hasNulls: Boolean = nullCount > 0
   override def equals(o: Any): Boolean = o match {
-    case ColStats(nc, mn, mx, sm) =>
-      nc == nullCount &&
+    case ColStats(nc, mn, mx, sm, xn) =>
+      nc == nullCount && xn == nanCount &&
         mn.map(_.toSeq) == min.map(_.toSeq) && mx.map(_.toSeq) == max.map(_.toSeq) &&
         sm.map(_.toSeq) == sum.map(_.toSeq)
     case _ => false
@@ -60,9 +66,15 @@ object Stats {
   def mergeColStats(dt: DataType, parts: IndexedSeq[ColStats],
       hasValues: IndexedSeq[Boolean]): ColStats = {
     val nulls = parts.iterator.map(_.nullCount).sum
+    val nans = parts.iterator.map(_.nanCount).sum
     val vals = parts.indices.filter(hasValues)
     if (vals.isEmpty) return ColStats(nulls, None, None)
-    val broken = vals.exists(i => parts(i).min.isEmpty || parts(i).max.isEmpty)
+    // a value-bearing block with no min/max is "broken" (over-long
+    // string, statless type) UNLESS its values were all NaN — those
+    // blocks are accounted by nanCount and simply contribute no bounds
+    val bounded = vals.filter(i => parts(i).min.isDefined && parts(i).max.isDefined)
+    val broken = vals.exists(i =>
+      (parts(i).min.isEmpty || parts(i).max.isEmpty) && parts(i).nanCount == 0)
     def lt(a: Array[Byte], b: Array[Byte]): Boolean = dt match {
       case FloatType | DoubleType => doubleOf(a) < doubleOf(b)
       case StringType => java.util.Arrays.compareUnsigned(a, b) < 0
@@ -73,11 +85,11 @@ object Stats {
       case _ => longOf(a) < longOf(b) // integral/bool/ts/decimal-unscaled
     }
     val (mn, mx) =
-      if (broken) (None, None)
+      if (broken || bounded.isEmpty) (None, None)
       else {
-        var lo = parts(vals.head).min.get
-        var hi = parts(vals.head).max.get
-        vals.tail.foreach { i =>
+        var lo = parts(bounded.head).min.get
+        var hi = parts(bounded.head).max.get
+        bounded.tail.foreach { i =>
           val p = parts(i)
           if (lt(p.min.get, lo)) lo = p.min.get
           if (lt(hi, p.max.get)) hi = p.max.get
@@ -93,7 +105,7 @@ object Stats {
         case StringType | _: DecimalType => None
         case _ => Some(longBytes(sums.iterator.map(s => longOf(s.get)).foldLeft(0L)(_ + _)))
       }
-    ColStats(nulls, mn, mx, sum)
+    ColStats(nulls, mn, mx, sum, nans)
   }
 
   /** Is `b` a legal min/max stat payload for a `dt` column? The footer
@@ -196,7 +208,20 @@ object Stats {
   def canSkip(filter: Filter, schema: StructType, stats: Map[String, ColStats],
       numRows: Int = -1): Boolean = {
     def range(attr: String): Option[Range] =
-      stats.get(attr).flatMap(s => leafType(schema, attr).map(dt => Range(dt, s)))
+      stats.get(attr).flatMap(s => leafType(schema, attr).map { dt =>
+        // a NaN-bearing float/double chunk has no usable UPPER bound:
+        // Spark orders NaN above every value, so the stored (non-NaN)
+        // max must not prove "max < v" skips. Substituting max = NaN
+        // keeps the min-side proofs (NaN is never the smallest) and
+        // makes EqualTo(col, NaN) keep the chunk, all through the
+        // ordinary compare (Double.compare puts NaN last).
+        val st = dt match {
+          case FloatType | DoubleType if s.nanCount > 0 =>
+            s.copy(max = Some(doubleBytes(Double.NaN)))
+          case _ => s
+        }
+        Range(dt, st)
+      })
     // an ALL-null column satisfies no comparison (null op x is null,
     // which a filter treats as false) — skips chunks whose column is
     // entirely null even though they record no min/max, including files
@@ -740,6 +765,7 @@ object Stats {
       t.stats.foreach { cs =>
         val c = cols.addObject()
         c.put("nc", cs.nullCount)
+        if (cs.nanCount > 0) c.put("xn", cs.nanCount)
         cs.min.foreach(m => c.put("mn", b64.encodeToString(m)))
         cs.max.foreach(m => c.put("mx", b64.encodeToString(m)))
       }
@@ -751,6 +777,7 @@ object Stats {
         t.nestedStats.toSeq.sortBy(_._1).foreach { case (attr, cs) =>
           val c = ns.putObject(attr)
           c.put("nc", cs.nullCount)
+          if (cs.nanCount > 0) c.put("xn", cs.nanCount)
           cs.min.foreach(m => c.put("mn", b64.encodeToString(m)))
           cs.max.foreach(m => c.put("mx", b64.encodeToString(m)))
         }
@@ -776,7 +803,8 @@ object Stats {
           val st = ColStats(
             c.get("nc").asInt(),
             Option(c.get("mn")).map(m => b64.decode(m.asText())),
-            Option(c.get("mx")).map(m => b64.decode(m.asText())))
+            Option(c.get("mx")).map(m => b64.decode(m.asText())),
+            nanCount = Option(c.get("xn")).map(_.asInt()).getOrElse(0))
           // same width rule as the footer parse: a corrupt manifest must
           // fall back to the footer probe, never crash a skip compare
           if (ci < schema.size)
@@ -796,7 +824,8 @@ object Stats {
             val st = ColStats(
               c.get("nc").asInt(),
               Option(c.get("mn")).map(m => b64.decode(m.asText())),
-              Option(c.get("mx")).map(m => b64.decode(m.asText())))
+              Option(c.get("mx")).map(m => b64.decode(m.asText())),
+              nanCount = Option(c.get("xn")).map(_.asInt()).getOrElse(0))
             leafType(schema, attr) match {
               case Some(dt) =>
                 (st.min.toSeq ++ st.max.toSeq).foreach { b =>

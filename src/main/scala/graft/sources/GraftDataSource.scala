@@ -1273,6 +1273,11 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
       leafOf(name).exists {
         case ByteType | ShortType | IntegerType | LongType | DateType |
              TimestampType | TimestampNTZType | BooleanType => true
+        // float/double min/max answer from footers since v5's NaN
+        // accounting: a NaN-bearing chunk's partial max is NaN (Spark
+        // orders NaN above everything), an all-NaN chunk's min is NaN,
+        // NaN-free chunks (quality scores, embedding norms) are exact
+        case FloatType | DoubleType => true
         case _ => false
       }
     // footer sums wrap mod 2^64; under ANSI Spark must raise on long
@@ -1942,32 +1947,61 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             if (gp.partValues.contains(col) &&
                 !chunks.headOption.exists(t => statsOf(t, col, prev).isDefined))
               return org.apache.spark.unsafe.types.UTF8String.fromString(gp.partValues(col))
-            val longs = chunks.flatMap { t =>
-              statsOf(t, col, prev).flatMap { cs =>
-                val stat = if (wantMax) cs.max else cs.min
-                if (t.numRows == 0) None
-                else stat match {
-                  case Some(b) => Some(Stats.longOf(b))
-                  case None =>
-                    // stats exist for every accepted type unless the chunk
-                    // is all-null (null partial is correct then)
-                    if (cs.nullCount == t.numRows) None // all-null chunk
-                    else throw new OliveFormatException(
-                      s"chunk lacks $col stats for pushed aggregate")
+            val outType = schema.fields
+              .find(_.name == s"${if (wantMax) "max" else "min"}($col)")
+              .map(_.dataType).getOrElse(LongType)
+            outType match {
+              case FloatType | DoubleType =>
+                // v5 NaN accounting (Spark orders NaN above every value):
+                // any NaN in a chunk makes its partial MAX NaN; a chunk
+                // whose every value is NaN has NaN as its partial MIN;
+                // otherwise the stored non-NaN bounds are the answer
+                val doubles = chunks.flatMap { t =>
+                  statsOf(t, col, prev).flatMap { cs =>
+                    if (t.numRows == 0 || cs.nullCount == t.numRows) None
+                    else if (wantMax && cs.nanCount > 0) Some(Double.NaN)
+                    else (if (wantMax) cs.max else cs.min) match {
+                      case Some(b) => Some(Stats.doubleOf(b))
+                      case None =>
+                        if (cs.nanCount + cs.nullCount == t.numRows) Some(Double.NaN) // all-NaN
+                        else throw new OliveFormatException(
+                          s"chunk lacks $col stats for pushed aggregate")
+                    }
+                  }
                 }
-              }
-            }
-            if (longs.isEmpty) null
-            else {
-              val v = if (wantMax) longs.max else longs.min
-              schema.fields.find(_.name == s"${if (wantMax) "max" else "min"}($col)")
-                .map(_.dataType).getOrElse(LongType) match {
-                case ByteType => v.toByte
-                case ShortType => v.toShort
-                case IntegerType | DateType => v.toInt
-                case BooleanType => v != 0L
-                case _ => v
-              }
+                if (doubles.isEmpty) null
+                else {
+                  // Double.compare = Spark's ordering here (NaN largest)
+                  val v = if (wantMax) doubles.max else doubles.min
+                  if (outType == FloatType) v.toFloat else v
+                }
+              case _ =>
+                val longs = chunks.flatMap { t =>
+                  statsOf(t, col, prev).flatMap { cs =>
+                    val stat = if (wantMax) cs.max else cs.min
+                    if (t.numRows == 0) None
+                    else stat match {
+                      case Some(b) => Some(Stats.longOf(b))
+                      case None =>
+                        // stats exist for every accepted type unless the chunk
+                        // is all-null (null partial is correct then)
+                        if (cs.nullCount == t.numRows) None // all-null chunk
+                        else throw new OliveFormatException(
+                          s"chunk lacks $col stats for pushed aggregate")
+                    }
+                  }
+                }
+                if (longs.isEmpty) null
+                else {
+                  val v = if (wantMax) longs.max else longs.min
+                  outType match {
+                    case ByteType => v.toByte
+                    case ShortType => v.toShort
+                    case IntegerType | DateType => v.toInt
+                    case BooleanType => v != 0L
+                    case _ => v
+                  }
+                }
             }
           }
           val values: Array[Any] = specs.map {

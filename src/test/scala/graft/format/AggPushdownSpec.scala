@@ -91,19 +91,23 @@ class AggPushdownSpec extends SparkSpec {
     assert(dfnan.head.getDouble(0).isNaN)
   }
 
-  test("pushdown declines when unsupported: filters, doubles, strings, group-by") {
+  test("pushdown declines when unsupported: filters, strings, group-by") {
     val dir = writeSample()
     val base = spark.read.format("graft").load(dir)
     val cases = Seq(
       base.filter(col("i") > 50).agg(count(lit(1))), // residual filters
-      base.agg(min("d")), // double: NaN breaks stats
       base.agg(max("s")), // string: 48-byte stat cap
       base.groupBy("i").agg(count(lit(1))), // grouping
       base.agg(countDistinct(col("i")))) // distinct needs real rows
     cases.foreach { df =>
       assert(!plan(df).contains("pushedAggs="), plan(df))
     }
-    // and they still compute correctly through the normal scan
+    // doubles PUSH since footer v5's NaN accounting (FloatStatsSpec
+    // covers the NaN semantics end-to-end)
+    val dmin = base.agg(min("d"), max("d"))
+    assert(plan(dmin).contains("pushedAggs="), plan(dmin))
+    assert(dmin.head.getDouble(0) == 0.0 && dmin.head.getDouble(1) == 29999 * 1.5)
+    // and the declined shapes still compute correctly through the scan
     assert(base.filter(col("i") > 50).agg(count(lit(1))).head.getLong(0) ==
       (0 until 30000).count(_ % 97 > 50))
     assert(base.agg(max("s")).head.getString(0) == "s9999")

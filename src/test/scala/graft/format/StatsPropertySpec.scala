@@ -57,7 +57,10 @@ class StatsPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("double statsRange: NaN poisons min/max but never the sum") {
+  test("double statsRange: NaNs are counted, min/max cover the rest, sum poisons") {
+    // footer v5: a NaN no longer drops the chunk's float stats — min/max
+    // span the non-NaN values and nanCount says how many the range omits
+    // (the skip logic treats a NaN-bearing chunk as unbounded above)
     val r = new Random(0xB0B)
     (1 to Iters).foreach { _ =>
       val (n, from, to) = randRange(r)
@@ -69,14 +72,19 @@ class StatsPropertySpec extends AnyFunSuite {
       val st = encode(DoubleType, vals).statsRange(from, to)
       val slice = vals.slice(from, to)
       val present = slice.flatten.map(_.asInstanceOf[java.lang.Double].doubleValue())
+      val real = present.filterNot(_.isNaN)
       assert(st.nullCount == slice.count(_.isEmpty))
-      if (present.isEmpty) assert(st.min.isEmpty && st.max.isEmpty && st.sum.isEmpty)
-      else if (present.exists(_.isNaN)) {
-        assert(st.min.isEmpty && st.max.isEmpty)
-        assert(java.lang.Double.isNaN(Stats.doubleOf(st.sum.get)))
+      assert(st.nanCount == present.count(_.isNaN))
+      if (present.isEmpty) {
+        assert(st.min.isEmpty && st.max.isEmpty && st.sum.isEmpty && st.nanCount == 0)
       } else {
-        assert(Stats.doubleOf(st.min.get) == present.min)
-        assert(Stats.doubleOf(st.max.get) == present.max)
+        if (present.exists(_.isNaN))
+          assert(java.lang.Double.isNaN(Stats.doubleOf(st.sum.get)))
+        if (real.isEmpty) assert(st.min.isEmpty && st.max.isEmpty) // all-NaN
+        else {
+          assert(Stats.doubleOf(st.min.get) == real.min)
+          assert(Stats.doubleOf(st.max.get) == real.max)
+        }
       }
     }
   }
