@@ -2311,6 +2311,60 @@ object FormatOps {
       |FROM orders
       |GROUP BY 1 ORDER BY batch_tag""".stripMargin
 
+  // ---- q145: double zone maps (NaN-accounted, footer v5) --------------------
+  // A quality-score DOUBLE is exactly the column an LLM-pipeline user
+  // filters, and pre-v5 float/double stats dropped on any NaN, so the
+  // type was excluded from pruning and footer aggregates entirely.
+  // Score-clustered documents + a manifest-creating DML: a selective
+  // score filter must schedule only the files the double zone maps
+  // allow (plan-asserted), and MIN/MAX/COUNT on the score must answer
+  // from footers (plan-asserted). The score derives from exact integer
+  // arithmetic over n_chars/doc_id so every IEEE double is identical in
+  // DuckDB; min/max are exact values (no sum-of-doubles in the hash).
+  private val q145: Q = (s, d) => {
+    val dir = graftDir(d, "float_prune")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("n_chars").cast("double") +
+          (col("doc_id") % 997).cast("double") / lit(1000.0)).as("score"))
+      .repartitionByRange(8, col("score")).sortWithinPartitions("score")
+      .write.format("graft").mode("overwrite").save(dir)
+    val g0 = s.read.format("graft").load(dir)
+    val mnScore = g0.agg(min(col("score"))).head().getDouble(0)
+    // single-key DML on the cluster column writes the stats manifest
+    updateWhere(s, dir, "data",
+      set = Map("score" -> col("score")), where = col("score") === mnScore)
+    val g = s.read.format("graft").load(dir)
+    val mxScore = g.agg(max(col("score"))).head().getDouble(0)
+    val sel = g.filter(col("score") === mxScore)
+    val files = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten.distinct.size
+    require(files <= 2,
+      s"q145: double zone maps must prune files at planning (scheduled $files)")
+    val agg = g.agg(min(col("score")), max(col("score")), count(col("score")))
+    require(agg.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "q145: double MIN/MAX must answer from footers")
+    s.read.format("graft").load(dir).agg(
+      count(lit(1)).cast("long").as("n"),
+      min(col("score")).as("mn"),
+      max(col("score")).as("mx"),
+      sum(when(col("score") >= 400.0, 1L).otherwise(0L)).cast("long").as("n_hi"))
+  }
+  private val q145Sql =
+    """WITH t AS (
+      |  SELECT CAST(n_chars AS DOUBLE) +
+      |         CAST(doc_id % 997 AS DOUBLE) / 1000.0 AS score
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  min(score) AS mn, max(score) AS mx,
+      |  CAST(sum(CASE WHEN score >= 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+      |FROM t""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2585,6 +2639,7 @@ object FormatOps {
     "q141_rename_prune" -> q141,
     "q142_decimal_widen" -> q142,
     "q143_add_column_prune" -> q143,
+    "q145_float_prune" -> q145,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2627,6 +2682,7 @@ object FormatOps {
     "q141_rename_prune" -> q141Sql,
     "q142_decimal_widen" -> q142Sql,
     "q143_add_column_prune" -> q143Sql,
+    "q145_float_prune" -> q145Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

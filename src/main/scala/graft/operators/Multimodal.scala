@@ -107,9 +107,9 @@ object Multimodal {
     val media = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
-    // through the pluggable seam: swapping StubDecoder for a JNI-backed
-    // implementation changes no plumbing (MediaDecodeSpec proves the
-    // swap and the lifecycle contract)
+    // through the pluggable seam: swapping StubDecoder for a real codec
+    // changes no plumbing (q140 QOI and q144 JPEG prove it end-to-end;
+    // the stub now stands in for H.264 only)
     decodeWith(media, () => new StubDecoder)
       .toDF()
       .orderBy(col("doc_id"))
@@ -729,9 +729,14 @@ object Multimodal {
       while (seen < nPix) {
         if (i >= dataEnd) fail("truncated stream")
         val op = b(i) & 0xff; i += 1
+        // multi-byte ops must bounds-check their OPERANDS against the
+        // data region too — a truncated stream otherwise reads the end
+        // marker (or throws ArrayIndexOutOfBounds) instead of refusing
         if (op == 0xfe) { // RGB
+          if (i + 3 > dataEnd) fail("truncated stream")
           r = b(i) & 0xff; g = b(i + 1) & 0xff; bl = b(i + 2) & 0xff; i += 3
         } else if (op == 0xff) { // RGBA
+          if (i + 4 > dataEnd) fail("truncated stream")
           r = b(i) & 0xff; g = b(i + 1) & 0xff; bl = b(i + 2) & 0xff
           a = b(i + 3) & 0xff; i += 4
         } else (op >> 6) match {
@@ -744,6 +749,7 @@ object Multimodal {
             g = (g + ((op >> 2) & 3) - 2) & 0xff
             bl = (bl + (op & 3) - 2) & 0xff
           case 2 => // LUMA
+            if (i + 1 > dataEnd) fail("truncated stream")
             val dg = (op & 0x3f) - 32
             val b2 = b(i) & 0xff; i += 1
             r = (r + dg + ((b2 >> 4) & 0xf) - 8) & 0xff
@@ -800,9 +806,104 @@ object Multimodal {
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q144: REAL JPEG through the MediaDecoder seam (javax.imageio) -------
+  // Baseline JPEG via the JDK's built-in codec — zero external deps,
+  // public API. Lossy output is deterministic for a fixed JDK decoder
+  // but not closed-form, so the oracle story is PLANTED TRUTH: fixture
+  // generation encodes a closed-form image, immediately decodes it with
+  // the same JDK codec, and stores that RGB checksum as `expected`; the
+  // gate re-decodes every image THROUGH the seam (the identical
+  // [[decodeWith]] plumbing q50/q140 use) and emits `matched =
+  // (checksum == expected)` next to the geometry the JPEG header
+  // carries. The oracle states the closed-form geometry and matched =
+  // true for every image — a decoder that misreads dimensions, drops
+  // pixels, or decodes unstably goes hash-red. StubDecoder now stands
+  // in for H.264 only.
+  case class JpegFixture(doc_id: Long, media: Array[Byte], expected: Long)
+
+  /** Deterministic content: smooth gradients JPEG survives recognizably;
+    * the checksum is over the DECODED pixels, so block artifacts are
+    * fine — stability, not fidelity, is what the gate pins. */
+  def jpegBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (docId % 256 + 2 * x).toInt % 256
+        val g = (3 * y + 64) % 256
+        val b = (x + y + (docId % 128)).toInt % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "jpg", bos))
+      throw new IllegalStateException("JDK JPEG writer unavailable")
+    bos.toByteArray
+  }
+
+  def rgbChecksum(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Real JPEG decode behind the [[MediaDecoder]] seam via the JDK's
+    * `javax.imageio` (public API, ships with every JRE). Undecodable
+    * bytes refuse loudly — ImageIO returns null rather than throwing. */
+  class JpegDecoder extends MediaDecoder {
+    def decode(m: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+      if (img == null)
+        throw new IllegalArgumentException(s"JPEG doc ${m.doc_id}: undecodable bytes")
+      MediaFeatures(m.doc_id, m.media.length.toLong, img.getWidth, img.getHeight,
+        1, "rgb", checksum = rgbChecksum(img))
+    }
+  }
+
+  private val q144: Q = (s, d) => {
+    import s.implicits._
+    val fixtures = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes = jpegBytes(id, (id % 13).toInt + 16, (id % 9).toInt + 16)
+        // planted truth: the fixture-time decode of the very bytes shipped
+        val expected = rgbChecksum(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        JpegFixture(id, bytes, expected)
+      }
+    val media = fixtures.map(f => MediaRow(f.doc_id, f.media))
+    val out = decodeWith(media, () => new JpegDecoder).toDF()
+      .join(fixtures.toDF().select(col("doc_id"), col("expected")), Seq("doc_id"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("mode"), (col("checksum") === col("expected")).as("matched"))
+      .orderBy(col("doc_id"))
+    out
+  }
+  private val q144Sql =
+    """SELECT doc_id,
+      |  CAST(doc_id % 13 + 16 AS INT) AS width,
+      |  CAST(doc_id % 9 + 16 AS INT) AS height,
+      |  CAST(1 AS INT) AS n_frames, 'rgb' AS mode, true AS matched
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_media_decode" -> q50,
     "q140_qoi_decode" -> q140,
+    "q144_jpeg_decode" -> q144,
     "q51_media_metadata" -> q51,
     "q52_frame_sample" -> q52,
     "q53_resize_plan" -> q53,
@@ -813,6 +914,7 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "q50_media_decode" -> q50Sql,
     "q140_qoi_decode" -> q140Sql,
+    "q144_jpeg_decode" -> q144Sql,
     "q51_media_metadata" -> q51Sql,
     "q52_frame_sample" -> q52Sql,
     "q53_resize_plan" -> q53Sql,

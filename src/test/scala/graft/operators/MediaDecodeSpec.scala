@@ -132,6 +132,32 @@ class MediaDecodeSpec extends AnyFunSuite {
     }
     assert(secondIdat == "IDAT", "generator must emit two IDAT chunks")
   }
+
+  test("JPEG (javax.imageio) decodes its own fixtures stably; junk refuses") {
+    val bytes = Multimodal.jpegBytes(7L, 20, 17)
+    // real baseline JPEG: SOI marker present
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    val dec = new Multimodal.JpegDecoder
+    val f1 = dec.decode(Multimodal.MediaRow(7L, bytes))
+    assert(f1.width == 20 && f1.height == 17 && f1.mode == "rgb")
+    // lossy but DETERMINISTIC for a fixed JDK: a second decode of the
+    // same bytes yields the identical checksum (what gate q144 pins)
+    val f2 = dec.decode(Multimodal.MediaRow(7L, bytes))
+    assert(f1.checksum == f2.checksum && f1.checksum > 0)
+    // undecodable bytes refuse loudly (ImageIO returns null, we throw)
+    val e = intercept[IllegalArgumentException](
+      dec.decode(Multimodal.MediaRow(8L, "not a jpeg at all".getBytes)))
+    assert(e.getMessage.contains("undecodable"))
+    // a truncated JPEG either refuses or decodes partially — it must
+    // never return the full image's checksum silently
+    try {
+      val part = dec.decode(Multimodal.MediaRow(9L, bytes.take(bytes.length / 4)))
+      assert(part.checksum != f1.checksum)
+    } catch {
+      case _: IllegalArgumentException => // refusal is the better outcome
+      case _: javax.imageio.IIOException => // ImageIO's own truncation error
+    }
+  }
 }
 
 /** Counters for [[PluggableDecoderSpec]] — static because decoder

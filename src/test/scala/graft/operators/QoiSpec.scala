@@ -63,6 +63,21 @@ class QoiSpec extends SparkSpec {
     intercept[IllegalArgumentException](dec.decode(MediaRow(4L, badEnd)))
     val badChannels = good.clone(); badChannels(12) = 9
     intercept[IllegalArgumentException](dec.decode(MediaRow(4L, badChannels)))
+    // a multi-byte op whose OPERANDS are cut off must refuse as
+    // "truncated stream", never read into the end marker or out of
+    // bounds: craft a stream that is exactly header + one RGB opcode
+    // byte + the 8-byte end marker (operands missing)
+    val cut = good.take(14) ++ Array(0xfe.toByte) ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    val e = intercept[IllegalArgumentException](dec.decode(MediaRow(4L, cut)))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // same for RGBA and LUMA opcodes
+    val cutRgba = good.take(14) ++ Array(0xff.toByte, 1.toByte, 2.toByte) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    val e2 = intercept[IllegalArgumentException](dec.decode(MediaRow(4L, cutRgba)))
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    val cutLuma = good.take(14) ++ Array(0x80.toByte) ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    val e3 = intercept[IllegalArgumentException](dec.decode(MediaRow(4L, cutLuma)))
+    assert(e3.getMessage.contains("truncated"), e3.getMessage)
   }
 
   test("runs through the MediaDecoder seam with the q50 plumbing") {
