@@ -872,9 +872,15 @@ object Stats {
     * churnedBytes/bytes crosses `spark.graft.statsChurnThreshold`
     * the scan stops serving per-column stats (a wrong NDV misleads the
     * CBO worse than no NDV). ANALYZE resets the counter. */
+  /** `lastEpoch` is the streaming-ingest idempotency high-water mark:
+    * epoch ids are monotone and a retried epoch re-commits the SAME id
+    * with the same deterministic data, so additive deltas (rows, null
+    * counts) apply only when the committing epoch exceeds it — replays
+    * can't double-bill and the full stats set survives streaming. -1 =
+    * no streaming epoch applied yet. */
   case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
       cols: Map[String, ColAnalysis], bytes: Long = 0L,
-      churnedBytes: Long = 0L) {
+      churnedBytes: Long = 0L, lastEpoch: Long = -1L) {
     def churnFraction: Double =
       if (bytes <= 0) 0.0 else churnedBytes.toDouble / bytes
   }
@@ -886,6 +892,7 @@ object Stats {
     root.put("exact", a.exact)
     if (a.bytes > 0) root.put("bytes", a.bytes)
     if (a.churnedBytes > 0) root.put("churn", a.churnedBytes)
+    if (a.lastEpoch >= 0) root.put("ep", a.lastEpoch)
     a.gen.foreach(g => root.put("gen", g))
     val cols = root.putObject("cols")
     a.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
@@ -942,6 +949,7 @@ object Stats {
         Option(root.get("exact")).exists(_.asBoolean()),
         Option(root.get("gen")).map(_.asText()), cols.result(),
         Option(root.get("bytes")).map(_.asLong()).getOrElse(0L),
-        Option(root.get("churn")).map(_.asLong()).getOrElse(0L)))
+        Option(root.get("churn")).map(_.asLong()).getOrElse(0L),
+        Option(root.get("ep")).map(_.asLong()).getOrElse(-1L)))
     } catch { case _: Exception => None }
 }

@@ -557,13 +557,27 @@ object GraftDataSource {
     * update alongside; the `exact` flag drops because merged NDVs are
     * sketch estimates from here on. Advisory read-modify-write — a
     * concurrent ANALYZE racing this loses nothing worse than one
-    * append's delta, which the next ANALYZE recomputes anyway. */
+    * append's delta, which the next ANALYZE recomputes anyway.
+    *
+    * `epochKey` (streaming commits) makes the ADDITIVE half retry-safe:
+    * epoch ids are monotone and a retried epoch replays the same id
+    * with the same deterministic data, so the whole merge applies only
+    * when the id exceeds the sidecar's high-water mark — rows and null
+    * counts stay exact across replays instead of extrapolating.
+    *
+    * Fields the deltas CANNOT maintain (string/binary min/max — deltas
+    * carry integral ranges only — and avg/max lengths) are DROPPED for
+    * the appended columns rather than served stale: appends never bill
+    * the churn counter, so without this the staleness would grow
+    * unbounded and never surface. */
   private[sources] def mergeAppendStats(conf: Configuration, dir: String,
       table: String, messages: Array[WriterCommitMessage],
-      accrueCounts: Boolean = true): Unit = try {
+      epochKey: Option[Long] = None): Unit = try {
     val msgs = messages.collect { case m: GraftCommitMessage => m }
     if (!msgs.exists(_.statDeltas.nonEmpty)) return
     readColStats(conf, dir, table).foreach { a =>
+      if (epochKey.exists(_ <= a.lastEpoch)) return // epoch replay: already merged
+      val appendedRows: Long = msgs.map(_.rows.toLong).sum
       val deltas = ColSketcher.combine(msgs.map(_.statDeltas).toSeq)
       val cols = a.cols.map { case (name, c) =>
         (deltas.get(name), c.sketch) match {
@@ -571,36 +585,40 @@ object GraftDataSource {
             val (ndv, merged) = ColSketcher.merge(stored, Seq(d.sketch))
             val lo = d.range.map(_._1)
             val hi = d.range.map(_._2)
+            // a delta with no range either saw only nulls (bounds and
+            // lengths unchanged — keep) or appended NON-INTEGRAL values
+            // the delta cannot bound (string/binary min/max, avg/max
+            // lengths) — stored values no longer describe the column,
+            // so they stop being served rather than go stale forever
+            val maintained = d.range.isDefined || d.nulls >= appendedRows
             name -> c.copy(
               ndv = math.max(c.ndv, ndv),
-              // count accrual is NOT retry-safe (a replayed streaming
-              // epoch would double-bill); sketch/min/max are sets
-              nullCount = if (accrueCounts) c.nullCount + d.nulls else c.nullCount,
+              nullCount = c.nullCount + d.nulls,
               sketch = Some(merged),
+              avgLen = if (maintained) c.avgLen else None,
+              maxLen = if (maintained) c.maxLen else None,
               min = (c.min, lo) match {
                 case (Some(m: Long), Some(l)) => Some(math.min(m, l): Any)
                 case (None, l @ Some(_)) if c.nullCount + c.ndv == 0 => l.map(v => v: Any)
+                case _ if !maintained => None
                 case _ => c.min
               },
               max = (c.max, hi) match {
                 case (Some(m: Long), Some(h)) => Some(math.max(m, h): Any)
                 case (None, h @ Some(_)) if c.nullCount + c.ndv == 0 => h.map(v => v: Any)
+                case _ if !maintained => None
                 case _ => c.max
               })
           case _ => name -> c
         }
       }
-      if (accrueCounts) {
-        val bytesNow = listPartitionedSized(conf, dir).map(_._2).sum
-        writeColStats(conf, dir, table, a.copy(
-          rows = a.rows + msgs.map(_.rows).sum,
-          exact = false,
-          cols = cols,
-          bytes = bytesNow))
-      } else
-        // rows/bytes stay anchored: the scan keeps extrapolating row
-        // counts by byte growth while NDV/min/max stay exactly fresh
-        writeColStats(conf, dir, table, a.copy(exact = false, cols = cols))
+      val bytesNow = listPartitionedSized(conf, dir).map(_._2).sum
+      writeColStats(conf, dir, table, a.copy(
+        rows = a.rows + msgs.map(_.rows).sum,
+        exact = false,
+        cols = cols,
+        bytes = bytesNow,
+        lastEpoch = epochKey.getOrElse(a.lastEpoch)))
     }
     // runs AFTER the append's files are visible: the data is committed,
     // so advisory stats maintenance must never fail the job (a racing
@@ -1916,36 +1934,103 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             else throw new IllegalArgumentException(
               s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
           }
-          val chunks = (gp.chunkIdx match {
+          val chunkPairs = (gp.chunkIdx match {
             case Some(i) => r.footer.chunks.slice(i, i + 1)
             case None => r.footer.chunks
-          }).flatMap(c => c.tables.filter(_.name == name))
+          }).flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
+          val chunks = chunkPairs.map(_._2)
           // a chunk's spelling of a (possibly renamed) column: current
           // name first, then the chain. None = the file predates it.
           def chunkIdxOf(t: Meta.TableMeta, col: String, prev: Seq[String]): Option[Int] =
             (col +: prev).iterator.map(n => t.schema.fieldNames.indexOf(n))
               .find(_ >= 0)
+          // Fallback for a chunk that CARRIES a leaf but records no
+          // nested stats (an older writer, an interop edge): decode the
+          // leaf for this one chunk and compute exactly the stats the
+          // footer would have held — one column decode slower, never a
+          // refusal, never a silent all-null answer.
+          def computedLeafStats(cm: Meta.ChunkMeta, t: Meta.TableMeta,
+              col: String): graft.format.ColStats = {
+            val parts = col.split('.')
+            def prune(st: StructType, i: Int): StructType = {
+              val f = st.fields.find(_.name == parts(i)).getOrElse(
+                throw new OliveFormatException(s"leaf $col vanished mid-decode"))
+              f.dataType match {
+                case inner: StructType if i < parts.length - 1 =>
+                  StructType(Seq(f.copy(dataType = prune(inner, i + 1))))
+                case _ => StructType(Seq(f))
+              }
+            }
+            val leafDt = Stats.leafType(t.schema, col).get
+            val batch = r.decodeTable(cm, t, prune(t.schema, 0))
+            try {
+              val levels = new Array[org.apache.spark.sql.vectorized.ColumnVector](parts.length)
+              levels(0) = batch.column(0)
+              var k = 1
+              while (k < parts.length) { levels(k) = levels(k - 1).getChild(0); k += 1 }
+              val leaf = levels(parts.length - 1)
+              var nulls = 0; var nans = 0
+              var mnL = Long.MaxValue; var mxL = Long.MinValue; var smL = 0L
+              var mnD = Double.PositiveInfinity; var mxD = Double.NegativeInfinity
+              var smD = 0.0; var seenD = false
+              val floatish = leafDt == FloatType || leafDt == DoubleType
+              var i = 0
+              while (i < batch.numRows()) {
+                var isNull = false
+                var l = 0
+                while (!isNull && l < parts.length) {
+                  if (levels(l).isNullAt(i)) isNull = true; l += 1
+                }
+                if (isNull) nulls += 1
+                else if (floatish) {
+                  val v = if (leafDt == FloatType) leaf.getFloat(i).toDouble else leaf.getDouble(i)
+                  smD += v
+                  if (v != v) nans += 1
+                  else { seenD = true; if (v < mnD) mnD = v; if (v > mxD) mxD = v }
+                } else {
+                  val v = leafDt match {
+                    case ByteType => leaf.getByte(i).toLong
+                    case ShortType => leaf.getShort(i).toLong
+                    case IntegerType | DateType => leaf.getInt(i).toLong
+                    case BooleanType => if (leaf.getBoolean(i)) 1L else 0L
+                    case _ => leaf.getLong(i) // long/timestamp domains
+                  }
+                  smL += v
+                  if (v < mnL) mnL = v; if (v > mxL) mxL = v
+                }
+                i += 1
+              }
+              val values = batch.numRows() - nulls
+              if (values == 0) graft.format.ColStats(nulls, None, None)
+              else if (floatish)
+                graft.format.ColStats(nulls,
+                  if (seenD) Some(Stats.doubleBytes(mnD)) else None,
+                  if (seenD) Some(Stats.doubleBytes(mxD)) else None,
+                  Some(Stats.doubleBytes(smD)), nans)
+              else graft.format.ColStats(nulls,
+                Some(Stats.longBytes(mnL)), Some(Stats.longBytes(mxL)),
+                Some(Stats.longBytes(smL)))
+            } finally batch.close()
+          }
           // the chunk's stats for `col`: top-level by (chain-resolved)
           // schema index, DOTTED struct leaves from the footer's
-          // nestedStats. None = the column/leaf provably reads all-null
-          // in this chunk (pre-ADD file). A file that HAS the leaf but
-          // carries no nested stats refuses loudly — a silent all-null
-          // answer there would be wrong data, not a degraded plan.
-          def statsOf(t: Meta.TableMeta, col: String,
+          // nestedStats (computed from the chunk's own data when the
+          // footer omits them). None = the column/leaf provably reads
+          // all-null in this chunk (pre-ADD file).
+          def statsOf(cm: Meta.ChunkMeta, t: Meta.TableMeta, col: String,
               prev: Seq[String]): Option[graft.format.ColStats] =
             if (col.indexOf('.') >= 0) t.nestedStats.get(col) match {
               case s @ Some(_) => s
               case None =>
                 if (Stats.leafType(t.schema, col).isDefined)
-                  throw new OliveFormatException(
-                    s"file carries leaf $col but no nested stats — " +
-                      "cannot answer a pushed aggregate from this footer")
+                  Some(computedLeafStats(cm, t, col))
                 else None // leaf absent from this file's struct: all-null
             }
             else chunkIdxOf(t, col, prev).map(t.stats)
           def minMax(col: String, prev: Seq[String], wantMax: Boolean): Any = {
             if (gp.partValues.contains(col) &&
-                !chunks.headOption.exists(t => statsOf(t, col, prev).isDefined))
+                !chunkPairs.headOption.exists { case (cm, t) =>
+                  statsOf(cm, t, col, prev).isDefined })
               return org.apache.spark.unsafe.types.UTF8String.fromString(gp.partValues(col))
             val outType = schema.fields
               .find(_.name == s"${if (wantMax) "max" else "min"}($col)")
@@ -1956,8 +2041,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                 // any NaN in a chunk makes its partial MAX NaN; a chunk
                 // whose every value is NaN has NaN as its partial MIN;
                 // otherwise the stored non-NaN bounds are the answer
-                val doubles = chunks.flatMap { t =>
-                  statsOf(t, col, prev).flatMap { cs =>
+                val doubles = chunkPairs.flatMap { case (cm, t) =>
+                  statsOf(cm, t, col, prev).flatMap { cs =>
                     if (t.numRows == 0 || cs.nullCount == t.numRows) None
                     else if (wantMax && cs.nanCount > 0) Some(Double.NaN)
                     else (if (wantMax) cs.max else cs.min) match {
@@ -1976,8 +2061,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                   if (outType == FloatType) v.toFloat else v
                 }
               case _ =>
-                val longs = chunks.flatMap { t =>
-                  statsOf(t, col, prev).flatMap { cs =>
+                val longs = chunkPairs.flatMap { case (cm, t) =>
+                  statsOf(cm, t, col, prev).flatMap { cs =>
                     val stat = if (wantMax) cs.max else cs.min
                     if (t.numRows == 0) None
                     else stat match {
@@ -2006,8 +2091,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
           }
           val values: Array[Any] = specs.map {
             case GraftCountStar => chunks.map(_.numRows.toLong).sum
-            case GraftCountCol(c, prev) => chunks.map { t =>
-              statsOf(t, c, prev) match {
+            case GraftCountCol(c, prev) => chunkPairs.map { case (cm, t) =>
+              statsOf(cm, t, c, prev) match {
                 case Some(cs) => t.numRows.toLong - cs.nullCount
                 case None if gp.partValues.contains(c) => t.numRows.toLong // path constant: never null
                 case None => 0L // pre-ADD file or schema drift: all null
@@ -2020,8 +2105,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
               // All-null (or absent: schema drift) chunks contribute
               // nothing; zero contributing chunks => null partial, the
               // SQL sum-of-no-rows
-              val parts = chunks.flatMap { t =>
-                statsOf(t, c, prev).flatMap { st =>
+              val parts = chunkPairs.flatMap { case (cm, t) =>
+                statsOf(cm, t, c, prev).flatMap { st =>
                   st.sum match {
                     case Some(b) => Some(Stats.longOf(b))
                     case None =>
@@ -2515,14 +2600,14 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val c = GraftDataSource.sessionConf()
         GraftDataSource.ensureAppendVisibility(c, dir, epochDataDir, messages)
-        // stats maintenance, RETRY-SAFE subset only: sketch union and
-        // min/max extension are set-semantics (a replayed epoch merges
-        // the same values again, changing nothing), but row/null-count
-        // accrual would double-bill on an epoch retry — those stay with
-        // byte-ratio extrapolation
+        // stats maintenance, FULLY retry-safe: the epoch id keys the
+        // merge against the sidecar's high-water mark, so a replayed
+        // epoch (same id, same deterministic data) applies nothing —
+        // rows and null counts stay EXACT across streaming ingest
+        // instead of extrapolating
         GraftDataSource.mergeAppendStats(c, dir,
           Option(options.get("table")).getOrElse("data"), messages,
-          accrueCounts = false)
+          epochKey = Some(epochId))
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
     }

@@ -159,4 +159,48 @@ class AggPushdownSpec extends SparkSpec {
     def a(x: DataFrame) = x.agg(min("m.w"), max("m.w"), count(col("m.w")), sum("m.d"))
     assert(canon(a(g)) == canon(a(p)))
   }
+
+  test("a file carrying a leaf WITHOUT nested stats degrades to a chunk decode, not a failure") {
+    // an older writer or interop edge can omit nestedStats; the pushed
+    // aggregate must then compute the chunk's stats from its own data
+    // (one column decode) instead of failing the whole query
+    val dir = Files.createTempDirectory("graft-aggnost").toString
+    spark.range(0, 9000).select(
+      col("id"),
+      when(col("id") % 7 === 0, null).otherwise(struct(
+        (col("id") * 3).as("w"),
+        (col("id") * 0.5).as("d"))).as("m"))
+      .coalesce(1)
+      .write.format("graft").option("chunkrows", "4000").mode("overwrite").save(dir)
+    // strip every nested stat from the footer (chunk + block level)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    val hp = new org.apache.hadoop.fs.Path(f.toString)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val r0 = GraftFileReader.open(fs, hp)
+    val footer = r0.footer
+    r0.close()
+    assert(footer.chunks.forall(_.tables.forall(_.nestedStats.nonEmpty)))
+    val stripped = footer.copy(chunks = footer.chunks.map(c => c.copy(
+      tables = c.tables.map(_.copy(nestedStats = Map.empty,
+        blockNestedStats = Vector.empty)))))
+    val raw = java.nio.file.Files.readAllBytes(f.toPath)
+    val fb = Meta.write(stripped)
+    val origLen = Bytes.le(raw).getLong(raw.length - 12)
+    val tail = new Bytes(12)
+    tail.putLong(fb.length.toLong)
+    tail.putBytes(Meta.MagicTail)
+    java.nio.file.Files.write(f.toPath,
+      raw.slice(0, raw.length - 12 - origLen.toInt) ++ fb ++ tail.toArray)
+
+    val g = spark.read.format("graft").load(dir)
+    val nn = (0 until 9000).count(_ % 7 != 0)
+    val df = g.agg(min("m.w").as("mn"), max("m.w").as("mx"),
+      count(col("m.w")).as("n"), sum("m.d").as("sd"))
+    assert(plan(df).contains("pushedAggs="), plan(df))
+    val row = df.head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 8999L * 3) // id=0 struct-null, 8999 isn't
+    assert(row.getLong(2) == nn.toLong)
+    assert(math.abs(row.getDouble(3) -
+      0.5 * (0 until 9000).filter(_ % 7 != 0).map(_.toLong).sum) < 1e-3)
+  }
 }

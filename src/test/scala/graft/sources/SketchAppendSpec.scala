@@ -96,12 +96,11 @@ class SketchAppendSpec extends SparkSpec {
       "an overwrite must not leave a sidecar describing vanished rows")
   }
 
-  test("streaming appends merge the RETRY-SAFE subset: NDV/min/max fresh, counts anchored") {
+  test("streaming appends keep the FULL stats set exact: epoch-keyed counts") {
     val dir = freshDir()
     spark.range(0, 1000).selectExpr("id", "concat('k', CAST(id % 50 AS STRING)) AS label")
       .write.format("graft").mode("overwrite").save(dir)
     graft.operators.FormatOps.analyzeTable(spark, dir)
-    val before = sidecar(dir)
     // stream 500 NEW ids into the analyzed table through the graft sink
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -121,11 +120,43 @@ class SketchAppendSpec extends SparkSpec {
     assert(math.abs(after.cols("id").ndv - 1500) <= 30,
       s"streamed NDV must merge: ${after.cols("id").ndv}")
     assert(after.cols("id").max.contains(1499L))
-    // counts stay ANCHORED (epoch retries would double-bill them): rows
-    // keep extrapolating by byte growth instead
-    assert(after.rows == before.rows && after.bytes == before.bytes)
-    assert(after.cols("label").nullCount == before.cols("label").nullCount)
+    // additive counts are epoch-keyed against the sidecar's high-water
+    // mark, so they accrue EXACTLY (a replayed epoch applies nothing)
+    assert(after.rows == 1500, s"streamed rows must accrue exactly: ${after.rows}")
+    assert(after.lastEpoch >= 0, "the committing epoch must record its id")
+    val onDisk = GraftDataSource.listPartitionedSized(conf, dir).map(_._2).sum
+    assert(after.bytes == onDisk, "bytes must re-anchor at the epoch commit")
     assert(spark.read.format("graft").load(dir).count() == 1500L)
+  }
+
+  test("an epoch REPLAY applies nothing: rows stay exact, NDV unchanged") {
+    val dir = freshDir()
+    write(dir, "overwrite", 0, 1000)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    val a0 = sidecar(dir)
+    // one writer task's delta for an epoch-7 commit, applied twice (the
+    // second is a retried epoch re-committing the SAME id, the exact
+    // shape Spark's exactly-once sink contract produces)
+    val sk = new ColSketcher(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Seq("id"))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    (5000L until 5200L).foreach { v => row.update(0, v); sk.update(row) }
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(GraftCommitMessage("epoch-7-part-0.graft", 200L, sk.result()))
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(7L))
+    val a1 = sidecar(dir)
+    assert(a1.rows == a0.rows + 200, s"first apply accrues: ${a1.rows}")
+    assert(a1.lastEpoch == 7L)
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(7L))
+    val a2 = sidecar(dir)
+    assert(a2.rows == a1.rows, s"replay must not double-bill rows: ${a2.rows}")
+    assert(a2.cols("id").ndv == a1.cols("id").ndv)
+    assert(a2.cols("id").nullCount == a1.cols("id").nullCount)
+    // a LATER epoch still applies
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(8L))
+    assert(sidecar(dir).rows == a1.rows + 200)
   }
 
   test("un-analyzed tables pay nothing: no sidecar, no deltas in messages") {
