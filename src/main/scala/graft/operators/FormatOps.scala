@@ -2365,6 +2365,37 @@ object FormatOps {
       |  CAST(sum(CASE WHEN score >= 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
       |FROM t""".stripMargin
 
+  // ---- q146: pushed top-k on a DOUBLE score ---------------------------------
+  // "Top-k documents by quality score" — the canonical LLM-curation
+  // query. Pushed ORDER BY DESC LIMIT admits float/double since footer
+  // v5 (IEEE-sortable long domain + NaN accounting, TopNSpec); the gate
+  // plan-asserts the pushdown and hash-gates the rows. Scores are
+  // exact-integer-derived doubles and UNIQUE per document (ties under
+  // LIMIT are engine-nondeterministic).
+  private val q146: Q = (s, d) => {
+    val dir = graftDir(d, "score_topk")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("n_chars") * lit(1000000L) + col("doc_id")).cast("double").as("score"))
+      .repartitionByRange(4, col("score")).sortWithinPartitions("score")
+      .write.format("graft").mode("overwrite").save(dir)
+    val top = s.read.format("graft").load(dir)
+      .orderBy(col("score").desc).limit(20)
+    val scanDesc = top.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse("")
+    require(scanDesc.contains("pushedTopN=[score DESC k=20]"),
+      s"q146: double top-k must push ($scanDesc)")
+    top
+  }
+  private val q146Sql =
+    """SELECT doc_id,
+      |  CAST(n_chars * 1000000 + doc_id AS DOUBLE) AS score
+      |FROM documents
+      |ORDER BY score DESC
+      |LIMIT 20""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2640,6 +2671,7 @@ object FormatOps {
     "q142_decimal_widen" -> q142,
     "q143_add_column_prune" -> q143,
     "q145_float_prune" -> q145,
+    "q146_score_topk" -> q146,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2683,6 +2715,7 @@ object FormatOps {
     "q142_decimal_widen" -> q142Sql,
     "q143_add_column_prune" -> q143Sql,
     "q145_float_prune" -> q145Sql,
+    "q146_score_topk" -> q146Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -1222,6 +1222,10 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
         val statExact = fullSchema.fields.find(_.name == colName).exists(_.dataType match {
           case ByteType | ShortType | IntegerType | LongType | DateType |
                TimestampType | TimestampNTZType | BooleanType => true
+          // float/double compare in the IEEE-sortable long domain with
+          // v5 NaN accounting ("top-k by quality score", the canonical
+          // LLM-curation query, skips chunks like any integral key)
+          case FloatType | DoubleType => true
           case _ => false
         })
         if (!statExact) return false
@@ -2185,19 +2189,41 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
 class TopNSkipper(spec: GraftTopN, required: StructType) {
   private val colIdx = required.fieldIndex(spec.col)
   private val dt = required.fields(colIdx).dataType
+  private val floatish = dt == FloatType || dt == DoubleType
   // size-k heap of the best values so far: a MIN-heap for DESC (root =
   // current k-th largest), MAX-heap for ASC (root = current k-th smallest)
   private val heap = new java.util.PriorityQueue[java.lang.Long](spec.k,
     if (spec.desc) java.util.Comparator.naturalOrder[java.lang.Long]()
     else java.util.Comparator.reverseOrder[java.lang.Long]())
 
+  /** IEEE double -> signed long whose natural order IS the value order
+    * Spark sorts by: positives keep their bits, negatives flip their
+    * magnitude bits, NaN canonicalizes above +Inf (Spark orders NaN
+    * largest), -0.0 lands just under +0.0 (Double.compare order —
+    * indistinguishable in a top-k since the values compare equal). */
+  private def sortable(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
   private def longAt(v: org.apache.spark.sql.vectorized.ColumnVector, i: Int): Long = dt match {
     case ByteType => v.getByte(i).toLong
     case ShortType => v.getShort(i).toLong
     case IntegerType | DateType => v.getInt(i).toLong
     case BooleanType => if (v.getBoolean(i)) 1L else 0L
+    case FloatType => sortable(v.getFloat(i).toDouble)
+    case DoubleType => sortable(v.getDouble(i))
     case _ => v.getLong(i) // Long, Timestamp[NTZ]
   }
+
+  /** One stat value in the heap's comparison domain. Float/double stats
+    * hold f64 bytes and cover the NON-NaN values only: under DESC a
+    * NaN-bearing chunk's effective max IS NaN (the largest value Spark
+    * would sort first), so the stored max must not license a skip. */
+  private def statIn(st: graft.format.ColStats, wantMax: Boolean): Option[Long] =
+    if (!floatish) (if (wantMax) st.max else st.min).map(Stats.longOf)
+    else if (wantMax && st.nanCount > 0) Some(sortable(Double.NaN))
+    else (if (wantMax) st.max else st.min).map(b => sortable(Stats.doubleOf(b)))
 
   def observe(batch: ColumnarBatch): Unit = {
     val v = batch.column(colIdx)
@@ -2230,10 +2256,7 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
   private def statOf(t: Meta.TableMeta): Option[Long] = {
     val idx = fieldIdx(t)
     if (idx < 0) None
-    else {
-      val st = t.stats(idx)
-      (if (spec.desc) st.max else st.min).map(Stats.longOf)
-    }
+    else statIn(t.stats(idx), wantMax = spec.desc)
   }
 
   def canSkip(t: Meta.TableMeta): Boolean = {
@@ -2255,7 +2278,7 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
     if (idx < 0 || bi >= t.blockStats.size) None
     else {
       val st = t.blockStats(bi)(idx)
-      Some((st, (if (spec.desc) st.max else st.min).map(Stats.longOf)))
+      Some((st, statIn(st, wantMax = spec.desc)))
     }
   }
 

@@ -140,6 +140,58 @@ class TopNSpec extends SparkSpec {
     assert(canon(got) == canon(expect))
   }
 
+  test("DOUBLE top-k pushes, skips chunks, and keeps Spark's NaN-largest order") {
+    // "top-k documents by quality score" — the canonical LLM-curation
+    // query. Scores are score-clustered so the skipper has proof to work
+    // with; chunk 3 hides NaNs whose stored (non-NaN) max would license
+    // a WRONG skip without the v5 nanCount guard: Spark sorts NaN first
+    // under DESC, so those rows ARE the top-k.
+    val dir = Files.createTempDirectory("graft-topn-dbl").toString
+    spark.range(0, 40000).coalesce(1)
+      .selectExpr("id",
+        "IF(id BETWEEN 12288 AND 12291, CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE) / 4.0) AS score")
+      .write.format("graft").option("chunkrows", "4096").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val got = g.orderBy(col("score").desc).limit(10)
+    val scanDesc = got.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scanDesc.contains("pushedTopN=[score DESC k=10]"), scanDesc)
+    val expect = spark.range(0, 40000)
+      .selectExpr("id",
+        "IF(id BETWEEN 12288 AND 12291, CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE) / 4.0) AS score")
+      .orderBy(col("score").desc).limit(10)
+    // 4 NaN rows first, then the finite tail — pushed == unpushed
+    assert(canon(got) == canon(expect))
+    assert(got.collect().count(_.getDouble(1).isNaN) == 4)
+
+    // the skip itself: NaN-free double data decodes one chunk of ten
+    val dir2 = Files.createTempDirectory("graft-topn-dbl2").toString
+    spark.range(0, 40000).coalesce(1)
+      .selectExpr("id", "CAST(id AS DOUBLE) / 4.0 AS score")
+      .write.format("graft").option("chunkrows", "4096").mode("overwrite").save(dir2)
+    val p = graftFile(dir2)
+    val schema = spark.read.format("graft").load(dir2).schema
+    val rd = new GraftPartitionReader(p.getFileSystem(new Configuration()), p,
+      schema, None, Array.empty, -1, Map.empty, None,
+      Some(GraftTopN("score", desc = true, nullsFirst = false, k = 10)))
+    var rows = 0L; var batches = 0
+    try { while (rd.next()) { rows += rd.get().numRows(); batches += 1 } }
+    finally rd.close()
+    assert(batches == 1, s"double top-k must skip chunks like an integral key, got $batches")
+    // negatives order correctly through the sortable transform (ASC)
+    val dir3 = Files.createTempDirectory("graft-topn-dbl3").toString
+    spark.range(0, 30000).coalesce(1)
+      .selectExpr("id", "CAST(id AS DOUBLE) - 15000.0 AS score")
+      .write.format("graft").option("chunkrows", "4096").mode("overwrite").save(dir3)
+    val g3 = spark.read.format("graft").load(dir3)
+    val gotAsc = g3.orderBy(col("score").asc).limit(7)
+    val expAsc = spark.range(0, 30000)
+      .selectExpr("id", "CAST(id AS DOUBLE) - 15000.0 AS score")
+      .orderBy(col("score").asc).limit(7)
+    assert(canon(gotAsc) == canon(expAsc))
+  }
+
   test("unsorted data stays exact (skipping just finds less to skip)") {
     val dir = Files.createTempDirectory("graft-topn-shuffled").toString
     spark.range(0, 30000).coalesce(1)
