@@ -1001,8 +1001,13 @@ final class BinaryEncoder(wide: Boolean = false, isString: Boolean = false)
 
   /** String min/max by in-place unsigned range comparison over the data
     * buffer — zero allocation until the two winning slices are copied out
-    * once per chunk/block. Any value past [[Stats.MaxStringStat]] drops
-    * the range's min/max (a truncated max is not an upper bound). */
+    * once per chunk/block. Values past [[Stats.MaxStringStat]] store
+    * TRUNCATED BOUNDS, parquet-style: a prefix is always a valid LOWER
+    * bound in unsigned-lex order, and a prefix with its last
+    * non-0xff byte incremented (bytes after it dropped) is a strict
+    * UPPER bound; an all-0xff prefix has no bounded upper (max absent,
+    * min kept). Bounds are proofs for the skip logic, never surfaced as
+    * values — string MIN/MAX aggregates don't push. */
   override def statsRange(from: Int, to: Int): ColStats = {
     val nulls = validity.nullCountIn(from, to)
     if (!isString || to - from - nulls <= 0) return ColStats(nulls, None, None)
@@ -1015,14 +1020,24 @@ final class BinaryEncoder(wide: Boolean = false, isString: Boolean = false)
       if (noNulls || validity.isValidAt(i)) {
         val s = offsets.entry(i)
         val e = offsets.entry(i + 1)
-        if (e - s > Stats.MaxStringStat) return ColStats(nulls, None, None)
         if (mnS < 0 || java.util.Arrays.compareUnsigned(arr, s, e, arr, mnS, mnE) < 0) { mnS = s; mnE = e }
         if (mxS < 0 || java.util.Arrays.compareUnsigned(arr, s, e, arr, mxS, mxE) > 0) { mxS = s; mxE = e }
       }
       i += 1
     }
-    ColStats(nulls, Some(java.util.Arrays.copyOfRange(arr, mnS, mnE)),
-      Some(java.util.Arrays.copyOfRange(arr, mxS, mxE)))
+    val cap = Stats.MaxStringStat
+    val mn = // a prefix never exceeds the string it prefixes
+      java.util.Arrays.copyOfRange(arr, mnS, math.min(mnE, mnS + cap))
+    val mx: Option[Array[Byte]] =
+      if (mxE - mxS <= cap) Some(java.util.Arrays.copyOfRange(arr, mxS, mxE))
+      else {
+        val b = java.util.Arrays.copyOfRange(arr, mxS, mxS + cap)
+        var j = b.length - 1
+        while (j >= 0 && b(j) == 0xff.toByte) j -= 1
+        if (j < 0) None // all-0xff prefix: no bounded upper exists
+        else { b(j) = (b(j) + 1).toByte; Some(java.util.Arrays.copyOfRange(b, 0, j + 1)) }
+      }
+    ColStats(nulls, Some(mn), mx)
   }
 }
 

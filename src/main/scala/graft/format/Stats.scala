@@ -69,12 +69,6 @@ object Stats {
     val nans = parts.iterator.map(_.nanCount).sum
     val vals = parts.indices.filter(hasValues)
     if (vals.isEmpty) return ColStats(nulls, None, None)
-    // a value-bearing block with no min/max is "broken" (over-long
-    // string, statless type) UNLESS its values were all NaN — those
-    // blocks are accounted by nanCount and simply contribute no bounds
-    val bounded = vals.filter(i => parts(i).min.isDefined && parts(i).max.isDefined)
-    val broken = vals.exists(i =>
-      (parts(i).min.isEmpty || parts(i).max.isEmpty) && parts(i).nanCount == 0)
     def lt(a: Array[Byte], b: Array[Byte]): Boolean = dt match {
       case FloatType | DoubleType => doubleOf(a) < doubleOf(b)
       case StringType => java.util.Arrays.compareUnsigned(a, b) < 0
@@ -84,18 +78,17 @@ object Stats {
         new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b)) < 0
       case _ => longOf(a) < longOf(b) // integral/bool/ts/decimal-unscaled
     }
-    val (mn, mx) =
-      if (broken || bounded.isEmpty) (None, None)
-      else {
-        var lo = parts(bounded.head).min.get
-        var hi = parts(bounded.head).max.get
-        bounded.tail.foreach { i =>
-          val p = parts(i)
-          if (lt(p.min.get, lo)) lo = p.min.get
-          if (lt(hi, p.max.get)) hi = p.max.get
-        }
-        (Some(lo), Some(hi))
-      }
+    // min and max merge INDEPENDENTLY: a value-bearing block missing a
+    // bound poisons that SIDE only — truncated string maxima can be
+    // absent (all-0xff prefix) while the minima stand, and all-NaN
+    // float blocks are accounted by nanCount and contribute no bounds
+    def mergeSide(get: ColStats => Option[Array[Byte]], isMin: Boolean): Option[Array[Byte]] = {
+      if (vals.exists(i => get(parts(i)).isEmpty && parts(i).nanCount == 0)) return None
+      vals.flatMap(i => get(parts(i))).reduceOption((a, b) =>
+        if (lt(a, b) == isMin) a else b)
+    }
+    val mn = mergeSide(_.min, isMin = true)
+    val mx = mergeSide(_.max, isMin = false)
     val sums = vals.map(parts(_).sum)
     val sum =
       if (sums.exists(_.isEmpty)) None

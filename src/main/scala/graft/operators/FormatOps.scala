@@ -2396,6 +2396,44 @@ object FormatOps {
       |ORDER BY score DESC
       |LIMIT 20""".stripMargin
 
+  // ---- q147: truncated string bounds prune LONG-text files ------------------
+  // Document text routinely exceeds the 48-byte stat cap; pre-r13 that
+  // dropped the whole column's zone maps and every text predicate read
+  // the full corpus. Parquet-style truncated bounds (prefix = lower
+  // bound, bumped prefix = strict upper) keep the proofs: a selective
+  // equality on text-clustered files schedules only the files whose
+  // truncated ranges admit it — plan-asserted, rows oracle-gated (both
+  // engines compare strings as binary/memcmp on this ASCII corpus).
+  private val q147: Q = (s, d) => {
+    val dir = graftDir(d, "longstr_prune")
+    Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      .repartitionByRange(8, col("text")).sortWithinPartitions("text")
+      .write.format("graft").mode("overwrite").save(dir)
+    val g0 = s.read.format("graft").load(dir)
+    val mnText = g0.agg(min(col("text"))).head().getString(0)
+    // single-key DML on the cluster column writes the stats manifest
+    updateWhere(s, dir, "data",
+      set = Map("text" -> col("text")), where = col("text") === mnText)
+    val g = s.read.format("graft").load(dir)
+    val mxText = g.agg(max(col("text"))).head().getString(0)
+    val sel = g.filter(col("text") === mxText)
+    val files = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten.distinct.size
+    require(files <= 3,
+      s"q147: truncated text bounds must prune files at planning (scheduled $files)")
+    sel.select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+  }
+  private val q147Sql =
+    """SELECT doc_id, n_chars
+      |FROM documents
+      |WHERE text = (SELECT max(text) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2672,6 +2710,7 @@ object FormatOps {
     "q143_add_column_prune" -> q143,
     "q145_float_prune" -> q145,
     "q146_score_topk" -> q146,
+    "q147_longstr_prune" -> q147,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2716,6 +2755,7 @@ object FormatOps {
     "q143_add_column_prune" -> q143Sql,
     "q145_float_prune" -> q145Sql,
     "q146_score_topk" -> q146Sql,
+    "q147_longstr_prune" -> q147Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -89,13 +89,15 @@ class StatsPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("string statsRange: unsigned-lex min/max; long strings drop stats") {
+  test("string statsRange: exact short bounds, parquet-style truncated long bounds") {
     val r = new Random(0xCAFE)
     (1 to Iters).foreach { _ =>
       val (n, from, to) = randRange(r)
       val vals = Seq.fill(n)(r.nextInt(6) match {
         case 0 => None
-        case 1 => Some(UTF8String.fromString("x" * (Stats.MaxStringStat + 1 + r.nextInt(5))))
+        case 1 => Some(UTF8String.fromString(
+          // over-cap values with a random tail (sorts above/below x-runs)
+          "x" * (Stats.MaxStringStat + 1 + r.nextInt(5)) + r.nextPrintableChar()))
         case _ => Some(UTF8String.fromString(
           Seq.fill(r.nextInt(8))(r.nextPrintableChar()).mkString))
       })
@@ -103,15 +105,23 @@ class StatsPropertySpec extends AnyFunSuite {
       val slice = vals.slice(from, to)
       val present = slice.flatten.map(_.asInstanceOf[UTF8String].getBytes)
       assert(st.nullCount == slice.count(_.isEmpty))
-      if (present.isEmpty || present.exists(_.length > Stats.MaxStringStat))
-        assert(st.min.isEmpty && st.max.isEmpty)
+      def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+      if (present.isEmpty) assert(st.min.isEmpty && st.max.isEmpty)
       else {
-        def less(a: Array[Byte], b: Array[Byte]) =
-          java.util.Arrays.compareUnsigned(a, b) < 0
-        assert(st.min.get.toSeq ==
-          present.reduceLeft((a, b) => if (less(b, a)) b else a).toSeq)
-        assert(st.max.get.toSeq ==
-          present.reduceLeft((a, b) => if (less(a, b)) b else a).toSeq)
+        val trueMin = present.reduceLeft((a, b) => if (cmp(b, a) < 0) b else a)
+        val trueMax = present.reduceLeft((a, b) => if (cmp(a, b) < 0) b else a)
+        // min is ALWAYS a valid lower bound, capped at the stat width
+        assert(st.min.get.length <= Stats.MaxStringStat)
+        assert(present.forall(v => cmp(st.min.get, v) <= 0), "min must bound below")
+        if (trueMin.length <= Stats.MaxStringStat)
+          assert(st.min.get.toSeq == trueMin.toSeq) // short min is exact
+        // max: exact when short, a strict upper bound when truncated
+        // (printable tails never hit the all-0xff unbounded case)
+        assert(st.max.isDefined)
+        assert(st.max.get.length <= Stats.MaxStringStat)
+        assert(present.forall(v => cmp(st.max.get, v) >= 0), "max must bound above")
+        if (trueMax.length <= Stats.MaxStringStat)
+          assert(st.max.get.toSeq == trueMax.toSeq)
       }
     }
   }
