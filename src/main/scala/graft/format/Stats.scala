@@ -865,15 +865,16 @@ object Stats {
     * churnedBytes/bytes crosses `spark.graft.statsChurnThreshold`
     * the scan stops serving per-column stats (a wrong NDV misleads the
     * CBO worse than no NDV). ANALYZE resets the counter. */
-  /** `lastEpoch` is the streaming-ingest idempotency high-water mark:
-    * epoch ids are monotone and a retried epoch re-commits the SAME id
-    * with the same deterministic data, so additive deltas (rows, null
-    * counts) apply only when the committing epoch exceeds it — replays
-    * can't double-bill and the full stats set survives streaming. -1 =
-    * no streaming epoch applied yet. */
+  /** `streamEpochs` is the streaming-ingest idempotency high-water mark
+    * PER QUERY: epoch ids are monotone within one query (and a retried
+    * epoch re-commits the SAME id with the same deterministic data) but
+    * restart at 0 for every new checkpoint, so the mark must be keyed
+    * by the query id — additive deltas (rows, null counts) apply only
+    * when the committing epoch exceeds the query's own mark; replays
+    * can't double-bill and concurrent/new queries aren't skipped. */
   case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
       cols: Map[String, ColAnalysis], bytes: Long = 0L,
-      churnedBytes: Long = 0L, lastEpoch: Long = -1L) {
+      churnedBytes: Long = 0L, streamEpochs: Map[String, Long] = Map.empty) {
     def churnFraction: Double =
       if (bytes <= 0) 0.0 else churnedBytes.toDouble / bytes
   }
@@ -885,7 +886,10 @@ object Stats {
     root.put("exact", a.exact)
     if (a.bytes > 0) root.put("bytes", a.bytes)
     if (a.churnedBytes > 0) root.put("churn", a.churnedBytes)
-    if (a.lastEpoch >= 0) root.put("ep", a.lastEpoch)
+    if (a.streamEpochs.nonEmpty) {
+      val eps = root.putObject("eps")
+      a.streamEpochs.toSeq.sortBy(_._1).foreach { case (q, e) => eps.put(q, e) }
+    }
     a.gen.foreach(g => root.put("gen", g))
     val cols = root.putObject("cols")
     a.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
@@ -943,6 +947,10 @@ object Stats {
         Option(root.get("gen")).map(_.asText()), cols.result(),
         Option(root.get("bytes")).map(_.asLong()).getOrElse(0L),
         Option(root.get("churn")).map(_.asLong()).getOrElse(0L),
-        Option(root.get("ep")).map(_.asLong()).getOrElse(-1L)))
+        Option(root.get("eps")).map { eps =>
+          val b = Map.newBuilder[String, Long]
+          eps.fields().forEachRemaining(kv => b += (kv.getKey -> kv.getValue.asLong()))
+          b.result()
+        }.getOrElse(Map.empty)))
     } catch { case _: Exception => None }
 }

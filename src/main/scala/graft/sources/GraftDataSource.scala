@@ -559,11 +559,16 @@ object GraftDataSource {
     * concurrent ANALYZE racing this loses nothing worse than one
     * append's delta, which the next ANALYZE recomputes anyway.
     *
-    * `epochKey` (streaming commits) makes the ADDITIVE half retry-safe:
-    * epoch ids are monotone and a retried epoch replays the same id
-    * with the same deterministic data, so the whole merge applies only
-    * when the id exceeds the sidecar's high-water mark — rows and null
-    * counts stay exact across replays instead of extrapolating.
+    * `epochKey` ((queryId, epochId), streaming commits) makes the
+    * ADDITIVE half retry-safe: epoch ids are monotone WITHIN a query
+    * and a retried epoch replays the same id with the same
+    * deterministic data, so the whole merge applies only when the id
+    * exceeds that query's high-water mark in the sidecar — rows and
+    * null counts stay exact across replays, and a new query (fresh
+    * checkpoint, epochs restarting at 0) keeps its own mark instead of
+    * being skipped against another query's. The per-query map is
+    * bounded (64): a 65th concurrent writer skips the merge entirely
+    * (NDV degrades to the next ANALYZE — never double-billed).
     *
     * Fields the deltas CANNOT maintain (string/binary min/max — deltas
     * carry integral ranges only — and avg/max lengths) are DROPPED for
@@ -572,11 +577,17 @@ object GraftDataSource {
     * unbounded and never surface. */
   private[sources] def mergeAppendStats(conf: Configuration, dir: String,
       table: String, messages: Array[WriterCommitMessage],
-      epochKey: Option[Long] = None): Unit = try {
+      epochKey: Option[(String, Long)] = None): Unit = try {
     val msgs = messages.collect { case m: GraftCommitMessage => m }
     if (!msgs.exists(_.statDeltas.nonEmpty)) return
     readColStats(conf, dir, table).foreach { a =>
-      if (epochKey.exists(_ <= a.lastEpoch)) return // epoch replay: already merged
+      // epoch replay (already merged) or a 65th concurrent writer
+      // (bounded map): apply nothing
+      val skipMerge = epochKey.exists { case (q, e) =>
+        a.streamEpochs.get(q).exists(_ >= e) ||
+          (!a.streamEpochs.contains(q) && a.streamEpochs.size >= 64)
+      }
+      if (skipMerge) return
       val appendedRows: Long = msgs.map(_.rows.toLong).sum
       val deltas = ColSketcher.combine(msgs.map(_.statDeltas).toSeq)
       val cols = a.cols.map { case (name, c) =>
@@ -618,7 +629,8 @@ object GraftDataSource {
         exact = false,
         cols = cols,
         bytes = bytesNow,
-        lastEpoch = epochKey.getOrElse(a.lastEpoch)))
+        streamEpochs = epochKey.fold(a.streamEpochs) {
+          case (q, e) => a.streamEpochs + (q -> e) }))
     }
     // runs AFTER the append's files are visible: the data is committed,
     // so advisory stats maintenance must never fail the job (a racing
@@ -2630,7 +2642,7 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
         // instead of extrapolating
         GraftDataSource.mergeAppendStats(c, dir,
           Option(options.get("table")).getOrElse("data"), messages,
-          epochKey = Some(epochId))
+          epochKey = Some((info.queryId(), epochId)))
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {}
     }

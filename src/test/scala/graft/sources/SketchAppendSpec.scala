@@ -123,7 +123,7 @@ class SketchAppendSpec extends SparkSpec {
     // additive counts are epoch-keyed against the sidecar's high-water
     // mark, so they accrue EXACTLY (a replayed epoch applies nothing)
     assert(after.rows == 1500, s"streamed rows must accrue exactly: ${after.rows}")
-    assert(after.lastEpoch >= 0, "the committing epoch must record its id")
+    assert(after.streamEpochs.nonEmpty, "the committing query must record its epoch mark")
     val onDisk = GraftDataSource.listPartitionedSized(conf, dir).map(_._2).sum
     assert(after.bytes == onDisk, "bytes must re-anchor at the epoch commit")
     assert(spark.read.format("graft").load(dir).count() == 1500L)
@@ -145,18 +145,24 @@ class SketchAppendSpec extends SparkSpec {
     (5000L until 5200L).foreach { v => row.update(0, v); sk.update(row) }
     val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
       Array(GraftCommitMessage("epoch-7-part-0.graft", 200L, sk.result()))
-    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(7L))
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(("qA", 7L)))
     val a1 = sidecar(dir)
     assert(a1.rows == a0.rows + 200, s"first apply accrues: ${a1.rows}")
-    assert(a1.lastEpoch == 7L)
-    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(7L))
+    assert(a1.streamEpochs == Map("qA" -> 7L))
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(("qA", 7L)))
     val a2 = sidecar(dir)
     assert(a2.rows == a1.rows, s"replay must not double-bill rows: ${a2.rows}")
     assert(a2.cols("id").ndv == a1.cols("id").ndv)
     assert(a2.cols("id").nullCount == a1.cols("id").nullCount)
-    // a LATER epoch still applies
-    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(8L))
+    // a LATER epoch of the same query still applies
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(("qA", 8L)))
     assert(sidecar(dir).rows == a1.rows + 200)
+    // a DIFFERENT query's epoch 0 is NOT a replay: marks are per query
+    // (a fresh checkpoint restarts epochs at 0 and must still count)
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs, epochKey = Some(("qB", 0L)))
+    val a3 = sidecar(dir)
+    assert(a3.rows == a1.rows + 400, s"a new query's epoch 0 must accrue: ${a3.rows}")
+    assert(a3.streamEpochs == Map("qA" -> 8L, "qB" -> 0L))
   }
 
   test("un-analyzed tables pay nothing: no sidecar, no deltas in messages") {
