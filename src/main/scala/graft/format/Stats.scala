@@ -872,11 +872,22 @@ object Stats {
     * by the query id — additive deltas (rows, null counts) apply only
     * when the committing epoch exceeds the query's own mark; replays
     * can't double-bill and concurrent/new queries aren't skipped. */
+  /** `appendedBytes` is the APPEND half of the staleness signal: appends
+    * never bill the churn counter (their rows are new, not rewritten),
+    * but columns whose stats the append deltas cannot maintain — every
+    * unsketchable type (double scores, decimals, dates) — silently age
+    * as the table grows. Once appends exceed the churn threshold's
+    * fraction of the table, those columns stop serving stats; sketch-
+    * maintained columns keep serving (their NDV/counts/bounds stay
+    * fresh by construction). ANALYZE resets the counter. */
   case class TableAnalysis(rows: Long, exact: Boolean, gen: Option[String],
       cols: Map[String, ColAnalysis], bytes: Long = 0L,
-      churnedBytes: Long = 0L, streamEpochs: Map[String, Long] = Map.empty) {
+      churnedBytes: Long = 0L, streamEpochs: Map[String, Long] = Map.empty,
+      appendedBytes: Long = 0L) {
     def churnFraction: Double =
       if (bytes <= 0) 0.0 else churnedBytes.toDouble / bytes
+    def appendFraction: Double =
+      if (bytes <= 0) 0.0 else appendedBytes.toDouble / bytes
   }
 
   def analysisToJson(a: TableAnalysis): String = {
@@ -886,6 +897,7 @@ object Stats {
     root.put("exact", a.exact)
     if (a.bytes > 0) root.put("bytes", a.bytes)
     if (a.churnedBytes > 0) root.put("churn", a.churnedBytes)
+    if (a.appendedBytes > 0) root.put("append", a.appendedBytes)
     if (a.streamEpochs.nonEmpty) {
       val eps = root.putObject("eps")
       a.streamEpochs.toSeq.sortBy(_._1).foreach { case (q, e) => eps.put(q, e) }
@@ -951,6 +963,7 @@ object Stats {
           val b = Map.newBuilder[String, Long]
           eps.fields().forEachRemaining(kv => b += (kv.getKey -> kv.getValue.asLong()))
           b.result()
-        }.getOrElse(Map.empty)))
+        }.getOrElse(Map.empty),
+        Option(root.get("append")).map(_.asLong()).getOrElse(0L)))
     } catch { case _: Exception => None }
 }

@@ -629,6 +629,10 @@ object GraftDataSource {
         exact = false,
         cols = cols,
         bytes = bytesNow,
+        // staleness signal for columns the deltas CANNOT maintain
+        // (unsketchable types): appends never bill churn, so their aging
+        // must be tracked separately or it never surfaces
+        appendedBytes = a.appendedBytes + math.max(0L, bytesNow - a.bytes),
         streamEpochs = epochKey.fold(a.streamEpochs) {
           case (q, e) => a.streamEpochs + (q -> e) }))
     }
@@ -1066,9 +1070,13 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
           .listPartitionedSized(GraftDataSource.sessionConf(), dirs.head)
           .map(_._2).sum catch { case _: Exception => a.bytes }
         val churnPct = math.round(a.churnFraction * 100)
+        val appendPct = math.round(a.appendFraction * 100)
         val state =
           if (a.churnFraction > GraftDataSource.statsChurnThreshold)
             s"stale ($churnPct% churned by DML; column stats disabled — run sys.analyze)"
+          else if (a.appendFraction > GraftDataSource.statsChurnThreshold)
+            s"append-aged ($appendPct% appended; sketch-less column stats " +
+              "disabled — run sys.analyze)"
           else if (a.bytes > 0 && onDisk != a.bytes)
             f"extrapolated (rows scaled ×${onDisk.toDouble / a.bytes}%.2f by byte ratio)"
           else "fresh"
@@ -1076,6 +1084,7 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
           "stats.rows" -> a.rows.toString,
           "stats.state" -> state,
           "stats.churnedPct" -> churnPct.toString,
+          "stats.appendedPct" -> appendPct.toString,
           "stats.ndvMode" -> (if (a.exact) "exact" else "sketch")) ++
           a.gen.map("stats.analyzedAtGeneration" -> _)
       case None => Map.empty[String, String]
@@ -1533,14 +1542,23 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
           try org.apache.spark.sql.internal.SQLConf.get
             .getConfString("spark.graft.cbo.histograms", "true").toBoolean
           catch { case _: Exception => true }
+        // append-staleness policy (the DML-churn policy's twin): once
+        // appends exceed the threshold fraction of the table, columns
+        // whose stats the append deltas CANNOT maintain (no sketch —
+        // doubles, decimals, dates) stop serving; sketch-maintained
+        // columns stay fresh by construction and keep serving
+        val appendStale =
+          a.appendFraction > GraftDataSource.statsChurnThreshold
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         required.fields.foreach { f =>
           a.cols.get(f.name).foreach { c =>
-            val served = if (histOn) c else c.copy(histogram = None)
-            m.put(org.apache.spark.sql.connector.expressions.Expressions
-              .column(f.name), GraftColumnStatistics(served, f.dataType, a.rows))
+            if (!appendStale || c.sketch.isDefined) {
+              val served = if (histOn) c else c.copy(histogram = None)
+              m.put(org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name), GraftColumnStatistics(served, f.dataType, a.rows))
+            }
           }
         }
         m

@@ -144,6 +144,53 @@ class StatsLifecycleSpec extends SparkSpec {
     assert(props().contains("stats.state=fresh"), props())
   }
 
+  test("appends age sketch-less columns past the threshold; sketched keep serving") {
+    // `score` is a DOUBLE — unsketchable (hll_sketch_agg has no double
+    // mapping), so append deltas cannot maintain its stats; `id` is a
+    // sketched LONG whose NDV/bounds stay fresh by construction. Appends
+    // never bill the churn counter, so without the append signal the
+    // score stats would serve stale forever.
+    val dir = Files.createTempDirectory("graft-statsappend").toString
+    spark.range(0, 10000)
+      .selectExpr("id", "CAST(id % 100 AS INT) AS bucket",
+        "CAST(id AS DOUBLE) / 7.0 AS score")
+      .write.format("graft").mode("overwrite").save(dir)
+    FormatOps.analyzeTable(spark, dir, exact = true)
+    val fresh = servedAttributeStats(dir)
+    assert(fresh.contains("id") && fresh.contains("score"),
+      s"freshly analyzed stats must serve both: ${fresh.keySet}")
+    // append well past the 0.5 threshold (more than doubles the bytes)
+    spark.range(10000, 35000)
+      .selectExpr("id", "CAST(id % 100 AS INT) AS bucket",
+        "CAST(id AS DOUBLE) / 7.0 AS score")
+      .write.format("graft").mode("append").save(dir)
+    val a = GraftDataSource.readColStats(conf, dir, "data").get
+    assert(a.appendFraction > 0.5, s"appendFraction=${a.appendFraction}")
+    val aged = servedAttributeStats(dir)
+    assert(aged.contains("id"),
+      s"sketch-maintained columns must keep serving: ${aged.keySet}")
+    assert(!aged.contains("score"),
+      "sketch-less column stats must stop serving once appends age them")
+    // DESCRIBE narrates the state
+    val props = {
+      spark.conf.set("spark.sql.catalog.graft_sa", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_sa.root",
+        new java.io.File(dir).getParent)
+      // direct table properties through the DSv2 table
+      val t = new GraftTable(Seq(dir),
+        spark.read.format("graft").load(dir).schema,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      t.properties()
+    }
+    assert(props.get("stats.state").startsWith("append-aged"), props.get("stats.state"))
+    // ANALYZE resets the signal and score serves again
+    FormatOps.analyzeTable(spark, dir, exact = true)
+    val reset = servedAttributeStats(dir)
+    assert(reset.contains("score") &&
+      GraftDataSource.readColStats(conf, dir, "data").get.appendedBytes == 0L)
+  }
+
   test("threshold conf: a 0.0 threshold darkens on the first churned byte") {
     val dir = buildTable()
     FormatOps.analyzeTable(spark, dir, exact = true)
