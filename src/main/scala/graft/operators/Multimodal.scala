@@ -875,6 +875,9 @@ object Multimodal {
 
   private val q144: Q = (s, d) => {
     import s.implicits._
+    // checkpointed: the fixture feeds two subtrees (the media side and
+    // the expected-checksum side of the join) that Catalyst won't unify
+    // — without it every JPEG encodes twice
     val fixtures = Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
       .map { id =>
@@ -883,7 +886,7 @@ object Multimodal {
         val expected = rgbChecksum(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes)))
         JpegFixture(id, bytes, expected)
-      }
+      }.localCheckpoint()
     val media = fixtures.map(f => MediaRow(f.doc_id, f.media))
     val out = decodeWith(media, () => new JpegDecoder).toDF()
       .join(fixtures.toDF().select(col("doc_id"), col("expected")), Seq("doc_id"))
