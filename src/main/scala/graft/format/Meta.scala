@@ -40,8 +40,19 @@ object Meta {
 
   /** One compressed page of a logical buffer. `rowEnd` = exclusive end
     * element index, enabling page-range skipping (the reference records
-    * this but never exploits it — `src/header.zig:41-45`). */
-  case class PageMeta(offset: Long, compSize: Int, rawSize: Int, rowEnd: Int)
+    * this but never exploits it — `src/header.zig:41-45`). `hash` (v5)
+    * is the xxhash64 of the COMPRESSED page bytes, verified before
+    * every decompress: a storage bit flip inside a page surfaces as a
+    * loud checksum refusal instead of silently decoding to wrong data
+    * whenever the flipped payload still inflates to the right size. */
+  case class PageMeta(offset: Long, compSize: Int, rawSize: Int, rowEnd: Int,
+      hash: Long = 0L)
+
+  /** xxhash64 (seed 0) over a byte range — the page and footer checksum.
+    * Spark's own XXH64 (public API, also behind SQL `xxhash64`). */
+  def xxh64(b: Array[Byte], off: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 0L)
 
   /** A logical byte buffer stored as ≥0 pages under one codec. */
   case class BufferMeta(codec: Byte, rawSize: Long, pages: Vector[PageMeta])
@@ -165,6 +176,7 @@ object Meta {
 
   def write(f: Footer): Array[Byte] = {
     val b = new Bytes(1024)
+    b.putLong(0L) // footer checksum placeholder, filled below
     b.putInt(f.version)
     b.putLong(f.dataSectionSize)
     b.putInt(f.chunks.size)
@@ -217,7 +229,12 @@ object Meta {
         }
       }
     }
-    b.toArray
+    // footer checksum (v5): xxhash64 of everything after the 8-byte hash
+    // slot — metadata corruption (a flipped stat byte would silently
+    // prove wrong skips) refuses at parse like data-page corruption does
+    val out = b.toArray
+    Bytes.le(out).putLong(0, xxh64(out, 8, out.length - 8))
+    out
   }
 
   private def writeStats(b: Bytes, st: ColStats): Unit = {
@@ -244,6 +261,7 @@ object Meta {
     b.putInt(m.pages.size)
     m.pages.foreach { p =>
       b.putLong(p.offset); b.putInt(p.compSize); b.putInt(p.rawSize); b.putInt(p.rowEnd)
+      b.putLong(p.hash)
     }
   }
 
@@ -300,7 +318,15 @@ object Meta {
   private final val MaxCount = 1 << 24 // tables/columns/pages sanity cap
 
   def read(bytes: Array[Byte]): Footer = {
+    // v5 footer checksum: leading 8 bytes hash the rest; verified BEFORE
+    // any parse so corrupt metadata (a flipped stat would prove wrong
+    // skips) refuses as corruption, not as a confusing downstream error
+    if (bytes.length < 8)
+      throw new OliveFormatException(s"footer too small: ${bytes.length} bytes")
+    if (Bytes.le(bytes).getLong(0) != xxh64(bytes, 8, bytes.length - 8))
+      throw new OliveFormatException("footer checksum mismatch (corrupt metadata)")
     val c = new ByteCursor(bytes)
+    c.getLong() // the verified checksum
     val version = c.getInt()
     if (version != Version) throw new OliveFormatException(s"unsupported version $version")
     val dataSize = c.getLong()
@@ -466,7 +492,7 @@ object Meta {
     val nPages = checkedCount(c.getInt(), "pages")
     var sum = 0L
     val pages = Vector.fill(nPages) {
-      val p = PageMeta(c.getLong(), c.getInt(), c.getInt(), c.getInt())
+      val p = PageMeta(c.getLong(), c.getInt(), c.getInt(), c.getInt(), c.getLong())
       if (p.offset < 0 || p.compSize < 0 || p.rawSize < 0 || p.rowEnd < 0)
         throw new OliveFormatException("negative page field")
       sum += p.rawSize

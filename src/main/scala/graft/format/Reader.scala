@@ -41,6 +41,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
         throw new OliveFormatException("page raw sizes overflow buffer")
       val comp = new Array[Byte](p.compSize)
       in.readFully(dataStart + p.offset, comp)
+      verifyPage(p, comp)
       val raw = Codec.decompress(bm.codec, comp, 0, p.compSize, p.rawSize)
       pagesReadCount += 1
       System.arraycopy(raw, 0, out, at, p.rawSize)
@@ -49,6 +50,13 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     if (at != out.length) throw new OliveFormatException("buffer short read")
     out
   }
+
+  /** v5 page checksum, verified BEFORE decompress: a flipped payload
+    * that would still inflate to the right size refuses loudly here. */
+  private def verifyPage(p: PageMeta, comp: Array[Byte]): Unit =
+    if (Meta.xxh64(comp, 0, comp.length) != p.hash)
+      throw new OliveFormatException(
+        s"page checksum mismatch at offset ${p.offset} (corrupt data page)")
 
   /** Pages decompressed so far (observability for page-skipping tests). */
   private var pagesReadCount = 0L
@@ -92,6 +100,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
           throw new OliveFormatException("page outside data section")
         val comp = new Array[Byte](p.compSize)
         in.readFully(dataStart + p.offset, comp)
+        verifyPage(p, comp)
         val raw = Codec.decompress(bm.codec, comp, 0, p.compSize, p.rawSize)
         pagesReadCount += 1
         System.arraycopy(raw, 0, out, at, p.rawSize)

@@ -38,7 +38,11 @@ final class PageSink(out: OutputStream, pageSize: Int, bias: String) {
   private def writePage(src: Array[Byte], off: Int, len: Int, codec: Byte, rowEnd: Int): PageMeta = {
     val comp = Codec.compress(codec, src, off, len)
     out.write(comp)
-    val m = PageMeta(pos, comp.length, len, rowEnd)
+    // per-page checksum over the COMPRESSED bytes (v5): the reader
+    // verifies before every decompress, so storage corruption refuses
+    // loudly instead of silently inflating to wrong values
+    val m = PageMeta(pos, comp.length, len, rowEnd,
+      Meta.xxh64(comp, 0, comp.length))
     pos += comp.length
     m
   }

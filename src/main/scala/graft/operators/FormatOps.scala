@@ -375,6 +375,50 @@ object FormatOps {
     compact(s, dir, math.min(n, Int.MaxValue.toLong).toInt, writeOptions, graceMs)
   }
 
+  /** Full-integrity walk of a namespace's live files (SQL surface:
+    * `CALL sys.verify_table(ns [, table])`): every file's head magic,
+    * footer checksum, structural bounds, and EVERY data page's xxhash64
+    * verify, and every chunk fully decodes — the operational answer to
+    * "is this 100 TB table clean after the storage incident". Runs
+    * DISTRIBUTED (one task per file batch); the driver holds only one
+    * row per file. A `table` filter restricts the decode to that
+    * table's chunks (shared-namespace files still footer-verify). */
+  def verifyTable(s: SparkSession, dir: String,
+      table: Option[String] = None): Seq[(String, Boolean, Int, Long, Option[String])] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val files = graft.sources.GraftDataSource
+      .listPartitionedSized(s.sparkContext.hadoopConfiguration, dir)
+      .map { case (p, _, _) =>
+        (graft.sources.GraftDataSource.relativePath(root, p), p.toString) }
+    import s.implicits._
+    s.createDataset(files).repartition(math.max(1,
+        math.min(files.size, s.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        it.map { case (rel, full) =>
+          val p = new org.apache.hadoop.fs.Path(full)
+          try {
+            val r = graft.format.GraftFileReader.open(p.getFileSystem(conf.value), p)
+            try {
+              var chunks = 0
+              var rows = 0L
+              r.footer.chunks.foreach { c =>
+                c.tables.filter(t => table.forall(_ == t.name)).foreach { t =>
+                  val b = r.decodeTable(c, t, t.schema)
+                  rows += b.numRows(); chunks += 1
+                  b.close()
+                }
+              }
+              (rel, true, chunks, rows, None: Option[String])
+            } finally r.close()
+          } catch {
+            case e: Exception => (rel, false, 0, 0L, Option(e.getMessage))
+          }
+        }
+      }.collect().toSeq.sortBy(_._1)
+  }
+
   /** `ANALYZE TABLE` for a graft dir (SQL surface: `CALL sys.analyze(ns
     * [, exact])`): one aggregation pass computes per-column NDV (exact
     * `count(DISTINCT)` or an HLL sketch — sketch is the 100 TB default,
@@ -2434,6 +2478,51 @@ object FormatOps {
       |WHERE text = (SELECT max(text) FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q148: sys.verify_table — end-to-end integrity walk -------------------
+  // Page + footer checksums (footer v5) make every bit flip DETECTABLE;
+  // the procedure makes them OPERABLE: a distributed walk that verifies
+  // head magic, footer checksum, every data page's xxhash64, and a full
+  // decode per chunk. The gate proves both directions — a clean table
+  // verifies whole, and one flipped byte in one file surfaces as exactly
+  // one ok=false row. Closed-form oracle (file counts controlled by the
+  // gate, rows by the source table).
+  private val q148: Q = (s, d) => {
+    val root = graftDir(d, "verify_table")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_vt", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_vt.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_vt.db")
+    s.sql("CREATE TABLE graft_vt.db.docs (doc_id BIGINT, text STRING) USING graft")
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(4).writeTo("graft_vt.db.docs").append()
+    def run() = s.sql("CALL graft_vt.sys.verify_table(ns => 'db', table => 'docs')")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(col("rows")).as("n_rows")).head()
+    val clean = run()
+    require(clean.getLong(0) == 4L && clean.getLong(1) == 4L,
+      s"q148: clean table must verify whole ($clean)")
+    // one flipped bit in one file: detection is the whole point
+    val f = new java.io.File(s"$root/db").listFiles()
+      .filter(_.getName.endsWith(".graft")).sortBy(_.getName).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x20).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    val post = run()
+    import s.implicits._
+    Seq(("clean", clean.getLong(0), clean.getLong(1), Some(clean.getLong(2))),
+      ("corrupt", post.getLong(0), post.getLong(1), None: Option[Long]))
+      .toDF("phase", "n_files", "n_ok", "n_rows")
+      .orderBy(col("phase"))
+  }
+  private val q148Sql =
+    """SELECT 'clean' AS phase, CAST(4 AS BIGINT) AS n_files,
+      |  CAST(4 AS BIGINT) AS n_ok,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+      |UNION ALL
+      |SELECT 'corrupt', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS BIGINT)
+      |ORDER BY phase""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2711,6 +2800,7 @@ object FormatOps {
     "q145_float_prune" -> q145,
     "q146_score_topk" -> q146,
     "q147_longstr_prune" -> q147,
+    "q148_verify_table" -> q148,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2756,6 +2846,7 @@ object FormatOps {
     "q145_float_prune" -> q145Sql,
     "q146_score_topk" -> q146Sql,
     "q147_longstr_prune" -> q147Sql,
+    "q148_verify_table" -> q148Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

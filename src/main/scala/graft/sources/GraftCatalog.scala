@@ -677,7 +677,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
       Array("history", "vacuum", "restore", "compact", "compact_to_size",
-        "contract", "audit", "reindex_ivf", "analyze")
+        "contract", "audit", "reindex_ivf", "analyze", "verify_table")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -692,6 +692,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "audit") => auditProc
       case (Seq("sys"), "reindex_ivf") => reindexIvfProc
       case (Seq("sys"), "analyze") => analyzeProc
+      case (Seq("sys"), "verify_table") => verifyTableProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
@@ -755,6 +756,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Generations.vacuum(org.apache.spark.sql.SparkSession.active, dirOf(input),
         if (input.isNullAt(1)) -1L else input.getLong(1))
       done
+    }
+  }
+
+  private val verifySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", StringType),
+    org.apache.spark.sql.types.StructField("ok", BooleanType),
+    org.apache.spark.sql.types.StructField("chunks", IntegerType),
+    org.apache.spark.sql.types.StructField("rows", LongType),
+    org.apache.spark.sql.types.StructField("error", StringType)))
+
+  /** `CALL sys.verify_table(ns [, table])` — distributed full-integrity
+    * walk: head magic, footer checksum, structural bounds, every data
+    * page's xxhash64, full decode of every chunk. One row per live
+    * file; `ok = false` rows carry the refusal message. */
+  private lazy val verifyTableProc: UnboundProcedure = new SysProc("verify_table",
+    "verify every live file end-to-end (checksums + full decode); one row per file",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("table", StringType).defaultValue("''").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tbl = if (input.isNullAt(1)) None
+        else Some(input.getUTF8String(1).toString).filter(_.nonEmpty)
+      val out = graft.operators.FormatOps.verifyTable(
+        org.apache.spark.sql.SparkSession.active, dirOf(input), tbl)
+        .map { case (f, ok, chunks, rows, err) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(f),
+            ok, chunks, rows,
+            err.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull): InternalRow
+        }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = verifySchema
+      }).iterator()
     }
   }
 

@@ -49,17 +49,30 @@ class AdversarialSpec extends SparkSpec {
     }
   }
 
-  test("bit flips anywhere fail cleanly or decode") {
+  test("EVERY bit flip is DETECTED: page + footer checksums leave no silent spot") {
+    // pre-v5 this asserted "fail cleanly or decode" — a flipped
+    // compressed payload that still inflated to the right size decoded
+    // silently WRONG. Page checksums (compressed bytes) and the footer
+    // checksum close that: a full decode after any single-bit flip must
+    // refuse. The only unchecked bytes are the 4-byte head magic and the
+    // 12-byte tail, both validated structurally.
     val raw = openRaw(writeSample())
     val rnd = new scala.util.Random(42)
-    (0 until 60).foreach { _ =>
+    (0 until 120).foreach { i =>
       val copy = raw.clone()
       val pos = rnd.nextInt(copy.length)
       copy(pos) = (copy(pos) ^ (1 << rnd.nextInt(8))).toByte
-      // either clean failure or successful decode (flip may hit padding or
-      // compressed payload that still inflates to the right size)
-      try tryOpen(copy) catch { case _: Exception => () }
+      val e = intercept[Exception](tryOpen(copy))
+      assert(e.isInstanceOf[OliveFormatException] ||
+        e.isInstanceOf[java.io.IOException],
+        s"flip #$i at $pos raised unexpected ${e.getClass}: ${e.getMessage}")
     }
+    // targeted: a flip deep inside a data page reports the checksum
+    val dataPos = Meta.MagicHead.length + 100
+    val copy = raw.clone()
+    copy(dataPos) = (copy(dataPos) ^ 0x10).toByte
+    val e = intercept[OliveFormatException](tryOpen(copy))
+    assert(e.getMessage.contains("checksum"), e.getMessage)
   }
 
   test("hostile footer lengths fail cleanly") {
