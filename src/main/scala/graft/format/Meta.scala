@@ -318,23 +318,34 @@ object Meta {
   private final val MaxCount = 1 << 24 // tables/columns/pages sanity cap
 
   def read(bytes: Array[Byte]): Footer = {
-    // v5 footer checksum: leading 8 bytes hash the rest; verified BEFORE
-    // any parse so corrupt metadata (a flipped stat would prove wrong
-    // skips) refuses as corruption, not as a confusing downstream error
-    if (bytes.length < 8)
+    if (bytes.length < 12)
       throw new OliveFormatException(s"footer too small: ${bytes.length} bytes")
+    // READ compatibility: a v4 footer (written before this round) leads
+    // with its version int — no checksum, 4-field pages, no NaN counts,
+    // no delta bases. It parses with those fields defaulted and the
+    // reader skips page verification (v4 pages carry no hash). Tables
+    // written last month must not brick on upgrade.
+    if (Bytes.le(bytes).getInt(0) == 4)
+      return readBody(new ByteCursor(bytes), expect = 4)
+    // v5+ footer checksum: leading 8 bytes hash the rest; verified
+    // BEFORE any parse so corrupt metadata (a flipped stat would prove
+    // wrong skips) refuses as corruption, not a confusing parse error
     if (Bytes.le(bytes).getLong(0) != xxh64(bytes, 8, bytes.length - 8))
       throw new OliveFormatException("footer checksum mismatch (corrupt metadata)")
     val c = new ByteCursor(bytes)
     c.getLong() // the verified checksum
+    readBody(c, expect = Version)
+  }
+
+  private def readBody(c: ByteCursor, expect: Int): Footer = {
     val version = c.getInt()
-    if (version != Version) throw new OliveFormatException(s"unsupported version $version")
+    if (version != expect) throw new OliveFormatException(s"unsupported version $version")
     val dataSize = c.getLong()
     if (dataSize < 0) throw new OliveFormatException("negative data section size")
     val nChunks = checkedCount(c.getInt(), "chunks")
     val chunks = Vector.fill(nChunks) {
-      val d20 = readDict(c, 20)
-      val d32 = readDict(c, 32)
+      val d20 = readDict(c, 20, version)
+      val d32 = readDict(c, 32, version)
       val nTables = checkedCount(c.getInt(), "tables")
       val tables = Vector.fill(nTables) {
         val name = c.getString()
@@ -351,12 +362,13 @@ object Meta {
         val nCols = checkedCount(c.getInt(), "columns")
         if (nCols != schema.size)
           throw new OliveFormatException(s"column count $nCols != schema fields ${schema.size}")
-        val cols = Vector.fill(nCols)(readCol(c, 0))
+        val cols = Vector.fill(nCols)(readCol(c, 0, version))
         // min/max widths are checked against the declared column type
         // HERE, not at compare time: a hostile 3-byte "min" on a long
         // column would otherwise crash the skip compare mid-scan instead
         // of refusing cleanly; sums are always written as 8 bytes
         def readNanCount(dt: DataType, nullCount: Int, maxRows: Int): Int = {
+          if (version < 5) return 0 // v4 stats carry no NaN accounting
           val nanCount = c.getInt()
           if (nanCount < 0 || nanCount.toLong + nullCount > maxRows)
             throw new OliveFormatException(
@@ -484,7 +496,7 @@ object Meta {
     n
   }
 
-  private def readBuffer(c: ByteCursor): BufferMeta = {
+  private def readBuffer(c: ByteCursor, ver: Int): BufferMeta = {
     val codec = c.getByte()
     if (codec < 0 || codec > Codec.Zstd1) throw new OliveFormatException(s"bad codec $codec")
     val rawSize = c.getLong()
@@ -492,7 +504,8 @@ object Meta {
     val nPages = checkedCount(c.getInt(), "pages")
     var sum = 0L
     val pages = Vector.fill(nPages) {
-      val p = PageMeta(c.getLong(), c.getInt(), c.getInt(), c.getInt(), c.getLong())
+      val p = PageMeta(c.getLong(), c.getInt(), c.getInt(), c.getInt(),
+        if (ver >= 5) c.getLong() else 0L) // v4 pages carry no hash
       if (p.offset < 0 || p.compSize < 0 || p.rawSize < 0 || p.rowEnd < 0)
         throw new OliveFormatException("negative page field")
       sum += p.rawSize
@@ -502,12 +515,12 @@ object Meta {
     BufferMeta(codec, rawSize, pages)
   }
 
-  private def readDict(c: ByteCursor, expectWidth: Int): DictMeta = {
+  private def readDict(c: ByteCursor, expectWidth: Int, ver: Int): DictMeta = {
     val width = c.getInt()
     if (width != expectWidth) throw new OliveFormatException(s"dict width $width != $expectWidth")
     val n = c.getInt()
     if (n < 0) throw new OliveFormatException("negative dict entries")
-    val data = readBuffer(c)
+    val data = readBuffer(c, ver)
     if (data.rawSize != n.toLong * width)
       throw new OliveFormatException(s"dict size ${data.rawSize} != $n * $width")
     DictMeta(width, n, data)
@@ -522,9 +535,9 @@ object Meta {
     case other => throw new OliveFormatException(s"bad option tag $other")
   }
 
-  private def readOptBuffer(c: ByteCursor): Option[BufferMeta] = c.getByte() match {
+  private def readOptBuffer(c: ByteCursor, ver: Int): Option[BufferMeta] = c.getByte() match {
     case 0 => None
-    case 1 => Some(readBuffer(c))
+    case 1 => Some(readBuffer(c, ver))
     case other => throw new OliveFormatException(s"bad option tag $other")
   }
 
@@ -533,87 +546,90 @@ object Meta {
     * lower so a measured wrapper can never push a written file past it. */
   private[format] final val MaxDepth = 16
 
-  private def readCol(c: ByteCursor, depth: Int): ColMeta = {
+  private def readCol(c: ByteCursor, depth: Int, ver: Int): ColMeta = {
     if (depth > MaxDepth) throw new OliveFormatException("column nesting too deep")
     c.getByte() match {
-      case 0 => PrimitiveMeta(readOptBuffer(c), readBuffer(c))
+      case 0 => PrimitiveMeta(readOptBuffer(c, ver), readBuffer(c, ver))
       case 1 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val w = c.getInt()
         if (w != 20 && w != 32) throw new OliveFormatException(s"bad dict column width $w")
-        DictIdxMeta(v, w, readBuffer(c))
-      case 2 => BinaryMeta(readOptBuffer(c), readBuffer(c), readBuffer(c))
-      case 3 => ListMeta(readOptBuffer(c), readBuffer(c), readCol(c, depth + 1))
+        DictIdxMeta(v, w, readBuffer(c, ver))
+      case 2 => BinaryMeta(readOptBuffer(c, ver), readBuffer(c, ver), readBuffer(c, ver))
+      case 3 => ListMeta(readOptBuffer(c, ver), readBuffer(c, ver), readCol(c, depth + 1, ver))
       case 4 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val n = checkedCount(c.getInt(), "struct children")
-        StructMeta(v, Vector.fill(n)(readCol(c, depth + 1)))
-      case 5 => MapMeta(readOptBuffer(c), readBuffer(c), readCol(c, depth + 1), readCol(c, depth + 1))
+        StructMeta(v, Vector.fill(n)(readCol(c, depth + 1, ver)))
+      case 5 => MapMeta(readOptBuffer(c, ver), readBuffer(c, ver), readCol(c, depth + 1, ver), readCol(c, depth + 1, ver))
       case 6 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val n = c.getInt()
         if (n < 0) throw new OliveFormatException(s"bad dict entry count $n")
         val w = c.getByte()
         if (w != 1 && w != 2 && w != 4)
           throw new OliveFormatException(s"bad dict index width $w")
-        BinDictMeta(v, n, w, readBuffer(c), readBuffer(c), readBuffer(c))
+        BinDictMeta(v, n, w, readBuffer(c, ver), readBuffer(c, ver), readBuffer(c, ver))
       case 7 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val base = c.getLong()
         val width = c.getByte()
         if (width != 1 && width != 2 && width != 4)
           throw new OliveFormatException(s"bad FOR width $width")
-        ForMeta(v, base, width, readBuffer(c))
+        ForMeta(v, base, width, readBuffer(c, ver))
       case 8 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val logical = c.getByte()
         if (logical < Logical.U8 || logical > Logical.F16)
           throw new OliveFormatException(s"bad unsigned logical code $logical")
-        UnsignedMeta(v, logical, readBuffer(c))
+        UnsignedMeta(v, logical, readBuffer(c, ver))
       case 9 =>
-        val v = readOptBuffer(c)
-        ReeMeta(v, readBuffer(c), readBuffer(c))
+        val v = readOptBuffer(c, ver)
+        ReeMeta(v, readBuffer(c, ver), readBuffer(c, ver))
       case 10 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val n = c.getInt()
         if (n < 0) throw new OliveFormatException(s"bad prim dict entry count $n")
         val w = c.getByte()
         if (w != 1 && w != 2 && w != 4)
           throw new OliveFormatException(s"bad prim dict index width $w")
-        PrimDictMeta(v, n, w, readBuffer(c), readBuffer(c))
+        PrimDictMeta(v, n, w, readBuffer(c, ver), readBuffer(c, ver))
       case 11 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val first = c.getLong()
         val width = c.getByte()
         if (width != 1 && width != 2 && width != 4)
           throw new OliveFormatException(s"bad delta width $width")
-        val deltas = readBuffer(c)
-        val nBases = checkedCount(c.getInt(), "delta page bases")
-        // bases align 1:1 with pages (or are wholly absent); a count that
-        // disagrees is a malformed footer, not a degraded decode
-        if (nBases != 0 && nBases != deltas.pages.size)
-          throw new OliveFormatException(
-            s"delta page bases $nBases != pages ${deltas.pages.size}")
-        DeltaMeta(v, first, width, deltas, Vector.fill(nBases)(c.getLong()))
+        val deltas = readBuffer(c, ver)
+        if (ver < 5) DeltaMeta(v, first, width, deltas) // v4: no bases
+        else {
+          val nBases = checkedCount(c.getInt(), "delta page bases")
+          // bases align 1:1 with pages (or are wholly absent); a count that
+          // disagrees is a malformed footer, not a degraded decode
+          if (nBases != 0 && nBases != deltas.pages.size)
+            throw new OliveFormatException(
+              s"delta page bases $nBases != pages ${deltas.pages.size}")
+          DeltaMeta(v, first, width, deltas, Vector.fill(nBases)(c.getLong()))
+        }
       case 12 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val exponent = c.getByte()
         if (exponent < 0 || exponent > 18)
           throw new OliveFormatException(s"bad scale exponent $exponent")
-        ScaledMeta(v, exponent, readWrappedInner(c, depth, "scaled"))
+        ScaledMeta(v, exponent, readWrappedInner(c, depth, "scaled", ver))
       case 13 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val base = c.getLong()
         val bits = c.getByte()
         if (bits < 1 || bits > 56)
           throw new OliveFormatException(s"bad bit-pack width $bits")
-        BitPackMeta(v, base, bits, readBuffer(c))
+        BitPackMeta(v, base, bits, readBuffer(c, ver))
       case 14 =>
-        val v = readOptBuffer(c)
+        val v = readOptBuffer(c, ver)
         val logical = c.getByte()
         if (logical < Logical.U8 || logical > Logical.U64)
           throw new OliveFormatException(s"bad packed unsigned code $logical")
-        UnsignedPackedMeta(v, logical, readWrappedInner(c, depth, "packed unsigned"))
+        UnsignedPackedMeta(v, logical, readWrappedInner(c, depth, "packed unsigned", ver))
       case other => throw new OliveFormatException(s"bad column tag $other")
     }
   }
@@ -622,8 +638,8 @@ object Meta {
     * UnsignedPackedMeta): a validity-less flat integral encoding — the
     * one allowed-set definition both wrappers share, so the validation
     * can never drift between them. */
-  private def readWrappedInner(c: ByteCursor, depth: Int, kind: String): ColMeta = {
-    val inner = readCol(c, depth + 1)
+  private def readWrappedInner(c: ByteCursor, depth: Int, kind: String, ver: Int): ColMeta = {
+    val inner = readCol(c, depth + 1, ver)
     val innerOk = inner match {
       case _: PrimitiveMeta | _: ForMeta | _: ReeMeta | _: PrimDictMeta |
            _: DeltaMeta | _: BitPackMeta => true

@@ -52,9 +52,10 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
   }
 
   /** v5 page checksum, verified BEFORE decompress: a flipped payload
-    * that would still inflate to the right size refuses loudly here. */
+    * that would still inflate to the right size refuses loudly here.
+    * v4 files carry no page hashes — read-compat skips the check. */
   private def verifyPage(p: PageMeta, comp: Array[Byte]): Unit =
-    if (Meta.xxh64(comp, 0, comp.length) != p.hash)
+    if (footer.version >= 5 && Meta.xxh64(comp, 0, comp.length) != p.hash)
       throw new OliveFormatException(
         s"page checksum mismatch at offset ${p.offset} (corrupt data page)")
 

@@ -128,8 +128,11 @@ class AppendRaceSpec extends SparkSpec {
       }
     })
     start.countDown()
-    appender.get(300, TimeUnit.SECONDS)
-    rewriter.get(300, TimeUnit.SECONDS)
+    // generous: under co-tenant load (a second local[32] JVM on this box)
+    // each tiny append job can take tens of seconds; a timeout here is a
+    // harness artifact, not a row-loss signal
+    appender.get(600, TimeUnit.SECONDS)
+    rewriter.get(600, TimeUnit.SECONDS)
     pool.shutdown()
     assert(errors.isEmpty, s"unexpected errors: ${errors.toArray.mkString("; ")}")
 
