@@ -2523,6 +2523,34 @@ object FormatOps {
       |SELECT 'corrupt', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(NULL AS BIGINT)
       |ORDER BY phase""".stripMargin
 
+  // ---- q149: GROUP BY a partition column answers from footers ---------------
+  // "Docs per language" over a lang-partitioned corpus — the canonical
+  // dataset-composition query. Grouping pushes when every group column
+  // is PROVEN partition-only (path-valued on every live file), so the
+  // whole GROUP BY reads zero data pages: one partial row per file from
+  // footer counts/bounds, Spark re-groups. Plan-asserted, hash-gated.
+  private val q149: Q = (s, d) => {
+    val dir = graftDir(d, "group_pushdown")
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(dir)
+    val g = s.read.format("graft").load(dir)
+    val df = g.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"),
+      max(col("n_chars")).as("mx_chars"))
+    require(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "q149: partition-column grouping must answer from footers")
+    df.orderBy(col("lang"))
+  }
+  private val q149Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS mn, max(doc_id) AS mx, max(n_chars) AS mx_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2801,6 +2829,7 @@ object FormatOps {
     "q146_score_topk" -> q146,
     "q147_longstr_prune" -> q147,
     "q148_verify_table" -> q148,
+    "q149_group_pushdown" -> q149,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2847,6 +2876,7 @@ object FormatOps {
     "q146_score_topk" -> q146Sql,
     "q147_longstr_prune" -> q147Sql,
     "q148_verify_table" -> q148Sql,
+    "q149_group_pushdown" -> q149Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -1190,6 +1190,11 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
 
 /** Footer-computable aggregate, pushed via [[SupportsPushDownAggregates]]. */
 sealed trait GraftAggSpec extends Serializable
+/** A pushed GROUP BY column — PROVEN partition-only at push time, so its
+  * value comes from the file's path, never its pages: `GROUP BY lang`
+  * over a lang-partitioned table answers entirely from footers, one
+  * partial row per file, Spark re-groups the partials. */
+case class GraftGroupCol(col: String) extends GraftAggSpec
 case object GraftCountStar extends GraftAggSpec
 /** `prevNames`: the column's rename chain (current spelling first is
   * `col`; prior spellings follow) — pre-rename files record their stats
@@ -1275,19 +1280,39 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     * below it; the reader stops decoding chunks once satisfied. */
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  /** COUNT(*)/COUNT(col)/MIN/MAX without grouping answer from footer
-    * metadata alone (null counts are chunk stats) —
-    * zero data pages touched. Partial pushdown (Spark still combines),
-    * restricted to types whose chunk stats are EXACT: integrals, date,
-    * timestamps, boolean. Floats are excluded (a NaN-holding chunk drops
-    * its stats — the footer can't distinguish that from all-null), and
-    * strings too (stats cap at 48 bytes). Declined whenever filters are
-    * present: ours stay residual, and a post-scan filter can't run on
-    * pre-aggregated rows. */
+  /** COUNT(*)/COUNT(col)/MIN/MAX answer from footer metadata alone
+    * (null counts are chunk stats) — zero data pages touched. Partial
+    * pushdown (Spark still combines), restricted to types whose chunk
+    * stats are EXACT: integrals, date, timestamps, boolean, and since
+    * footer v5 float/double (NaN-accounted). Strings stay excluded
+    * (truncated bounds are proofs, not values). GROUP BY pushes when
+    * every grouping column is PROVEN partition-only (its value comes
+    * from the path on every live file): `GROUP BY lang, count(*)` over
+    * a partitioned corpus reads zero data pages. Declined whenever
+    * filters are present: ours stay residual, and a post-scan filter
+    * can't run on pre-aggregated rows. */
   override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
+    if (pushed.nonEmpty) return false
+    val groupCols: Seq[String] = aggregation.groupByExpressions().toSeq.map {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    if (groupCols.nonEmpty) {
+      // grouping pushes only on PROVEN partition-only columns: one
+      // planning-time listing shows every live file carries the key in
+      // its path (the writer never stores partitionBy columns in pages,
+      // so path values are the column — a data column here would need
+      // page reads and must decline)
+      val partitionOnly = try {
+        val listed = dirs.flatMap(d =>
+          GraftDataSource.listPartitionedSized(GraftDataSource.sessionConf(), d))
+        listed.nonEmpty && groupCols.forall(g => listed.forall(_._3.contains(g)))
+      } catch { case _: Exception => false }
+      if (!partitionOnly) return false
+    }
     // renamed columns carry their rename chain into the spec: pre-DDL
     // files record stats under an old spelling and the per-file reader
     // resolves through the chain, so aggregates keep answering from
@@ -1371,7 +1396,11 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
           .getOrElse(return false)
       case _ => return false
     }
-    aggSchema = StructType(specs.map {
+    // group columns lead the scan output (Spark's pushed-agg contract:
+    // grouping expressions then aggregate expressions)
+    val all = groupCols.map(GraftGroupCol) ++ specs
+    aggSchema = StructType(all.map {
+      case GraftGroupCol(c) => StructField(c, StringType) // path values are strings
       case GraftCountStar => StructField("count(*)", LongType, nullable = false)
       case GraftCountCol(c, _) => StructField(s"count($c)", LongType, nullable = false)
       case GraftMinSpec(c, _) => StructField(s"min($c)", leafOf(c).get)
@@ -1379,7 +1408,7 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
       case GraftSumSpec(c, integral, _) =>
         StructField(s"sum($c)", if (integral) LongType else DoubleType)
     })
-    aggSpecs = Some(specs)
+    aggSpecs = Some(all)
     true
   }
 
@@ -2124,6 +2153,17 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             }
           }
           val values: Array[Any] = specs.map {
+            case GraftGroupCol(c) =>
+              // PROVEN partition-only at push time; a name that turns out
+              // to live in a file's pages refuses loudly rather than
+              // silently grouping by the path value
+              if (chunks.exists(_.schema.fieldNames.contains(c)))
+                throw new OliveFormatException(
+                  s"pushed GROUP BY column $c is stored in ${gp.file} — " +
+                    "partition-only grouping cannot answer from footers here")
+              gp.partValues.get(c)
+                .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+                .orNull
             case GraftCountStar => chunks.map(_.numRows.toLong).sum
             case GraftCountCol(c, prev) => chunkPairs.map { case (cm, t) =>
               statsOf(cm, t, c, prev) match {

@@ -160,6 +160,38 @@ class AggPushdownSpec extends SparkSpec {
     assert(canon(a(g)) == canon(a(p)))
   }
 
+  test("GROUP BY a partition column pushes: per-group footer answers, no pages") {
+    val dir = Files.createTempDirectory("graft-agggrp").toString
+    spark.range(0, 20000).selectExpr("id", "CAST(id % 5 AS STRING) AS lang")
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val df = g.groupBy("lang").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(plan(df).contains("pushedAggs="),
+      s"partition-column grouping must push: ${plan(df)}")
+    val rows = df.orderBy("lang").collect()
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getString(0) == k.toString)
+      assert(r.getLong(1) == 4000L, s"group $k count ${r.getLong(1)}")
+      assert(r.getLong(2) == 19995L + k, s"group $k max ${r.getLong(2)}")
+    }
+    // identical to the unpushed answer
+    val plain = g.withColumn("x", col("id") + 0L)
+      .groupBy("lang").agg(count(lit(1)), max("x")).orderBy("lang").collect()
+    assert(plain.zip(rows).forall { case (a, b) =>
+      a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(2) == b.getLong(2) })
+    // grouping by a DATA column must decline (its values need page reads)
+    val dir2 = Files.createTempDirectory("graft-agggrp2").toString
+    spark.range(0, 5000).selectExpr("id", "CAST(id % 3 AS STRING) AS tag")
+      .write.format("graft").mode("overwrite").save(dir2)
+    val d2 = spark.read.format("graft").load(dir2)
+      .groupBy("tag").agg(count(lit(1)))
+    assert(!plan(d2).contains("pushedAggs="), plan(d2))
+    assert(d2.collect().map(_.getLong(1)).sum == 5000L)
+  }
+
   test("a file carrying a leaf WITHOUT nested stats degrades to a chunk decode, not a failure") {
     // an older writer or interop edge can omit nestedStats; the pushed
     // aggregate must then compute the chunk's stats from its own data
