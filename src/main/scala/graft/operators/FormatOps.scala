@@ -2551,6 +2551,33 @@ object FormatOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---- q150: aggregates push under a CONSUMED partition filter --------------
+  // `count(*) WHERE lang = 'en'` over a lang-partitioned corpus — the
+  // flagship 100 TB metadata query. Exactly-evaluable partition filters
+  // CONSUME at push time (a file-level drop against the path value IS
+  // the row-level filter), so no residual blocks the aggregate pushdown
+  // and the whole answer is a footer walk of one partition's files.
+  private val q150: Q = (s, d) => {
+    val dir = graftDir(d, "part_filter_agg")
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(dir)
+    val g = s.read.format("graft").load(dir)
+    val df = g.filter(col("lang") === "en").agg(
+      count(lit(1)).as("n"),
+      min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"),
+      max(col("n_chars")).as("mx_chars"))
+    require(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "q150: the consumed partition filter must not block aggregate pushdown")
+    df
+  }
+  private val q150Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS mn, max(doc_id) AS mx, max(n_chars) AS mx_chars
+      |FROM documents
+      |WHERE lang = 'en'""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2830,6 +2857,7 @@ object FormatOps {
     "q147_longstr_prune" -> q147,
     "q148_verify_table" -> q148,
     "q149_group_pushdown" -> q149,
+    "q150_part_filter_agg" -> q150,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2877,6 +2905,7 @@ object FormatOps {
     "q147_longstr_prune" -> q147Sql,
     "q148_verify_table" -> q148Sql,
     "q149_group_pushdown" -> q149Sql,
+    "q150_part_filter_agg" -> q150Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -71,10 +71,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           val r = GraftFileReader.open(head.getFileSystem(conf), head)
           try GraftDataSource.pickTable(r.footer, null).schema finally r.close()
       }
-      // hive-style partition dirs surface as trailing string columns
+      // hive-style partition dirs surface as trailing string columns,
+      // FLAGGED in field metadata: the scan builder consumes exactly-
+      // evaluable filters on them (their values come from paths, so a
+      // file-level drop IS the row-level filter) — which is what lets
+      // aggregates push under a partition predicate
       val partCols = GraftDataSource.partitionColumns(files)
         .filterNot(data.fieldNames.contains)
-      partCols.foldLeft(data)((s, c) => s.add(c, StringType, nullable = true))
+      val partMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(GraftDataSource.PartitionColKey, true).build()
+      partCols.foldLeft(data)((s, c) =>
+        s.add(StructField(c, StringType, nullable = true, partMeta)))
     }
   }
 
@@ -889,6 +896,12 @@ object GraftDataSource {
   /** Null partition value in a hive-style path (Spark's convention). */
   val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Field-metadata flag [[inferSchema]] stamps on path-derived columns:
+    * the proof the scan builder needs to CONSUME a filter on one (a
+    * file-level drop is the row-level filter there). Catalog tables and
+    * user-supplied schemas carry no flag and keep today's behavior. */
+  val PartitionColKey = "graft.partitionColumn"
+
   /** Partition columns from the `partitionBy` write option. */
   def optionPartitionCols(options: CaseInsensitiveStringMap): Seq[String] =
     Option(options.get("partitionby")).toSeq
@@ -1237,7 +1250,11 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     * multi-key orders, non-stat-exact types, or absurd k (heap-bounded). */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (pushed.nonEmpty || aggSpecs.nonEmpty || n <= 0 || n > (1 << 16)) return false
+    // CONSUMED partition filters drop whole files exactly, so every
+    // delivered row satisfies them and the k-th threshold stays sound;
+    // any RESIDUAL filter still declines (rows it would drop poison it)
+    if (pushed.length != consumed.length || aggSpecs.nonEmpty ||
+      n <= 0 || n > (1 << 16)) return false
     orders match {
       case Array(o) =>
         val colName = o.expression() match {
@@ -1268,13 +1285,36 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
-  /** All filters stay residual (Spark re-applies them row-level); the
-    * pushed copies drive chunk skipping against footer min/max stats. */
+  /** Filters on PROVEN partition columns with exactly-evaluable shapes
+    * are CONSUMED (a file-level drop against the path value IS the
+    * row-level filter — the reader materializes exactly that value for
+    * every row of the file, including `__HIVE_DEFAULT_PARTITION__` as
+    * its literal string and drift files with no key as null): no
+    * residual re-check, and — the real win — aggregates/top-k still
+    * push under a partition predicate, so `count(*) WHERE dt = '…'` is
+    * a footer walk of one partition. Everything else stays residual
+    * (Spark re-applies row-level); all pushed copies drive chunk
+    * skipping against footer min/max stats. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters
+    consumed = filters.filter(consumablePartFilter)
+    filters.filterNot(consumablePartFilter)
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  private var consumed: Array[Filter] = Array.empty
+  private def isPartitionCol(name: String): Boolean =
+    fullSchema.fields.find(_.name == name).exists(f =>
+      f.metadata.contains(GraftDataSource.PartitionColKey) &&
+        f.metadata.getBoolean(GraftDataSource.PartitionColKey))
+  private def consumablePartFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) => v != null && isPartitionCol(a)
+    case In(a, vs) => vs != null && vs.nonEmpty &&
+      vs.forall(v => v != null && v.isInstanceOf[String]) && isPartitionCol(a)
+    case IsNull(a) => isPartitionCol(a)
+    case org.apache.spark.sql.sources.IsNotNull(a) => isPartitionCol(a)
+    case _ => false
+  }
 
   /** Safe stop-early: Spark only pushes a limit when no ordering sits
     * below it; the reader stops decoding chunks once satisfied. */
@@ -1294,25 +1334,20 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
   override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    if (pushed.nonEmpty) return false
+    // residual filters can't run on pre-aggregated rows; CONSUMED
+    // partition filters are fully applied by exact file drops, so
+    // `count(*) WHERE dt = '…'` stays a footer walk of one partition
+    if (pushed.length != consumed.length) return false
     val groupCols: Seq[String] = aggregation.groupByExpressions().toSeq.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
           if r.fieldNames().length == 1 => r.fieldNames()(0)
       case _ => return false
     }
-    if (groupCols.nonEmpty) {
-      // grouping pushes only on PROVEN partition-only columns: one
-      // planning-time listing shows every live file carries the key in
-      // its path (the writer never stores partitionBy columns in pages,
-      // so path values are the column — a data column here would need
-      // page reads and must decline)
-      val partitionOnly = try {
-        val listed = dirs.flatMap(d =>
-          GraftDataSource.listPartitionedSized(GraftDataSource.sessionConf(), d))
-        listed.nonEmpty && groupCols.forall(g => listed.forall(_._3.contains(g)))
-      } catch { case _: Exception => false }
-      if (!partitionOnly) return false
-    }
+    // grouping pushes only on PROVEN partition-only columns — the
+    // inferSchema metadata flag, stamped from the listing that built the
+    // table's schema (costs no extra listing here; the reader refuses
+    // loudly if a drift file turns out to store the column in pages)
+    if (!groupCols.forall(isPartitionCol)) return false
     // renamed columns carry their rename chain into the spec: pre-DDL
     // files record stats under an old spelling and the per-file reader
     // resolves through the chain, so aggregates keep answering from
@@ -1414,7 +1449,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
 
   override def build(): Scan =
     new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
-      limit, aggSpecs, maxFilesPerTrigger, topN, startingOffsets, fileFilter)
+      limit, aggSpecs, maxFilesPerTrigger, topN, startingOffsets, fileFilter,
+      consumedFilters = consumed)
 }
 
 /** Pushed ORDER BY col LIMIT k: `desc`/`nullsFirst` mirror the query's
@@ -1432,13 +1468,28 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     // group-based row-level (COW) candidate read: the operation handle
     // receives the FINAL planned file set (post runtime group filtering)
     // so commit replaces exactly what was read — see planInputPartitions
-    cowOp: Option[GraftRowLevelOperation] = None) extends Scan with Batch
+    cowOp: Option[GraftRowLevelOperation] = None,
+    // partition filters the builder CONSUMED (no residual re-check):
+    // applied here as EXACT file drops against path values, with the
+    // reader's own materialization semantics (default-partition = its
+    // literal string; a drift file missing the key = null)
+    consumedFilters: Array[Filter] = Array.empty) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
 
   private def cow: Boolean = cowOp.isDefined
 
   private val conf = GraftDataSource.sessionConf()
+
+  /** Exact consumed-filter evaluation over one file's path values. */
+  private def passesConsumed(part: Map[String, String]): Boolean =
+    consumedFilters.forall {
+      case EqualTo(a, v: String) => part.get(a).contains(v)
+      case In(a, vs) => part.get(a).exists(p => vs.exists(_ == p))
+      case IsNull(a) => !part.contains(a)
+      case org.apache.spark.sql.sources.IsNotNull(a) => part.contains(a)
+      case _ => true // unreachable: the builder only consumes the shapes above
+    }
 
   /** ONE directory listing per scan: estimateStatistics and
     * planInputPartitions both consume this cache, so planning a query
@@ -1524,7 +1575,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     val files = listing
     val partSchema = StructType(
       files.flatMap(_._3.keys).distinct.map(StructField(_, StringType)))
-    val kept = files.filterNot { case (p, _, part) =>
+    val kept = files.filter(f => passesConsumed(f._3)).filterNot { case (p, _, part) =>
       val stats = part.map { case (k, v) =>
         val b = org.apache.spark.unsafe.types.UTF8String.fromString(v).getBytes
         k -> graft.format.ColStats(0, Some(b), Some(b))
@@ -1775,7 +1826,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     val partSchema = StructType(
       GraftDataSource.partitionColumns(files.map { case (p, _, m) => (p, m) })
         .map(StructField(_, StringType)))
-    val keptSized = files.filter { case (p, _, _) => fileColKeep(p) }
+    val keptSized = files.filter { case (p, _, part) =>
+      fileColKeep(p) && passesConsumed(part) }
       .filterNot { case (p, _, part) =>
         // exact partition values = degenerate min==max ranges
         val stats = part.map { case (k, v) =>

@@ -192,6 +192,41 @@ class AggPushdownSpec extends SparkSpec {
     assert(d2.collect().map(_.getLong(1)).sum == 5000L)
   }
 
+  test("consumed partition filters: aggregates push under WHERE lang = '...'") {
+    val dir = Files.createTempDirectory("graft-aggpf").toString
+    spark.range(0, 20000).selectExpr("id", "CAST(id % 5 AS STRING) AS lang")
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    // the flagship: count over one partition = a footer walk of it
+    val df = g.filter(col("lang") === "2").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(plan(df).contains("pushedAggs="),
+      s"aggregate must push under a consumed partition filter: ${plan(df)}")
+    val r = df.head
+    assert(r.getLong(0) == 4000L && r.getLong(1) == 19997L)
+    // plain filtered reads stay exact with no residual re-check
+    assert(g.filter(col("lang") === "2").count() == 4000L)
+    assert(g.filter(col("lang").isin("1", "3")).count() == 8000L)
+    assert(g.filter(col("lang").isNotNull).count() == 20000L)
+    assert(g.filter(col("lang").isNull).count() == 0L)
+    // grouped + filtered: one partition's groups from footers
+    val gf = g.filter(col("lang") === "4").groupBy("lang").agg(count(lit(1)))
+    assert(plan(gf).contains("pushedAggs="), plan(gf))
+    assert(gf.head.getLong(1) == 4000L)
+    // a DATA-column filter is NOT consumed: aggregation declines, rows right
+    val dfd = g.filter(col("id") > 10000L).agg(count(lit(1)))
+    assert(!plan(dfd).contains("pushedAggs="), plan(dfd))
+    assert(dfd.head.getLong(0) == 9999L)
+    // mixed partition+data filters: still correct (data half residual)
+    assert(g.filter(col("lang") === "0" && col("id") < 100L).count() == 20L)
+    // pushed top-k under a consumed partition filter
+    val tk = g.filter(col("lang") === "3").orderBy(col("id").desc).limit(5)
+    assert(tk.queryExecution.executedPlan.toString.contains("pushedTopN="),
+      tk.queryExecution.executedPlan.toString)
+    assert(tk.collect().map(_.getLong(0)).toSeq ==
+      Seq(19998L, 19993L, 19988L, 19983L, 19978L))
+  }
+
   test("a file carrying a leaf WITHOUT nested stats degrades to a chunk decode, not a failure") {
     // an older writer or interop edge can omit nestedStats; the pushed
     // aggregate must then compute the chunk's stats from its own data
