@@ -2262,6 +2262,15 @@ object FormatOps {
   // representation error and is engine/version-dependent (the r12
   // driver-vs-local hash split); string->DECIMAL parsing is exact in
   // every engine.
+  // The OUTPUT carries no DECIMAL-typed cell either (the r13 driver
+  // hash disagreed on DECIMAL canonicalization even when both engines
+  // agreed cell-for-cell): every column is BIGINT. Per-row amt*10000 is
+  // integral and fits i64 at any SF; the exact total's unscaled value
+  // does NOT (sf0.1 sum ~8e19 overflows, and Bench runs every gate at
+  // sf0.1 under ANSI), so the sum is pinned by count + min/max unscaled
+  // + two independent modular residues — sum(u%p)%p == (sum u)%p, each
+  // partial < 1.5e15 at sf1, overflow-free, and any rescale error in
+  // the widen path shifts both residues.
   private val q142: Q = (s, d) => {
     val root = graftDir(d, "decimal_widen")
     deleteDirQuietly(s, root)
@@ -2283,10 +2292,11 @@ object FormatOps {
           + CAST(111111111111.1111 AS DECIMAL(24,4))
       FROM q142_src WHERE o_orderkey % 2 = 1""")
     s.sql("""SELECT CAST(count(*) AS BIGINT) AS n,
-      CAST(sum(amt) AS DECIMAL(38,4)) AS total,
-      CAST(min(amt) AS DECIMAL(38,4)) AS mn,
-      CAST(max(amt) AS DECIMAL(38,4)) AS mx
-      FROM graft_dw.db.t""")
+      CAST(min(u) AS BIGINT) AS mn_u,
+      CAST(max(u) AS BIGINT) AS mx_u,
+      CAST(sum(u % 1000000007) % 1000000007 AS BIGINT) AS tot_m1,
+      CAST(sum(u % 998244353) % 998244353 AS BIGINT) AS tot_m2
+      FROM (SELECT CAST(amt * 10000 AS BIGINT) AS u FROM graft_dw.db.t)""")
   }
   private val q142Sql =
     """WITH t AS (
@@ -2296,12 +2306,14 @@ object FormatOps {
       |    ELSE CAST(concat(CAST(o_orderkey AS STRING), '.',
       |           lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(24,4))
       |         + CAST(111111111111.1111 AS DECIMAL(24,4))
-      |  END AS amt FROM orders)
+      |  END AS amt FROM orders),
+      |u AS (SELECT CAST(amt * 10000 AS BIGINT) AS u FROM t)
       |SELECT CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(amt) AS DECIMAL(38,4)) AS total,
-      |  CAST(min(amt) AS DECIMAL(38,4)) AS mn,
-      |  CAST(max(amt) AS DECIMAL(38,4)) AS mx
-      |FROM t""".stripMargin
+      |  CAST(min(u) AS BIGINT) AS mn_u,
+      |  CAST(max(u) AS BIGINT) AS mx_u,
+      |  CAST(sum(u % 1000000007) % 1000000007 AS BIGINT) AS tot_m1,
+      |  CAST(sum(u % 998244353) % 998244353 AS BIGINT) AS tot_m2
+      |FROM u""".stripMargin
 
   // ---- q143: ADD COLUMN absence pruning — the pre-DDL tail unschedules ------
   // Files written before an ADD COLUMN provably read the new column as
