@@ -1003,11 +1003,15 @@ final class BinaryEncoder(wide: Boolean = false, isString: Boolean = false)
     * buffer — zero allocation until the two winning slices are copied out
     * once per chunk/block. Values past [[Stats.MaxStringStat]] store
     * TRUNCATED BOUNDS, parquet-style: a prefix is always a valid LOWER
-    * bound in unsigned-lex order, and a prefix with its last
-    * non-0xff byte incremented (bytes after it dropped) is a strict
-    * UPPER bound; an all-0xff prefix has no bounded upper (max absent,
-    * min kept). Bounds are proofs for the skip logic, never surfaced as
-    * values — string MIN/MAX aggregates don't push. */
+    * bound in unsigned-lex order, and a prefix with its last non-0xff
+    * byte incremented is a strict UPPER bound; an all-0xff prefix has
+    * no bounded upper (max absent, min kept). Since footer v6 a bumped
+    * max 0x00-PADS back to exactly [[Stats.MaxStringStat]] bytes (the
+    * pad keeps it a strict upper: it already beats the true max at the
+    * bumped byte), and a truncated min is a full cap-length prefix by
+    * construction — so any stored bound SHORTER than the cap is the
+    * exact extreme value, servable by pushed string MIN/MAX; bounds AT
+    * the cap remain proofs for the skip logic only. */
   override def statsRange(from: Int, to: Int): ColStats = {
     val nulls = validity.nullCountIn(from, to)
     if (!isString || to - from - nulls <= 0) return ColStats(nulls, None, None)
@@ -1035,7 +1039,14 @@ final class BinaryEncoder(wide: Boolean = false, isString: Boolean = false)
         var j = b.length - 1
         while (j >= 0 && b(j) == 0xff.toByte) j -= 1
         if (j < 0) None // all-0xff prefix: no bounded upper exists
-        else { b(j) = (b(j) + 1).toByte; Some(java.util.Arrays.copyOfRange(b, 0, j + 1)) }
+        else {
+          b(j) = (b(j) + 1).toByte
+          // 0x00-pad to the cap: the bump already wins at byte j, so the
+          // pad stays a strict upper bound, and full-cap width marks the
+          // bound as inexact (v6 convention — see the scaladoc above)
+          java.util.Arrays.fill(b, j + 1, cap, 0.toByte)
+          Some(b)
+        }
       }
     ColStats(nulls, Some(mn), mx)
   }

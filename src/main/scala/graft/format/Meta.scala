@@ -27,7 +27,16 @@ object Meta {
     * every ColStats record. The footer is parsed positionally, so a
     * version mismatch must fail AS a version mismatch, not as garbled
     * trailing fields. */
-  val Version = 5 // v5: DeltaMeta carries per-page running bases
+  /** v5: DeltaMeta per-page running bases, NaN-accounted float stats,
+    * page+footer checksums, truncated string bounds. v6: byte-layout
+    * IDENTICAL to v5; the only change is a CONVENTION on string bounds —
+    * a truncated (prefix) min or bumped-prefix max is always written at
+    * exactly [[Stats.MaxStringStat]] bytes (bumps 0x00-pad back to the
+    * cap), so any stored string bound SHORTER than the cap is provably
+    * the exact extreme value and MIN/MAX aggregates may serve it.
+    * v5 bounds stay proofs only (a v5 bump could shrink below the cap
+    * by trailing-0xff stripping, indistinguishable from an exact value). */
+  val Version = 6
 
   /** 10^0 .. 10^18 as LITERAL doubles (all exactly representable: 5^18
     * needs 42 mantissa bits). Shared by the scaled-float writer verify and
@@ -339,7 +348,11 @@ object Meta {
 
   private def readBody(c: ByteCursor, expect: Int): Footer = {
     val version = c.getInt()
-    if (version != expect) throw new OliveFormatException(s"unsupported version $version")
+    // v5 parses with the current (v6) layout — the two differ only in
+    // the string-bound exactness convention, which consumers gate on
+    // `footer.version` (v5 string bounds are never served as values)
+    val ok = version == expect || (expect == Version && version == 5)
+    if (!ok) throw new OliveFormatException(s"unsupported version $version")
     val dataSize = c.getLong()
     if (dataSize < 0) throw new OliveFormatException("negative data section size")
     val nChunks = checkedCount(c.getInt(), "chunks")

@@ -344,9 +344,12 @@ object Stats {
     case kb: KeyBytesRange =>
       val idx = t.schema.fieldNames.indexOf(kb.attribute)
       idx >= 0 && idx < t.stats.size &&
-        // string zone maps store EXACT value bytes (over-long values
-        // disable the chunk's stats entirely — Encoders.statsRange), so
-        // unsigned-lex disjointness is a proof, never a prefix guess
+        // string bounds may be TRUNCATED (min: a prefix — a valid lower
+        // bound; max: a bumped prefix — a strict upper bound; see
+        // Encoders.statsRange). They are conservative PROOFS: the
+        // disjointness test below stays sound, but a bound must never be
+        // surfaced as a value unless it is provably exact (v6 footers,
+        // length below Stats.MaxStringStat — the pushed-MIN/MAX rule)
         t.schema.fields(idx).dataType == StringType && {
           val s = t.stats(idx)
           s.min.isDefined && s.max.isDefined &&

@@ -2590,6 +2590,37 @@ object FormatOps {
       |FROM documents
       |WHERE lang = 'en'""".stripMargin
 
+  // ---- q151: string MIN/MAX answers from footers when bounds are exact ------
+  // `min(lang)/max(source)` are dataset-card one-liners. Since footer v6
+  // a stored string bound SHORTER than the 48-byte stat cap is provably
+  // the exact extreme (truncated mins are full-cap prefixes, bumped
+  // maxima 0x00-pad back to the cap), so short-string columns answer
+  // entirely from footers; the `text` column's over-cap values degrade
+  // to a one-column decode PER CHUNK — never a wrong value, never a
+  // refusal, and a mixed-age table stays partially footer-answered.
+  // Plan-asserted, hash-gated.
+  private val q151: Q = (s, d) => {
+    val dir = graftDir(d, "str_minmax")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .repartition(4)
+      .write.format("graft").mode("overwrite").save(dir)
+    val g = s.read.format("graft").load(dir)
+    val df = g.agg(
+      min(col("lang")).as("mn_lang"), max(col("lang")).as("mx_lang"),
+      min(col("source")).as("mn_src"), max(col("source")).as("mx_src"),
+      min(col("text")).as("mn_text"), max(col("text")).as("mx_text"),
+      count(lit(1)).as("n"))
+    require(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "q151: string MIN/MAX must push to footer stats")
+    df
+  }
+  private val q151Sql =
+    """SELECT min(lang) AS mn_lang, max(lang) AS mx_lang,
+      |  min(source) AS mn_src, max(source) AS mx_src,
+      |  min(text) AS mn_text, max(text) AS mx_text,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM documents""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2870,6 +2901,7 @@ object FormatOps {
     "q148_verify_table" -> q148,
     "q149_group_pushdown" -> q149,
     "q150_part_filter_agg" -> q150,
+    "q151_str_minmax" -> q151,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2918,6 +2950,7 @@ object FormatOps {
     "q148_verify_table" -> q148Sql,
     "q149_group_pushdown" -> q149Sql,
     "q150_part_filter_agg" -> q150Sql,
+    "q151_str_minmax" -> q151Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

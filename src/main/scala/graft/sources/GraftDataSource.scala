@@ -574,8 +574,11 @@ object GraftDataSource {
     * null counts stay exact across replays, and a new query (fresh
     * checkpoint, epochs restarting at 0) keeps its own mark instead of
     * being skipped against another query's. The per-query map is
-    * bounded (64): a 65th concurrent writer skips the merge entirely
-    * (NDV degrades to the next ANALYZE — never double-billed).
+    * bounded (64): a 65th DISTINCT query id evicts the lowest-epoch
+    * entry, so long-lived tables keep accruing stats across many stream
+    * lifetimes (the evicted query's replayed epoch could double-merge
+    * ADVISORY stats — already `exact = false` — which beats silently
+    * dropping every merge for the rest of the table's life).
     *
     * Fields the deltas CANNOT maintain (string/binary min/max — deltas
     * carry integral ranges only — and avg/max lengths) are DROPPED for
@@ -588,11 +591,15 @@ object GraftDataSource {
     val msgs = messages.collect { case m: GraftCommitMessage => m }
     if (!msgs.exists(_.statDeltas.nonEmpty)) return
     readColStats(conf, dir, table).foreach { a =>
-      // epoch replay (already merged) or a 65th concurrent writer
-      // (bounded map): apply nothing
+      // epoch replay (already merged): apply nothing. A 65th DISTINCT
+      // query id evicts the lowest-epoch entry below instead of skipping
+      // forever — long-lived tables keep accruing exact rows/null counts
+      // across many stream lifetimes; the only cost is that a replay of
+      // the EVICTED query's in-flight epoch could double-merge advisory
+      // stats (already marked `exact = false`), vs. the old behavior of
+      // permanently dropping every merge after 64 ids ever seen
       val skipMerge = epochKey.exists { case (q, e) =>
-        a.streamEpochs.get(q).exists(_ >= e) ||
-          (!a.streamEpochs.contains(q) && a.streamEpochs.size >= 64)
+        a.streamEpochs.get(q).exists(_ >= e)
       }
       if (skipMerge) return
       val appendedRows: Long = msgs.map(_.rows.toLong).sum
@@ -640,8 +647,13 @@ object GraftDataSource {
         // (unsketchable types): appends never bill churn, so their aging
         // must be tracked separately or it never surfaces
         appendedBytes = a.appendedBytes + math.max(0L, bytesNow - a.bytes),
-        streamEpochs = epochKey.fold(a.streamEpochs) {
-          case (q, e) => a.streamEpochs + (q -> e) }))
+        streamEpochs = epochKey.fold(a.streamEpochs) { case (q, e) =>
+          // bounded map (64): a NEW query id over a full map evicts the
+          // lowest-epoch (least-active) entry rather than being ignored
+          val base =
+            if (a.streamEpochs.contains(q) || a.streamEpochs.size < 64) a.streamEpochs
+            else a.streamEpochs - a.streamEpochs.minBy(_._2)._1
+          base + (q -> e) }))
     }
     // runs AFTER the append's files are visible: the data is committed,
     // so advisory stats maintenance must never fail the job (a racing
@@ -1324,8 +1336,11 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     * (null counts are chunk stats) — zero data pages touched. Partial
     * pushdown (Spark still combines), restricted to types whose chunk
     * stats are EXACT: integrals, date, timestamps, boolean, and since
-    * footer v5 float/double (NaN-accounted). Strings stay excluded
-    * (truncated bounds are proofs, not values). GROUP BY pushes when
+    * footer v5 float/double (NaN-accounted). Top-level string MIN/MAX
+    * also push since v6: sub-cap bounds are exact values; capped/older
+    * chunks degrade to a one-column decode of that chunk only (never a
+    * wrong value — truncated bounds are proofs and stay unserved).
+    * GROUP BY pushes when
     * every grouping column is PROVEN partition-only (its value comes
     * from the path on every live file): `GROUP BY lang, count(*)` over
     * a partitioned corpus reads zero data pages. Declined whenever
@@ -1383,6 +1398,16 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
         case FloatType | DoubleType => true
         case _ => false
       }
+    // MIN/MAX additionally accept top-level STRING columns: since
+    // footer v6 a stored bound shorter than the stat cap is provably
+    // the exact extreme, and the per-file reader decodes JUST that
+    // column for chunks whose bound is capped/older — a per-chunk
+    // degrade, not an all-or-nothing decline, so `min(lang)`-style
+    // dataset-card queries answer from footers on short-string columns
+    // and never refuse. Dotted string leaves decline (nested decode
+    // fallback is numeric-only).
+    def minMaxType(name: String): Boolean = statType(name) ||
+      (name.indexOf('.') < 0 && leafOf(name).contains(StringType))
     // footer sums wrap mod 2^64; under ANSI Spark must raise on long
     // overflow instead, so integral SUM stays unpushed there
     def sumIntegral(name: String): Option[Boolean] =
@@ -1408,9 +1433,9 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
             if (n.indexOf('.') < 0) fullSchema.fieldNames.contains(n)
             else statType(n))
           .map(n => GraftCountCol(n, chainOf(n))).getOrElse(return false)
-      case m: Min => colOf(m.column).filter(statType)
+      case m: Min => colOf(m.column).filter(minMaxType)
         .map(n => GraftMinSpec(n, chainOf(n))).getOrElse(return false)
-      case m: Max => colOf(m.column).filter(statType)
+      case m: Max => colOf(m.column).filter(minMaxType)
         .map(n => GraftMaxSpec(n, chainOf(n))).getOrElse(return false)
       case s: Sum if !s.isDistinct =>
         // Sum arrives with the buffer-widening cast attached (int→bigint,
@@ -1813,8 +1838,14 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         // COW scans carry no data filters (only `_file` runtime keys,
         // which manifestSkip can't serve), so the replaced set is
         // unaffected there.
+        // passesConsumed keeps CONSUMED partition filters sound even if
+        // a bucket-tagged listing ever coexists with hive partition dirs
+        // (the write paths don't compose them today, but a consumed
+        // filter silently unapplied would be wrong ROWS, so the
+        // invariant must not depend on that non-composition)
         val pruned = groups.map { case (b, fs) =>
-          (b, fs.filterNot { case (p, _) => manifestSkip(p, filters) })
+          (b, fs.filter { case (_, part) => passesConsumed(part) }
+            .filterNot { case (p, _) => manifestSkip(p, filters) })
         }
         cowOp.foreach(_.replaced = Some(pruned.flatMap(_._2.map(_._1))))
         return pruned.map { case (b, fs) =>
@@ -2142,6 +2173,39 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                 else None // leaf absent from this file's struct: all-null
             }
             else chunkIdxOf(t, col, prev).map(t.stats)
+          // [[computedLeafStats]] with the chunk's own spelling of a
+          // possibly-renamed TOP-LEVEL column (dotted paths push only
+          // chain-free, so they pass through unchanged).
+          def computedStatsResolved(cm: Meta.ChunkMeta, t: Meta.TableMeta,
+              col: String, prev: Seq[String]): graft.format.ColStats =
+            if (col.indexOf('.') >= 0) computedLeafStats(cm, t, col)
+            else computedLeafStats(cm, t,
+              (col +: prev).find(t.schema.fieldNames.contains).getOrElse(col))
+          // Exact string extreme of ONE chunk by decoding just that
+          // column — the per-chunk degrade when a footer bound is capped
+          // (possibly truncated) or pre-v6. Null = no non-null values.
+          def decodedStringExtreme(cm: Meta.ChunkMeta, t: Meta.TableMeta,
+              col: String, prev: Seq[String], wantMax: Boolean):
+              org.apache.spark.unsafe.types.UTF8String = {
+            val spelled = (col +: prev).find(t.schema.fieldNames.contains)
+              .getOrElse(return null)
+            val batch = r.decodeTable(cm, t, StructType(Seq(t.schema(spelled))))
+            try {
+              val v = batch.column(0)
+              var best: org.apache.spark.unsafe.types.UTF8String = null
+              var i = 0
+              while (i < batch.numRows()) {
+                if (!v.isNullAt(i)) {
+                  val s = v.getUTF8String(i)
+                  if (best == null ||
+                      (if (wantMax) s.compareTo(best) > 0 else s.compareTo(best) < 0))
+                    best = s.clone() // the vector's backing buffer dies with the batch
+                }
+                i += 1
+              }
+              best
+            } finally batch.close()
+          }
           def minMax(col: String, prev: Seq[String], wantMax: Boolean): Any = {
             if (gp.partValues.contains(col) &&
                 !chunkPairs.headOption.exists { case (cm, t) =>
@@ -2151,6 +2215,31 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
               .find(_.name == s"${if (wantMax) "max" else "min"}($col)")
               .map(_.dataType).getOrElse(LongType)
             outType match {
+              case StringType =>
+                // v6 sub-cap bounds ARE the extreme values; capped or
+                // pre-v6 bounds degrade to a one-column decode of that
+                // chunk — still a pushed aggregate, just partially
+                // footer-answered (exactly how a mixed-age 100 TB table
+                // behaves right after the upgrade: new files answer from
+                // footers, old files decode one column until rewritten)
+                import org.apache.spark.unsafe.types.UTF8String
+                var best: UTF8String = null
+                def consider(v: UTF8String): Unit =
+                  if (v != null && (best == null ||
+                      (if (wantMax) v.compareTo(best) > 0 else v.compareTo(best) < 0)))
+                    best = v
+                chunkPairs.foreach { case (cm, t) =>
+                  statsOf(cm, t, col, prev).foreach { cs =>
+                    if (t.numRows > 0 && cs.nullCount < t.numRows) {
+                      val bound = if (wantMax) cs.max else cs.min
+                      if (r.footer.version >= 6 &&
+                          bound.exists(_.length < Stats.MaxStringStat))
+                        consider(UTF8String.fromBytes(bound.get))
+                      else consider(decodedStringExtreme(cm, t, col, prev, wantMax))
+                    }
+                  }
+                }
+                best // null = min/max over zero values
               case FloatType | DoubleType =>
                 // v5 NaN accounting (Spark orders NaN above every value):
                 // any NaN in a chunk makes its partial MAX NaN; a chunk
@@ -2162,10 +2251,21 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                     else if (wantMax && cs.nanCount > 0) Some(Double.NaN)
                     else (if (wantMax) cs.max else cs.min) match {
                       case Some(b) => Some(Stats.doubleOf(b))
+                      case None if cs.nanCount + cs.nullCount == t.numRows =>
+                        Some(Double.NaN) // all-NaN
                       case None =>
-                        if (cs.nanCount + cs.nullCount == t.numRows) Some(Double.NaN) // all-NaN
-                        else throw new OliveFormatException(
-                          s"chunk lacks $col stats for pushed aggregate")
+                        // v4 chunk: NaN presence dropped min/max entirely
+                        // and recorded no nanCount — decode the column
+                        // once and compute what a v5+ footer would hold,
+                        // instead of refusing on pre-upgrade data (the
+                        // NaN-bearing files are exactly what the feature
+                        // targets)
+                        val cs2 = computedStatsResolved(cm, t, col, prev)
+                        if (wantMax && cs2.nanCount > 0) Some(Double.NaN)
+                        else (if (wantMax) cs2.max else cs2.min) match {
+                          case Some(b) => Some(Stats.doubleOf(b))
+                          case None => Some(Double.NaN) // all values NaN
+                        }
                     }
                   }
                 }

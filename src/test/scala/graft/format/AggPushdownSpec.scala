@@ -91,12 +91,11 @@ class AggPushdownSpec extends SparkSpec {
     assert(dfnan.head.getDouble(0).isNaN)
   }
 
-  test("pushdown declines when unsupported: filters, strings, group-by") {
+  test("pushdown declines when unsupported: filters, group-by, distinct") {
     val dir = writeSample()
     val base = spark.read.format("graft").load(dir)
     val cases = Seq(
       base.filter(col("i") > 50).agg(count(lit(1))), // residual filters
-      base.agg(max("s")), // string: 48-byte stat cap
       base.groupBy("i").agg(count(lit(1))), // grouping
       base.agg(countDistinct(col("i")))) // distinct needs real rows
     cases.foreach { df =>
@@ -110,8 +109,64 @@ class AggPushdownSpec extends SparkSpec {
     // and the declined shapes still compute correctly through the scan
     assert(base.filter(col("i") > 50).agg(count(lit(1))).head.getLong(0) ==
       (0 until 30000).count(_ % 97 > 50))
-    assert(base.agg(max("s")).head.getString(0) == "s9999")
     assert(base.agg(countDistinct(col("i"))).head.getLong(0) == 97L)
+  }
+
+  test("string MIN/MAX push: exact sub-cap bounds serve, capped chunks decode one column") {
+    val dir = writeSample()
+    val base = spark.read.format("graft").load(dir)
+    // short strings (< 48 bytes): every chunk's bound is provably exact,
+    // the whole answer comes from footers
+    val df = base.agg(min("s").as("mn"), max("s").as("mx"))
+    assert(plan(df).contains("pushedAggs="), plan(df))
+    assert(df.head.getString(0) == "s0" && df.head.getString(1) == "s9999")
+    // nested string leaves still decline (numeric-only nested fallback)
+    // — covered in the nested spec below; here: values > the stat cap
+    // force the per-chunk decode fallback, exact answer either way
+    val dir2 = Files.createTempDirectory("graft-aggstr").toString
+    val cap = Stats.MaxStringStat
+    spark.range(0, 12000).selectExpr(
+      "id",
+      // every value over-cap with a shared prefix: bounds are truncated
+      // prefixes/bumped prefixes, never servable, always decoded
+      s"concat(repeat('p', $cap), lpad(CAST(id AS STRING), 7, '0')) AS long_s",
+      // mixed: short in some chunks, over-cap in others
+      s"CASE WHEN id % 3 = 0 THEN concat(repeat('q', $cap), CAST(id AS STRING)) " +
+        "ELSE concat('m', lpad(CAST(id AS STRING), 5, '0')) END AS mixed_s",
+      // all-null string column: pushed min/max over zero values is null
+      "CAST(NULL AS STRING) AS null_s")
+      .repartition(3)
+      .write.format("graft").option("chunkrows", "2000").mode("overwrite").save(dir2)
+    val g2 = spark.read.format("graft").load(dir2)
+    val df2 = g2.agg(min("long_s").as("a"), max("long_s").as("b"),
+      min("mixed_s").as("c"), max("mixed_s").as("d"),
+      min("null_s").as("e"), max("null_s").as("f"))
+    assert(plan(df2).contains("pushedAggs="), plan(df2))
+    val r2 = df2.head
+    assert(r2.getString(0) == "p" * cap + "0000000")
+    assert(r2.getString(1) == "p" * cap + "0011999")
+    assert(r2.getString(2) == "m00001") // id=1 (id=0 is a q-string)
+    assert(r2.getString(3) == "q" * cap + "9999")
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+    // pushed answers agree with parquet on the same data
+    val pq = Files.createTempDirectory("graft-aggstrpq").toString
+    g2.write.mode("overwrite").parquet(pq)
+    val p = spark.read.parquet(pq)
+    def a(x: DataFrame) = x.agg(min("long_s"), max("long_s"),
+      min("mixed_s"), max("mixed_s"), min("null_s"))
+    assert(canon(a(g2)) == canon(a(p)))
+    // renamed string column: stats resolve through the chain
+    val dir3 = Files.createTempDirectory("graft-aggstrren").toString
+    spark.conf.set("spark.sql.catalog.graft_aggs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_aggs.root", dir3)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_aggs.db")
+    spark.sql("CREATE TABLE graft_aggs.db.t (k BIGINT, name STRING) USING graft")
+    spark.sql("INSERT INTO graft_aggs.db.t SELECT id, concat('v', lpad(CAST(id AS STRING), 4, '0')) FROM range(0, 500)")
+    spark.sql("ALTER TABLE graft_aggs.db.t RENAME COLUMN name TO label")
+    spark.sql("INSERT INTO graft_aggs.db.t SELECT id, concat('w', CAST(id AS STRING)) FROM range(500, 600)")
+    val df3 = spark.sql("SELECT min(label) AS mn, max(label) AS mx FROM graft_aggs.db.t")
+    assert(plan(df3).contains("pushedAggs="), plan(df3))
+    assert(df3.head.getString(0) == "v0000" && df3.head.getString(1) == "w599")
   }
 
   test("pushed aggregates agree with parquet on the same data") {

@@ -122,6 +122,14 @@ class StatsPropertySpec extends AnyFunSuite {
         assert(present.forall(v => cmp(st.max.get, v) >= 0), "max must bound above")
         if (trueMax.length <= Stats.MaxStringStat)
           assert(st.max.get.toSeq == trueMax.toSeq)
+        // v6 exactness convention: a bound SHORTER than the cap is the
+        // exact extreme value (truncated mins are full-cap prefixes,
+        // bumped maxima 0x00-pad back to the cap) — what pushed string
+        // MIN/MAX serves without decoding
+        if (st.min.get.length < Stats.MaxStringStat)
+          assert(st.min.get.toSeq == trueMin.toSeq, "sub-cap min must be exact")
+        if (st.max.get.length < Stats.MaxStringStat)
+          assert(st.max.get.toSeq == trueMax.toSeq, "sub-cap max must be exact")
       }
     }
   }

@@ -158,4 +158,50 @@ class V4CompatSpec extends SparkSpec {
     assert(batch.numRows() == 100 && batch.getRow(0).getLong(0) == 2000L)
     batch.close(); rr.close()
   }
+
+  test("v4 NaN chunks: pushed float MIN/MAX decodes the column instead of refusing") {
+    // v4 dropped min/max ENTIRELY for NaN-bearing float chunks and
+    // recorded no nanCount — after upgrade, a pushed MIN/MAX over that
+    // exact data must fall back to a one-column decode per chunk, not
+    // throw (the pre-upgrade files are what the feature targets)
+    val dir = Files.createTempDirectory("graft-v4nan").toString
+    spark.range(0, 9000).coalesce(1)
+      .selectExpr("id",
+        "CASE WHEN id % 100 = 0 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS d")
+      .write.format("graft").option("chunkrows", "3000").mode("overwrite").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r6 = GraftFileReader.open(fs, hp)
+    val footer6 = r6.footer
+    r6.close()
+    // the v4-era stat shape for NaN-bearing columns: bounds gone, no
+    // NaN accounting (sums stay — v4 stored the NaN-poisoned sum)
+    def strip(st: ColStats): ColStats =
+      if (st.nanCount > 0) ColStats(st.nullCount, None, None, st.sum)
+      else st
+    val v4Footer = footer6.copy(chunks = footer6.chunks.map(c => c.copy(
+      tables = c.tables.map(t => t.copy(
+        stats = t.stats.map(strip),
+        blockStats = t.blockStats.map(_.map(strip)),
+        nestedStats = t.nestedStats.map { case (k, v) => k -> strip(v) },
+        blockNestedStats = t.blockNestedStats.map(_.map { case (k, v) => k -> strip(v) }))))))
+    val raw = java.nio.file.Files.readAllBytes(f.toPath)
+    val origLen = Bytes.le(raw).getLong(raw.length - 12)
+    val v4 = writeV4(v4Footer)
+    val tail = new Bytes(12)
+    tail.putLong(v4.length.toLong)
+    tail.putBytes(Meta.MagicTail)
+    java.nio.file.Files.write(f.toPath,
+      raw.slice(0, raw.length - 12 - origLen.toInt) ++ v4 ++ tail.toArray)
+    val g = spark.read.format("graft").load(dir)
+    val df = g.agg(min("d").as("mn"), max("d").as("mx"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      df.queryExecution.executedPlan.toString)
+    val r = df.head
+    // Spark orders NaN above every value: min is the smallest real
+    // (id=0 is NaN, so 1.0), max is NaN
+    assert(r.getDouble(0) == 1.0, s"min ${r.getDouble(0)}")
+    assert(r.getDouble(1).isNaN, s"max ${r.getDouble(1)}")
+  }
 }
