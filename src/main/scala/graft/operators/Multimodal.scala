@@ -18,21 +18,19 @@ import org.apache.spark.sql.functions._
   *    integer features are hash-checked against a closed-form oracle.
   *    QOI additionally ships THROUGH the [[Multimodal.MediaDecoder]]
   *    seam, proving the trait boundary carries a non-stub codec.
-  *  - q50's decoder stays a clearly-marked DETERMINISTIC STUB standing
-  *    in for formats whose codecs this container genuinely doesn't ship
-  *    (JPEG, H.264). A pure-JVM baseline JPEG codec WOULD be writable
-  *    (~1 kLoC of Huffman + DCT), but was deliberately not: JPEG is
-  *    LOSSY, so no closed-form oracle can recompute its decoded pixels
-  *    the way the BMP/WAV/PNG oracles do, and with no independent codec
-  *    in the container to cross-check against, a hand-rolled lossy
-  *    decoder would be unverifiable — plausible-looking output with no
-  *    gate able to catch a subtly wrong IDCT. The repo's standard for
-  *    "real decoder" is ORACLE-VERIFIED decode; formats that can't meet
-  *    it stay stubbed rather than pretending. Everything around the
-  *    stub — the binary column, the metadata struct schema, the
-  *    Dataset[T] encoder, the per-partition batch shape — is the real
-  *    plumbing a production decode (JNI into a codec, or `mapInPandas`)
-  *    would plug into.
+  *  - q144 is REAL baseline JPEG via the JDK's `javax.imageio` with a
+  *    planted-truth oracle (lossy output is decoder-stable, not
+  *    closed-form).
+  *  - q50/q152 parse REAL MP4/ISO-BMFF container structure ([[Mp4]]):
+  *    the box walk (ftyp/moov/trak/stbl), track geometry, codec id,
+  *    frame counts, keyframe sample table and durations — the fields a
+  *    100 TB multimodal curation pass actually filters on. Full H.264
+  *    PIXEL decode stays out of scope (the JDK ships no H.264 and a
+  *    hand-rolled lossy decoder would be oracle-unverifiable); that
+  *    boundary is explicit: container metadata is parsed and
+  *    closed-form oracle-checked, elementary-stream decode plugs into
+  *    the same [[Multimodal.MediaDecoder]] seam the five real codecs
+  *    already ride through.
   */
 object Multimodal {
 
@@ -43,22 +41,11 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media: Array[Byte])
   /** Extracted features. `checksum` is the content-proof channel: a
     * REAL decoder reports a function of the decoded pixels/samples (the
-    * QOI decoder sums RGB values), so an oracle can verify decode
-    * through the seam; the stub reports its input length. */
+    * QOI decoder sums RGB values; the MP4 parser reports the keyframe
+    * count its sync-sample table carries), so an oracle can verify
+    * decode through the seam. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, n_frames: Int, mode: String, checksum: Long = 0L)
-
-  /** STUB decoder: a real implementation would parse the container format
-    * here (libjpeg/ffmpeg/...). Deterministic on the byte content so the
-    * pipeline stays oracle-checkable. */
-  def decodeStub(m: MediaRow): MediaFeatures = {
-    val n = m.media.length.toLong
-    val width = (n % 64L).toInt + 1
-    val height = (n % 48L).toInt + 1
-    val frames = (n % 8L).toInt + 1
-    val mode = if (n % 2L == 0L) "rgb" else "gray"
-    MediaFeatures(m.doc_id, n, width, height, frames, mode, checksum = n)
-  }
 
   /** The PLUGGABLE decode seam a production codec (JNI into
     * libjpeg/ffmpeg, or a `mapInPandas` Arrow handoff) implements. The
@@ -79,9 +66,16 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** The default decoder behind q50 — [[decodeStub]] through the seam. */
-  class StubDecoder extends MediaDecoder {
-    def decode(m: MediaRow): MediaFeatures = decodeStub(m)
+  /** Video container decoder behind q50: REAL MP4/ISO-BMFF box-structure
+    * parsing ([[Mp4.parse]]) through the seam — geometry, codec id,
+    * frame count, keyframe table. Elementary-stream pixel decode would
+    * plug into the same seam. */
+  class Mp4Decoder extends MediaDecoder {
+    def decode(m: MediaRow): MediaFeatures = {
+      val meta = Mp4.parse(m.media)
+      MediaFeatures(m.doc_id, m.media.length.toLong, meta.width, meta.height,
+        meta.nFrames, meta.codec, checksum = meta.keyframes.toLong)
+    }
   }
 
   /** Run a decoder over a media dataset under the [[MediaDecoder]]
@@ -100,28 +94,260 @@ object Multimodal {
     }
   }
 
+  /** MP4 / ISO-BMFF (ISO/IEC 14496-12, public spec) container metadata:
+    * builder + parser. The parser walks the box tree (ftyp/moov/trak/
+    * mdia/minf/stbl), validates every size against the buffer, and
+    * extracts exactly what a large-scale video-curation pass filters
+    * on: codec fourcc, track geometry, frame count, keyframe sample
+    * table, duration. Truncated or hostile structure refuses loudly —
+    * never a garbage row. The builder plants closed-form boxes at
+    * fixture time so the gates' oracles can state every field. */
+  object Mp4 {
+    /** What the box walk yields for one video. */
+    case class Mp4Meta(codec: String, width: Int, height: Int,
+        nFrames: Int, keyframes: Int, durationMs: Long, timescale: Int,
+        firstChunkOffset: Long)
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"MP4: $msg")
+
+    // ---- builder (fixture-time planted truth) ------------------------------
+    private def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def fourcc(s: String): Array[Byte] = {
+      require(s.length == 4, s"fourcc '$s'"); s.getBytes("US-ASCII")
+    }
+    private def boxOf(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ fourcc(typ) ++ body
+    }
+    private def fullBox(typ: String, version: Int, flags: Int,
+        payload: Array[Byte]*): Array[Byte] =
+      boxOf(typ, Array(((version & 0xff)).toByte) ++
+        Array(((flags >>> 16) & 0xff).toByte, ((flags >>> 8) & 0xff).toByte,
+          (flags & 0xff).toByte) ++ payload.flatten)
+    private val unityMatrix: Array[Byte] =
+      (Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)).flatMap(be32(_)).toArray
+
+    /** A minimal, VALID single-video-track MP4: deterministic sample
+      * sizes/bytes, keyframes every `keyframeEvery` frames (sample 1 is
+      * always sync), `frameDelta` ticks per frame at `timescale`. */
+    def build(w: Int, h: Int, nFrames: Int, codec: String,
+        keyframeEvery: Int = 3, frameDelta: Int = 40,
+        timescale: Int = 1000, seed: Long = 0L): Array[Byte] = {
+      require(w > 0 && h > 0 && nFrames > 0 && keyframeEvery > 0)
+      val sizes = (0 until nFrames).map(i => 100 + ((seed + i) % 50).toInt)
+      val duration = nFrames * frameDelta
+      val sync = (1 to nFrames).filter(s => (s - 1) % keyframeEvery == 0)
+      def moov(chunkOffset: Int): Array[Byte] = {
+        val mvhd = fullBox("mvhd", 0, 0,
+          be32(0), be32(0), be32(timescale), be32(duration),
+          be32(0x10000) /* rate 1.0 */, be16(0x0100) /* volume */, be16(0),
+          be32(0), be32(0), unityMatrix,
+          Array.fill(24)(0.toByte) /* pre_defined */, be32(2) /* next track */)
+        val tkhd = fullBox("tkhd", 0, 7 /* enabled|in_movie|in_preview */,
+          be32(0), be32(0), be32(1) /* track id */, be32(0), be32(duration),
+          be32(0), be32(0), be16(0), be16(0), be16(0), be16(0), unityMatrix,
+          be32(w << 16), be32(h << 16))
+        val mdhd = fullBox("mdhd", 0, 0,
+          be32(0), be32(0), be32(timescale), be32(duration),
+          be16(0x55c4) /* 'und' */, be16(0))
+        val hdlr = fullBox("hdlr", 0, 0,
+          be32(0), fourcc("vide"), be32(0), be32(0), be32(0),
+          "VideoHandler".getBytes("US-ASCII") :+ 0.toByte)
+        val sampleEntry = { // VisualSampleEntry, codec config boxes omitted
+          val body = Array.fill(6)(0.toByte) ++ be16(1) /* data_ref_idx */ ++
+            be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++
+            be16(w) ++ be16(h) ++ be32(0x480000) ++ be32(0x480000) ++
+            be32(0) ++ be16(1) ++ Array.fill(32)(0.toByte) ++
+            be16(24) ++ be16(0xffff)
+          be32(8 + body.length) ++ fourcc(codec) ++ body
+        }
+        val stsd = fullBox("stsd", 0, 0, be32(1), sampleEntry)
+        val stts = fullBox("stts", 0, 0, be32(1), be32(nFrames), be32(frameDelta))
+        // all-sync tracks OMIT stss, per the spec's default — exercises
+        // the parser's absent-table path
+        val stss =
+          if (keyframeEvery == 1) Array.empty[Byte]
+          else fullBox("stss", 0, 0, be32(sync.length), sync.flatMap(be32(_)).toArray)
+        val stsc = fullBox("stsc", 0, 0, be32(1), be32(1), be32(nFrames), be32(1))
+        val stsz = fullBox("stsz", 0, 0, be32(0) /* per-sample */,
+          be32(nFrames), sizes.flatMap(be32(_)).toArray)
+        val stco = fullBox("stco", 0, 0, be32(1), be32(chunkOffset))
+        val stbl = boxOf("stbl", stsd, stts, stss, stsc, stsz, stco)
+        val vmhd = fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+        val dref = fullBox("dref", 0, 0, be32(1),
+          fullBox("url ", 0, 1 /* self-contained */))
+        val minf = boxOf("minf", vmhd, boxOf("dinf", dref), stbl)
+        val mdia = boxOf("mdia", mdhd, hdlr, minf)
+        val trak = boxOf("trak", tkhd, mdia)
+        boxOf("moov", mvhd, trak)
+      }
+      val ftyp = boxOf("ftyp", fourcc("isom"), be32(0x200),
+        fourcc("isom"), fourcc(codec))
+      // stco stores an absolute file offset of the first sample, which
+      // depends on moov's own size — build moov once with 0 to learn the
+      // size (the stco entry is fixed-width, so the size is stable),
+      // then rebuild with the real offset
+      val moovLen = moov(0).length
+      val chunkOffset = ftyp.length + moovLen + 8 // + mdat header
+      val payload = new Array[Byte](sizes.sum)
+      var i = 0
+      while (i < payload.length) { // deterministic fake elementary stream
+        payload(i) = ((seed + i * 31) % 256).toByte; i += 1
+      }
+      ftyp ++ moov(chunkOffset) ++ boxOf("mdat", payload)
+    }
+
+    // ---- parser (untrusted input: every offset bounds-checked) -------------
+    private def u32(b: Array[Byte], off: Int): Long = {
+      if (off < 0 || off + 4 > b.length) fail(s"read past end at $off")
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    }
+    private def u16(b: Array[Byte], off: Int): Int = {
+      if (off < 0 || off + 2 > b.length) fail(s"read past end at $off")
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    }
+    private def u64(b: Array[Byte], off: Int): Long = {
+      val hi = u32(b, off); val lo = u32(b, off + 4)
+      if (hi > Int.MaxValue) fail("64-bit size beyond sane bounds")
+      (hi << 32) | lo
+    }
+    private def typ4(b: Array[Byte], off: Int): String = {
+      if (off + 4 > b.length) fail(s"read past end at $off")
+      new String(b, off, 4, "US-ASCII")
+    }
+
+    /** Children of byte range [from, to): (type, payloadStart, payloadEnd).
+      * Box sizes are validated against the RANGE — a child may never leak
+      * past its parent (the classic hostile-container trick). */
+    private def children(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      while (off < to) {
+        if (to - off < 8) fail(s"trailing ${to - off} bytes are not a box")
+        val size32 = u32(b, off)
+        val t = typ4(b, off + 4)
+        val (hdr, size) =
+          if (size32 == 1) (16L, u64(b, off + 8))
+          else if (size32 == 0) (8L, (to - off).toLong) // "extends to end"
+          else (8L, size32)
+        if (size < hdr) fail(s"box '$t' size $size smaller than its header")
+        if (off + size > to) fail(s"box '$t' (size $size at $off) leaks past its parent")
+        out += ((t, off + hdr.toInt, off + size.toInt))
+        off += size.toInt
+      }
+      out.result()
+    }
+    private def child(cs: Seq[(String, Int, Int)], t: String): (Int, Int) =
+      cs.find(_._1 == t).map(c => (c._2, c._3)).getOrElse(fail(s"missing '$t' box"))
+
+    /** Parse one video's container metadata. Refuses loudly on anything
+      * structurally wrong; never fabricates a value. */
+    def parse(bytes: Array[Byte]): Mp4Meta = {
+      if (bytes.length < 16) fail(s"${bytes.length} bytes cannot hold a container")
+      val top = children(bytes, 0, bytes.length)
+      if (top.head._1 != "ftyp") fail(s"first box is '${top.head._1}', not ftyp")
+      val (moovS, moovE) = child(top, "moov")
+      val moov = children(bytes, moovS, moovE)
+      // mvhd v0/v1: timescale+duration move with the version
+      val (mvS, mvE) = child(moov, "mvhd")
+      val mvVersion = bytes(mvS) & 0xff
+      val (timescale, duration) = mvVersion match {
+        case 0 => (u32(bytes, mvS + 12).toInt, u32(bytes, mvS + 16))
+        case 1 => (u32(bytes, mvS + 20).toInt, u64(bytes, mvS + 24))
+        case v => fail(s"mvhd version $v")
+      }
+      if (mvE < mvS + 20 || timescale <= 0) fail("mvhd too small or zero timescale")
+      val trak = children(bytes, child(moov, "trak")._1, child(moov, "trak")._2)
+      val (tkS, tkE) = child(trak, "tkhd")
+      if (bytes(tkS) != 0) fail(s"tkhd version ${bytes(tkS)}")
+      if (tkE - tkS < 84) fail("tkhd truncated")
+      val width = (u32(bytes, tkS + 76) >> 16).toInt // 16.16 fixed
+      val height = (u32(bytes, tkS + 80) >> 16).toInt
+      if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff)
+        fail(s"track geometry $width x $height out of range")
+      val mdia = children(bytes, child(trak, "mdia")._1, child(trak, "mdia")._2)
+      val (hdS, _) = child(mdia, "hdlr")
+      val handler = typ4(bytes, hdS + 8)
+      if (handler != "vide") fail(s"handler '$handler' is not a video track")
+      val minf = children(bytes, child(mdia, "minf")._1, child(mdia, "minf")._2)
+      val stbl = children(bytes, child(minf, "stbl")._1, child(minf, "stbl")._2)
+      val (sdS, sdE) = child(stbl, "stsd")
+      if (u32(bytes, sdS + 4) < 1) fail("stsd holds no sample entries")
+      if (sdE - sdS < 16) fail("stsd truncated")
+      val codec = typ4(bytes, sdS + 12) // first entry's fourcc
+      val (szS, szE) = child(stbl, "stsz")
+      val fixedSize = u32(bytes, szS + 4)
+      val nFrames = u32(bytes, szS + 8)
+      if (nFrames <= 0 || nFrames > (1 << 24)) fail(s"sample count $nFrames")
+      if (fixedSize == 0 && szE - szS < 12 + 4 * nFrames)
+        fail("stsz sample-size table truncated")
+      val (ttS, ttE) = child(stbl, "stts")
+      val ttEntries = u32(bytes, ttS + 4)
+      if (ttE - ttS < 8 + 8 * ttEntries) fail("stts truncated")
+      val ttTotal = (0L until ttEntries).map(i => u32(bytes, ttS + 8 + 8 * i.toInt)).sum
+      if (ttTotal != nFrames)
+        fail(s"stts covers $ttTotal samples, stsz declares $nFrames")
+      // stss absent = every sample is a sync sample (the spec's default)
+      val keyframes = stbl.find(_._1 == "stss") match {
+        case None => nFrames.toInt
+        case Some((_, s, e)) =>
+          val n = u32(bytes, s + 4)
+          if (e - s < 8 + 4 * n) fail("stss truncated")
+          var prev = 0L
+          (0 until n.toInt).foreach { i =>
+            val sample = u32(bytes, s + 8 + 4 * i)
+            if (sample <= prev || sample > nFrames)
+              fail(s"stss sample $sample out of order or beyond $nFrames")
+            prev = sample
+          }
+          n.toInt
+      }
+      val (coS, coE) = child(stbl, "stco")
+      val nChunks = u32(bytes, coS + 4)
+      if (nChunks < 1 || coE - coS < 8 + 4 * nChunks) fail("stco truncated or empty")
+      val firstChunkOffset = u32(bytes, coS + 8)
+      if (firstChunkOffset >= bytes.length)
+        fail(s"first chunk offset $firstChunkOffset beyond file end")
+      Mp4Meta(codec, width, height, nFrames.toInt, keyframes,
+        durationMs = duration * 1000L / timescale, timescale = timescale,
+        firstChunkOffset = firstChunkOffset)
+    }
+  }
+
   // ---- q50: binary media column -> per-partition decode -> features -------
+  // REAL MP4/ISO-BMFF container parsing through the seam: fixture-time
+  // planted boxes carry closed-form geometry/frame/keyframe values the
+  // oracle restates; a parser that miswalks the tree, misreads 16.16
+  // geometry, or miscounts the sync-sample table goes hash-red.
   private val q50: Q = (s, d) => {
     import s.implicits._
-    // Fake media bytes: utf-8 of the text column stands in for image bytes.
     val media = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
-    // through the pluggable seam: swapping StubDecoder for a real codec
-    // changes no plumbing (q140 QOI and q144 JPEG prove it end-to-end;
-    // the stub now stands in for H.264 only)
-    decodeWith(media, () => new StubDecoder)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, Mp4.build(
+        w = (id % 64).toInt + 16, h = (id % 48).toInt + 16,
+        nFrames = (id % 8).toInt + 1,
+        codec = if (id % 2 == 0) "avc1" else "hev1", seed = id)))
+    // n_bytes is the container's encoded size (not closed-form) —
+    // projected away, like q140's QOI size
+    decodeWith(media, () => new Mp4Decoder)
       .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("mode"), col("checksum"))
       .orderBy(col("doc_id"))
   }
   private val q50Sql =
     """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
-      |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
-      |  CAST(octet_length(encode(text)) % 8 + 1 AS INT) AS n_frames,
-      |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb' ELSE 'gray' END AS mode,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS checksum
+      |  CAST(doc_id % 64 + 16 AS INT) AS width,
+      |  CAST(doc_id % 48 + 16 AS INT) AS height,
+      |  CAST(doc_id % 8 + 1 AS INT) AS n_frames,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS mode,
+      |  CAST(floor((doc_id % 8) / 3) + 1 AS BIGINT) AS checksum
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -150,8 +376,9 @@ object Multimodal {
 
   // ---- q52: frame sampling (video-style explode + per-frame features) -----
   // A video pipeline shape: one row per sampled frame via explode, then a
-  // per-frame feature (here a hash — the stub for a real frame embedding),
-  // re-aggregated per media item. Frame count comes from the stub decoder.
+  // per-frame feature (here a hash — a stand-in for a real frame
+  // embedding), re-aggregated per media item. The frame-count formula
+  // mirrors q50's planted MP4 fixtures.
   private val q52: Q = (s, d) => {
     Tables.documents(s, d)
       .withColumn("nb", octet_length(encode(col("text"), "UTF-8")).cast("long"))
@@ -186,7 +413,7 @@ object Multimodal {
 
   // ---- q53: resize planning (aspect-preserving thumbnail dims) -------------
   // The resize step of an image pipeline: target box 32x32, preserve
-  // aspect ratio, never upscale. Pure arithmetic on the stub decoder's
+  // aspect ratio, never upscale. Pure arithmetic on header-derived
   // dimensions — the real pixel work would slot into the same
   // mapPartitions stage as q50's decoder.
   private val q53: Q = (s, d) => {
@@ -417,8 +644,8 @@ object Multimodal {
     * `(7x + 13y + 11c + docId) % 256`; even docIds are grayscale
     * (color type 0, c = 0), odd are truecolor (color type 2, c in 0..2).
     * DEFLATE comes from the JDK's own zlib (`java.util.zip`) — no
-    * external codec needed, which is why PNG gets a real decoder while
-    * JPEG stays stubbed in q50. */
+    * external codec needed — PNG joins BMP/WAV/QOI/JPEG/MP4 as a real
+    * parser. */
   def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
     val colorType = if (docId % 2 == 0) 0 else 2
     val bpp = if (colorType == 0) 1 else 3
@@ -817,8 +1044,7 @@ object Multimodal {
   // (checksum == expected)` next to the geometry the JPEG header
   // carries. The oracle states the closed-form geometry and matched =
   // true for every image — a decoder that misreads dimensions, drops
-  // pixels, or decodes unstably goes hash-red. StubDecoder now stands
-  // in for H.264 only.
+  // pixels, or decodes unstably goes hash-red.
   case class JpegFixture(doc_id: Long, media: Array[Byte], expected: Long)
 
   /** Deterministic content: smooth gradients JPEG survives recognizably;
@@ -903,10 +1129,57 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q152: MP4 metadata curation — the per-codec dataset card ------------
+  // What a 100 TB video-curation pass actually computes from container
+  // metadata alone (no elementary-stream decode): per-codec corpus
+  // composition — video count, total frames, total keyframes, duration
+  // bounds. Parsing errors refuse loudly upstream; the oracle restates
+  // every number closed-form from the planted boxes.
+  private val q152: Q = (s, d) => {
+    import s.implicits._
+    val parsed = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val m = Mp4.parse(Mp4.build(
+          w = (id % 64).toInt + 16, h = (id % 48).toInt + 16,
+          nFrames = (id % 8).toInt + 1,
+          codec = if (id % 2 == 0) "avc1" else "hev1", seed = id))
+        (id, m.codec, m.nFrames, m.keyframes, m.durationMs,
+          m.width.toLong * m.height)
+      }
+      .toDF("doc_id", "codec", "n_frames", "keyframes", "duration_ms", "pixels")
+    parsed.groupBy(col("codec")).agg(
+      count(lit(1)).as("n_videos"),
+      sum(col("n_frames").cast("long")).as("total_frames"),
+      sum(col("keyframes").cast("long")).as("total_keyframes"),
+      min(col("duration_ms")).as("mn_dur_ms"),
+      max(col("duration_ms")).as("mx_dur_ms"),
+      max(col("pixels")).as("mx_pixels"))
+      .orderBy(col("codec"))
+  }
+  private val q152Sql =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS codec,
+      |    CAST(doc_id % 8 + 1 AS BIGINT) AS n,
+      |    CAST(floor((doc_id % 8) / 3) + 1 AS BIGINT) AS kf,
+      |    (doc_id % 64 + 16) * (doc_id % 48 + 16) AS pixels
+      |  FROM documents)
+      |SELECT codec, count(*) AS n_videos,
+      |  CAST(sum(n) AS BIGINT) AS total_frames,
+      |  CAST(sum(kf) AS BIGINT) AS total_keyframes,
+      |  CAST(min(40 * n) AS BIGINT) AS mn_dur_ms,
+      |  CAST(max(40 * n) AS BIGINT) AS mx_dur_ms,
+      |  CAST(max(pixels) AS BIGINT) AS mx_pixels
+      |FROM v
+      |GROUP BY codec
+      |ORDER BY codec""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_media_decode" -> q50,
     "q140_qoi_decode" -> q140,
     "q144_jpeg_decode" -> q144,
+    "q152_mp4_meta" -> q152,
     "q51_media_metadata" -> q51,
     "q52_frame_sample" -> q52,
     "q53_resize_plan" -> q53,
@@ -918,6 +1191,7 @@ object Multimodal {
     "q50_media_decode" -> q50Sql,
     "q140_qoi_decode" -> q140Sql,
     "q144_jpeg_decode" -> q144Sql,
+    "q152_mp4_meta" -> q152Sql,
     "q51_media_metadata" -> q51Sql,
     "q52_frame_sample" -> q52Sql,
     "q53_resize_plan" -> q53Sql,

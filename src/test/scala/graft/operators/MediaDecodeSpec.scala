@@ -158,6 +158,73 @@ class MediaDecodeSpec extends AnyFunSuite {
       case _: javax.imageio.IIOException => // ImageIO's own truncation error
     }
   }
+
+  test("MP4 round-trip: geometry, codec, frames, keyframes, duration exact") {
+    for (id <- Seq(0L, 1L, 5L, 12L)) {
+      val w = (id % 11).toInt + 16; val h = (id % 7).toInt + 16
+      val n = (id % 8).toInt + 1
+      val codec = if (id % 2 == 0) "avc1" else "hev1"
+      val m = Mp4.parse(Mp4.build(w, h, n, codec, keyframeEvery = 3, seed = id))
+      assert(m.width == w && m.height == h, s"doc $id geometry")
+      assert(m.codec == codec && m.nFrames == n)
+      assert(m.keyframes == (n - 1) / 3 + 1, s"doc $id keyframes")
+      assert(m.durationMs == 40L * n && m.timescale == 1000)
+      // stco points into the mdat payload (past both headers)
+      assert(m.firstChunkOffset > 0 && m.firstChunkOffset < Int.MaxValue)
+    }
+    // absent stss = every sample is sync (the spec default): build one
+    // where every frame IS a keyframe and the table exists, then strip
+    // it structurally by claiming keyframeEvery = 1
+    val all = Mp4.parse(Mp4.build(8, 8, 6, "avc1", keyframeEvery = 1))
+    assert(all.keyframes == 6)
+  }
+
+  test("MP4 box walker refuses truncation, junk, and hostile sizes") {
+    val good = Mp4.build(16, 16, 4, "avc1", seed = 9L)
+    def boom(bytes: Array[Byte]): IllegalArgumentException =
+      intercept[IllegalArgumentException](Mp4.parse(bytes))
+    // junk and empty
+    assert(boom("not an mp4 container at all".getBytes).getMessage.contains("MP4"))
+    assert(boom(Array.empty[Byte]).getMessage.contains("MP4"))
+    // truncation at every box-ish granularity: the walker must refuse,
+    // never index past the buffer or fabricate a value
+    Seq(4, 12, good.length / 3, good.length / 2, good.length - 5).foreach { cut =>
+      boom(good.take(cut))
+    }
+    // a child box whose size leaks past its parent (classic hostile trick)
+    val leak = good.clone()
+    // moov starts right after ftyp (24 bytes): inflate its first child's size
+    val moovPayload = 24 + 8
+    val bb = java.nio.ByteBuffer.wrap(leak)
+    bb.putInt(moovPayload, Int.MaxValue)
+    assert(boom(leak).getMessage.contains("leak"))
+    // size smaller than its own header
+    val tiny = good.clone()
+    java.nio.ByteBuffer.wrap(tiny).putInt(moovPayload, 4)
+    boom(tiny)
+    // stss sample number beyond the frame count must refuse
+    def findBox(bytes: Array[Byte], typ: String): Int = {
+      val pat = typ.getBytes("US-ASCII")
+      (0 until bytes.length - 4).find(i =>
+        bytes(i) == pat(0) && bytes(i + 1) == pat(1) &&
+          bytes(i + 2) == pat(2) && bytes(i + 3) == pat(3)).get - 4
+    }
+    val badSync = good.clone()
+    val stss = findBox(badSync, "stss")
+    // first sync entry (payload: vf 4 + count 4 + entries): set to 999
+    java.nio.ByteBuffer.wrap(badSync).putInt(stss + 8 + 8, 999)
+    assert(boom(badSync).getMessage.contains("stss"))
+    // a non-video handler must refuse rather than emit fake geometry
+    val audio = good.clone()
+    val hdlr = findBox(audio, "hdlr")
+    System.arraycopy("soun".getBytes("US-ASCII"), 0, audio, hdlr + 8 + 8, 4)
+    assert(boom(audio).getMessage.contains("video"))
+    // stts/stsz disagreement must refuse (corrupt sample tables)
+    val badCount = good.clone()
+    val stsz = findBox(badCount, "stsz")
+    java.nio.ByteBuffer.wrap(badCount).putInt(stsz + 8 + 8, 3) // claims 3 != 4
+    boom(badCount)
+  }
 }
 
 /** Counters for [[PluggableDecoderSpec]] — static because decoder
@@ -215,10 +282,17 @@ class PluggableDecoderSpec extends graft.SparkSpec {
       s"one open per partition: ${DecoderProbe.opens.get()} != $parts")
     assert(DecoderProbe.closes.get() == parts,
       s"close must run per partition: ${DecoderProbe.closes.get()} != $parts")
-    // the default stub through the SAME seam equals the direct stub map
-    val viaSeam = decodeWith(media, () => new StubDecoder).collect()
+    // the MP4 decoder through the SAME seam equals a direct parse map
+    val mp4Media = s.range(0, 50)
+      .map(id => MediaRow(id, Mp4.build((id % 10).toInt + 8, (id % 6).toInt + 8,
+        (id % 5).toInt + 1, "avc1", seed = id)))
+    val viaSeam = decodeWith(mp4Media, () => new Mp4Decoder).collect()
       .sortBy(_.doc_id).toSeq
-    val direct = media.collect().map(decodeStub).sortBy(_.doc_id).toSeq
+    val direct = mp4Media.collect().map { m =>
+      val x = Mp4.parse(m.media)
+      MediaFeatures(m.doc_id, m.media.length.toLong, x.width, x.height,
+        x.nFrames, x.codec, x.keyframes.toLong)
+    }.sortBy(_.doc_id).toSeq
     assert(viaSeam == direct)
   }
 
