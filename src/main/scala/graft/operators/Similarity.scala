@@ -14,8 +14,9 @@ import org.apache.spark.sql.expressions.Window
   *    bucketed by sign-bit signatures of dot products with fixed seeded
   *    hyperplanes; candidates come from an equi-join on the bucket key.
   *
-  * All dot products run through codegen'd higher-order functions
-  * (zip_with + aggregate) on array<double> — no UDFs.
+  * All dot products run through the codegen'd [[graft.functions
+  * .DotProduct]] expression on array<double|float> — no UDFs, and the
+  * float path scans embeddings cast-free (q153).
   */
 object Similarity {
 
@@ -60,6 +61,37 @@ object Similarity {
       |SELECT vec_id, label, cosine FROM sc
       |ORDER BY cosine DESC, vec_id
       |LIMIT 10""".stripMargin
+
+  // ---- q153: q40's float32 twin over graft-stored float vectors -----------
+  // Real embedding stores are float32; the double cast q40's `emb` pays
+  // doubles every scanned vector byte. Here the corpus is written to
+  // graft AS array<float> (values at 4 bytes; the constant-stride
+  // offsets delta-encode to ~nothing) and scanned cast-free: [[
+  // graft.functions.DotProduct]] widens each float element to double
+  // INSIDE the fold, which is bit-identical to casting the array first
+  // (float→double widening is exact) — so the oracle remains the exact
+  // double-domain recompute, while the scan reads half the bytes. At
+  // 100 TB that is the difference between a 50 TB and a 100 TB
+  // vector-scan per curation pass.
+  private val q153: Q = (s, d) => {
+    graft.functions.VectorOps.register(s)
+    val dir = FormatOps.graftDir(d, "float_vectors")
+    Tables.embeddings(s, d)
+      .write.format("graft").mode("overwrite").save(dir)
+    val e = s.read.format("graft").load(dir)
+      .withColumn("nv", sqrt(dot("embedding", "embedding"))) // float in, double out
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"), col("nv").as("np"))
+    e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", round(dot("embedding", "pv") / (col("nv") * col("np")), 6))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+  // identical to q40's oracle: the cast-free float fold is bit-equal to
+  // the double-domain recompute
+  private val q153Sql = q40Sql
 
   // ---- q42: k-NN join (5-NN for every 50th vector) ------------------------
   // Exact k-NN is irreducibly |corpus|×|probes| pair evaluations; the
@@ -773,6 +805,7 @@ object Similarity {
     "q44c_ivf_persisted" -> q44c,
     "q44d_ivf_append" -> q44d,
     "q40_cosine_topk" -> q40,
+    "q153_float_vectors" -> q153,
     "q41_ann_lsh" -> q41,
     "q42_knn_join" -> q42,
     "q43_centroids" -> q43,
@@ -790,6 +823,7 @@ object Similarity {
     "q44c_ivf_persisted" -> q44cSql,
     "q44d_ivf_append" -> q44dSql,
     "q40_cosine_topk" -> q40Sql,
+    "q153_float_vectors" -> q153Sql,
     // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check;
     // q46 gates the same banding path against a planted truth set.
     "q42_knn_join" -> q42Sql,

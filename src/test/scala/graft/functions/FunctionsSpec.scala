@@ -81,6 +81,42 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.select(VectorOps.dot(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("graft_dot float32: cast-free fold is bit-equal to the double cast") {
+    import spark.implicits._
+    VectorOps.register(spark)
+    // values NOT exactly representable in binary32 would differ between
+    // f32 and f64 STORAGE — the equality pinned here is cast-freeness:
+    // dot(float_array) == dot(cast(float_array AS double)), bit-for-bit
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("a", "b").localCheckpoint()
+    val castFree = df.select(VectorOps.dot(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    val viaCast = df.select(VectorOps.dot(
+        col("a").cast("array<double>"), col("b").cast("array<double>")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(castFree == viaCast, "float->double widening inside the fold must be exact")
+    // mixed float x double sides type-check and agree too
+    val mixed = df.select(VectorOps.dot(
+        col("a"), col("b").cast("array<double>")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(mixed == viaCast)
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(VectorOps.dot(col("a"), col("b")).as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(interp == castFree)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // unsupported element types refuse at analysis
+    val bad = Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorOps.dot(col("a"), col("b"))).collect()
+    }
+  }
+
   test("graft_weighted_avg matches the SQL formulation") {
     WeightedAvg.register(spark)
     val df = spark.range(1, 1000).selectExpr(
