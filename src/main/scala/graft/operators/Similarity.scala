@@ -207,13 +207,33 @@ object Similarity {
     base.union(planted)
   }
 
-  // ---- q41: LSH-bucketed approximate neighbors (no SQL oracle) ------------
+  // ---- q41: LSH-bucketed neighbors, deterministically oracled -------------
+  // The full hyperplane-LSH pipeline — signatures, banded buckets,
+  // candidate join, exact cosine verification — reduced to an output a
+  // SQL oracle can state: every 10th vector re-enters the corpus as an
+  // EXACT copy under a shifted id. Identical vectors produce identical
+  // sign bits against every hyperplane, so each (orig, copy) pair lands
+  // in the same bucket in ALL bands — candidacy is GUARANTEED, not
+  // probabilistic — and its verified cosine rounds to exactly 1.0. A
+  // regression anywhere in the banding/bucket/join/verify path drops a
+  // pair and goes hash-red. The probabilistic recall/precision behavior
+  // under perturbation stays gated by q46's planted truth set.
   private val q41: Q = (s, d) => {
-    candidatePairs(emb(s, d).select(col("vec_id"), col("v"), col("nv")))
+    val e = emb(s, d)
+    val copies = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + PlantShift)
+      .select(col("vec_id"), col("v"), col("nv"))
+    val corpus = e.select(col("vec_id"), col("v"), col("nv")).union(copies)
+    candidatePairs(corpus)
+      .filter(col("id2") === col("id1") + PlantShift && col("id1") % 10 === 0)
       .withColumn("cosine", round(col("cosine"), 6))
-      .orderBy(col("cosine").desc, col("id1"), col("id2"))
-      .limit(100)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"))
   }
+  private val q41Sql =
+    """SELECT vec_id AS id1, vec_id + 10000000 AS id2, CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id % 10 = 0
+      |ORDER BY id1""".stripMargin
 
   // ---- q46: LSH recall against a planted truth set (exact oracle) ---------
   // Every planted pair (id, id + shift) has cosine ≈ 0.9996; the banded
@@ -289,8 +309,14 @@ object Similarity {
   // The scale path for ANN: build coarse centroids (here: per-label means,
   // a distributed agg), assign every vector + probe to its nearest
   // centroid, then search only within the probe's cell — an equi-join on
-  // cell id, so the corpus is never cross-joined. No SQL oracle
-  // (approximate by construction): rows-only check.
+  // cell id, so the corpus is never cross-joined. Deterministically
+  // oracled: probes are EXACT copies of every 100th corpus vector under
+  // a shifted id. An identical vector computes identical centroid
+  // cosines, so the probe lands in its twin's cell BY CONSTRUCTION, and
+  // the cell search must return the twin at rank 1 with cosine 1.0 (no
+  // other pair in this corpus reaches it). Centroid build, assignment,
+  // cell equi-join and ranking are all on the hash path; recall under
+  // real perturbation stays gated by q44b's multi-probe planted truth.
   private val q44: Q = (s, d) => {
     val e = emb(s, d)
     val cents = centroidsOf(e)
@@ -298,18 +324,25 @@ object Similarity {
     val assigned = rankCells(e, cents)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nv"), col("cell"))
-    val probes = assigned.filter(col("vec_id") % 100 === 0)
+    val probes = rankCells(
+      e.filter(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + PlantShift), cents)
+      .filter(col("rk") === 1)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nv").as("np"), col("cell"))
     // search only the probe's cell: equi-join on cell, linear in corpus
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", round(dot("v", "pv") / (col("nv") * col("np")), 6))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("probe_id"), col("rk"), col("vec_id"), col("cell"), col("cosine"))
-      .orderBy(col("probe_id"), col("rk"))
+      .filter(col("rk") === 1)
+      .select((col("probe_id") - PlantShift).as("orig_id"),
+        col("vec_id").as("found_id"), col("cosine"))
+      .orderBy(col("orig_id"))
   }
+  private val q44Sql =
+    """SELECT vec_id AS orig_id, vec_id AS found_id, CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id % 100 = 0
+      |ORDER BY orig_id""".stripMargin
 
   // ---- q44b: IVF recall gate with multi-probe (planted truth) --------------
   // The q46 trick applied to the IVF path: the planted near-dups (cosine
@@ -824,8 +857,8 @@ object Similarity {
     "q44d_ivf_append" -> q44dSql,
     "q40_cosine_topk" -> q40Sql,
     "q153_float_vectors" -> q153Sql,
-    // q41 has no SQL oracle (seeded hyperplane LSH) -> rows-only check;
-    // q46 gates the same banding path against a planted truth set.
+    "q41_ann_lsh" -> q41Sql,
+    "q44_ivf_ann" -> q44Sql,
     "q42_knn_join" -> q42Sql,
     "q43_centroids" -> q43Oracle,
     "q44b_ivf_recall" -> q44bSql,
