@@ -1618,20 +1618,23 @@ object TextOps {
   // Shannon entropy of the character distribution per document — the
   // cheap detector for low-information text (repeated boilerplate,
   // padding, degenerate generations) that length/stopword heuristics
-  // (q33) miss. One explode to (doc, char) counts, per-doc totals as a
-  // window over those counts (no second scan), entropy as
-  // -Σ (n/t)·ln(n/t) rounded to 6dp BEFORE thresholding so the
-  // flag can't straddle the cutoff on summation-order FP noise between
-  // engines. Identical '(?s)(.)' extraction on both sides keeps char
-  // sets (incl. newlines) equal.
+  // (q33) miss. One explode to (doc, char) counts; the per-doc total is
+  // just size(chars), carried as a grouping key from BEFORE the explode
+  // (no Window — a window over the char-count rows costs an exchange +
+  // sort of the largest intermediate for a value the scan already
+  // knows); entropy as -Σ (n/t)·ln(n/t) rounded to 6dp BEFORE
+  // thresholding so the flag can't straddle the cutoff on
+  // summation-order FP noise between engines. Identical '(?s)(.)'
+  // extraction on both sides keeps char sets (incl. newlines) equal.
   private val q120: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val freq = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(expr("regexp_extract_all(lower(text), '(?s)(.)', 1)")).as("ch"))
-      .groupBy(col("doc_id"), col("lang"), col("ch")).agg(count(lit(1)).as("n"))
+        expr("regexp_extract_all(lower(text), '(?s)(.)', 1)").as("cs"))
+      .select(col("doc_id"), col("lang"), size(col("cs")).as("t"),
+        explode(col("cs")).as("ch"))
+      .groupBy(col("doc_id"), col("lang"), col("t"), col("ch"))
+      .agg(count(lit(1)).as("n"))
     val ent = freq
-      .withColumn("t", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
       .groupBy(col("doc_id"), col("lang"))
       .agg(round(-sum((col("n") / col("t")) * log(col("n") / col("t"))), 6).as("h"))
     ent.groupBy(col("lang"))
