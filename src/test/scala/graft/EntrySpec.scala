@@ -12,10 +12,11 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     // the round-4 floor: a refactor that silently drops a module's
     // queries map from SparkEntry must fail here, not at the driver
     assert(SparkEntry.queries.size >= 126)
-    // non-oracled queries are the known non-SQL-expressible set
+    // non-oracled queries are the known non-SQL-expressible set: since
+    // round 14 only q28's HLL estimate (bounded by q28b's exact-oracle
+    // error gate) — q35/q41/q44 carry real hash oracles now
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q28_approx_distinct", "q35_minhash_lsh",
-      "q41_ann_lsh", "q44_ivf_ann"),
+    assert(noOracle == Set("q28_approx_distinct"),
       s"unexpected rows-only queries: $noOracle")
   }
   test("every declared query executes at sf0.001") {
