@@ -132,12 +132,15 @@ object Multimodal {
     private val unityMatrix: Array[Byte] =
       (Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)).flatMap(be32(_)).toArray
 
-    /** A minimal, VALID single-video-track MP4: deterministic sample
+    /** A minimal, VALID MP4 with one video track: deterministic sample
       * sizes/bytes, keyframes every `keyframeEvery` frames (sample 1 is
-      * always sync), `frameDelta` ticks per frame at `timescale`. */
+      * always sync), `frameDelta` ticks per frame at `timescale`.
+      * `audioTrack` prepends a skippable 'soun' track — the common
+      * real-container layout the parser's track selection must walk. */
     def build(w: Int, h: Int, nFrames: Int, codec: String,
         keyframeEvery: Int = 3, frameDelta: Int = 40,
-        timescale: Int = 1000, seed: Long = 0L): Array[Byte] = {
+        timescale: Int = 1000, seed: Long = 0L,
+        audioTrack: Boolean = false): Array[Byte] = {
       require(w > 0 && h > 0 && nFrames > 0 && keyframeEvery > 0)
       val sizes = (0 until nFrames).map(i => 100 + ((seed + i) % 50).toInt)
       val duration = nFrames * frameDelta
@@ -184,7 +187,21 @@ object Multimodal {
         val minf = boxOf("minf", vmhd, boxOf("dinf", dref), stbl)
         val mdia = boxOf("mdia", mdhd, hdlr, minf)
         val trak = boxOf("trak", tkhd, mdia)
-        boxOf("moov", mvhd, trak)
+        // optional leading audio track: structurally valid down to its
+        // 'soun' handler (all the parser reads before skipping it)
+        val audio =
+          if (!audioTrack) Array.empty[Byte]
+          else {
+            val aTkhd = fullBox("tkhd", 0, 7,
+              be32(0), be32(0), be32(2), be32(0), be32(duration),
+              be32(0), be32(0), be16(0), be16(0), be16(0x0100), be16(0),
+              unityMatrix, be32(0), be32(0))
+            val aHdlr = fullBox("hdlr", 0, 0,
+              be32(0), fourcc("soun"), be32(0), be32(0), be32(0),
+              "SoundHandler".getBytes("US-ASCII") :+ 0.toByte)
+            boxOf("trak", aTkhd, boxOf("mdia", mdhd, aHdlr))
+          }
+        boxOf("moov", mvhd, audio, trak)
       }
       val ftyp = boxOf("ftyp", fourcc("isom"), be32(0x200),
         fourcc("isom"), fourcc(codec))
@@ -263,7 +280,18 @@ object Multimodal {
         case v => fail(s"mvhd version $v")
       }
       if (mvE < mvS + 20 || timescale <= 0) fail("mvhd too small or zero timescale")
-      val trak = children(bytes, child(moov, "trak")._1, child(moov, "trak")._2)
+      // real containers carry several tracks (audio first is common):
+      // select the FIRST video track by handler, skip the rest, refuse
+      // only when no track is video
+      val traks = moov.filter(_._1 == "trak").map { case (_, s0, e0) =>
+        val trak = children(bytes, s0, e0)
+        val mdia = children(bytes, child(trak, "mdia")._1, child(trak, "mdia")._2)
+        val handler = typ4(bytes, child(mdia, "hdlr")._1 + 8)
+        (trak, mdia, handler)
+      }
+      if (traks.isEmpty) fail("missing 'trak' box")
+      val (trak, mdia, _) = traks.find(_._3 == "vide").getOrElse(
+        fail(s"no video track (handlers: ${traks.map(_._3).mkString(",")})"))
       val (tkS, tkE) = child(trak, "tkhd")
       if (bytes(tkS) != 0) fail(s"tkhd version ${bytes(tkS)}")
       if (tkE - tkS < 84) fail("tkhd truncated")
@@ -271,10 +299,6 @@ object Multimodal {
       val height = (u32(bytes, tkS + 80) >> 16).toInt
       if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff)
         fail(s"track geometry $width x $height out of range")
-      val mdia = children(bytes, child(trak, "mdia")._1, child(trak, "mdia")._2)
-      val (hdS, _) = child(mdia, "hdlr")
-      val handler = typ4(bytes, hdS + 8)
-      if (handler != "vide") fail(s"handler '$handler' is not a video track")
       val minf = children(bytes, child(mdia, "minf")._1, child(mdia, "minf")._2)
       val stbl = children(bytes, child(minf, "stbl")._1, child(minf, "stbl")._2)
       val (sdS, sdE) = child(stbl, "stsd")

@@ -2217,17 +2217,22 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             outType match {
               case StringType =>
                 // v6 sub-cap bounds ARE the extreme values; capped or
-                // pre-v6 bounds degrade to a one-column decode of that
-                // chunk — still a pushed aggregate, just partially
-                // footer-answered (exactly how a mixed-age 100 TB table
-                // behaves right after the upgrade: new files answer from
-                // footers, old files decode one column until rewritten)
+                // pre-v6 bounds degrade to a one-column decode — but a
+                // truncated bound is still a PROOF, so the decode pass
+                // is pruned: exact bounds serve first (free), then only
+                // chunks whose bound proof could still beat the best
+                // exact value decode, best-proof-first so each decode
+                // tightens the skip for the rest. On a mixed-age 100 TB
+                // table that is a handful of competitive chunks, not a
+                // column scan of every pre-v6 file.
                 import org.apache.spark.unsafe.types.UTF8String
                 var best: UTF8String = null
                 def consider(v: UTF8String): Unit =
                   if (v != null && (best == null ||
                       (if (wantMax) v.compareTo(best) > 0 else v.compareTo(best) < 0)))
                     best = v
+                // (chunk, table, bound-proof bytes or null = unbounded)
+                val pending = Vector.newBuilder[(Meta.ChunkMeta, Meta.TableMeta, Array[Byte])]
                 chunkPairs.foreach { case (cm, t) =>
                   statsOf(cm, t, col, prev).foreach { cs =>
                     if (t.numRows > 0 && cs.nullCount < t.numRows) {
@@ -2235,9 +2240,27 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                       if (r.footer.version >= 6 &&
                           bound.exists(_.length < Stats.MaxStringStat))
                         consider(UTF8String.fromBytes(bound.get))
-                      else consider(decodedStringExtreme(cm, t, col, prev, wantMax))
+                      else pending += ((cm, t, bound.orNull))
                     }
                   }
+                }
+                // a chunk CAN beat `best` only if its conservative bound
+                // does (max: upper-bound proof > best; min: lower < best);
+                // a missing bound (all-0xff bump, v4 over-long) proves
+                // nothing and always decodes
+                def mightBeat(b: Array[Byte]): Boolean = b == null || best == null || {
+                  val c = java.util.Arrays.compareUnsigned(b, best.getBytes)
+                  if (wantMax) c > 0 else c < 0
+                }
+                val ordered = pending.result().sortWith { case ((_, _, a), (_, _, b)) =>
+                  if (a == null) true else if (b == null) false
+                  else {
+                    val c = java.util.Arrays.compareUnsigned(a, b)
+                    if (wantMax) c > 0 else c < 0
+                  }
+                }
+                ordered.foreach { case (cm, t, b) =>
+                  if (mightBeat(b)) consider(decodedStringExtreme(cm, t, col, prev, wantMax))
                 }
                 best // null = min/max over zero values
               case FloatType | DoubleType =>

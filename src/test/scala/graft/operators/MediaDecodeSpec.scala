@@ -172,11 +172,15 @@ class MediaDecodeSpec extends AnyFunSuite {
       // stco points into the mdat payload (past both headers)
       assert(m.firstChunkOffset > 0 && m.firstChunkOffset < Int.MaxValue)
     }
-    // absent stss = every sample is sync (the spec default): build one
-    // where every frame IS a keyframe and the table exists, then strip
-    // it structurally by claiming keyframeEvery = 1
+    // absent stss = every sample is sync (the spec default)
     val all = Mp4.parse(Mp4.build(8, 8, 6, "avc1", keyframeEvery = 1))
     assert(all.keyframes == 6)
+    // the common real-container layout: audio track FIRST — selection
+    // walks past it to the video track and parses identically
+    val solo = Mp4.parse(Mp4.build(20, 12, 5, "avc1", seed = 3L))
+    val multi = Mp4.parse(Mp4.build(20, 12, 5, "avc1", seed = 3L, audioTrack = true))
+    assert(multi.copy(firstChunkOffset = solo.firstChunkOffset) == solo,
+      "audio-first container must parse the video track identically")
   }
 
   test("MP4 box walker refuses truncation, junk, and hostile sizes") {

@@ -165,6 +165,38 @@ class SketchAppendSpec extends SparkSpec {
     assert(a3.streamEpochs == Map("qA" -> 8L, "qB" -> 0L))
   }
 
+  test("a 65th distinct query id evicts the lowest epoch instead of dropping merges forever") {
+    val dir = freshDir()
+    write(dir, "overwrite", 0, 1000)
+    graft.operators.FormatOps.analyzeTable(spark, dir)
+    val sk = new ColSketcher(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Seq("id"))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    (9000L until 9100L).foreach { v => row.update(0, v); sk.update(row) }
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(GraftCommitMessage("evict-part-0.graft", 100L, sk.result()))
+    // 64 distinct stream lifetimes, ascending epochs so q00 is lowest
+    (0 until 64).foreach { i =>
+      GraftDataSource.mergeAppendStats(conf, dir, "data", msgs,
+        epochKey = Some((f"q$i%02d", i.toLong)))
+    }
+    val full = sidecar(dir)
+    assert(full.streamEpochs.size == 64)
+    assert(full.rows == 1000 + 64 * 100)
+    // the 65th DISTINCT id must still accrue (long-lived tables see many
+    // stream lifetimes) — the lowest-epoch entry makes room
+    GraftDataSource.mergeAppendStats(conf, dir, "data", msgs,
+      epochKey = Some(("q-new", 0L)))
+    val after = sidecar(dir)
+    assert(after.rows == full.rows + 100,
+      s"the 65th query id must not be dropped: ${after.rows}")
+    assert(after.streamEpochs.size == 64, "map stays bounded")
+    assert(after.streamEpochs.contains("q-new"))
+    assert(!after.streamEpochs.contains("q00"), "lowest-epoch entry evicts")
+  }
+
   test("un-analyzed tables pay nothing: no sidecar, no deltas in messages") {
     val dir = freshDir()
     write(dir, "overwrite", 0, 100)
