@@ -2621,6 +2621,59 @@ object FormatOps {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM documents""".stripMargin
 
+  // ---- q154: decimal MIN/MAX answers from footers across a widen DDL --------
+  // `min/max(price)` money queries: chunk stats store the EXACT
+  // unscaled extreme at each FILE's own decimal type — i64 for p<=18,
+  // 16-byte big-endian past it — and the pushed reader rescales
+  // pre-widen bounds to the query scale exactly (10^Δ on the unscaled
+  // integer). The fixture mixes both physical forms through the same
+  // ALTER as q142, so a wrong unscaled interpretation on EITHER side
+  // of the i64/16-byte boundary, or a rescale error, shifts the
+  // output. Output is BIGINT-only (unscaled at 10^-4), per the q142
+  // lesson: no DECIMAL-typed cell reaches the driver's hash.
+  private val q154: Q = (s, d) => {
+    val root = graftDir(d, "decimal_minmax")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_dm", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dm.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dm.db")
+    s.sql("CREATE TABLE graft_dm.db.t (k BIGINT, amt DECIMAL(12,2)) USING graft")
+    Tables.orders(s, d).createOrReplaceTempView("q154_src")
+    s.sql("""INSERT INTO graft_dm.db.t
+      SELECT o_orderkey,
+        CAST(concat(CAST(o_orderkey AS STRING), '.',
+                    lpad(CAST(o_orderkey % 97 AS STRING), 2, '0')) AS DECIMAL(12,2))
+      FROM q154_src WHERE o_orderkey % 2 = 0""")
+    s.sql("ALTER TABLE graft_dm.db.t ALTER COLUMN amt TYPE DECIMAL(24,4)")
+    s.sql("""INSERT INTO graft_dm.db.t
+      SELECT o_orderkey,
+        CAST(concat(CAST(o_orderkey AS STRING), '.',
+                    lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(24,4))
+          + CAST(111111111111.1111 AS DECIMAL(24,4))
+      FROM q154_src WHERE o_orderkey % 2 = 1""")
+    val df = s.sql("""SELECT
+      CAST(min(amt) * 10000 AS BIGINT) AS mn_u,
+      CAST(max(amt) * 10000 AS BIGINT) AS mx_u,
+      CAST(count(amt) AS BIGINT) AS n
+      FROM graft_dm.db.t""")
+    require(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      "q154: decimal MIN/MAX must answer from footer stats")
+    df
+  }
+  private val q154Sql =
+    """WITH t AS (
+      |  SELECT CASE WHEN o_orderkey % 2 = 0
+      |    THEN CAST(CAST(concat(CAST(o_orderkey AS STRING), '.',
+      |           lpad(CAST(o_orderkey % 97 AS STRING), 2, '0')) AS DECIMAL(12,2)) AS DECIMAL(24,4))
+      |    ELSE CAST(concat(CAST(o_orderkey AS STRING), '.',
+      |           lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(24,4))
+      |         + CAST(111111111111.1111 AS DECIMAL(24,4))
+      |  END AS amt FROM orders)
+      |SELECT CAST(min(amt) * 10000 AS BIGINT) AS mn_u,
+      |  CAST(max(amt) * 10000 AS BIGINT) AS mx_u,
+      |  CAST(count(amt) AS BIGINT) AS n
+      |FROM t""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2902,6 +2955,7 @@ object FormatOps {
     "q149_group_pushdown" -> q149,
     "q150_part_filter_agg" -> q150,
     "q151_str_minmax" -> q151,
+    "q154_decimal_minmax" -> q154,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -2951,6 +3005,7 @@ object FormatOps {
     "q149_group_pushdown" -> q149Sql,
     "q150_part_filter_agg" -> q150Sql,
     "q151_str_minmax" -> q151Sql,
+    "q154_decimal_minmax" -> q154Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -1398,16 +1398,25 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
         case FloatType | DoubleType => true
         case _ => false
       }
-    // MIN/MAX additionally accept top-level STRING columns: since
+    // MIN/MAX additionally accept top-level STRING columns — since
     // footer v6 a stored bound shorter than the stat cap is provably
     // the exact extreme, and the per-file reader decodes JUST that
-    // column for chunks whose bound is capped/older — a per-chunk
-    // degrade, not an all-or-nothing decline, so `min(lang)`-style
-    // dataset-card queries answer from footers on short-string columns
-    // and never refuse. Dotted string leaves decline (nested decode
+    // column for chunks whose bound is capped/older (a per-chunk
+    // degrade, not an all-or-nothing decline), so `min(lang)`-style
+    // dataset-card queries answer from footers and never refuse —
+    // and top-level DECIMAL columns: chunk stats store the EXACT
+    // unscaled value (i64 for p<=18, 16-byte BE past it) at each
+    // FILE's own scale, and the reader rescales to the query type
+    // exactly (widen only grows scale), so `min/max(price)` money
+    // queries are a footer walk even across a p/scale-widening DDL.
+    // Dotted string/decimal leaves decline (the nested decode
     // fallback is numeric-only).
     def minMaxType(name: String): Boolean = statType(name) ||
-      (name.indexOf('.') < 0 && leafOf(name).contains(StringType))
+      (name.indexOf('.') < 0 && leafOf(name).exists {
+        case StringType => true
+        case _: DecimalType => true
+        case _ => false
+      })
     // footer sums wrap mod 2^64; under ANSI Spark must raise on long
     // overflow instead, so integral SUM stays unpushed there
     def sumIntegral(name: String): Option[Boolean] =
@@ -2261,6 +2270,48 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                 }
                 ordered.foreach { case (cm, t, b) =>
                   if (mightBeat(b)) consider(decodedStringExtreme(cm, t, col, prev, wantMax))
+                }
+                best // null = min/max over zero values
+              case target: DecimalType =>
+                // chunk stats hold the EXACT unscaled extreme at the
+                // FILE's own decimal type (i64 for p<=18, 16-byte BE
+                // two's-complement past it); pre-widen files rescale to
+                // the query scale exactly — 10^Δ multiplication of the
+                // unscaled integer, the same promotion the value reader
+                // performs
+                import java.math.BigInteger
+                var best: org.apache.spark.sql.types.Decimal = null
+                chunkPairs.foreach { case (cm, t) =>
+                  statsOf(cm, t, col, prev).foreach { cs =>
+                    if (t.numRows > 0 && cs.nullCount < t.numRows) {
+                      val chunkDt = chunkIdxOf(t, col, prev)
+                        .map(i => t.schema.fields(i).dataType)
+                      chunkDt match {
+                        case Some(cd: DecimalType) =>
+                          val bound = if (wantMax) cs.max else cs.min
+                          val b = bound.getOrElse(throw new OliveFormatException(
+                            s"chunk lacks $col decimal stats for pushed aggregate"))
+                          val unscaled =
+                            if (cd.precision <= 18) BigInteger.valueOf(Stats.longOf(b))
+                            else new BigInteger(b) // 16-byte BE, sign-carrying
+                          if (target.scale < cd.scale) throw new OliveFormatException(
+                            s"$col scale narrowed ${cd.scale}->${target.scale}; stats not servable")
+                          val rescaled = unscaled.multiply(
+                            BigInteger.TEN.pow(target.scale - cd.scale))
+                          val v = org.apache.spark.sql.types.Decimal(
+                            new java.math.BigDecimal(rescaled, target.scale),
+                            target.precision, target.scale)
+                          if (best == null ||
+                              (if (wantMax) v.compare(best) > 0 else v.compare(best) < 0))
+                            best = v
+                        case _ => // a non-decimal spelling is unreachable: the
+                          // builder type-checked the CURRENT schema and widen
+                          // DDL only moves decimal->decimal
+                          throw new OliveFormatException(
+                            s"$col is not decimal in ${gp.file}")
+                      }
+                    }
+                  }
                 }
                 best // null = min/max over zero values
               case FloatType | DoubleType =>

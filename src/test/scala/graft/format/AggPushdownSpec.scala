@@ -169,6 +169,53 @@ class AggPushdownSpec extends SparkSpec {
     assert(df3.head.getString(0) == "v0000" && df3.head.getString(1) == "w599")
   }
 
+  test("decimal MIN/MAX push: i64 and 16-byte forms, negatives, rescale across widen") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("graft-aggdec").toString
+    // small (i64-backed) and wide (16-byte BE) decimals, both signed —
+    // the 16-byte comparator and the BigInteger decode are sign-carrying
+    spark.range(0, 20000).select(
+      col("id"),
+      ((col("id") - 10000) * 100 + 7).cast(DecimalType(12, 2)).as("dec_small"),
+      ((col("id") - 10000).cast(DecimalType(38, 6)) * lit("1000000000000.000001").cast(DecimalType(38, 6)))
+        .cast(DecimalType(38, 6)).as("dec_wide"),
+      when(lit(false), lit(1).cast(DecimalType(10, 2))).as("dec_null"))
+      .repartition(3)
+      .write.format("graft").option("chunkrows", "4000").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val df = g.agg(min("dec_small").as("a"), max("dec_small").as("b"),
+      min("dec_wide").as("c"), max("dec_wide").as("d"),
+      min("dec_null").as("e"))
+    assert(plan(df).contains("pushedAggs="), plan(df))
+    val r = df.head
+    assert(r.getDecimal(0).toString == "-999993.00") // (0-10000)*100+7
+    assert(r.getDecimal(1).toString == "999907.00")
+    assert(r.getDecimal(2).toString == "-10000000000000000.010000")
+    assert(r.getDecimal(3).toString == "9999000000000000.009999")
+    assert(r.isNullAt(4))
+    // agree with parquet end-to-end
+    val pq = Files.createTempDirectory("graft-aggdecpq").toString
+    g.write.mode("overwrite").parquet(pq)
+    val p = spark.read.parquet(pq)
+    def a(x: DataFrame) = x.agg(min("dec_small"), max("dec_small"),
+      min("dec_wide"), max("dec_wide"))
+    assert(canon(a(g)) == canon(a(p)))
+    // rescale across a widen DDL: pre-widen chunks store unscaled at
+    // scale 2, post-widen at scale 4 — one pushed MIN/MAX spans both
+    val root = Files.createTempDirectory("graft-aggdecw").toString
+    spark.conf.set("spark.sql.catalog.graft_adw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_adw.root", root.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_adw.db")
+    spark.sql("CREATE TABLE graft_adw.db.t (k BIGINT, amt DECIMAL(12,2)) USING graft")
+    spark.sql("INSERT INTO graft_adw.db.t SELECT id, CAST(concat(CAST(id AS STRING), '.25') AS DECIMAL(12,2)) FROM range(1, 100)")
+    spark.sql("ALTER TABLE graft_adw.db.t ALTER COLUMN amt TYPE DECIMAL(24,4)")
+    spark.sql("INSERT INTO graft_adw.db.t SELECT id, CAST('0.1234' AS DECIMAL(24,4)) FROM range(100, 110)")
+    val w = spark.sql("SELECT min(amt) AS mn, max(amt) AS mx FROM graft_adw.db.t")
+    assert(plan(w).contains("pushedAggs="), plan(w))
+    assert(w.head.getDecimal(0).toString == "0.1234")
+    assert(w.head.getDecimal(1).toString == "99.2500") // rescaled from scale-2 chunk
+  }
+
   test("pushed aggregates agree with parquet on the same data") {
     val dir = writeSample()
     val g = spark.read.format("graft").load(dir)
