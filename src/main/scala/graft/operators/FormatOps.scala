@@ -2674,6 +2674,51 @@ object FormatOps {
       |  CAST(count(amt) AS BIGINT) AS n
       |FROM t""".stripMargin
 
+  // ---- q155: decimal top-k pushdown — "most expensive orders" ---------------
+  // ORDER BY price DESC LIMIT k on a money column: the TopNSkipper
+  // compares unscaled longs at the QUERY scale (p<=18 gated at push
+  // time), rescaling pre-widen chunk bounds exactly or declining that
+  // chunk's skip. The fixture widens DECIMAL(12,2)->(18,4) and plants
+  // the top values in the post-widen half, so the pre-widen chunks'
+  // rescaled bounds must prove them skippable. BIGINT-only output.
+  private val q155: Q = (s, d) => {
+    val root = graftDir(d, "decimal_topk")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_dt", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dt.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dt.db")
+    s.sql("CREATE TABLE graft_dt.db.t (k BIGINT, amt DECIMAL(12,2)) USING graft")
+    Tables.orders(s, d).createOrReplaceTempView("q155_src")
+    s.sql("""INSERT INTO graft_dt.db.t
+      SELECT o_orderkey,
+        CAST(concat(CAST(o_orderkey AS STRING), '.',
+                    lpad(CAST(o_orderkey % 97 AS STRING), 2, '0')) AS DECIMAL(12,2))
+      FROM q155_src WHERE o_orderkey % 2 = 0""")
+    s.sql("ALTER TABLE graft_dt.db.t ALTER COLUMN amt TYPE DECIMAL(18,4)")
+    s.sql("""INSERT INTO graft_dt.db.t
+      SELECT o_orderkey,
+        CAST(concat(CAST(o_orderkey AS STRING), '.',
+                    lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(18,4))
+          + CAST(9999999.1111 AS DECIMAL(18,4))
+      FROM q155_src WHERE o_orderkey % 2 = 1""")
+    val df = s.sql("""SELECT k, CAST(amt * 10000 AS BIGINT) AS u
+      FROM graft_dt.db.t ORDER BY amt DESC LIMIT 10""")
+    require(df.queryExecution.executedPlan.toString.contains("pushedTopN="),
+      "q155: decimal ORDER BY ... LIMIT must push top-k")
+    df
+  }
+  private val q155Sql =
+    """WITH t AS (
+      |  SELECT o_orderkey AS k, CASE WHEN o_orderkey % 2 = 0
+      |    THEN CAST(CAST(concat(CAST(o_orderkey AS STRING), '.',
+      |           lpad(CAST(o_orderkey % 97 AS STRING), 2, '0')) AS DECIMAL(12,2)) AS DECIMAL(18,4))
+      |    ELSE CAST(concat(CAST(o_orderkey AS STRING), '.',
+      |           lpad(CAST(o_orderkey % 9973 AS STRING), 4, '0')) AS DECIMAL(18,4))
+      |         + CAST(9999999.1111 AS DECIMAL(18,4))
+      |  END AS amt FROM orders)
+      |SELECT k, CAST(amt * 10000 AS BIGINT) AS u
+      |FROM t ORDER BY amt DESC LIMIT 10""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -2956,6 +3001,7 @@ object FormatOps {
     "q150_part_filter_agg" -> q150,
     "q151_str_minmax" -> q151,
     "q154_decimal_minmax" -> q154,
+    "q155_decimal_topk" -> q155,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3006,6 +3052,7 @@ object FormatOps {
     "q150_part_filter_agg" -> q150Sql,
     "q151_str_minmax" -> q151Sql,
     "q154_decimal_minmax" -> q154Sql,
+    "q155_decimal_topk" -> q155Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -1281,6 +1281,10 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
           // v5 NaN accounting ("top-k by quality score", the canonical
           // LLM-curation query, skips chunks like any integral key)
           case FloatType | DoubleType => true
+          // decimals p<=18 compare as unscaled longs at the query scale
+          // ("top-k orders by price", the canonical money query);
+          // pre-widen chunk bounds rescale exactly or decline the skip
+          case d: DecimalType if d.precision <= 18 => true
           case _ => false
         })
         if (!statExact) return false
@@ -2486,6 +2490,13 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
   private val colIdx = required.fieldIndex(spec.col)
   private val dt = required.fields(colIdx).dataType
   private val floatish = dt == FloatType || dt == DoubleType
+  // decimal top-k compares unscaled longs AT THE QUERY SCALE (p<=18
+  // gated at push time, so every actual value's unscaled form fits
+  // i64; pre-widen chunk bounds rescale exactly or decline the skip)
+  private val decimalScale: Option[Int] = dt match {
+    case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 => Some(d.scale)
+    case _ => None
+  }
   // size-k heap of the best values so far: a MIN-heap for DESC (root =
   // current k-th largest), MAX-heap for ASC (root = current k-th smallest)
   private val heap = new java.util.PriorityQueue[java.lang.Long](spec.k,
@@ -2509,6 +2520,10 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
     case BooleanType => if (v.getBoolean(i)) 1L else 0L
     case FloatType => sortable(v.getFloat(i).toDouble)
     case DoubleType => sortable(v.getDouble(i))
+    case d: org.apache.spark.sql.types.DecimalType =>
+      // the decoded batch is already promoted to the QUERY type, so the
+      // unscaled long is directly comparable with rescaled chunk bounds
+      v.getDecimal(i, d.precision, d.scale).toUnscaledLong
     case _ => v.getLong(i) // Long, Timestamp[NTZ]
   }
 
@@ -2516,10 +2531,31 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
     * hold f64 bytes and cover the NON-NaN values only: under DESC a
     * NaN-bearing chunk's effective max IS NaN (the largest value Spark
     * would sort first), so the stored max must not license a skip. */
-  private def statIn(st: graft.format.ColStats, wantMax: Boolean): Option[Long] =
-    if (!floatish) (if (wantMax) st.max else st.min).map(Stats.longOf)
-    else if (wantMax && st.nanCount > 0) Some(sortable(Double.NaN))
-    else (if (wantMax) st.max else st.min).map(b => sortable(Stats.doubleOf(b)))
+  private def statIn(st: graft.format.ColStats, wantMax: Boolean,
+      chunkDt: DataType): Option[Long] =
+    if (floatish) {
+      if (wantMax && st.nanCount > 0) Some(sortable(Double.NaN))
+      else (if (wantMax) st.max else st.min).map(b => sortable(Stats.doubleOf(b)))
+    } else decimalScale match {
+      case Some(qScale) =>
+        // chunk bounds are unscaled at the FILE's scale; rescale to the
+        // query scale exactly, or decline the skip (None) when the form
+        // is unreadable or the exact rescale would overflow — a missed
+        // skip is always safe, a wrong one never is
+        val chunkScale = chunkDt match {
+          case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 => d.scale
+          case _ => return None
+        }
+        (if (wantMax) st.max else st.min).filter(_.length == 8).flatMap { b =>
+          val u = Stats.longOf(b)
+          if (qScale == chunkScale) Some(u)
+          else if (qScale < chunkScale) None // scale narrowing: not servable
+          else try Some(math.multiplyExact(u,
+            java.math.BigInteger.TEN.pow(qScale - chunkScale).longValueExact()))
+          catch { case _: ArithmeticException => None }
+        }
+      case None => (if (wantMax) st.max else st.min).map(Stats.longOf)
+    }
 
   def observe(batch: ColumnarBatch): Unit = {
     val v = batch.column(colIdx)
@@ -2552,7 +2588,7 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
   private def statOf(t: Meta.TableMeta): Option[Long] = {
     val idx = fieldIdx(t)
     if (idx < 0) None
-    else statIn(t.stats(idx), wantMax = spec.desc)
+    else statIn(t.stats(idx), wantMax = spec.desc, t.schema.fields(idx).dataType)
   }
 
   def canSkip(t: Meta.TableMeta): Boolean = {
@@ -2574,7 +2610,7 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
     if (idx < 0 || bi >= t.blockStats.size) None
     else {
       val st = t.blockStats(bi)(idx)
-      Some((st, statIn(st, wantMax = spec.desc)))
+      Some((st, statIn(st, wantMax = spec.desc, t.schema.fields(idx).dataType)))
     }
   }
 

@@ -159,6 +159,53 @@ class V4CompatSpec extends SparkSpec {
     batch.close(); rr.close()
   }
 
+  test("v5 string bounds are proofs only: pushed MIN/MAX decodes, never serves them") {
+    // a v5 bumped max could shrink below the stat cap by trailing-0xff
+    // stripping, indistinguishable from an exact value — so the v6
+    // sub-cap-implies-exact rule must be VERSION-GATED. Plant a v5
+    // footer whose string bounds are valid but NOT-ATTAINED (exactly
+    // what a strip-shortened bump looks like): a reader that trusted
+    // them would emit the planted bytes; the correct reader decodes and
+    // returns the true extremes.
+    val dir = Files.createTempDirectory("graft-v5str").toString
+    spark.range(0, 5000).coalesce(1)
+      .selectExpr("id", "concat('m', lpad(CAST(id AS STRING), 5, '0')) AS s")
+      .write.format("graft").option("chunkrows", "2500").mode("overwrite").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+    val hp = new Path(f.toString)
+    val fs = hp.getFileSystem(new Configuration())
+    val r6 = GraftFileReader.open(fs, hp)
+    val footer6 = r6.footer
+    r6.close()
+    val loBound = Array[Byte]('a'.toByte) // valid lower bound, never attained
+    val hiBound = "zzz".getBytes("US-ASCII") // valid upper bound, never attained
+    val tampered = footer6.copy(version = 5, chunks = footer6.chunks.map(c => c.copy(
+      tables = c.tables.map { t =>
+        val sIdx = t.schema.fieldNames.indexOf("s")
+        t.copy(stats = t.stats.zipWithIndex.map { case (st, i) =>
+          if (i == sIdx) st.copy(min = Some(loBound), max = Some(hiBound)) else st
+        })
+      })))
+    val raw = java.nio.file.Files.readAllBytes(f.toPath)
+    val origLen = Bytes.le(raw).getLong(raw.length - 12)
+    val v5 = Meta.write(tampered)
+    val tail = new Bytes(12)
+    tail.putLong(v5.length.toLong)
+    tail.putBytes(Meta.MagicTail)
+    java.nio.file.Files.write(f.toPath,
+      raw.slice(0, raw.length - 12 - origLen.toInt) ++ v5 ++ tail.toArray)
+    val rr = GraftFileReader.open(fs, hp)
+    assert(rr.footer.version == 5)
+    rr.close()
+    val g = spark.read.format("graft").load(dir)
+    val df = g.agg(min("s").as("mn"), max("s").as("mx"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      df.queryExecution.executedPlan.toString)
+    val row = df.head
+    assert(row.getString(0) == "m00000", s"served a v5 bound as a value: ${row.getString(0)}")
+    assert(row.getString(1) == "m04999", s"served a v5 bound as a value: ${row.getString(1)}")
+  }
+
   test("v4 NaN chunks: pushed float MIN/MAX decodes the column instead of refusing") {
     // v4 dropped min/max ENTIRELY for NaN-bearing float chunks and
     // recorded no nanCount — after upgrade, a pushed MIN/MAX over that
