@@ -375,14 +375,141 @@ object FormatOps {
     compact(s, dir, math.min(n, Int.MaxValue.toLong).toInt, writeOptions, graceMs)
   }
 
+  /** Audit ONE decoded chunk against its footer's zone-map claims: null
+    * counts exact; numeric/decimal bounds EQUAL the true extremes (they
+    * are attained values by construction); float bounds cover the
+    * non-NaN values with the NaN count exact (v5+); string bounds are
+    * valid conservative proofs (min ≤ every value ≤ max) and, under the
+    * v6 sub-cap convention, exact when short. An unsound bound is the
+    * worst corruption class — a skip PROOF that silently drops rows —
+    * so verify_table re-derives every claim from the decoded data.
+    * Chunk-level, top-level columns (nested leaves decode-verify via
+    * the full decode; their stats feed the same merge paths). Returns
+    * the first violation's description. */
+  private def auditChunkStats(t: graft.format.Meta.TableMeta,
+      batch: org.apache.spark.sql.vectorized.ColumnarBatch,
+      footerVersion: Int): Option[String] = {
+    import org.apache.spark.sql.types._
+    import graft.format.Stats
+    val n = batch.numRows()
+    t.schema.fields.zipWithIndex.iterator.flatMap { case (f, i) =>
+      if (i >= t.stats.size) Iterator.empty else {
+        val st = t.stats(i)
+        val v = batch.column(i)
+        var nulls = 0
+        var j = 0
+        while (j < n) { if (v.isNullAt(j)) nulls += 1; j += 1 }
+        def bad(msg: String) = Iterator.single(s"stats audit ${f.name}: $msg")
+        if (nulls != st.nullCount)
+          bad(s"footer nullCount ${st.nullCount} != decoded $nulls")
+        else if (st.min.isEmpty && st.max.isEmpty) Iterator.empty // statless: always legal
+        else f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | BooleanType =>
+            var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+            var k = 0
+            while (k < n) {
+              if (!v.isNullAt(k)) {
+                val x = f.dataType match {
+                  case ByteType => v.getByte(k).toLong
+                  case ShortType => v.getShort(k).toLong
+                  case IntegerType | DateType => v.getInt(k).toLong
+                  case BooleanType => if (v.getBoolean(k)) 1L else 0L
+                  case _ => v.getLong(k)
+                }
+                seen = true; if (x < mn) mn = x; if (x > mx) mx = x
+              }
+              k += 1
+            }
+            if (!seen) bad("bounds present on an all-null column")
+            else if (st.min.map(Stats.longOf).exists(_ != mn) ||
+                     st.max.map(Stats.longOf).exists(_ != mx))
+              bad(s"footer bounds [${st.min.map(Stats.longOf)}, ${st.max.map(Stats.longOf)}] " +
+                s"!= decoded [$mn, $mx]")
+            else Iterator.empty
+          case FloatType | DoubleType =>
+            var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+            var nans = 0; var seen = false
+            var k = 0
+            while (k < n) {
+              if (!v.isNullAt(k)) {
+                val x = if (f.dataType == FloatType) v.getFloat(k).toDouble else v.getDouble(k)
+                if (x != x) nans += 1
+                else { seen = true; if (x < mn) mn = x; if (x > mx) mx = x }
+              }
+              k += 1
+            }
+            if (footerVersion >= 5 && nans != st.nanCount)
+              bad(s"footer nanCount ${st.nanCount} != decoded $nans")
+            else if (!seen) bad("bounds present on an all-NaN/null column")
+            else if (st.min.map(Stats.doubleOf).exists(_ != mn) ||
+                     st.max.map(Stats.doubleOf).exists(_ != mx))
+              bad(s"footer float bounds != decoded [$mn, $mx]")
+            else Iterator.empty
+          case StringType =>
+            val cap = Stats.MaxStringStat
+            var mnB: Array[Byte] = null; var mxB: Array[Byte] = null
+            var k = 0
+            while (k < n) {
+              if (!v.isNullAt(k)) {
+                val b = v.getUTF8String(k).getBytes
+                if (mnB == null || java.util.Arrays.compareUnsigned(b, mnB) < 0) mnB = b
+                if (mxB == null || java.util.Arrays.compareUnsigned(b, mxB) > 0) mxB = b
+              }
+              k += 1
+            }
+            if (mnB == null) bad("bounds present on an all-null string column")
+            else {
+              val minOk = st.min.forall { lo =>
+                java.util.Arrays.compareUnsigned(lo, mnB) <= 0 &&
+                  (footerVersion < 6 || lo.length >= cap ||
+                    java.util.Arrays.equals(lo, mnB)) // v6 sub-cap = exact
+              }
+              val maxOk = st.max.forall { hi =>
+                java.util.Arrays.compareUnsigned(hi, mxB) >= 0 &&
+                  (footerVersion < 6 || hi.length >= cap ||
+                    java.util.Arrays.equals(hi, mxB))
+              }
+              if (!minOk || !maxOk) bad("string bound is not a valid (or v6-exact) proof")
+              else Iterator.empty
+            }
+          case d: DecimalType =>
+            var mn: java.math.BigInteger = null; var mx: java.math.BigInteger = null
+            var k = 0
+            while (k < n) {
+              if (!v.isNullAt(k)) {
+                val u = v.getDecimal(k, d.precision, d.scale)
+                  .toJavaBigDecimal.unscaledValue()
+                if (mn == null || u.compareTo(mn) < 0) mn = u
+                if (mx == null || u.compareTo(mx) > 0) mx = u
+              }
+              k += 1
+            }
+            def stored(b: Array[Byte]) =
+              if (d.precision <= 18) java.math.BigInteger.valueOf(Stats.longOf(b))
+              else new java.math.BigInteger(b)
+            if (mn == null) bad("bounds present on an all-null decimal column")
+            else if (st.min.map(stored).exists(_.compareTo(mn) != 0) ||
+                     st.max.map(stored).exists(_.compareTo(mx) != 0))
+              bad(s"footer decimal bounds != decoded [$mn, $mx]")
+            else Iterator.empty
+          case _ => Iterator.empty // binary/nested: no servable chunk bounds
+        }
+      }
+    }.toSeq.headOption
+  }
+
   /** Full-integrity walk of a namespace's live files (SQL surface:
     * `CALL sys.verify_table(ns [, table])`): every file's head magic,
     * footer checksum, structural bounds, and EVERY data page's xxhash64
-    * verify, and every chunk fully decodes — the operational answer to
-    * "is this 100 TB table clean after the storage incident". Runs
-    * DISTRIBUTED (one task per file batch); the driver holds only one
-    * row per file. A `table` filter restricts the decode to that
-    * table's chunks (shared-namespace files still footer-verify). */
+    * verify, every chunk fully decodes, and every chunk's ZONE-MAP
+    * CLAIMS re-derive from the decoded data ([[auditChunkStats]] — an
+    * unsound bound is a skip proof that silently drops rows, the worst
+    * corruption class) — the operational answer to "is this 100 TB
+    * table clean after the storage incident". Runs DISTRIBUTED (one
+    * task per file batch); the driver holds only one row per file. A
+    * `table` filter restricts the decode to that table's chunks
+    * (shared-namespace files still footer-verify). */
   def verifyTable(s: SparkSession, dir: String,
       table: Option[String] = None): Seq[(String, Boolean, Int, Long, Option[String])] = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -403,14 +530,21 @@ object FormatOps {
             try {
               var chunks = 0
               var rows = 0L
+              var statErr: Option[String] = None
               r.footer.chunks.foreach { c =>
                 c.tables.filter(t => table.forall(_ == t.name)).foreach { t =>
                   val b = r.decodeTable(c, t, t.schema)
-                  rows += b.numRows(); chunks += 1
-                  b.close()
+                  try {
+                    rows += b.numRows(); chunks += 1
+                    if (statErr.isEmpty)
+                      statErr = auditChunkStats(t, b, r.footer.version)
+                  } finally b.close()
                 }
               }
-              (rel, true, chunks, rows, None: Option[String])
+              statErr match {
+                case Some(e) => (rel, false, chunks, rows, Some(e))
+                case None => (rel, true, chunks, rows, None: Option[String])
+              }
             } finally r.close()
           } catch {
             case e: Exception => (rel, false, 0, 0L, Option(e.getMessage))

@@ -67,4 +67,52 @@ class IntegritySpec extends SparkSpec {
       bad.head._5.toString)
     assert(post.count(_._2) == clean.size - 1)
   }
+
+  test("an unsound zone-map bound is flagged: verify re-derives every stat claim") {
+    // the worst corruption class — a skip PROOF that silently drops
+    // rows. Plant a max bound BELOW the true max (with a valid footer
+    // checksum, so only the stat audit can catch it) for each audited
+    // family: integral, string, decimal.
+    def tamper(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        col: String, newMax: Array[Byte]): Seq[(String, Boolean, Int, Long, Option[String])] = {
+      val dir = Files.createTempDirectory("graft-statx").toString
+      mk(spark.range(0, 3000).toDF("id")).coalesce(1)
+        .write.format("graft").mode("overwrite").save(dir)
+      assert(FormatOps.verifyTable(spark, dir).forall(_._2), "healthy table must verify")
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".graft")).head
+      val hp = new Path(f.toString)
+      val fs = hp.getFileSystem(conf)
+      val r = GraftFileReader.open(fs, hp)
+      val footer = r.footer
+      r.close()
+      val tampered = footer.copy(chunks = footer.chunks.map(c => c.copy(
+        tables = c.tables.map { t =>
+          val idx = t.schema.fieldNames.indexOf(col)
+          t.copy(stats = t.stats.zipWithIndex.map { case (st, i) =>
+            if (i == idx) st.copy(max = Some(newMax)) else st
+          })
+        })))
+      val raw = java.nio.file.Files.readAllBytes(f.toPath)
+      val origLen = Bytes.le(raw).getLong(raw.length - 12)
+      val fb = Meta.write(tampered)
+      val tail = new Bytes(12)
+      tail.putLong(fb.length.toLong)
+      tail.putBytes(Meta.MagicTail)
+      java.nio.file.Files.write(f.toPath,
+        raw.slice(0, raw.length - 12 - origLen.toInt) ++ fb ++ tail.toArray)
+      FormatOps.verifyTable(spark, dir)
+    }
+    import org.apache.spark.sql.functions.{col => c, expr}
+    // integral: true max 2999, claim 1000
+    val longBad = tamper(df => df, "id", Stats.longBytes(1000L))
+    assert(longBad.exists(r => !r._2 && r._5.exists(_.contains("stats audit"))), longBad.toString)
+    // string: true max "s999", claim "a" (violates the lower-than-value proof)
+    val strBad = tamper(_.selectExpr("id", "concat('s', CAST(id AS STRING)) AS s"),
+      "s", "a".getBytes("US-ASCII"))
+    assert(strBad.exists(r => !r._2 && r._5.exists(_.contains("stats audit"))), strBad.toString)
+    // decimal: unscaled claim far below the true max
+    val decBad = tamper(_.select(c("id"),
+      expr("CAST(id AS DECIMAL(12,2))").as("d")), "d", Stats.longBytes(5L))
+    assert(decBad.exists(r => !r._2 && r._5.exists(_.contains("stats audit"))), decBad.toString)
+  }
 }
