@@ -2853,6 +2853,33 @@ object FormatOps {
       |SELECT k, CAST(amt * 10000 AS BIGINT) AS u
       |FROM t ORDER BY amt DESC LIMIT 10""".stripMargin
 
+  // ---- q156: tie-broken top-k pushes — ORDER BY score DESC, id LIMIT k ------
+  // The canonical DETERMINISTIC curation sort (every q40-family query
+  // tiebreaks on an id). Multi-key sorts now push: the LEADING key
+  // drives chunk/block skipping with STRICT-inequality proofs (a chunk
+  // tying the k-th leading value may still win on the tiebreak and must
+  // decode; one strictly beyond it is out regardless), Spark re-sorts
+  // the delivered superset with the full key list. The fixture's score
+  // has heavy ties (50 distinct values over the corpus) and is
+  // score-clustered so the skipper has proofs to work with.
+  private val q156: Q = (s, d) => {
+    val dir = graftDir(d, "tiebreak_topk")
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("n_chars") % 50).as("score"), col("lang"))
+      .orderBy(col("score"))
+      .write.format("graft").option("chunkrows", "500").mode("overwrite").save(dir)
+    val g = s.read.format("graft").load(dir)
+    val df = g.orderBy(col("score").desc, col("doc_id")).limit(12)
+    require(df.queryExecution.executedPlan.toString.contains("pushedTopN="),
+      "q156: a tie-broken ORDER BY ... LIMIT must push top-k on the leading key")
+    df
+  }
+  private val q156Sql =
+    """SELECT doc_id, CAST(n_chars % 50 AS BIGINT) AS score, lang
+      |FROM documents
+      |ORDER BY score DESC, doc_id
+      |LIMIT 12""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -3136,6 +3163,7 @@ object FormatOps {
     "q151_str_minmax" -> q151,
     "q154_decimal_minmax" -> q154,
     "q155_decimal_topk" -> q155,
+    "q156_tiebreak_topk" -> q156,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3187,6 +3215,7 @@ object FormatOps {
     "q151_str_minmax" -> q151Sql,
     "q154_decimal_minmax" -> q154Sql,
     "q155_decimal_topk" -> q155Sql,
+    "q156_tiebreak_topk" -> q156Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -1268,7 +1268,14 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     if (pushed.length != consumed.length || aggSpecs.nonEmpty ||
       n <= 0 || n > (1 << 16)) return false
     orders match {
-      case Array(o) =>
+      // multi-key sorts push too: the LEADING key drives the skip (the
+      // tiebreak columns need no stats — a chunk strictly beyond the
+      // k-th leading value is out regardless of them; `strict` below
+      // keeps tie-carrying chunks decoded). Spark re-sorts the
+      // delivered superset with the full key list, so over-delivery is
+      // always safe — "ORDER BY score DESC, doc_id LIMIT k", the
+      // canonical deterministic curation sort, skips like a single key.
+      case Array(o, _*) =>
         val colName = o.expression() match {
           case r: org.apache.spark.sql.connector.expressions.NamedReference
               if r.fieldNames().length == 1 => r.fieldNames()(0)
@@ -1292,7 +1299,8 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
         val nullsFirst = o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
         // renamed columns carry their chain: pre-rename files' stats
         // resolve through it (TopNSkipper), so top-k stays pushable
-        topN = Some(GraftTopN(colName, desc, nullsFirst, n, chainOf(colName)))
+        topN = Some(GraftTopN(colName, desc, nullsFirst, n, chainOf(colName),
+          strict = orders.length > 1))
         true
       case _ => false
     }
@@ -1491,10 +1499,15 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
       consumedFilters = consumed)
 }
 
-/** Pushed ORDER BY col LIMIT k: `desc`/`nullsFirst` mirror the query's
-  * sort; the reader only SKIPS with this, over-delivery is always safe. */
+/** Pushed ORDER BY col [, tiebreaks...] LIMIT k: `desc`/`nullsFirst`
+  * mirror the query's LEADING sort key; the reader only SKIPS with
+  * this, over-delivery is always safe. `strict` marks a multi-key sort:
+  * rows tying the k-th leading value can still win on a tiebreak, so a
+  * chunk skips only when its bound is STRICTLY beyond the threshold —
+  * a row with a leading value strictly worse than k observed ones is
+  * out of the top-k no matter what its tiebreak columns hold. */
 case class GraftTopN(col: String, desc: Boolean, nullsFirst: Boolean, k: Int,
-    prevNames: Seq[String] = Nil)
+    prevNames: Seq[String] = Nil, strict: Boolean = false)
 
 class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String],
     planFilters: Array[Filter], limit: Int,
@@ -2598,7 +2611,11 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
     val st = t.stats(idx)
     if (spec.nullsFirst && st.nullCount > 0) return false // nulls outrank values
     statOf(t) match {
-      case Some(s) => if (spec.desc) s <= heap.peek() else s >= heap.peek()
+      // strict (multi-key) sorts keep tie-carrying chunks: a chunk whose
+      // bound EQUALS the k-th leading value may still win on a tiebreak
+      case Some(s) =>
+        if (spec.desc) { if (spec.strict) s < heap.peek() else s <= heap.peek() }
+        else { if (spec.strict) s > heap.peek() else s >= heap.peek() }
       case None => !spec.nullsFirst && st.nullCount == t.numRows // all-null chunk
     }
   }
@@ -2628,7 +2645,9 @@ class TopNSkipper(spec: GraftTopN, required: StructType) {
       case Some((st, statOpt)) =>
         if (spec.nullsFirst && st.nullCount > 0) return false
         statOpt match {
-          case Some(s) => if (spec.desc) s <= heap.peek() else s >= heap.peek()
+          case Some(s) =>
+            if (spec.desc) { if (spec.strict) s < heap.peek() else s <= heap.peek() }
+            else { if (spec.strict) s > heap.peek() else s >= heap.peek() }
           case None => !spec.nullsFirst && st.nullCount == rows // all-null block
         }
       case None => false

@@ -252,6 +252,45 @@ class TopNSpec extends SparkSpec {
     wide.count() // keep the cast path exercised
   }
 
+  test("tie-broken multi-key top-k: strict skips, tie-carrying chunks decode") {
+    // scores tie heavily and the k-th value's ties STRADDLE a chunk
+    // boundary: id 0..39999, score = id / 4000 (10 score bands of 4000
+    // rows, chunkrows 4096 => each band crosses a chunk edge). Top-5 by
+    // (score DESC, id ASC) = the FIRST five ids of the top band — rows
+    // that live in the second-to-last chunk, reachable only if chunks
+    // TYING the threshold keep decoding.
+    val dir = Files.createTempDirectory("graft-topn-tie").toString
+    spark.range(0, 40000).coalesce(1)
+      .selectExpr("id", "CAST(id / 4000 AS BIGINT) AS score")
+      .write.format("graft").option("chunkrows", "4096").mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val got = g.orderBy(col("score").desc, col("id").asc).limit(5)
+    val scanDesc = got.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scanDesc.contains("pushedTopN=[score DESC k=5]"), scanDesc)
+    // ids 36000..36004 — they sit in chunk floor(36000/4096)=8, not the
+    // last chunk; a non-strict (<=) skipper would skip chunk 8 after the
+    // last chunk filled the heap with score-9 ties and return wrong rows
+    assert(got.collect().map(_.getLong(0)).toSeq == (36000L to 36004L),
+      "tie-crossing top-k must decode the tie-carrying chunk")
+    // far chunks DO skip under the strict threshold: reader-level proof
+    val p = graftFile(dir)
+    val schema = g.schema
+    val rd = new GraftPartitionReader(p.getFileSystem(new Configuration()), p,
+      schema, None, Array.empty, -1, Map.empty, None,
+      Some(GraftTopN("score", desc = true, nullsFirst = false, k = 5, strict = true)))
+    var batches = 0
+    try { while (rd.next()) { rd.get(); batches += 1 } }
+    finally rd.close()
+    // 40000/4096 = 10 chunks; only the two top-score chunks carry score
+    // 9 (the strict threshold) — everything below skips
+    assert(batches <= 3, s"strict top-k should still skip far chunks, got $batches")
+    // ASC leading key with a DESC tiebreak: same proofs at the low end
+    val asc = g.orderBy(col("score").asc, col("id").desc).limit(4)
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(3999L, 3998L, 3997L, 3996L))
+  }
+
   test("unsorted data stays exact (skipping just finds less to skip)") {
     val dir = Files.createTempDirectory("graft-topn-shuffled").toString
     spark.range(0, 30000).coalesce(1)
