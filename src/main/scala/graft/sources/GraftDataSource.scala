@@ -2279,7 +2279,10 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                   if (wantMax) c > 0 else c < 0
                 }
                 val ordered = pending.result().sortWith { case ((_, _, a), (_, _, b)) =>
-                  if (a == null) true else if (b == null) false
+                  // a strict weak order (TimSort contract): unbounded
+                  // (null) proofs first, equal keys unordered
+                  if (a == null) b != null
+                  else if (b == null) false
                   else {
                     val c = java.util.Arrays.compareUnsigned(a, b)
                     if (wantMax) c > 0 else c < 0

@@ -65,15 +65,19 @@ class PushedAggFuzzSpec extends SparkSpec {
       assert(plan(gAgg).contains("pushedAggs="), s"iter $iter: ${plan(gAgg)}")
       assert(canon(gAgg) == canon(aggs(pdf)), s"iter $iter (seed $seed): MIN/MAX diverged")
       // decimal top-k. Two legs: the tie-able column with an id
-      // tiebreak (two sort keys decline the push — correctness only),
-      // and the unique column single-key (the PUSHED skip path,
-      // plan-asserted at p<=18)
+      // tiebreak (multi-key pushes via the STRICT leading-key skip —
+      // ties at the threshold are exactly what random decimals produce,
+      // so this leg fuzzes the strictness proof), and the unique column
+      // single-key
       val k = 1 + rnd.nextInt(7)
       def topTied(x: DataFrame, asc: Boolean) = {
         val o = if (asc) col("d").asc else col("d").desc
         x.orderBy(o, col("id")).limit(k).select(col("id"))
       }
-      assert(canon(topTied(g, asc = false)) == canon(topTied(pdf, asc = false)),
+      val gTied = topTied(g, asc = false)
+      if (p <= 18)
+        assert(plan(gTied).contains("pushedTopN="), s"iter $iter: ${plan(gTied)}")
+      assert(canon(gTied) == canon(topTied(pdf, asc = false)),
         s"iter $iter tied DESC top-$k")
       assert(canon(topTied(g, asc = true)) == canon(topTied(pdf, asc = true)),
         s"iter $iter tied ASC top-$k")
