@@ -284,6 +284,23 @@ class AggPushdownSpec extends SparkSpec {
     assert(plain.zip(rows).forall { case (a, b) =>
       a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1) &&
         a.getLong(2) == b.getLong(2) })
+    // partition grouping composes with the round-14 string/decimal
+    // MIN/MAX: per-file partials still come from footers alone
+    val dirS = Files.createTempDirectory("graft-agggrps").toString
+    spark.range(0, 6000).selectExpr("id", "CAST(id % 3 AS STRING) AS lang",
+        "concat('w', lpad(CAST(id AS STRING), 5, '0')) AS w",
+        "CAST(CAST(id AS STRING) || '.75' AS DECIMAL(12,2)) AS price")
+      .write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(dirS)
+    val gs = spark.read.format("graft").load(dirS)
+    val dfs = gs.groupBy("lang").agg(min("w").as("mnw"), max("w").as("mxw"),
+      max("price").as("mxp"))
+    assert(plan(dfs).contains("pushedAggs="), plan(dfs))
+    val rowsS = dfs.orderBy("lang").collect()
+    assert(rowsS.map(_.getString(1)).toSeq == Seq("w00000", "w00001", "w00002"))
+    assert(rowsS.map(_.getString(2)).toSeq == Seq("w05997", "w05998", "w05999"))
+    assert(rowsS.map(_.getDecimal(3).toString).toSeq ==
+      Seq("5997.75", "5998.75", "5999.75"))
     // grouping by a DATA column must decline (its values need page reads)
     val dir2 = Files.createTempDirectory("graft-agggrp2").toString
     spark.range(0, 5000).selectExpr("id", "CAST(id % 3 AS STRING) AS tag")
