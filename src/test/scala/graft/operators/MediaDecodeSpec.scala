@@ -228,6 +228,37 @@ class MediaDecodeSpec extends AnyFunSuite {
     val stsz = findBox(badCount, "stsz")
     java.nio.ByteBuffer.wrap(badCount).putInt(stsz + 8 + 8, 3) // claims 3 != 4
     boom(badCount)
+    // trailing junk after the last top-level box is not a box
+    boom(good ++ Array[Byte](1, 2, 3, 4, 5))
+  }
+
+  test("MP4 walker handles 64-bit largesize and to-end-of-file boxes") {
+    val good = Mp4.build(16, 16, 4, "avc1", seed = 2L)
+    val base = Mp4.parse(good)
+    // rewrite the trailing mdat header into the size==1 + 64-bit form
+    // (the >4 GiB media-payload shape): [1:u32]['mdat'][largesize:u64]
+    val mdatOff = {
+      val pat = "mdat".getBytes("US-ASCII")
+      (0 until good.length - 4).find(i =>
+        good(i) == pat(0) && good(i + 1) == pat(1) &&
+          good(i + 2) == pat(2) && good(i + 3) == pat(3)).get - 4
+    }
+    val mdatSize = java.nio.ByteBuffer.wrap(good).getInt(mdatOff)
+    val big = java.nio.ByteBuffer.allocate(good.length + 8)
+    big.put(good, 0, mdatOff)
+    big.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(mdatSize.toLong + 8)
+    big.put(good, mdatOff + 8, good.length - mdatOff - 8)
+    val parsedBig = Mp4.parse(big.array())
+    assert(parsedBig.copy(firstChunkOffset = base.firstChunkOffset) == base,
+      "largesize mdat must parse identically")
+    // size==0 = extends to end of file (legal only for the last box)
+    val toEnd = good.clone()
+    java.nio.ByteBuffer.wrap(toEnd).putInt(mdatOff, 0)
+    assert(Mp4.parse(toEnd) == base, "to-end-of-file mdat must parse identically")
+    // a LYING largesize (past the buffer) still refuses
+    val lying = big.array().clone()
+    java.nio.ByteBuffer.wrap(lying).putLong(mdatOff + 8, Int.MaxValue.toLong)
+    intercept[IllegalArgumentException](Mp4.parse(lying))
   }
 }
 
