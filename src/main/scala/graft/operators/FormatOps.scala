@@ -515,15 +515,23 @@ object FormatOps {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
+    // live delete vectors ride along: each file's blob is decoded and
+    // bounds-checked against the file's ACTUAL row count in the same
+    // task — an unsound DV is a skip proof that silently drops or
+    // resurrects rows, the same corruption class as a lying zone map
+    val dvByUri = graft.sources.GraftDataSource
+      .liveDvs(s.sparkContext.hadoopConfiguration, dir, table)
+      .map { case (k, (p, n)) => k -> (p.toString, n) }
     val files = graft.sources.GraftDataSource
       .listPartitionedSized(s.sparkContext.hadoopConfiguration, dir)
       .map { case (p, _, _) =>
-        (graft.sources.GraftDataSource.relativePath(root, p), p.toString) }
+        (graft.sources.GraftDataSource.relativePath(root, p), p.toString,
+          dvByUri.get(p.toUri.getPath)) }
     import s.implicits._
     s.createDataset(files).repartition(math.max(1,
         math.min(files.size, s.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
-        it.map { case (rel, full) =>
+        it.map { case (rel, full, dv) =>
           val p = new org.apache.hadoop.fs.Path(full)
           try {
             val r = graft.format.GraftFileReader.open(p.getFileSystem(conf.value), p)
@@ -540,6 +548,18 @@ object FormatOps {
                       statErr = auditChunkStats(t, b, r.footer.version)
                   } finally b.close()
                 }
+              }
+              if (statErr.isEmpty) dv.foreach { case (dvPath, card) =>
+                val dp = new org.apache.hadoop.fs.Path(dvPath)
+                val dfs = dp.getFileSystem(conf.value)
+                val st = dfs.getFileStatus(dp)
+                val bytes = new Array[Byte](st.getLen.toInt)
+                val in = dfs.open(dp)
+                try in.readFully(0, bytes) finally in.close()
+                val pos = graft.format.Dv.decode(bytes, rows)
+                if (pos.length != card)
+                  statErr = Some(s"delete vector $dvPath holds ${pos.length} " +
+                    s"positions but the manifest claims $card")
               }
               statErr match {
                 case Some(e) => (rel, false, chunks, rows, Some(e))

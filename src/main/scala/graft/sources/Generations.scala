@@ -178,9 +178,14 @@ object Generations {
       }
     }
     // files pinned by any survivor's carry manifest (root-relative paths;
-    // fresh stagings pin too — their manifest is about to become live)
-    val referenced: Set[String] = survivors.result().flatMap(d =>
-      GraftDataSource.readCarryManifest(fs, d).map(_._1)).toSet
+    // fresh stagings pin too — their manifest is about to become live),
+    // plus delete-vector blobs its `.dvs` references: a carried file's
+    // DV lives in the generation that created it, and losing the blob
+    // would silently RESURRECT the deleted rows
+    val referenced: Set[String] = survivors.result().flatMap { d =>
+      GraftDataSource.readCarryManifest(fs, d).map(_._1) ++
+        GraftDataSource.readDvManifest(fs, d).map(_._3)
+    }.toSet
     tmpVictims.result().foreach(st => fs.delete(st.getPath, true))
     victims.result().foreach(st => deleteUnreferenced(fs, root, st, referenced))
     maxSurvivingIdx
@@ -215,6 +220,7 @@ object Generations {
     dead.foreach(fs.delete(_, false))
     fs.delete(new Path(st.getPath, GraftDataSource.RewriteTagName), false)
     fs.delete(new Path(st.getPath, GraftDataSource.CarryManifestName), false)
+    fs.delete(new Path(st.getPath, GraftDataSource.DvManifestName), false)
   }
 
   /** Standalone retention reclaim (`VACUUM`): run the dead-data sweep
@@ -763,6 +769,12 @@ object Generations {
     GraftDataSource.writeCarryManifest(fs, staging,
       carried.map(f =>
         (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+    // carried files keep their delete vectors (the candidate read above
+    // already applied DVs, so REWRITTEN files shed theirs — the
+    // replacement holds live rows only); sibling tables' entries carry
+    GraftDataSource.writeDvManifest(fs, staging,
+      GraftDataSource.carryDvEntries(fs, conf, dir,
+        candidates.map(f => GraftDataSource.relativePath(root, f.path)).toSet))
     // Optimistic-concurrency publish: losing the `gen-NNNNN` rename to a
     // concurrent rewrite is NOT fatal for a file-granular DML — the
     // staged output only depends on the candidate files' rows, so if the
@@ -842,6 +854,14 @@ object Generations {
     val newCands = files.filter(_.candidate)
       .map(f => GraftDataSource.relativePath(root, f.path)).toSet
     if (newCands != myCands) return None // winner moved our footprint
+    // delete vectors in the winner's view targeting OUR candidate files
+    // are a true overlap: this DML's staged replacement was computed
+    // WITHOUT the winner's deletes and would silently resurrect them —
+    // refuse the rebase, the caller re-runs against the new state.
+    // DVs on carried files rebase by reference like the files themselves.
+    val winnerDvs = GraftDataSource.readDvManifest(fs, new Path(root, lostGen))
+    if (winnerDvs.exists { case (_, rel, _, _) => myCands.contains(rel) })
+      return None
     val carried2 = files.filterNot(_.candidate)
     // the failed publish consumed the staging's liveness claim just
     // before its rename; the staging is demonstrably fresh (we wrote it
@@ -850,6 +870,10 @@ object Generations {
     GraftDataSource.writeCarryManifest(fs, staging,
       carried2.map(f =>
         (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+    // replace (never merge) the staging's pre-race `.dvs`: the winner's
+    // entries ARE the rebased view's delete state
+    fs.delete(new Path(staging, GraftDataSource.DvManifestName), false)
+    GraftDataSource.writeDvManifest(fs, staging, winnerDvs)
     // allocate past every generation now on disk (the winner, plus any
     // racer that landed while we rebased — a further collision just
     // loops back here)

@@ -323,6 +323,96 @@ object GraftDataSource {
         s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
         .sorted.mkString("\n"))
 
+  /** Session switch for SQL DELETE semantics: `copy-on-write` (default;
+    * rewrites the files that hold matching rows) vs `merge-on-read` /
+    * `mor` (writes position-delete vectors; reads subtract them). */
+  def morDeleteMode(): Boolean = try {
+    val v = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.deleteMode", "copy-on-write")
+    v.equalsIgnoreCase("merge-on-read") || v.equalsIgnoreCase("mor")
+  } catch { case _: Exception => false }
+
+  /** Name of the `_pos` metadata column (the row's 0-based ordinal within
+    * its file's table, footer chunk order) — with `_file` it forms the
+    * stable row id the merge-on-read DELETE path keys its position
+    * deletes on. Files are immutable, so the pair never moves. */
+  val PosColName = "_pos"
+
+  /** Delete-vector manifest written INSIDE a generation dir, next to
+    * `.carry`: each line is
+    * `<table>\t<root-relative data file>\t<root-relative DV blob>\t<cardinality>`
+    * naming a [[graft.format.Dv]] blob that holds the data file's deleted
+    * row positions AS OF this generation. Like `.carry`, references are
+    * FLATTENED (the blob path points at the generation that physically
+    * holds it), so carrying a file's DV across rewrites never chases
+    * chains, and time travel reads each generation's own view. */
+  val DvManifestName = ".dvs"
+
+  /** One `.dvs` manifest's rows: (table, relDataFile, relDvBlob, cardinality). */
+  def readDvManifest(fs: FileSystem, genDir: Path): Seq[(String, String, String, Long)] = {
+    val p = new Path(genDir, DvManifestName)
+    try {
+      if (!fs.exists(p)) return Seq.empty
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        require(parts.length == 4 && parts.forall(_.nonEmpty),
+          s"corrupt DV manifest line in $p: '$line'")
+        (parts(0), parts(1), parts(2), parts(3).toLong)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => Seq.empty // swept mid-read
+    }
+  }
+
+  def writeDvManifest(fs: FileSystem, genDir: Path,
+      entries: Seq[(String, String, String, Long)]): Unit =
+    if (entries.nonEmpty)
+      AtomicPublish.text(sessionConf(), new Path(genDir, DvManifestName),
+        entries.map { case (t, rel, dv, n) => s"$t\t$rel\t$dv\t$n" }
+          .sorted.mkString("\n"))
+
+  /** The LIVE view's delete vectors for `table`: absolute-URI data-file
+    * path → (absolute DV blob path, cardinality). Empty for tables with
+    * no generation pointer (merge-on-read commits always publish one) or
+    * no `.dvs`. When `table` is None (single-table files), any entry of
+    * any table matches — callers using None are conservative guards. */
+  def liveDvs(conf: Configuration, dir: String,
+      table: Option[String]): Map[String, (Path, Long)] = {
+    val resolved = resolveDataDir(conf, dir)
+    // `dir` may BE a generation dir (time travel pins one directly) —
+    // its `.dvs` applies and paths resolve against the TABLE root (the
+    // gen dir's parent), exactly like carried data-file references
+    val (genDir, root) =
+      if (resolved != dir) (new Path(resolved), new Path(dir))
+      else if (genIndex(new Path(dir).getName).isDefined)
+        (new Path(dir), new Path(dir).getParent)
+      else return Map.empty
+    val fs = genDir.getFileSystem(conf)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    readDvManifest(fs, genDir)
+      .filter { case (t, _, _, _) => table.forall(_ == t) }
+      .map { case (_, rel, dv, n) =>
+        s"$rootUri/$rel" -> (new Path(root, dv), n)
+      }.toMap
+  }
+
+  /** Carry the live generation's `.dvs` entries into a rewrite's staging,
+    * minus the entries of data files the rewrite REPLACED (their rows
+    * were re-written without the deleted ones — a carried DV would
+    * re-delete positions of a different file). Sibling tables' entries
+    * always carry. Shared by [[Generations.rewriteTable]], the SQL COW
+    * commit, and the merge-on-read commit (which then overlays its own
+    * fresh entries). */
+  def carryDvEntries(fs: FileSystem, conf: Configuration, dir: String,
+      replacedRel: Set[String]): Seq[(String, String, String, Long)] = {
+    val resolved = resolveDataDir(conf, dir)
+    if (resolved == dir) return Seq.empty
+    readDvManifest(fs, new Path(resolved))
+      .filterNot { case (_, rel, _, _) => replacedRel.contains(rel) }
+  }
+
   /** Copy sibling tables' bucket markers from the live data dir into a
     * rewrite's staging (the rewrite re-created at most its OWN table's
     * marker) — one implementation shared by [[Generations.rewriteTable]]
@@ -1069,6 +1159,18 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       override def dataType(): org.apache.spark.sql.types.DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "absolute path of the graft file holding the row"
+    },
+    // `_pos`: the row's ordinal within its file's table (footer chunk
+    // order), generated by the reader at decode time — no storage cost.
+    // (`_file`, `_pos`) is a STABLE row id (files are immutable), which
+    // is what the merge-on-read DELETE keys its position deletes on.
+    new MetadataColumn {
+      override def name(): String = GraftDataSource.PosColName
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "0-based row ordinal within the row's file (stable; keys position deletes)"
     })
   def this(dir: String, schema: StructType, options: CaseInsensitiveStringMap) =
     this(Seq(dir), schema, options)
@@ -1147,20 +1249,31 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
   /** SQL `UPDATE` / `MERGE INTO` / non-pushable `DELETE`: group-based
     * copy-on-write via [[GraftRowLevelOperation]] — candidate files are
     * pruned by zone maps/blooms and replaced; every other live file is
-    * carried by reference into the new generation. */
+    * carried by reference into the new generation. Under
+    * `spark.graft.deleteMode = merge-on-read`, DELETE instead plans a
+    * delta-based position-delete write ([[GraftMorDeleteOperation]]):
+    * kilobytes of delete-vector sidecars instead of file rewrites. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(dirs.size == 1, "row-level SQL operations take exactly one path")
     require(options.get("generation") == null,
       "cannot UPDATE/MERGE/DELETE a time-travel read; only the live generation is writable")
-    () => new GraftRowLevelOperation(dirs.head,
-      Option(options.get("table")).getOrElse("data"), schema, info.command())
+    () =>
+      if (info.command() == RowLevelOperation.Command.DELETE &&
+          GraftDataSource.morDeleteMode())
+        new GraftMorDeleteOperation(dirs.head,
+          Option(options.get("table")).getOrElse("data"), schema)
+      else new GraftRowLevelOperation(dirs.head,
+        Option(options.get("table")).getOrElse("data"), schema, info.command())
   }
 
   /** `DELETE FROM` is deletable only when every conjunct has an exact
     * Column re-evaluation (Spark then falls back to an analysis error,
-    * never a silent partial delete). */
+    * never a silent partial delete). Merge-on-read mode declines even
+    * pushable predicates so every DELETE routes through the delta plan —
+    * one mechanism per mode, and the positions it writes are exact. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     dirs.size == 1 && options.get("generation") == null &&
+      !GraftDataSource.morDeleteMode() &&
       Generations.keepColumn(filters).isDefined
 
   /** `DELETE FROM t WHERE p` via copy-on-write: the live generation is
@@ -1365,6 +1478,12 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     // partition filters are fully applied by exact file drops, so
     // `count(*) WHERE dt = '…'` stays a footer walk of one partition
     if (pushed.length != consumed.length) return false
+    // merge-on-read delete vectors invalidate footer-served aggregates
+    // outright: counts include deleted rows, and a bound's attaining row
+    // may be deleted — decline and scan (chunk skipping still applies;
+    // compaction materializes the DVs and re-enables the footer walk)
+    if (dirs.exists(d => GraftDataSource.liveDvs(
+        GraftDataSource.sessionConf(), d, tableOpt).nonEmpty)) return false
     val groupCols: Seq[String] = aggregation.groupByExpressions().toSeq.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
           if r.fieldNames().length == 1 => r.fieldNames()(0)
@@ -1570,6 +1689,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       }
     }.toMap
 
+  /** Live delete vectors of this scan's view (merge-on-read DELETE
+    * sidecars), keyed by data-file URI path → (DV blob path, deleted
+    * count). Empty for tables that never saw an MoR delete — the read
+    * path then pays nothing. Resolved once per scan from the `.dvs`
+    * manifest next to the carry manifest. */
+  private lazy val dvByUri: Map[String, (String, Long)] = dirs.flatMap { d =>
+    GraftDataSource.liveDvs(conf, d, tableOpt).map { case (k, (p, n)) =>
+      k -> (p.toString, n)
+    }
+  }.toMap
+
   /** True iff the live manifest PROVES file `p` holds no row of the
     * scan's table matching some pushed filter — [[Stats.canSkipChunk]]
     * lifted to planning, so a skipped file costs no task, no open, no
@@ -1598,7 +1728,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
           fls, required, mine.head.schema)
         val abs = if (abs0.isEmpty) abs0
           else abs0.filterNot(a => a == GraftDataSource.FileColName ||
-            listedPartCols.contains(a))
+            a == GraftDataSource.PosColName || listedPartCols.contains(a))
         tf.exists { f =>
           val bounded = f match {
             case org.apache.spark.sql.sources.In(_, vs) => vs == null || vs.length <= 4096
@@ -1954,6 +2084,14 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 
   override def createReaderFactory(): PartitionReaderFactory = aggSpecs match {
     case Some(specs) =>
+      // the builder declines aggregate pushdown when the view has delete
+      // vectors; a DV appearing between push and execution (a concurrent
+      // MoR DELETE committing mid-plan) must fail loudly — footer counts
+      // and bounds would silently include the deleted rows
+      if (dvByUri.nonEmpty)
+        throw new graft.format.OliveFormatException(
+          s"delete vectors appeared on ${dirs.mkString(",")} after aggregate " +
+            "pushdown was planned (concurrent merge-on-read DELETE); re-run the query")
       new GraftAggReaderFactory(specs, required, tableOpt,
         new SerializableConfiguration(GraftDataSource.sessionConf()))
     case None =>
@@ -1964,7 +2102,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       // license skipping chunks that hold the true top-k
       val effectiveTopN = if (runtimeFilters.isEmpty) topN else None
       new GraftReaderFactory(required, tableOpt, filters, limit,
-        new SerializableConfiguration(GraftDataSource.sessionConf()), effectiveTopN)
+        new SerializableConfiguration(GraftDataSource.sessionConf()), effectiveTopN,
+        dvByUri.map { case (k, (p, _)) => k -> p })
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
@@ -2455,7 +2594,11 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
 class GraftReaderFactory(required: StructType, tableOpt: Option[String],
     filters: Array[Filter], limit: Int,
     conf: SerializableConfiguration,
-    topN: Option[GraftTopN] = None) extends PartitionReaderFactory {
+    topN: Option[GraftTopN] = None,
+    // merge-on-read delete vectors: data-file URI path -> DV blob path
+    // (small: one entry per DV'd file; empty for never-deleted tables)
+    dvMap: Map[String, String] = Map.empty) extends PartitionReaderFactory {
+  private def dvOf(path: Path): Option[String] = dvMap.get(path.toUri.getPath)
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     throw new UnsupportedOperationException("columnar-only scan")
@@ -2469,7 +2612,7 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
       new GraftConcatReader(bp.files.map { case (f, pv) => () =>
         val path = new Path(f)
         new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
-          tableOpt, filters, limit, pv, None, topN, shared)
+          tableOpt, filters, limit, pv, None, topN, shared, dvOf(path))
       })
     case pp: GraftPackedPartition =>
       // like the bucketed case: one shared skipper, files drained
@@ -2479,13 +2622,13 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
       new GraftConcatReader(pp.files.map { case (f, pv) => () =>
         val path = new Path(f)
         new GraftPartitionReader(path.getFileSystem(conf.value), path, required,
-          tableOpt, filters, limit, pv, None, topN, shared)
+          tableOpt, filters, limit, pv, None, topN, shared, dvOf(path))
       })
     case _ =>
       val gp = partition.asInstanceOf[GraftInputPartition]
       val path = new Path(gp.file)
       new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
-        filters, limit, gp.partValues, gp.chunkIdx, topN)
+        filters, limit, gp.partValues, gp.chunkIdx, topN, dvPath = dvOf(path))
   }
 }
 
@@ -2701,7 +2844,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     partValues: Map[String, String] = Map.empty,
     chunkIdx: Option[Int] = None,
     topN: Option[GraftTopN] = None,
-    sharedSkipper: Option[TopNSkipper] = None)
+    sharedSkipper: Option[TopNSkipper] = None,
+    dvPath: Option[String] = None)
     extends PartitionReader[ColumnarBatch] {
   private val reader = GraftFileReader.open(fs, path)
   private var skipped = 0L
@@ -2709,37 +2853,87 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
   private var skippedBlocks = 0L
   private val topNSkip: Option[TopNSkipper] = sharedSkipper.orElse(
     topN.filter(t => required.fieldNames.contains(t.col)).map(new TopNSkipper(_, required)))
-  private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta, Int, Int)] = {
-    val name = tableOpt.getOrElse {
-      val names = reader.tableNames
-      if (names.size == 1) names.head
-      else throw new IllegalArgumentException(
-        s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
+  private val tableName: String = tableOpt.getOrElse {
+    val names = reader.tableNames
+    if (names.size == 1) names.head
+    else throw new IllegalArgumentException(
+      s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
+  }
+  /** Per-footer-chunk global row base of THIS table (prefix sums over
+    * chunk row counts, footer order) — the coordinate `_pos` and the
+    * delete vector speak. Chunks not holding the table get -1. */
+  private lazy val chunkBases: Array[Long] = {
+    val out = new Array[Long](reader.footer.chunks.size)
+    var base = 0L
+    var i = 0
+    reader.footer.chunks.foreach { c =>
+      c.tables.find(_.name == tableName) match {
+        case Some(t) => out(i) = base; base += t.numRows
+        case None => out(i) = -1L
+      }
+      i += 1
     }
+    out
+  }
+  /** Deleted row positions of this file's table (merge-on-read DELETE
+    * sidecar), validated against the file's row count BEFORE use — a
+    * corrupt DV refuses loudly, never drops or resurrects rows. None
+    * when the file has no live DV (the common case: zero overhead). */
+  private val deleted: Option[Array[Long]] = dvPath.map { p =>
+    val dp = new Path(p)
+    val dfs = dp.getFileSystem(fs.getConf)
+    val st = dfs.getFileStatus(dp)
+    require(st.getLen <= (64 << 20),
+      s"delete vector $p is ${st.getLen} bytes — refusing (cap 64 MiB)")
+    val bytes = new Array[Byte](st.getLen.toInt)
+    val in = dfs.open(dp)
+    try in.readFully(0, bytes) finally in.close()
+    val totalRows = chunkBases.lastIndexWhere(_ >= 0) match {
+      case -1 => 0L
+      case i => chunkBases(i) +
+        reader.footer.chunks(i).tables.find(_.name == tableName).map(_.numRows.toLong).getOrElse(0L)
+    }
+    graft.format.Dv.decode(bytes, totalRows)
+  }
+  private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta, Int, Int, Long)] = {
     val chunks = chunkIdx match {
-      case Some(i) => reader.footer.chunks.slice(i, i + 1).iterator
-      case None => reader.footer.chunks.iterator
+      case Some(i) => reader.footer.chunks.slice(i, i + 1).iterator.map(c => (c, i))
+      case None => reader.footer.chunks.iterator.zipWithIndex
     }
-    val cts = chunks.flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
+    val cts = chunks.flatMap { case (c, ci) =>
+      c.tables.filter(_.name == tableName).map(t => (c, t, chunkBases(ci)))
+    }
     // pushed top-k: visit chunks best-stat-first so the k-th-value
     // threshold tightens as early as possible — on time-clustered data
     // the first chunk usually closes the door on all the others. The
     // dynamic skip check runs at PULL time (after earlier chunks'
     // values were observed), which the sequential iterator guarantees.
     val ordered = topNSkip match {
-      case Some(ts) => cts.toSeq.sortBy { case (_, t) => ts.visitOrder(t) }.iterator
+      case Some(ts) => cts.toSeq.sortBy { case (_, t, _) => ts.visitOrder(t) }.iterator
       case None => cts
     }
     ordered
-      .filterNot { case (_, t) =>
+      .filterNot { case (_, t, _) =>
         val skip = skippable(t) || topNSkip.exists(_.canSkip(t))
         if (skip) skipped += 1
         skip
       }
-      .flatMap { case (c, t) =>
-        topNSkip match {
-          case Some(ts) => topNRanges(t, ts).map { case (r0, r1) => (c, t, r0, r1) }
-          case None => keepRanges(t).iterator.map { case (r0, r1) => (c, t, r0, r1) }
+      .flatMap { case (c, t, base) =>
+        val ranges = topNSkip match {
+          case Some(ts) => topNRanges(t, ts)
+          case None => keepRanges(t).iterator
+        }
+        // merge-on-read: subtract the chunk's deleted positions from each
+        // kept range — survivors stay CONTIGUOUS sub-ranges, so the
+        // existing range decode serves them; a chunk fully deleted emits
+        // nothing without touching a page
+        deleted match {
+          case None => ranges.map { case (r0, r1) => (c, t, r0, r1, base) }
+          case Some(dels) => ranges.flatMap { case (r0, r1) =>
+            graft.format.Dv.liveRanges(base + r0, base + r1, dels)
+              .map { case (g0, g1) =>
+                (c, t, (g0 - base).toInt, (g1 - base).toInt, base) }
+          }
         }
       }
   }
@@ -2786,7 +2980,8 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
         case Some(t) =>
           val (fs2, abs) = graft.format.Evolution.translateFilters(
             filters, required, t.schema)
-          (fs2, abs -- partValues.keySet - GraftDataSource.FileColName)
+          (fs2, abs -- partValues.keySet - GraftDataSource.FileColName -
+            GraftDataSource.PosColName)
         case None => (filters, Set.empty[String])
       }
     }
@@ -2832,12 +3027,12 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     if (current != null) { current.close(); current = null }
     if (!pending.hasNext || (limit >= 0 && emitted >= limit)) false
     else {
-      val (chunk, table, r0, r1) = pending.next()
+      val (chunk, table, r0, r1, base) = pending.next()
       // page-level limit: when the remaining limit is inside this range,
       // decode only the pages covering the prefix instead of the range
       val remaining = if (limit >= 0) limit - emitted else Long.MaxValue
       val rowLimit = if (remaining < r1 - r0) Some(remaining.toInt) else None
-      current = decodeWithPartitions(chunk, table, r0, r1, rowLimit)
+      current = decodeWithPartitions(chunk, table, r0, r1, rowLimit, base)
       emitted += current.numRows()
       decoded += 1
       topNSkip.foreach(_.observe(current))
@@ -2853,7 +3048,7 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     * (Spark re-limits), but a widened MID-CHUNK range would duplicate
     * rows other emitted ranges already carried. */
   private def decodeWithPartitions(chunk: Meta.ChunkMeta, table: Meta.TableMeta,
-      r0: Int, r1: Int, rowLimit: Option[Int]): ColumnarBatch = {
+      r0: Int, r1: Int, rowLimit: Option[Int], base: Long): ColumnarBatch = {
     val end = rowLimit.map(r0 + _).getOrElse(r1)
     def decode(req: StructType): ColumnarBatch =
       if (r0 == 0 && end == table.numRows) reader.decodeTable(chunk, table, req)
@@ -2862,23 +3057,35 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
         catch { case _: graft.format.OliveFormatException => reader.decodeTable(chunk, table, req) }
       else reader.decodeTableRange(chunk, table, req, r0, end)
     // `_file` (metadata column) and partition-path columns both become
-    // constant vectors — no per-row storage or decode cost. A REAL data
-    // column named `_file` wins (Spark likewise hides the metadata
-    // column on conflict): its stored values must never be hijacked
-    def isConstCol(name: String): Boolean =
+    // constant vectors, and `_pos` a generated base+ordinal long vector
+    // (every batch is a CONTIGUOUS chunk range, so positions are an
+    // arithmetic sequence) — no per-row storage or decode cost. A REAL
+    // data column with either name wins (Spark likewise hides the
+    // metadata column on conflict): stored values must never be hijacked
+    def isGenCol(name: String): Boolean =
       !table.schema.fieldNames.contains(name) &&
-        (name == GraftDataSource.FileColName || partValues.contains(name))
+        (name == GraftDataSource.FileColName || name == GraftDataSource.PosColName ||
+          partValues.contains(name))
     def constValue(name: String): String =
       if (name == GraftDataSource.FileColName) path.toString else partValues(name)
-    if (!required.fields.exists(f => isConstCol(f.name)))
+    if (!required.fields.exists(f => isGenCol(f.name)))
       decode(required)
     else {
-      val dataReq = StructType(required.fields.filterNot(f => isConstCol(f.name)))
+      val dataReq = StructType(required.fields.filterNot(f => isGenCol(f.name)))
       val dataBatch = decode(dataReq)
       val n = dataBatch.numRows()
       var dataIdx = 0
       val vectors = required.fields.map { f =>
-        if (isConstCol(f.name)) {
+        if (isGenCol(f.name) && f.name == GraftDataSource.PosColName) {
+          if (f.dataType != org.apache.spark.sql.types.LongType)
+            throw new IllegalArgumentException(
+              s"metadata column _pos must be long-typed (got ${f.dataType})")
+          val vec = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            math.max(n, 1), f.dataType)
+          var i = 0
+          while (i < n) { vec.putLong(i, base + r0 + i); i += 1 }
+          vec: org.apache.spark.sql.vectorized.ColumnVector
+        } else if (isGenCol(f.name)) {
           if (f.dataType != StringType)
             throw new IllegalArgumentException(
               s"partition column ${f.name} must be string-typed in the schema " +

@@ -245,8 +245,14 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // a file already DV'd when the stream first delivers it (appended,
+    // then MoR-deleted-from before this batch planned) reads its LIVE
+    // view; DVs landing after a file's batch was delivered don't
+    // retro-apply — the change feed is the retroactive-delete channel
     new GraftReaderFactory(required, tableOpt, Array.empty[Filter], -1,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf),
+      dvMap = GraftDataSource.liveDvs(conf, dir, tableOpt)
+        .map { case (k, (p, _)) => k -> p.toString })
 
   /** Backlog observability in `StreamingQueryProgress.sources[i].metrics`
     * (the FileStreamSource/Kafka pattern): how many discovered files the

@@ -229,6 +229,12 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
       carried.map { case (p, size, _) =>
         val rel = GraftDataSource.relativePath(root, p)
         (rel, size, op.fileStats.get(rel)) })
+    // carried files keep their delete vectors (the candidate read applied
+    // DVs, so replaced files' rewritten rows shed theirs); sibling
+    // tables' entries carry verbatim
+    GraftDataSource.writeDvManifest(fs, staging,
+      GraftDataSource.carryDvEntries(fs, conf, dir,
+        replaced.map(s => GraftDataSource.relativePath(root, new Path(s)))))
     Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir,
       sourceView = Some((srcDir, commitListing.map(_._1.toUri.getPath).toSet)))
     // stats lifecycle: the replaced files' rows were churned by this

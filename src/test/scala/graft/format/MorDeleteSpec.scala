@@ -1,0 +1,269 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.GraftDataSource
+
+/** Merge-on-read DELETE ([[graft.sources.GraftMorDeleteOperation]]):
+  * position-delete vectors instead of file rewrites, applied by the
+  * reader as range subtraction. The sibling [[SqlRowLevelSpec]] covers
+  * the copy-on-write default; this spec flips
+  * `spark.graft.deleteMode = merge-on-read` per test. */
+class MorDeleteSpec extends SparkSpec {
+  private val conf = new Configuration()
+
+  private def mkCatalog(name: String): String = {
+    val root = Files.createTempDirectory(s"graft-$name").toString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    root
+  }
+
+  private def withMor[T](body: => T): T = {
+    spark.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try body finally spark.conf.set("spark.graft.deleteMode", "copy-on-write")
+  }
+
+  private def dataFileState(dir: String): Map[String, (Long, Long)] =
+    GraftDataSource.listPartitionedSized(conf, dir).map { case (p, _, _) =>
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      GraftDataSource.relativePath(new Path(dir), p) -> (st.getLen, st.getModificationTime)
+    }.toMap
+
+  private def liveDvEntries(dir: String): Seq[(String, String, String, Long)] = {
+    val resolved = GraftDataSource.resolveDataDir(conf, dir)
+    GraftDataSource.readDvManifest(
+      new Path(resolved).getFileSystem(conf), new Path(resolved))
+  }
+
+  test("sparse MoR DELETE: zero data files rewritten, exact survivors") {
+    val root = mkCatalog("mor1")
+    spark.range(0, 8000).selectExpr("id AS k", "id % 7 AS v")
+      .repartitionByRange(8, col("id")).createOrReplaceTempView("mor1_src")
+    spark.sql("CREATE TABLE mor1.db.t AS SELECT * FROM mor1_src")
+    val dir = s"$root/db"
+    val before = dataFileState(dir)
+    assert(before.size == 8)
+
+    withMor { spark.sql("DELETE FROM mor1.db.t WHERE k % 97 = 3") }
+
+    // every pre-delete data file is still live, byte-identical, same mtime
+    val after = dataFileState(dir)
+    assert(after.keySet.map(new Path(_).getName) ==
+      before.keySet.map(new Path(_).getName), "data file set changed")
+    after.foreach { case (rel, (sz, mt)) =>
+      val name = new Path(rel).getName
+      val (bsz, bmt) = before.find(e => new Path(e._1).getName == name).get._2
+      assert(sz == bsz && mt == bmt, s"$rel was rewritten, not DV'd")
+    }
+    // the delete vectors exist and account for exactly the deleted rows
+    val dvs = liveDvEntries(dir)
+    assert(dvs.nonEmpty, "no .dvs manifest written")
+    assert(dvs.map(_._4).sum == (0 until 8000).count(_ % 97 == 3))
+
+    val t = spark.table("mor1.db.t")
+    assert(t.count() == (0 until 8000).count(_ % 97 != 3))
+    assert(t.filter(col("k") % 97 === 3).count() == 0)
+    // untouched rows fully intact (content check, not just counts)
+    assert(t.agg(sum(col("k"))).head.getLong(0) ==
+      (0 until 8000).filter(_ % 97 != 3).map(_.toLong).sum)
+  }
+
+  test("second DELETE merges into one DV per file; pushable predicates route MoR too") {
+    val root = mkCatalog("mor2")
+    spark.range(0, 4000).selectExpr("id AS k", "id % 5 AS v")
+      .repartitionByRange(4, col("id")).createOrReplaceTempView("mor2_src")
+    spark.sql("CREATE TABLE mor2.db.t AS SELECT * FROM mor2_src")
+    val dir = s"$root/db"
+    withMor {
+      spark.sql("DELETE FROM mor2.db.t WHERE k % 11 = 0") // non-pushable
+      spark.sql("DELETE FROM mor2.db.t WHERE k < 50") // pushable shape: still MoR
+    }
+    assert(dataFileState(dir).size == 4, "a data file was rewritten or dropped")
+    val dvs = liveDvEntries(dir)
+    val expectDeleted = (0 until 4000).count(k => k % 11 == 0 || k < 50)
+    assert(dvs.map(_._4).sum == expectDeleted)
+    // at most one DV entry per data file (merged, not stacked)
+    assert(dvs.map(_._2).distinct.size == dvs.size)
+    val t = spark.table("mor2.db.t")
+    assert(t.count() == 4000 - expectDeleted)
+    assert(t.filter(col("k") < 50 || col("k") % 11 === 0).count() == 0)
+  }
+
+  test("whole-file delete drops the file from the generation (no DV)") {
+    val root = mkCatalog("mor3")
+    spark.range(0, 4000).selectExpr("id AS k", "id AS v")
+      .repartitionByRange(4, col("id")).createOrReplaceTempView("mor3_src")
+    spark.sql("CREATE TABLE mor3.db.t AS SELECT * FROM mor3_src")
+    val dir = s"$root/db"
+    assert(dataFileState(dir).size == 4)
+    // range boundaries are sample-derived, not exact quartiles — derive
+    // one REAL file's full key range and delete exactly it
+    val (lo, hi, n) = spark.table("mor3.db.t").select(col("_file"), col("k"))
+      .groupBy(col("_file"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"), count(lit(1)).as("n"))
+      .orderBy(col("lo")).head() match {
+        case r => (r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    withMor { spark.sql(s"DELETE FROM mor3.db.t WHERE k BETWEEN $lo AND $hi") }
+    assert(dataFileState(dir).size == 3, "fully-deleted file should drop")
+    assert(liveDvEntries(dir).isEmpty, "whole-file delete must not write a DV")
+    assert(spark.table("mor3.db.t").count() == 4000 - n)
+    assert(spark.table("mor3.db.t").agg(min(col("k"))).head.getLong(0) == hi + 1)
+  }
+
+  test("time travel reads each generation's own delete state") {
+    val root = mkCatalog("mor4")
+    spark.range(0, 2000).selectExpr("id AS k").repartition(2)
+      .createOrReplaceTempView("mor4_src")
+    spark.sql("CREATE TABLE mor4.db.t AS SELECT * FROM mor4_src")
+    val dir = s"$root/db"
+    // CTAS lands loose files (no generation yet) — compact to anchor a
+    // time-travel-addressable pre-delete generation
+    spark.sql("CALL mor4.sys.compact(ns => 'db', target_files => 2)")
+    val genBefore = GraftDataSource.readGenPointer(conf, dir).get
+      .stripPrefix("gen-").toInt
+    withMor { spark.sql("DELETE FROM mor4.db.t WHERE k % 3 = 0") }
+    assert(spark.table("mor4.db.t").count() == (0 until 2000).count(_ % 3 != 0))
+    val pre = spark.sql(s"SELECT count(*) FROM mor4.db.t VERSION AS OF $genBefore")
+    assert(pre.head.getLong(0) == 2000L, "pre-delete generation must see all rows")
+    // and the post-delete generation is itself addressable with its DV
+    val genAfter = GraftDataSource.readGenPointer(conf, dir).get
+      .stripPrefix("gen-").toInt
+    val post = spark.sql(s"SELECT count(*) FROM mor4.db.t VERSION AS OF $genAfter")
+    assert(post.head.getLong(0) == (0 until 2000).count(_ % 3 != 0).toLong)
+  }
+
+  test("aggregates/top-k stay exact over DVs; compaction materializes and re-enables pushdown") {
+    val root = mkCatalog("mor5")
+    spark.range(0, 3000).selectExpr("id AS k", "cast(id % 100 as double) AS score")
+      .repartitionByRange(3, col("id")).createOrReplaceTempView("mor5_src")
+    spark.sql("CREATE TABLE mor5.db.t AS SELECT * FROM mor5_src")
+    val dir = s"$root/db"
+    withMor { spark.sql("DELETE FROM mor5.db.t WHERE k >= 2990") } // drops the max
+    val t = spark.table("mor5.db.t")
+    // pushed aggregate would answer 2999 from the footer; the decline +
+    // scan must answer 2989
+    val agg = t.agg(count(lit(1)), min(col("k")), max(col("k"))).head
+    assert(agg.getLong(0) == 2990L && agg.getLong(1) == 0L && agg.getLong(2) == 2989L)
+    val plan = t.groupBy().agg(max(col("k"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAggs=[Graft"),
+      s"aggregate must not push over a DV'd view:\n$plan")
+    // pushed top-k over-delivery stays sound: deleted best rows absent
+    val top = t.orderBy(col("k").desc).limit(3).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(2989L, 2988L, 2987L))
+    // LIMIT over a DV'd chunk never serves deleted rows
+    assert(t.orderBy(col("k")).limit(5).collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+
+    spark.sql("CALL mor5.sys.compact(ns => 'db', target_files => 2)")
+    assert(liveDvEntries(dir).isEmpty, "compaction must materialize DVs")
+    val t2 = spark.table("mor5.db.t")
+    assert(t2.count() == 2990L)
+    val plan2 = t2.groupBy().agg(max(col("k"))).queryExecution.executedPlan.toString
+    assert(plan2.contains("pushedAggs=[Graft"),
+      s"footer aggregates must re-enable after compaction:\n$plan2")
+  }
+
+  test("COW UPDATE after MoR DELETE: deleted rows stay deleted, carried files keep DVs") {
+    val root = mkCatalog("mor6")
+    spark.range(0, 4000).selectExpr("id AS k", "id % 7 AS v")
+      .repartitionByRange(4, col("id")).createOrReplaceTempView("mor6_src")
+    spark.sql("CREATE TABLE mor6.db.t AS SELECT * FROM mor6_src")
+    val dir = s"$root/db"
+    // per-file key ranges BEFORE any DML (range-clustered → contiguous)
+    val ranges = spark.table("mor6.db.t").select(col("_file"), col("k"))
+      .groupBy(col("_file")).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => new Path(r.getString(0)).getName -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val before = dataFileState(dir).keySet.map(new Path(_).getName)
+    withMor { spark.sql("DELETE FROM mor6.db.t WHERE k % 13 = 1") }
+    val deleted = (0 until 4000).count(_ % 13 == 1)
+    // UPDATE rewrites only the file(s) holding k<100; others carry WITH DVs
+    spark.sql("UPDATE mor6.db.t SET v = -1 WHERE k < 100")
+    val t = spark.table("mor6.db.t")
+    assert(t.count() == 4000 - deleted)
+    assert(t.filter(col("k") % 13 === 1).count() == 0, "DV lost through COW UPDATE")
+    assert(t.filter(col("v") === -1).count() == (0 until 100).count(_ % 13 != 1))
+    val dvs = liveDvEntries(dir)
+    assert(dvs.nonEmpty, "carried files' DVs must survive the COW rewrite")
+    // a REWRITTEN file sheds its whole DV (the replacement holds live
+    // rows only); carried files keep theirs — remaining DV cardinality
+    // counts exactly the deletions in files the UPDATE did not touch
+    val rewritten = before -- dataFileState(dir).keySet.map(new Path(_).getName)
+    val shed = rewritten.toSeq.map { f =>
+      val (lo, hi) = ranges(f)
+      (lo to hi).count(_ % 13 == 1)
+    }.sum
+    assert(rewritten.nonEmpty, "the UPDATE should have rewritten at least one file")
+    assert(dvs.map(_._4).sum == deleted - shed,
+      s"carried DV cardinality: expected ${deleted - shed} (=$deleted-$shed), " +
+        s"got ${dvs.map(_._4).sum}")
+  }
+
+  test("_pos metadata column: dense per-file ordinals, stable under projection") {
+    val root = mkCatalog("mor7")
+    spark.range(0, 1000).selectExpr("id AS k").repartition(2)
+      .createOrReplaceTempView("mor7_src")
+    spark.sql("CREATE TABLE mor7.db.t AS SELECT * FROM mor7_src")
+    val byFile = spark.table("mor7.db.t").select(col("_file"), col("_pos"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    byFile.foreach { case (f, ps) =>
+      assert(ps.toSeq == (0L until ps.length).toSeq, s"$f positions not dense: ${ps.take(5).mkString(",")}")
+    }
+    assert(byFile.values.map(_.length).sum == 1000)
+    val _ = root
+  }
+
+  test("corrupt DV blob refuses loudly; verify_table flags a lying cardinality") {
+    val root = mkCatalog("mor8")
+    spark.range(0, 1000).selectExpr("id AS k").coalesce(1)
+      .createOrReplaceTempView("mor8_src")
+    spark.sql("CREATE TABLE mor8.db.t AS SELECT * FROM mor8_src")
+    val dir = s"$root/db"
+    withMor { spark.sql("DELETE FROM mor8.db.t WHERE k % 10 = 7") }
+    val resolved = GraftDataSource.resolveDataDir(conf, dir)
+    val fs = new Path(resolved).getFileSystem(conf)
+    val (tbl, rel, dvRel, card) = liveDvEntries(dir).head
+    assert(tbl == "t" && card == 100)
+    val dvPath = new Path(dir, dvRel)
+    // verify_table over the healthy state: every row ok
+    val okReport = graft.operators.FormatOps.verifyTable(spark, dir, Some("t"))
+    assert(okReport.forall(_._2), s"healthy table flagged: $okReport")
+    // flip one payload byte → reads refuse rather than mis-subtract
+    val bytes = {
+      val st = fs.getFileStatus(dvPath)
+      val b = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(dvPath); try in.readFully(0, b) finally in.close(); b
+    }
+    val evil = bytes.clone(); evil(6) = (evil(6) ^ 0x40).toByte
+    val out = fs.create(dvPath, true); try out.write(evil) finally out.close()
+    val e = intercept[Exception] { spark.table("mor8.db.t").count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("delete vector")), s"wrong refusal: $e")
+    // restore the blob; verify_table still audits the manifest claim
+    val out2 = fs.create(dvPath, true); try out2.write(bytes) finally out2.close()
+    assert(spark.table("mor8.db.t").count() == 900)
+    val _ = rel
+  }
+
+  test("DELETE matching nothing publishes no generation") {
+    val root = mkCatalog("mor9")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1)
+      .createOrReplaceTempView("mor9_src")
+    spark.sql("CREATE TABLE mor9.db.t AS SELECT * FROM mor9_src")
+    val dir = s"$root/db"
+    val genBefore = GraftDataSource.readGenPointer(conf, dir)
+    withMor { spark.sql("DELETE FROM mor9.db.t WHERE k > 1000000") }
+    assert(GraftDataSource.readGenPointer(conf, dir) == genBefore,
+      "empty-footprint DELETE must not churn a generation")
+    assert(spark.table("mor9.db.t").count() == 100)
+  }
+}
