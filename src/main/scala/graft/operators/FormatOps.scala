@@ -2900,6 +2900,62 @@ object FormatOps {
       |ORDER BY score DESC, doc_id
       |LIMIT 12""".stripMargin
 
+  // ---- q157: merge-on-read DELETE — delete vectors, zero file rewrites ------
+  // Two SQL DELETEs under `spark.graft.deleteMode = merge-on-read`: the
+  // matching rows' (_file, _pos) ids flow to position-delete writers and
+  // the commit publishes kilobyte delete-vector sidecars; every data
+  // file is REQUIRED byte-identical afterwards (the 100 TB point — a
+  // sparse delete must not rewrite terabytes). The second DELETE proves
+  // DV merging (one blob per file, union of positions). Survivor
+  // aggregates are oracle-gated against DuckDB computing the same
+  // double-NOT set algebra from parquet; `no_rewrite` rides the row so
+  // a silent fallback to copy-on-write hash-fails, not just slows down.
+  private val q157: Q = (s, d) => {
+    val root = graftDir(d, "mor_delete")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_mor", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mor.db")
+    s.sql("CREATE TABLE graft_mor.db.orders " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4).writeTo("graft_mor.db.orders").append()
+    val conf = s.sparkContext.hadoopConfiguration
+    def fileState(): Map[String, Long] =
+      graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/db")
+        .map { case (p, size, _) => p.getName -> size }.toMap
+    val before = fileState()
+    s.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try {
+      s.sql("DELETE FROM graft_mor.db.orders WHERE o_orderkey % 7 = 3")
+      s.sql("DELETE FROM graft_mor.db.orders WHERE o_custkey % 5 = 1")
+    } finally s.conf.set("spark.graft.deleteMode", "copy-on-write")
+    val noRewrite = fileState() == before
+    require(noRewrite, "q157: merge-on-read DELETE rewrote or dropped data files")
+    val resolved = graft.sources.GraftDataSource.resolveDataDir(conf, s"$root/db")
+    val dvs = graft.sources.GraftDataSource.readDvManifest(
+      new org.apache.hadoop.fs.Path(resolved).getFileSystem(conf),
+      new org.apache.hadoop.fs.Path(resolved))
+    require(dvs.nonEmpty && dvs.map(_._2).distinct.size == dvs.size,
+      s"q157: expected one merged delete vector per touched file, got $dvs")
+    s.table("graft_mor.db.orders")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        min(col("o_orderkey")).as("key_min"),
+        max(col("o_orderkey")).as("key_max"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .withColumn("no_rewrite", lit(noRewrite))
+  }
+  private val q157Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(min(o_orderkey) AS BIGINT) AS key_min,
+      |  CAST(max(o_orderkey) AS BIGINT) AS key_max,
+      |  round(sum(o_totalprice), 2) AS price_sum,
+      |  true AS no_rewrite
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 3) AND NOT (o_custkey % 5 = 1)""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -3184,6 +3240,7 @@ object FormatOps {
     "q154_decimal_minmax" -> q154,
     "q155_decimal_topk" -> q155,
     "q156_tiebreak_topk" -> q156,
+    "q157_mor_delete" -> q157,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3236,6 +3293,7 @@ object FormatOps {
     "q154_decimal_minmax" -> q154Sql,
     "q155_decimal_topk" -> q155Sql,
     "q156_tiebreak_topk" -> q156Sql,
+    "q157_mor_delete" -> q157Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
