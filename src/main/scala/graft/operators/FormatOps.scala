@@ -2956,6 +2956,88 @@ object FormatOps {
       |FROM orders
       |WHERE NOT (o_orderkey % 7 = 3) AND NOT (o_custkey % 5 = 1)""".stripMargin
 
+  // ---- q158: merge-on-read UPDATE + MERGE — delete+insert, one commit -------
+  // UPDATE and MERGE under merge-on-read arrive as delete(old id) +
+  // insert(new row): position-delete sidecars for the old rows, ordinary
+  // data files for the replacements, ONE generation commit. The gate
+  // REQUIRES every pre-existing data file byte-identical afterwards (new
+  // files may only be ADDED) and the total DV cardinality equal to the
+  // closed-form updated+deleted count — both oracle-stated — then emits
+  // survivor aggregates DuckDB restates from parquet with the same
+  // update/delete/insert set algebra.
+  private val q158: Q = (s, d) => {
+    val root = graftDir(d, "mor_upsert")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_moru", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_moru.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_moru.db")
+    s.sql("CREATE TABLE graft_moru.db.orders " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4).writeTo("graft_moru.db.orders").append()
+    val conf = s.sparkContext.hadoopConfiguration
+    def fileState(): Map[String, Long] =
+      graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/db")
+        .map { case (p, size, _) => p.getName -> size }.toMap
+    val before = fileState()
+    val batch = Tables.orders(s, d).where(col("o_orderkey") % 103 === 5)
+      .select(col("o_orderkey").as("k"), lit("d").as("op"))
+      .unionByName(Tables.orders(s, d).where(col("o_orderkey") % 107 === 9)
+        .select((col("o_orderkey") + 100000000L).as("k"), lit("i").as("op")))
+    batch.createOrReplaceTempView("graft_moru_batch")
+    Seq("updateMode", "mergeMode").foreach(k =>
+      s.conf.set(s"spark.graft.$k", "merge-on-read"))
+    try {
+      s.sql("UPDATE graft_moru.db.orders SET o_totalprice = o_totalprice * 1.1, " +
+        "o_custkey = -1 WHERE o_orderkey % 101 = 7")
+      s.sql("""MERGE INTO graft_moru.db.orders t USING graft_moru_batch b
+        |ON t.o_orderkey = b.k
+        |WHEN MATCHED AND b.op = 'd' THEN DELETE
+        |WHEN NOT MATCHED AND b.op = 'i' THEN
+        |  INSERT (o_orderkey, o_custkey, o_totalprice) VALUES (b.k, -2, 1.0)
+        |""".stripMargin)
+    } finally Seq("updateMode", "mergeMode").foreach(k =>
+      s.conf.set(s"spark.graft.$k", "copy-on-write"))
+    val after = fileState()
+    val noRewrite = before.forall { case (n, sz) => after.get(n).contains(sz) }
+    require(noRewrite && after.size > before.size,
+      "q158: MoR UPDATE/MERGE must add replacement files, never rewrite originals")
+    val resolved = graft.sources.GraftDataSource.resolveDataDir(conf, s"$root/db")
+    val dvRows = graft.sources.GraftDataSource.readDvManifest(
+      new org.apache.hadoop.fs.Path(resolved).getFileSystem(conf),
+      new org.apache.hadoop.fs.Path(resolved)).map(_._4).sum
+    s.table("graft_moru.db.orders")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(when(col("o_custkey") === -1, 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("o_custkey") === -2, 1L).otherwise(0L)).as("n_inserted"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("dv_rows", lit(dvRows))
+  }
+  private val q158Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 101 = 7 THEN -1 ELSE o_custkey END AS c,
+      |    CASE WHEN o_orderkey % 101 = 7 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS p
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k, c, p FROM base WHERE NOT (k % 103 = 5)
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, CAST(-2 AS BIGINT), CAST(1.0 AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 107 = 9)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(sum(CASE WHEN c = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(sum(CASE WHEN c = -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  round(sum(p), 2) AS price_sum,
+      |  true AS no_rewrite,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 101 = 7) +
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 103 = 5)
+      |    AS dv_rows
+      |FROM merged""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -3241,6 +3323,7 @@ object FormatOps {
     "q155_decimal_topk" -> q155,
     "q156_tiebreak_topk" -> q156,
     "q157_mor_delete" -> q157,
+    "q158_mor_upsert" -> q158,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3294,6 +3377,7 @@ object FormatOps {
     "q155_decimal_topk" -> q155Sql,
     "q156_tiebreak_topk" -> q156Sql,
     "q157_mor_delete" -> q157Sql,
+    "q158_mor_upsert" -> q158Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

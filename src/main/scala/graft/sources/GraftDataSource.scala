@@ -323,12 +323,24 @@ object GraftDataSource {
         s"$size\t$rel" + stats.map("\t" + _).getOrElse("") }
         .sorted.mkString("\n"))
 
-  /** Session switch for SQL DELETE semantics: `copy-on-write` (default;
-    * rewrites the files that hold matching rows) vs `merge-on-read` /
-    * `mor` (writes position-delete vectors; reads subtract them). */
-  def morDeleteMode(): Boolean = try {
-    val v = org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.graft.deleteMode", "copy-on-write")
+  /** Session switches for SQL DML semantics, one per command (the
+    * Iceberg write.delete/update/merge.mode split): `copy-on-write`
+    * (default; rewrites the files that hold matching rows) vs
+    * `merge-on-read` / `mor` (writes position-delete vectors — plus
+    * replacement-row data files for UPDATE/MERGE; reads subtract the
+    * positions). */
+  def morDeleteMode(): Boolean = morConf("spark.graft.deleteMode")
+  def morMode(cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command): Boolean = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+    cmd match {
+      case DELETE => morConf("spark.graft.deleteMode")
+      case UPDATE => morConf("spark.graft.updateMode")
+      case MERGE => morConf("spark.graft.mergeMode")
+      case _ => false
+    }
+  }
+  private def morConf(key: String): Boolean = try {
+    val v = org.apache.spark.sql.SparkSession.active.conf.get(key, "copy-on-write")
     v.equalsIgnoreCase("merge-on-read") || v.equalsIgnoreCase("mor")
   } catch { case _: Exception => false }
 
@@ -1257,13 +1269,17 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     require(dirs.size == 1, "row-level SQL operations take exactly one path")
     require(options.get("generation") == null,
       "cannot UPDATE/MERGE/DELETE a time-travel read; only the live generation is writable")
-    () =>
-      if (info.command() == RowLevelOperation.Command.DELETE &&
-          GraftDataSource.morDeleteMode())
-        new GraftMorDeleteOperation(dirs.head,
-          Option(options.get("table")).getOrElse("data"), schema)
-      else new GraftRowLevelOperation(dirs.head,
-        Option(options.get("table")).getOrElse("data"), schema, info.command())
+    () => {
+      val table = Option(options.get("table")).getOrElse("data")
+      // a DECLARED bucket layout always runs copy-on-write: its provable
+      // key-grouped contract requires the clustered replacement write
+      // the COW path declares; MoR's inserted rows would break it
+      val bucketed = GraftDataSource.readBucketMarker(
+        GraftDataSource.sessionConf(), dirs.head, table).isDefined
+      if (!bucketed && GraftDataSource.morMode(info.command()))
+        new GraftMorOperation(dirs.head, table, schema, info.command())
+      else new GraftRowLevelOperation(dirs.head, table, schema, info.command())
+    }
   }
 
   /** `DELETE FROM` is deletable only when every conjunct has an exact

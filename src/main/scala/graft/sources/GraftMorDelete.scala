@@ -13,25 +13,31 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Merge-on-read SQL `DELETE` (delta-based row-level operation,
+/** Merge-on-read SQL DML (delta-based row-level operations,
   * `SupportsDelta`): instead of rewriting every file that holds a
   * matching row (the copy-on-write path, [[GraftRowLevelOperation]]),
   * the matching rows' STABLE ids `(_file, _pos)` flow to position-delete
-  * writers, and commit publishes a new generation that carries every
-  * live data file by reference plus per-file delete-vector sidecars
-  * ([[graft.format.Dv]] blobs, referenced from the `.dvs` manifest next
-  * to `.carry`). A 100-row DELETE against a 100 TB table writes
-  * kilobytes; readers subtract the positions from their decode ranges.
+  * writers — and for UPDATE/MERGE (represented as delete+insert) the
+  * changed/new rows flow to ordinary data-file writers — then ONE commit
+  * publishes a generation that carries every untouched live data file by
+  * reference plus per-file delete-vector sidecars ([[graft.format.Dv]]
+  * blobs, referenced from the `.dvs` manifest next to `.carry`). A
+  * 100-row DELETE against a 100 TB table writes kilobytes; a 100-row
+  * UPDATE writes kilobytes of DV plus one small file of replacement
+  * rows. Readers subtract the positions from their decode ranges.
   *
-  * Enabled per session: `SET spark.graft.deleteMode = merge-on-read`.
+  * Enabled per session and per command:
+  * `SET spark.graft.deleteMode|updateMode|mergeMode = merge-on-read`.
   * The default stays copy-on-write — COW keeps footer-served aggregates
   * and top-k pushes fully live, MoR trades them (the scan builder
-  * declines while DVs exist) for O(deleted rows) write cost; compaction
+  * declines while DVs exist) for O(changed rows) write cost; compaction
   * (`CALL sys.compact`) materializes the DVs and re-enables the footer
-  * walk. UPDATE/MERGE stay copy-on-write in both modes.
+  * walk. Tables with a DECLARED bucket layout always run COW: the
+  * layout's provable-bucketing contract requires the clustered write
+  * shape the COW path declares.
   *
-  * Scan side: Spark plans `Filter(cond)` OVER the table scan and projects
-  * the row ids, so the pushed condition still prunes files/chunks/blocks
+  * Scan side: Spark plans the condition OVER the table scan and projects
+  * the row ids, so pushed predicates still prune files/chunks/blocks
   * through zone maps and blooms — only files that can hold matching rows
   * are read, and the scan applies EXISTING delete vectors first, so
   * re-deleting already-deleted rows is impossible by construction.
@@ -42,15 +48,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * concurrent rewrite loses the no-clobber race loudly. A file whose
   * merged delete vector covers EVERY row is dropped from the carry
   * manifest outright (whole-file delete — no DV, no task, no open). */
-class GraftMorDeleteOperation(dir: String, table: String, schema: StructType)
-    extends RowLevelOperation with SupportsDelta {
+class GraftMorOperation(dir: String, table: String, schema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
-  override def description(): String = s"graft merge-on-read DELETE on $table"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft merge-on-read $cmd on $table"
 
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(GraftDataSource.FileColName),
     Expressions.column(GraftDataSource.PosColName))
+
+  /** UPDATE rows arrive as delete(old id) + insert(new row): one write
+    * path (DV + data files) serves all three commands. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
 
@@ -62,7 +72,10 @@ class GraftMorDeleteOperation(dir: String, table: String, schema: StructType)
       override def build(): DeltaWrite = new DeltaWrite with RequiresDistributionAndOrdering {
         // cluster the matched ids by file and sort by (_file, _pos): each
         // task sees whole files' positions in order, so the per-task
-        // fragments are few, sorted, and merge trivially on the driver
+        // fragments are few, sorted, and merge trivially on the driver.
+        // (For UPDATE/MERGE the insert records ride the same clustering —
+        // their null _file groups them together; replacement files are
+        // written by however many tasks carry inserts.)
         override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
             Array(Expressions.column(GraftDataSource.FileColName)))
@@ -73,53 +86,69 @@ class GraftMorDeleteOperation(dir: String, table: String, schema: StructType)
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
             Expressions.sort(Expressions.column(GraftDataSource.PosColName),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-        override def toBatch: DeltaBatchWrite = new GraftMorDeleteBatchWrite(dir, table)
+        override def toBatch: DeltaBatchWrite =
+          new GraftMorBatchWrite(dir, table, info.schema())
       }
     }
 }
 
-/** One task's position deletes, delta-varint-encoded per file (the same
-  * [[graft.format.Dv]] codec the sidecars use — a 10^6-position fragment
-  * rides the commit message in ~1-2 MB, not 8). */
-private[sources] case class GraftDvCommitMessage(perFile: Map[String, Array[Byte]])
-    extends WriterCommitMessage
+/** One task's output: position-delete fragments (delta-varint-encoded per
+  * file, the same [[graft.format.Dv]] codec the sidecars use) plus the
+  * inner data writer's message for any inserted rows. */
+private[sources] case class GraftDvCommitMessage(perFile: Map[String, Array[Byte]],
+    data: WriterCommitMessage) extends WriterCommitMessage
 
-private[sources] class GraftMorDeleteBatchWrite(dir: String, table: String)
-    extends DeltaBatchWrite {
+private[sources] class GraftMorBatchWrite(dir: String, table: String,
+    writeSchema: StructType) extends DeltaBatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new DeltaWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-        new GraftMorDeleteWriter
-    }
+  private val conf = GraftDataSource.sessionConf()
+  private val root = new Path(dir)
+  private val fs = root.getFileSystem(conf)
+  private var staging: Path = _
+  private var nextGen: String = _
+  private var inner: GraftBatchWrite = _
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val s = SparkSession.active
+    nextGen = Generations.prepareRewrite(s, dir)
+    staging = new Path(root, s"$nextGen.tmp-${UUID.randomUUID()}")
+    Generations.claimStaging(conf, staging)
+    val listed = GraftDataSource.listPartitionedSized(conf, dir)
+    val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+    inner = new GraftBatchWrite(staging.toString, writeSchema, truncate = false,
+      table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
+      GraftBatchWrite.DefaultChunkRows, partCols)
+    GraftMorWriterFactory(inner.createBatchWriterFactory(info), writeSchema.length)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // merge the tasks' fragments per file (sorted-set union; the write's
     // required ordering makes each fragment sorted already)
     val newPerFile = mutable.HashMap.empty[String, Array[Long]]
+    val dataMsgs = Array.newBuilder[WriterCommitMessage]
     messages.foreach {
-      case GraftDvCommitMessage(perFile) => perFile.foreach { case (f, blob) =>
-        val pos = graft.format.Dv.decode(blob)
-        newPerFile(f) = newPerFile.get(f) match {
-          case Some(prev) => graft.format.Dv.merge(prev, pos)
-          case None => pos
+      case GraftDvCommitMessage(perFile, data) =>
+        if (data != null) dataMsgs += data
+        perFile.foreach { case (f, blob) =>
+          val pos = graft.format.Dv.decode(blob)
+          newPerFile(f) = newPerFile.get(f) match {
+            case Some(prev) => graft.format.Dv.merge(prev, pos)
+            case None => pos
+          }
         }
-      }
       case null => // skipped task
       case other => throw new IllegalStateException(
         s"unexpected commit message ${other.getClass.getName}")
     }
-    if (newPerFile.isEmpty || newPerFile.values.forall(_.isEmpty)) return // matched nothing
-
-    val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-
-    val nextGen = Generations.prepareRewrite(spark, dir)
-    val staging = new Path(root, s"$nextGen.tmp-${UUID.randomUUID()}")
-    Generations.claimStaging(conf, staging)
+    val dms = dataMsgs.result()
+    val insertedFiles = dms.collect { case m: GraftCommitMessage => m.file }
+      .exists(_.nonEmpty)
+    if (newPerFile.valuesIterator.forall(_.isEmpty) && !insertedFiles) {
+      fs.delete(staging, true) // matched nothing: no generation churn
+      return
+    }
     try {
+      inner.commit(dms) // inserted rows' data files land in the staging
       // pin the source view; classify for carry stats (zero footer I/O
       // for manifest-covered files, same contract as every DML)
       val listed = GraftDataSource.listPartitionedSized(conf, dir)
@@ -134,7 +163,7 @@ private[sources] class GraftMorDeleteBatchWrite(dir: String, table: String)
             newPerFile.contains(f.path.toUri.getPath))
           throw new UnsupportedOperationException(
             s"${f.path} holds tables ${f.names.mkString(",")}; merge-on-read " +
-              "DELETE needs single-table files — a delete vector is scoped to " +
+              "DML needs single-table files — a delete vector is scoped to " +
               "one table's row space. Use copy-on-write mode for this table")
       }
 
@@ -149,8 +178,8 @@ private[sources] class GraftMorDeleteBatchWrite(dir: String, table: String)
           val uriPath = new Path(fileStr).toUri.getPath
           val (livePath, liveSize) = byUriPath.getOrElse(uriPath,
             throw new graft.format.OliveFormatException(
-              s"DELETE matched rows of $fileStr, which is no longer in the live " +
-                "view — a concurrent rewrite replaced it; re-run the DELETE"))
+              s"DML matched rows of $fileStr, which is no longer in the live " +
+                "view — a concurrent rewrite replaced it; re-run the statement"))
           val rel = GraftDataSource.relativePath(root, livePath)
           targetRels += rel
           // merge with the file's existing DV, validate against its real
@@ -173,7 +202,7 @@ private[sources] class GraftMorDeleteBatchWrite(dir: String, table: String)
           if (merged0.nonEmpty && merged0.last >= totalRows)
             throw new graft.format.OliveFormatException(
               s"delete position ${merged0.last} beyond $rel's $totalRows rows — " +
-                "the scan and commit saw different file contents; re-run the DELETE")
+                "the scan and commit saw different file contents; re-run the statement")
           churnBytes += (if (totalRows == 0) 0L
             else liveSize * fresh0.length / math.max(totalRows, 1L))
           if (merged0.length == totalRows) {
@@ -208,7 +237,7 @@ private[sources] class GraftMorDeleteBatchWrite(dir: String, table: String)
       GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
       Generations.publishStaging(fs, conf, root, staging, nextGen, None, dir,
         sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
-      GraftDataSource.recordChurn(spark, dir, table, churnBytes)
+      GraftDataSource.recordChurn(SparkSession.active, dir, table, churnBytes)
     } catch {
       case e: Throwable =>
         try fs.delete(staging, true) catch { case _: Exception => }
@@ -216,42 +245,63 @@ private[sources] class GraftMorDeleteBatchWrite(dir: String, table: String)
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    if (staging != null) fs.delete(staging, true)
 }
 
-/** Task side: collect (file, pos) ids, encode one DV fragment per file at
-  * commit. The required ordering delivers ids sorted by (_file, _pos);
-  * out-of-order arrival (speculative retries, future plan changes) is
-  * handled by an explicit sort+dedup before encoding — never trusted. */
-private[sources] class GraftMorDeleteWriter extends DeltaWriter[InternalRow] {
+/** Serializable task-writer factory (a factory defined inline in the
+  * batch write would drag its non-serializable `$outer` to executors). */
+private[sources] case class GraftMorWriterFactory(inner: DataWriterFactory,
+    rowWidth: Int) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftMorWriter(inner.createWriter(partitionId, taskId), rowWidth)
+}
+
+/** Task side: collect (file, pos) ids; route inserted rows to the inner
+  * data writer. The required ordering delivers ids sorted by
+  * (_file, _pos); out-of-order arrival (speculative retries, future plan
+  * changes) is handled by an explicit sort+dedup before encoding —
+  * never trusted. */
+private[sources] class GraftMorWriter(inner: DataWriter[InternalRow],
+    rowWidth: Int) extends DeltaWriter[InternalRow] {
   private val perFile = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+  private var wroteData = false
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     if (id == null || id.numFields != 2)
       throw new IllegalStateException(
-        s"merge-on-read DELETE expected a (_file, _pos) row id, got " +
+        s"merge-on-read DML expected a (_file, _pos) row id, got " +
           s"${if (id == null) "null" else s"${id.numFields} fields"}")
     val file = id.getUTF8String(0)
     if (file == null || id.isNullAt(1))
       throw new IllegalStateException(
-        "merge-on-read DELETE row id carries a null _file/_pos — the scan " +
+        "merge-on-read DML row id carries a null _file/_pos — the scan " +
           "must generate both for every row")
     perFile.getOrElseUpdate(file.toString, mutable.ArrayBuffer.empty) += id.getLong(1)
   }
 
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "graft merge-on-read handles DELETE only; UPDATE/MERGE run copy-on-write")
+  override def insert(row: InternalRow): Unit = {
+    if (row.numFields != rowWidth)
+      throw new IllegalStateException(
+        s"merge-on-read insert expected $rowWidth fields, got ${row.numFields} — " +
+          "the delta plan's row projection changed shape; refusing to write")
+    wroteData = true
+    inner.write(row)
+  }
+
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "graft merge-on-read handles DELETE only; UPDATE/MERGE run copy-on-write")
+    throw new IllegalStateException(
+      "update records must not arrive: representUpdateAsDeleteAndInsert is true")
 
   override def commit(): WriterCommitMessage = GraftDvCommitMessage(
     perFile.iterator.map { case (f, buf) =>
       val arr = buf.toArray.sorted.distinct
       f -> graft.format.Dv.encode(arr)
-    }.toMap)
+    }.toMap,
+    // the inner writer's commit finalizes this task's data file (if any
+    // row was inserted); committing a rowless writer is a valid no-op
+    if (wroteData) inner.commit() else { inner.abort(); null })
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }

@@ -254,6 +254,94 @@ class MorDeleteSpec extends SparkSpec {
     val _ = rel
   }
 
+  private def withMorAll[T](body: => T): T = {
+    Seq("deleteMode", "updateMode", "mergeMode")
+      .foreach(k => spark.conf.set(s"spark.graft.$k", "merge-on-read"))
+    try body finally Seq("deleteMode", "updateMode", "mergeMode")
+      .foreach(k => spark.conf.set(s"spark.graft.$k", "copy-on-write"))
+  }
+
+  test("MoR UPDATE: untouched files byte-identical, changed rows land in new files + DV") {
+    val root = mkCatalog("moru")
+    spark.range(0, 6000).selectExpr("id AS k", "id % 9 AS v")
+      .repartitionByRange(6, col("id")).createOrReplaceTempView("moru_src")
+    spark.sql("CREATE TABLE moru.db.t AS SELECT * FROM moru_src")
+    val dir = s"$root/db"
+    val before = dataFileState(dir)
+    withMorAll { spark.sql("UPDATE moru.db.t SET v = -7 WHERE k % 531 = 2") }
+    val after = dataFileState(dir)
+    // every ORIGINAL file still live and byte-identical; replacement rows
+    // land in NEW files (delete+insert), none of the originals rewritten
+    before.foreach { case (rel, (sz, mt)) =>
+      val name = new Path(rel).getName
+      val hit = after.find(e => new Path(e._1).getName == name)
+      assert(hit.isDefined, s"original file $rel vanished")
+      assert(hit.get._2 == ((sz, mt)), s"original file $rel was rewritten")
+    }
+    assert(after.size > before.size, "updated rows must land in new data files")
+    val touched = (0 until 6000).count(_ % 531 == 2)
+    assert(liveDvEntries(dir).map(_._4).sum == touched)
+    val t = spark.table("moru.db.t")
+    assert(t.count() == 6000)
+    assert(t.filter(col("v") === -7).count() == touched)
+    assert(t.filter(col("k") % 531 === 2 && col("v") =!= -7).count() == 0)
+    // untouched rows intact
+    assert(t.filter(col("k") % 531 =!= 2)
+      .filter(col("v") =!= col("k") % 9).count() == 0)
+  }
+
+  test("MoR MERGE: matched update + matched delete + not-matched insert in one commit") {
+    val root = mkCatalog("morm")
+    spark.range(0, 3000).selectExpr("id AS k", "id % 9 AS v")
+      .repartitionByRange(3, col("id")).createOrReplaceTempView("morm_src")
+    spark.sql("CREATE TABLE morm.db.t AS SELECT * FROM morm_src")
+    val dir = s"$root/db"
+    val before = dataFileState(dir)
+    // batch: keys 0..49 update (v=-1), 50..99 delete, 5000..5049 insert
+    spark.range(0, 150).selectExpr(
+      "CASE WHEN id < 50 THEN id WHEN id < 100 THEN id ELSE id - 100 + 5000 END AS k",
+      "CASE WHEN id < 50 THEN 'u' WHEN id < 100 THEN 'd' ELSE 'i' END AS op")
+      .createOrReplaceTempView("morm_batch")
+    withMorAll {
+      spark.sql("""MERGE INTO morm.db.t t USING morm_batch b ON t.k = b.k
+        WHEN MATCHED AND b.op = 'u' THEN UPDATE SET v = -1
+        WHEN MATCHED AND b.op = 'd' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (b.k, -2)""")
+    }
+    val after = dataFileState(dir)
+    before.foreach { case (rel, (sz, mt)) =>
+      val name = new Path(rel).getName
+      val hit = after.find(e => new Path(e._1).getName == name)
+      assert(hit.isDefined && hit.get._2 == ((sz, mt)),
+        s"original file $rel rewritten or dropped by MoR MERGE")
+    }
+    val t = spark.table("morm.db.t")
+    assert(t.count() == 3000 - 50 + 50)
+    assert(t.filter(col("v") === -1).count() == 50) // updates
+    assert(t.filter(col("k") >= 50 && col("k") < 100).count() == 0) // deletes
+    assert(t.filter(col("v") === -2).count() == 50) // inserts
+    assert(liveDvEntries(dir).map(_._4).sum == 100) // 50 updated + 50 deleted
+    // untouched rows intact
+    assert(t.filter(col("k") >= 100 && col("k") < 3000)
+      .filter(col("v") =!= col("k") % 9).count() == 0)
+    val _ = root
+  }
+
+  test("bucketed tables always run copy-on-write regardless of mode") {
+    val root = mkCatalog("morb")
+    val dir = s"$root/db"
+    spark.range(0, 2000).selectExpr("id AS k", "id % 3 AS v")
+      .write.format("graft").option("table", "t").option("bucketBy", "k:4")
+      .mode("overwrite").save(dir)
+    spark.sql("CREATE TABLE IF NOT EXISTS morb.db.t (k BIGINT, v BIGINT) USING graft")
+    withMorAll { spark.sql("DELETE FROM morb.db.t WHERE k % 17 = 5") }
+    // COW fallback: no .dvs, rows gone, bucket layout marker still present
+    assert(liveDvEntries(dir).isEmpty, "bucketed table must not take the MoR path")
+    assert(spark.table("morb.db.t").filter(col("k") % 17 === 5).count() == 0)
+    assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined,
+      "bucket layout must survive the COW delete")
+  }
+
   test("DELETE matching nothing publishes no generation") {
     val root = mkCatalog("mor9")
     spark.range(0, 100).selectExpr("id AS k").coalesce(1)
