@@ -391,8 +391,14 @@ object GraftDataSource {
     * no `.dvs`. When `table` is None (single-table files), any entry of
     * any table matches — callers using None are conservative guards. */
   def liveDvs(conf: Configuration, dir: String,
+      table: Option[String]): Map[String, (Path, Long)] =
+    liveDvsAt(conf, dir, resolveDataDir(conf, dir), table)
+
+  /** [[liveDvs]] against an ALREADY-resolved data dir — lets a caller
+    * pair the DV set with a listing of the SAME generation (the scan's
+    * consistency snapshot) instead of re-resolving and racing a swap. */
+  def liveDvsAt(conf: Configuration, dir: String, resolved: String,
       table: Option[String]): Map[String, (Path, Long)] = {
-    val resolved = resolveDataDir(conf, dir)
     // `dir` may BE a generation dir (time travel pins one directly) —
     // its `.dvs` applies and paths resolve against the TABLE root (the
     // gen dir's parent), exactly like carried data-file references
@@ -1683,8 +1689,48 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * listing is seconds — the planner used to pay it twice). The listing
     * is unfiltered; pruning applies per consumer because runtime (DPP)
     * filters can arrive between the two calls. */
+  /** ONE consistent snapshot per scan of (live listing, live delete
+    * vectors): both must come from the SAME resolved generation — the
+    * lazy vals force at different plan phases (estimateStatistics /
+    * planInputPartitions / createReaderFactory), and a DML committing in
+    * between could otherwise pair gen-N's files with gen-N+1's DV set,
+    * silently resurrecting or double-deleting rows. The `.dvs` manifest
+    * is read BEFORE the listing walk: the walk's sweep-race marker guard
+    * proves the generation stayed intact through it, which then also
+    * vouches for the earlier manifest read. */
+  private lazy val viewSnapshot: (Seq[(org.apache.hadoop.fs.Path, Long, Map[String, String])],
+      Map[String, (String, Long)]) = {
+    val parts = dirs.map { d =>
+      var attempt = 0
+      var out: Option[(Seq[(org.apache.hadoop.fs.Path, Long, Map[String, String])],
+        Map[String, (Path, Long)])] = None
+      while (out.isEmpty) {
+        val resolved = GraftDataSource.resolveDataDir(conf, d)
+        try {
+          val dv = GraftDataSource.liveDvsAt(conf, d, resolved, tableOpt)
+          GraftDataSource.listingCalls.incrementAndGet() // observability parity
+          val l = GraftDataSource.listPartitionedSizedAt(conf, d, resolved, resolved != d)
+          out = Some((l, dv))
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            // the generation was reclaimed mid-walk; re-resolve (bounded,
+            // same contract as listPartitionedSized's own retry loop)
+            attempt += 1
+            if (attempt > 5) throw new graft.format.OliveFormatException(
+              s"live view of $d kept changing during planning " +
+                s"($attempt attempts): concurrent rewrites are sweeping " +
+                "faster than this scan can plan; raise spark.graft.graceMs", e)
+            Thread.sleep(5L * attempt)
+        }
+      }
+      out.get
+    }
+    (parts.flatMap(_._1),
+      parts.flatMap(_._2).map { case (k, (p, n)) => k -> (p.toString, n) }.toMap)
+  }
+
   private lazy val listing: Seq[(org.apache.hadoop.fs.Path, Long, Map[String, String])] = {
-    val all = dirs.flatMap(GraftDataSource.listPartitionedSized(conf, _))
+    val all = viewSnapshot._1
     fileFilter match {
       case Some(allowed) => all.filter { case (p, _, _) => allowed.contains(p.toString) }
       case None => all
@@ -1710,11 +1756,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     * count). Empty for tables that never saw an MoR delete — the read
     * path then pays nothing. Resolved once per scan from the `.dvs`
     * manifest next to the carry manifest. */
-  private lazy val dvByUri: Map[String, (String, Long)] = dirs.flatMap { d =>
-    GraftDataSource.liveDvs(conf, d, tableOpt).map { case (k, (p, n)) =>
-      k -> (p.toString, n)
-    }
-  }.toMap
+  private lazy val dvByUri: Map[String, (String, Long)] = viewSnapshot._2
 
   /** True iff the live manifest PROVES file `p` holds no row of the
     * scan's table matching some pushed filter — [[Stats.canSkipChunk]]
