@@ -34,21 +34,57 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
     val out = new Array[Byte](bm.rawSize.toInt)
     var at = 0
     bm.pages.foreach { p =>
-      if (p.offset < 0 || p.compSize < 0 ||
-          p.offset + p.compSize > footer.dataSectionSize)
-        throw new OliveFormatException("page outside data section")
       if (at + p.rawSize > out.length)
         throw new OliveFormatException("page raw sizes overflow buffer")
-      val comp = new Array[Byte](p.compSize)
-      in.readFully(dataStart + p.offset, comp)
-      verifyPage(p, comp)
-      val raw = Codec.decompress(bm.codec, comp, 0, p.compSize, p.rawSize)
-      pagesReadCount += 1
+      val raw = decompressPage(bm, p)
       System.arraycopy(raw, 0, out, at, p.rawSize)
       at += p.rawSize
     }
     if (at != out.length) throw new OliveFormatException("buffer short read")
     out
+  }
+
+  /** Opt-in decompressed-page LRU for repeated range decodes over one
+    * chunk: merge-on-read delete vectors split a kept range into many
+    * tiny live sub-ranges, and without a cache EVERY 6-row sub-range
+    * re-reads and re-decompresses its ~1 MiB covering page (plus the
+    * chunk-global dicts) — O(deleted) page decodes instead of O(pages).
+    * Disabled by default: a plain scan visits each page once, and the
+    * cache would only hold memory. Byte-bounded, access-ordered. */
+  private var pageCache: java.util.LinkedHashMap[(BufferMeta, Long), Array[Byte]] = null
+  private var pageCacheBytes = 0L
+  private var pageCacheCap = 0L
+  def enablePageCache(maxBytes: Long = 8L << 20): Unit = if (pageCache == null) {
+    pageCacheCap = maxBytes
+    pageCache = new java.util.LinkedHashMap[(BufferMeta, Long), Array[Byte]](64, 0.75f, true)
+  }
+
+  /** Read + checksum + decompress one page (through the cache when
+    * enabled). `pagesRead` counts actual decompressions only. */
+  private def decompressPage(bm: BufferMeta, p: PageMeta): Array[Byte] = {
+    if (p.offset < 0 || p.compSize < 0 ||
+        p.offset + p.compSize > footer.dataSectionSize)
+      throw new OliveFormatException("page outside data section")
+    val key = if (pageCache != null) (bm, p.offset) else null
+    if (key != null) {
+      val hit = pageCache.get(key)
+      if (hit != null) return hit
+    }
+    val comp = new Array[Byte](p.compSize)
+    in.readFully(dataStart + p.offset, comp)
+    verifyPage(p, comp)
+    val raw = Codec.decompress(bm.codec, comp, 0, p.compSize, p.rawSize)
+    pagesReadCount += 1
+    if (key != null && p.rawSize <= pageCacheCap) {
+      pageCache.put(key, raw)
+      pageCacheBytes += p.rawSize
+      val it = pageCache.entrySet().iterator()
+      while (pageCacheBytes > pageCacheCap && it.hasNext) {
+        pageCacheBytes -= it.next().getValue.length
+        it.remove()
+      }
+    }
+    raw
   }
 
   /** v5 page checksum, verified BEFORE decompress: a flipped payload
@@ -96,14 +132,7 @@ final class GraftFileReader private (in: FSDataInputStream, fileLen: Long, val f
       val start = cum
       val end = cum + p.rawSize
       if (end > byte0 && start < byte1) {
-        if (p.offset < 0 || p.compSize < 0 ||
-            p.offset + p.compSize > footer.dataSectionSize)
-          throw new OliveFormatException("page outside data section")
-        val comp = new Array[Byte](p.compSize)
-        in.readFully(dataStart + p.offset, comp)
-        verifyPage(p, comp)
-        val raw = Codec.decompress(bm.codec, comp, 0, p.compSize, p.rawSize)
-        pagesReadCount += 1
+        val raw = decompressPage(bm, p)
         System.arraycopy(raw, 0, out, at, p.rawSize)
         at += p.rawSize
       }

@@ -2938,6 +2938,10 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     * corrupt DV refuses loudly, never drops or resurrects rows. None
     * when the file has no live DV (the common case: zero overhead). */
   private val deleted: Option[Array[Long]] = dvPath.map { p =>
+    // DV range-splitting decodes many small adjacent sub-ranges of each
+    // chunk — turn on the reader's decompressed-page cache so each page
+    // (and the chunk-global dicts) decompresses once, not once per range
+    reader.enablePageCache()
     val dp = new Path(p)
     val dfs = dp.getFileSystem(fs.getConf)
     val st = dfs.getFileStatus(dp)

@@ -67,6 +67,46 @@ class DvSpec extends AnyFunSuite {
     assert(Dv.liveRanges(10, 20, Array(9L, 10L, 19L, 20L)) == Seq((11L, 19L)))
   }
 
+  test("page cache bounds dense-DV decode at O(pages), not O(ranges)") {
+    // the merge-on-read access pattern: a chunk split into hundreds of
+    // tiny live sub-ranges. Without the reader's opt-in page cache every
+    // sub-range re-decompresses its covering page; with it, each page
+    // (per column buffer) decompresses once per pass.
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("graft-dvcache").toString
+    import org.apache.spark.sql.functions._
+    spark.range(0, 20000).coalesce(1)
+      .select(col("id"), (col("id") * 3).as("y"),
+        concat(lit("value-"), col("id")).as("s"))
+      .write.format("graft").option("pagesize", "4096").mode("append").save(dir)
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).head.toString)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+    def decodeAllRanges(r: GraftFileReader): Long = {
+      val chunk = r.footer.chunks.head
+      val table = chunk.tables.head
+      // every 7th row deleted → live ranges of 6 rows each
+      val dels = (0L until table.numRows.toLong by 7).toArray
+      var rows = 0L
+      Dv.liveRanges(0, table.numRows, dels).foreach { case (a, b) =>
+        val batch = r.decodeTableRange(chunk, table, table.schema, a.toInt, b.toInt)
+        rows += batch.numRows(); batch.close()
+      }
+      assert(rows == table.numRows - dels.length)
+      r.pagesRead
+    }
+    val rCold = GraftFileReader.open(fs, p)
+    val uncached = decodeAllRanges(rCold); rCold.close()
+    val rWarm = GraftFileReader.open(fs, p)
+    rWarm.enablePageCache()
+    val cached = decodeAllRanges(rWarm); rWarm.close()
+    // 20000 rows / 4 KiB pages / 3 columns ≈ dozens of pages; 2857 ranges
+    assert(cached < uncached / 10,
+      s"cache ineffective: $cached decompressions vs $uncached uncached")
+    assert(cached <= 200, s"cached decode still decompressed $cached pages")
+  }
+
   test("liveRanges fuzz: survivors == complement of deleted, order preserved") {
     val rnd = new scala.util.Random(42)
     for (_ <- 0 until 200) {
