@@ -1234,7 +1234,19 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
           a.gen.map("stats.analyzedAtGeneration" -> _)
       case None => Map.empty[String, String]
     }
-    (base ++ tbl ++ bucket ++ sort ++ stats).asJava
+    // merge-on-read delete state, so an operator can see from DESCRIBE
+    // EXTENDED that reads pay DV subtraction and footer aggregates are
+    // declined — and that a compact would materialize it away
+    val dv = (if (dirs.size == 1) try GraftDataSource.liveDvs(
+        GraftDataSource.sessionConf(), dirs.head, tbl.map(_._2)) catch {
+        case _: Exception => Map.empty[String, (Path, Long)]
+      } else Map.empty[String, (Path, Long)]) match {
+      case m if m.isEmpty => Map.empty[String, String]
+      case m => Map(
+        "deleteVectors.files" -> m.size.toString,
+        "deleteVectors.deletedRows" -> m.values.map(_._2).sum.toString)
+    }
+    (base ++ tbl ++ bucket ++ sort ++ stats ++ dv).asJava
   }
   override def name(): String = s"graft:${dirs.mkString(",")}"
   override def schema(): StructType = schema
@@ -1889,11 +1901,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     // grown (or pruned-down) table scales instead of lying. Pushed
     // filters stay residual, so Spark's Filter node applies selectivity
     // ON TOP of this scan cardinality — the standard division of labor.
+    // merge-on-read delete vectors shrink the served row set without
+    // shrinking any file: subtract the kept files' DV cardinalities so
+    // a heavily-deleted table still broadcast-plans like its LIVE size
+    val dvDeleted: Long =
+      if (dvByUri.isEmpty) 0L
+      else kept.iterator.flatMap(f => dvByUri.get(f._1.toUri.getPath)).map(_._2).sum
     val estRows: Option[Long] = exactRows.orElse(sidecar.map { a =>
       if (a.bytes > 0 && onDisk > 0)
         math.max(1L, math.round(a.rows.toDouble * onDisk / a.bytes))
       else a.rows
-    })
+    }).map(n => if (dvDeleted == 0) n else math.max(n - dvDeleted, 1L))
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(onDisk * 3, 1L)) // decode expansion

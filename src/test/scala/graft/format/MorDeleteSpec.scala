@@ -342,6 +342,29 @@ class MorDeleteSpec extends SparkSpec {
       "bucket layout must survive the COW delete")
   }
 
+  test("DESCRIBE surfaces DV state; planner row estimate subtracts deleted rows") {
+    val root = mkCatalog("mord")
+    spark.range(0, 5000).selectExpr("id AS k").repartition(2)
+      .createOrReplaceTempView("mord_src")
+    spark.sql("CREATE TABLE mord.db.t AS SELECT * FROM mord_src")
+    withMor { spark.sql("DELETE FROM mord.db.t WHERE k % 2 = 0") }
+    val props = spark.sql("DESCRIBE TABLE EXTENDED mord.db.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tblProps = spark.sql("SHOW TBLPROPERTIES mord.db.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val all = props ++ tblProps
+    assert(all.get("deleteVectors.deletedRows").contains("2500"),
+      s"DESCRIBE must surface the DV state, got: ${all.filter(_._1.startsWith("delete"))}")
+    // planner cardinality: the scan's estimate must reflect the LIVE
+    // 2500 rows, not the on-disk 5000 — half-deleted tables should still
+    // broadcast-plan at their live size
+    val rel = spark.table("mord.db.t").queryExecution.optimizedPlan
+    val est = rel.stats.rowCount
+    est.foreach(n => assert(n.toLong <= 2600 && n.toLong >= 1,
+      s"row estimate $n ignores the 2500 deleted rows"))
+    val _ = root
+  }
+
   test("DELETE matching nothing publishes no generation") {
     val root = mkCatalog("mor9")
     spark.range(0, 100).selectExpr("id AS k").coalesce(1)
