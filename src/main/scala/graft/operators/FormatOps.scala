@@ -3038,6 +3038,99 @@ object FormatOps {
       |    AS dv_rows
       |FROM merged""".stripMargin
 
+  // ---- q159: merge-on-read CDC fold — 4 sequential MoR commits, 0 rewrites --
+  // The continuous-ingest shape: UPDATE, insert-MERGE, DELETE, then an
+  // UPDATE that hits rows living in files a PREVIOUS MoR commit created —
+  // four generations, DVs accreting on original AND MoR-created files,
+  // and not one pre-existing file rewritten at any step (per-batch write
+  // cost stays O(batch) however large the table). The oracle restates
+  // the whole fold as a CTE chain over parquet.
+  private val q159: Q = (s, d) => {
+    val root = graftDir(d, "mor_cdc")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_cdc9", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cdc9.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdc9.db")
+    s.sql("CREATE TABLE graft_cdc9.db.t " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4).writeTo("graft_cdc9.db.t").append()
+    val conf = s.sparkContext.hadoopConfiguration
+    def fileState(): Map[String, Long] =
+      graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/db")
+        .map { case (p, size, _) => p.getName -> size }.toMap
+    val before = fileState()
+    Tables.orders(s, d).where(col("o_orderkey") % 23 === 1)
+      .select((col("o_orderkey") + 200000000L).as("k"))
+      .createOrReplaceTempView("graft_cdc9_inserts")
+    Seq("deleteMode", "updateMode", "mergeMode").foreach(k =>
+      s.conf.set(s"spark.graft.$k", "merge-on-read"))
+    val steps = Seq(
+      "UPDATE graft_cdc9.db.t SET o_totalprice = o_totalprice + 1.0, " +
+        "o_custkey = -1 WHERE o_orderkey % 11 = 0",
+      """MERGE INTO graft_cdc9.db.t t USING graft_cdc9_inserts b
+        |ON t.o_orderkey = b.k
+        |WHEN NOT MATCHED THEN
+        |  INSERT (o_orderkey, o_custkey, o_totalprice) VALUES (b.k, -2, 2.0)""".stripMargin,
+      "DELETE FROM graft_cdc9.db.t WHERE o_orderkey % 13 = 2",
+      "UPDATE graft_cdc9.db.t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_custkey = -2 AND o_orderkey % 5 = 0")
+    val intact = try {
+      steps.forall { stmt =>
+        s.sql(stmt)
+        // after EVERY commit: every file that predates the fold is still
+        // live and byte-identical — the no-rewrite invariant holds at
+        // each step, not just at the end
+        val now = fileState()
+        before.forall { case (n, sz) => now.get(n).contains(sz) }
+      }
+    } finally Seq("deleteMode", "updateMode", "mergeMode").foreach(k =>
+      s.conf.set(s"spark.graft.$k", "copy-on-write"))
+    require(intact, "q159: a MoR commit rewrote or dropped a pre-existing file")
+    val resolved = graft.sources.GraftDataSource.resolveDataDir(conf, s"$root/db")
+    val dvs = graft.sources.GraftDataSource.readDvManifest(
+      new org.apache.hadoop.fs.Path(resolved).getFileSystem(conf),
+      new org.apache.hadoop.fs.Path(resolved))
+    // DVs must have landed on files CREATED BY the fold itself (steps 3/4
+    // delete/update rows living in step 1/2's replacement files) — the
+    // accreting-generations path, not just first-generation deletes
+    val dvOnNew = dvs.exists { case (_, rel, _, _) =>
+      !before.contains(new org.apache.hadoop.fs.Path(rel).getName)
+    }
+    require(dvOnNew, s"q159: expected delete vectors on MoR-created files, got $dvs")
+    s.table("graft_cdc9.db.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(when(col("o_custkey") === -1, 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("o_custkey") === -2, 1L).otherwise(0L)).as("n_inserted"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .withColumn("originals_intact", lit(intact))
+      .withColumn("dv_on_new_files", lit(dvOnNew))
+  }
+  private val q159Sql =
+    """WITH s1 AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE o_custkey END AS c,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS p
+      |  FROM orders),
+      |s2 AS (
+      |  SELECT * FROM s1
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, CAST(-2 AS BIGINT), CAST(2.0 AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 23 = 1),
+      |s3 AS (SELECT * FROM s2 WHERE NOT (k % 13 = 2)),
+      |s4 AS (SELECT k, c,
+      |  CASE WHEN c = -2 AND k % 5 = 0 THEN p * 2 ELSE p END AS p FROM s3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(sum(CASE WHEN c = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(sum(CASE WHEN c = -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  round(sum(p), 2) AS price_sum,
+      |  true AS originals_intact,
+      |  true AS dv_on_new_files
+      |FROM s4""".stripMargin
+
   // ---- q136: planning-time file pruning from manifest zone maps -------------
   // A DML-maintained, range-clustered orders table: a selective key
   // filter must schedule only the files the carry manifest's zone maps
@@ -3324,6 +3417,7 @@ object FormatOps {
     "q156_tiebreak_topk" -> q156,
     "q157_mor_delete" -> q157,
     "q158_mor_upsert" -> q158,
+    "q159_mor_cdc" -> q159,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3378,6 +3472,7 @@ object FormatOps {
     "q156_tiebreak_topk" -> q156Sql,
     "q157_mor_delete" -> q157Sql,
     "q158_mor_upsert" -> q158Sql,
+    "q159_mor_cdc" -> q159Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
