@@ -1683,12 +1683,158 @@ object FormatOps {
   def changesBetween(s: SparkSession, dir: String, fromGen: Int,
       toGen: Option[Int], keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "changesBetween needs key columns")
+    changesFileGranular(s, dir, fromGen, toGen, keys)
+      .getOrElse(changesFull(s, dir, fromGen, toGen, keys))
+  }
+
+  /** Files the last [[changesBetween]] fast path SKIPPED as provably
+    * unchanged (same root-relative path + size + delete vector in both
+    * generations) — the observability hook the spec and gate assert on. */
+  private[graft] val cdfFilesSkipped = new java.util.concurrent.atomic.AtomicLong
+
+  /** File-granular incremental diff. Generations carry their untouched
+    * files BY REFERENCE at flattened root-relative paths, so a file
+    * present under the same rel path in both generations is the same
+    * immutable bytes — its rows cannot contribute a change (keys are
+    * unique per the CDC contract, and a key's row lives in exactly one
+    * file per generation). The diff therefore classifies files instead
+    * of rows:
+    *   - unchanged (same rel path + size + same DV): SKIPPED outright;
+    *   - removed (in `from` only): its live rows are delete candidates;
+    *   - added (in `to` only): its live rows are insert candidates;
+    *   - DV-grown (same file, delete vector grew): exactly the newly
+    *     deleted positions are delete candidates, selected by a
+    *     broadcast semi-join on the (_file, _pos) row ids.
+    * The usual digest join then runs over the candidate rows only — an
+    * update is a key in both the removed and added sets. A 1-file DML
+    * against a 10^6-file table diffs ONE file, not the table; a pure
+    * MoR delete reads only the files whose vectors grew. Returns None
+    * (→ full diff) for shapes the classification can't prove: no
+    * generation pointer, a DV that SHRANK without its file changing
+    * (restore), or any resolution error. */
+  private def changesFileGranular(s: SparkSession, dir: String, fromGen: Int,
+      toGen: Option[Int], keys: Seq[String]): Option[DataFrame] = try {
+    if (!s.conf.get("spark.graft.cdf.fileGranular", "true").toBoolean) return None
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val fromName = f"gen-$fromGen%05d"
+    val toName = toGen.map(g => f"gen-$g%05d").orElse(
+      graft.sources.GraftDataSource.readGenPointer(conf, dir)).getOrElse(return None)
+    def side(genName: String): (Map[String, (org.apache.hadoop.fs.Path, Long)],
+        Map[String, String]) = {
+      val genDir = new org.apache.hadoop.fs.Path(root, genName)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(genDir,
+          graft.sources.GraftDataSource.SwapTsName))) throw new IllegalStateException(
+        s"$genName not addressable")
+      val listed = graft.sources.GraftDataSource
+        .listGenerationSized(conf, dir, genName)
+        .map { case (p, size, _) =>
+          graft.sources.GraftDataSource.relativePath(root, p) -> (p, size) }.toMap
+      val dvs = graft.sources.GraftDataSource.readDvManifest(fs, genDir)
+        .map { case (_, rel, dvRel, _) => rel -> dvRel }.toMap
+      (listed, dvs)
+    }
+    val (aFiles, aDvs) = side(fromName)
+    val (bFiles, bDvs) = side(toName)
+    def readDv(rel: String): Array[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      val st = fs.getFileStatus(p)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      graft.format.Dv.decode(bytes)
+    }
+    val removed = Seq.newBuilder[String]
+    val grown = Seq.newBuilder[(String, Array[Long])] // rel -> newly-deleted
+    var skipped = 0L
+    aFiles.foreach { case (rel, (_, aSize)) =>
+      bFiles.get(rel) match {
+        case None => removed += rel
+        case Some((_, bSize)) =>
+          if (aSize != bSize) throw new IllegalStateException(s"$rel size drifted")
+          (aDvs.get(rel), bDvs.get(rel)) match {
+            case (x, y) if x == y => skipped += 1 // same blob (or none): unchanged
+            case (None, Some(b)) => grown += ((rel, readDv(b)))
+            case (Some(a), Some(b)) =>
+              val da = readDv(a); val db = readDv(b)
+              val bSet = db.toSet
+              if (!da.forall(bSet.contains)) // DV shrank in place: restore shape
+                throw new IllegalStateException(s"$rel delete vector shrank")
+              val fresh = db.filterNot(da.toSet.contains)
+              if (fresh.isEmpty) skipped += 1 else grown += ((rel, fresh))
+            case (Some(_), None) =>
+              throw new IllegalStateException(s"$rel lost its delete vector")
+          }
+      }
+    }
+    val added = bFiles.keysIterator.filterNot(aFiles.contains).toSeq
+    val removedList = removed.result()
+    val grownList = grown.result()
+    // the (_file,_pos) pair set broadcasts from the driver: a delete wave
+    // past this cap is cheaper as a plain full diff than as a giant
+    // broadcast (the DVs were already driver-decoded, same memory class)
+    if (grownList.iterator.map(_._2.length.toLong).sum > (4L << 20))
+      throw new IllegalStateException("too many newly-deleted rows for the pair join")
+    cdfFilesSkipped.addAndGet(skipped)
+    def readGenFiltered(gen: String, rels: Seq[String],
+        files: Map[String, (org.apache.hadoop.fs.Path, Long)],
+        withIds: Boolean): DataFrame = {
+      val r = s.read.format("graft")
+        .option("generation", gen.stripPrefix("gen-").toInt.toString)
+        .option("fileFilter", rels.map(files(_)._1.toString).mkString("\n"))
+        .load(dir)
+      if (withIds) r.select(col("*"), col("_file"), col("_pos")) else r
+    }
+    import s.implicits._
+    val beforeRemoved: Option[DataFrame] =
+      if (removedList.isEmpty) None
+      else Some(readGenFiltered(fromName, removedList, aFiles, withIds = false))
+    val beforeGrown: Option[DataFrame] =
+      if (grownList.isEmpty) None
+      else {
+        val pairs = grownList.flatMap { case (rel, dels) =>
+          val fileStr = aFiles(rel)._1.toString
+          dels.map(p => (fileStr, p))
+        }
+        val pairDf = pairs.toDF("_cdf_file", "_cdf_pos")
+        val g = readGenFiltered(fromName, grownList.map(_._1), aFiles, withIds = true)
+        Some(g.join(broadcast(pairDf),
+            g("_file") === pairDf("_cdf_file") && g("_pos") === pairDf("_cdf_pos"),
+            "left_semi")
+          .drop("_file", "_pos"))
+      }
+    val before = (beforeRemoved, beforeGrown) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    // an EMPTY candidate side still needs the right schema for the
+    // digest join — an always-false filter over the pinned read gives
+    // Catalyst a zero-row relation without scanning anything
+    def emptyLike(gen: String): DataFrame =
+      s.read.format("graft").option("generation", gen.stripPrefix("gen-").toInt.toString)
+        .load(dir).where(lit(false))
+    val after =
+      if (added.isEmpty) emptyLike(toName)
+      else readGenFiltered(toName, added, bFiles, withIds = false)
+    Some(digestDiff(before.getOrElse(emptyLike(fromName)), after, keys))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      if (java.lang.Boolean.getBoolean("graft.cdf.debug")) e.printStackTrace()
+      None
+  }
+
+  private def changesFull(s: SparkSession, dir: String, fromGen: Int,
+      toGen: Option[Int], keys: Seq[String]): DataFrame = {
     def readGen(g: Option[Int]): DataFrame = {
       val r = s.read.format("graft")
       g.fold(r)(n => r.option("generation", n.toString)).load(dir)
     }
-    val before = readGen(Some(fromGen))
-    val after = readGen(toGen)
+    digestDiff(readGen(Some(fromGen)), readGen(toGen), keys)
+  }
+
+  private def digestDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val common = before.columns.toSet.intersect(after.columns.toSet)
     require(keys.forall(common.contains),
       s"key columns ${keys.filterNot(common.contains).mkString(",")} absent from a generation")

@@ -455,7 +455,7 @@ object GraftDataSource {
     * pointer swap may not have, so the pointer-resolved listing would
     * show the PRE-race world and the rebase would silently drop the
     * winner's changes. */
-  private[sources] def listGenerationSized(conf: Configuration, dir: String,
+  private[graft] def listGenerationSized(conf: Configuration, dir: String,
       genName: String): Seq[(Path, Long, Map[String, String])] =
     listPartitionedSizedAt(conf, dir, new Path(dir, genName).toString,
       viaPointer = false)
