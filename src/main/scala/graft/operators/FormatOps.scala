@@ -1919,6 +1919,70 @@ object FormatOps {
       |WHERE k % 13 = 0 AND k % 19 <> 3
       |ORDER BY change_type""".stripMargin
 
+  // ---- q160: file-granular incremental diff — changes without a table scan --
+  // q108's semantics with the fast path REQUIRED to engage: the history
+  // is range-clustered and the DML scoped, so most files survive by
+  // reference with identical delete vectors and the diff classifies
+  // them UNCHANGED without reading a row — the `changes between` call
+  // on a 10^6-file table costs the changed files, not two table scans
+  // plus a shuffle join. Gate-asserted via the skipped-files counter
+  // (zero skips = the classification degenerated to a full diff =
+  // hash-fails through `files_skipped_gt0`); the per-type counts and
+  // key sums are oracle-stated set algebra.
+  private val q160: Q = (s, d) => {
+    val root = graftDir(d, "orders_inc_diff")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_inc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_inc.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_inc.db")
+    s.sql("CREATE TABLE graft_inc.db.orders " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_inc.db.orders").append()
+    val dir = s"$root/db"
+    val maxKey = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    // anchor gen-1 with a 1-key COW delete: one file rewritten, seven
+    // carried — the key-range clustering the scoped DML below relies on
+    s.sql("DELETE FROM graft_inc.db.orders WHERE o_orderkey = 1")
+    val cut = maxKey / 4
+    // MoR delete scoped to the low quarter: DVs grow on ~2 files only
+    s.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try s.sql("DELETE FROM graft_inc.db.orders " +
+      s"WHERE o_orderkey % 23 = 4 AND o_orderkey < $cut")
+    finally s.conf.set("spark.graft.deleteMode", "copy-on-write")
+    // COW update scoped to a tiny key range: one file rewritten
+    s.sql("UPDATE graft_inc.db.orders SET o_totalprice = o_totalprice + 5.0 " +
+      "WHERE o_orderkey < 40")
+    val before = cdfFilesSkipped.get()
+    val diff = changesBetween(s, dir, fromGen = 1, toGen = None,
+      keys = Seq("o_orderkey"))
+    val out = diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("change_type"))
+    val rows = out.collect() // force the diff so the counter moves
+    require(cdfFilesSkipped.get() > before,
+      "q160: the file-granular diff classified no file as unchanged")
+    import s.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), true))
+      .toSeq.toDF("change_type", "n", "key_sum", "files_skipped_gt0")
+      .orderBy(col("change_type"))
+  }
+  private val q160Sql =
+    """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |del AS (SELECT o_orderkey AS k FROM orders, m
+      |        -- integer floor division, matching the gate's Long cut
+      |        WHERE o_orderkey % 23 = 4 AND o_orderkey < (mx // 4)
+      |          AND o_orderkey <> 1),
+      |upd AS (SELECT o_orderkey AS k FROM orders
+      |        WHERE o_orderkey < 40 AND o_orderkey <> 1
+      |          AND NOT (o_orderkey % 23 = 4)) -- cut >= 40 at every SF
+      |SELECT 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS key_sum, true AS files_skipped_gt0 FROM del
+      |UNION ALL
+      |SELECT 'update', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT), true FROM upd
+      |ORDER BY change_type""".stripMargin
+
   // ---- q113: streaming change data feed --------------------------------------
   // The incremental-pipeline story end-to-end: a baseline table takes a
   // captured upsert, THEN a change-feed stream starts (batch 0 = the
@@ -3564,6 +3628,7 @@ object FormatOps {
     "q157_mor_delete" -> q157,
     "q158_mor_upsert" -> q158,
     "q159_mor_cdc" -> q159,
+    "q160_incremental_diff" -> q160,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3619,6 +3684,7 @@ object FormatOps {
     "q157_mor_delete" -> q157Sql,
     "q158_mor_upsert" -> q158Sql,
     "q159_mor_cdc" -> q159Sql,
+    "q160_incremental_diff" -> q160Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,
