@@ -1746,7 +1746,7 @@ object FormatOps {
       graft.format.Dv.decode(bytes)
     }
     val removed = Seq.newBuilder[String]
-    val grown = Seq.newBuilder[(String, Array[Long])] // rel -> newly-deleted
+    val dvCompare = Seq.newBuilder[(String, Option[String], String)]
     var skipped = 0L
     aFiles.foreach { case (rel, (_, aSize)) =>
       bFiles.get(rel) match {
@@ -1755,18 +1755,29 @@ object FormatOps {
           if (aSize != bSize) throw new IllegalStateException(s"$rel size drifted")
           (aDvs.get(rel), bDvs.get(rel)) match {
             case (x, y) if x == y => skipped += 1 // same blob (or none): unchanged
-            case (None, Some(b)) => grown += ((rel, readDv(b)))
-            case (Some(a), Some(b)) =>
-              val da = readDv(a); val db = readDv(b)
-              val bSet = db.toSet
-              if (!da.forall(bSet.contains)) // DV shrank in place: restore shape
-                throw new IllegalStateException(s"$rel delete vector shrank")
-              val fresh = db.filterNot(da.toSet.contains)
-              if (fresh.isEmpty) skipped += 1 else grown += ((rel, fresh))
+            case (a, Some(b)) => dvCompare += ((rel, a, b))
             case (Some(_), None) =>
               throw new IllegalStateException(s"$rel lost its delete vector")
           }
       }
+    }
+    // blob reads in the shared pool: a wide delete wave's classification
+    // costs one parallel sweep, not one sequential read per grown file
+    val grown = Seq.newBuilder[(String, Array[Long])] // rel -> newly-deleted
+    graft.sources.GraftDataSource.inParallel(dvCompare.result()) {
+      case (rel, aBlob, bBlob) =>
+        val db = readDv(bBlob)
+        aBlob match {
+          case None => (rel, db)
+          case Some(a) =>
+            val da = readDv(a)
+            val bSet = db.toSet
+            if (!da.forall(bSet.contains)) // DV shrank in place: restore shape
+              throw new IllegalStateException(s"$rel delete vector shrank")
+            (rel, db.filterNot(da.toSet.contains))
+        }
+    }.foreach { case (rel, fresh) =>
+      if (fresh.isEmpty) skipped += 1 else grown += ((rel, fresh))
     }
     val added = bFiles.keysIterator.filterNot(aFiles.contains).toSeq
     val removedList = removed.result()

@@ -168,60 +168,62 @@ private[sources] class GraftMorBatchWrite(dir: String, table: String,
       }
 
       val existing = GraftDataSource.liveDvs(conf, dir, Some(table))
-      var churnBytes = 0L
-      var blobIdx = 0
-      val newEntries = Seq.newBuilder[(String, String, String, Long)]
-      val fullyDeletedRels = Set.newBuilder[String]
-      val targetRels = Set.newBuilder[String]
-      newPerFile.toSeq.sortBy(_._1).foreach { case (fileStr, fresh0) =>
-        if (fresh0.nonEmpty) {
-          val uriPath = new Path(fileStr).toUri.getPath
-          val (livePath, liveSize) = byUriPath.getOrElse(uriPath,
-            throw new graft.format.OliveFormatException(
-              s"DML matched rows of $fileStr, which is no longer in the live " +
-                "view — a concurrent rewrite replaced it; re-run the statement"))
-          val rel = GraftDataSource.relativePath(root, livePath)
-          targetRels += rel
-          // merge with the file's existing DV, validate against its real
-          // row count (footer open bounded by the number of DV'd files)
-          val merged0 = existing.get(uriPath) match {
-            case Some((dvPath, _)) =>
-              val dfs = dvPath.getFileSystem(conf)
-              val st = dfs.getFileStatus(dvPath)
-              val bytes = new Array[Byte](st.getLen.toInt)
-              val in = dfs.open(dvPath)
-              try in.readFully(0, bytes) finally in.close()
-              graft.format.Dv.merge(graft.format.Dv.decode(bytes), fresh0)
-            case None => fresh0
-          }
-          val r = graft.format.GraftFileReader.open(livePath.getFileSystem(conf), livePath)
-          val totalRows = try {
-            r.footer.chunks.iterator
-              .flatMap(_.tables.filter(_.name == table)).map(_.numRows.toLong).sum
-          } finally r.close()
-          if (merged0.nonEmpty && merged0.last >= totalRows)
-            throw new graft.format.OliveFormatException(
-              s"delete position ${merged0.last} beyond $rel's $totalRows rows — " +
-                "the scan and commit saw different file contents; re-run the statement")
-          churnBytes += (if (totalRows == 0) 0L
-            else liveSize * fresh0.length / math.max(totalRows, 1L))
-          if (merged0.length == totalRows) {
-            // every row deleted: drop the FILE from the new generation
-            // instead of carrying a row-0..n DV — no sidecar, no task,
-            // no open; time travel still sees it in older generations
-            fullyDeletedRels += rel
-          } else {
-            val blobName = s"_dv/dv-$blobIdx.dvg"
-            blobIdx += 1
-            val out = fs.create(new Path(staging, blobName), false)
-            try out.write(graft.format.Dv.encode(merged0)) finally out.close()
-            newEntries += ((table, rel, s"$nextGen/$blobName", merged0.length.toLong))
-          }
+      // per-touched-file work (existing-blob read, footer row count, merged
+      // blob write) runs in the shared listing pool: a 10^4-file delete
+      // wave costs one parallel sweep on the driver, not 10^4 sequential
+      // opens. Blob names are assigned positionally BEFORE the sweep so
+      // the parallel writes stay deterministic.
+      val work = newPerFile.toSeq.sortBy(_._1).filter(_._2.nonEmpty).zipWithIndex
+      case class DvOut(rel: String, entry: Option[(String, String, String, Long)],
+          fullyDeleted: Boolean, churn: Long)
+      val outs = GraftDataSource.inParallel(work) { case ((fileStr, fresh0), blobIdx) =>
+        val uriPath = new Path(fileStr).toUri.getPath
+        val (livePath, liveSize) = byUriPath.getOrElse(uriPath,
+          throw new graft.format.OliveFormatException(
+            s"DML matched rows of $fileStr, which is no longer in the live " +
+              "view — a concurrent rewrite replaced it; re-run the statement"))
+        val rel = GraftDataSource.relativePath(root, livePath)
+        // merge with the file's existing DV, validate against its real
+        // row count (footer open bounded by the number of DV'd files)
+        val merged0 = existing.get(uriPath) match {
+          case Some((dvPath, _)) =>
+            val dfs = dvPath.getFileSystem(conf)
+            val st = dfs.getFileStatus(dvPath)
+            val bytes = new Array[Byte](st.getLen.toInt)
+            val in = dfs.open(dvPath)
+            try in.readFully(0, bytes) finally in.close()
+            graft.format.Dv.merge(graft.format.Dv.decode(bytes), fresh0)
+          case None => fresh0
+        }
+        val r = graft.format.GraftFileReader.open(livePath.getFileSystem(conf), livePath)
+        val totalRows = try {
+          r.footer.chunks.iterator
+            .flatMap(_.tables.filter(_.name == table)).map(_.numRows.toLong).sum
+        } finally r.close()
+        if (merged0.nonEmpty && merged0.last >= totalRows)
+          throw new graft.format.OliveFormatException(
+            s"delete position ${merged0.last} beyond $rel's $totalRows rows — " +
+              "the scan and commit saw different file contents; re-run the statement")
+        val churn = if (totalRows == 0) 0L
+          else liveSize * fresh0.length / math.max(totalRows, 1L)
+        if (merged0.length == totalRows) {
+          // every row deleted: drop the FILE from the new generation
+          // instead of carrying a row-0..n DV — no sidecar, no task,
+          // no open; time travel still sees it in older generations
+          DvOut(rel, None, fullyDeleted = true, churn)
+        } else {
+          val blobName = s"_dv/dv-$blobIdx.dvg"
+          val out = fs.create(new Path(staging, blobName), false)
+          try out.write(graft.format.Dv.encode(merged0)) finally out.close()
+          DvOut(rel, Some((table, rel, s"$nextGen/$blobName", merged0.length.toLong)),
+            fullyDeleted = false, churn)
         }
       }
-
-      val dropped = fullyDeletedRels.result()
-      val targets = targetRels.result()
+      val churnBytes = outs.map(_.churn).sum
+      val newEntries = Seq.newBuilder[(String, String, String, Long)]
+      outs.flatMap(_.entry).foreach(newEntries += _)
+      val dropped = outs.filter(_.fullyDeleted).map(_.rel).toSet
+      val targets = outs.map(_.rel).toSet
       // carry every live data file by reference (minus fully-deleted
       // ones), stats riding along so the next DML keeps zero-footer-I/O
       GraftDataSource.writeCarryManifest(fs, staging,
