@@ -365,6 +365,42 @@ class MorDeleteSpec extends SparkSpec {
     val _ = root
   }
 
+  test("25 sequential MoR deletes: merged DVs, vacuum reclaims every superseded blob") {
+    val root = mkCatalog("morv")
+    spark.range(0, 4000).selectExpr("id AS k").repartition(4)
+      .createOrReplaceTempView("morv_src")
+    spark.sql("CREATE TABLE morv.db.t AS SELECT * FROM morv_src")
+    val dir = s"$root/db"
+    withMor {
+      (1 to 25).foreach(i => spark.sql(s"DELETE FROM morv.db.t WHERE k % 200 = $i"))
+    }
+    val deleted = (0 until 4000).count(k => (1 to 25).contains(k % 200))
+    def dvgFiles(): Seq[String] = {
+      val fs = new Path(dir).getFileSystem(conf)
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(new Path(dir), true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".dvg")) out += p.toString
+      }
+      out.result()
+    }
+    // every commit re-merged each touched file's vector: ONE live entry
+    // per file, but 25 generations of superseded blobs still on disk
+    val live = liveDvEntries(dir)
+    assert(live.map(_._4).sum == deleted)
+    assert(live.size <= 4)
+    assert(dvgFiles().size > live.size, "expected superseded blobs before vacuum")
+    spark.sql("CALL morv.sys.vacuum(ns => 'db', grace_ms => 0)")
+    // only the live generation's referenced blobs survive the sweep
+    val after = dvgFiles()
+    assert(after.size == live.size,
+      s"vacuum left ${after.size} blobs for ${live.size} live entries: $after")
+    assert(spark.table("morv.db.t").count() == 4000 - deleted)
+    assert(spark.table("morv.db.t")
+      .filter(col("k") % 200 >= 1 && col("k") % 200 <= 25).count() == 0)
+  }
+
   test("DELETE matching nothing publishes no generation") {
     val root = mkCatalog("mor9")
     spark.range(0, 100).selectExpr("id AS k").coalesce(1)
