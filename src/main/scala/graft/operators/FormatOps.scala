@@ -1994,6 +1994,78 @@ object FormatOps {
       |SELECT 'update', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT), true FROM upd
       |ORDER BY change_type""".stripMargin
 
+  // ---- q161: materialize_dvs — the targeted end of the MoR lifecycle --------
+  // Delete cheap (vectors), read with subtraction, then CALL
+  // sys.materialize_dvs to rewrite ONLY the files whose vector passes
+  // min_fraction — the hot 1% gets cleaned without compaction's full
+  // rewrite, and once no vector remains the footer-served aggregate
+  // path provably returns (plan-asserted). Survivor aggregates are
+  // oracle-stated; the lifecycle booleans ride the row so a stuck
+  // vector or a dead pushdown hash-fails.
+  private val q161: Q = (s, d) => {
+    val root = graftDir(d, "mor_materialize")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_mat", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_mat.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mat.db")
+    s.sql("CREATE TABLE graft_mat.db.orders " +
+      "(o_orderkey BIGINT, o_totalprice DOUBLE) USING graft")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .writeTo("graft_mat.db.orders").append()
+    val dir = s"$root/db"
+    val conf = s.sparkContext.hadoopConfiguration
+    val maxKey = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    val cut = maxKey / 8
+    s.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try {
+      s.sql(s"DELETE FROM graft_mat.db.orders WHERE o_orderkey < $cut AND o_orderkey % 2 = 0")
+      s.sql("DELETE FROM graft_mat.db.orders WHERE o_orderkey % 97 = 3")
+    } finally s.conf.set("spark.graft.deleteMode", "copy-on-write")
+    def dvEntries(): Seq[Long] = {
+      val resolved = graft.sources.GraftDataSource.resolveDataDir(conf, dir)
+      graft.sources.GraftDataSource.readDvManifest(
+        new org.apache.hadoop.fs.Path(resolved).getFileSystem(conf),
+        new org.apache.hadoop.fs.Path(resolved)).map(_._4)
+    }
+    require(dvEntries().nonEmpty, "q161: the deletes must leave vectors")
+    // targeted pass: only the heavily-deleted low-range file(s) qualify
+    val pass1 = s.sql("CALL graft_mat.sys.materialize_dvs(ns => 'db', " +
+      "table => 'orders', min_fraction => 0.25)").collect()
+    require(pass1.nonEmpty && dvEntries().nonEmpty,
+      "q161: the targeted pass must rewrite some files and carry the light ones")
+    // full pass: every remaining vector materializes
+    s.sql("CALL graft_mat.sys.materialize_dvs(ns => 'db', table => 'orders')")
+    val cleared = dvEntries().isEmpty
+    require(cleared, "q161: min_fraction 0 must clear every vector")
+    val plan = s.table("graft_mat.db.orders").groupBy().agg(max(col("o_orderkey")))
+      .queryExecution.executedPlan.toString
+    val pushdownBack = plan.contains("pushedAggs=[Graft")
+    require(pushdownBack, s"q161: footer aggregates must return after materialize:\n$plan")
+    s.table("graft_mat.db.orders")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        min(col("o_orderkey")).as("key_min"),
+        max(col("o_orderkey")).as("key_max"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .withColumn("dv_cleared", lit(cleared))
+      .withColumn("pushdown_back", lit(pushdownBack))
+  }
+  private val q161Sql =
+    """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |live AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders, m
+      |  WHERE NOT (o_orderkey < (mx // 8) AND o_orderkey % 2 = 0)
+      |    AND NOT (o_orderkey % 97 = 3))
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(min(k) AS BIGINT) AS key_min,
+      |  CAST(max(k) AS BIGINT) AS key_max,
+      |  round(sum(p), 2) AS price_sum,
+      |  true AS dv_cleared,
+      |  true AS pushdown_back
+      |FROM live""".stripMargin
+
   // ---- q113: streaming change data feed --------------------------------------
   // The incremental-pipeline story end-to-end: a baseline table takes a
   // captured upsert, THEN a change-feed stream starts (batch 0 = the
@@ -3640,6 +3712,7 @@ object FormatOps {
     "q158_mor_upsert" -> q158,
     "q159_mor_cdc" -> q159,
     "q160_incremental_diff" -> q160,
+    "q161_materialize_dvs" -> q161,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3696,6 +3769,7 @@ object FormatOps {
     "q158_mor_upsert" -> q158Sql,
     "q159_mor_cdc" -> q159Sql,
     "q160_incremental_diff" -> q160Sql,
+    "q161_materialize_dvs" -> q161Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

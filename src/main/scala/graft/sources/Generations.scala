@@ -487,6 +487,81 @@ object Generations {
     * the bucket column — one file per bucket — plus the optional
     * within-partition sort), and the layout overrides `targetFiles`
     * because the bucket count IS the file count. */
+  /** Materialize merge-on-read delete vectors: rewrite ONLY the files
+    * whose live DV covers at least `minFraction` of their rows (the
+    * candidate read applies the DVs, so the replacements hold live rows
+    * only), carry every other file — and its remaining DV — by
+    * reference. The targeted answer to DV accretion: a table whose hot
+    * 1% collected deletes gets those files cleaned and its footer-served
+    * aggregates back, without compaction's full rewrite. Returns
+    * (root-relative file, deleted rows, file rows) per materialized
+    * file; empty when nothing qualifies (no generation published). */
+  def materializeDvs(s: SparkSession, dir: String, table: String,
+      minFraction: Double = 0.0): Seq[(String, Long, Long)] = {
+    require(minFraction >= 0.0 && minFraction <= 1.0,
+      s"min_fraction must be in [0,1], got $minFraction")
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val dvs = GraftDataSource.liveDvs(conf, dir, Some(table))
+    if (dvs.isEmpty) return Seq.empty
+    // per-target live fraction from the footer (parallel, bounded by the
+    // number of DV'd files)
+    val stats = GraftDataSource.inParallel(dvs.toSeq) { case (uriPath, (_, card)) =>
+      val p = new Path(uriPath)
+      val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+      val rows = try r.footer.chunks.iterator
+        .flatMap(_.tables.filter(_.name == table)).map(_.numRows.toLong).sum
+      finally r.close()
+      (uriPath, card, rows)
+    }
+    val targets = stats.filter { case (_, card, rows) =>
+      rows > 0 && card.toDouble / rows >= minFraction }
+    if (targets.isEmpty) return Seq.empty
+    val nextGen = prepareRewrite(s, dir)
+    val listed = GraftDataSource.listPartitionedSized(conf, dir)
+    val srcDir = GraftDataSource.resolveDataDir(conf, dir)
+    val byUri = listed.map { case (p, size, _) => p.toUri.getPath -> (p, size) }.toMap
+    val targetPaths = targets.flatMap(t => byUri.get(t._1).map(_._1))
+    if (targetPaths.size != targets.size)
+      throw new graft.format.OliveFormatException(
+        "live view changed while materializing delete vectors; re-run")
+    val targetRels = targetPaths.map(GraftDataSource.relativePath(root, _)).toSet
+    val files = classifyForDml(conf, root, listed, table, None, dir)
+    val statsByRel = files.map(f =>
+      GraftDataSource.relativePath(root, f.path) -> f.statsJson).toMap
+    val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+    claimStaging(conf, staging)
+    try {
+      val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+      val layout = GraftDataSource.readBucketMarker(conf, dir, table)
+      // the candidate read: live rows of the target files only (the scan
+      // subtracts their DVs), written as the replacement files
+      val df = s.read.format("graft").option("table", table)
+        .option("fileFilter", targetPaths.map(_.toString).mkString("\n")).load(dir)
+      shapedWriter(df, layout, None, table, Map.empty, partCols).save(staging.toString)
+      GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
+      GraftDataSource.writeCarryManifest(fs, staging,
+        listed.collect { case (p, size, _)
+            if !targetRels.contains(GraftDataSource.relativePath(root, p)) =>
+          val rel = GraftDataSource.relativePath(root, p)
+          (rel, size, statsByRel.get(rel)) })
+      GraftDataSource.writeDvManifest(fs, staging,
+        GraftDataSource.carryDvEntries(fs, conf, dir, targetRels))
+      publishStaging(fs, conf, root, staging, nextGen, None, dir,
+        sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
+      GraftDataSource.recordChurn(s, dir, table,
+        targetPaths.map(p => byUri(p.toUri.getPath)._2).sum)
+      targets.map { case (uri, card, rows) =>
+        (GraftDataSource.relativePath(root, byUri(uri)._1), card, rows) }
+        .sortBy(_._1)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staging, true) catch { case _: Exception => }
+        throw e
+    }
+  }
+
   private def shapedWriter(df0: DataFrame,
       layout: Option[(String, Int, Option[String])], targetFiles: Option[Int],
       table: String, writeOptions: Map[String, String], partCols: Seq[String])

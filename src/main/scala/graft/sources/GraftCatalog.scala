@@ -677,7 +677,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
       Array("history", "vacuum", "restore", "compact", "compact_to_size",
-        "contract", "audit", "reindex_ivf", "analyze", "verify_table")
+        "contract", "audit", "reindex_ivf", "analyze", "verify_table",
+        "materialize_dvs")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -693,12 +694,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "reindex_ivf") => reindexIvfProc
       case (Seq("sys"), "analyze") => analyzeProc
       case (Seq("sys"), "verify_table") => verifyTableProc
+      case (Seq("sys"), "materialize_dvs") => materializeDvsProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
           "sys.compact(ns, target_files), sys.compact_to_size(ns, target_bytes), " +
           "sys.contract(ns), sys.audit(ns), sys.reindex_ivf(ns, cells), " +
-          "sys.analyze(ns, exact)")
+          "sys.analyze(ns, exact), sys.materialize_dvs(ns, table, min_fraction)")
     }
 
   /** Shared shape: unbound and bound in one object (binding is trivial —
@@ -893,6 +895,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       graft.operators.FormatOps.compactToSize(
         org.apache.spark.sql.SparkSession.active, dirOf(input), input.getLong(1))
       done
+    }
+  }
+
+  private val materializeDvsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", StringType),
+    org.apache.spark.sql.types.StructField("deleted_rows", LongType),
+    org.apache.spark.sql.types.StructField("file_rows", LongType)))
+
+  /** `CALL sys.materialize_dvs(ns [, table] [, min_fraction])` — rewrite
+    * ONLY the files whose merge-on-read delete vector covers at least
+    * `min_fraction` of their rows; everything else (and its remaining
+    * DV) carries by reference. One row per materialized file. */
+  private lazy val materializeDvsProc: UnboundProcedure = new SysProc("materialize_dvs",
+    "rewrite only the files whose delete vector covers >= min_fraction of rows",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("table", StringType).defaultValue("'data'").build(),
+      ProcedureParameter.in("min_fraction", org.apache.spark.sql.types.DoubleType)
+        .defaultValue("0.0").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tbl = if (input.isNullAt(1)) "data" else input.getUTF8String(1).toString
+      val frac = if (input.isNullAt(2)) 0.0 else input.getDouble(2)
+      val out = Generations.materializeDvs(
+        org.apache.spark.sql.SparkSession.active, dirOf(input), tbl, frac)
+        .map { case (rel, deleted, rows) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(rel),
+            deleted, rows): InternalRow
+        }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = materializeDvsSchema
+      }).iterator()
     }
   }
 

@@ -401,6 +401,52 @@ class MorDeleteSpec extends SparkSpec {
       .filter(col("k") % 200 >= 1 && col("k") % 200 <= 25).count() == 0)
   }
 
+  test("materialize_dvs rewrites only files past min_fraction; 0.0 clears the rest") {
+    val root = mkCatalog("morm2")
+    spark.range(0, 4000).selectExpr("id AS k", "id % 9 AS v")
+      .repartitionByRange(4, col("id")).createOrReplaceTempView("morm2_src")
+    spark.sql("CREATE TABLE morm2.db.t AS SELECT * FROM morm2_src")
+    val dir = s"$root/db"
+    withMor {
+      // heavy deletes on the low range (≈50% of the first file), light
+      // everywhere (%101)
+      spark.sql("DELETE FROM morm2.db.t WHERE k < 500 AND k % 2 = 0")
+      spark.sql("DELETE FROM morm2.db.t WHERE k % 101 = 7")
+    }
+    val totalDeleted = (0 until 4000).count(k =>
+      (k < 500 && k % 2 == 0) || k % 101 == 7)
+    assert(liveDvEntries(dir).map(_._4).sum == totalDeleted)
+    val before = dataFileState(dir)
+    // pass 1: only the heavy file qualifies at 20%
+    val out1 = spark.sql(
+      "CALL morm2.sys.materialize_dvs(ns => 'db', table => 't', min_fraction => 0.2)")
+      .collect()
+    assert(out1.length == 1, s"expected exactly the heavy file, got ${out1.toSeq}")
+    val after1 = dataFileState(dir)
+    // the materialized file is gone from the live view; the others carry
+    assert((before.keySet -- after1.keySet).size == 1)
+    val dvs1 = liveDvEntries(dir)
+    assert(dvs1.nonEmpty && dvs1.map(_._4).sum ==
+      totalDeleted - out1.head.getLong(1))
+    assert(spark.table("morm2.db.t").count() == 4000 - totalDeleted)
+    // pass 2: threshold 0 clears every remaining vector
+    val out2 = spark.sql(
+      "CALL morm2.sys.materialize_dvs(ns => 'db', table => 't', min_fraction => 0.0)")
+      .collect()
+    assert(out2.nonEmpty)
+    assert(liveDvEntries(dir).isEmpty, "all DVs must be materialized")
+    assert(spark.table("morm2.db.t").count() == 4000 - totalDeleted)
+    // footer-served aggregates come back once no DV remains
+    val plan = spark.table("morm2.db.t").groupBy().agg(max(col("k")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggs=[Graft"), s"pushdown must re-enable:\n$plan")
+    // idempotent: nothing left to materialize, no generation churn
+    val genBefore = GraftDataSource.readGenPointer(conf, dir)
+    assert(spark.sql("CALL morm2.sys.materialize_dvs(ns => 'db', table => 't')")
+      .collect().isEmpty)
+    assert(GraftDataSource.readGenPointer(conf, dir) == genBefore)
+  }
+
   test("DELETE matching nothing publishes no generation") {
     val root = mkCatalog("mor9")
     spark.range(0, 100).selectExpr("id AS k").coalesce(1)
