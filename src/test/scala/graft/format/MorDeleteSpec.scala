@@ -447,6 +447,25 @@ class MorDeleteSpec extends SparkSpec {
     assert(GraftDataSource.readGenPointer(conf, dir) == genBefore)
   }
 
+  test("MoR DELETE with an IN-subquery predicate (join-shaped condition)") {
+    val root = mkCatalog("mors")
+    spark.range(0, 3000).selectExpr("id AS k", "id % 4 AS v").repartition(3)
+      .createOrReplaceTempView("mors_src")
+    spark.sql("CREATE TABLE mors.db.t AS SELECT * FROM mors_src")
+    spark.range(0, 100).selectExpr("id * 13 AS kk").createOrReplaceTempView("mors_keys")
+    val dir = s"$root/db"
+    val before = dataFileState(dir)
+    withMor {
+      spark.sql("DELETE FROM mors.db.t WHERE k IN (SELECT kk FROM mors_keys)")
+    }
+    assert(dataFileState(dir) == before, "subquery MoR DELETE rewrote data files")
+    val deleted = (0 until 100).map(_ * 13).count(_ < 3000) // all 100 (max 1287)
+    assert(liveDvEntries(dir).map(_._4).sum == deleted)
+    assert(spark.table("mors.db.t").count() == 3000 - deleted)
+    assert(spark.table("mors.db.t")
+      .filter(col("k") % 13 === 0 && col("k") < 1300).count() == 0)
+  }
+
   test("DELETE matching nothing publishes no generation") {
     val root = mkCatalog("mor9")
     spark.range(0, 100).selectExpr("id AS k").coalesce(1)
