@@ -2016,7 +2016,7 @@ object FormatOps {
     val dir = s"$root/db"
     val conf = s.sparkContext.hadoopConfiguration
     val maxKey = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
-    val cut = maxKey / 8
+    val cut = maxKey / 4
     s.conf.set("spark.graft.deleteMode", "merge-on-read")
     try {
       s.sql(s"DELETE FROM graft_mat.db.orders WHERE o_orderkey < $cut AND o_orderkey % 2 = 0")
@@ -2030,8 +2030,11 @@ object FormatOps {
     }
     require(dvEntries().nonEmpty, "q161: the deletes must leave vectors")
     // targeted pass: only the heavily-deleted low-range file(s) qualify
+    // threshold with wide margins on both sides: the heavy file's live
+    // fraction is ~50% of its range (sample-drifted boundaries included),
+    // the light files' ~1% — 0.15 can't flap on either
     val pass1 = s.sql("CALL graft_mat.sys.materialize_dvs(ns => 'db', " +
-      "table => 'orders', min_fraction => 0.25)").collect()
+      "table => 'orders', min_fraction => 0.15)").collect()
     require(pass1.nonEmpty && dvEntries().nonEmpty,
       "q161: the targeted pass must rewrite some files and carry the light ones")
     // full pass: every remaining vector materializes
@@ -2055,7 +2058,7 @@ object FormatOps {
     """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
       |live AS (
       |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders, m
-      |  WHERE NOT (o_orderkey < (mx // 8) AND o_orderkey % 2 = 0)
+      |  WHERE NOT (o_orderkey < (mx // 4) AND o_orderkey % 2 = 0)
       |    AND NOT (o_orderkey % 97 = 3))
       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(k) AS BIGINT) AS key_sum,

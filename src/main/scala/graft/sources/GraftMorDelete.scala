@@ -115,10 +115,21 @@ private[sources] class GraftMorBatchWrite(dir: String, table: String,
     Generations.claimStaging(conf, staging)
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+    // hive-layout dirs whose path columns the catalog schema can't carry:
+    // replacement rows couldn't be routed to (or even HOLD) their
+    // partition values, so inserts must refuse with guidance — position
+    // DELETES still work fine (they write no rows)
+    val missingPart = partCols.filterNot(writeSchema.fieldNames.contains)
     inner = new GraftBatchWrite(staging.toString, writeSchema, truncate = false,
       table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
-      GraftBatchWrite.DefaultChunkRows, partCols)
-    GraftMorWriterFactory(inner.createBatchWriterFactory(info), writeSchema.length)
+      GraftBatchWrite.DefaultChunkRows,
+      if (missingPart.isEmpty) partCols else Seq.empty)
+    GraftMorWriterFactory(inner.createBatchWriterFactory(info), writeSchema.length,
+      insertRefusal = if (missingPart.isEmpty) None else Some(
+        s"table directory is hive-partitioned on ${missingPart.mkString(",")} " +
+          "but the catalog schema does not carry those columns — replacement " +
+          "rows cannot be routed to their partitions. DELETE works; for " +
+          "UPDATE/MERGE use FormatOps.updateWhere/upsert on the path API"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -254,9 +265,9 @@ private[sources] class GraftMorBatchWrite(dir: String, table: String,
 /** Serializable task-writer factory (a factory defined inline in the
   * batch write would drag its non-serializable `$outer` to executors). */
 private[sources] case class GraftMorWriterFactory(inner: DataWriterFactory,
-    rowWidth: Int) extends DeltaWriterFactory {
+    rowWidth: Int, insertRefusal: Option[String] = None) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftMorWriter(inner.createWriter(partitionId, taskId), rowWidth)
+    new GraftMorWriter(inner.createWriter(partitionId, taskId), rowWidth, insertRefusal)
 }
 
 /** Task side: collect (file, pos) ids; route inserted rows to the inner
@@ -265,7 +276,7 @@ private[sources] case class GraftMorWriterFactory(inner: DataWriterFactory,
   * changes) is handled by an explicit sort+dedup before encoding —
   * never trusted. */
 private[sources] class GraftMorWriter(inner: DataWriter[InternalRow],
-    rowWidth: Int) extends DeltaWriter[InternalRow] {
+    rowWidth: Int, insertRefusal: Option[String] = None) extends DeltaWriter[InternalRow] {
   private val perFile = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
   private var wroteData = false
 
@@ -283,6 +294,7 @@ private[sources] class GraftMorWriter(inner: DataWriter[InternalRow],
   }
 
   override def insert(row: InternalRow): Unit = {
+    insertRefusal.foreach(r => throw new UnsupportedOperationException(r))
     if (row.numFields != rowWidth)
       throw new IllegalStateException(
         s"merge-on-read insert expected $rowWidth fields, got ${row.numFields} — " +

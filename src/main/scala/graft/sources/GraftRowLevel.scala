@@ -201,6 +201,17 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, dir: String,
       val listed = GraftDataSource.listPartitionedSized(conf, dir)
       GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
     }
+    // the COW rewrite re-emits EVERY row of its candidate files: if the
+    // dir is hive-partitioned on columns the write schema can't carry,
+    // the replacement files would silently read NULL for those columns
+    // through the path API — refuse with guidance instead
+    val missingPart = partCols.filterNot(schema.fieldNames.contains)
+    if (missingPart.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table directory is hive-partitioned on ${missingPart.mkString(",")} " +
+          "but the catalog schema does not carry those columns — a row-level " +
+          "rewrite would drop the partition values. Use FormatOps." +
+          "updateWhere/deleteWhere/upsert on the path API for this layout")
     inner = new GraftBatchWrite(staging.toString, schema, truncate = false,
       table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
       GraftBatchWrite.DefaultChunkRows, partCols,

@@ -466,6 +466,71 @@ class MorDeleteSpec extends SparkSpec {
       .filter(col("k") % 13 === 0 && col("k") < 1300).count() == 0)
   }
 
+  test("MoR DELETE after RENAME COLUMN: pre-rename files DV'd through the chain") {
+    val root = mkCatalog("more")
+    spark.range(0, 2000).selectExpr("id AS old_k", "id % 5 AS v").repartition(2)
+      .createOrReplaceTempView("more_src")
+    spark.sql("CREATE TABLE more.db.t AS SELECT * FROM more_src")
+    val dir = s"$root/db"
+    spark.sql("ALTER TABLE more.db.t RENAME COLUMN old_k TO k")
+    val before = dataFileState(dir)
+    withMor { spark.sql("DELETE FROM more.db.t WHERE k % 9 = 4") }
+    // pre-rename files served through the rename chain get position
+    // deletes like any other — no rewrite, exact survivors
+    assert(dataFileState(dir).keySet.map(new Path(_).getName) ==
+      before.keySet.map(new Path(_).getName))
+    val deleted = (0 until 2000).count(_ % 9 == 4)
+    assert(liveDvEntries(dir).map(_._4).sum == deleted)
+    val t = spark.table("more.db.t")
+    assert(t.count() == 2000 - deleted)
+    assert(t.filter(col("k") % 9 === 4).count() == 0)
+    assert(t.agg(sum(col("k"))).head.getLong(0) ==
+      (0 until 2000).filterNot(_ % 9 == 4).map(_.toLong).sum)
+  }
+
+  test("hive-layout dirs: MoR DELETE works (sidecar only); UPDATE refuses with guidance") {
+    // the catalog deliberately takes no hive partition transforms (the
+    // path API's partitionBy owns that layout), so a namespace dir with
+    // k=v subdirs exposes a schema WITHOUT the path columns. A row-level
+    // rewrite would silently drop the partition values — both machineries
+    // must refuse UPDATE/MERGE with guidance, while the MoR DELETE (which
+    // writes no rows) keeps working and path readers keep their values.
+    val root = mkCatalog("morp")
+    val dir = s"$root/db"
+    spark.range(0, 3000)
+      .selectExpr("id AS k", "concat('p', id % 3) AS part", "id % 11 AS v")
+      .write.format("graft").option("table", "t").option("partitionBy", "part")
+      .mode("overwrite").save(dir)
+    val before = dataFileState(dir)
+    val deleted = (0 until 3000).count(_ % 13 == 2)
+    withMor { spark.sql("DELETE FROM morp.db.t WHERE k % 13 = 2") }
+    assert(dataFileState(dir).keySet == before.keySet, "MoR DELETE must not rewrite")
+    assert(liveDvEntries(dir).map(_._4).sum == deleted)
+    assert(spark.table("morp.db.t").count() == 3000 - deleted)
+    // path readers keep partition values, with the DVs applied
+    val pathRead = spark.read.format("graft").option("table", "t").load(dir)
+    assert(pathRead.count() == 3000 - deleted)
+    assert(pathRead.filter(col("part") =!= concat(lit("p"), col("k") % 3)).count() == 0)
+    // UPDATE refuses in BOTH modes, pointing at the path-API DML
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for (mor <- Seq(true, false)) {
+      val e = intercept[Exception] {
+        if (mor) withMorAll { spark.sql("UPDATE morp.db.t SET v = -1 WHERE k % 17 = 6") }
+        else spark.sql("UPDATE morp.db.t SET v = -1 WHERE k % 17 = 6")
+      }
+      assert(messages(e).exists(_.contains("hive-partitioned")),
+        s"mor=$mor: wrong refusal: $e")
+    }
+    // the path-API DML remains the supported mutation for this layout
+    graft.operators.FormatOps.updateWhere(spark, dir, "t",
+      Map("v" -> lit(-1L)), col("k") % 17 === 6)
+    val after = spark.read.format("graft").option("table", "t").load(dir)
+    assert(after.filter(col("v") === -1).count() ==
+      (0 until 3000).count(k => k % 17 == 6 && k % 13 != 2))
+    assert(after.filter(col("part") =!= concat(lit("p"), col("k") % 3)).count() == 0)
+  }
+
   test("DELETE matching nothing publishes no generation") {
     val root = mkCatalog("mor9")
     spark.range(0, 100).selectExpr("id AS k").coalesce(1)
