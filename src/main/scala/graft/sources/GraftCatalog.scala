@@ -678,7 +678,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
       Array("history", "vacuum", "restore", "compact", "compact_to_size",
         "contract", "audit", "reindex_ivf", "analyze", "verify_table",
-        "materialize_dvs")
+        "materialize_dvs", "changes_summary")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -695,6 +695,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "analyze") => analyzeProc
       case (Seq("sys"), "verify_table") => verifyTableProc
       case (Seq("sys"), "materialize_dvs") => materializeDvsProc
+      case (Seq("sys"), "changes_summary") => changesSummaryProc
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
@@ -925,6 +926,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       java.util.List.of[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = out
         override def readSchema(): StructType = materializeDvsSchema
+      }).iterator()
+    }
+  }
+
+  private val changesSummarySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("change_type", StringType),
+    org.apache.spark.sql.types.StructField("n", LongType)))
+
+  /** `CALL sys.changes_summary(ns, from_gen [, to_gen] [, keys] [, table])`
+    * — per-type row counts of the generation diff, through the
+    * file-granular fast path (unchanged files skipped outright): the SQL
+    * face of [[graft.operators.FormatOps.changesBetween]]. `keys` is a
+    * comma-separated key-column list; `to_gen` < 0 means the live view. */
+  private lazy val changesSummaryProc: UnboundProcedure = new SysProc("changes_summary",
+    "per-change-type row counts between two generations (file-granular diff)",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("from_gen", IntegerType).build(),
+      ProcedureParameter.in("to_gen", IntegerType).defaultValue("-1").build(),
+      ProcedureParameter.in("keys", StringType).defaultValue("'k'").build(),
+      ProcedureParameter.in("table", StringType).defaultValue("''").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      if (input.isNullAt(1))
+        throw new IllegalArgumentException("procedure argument from_gen must not be NULL")
+      val fromGen = input.getInt(1)
+      val toGen = if (input.isNullAt(2) || input.getInt(2) < 0) None
+        else Some(input.getInt(2))
+      val keys = (if (input.isNullAt(3)) "k" else input.getUTF8String(3).toString)
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // the diff reads the dir without a table option (single-table
+      // namespaces); an explicit table is not yet supported here
+      val tbl = if (input.isNullAt(4)) "" else input.getUTF8String(4).toString
+      require(tbl.isEmpty,
+        "changes_summary diffs single-table namespaces; the table argument " +
+          "is reserved (pass namespaces whose dir holds one table)")
+      val s = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val out = graft.operators.FormatOps
+        .changesBetween(s, dirOf(input), fromGen, toGen, keys)
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("change_type"))
+        .collect()
+        .map(r => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          r.getLong(1)): InternalRow)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = changesSummarySchema
       }).iterator()
     }
   }

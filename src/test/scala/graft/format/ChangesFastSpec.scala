@@ -118,6 +118,22 @@ class ChangesFastSpec extends SparkSpec {
     assert(fast == full)
   }
 
+  test("CALL sys.changes_summary: the diff's SQL face, per-type counts") {
+    val dir = mkTable("cdfsql", 2000, 2)
+    spark.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM cdfsql.db.t WHERE k % 41 = 5")
+    finally spark.conf.set("spark.graft.deleteMode", "copy-on-write")
+    spark.range(50000, 50070).selectExpr("id AS k", "id % 7 AS v")
+      .coalesce(1).writeTo("cdfsql.db.t").append()
+    val rows = spark.sql(
+      "CALL cdfsql.sys.changes_summary(ns => 'db', from_gen => 1, keys => 'k')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("delete") == (0 until 2000).count(_ % 41 == 5))
+    assert(rows("insert") == 70)
+    assert(!rows.contains("update"))
+    val _ = dir
+  }
+
   test("restore (DV shrinks in place) falls back to the full diff, still exact") {
     val dir = mkTable("cdfres", 2000, 2)
     spark.conf.set("spark.graft.deleteMode", "merge-on-read")
