@@ -382,17 +382,33 @@ object Generations {
     // pin the source view for the publish's late-append fold
     val srcDir = GraftDataSource.resolveDataDir(conf, dir)
     // ONE listing serves both the partition-column probe and the table
-    // enumeration (a 10^6-file LIST against an object store is the cost)
-    val listed = GraftDataSource.listPartitionedFiles(conf, dir)
+    // enumeration (a 10^6-file LIST against an object store is the cost).
+    // A probe can race a concurrent append's visibility re-home (the
+    // file-level rename into the live generation dir): the listed path
+    // vanishes before the footer open. Re-list and re-probe, bounded —
+    // SKIPPING a vanished file could silently drop a whole table from
+    // the rewrite, so vanish is never ignored, only re-resolved.
+    var attempt = 0
+    var listed = GraftDataSource.listPartitionedFiles(conf, dir)
+    var tableNames: Seq[String] = Seq.empty
+    var probed = false
+    while (!probed) {
+      try {
+        tableNames = GraftDataSource.inParallel(listed.map(_._1)) { f =>
+          val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
+          try r.tableNames finally r.close()
+        }.flatten.distinct.sorted
+        probed = true
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 4) throw e
+          Thread.sleep(5L * attempt)
+          listed = GraftDataSource.listPartitionedFiles(conf, dir)
+      }
+    }
     // hive-style partition columns re-route to the same layout on rewrite
     val partCols = GraftDataSource.partitionColumns(listed)
-    // rewrite EVERY named table (a dir may hold several — the catalog's
-    // namespace layout); reading without the table option would collapse
-    // them all into the default name and corrupt the catalog's view
-    val tableNames = GraftDataSource.inParallel(listed.map(_._1)) { f =>
-        val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
-        try r.tableNames finally r.close()
-      }.flatten.distinct.sorted
     if (tableNames.isEmpty) return // nothing to rewrite
     // stage under a unique tmp name; the publish below is one rename
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
@@ -801,11 +817,27 @@ object Generations {
     val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
     // pin the source view for the publish's late-append fold
     var srcDir = GraftDataSource.resolveDataDir(conf, dir)
-    val listed = GraftDataSource.listPartitionedSized(conf, dir)
-    if (listed.isEmpty) return false
+    // classification footer probes can race a concurrent append's
+    // visibility re-home (file moved into the live gen dir between the
+    // listing and the open): re-list and re-classify, bounded
+    var (listed, files) = {
+      var attempt = 0
+      var out: Option[(Seq[(Path, Long, Map[String, String])], Seq[DmlFile])] = None
+      while (out.isEmpty) {
+        val l = GraftDataSource.listPartitionedSized(conf, dir)
+        if (l.isEmpty) return false
+        try out = Some((l, classifyForDml(conf, root, l, table, pruneFilters, dir)))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            attempt += 1
+            if (attempt > 4) throw e
+            Thread.sleep(5L * attempt)
+        }
+      }
+      out.get
+    }
     var srcKnown = listed.map(_._1.toUri.getPath).toSet
     val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
-    val files = classifyForDml(conf, root, listed, table, pruneFilters, dir)
     if (!files.exists(_.metas.nonEmpty)) return false
     if (files.exists(f => f.candidate && f.names.size > 1)) {
       // a mixed-table candidate file can't be rewritten for one table

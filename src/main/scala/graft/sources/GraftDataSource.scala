@@ -37,6 +37,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // a footer probe can race a concurrent append's visibility re-home
+    // (file-level rename into the live generation dir) or a grace sweep:
+    // the listed path vanishes before the open. The fresh listing is the
+    // truth either way — re-list and re-probe, bounded, instead of
+    // failing a DML's schema resolution on a transient move
+    var attempt = 0
+    while (true) {
+      try return inferSchemaOnce(options)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 4) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def inferSchemaOnce(options: CaseInsensitiveStringMap): StructType = {
     val conf = GraftDataSource.sessionConf()
     val files = GraftDataSource.paths(options)
       .flatMap(GraftDataSource.listPartitionedFiles(conf, _))
@@ -953,6 +972,7 @@ object GraftDataSource {
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile) return Seq((root, rootStatus.getLen, Map.empty[String, String]))
     val out = Seq.newBuilder[(Path, Long, Map[String, String])]
+    val walkedNames = scala.collection.mutable.HashSet.empty[String]
     var frontier: Seq[(Path, Map[String, String])] = Seq(root -> Map.empty)
     while (frontier.nonEmpty) {
       val listed = inParallel(frontier) { case (p, part) => (fs.listStatus(p), part) }
@@ -960,7 +980,7 @@ object GraftDataSource {
         entries.toSeq.flatMap { s =>
           val name = s.getPath.getName
           if (s.isFile && name.endsWith(".graft")) {
-            out += ((s.getPath, s.getLen, part)); Seq.empty
+            out += ((s.getPath, s.getLen, part)); walkedNames += name; Seq.empty
           } else if (s.isDirectory && name.contains("=")) {
             val Array(k, v) = name.split("=", 2)
             Seq(s.getPath -> (part + (k -> unescapePathValue(v))))
@@ -974,13 +994,25 @@ object GraftDataSource {
     // `k=v` components exactly as they would a walked path. Sizes come
     // from the manifest — planning a carried 10^6-file view costs zero
     // extra stat calls.
+    //
+    // Re-home vs late-append-fold race: a publish's fold can add a
+    // by-reference entry for a late append in the same instant the
+    // appender's visibility guard MOVES that file into this very
+    // generation dir — the ref then dangles (the walk found the file at
+    // its new home). File names are globally unique and the move
+    // preserves them, so a carried ref whose NAME the physical walk
+    // already produced is exactly that race's leftover: drop it, the
+    // physical location wins (keeping both would double the rows; keeping
+    // only the ref fails the read on a path that no longer exists).
     readCarryManifest(fs, root).foreach { case (rel, size) =>
-      val part = rel.split('/').dropRight(1).iterator
-        .filter(_.contains("=")).map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          k -> unescapePathValue(v)
-        }.toMap
-      out += ((new Path(root.getParent, rel), size, part))
+      if (!walkedNames.contains(new Path(rel).getName)) {
+        val part = rel.split('/').dropRight(1).iterator
+          .filter(_.contains("=")).map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> unescapePathValue(v)
+          }.toMap
+        out += ((new Path(root.getParent, rel), size, part))
+      }
     }
     // Sweep-race guard, post-walk half: a marker still present AFTER the
     // walk proves no sweep began before the walk finished (markers go

@@ -134,7 +134,13 @@ class AppendRaceSpec extends SparkSpec {
     appender.get(600, TimeUnit.SECONDS)
     rewriter.get(600, TimeUnit.SECONDS)
     pool.shutdown()
-    assert(errors.isEmpty, s"unexpected errors: ${errors.toArray.mkString("; ")}")
+    assert(errors.isEmpty, s"unexpected errors: ${errors.toArray.map {
+      case t: Throwable =>
+        val sw = new java.io.StringWriter()
+        t.printStackTrace(new java.io.PrintWriter(sw))
+        sw.toString
+      case o => String.valueOf(o)
+    }.mkString("; ")}")
 
     val live = spark.read.format("graft").load(dir)
     val appended = live.filter(col("id") >= 100000L)
