@@ -2371,18 +2371,29 @@ object FormatOps {
     * clustered column a bounded value range per chunk, so a filter on
     * ANY of them skips chunks (the Delta/Iceberg OPTIMIZE ZORDER idea).
     *
-    * Buckets are 256 uniform divisions of each column's [min, max]
-    * (bounds come from one aggregate that graft scans answer from
-    * footer metadata alone); the interleaved key feeds a RANGE
-    * repartition + in-partition sort, so chunks tile the z-curve
-    * globally. Uniform buckets trade quantile fidelity for a
-    * driver-free two-job rewrite — heavily skewed columns cluster
-    * less evenly but never incorrectly (the key only orders rows).
+    * Two binning modes pick the per-column bucket index:
+    *   - `uniform` (default): 256 equal divisions of [min, max] via
+    *     `width_bucket` — bounds come from one aggregate that graft
+    *     scans answer from footer metadata alone, so the whole rewrite
+    *     is two jobs with no extra data pass. Heavily skewed columns
+    *     cluster less evenly (99% of a zipfian column can land in one
+    *     bucket, and that column stops contributing pruning bits) but
+    *     never incorrectly — the key only orders rows.
+    *   - `quantile`: 255 approxQuantile boundaries (ε=0.001) put ~equal
+    *     ROW MASS in every bucket regardless of the value distribution
+    *     — the skew-robust mode, at the cost of one extra column-pruned
+    *     pass over the cluster columns. Binning is a codegen'd binary
+    *     search ([[graft.functions.QuantileBucket]]); the boundary
+    *     arrays are ≤255 doubles per column on the driver, size-bounded
+    *     at any table scale.
     * Numeric/date columns only, 2–4 of them. */
   def cluster(s: SparkSession, dir: String, table: String, cols: Seq[String],
-      targetFiles: Int, writeOptions: Map[String, String] = Map.empty): Unit = {
+      targetFiles: Int, writeOptions: Map[String, String] = Map.empty,
+      binning: String = "uniform"): Unit = {
     require(cols.size >= 2 && cols.size <= 4,
       s"z-order wants 2-4 columns, got ${cols.size} (one column: just sort)")
+    require(binning == "uniform" || binning == "quantile",
+      s"binning must be 'uniform' or 'quantile', got '$binning'")
     var touched = false
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
@@ -2390,24 +2401,46 @@ object FormatOps {
         touched = true
         val missing = cols.filterNot(df.columns.contains)
         require(missing.isEmpty, s"z-order on unknown columns: ${missing.mkString(",")}")
-        // one metadata-answerable job for all bounds
-        val aggs = cols.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        val bounds = df.agg(aggs.head, aggs.tail: _*).head()
         val n = cols.size
-        val buckets = cols.zipWithIndex.map { case (c, i) =>
-          // an empty table or all-null column has NULL bounds (a bare
-          // getDouble would NPE mid-rewrite); NaN bounds poison the
-          // interpolated width_bucket SQL (the literal parses as a
-          // COLUMN reference) and NaN == NaN is false so the flat-range
-          // guard misses — both degrade to a constant bucket: the
-          // column simply contributes no z-order bits, everything else
-          // still clusters
-          if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
-          else {
-            val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-            if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite || lo == hi) lit(0L)
-            else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
+        val buckets = if (binning == "quantile") {
+          // one column-pruned pass for all boundary arrays; nulls are
+          // ignored by approxQuantile and bucket to 0 via the coalesce
+          graft.functions.QuantileBucket.register(s)
+          val casted = cols.map(c => col(c).cast("double").as(c))
+          val probs = (1 until 256).map(_.toDouble / 256).toArray
+          val qs = df.select(casted: _*).stat.approxQuantile(cols.toArray, probs, 0.001)
+          cols.zipWithIndex.map { case (c, i) =>
+            // collapse tied quantiles (constant/low-cardinality runs) and
+            // drop NaN boundaries: a shorter sorted array bins coarser,
+            // an EMPTY one (all-null/empty/all-NaN column) degrades to a
+            // constant bucket — no pruning bits from that column, never
+            // a wrong order
+            val bs = qs(i).filter(!_.isNaN).distinct.sorted
+            if (bs.isEmpty) lit(0L)
+            else coalesce(
+              graft.functions.QuantileBucket.bucket(
+                col(c).cast("double"), typedLit(bs.toSeq)),
+              lit(0L))
+          }
+        } else {
+          // one metadata-answerable job for all bounds
+          val aggs = cols.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+          cols.zipWithIndex.map { case (c, i) =>
+            // an empty table or all-null column has NULL bounds (a bare
+            // getDouble would NPE mid-rewrite); NaN bounds poison the
+            // interpolated width_bucket SQL (the literal parses as a
+            // COLUMN reference) and NaN == NaN is false so the flat-range
+            // guard misses — both degrade to a constant bucket: the
+            // column simply contributes no z-order bits, everything else
+            // still clusters
+            if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+            else {
+              val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+              if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite || lo == hi) lit(0L)
+              else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
+            }
           }
         }
         // interleave: bit k of bucket i lands at position k*n + i
@@ -2422,6 +2455,16 @@ object FormatOps {
           .drop("__z")
       }, targetFiles = None, writeOptions = writeOptions, rowChurning = false)
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
+    // record the clustering on the generation it produced, so DESCRIBE
+    // can narrate it (and downgrade the claim once later appends land
+    // unclustered files — see GraftDataSource.ClusterSpecName)
+    val conf = s.sparkContext.hadoopConfiguration
+    val nFiles = graft.sources.GraftDataSource.listPartitionedFiles(conf, dir).size
+    graft.sources.AtomicPublish.text(conf,
+      new org.apache.hadoop.fs.Path(
+        graft.sources.GraftDataSource.resolveDataDir(conf, dir),
+        graft.sources.GraftDataSource.ClusterSpecName),
+      s"${cols.mkString(",")}\n$binning\n$nFiles\n$table")
   }
 
   // ---- q98: z-order clustering preserves content, prunes both dims ----------

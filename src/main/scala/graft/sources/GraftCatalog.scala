@@ -677,8 +677,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.map(_.toLowerCase).toSeq == Seq("sys"))
       Array("history", "vacuum", "restore", "compact", "compact_to_size",
-        "contract", "audit", "reindex_ivf", "analyze", "verify_table",
-        "materialize_dvs", "changes_summary")
+        "cluster", "contract", "audit", "reindex_ivf", "analyze",
+        "verify_table", "materialize_dvs", "changes_summary")
         .map(Identifier.of(Array("sys"), _))
     else Array.empty
 
@@ -689,6 +689,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (Seq("sys"), "restore") => restoreProc
       case (Seq("sys"), "compact") => compactProc
       case (Seq("sys"), "compact_to_size") => compactToSizeProc
+      case (Seq("sys"), "cluster") => clusterProc
       case (Seq("sys"), "contract") => contractProc
       case (Seq("sys"), "audit") => auditProc
       case (Seq("sys"), "reindex_ivf") => reindexIvfProc
@@ -700,6 +701,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"unknown procedure $ident — available: sys.history(ns), " +
           "sys.vacuum(ns, grace_ms), sys.restore(ns, generation), " +
           "sys.compact(ns, target_files), sys.compact_to_size(ns, target_bytes), " +
+          "sys.cluster(ns, cols, target_files, table, binning), " +
           "sys.contract(ns), sys.audit(ns), sys.reindex_ivf(ns, cells), " +
           "sys.analyze(ns, exact), sys.materialize_dvs(ns, table, min_fraction)")
     }
@@ -895,6 +897,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         throw new IllegalArgumentException("procedure argument target_bytes must not be NULL")
       graft.operators.FormatOps.compactToSize(
         org.apache.spark.sql.SparkSession.active, dirOf(input), input.getLong(1))
+      done
+    }
+  }
+
+  /** `CALL sys.cluster(ns, cols, target_files [, table] [, binning])` —
+    * the SQL face of [[graft.operators.FormatOps.cluster]]: z-order
+    * (Morton) clustering of `table` on the comma-separated `cols`, into
+    * `target_files` range-partitioned files. `binning` picks the bucket
+    * mode: 'uniform' (two metadata-cheap jobs) or 'quantile' (skew-
+    * robust — equal row mass per bucket at the cost of one extra
+    * column-pruned pass). */
+  private lazy val clusterProc: UnboundProcedure = new SysProc("cluster",
+    "z-order cluster a table on 2-4 columns so range filters on ANY of them prune",
+    Array(ProcedureParameter.in("ns", StringType).build(),
+      ProcedureParameter.in("cols", StringType).build(),
+      ProcedureParameter.in("target_files", IntegerType).build(),
+      ProcedureParameter.in("table", StringType).defaultValue("'data'").build(),
+      ProcedureParameter.in("binning", StringType).defaultValue("'uniform'").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      if (input.isNullAt(1))
+        throw new IllegalArgumentException("procedure argument cols must not be NULL")
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val tbl = if (input.isNullAt(3)) "data" else input.getUTF8String(3).toString
+      val binning = if (input.isNullAt(4)) "uniform" else input.getUTF8String(4).toString
+      graft.operators.FormatOps.cluster(
+        org.apache.spark.sql.SparkSession.active, dirOf(input), tbl, cols,
+        requiredInt(input, 2, "target_files"), binning = binning)
       done
     }
   }

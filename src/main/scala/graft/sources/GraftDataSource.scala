@@ -269,6 +269,37 @@ object GraftDataSource {
     * time-travel rows out of existence. */
   val SwapTsName = ".swap-ts"
 
+  /** Clustering record written INSIDE a generation dir by
+    * [[graft.operators.FormatOps.cluster]] right after its publish:
+    * four lines — cols (comma-joined), binning mode, live file count
+    * at record time, table name. Living inside the gen dir buys the right lifecycle
+    * for free: restore to a pre-clustering generation and the record
+    * vanishes with it; vacuum reclaims it with its generation; a COW
+    * rewrite publishes a NEW generation without the record (the
+    * conservative "no clustering claim"). DESCRIBE compares the
+    * recorded file count against the live listing: appends land
+    * unclustered files, so a count drift downgrades the claim to
+    * partial rather than silently overstating prune-ability. */
+  val ClusterSpecName = ".cluster-spec"
+
+  /** The live generation's clustering record, if any:
+    * (cols, binning, fileCountAtRecordTime, table). */
+  def readClusterSpec(conf: Configuration, dir: String)
+      : Option[(String, String, Long, String)] =
+    try {
+      val p = new Path(resolveDataDir(conf, dir), ClusterSpecName)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val lines = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n")
+        finally in.close()
+        if (lines.length < 4) None
+        else Some((lines(0).trim, lines(1).trim, lines(2).trim.toLong, lines(3).trim))
+      }
+    } catch { case _: Exception => None }
+
   /** Liveness claim written at staging-dir creation by every rewrite
     * path. The dead-data sweep reclaims a stale staging WHOLE (claim
     * included); helper writes after such a sweep would silently
@@ -1278,7 +1309,26 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         "deleteVectors.files" -> m.size.toString,
         "deleteVectors.deletedRows" -> m.values.map(_._2).sum.toString)
     }
-    (base ++ tbl ++ bucket ++ sort ++ stats ++ dv).asJava
+    // clustering claim, when the live generation carries one: which
+    // columns z-order pruning can rely on, and whether post-clustering
+    // appends have diluted it (exact file-count match = every live file
+    // tiles the z-curve; drift = some files postdate the rewrite)
+    val clustering = (if (dirs.size == 1) GraftDataSource.readClusterSpec(
+        GraftDataSource.sessionConf(), dirs.head) else None) match {
+      case Some((cols, binning, recorded, clusteredTable))
+          if clusteredTable == tbl.map(_._2).getOrElse("data") =>
+        val now: Long = try GraftDataSource
+          .listPartitionedFiles(GraftDataSource.sessionConf(), dirs.head).size.toLong
+        catch { case _: Exception => recorded }
+        val state =
+          if (now == recorded) "clustered"
+          else s"partial (${math.abs(now - recorded)} of $now files postdate " +
+            "the clustering rewrite — run sys.cluster again)"
+        Map("clustering.columns" -> cols, "clustering.binning" -> binning,
+          "clustering.state" -> state)
+      case _ => Map.empty[String, String]
+    }
+    (base ++ tbl ++ bucket ++ sort ++ stats ++ dv ++ clustering).asJava
   }
   override def name(): String = s"graft:${dirs.mkString(",")}"
   override def schema(): StructType = schema

@@ -63,6 +63,99 @@ class ClusterSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("quantile binning prunes a zipfian column where uniform binning cannot") {
+    // 99% of x-mass packed into [0, 100), 1% tailing out to ~10^6: the
+    // uniform mode's 256 equal divisions of [min, max] put every dense
+    // row in bucket 0, so x contributes no z-order bits and a narrow
+    // dense-region slice skips (almost) nothing. Quantile boundaries
+    // split the dense region finely — the same slice prunes hard.
+    def build(binning: String): (String, Seq[String]) = {
+      val dir = Files.createTempDirectory(s"graft-zq-$binning").toString
+      spark.range(0, 100000).selectExpr(
+        "id",
+        """CASE WHEN (id * 7919) % 1000 < 990 THEN ((id * 7919) % 1000) % 100
+           ELSE 100 + (((id * 7919) % 1000) - 990) * 100000 END AS x""",
+        "(id * 104729) % 1000 AS y")
+        .repartition(8).write.format("graft").option("chunkrows", "2048")
+        .mode("overwrite").save(dir)
+      val before = canon(spark.read.format("graft").load(dir))
+      FormatOps.cluster(spark, dir, "data", Seq("x", "y"),
+        targetFiles = 4, writeOptions = Map("chunkrows" -> "2048"),
+        binning = binning)
+      (dir, before)
+    }
+
+    val (uDir, uBefore) = build("uniform")
+    val (qDir, qBefore) = build("quantile")
+    // both modes are pure reorderings
+    assert(canon(spark.read.format("graft").load(uDir)) == uBefore)
+    assert(canon(spark.read.format("graft").load(qDir)) == qBefore)
+
+    val uFx = skippedFraction(uDir, "x", 10, 15)
+    val qFx = skippedFraction(qDir, "x", 10, 15)
+    assert(qFx > 0.5, f"quantile x-slice skipped only ${qFx * 100}%.0f%% of chunks")
+    assert(uFx < qFx,
+      f"uniform (${uFx * 100}%.0f%%) should prune the dense region worse " +
+        f"than quantile (${qFx * 100}%.0f%%)")
+    // the OTHER dimension keeps pruning under quantile mode too
+    val qFy = skippedFraction(qDir, "y", 700, 750)
+    assert(qFy > 0.5, f"quantile y-slice skipped only ${qFy * 100}%.0f%% of chunks")
+    // skipped results stay correct
+    val got = spark.read.format("graft").load(qDir)
+      .filter(col("x") > 10 && col("x") < 15).agg(sum("id"), count(lit(1))).head
+    val want = spark.read.format("graft").load(uDir)
+      .filter(col("x") > 10 && col("x") < 15).agg(sum("id"), count(lit(1))).head
+    assert(got == want)
+  }
+
+  test("CALL sys.cluster is the SQL face of the rewrite") {
+    val root = Files.createTempDirectory("graft-zproc").toString
+    spark.conf.set("spark.sql.catalog.graft_zp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_zp.root", root)
+    spark.range(0, 100000).selectExpr(
+      "id", "(id * 7919) % 1000 AS x", "(id * 104729) % 1000 AS y")
+      .repartition(8).write.format("graft").option("chunkrows", "2048")
+      .option("table", "t").mode("overwrite").save(s"$root/db")
+    def read() = spark.read.format("graft").option("table", "t").load(s"$root/db")
+    val before = canon(read())
+
+    // 16 files (the CALL carries no chunkrows option, so one chunk per
+    // file — pruning granularity here IS the file)
+    spark.sql("CALL graft_zp.sys.cluster(ns => 'db', cols => 'x,y', " +
+      "target_files => 16, table => 't', binning => 'quantile')")
+
+    assert(canon(read()) == before)
+    val fx = skippedFraction(s"$root/db", "x", 100, 150)
+    assert(fx > 0.5, f"post-CALL x-slice skipped only ${fx * 100}%.0f%% of chunks")
+
+    // DESCRIBE narrates the clustering; a later append downgrades the
+    // claim to partial (the new file never saw the z-key)
+    def props(): String = spark.sql(
+      "DESCRIBE TABLE EXTENDED graft_zp.db.t")
+      .filter(col("col_name") === "Table Properties")
+      .head().getString(1)
+    val p1 = props()
+    assert(p1.contains("clustering.columns=x,y"), p1)
+    assert(p1.contains("clustering.binning=quantile"), p1)
+    assert(p1.contains("clustering.state=clustered"), p1)
+    spark.range(0, 100).selectExpr("id", "id AS x", "id AS y")
+      .write.format("graft").option("table", "t").mode("append").save(s"$root/db")
+    val p2 = props()
+    assert(p2.contains("clustering.state=partial"), p2)
+
+    // bad arguments refuse loudly without publishing a generation
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graft_zp.sys.cluster(ns => 'db', cols => 'x,zz', " +
+        "target_files => 4, table => 't')")
+    }
+    assert(e1.getMessage.contains("zz"))
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft_zp.sys.cluster(ns => 'db', cols => 'x,y', " +
+        "target_files => 4, table => 't', binning => 'bogus')")
+    }
+    assert(e2.getMessage.contains("bogus"))
+  }
+
   test("unknown table or column refuses loudly") {
     val dir = Files.createTempDirectory("graft-zorder-bad").toString
     spark.range(0, 100).selectExpr("id", "id AS a", "id AS b")
