@@ -2394,6 +2394,15 @@ object FormatOps {
       s"z-order wants 2-4 columns, got ${cols.size} (one column: just sort)")
     require(binning == "uniform" || binning == "quantile",
       s"binning must be 'uniform' or 'quantile', got '$binning'")
+    // a bucketed table's layout marker re-shapes every rewrite by the
+    // bucket column (shapedWriter) — it would silently UNDO the z-order
+    // while the clustering record still claimed it. Bucketing and
+    // z-ordering prescribe conflicting physical layouts; refuse.
+    require(graft.sources.GraftDataSource.readBucketMarker(
+        s.sparkContext.hadoopConfiguration, dir, table).isEmpty,
+      s"table '$table' is bucketed — its layout marker re-shapes every " +
+        "rewrite by the bucket column, which would undo the z-order; " +
+        "cluster a non-bucketed table, or drop the bucket layout first")
     var touched = false
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
@@ -2479,7 +2488,8 @@ object FormatOps {
       .write.format("graft").option("chunkrows", "4000")
       .mode("overwrite").save(dir)
     cluster(s, dir, "data", Seq("o_custkey", "o_totalprice"),
-      targetFiles = 4, writeOptions = Map("chunkrows" -> "4000"))
+      targetFiles = 4, writeOptions = Map("chunkrows" -> "4000"),
+      binning = "quantile")
     s.read.format("graft").load(dir)
       .filter(col("o_custkey") < 500 || col("o_totalprice") > 400000.0)
       .groupBy(col("o_orderstatus"))

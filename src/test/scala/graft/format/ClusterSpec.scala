@@ -156,6 +156,17 @@ class ClusterSpec extends SparkSpec {
     assert(e2.getMessage.contains("bogus"))
   }
 
+  test("bucketed tables refuse clustering (the layout marker would undo it)") {
+    val dir = Files.createTempDirectory("graft-zorder-bucketed").toString
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS a", "id % 11 AS b")
+      .write.format("graft").option("bucketBy", "id:4")
+      .mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      FormatOps.cluster(spark, dir, "data", Seq("a", "b"), 2)
+    }
+    assert(e.getMessage.contains("bucketed"), e.getMessage)
+  }
+
   test("unknown table or column refuses loudly") {
     val dir = Files.createTempDirectory("graft-zorder-bad").toString
     spark.range(0, 100).selectExpr("id", "id AS a", "id AS b")
