@@ -2462,18 +2462,32 @@ object FormatOps {
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      }, targetFiles = None, writeOptions = writeOptions, rowChurning = false)
+      }, targetFiles = None, writeOptions = writeOptions, rowChurning = false,
+      // record the clustering INSIDE the staging dir so it publishes
+      // atomically with the generation it describes — written after the
+      // data, counted from the staging's own output (every live file at
+      // birth is the rewrite's), so a concurrent append or compact can
+      // neither inflate the recorded count nor steal the record into a
+      // generation this rewrite never produced (see
+      // GraftDataSource.ClusterSpecName)
+      beforePublish = Some { (conf, staging) =>
+        // `touched` is set by the transform, which ran during the table
+        // writes above this hook; an unknown table publishes NO claim
+        // (the require below then fails the call loudly)
+        if (touched) {
+        val fs = staging.getFileSystem(conf)
+        var nFiles = 0L
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".graft")) nFiles += 1
+        }
+        graft.sources.AtomicPublish.text(conf,
+          new org.apache.hadoop.fs.Path(staging,
+            graft.sources.GraftDataSource.ClusterSpecName),
+          s"${cols.mkString(",")}\n$binning\n$nFiles\n$table")
+        }
+      })
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
-    // record the clustering on the generation it produced, so DESCRIBE
-    // can narrate it (and downgrade the claim once later appends land
-    // unclustered files — see GraftDataSource.ClusterSpecName)
-    val conf = s.sparkContext.hadoopConfiguration
-    val nFiles = graft.sources.GraftDataSource.listPartitionedFiles(conf, dir).size
-    graft.sources.AtomicPublish.text(conf,
-      new org.apache.hadoop.fs.Path(
-        graft.sources.GraftDataSource.resolveDataDir(conf, dir),
-        graft.sources.GraftDataSource.ClusterSpecName),
-      s"${cols.mkString(",")}\n$binning\n$nFiles\n$table")
   }
 
   // ---- q98: z-order clustering preserves content, prunes both dims ----------

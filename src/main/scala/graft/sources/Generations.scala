@@ -369,7 +369,8 @@ object Generations {
       writeOptions: Map[String, String] = Map.empty,
       graceMs: Long = -1L,
       idempotencyKey: Option[String] = None,
-      rowChurning: Boolean = true): Unit = {
+      rowChurning: Boolean = true,
+      beforePublish: Option[(Configuration, Path) => Unit] = None): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -424,6 +425,11 @@ object Generations {
       shapedWriter(df0, layout, targetFiles, t, writeOptions, partCols)
         .save(staging.toString)
     }
+    // metadata a caller wants published ATOMICALLY with the generation
+    // (e.g. the clustering record) is written into the staging dir here,
+    // so it rides the publish rename — it can never land in a
+    // generation some concurrent rewrite published in between
+    beforePublish.foreach(_(conf, staging))
     publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir,
       sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
     // stats lifecycle: a full rewrite either churned every row (DML —

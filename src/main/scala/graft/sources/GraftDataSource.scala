@@ -269,17 +269,24 @@ object GraftDataSource {
     * time-travel rows out of existence. */
   val SwapTsName = ".swap-ts"
 
-  /** Clustering record written INSIDE a generation dir by
-    * [[graft.operators.FormatOps.cluster]] right after its publish:
-    * four lines — cols (comma-joined), binning mode, live file count
-    * at record time, table name. Living inside the gen dir buys the right lifecycle
-    * for free: restore to a pre-clustering generation and the record
-    * vanishes with it; vacuum reclaims it with its generation; a COW
-    * rewrite publishes a NEW generation without the record (the
-    * conservative "no clustering claim"). DESCRIBE compares the
-    * recorded file count against the live listing: appends land
-    * unclustered files, so a count drift downgrades the claim to
-    * partial rather than silently overstating prune-ability. */
+  /** Clustering record written INTO THE STAGING DIR by
+    * [[graft.operators.FormatOps.cluster]] — it rides the publish
+    * rename, so it is atomically part of the generation it describes
+    * and can never land in a generation some concurrent rewrite
+    * published in between. Four lines: cols (comma-joined), binning
+    * mode, the staging's own .graft file count (= every live file at
+    * the generation's birth), table name. Living inside the gen dir
+    * buys the right lifecycle for free: restore to a pre-clustering
+    * generation and the record vanishes with it; vacuum reclaims it
+    * with its generation; a COW rewrite publishes a NEW generation
+    * without the record (the conservative "no clustering claim").
+    * DESCRIBE compares the recorded count against the live listing:
+    * appends (and the publish's own late-append fold) land unclustered
+    * files, so any drift downgrades the claim to partial rather than
+    * silently overstating prune-ability. The count is namespace-wide —
+    * sibling-table activity downgrades conservatively (a false
+    * 'partial', never a false 'clustered'); counting per-table would
+    * need a footer open per file at DESCRIBE time. */
   val ClusterSpecName = ".cluster-spec"
 
   /** The live generation's clustering record, if any:
@@ -1263,6 +1270,15 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     val tbl = Option(options.get("table")).map("table" -> _)
     val bucket = Option(options.get("bucketby")).map("bucketBy" -> _)
     val sort = Option(options.get("sortby")).map("sortBy" -> _)
+    // ONE live listing shared by the stats byte-ratio and the clustering
+    // drift check below (a second recursive walk per DESCRIBE would
+    // double its dominant cost on a 10^5-file object-store table);
+    // None = listing unavailable, and each consumer degrades honestly
+    lazy val sizedListing: Option[Seq[(Path, Long, Map[String, String])]] =
+      if (dirs.size != 1) None
+      else try Some(GraftDataSource.listPartitionedSized(
+        GraftDataSource.sessionConf(), dirs.head))
+      catch { case _: Exception => None }
     // ANALYZE snapshot, when one exists: DESCRIBE EXTENDED shows the
     // recorded row count, its generation, and the NDV mode at a glance
     val stats = (if (dirs.size == 1)
@@ -1274,9 +1290,7 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         // fresh → extrapolated (bytes grew/shrank; rows scale by the
         // ratio) → stale (DML churn crossed the threshold; the scan
         // stops serving per-column stats until the next ANALYZE)
-        val onDisk = try GraftDataSource
-          .listPartitionedSized(GraftDataSource.sessionConf(), dirs.head)
-          .map(_._2).sum catch { case _: Exception => a.bytes }
+        val onDisk = sizedListing.map(_.map(_._2).sum).getOrElse(a.bytes)
         val churnPct = math.round(a.churnFraction * 100)
         val appendPct = math.round(a.appendFraction * 100)
         val state =
@@ -1317,13 +1331,20 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         GraftDataSource.sessionConf(), dirs.head) else None) match {
       case Some((cols, binning, recorded, clusteredTable))
           if clusteredTable == tbl.map(_._2).getOrElse("data") =>
-        val now: Long = try GraftDataSource
-          .listPartitionedFiles(GraftDataSource.sessionConf(), dirs.head).size.toLong
-        catch { case _: Exception => recorded }
-        val state =
-          if (now == recorded) "clustered"
-          else s"partial (${math.abs(now - recorded)} of $now files postdate " +
-            "the clustering rewrite — run sys.cluster again)"
+        // the recorded count is namespace-wide (the rewrite's whole
+        // output), so sibling-table activity downgrades conservatively
+        // — a false 'partial', never a false 'clustered'
+        val state = sizedListing.map(_.size.toLong) match {
+          case None =>
+            "unknown (live listing unavailable; claim not checkable)"
+          case Some(now) if now == recorded => "clustered"
+          case Some(now) if now > recorded =>
+            s"partial (${now - recorded} of $now live namespace files " +
+              "postdate the clustering rewrite — run sys.cluster again)"
+          case Some(now) =>
+            s"partial (namespace file count shrank from $recorded to $now " +
+              "since the clustering rewrite)"
+        }
         Map("clustering.columns" -> cols, "clustering.binning" -> binning,
           "clustering.state" -> state)
       case _ => Map.empty[String, String]
