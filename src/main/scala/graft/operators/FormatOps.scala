@@ -2386,12 +2386,17 @@ object FormatOps {
     *     search ([[graft.functions.QuantileBucket]]); the boundary
     *     arrays are ≤255 doubles per column on the driver, size-bounded
     *     at any table scale.
-    * Numeric/date columns only, 2–4 of them. */
+    * ONE column degenerates to exact lexicographic range clustering
+    * (repartitionByRange + in-partition sort — no binning, no
+    * quantization: the single-column case needs no z-curve and a plain
+    * sort gives strictly tighter zone maps than 256 buckets would).
+    * Numeric/date columns only for z-order (2–4 of them); a single
+    * sort column may be any orderable type. */
   def cluster(s: SparkSession, dir: String, table: String, cols: Seq[String],
       targetFiles: Int, writeOptions: Map[String, String] = Map.empty,
       binning: String = "uniform"): Unit = {
-    require(cols.size >= 2 && cols.size <= 4,
-      s"z-order wants 2-4 columns, got ${cols.size} (one column: just sort)")
+    require(cols.nonEmpty && cols.size <= 4,
+      s"cluster wants 1-4 columns, got ${cols.size}")
     require(binning == "uniform" || binning == "quantile",
       s"binning must be 'uniform' or 'quantile', got '$binning'")
     // a bucketed table's layout marker re-shapes every rewrite by the
@@ -2410,6 +2415,11 @@ object FormatOps {
         touched = true
         val missing = cols.filterNot(df.columns.contains)
         require(missing.isEmpty, s"z-order on unknown columns: ${missing.mkString(",")}")
+        if (cols.size == 1) {
+          // single column: exact sort clustering, no z-curve needed
+          df.repartitionByRange(targetFiles, col(cols.head))
+            .sortWithinPartitions(col(cols.head))
+        } else {
         val n = cols.size
         val buckets = if (binning == "quantile") {
           // one column-pruned pass for all boundary arrays; nulls are
@@ -2462,6 +2472,7 @@ object FormatOps {
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
+        }
       }, targetFiles = None, writeOptions = writeOptions, rowChurning = false,
       // record the clustering INSIDE the staging dir so it publishes
       // atomically with the generation it describes — written after the
@@ -3533,6 +3544,41 @@ object FormatOps {
       |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q162: a maintenance rewrite's OWN output planning-prunes -------------
+  // q136's planning prune needed a DML to create the stats manifest;
+  // here NO DML ever touches the table — the clustering rewrite itself
+  // covers its output, so the operation that PRODUCES the canonical
+  // 100 TB layout also buys planning-time file pruning. Shuffled write,
+  // single-column cluster (exact range sort), single-key filter: the
+  // plan must schedule ≤2 of 8 files with zero per-file I/O.
+  private val q162: Q = (s, d) => {
+    val dir = graftDir(d, "rewrite_prune")
+    Tables.orders(s, d).repartition(8) // shuffled: every file spans the keys
+      .write.format("graft").mode("overwrite").save(dir)
+    cluster(s, dir, "data", Seq("o_orderkey"), targetFiles = 8)
+    val g = s.read.format("graft").load(dir)
+    val keyMax = g.agg(max(col("o_orderkey"))).head().getLong(0)
+    val sel = g.filter(col("o_orderkey") === keyMax)
+    val files = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten.distinct.size
+    if (files > 2)
+      throw new IllegalStateException(
+        s"rewrite self-manifest prune regressed: $files files scheduled for " +
+          "a single-key filter over 8 freshly range-clustered files (no DML ran)")
+    sel.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q162Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
   // 10% price increase on open orders; the oracle recomputes the same
   // CASE from parquet. Both sides multiply the identical doubles, so a
@@ -3783,6 +3829,7 @@ object FormatOps {
     "q159_mor_cdc" -> q159,
     "q160_incremental_diff" -> q160,
     "q161_materialize_dvs" -> q161,
+    "q162_rewrite_prune" -> q162,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3840,6 +3887,7 @@ object FormatOps {
     "q159_mor_cdc" -> q159Sql,
     "q160_incremental_diff" -> q160Sql,
     "q161_materialize_dvs" -> q161Sql,
+    "q162_rewrite_prune" -> q162Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -425,6 +425,35 @@ object Generations {
       shapedWriter(df0, layout, targetFiles, t, writeOptions, partCols)
         .save(staging.toString)
     }
+    // Self-covering stats manifest: a full rewrite's own output gets the
+    // same planning-time zone maps a DML's carried files enjoy. Without
+    // this, a freshly compacted/clustered table — the canonical layout
+    // maintenance PRODUCES — planned selective queries worse than a
+    // DML-touched one (every file scheduled, footer opened per task);
+    // with it, planning drops non-matching files before any task exists
+    // and estimateStatistics reports exact rows. One parallel footer
+    // sweep over files this rewrite just wrote; entries use the rel
+    // paths the files will have AFTER the publish rename, and the
+    // listing's name-dedup keeps self-references from double-counting.
+    // The late-append fold below MERGES into this manifest (it reads
+    // existing entries first).
+    if (s.conf.get("spark.graft.rewrite.statsManifest", "true").toBoolean) {
+      def walkOut(p: Path): Seq[(Path, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".graft"))
+            Seq((st.getPath, st.getLen))
+          else if (st.isDirectory) walkOut(st.getPath)
+          else Seq.empty
+        }
+      val entries = GraftDataSource.inParallel(walkOut(staging)) { case (p, size) =>
+        val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+        val metas = try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
+        (s"$nextGen/${GraftDataSource.relativePath(staging, p)}", size,
+          Some(graft.format.Stats.statsToJson(metas)): Option[String])
+      }
+      if (entries.nonEmpty)
+        GraftDataSource.writeCarryManifest(fs, staging, entries)
+    }
     // metadata a caller wants published ATOMICALLY with the generation
     // (e.g. the clustering record) is written into the staging dir here,
     // so it rides the publish rename — it can never land in a

@@ -909,7 +909,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * robust — equal row mass per bucket at the cost of one extra
     * column-pruned pass). */
   private lazy val clusterProc: UnboundProcedure = new SysProc("cluster",
-    "z-order cluster a table on 2-4 columns so range filters on ANY of them prune",
+    "cluster a table on 1-4 columns (1 = exact sort, 2-4 = z-order) so range filters prune",
     Array(ProcedureParameter.in("ns", StringType).build(),
       ProcedureParameter.in("cols", StringType).build(),
       ProcedureParameter.in("target_files", IntegerType).build(),

@@ -137,6 +137,37 @@ class PlanningPruneSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prevB)
   }
 
+  test("a full rewrite's own output is manifest-covered: planning prunes with zero DML") {
+    val dir = Files.createTempDirectory("graft-planprune-rw").toString
+    spark.range(0, 80000).selectExpr("id", "CAST(id % 97 AS INT) AS bucket")
+      .repartition(8).write.format("graft").mode("overwrite").save(dir)
+    // the maintenance rewrite ALONE (no DML ever touches this table) must
+    // cover its output with planning stats — layout maintenance is the
+    // operation that PRODUCES the canonical clustered shape, so it must
+    // not plan worse than a DML-touched table
+    Generations.rewrite(spark, dir,
+      (_, df) => df.repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      rowChurning = false)
+
+    val full = spark.read.format("graft").load(dir)
+    // every kept file covered → exact planner row count, no footer I/O
+    val rc = full.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.rowCount
+    }.flatten
+    assert(rc.exists(_.toLong == 80000L),
+      s"expected exact 80000 rows from the rewrite's own manifest, got $rc")
+
+    val allParts = scanExec(full).inputPartitions.size
+    assert(allParts >= 4, s"want a multi-file table, got $allParts partitions")
+    val sel = full.filter($"id" === 70007L)
+    assert(sel.count() == 1)
+    val selParts = scanExec(sel).inputPartitions.size
+    assert(selParts <= 2 && selParts < allParts,
+      s"selective filter planned $selParts of $allParts partitions; " +
+        "the rewrite's own manifest should keep ~1")
+  }
+
   test("runtime DPP filters prune carried files at execution planning") {
     val dir = buildTable()
     // a COW DML must not lose rows to the new prune layer: delete via the
