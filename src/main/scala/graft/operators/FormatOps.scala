@@ -2414,7 +2414,7 @@ object FormatOps {
       else {
         touched = true
         val missing = cols.filterNot(df.columns.contains)
-        require(missing.isEmpty, s"z-order on unknown columns: ${missing.mkString(",")}")
+        require(missing.isEmpty, s"cluster on unknown columns: ${missing.mkString(",")}")
         if (cols.size == 1) {
           // single column: exact sort clustering, no z-curve needed
           df.repartitionByRange(targetFiles, col(cols.head))
@@ -2495,7 +2495,10 @@ object FormatOps {
         graft.sources.AtomicPublish.text(conf,
           new org.apache.hadoop.fs.Path(staging,
             graft.sources.GraftDataSource.ClusterSpecName),
-          s"${cols.mkString(",")}\n$binning\n$nFiles\n$table")
+          // a single column is an exact sort — recording the binning
+          // mode would name machinery that never ran
+          s"${cols.mkString(",")}\n${if (cols.size == 1) "sort" else binning}" +
+            s"\n$nFiles\n$table")
         }
       })
     require(touched, s"table '$table' not found in $dir; nothing was clustered")

@@ -425,35 +425,6 @@ object Generations {
       shapedWriter(df0, layout, targetFiles, t, writeOptions, partCols)
         .save(staging.toString)
     }
-    // Self-covering stats manifest: a full rewrite's own output gets the
-    // same planning-time zone maps a DML's carried files enjoy. Without
-    // this, a freshly compacted/clustered table — the canonical layout
-    // maintenance PRODUCES — planned selective queries worse than a
-    // DML-touched one (every file scheduled, footer opened per task);
-    // with it, planning drops non-matching files before any task exists
-    // and estimateStatistics reports exact rows. One parallel footer
-    // sweep over files this rewrite just wrote; entries use the rel
-    // paths the files will have AFTER the publish rename, and the
-    // listing's name-dedup keeps self-references from double-counting.
-    // The late-append fold below MERGES into this manifest (it reads
-    // existing entries first).
-    if (s.conf.get("spark.graft.rewrite.statsManifest", "true").toBoolean) {
-      def walkOut(p: Path): Seq[(Path, Long)] =
-        fs.listStatus(p).toSeq.flatMap { st =>
-          if (st.isFile && st.getPath.getName.endsWith(".graft"))
-            Seq((st.getPath, st.getLen))
-          else if (st.isDirectory) walkOut(st.getPath)
-          else Seq.empty
-        }
-      val entries = GraftDataSource.inParallel(walkOut(staging)) { case (p, size) =>
-        val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
-        val metas = try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
-        (s"$nextGen/${GraftDataSource.relativePath(staging, p)}", size,
-          Some(graft.format.Stats.statsToJson(metas)): Option[String])
-      }
-      if (entries.nonEmpty)
-        GraftDataSource.writeCarryManifest(fs, staging, entries)
-    }
     // metadata a caller wants published ATOMICALLY with the generation
     // (e.g. the clustering record) is written into the staging dir here,
     // so it rides the publish rename — it can never land in a
@@ -654,6 +625,44 @@ object Generations {
       idempotencyKey: Option[String], dir: String,
       keepStagingOnConflict: Boolean = false,
       sourceView: Option[(String, Set[String])] = None): Unit = {
+    // Self-covering stats manifest, for EVERY generation publisher (full
+    // rewrite, file-granular DML, SQL COW write, MoR delta, staged
+    // CTAS): the publisher's own fresh output gets the same
+    // planning-time zone maps carried files enjoy, so planning drops
+    // non-matching files before any task exists, estimateStatistics
+    // reports exact rows, and the next DML classifies candidates with
+    // zero footer I/O. One parallel footer sweep over files this
+    // publish just staged; entries use the rel paths the files will
+    // have AFTER the rename below, and the listing's name-dedup keeps
+    // self-references from double-counting. Carried entries already in
+    // the staging's manifest (a DML's rebase output) are preserved;
+    // entries whose file NAME matches a staged file are stale
+    // self-references from a previous conflicted attempt at a different
+    // generation index and are replaced. A retried publish recomputes
+    // with the CURRENT nextGen, so the prefix can never go stale.
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .forall(_.conf.get("spark.graft.rewrite.statsManifest", "true").toBoolean)) {
+      def walkOut(p: Path): Seq[(Path, Long)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".graft"))
+            Seq((st.getPath, st.getLen))
+          else if (st.isDirectory) walkOut(st.getPath)
+          else Seq.empty
+        }
+      val fresh = walkOut(staging)
+      if (fresh.nonEmpty) {
+        val freshNames = fresh.map(_._1.getName).toSet
+        val existing = GraftDataSource.readCarryManifestFull(fs, staging)
+          .filterNot(e => freshNames.contains(new Path(e._1).getName))
+        val entries = GraftDataSource.inParallel(fresh) { case (p, size) =>
+          val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+          val metas = try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
+          (s"$nextGen/${GraftDataSource.relativePath(staging, p)}", size,
+            Some(graft.format.Stats.statsToJson(metas)): Option[String])
+        }
+        GraftDataSource.writeCarryManifest(fs, staging, existing ++ entries)
+      }
+    }
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
     // instead (GraftCatalog.loadTable(ident, timestamp))

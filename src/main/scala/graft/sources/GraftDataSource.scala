@@ -329,24 +329,36 @@ object GraftDataSource {
   /** Name of the `_file` metadata column (the row's source file path). */
   val FileColName = "_file"
 
-  /** Carry manifest written INSIDE a generation dir by a file-granular
-    * DML rewrite ([[Generations.rewriteTable]]): each line is
-    * `<bytes>\t<path relative to the TABLE ROOT>` naming a data file of
-    * an OLDER generation (or a pre-pointer loose file) that is still
-    * part of this generation's live view. A 1-row upsert then rewrites
-    * only the files that can hold matching rows and carries the other
-    * 99.99% of a 100 TB table by reference — the manifest is the
-    * "manifest lists data files" half of an iceberg/delta-style table
-    * format, scoped to what the sweep needs. References are FLATTENED
-    * at write time (a carried file's path points at the generation that
-    * physically holds it), so the sweep never chases chains. */
+  /** Carry manifest written INSIDE a generation dir by every generation
+    * publisher ([[Generations.publishStaging]]): each line is
+    * `<bytes>\t<path relative to the TABLE ROOT>` naming a data file
+    * that is part of this generation's live view. Entries come in two
+    * kinds: CARRIED references into an OLDER generation (or a
+    * pre-pointer loose file) written by a file-granular DML — a 1-row
+    * upsert rewrites only the files that can hold matching rows and
+    * carries the other 99.99% of a 100 TB table by reference — and
+    * SELF entries for the generation's OWN fresh output, added at
+    * publish so planning stats cover every file regardless of which
+    * operation produced it. The listing dedups self entries against the
+    * physical walk by file name; the manifest is the "manifest lists
+    * data files" half of an iceberg/delta-style table format, scoped to
+    * what the sweep needs. References are FLATTENED at write time (a
+    * carried file's path points at the generation that physically holds
+    * it), so the sweep never chases chains. */
   val CarryManifestName = ".carry"
 
   /** Parse a generation's carry manifest: (root-relative path, bytes)
-    * per carried file; empty when the manifest is absent (a full-rewrite
-    * generation owns all its files physically). */
+    * per file; empty when the manifest is absent (a pre-stats-manifest
+    * generation, or stats coverage disabled by conf). */
   def readCarryManifest(fs: FileSystem, genDir: Path): Seq[(String, Long)] =
     readCarryManifestFull(fs, genDir).map { case (rel, size, _) => (rel, size) }
+
+  /** Manifest entries that are CARRIED references — files living OUTSIDE
+    * this generation dir, i.e. the untouched files a file-granular DML
+    * kept by reference. Excludes the generation's self-covering stats
+    * entries for its own fresh output (same manifest, different kind). */
+  def readCarriedRefs(fs: FileSystem, genDir: Path): Seq[(String, Long)] =
+    readCarryManifest(fs, genDir).filterNot(_._1.startsWith(genDir.getName + "/"))
 
   /** Full manifest rows including the optional third field: the carried
     * file's per-chunk zone-map stats ([[graft.format.Stats.statsToJson]]),
@@ -1854,7 +1866,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 
   /** Per-file zone maps parsed from the live carry manifest(s), keyed by
     * URI path: FILE-level pruning at PLANNING time, zero per-file I/O.
-    * Files the manifest doesn't cover (the last rewrite's own output,
+    * Files the manifest doesn't cover (plain appends since the last
+    * publish,
     * pointerless tables, pre-stats manifests) simply stay unpruned —
     * their chunks still skip inside readers from footer stats. Parsed
     * once per scan, and only on first use from a filtered consumer. */

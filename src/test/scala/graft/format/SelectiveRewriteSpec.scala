@@ -49,7 +49,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.filter(col("id") === 5).select("v").as[Long].head() == 999L)
     // the new generation carries at least 7 of the 8 original files
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size >= 7, s"expected >=7 carried files, got ${carried.size}")
     // carried files are the ORIGINAL files: same path, size, mtime
@@ -70,7 +70,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.count() == 7900)
     assert(live.agg(min("id")).head().getLong(0) == 100L)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size >= 7)
     carried.foreach { case (rel, _) => assert(before.contains(rel)) }
@@ -92,7 +92,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.count() == 7900)
     assert(live.agg(min(col("meta.w"))).head().getInt(0) == 100)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size >= 7,
       s"nested-leaf prune should carry >=7 of 8 files, got ${carried.size}")
@@ -104,7 +104,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     val live2 = spark.read.format("graft").load(dir)
     assert(live2.count() == 7800)
     val gen2 = GraftDataSource.readGenPointer(conf, dir).get
-    val carried2 = GraftDataSource.readCarryManifest(
+    val carried2 = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, gen2))
     assert(carried2.size >= 7,
       s"manifest-carried nested stats should keep pruning, got ${carried2.size}")
@@ -125,7 +125,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.count() == 7900)
     assert(live.agg(min(col("meta.inner.w"))).head().getInt(0) == 100)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size >= 7,
       s"depth-2 leaf prune should carry >=7 of 8 files, got ${carried.size}")
@@ -263,7 +263,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.filter(col("v") === -1).count() == 5000)
     assert(live.filter(col("id") >= 5000 && col("v") === -1).count() == 0)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     // 11 of 16 ranges are disjoint from the batch, minus at most one
     // whose sampled repartitionByRange boundary genuinely straddles 5000
@@ -340,7 +340,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.filter(col("v") === -1).count() == 5000)
     assert(live.filter(col("sk") >= "k00005000" && col("v") === -1).count() == 0)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size >= 10, s"want >=10 of 16 files carried, got ${carried.size}")
     carried.foreach { case (rel, size) =>
@@ -372,7 +372,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(live.count() == 16000)
     assert(live.filter(col("v") === -1).count() == 5000)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size >= 10, s"want >=10 of 16 files carried, got ${carried.size}")
     carried.foreach { case (rel, size) =>
@@ -638,7 +638,7 @@ class SelectiveRewriteSpec extends SparkSpec {
       Seq.empty[(Long, Long, String)].toDF("id", "v", "s"), Seq("id"))
     assert(spark.read.format("graft").load(dir).count() == 8000)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     assert(carried.size == 8, s"want all 8 files carried, got ${carried.size}")
     carried.foreach { case (rel, _) =>
@@ -659,7 +659,7 @@ class SelectiveRewriteSpec extends SparkSpec {
     assert(spark.read.format("graft").option("table", "t1").load(dir).count() == 990)
     assert(spark.read.format("graft").option("table", "t2").load(dir).count() == 500)
     val liveGen = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, liveGen))
     // every t2 file carried by reference at its original path
     assert(carried.nonEmpty)

@@ -44,7 +44,7 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(t.filter(col("k") >= 100 && col("v") === -1).count() == 0)
     // zone maps prune to the single file holding k<100; 7 carried intact
     val live = GraftDataSource.readGenPointer(conf, dir).get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, live))
     assert(carried.size >= 7, s"expected >=7 carried files, got ${carried.size}")
     carried.foreach { case (rel, size) =>
@@ -120,7 +120,7 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(t.filter(col("v") === -1).agg(min("k"), max("k")).head() ==
       org.apache.spark.sql.Row(100L, 104L))
     val live = GraftDataSource.readGenPointer(conf, s"$root/db").get
-    val carried = GraftDataSource.readCarryManifest(
+    val carried = GraftDataSource.readCarriedRefs(
       new Path(s"$root/db").getFileSystem(conf), new Path(s"$root/db", live))
     assert(carried.size >= 7,
       s"runtime group filtering should carry >=7 of 8 files, carried ${carried.size}")

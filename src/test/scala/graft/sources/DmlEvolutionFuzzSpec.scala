@@ -21,7 +21,7 @@ class DmlEvolutionFuzzSpec extends SparkSpec {
 
   private def carryCount(dir: String): Int = {
     val gen = GraftDataSource.readGenPointer(conf, dir).get
-    GraftDataSource.readCarryManifestFull(
+    GraftDataSource.readCarriedRefs(
       new Path(dir).getFileSystem(conf), new Path(dir, gen)).size
   }
 

@@ -37,11 +37,17 @@ class PlanningSoakSpec extends SparkSpec {
     val genDir = new Path(GraftDataSource.resolveDataDir(conf, dir))
     val fs = genDir.getFileSystem(conf)
     val existing = GraftDataSource.readCarryManifestFull(fs, genDir)
-    assert(existing.size == 3 && existing.forall(_._3.isDefined))
-    // every carried file's range sits above the probe key (50): any of
-    // their stats serves as the phantom template
-    val (_, templSize, templStats) = existing.head
-    val phantoms = (existing.size + 1 until TotalFiles).map(i =>
+    // 3 carried refs + 1 self-covering entry for the DML's own output
+    val carried = existing.filterNot(_._1.startsWith(genDir.getName + "/"))
+    assert(carried.size == 3 && existing.size == 4 &&
+      existing.forall(_._3.isDefined))
+    // every CARRIED file's range sits above the probe key (50): any of
+    // their stats serves as the phantom template (the self entry's range
+    // covers the key and must not be the template)
+    val (_, templSize, templStats) = carried.head
+    // physical(1) + carried(3) + phantoms = TotalFiles in the listing
+    // (the self entry dedups against the physical walk by name)
+    val phantoms = (0 until TotalFiles - 1 - carried.size).map(i =>
       (f"phantom-$i%05d.graft", templSize, templStats))
     GraftDataSource.writeCarryManifest(fs, genDir, existing ++ phantoms)
 
