@@ -65,9 +65,13 @@ class PlanningPruneSpec extends SparkSpec {
     assert(selStats.sizeInBytes * 3 <= fullStats.sizeInBytes,
       s"filtered scan size ${selStats.sizeInBytes} not <1/3 of full ${fullStats.sizeInBytes}")
 
-    // exact rows need EVERY kept file manifest-covered; a rewrite's own
-    // output never is, so prune it away via a hive partition value and
-    // leave only carried files
+    // exact rows need EVERY kept file manifest-covered — which, since
+    // publishers self-cover their output, is simply every published
+    // table: the unfiltered scan reports the exact post-DML count
+    assert(fullStats.rowCount.exists(_.toLong == 79999L),
+      s"expected exact 79999 rows (80000 - 1 deleted), got ${fullStats.rowCount}")
+
+    // and composed with a partition filter: one partition's carried file
     val pdir = Files.createTempDirectory("graft-planprune-part").toString
     spark.range(0, 80000)
       .selectExpr("id", "CAST(id DIV 10000 AS STRING) AS pt")
