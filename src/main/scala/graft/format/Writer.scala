@@ -326,7 +326,9 @@ final class GraftFileWriter(out: OutputStream,
   def finish(): Unit = {
     require(!finished, "writer finished")
     finished = true
-    val footerBytes = Meta.write(Footer(Version, sink.position, chunks.result()))
+    val footer = Footer(Version, sink.position, chunks.result())
+    writtenTables0 = footer.chunks.flatMap(_.tables)
+    val footerBytes = Meta.write(footer)
     out.write(footerBytes)
     val tail = new Bytes(12)
     tail.putLong(footerBytes.length.toLong)
@@ -334,6 +336,14 @@ final class GraftFileWriter(out: OutputStream,
     out.write(tail.toArray)
     out.flush()
   }
+
+  private var writtenTables0: Seq[TableMeta] = Seq.empty
+
+  /** The finished file's per-chunk table metas (footer content) — lets
+    * the WRITE TASK hand its stats to the driver through its commit
+    * message, so publish-time manifest coverage never has to re-open
+    * the footer it just produced. Empty before [[finish]]. */
+  def writtenTables: Seq[TableMeta] = writtenTables0
 }
 
 object GraftFileWriter {

@@ -77,7 +77,11 @@ object QuantileBucket {
   /** Register `graft_bucket` in the session registry. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bucket", exprs => QuantileBucket(exprs(0), exprs(1)), "built-in")
+      "graft_bucket", {
+        case Seq(v, bounds) => QuantileBucket(v, bounds)
+        case other => throw new IllegalArgumentException(
+          s"graft_bucket expects (value, bounds), got ${other.size} argument(s)")
+      }, "built-in")
 
   /** Column-API entry: graft_bucket(value, boundsLiteral); requires
     * register() first. Null values bucket to 0 via the outer coalesce

@@ -640,8 +640,12 @@ object Generations {
     // self-references from a previous conflicted attempt at a different
     // generation index and are replaced. A retried publish recomputes
     // with the CURRENT nextGen, so the prefix can never go stale.
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .forall(_.conf.get("spark.graft.rewrite.statsManifest", "true").toBoolean)) {
+    // kill-switch parse is fail-safe: any unparseable value means ON
+    // (a typo'd conf must not fail every publish mid-write)
+    if (org.apache.spark.sql.SparkSession.getActiveSession.forall { ss =>
+      try ss.conf.get("spark.graft.rewrite.statsManifest", "true").toBoolean
+      catch { case _: IllegalArgumentException => true }
+    }) {
       def walkOut(p: Path): Seq[(Path, Long)] =
         fs.listStatus(p).toSeq.flatMap { st =>
           if (st.isFile && st.getPath.getName.endsWith(".graft"))
@@ -654,14 +658,26 @@ object Generations {
         val freshNames = fresh.map(_._1.getName).toSet
         val existing = GraftDataSource.readCarryManifestFull(fs, staging)
           .filterNot(e => freshNames.contains(new Path(e._1).getName))
+        // stats the write tasks already handed over through their commit
+        // messages (the .staged-stats sidecar, staging-relative rels)
+        // serve directly; only files some other write path staged — or a
+        // torn sidecar line dropped — pay a footer open
+        val staged = GraftDataSource.readStagedStats(fs, staging)
+          .map { case (rel, _, js) => rel -> js }.toMap
         val entries = GraftDataSource.inParallel(fresh) { case (p, size) =>
-          val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
-          val metas = try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
-          (s"$nextGen/${GraftDataSource.relativePath(staging, p)}", size,
-            Some(graft.format.Stats.statsToJson(metas)): Option[String])
+          val rel = GraftDataSource.relativePath(staging, p)
+          val js = staged.getOrElse(rel, {
+            val r = graft.format.GraftFileReader.open(p.getFileSystem(conf), p)
+            val metas = try r.footer.chunks.flatMap(_.tables).toSeq finally r.close()
+            graft.format.Stats.statsToJson(metas)
+          })
+          (s"$nextGen/$rel", size, Some(js): Option[String])
         }
         GraftDataSource.writeCarryManifest(fs, staging, existing ++ entries)
       }
+      // the sidecar never publishes
+      try fs.delete(new Path(staging, GraftDataSource.StagedStatsName), false)
+      catch { case _: java.io.IOException => }
     }
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this

@@ -290,22 +290,27 @@ object GraftDataSource {
   val ClusterSpecName = ".cluster-spec"
 
   /** The live generation's clustering record, if any:
-    * (cols, binning, fileCountAtRecordTime, table). */
+    * (cols, binning, fileCountAtRecordTime, table). A MALFORMED record
+    * reads as absent (no claim is better than a garbled one), but a
+    * transport failure PROPAGATES — "couldn't read the record" must not
+    * render as "never clustered", or a transient object-store error
+    * sends an operator into a multi-hour re-cluster (the DESCRIBE
+    * caller degrades it to an explicit 'unknown' instead). */
   def readClusterSpec(conf: Configuration, dir: String)
-      : Option[(String, String, Long, String)] =
-    try {
-      val p = new Path(resolveDataDir(conf, dir), ClusterSpecName)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val lines = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).split("\n")
-        finally in.close()
-        if (lines.length < 4) None
-        else Some((lines(0).trim, lines(1).trim, lines(2).trim.toLong, lines(3).trim))
-      }
-    } catch { case _: Exception => None }
+      : Option[(String, String, Long, String)] = {
+    val p = new Path(resolveDataDir(conf, dir), ClusterSpecName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")
+      finally in.close()
+      if (lines.length < 4) None
+      else try Some((lines(0).trim, lines(1).trim, lines(2).trim.toLong, lines(3).trim))
+      catch { case _: NumberFormatException => None }
+    }
+  }
 
   /** Liveness claim written at staging-dir creation by every rewrite
     * path. The dead-data sweep reclaims a stale staging WHOLE (claim
@@ -380,6 +385,47 @@ object GraftDataSource {
     } catch {
       case _: java.io.FileNotFoundException => Seq.empty // swept mid-read
     }
+  }
+
+  /** Staged-stats sidecar: footer stats of a STAGING dir's own fresh
+    * output, accumulated by [[GraftBatchWrite.commit]] from the write
+    * tasks' commit messages (same line format as the carry manifest,
+    * STAGING-relative rel paths — no generation prefix).
+    * [[Generations.publishStaging]] consumes it to build the
+    * generation's self-covering manifest entries without re-opening a
+    * single footer, then deletes it BEFORE the publish rename — the
+    * sidecar never publishes, and a conflicted retry (rare) simply
+    * falls back to footer reads for its re-built entries. */
+  val StagedStatsName = ".staged-stats"
+
+  def readStagedStats(fs: FileSystem, stagingDir: Path): Seq[(String, Long, String)] = {
+    val p = new Path(stagingDir, StagedStatsName)
+    try {
+      if (!fs.exists(p)) return Seq.empty
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+        val parts = line.split('\t')
+        if (parts.length >= 3 && parts(1).nonEmpty)
+          Some((parts(1), parts(0).toLong, parts(2)))
+        else None // a torn/corrupt line degrades to a footer read, never a failure
+      }
+    } catch { case _: java.io.IOException => Seq.empty }
+  }
+
+  /** Merge `entries` ((staging-relative rel, bytes, statsJson)) into the
+    * sidecar. Per-table write commits run sequentially on the driver, so
+    * read-merge-write needs no lock. */
+  def appendStagedStats(fs: FileSystem, stagingDir: Path,
+      entries: Seq[(String, Long, String)]): Unit = {
+    if (entries.isEmpty) return
+    val existing = readStagedStats(fs, stagingDir)
+    val have = existing.map(_._1).toSet
+    val add = entries.filterNot(e => have.contains(e._1))
+    if (add.isEmpty) return
+    AtomicPublish.text(sessionConf(), new Path(stagingDir, StagedStatsName),
+      (existing ++ add).map { case (rel, sz, js) => s"$sz\t$rel\t$js" }
+        .mkString("\n"))
   }
 
   def writeCarryManifest(fs: FileSystem, genDir: Path,
@@ -1338,9 +1384,23 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     // clustering claim, when the live generation carries one: which
     // columns z-order pruning can rely on, and whether post-clustering
     // appends have diluted it (exact file-count match = every live file
-    // tiles the z-curve; drift = some files postdate the rewrite)
-    val clustering = (if (dirs.size == 1) GraftDataSource.readClusterSpec(
-        GraftDataSource.sessionConf(), dirs.head) else None) match {
+    // tiles the z-curve; drift = some files postdate the rewrite). The
+    // drift check costs one live listing per DESCRIBE on a clustered
+    // table — the price of a freshness claim that is CHECKED, not
+    // recalled, and it shares the listing with the stats block above. A
+    // transport failure reading the record degrades to an explicit
+    // 'unknown' row, never to silence (silence reads as never-clustered
+    // and triggers pointless re-clustering).
+    val clusterSpecOrErr =
+      if (dirs.size != 1) Right(None)
+      else try Right(GraftDataSource.readClusterSpec(
+        GraftDataSource.sessionConf(), dirs.head))
+      catch { case e: java.io.IOException => Left(e) }
+    val clustering = clusterSpecOrErr match {
+      case Left(_) =>
+        Map("clustering.state" ->
+          "unknown (cluster record unreadable; claim not checkable)")
+      case Right(spec) => spec match {
       case Some((cols, binning, recorded, clusteredTable))
           if clusteredTable == tbl.map(_._2).getOrElse("data") =>
         // the recorded count is namespace-wide (the rewrite's whole
@@ -1360,6 +1420,7 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         Map("clustering.columns" -> cols, "clustering.binning" -> binning,
           "clustering.state" -> state)
       case _ => Map.empty[String, String]
+      }
     }
     (base ++ tbl ++ bucket ++ sort ++ stats ++ dv ++ clustering).asJava
   }
@@ -3553,6 +3614,20 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val conf = GraftDataSource.sessionConf()
     GraftDataSource.ensureAppendVisibility(conf, dir, resolvedDataDir, messages)
     GraftDataSource.mergeAppendStats(conf, dir, table, messages)
+    // a STAGING target (a rewrite building its next generation): persist
+    // the tasks' footer stats so publishStaging's self-covering manifest
+    // never re-opens a footer this very job just wrote. Appends (table
+    // root target) skip — their stats merge above, and live generations
+    // don't carry the sidecar.
+    val target = new Path(dir)
+    if (target.getName.matches("gen-\\d+\\.tmp-.*")) {
+      val entries = messages.iterator.collect {
+        case m: GraftCommitMessage => m.statsJson
+      }.flatten.map { case (abs, (sz, js)) =>
+        (GraftDataSource.relativePath(target, new Path(abs)), sz, js)
+      }.toSeq
+      GraftDataSource.appendStagedStats(target.getFileSystem(conf), target, entries)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }
@@ -3582,7 +3657,12 @@ class GraftWriterFactory(dir: String, schema: StructType, table: String,
 }
 
 case class GraftCommitMessage(file: String, rows: Long,
-    statDeltas: Map[String, ColSketcher.ColDelta] = Map.empty)
+    statDeltas: Map[String, ColSketcher.ColDelta] = Map.empty,
+    // absolute file path -> (bytes, footer stats JSON): the write task
+    // hands its freshly-written footer stats to the driver so the
+    // publish's self-covering manifest never re-opens a footer it just
+    // produced (Stats.statsToJson of GraftFileWriter.writtenTables)
+    statsJson: Map[String, (Long, String)] = Map.empty)
   extends WriterCommitMessage
 
 /** Task-side writer: buffers rows columnar, flushes a chunk per
@@ -3687,7 +3767,10 @@ class GraftDataWriter(dir: String, schema: StructType, table: String,
     // Zero-fork single rename(2) on local; FileContext elsewhere
     AtomicPublish.renameOverwrite(conf, tmpFile, file)
     GraftCommitMessage(file.toString, rows,
-      if (sketcher == null) Map.empty else sketcher.result())
+      if (sketcher == null) Map.empty else sketcher.result(),
+      statsJson = Map(file.toString ->
+        (fs.getFileStatus(file).getLen,
+          graft.format.Stats.statsToJson(writer.writtenTables))))
   }
 
   override def abort(): Unit = {
@@ -3758,7 +3841,8 @@ class GraftPartitionedDataWriter(dir: String, schema: StructType, table: String,
   override def commit(): WriterCommitMessage = {
     val msgs = writers.values.map(_.commit().asInstanceOf[GraftCommitMessage]).toSeq
     GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum,
-      ColSketcher.combine(msgs.map(_.statDeltas)))
+      ColSketcher.combine(msgs.map(_.statDeltas)),
+      statsJson = msgs.iterator.flatMap(_.statsJson).toMap)
   }
   override def abort(): Unit = writers.values.foreach(_.abort())
   override def close(): Unit = writers.values.foreach(_.close())
@@ -3829,7 +3913,8 @@ class GraftBucketedDataWriter(dir: String, schema: StructType, table: String,
     }
     val msgs = writers.filter(_ != null).map(_.commit().asInstanceOf[GraftCommitMessage]).toSeq
     GraftCommitMessage(msgs.map(_.file).mkString(";"), msgs.map(_.rows).sum,
-      ColSketcher.combine(msgs.map(_.statDeltas)))
+      ColSketcher.combine(msgs.map(_.statDeltas)),
+      statsJson = msgs.iterator.flatMap(_.statsJson).toMap)
   }
   override def abort(): Unit = writers.filter(_ != null).foreach(_.abort())
   override def close(): Unit = writers.filter(_ != null).foreach(_.close())
