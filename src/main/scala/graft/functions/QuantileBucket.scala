@@ -74,18 +74,33 @@ case class QuantileBucket(left: Expression, right: Expression)
 }
 
 object QuantileBucket {
-  /** Register `graft_bucket` in the session registry. Idempotent. */
+  /** Registry name: internal plumbing for `cluster(binning='quantile')`,
+    * NOT a user-facing function — the double-underscore sentinel makes a
+    * collision with a user temp function practically impossible, and
+    * [[deregister]] removes it once the rewrite's plan is analyzed so
+    * nothing leaks into the session afterwards. (Spark 4's Column no
+    * longer exposes raw Expressions, so the registry is the only public
+    * path from an Expression to a Column.) */
+  val InternalName = "__graft_bucket_internal__"
+
+  /** Register the internal binning function. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bucket", {
+      InternalName, {
         case Seq(v, bounds) => QuantileBucket(v, bounds)
         case other => throw new IllegalArgumentException(
           s"graft_bucket expects (value, bounds), got ${other.size} argument(s)")
       }, "built-in")
 
-  /** Column-API entry: graft_bucket(value, boundsLiteral); requires
+  /** Remove the internal registration — call after the consuming plan has
+    * executed (analysis resolves the name eagerly inside the rewrite). */
+  def deregister(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(InternalName))
+
+  /** Column-API entry: bucket(value, boundsLiteral); requires
     * register() first. Null values bucket to 0 via the outer coalesce
     * at the call site (BinaryExpression null-propagates). */
   def bucket(value: Column, bounds: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_bucket", value, bounds)
+    org.apache.spark.sql.functions.call_function(InternalName, value, bounds)
 }

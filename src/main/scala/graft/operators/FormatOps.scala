@@ -2409,6 +2409,10 @@ object FormatOps {
         "rewrite by the bucket column, which would undo the z-order; " +
         "cluster a non-bucketed table, or drop the bucket layout first")
     var touched = false
+    // quantile binning registers an internal temp function; deregister it
+    // once the rewrite (which analyzes the plan eagerly) is done so the
+    // session registry is left exactly as we found it
+    try {
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
       else {
@@ -2501,6 +2505,9 @@ object FormatOps {
             s"\n$nFiles\n$table")
         }
       })
+    } finally {
+      if (binning == "quantile") graft.functions.QuantileBucket.deregister(s)
+    }
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
   }
 

@@ -1618,25 +1618,23 @@ object TextOps {
   // Shannon entropy of the character distribution per document — the
   // cheap detector for low-information text (repeated boilerplate,
   // padding, degenerate generations) that length/stopword heuristics
-  // (q33) miss. One explode to (doc, char) counts; the per-doc total is
-  // just size(chars), carried as a grouping key from BEFORE the explode
-  // (no Window — a window over the char-count rows costs an exchange +
-  // sort of the largest intermediate for a value the scan already
-  // knows); entropy as -Σ (n/t)·ln(n/t) rounded to 6dp BEFORE
-  // thresholding so the flag can't straddle the cutoff on
-  // summation-order FP noise between engines. Identical '(?s)(.)'
-  // extraction on both sides keeps char sets (incl. newlines) equal.
+  // (q33) miss. Computed by the codegen'd CharEntropy expression: one
+  // partition-local pass per document emitting a single double, so the
+  // only shuffle is the final by-lang rollup (rows ∝ documents). The
+  // previous shape — regexp_extract_all('(?s)(.)') + explode + two
+  // groupBys — shuffled ONE ROW PER CHARACTER and was the repo's last
+  // plan whose intermediate scaled with characters, not documents.
+  // Entropy rounded to 6dp BEFORE thresholding so the flag can't
+  // straddle the cutoff on summation-order FP noise between engines;
+  // the isNotNull filter reproduces the old plan's exclusion of empty
+  // documents (the regex produced zero rows for them). Oracle SQL is
+  // unchanged — same char semantics, same rounding.
   private val q120: Q = (s, d) => {
-    val freq = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        expr("regexp_extract_all(lower(text), '(?s)(.)', 1)").as("cs"))
-      .select(col("doc_id"), col("lang"), size(col("cs")).as("t"),
-        explode(col("cs")).as("ch"))
-      .groupBy(col("doc_id"), col("lang"), col("t"), col("ch"))
-      .agg(count(lit(1)).as("n"))
-    val ent = freq
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(round(-sum((col("n") / col("t")) * log(col("n") / col("t"))), 6).as("h"))
+    graft.functions.CharEntropy.register(s)
+    val ent = Tables.documents(s, d)
+      .select(col("lang"),
+        round(graft.functions.CharEntropy.charEntropy(lower(col("text"))), 6).as("h"))
+      .where(col("h").isNotNull)
     ent.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("h") < 3.0, 1L).otherwise(0L)).as("n_low_entropy"),

@@ -407,7 +407,9 @@ object GraftDataSource {
       text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
         val parts = line.split('\t')
         if (parts.length >= 3 && parts(1).nonEmpty)
-          Some((parts(1), parts(0).toLong, parts(2)))
+          // toLong guarded too: a corrupt size field is a corrupt line,
+          // and a corrupt line degrades to a footer read, never a failure
+          scala.util.Try((parts(1), parts(0).toLong, parts(2))).toOption
         else None // a torn/corrupt line degrades to a footer read, never a failure
       }
     } catch { case _: java.io.IOException => Seq.empty }
@@ -1395,7 +1397,11 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       if (dirs.size != 1) Right(None)
       else try Right(GraftDataSource.readClusterSpec(
         GraftDataSource.sessionConf(), dirs.head))
-      catch { case e: java.io.IOException => Left(e) }
+      // NonFatal, not just IOException: an object-store client's
+      // RuntimeException or a resolveDataDir refusal must degrade the
+      // CLAIM to 'unknown', not break the whole DESCRIBE (matching the
+      // neighboring sizedListing block's breadth)
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
     val clustering = clusterSpecOrErr match {
       case Left(_) =>
         Map("clustering.state" ->
@@ -3620,7 +3626,14 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     // root target) skip — their stats merge above, and live generations
     // don't carry the sidecar.
     val target = new Path(dir)
-    if (target.getName.matches("gen-\\d+\\.tmp-.*")) {
+    // the name pattern alone could false-positive on a user table whose
+    // root happens to match; a REAL staging dir always carries the
+    // liveness claim claimStaging stamped at creation — require both, so
+    // a coincidental name never accumulates a permanent sidecar in a
+    // live data dir (only publishStaging ever deletes it).
+    if (target.getName.matches("gen-\\d+\\.tmp-.*") &&
+        target.getFileSystem(conf).exists(
+          new Path(target, GraftDataSource.StagingClaimName))) {
       val entries = messages.iterator.collect {
         case m: GraftCommitMessage => m.statsJson
       }.flatten.map { case (abs, (sz, js)) =>

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CharEntropy must agree with the plan shape it replaced (explode of
+  * regexp_extract_all('(?s)(.)') + groupBy counts) on every input class:
+  * ASCII, repeated chars, multi-byte UTF-8, supplementary-plane code
+  * points (surrogate pairs count ONCE), newlines, empty → null. */
+class CharEntropySpec extends SparkSpec {
+
+  private def referenceEntropy(s: String): Double = {
+    val cps = s.codePoints().toArray
+    val t = cps.length.toDouble
+    cps.groupBy(identity).values.map { g =>
+      val p = g.length / t; -p * math.log(p)
+    }.sum
+  }
+
+  private def exprEntropy(s: String): java.lang.Double =
+    CharEntropy(org.apache.spark.sql.catalyst.expressions.Literal(s))
+      .evalEntropy(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  test("matches reference computation on varied inputs") {
+    val cases = Seq(
+      "hello world",
+      "aaaaaaa",
+      "a",
+      "line1\nline2\ttab",
+      "café résumé",          // 2-byte UTF-8
+      "日本語テスト", // 3-byte UTF-8
+      "emoji 😀😀 pair",  // 4-byte / surrogate pair
+      " \n\t  ",
+      ('a' to 'z').mkString * 3)
+    for (s <- cases) {
+      val got = exprEntropy(s)
+      assert(got != null, s"null for '$s'")
+      assert(math.abs(got - referenceEntropy(s)) < 1e-12,
+        s"entropy mismatch for '$s': $got vs ${referenceEntropy(s)}")
+    }
+  }
+
+  test("empty string yields null (old plan produced zero rows)") {
+    assert(exprEntropy("") == null)
+  }
+
+  test("surrogate pair counts as one code point") {
+    // one distinct code point repeated twice → entropy 0
+    assert(math.abs(exprEntropy("😀😀")) < 1e-15)
+  }
+
+  test("agrees with the explode-based plan end-to-end, codegen path") {
+    val spk = spark
+    import spk.implicits._
+    CharEntropy.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "AAAA aaaa"),       // lower() folds these together
+      (3L, ""),
+      (4L, "mixed é日😀 bytes\n")
+    ).toDF("id", "text")
+    val viaExpr = df.select($"id",
+        round(CharEntropy.charEntropy(lower($"text")), 6).as("h"))
+      .where($"h".isNotNull)
+    val viaExplode = df
+      .select($"id", expr("regexp_extract_all(lower(text), '(?s)(.)', 1)").as("cs"))
+      .select($"id", size($"cs").as("t"), explode($"cs").as("ch"))
+      .groupBy($"id", $"t", $"ch").agg(count(lit(1)).as("n"))
+      .groupBy($"id")
+      .agg(round(-sum(($"n" / $"t") * log($"n" / $"t")), 6).as("h"))
+    assert(canon(viaExpr) == canon(viaExplode))
+    // id=3 (empty) excluded on both paths
+    assert(viaExpr.count() == 3)
+  }
+
+  test("rejects non-string input") {
+    val e = CharEntropy(org.apache.spark.sql.catalyst.expressions.Literal(42))
+    assert(e.checkInputDataTypes().isFailure)
+  }
+}
