@@ -83,20 +83,31 @@ object QuantileBucket {
     * path from an Expression to a Column.) */
   val InternalName = "__graft_bucket_internal__"
 
-  /** Register the internal binning function. Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  // register/deregister pairs are refcounted: concurrent cluster() calls
+  // share one session registry, and an unconditional drop in the first
+  // finisher's `finally` would yank the function out from under the
+  // other's still-analyzing plan
+  private val registrations = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Register the internal binning function. Idempotent; pairs with
+    * [[deregister]]. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registrations.incrementAndGet()
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       InternalName, {
         case Seq(v, bounds) => QuantileBucket(v, bounds)
         case other => throw new IllegalArgumentException(
           s"graft_bucket expects (value, bounds), got ${other.size} argument(s)")
       }, "built-in")
+  }
 
-  /** Remove the internal registration — call after the consuming plan has
-    * executed (analysis resolves the name eagerly inside the rewrite). */
+  /** Drop the internal registration once the LAST in-flight consumer is
+    * done (analysis resolves the name eagerly inside the rewrite, so a
+    * finished caller's plan no longer needs it). */
   def deregister(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.dropFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(InternalName))
+    if (registrations.decrementAndGet() <= 0)
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(InternalName))
 
   /** Column-API entry: bucket(value, boundsLiteral); requires
     * register() first. Null values bucket to 0 via the outer coalesce

@@ -531,9 +531,13 @@ object FormatOps {
     s.createDataset(files).repartition(math.max(1,
         math.min(files.size, s.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
-        it.map { case (rel, full, dv) =>
+        it.flatMap { case (rel, full, dv) =>
           val p = new org.apache.hadoop.fs.Path(full)
-          try {
+          // the data file's row and its DV's row report INDEPENDENTLY: a
+          // healthy file under a corrupt sidecar (or vice versa) must name
+          // the broken artifact, not smear both
+          var fileRows = -1L // decoded row count, for the DV bound check
+          val fileRow = try {
             val r = graft.format.GraftFileReader.open(p.getFileSystem(conf.value), p)
             try {
               var chunks = 0
@@ -549,18 +553,7 @@ object FormatOps {
                   } finally b.close()
                 }
               }
-              if (statErr.isEmpty) dv.foreach { case (dvPath, card) =>
-                val dp = new org.apache.hadoop.fs.Path(dvPath)
-                val dfs = dp.getFileSystem(conf.value)
-                val st = dfs.getFileStatus(dp)
-                val bytes = new Array[Byte](st.getLen.toInt)
-                val in = dfs.open(dp)
-                try in.readFully(0, bytes) finally in.close()
-                val pos = graft.format.Dv.decode(bytes, rows)
-                if (pos.length != card)
-                  statErr = Some(s"delete vector $dvPath holds ${pos.length} " +
-                    s"positions but the manifest claims $card")
-              }
+              fileRows = rows
               statErr match {
                 case Some(e) => (rel, false, chunks, rows, Some(e))
                 case None => (rel, true, chunks, rows, None: Option[String])
@@ -569,6 +562,40 @@ object FormatOps {
           } catch {
             case e: Exception => (rel, false, 0, 0L, Option(e.getMessage))
           }
+          // one report row PER DV BLOB: re-derive every claim a reader
+          // would trust — checksum, strictly-increasing positions (no
+          // dups), every position inside the file's ACTUAL row count,
+          // cardinality equal to the manifest's deletedRows (the number
+          // COUNT(*) pushdown subtracts) — so a corrupt sidecar fails
+          // this audit as loudly as a corrupt data page
+          val dvRow = dv.map { case (dvPath, card) =>
+            val dvRel = try {
+              graft.sources.GraftDataSource.relativePath(
+                new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dvPath))
+            } catch { case _: Exception => dvPath }
+            try {
+              val dp = new org.apache.hadoop.fs.Path(dvPath)
+              val dfs = dp.getFileSystem(conf.value)
+              val st = dfs.getFileStatus(dp)
+              val bytes = new Array[Byte](st.getLen.toInt)
+              val in = dfs.open(dp)
+              try in.readFully(0, bytes) finally in.close()
+              // fileRows < 0 = the data file didn't decode; validate the
+              // blob's internal invariants unbounded rather than skip
+              val pos = graft.format.Dv.decode(bytes, fileRows)
+              if (pos.length != card)
+                (dvRel, false, 0, pos.length.toLong,
+                  Some(s"delete vector holds ${pos.length} positions but the " +
+                    s"manifest claims $card — pushed COUNT(*) would be wrong"))
+              else if (fileRows < 0)
+                (dvRel, false, 0, pos.length.toLong,
+                  Some(s"data file $rel unreadable; DV positions not bounds-checked"))
+              else (dvRel, true, 0, pos.length.toLong, None: Option[String])
+            } catch {
+              case e: Exception => (dvRel, false, 0, 0L, Option(e.getMessage))
+            }
+          }
+          Iterator(fileRow) ++ dvRow.iterator
         }
       }.collect().toSeq.sortBy(_._1)
   }
@@ -2411,7 +2438,12 @@ object FormatOps {
     var touched = false
     // quantile binning registers an internal temp function; deregister it
     // once the rewrite (which analyzes the plan eagerly) is done so the
-    // session registry is left exactly as we found it
+    // session registry is left exactly as we found it. Pairing is exact:
+    // the closure may never register (single column, table not matched),
+    // so the finally releases only what was actually acquired — the
+    // refcount in QuantileBucket then keeps CONCURRENT cluster() calls
+    // from dropping the function under each other
+    var bucketRegistered = false
     try {
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
@@ -2429,6 +2461,7 @@ object FormatOps {
           // one column-pruned pass for all boundary arrays; nulls are
           // ignored by approxQuantile and bucket to 0 via the coalesce
           graft.functions.QuantileBucket.register(s)
+          bucketRegistered = true
           val casted = cols.map(c => col(c).cast("double").as(c))
           val probs = (1 until 256).map(_.toDouble / 256).toArray
           val qs = df.select(casted: _*).stat.approxQuantile(cols.toArray, probs, 0.001)
@@ -2506,7 +2539,7 @@ object FormatOps {
         }
       })
     } finally {
-      if (binning == "quantile") graft.functions.QuantileBucket.deregister(s)
+      if (bucketRegistered) graft.functions.QuantileBucket.deregister(s)
     }
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
   }
@@ -3589,6 +3622,56 @@ object FormatOps {
       |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q163: exact COUNT(*) from footers under live delete vectors ----------
+  // The most common sanity query in a DML-heavy pipeline — `SELECT
+  // count(*)` between a merge-on-read DELETE and the next compaction —
+  // must NOT scan: per file, live rows = footer numRows − the `.dvs`
+  // manifest's recorded cardinality, both already in planning metadata.
+  // MIN/MAX/COUNT(col)/SUM keep declining under live DVs (the attaining
+  // row may be deleted; deleted null-ness and values are unrecorded) —
+  // asserted here too, so an over-broad future push fails the gate
+  // rather than serving stale bounds. The count is hash-gated against
+  // DuckDB restating the delete predicate over parquet; `agg_pushed`
+  // and `mm_unpushed` ride the row so a silent regression to a scan
+  // (or a silently-pushed bound) hash-fails instead of just slowing.
+  private val q163: Q = (s, d) => {
+    val root = graftDir(d, "mor_count")
+    deleteDirQuietly(s, root)
+    s.conf.set("spark.sql.catalog.graft_morc", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_morc.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_morc.db")
+    s.sql("CREATE TABLE graft_morc.db.orders " +
+      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4).writeTo("graft_morc.db.orders").append()
+    s.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try s.sql("DELETE FROM graft_morc.db.orders WHERE o_orderkey % 7 = 3")
+    finally s.conf.set("spark.graft.deleteMode", "copy-on-write")
+    // DVs must be live (not materialized) for the claim to mean anything
+    val conf = s.sparkContext.hadoopConfiguration
+    require(graft.sources.GraftDataSource.liveDvs(conf, s"$root/db", Some("orders")).nonEmpty,
+      "q163: expected live delete vectors after the MoR DELETE")
+    val cnt = s.table("graft_morc.db.orders").agg(count(lit(1)).as("n_rows"))
+    val aggPushed = cnt.queryExecution.executedPlan.toString.contains("pushedAggs=")
+    require(aggPushed,
+      "q163: COUNT(*) under live DVs must answer from footer rows − DV cardinality")
+    val mm = s.table("graft_morc.db.orders")
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+    val mmUnpushed = !mm.queryExecution.executedPlan.toString.contains("pushedAggs=")
+    require(mmUnpushed,
+      "q163: MIN/MAX must keep declining under live DVs (attaining row may be deleted)")
+    cnt.crossJoin(mm) // mm is 1 row, computed by the DV-applying scan
+      .withColumn("agg_pushed", lit(aggPushed))
+      .withColumn("mm_unpushed", lit(mmUnpushed))
+  }
+  private val q163Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(o_orderkey) AS BIGINT) AS mn,
+      |  CAST(max(o_orderkey) AS BIGINT) AS mx,
+      |  true AS agg_pushed, true AS mm_unpushed
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 3)""".stripMargin
+
   // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
   // 10% price increase on open orders; the oracle recomputes the same
   // CASE from parquet. Both sides multiply the identical doubles, so a
@@ -3840,6 +3923,7 @@ object FormatOps {
     "q160_incremental_diff" -> q160,
     "q161_materialize_dvs" -> q161,
     "q162_rewrite_prune" -> q162,
+    "q163_dv_count" -> q163,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3898,6 +3982,7 @@ object FormatOps {
     "q160_incremental_diff" -> q160Sql,
     "q161_materialize_dvs" -> q161Sql,
     "q162_rewrite_prune" -> q162Sql,
+    "q163_dv_count" -> q163Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

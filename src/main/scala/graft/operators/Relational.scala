@@ -644,18 +644,43 @@ object Relational {
       |HAVING count(*) >= 2
       |ORDER BY n_name""".stripMargin
 
-  // ---- q28: approx_count_distinct (HLL++) — no SQL oracle ------------------
-  // Different sketch implementations give different estimates; checked
-  // rows-only by the driver. Exact distinct rides along to show the
-  // estimate lands within rsd.
+  // ---- q28: approx_count_distinct (HLL++) — oracled bound gate -------------
+  // The raw estimate is implementation-specific (HLL++ register layout
+  // differs across engines), so no engine-independent oracle can state
+  // it — instead the gate reduces the sketch to exact-verifiable facts:
+  // the exact distinct counts (DuckDB restates them) plus an IN-GATE
+  // assertion that every estimate lands within 5×rsd of exact. A broken
+  // sketch (wrong column, broken partial merge, ignored rsd) fails the
+  // require loudly; a broken exact path hash-fails. The '*ALL*' row
+  // estimates UNGROUPED — that path merges sketch partials across all
+  // partitions, the merge shape q28b's per-group bound doesn't reach.
   private val q28: Q = (s, d) => {
-    Tables.lineitem(s, d)
-      .groupBy(col("l_linestatus"))
-      .agg(
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val li = Tables.lineitem(s, d)
+    val shape = li.groupBy(col("l_linestatus"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .unionByName(li
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact"))
+        .withColumn("l_linestatus", lit("*ALL*")))
+    shape.collect().foreach { r =>
+      val est = r.getLong(r.fieldIndex("approx"))
+      val ex = r.getLong(r.fieldIndex("exact"))
+      require(math.abs(est - ex) <= math.max(1L, math.ceil(ex * 0.1).toLong),
+        s"q28: HLL++ estimate $est strayed beyond 5×rsd of exact $ex " +
+          s"for group ${r.getString(r.fieldIndex("l_linestatus"))}")
+    }
+    shape.select(col("l_linestatus"), col("exact").as("exact_orders"))
+      .withColumn("bound_asserted", lit(true))
       .orderBy(col("l_linestatus"))
   }
+  private val q28Sql =
+    """SELECT l_linestatus, count(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS bound_asserted
+      |FROM lineitem GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT '*ALL*', count(DISTINCT l_orderkey), true FROM lineitem
+      |ORDER BY l_linestatus""".stripMargin
 
   // ---- q28b: HLL accuracy gate (exact-bound oracle) ------------------------
   // The q46 pattern aimed at the sketch: the estimate itself is
@@ -937,8 +962,10 @@ object Relational {
     "q25_asof_join" -> q25Sql,
     "q26_udaf_weighted_avg" -> q26Sql,
     "q27_sql_api" -> q27Sql,
-    // q28 has no oracle: HLL++ estimates are implementation-specific;
-    // q28b gates the sketch's error bound with an exact oracle instead
+    // q28's raw estimates are implementation-specific, so its oracle
+    // states the EXACT side while the gate asserts the error bound
+    // in-code; q28b gates the per-group bound fully in-plan
+    "q28_approx_distinct" -> q28Sql,
     "q28b_approx_bound" -> q28bSql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,

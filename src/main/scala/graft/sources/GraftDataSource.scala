@@ -1471,12 +1471,19 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       "cannot UPDATE/MERGE/DELETE a time-travel read; only the live generation is writable")
     () => {
       val table = Option(options.get("table")).getOrElse("data")
-      // a DECLARED bucket layout always runs copy-on-write: its provable
-      // key-grouped contract requires the clustered replacement write
-      // the COW path declares; MoR's inserted rows would break it
+      // a DECLARED bucket layout forces copy-on-write for ROW-WRITING
+      // commands only: the layout's provable key-grouped contract
+      // constrains replacement rows (UPDATE/MERGE inserts), which the
+      // COW path's clustered write declares and MoR's plain data files
+      // would break. A pure position-DELETE writes NO rows — every
+      // carried file keeps its bucket tag and the layout claim survives
+      // untouched — so the bucketed fact table (exactly where cheap
+      // deletes matter most) still gets kilobyte delete vectors.
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
       val bucketed = GraftDataSource.readBucketMarker(
         GraftDataSource.sessionConf(), dirs.head, table).isDefined
-      if (!bucketed && GraftDataSource.morMode(info.command()))
+      if ((!bucketed || info.command() == DELETE) &&
+          GraftDataSource.morMode(info.command()))
         new GraftMorOperation(dirs.head, table, schema, info.command())
       else new GraftRowLevelOperation(dirs.head, table, schema, info.command())
     }
@@ -1694,12 +1701,21 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     // partition filters are fully applied by exact file drops, so
     // `count(*) WHERE dt = '…'` stays a footer walk of one partition
     if (pushed.length != consumed.length) return false
-    // merge-on-read delete vectors invalidate footer-served aggregates
-    // outright: counts include deleted rows, and a bound's attaining row
-    // may be deleted — decline and scan (chunk skipping still applies;
-    // compaction materializes the DVs and re-enables the footer walk)
+    // merge-on-read delete vectors invalidate MOST footer-served
+    // aggregates: a bound's attaining row may be deleted (MIN/MAX),
+    // deleted rows' null-ness is unrecorded (COUNT(col)), and their
+    // values stay in the footer sums (SUM). COUNT(*) alone stays EXACT:
+    // per file, live rows = footer numRows − the DV manifest's recorded
+    // cardinality — both already in planning metadata, zero data pages.
+    // GROUP BY partition-only columns composes (each file belongs to
+    // exactly one group, so per-file partials stay exact per group). So
+    // under live DVs push ONLY CountStar; everything else declines and
+    // scans (chunk skipping still applies; compaction materializes the
+    // DVs and re-enables the full footer walk).
     if (dirs.exists(d => GraftDataSource.liveDvs(
-        GraftDataSource.sessionConf(), d, tableOpt).nonEmpty)) return false
+        GraftDataSource.sessionConf(), d, tableOpt).nonEmpty) &&
+        !aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+      return false
     val groupCols: Seq[String] = aggregation.groupByExpressions().toSeq.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
           if r.fieldNames().length == 1 => r.fieldNames()(0)
@@ -2335,7 +2351,13 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
           val r = GraftFileReader.open(p.getFileSystem(conf), p)
           try r.footer.chunks.size finally r.close()
         } catch { case _: Exception => 1 } // defer failures to the executor
-        if (nChunks <= 1) Seq(GraftInputPartition(p.toString, part))
+        // a DV'd file under pushed COUNT(*) must stay ONE partition: the
+        // manifest's deleted-row cardinality is per FILE, and splitting
+        // would subtract it once per chunk (per-chunk DV attribution
+        // would cost a blob decode planning never pays)
+        if (nChunks <= 1 ||
+            (aggSpecs.nonEmpty && dvByUri.contains(p.toUri.getPath)))
+          Seq(GraftInputPartition(p.toString, part))
         else (0 until nChunks).map(i => GraftInputPartition(p.toString, part, Some(i)))
       }.flatten.map(x => x: InputPartition).toArray
     }
@@ -2343,16 +2365,22 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
 
   override def createReaderFactory(): PartitionReaderFactory = aggSpecs match {
     case Some(specs) =>
-      // the builder declines aggregate pushdown when the view has delete
-      // vectors; a DV appearing between push and execution (a concurrent
-      // MoR DELETE committing mid-plan) must fail loudly — footer counts
-      // and bounds would silently include the deleted rows
-      if (dvByUri.nonEmpty)
+      // under live delete vectors only COUNT(*) (+ partition-only group
+      // columns) stays footer-exact: live rows = numRows − the manifest's
+      // DV cardinality per file. The builder only pushes that shape when
+      // it saw DVs; a DV appearing between push and execution (a
+      // concurrent MoR DELETE committing mid-plan) is ALSO fine for that
+      // shape — this scan's snapshot pairs the listing with its own DV
+      // set. Any other pushed spec must fail loudly instead: footer
+      // bounds and sums would silently include the deleted rows.
+      if (dvByUri.nonEmpty &&
+          !specs.forall(s => s == GraftCountStar || s.isInstanceOf[GraftGroupCol]))
         throw new graft.format.OliveFormatException(
           s"delete vectors appeared on ${dirs.mkString(",")} after aggregate " +
             "pushdown was planned (concurrent merge-on-read DELETE); re-run the query")
       new GraftAggReaderFactory(specs, required, tableOpt,
-        new SerializableConfiguration(GraftDataSource.sessionConf()))
+        new SerializableConfiguration(GraftDataSource.sessionConf()),
+        dvDeleted = dvByUri.map { case (k, (_, n)) => k -> n })
     case None =>
       // top-k skipping is only sound when EVERY delivered row survives to
       // the final TakeOrdered: pushTopN already declines on planned
@@ -2462,7 +2490,11 @@ case class GraftBucketedPartition(files: Seq[(String, Map[String, String])],
   * constant path value; a column missing from an old file's schema
   * contributes a null partial (Spark's final Min/Max ignore nulls). */
 class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
-    tableOpt: Option[String], conf: SerializableConfiguration) extends PartitionReaderFactory {
+    tableOpt: Option[String], conf: SerializableConfiguration,
+    // live-DV cardinality per data-file URI path: COUNT(*) partials
+    // subtract it (live rows = footer rows − recorded deletions); only
+    // CountStar/group specs are ever planned alongside a non-empty map
+    dvDeleted: Map[String, Long] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
     case pp: GraftPackedPartition =>
       // a packed bin yields one partial row PER FILE (Spark's final
@@ -2808,7 +2840,15 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
               gp.partValues.get(c)
                 .map(org.apache.spark.unsafe.types.UTF8String.fromString)
                 .orNull
-            case GraftCountStar => chunks.map(_.numRows.toLong).sum
+            case GraftCountStar =>
+              val deleted = dvDeleted.getOrElse(new Path(gp.file).toUri.getPath, 0L)
+              // per-FILE cardinality: the planner keeps DV'd files whole
+              // under pushed aggregates — a per-chunk slice here would
+              // over-subtract once per chunk
+              if (deleted > 0 && gp.chunkIdx.isDefined)
+                throw new OliveFormatException(
+                  s"DV'd file ${gp.file} was chunk-split under pushed COUNT(*)")
+              chunks.map(_.numRows.toLong).sum - deleted
             case GraftCountCol(c, prev) => chunkPairs.map { case (cm, t) =>
               statsOf(cm, t, c, prev) match {
                 case Some(cs) => t.numRows.toLong - cs.nullCount

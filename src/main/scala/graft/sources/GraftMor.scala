@@ -32,9 +32,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and top-k pushes fully live, MoR trades them (the scan builder
   * declines while DVs exist) for O(changed rows) write cost; compaction
   * (`CALL sys.compact`) materializes the DVs and re-enables the footer
-  * walk. Tables with a DECLARED bucket layout always run COW: the
-  * layout's provable-bucketing contract requires the clustered write
-  * shape the COW path declares.
+  * walk. Tables with a DECLARED bucket layout run COW for UPDATE/MERGE
+  * (the layout's provable-bucketing contract constrains replacement
+  * rows, which only the COW path's clustered write declares) but take
+  * the MoR path for pure DELETE — a position delete writes no rows, so
+  * every carried file keeps its bucket tag and the shuffle-free-join
+  * claim survives intact.
   *
   * Scan side: Spark plans the condition OVER the table scan and projects
   * the row ids, so pushed predicates still prune files/chunks/blocks

@@ -12,12 +12,11 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     // the round-4 floor: a refactor that silently drops a module's
     // queries map from SparkEntry must fail here, not at the driver
     assert(SparkEntry.queries.size >= 126)
-    // non-oracled queries are the known non-SQL-expressible set: since
-    // round 14 only q28's HLL estimate (bounded by q28b's exact-oracle
-    // error gate) — q35/q41/q44 carry real hash oracles now
+    // since round 15 EVERY gate carries a hash oracle: q28 (the last
+    // rows-only gate) now reduces its HLL estimate to exact-verifiable
+    // facts with the error bound asserted in-gate
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q28_approx_distinct"),
-      s"unexpected rows-only queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected rows-only queries: $noOracle")
   }
   test("every declared query executes at sf0.001") {
     // Round-6 lesson: a driver fixture-schema drift (events.ts became

@@ -389,4 +389,44 @@ class AggPushdownSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) -
       0.5 * (0 until 9000).filter(_ % 7 != 0).map(_.toLong).sum) < 1e-3)
   }
+
+  test("COUNT(*) stays pushed under live delete vectors; MIN/MAX/COUNT(col) decline") {
+    val root = Files.createTempDirectory("graft-aggdv").toString
+    spark.conf.set("spark.sql.catalog.aggdv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aggdv.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS aggdv.db")
+    // 3 files × 2 chunks; the second delete erases one WHOLE chunk's rows
+    spark.range(0, 12000).selectExpr("id AS k", "id % 5 AS v")
+      .repartitionByRange(3, col("k")).createOrReplaceTempView("aggdv_src")
+    spark.sql("CREATE TABLE aggdv.db.t USING graft TBLPROPERTIES('chunkrows'='2000') " +
+      "AS SELECT * FROM aggdv_src")
+    spark.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM aggdv.db.t WHERE k % 13 = 7")        // sparse across files
+      spark.sql("DELETE FROM aggdv.db.t WHERE k >= 2000 AND k < 4000") // a whole chunk
+    } finally spark.conf.set("spark.graft.deleteMode", "copy-on-write")
+    val expect = (0L until 12000L).count(k => k % 13 != 7 && !(k >= 2000 && k < 4000)).toLong
+
+    val cnt = spark.sql("SELECT count(*) AS n FROM aggdv.db.t")
+    assert(plan(cnt).contains("pushedAggs="),
+      s"COUNT(*) must stay a footer walk under live DVs\n${plan(cnt)}")
+    assert(cnt.head.getLong(0) == expect)
+    // count(1) is the same shape
+    assert(spark.sql("SELECT count(1) FROM aggdv.db.t").head.getLong(0) == expect)
+
+    // bounds/null-counts cannot answer from footers while rows are
+    // DV-deleted (the attaining row may be gone) — the plan keeps the
+    // real scan, and the scan's DV application yields the exact answer
+    val mm = spark.sql("SELECT min(k), max(k), count(v) FROM aggdv.db.t")
+    assert(!plan(mm).contains("pushedAggs="), plan(mm))
+    val r = mm.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 11999L && r.getLong(2) == expect)
+
+    // compaction materializes the DVs: the full aggregate set pushes again
+    spark.sql("CALL aggdv.sys.compact(ns => 'db', target_files => 2)")
+    val post = spark.sql("SELECT count(*), min(k), max(k) FROM aggdv.db.t")
+    assert(plan(post).contains("pushedAggs="), plan(post))
+    val pr = post.head
+    assert(pr.getLong(0) == expect && pr.getLong(1) == 0L && pr.getLong(2) == 11999L)
+  }
 }

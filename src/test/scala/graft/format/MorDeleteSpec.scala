@@ -244,12 +244,44 @@ class MorDeleteSpec extends SparkSpec {
     }
     val evil = bytes.clone(); evil(6) = (evil(6) ^ 0x40).toByte
     val out = fs.create(dvPath, true); try out.write(evil) finally out.close()
-    val e = intercept[Exception] { spark.table("mor8.db.t").count() }
+    // COUNT(*) never opens the blob — it answers from footer rows minus
+    // the MANIFEST cardinality, so it stays correct even now (the
+    // manifest is intact; only the blob payload is flipped)
+    assert(spark.table("mor8.db.t").count() == 900)
+    // any query that actually reads rows must decode the blob → refuse
+    val e = intercept[Exception] {
+      spark.table("mor8.db.t").agg(org.apache.spark.sql.functions.sum("k")).collect()
+    }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("delete vector")), s"wrong refusal: $e")
-    // restore the blob; verify_table still audits the manifest claim
+    // verify_table emits one row PER DV blob: the flipped blob's row is
+    // flagged (checksum), while the DATA file's row stays green — the
+    // audit names the broken artifact
+    val flippedReport = graft.operators.FormatOps.verifyTable(spark, dir, Some("t"))
+    val dvRows = flippedReport.filter(_._1.contains(".dvg"))
+    assert(dvRows.size == 1, s"expected one DV report row: $flippedReport")
+    assert(!dvRows.head._2 && dvRows.head._5.exists(_.contains("delete vector")),
+      s"corrupt DV blob not flagged: $dvRows")
+    assert(flippedReport.filterNot(_._1.contains(".dvg")).forall(_._2),
+      s"data file wrongly flagged for a sidecar fault: $flippedReport")
+    // restore the blob; now make the MANIFEST lie instead (cardinality+1
+    // — the exact number pushed COUNT(*) subtracts): verify_table must
+    // flag the mismatch even though the blob itself is pristine
     val out2 = fs.create(dvPath, true); try out2.write(bytes) finally out2.close()
+    assert(spark.table("mor8.db.t").count() == 900)
+    assert(graft.operators.FormatOps.verifyTable(spark, dir, Some("t")).forall(_._2))
+    val resolvedGen = new Path(GraftDataSource.resolveDataDir(conf, dir))
+    val entries = GraftDataSource.readDvManifest(fs, resolvedGen)
+    GraftDataSource.writeDvManifest(fs, resolvedGen,
+      entries.map { case (t2, r2, d2, n2) => (t2, r2, d2, n2 + 1) })
+    val lyingReport = graft.operators.FormatOps.verifyTable(spark, dir, Some("t"))
+    val lyingDv = lyingReport.filter(_._1.contains(".dvg"))
+    assert(lyingDv.size == 1 && !lyingDv.head._2 &&
+      lyingDv.head._5.exists(_.contains("manifest claims")),
+      s"lying manifest cardinality not flagged: $lyingReport")
+    // put the truth back so later tests over this warehouse stay clean
+    GraftDataSource.writeDvManifest(fs, resolvedGen, entries)
     assert(spark.table("mor8.db.t").count() == 900)
     val _ = rel
   }
@@ -327,19 +359,32 @@ class MorDeleteSpec extends SparkSpec {
     val _ = root
   }
 
-  test("bucketed tables always run copy-on-write regardless of mode") {
+  test("bucketed tables: MoR DELETE writes DVs (no rows = no layout risk), UPDATE stays COW") {
     val root = mkCatalog("morb")
     val dir = s"$root/db"
     spark.range(0, 2000).selectExpr("id AS k", "id % 3 AS v")
       .write.format("graft").option("table", "t").option("bucketBy", "k:4")
       .mode("overwrite").save(dir)
     spark.sql("CREATE TABLE IF NOT EXISTS morb.db.t (k BIGINT, v BIGINT) USING graft")
+    val before = dataFileState(dir)
     withMorAll { spark.sql("DELETE FROM morb.db.t WHERE k % 17 = 5") }
-    // COW fallback: no .dvs, rows gone, bucket layout marker still present
-    assert(liveDvEntries(dir).isEmpty, "bucketed table must not take the MoR path")
+    // a pure position delete writes NO rows, so the bucket contract is
+    // untouchable: DVs appear, every bucket file stays byte-identical
+    assert(liveDvEntries(dir).nonEmpty, "bucketed MoR DELETE must write delete vectors")
+    assert(dataFileState(dir) == before, "bucketed MoR DELETE rewrote data files")
     assert(spark.table("morb.db.t").filter(col("k") % 17 === 5).count() == 0)
     assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined,
-      "bucket layout must survive the COW delete")
+      "bucket layout must survive the MoR delete")
+    // UPDATE/MERGE would write replacement ROWS, which the layout
+    // contract constrains — those still downgrade to COW (no new DVs
+    // beyond the delete's, files legitimately rewritten)
+    val dvCardBefore = liveDvEntries(dir).map(_._4).sum
+    withMorAll { spark.sql("UPDATE morb.db.t SET v = -1 WHERE k % 17 = 6") }
+    assert(liveDvEntries(dir).map(_._4).sum <= dvCardBefore,
+      "bucketed UPDATE must not take the MoR path")
+    assert(spark.table("morb.db.t").filter(col("v") === -1).count() ==
+      (0 until 2000).count(_ % 17 == 6).toLong)
+    assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined)
   }
 
   test("DESCRIBE surfaces DV state; planner row estimate subtracts deleted rows") {

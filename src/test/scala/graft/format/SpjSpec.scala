@@ -272,6 +272,53 @@ class SpjSpec extends SparkSpec {
     assert(join().count() == 900L)
   }
 
+  test("MoR DELETE on a bucketed table: zero rewrites, DV applied, join still shuffle-free") {
+    val root = Files.createTempDirectory("graft-spj-mor").toString
+    val s = spjSession(root)
+    writeBucketed(s, root)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def fileState(dir: String): Map[String, (Long, Long)] =
+      graft.sources.GraftDataSource.listPartitionedSized(conf, dir).map { case (p, _, _) =>
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        p.getName -> (st.getLen, st.getModificationTime)
+      }.toMap
+    val before = fileState(s"$root/f")
+    s.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try s.sql("DELETE FROM spj_cat.f.facts WHERE name LIKE 'item-7%'")
+    finally s.conf.set("spark.graft.deleteMode", "copy-on-write")
+    // a pure position delete writes no rows: every bucket file survives
+    // byte-identical (same name = same bucket tag, layout claim intact)
+    val after = fileState(s"$root/f")
+    assert(after == before, "MoR DELETE on a bucketed table rewrote data files")
+    val dvs = graft.sources.GraftDataSource.liveDvs(conf, s"$root/f", Some("facts"))
+    assert(dvs.nonEmpty, "expected live delete vectors")
+    val deleted = (0 until 2000).count(i => s"item-$i".startsWith("item-7"))
+    // the bucketed join stays shuffle-free AND applies the DVs
+    val joined = s.sql("""
+      SELECT f.k, count(*) AS n
+      FROM spj_cat.f.facts f JOIN spj_cat.d.dims d ON f.k = d.dk
+      GROUP BY f.k""")
+    assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+    assert(joined.agg(sum("n")).head.getLong(0) == (2000 - deleted).toLong)
+    // UPDATE in MoR mode still downgrades to COW on a bucketed table
+    // (replacement rows must keep the clustered layout): data files DO
+    // change, and no new DV entries appear beyond the delete's
+    s.conf.set("spark.graft.updateMode", "merge-on-read")
+    try s.sql("UPDATE spj_cat.f.facts SET amount = amount + 1 WHERE k = 5")
+    finally s.conf.set("spark.graft.updateMode", "copy-on-write")
+    val tag = graft.sources.GraftBucket.layoutTag("facts", "k", 8)
+    val files2 = graft.sources.GraftDataSource.listFiles(conf, s"$root/f")
+    assert(files2.forall(p =>
+      graft.sources.GraftDataSource.bucketOf(p.getName, 8, tag).isDefined),
+      "bucket layout lost after COW UPDATE")
+    val joined2 = s.sql("""
+      SELECT f.k, count(*) AS n
+      FROM spj_cat.f.facts f JOIN spj_cat.d.dims d ON f.k = d.dk
+      GROUP BY f.k""")
+    assert(shuffles(joined2) == 0, "layout claim lost after COW UPDATE under MoR conf")
+    assert(joined2.agg(sum("n")).head.getLong(0) == (2000 - deleted).toLong)
+  }
+
   test("DROP TABLE clears the bucket spec; unbucketed overwrite resets the layout") {
     val root = Files.createTempDirectory("graft-spj-lifecycle").toString
     val s = spjSession(root)

@@ -20,6 +20,17 @@ class StagedStatsSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-stagedstats").toString
     val staging = new Path(root, "gen-00001.tmp-abc123")
     val fs = staging.getFileSystem(conf)
+    // a staging-SHAPED name alone is not enough: a user table whose root
+    // coincidentally matches the pattern must NOT accumulate a permanent
+    // sidecar in its live data dir (nothing would ever delete it) — the
+    // writer requires the liveness claim every real staging carries
+    spark.range(0, 50).selectExpr("id")
+      .write.format("graft").mode("append").save(staging.toString)
+    assert(GraftDataSource.readStagedStats(fs, staging).isEmpty,
+      "an unclaimed staging-named dir must not grow a sidecar")
+    fs.delete(staging, true)
+    // with the claim stamped (as prepareRewrite does), stats accumulate
+    Generations.claimStaging(conf, staging)
     spark.range(0, 10000).selectExpr("id", "id % 5 AS v")
       .repartition(4).write.format("graft").mode("append").save(staging.toString)
     val entries = GraftDataSource.readStagedStats(fs, staging)
