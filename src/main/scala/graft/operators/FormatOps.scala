@@ -1153,10 +1153,6 @@ object FormatOps {
       idempotencyKey: Option[String] = None): Unit = {
     require(keys.nonEmpty, "applyCdcBatch needs key columns")
     val eff0 = batch.filter(col("_change_type") =!= "update_preimage")
-    // an empty micro-batch (or a preimage-only split half) must be a
-    // TRUE no-op — without this, every empty trigger would still churn
-    // a full carry generation of the replica
-    if (eff0.isEmpty) return
     val eff = if (eff0.columns.contains("_commit_version")) eff0
       else eff0.withColumn("_commit_version", lit(0L))
     val w = org.apache.spark.sql.expressions.Window
@@ -1167,8 +1163,23 @@ object FormatOps {
     val touched = last.select(keys.map(col): _*)
     val adds = last.filter(col("_change_type") =!= "delete")
       .drop("_change_type", "_commit_version")
+    // ONE map-only pass per key serves BOTH the candidate-file prune and
+    // the empty-batch check (profiled: a small commit's wall is Spark
+    // JOB COUNT, not metadata — the separate `isEmpty` probe was a whole
+    // job per micro-batch). Pruning on eff instead of `touched` is
+    // sound AND equally tight: row_number keeps every key, so the two
+    // key SETS are identical — but eff skips the window shuffle. An
+    // empty batch (or a preimage-only split half) must stay a TRUE
+    // no-op — without that, every empty trigger would churn a full
+    // carry generation of the replica. rows==0 on every key means no
+    // row carries a non-null key; only that rare shape (empty, or
+    // all-null-key inserts) pays the exact isEmpty probe.
+    val krs = keys.map(k =>
+      graft.format.Stats.keyPruneFull(eff0.select(col(k))))
+    if (krs.forall(_.rows == 0) &&
+        graft.sources.Prof.time("cdc.emptyCheck") { eff0.isEmpty }) return
     val prune = {
-      val fs = keys.flatMap(k => keyPrune(touched, k))
+      val fs = krs.flatMap(_.prune)
       Some(fs).filter(_.nonEmpty)
     }
     graft.sources.Generations.rewriteTable(s, replicaDir, table,
@@ -1363,24 +1374,33 @@ object FormatOps {
         multiKeyGrouped = if (smallKeySet) Some(grouped) else None
     }
     if (captureChanges) {
-      // insert-vs-update split needs only the PRE-image's key column for
-      // the batch's keys: one column-pruned semi-probe, sized by the
-      // batch, never the table
+      // ONE keyed semi-probe of the table serves the whole capture: the
+      // pre-images of replaced rows (Delta-CDF vocabulary, so consumers
+      // can subtract the old contribution) — batch-sized shuffle, AQE
+      // broadcasts the key set. The insert-vs-update split then derives
+      // from the pre-images THEMSELVES (a key has a pre-image iff it
+      // matched), pinned batch-sized via localCheckpoint so the union
+      // below doesn't re-evaluate the table scan subtree twice — the
+      // old shape paid a second full column-pruned scan (+ distinct)
+      // just to classify, which at 100 TB doubles the capture's read.
       val pre = readTable(s, dir, table)
-      val marked = batch.select(pre.columns.map(col).toSeq: _*)
-        .join(pre.select(keys.map(col): _*).distinct()
-          .withColumn("_matched", lit(1)), keys, "left")
-        .withColumn("_change_type",
-          when(col("_matched").isNotNull, "update_postimage").otherwise("insert"))
-        .drop("_matched")
-      // pre-images of the replaced rows (Delta-CDF vocabulary), so
-      // consumers can subtract the old contribution: one keyed
-      // semi-probe of the table by the batch's keys — the probe side is
-      // the batch, so the shuffle is batch-sized (AQE broadcasts it)
       val preImages = pre.join(batch.select(keys.map(col): _*).distinct(),
           keys, "left_semi")
         .withColumn("_change_type", lit("update_preimage"))
-      captureTo(s, dir, marked.unionByName(preImages))
+        .localCheckpoint()
+      try {
+        val matched = preImages.select(keys.map(col): _*).distinct()
+          .withColumn("_matched", lit(1))
+        val marked = batch.select(pre.columns.map(col).toSeq: _*)
+          .join(matched, keys, "left")
+          .withColumn("_change_type",
+            when(col("_matched").isNotNull, "update_postimage").otherwise("insert"))
+          .drop("_matched")
+        captureTo(s, dir, marked.unionByName(preImages))
+      } finally try preImages.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ =>
+      } catch { case _: Exception => }
     }
     // File-granular COW: only files whose zone maps/blooms admit one of
     // the batch's keys can hold a row the anti-join removes — the rest
@@ -1451,19 +1471,32 @@ object FormatOps {
       val types = v.schema.fields.map(f => f.name -> f.dataType).toMap
       Seq(countCol).++(sums.keys).foreach { n =>
         require(types.contains(n), s"view at $viewDir lacks column $n") }
-      val merged = v.join(delta, groupCols, "full_outer")
-      val outCols = v.schema.fields.map { f =>
-        f.name match {
-          case g if groupCols.contains(g) => col(g)
-          case n if n == countCol || sums.contains(n) =>
-            (coalesce(col(n), lit(0).cast(f.dataType))
-              + coalesce(col(s"_d_$n"), lit(0).cast(f.dataType)))
-              .cast(f.dataType).as(n)
-          case other => throw new IllegalArgumentException(
-            s"view column $other is neither a group column, the count, nor a maintained sum")
-        }
+      v.schema.fields.foreach { f =>
+        if (!groupCols.contains(f.name) && f.name != countCol && !sums.contains(f.name))
+          throw new IllegalArgumentException(
+            s"view column ${f.name} is neither a group column, the count, nor a maintained sum")
       }
-      merged.select(outCols.toSeq: _*).filter(col(countCol) > 0)
+      // merge as UNION + one hash aggregate, not a full_outer join: the
+      // join shuffles BOTH tiny sides into a sort-merge (outer joins
+      // don't broadcast-hash), three stages per micro-batch — profiled
+      // as the fold commit's dominant fixed cost. A union aggregates in
+      // ONE shuffle with map-side partials, and sum-over-present-rows
+      // is exactly the old coalesce(view,0)+coalesce(delta,0) algebra
+      // (sum skips nulls; the final coalesce restates the all-null
+      // group as 0, matching the join's coalesce-to-0 on both sides).
+      val shaped = v.select(v.schema.fields.map(f => col(f.name)).toSeq: _*)
+        .unionByName(delta.select(v.schema.fields.map { f =>
+          f.name match {
+            case g if groupCols.contains(g) => col(g)
+            case n => col(s"_d_$n").cast(f.dataType).as(n)
+          }
+        }.toSeq: _*))
+      val aggs = v.schema.fields.filterNot(f => groupCols.contains(f.name)).map(f =>
+        coalesce(sum(col(f.name)), lit(0).cast(f.dataType)).cast(f.dataType).as(f.name))
+      shaped.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail.toSeq: _*)
+        .select(v.schema.fields.map(f => col(f.name)).toSeq: _*)
+        .filter(col(countCol) > 0)
     }, idempotencyKey = idempotencyKey)
     ()
   }
@@ -2449,67 +2482,9 @@ object FormatOps {
       if (name != table) df
       else {
         touched = true
-        val missing = cols.filterNot(df.columns.contains)
-        require(missing.isEmpty, s"cluster on unknown columns: ${missing.mkString(",")}")
-        if (cols.size == 1) {
-          // single column: exact sort clustering, no z-curve needed
-          df.repartitionByRange(targetFiles, col(cols.head))
-            .sortWithinPartitions(col(cols.head))
-        } else {
-        val n = cols.size
-        val buckets = if (binning == "quantile") {
-          // one column-pruned pass for all boundary arrays; nulls are
-          // ignored by approxQuantile and bucket to 0 via the coalesce
-          graft.functions.QuantileBucket.register(s)
-          bucketRegistered = true
-          val casted = cols.map(c => col(c).cast("double").as(c))
-          val probs = (1 until 256).map(_.toDouble / 256).toArray
-          val qs = df.select(casted: _*).stat.approxQuantile(cols.toArray, probs, 0.001)
-          cols.zipWithIndex.map { case (c, i) =>
-            // collapse tied quantiles (constant/low-cardinality runs) and
-            // drop NaN boundaries: a shorter sorted array bins coarser,
-            // an EMPTY one (all-null/empty/all-NaN column) degrades to a
-            // constant bucket — no pruning bits from that column, never
-            // a wrong order
-            val bs = qs(i).filter(!_.isNaN).distinct.sorted
-            if (bs.isEmpty) lit(0L)
-            else coalesce(
-              graft.functions.QuantileBucket.bucket(
-                col(c).cast("double"), typedLit(bs.toSeq)),
-              lit(0L))
-          }
-        } else {
-          // one metadata-answerable job for all bounds
-          val aggs = cols.flatMap(c =>
-            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-          val bounds = df.agg(aggs.head, aggs.tail: _*).head()
-          cols.zipWithIndex.map { case (c, i) =>
-            // an empty table or all-null column has NULL bounds (a bare
-            // getDouble would NPE mid-rewrite); NaN bounds poison the
-            // interpolated width_bucket SQL (the literal parses as a
-            // COLUMN reference) and NaN == NaN is false so the flat-range
-            // guard misses — both degrade to a constant bucket: the
-            // column simply contributes no z-order bits, everything else
-            // still clusters
-            if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
-            else {
-              val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-              if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite || lo == hi) lit(0L)
-              else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
-            }
-          }
-        }
-        // interleave: bit k of bucket i lands at position k*n + i
-        val z = (0 until 8).flatMap { k =>
-          buckets.zipWithIndex.map { case (b, i) =>
-            shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), k * n + i)
-          }
-        }.reduce(_ + _)
-        df.withColumn("__z", z)
-          .repartitionByRange(targetFiles, col("__z"))
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-        }
+        val (shaped, reg) = clusterShape(s, df, cols, binning, targetFiles)
+        bucketRegistered ||= reg
+        shaped
       }, targetFiles = None, writeOptions = writeOptions, rowChurning = false,
       // record the clustering INSIDE the staging dir so it publishes
       // atomically with the generation it describes — written after the
@@ -2523,25 +2498,167 @@ object FormatOps {
         // writes above this hook; an unknown table publishes NO claim
         // (the require below then fails the call loudly)
         if (touched) {
-        val fs = staging.getFileSystem(conf)
-        var nFiles = 0L
-        val it = fs.listFiles(staging, true)
-        while (it.hasNext) {
-          if (it.next().getPath.getName.endsWith(".graft")) nFiles += 1
-        }
-        graft.sources.AtomicPublish.text(conf,
-          new org.apache.hadoop.fs.Path(staging,
-            graft.sources.GraftDataSource.ClusterSpecName),
-          // a single column is an exact sort — recording the binning
-          // mode would name machinery that never ran
-          s"${cols.mkString(",")}\n${if (cols.size == 1) "sort" else binning}" +
-            s"\n$nFiles\n$table")
+          val fs = staging.getFileSystem(conf)
+          writeClusterSpec(conf, staging, cols, binning, table,
+            clusterFileNames(fs, staging))
         }
       })
     } finally {
       if (bucketRegistered) graft.functions.QuantileBucket.deregister(s)
     }
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
+  }
+
+  /** The z-key shaping shared by the full [[cluster]] rewrite and the
+    * incremental merge ([[clusterIncremental]]): single column → exact
+    * range sort; 2-4 columns → Morton interleave of per-column bucket
+    * indices (uniform width_bucket or codegen'd quantile binning).
+    * Returns (shaped df, whether QuantileBucket was registered — the
+    * CALLER deregisters after its consuming plan executed). */
+  private def clusterShape(s: SparkSession, df: DataFrame, cols: Seq[String],
+      binning: String, targetFiles: Int): (DataFrame, Boolean) = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"cluster on unknown columns: ${missing.mkString(",")}")
+    if (cols.size == 1) {
+      // single column: exact sort clustering, no z-curve needed
+      (df.repartitionByRange(targetFiles, col(cols.head))
+        .sortWithinPartitions(col(cols.head)), false)
+    } else {
+      val n = cols.size
+      var registered = false
+      val buckets = if (binning == "quantile") {
+        // one column-pruned pass for all boundary arrays; nulls are
+        // ignored by approxQuantile and bucket to 0 via the coalesce
+        graft.functions.QuantileBucket.register(s)
+        registered = true
+        val casted = cols.map(c => col(c).cast("double").as(c))
+        val probs = (1 until 256).map(_.toDouble / 256).toArray
+        val qs = df.select(casted: _*).stat.approxQuantile(cols.toArray, probs, 0.001)
+        cols.zipWithIndex.map { case (c, i) =>
+          // collapse tied quantiles (constant/low-cardinality runs) and
+          // drop NaN boundaries: a shorter sorted array bins coarser,
+          // an EMPTY one (all-null/empty/all-NaN column) degrades to a
+          // constant bucket — no pruning bits from that column, never
+          // a wrong order
+          val bs = qs(i).filter(!_.isNaN).distinct.sorted
+          if (bs.isEmpty) lit(0L)
+          else coalesce(
+            graft.functions.QuantileBucket.bucket(
+              col(c).cast("double"), typedLit(bs.toSeq)),
+            lit(0L))
+        }
+      } else {
+        // one metadata-answerable job for all bounds
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          // an empty table or all-null column has NULL bounds (a bare
+          // getDouble would NPE mid-rewrite); NaN bounds poison the
+          // interpolated width_bucket SQL (the literal parses as a
+          // COLUMN reference) and NaN == NaN is false so the flat-range
+          // guard misses — both degrade to a constant bucket: the
+          // column simply contributes no z-order bits, everything else
+          // still clusters
+          if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+          else {
+            val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+            if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite || lo == hi) lit(0L)
+            else least(expr(s"width_bucket(CAST(`$c` AS DOUBLE), $lo, $hi, 256)") - 1L, lit(255L))
+          }
+        }
+      }
+      // interleave: bit k of bucket i lands at position k*n + i
+      val z = (0 until 8).flatMap { k =>
+        buckets.zipWithIndex.map { case (b, i) =>
+          shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), k * n + i)
+        }
+      }.reduce(_ + _)
+      (df.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z"), registered)
+    }
+  }
+
+  /** Names of every staged `.graft` file — the clustered-set membership
+    * list the incremental recluster diffs the live listing against. */
+  private def clusterFileNames(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path): Seq[String] = {
+    val names = Seq.newBuilder[String]
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (n.endsWith(".graft")) names += n
+    }
+    names.result().sorted
+  }
+
+  private def writeClusterSpec(conf: org.apache.hadoop.conf.Configuration,
+      staging: org.apache.hadoop.fs.Path, cols: Seq[String], binning: String,
+      table: String, names: Seq[String]): Unit =
+    graft.sources.AtomicPublish.text(conf,
+      new org.apache.hadoop.fs.Path(staging,
+        graft.sources.GraftDataSource.ClusterSpecName),
+      // a single column is an exact sort — recording the binning
+      // mode would name machinery that never ran. Lines 5+ are the
+      // member file NAMES (newer records only): what lets an
+      // incremental recluster identify drift without any per-file I/O.
+      s"${cols.mkString(",")}\n${if (cols.size == 1) "sort" else binning}" +
+        s"\n${names.size}\n$table" +
+        (if (names.isEmpty) "" else names.mkString("\n", "\n", "")))
+
+  /** Incremental reclustering for `state=partial` (`CALL sys.cluster(...,
+    * incremental => true)`): recluster ONLY the files that postdate the
+    * recorded clustering rewrite, carry the still-clustered originals by
+    * reference — cost ∝ drift, not table size. Drift membership comes
+    * from the record's file-name list (zero per-file I/O to detect); the
+    * drift rows are z/range-shaped among THEMSELVES and appended as new
+    * tiling files. The result is two interleaved sorted tilings rather
+    * than one global order — every file still covers a bounded key
+    * range, so zone-map pruning holds; a periodic FULL recluster
+    * restores the single tiling when overlap accumulates. Returns the
+    * number of drift files reclustered (0 = nothing to do). Refuses on a
+    * record written before name tracking (run one full cluster first). */
+  def clusterIncremental(s: SparkSession, dir: String, table: String): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val spec = graft.sources.GraftDataSource.readClusterSpec(conf, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no clustering record on $dir — run a full sys.cluster first"))
+    val (colsCsv, binning0, _, recTable) = spec
+    require(recTable == table,
+      s"clustering record on $dir names table '$recTable', not '$table'")
+    val members = graft.sources.GraftDataSource.readClusterSpecFiles(conf, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"the clustering record on $dir predates incremental support " +
+          "(no member file list) — run one full sys.cluster to refresh it"))
+    val cols = colsCsv.split(',').toSeq
+    val binning = if (binning0 == "sort") "uniform" else binning0
+    require(graft.sources.GraftDataSource.readBucketMarker(conf, dir, table).isEmpty,
+      s"table '$table' is bucketed — clustering and bucketing prescribe " +
+        "conflicting layouts (same refusal as the full cluster)")
+    var drift = 0
+    var reg = false
+    try {
+      drift = graft.sources.Generations.rewriteFiles(s, dir, table,
+        p => !members.contains(p.getName),
+        (df, nDrift) => {
+          val (shaped, r) = clusterShape(s, df, cols, binning, math.max(nDrift, 1))
+          reg ||= r
+          shaped
+        },
+        beforePublish = (conf2, staging, carriedNames) => {
+          val fs = staging.getFileSystem(conf2)
+          // new record: carried members that are still live + the drift
+          // replacements this rewrite just staged — the count equals the
+          // post-publish listing, so DESCRIBE reports 'clustered' again
+          writeClusterSpec(conf2, staging, cols, binning0, table,
+            (carriedNames ++ clusterFileNames(fs, staging)).sorted)
+        })
+    } finally {
+      if (reg) graft.functions.QuantileBucket.deregister(s)
+    }
+    drift
   }
 
   // ---- q98: z-order clustering preserves content, prunes both dims ----------
@@ -3672,6 +3789,63 @@ object FormatOps {
       |FROM orders
       |WHERE NOT (o_orderkey % 7 = 3)""".stripMargin
 
+  // ---- q164: incremental recluster — cost ∝ drift, prune restored -----------
+  // The maintenance loop a 100 TB clustered table actually lives in:
+  // cluster once, ingest drifts the claim to 'partial', and the repair
+  // must NOT be another full rewrite. `sys.cluster(incremental => true)`
+  // reclusters ONLY the files that postdate the record (membership from
+  // the record's file-name list — zero per-file I/O to detect drift).
+  // Gate asserts the clustered originals survive BYTE-IDENTICAL (the
+  // cost∝drift claim, required in-gate) and that a single-key filter
+  // over the merged layout still schedules ≤2 of the 9 files at
+  // planning time (the q162 prune shape, now spanning both tilings).
+  // Output is the filtered rows plus the drift/no-rewrite facts, all
+  // oracle-stated.
+  private val q164: Q = (s, d) => {
+    val dir = graftDir(d, "inc_cluster")
+    Tables.orders(s, d).repartition(8) // shuffled: every file spans the keys
+      .write.format("graft").mode("overwrite").save(dir)
+    cluster(s, dir, "data", Seq("o_orderkey"), targetFiles = 8)
+    val conf = s.sparkContext.hadoopConfiguration
+    def fileState(): Map[String, Long] =
+      graft.sources.GraftDataSource.listPartitionedSized(conf, dir)
+        .map { case (p, size, _) => p.getName -> size }.toMap
+    val clustered = fileState()
+    val g0 = s.read.format("graft").load(dir)
+    val keyMax = g0.agg(max(col("o_orderkey"))).head().getLong(0)
+    // drift: ~10% new HIGH keys (monotonic-id ingest), shuffled
+    Tables.orders(s, d).limit(2000)
+      .withColumn("o_orderkey", col("o_orderkey") + keyMax + 1)
+      .coalesce(1).write.format("graft").mode("append").save(dir)
+    val drift = clusterIncremental(s, dir, "data")
+    require(drift == 1, s"q164: expected exactly 1 drift file reclustered, got $drift")
+    val after = fileState()
+    val noRewrite = clustered.forall { case (n, sz) => after.get(n).contains(sz) }
+    require(noRewrite, "q164: incremental recluster rewrote clustered originals")
+    val g = s.read.format("graft").load(dir)
+    val sel = g.filter(col("o_orderkey") === keyMax)
+    val files = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case p: graft.sources.GraftInputPartition => Seq(p.file)
+          case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
+        }.flatten
+    }.flatten.distinct.size
+    require(files <= 2,
+      s"q164: $files files scheduled for a single-key filter after the " +
+        "incremental recluster — the merged layout stopped pruning")
+    sel.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("drift_files", lit(drift.toLong))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q164Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(1 AS BIGINT) AS drift_files, true AS no_rewrite
+      |FROM orders
+      |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
   // 10% price increase on open orders; the oracle recomputes the same
   // CASE from parquet. Both sides multiply the identical doubles, so a
@@ -3924,6 +4098,7 @@ object FormatOps {
     "q161_materialize_dvs" -> q161,
     "q162_rewrite_prune" -> q162,
     "q163_dv_count" -> q163,
+    "q164_incremental_cluster" -> q164,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -3983,6 +4158,7 @@ object FormatOps {
     "q161_materialize_dvs" -> q161Sql,
     "q162_rewrite_prune" -> q162Sql,
     "q163_dv_count" -> q163Sql,
+    "q164_incremental_cluster" -> q164Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

@@ -379,7 +379,8 @@ object Generations {
     // double it (the exactly-once contract for at-least-once drivers)
     if (idempotencyKey.isDefined &&
         liveRewriteTag(conf, dir) == idempotencyKey) return
-    val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
+    val nextGen = Prof.time("rw.prepareRewrite") {
+      prepareRewrite(s, dir, graceMs) } // entry sweep + allocation
     // pin the source view for the publish's late-append fold
     val srcDir = GraftDataSource.resolveDataDir(conf, dir)
     // ONE listing serves both the partition-column probe and the table
@@ -390,10 +391,11 @@ object Generations {
     // SKIPPING a vanished file could silently drop a whole table from
     // the rewrite, so vanish is never ignored, only re-resolved.
     var attempt = 0
-    var listed = GraftDataSource.listPartitionedFiles(conf, dir)
+    var listed = Prof.time("rw.list") {
+      GraftDataSource.listPartitionedFiles(conf, dir) }
     var tableNames: Seq[String] = Seq.empty
     var probed = false
-    while (!probed) {
+    while (!probed) Prof.time("rw.tableProbe") {
       try {
         tableNames = GraftDataSource.inParallel(listed.map(_._1)) { f =>
           val r = graft.format.GraftFileReader.open(f.getFileSystem(conf), f)
@@ -414,7 +416,7 @@ object Generations {
     // stage under a unique tmp name; the publish below is one rename
     val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
     claimStaging(conf, staging)
-    tableNames.foreach { t =>
+    tableNames.foreach { t => Prof.time("rw.sparkWrite") {
       // PIN the data read to the same listing the late-append fold
       // compares against: the lazy data-plane read otherwise lists at
       // job-run time and can absorb a file that lands between — which
@@ -424,19 +426,20 @@ object Generations {
       val layout = GraftDataSource.readBucketMarker(conf, dir, t)
       shapedWriter(df0, layout, targetFiles, t, writeOptions, partCols)
         .save(staging.toString)
-    }
+    } }
     // metadata a caller wants published ATOMICALLY with the generation
     // (e.g. the clustering record) is written into the staging dir here,
     // so it rides the publish rename — it can never land in a
     // generation some concurrent rewrite published in between
     beforePublish.foreach(_(conf, staging))
-    publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir,
-      sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
+    Prof.time("rw.publish") {
+      publishStaging(fs, conf, root, staging, nextGen, idempotencyKey, dir,
+        sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet))) }
     // stats lifecycle: a full rewrite either churned every row (DML —
     // the whole listing counts against each table's ANALYZE snapshot)
     // or preserved them all (compaction/clustering — re-anchor the byte
     // extrapolation so a 2× compaction doesn't halve row estimates)
-    if (rowChurning) {
+    if (rowChurning) Prof.time("rw.churn") {
       val total = GraftDataSource.inParallel(listed.map(_._1)) { p =>
         try p.getFileSystem(conf).getFileStatus(p).getLen catch {
           case _: Exception => 0L
@@ -469,7 +472,8 @@ object Generations {
         fs.getFileStatus(new Path(root, GraftDataSource.GenPointerName)).getModificationTime
       age >= grace
     }
-    val maxSurvivingIdx = sweepDeadData(fs, root, liveIdx, lastSwapOld, grace)
+    val maxSurvivingIdx = Prof.time("prep.sweep") {
+      sweepDeadData(fs, root, liveIdx, lastSwapOld, grace) }
     // A fresh PUBLISHED generation above the pointer is a concurrent
     // rewrite in its rename→swap window. Allocating past it while
     // reading the pointer view would derive gen N+1 from gen N−k and
@@ -584,6 +588,82 @@ object Generations {
     }
   }
 
+  /** Targeted rewrite of an EXPLICIT file subset of one table: rewrite
+    * exactly the live files `isTarget` selects (their rows flow through
+    * `transform`, which also receives the target count for sizing its
+    * output), carry every other live file — and its stats and delete
+    * vectors — by reference. The generalized form of the
+    * [[materializeDvs]] flow, built for maintenance operations whose
+    * footprint is a known file set (incremental reclustering: cost ∝
+    * drift, never the table). `beforePublish` runs inside the staging
+    * before the atomic publish with the carried files' NAMES, so a
+    * caller's metadata record (e.g. the cluster spec) publishes
+    * atomically with the generation it describes. Returns the number of
+    * files rewritten (0 = no target, nothing published). */
+  def rewriteFiles(s: SparkSession, dir: String, table: String,
+      isTarget: Path => Boolean,
+      transform: (DataFrame, Int) => DataFrame,
+      beforePublish: (Configuration, Path, Seq[String]) => Unit): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val listed = GraftDataSource.listPartitionedSized(conf, dir)
+    if (listed.isEmpty) return 0
+    // classification (manifest-first, footer fallback) tells which files
+    // hold the table at all — a sibling table's file is never a target
+    val files = classifyForDml(conf, root, listed, table, None, dir)
+    require(files.exists(_.metas.nonEmpty),
+      s"table '$table' not found in $dir; nothing to rewrite")
+    val holds = files.filter(_.metas.nonEmpty).map(_.path.toUri.getPath).toSet
+    val targets = listed.collect { case (p, _, _)
+        if holds.contains(p.toUri.getPath) && isTarget(p) => p }
+    if (targets.isEmpty) return 0
+    targets.foreach { p =>
+      val f = files.find(_.path.toUri.getPath == p.toUri.getPath).get
+      if (f.names.size > 1) throw new UnsupportedOperationException(
+        s"$p holds tables ${f.names.mkString(",")}; a targeted rewrite of " +
+          s"'$table' would drop the siblings' rows — compact or split first")
+    }
+    val nextGen = prepareRewrite(s, dir)
+    val srcDir = GraftDataSource.resolveDataDir(conf, dir)
+    val targetRels = targets.map(GraftDataSource.relativePath(root, _)).toSet
+    val statsByRel = files.map(f =>
+      GraftDataSource.relativePath(root, f.path) -> f.statsJson).toMap
+    val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
+    claimStaging(conf, staging)
+    try {
+      val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
+      val layout = GraftDataSource.readBucketMarker(conf, dir, table)
+      val df = transform(s.read.format("graft").option("table", table)
+        .option("fileFilter", targets.map(_.toString).mkString("\n")).load(dir),
+        targets.size)
+      shapedWriter(df, layout, None, table, Map.empty, partCols).save(staging.toString)
+      GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
+      val carried = listed.collect { case (p, size, _)
+          if !targetRels.contains(GraftDataSource.relativePath(root, p)) =>
+        val rel = GraftDataSource.relativePath(root, p)
+        (rel, size, statsByRel.get(rel))
+      }
+      GraftDataSource.writeCarryManifest(fs, staging, carried)
+      // rewritten files shed their DVs (the candidate read applied them);
+      // carried files' and sibling tables' entries ride by reference
+      GraftDataSource.writeDvManifest(fs, staging,
+        GraftDataSource.carryDvEntries(fs, conf, dir, targetRels))
+      beforePublish(conf, staging,
+        carried.map { case (rel, _, _) => new Path(rel).getName })
+      publishStaging(fs, conf, root, staging, nextGen, None, dir,
+        sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
+      GraftDataSource.recordChurn(s, dir, table,
+        listed.collect { case (p, size, _)
+          if targetRels.contains(GraftDataSource.relativePath(root, p)) => size }.sum)
+      targets.size
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staging, true) catch { case _: Exception => }
+        throw e
+    }
+  }
+
   private def shapedWriter(df0: DataFrame,
       layout: Option[(String, Int, Option[String])], targetFiles: Option[Int],
       table: String, writeOptions: Map[String, String], partCols: Seq[String])
@@ -645,7 +725,7 @@ object Generations {
     if (org.apache.spark.sql.SparkSession.getActiveSession.forall { ss =>
       try ss.conf.get("spark.graft.rewrite.statsManifest", "true").toBoolean
       catch { case _: IllegalArgumentException => true }
-    }) {
+    }) Prof.time("pub.statsManifest") {
       def walkOut(p: Path): Seq[(Path, Long)] =
         fs.listStatus(p).toSeq.flatMap { st =>
           if (st.isFile && st.getPath.getName.endsWith(".graft"))
@@ -724,7 +804,8 @@ object Generations {
     // work is complete but unreferencable, and going on to swap the
     // pointer would bless the WINNER's data as its own.
     val genPath = new Path(root, nextGen)
-    try AtomicPublish.renameNoClobber(conf, staging, genPath)
+    try Prof.time("pub.rename") {
+      AtomicPublish.renameNoClobber(conf, staging, genPath) }
     catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: org.apache.hadoop.fs.PathExistsException) =>
@@ -746,7 +827,7 @@ object Generations {
     // is an offline operation by contract, and the loop is bounded.
     val ptr = new Path(root, GraftDataSource.GenPointerName)
     val myIdx = GraftDataSource.genIndex(nextGen).getOrElse(Int.MaxValue)
-    casStoreFor(conf, dir) match {
+    Prof.time("pub.pointerSwap") { casStoreFor(conf, dir) match {
       case Some(store) =>
         // rename-less stores: the forward-only convergence runs as a
         // true CAS loop — advance only from the observed value, stop
@@ -774,7 +855,7 @@ object Generations {
           if (cur >= myIdx) spins = -1 // converged: ours, or a newer superset
           else { AtomicPublish.text(conf, ptr, nextGen); spins += 1; Thread.sleep(1) }
         }
-    }
+    } }
     // Late-append fold: a plain append targets the LIVE view it resolved
     // BEFORE this swap, so anything that landed in the source view after
     // the rewrite's own listing would fall invisible the moment the
@@ -788,7 +869,7 @@ object Generations {
     // re-list; one visible after it sees the new pointer. Manifest-add
     // is monotone (only ever adds visibility), so the overwrite is safe
     // under concurrent readers.
-    sourceView.foreach { case (srcDir, known) =>
+    sourceView.foreach { case (srcDir, known) => Prof.time("pub.lateAppendFold") {
       try {
         // RAW physical walk, not the guarded listing: the pointer-
         // appeared / marker guards exist to protect READERS from
@@ -822,7 +903,7 @@ object Generations {
             GraftDataSource.writeCarryManifest(fs, genPath2, existing ++ add)
         }
       } catch { case _: java.io.IOException => } // best-effort: the appender's guard closes the gap
-    }
+    } }
     // deliberately NO deletion here: the superseded data (legacy loose
     // files or the previous gen dir) is invisible behind the pointer but
     // intact, so queries planned against it finish cleanly; a later
@@ -874,13 +955,14 @@ object Generations {
         liveRewriteTag(conf, dir) == idempotencyKey) return true
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val nextGen = prepareRewrite(s, dir, graceMs) // entry sweep + allocation
+    val nextGen = Prof.time("dml.prepareRewrite") {
+      prepareRewrite(s, dir, graceMs) } // entry sweep + allocation
     // pin the source view for the publish's late-append fold
     var srcDir = GraftDataSource.resolveDataDir(conf, dir)
     // classification footer probes can race a concurrent append's
     // visibility re-home (file moved into the live gen dir between the
     // listing and the open): re-list and re-classify, bounded
-    var (listed, files) = {
+    var (listed, files) = Prof.time("dml.list+classify") {
       var attempt = 0
       var out: Option[(Seq[(Path, Long, Map[String, String])], Seq[DmlFile])] = None
       while (out.isEmpty) {
@@ -924,24 +1006,31 @@ object Generations {
     // the full rewrite): route the rewritten rows through the bucketed
     // writer so carried and new files keep one provable layout
     val layout = GraftDataSource.readBucketMarker(conf, dir, table)
-    shapedWriter(out, layout, None, table, writeOptions, partCols)
-      .save(staging.toString)
+    Prof.time("dml.sparkWrite") {
+      shapedWriter(out, layout, None, table, writeOptions, partCols)
+        .save(staging.toString)
+    }
     // sibling tables' bucket markers live in the data dir — carry them
     // (the write above re-created at most this table's own)
-    GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
+    Prof.time("dml.carryBucketMarkers") {
+      GraftDataSource.carryBucketMarkers(fs, conf, dir, staging) }
     // everything untouched is carried by root-relative reference;
     // re-carried files keep their ORIGINAL location (flattened chains)
     // and their zone-map stats ride along, so the NEXT DML prunes them
     // with zero per-file I/O
-    GraftDataSource.writeCarryManifest(fs, staging,
-      carried.map(f =>
-        (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+    Prof.time("dml.writeCarryManifest") {
+      GraftDataSource.writeCarryManifest(fs, staging,
+        carried.map(f =>
+          (GraftDataSource.relativePath(root, f.path), f.size, Some(f.statsJson))))
+    }
     // carried files keep their delete vectors (the candidate read above
     // already applied DVs, so REWRITTEN files shed theirs — the
     // replacement holds live rows only); sibling tables' entries carry
-    GraftDataSource.writeDvManifest(fs, staging,
-      GraftDataSource.carryDvEntries(fs, conf, dir,
-        candidates.map(f => GraftDataSource.relativePath(root, f.path)).toSet))
+    Prof.time("dml.writeDvManifest") {
+      GraftDataSource.writeDvManifest(fs, staging,
+        GraftDataSource.carryDvEntries(fs, conf, dir,
+          candidates.map(f => GraftDataSource.relativePath(root, f.path)).toSet))
+    }
     // Optimistic-concurrency publish: losing the `gen-NNNNN` rename to a
     // concurrent rewrite is NOT fatal for a file-granular DML — the
     // staged output only depends on the candidate files' rows, so if the
@@ -957,12 +1046,15 @@ object Generations {
     var attempts = 0
     while (true) {
       try {
-        publishStaging(fs, conf, root, staging, gen, idempotencyKey, dir,
-          keepStagingOnConflict = true,
-          sourceView = Some((srcDir, srcKnown)))
+        Prof.time("dml.publish") {
+          publishStaging(fs, conf, root, staging, gen, idempotencyKey, dir,
+            keepStagingOnConflict = true,
+            sourceView = Some((srcDir, srcKnown)))
+        }
         // stats lifecycle: the candidate files' rows were rewritten —
         // their bytes count against the ANALYZE snapshot's churn budget
-        GraftDataSource.recordChurn(s, dir, table, candidates.map(_.size).sum)
+        Prof.time("dml.recordChurn") {
+          GraftDataSource.recordChurn(s, dir, table, candidates.map(_.size).sum) }
         return true
       } catch {
         case e: GenerationConflictException =>

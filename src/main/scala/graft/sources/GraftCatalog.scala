@@ -911,16 +911,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private lazy val clusterProc: UnboundProcedure = new SysProc("cluster",
     "cluster a table on 1-4 columns (1 = exact sort, 2-4 = z-order) so range filters prune",
     Array(ProcedureParameter.in("ns", StringType).build(),
-      ProcedureParameter.in("cols", StringType).build(),
-      ProcedureParameter.in("target_files", IntegerType).build(),
+      ProcedureParameter.in("cols", StringType).defaultValue("NULL").build(),
+      ProcedureParameter.in("target_files", IntegerType).defaultValue("NULL").build(),
       ProcedureParameter.in("table", StringType).defaultValue("'data'").build(),
-      ProcedureParameter.in("binning", StringType).defaultValue("'uniform'").build())) {
+      ProcedureParameter.in("binning", StringType).defaultValue("'uniform'").build(),
+      // incremental => true reclusters ONLY the files that postdate the
+      // recorded rewrite (DESCRIBE's 'partial' drift set) and merges —
+      // cost ∝ drift; cols/target_files/binning come from the record
+      ProcedureParameter.in("incremental", org.apache.spark.sql.types.BooleanType)
+        .defaultValue("false").build())) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tbl = if (input.isNullAt(3)) "data" else input.getUTF8String(3).toString
+      val incremental = !input.isNullAt(5) && input.getBoolean(5)
+      if (incremental) {
+        graft.operators.FormatOps.clusterIncremental(
+          org.apache.spark.sql.SparkSession.active, dirOf(input), tbl)
+        return done
+      }
       if (input.isNullAt(1))
         throw new IllegalArgumentException("procedure argument cols must not be NULL")
       val cols = input.getUTF8String(1).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val tbl = if (input.isNullAt(3)) "data" else input.getUTF8String(3).toString
       val binning = if (input.isNullAt(4)) "uniform" else input.getUTF8String(4).toString
       graft.operators.FormatOps.cluster(
         org.apache.spark.sql.SparkSession.active, dirOf(input), tbl, cols,

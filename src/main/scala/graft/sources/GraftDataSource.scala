@@ -312,6 +312,25 @@ object GraftDataSource {
     }
   }
 
+  /** The clustering record's member file-name list (lines 5+, written
+    * since incremental-recluster support): what lets `sys.cluster(...,
+    * incremental => true)` identify drift files with zero per-file I/O.
+    * None = record absent or written by an older version (callers refuse
+    * with guidance rather than guessing membership). */
+  def readClusterSpecFiles(conf: Configuration, dir: String): Option[Set[String]] = {
+    val p = new Path(resolveDataDir(conf, dir), ClusterSpecName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")
+      finally in.close()
+      if (lines.length <= 4) None
+      else Some(lines.drop(4).map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
   /** Liveness claim written at staging-dir creation by every rewrite
     * path. The dead-data sweep reclaims a stale staging WHOLE (claim
     * included); helper writes after such a sweep would silently

@@ -178,4 +178,65 @@ class ClusterSpec extends SparkSpec {
       FormatOps.cluster(spark, dir, "data", Seq("a", "zz"), 2)
     }
   }
+
+  test("incremental recluster: only drift files rewritten, claim restored, prune holds") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("graft-zorder-inc").toString
+    spark.range(0, 40000).selectExpr("id AS k", "id % 7 AS v")
+      .repartition(8) // shuffled: every file spans the key space
+      .write.format("graft").option("chunkrows", "2048").mode("overwrite").save(dir)
+    FormatOps.cluster(spark, dir, "data", Seq("k"), targetFiles = 8,
+      writeOptions = Map("chunkrows" -> "2048"))
+    def fileState(): Map[String, (Long, Long)] =
+      graft.sources.GraftDataSource.listFiles(conf, dir).map { p =>
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        p.getName -> (st.getLen, st.getModificationTime)
+      }.toMap
+    val clustered = fileState()
+    assert(clustered.size == 8)
+    // the record carries member names now
+    val members0 = graft.sources.GraftDataSource.readClusterSpecFiles(conf, dir)
+    assert(members0.exists(_ == clustered.keySet), s"member list wrong: $members0")
+    // drift: append NEW high keys (the realistic shape — monotonic ids),
+    // shuffled so the drift file itself is unclustered
+    spark.range(40000, 44000).selectExpr("id AS k", "id % 7 AS v").coalesce(1)
+      .write.format("graft").option("chunkrows", "512").mode("append").save(dir)
+    val spec1 = graft.sources.GraftDataSource.readClusterSpec(conf, dir).get
+    assert(spec1._3 == 8 && fileState().size == 9, "drift fixture wrong")
+
+    val n = FormatOps.clusterIncremental(spark, dir, "data")
+    assert(n == 1, s"expected exactly the 1 drift file reclustered, got $n")
+    // every CLUSTERED original survives byte-identical — cost ∝ drift
+    val after = fileState()
+    clustered.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig), s"clustered original $name was rewritten")
+    }
+    // the record's count equals the live listing again (DESCRIBE reports
+    // 'clustered') and the member list covers every live file
+    val spec2 = graft.sources.GraftDataSource.readClusterSpec(conf, dir).get
+    assert(spec2._3 == after.size.toLong, s"record ${spec2._3} != live ${after.size}")
+    assert(graft.sources.GraftDataSource.readClusterSpecFiles(conf, dir)
+      .exists(_ == after.keySet))
+    // content preserved exactly
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 44000L)
+    assert(t.agg(sum("k")).head.getLong(0) == (0L until 44000L).sum)
+    // pruning: an old-range slice skips the new file's chunks AND most
+    // clustered chunks; a new-range slice skips every clustered chunk
+    assert(skippedFraction(dir, "k", 1000, 2000) > 0.8)
+    assert(skippedFraction(dir, "k", 41000, 42000) > 0.8)
+    // idempotent: nothing drifts now, so nothing rewrites, no churn
+    assert(FormatOps.clusterIncremental(spark, dir, "data") == 0)
+    assert(fileState() == after)
+  }
+
+  test("incremental recluster refuses without a record or member list") {
+    val dir = Files.createTempDirectory("graft-zorder-inc-bad").toString
+    spark.range(0, 100).selectExpr("id AS k")
+      .write.format("graft").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      FormatOps.clusterIncremental(spark, dir, "data")
+    }
+    assert(e.getMessage.contains("no clustering record"), e.getMessage)
+  }
 }
