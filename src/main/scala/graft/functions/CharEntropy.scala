@@ -66,9 +66,13 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 
   def evalEntropy(s: UTF8String): java.lang.Double = {
     // Decode code points straight off the UTF-8 bytes — no String
-    // allocation, no regex. Sequence length from the lead byte; anything
-    // malformed can't occur (Spark strings are valid UTF-8 by
-    // construction).
+    // allocation, no regex. Sequence length comes from the lead byte,
+    // but NOTHING here trusts validity: Spark strings are usually valid
+    // UTF-8, yet CAST(binary AS STRING) is not validated, so a
+    // truncated tail, a lone continuation byte, or a 0xF8+ lead must
+    // degrade (each such byte counts as one unit, the replacement-char
+    // spirit of the regex plan this replaced) — never read past the
+    // array or misparse a garbage lead as a multi-byte sequence.
     val bytes = s.getBytes
     val len = bytes.length
     if (len == 0) return null
@@ -78,10 +82,19 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < len) {
       val b0 = bytes(i) & 0xff
+      val need =
+        if (b0 < 0x80) 0
+        else if ((b0 & 0xe0) == 0xc0) 1
+        else if ((b0 & 0xf0) == 0xe0) 2
+        else if ((b0 & 0xf8) == 0xf0) 3
+        else -1 // continuation byte as lead, or invalid 0xF8+ lead
       var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if (b0 < 0xe0) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2 }
-      else if (b0 < 0xf0) {
+      if (need <= 0 || i + need >= len) { // ascii, invalid, or truncated
+        cp = b0
+        i += 1
+      } else if (need == 1) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if (need == 2) {
         cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
         i += 3
       } else {

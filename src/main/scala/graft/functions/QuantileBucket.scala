@@ -83,16 +83,19 @@ object QuantileBucket {
     * path from an Expression to a Column.) */
   val InternalName = "__graft_bucket_internal__"
 
-  // register/deregister pairs are refcounted: concurrent cluster() calls
-  // share one session registry, and an unconditional drop in the first
-  // finisher's `finally` would yank the function out from under the
-  // other's still-analyzing plan
-  private val registrations = new java.util.concurrent.atomic.AtomicInteger(0)
+  // register/deregister pairs are refcounted UNDER ONE LOCK: concurrent
+  // cluster() calls share one session registry, and both an
+  // unconditional drop AND a bare atomic counter leave a window where a
+  // finisher observes count==0, a starter re-registers, and the
+  // finisher's drop then yanks the function out from under the
+  // starter's still-analyzing plan — count mutation and registry
+  // mutation must be one atomic step
+  private var registrations = 0
 
   /** Register the internal binning function. Idempotent; pairs with
     * [[deregister]]. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    registrations.incrementAndGet()
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    registrations += 1
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       InternalName, {
         case Seq(v, bounds) => QuantileBucket(v, bounds)
@@ -104,10 +107,12 @@ object QuantileBucket {
   /** Drop the internal registration once the LAST in-flight consumer is
     * done (analysis resolves the name eagerly inside the rewrite, so a
     * finished caller's plan no longer needs it). */
-  def deregister(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registrations.decrementAndGet() <= 0)
+  def deregister(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    registrations = math.max(0, registrations - 1)
+    if (registrations == 0)
       spark.sessionState.functionRegistry.dropFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(InternalName))
+  }
 
   /** Column-API entry: bucket(value, boundsLiteral); requires
     * register() first. Null values bucket to 0 via the outer coalesce

@@ -2604,9 +2604,12 @@ object FormatOps {
       // mode would name machinery that never ran. Lines 5+ are the
       // member file NAMES (newer records only): what lets an
       // incremental recluster identify drift without any per-file I/O.
+      // An EMPTY member list still writes its sentinel line ("-", never
+      // a legal file name) — a 4-line record means pre-name-tracking
+      // vintage, and an empty-table cluster must not read as that
       s"${cols.mkString(",")}\n${if (cols.size == 1) "sort" else binning}" +
         s"\n${names.size}\n$table" +
-        (if (names.isEmpty) "" else names.mkString("\n", "\n", "")))
+        (if (names.isEmpty) "\n-" else names.mkString("\n", "\n", "")))
 
   /** Incremental reclustering for `state=partial` (`CALL sys.cluster(...,
     * incremental => true)`): recluster ONLY the files that postdate the
@@ -2654,7 +2657,7 @@ object FormatOps {
           // post-publish listing, so DESCRIBE reports 'clustered' again
           writeClusterSpec(conf2, staging, cols, binning0, table,
             (carriedNames ++ clusterFileNames(fs, staging)).sorted)
-        })
+        }).size
     } finally {
       if (reg) graft.functions.QuantileBucket.deregister(s)
     }

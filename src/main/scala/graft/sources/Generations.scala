@@ -527,8 +527,6 @@ object Generations {
     require(minFraction >= 0.0 && minFraction <= 1.0,
       s"min_fraction must be in [0,1], got $minFraction")
     val conf = s.sparkContext.hadoopConfiguration
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
     val dvs = GraftDataSource.liveDvs(conf, dir, Some(table))
     if (dvs.isEmpty) return Seq.empty
     // per-target live fraction from the footer (parallel, bounded by the
@@ -544,48 +542,21 @@ object Generations {
     val targets = stats.filter { case (_, card, rows) =>
       rows > 0 && card.toDouble / rows >= minFraction }
     if (targets.isEmpty) return Seq.empty
-    val nextGen = prepareRewrite(s, dir)
-    val listed = GraftDataSource.listPartitionedSized(conf, dir)
-    val srcDir = GraftDataSource.resolveDataDir(conf, dir)
-    val byUri = listed.map { case (p, size, _) => p.toUri.getPath -> (p, size) }.toMap
-    val targetPaths = targets.flatMap(t => byUri.get(t._1).map(_._1))
-    if (targetPaths.size != targets.size)
-      throw new graft.format.OliveFormatException(
-        "live view changed while materializing delete vectors; re-run")
-    val targetRels = targetPaths.map(GraftDataSource.relativePath(root, _)).toSet
-    val files = classifyForDml(conf, root, listed, table, None, dir)
-    val statsByRel = files.map(f =>
-      GraftDataSource.relativePath(root, f.path) -> f.statsJson).toMap
-    val staging = new Path(root, s"$nextGen.tmp-${java.util.UUID.randomUUID()}")
-    claimStaging(conf, staging)
-    try {
-      val partCols = GraftDataSource.partitionColumns(listed.map { case (p, _, m) => (p, m) })
-      val layout = GraftDataSource.readBucketMarker(conf, dir, table)
-      // the candidate read: live rows of the target files only (the scan
-      // subtracts their DVs), written as the replacement files
-      val df = s.read.format("graft").option("table", table)
-        .option("fileFilter", targetPaths.map(_.toString).mkString("\n")).load(dir)
-      shapedWriter(df, layout, None, table, Map.empty, partCols).save(staging.toString)
-      GraftDataSource.carryBucketMarkers(fs, conf, dir, staging)
-      GraftDataSource.writeCarryManifest(fs, staging,
-        listed.collect { case (p, size, _)
-            if !targetRels.contains(GraftDataSource.relativePath(root, p)) =>
-          val rel = GraftDataSource.relativePath(root, p)
-          (rel, size, statsByRel.get(rel)) })
-      GraftDataSource.writeDvManifest(fs, staging,
-        GraftDataSource.carryDvEntries(fs, conf, dir, targetRels))
-      publishStaging(fs, conf, root, staging, nextGen, None, dir,
-        sourceView = Some((srcDir, listed.map(_._1.toUri.getPath).toSet)))
-      GraftDataSource.recordChurn(s, dir, table,
-        targetPaths.map(p => byUri(p.toUri.getPath)._2).sum)
-      targets.map { case (uri, card, rows) =>
-        (GraftDataSource.relativePath(root, byUri(uri)._1), card, rows) }
-        .sortBy(_._1)
-    } catch {
-      case e: Throwable =>
-        try fs.delete(staging, true) catch { case _: Exception => }
-        throw e
-    }
+    // the generalized targeted rewrite does the staging/carry/DV/publish
+    // dance; the identity transform IS the materialization — the
+    // candidate read subtracts the targets' DVs, so the replacement
+    // files hold live rows only. requireTargets guards the gap between
+    // the DV-manifest read above and the rewrite's own listing (a
+    // concurrent rewrite replacing a target file must refuse, not skip).
+    val targetUris = targets.map(_._1).toSet
+    val rewritten = rewriteFiles(s, dir, table,
+      p => targetUris.contains(p.toUri.getPath),
+      (df, _) => df,
+      beforePublish = (_, _, _) => (),
+      requireTargets = targetUris)
+    val relByUri = rewritten.map(_.swap).toMap
+    targets.map { case (uri, card, rows) => (relByUri(uri), card, rows) }
+      .sortBy(_._1)
   }
 
   /** Targeted rewrite of an EXPLICIT file subset of one table: rewrite
@@ -598,17 +569,22 @@ object Generations {
     * drift, never the table). `beforePublish` runs inside the staging
     * before the atomic publish with the carried files' NAMES, so a
     * caller's metadata record (e.g. the cluster spec) publishes
-    * atomically with the generation it describes. Returns the number of
-    * files rewritten (0 = no target, nothing published). */
+    * atomically with the generation it describes. `requireTargets`
+    * (URI paths) must ALL resolve to live targets or the call refuses —
+    * the guard for callers that selected their set from metadata read
+    * BEFORE the listing (a concurrent rewrite may have replaced a
+    * file). Returns (root-relative rel, URI path) per rewritten file
+    * (empty = no target, nothing published). */
   def rewriteFiles(s: SparkSession, dir: String, table: String,
       isTarget: Path => Boolean,
       transform: (DataFrame, Int) => DataFrame,
-      beforePublish: (Configuration, Path, Seq[String]) => Unit): Int = {
+      beforePublish: (Configuration, Path, Seq[String]) => Unit,
+      requireTargets: Set[String] = Set.empty): Seq[(String, String)] = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
-    if (listed.isEmpty) return 0
+    if (listed.isEmpty && requireTargets.isEmpty) return Seq.empty
     // classification (manifest-first, footer fallback) tells which files
     // hold the table at all — a sibling table's file is never a target
     val files = classifyForDml(conf, root, listed, table, None, dir)
@@ -617,7 +593,11 @@ object Generations {
     val holds = files.filter(_.metas.nonEmpty).map(_.path.toUri.getPath).toSet
     val targets = listed.collect { case (p, _, _)
         if holds.contains(p.toUri.getPath) && isTarget(p) => p }
-    if (targets.isEmpty) return 0
+    if (!requireTargets.subsetOf(targets.map(_.toUri.getPath).toSet))
+      throw new graft.format.OliveFormatException(
+        s"live view of $dir changed while selecting the rewrite's target " +
+          "files (a concurrent rewrite replaced one); re-run")
+    if (targets.isEmpty) return Seq.empty
     targets.foreach { p =>
       val f = files.find(_.path.toUri.getPath == p.toUri.getPath).get
       if (f.names.size > 1) throw new UnsupportedOperationException(
@@ -656,7 +636,8 @@ object Generations {
       GraftDataSource.recordChurn(s, dir, table,
         listed.collect { case (p, size, _)
           if targetRels.contains(GraftDataSource.relativePath(root, p)) => size }.sum)
-      targets.size
+      targets.map(p =>
+        (GraftDataSource.relativePath(root, p), p.toUri.getPath)).sortBy(_._1)
     } catch {
       case e: Throwable =>
         try fs.delete(staging, true) catch { case _: Exception => }

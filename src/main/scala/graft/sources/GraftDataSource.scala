@@ -327,7 +327,9 @@ object GraftDataSource {
         java.nio.charset.StandardCharsets.UTF_8).split("\n")
       finally in.close()
       if (lines.length <= 4) None
-      else Some(lines.drop(4).map(_.trim).filter(_.nonEmpty).toSet)
+      // "-" is the empty-list sentinel (an empty-table cluster still
+      // writes a name-tracking record; only a 4-line record is vintage)
+      else Some(lines.drop(4).map(_.trim).filter(n => n.nonEmpty && n != "-").toSet)
     }
   }
 

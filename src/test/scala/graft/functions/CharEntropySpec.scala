@@ -73,6 +73,26 @@ class CharEntropySpec extends SparkSpec {
     assert(viaExpr.count() == 3)
   }
 
+  test("invalid UTF-8 (binary casts) degrades per-byte, never crashes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = CharEntropy(org.apache.spark.sql.catalyst.expressions.Literal(""))
+    // truncated 3-byte lead, lone continuation byte, invalid 0xF8+ lead,
+    // 4-byte lead with only 2 continuations — all must decode bounded
+    val cases = Seq(
+      Array(0xe2.toByte),
+      Array(0x80.toByte, 0x81.toByte),
+      Array(0xf9.toByte, 'a'.toByte),
+      Array(0xf0.toByte, 0x9f.toByte, 0x98.toByte),
+      Array('a'.toByte, 0xe2.toByte))
+    for (bytes <- cases) {
+      val got = e.evalEntropy(UTF8String.fromBytes(bytes))
+      assert(got != null && !got.isNaN && got >= 0.0, s"bad entropy for ${bytes.toList}")
+    }
+    // two distinct garbage bytes → two equal-mass units → entropy ln(2)
+    assert(math.abs(e.evalEntropy(UTF8String.fromBytes(
+      Array(0x80.toByte, 0x81.toByte))) - math.log(2)) < 1e-12)
+  }
+
   test("rejects non-string input") {
     val e = CharEntropy(org.apache.spark.sql.catalyst.expressions.Literal(42))
     assert(e.checkInputDataTypes().isFailure)
