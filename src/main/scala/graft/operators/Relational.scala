@@ -656,6 +656,15 @@ object Relational {
   // partitions, the merge shape q28b's per-group bound doesn't reach.
   private val q28: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
+    // Two plain aggregations (grouped + ungrouped '*ALL*' — the latter
+    // merges sketch partials across every partition, the shape a
+    // per-group bound never exercises), unioned. Measured alternatives
+    // both lose: ROLLUP over the mixed distinct+sketch aggregate
+    // compounds the distinct-rewrite's Expand and ran 1.8x slower
+    // warm; pre-deduping to (group, key) pairs pays the distinct
+    // shuffle without making the mixed aggregate any cheaper — the
+    // cost is intrinsic to planning countDistinct next to a sketch,
+    // not to input size.
     val shape = li.groupBy(col("l_linestatus"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
         countDistinct(col("l_orderkey")).as("exact"))
