@@ -740,6 +740,33 @@ object Generations {
       try fs.delete(new Path(staging, GraftDataSource.StagedStatsName), false)
       catch { case _: java.io.IOException => }
     }
+    // the clustering record survives every publish: a DML that replaces
+    // one candidate file must not erase the CLAIM for the thousands of
+    // carried files that are still perfectly tiled (a vanished record
+    // reads as never-clustered and triggers a pointless full
+    // re-cluster). Copied byte-for-byte from the superseded live
+    // generation unless this staging wrote its own (cluster /
+    // incremental recluster); honesty is downstream's job — DESCRIBE
+    // diffs the record's member NAMES against the live listing, so a
+    // carried record over drifted files reports 'partial' with the
+    // exact drift, never a false 'clustered'.
+    locally {
+      val specDst = new Path(staging, GraftDataSource.ClusterSpecName)
+      try {
+        if (!fs.exists(specDst)) {
+          val src = GraftDataSource.resolveDataDir(conf, dir)
+          if (src != dir) {
+            val specSrc = new Path(src, GraftDataSource.ClusterSpecName)
+            if (fs.exists(specSrc)) {
+              val in = fs.open(specSrc)
+              val bytes = try in.readAllBytes() finally in.close()
+              val out = AtomicPublish.createStream(conf, specDst, overwrite = false)
+              try out.write(bytes) finally out.close()
+            }
+          }
+        }
+      } catch { case _: java.io.IOException => } // claim carry is best-effort
+    }
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this
     // instead (GraftCatalog.loadTable(ident, timestamp))

@@ -1430,19 +1430,40 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       case Right(spec) => spec match {
       case Some((cols, binning, recorded, clusteredTable))
           if clusteredTable == tbl.map(_._2).getOrElse("data") =>
-        // the recorded count is namespace-wide (the rewrite's whole
-        // output), so sibling-table activity downgrades conservatively
-        // — a false 'partial', never a false 'clustered'
-        val state = sizedListing.map(_.size.toLong) match {
-          case None =>
+        // records with a member NAME list (since incremental-recluster
+        // support) are checked name-exactly: a DML that replaces one
+        // file while keeping the count equal must read as partial, not
+        // 'clustered' — the replacement never saw the z-key. Vintage
+        // records fall back to the count check (namespace-wide, so
+        // sibling-table activity downgrades conservatively — a false
+        // 'partial', never a false 'clustered').
+        val members =
+          try GraftDataSource.readClusterSpecFiles(
+            GraftDataSource.sessionConf(), dirs.head)
+          catch { case scala.util.control.NonFatal(_) => None }
+        val state = (sizedListing, members) match {
+          case (None, _) =>
             "unknown (live listing unavailable; claim not checkable)"
-          case Some(now) if now == recorded => "clustered"
-          case Some(now) if now > recorded =>
-            s"partial (${now - recorded} of $now live namespace files " +
-              "postdate the clustering rewrite — run sys.cluster again)"
-          case Some(now) =>
-            s"partial (namespace file count shrank from $recorded to $now " +
-              "since the clustering rewrite)"
+          case (Some(live), Some(ms)) =>
+            val names = live.map(_._1.getName).toSet
+            val drift = names -- ms
+            if (drift.isEmpty && names == ms) "clustered"
+            else if (drift.nonEmpty)
+              s"partial (${drift.size} of ${names.size} live namespace files " +
+                "postdate the clustering rewrite — run sys.cluster(" +
+                "incremental => true) to recluster just the drift)"
+            else s"partial (${(ms -- names).size} clustered files left the " +
+              "live view since the rewrite)"
+          case (Some(live), None) => live.size.toLong match {
+            case now if now == recorded => "clustered"
+            case now if now > recorded =>
+              s"partial (${now - recorded} of $now live namespace files " +
+                "postdate the clustering rewrite — run sys.cluster(" +
+                "incremental => true) to recluster just the drift)"
+            case now =>
+              s"partial (namespace file count shrank from $recorded to $now " +
+                "since the clustering rewrite)"
+          }
         }
         Map("clustering.columns" -> cols, "clustering.binning" -> binning,
           "clustering.state" -> state)

@@ -84,4 +84,57 @@ class IncrementalClusterSoakSpec extends SparkSpec {
         .filter(col("k") === key).count() == 1L)
     }
   }
+
+  test("incremental recluster composes with live delete vectors") {
+    val root = Files.createTempDirectory("graft-inc-dv").toString
+    spark.conf.set("spark.sql.catalog.incdv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.incdv.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS incdv.db")
+    spark.range(0, 20000).selectExpr("id AS k", "id % 13 AS v")
+      .repartition(4).createOrReplaceTempView("incdv_src")
+    spark.sql("CREATE TABLE incdv.db.t AS SELECT * FROM incdv_src")
+    val dir = s"$root/db"
+    FormatOps.cluster(spark, dir, "t", Seq("k"), targetFiles = 4)
+    def state(): Map[String, (Long, Long)] =
+      graft.sources.GraftDataSource.listFiles(conf, dir).map { p =>
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        p.getName -> (st.getLen, st.getModificationTime)
+      }.toMap
+    val clustered = state()
+    // MoR delete touching CLUSTERED files, then drift, then a delete
+    // touching the DRIFT file too
+    spark.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM incdv.db.t WHERE k % 401 = 7")
+      spark.range(20000, 24000).selectExpr("id AS k", "id % 13 AS v").coalesce(1)
+        .write.format("graft").option("table", "t").mode("append").save(dir)
+      spark.sql("DELETE FROM incdv.db.t WHERE k >= 21000 AND k < 21500")
+    } finally spark.conf.set("spark.graft.deleteMode", "copy-on-write")
+    // the first DELETE ran before the append, so k % 401 = 7 removals
+    // apply only to the original [0, 20000) rows
+    val expect = (0L until 24000L).count(k =>
+      !(k < 20000 && k % 401 == 7) && !(k >= 21000 && k < 21500)).toLong
+    assert(spark.table("incdv.db.t").count() == expect)
+
+    val n = FormatOps.clusterIncremental(spark, dir, "t")
+    assert(n == 1, s"expected the 1 drift file reclustered, got $n")
+    // clustered originals byte-identical AND their DVs carried — the
+    // recluster must neither materialize them nor lose them
+    val after = state()
+    clustered.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig), s"clustered original $name rewritten")
+    }
+    val dvs = graft.sources.GraftDataSource.liveDvs(conf, dir, Some("t"))
+    assert(dvs.nonEmpty, "clustered originals' delete vectors must carry")
+    // the drift replacement holds live rows only: its DV entry is gone
+    // (exactly one DV'd file set = the carried clustered ones)
+    assert(dvs.keySet.forall(uri => clustered.contains(new org.apache.hadoop.fs.Path(uri).getName)),
+      s"a reclustered drift file still carries a DV: ${dvs.keySet}")
+    // content exact through deletes + recluster; the DV audit stays green
+    assert(spark.table("incdv.db.t").count() == expect)
+    assert(spark.table("incdv.db.t").agg(sum("k")).head.getLong(0) ==
+      (0L until 24000L).filter(k =>
+        !(k < 20000 && k % 401 == 7) && !(k >= 21000 && k < 21500)).sum)
+    assert(FormatOps.verifyTable(spark, dir, Some("t")).forall(_._2))
+  }
 }
