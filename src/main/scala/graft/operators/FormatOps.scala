@@ -3771,10 +3771,16 @@ object FormatOps {
     val conf = s.sparkContext.hadoopConfiguration
     require(graft.sources.GraftDataSource.liveDvs(conf, s"$root/db", Some("orders")).nonEmpty,
       "q163: expected live delete vectors after the MoR DELETE")
-    val cnt = s.table("graft_morc.db.orders").agg(count(lit(1)).as("n_rows"))
+    val cnt = s.table("graft_morc.db.orders")
+      .agg(count(lit(1)).as("n_rows"),
+        // COUNT(col) rides the same footer walk when the manifest PROVES
+        // the column null-free in every DV'd file (it is: o_custkey has
+        // nullCount 0 everywhere) — live non-null = rows − deleted
+        count(col("o_custkey")).as("n_custkeys"))
     val aggPushed = cnt.queryExecution.executedPlan.toString.contains("pushedAggs=")
     require(aggPushed,
-      "q163: COUNT(*) under live DVs must answer from footer rows − DV cardinality")
+      "q163: COUNT(*) + provable COUNT(col) under live DVs must answer " +
+        "from footer rows − DV cardinality")
     val mm = s.table("graft_morc.db.orders")
       .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
     val mmUnpushed = !mm.queryExecution.executedPlan.toString.contains("pushedAggs=")
@@ -3786,6 +3792,7 @@ object FormatOps {
   }
   private val q163Sql =
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(o_custkey) AS BIGINT) AS n_custkeys,
       |  CAST(min(o_orderkey) AS BIGINT) AS mn,
       |  CAST(max(o_orderkey) AS BIGINT) AS mx,
       |  true AS agg_pushed, true AS mm_unpushed

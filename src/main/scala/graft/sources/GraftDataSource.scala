@@ -1745,18 +1745,63 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
     if (pushed.length != consumed.length) return false
     // merge-on-read delete vectors invalidate MOST footer-served
     // aggregates: a bound's attaining row may be deleted (MIN/MAX),
-    // deleted rows' null-ness is unrecorded (COUNT(col)), and their
-    // values stay in the footer sums (SUM). COUNT(*) alone stays EXACT:
-    // per file, live rows = footer numRows − the DV manifest's recorded
-    // cardinality — both already in planning metadata, zero data pages.
+    // deleted rows' values stay in the footer sums (SUM), and deleted
+    // rows' null-ness is unrecorded — EXCEPT where the footers prove
+    // there were no nulls to begin with. What stays exact per file:
+    //   COUNT(*): live rows = footer numRows − the DV manifest's
+    //     recorded cardinality, both already in planning metadata;
+    //   COUNT(col) when every DV'd file is PROVABLY null-free for the
+    //     column (manifest zone maps: nullCount 0 in every chunk, or
+    //     the file predates the column entirely — then every row
+    //     including the deleted ones was null and the partial stays 0).
     // GROUP BY partition-only columns composes (each file belongs to
-    // exactly one group, so per-file partials stay exact per group). So
-    // under live DVs push ONLY CountStar; everything else declines and
-    // scans (chunk skipping still applies; compaction materializes the
-    // DVs and re-enables the full footer walk).
-    if (dirs.exists(d => GraftDataSource.liveDvs(
-        GraftDataSource.sessionConf(), d, tableOpt).nonEmpty) &&
-        !aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+    // exactly one group, so per-file partials stay exact per group).
+    // Everything else declines and scans (chunk skipping still applies;
+    // compaction materializes the DVs and re-enables the footer walk).
+    // The proof is zero-I/O: liveDvs + parsedCarryStats are the same
+    // planning metadata the scan reads anyway; a DV'd file the manifest
+    // doesn't cover is simply not provable → decline, never a runtime
+    // surprise. The reader re-derives the null-freedom from the
+    // authoritative footer before subtracting (files are immutable, so
+    // the manifest proof cannot go stale — the re-check guards only
+    // against a DIFFERENT DV set appearing between push and execution).
+    val dvByDir: Map[String, Map[String, (Path, Long)]] = dirs.map(d =>
+      d -> GraftDataSource.liveDvs(GraftDataSource.sessionConf(), d, tableOpt)).toMap
+    def provablyNullFreeUnderDvs(n: String): Boolean = {
+      val spellings = n +: chainOf(n)
+      dvByDir.forall { case (d, dv) =>
+        dv.isEmpty || {
+          val rootUri = new Path(d).toUri.getPath.stripSuffix("/")
+          val stats = GraftDataSource.parsedCarryStats(GraftDataSource.sessionConf(), d)
+          dv.keys.forall { uriPath =>
+            val rel = uriPath.stripPrefix(rootUri + "/")
+            stats.get(rel).exists { metas =>
+              val tms = metas.filter(t => tableOpt.forall(_ == t.name))
+              val present = tms.map(t =>
+                spellings.iterator.map(sp => t.schema.fieldNames.indexOf(sp))
+                  .find(_ >= 0))
+              tms.nonEmpty && (
+                present.forall(_.isEmpty) || // predates the column everywhere
+                (present.forall(_.isDefined) && tms.zip(present).forall {
+                  case (t, Some(i)) => i < t.stats.size && t.stats(i).nullCount == 0
+                  case _ => false
+                }))
+            }
+          }
+        }
+      }
+    }
+    if (dvByDir.values.exists(_.nonEmpty) &&
+        !aggregation.aggregateExpressions().forall {
+          case _: CountStar => true
+          case c: Count if !c.isDistinct =>
+            (c.column match {
+              case f: org.apache.spark.sql.connector.expressions.NamedReference
+                  if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+              case _ => None
+            }).exists(provablyNullFreeUnderDvs)
+          case _ => false
+        })
       return false
     val groupCols: Seq[String] = aggregation.groupByExpressions().toSeq.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -2416,7 +2461,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       // set. Any other pushed spec must fail loudly instead: footer
       // bounds and sums would silently include the deleted rows.
       if (dvByUri.nonEmpty &&
-          !specs.forall(s => s == GraftCountStar || s.isInstanceOf[GraftGroupCol]))
+          !specs.forall(s => s == GraftCountStar || s.isInstanceOf[GraftGroupCol] ||
+            s.isInstanceOf[GraftCountCol]))
         throw new graft.format.OliveFormatException(
           s"delete vectors appeared on ${dirs.mkString(",")} after aggregate " +
             "pushdown was planned (concurrent merge-on-read DELETE); re-run the query")
@@ -2891,13 +2937,38 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                 throw new OliveFormatException(
                   s"DV'd file ${gp.file} was chunk-split under pushed COUNT(*)")
               chunks.map(_.numRows.toLong).sum - deleted
-            case GraftCountCol(c, prev) => chunkPairs.map { case (cm, t) =>
-              statsOf(cm, t, c, prev) match {
-                case Some(cs) => t.numRows.toLong - cs.nullCount
-                case None if gp.partValues.contains(c) => t.numRows.toLong // path constant: never null
-                case None => 0L // pre-ADD file or schema drift: all null
+            case GraftCountCol(c, prev) =>
+              val base = chunkPairs.map { case (cm, t) =>
+                statsOf(cm, t, c, prev) match {
+                  case Some(cs) => t.numRows.toLong - cs.nullCount
+                  case None if gp.partValues.contains(c) => t.numRows.toLong // path constant: never null
+                  case None => 0L // pre-ADD file or schema drift: all null
+                }
+              }.sum
+              val deleted = dvDeleted.getOrElse(new Path(gp.file).toUri.getPath, 0L)
+              if (deleted == 0L) base
+              else {
+                // pushed under a DV only with the builder's null-freedom
+                // proof; re-derive it from the AUTHORITATIVE footer before
+                // subtracting. A file that predates the column has a 0
+                // partial with every deleted row null — no subtraction.
+                if (gp.chunkIdx.isDefined)
+                  throw new OliveFormatException(
+                    s"DV'd file ${gp.file} was chunk-split under pushed COUNT(col)")
+                val nullFreeEverywhere = chunkPairs.forall { case (cm, t) =>
+                  statsOf(cm, t, c, prev).forall(_.nullCount == 0) &&
+                    (statsOf(cm, t, c, prev).isDefined || gp.partValues.contains(c))
+                }
+                val absentEverywhere = chunkPairs.forall { case (cm, t) =>
+                  statsOf(cm, t, c, prev).isEmpty && !gp.partValues.contains(c)
+                }
+                if (absentEverywhere) 0L
+                else if (nullFreeEverywhere) base - deleted
+                else throw new OliveFormatException(
+                  s"a null-bearing file (${gp.file}) gained a delete vector " +
+                    "after COUNT(" + c + ") pushdown was planned (concurrent " +
+                    "merge-on-read DELETE); re-run the query")
               }
-            }.sum
             case GraftMinSpec(c, prev) => minMax(c, prev, wantMax = false)
             case GraftMaxSpec(c, prev) => minMax(c, prev, wantMax = true)
             case GraftSumSpec(c, integral, prev) =>

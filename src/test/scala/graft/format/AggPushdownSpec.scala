@@ -414,19 +414,49 @@ class AggPushdownSpec extends SparkSpec {
     // count(1) is the same shape
     assert(spark.sql("SELECT count(1) FROM aggdv.db.t").head.getLong(0) == expect)
 
-    // bounds/null-counts cannot answer from footers while rows are
-    // DV-deleted (the attaining row may be gone) — the plan keeps the
-    // real scan, and the scan's DV application yields the exact answer
+    // bounds cannot answer from footers while rows are DV-deleted (the
+    // attaining row may be gone) — the plan keeps the real scan, and
+    // the scan's DV application yields the exact answer
     val mm = spark.sql("SELECT min(k), max(k), count(v) FROM aggdv.db.t")
     assert(!plan(mm).contains("pushedAggs="), plan(mm))
     val r = mm.head
     assert(r.getLong(0) == 0L && r.getLong(1) == 11999L && r.getLong(2) == expect)
+    // COUNT(col) on a PROVABLY null-free column stays pushed under DVs:
+    // manifest zone maps show nullCount 0 in every chunk of every DV'd
+    // file, so live non-null = rows − deleted, same arithmetic as
+    // COUNT(*)
+    val cv = spark.sql("SELECT count(v) AS nv, count(k) AS nk FROM aggdv.db.t")
+    assert(plan(cv).contains("pushedAggs="),
+      s"COUNT(col) on a proven null-free column must stay a footer walk\n${plan(cv)}")
+    val cr = cv.head
+    assert(cr.getLong(0) == expect && cr.getLong(1) == expect)
+
+    // a NULLABLE column is not provable: deleted rows' null-ness is
+    // unknowable, so COUNT(w) must decline and scan — and still be exact
+    spark.sql("ALTER TABLE aggdv.db.t ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO aggdv.db.t SELECT id AS k, id % 5 AS v, " +
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS w FROM range(12000, 13000)")
+    spark.conf.set("spark.graft.deleteMode", "merge-on-read")
+    try spark.sql("DELETE FROM aggdv.db.t WHERE k >= 12500 AND k < 12600")
+    finally spark.conf.set("spark.graft.deleteMode", "copy-on-write")
+    val expectW = (12000L until 13000L)
+      .count(k => k % 3 != 0 && !(k >= 12500 && k < 12600)).toLong
+    val cw = spark.sql("SELECT count(w) FROM aggdv.db.t")
+    assert(!plan(cw).contains("pushedAggs="),
+      s"COUNT(col) on a NULLABLE DV'd column must decline\n${plan(cw)}")
+    assert(cw.head.getLong(0) == expectW)
+    // while count(*) and the null-free count stay pushed on the same view
+    val still = spark.sql("SELECT count(*) AS n, count(v) AS nv FROM aggdv.db.t")
+    assert(plan(still).contains("pushedAggs="), plan(still))
+    assert(still.head.getLong(0) == expect + 1000 - 100)
+    assert(still.head.getLong(1) == expect + 1000 - 100)
 
     // compaction materializes the DVs: the full aggregate set pushes again
     spark.sql("CALL aggdv.sys.compact(ns => 'db', target_files => 2)")
-    val post = spark.sql("SELECT count(*), min(k), max(k) FROM aggdv.db.t")
+    val post = spark.sql("SELECT count(*), min(k), max(k), count(w) FROM aggdv.db.t")
     assert(plan(post).contains("pushedAggs="), plan(post))
     val pr = post.head
-    assert(pr.getLong(0) == expect && pr.getLong(1) == 0L && pr.getLong(2) == 11999L)
+    assert(pr.getLong(0) == expect + 1000 - 100 && pr.getLong(1) == 0L &&
+      pr.getLong(2) == 12999L && pr.getLong(3) == expectW)
   }
 }
