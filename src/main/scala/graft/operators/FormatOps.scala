@@ -2625,13 +2625,15 @@ object FormatOps {
     * record written before name tracking (run one full cluster first). */
   def clusterIncremental(s: SparkSession, dir: String, table: String): Int = {
     val conf = s.sparkContext.hadoopConfiguration
-    val spec = graft.sources.GraftDataSource.readClusterSpec(conf, dir)
+    // ONE record read: header + members from the same bytes (two reads
+    // could pair them across a concurrent publish)
+    val (spec, members0) = graft.sources.GraftDataSource.readClusterRecord(conf, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"no clustering record on $dir — run a full sys.cluster first"))
     val (colsCsv, binning0, _, recTable) = spec
     require(recTable == table,
       s"clustering record on $dir names table '$recTable', not '$table'")
-    val members = graft.sources.GraftDataSource.readClusterSpecFiles(conf, dir)
+    val members = members0
       .getOrElse(throw new IllegalArgumentException(
         s"the clustering record on $dir predates incremental support " +
           "(no member file list) — run one full sys.cluster to refresh it"))
@@ -3742,18 +3744,22 @@ object FormatOps {
       |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
-  // ---- q163: exact COUNT(*) from footers under live delete vectors ----------
+  // ---- q163: exact counts from footers under live delete vectors ------------
   // The most common sanity query in a DML-heavy pipeline — `SELECT
   // count(*)` between a merge-on-read DELETE and the next compaction —
   // must NOT scan: per file, live rows = footer numRows − the `.dvs`
   // manifest's recorded cardinality, both already in planning metadata.
-  // MIN/MAX/COUNT(col)/SUM keep declining under live DVs (the attaining
-  // row may be deleted; deleted null-ness and values are unrecorded) —
-  // asserted here too, so an over-broad future push fails the gate
-  // rather than serving stale bounds. The count is hash-gated against
-  // DuckDB restating the delete predicate over parquet; `agg_pushed`
-  // and `mm_unpushed` ride the row so a silent regression to a scan
-  // (or a silently-pushed bound) hash-fails instead of just slowing.
+  // COUNT(col) rides the same walk when the manifest PROVES the column
+  // null-free in every DV'd file (live non-null = rows − deleted);
+  // MIN/MAX/SUM — and COUNT of any column whose null-freedom is NOT
+  // provable — keep declining (the attaining row may be deleted;
+  // deleted null-ness and values are unrecorded). Both directions are
+  // asserted: the pushes must hold AND an over-broad future bound push
+  // fails the gate rather than serving stale extremes. The counts are
+  // hash-gated against DuckDB restating the delete predicate over
+  // parquet; `agg_pushed` and `mm_unpushed` ride the row so a silent
+  // regression to a scan (or a silently-pushed bound) hash-fails
+  // instead of just slowing.
   private val q163: Q = (s, d) => {
     val root = graftDir(d, "mor_count")
     deleteDirQuietly(s, root)

@@ -752,6 +752,10 @@ object Generations {
     // exact drift, never a false 'clustered'.
     locally {
       val specDst = new Path(staging, GraftDataSource.ClusterSpecName)
+      // NonFatal, not just IOException: a store client's RuntimeException
+      // from the OPTIONAL record copy must not fail a DML whose data is
+      // already staged — the carry is best-effort by design (a dropped
+      // claim is a conservative DESCRIBE, never wrong rows)
       try {
         if (!fs.exists(specDst)) {
           val src = GraftDataSource.resolveDataDir(conf, dir)
@@ -760,12 +764,21 @@ object Generations {
             if (fs.exists(specSrc)) {
               val in = fs.open(specSrc)
               val bytes = try in.readAllBytes() finally in.close()
-              val out = AtomicPublish.createStream(conf, specDst, overwrite = false)
-              try out.write(bytes) finally out.close()
+              // carry ONLY name-tracking records (5+ lines): DESCRIBE
+              // checks those name-exactly, so a carried record over a
+              // file-replacing DML reads 'partial', never 'clustered'.
+              // A vintage 4-line record has only the count check, which
+              // a count-preserving replacement would fool — for those
+              // the old vanish-on-publish behavior IS the honest claim.
+              if (new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                  .split("\n").length > 4) {
+                val out = AtomicPublish.createStream(conf, specDst, overwrite = false)
+                try out.write(bytes) finally out.close()
+              }
             }
           }
         }
-      } catch { case _: java.io.IOException => } // claim carry is best-effort
+      } catch { case scala.util.control.NonFatal(_) => }
     }
     // birth-time marker INSIDE the gen dir, before the swap: appends keep
     // bumping the live dir's mtime, so TIMESTAMP AS OF anchors on this

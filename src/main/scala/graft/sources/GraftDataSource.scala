@@ -273,31 +273,44 @@ object GraftDataSource {
     * [[graft.operators.FormatOps.cluster]] — it rides the publish
     * rename, so it is atomically part of the generation it describes
     * and can never land in a generation some concurrent rewrite
-    * published in between. Four lines: cols (comma-joined), binning
-    * mode, the staging's own .graft file count (= every live file at
-    * the generation's birth), table name. Living inside the gen dir
-    * buys the right lifecycle for free: restore to a pre-clustering
-    * generation and the record vanishes with it; vacuum reclaims it
-    * with its generation; a COW rewrite publishes a NEW generation
-    * without the record (the conservative "no clustering claim").
-    * DESCRIBE compares the recorded count against the live listing:
-    * appends (and the publish's own late-append fold) land unclustered
-    * files, so any drift downgrades the claim to partial rather than
-    * silently overstating prune-ability. The count is namespace-wide —
-    * sibling-table activity downgrades conservatively (a false
-    * 'partial', never a false 'clustered'); counting per-table would
-    * need a footer open per file at DESCRIBE time. */
+    * published in between. Lines 1-4: cols (comma-joined), binning
+    * mode, the record's member .graft file count, table name; lines 5+
+    * (since incremental-recluster support): the member file NAMES
+    * themselves ("-" = empty list sentinel), which let drift be
+    * detected by a name diff with zero per-file I/O. Living inside the
+    * gen dir buys the right lifecycle for free: restore to a
+    * pre-clustering generation and the record vanishes with it; vacuum
+    * reclaims it with its generation. Every publish CARRIES a
+    * name-tracking record forward ([[Generations.publishStaging]]) so a
+    * 1-file DML can't erase the claim for thousands of still-tiled
+    * carried files; vintage 4-line records do NOT carry (their count
+    * check can't see a count-preserving file replacement, so the old
+    * vanish-on-publish behavior remains their conservative truth).
+    * DESCRIBE diffs the record's member names against the live listing
+    * (count fallback for vintage records): appends (and the publish's
+    * own late-append fold) land unclustered files, so any drift
+    * downgrades the claim to partial rather than silently overstating
+    * prune-ability. Membership is namespace-wide — sibling-table
+    * activity downgrades conservatively (a false 'partial', never a
+    * false 'clustered'); tracking per-table would need a footer open
+    * per file at DESCRIBE time. */
   val ClusterSpecName = ".cluster-spec"
 
-  /** The live generation's clustering record, if any:
-    * (cols, binning, fileCountAtRecordTime, table). A MALFORMED record
-    * reads as absent (no claim is better than a garbled one), but a
-    * transport failure PROPAGATES — "couldn't read the record" must not
-    * render as "never clustered", or a transient object-store error
-    * sends an operator into a multi-hour re-cluster (the DESCRIBE
-    * caller degrades it to an explicit 'unknown' instead). */
-  def readClusterSpec(conf: Configuration, dir: String)
-      : Option[(String, String, Long, String)] = {
+  /** ONE read of the live generation's clustering record: the
+    * (cols, binning, fileCountAtRecordTime, table) header plus the
+    * member file-name list when the record carries one (lines 5+,
+    * written since incremental-recluster support; None = vintage
+    * record). A single read is load-bearing twice over: it halves the
+    * object-store round-trips per DESCRIBE, and it makes pairing a
+    * generation-N header with generation-N+1's member list impossible
+    * (two reads race any concurrent publish). A MALFORMED record reads
+    * as absent (no claim is better than a garbled one), but a transport
+    * failure PROPAGATES — "couldn't read the record" must not render as
+    * "never clustered", or a transient object-store error sends an
+    * operator into a multi-hour re-cluster (the DESCRIBE caller
+    * degrades it to an explicit 'unknown' instead). */
+  def readClusterRecord(conf: Configuration, dir: String)
+      : Option[((String, String, Long, String), Option[Set[String]])] = {
     val p = new Path(resolveDataDir(conf, dir), ClusterSpecName)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
@@ -307,31 +320,28 @@ object GraftDataSource {
         java.nio.charset.StandardCharsets.UTF_8).split("\n")
       finally in.close()
       if (lines.length < 4) None
-      else try Some((lines(0).trim, lines(1).trim, lines(2).trim.toLong, lines(3).trim))
-      catch { case _: NumberFormatException => None }
+      else try {
+        val header = (lines(0).trim, lines(1).trim, lines(2).trim.toLong, lines(3).trim)
+        // "-" is the empty-list sentinel (an empty-table cluster still
+        // writes a name-tracking record; only a 4-line record is vintage)
+        val members =
+          if (lines.length <= 4) None
+          else Some(lines.drop(4).map(_.trim).filter(n => n.nonEmpty && n != "-").toSet)
+        Some((header, members))
+      } catch { case _: NumberFormatException => None }
     }
   }
 
-  /** The clustering record's member file-name list (lines 5+, written
-    * since incremental-recluster support): what lets `sys.cluster(...,
-    * incremental => true)` identify drift files with zero per-file I/O.
-    * None = record absent or written by an older version (callers refuse
-    * with guidance rather than guessing membership). */
-  def readClusterSpecFiles(conf: Configuration, dir: String): Option[Set[String]] = {
-    val p = new Path(resolveDataDir(conf, dir), ClusterSpecName)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val lines = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n")
-      finally in.close()
-      if (lines.length <= 4) None
-      // "-" is the empty-list sentinel (an empty-table cluster still
-      // writes a name-tracking record; only a 4-line record is vintage)
-      else Some(lines.drop(4).map(_.trim).filter(n => n.nonEmpty && n != "-").toSet)
-    }
-  }
+  /** Header-only view of [[readClusterRecord]]. */
+  def readClusterSpec(conf: Configuration, dir: String)
+      : Option[(String, String, Long, String)] =
+    readClusterRecord(conf, dir).map(_._1)
+
+  /** Member-list view of [[readClusterRecord]] (None = record absent or
+    * vintage; callers refuse with guidance rather than guessing
+    * membership). */
+  def readClusterSpecFiles(conf: Configuration, dir: String): Option[Set[String]] =
+    readClusterRecord(conf, dir).flatMap(_._2)
 
   /** Liveness claim written at staging-dir creation by every rewrite
     * path. The dead-data sweep reclaims a stale staging WHOLE (claim
@@ -1414,9 +1424,13 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
     // transport failure reading the record degrades to an explicit
     // 'unknown' row, never to silence (silence reads as never-clustered
     // and triggers pointless re-clustering).
+    // ONE record read serves both the header and the member list — two
+    // reads would pay double object-store round-trips and could pair
+    // generation N's header with generation N+1's members across a
+    // concurrent publish
     val clusterSpecOrErr =
       if (dirs.size != 1) Right(None)
-      else try Right(GraftDataSource.readClusterSpec(
+      else try Right(GraftDataSource.readClusterRecord(
         GraftDataSource.sessionConf(), dirs.head))
       // NonFatal, not just IOException: an object-store client's
       // RuntimeException or a resolveDataDir refusal must degrade the
@@ -1428,7 +1442,7 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         Map("clustering.state" ->
           "unknown (cluster record unreadable; claim not checkable)")
       case Right(spec) => spec match {
-      case Some((cols, binning, recorded, clusteredTable))
+      case Some(((cols, binning, recorded, clusteredTable), members))
           if clusteredTable == tbl.map(_._2).getOrElse("data") =>
         // records with a member NAME list (since incremental-recluster
         // support) are checked name-exactly: a DML that replaces one
@@ -1437,10 +1451,6 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         // records fall back to the count check (namespace-wide, so
         // sibling-table activity downgrades conservatively — a false
         // 'partial', never a false 'clustered').
-        val members =
-          try GraftDataSource.readClusterSpecFiles(
-            GraftDataSource.sessionConf(), dirs.head)
-          catch { case scala.util.control.NonFatal(_) => None }
         val state = (sizedListing, members) match {
           case (None, _) =>
             "unknown (live listing unavailable; claim not checkable)"
@@ -2956,8 +2966,9 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                   throw new OliveFormatException(
                     s"DV'd file ${gp.file} was chunk-split under pushed COUNT(col)")
                 val nullFreeEverywhere = chunkPairs.forall { case (cm, t) =>
-                  statsOf(cm, t, c, prev).forall(_.nullCount == 0) &&
-                    (statsOf(cm, t, c, prev).isDefined || gp.partValues.contains(c))
+                  val st = statsOf(cm, t, c, prev)
+                  st.forall(_.nullCount == 0) &&
+                    (st.isDefined || gp.partValues.contains(c))
                 }
                 val absentEverywhere = chunkPairs.forall { case (cm, t) =>
                   statsOf(cm, t, c, prev).isEmpty && !gp.partValues.contains(c)

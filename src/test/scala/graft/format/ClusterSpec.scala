@@ -230,6 +230,47 @@ class ClusterSpec extends SparkSpec {
     assert(fileState() == after)
   }
 
+  test("record carry across DML: name-tracking records survive, vintage records don't") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("graft-zorder-carry").toString
+    spark.range(0, 8000).selectExpr("id AS k", "id % 5 AS v")
+      .repartition(4).write.format("graft").mode("overwrite").save(dir)
+    FormatOps.cluster(spark, dir, "data", Seq("k"), targetFiles = 4)
+    // a keyed COW DML replaces one candidate file; the claim must
+    // SURVIVE for the carried files — and read name-exactly, so the
+    // count-preserving replacement downgrades membership, not truth
+    FormatOps.updateWhere(spark, dir, "data",
+      Map("v" -> org.apache.spark.sql.functions.lit(-1L)),
+      org.apache.spark.sql.functions.col("k") === 17L)
+    val rec = graft.sources.GraftDataSource.readClusterRecord(conf, dir)
+    assert(rec.isDefined, "name-tracking record must carry across a COW DML")
+    val (hdr, members) = rec.get
+    assert(hdr._1 == "k" && members.isDefined)
+    val live = graft.sources.GraftDataSource.listFiles(conf, dir).map(_.getName).toSet
+    assert(members.get != live,
+      "the DML's replacement file must NOT read as a cluster member")
+    assert((live -- members.get).nonEmpty)
+    // incremental recluster repairs exactly the replacement
+    assert(FormatOps.clusterIncremental(spark, dir, "data") >= 1)
+    assert(graft.sources.GraftDataSource.readClusterSpecFiles(conf, dir)
+      .exists(_ == graft.sources.GraftDataSource.listFiles(conf, dir).map(_.getName).toSet))
+
+    // VINTAGE (4-line) records do not carry: their count check cannot
+    // see a count-preserving replacement, so vanish-on-publish remains
+    // the honest claim for them
+    val resolved = new org.apache.hadoop.fs.Path(
+      graft.sources.GraftDataSource.resolveDataDir(conf, dir))
+    graft.sources.AtomicPublish.text(conf,
+      new org.apache.hadoop.fs.Path(resolved,
+        graft.sources.GraftDataSource.ClusterSpecName),
+      "k\nsort\n4\ndata") // 4 lines, no member list
+    FormatOps.updateWhere(spark, dir, "data",
+      Map("v" -> org.apache.spark.sql.functions.lit(-2L)),
+      org.apache.spark.sql.functions.col("k") === 23L)
+    assert(graft.sources.GraftDataSource.readClusterRecord(conf, dir).isEmpty,
+      "a vintage record must not carry across a publish")
+  }
+
   test("incremental recluster refuses without a record or member list") {
     val dir = Files.createTempDirectory("graft-zorder-inc-bad").toString
     spark.range(0, 100).selectExpr("id AS k")
