@@ -88,8 +88,20 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
         else if ((b0 & 0xf0) == 0xe0) 2
         else if ((b0 & 0xf8) == 0xf0) 3
         else -1 // continuation byte as lead, or invalid 0xF8+ lead
+      // a multi-byte lead is only honored when every continuation byte
+      // actually carries the 10xxxxxx tag — 0xC3 'A' must degrade to two
+      // units, not swallow the 'A' into a bogus code point (an engine
+      // replacing invalid sequences emits U+FFFD per bogus byte too)
+      var contOk = need > 0 && i + need < len
+      if (contOk) {
+        var j = 1
+        while (contOk && j <= need) {
+          if ((bytes(i + j) & 0xc0) != 0x80) contOk = false
+          j += 1
+        }
+      }
       var cp = 0
-      if (need <= 0 || i + need >= len) { // ascii, invalid, or truncated
+      if (need <= 0 || !contOk) { // ascii, invalid lead/continuation, or truncated
         cp = b0
         i += 1
       } else if (need == 1) {

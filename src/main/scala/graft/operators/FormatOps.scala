@@ -2473,17 +2473,18 @@ object FormatOps {
     // once the rewrite (which analyzes the plan eagerly) is done so the
     // session registry is left exactly as we found it. Pairing is exact:
     // the closure may never register (single column, table not matched),
-    // so the finally releases only what was actually acquired — the
-    // refcount in QuantileBucket then keeps CONCURRENT cluster() calls
-    // from dropping the function under each other
-    var bucketRegistered = false
+    // and may register MORE than once (a retrying rewrite path replaying
+    // the transform) — count every acquire and release the same number,
+    // so the refcount in QuantileBucket returns to where it started and
+    // CONCURRENT cluster() calls never drop the function under each other
+    var bucketRegs = 0
     try {
     graft.sources.Generations.rewrite(s, dir, (name, df) =>
       if (name != table) df
       else {
         touched = true
         val (shaped, reg) = clusterShape(s, df, cols, binning, targetFiles)
-        bucketRegistered ||= reg
+        if (reg) bucketRegs += 1
         shaped
       }, targetFiles = None, writeOptions = writeOptions, rowChurning = false,
       // record the clustering INSIDE the staging dir so it publishes
@@ -2504,7 +2505,7 @@ object FormatOps {
         }
       })
     } finally {
-      if (bucketRegistered) graft.functions.QuantileBucket.deregister(s)
+      while (bucketRegs > 0) { graft.functions.QuantileBucket.deregister(s); bucketRegs -= 1 }
     }
     require(touched, s"table '$table' not found in $dir; nothing was clustered")
   }
@@ -2643,13 +2644,13 @@ object FormatOps {
       s"table '$table' is bucketed — clustering and bucketing prescribe " +
         "conflicting layouts (same refusal as the full cluster)")
     var drift = 0
-    var reg = false
+    var regs = 0
     try {
       drift = graft.sources.Generations.rewriteFiles(s, dir, table,
         p => !members.contains(p.getName),
         (df, nDrift) => {
           val (shaped, r) = clusterShape(s, df, cols, binning, math.max(nDrift, 1))
-          reg ||= r
+          if (r) regs += 1
           shaped
         },
         beforePublish = (conf2, staging, carriedNames) => {
@@ -2661,7 +2662,7 @@ object FormatOps {
             (carriedNames ++ clusterFileNames(fs, staging)).sorted)
         }).size
     } finally {
-      if (reg) graft.functions.QuantileBucket.deregister(s)
+      while (regs > 0) { graft.functions.QuantileBucket.deregister(s); regs -= 1 }
     }
     drift
   }

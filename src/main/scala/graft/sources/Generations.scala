@@ -585,9 +585,21 @@ object Generations {
     val fs = root.getFileSystem(conf)
     val listed = GraftDataSource.listPartitionedSized(conf, dir)
     if (listed.isEmpty && requireTargets.isEmpty) return Seq.empty
+    // requireTargets were selected from metadata read BEFORE this listing;
+    // an empty live view with required targets outstanding is the
+    // concurrent-change race (table dropped/vacuumed in between), not a
+    // never-existed table — surface the 're-run' refusal, not 'not found'
+    if (listed.isEmpty)
+      throw new graft.format.OliveFormatException(
+        s"live view of $dir changed while selecting the rewrite's target " +
+          "files (the table was dropped or vacuumed); re-run")
     // classification (manifest-first, footer fallback) tells which files
     // hold the table at all — a sibling table's file is never a target
     val files = classifyForDml(conf, root, listed, table, None, dir)
+    if (!files.exists(_.metas.nonEmpty) && requireTargets.nonEmpty)
+      throw new graft.format.OliveFormatException(
+        s"live view of $dir changed while selecting the rewrite's target " +
+          s"files (no '$table' file remains live); re-run")
     require(files.exists(_.metas.nonEmpty),
       s"table '$table' not found in $dir; nothing to rewrite")
     val holds = files.filter(_.metas.nonEmpty).map(_.path.toUri.getPath).toSet

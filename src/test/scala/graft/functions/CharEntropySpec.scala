@@ -91,6 +91,20 @@ class CharEntropySpec extends SparkSpec {
     // two distinct garbage bytes → two equal-mass units → entropy ln(2)
     assert(math.abs(e.evalEntropy(UTF8String.fromBytes(
       Array(0x80.toByte, 0x81.toByte))) - math.log(2)) < 1e-12)
+    // valid 2-byte LEAD followed by plain ASCII (0xC3 'A'): the lead must
+    // NOT swallow the 'A' into a bogus code point — both bytes count as
+    // one unit each (two distinct units → ln 2), and the ASCII byte stays
+    // visible as itself: 0xC3 'A' 'A' is {0xC3:1, 'A':2} → H(1/3,2/3)
+    assert(math.abs(e.evalEntropy(UTF8String.fromBytes(
+      Array(0xc3.toByte, 'A'.toByte))) - math.log(2)) < 1e-12)
+    val h3 = e.evalEntropy(UTF8String.fromBytes(
+      Array(0xc3.toByte, 'A'.toByte, 'A'.toByte)))
+    val want = -(1.0 / 3 * math.log(1.0 / 3) + 2.0 / 3 * math.log(2.0 / 3))
+    assert(math.abs(h3 - want) < 1e-12)
+    // 3-byte lead whose SECOND continuation is ASCII: lead degrades alone,
+    // the two trailing bytes decode as themselves → 3 distinct units
+    assert(math.abs(e.evalEntropy(UTF8String.fromBytes(
+      Array(0xe2.toByte, 0x80.toByte, 'x'.toByte))) - math.log(3)) < 1e-12)
   }
 
   test("rejects non-string input") {
