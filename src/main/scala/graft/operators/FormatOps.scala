@@ -3863,6 +3863,106 @@ object FormatOps {
       |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q165: bucket-preserving MoR UPDATE — the SPJ claim survives ----------
+  // orders and customer are bucketed on the join key; a merge-on-read
+  // UPDATE touching ~6% of rows then writes DV sidecars PLUS replacement
+  // files that the delta write clustered by the bucket key and routed
+  // through the bucketed writer — so they land bucket-TAGGED and the
+  // storage-partitioned join still plans ZERO exchanges with delete
+  // vectors live. At 100 TB this is the daily keyed-upsert stream on a
+  // bucketed fact table: O(changed rows) written, the shuffle-free join
+  // intact. Riders: `no_rewrite` (originals byte-identical — a silent
+  // COW fallback hash-fails), `tagged` (every fresh file proves the
+  // layout), `spj_free` (the probe join planned 0 shuffles). The oracle
+  // restates the UPDATE algebra over parquet and joins in DuckDB.
+  private val q165: Q = (s0, d) => {
+    val root = graftDir(d, "mor_bucket")
+    deleteDirQuietly(s0, root)
+    s0.conf.set("spark.sql.catalog.graft_morb", "graft.sources.GraftCatalog")
+    s0.conf.set("spark.sql.catalog.graft_morb.root", root)
+    // one namespace per table: the key-grouped claim requires each table
+    // to own its directory (same fixture shape as q100)
+    s0.sql("CREATE NAMESPACE IF NOT EXISTS graft_morb.o")
+    s0.sql("CREATE NAMESPACE IF NOT EXISTS graft_morb.c")
+    s0.sql("CREATE TABLE graft_morb.o.orders (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(8, o_custkey))")
+    s0.sql("CREATE TABLE graft_morb.c.customer (c_custkey BIGINT, " +
+      "c_mktsegment STRING) USING graft PARTITIONED BY (bucket(8, c_custkey))")
+    Tables.orders(s0, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey")).writeTo("graft_morb.o.orders").append()
+    Tables.customer(s0, d).select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(8, col("c_custkey")).writeTo("graft_morb.c.customer").append()
+    val conf = s0.sparkContext.hadoopConfiguration
+    def fileState(): Map[String, Long] =
+      graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/o")
+        .map { case (p, size, _) => p.getName -> size }.toMap
+    val before = fileState()
+    s0.conf.set("spark.graft.updateMode", "merge-on-read")
+    try {
+      s0.sql("UPDATE graft_morb.o.orders SET o_totalprice = o_totalprice * 1.1 " +
+        "WHERE o_orderkey % 17 = 3")
+    } finally s0.conf.set("spark.graft.updateMode", "copy-on-write")
+    val after = fileState()
+    val noRewrite = before.forall { case (n, sz) => after.get(n).contains(sz) } &&
+      after.size > before.size
+    require(noRewrite,
+      "q165: bucketed MoR UPDATE must add replacement files, never rewrite originals")
+    val tag = graft.sources.GraftBucket.layoutTag("orders", "o_custkey", 8, None)
+    val freshFiles = after.keySet -- before.keySet
+    val tagged = freshFiles.forall(
+      graft.sources.GraftDataSource.bucketOf(_, 8, tag).isDefined)
+    require(tagged, s"q165: untagged replacement files break the layout claim: " +
+      s"${freshFiles.filterNot(graft.sources.GraftDataSource.bucketOf(_, 8, tag).isDefined)}")
+    val resolved = graft.sources.GraftDataSource.resolveDataDir(conf, s"$root/o")
+    require(graft.sources.GraftDataSource.readDvManifest(
+        new org.apache.hadoop.fs.Path(resolved).getFileSystem(conf),
+        new org.apache.hadoop.fs.Path(resolved)).nonEmpty,
+      "q165: the UPDATE must leave delete vectors")
+    // probe join in a child session (AQE off => the plan is final):
+    // key-grouped scan on both sides, zero exchanges, DVs + replacement
+    // files live
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.graft_morb", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_morb.root", root)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val probe = s.sql("""SELECT o.o_custkey, o.o_totalprice, c.c_mktsegment
+      |FROM graft_morb.o.orders o
+      |JOIN graft_morb.c.customer c ON o.o_custkey = c.c_custkey""".stripMargin)
+    val exchanges = probe.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    if (exchanges != 0)
+      throw new IllegalStateException(
+        s"q165: SPJ regressed after bucketed MoR UPDATE — $exchanges shuffle(s) in\n" +
+          probe.queryExecution.executedPlan)
+    s0.table("graft_morb.o.orders")
+      .join(s0.table("graft_morb.c.customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"))
+      .orderBy(col("c_mktsegment"))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("tagged", lit(tagged))
+      .withColumn("spj_free", lit(exchanges == 0))
+  }
+  private val q165Sql =
+    """WITH upd AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_orderkey % 17 = 3 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS price_sum,
+      |  true AS no_rewrite, true AS tagged, true AS spj_free
+      |FROM upd JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ---- q96: UPDATE via copy-on-write rewrite --------------------------------
   // 10% price increase on open orders; the oracle recomputes the same
   // CASE from parquet. Both sides multiply the identical doubles, so a
@@ -4116,6 +4216,7 @@ object FormatOps {
     "q162_rewrite_prune" -> q162,
     "q163_dv_count" -> q163,
     "q164_incremental_cluster" -> q164,
+    "q165_mor_bucket_update" -> q165,
     "q93_time_travel" -> q93,
     "q91_graft_lookup" -> q91,
     "q92_graft_compact" -> q92,
@@ -4176,6 +4277,7 @@ object FormatOps {
     "q162_rewrite_prune" -> q162Sql,
     "q163_dv_count" -> q163Sql,
     "q164_incremental_cluster" -> q164Sql,
+    "q165_mor_bucket_update" -> q165Sql,
     "q93_time_travel" -> q93Sql,
     "q91_graft_lookup" -> q91Sql,
     "q92_graft_compact" -> q92Sql,

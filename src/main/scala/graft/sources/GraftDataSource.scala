@@ -1523,20 +1523,26 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       "cannot UPDATE/MERGE/DELETE a time-travel read; only the live generation is writable")
     () => {
       val table = Option(options.get("table")).getOrElse("data")
-      // a DECLARED bucket layout forces copy-on-write for ROW-WRITING
-      // commands only: the layout's provable key-grouped contract
-      // constrains replacement rows (UPDATE/MERGE inserts), which the
-      // COW path's clustered write declares and MoR's plain data files
-      // would break. A pure position-DELETE writes NO rows — every
-      // carried file keeps its bucket tag and the layout claim survives
-      // untouched — so the bucketed fact table (exactly where cheap
-      // deletes matter most) still gets kilobyte delete vectors.
+      // a DECLARED bucket layout rides THROUGH merge-on-read: DELETE
+      // writes no rows (carried files keep their tags untouched), and
+      // UPDATE/MERGE hand the layout to the delta write, which clusters
+      // replacement rows by the bucket key and routes them through the
+      // bucketed writer — so they land as bucket-tagged files and the
+      // shuffle-free-join claim survives a keyed upsert stream. Only a
+      // layout whose bucket/sort column has left the catalog schema
+      // (rename/drop evolution) falls back to copy-on-write, because
+      // replacement rows could not prove their routing.
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
-      val bucketed = GraftDataSource.readBucketMarker(
-        GraftDataSource.sessionConf(), dirs.head, table).isDefined
-      if ((!bucketed || info.command() == DELETE) &&
-          GraftDataSource.morMode(info.command()))
-        new GraftMorOperation(dirs.head, table, schema, info.command())
+      val layout = GraftDataSource.readBucketMarker(
+        GraftDataSource.sessionConf(), dirs.head, table)
+      val honorable = layout.forall { case (col, _, sort) =>
+        schema.fields.find(_.name == col).exists(f => GraftBucket.supported(f.dataType)) &&
+          sort.forall(schema.fieldNames.contains)
+      }
+      if (GraftDataSource.morMode(info.command()) &&
+          (info.command() == DELETE || honorable))
+        new GraftMorOperation(dirs.head, table, schema, info.command(),
+          if (info.command() == DELETE) None else layout)
       else new GraftRowLevelOperation(dirs.head, table, schema, info.command())
     }
   }

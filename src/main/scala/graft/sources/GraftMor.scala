@@ -32,12 +32,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and top-k pushes fully live, MoR trades them (the scan builder
   * declines while DVs exist) for O(changed rows) write cost; compaction
   * (`CALL sys.compact`) materializes the DVs and re-enables the footer
-  * walk. Tables with a DECLARED bucket layout run COW for UPDATE/MERGE
-  * (the layout's provable-bucketing contract constrains replacement
-  * rows, which only the COW path's clustered write declares) but take
-  * the MoR path for pure DELETE — a position delete writes no rows, so
-  * every carried file keeps its bucket tag and the shuffle-free-join
-  * claim survives intact.
+  * walk. Tables with a DECLARED bucket layout keep the layout's
+  * provable-bucketing contract THROUGH MoR UPDATE/MERGE: replacement
+  * rows are clustered by the bucket key (the write's required
+  * distribution adds the key next to `_file`), routed task-side through
+  * the same [[GraftBucketedDataWriter]] every bucketed write uses, and
+  * land as bucket-TAGGED files — so the scan's key-grouped claim (and
+  * the shuffle-free storage-partitioned join it feeds) survives a keyed
+  * upsert stream. The declared within-bucket sort column rides the
+  * required ordering, so sorted buckets stay sorted per file; the
+  * one-file-per-bucket *merge-sort* claim necessarily drops until a
+  * compaction folds the replacement files back in. Pure DELETE writes
+  * no rows — carried files keep their tags untouched. Only a layout
+  * whose bucket/sort column has left the catalog schema (rename/drop
+  * evolution) falls back to copy-on-write, because replacement rows
+  * could not prove their routing.
   *
   * Scan side: Spark plans the condition OVER the table scan and projects
   * the row ids, so pushed predicates still prune files/chunks/blocks
@@ -52,7 +61,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * merged delete vector covers EVERY row is dropped from the carry
   * manifest outright (whole-file delete — no DV, no task, no open). */
 class GraftMorOperation(dir: String, table: String, schema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    // declared bucket layout (col, n, sortCol) for commands that write
+    // replacement rows; None for DELETE (no rows) and unbucketed tables
+    layout: Option[(String, Int, Option[String])] = None)
+    extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft merge-on-read $cmd on $table"
@@ -76,21 +89,31 @@ class GraftMorOperation(dir: String, table: String, schema: StructType,
         // cluster the matched ids by file and sort by (_file, _pos): each
         // task sees whole files' positions in order, so the per-task
         // fragments are few, sorted, and merge trivially on the driver.
-        // (For UPDATE/MERGE the insert records ride the same clustering —
-        // their null _file groups them together; replacement files are
-        // written by however many tasks carry inserts.)
+        // On a BUCKETED table the insert records must spread too: the
+        // bucket key joins the clustering, so deletes still group per
+        // file (their data columns are null — one (F, null) key per
+        // file) while replacement rows hash out across tasks by key
+        // instead of funneling through the single null-_file group.
         override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            Array(Expressions.column(GraftDataSource.FileColName)))
+            Array(Expressions.column(GraftDataSource.FileColName)) ++
+              layout.map { case (col, _, _) => Expressions.column(col) })
         override def requiredNumPartitions(): Int = 0
         override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           Array(
             Expressions.sort(Expressions.column(GraftDataSource.FileColName),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
             Expressions.sort(Expressions.column(GraftDataSource.PosColName),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) ++
+            // declared within-bucket sort: inserts (null _file/_pos sort
+            // first) then arrive ascending by the sort column, so each
+            // bucket's subsequence satisfies the sorted-bucket writer's
+            // arrival check and replacement files stay key-sorted
+            layout.flatMap(_._3).map(sc =>
+              Expressions.sort(Expressions.column(sc),
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
         override def toBatch: DeltaBatchWrite =
-          new GraftMorBatchWrite(dir, table, info.schema())
+          new GraftMorBatchWrite(dir, table, info.schema(), layout)
       }
     }
 }
@@ -102,7 +125,8 @@ private[sources] case class GraftDvCommitMessage(perFile: Map[String, Array[Byte
     data: WriterCommitMessage) extends WriterCommitMessage
 
 private[sources] class GraftMorBatchWrite(dir: String, table: String,
-    writeSchema: StructType) extends DeltaBatchWrite {
+    writeSchema: StructType,
+    layout: Option[(String, Int, Option[String])] = None) extends DeltaBatchWrite {
 
   private val conf = GraftDataSource.sessionConf()
   private val root = new Path(dir)
@@ -123,10 +147,16 @@ private[sources] class GraftMorBatchWrite(dir: String, table: String,
     // partition values, so inserts must refuse with guidance — position
     // DELETES still work fine (they write no rows)
     val missingPart = partCols.filterNot(writeSchema.fieldNames.contains)
+    // a declared bucket layout owns its directory (no hive partitions by
+    // construction); replacement rows route through the bucketed writer
+    // so they land as bucket-TAGGED files under the same layout tag the
+    // carried originals prove their grouping with
     inner = new GraftBatchWrite(staging.toString, writeSchema, truncate = false,
       table, graft.format.GraftFileWriter.DefaultPageSize, "balanced",
       GraftBatchWrite.DefaultChunkRows,
-      if (missingPart.isEmpty) partCols else Seq.empty)
+      if (missingPart.isEmpty && layout.isEmpty) partCols else Seq.empty,
+      bucketSpec = layout.map { case (c, n, _) => (c, n) },
+      sortCol = layout.flatMap(_._3))
     GraftMorWriterFactory(inner.createBatchWriterFactory(info), writeSchema.length,
       insertRefusal = if (missingPart.isEmpty) None else Some(
         s"table directory is hive-partitioned on ${missingPart.mkString(",")} " +
