@@ -46,12 +46,19 @@ object Bench {
       // per-query 1-min loadavg AT RUN TIME: a slow number measured at
       // load 6 is weather, not regression — trend tooling needs to know
       val loadAt = osBean.getSystemLoadAverage
+      // gates that build expensive multi-commit fixtures self-report the
+      // fixture seconds (FixtureClock); the split rides BENCH_FULL as
+      // fixture_s so the tracked number can be the ENGINE side
       val times = (1 to reps).map { _ =>
+        graft.operators.FixtureClock.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0,
+          graft.operators.FixtureClock.seconds)
       }
-      (name, if (times.contains(-1.0)) -1.0 else times.min, loadAt)
+      val best = times.minBy(_._1)
+      (name, if (times.exists(_._1 == -1.0)) -1.0 else best._1, loadAt,
+        if (times.exists(_._1 == -1.0)) 0.0 else best._2)
     }
     // 3-decimal rounding keeps the whole line inside the driver's stdout
     // tail window (full-precision doubles tripled its size and truncated
@@ -59,20 +66,24 @@ object Bench {
     // map but are EXCLUDED from the total and named explicitly instead
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query loadavg rides in the FULL artifact only (the compact
     // stdout line must stay inside the driver's tail window)
-    val loads = results.map { case (k, _, l) => s"\"" + k + "\":" + fmt(l) }
+    val loads = results.map { case (k, _, l, _) => s"\"" + k + "\":" + fmt(l) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => s"\"" + k + "\"" }
+    // self-reported fixture-build seconds (only gates that report one):
+    // the engine side of those gates is wall - fixture
+    val fixtures = results.collect { case (k, _, _, f) if f > 0 =>
+      s"\"" + k + "\":" + fmt(f) }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _, _) if v < 0 => s"\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // 1-min system load at end of run: round-over-round totals on a
     // shared box swing 2-3x with co-tenant load — trend tooling should
     // discount any run whose loadavg is far above the core count's idle
     val load = fmt(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$qs,"query_loadavg":$loads,"sf":"$sfDir","runs":$reps,"timing":"min_of_$reps"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$qs,"query_loadavg":$loads,"fixture_s":$fixtures,"sf":"$sfDir","runs":$reps,"timing":"min_of_$reps"}"""
     println(line)
     // the driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line it finds there — the full 130-query line is ~3.5 KB and
@@ -86,7 +97,7 @@ object Bench {
     catch { case _: Throwable => }
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val shortQs = results.map { case (k, v, _) =>
+    val shortQs = results.map { case (k, v, _, _) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$shortQs,"sf":"$sfDir","runs":$reps,"timing":"min_of_$reps","names":"qNN prefixes of BENCH_FULL.json"}""")

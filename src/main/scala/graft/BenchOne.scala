@@ -1,8 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time or explain a single SparkEntry query.
-  * Usage: runMain graft.BenchOne <query> <sfDir> [explain] */
+/** Dev tool: time or explain SparkEntry queries solo (outside the full
+  * 169-gate board, so neighbors' JIT/GC/fixture churn doesn't pollute
+  * the number — the adjudication mode the round verdicts use).
+  * Usage: runMain graft.BenchOne <query>[,<query>...] <sfDir> [explain]
+  * Prints per-run wall seconds plus the gate's self-reported fixture
+  * seconds ([[graft.operators.FixtureClock]]) and a MIN line per query;
+  * run1 carries ~8-10 s of session warmup — adjudicate on run2/3. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,14 +20,24 @@ object BenchOne {
         "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(args(0))
-    if (args.length > 2 && args(2) == "explain") fn(spark, args(1)).explain("formatted")
-    else {
-      (1 to 3).foreach { i =>
+    val names = args(0).split(',').toSeq
+    if (args.length > 2 && args(2) == "explain")
+      names.foreach(n => SparkEntry.queries(n)(spark, args(1)).explain("formatted"))
+    else names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to 3).map { i =>
+        System.gc()
+        graft.operators.FixtureClock.reset()
         val t0 = System.nanoTime()
         val n = fn(spark, args(1)).count()
-        println(s"run$i: ${(System.nanoTime() - t0) / 1e9}%s sec rows=$n")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val fix = graft.operators.FixtureClock.seconds
+        println(f"$name run$i: $wall%.3f sec rows=$n fixture=$fix%.3f engine=${wall - fix}%.3f")
+        (wall, fix)
       }
+      // min over runs 2..3 (run1 pays one-time codegen/session costs)
+      val (w, f) = runs.drop(1).minBy(_._1)
+      println(f"$name MIN: wall=$w%.3f fixture=$f%.3f engine=${w - f}%.3f")
     }
     spark.stop()
   }

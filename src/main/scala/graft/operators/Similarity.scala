@@ -543,13 +543,18 @@ object Similarity {
     // the % 5 group means so the ivfAppend step still scores the
     // planted batch against a real centroid table.
     val initCells = 5
-    e.select(col("vec_id"), col("v"), col("nv"),
-        (col("vec_id") % initCells).as("cell"))
-      .write.format("graft").option("partitionBy", "cell")
-      .mode("overwrite").save(s"$root/cells")
-    centroidsOf(e.withColumn("label", col("vec_id") % initCells), cellAsLong = true)
-      .write.format("graft").mode("overwrite").save(s"$root/centroids")
-    ivfAppend(s, root, withPlanted(e).filter(col("vec_id") >= PlantShift))
+    // fixture: the prologue index state (cells + centroids + planted
+    // append) the reindex consumes; the tracked engine side is
+    // reindex_ivf + the probe search (FixtureClock / BENCH fixture_s)
+    graft.operators.FixtureClock.time {
+      e.select(col("vec_id"), col("v"), col("nv"),
+          (col("vec_id") % initCells).as("cell"))
+        .write.format("graft").option("partitionBy", "cell")
+        .mode("overwrite").save(s"$root/cells")
+      centroidsOf(e.withColumn("label", col("vec_id") % initCells), cellAsLong = true)
+        .write.format("graft").mode("overwrite").save(s"$root/centroids")
+      ivfAppend(s, root, withPlanted(e).filter(col("vec_id") >= PlantShift))
+    }
     // the maintenance procedure, through the SQL surface
     val parent = new java.io.File(root).getParent
     val ns = new java.io.File(root).getName
