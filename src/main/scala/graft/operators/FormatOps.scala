@@ -1207,12 +1207,25 @@ object FormatOps {
     * capture. Requires the capture log to exist (one captured DML).
     * `startingOffsets = "latest"` attaches past the existing log — only
     * changes captured AFTER the stream starts are emitted (history is
-    * the batch reader's job, not a replay). */
+    * the batch reader's job, not a replay).
+    *
+    * Backpressure: a consumer that falls behind a bursty writer would
+    * otherwise get the whole backlog as ONE first micro-batch.
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` (the standard Spark
+    * file-source admission contract) drain it in bounded batches —
+    * bytes is a soft cap (admit until the running total exceeds it,
+    * always at least one file), both compose, exactly-once is preserved
+    * across restarts because offsets index the same durable file log. */
   def changeFeedStream(s: SparkSession, dir: String,
-      startingOffsets: String = "earliest"): DataFrame =
-    s.readStream.format("graft").option("table", "changes")
+      startingOffsets: String = "earliest",
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    val r = s.readStream.format("graft").option("table", "changes")
       .option("startingOffsets", startingOffsets)
-      .load(s"$dir/$ChangesSubdir")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n => r.option("maxBytesPerTrigger", n.toString))
+    r.load(s"$dir/$ChangesSubdir")
+  }
 
   private def readTable(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.format("graft").option("table", table).load(dir)

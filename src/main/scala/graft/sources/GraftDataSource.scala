@@ -1508,7 +1508,11 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
         Option(options.get("startingoffsets"))).getOrElse("earliest"),
       // internal (DML candidate reads): restrict the scan to these
       // newline-joined absolute file paths from the live listing
-      Option(options.get("filefilter")).map(_.split('\n').toSet))
+      Option(options.get("filefilter")).map(_.split('\n').toSet),
+      Option(scanOptions.get("maxbytespertrigger")).orElse(
+        Option(options.get("maxbytespertrigger"))).map(v =>
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"maxBytesPerTrigger must be a positive long, got '$v'"))))
 
   /** SQL `UPDATE` / `MERGE INTO` / non-pushable `DELETE`: group-based
     * copy-on-write via [[GraftRowLevelOperation]] — candidate files are
@@ -1629,7 +1633,8 @@ case class GraftSumSpec(col: String, integral: Boolean,
 class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
     startingOffsets: String = "earliest",
-    fileFilter: Option[Set[String]] = None)
+    fileFilter: Option[Set[String]] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -1950,7 +1955,7 @@ class GraftScanBuilder(dirs: Seq[String], fullSchema: StructType, tableOpt: Opti
   override def build(): Scan =
     new GraftScan(dirs, aggSpecs.map(_ => aggSchema).getOrElse(required), tableOpt, pushed,
       limit, aggSpecs, maxFilesPerTrigger, topN, startingOffsets, fileFilter,
-      consumedFilters = consumed)
+      consumedFilters = consumed, maxBytesPerTrigger = maxBytesPerTrigger)
 }
 
 /** Pushed ORDER BY col [, tiebreaks...] LIMIT k: `desc`/`nullsFirst`
@@ -1978,7 +1983,8 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
     // applied here as EXACT file drops against path values, with the
     // reader's own materialization semantics (default-partition = its
     // literal string; a drift file missing the key = null)
-    consumedFilters: Array[Filter] = Array.empty) extends Scan with Batch
+    consumedFilters: Array[Filter] = Array.empty,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -2341,7 +2347,7 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(dirs.size == 1, "graft streaming reads take exactly one path")
     new GraftMicroBatchStream(dirs.head, checkpointLocation, required, tableOpt,
-      maxFilesPerTrigger, startingOffsets)
+      maxFilesPerTrigger, startingOffsets, maxBytesPerTrigger)
   }
   override def description(): String =
     s"graft ${dirs.mkString(",")} table=${tableOpt.getOrElse("<single>")} " +

@@ -45,7 +45,8 @@ import org.apache.spark.util.SerializableConfiguration
 class GraftMicroBatchStream(dir: String, checkpointLocation: String,
     required: StructType, tableOpt: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
-    startingOffsets: String = "earliest") extends MicroBatchStream
+    startingOffsets: String = "earliest",
+    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
@@ -56,6 +57,8 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   // offsets BACKWARD and corrupt the checkpoint's monotonic invariant
   maxFilesPerTrigger.foreach(n => require(n > 0,
     s"maxFilesPerTrigger must be positive, got $n"))
+  maxBytesPerTrigger.foreach(n => require(n > 0,
+    s"maxBytesPerTrigger must be positive, got $n"))
 
   // The session's Hadoop conf, not a bare `new Configuration()`: the
   // pin/segment/log paths must resolve against the same filesystem world
@@ -205,21 +208,68 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   private var fixedEnd: Int = -1
   override def prepareForTriggerAvailableNow(): Unit = { fixedEnd = discover() }
 
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val end = if (fixedEnd >= 0) fixedEnd else discover()
-    val cap = limit match {
-      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles => f.maxFiles()
-      case _ => Int.MaxValue
+  /** Per-file sizes for the bytes cap, stat'd once per file and cached
+    * for the stream's lifetime (discovered files are immutable by the
+    * append-only contract, so a cached length can never go stale). */
+  private val sizeCache = new java.util.HashMap[String, java.lang.Long]()
+  private def sizeOf(file: String): Long = {
+    val hit = sizeCache.get(file)
+    if (hit != null) hit.longValue()
+    else {
+      val p = new Path(file)
+      val len = try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.FileNotFoundException => 0L } // swept: admit free
+      sizeCache.put(file, len)
+      len
     }
-    val from = start.asInstanceOf[GraftStreamOffset].index
-    GraftStreamOffset(math.min(end.toLong, from.toLong + cap).toInt)
   }
 
-  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    maxFilesPerTrigger
-      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
-      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadMaxBytes, ReadMaxFiles}
+    val end = if (fixedEnd >= 0) fixedEnd else discover()
+    // unwrap the (possibly composite) limit into file/byte caps; every
+    // present cap applies, the tightest wins
+    def caps(l: org.apache.spark.sql.connector.read.streaming.ReadLimit): (Int, Long) =
+      l match {
+        case f: ReadMaxFiles => (f.maxFiles(), Long.MaxValue)
+        case b: ReadMaxBytes => (Int.MaxValue, b.maxBytes())
+        case c: CompositeReadLimit =>
+          c.getReadLimits.map(caps).foldLeft((Int.MaxValue, Long.MaxValue)) {
+            case ((f1, b1), (f2, b2)) => (math.min(f1, f2), math.min(b1, b2))
+          }
+        case _ => (Int.MaxValue, Long.MaxValue)
+      }
+    val (capFiles, capBytes) = caps(limit)
+    val from = indexOf(start)
+    val byFiles = math.min(end.toLong, from.toLong + capFiles).toInt
+    if (capBytes == Long.MaxValue) GraftStreamOffset(byFiles)
+    else {
+      // bytes cap (FileStreamSource semantics: a SOFT cap — admit files
+      // until the running total EXCEEDS it, always at least one so the
+      // stream can't wedge on a single file larger than the cap)
+      val files = log()
+      var i = from
+      var bytes = 0L
+      while (i < byFiles && (i == from || bytes + sizeOf(files(i)) <= capBytes)) {
+        bytes += sizeOf(files(i))
+        i += 1
+      }
+      GraftStreamOffset(i)
+    }
+  }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
 
   /** Hive-style partition values re-derived from the file's path relative
     * to the source dir (the log stores plain paths): a stream over a
@@ -238,8 +288,8 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].index
-    val e = end.asInstanceOf[GraftStreamOffset].index
+    val s = indexOf(start)
+    val e = indexOf(end)
     log().slice(s, e)
       .map(f => GraftInputPartition(f, partValuesOf(f)): InputPartition).toArray
   }
@@ -262,10 +312,22 @@ class GraftMicroBatchStream(dir: String, checkpointLocation: String,
   override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val discovered = if (cached == null) 0 else cached.size
     val consumed = if (latestConsumedOffset.isPresent)
-      latestConsumedOffset.get().asInstanceOf[GraftStreamOffset].index else 0
+      indexOf(latestConsumedOffset.get()) else 0
     java.util.Map.of(
       "numFilesDiscovered", discovered.toString,
       "numFilesBehindLatest", math.max(0, discovered - consumed).toString)
+  }
+
+  /** Offsets arrive three ways — our own case class, a checkpointed
+    * SerializedOffset on crash-restart (Spark hands the RAW offset-log
+    * entry to latestOffset before any deserializeOffset call on that
+    * path), and in principle any Offset whose json() is ours. Casting
+    * only the first wedged every crash-recovery with a ClassCastException
+    * (caught by the change-feed backpressure spec); parse the json
+    * instead of trusting the runtime to have converted. */
+  private def indexOf(o: Offset): Int = o match {
+    case g: GraftStreamOffset => g.index
+    case other => other.json().trim.toInt
   }
 
   override def deserializeOffset(json: String): Offset =

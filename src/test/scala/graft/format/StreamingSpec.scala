@@ -276,6 +276,92 @@ class StreamingSpec extends SparkSpec {
     assert(epochs.length >= 3, epochs.mkString(","))
   }
 
+  test("change-feed backlog drains in bounded batches; exactly-once across a mid-stream crash") {
+    val dir = Files.createTempDirectory("graft-cfbp").toString
+    val out = Files.createTempDirectory("graft-cfbp-out").toString
+    val ck = Files.createTempDirectory("graft-cfbp-ck").toString
+    // a 30-commit capture backlog, one file per commit (the exact shape
+    // captureTo writes: table "changes", _change_type + _commit_version)
+    (1 to 30).foreach { v =>
+      spark.range(v * 10L, v * 10L + 10)
+        .selectExpr("id AS k", "'insert' AS _change_type",
+          s"CAST($v AS BIGINT) AS _commit_version")
+        .coalesce(1).write.format("graft").option("table", "changes")
+        .mode("append").save(s"$dir/_changes")
+    }
+    // first attempt: bounded admission (5 files per trigger) and a
+    // consumer that CRASHES after two delivered batches — mid-backlog
+    val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val feed = graft.operators.FormatOps.changeFeedStream(
+      spark, dir, maxFilesPerTrigger = Some(5))
+    val q1 = feed.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (delivered.incrementAndGet() > 2)
+          throw new RuntimeException("simulated consumer crash")
+        b.write.format("graft").option("table", "sink")
+          .mode("append").save(out): Unit
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    val partial = spark.read.format("graft").option("table", "sink").load(out).count()
+    assert(partial == 100, s"2 batches x 5 files x 10 rows expected, got $partial")
+    // restart from the same checkpoint: drains the REST in bounded
+    // batches; the union is exactly the backlog (exactly-once, no
+    // replay of the two committed epochs)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = graft.operators.FormatOps.changeFeedStream(
+        spark, dir, maxFilesPerTrigger = Some(5))
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }
+        b.write.format("graft").option("table", "sink")
+          .mode("append").save(out): Unit
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchSizes.forall(_ <= 50), s"unbounded batch: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= 4, s"expected >=4 bounded batches, got $batchSizes")
+    val sunk = spark.read.format("graft").option("table", "sink").load(out)
+    assert(sunk.count() == 300)
+    assert(sunk.select(col("k")).distinct().count() == 300, "duplicated rows after restart")
+  }
+
+  test("maxBytesPerTrigger is a soft cap: bounded batches, never wedges on one big file") {
+    val dir = Files.createTempDirectory("graft-bytes").toString
+    val ck = Files.createTempDirectory("graft-bytes-ck").toString
+    (1 to 8).foreach { v =>
+      spark.range(v * 100L, v * 100L + 100).selectExpr("id AS k")
+        .coalesce(1).write.format("graft").mode("append").save(dir)
+    }
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".graft")).map(_.length())
+    val cap = sizes.min * 2 + sizes.min / 2 // ~2.5 files per batch (soft)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", cap.toString).load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += b.count() }: Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.sum == 800, batches)
+    // soft cap admits at most 3 files (the 3rd crosses the boundary
+    // only when the first two leave room) and always at least 1
+    assert(batches.forall(n => n >= 100 && n <= 300), batches)
+    assert(batches.count(_ > 0) >= 3, batches)
+    // a single file LARGER than the cap must still be admitted alone
+    val q2 = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft-bytes-ck2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.count() == 100): Unit
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+  }
+
   test("streaming sink writes straight into a hive-partitioned layout") {
     val src = Files.createTempDirectory("graft-psink-src").toString
     val out = Files.createTempDirectory("graft-psink-out").toString
