@@ -2559,12 +2559,34 @@ object FormatOps {
       var registered = false
       val buckets = if (binning == "quantile") {
         // one column-pruned pass for all boundary arrays; nulls are
-        // ignored by approxQuantile and bucket to 0 via the coalesce
+        // ignored by approxQuantile and bucket to 0 via the coalesce.
+        //
+        // Scale guard (caught by the r16 sf1 run, where the naive shape
+        // spun for >10 min): boundaries only feed 256-way BINNING, so
+        //  - accuracy is ONE BUCKET WIDTH (1/256), not 0.001 — the
+        //    Greenwald-Khanna summary size scales with 1/eps, and the
+        //    driver merges one summary PER PARTITION sequentially;
+        //  - the pass runs on a bounded deterministic sample (≤4M rows,
+        //    seed 42) — a 4M sample pins each boundary's rank to well
+        //    inside one bucket width at any table size, so the tiling is
+        //    statistically identical while the pass stays O(sample);
+        //  - the sampled projection coalesces to ≤64 partitions so a
+        //    chunk-granular scan (thousands of splits) hands the driver
+        //    64 summaries to merge, not thousands.
+        // Pruning and correctness are unaffected: bins only need to be
+        // sorted and roughly even — every file still covers a bounded
+        // key range, and the rewrite reorders rows, never changes them.
         graft.functions.QuantileBucket.register(s)
         registered = true
         val casted = cols.map(c => col(c).cast("double").as(c))
         val probs = (1 until 256).map(_.toDouble / 256).toArray
-        val qs = df.select(casted: _*).stat.approxQuantile(cols.toArray, probs, 0.001)
+        val sampleCap = 4L << 20
+        val rows = df.count()
+        val src0 = df.select(casted: _*)
+        val src = (if (rows > sampleCap)
+          src0.sample(withReplacement = false, sampleCap.toDouble / rows, 42L)
+          else src0).coalesce(64)
+        val qs = src.stat.approxQuantile(cols.toArray, probs, 1.0 / 256)
         cols.zipWithIndex.map { case (c, i) =>
           // collapse tied quantiles (constant/low-cardinality runs) and
           // drop NaN boundaries: a shorter sorted array bins coarser,

@@ -1403,8 +1403,10 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       case None => Map.empty[String, String]
     }
     // merge-on-read delete state, so an operator can see from DESCRIBE
-    // EXTENDED that reads pay DV subtraction and footer aggregates are
-    // declined — and that a compact would materialize it away
+    // EXTENDED that reads pay DV subtraction and MOST footer aggregates
+    // are declined (COUNT(*) — and provably-null-free COUNT(col) — stay
+    // exact: planning subtracts the recorded cardinalities) — and that
+    // a compact/materialize_dvs would clear it
     val dv = (if (dirs.size == 1) try GraftDataSource.liveDvs(
         GraftDataSource.sessionConf(), dirs.head, tbl.map(_._2)) catch {
         case _: Exception => Map.empty[String, (Path, Long)]
@@ -1412,7 +1414,10 @@ class GraftTable(dirs: Seq[String], schema: StructType, options: CaseInsensitive
       case m if m.isEmpty => Map.empty[String, String]
       case m => Map(
         "deleteVectors.files" -> m.size.toString,
-        "deleteVectors.deletedRows" -> m.values.map(_._2).sum.toString)
+        "deleteVectors.deletedRows" -> m.values.map(_._2).sum.toString,
+        // what the vectors still allow: the most common sanity query
+        // answers from metadata even while vectors are live
+        "deleteVectors.exactCount" -> "true")
     }
     // clustering claim, when the live generation carries one: which
     // columns z-order pruning can rely on, and whether post-clustering
