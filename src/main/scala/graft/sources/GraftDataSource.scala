@@ -461,6 +461,60 @@ object GraftDataSource {
         .mkString("\n"))
   }
 
+  /** Append-stats sidecars: a PLAIN APPEND's footer stats, written next
+    * to the files it landed (`.stats-append-<uuid>`, same line format as
+    * the staged-stats sidecar, TABLE-ROOT-relative rels). The carry
+    * manifest only covers files that existed at the last publish, so
+    * without these every appended file is a scheduled task until the
+    * next DML/compaction — at 100 TB an append-mostly table would
+    * degrade to full task waves (caught by the r16 sf1 run: q141's
+    * post-rename append scheduled all 32 files). Planning merges them
+    * under the carry entries; they are ADVISORY — a lost or stale
+    * sidecar costs pruning, never correctness. Unique names make
+    * concurrent appends race-free; a fold pass keeps the file count
+    * bounded; an overwrite deletes them with the data; sidecars in
+    * superseded generation dirs age out with the generation (planning
+    * lists only the LIVE data dir). Streaming epochs deliberately skip
+    * the sidecar (one per epoch would proliferate) — their appends stay
+    * reader-level-skipped until a compaction covers them. */
+  val AppendStatsPrefix = ".stats-append-"
+  private val AppendStatsFoldAt = 64
+
+  def writeAppendStats(conf: Configuration, dataDir: Path,
+      entries: Seq[(String, Long, String)]): Unit = {
+    if (entries.isEmpty) return
+    val fs = dataDir.getFileSystem(conf)
+    AtomicPublish.text(conf,
+      new Path(dataDir, s"$AppendStatsPrefix${java.util.UUID.randomUUID()}"),
+      entries.map { case (rel, sz, js) => s"$sz\t$rel\t$js" }.mkString("\n"))
+    // bound the sidecar count: many appends between publishes fold into
+    // one file once they pile up. Planners read-only (a swept input
+    // degrades them to footer reads); per-table write commits run
+    // sequentially on the driver, same contract appendStagedStats uses.
+    val all = try fs.listStatus(dataDir).map(_.getPath)
+        .filter(_.getName.startsWith(AppendStatsPrefix)).toSeq
+      catch { case _: java.io.IOException => Seq.empty }
+    if (all.size >= AppendStatsFoldAt) {
+      val folded = all.flatMap(p => readAppendStatsFile(fs, p))
+      AtomicPublish.text(conf,
+        new Path(dataDir, s"$AppendStatsPrefix${java.util.UUID.randomUUID()}"),
+        folded.map { case (rel, sz, js) => s"$sz\t$rel\t$js" }.mkString("\n"))
+      all.foreach(p => try fs.delete(p, false) catch { case _: java.io.IOException => })
+    }
+  }
+
+  private def readAppendStatsFile(fs: FileSystem, p: Path): Seq[(String, Long, String)] =
+    try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+        val parts = line.split('\t')
+        if (parts.length >= 3 && parts(1).nonEmpty)
+          scala.util.Try((parts(1), parts(0).toLong, parts(2))).toOption
+        else None // torn/corrupt line: degrade to a footer read, never fail
+      }
+    } catch { case _: java.io.IOException => Seq.empty } // folded/swept mid-read
+
   def writeCarryManifest(fs: FileSystem, genDir: Path,
       entries: Seq[(String, Long, Option[String])]): Unit =
     // atomic publish: a concurrent DML's entry sweep reads SURVIVOR
@@ -666,28 +720,37 @@ object GraftDataSource {
   def parsedCarryStats(conf: Configuration,
       dir: String): Map[String, Seq[graft.format.Meta.TableMeta]] = {
     val resolved = resolveDataDir(conf, dir)
-    if (resolved == dir) Map.empty
+    val p = new Path(resolved)
+    val fs = p.getFileSystem(conf)
+    // append-stats sidecars cover what the carry manifest can't: files
+    // landed since the last publish (and EVERYTHING on a never-published
+    // plain table, where resolved == dir and no carry exists)
+    val sidecars = (try fs.listStatus(p).toSeq catch {
+      case _: java.io.IOException => Seq.empty
+    }).filter(_.getPath.getName.startsWith(AppendStatsPrefix))
+    val carrySt = if (resolved == dir) None
+      else try Some(fs.getFileStatus(new Path(p, CarryManifestName))) catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException => None
+      }
+    if (carrySt.isEmpty && sidecars.isEmpty) return Map.empty
+    val carryStamp = carrySt.map(s => s"${s.getModificationTime}:${s.getLen}").getOrElse("-")
+    val sideStamp = sidecars.map(s =>
+      s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}").sorted.mkString(",")
+    val key = s"$resolved@$carryStamp@${sideStamp.hashCode}:${sidecars.size}"
+    val cached = parsedStatsCache.get(key)
+    if (cached != null) cached
     else {
-      val p = new Path(resolved)
-      val fs = p.getFileSystem(conf)
-      val carry = new Path(p, CarryManifestName)
-      val st = try fs.getFileStatus(carry) catch {
-        case _: java.io.FileNotFoundException => return Map.empty
-        case _: java.io.IOException => return Map.empty
-      }
-      val key = s"$resolved@${st.getModificationTime}:${st.getLen}"
-      val cached = parsedStatsCache.get(key)
-      if (cached != null) cached
-      else {
-        manifestParses.incrementAndGet()
-        val raw = readCarryManifestFull(fs, p)
-          .flatMap { case (rel, _, js) => js.map(rel -> _) }
-        val parsed = inParallel(raw) { case (rel, js) =>
-          graft.format.Stats.statsFromJson(js).map(rel -> _)
-        }.flatten.toMap
-        parsedStatsCache.put(key, parsed)
-        parsed
-      }
+      manifestParses.incrementAndGet()
+      val raw = carrySt.map(_ => readCarryManifestFull(fs, p)
+          .flatMap { case (rel, _, js) => js.map(rel -> _) }).getOrElse(Seq.empty) ++
+        sidecars.flatMap(s => readAppendStatsFile(fs, s.getPath)
+          .map { case (rel, _, js) => rel -> js })
+      val parsed = inParallel(raw) { case (rel, js) =>
+        graft.format.Stats.statsFromJson(js).map(rel -> _)
+      }.flatten.toMap
+      parsedStatsCache.put(key, parsed)
+      parsed
     }
   }
   /** Cache-miss counter for [[parsedCarryStats]] — planning the same live
@@ -3775,7 +3838,11 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val sketchCols: Seq[String] =
       if (truncate) {
         try fs.listStatus(p).map(_.getPath)
-          .filter(q => q.getName.startsWith(".colstats_") && q.getName.endsWith(".json"))
+          .filter(q => (q.getName.startsWith(".colstats_") && q.getName.endsWith(".json")) ||
+            // append-stats sidecars describe the REPLACED data — a
+            // survivor could prune files of the new table by the old
+            // table's bounds if a name ever collided; drop them all
+            q.getName.startsWith(GraftDataSource.AppendStatsPrefix))
           .foreach(q => fs.delete(q, false))
         catch { case _: Exception => }
         Seq.empty
@@ -3797,7 +3864,19 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     * publisher's re-list; one visible after it observes the moved
     * pointer here. The common case costs exactly one pointer read. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) return // overwrite rebuilt the table root outright
+    if (truncate) {
+      // overwrite rebuilt the table root outright — no race guard, no
+      // sketch merge. Its own fresh output still self-covers with an
+      // append-stats sidecar so the new table plans pruned from write 1
+      val conf0 = GraftDataSource.sessionConf()
+      val root0 = new Path(dir)
+      GraftDataSource.writeAppendStats(conf0, new Path(resolvedDataDir),
+        messages.iterator.collect { case m: GraftCommitMessage => m.statsJson }
+          .flatten.map { case (abs, (sz, js)) =>
+            (GraftDataSource.relativePath(root0, new Path(abs)), sz, js)
+          }.toSeq)
+      return
+    }
     val conf = GraftDataSource.sessionConf()
     GraftDataSource.ensureAppendVisibility(conf, dir, resolvedDataDir, messages)
     GraftDataSource.mergeAppendStats(conf, dir, table, messages)
@@ -3821,6 +3900,20 @@ class GraftBatchWrite(dir: String, schema: StructType, truncate: Boolean,
         (GraftDataSource.relativePath(target, new Path(abs)), sz, js)
       }.toSeq
       GraftDataSource.appendStagedStats(target.getFileSystem(conf), target, entries)
+    } else {
+      // PLAIN APPEND into the live data dir: the carry manifest (if any)
+      // predates these files, so without a sidecar every one of them is
+      // a scheduled task for every later filtered scan until the next
+      // publish. Rels are TABLE-ROOT-relative (the same key space the
+      // carry manifest uses). Re-homed files (pointer moved mid-write)
+      // keep their pre-move paths here — their entries just never match
+      // a listed file, which costs pruning, never correctness.
+      val entries = messages.iterator.collect {
+        case m: GraftCommitMessage => m.statsJson
+      }.flatten.map { case (abs, (sz, js)) =>
+        (GraftDataSource.relativePath(target, new Path(abs)), sz, js)
+      }.toSeq
+      GraftDataSource.writeAppendStats(conf, new Path(resolvedDataDir), entries)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}

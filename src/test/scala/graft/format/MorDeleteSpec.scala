@@ -359,7 +359,7 @@ class MorDeleteSpec extends SparkSpec {
     val _ = root
   }
 
-  test("bucketed tables: MoR DELETE writes DVs (no rows = no layout risk), UPDATE stays COW") {
+  test("bucketed tables: MoR DELETE writes DVs; UPDATE keeps the layout through MoR") {
     val root = mkCatalog("morb")
     val dir = s"$root/db"
     spark.range(0, 2000).selectExpr("id AS k", "id % 3 AS v")
@@ -375,15 +375,23 @@ class MorDeleteSpec extends SparkSpec {
     assert(spark.table("morb.db.t").filter(col("k") % 17 === 5).count() == 0)
     assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined,
       "bucket layout must survive the MoR delete")
-    // UPDATE/MERGE would write replacement ROWS, which the layout
-    // contract constrains — those still downgrade to COW (no new DVs
-    // beyond the delete's, files legitimately rewritten)
+    // UPDATE rides MoR too (r16): replacement rows route through the
+    // bucketed writer and land as bucket-TAGGED files, originals stay
+    // byte-identical, DV cardinality grows by the touched rows (the
+    // deeper layout assertions live in MorBucketUpdateSpec)
     val dvCardBefore = liveDvEntries(dir).map(_._4).sum
+    val beforeUpd = dataFileState(dir)
     withMorAll { spark.sql("UPDATE morb.db.t SET v = -1 WHERE k % 17 = 6") }
-    assert(liveDvEntries(dir).map(_._4).sum <= dvCardBefore,
-      "bucketed UPDATE must not take the MoR path")
-    assert(spark.table("morb.db.t").filter(col("v") === -1).count() ==
-      (0 until 2000).count(_ % 17 == 6).toLong)
+    val updated = (0 until 2000).count(_ % 17 == 6).toLong
+    assert(liveDvEntries(dir).map(_._4).sum == dvCardBefore + updated,
+      "bucketed UPDATE must take the MoR path (DVs for the old rows)")
+    beforeUpd.foreach { case (rel, st) =>
+      val name = new Path(rel).getName
+      val hit = dataFileState(dir).find(e => new Path(e._1).getName == name)
+      assert(hit.isDefined && hit.get._2 == st,
+        s"bucketed MoR UPDATE rewrote original $rel")
+    }
+    assert(spark.table("morb.db.t").filter(col("v") === -1).count() == updated)
     assert(GraftDataSource.readBucketMarker(conf, dir, "t").isDefined)
   }
 
