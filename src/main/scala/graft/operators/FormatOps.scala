@@ -2975,7 +2975,7 @@ object FormatOps {
           case p: graft.sources.GraftInputPartition => Seq(p.file)
           case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
         }.flatten
-    }.flatten
+    }.flatten.distinct
     require(scheduled.size <= 3,
       s"q141: rename must not disable file pruning (scheduled ${scheduled.size})")
     // plan assert 2: footer aggregates keep answering across the rename
@@ -3096,9 +3096,11 @@ object FormatOps {
           case p: graft.sources.GraftInputPartition => Seq(p.file)
           case p: graft.sources.GraftPackedPartition => p.files.map(_._1)
         }.flatten
-    }.flatten
-    // ≤3: the two post-ADD files plus the one file the manifest-creating
-    // DML itself rewrote (a rewrite's own output is manifest-uncovered)
+    }.flatten.distinct
+    // ≤3 distinct FILES (chunk splits of a big file are one file, many
+    // partitions — the sf1 run caught the partition-count version of
+    // this assert): the two post-ADD files plus the one file the
+    // manifest-creating DML itself rewrote
     require(scheduled.size <= 3,
       s"q143: pre-ADD files must unschedule on a new-column comparison " +
         s"(scheduled ${scheduled.size})")

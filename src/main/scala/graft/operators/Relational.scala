@@ -656,22 +656,27 @@ object Relational {
   // partitions, the merge shape q28b's per-group bound doesn't reach.
   private val q28: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    // Two plain aggregations (grouped + ungrouped '*ALL*' — the latter
-    // merges sketch partials across every partition, the shape a
-    // per-group bound never exercises), unioned. Measured alternatives
-    // both lose: ROLLUP over the mixed distinct+sketch aggregate
-    // compounds the distinct-rewrite's Expand and ran 1.8x slower
-    // warm; pre-deduping to (group, key) pairs pays the distinct
-    // shuffle without making the mixed aggregate any cheaper — the
-    // cost is intrinsic to planning countDistinct next to a sketch,
-    // not to input size.
-    val shape = li.groupBy(col("l_linestatus"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
-        countDistinct(col("l_orderkey")).as("exact"))
-      .unionByName(li
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
-          countDistinct(col("l_orderkey")).as("exact"))
-        .withColumn("l_linestatus", lit("*ALL*")))
+    // Grouped + ungrouped '*ALL*' (the latter merges sketch partials
+    // across every partition, the shape a per-group bound never
+    // exercises), unioned. The sketch and the exact count run as
+    // SEPARATE aggregations joined on the group: planning countDistinct
+    // NEXT TO a sketch in one Aggregate triggers the distinct-rewrite's
+    // Expand (every input row doubled into the shuffle — measured 4x at
+    // sf0.1, and the r16 sf1 run read 200 s for this one gate). Split,
+    // the sketch pass shuffles only per-partition sketches and the
+    // exact pass plans the plain two-phase distinct — input rows cross
+    // the wire once, not twice. Other measured alternatives still lose:
+    // ROLLUP compounds the Expand (1.8x slower warm); pre-deduping to
+    // (group, key) pairs pays the distinct shuffle without making the
+    // mixed aggregate cheaper.
+    val exactCol = countDistinct(col("l_orderkey")).as("exact")
+    val approxCol = approx_count_distinct(col("l_orderkey"), 0.02).as("approx")
+    val grouped = li.groupBy(col("l_linestatus")).agg(exactCol)
+      .join(li.groupBy(col("l_linestatus")).agg(approxCol), Seq("l_linestatus"))
+    val shape = grouped.select(col("l_linestatus"), col("approx"), col("exact"))
+      .unionByName(li.agg(exactCol).crossJoin(li.agg(approxCol)) // 1-row x 1-row
+        .withColumn("l_linestatus", lit("*ALL*"))
+        .select(col("l_linestatus"), col("approx"), col("exact")))
     // collect ONCE (≤4 rows): the bound check and the returned frame
     // share the same execution — returning `shape` itself would re-run
     // both lineitem aggregations when the harness hashes the result
