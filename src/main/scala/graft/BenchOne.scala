@@ -24,7 +24,15 @@ object BenchOne {
     if (args.length > 2 && args(2) == "explain")
       names.foreach(n => SparkEntry.queries(n)(spark, args(1)).explain("formatted"))
     else names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // pseudo-gate: a fixed CPU-bound job (no I/O, no fixtures) whose
+      // wall time measures THIS box's Spark+JVM speed. Round-16 A/B
+      // showed the CDC4 sum swings 12-18 s across boxes on identical
+      // code — absolute bars don't transfer; tools/cdc4_check.py
+      // divides the gate sum by this to judge in box-neutral units.
+      val fn = if (name == "calibrate")
+        (s: SparkSession, _: String) =>
+          s.range(0, 400000000L, 1, 32).selectExpr("sum(xxhash64(id)) as h")
+      else SparkEntry.queries(name)
       val runs = (1 to 3).map { i =>
         System.gc()
         graft.operators.FixtureClock.reset()

@@ -1322,12 +1322,30 @@ object GraftFileReader {
     * (e.g. manifest-stats DML classification opens no carried file). */
   val opens = new java.util.concurrent.atomic.AtomicLong
 
+  // Process-wide PARSED-footer cache. Every chunk-split task of a file
+  // re-opened it and re-parsed the whole footer — a 3750-chunk file
+  // under chunk-granular scan paid chunks x chunk-metas parses
+  // (measured super-linear in the r16 sf1 run: q98's 4000-row-chunk
+  // fixture spent most of its scan wall in Meta.read). Keyed by
+  // (path, length, mtime): data files are immutable by format contract
+  // (every writer lands under a fresh name; rewrites publish NEW
+  // generations), so a hit is identity, and an in-place tamper (specs
+  // do this) changes mtime. `Footer` is an immutable case class —
+  // sharing across readers is safe. LRU bounded by total chunk metas.
+  private val MaxCachedChunks = 1L << 20
+  private val footerCache = new java.util.LinkedHashMap[String, Footer](32, 0.75f, true)
+  private var cachedChunks = 0L
+
   def open(fs: FileSystem, path: Path): GraftFileReader = {
     opens.incrementAndGet()
-    val len = fs.getFileStatus(path).getLen
+    val st = fs.getFileStatus(path)
+    val len = st.getLen
     if (len < MagicHead.length + 12)
       throw new OliveFormatException(s"file too small: $len bytes")
+    val key = s"${path.toUri.getPath}@$len:${st.getModificationTime}"
+    val hit = footerCache.synchronized(footerCache.get(key))
     val in = fs.open(path)
+    if (hit != null) return new GraftFileReader(in, len, hit)
     try {
       val head = new Array[Byte](MagicHead.length)
       in.readFully(0, head)
@@ -1346,6 +1364,17 @@ object GraftFileReader {
       val footer = Meta.read(footerBytes)
       if (MagicHead.length + footer.dataSectionSize != len - 12 - footerLen)
         throw new OliveFormatException("data section size mismatch")
+      footerCache.synchronized {
+        if (!footerCache.containsKey(key)) {
+          footerCache.put(key, footer)
+          cachedChunks += footer.chunks.size
+          val it = footerCache.entrySet().iterator()
+          while (cachedChunks > MaxCachedChunks && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) { cachedChunks -= e.getValue.chunks.size; it.remove() }
+          }
+        }
+      }
       new GraftFileReader(in, len, footer)
     } catch {
       case e: Throwable => in.close(); throw e

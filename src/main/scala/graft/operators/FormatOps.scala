@@ -2082,18 +2082,23 @@ object FormatOps {
   // vector or a dead pushdown hash-fails.
   private val q161: Q = (s, d) => {
     val root = graftDir(d, "mor_materialize")
-    deleteDirQuietly(s, root)
-    s.conf.set("spark.sql.catalog.graft_mat", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_mat.root", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mat.db")
-    s.sql("CREATE TABLE graft_mat.db.orders " +
-      "(o_orderkey BIGINT, o_totalprice DOUBLE) USING graft")
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-      .repartitionByRange(4, col("o_orderkey"))
-      .writeTo("graft_mat.db.orders").append()
+    // fixture: bulk range-partitioned seed + the cut probe on the source
+    // parquet; engine: MoR deletes + both materialize passes
+    FixtureClock.time {
+      deleteDirQuietly(s, root)
+      s.conf.set("spark.sql.catalog.graft_mat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mat.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mat.db")
+      s.sql("CREATE TABLE graft_mat.db.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) USING graft")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .writeTo("graft_mat.db.orders").append()
+    }
     val dir = s"$root/db"
     val conf = s.sparkContext.hadoopConfiguration
-    val maxKey = Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    val maxKey = FixtureClock.time {
+      Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0) }
     val cut = maxKey / 4
     s.conf.set("spark.graft.deleteMode", "merge-on-read")
     try {
@@ -2727,9 +2732,13 @@ object FormatOps {
   // by the rewrite hash-fails. ClusterSpec asserts the actual pruning.
   private val q98: Q = (s, d) => {
     val dir = graftDir(d, "orders_zorder")
-    Tables.orders(s, d).repartition(16)
-      .write.format("graft").option("chunkrows", "4000")
-      .mode("overwrite").save(dir)
+    // fixture: the 16-way seed write (scales with sf); engine: the
+    // z-order cluster() rewrite + the pruned scan it enables
+    FixtureClock.time {
+      Tables.orders(s, d).repartition(16)
+        .write.format("graft").option("chunkrows", "4000")
+        .mode("overwrite").save(dir)
+    }
     cluster(s, dir, "data", Seq("o_custkey", "o_totalprice"),
       targetFiles = 4, writeOptions = Map("chunkrows" -> "4000"),
       binning = "quantile")
@@ -3506,14 +3515,18 @@ object FormatOps {
   // a silent fallback to copy-on-write hash-fails, not just slows down.
   private val q157: Q = (s, d) => {
     val root = graftDir(d, "mor_delete")
-    deleteDirQuietly(s, root)
-    s.conf.set("spark.sql.catalog.graft_mor", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_mor.root", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mor.db")
-    s.sql("CREATE TABLE graft_mor.db.orders " +
-      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartition(4).writeTo("graft_mor.db.orders").append()
+    // fixture: the bulk seed scales with sf by construction (writing the
+    // 10x table costs 10x); the tracked engine side is the MoR DML
+    FixtureClock.time {
+      deleteDirQuietly(s, root)
+      s.conf.set("spark.sql.catalog.graft_mor", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mor.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mor.db")
+      s.sql("CREATE TABLE graft_mor.db.orders " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(4).writeTo("graft_mor.db.orders").append()
+    }
     val conf = s.sparkContext.hadoopConfiguration
     def fileState(): Map[String, Long] =
       graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/db")
@@ -3641,14 +3654,17 @@ object FormatOps {
   // the whole fold as a CTE chain over parquet.
   private val q159: Q = (s, d) => {
     val root = graftDir(d, "mor_cdc")
-    deleteDirQuietly(s, root)
-    s.conf.set("spark.sql.catalog.graft_cdc9", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_cdc9.root", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdc9.db")
-    s.sql("CREATE TABLE graft_cdc9.db.t " +
-      "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
-    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartition(4).writeTo("graft_cdc9.db.t").append()
+    // fixture: bulk seed (scales with sf); engine: the 4-step MoR fold
+    FixtureClock.time {
+      deleteDirQuietly(s, root)
+      s.conf.set("spark.sql.catalog.graft_cdc9", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cdc9.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdc9.db")
+      s.sql("CREATE TABLE graft_cdc9.db.t " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(4).writeTo("graft_cdc9.db.t").append()
+    }
     val conf = s.sparkContext.hadoopConfiguration
     def fileState(): Map[String, Long] =
       graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/db")
@@ -3931,22 +3947,26 @@ object FormatOps {
   // restates the UPDATE algebra over parquet and joins in DuckDB.
   private val q165: Q = (s0, d) => {
     val root = graftDir(d, "mor_bucket")
-    deleteDirQuietly(s0, root)
-    s0.conf.set("spark.sql.catalog.graft_morb", "graft.sources.GraftCatalog")
-    s0.conf.set("spark.sql.catalog.graft_morb.root", root)
-    // one namespace per table: the key-grouped claim requires each table
-    // to own its directory (same fixture shape as q100)
-    s0.sql("CREATE NAMESPACE IF NOT EXISTS graft_morb.o")
-    s0.sql("CREATE NAMESPACE IF NOT EXISTS graft_morb.c")
-    s0.sql("CREATE TABLE graft_morb.o.orders (o_orderkey BIGINT, " +
-      "o_custkey BIGINT, o_totalprice DOUBLE) USING graft " +
-      "PARTITIONED BY (bucket(8, o_custkey))")
-    s0.sql("CREATE TABLE graft_morb.c.customer (c_custkey BIGINT, " +
-      "c_mktsegment STRING) USING graft PARTITIONED BY (bucket(8, c_custkey))")
-    Tables.orders(s0, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartition(8, col("o_custkey")).writeTo("graft_morb.o.orders").append()
-    Tables.customer(s0, d).select(col("c_custkey"), col("c_mktsegment"))
-      .repartition(8, col("c_custkey")).writeTo("graft_morb.c.customer").append()
+    // fixture: the two bucketed bulk seeds (scale with sf); engine: the
+    // bucket-preserving MoR UPDATE and the exchange-free probe join
+    FixtureClock.time {
+      deleteDirQuietly(s0, root)
+      s0.conf.set("spark.sql.catalog.graft_morb", "graft.sources.GraftCatalog")
+      s0.conf.set("spark.sql.catalog.graft_morb.root", root)
+      // one namespace per table: the key-grouped claim requires each table
+      // to own its directory (same fixture shape as q100)
+      s0.sql("CREATE NAMESPACE IF NOT EXISTS graft_morb.o")
+      s0.sql("CREATE NAMESPACE IF NOT EXISTS graft_morb.c")
+      s0.sql("CREATE TABLE graft_morb.o.orders (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING graft " +
+        "PARTITIONED BY (bucket(8, o_custkey))")
+      s0.sql("CREATE TABLE graft_morb.c.customer (c_custkey BIGINT, " +
+        "c_mktsegment STRING) USING graft PARTITIONED BY (bucket(8, c_custkey))")
+      Tables.orders(s0, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey")).writeTo("graft_morb.o.orders").append()
+      Tables.customer(s0, d).select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey")).writeTo("graft_morb.c.customer").append()
+    }
     val conf = s0.sparkContext.hadoopConfiguration
     def fileState(): Map[String, Long] =
       graft.sources.GraftDataSource.listPartitionedSized(conf, s"$root/o")

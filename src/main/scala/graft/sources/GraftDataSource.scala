@@ -2522,8 +2522,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       }.toArray
     } else {
       // few files: read their footers (in parallel — bounded work) and
-      // split per chunk so a single multi-chunk file fans out over tasks
-      GraftDataSource.inParallel(kept) { case (p, part) =>
+      // split into CHUNK RANGES so a single multi-chunk file fans out
+      // over tasks. Ranges are sized by the same split formula as the
+      // bin-pack path — one task per chunk would price a small-chunk
+      // file at launch-overhead x chunks (r16 sf1: a 3750-chunk scan
+      // spent most of its wall in scheduling, 100x the chunk count of
+      // the same fixture at sf0.1)
+      val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+      val totalSize = keptSized.map(_._2).sum
+      val maxSplit = math.max(sqlConf.filesOpenCostInBytes,
+        math.min(sqlConf.filesMaxPartitionBytes, totalSize / math.max(slots, 1)))
+      GraftDataSource.inParallel(keptSized) { case (p, sz, part) =>
         val nChunks = try {
           val r = GraftFileReader.open(p.getFileSystem(conf), p)
           try r.footer.chunks.size finally r.close()
@@ -2532,10 +2541,17 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
         // manifest's deleted-row cardinality is per FILE, and splitting
         // would subtract it once per chunk (per-chunk DV attribution
         // would cost a blob decode planning never pays)
-        if (nChunks <= 1 ||
+        val nSplits = math.min(nChunks,
+          math.max(1, math.ceil(sz.toDouble / math.max(maxSplit, 1L)).toInt))
+        if (nChunks <= 1 || nSplits <= 1 ||
             (aggSpecs.nonEmpty && dvByUri.contains(p.toUri.getPath)))
           Seq(GraftInputPartition(p.toString, part))
-        else (0 until nChunks).map(i => GraftInputPartition(p.toString, part, Some(i)))
+        else (0 until nSplits).flatMap { si =>
+          val lo = (si.toLong * nChunks / nSplits).toInt
+          val hi = ((si + 1).toLong * nChunks / nSplits).toInt
+          if (hi > lo) Some(GraftInputPartition(p.toString, part, Some((lo, hi))))
+          else None
+        }
       }.flatten.map(x => x: InputPartition).toArray
     }
   }
@@ -2644,7 +2660,12 @@ case class GraftColumnStatistics(c: graft.format.Stats.ColAnalysis, dt: DataType
 
 case class GraftInputPartition(file: String,
     partValues: Map[String, String] = Map.empty,
-    chunkIdx: Option[Int] = None) extends InputPartition
+    // a CONTIGUOUS footer-chunk slice [lo, hi) of the file, None = all
+    // of it. Ranges, not single chunks: one task per chunk priced every
+    // small-chunk file at task-launch overhead x chunk count (the r16
+    // sf1 run measured a 3750-chunk scan spending most of its wall in
+    // scheduling) — the planner bins chunks to Spark's split size
+    chunkRange: Option[(Int, Int)] = None) extends InputPartition
 
 /** Several small files bin-packed into ONE task (the Spark file-source
   * maxPartitionBytes/openCost packing re-expressed for graft): served by
@@ -2714,8 +2735,8 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
             else throw new IllegalArgumentException(
               s"file holds tables ${names.mkString(",")}; pass .option(\"table\", ...)")
           }
-          val chunkPairs = (gp.chunkIdx match {
-            case Some(i) => r.footer.chunks.slice(i, i + 1)
+          val chunkPairs = (gp.chunkRange match {
+            case Some((lo, hi)) => r.footer.chunks.slice(lo, hi)
             case None => r.footer.chunks
           }).flatMap(c => c.tables.filter(_.name == name).map(t => (c, t)))
           val chunks = chunkPairs.map(_._2)
@@ -3023,7 +3044,7 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
               // per-FILE cardinality: the planner keeps DV'd files whole
               // under pushed aggregates — a per-chunk slice here would
               // over-subtract once per chunk
-              if (deleted > 0 && gp.chunkIdx.isDefined)
+              if (deleted > 0 && gp.chunkRange.isDefined)
                 throw new OliveFormatException(
                   s"DV'd file ${gp.file} was chunk-split under pushed COUNT(*)")
               chunks.map(_.numRows.toLong).sum - deleted
@@ -3042,7 +3063,7 @@ class GraftAggReaderFactory(specs: Seq[GraftAggSpec], schema: StructType,
                 // proof; re-derive it from the AUTHORITATIVE footer before
                 // subtracting. A file that predates the column has a 0
                 // partial with every deleted row null — no subtraction.
-                if (gp.chunkIdx.isDefined)
+                if (gp.chunkRange.isDefined)
                   throw new OliveFormatException(
                     s"DV'd file ${gp.file} was chunk-split under pushed COUNT(col)")
                 val nullFreeEverywhere = chunkPairs.forall { case (cm, t) =>
@@ -3131,7 +3152,7 @@ class GraftReaderFactory(required: StructType, tableOpt: Option[String],
       val gp = partition.asInstanceOf[GraftInputPartition]
       val path = new Path(gp.file)
       new GraftPartitionReader(path.getFileSystem(conf.value), path, required, tableOpt,
-        filters, limit, gp.partValues, gp.chunkIdx, topN, dvPath = dvOf(path))
+        filters, limit, gp.partValues, gp.chunkRange, topN, dvPath = dvOf(path))
   }
 }
 
@@ -3345,7 +3366,7 @@ class GraftConcatReader(mk: Seq[() => GraftPartitionReader])
 class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     tableOpt: Option[String], filters: Array[Filter], limit: Int,
     partValues: Map[String, String] = Map.empty,
-    chunkIdx: Option[Int] = None,
+    chunkRange: Option[(Int, Int)] = None,
     topN: Option[GraftTopN] = None,
     sharedSkipper: Option[TopNSkipper] = None,
     dvPath: Option[String] = None)
@@ -3383,28 +3404,24 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     * corrupt DV refuses loudly, never drops or resurrects rows. None
     * when the file has no live DV (the common case: zero overhead). */
   private val deleted: Option[Array[Long]] = dvPath.map { p =>
-    // DV range-splitting decodes many small adjacent sub-ranges of each
-    // chunk — turn on the reader's decompressed-page cache so each page
-    // (and the chunk-global dicts) decompresses once, not once per range
+    // multiple ranges of one chunk re-touch the same pages — cache the
+    // decompressed pages (and chunk-global dicts) for the reader's life
     reader.enablePageCache()
     val dp = new Path(p)
     val dfs = dp.getFileSystem(fs.getConf)
-    val st = dfs.getFileStatus(dp)
-    require(st.getLen <= (64 << 20),
-      s"delete vector $p is ${st.getLen} bytes — refusing (cap 64 MiB)")
-    val bytes = new Array[Byte](st.getLen.toInt)
-    val in = dfs.open(dp)
-    try in.readFully(0, bytes) finally in.close()
     val totalRows = chunkBases.lastIndexWhere(_ >= 0) match {
       case -1 => 0L
       case i => chunkBases(i) +
         reader.footer.chunks(i).tables.find(_.name == tableName).map(_.numRows.toLong).getOrElse(0L)
     }
-    graft.format.Dv.decode(bytes, totalRows)
+    // process-wide decoded cache: every chunk-split task of this file
+    // shares one decode instead of re-reading the blob per task
+    DvCache.get(dfs, dp, totalRows)
   }
   private val pending: Iterator[(Meta.ChunkMeta, Meta.TableMeta, Int, Int, Long)] = {
-    val chunks = chunkIdx match {
-      case Some(i) => reader.footer.chunks.slice(i, i + 1).iterator.map(c => (c, i))
+    val chunks = chunkRange match {
+      case Some((lo, hi)) => reader.footer.chunks.slice(lo, hi).iterator
+        .zipWithIndex.map { case (c, j) => (c, lo + j) }
       case None => reader.footer.chunks.iterator.zipWithIndex
     }
     val cts = chunks.flatMap { case (c, ci) =>
@@ -3430,18 +3447,12 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
           case Some(ts) => topNRanges(t, ts)
           case None => keepRanges(t).iterator
         }
-        // merge-on-read: subtract the chunk's deleted positions from each
-        // kept range — survivors stay CONTIGUOUS sub-ranges, so the
-        // existing range decode serves them; a chunk fully deleted emits
-        // nothing without touching a page
-        deleted match {
-          case None => ranges.map { case (r0, r1) => (c, t, r0, r1, base) }
-          case Some(dels) => ranges.flatMap { case (r0, r1) =>
-            graft.format.Dv.liveRanges(base + r0, base + r1, dels)
-              .map { case (g0, g1) =>
-                (c, t, (g0 - base).toInt, (g1 - base).toInt, base) }
-          }
-        }
+        // merge-on-read deletes are applied at DECODE time (next()):
+        // the range decodes whole and survivors read through an ordinal
+        // remap. Shredding the range into per-survivor-run sub-ranges
+        // here cost one batch per run — a scattered 1-in-7 DV turned a
+        // 128Ki-row chunk into ~18k six-row batches (r16 sf1: 16x)
+        ranges.map { case (r0, r1) => (c, t, r0, r1, base) }
       }
   }
 
@@ -3532,19 +3543,51 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
 
   override def next(): Boolean = {
     if (current != null) { current.close(); current = null }
-    if (!pending.hasNext || (limit >= 0 && emitted >= limit)) false
-    else {
+    while (current == null && pending.hasNext && !(limit >= 0 && emitted >= limit)) {
       val (chunk, table, r0, r1, base) = pending.next()
       // page-level limit: when the remaining limit is inside this range,
       // decode only the pages covering the prefix instead of the range
       val remaining = if (limit >= 0) limit - emitted else Long.MaxValue
-      val rowLimit = if (remaining < r1 - r0) Some(remaining.toInt) else None
-      current = decodeWithPartitions(chunk, table, r0, r1, rowLimit, base)
+      deleted match {
+        case None =>
+          val rowLimit = if (remaining < r1 - r0) Some(remaining.toInt) else None
+          current = decodeWithPartitions(chunk, table, r0, r1, rowLimit, base, None)
+        case Some(dels) =>
+          val remap = survivorMap(dels, base, r0, r1, remaining)
+          if (remap.length == 0) () // range fully deleted: no page touched
+          else if (remap.length == r1 - r0)
+            current = decodeWithPartitions(chunk, table, r0, r1, None, base, None)
+          else
+            current = decodeWithPartitions(chunk, table, r0, r1, None, base, Some(remap))
+      }
+    }
+    if (current == null) false
+    else {
       emitted += current.numRows()
       decoded += 1
       topNSkip.foreach(_.observe(current))
       true
     }
+  }
+
+  /** Surviving ordinals (RELATIVE to r0, ascending) of rows [r0, r1)
+    * under the file's deleted positions (global, strictly increasing),
+    * truncated to `remaining` entries for a pushed limit. */
+  private def survivorMap(dels: Array[Long], base: Long, r0: Int, r1: Int,
+      remaining: Long): Array[Int] = {
+    import java.util.Arrays.binarySearch
+    var lo = binarySearch(dels, base + r0); if (lo < 0) lo = -lo - 1
+    var hi = binarySearch(dels, base + r1); if (hi < 0) hi = -hi - 1
+    val nLive = (r1 - r0) - (hi - lo)
+    val n = math.min(nLive.toLong, remaining).toInt
+    val out = new Array[Int](n)
+    var k = 0; var i = r0; var j = lo
+    while (k < n) {
+      if (j < hi && dels(j) == base + i) j += 1
+      else { out(k) = i - r0; k += 1 }
+      i += 1
+    }
+    out
   }
 
   /** Decode rows [r0, r1) (trimmed by `rowLimit`); partition-path columns
@@ -3555,8 +3598,20 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     * (Spark re-limits), but a widened MID-CHUNK range would duplicate
     * rows other emitted ranges already carried. */
   private def decodeWithPartitions(chunk: Meta.ChunkMeta, table: Meta.TableMeta,
-      r0: Int, r1: Int, rowLimit: Option[Int], base: Long): ColumnarBatch = {
-    val end = rowLimit.map(r0 + _).getOrElse(r1)
+      r0: Int, r1: Int, rowLimit: Option[Int], base: Long,
+      remap: Option[Array[Int]]): ColumnarBatch = {
+    // under a remap the physical decode spans up to the LAST survivor
+    // (a pushed limit already truncated the map in survivorMap)
+    val end = remap.map(m => r0 + m(m.length - 1) + 1)
+      .getOrElse(rowLimit.map(r0 + _).getOrElse(r1))
+    def wrap(b: ColumnarBatch): ColumnarBatch = remap match {
+      case None => b
+      case Some(m) =>
+        val vs = Array.tabulate(b.numCols)(i =>
+          new RemappedColumnVector(b.column(i), m):
+            org.apache.spark.sql.vectorized.ColumnVector)
+        new ColumnarBatch(vs, m.length)
+    }
     def decode(req: StructType): ColumnarBatch =
       if (r0 == 0 && end == table.numRows) reader.decodeTable(chunk, table, req)
       else if (r0 == 0 && r1 == table.numRows)
@@ -3576,11 +3631,11 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
     def constValue(name: String): String =
       if (name == GraftDataSource.FileColName) path.toString else partValues(name)
     if (!required.fields.exists(f => isGenCol(f.name)))
-      decode(required)
+      wrap(decode(required))
     else {
       val dataReq = StructType(required.fields.filterNot(f => isGenCol(f.name)))
       val dataBatch = decode(dataReq)
-      val n = dataBatch.numRows()
+      val n = remap.map(_.length).getOrElse(dataBatch.numRows())
       var dataIdx = 0
       val vectors = required.fields.map { f =>
         if (isGenCol(f.name) && f.name == GraftDataSource.PosColName) {
@@ -3589,8 +3644,16 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
               s"metadata column _pos must be long-typed (got ${f.dataType})")
           val vec = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
             math.max(n, 1), f.dataType)
-          var i = 0
-          while (i < n) { vec.putLong(i, base + r0 + i); i += 1 }
+          // a remapped batch's positions are the SURVIVORS' ordinals —
+          // `_pos` must name each row's physical slot (DV coordinates)
+          remap match {
+            case Some(m) =>
+              var i = 0
+              while (i < n) { vec.putLong(i, base + r0 + m(i)); i += 1 }
+            case None =>
+              var i = 0
+              while (i < n) { vec.putLong(i, base + r0 + i); i += 1 }
+          }
           vec: org.apache.spark.sql.vectorized.ColumnVector
         } else if (isGenCol(f.name)) {
           if (f.dataType != StringType)
@@ -3605,7 +3668,12 @@ class GraftPartitionReader(fs: FileSystem, path: Path, required: StructType,
           while (i < n) { vec.putByteArray(i, bytes, 0, bytes.length); i += 1 }
           vec: org.apache.spark.sql.vectorized.ColumnVector
         } else {
-          val v = dataBatch.column(dataIdx); dataIdx += 1; v
+          val v = dataBatch.column(dataIdx); dataIdx += 1
+          remap match {
+            case Some(m) =>
+              new RemappedColumnVector(v, m): org.apache.spark.sql.vectorized.ColumnVector
+            case None => v
+          }
         }
       }
       new ColumnarBatch(vectors, n)

@@ -143,22 +143,39 @@ class RoundTripSpec extends SparkSpec {
     assert(file.length() < 2000L * (20 + 32 + 32))
   }
 
+  // chunk fan-out is sized by the Spark split formula (maxPartitionBytes
+  // / openCost / bytes-per-core): KB-scale test files land in one task
+  // each, like Spark's own file sources. Shrink the knobs so the tiny
+  // fixtures exercise the same chunk-range fan-out a multi-GB file gets.
+  private def withTinySplits[T](body: => T): T = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try body finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("multiple chunks per file and multiple files round-trip") {
     val df = spark.range(0, 5000).repartition(3)
       .select(col("id"), concat(lit("v"), col("id")).as("v"))
-    val back = roundTrip(df, Map("chunkrows" -> "700"))
-    // 3 files × 3 chunks each; with few files the scan splits per chunk
-    assert(back.rdd.getNumPartitions == 9)
-    assert(canon(back) == canon(df))
+    withTinySplits {
+      val back = roundTrip(df, Map("chunkrows" -> "700"))
+      // 3 files x 3 chunks each; chunk ranges cap at one chunk apiece
+      assert(back.rdd.getNumPartitions == 9)
+      assert(canon(back) == canon(df))
+    }
   }
 
   test("a single multi-chunk file fans out across tasks") {
     val df = spark.range(0, 4000).coalesce(1)
       .select(col("id"), (col("id") * 3).as("y"))
-    val back = roundTrip(df, Map("chunkrows" -> "500"))
-    assert(back.rdd.getNumPartitions == 8) // 8 chunks, 8 input partitions
-    assert(canon(back) == canon(df))
-    assert(back.agg(sum("y")).head.getLong(0) == df.agg(sum("y")).head.getLong(0))
+    withTinySplits {
+      val back = roundTrip(df, Map("chunkrows" -> "500"))
+      assert(back.rdd.getNumPartitions == 8) // 8 chunks, 8 input partitions
+      assert(canon(back) == canon(df))
+      assert(back.agg(sum("y")).head.getLong(0) == df.agg(sum("y")).head.getLong(0))
+    }
   }
 
   test("nested schema pruning decodes a struct-field subset by name") {

@@ -111,12 +111,21 @@ class TopNSpec extends SparkSpec {
     assert(parts.nonEmpty)
     // per-chunk splitting would hand each chunk a one-chunk skipper that
     // can never accumulate the k rows needed to prove a skip
-    assert(parts.forall(_.asInstanceOf[graft.sources.GraftInputPartition].chunkIdx.isEmpty))
-    // without the pushed top-k the same listing DOES split for parallelism
-    val b2 = new graft.sources.GraftScanBuilder(Seq(dir), schema, None)
-    b2.pruneColumns(schema)
-    val parts2 = b2.build().toBatch.planInputPartitions()
-    assert(parts2.length > parts.length)
+    assert(parts.forall(_.asInstanceOf[graft.sources.GraftInputPartition].chunkRange.isEmpty))
+    // without the pushed top-k the same listing DOES split for
+    // parallelism (split knobs shrunk so the KB-scale fixture splits
+    // like a multi-GB file would under the default formula)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val b2 = new graft.sources.GraftScanBuilder(Seq(dir), schema, None)
+      b2.pruneColumns(schema)
+      val parts2 = b2.build().toBatch.planInputPartitions()
+      assert(parts2.length > parts.length)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 
   test("block-level skip: the top chunk decodes one 8Ki block, not 128Ki rows") {
