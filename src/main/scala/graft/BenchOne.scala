@@ -24,14 +24,23 @@ object BenchOne {
     if (args.length > 2 && args(2) == "explain")
       names.foreach(n => SparkEntry.queries(n)(spark, args(1)).explain("formatted"))
     else names.foreach { name =>
-      // pseudo-gate: a fixed CPU-bound job (no I/O, no fixtures) whose
+      // pseudo-gate: a fixed job (no table I/O, no fixtures) whose
       // wall time measures THIS box's Spark+JVM speed. Round-16 A/B
       // showed the CDC4 sum swings 12-18 s across boxes on identical
       // code — absolute bars don't transfer; tools/cdc4_check.py
       // divides the gate sum by this to judge in box-neutral units.
       val fn = if (name == "calibrate")
         (s: SparkSession, _: String) =>
-          s.range(0, 400000000L, 1, 32).selectExpr("sum(xxhash64(id)) as h")
+          // ~1-2 s mixing what the gates actually spend: codegen'd
+          // compute + a two-phase hash aggregate + one real shuffle
+          // (pure arithmetic alone saturates in <0.2 s and measures
+          // only ALU speed, not the memory/shuffle path)
+          // returns the GROUPED rows (not a 1-row fold): BenchOne times
+          // .count(), and a constant-1-row aggregate lets the optimizer
+          // prune the whole pipeline away
+          s.range(0, 150000000L, 1, 32)
+            .selectExpr("pmod(xxhash64(id), 524288) as g", "id")
+            .groupBy("g").agg(org.apache.spark.sql.functions.sum("id").as("s"))
       else SparkEntry.queries(name)
       val runs = (1 to 3).map { i =>
         System.gc()
