@@ -2530,7 +2530,13 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       // the same fixture at sf0.1)
       val sqlConf = org.apache.spark.sql.internal.SQLConf.get
       val totalSize = keptSized.map(_._2).sum
-      val maxSplit = math.max(sqlConf.filesOpenCostInBytes,
+      // floor at 256 KB, NOT filesOpenCostInBytes (4 MB): chunk ranges
+      // WITHIN one file don't pay a per-file open (the footer parse is
+      // cached) — the 4 MB floor collapsed a 15 MB single-file table to
+      // 4 tasks on 32 cores (q135's ANALYZE scans slowed 2x at sf0.1).
+      // 256 KB keeps every range several ms of decode vs ~1 ms of task
+      // launch while letting mid-size tables use the whole machine.
+      val maxSplit = math.max(256L << 10,
         math.min(sqlConf.filesMaxPartitionBytes, totalSize / math.max(slots, 1)))
       GraftDataSource.inParallel(keptSized) { case (p, sz, part) =>
         val nChunks = try {
