@@ -28,6 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// dev knob: extra JVM flags for A/B conf probes (SparkConf reads any
+// -Dspark.* system property), e.g.
+//   SPARK_GRAFT_JAVA_OPTS="-Dspark.sql.adaptive.coalescePartitions.initialPartitionNum=256"
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)
 // soak knobs reach the FORKED test JVM (sbt -D lands on the sbt JVM only)
 Test / javaOptions ++= sys.props.get("graft.dmlfuzz.seeds").toSeq
   .map(s => s"-Dgraft.dmlfuzz.seeds=$s")

@@ -40,8 +40,18 @@ object Bench {
     // A/B across rounds showed single runs swing 3× on load alone)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
+    // dev knob for extreme-scale boards: names to leave out (comma list).
+    // The one use is excluding the DOCUMENTED intrinsically-quadratic
+    // gates (q37/q42, see tools/scaling_table.py INTRINSIC) from sf>=5
+    // boards, where their pair count makes them the entire board.
+    // Skipped names are recorded in the artifact ("skipped") so a board
+    // missing a gate is always self-describing, never silent.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip.contains(q._1)).map { case (name, fn) =>
       System.gc()
       // per-query 1-min loadavg AT RUN TIME: a slow number measured at
       // load 6 is weather, not regression — trend tooling needs to know
@@ -83,7 +93,8 @@ object Bench {
     // discount any run whose loadavg is far above the core count's idle
     val load = fmt(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$qs,"query_loadavg":$loads,"fixture_s":$fixtures,"sf":"$sfDir","runs":$reps,"timing":"min_of_$reps"}"""
+    val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${errors.mkString("[", ",", "]")},"loadavg1m":$load,"queries":$qs,"query_loadavg":$loads,"fixture_s":$fixtures,"skipped":$skipped,"sf":"$sfDir","runs":$reps,"timing":"min_of_$reps"}"""
     println(line)
     // the driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line it finds there — the full 130-query line is ~3.5 KB and

@@ -829,9 +829,13 @@ object FormatOps {
   // counts are asserted in CompactionSpec.
   private val q92: Q = (s, d) => {
     val dir = graftDir(d, "orders_compact")
-    Tables.orders(s, d).repartition(32)
-      .write.format("graft").option("chunkrows", "2000")
-      .mode("overwrite").save(dir)
+    // fixture: the many-tiny-files seed write (scales with sf);
+    // engine: the compaction itself + the post-compaction read
+    FixtureClock.time {
+      Tables.orders(s, d).repartition(32)
+        .write.format("graft").option("chunkrows", "2000")
+        .mode("overwrite").save(dir)
+    }
     compact(s, dir, targetFiles = 4, writeOptions = Map("chunkrows" -> "131072"))
     s.read.format("graft").load(dir)
       .groupBy(col("o_orderstatus"))
@@ -878,12 +882,17 @@ object FormatOps {
   private val q93: Q = (s, d) => {
     val dir = graftDir(d, "orders_tt")
     val o = Tables.orders(s, d)
-    o.filter(col("o_orderkey") % 2 === 0)
-      .repartition(8).write.format("graft").mode("overwrite").save(dir)
-    compact(s, dir, targetFiles = 2)
-    compact(s, dir, targetFiles = 2) // gen-2: freezes gen-1
-    o.filter(col("o_orderkey") % 2 === 1)
-      .repartition(4).write.format("graft").mode("append").save(dir)
+    // fixture: building the generation history (write evens, compact
+    // twice, append odds — all scale with sf); engine: the time-travel
+    // read of frozen gen-1
+    FixtureClock.time {
+      o.filter(col("o_orderkey") % 2 === 0)
+        .repartition(8).write.format("graft").mode("overwrite").save(dir)
+      compact(s, dir, targetFiles = 2)
+      compact(s, dir, targetFiles = 2) // gen-2: freezes gen-1
+      o.filter(col("o_orderkey") % 2 === 1)
+        .repartition(4).write.format("graft").mode("append").save(dir)
+    }
     s.read.format("graft").option("generation", "1").load(dir)
       .agg(count(lit(1)).as("n_even"), sum(col("o_orderkey")).as("sum_key"))
   }
@@ -2423,8 +2432,12 @@ object FormatOps {
     s.conf.set("spark.sql.catalog.graft_m", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_m.root", root)
     try {
-      Tables.orders(s, d).repartition(4)
-        .write.format("graft").mode("overwrite").save(dir)
+      // fixture: the seed write; engine: the full maintenance cycle
+      // (compact, COW update, restore, vacuum) + the final read
+      FixtureClock.time {
+        Tables.orders(s, d).repartition(4)
+          .write.format("graft").mode("overwrite").save(dir)
+      }
       s.sql("CALL graft_m.sys.compact('db', 2)") // gen-1 baseline
       updateWhere(s, dir, "data",
         Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))),
@@ -2795,12 +2808,16 @@ object FormatOps {
   // from parquet, so the row-level delete itself is hash-gated.
   private val q95: Q = (s, d) => {
     val root = graftDir(d, "dml_cat")
-    deleteDirQuietly(s, root) // idempotent reruns
-    s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_dml.root", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.db")
-    Tables.orders(s, d).createOrReplaceTempView("q95_orders_src")
-    s.sql("CREATE TABLE graft_dml.db.orders_t AS SELECT * FROM q95_orders_src")
+    // fixture: catalog setup + the CTAS seed (scales with sf);
+    // engine: the DELETE rewrite + the post-delete aggregate
+    FixtureClock.time {
+      deleteDirQuietly(s, root) // idempotent reruns
+      s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dml.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.db")
+      Tables.orders(s, d).createOrReplaceTempView("q95_orders_src")
+      s.sql("CREATE TABLE graft_dml.db.orders_t AS SELECT * FROM q95_orders_src")
+    }
     s.sql("""DELETE FROM graft_dml.db.orders_t
       WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0""")
     s.sql("""SELECT o_orderstatus, count(*) AS n,
@@ -3810,8 +3827,12 @@ object FormatOps {
   // plan must schedule ≤2 of 8 files with zero per-file I/O.
   private val q162: Q = (s, d) => {
     val dir = graftDir(d, "rewrite_prune")
-    Tables.orders(s, d).repartition(8) // shuffled: every file spans the keys
-      .write.format("graft").mode("overwrite").save(dir)
+    // fixture: the shuffled seed write; engine: the clustering rewrite
+    // + the planning-prune assertion read
+    FixtureClock.time {
+      Tables.orders(s, d).repartition(8) // shuffled: every file spans the keys
+        .write.format("graft").mode("overwrite").save(dir)
+    }
     cluster(s, dir, "data", Seq("o_orderkey"), targetFiles = 8)
     val g = s.read.format("graft").load(dir)
     val keyMax = g.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -4064,8 +4085,11 @@ object FormatOps {
   // hash match proves the rewrite touched exactly the matching rows.
   private val q96: Q = (s, d) => {
     val dir = graftDir(d, "orders_update")
-    Tables.orders(s, d).repartition(8)
-      .write.format("graft").mode("overwrite").save(dir)
+    // fixture: the seed write; engine: the COW UPDATE + read-back
+    FixtureClock.time {
+      Tables.orders(s, d).repartition(8)
+        .write.format("graft").mode("overwrite").save(dir)
+    }
     updateWhere(s, dir, table = "data", // the untabled write path's default name
       set = Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
       where = col("o_orderstatus") === "O")
@@ -4090,8 +4114,11 @@ object FormatOps {
   private val q97: Q = (s, d) => {
     val dir = graftDir(d, "customer_upsert")
     val c = Tables.customer(s, d)
-    c.filter(col("c_custkey") % 3 =!= 0).repartition(8)
-      .write.format("graft").mode("overwrite").save(dir)
+    // fixture: the target seed write; engine: the keyed upsert + read
+    FixtureClock.time {
+      c.filter(col("c_custkey") % 3 =!= 0).repartition(8)
+        .write.format("graft").mode("overwrite").save(dir)
+    }
     val cdc = c.filter(col("c_custkey") % 2 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
     upsert(s, dir, table = "data", source = cdc, keys = Seq("c_custkey"))
@@ -4121,12 +4148,15 @@ object FormatOps {
   // matching rows.
   private val q96b: Q = (s, d) => {
     val root = graftDir(d, "dml_sql_update")
-    deleteDirQuietly(s, root)
-    s.conf.set("spark.sql.catalog.graft_squ", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_squ.root", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_squ.db")
-    Tables.orders(s, d).createOrReplaceTempView("q96b_orders_src")
-    s.sql("CREATE TABLE graft_squ.db.orders_t AS SELECT * FROM q96b_orders_src")
+    // fixture: catalog setup + CTAS seed; engine: the SQL UPDATE + read
+    FixtureClock.time {
+      deleteDirQuietly(s, root)
+      s.conf.set("spark.sql.catalog.graft_squ", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_squ.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_squ.db")
+      Tables.orders(s, d).createOrReplaceTempView("q96b_orders_src")
+      s.sql("CREATE TABLE graft_squ.db.orders_t AS SELECT * FROM q96b_orders_src")
+    }
     s.sql("""UPDATE graft_squ.db.orders_t
       SET o_totalprice = o_totalprice * 1.1
       WHERE o_orderstatus = 'O'""")
@@ -4142,13 +4172,16 @@ object FormatOps {
   // unmatched insert. Oracle = q97's set algebra over parquet.
   private val q97b: Q = (s, d) => {
     val root = graftDir(d, "dml_sql_merge")
-    deleteDirQuietly(s, root)
-    s.conf.set("spark.sql.catalog.graft_smg", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_smg.root", root)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_smg.db")
     val c = Tables.customer(s, d)
-    c.filter(col("c_custkey") % 3 =!= 0).createOrReplaceTempView("q97b_target_src")
-    s.sql("CREATE TABLE graft_smg.db.cust_t AS SELECT * FROM q97b_target_src")
+    // fixture: catalog setup + CTAS target seed; engine: the MERGE + read
+    FixtureClock.time {
+      deleteDirQuietly(s, root)
+      s.conf.set("spark.sql.catalog.graft_smg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_smg.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_smg.db")
+      c.filter(col("c_custkey") % 3 =!= 0).createOrReplaceTempView("q97b_target_src")
+      s.sql("CREATE TABLE graft_smg.db.cust_t AS SELECT * FROM q97b_target_src")
+    }
     c.filter(col("c_custkey") % 2 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
       .createOrReplaceTempView("q97b_cdc")

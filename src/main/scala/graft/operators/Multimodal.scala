@@ -1127,16 +1127,21 @@ object Multimodal {
     import s.implicits._
     // checkpointed: the fixture feeds two subtrees (the media side and
     // the expected-checksum side of the join) that Catalyst won't unify
-    // — without it every JPEG encodes twice
-    val fixtures = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
-      .map { id =>
-        val bytes = jpegBytes(id, (id % 13).toInt + 16, (id % 9).toInt + 16)
-        // planted truth: the fixture-time decode of the very bytes shipped
-        val expected = rgbChecksum(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes)))
-        JpegFixture(id, bytes, expected)
-      }.localCheckpoint()
+    // — without it every JPEG encodes twice. The eager localCheckpoint
+    // materializes the fixture here, so the FixtureClock wrap attributes
+    // the JPEG ENCODE + planted-truth decode (both scale with sf) to
+    // fixture; the engine side is the seam decode + join.
+    val fixtures = FixtureClock.time {
+      Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = jpegBytes(id, (id % 13).toInt + 16, (id % 9).toInt + 16)
+          // planted truth: the fixture-time decode of the very bytes shipped
+          val expected = rgbChecksum(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          JpegFixture(id, bytes, expected)
+        }.localCheckpoint()
+    }
     val media = fixtures.map(f => MediaRow(f.doc_id, f.media))
     val out = decodeWith(media, () => new JpegDecoder).toDF()
       .join(fixtures.toDF().select(col("doc_id"), col("expected")), Seq("doc_id"))

@@ -2535,8 +2535,12 @@ class GraftScan(dirs: Seq[String], required: StructType, tableOpt: Option[String
       // cached) — the 4 MB floor collapsed a 15 MB single-file table to
       // 4 tasks on 32 cores (q135's ANALYZE scans slowed 2x at sf0.1).
       // 256 KB keeps every range several ms of decode vs ~1 ms of task
-      // launch while letting mid-size tables use the whole machine.
-      val maxSplit = math.max(256L << 10,
+      // launch while letting mid-size tables use the whole machine. The
+      // floor itself caps at the CONFIGURED open cost so an explicitly
+      // shrunk openCostInBytes (the knob tests use to make KB-scale
+      // fixtures fan out like multi-GB files) is honored, not overridden.
+      val floor = math.min(256L << 10, math.max(sqlConf.filesOpenCostInBytes, 1L))
+      val maxSplit = math.max(floor,
         math.min(sqlConf.filesMaxPartitionBytes, totalSize / math.max(slots, 1)))
       GraftDataSource.inParallel(keptSized) { case (p, sz, part) =>
         val nChunks = try {

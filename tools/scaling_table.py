@@ -65,9 +65,18 @@ def main():
     n = len(rows)
     over = [k for k, _, _, r in rows if r > flag and k not in INTRINSIC]
     med = sorted(r for _, _, _, r in rows)[n // 2] if n else 0
+    # when the boards carry different gate sets (a "skipped" extreme-scale
+    # board), raw totals are apples-to-oranges: sum the COMPARED gates
+    if set(qa) != set(qb):
+        ta, tb = sum(r[1] for r in rows), sum(r[2] for r in rows)
+        skipped = sorted(set(qa) ^ set(qb))
+        print(f"\n[gate sets differ; totals below are over the {n} common "
+              f"gates; absent from one board: {skipped}]")
+    else:
+        ta, tb = a["value"], b["value"]
     print(f"\ngates compared: {n}; median engine ratio {med:.1f}x; "
-          f"total {a['value']:.1f} s -> {b['value']:.1f} s "
-          f"({b['value'] / a['value']:.1f}x); "
+          f"total {ta:.1f} s -> {tb:.1f} s "
+          f"({tb / ta:.1f}x); "
           f"flag >{flag:g}x: {over or 'none'}; sf1 errors: {bad_errors or 'none'}")
     sys.exit(1 if (over or bad_errors) else 0)
 
