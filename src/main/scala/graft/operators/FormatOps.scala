@@ -667,11 +667,27 @@ object FormatOps {
     // for why these don't ride the big aggregate) — each scan prunes to
     // its one column, and a lone count_distinct plans as a plain
     // two-phase distinct with no Expand
+    // the passes are independent one-column jobs; submit a few at a time
+    // from a small pool so one pass's straggler tail back-fills with the
+    // next pass's tasks instead of idling the cluster (2-3 in flight is
+    // the guide's number: enough to fill the tail, not enough to fight)
     val exactNdv: Map[Int, Long] =
       if (!exact) Map.empty
-      else fields.zipWithIndex.map { case (f, i) =>
-        i -> df.agg(count_distinct(col(s"`${f.name}`")).as("d")).head().getLong(0)
-      }.toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = fields.zipWithIndex.map { case (f, i) =>
+            scala.concurrent.Future {
+              i -> df.agg(count_distinct(col(s"`${f.name}`")).as("d")).head().getLong(0)
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
     def at(name: String): Option[Any] =
       row.schema.fieldNames.indexOf(name) match {
         case -1 => None

@@ -515,11 +515,20 @@ object Similarity {
     val assigned = rankCells(all, seeds)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nv"), col("cell"))
-    val finalCents = centroidsOf(
-      assigned.withColumn("label", col("cell")), cellAsLong = true)
     assigned
       .write.format("graft").option("partitionBy", "cell")
       .mode("overwrite").save(s"$indexRoot/cells")
+    // final centroids fold over the rows JUST WRITTEN, read back from the
+    // published cells dir — not over `assigned`'s lineage, which would
+    // re-run the seed aggregate + broadcast + rank over the whole corpus
+    // a second time (measured: the centroid write was the single most
+    // expensive step of the procedure because of that recompute; the
+    // read-back costs one columnar scan of the index instead). Write
+    // order is unchanged: cells land first, the tiny centroid table
+    // last, so a racing search still pairs old-with-old or new-with-new.
+    val written = s.read.format("graft").load(s"$indexRoot/cells")
+      .withColumn("label", col("cell").cast("long"))
+    val finalCents = centroidsOf(written, cellAsLong = true)
     finalCents.write.format("graft").mode("overwrite")
       .save(s"$indexRoot/centroids")
   }

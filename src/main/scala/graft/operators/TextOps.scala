@@ -327,8 +327,15 @@ object TextOps {
     val distinctShingles = when(size(col("toks")) >= 3, size(expr(
       "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"
     ))).otherwise(lit(0))
+    // the planted population is referenced several times per gate (twin
+    // construction inside the band pipeline, plus 2-3 plantedIds probes
+    // in the final aggregate) and each reference would otherwise re-run
+    // the corpus tokenize + the distinct-shingle eligibility transform —
+    // the most expensive per-row expressions in these gates. It is ~5%
+    // of the corpus by construction (doc_id % 20), so one bounded
+    // materialization replaces the recomputes.
     val eligible = base.filter(col("doc_id") % 20 === 0 &&
-      size(col("toks")) >= 20 && distinctShingles >= 16)
+      size(col("toks")) >= 20 && distinctShingles >= 16).localCheckpoint()
     (base, eligible)
   }
 
@@ -915,7 +922,12 @@ object TextOps {
     * all match) — only the ~1/6 of positions ending at a space are ever
     * materialized, vs exploding a per-character `sequence` and
     * filtering (2.2x faster measured). `carry` columns ride along
-    * unchanged (q56 keeps lang). */
+    * unchanged (q56 keeps lang). The digest is xxhash64 (8-byte long),
+    * not md5 (32-char string): every downstream op — the distinct here,
+    * q56's window-by-h, q59's hub join and edge distinct — shuffles and
+    * compares h, and the long is 8x narrower and far cheaper to compute.
+    * Consumers only use h for equality (never emitted), so any injective
+    * digest yields the same result; both gate oracles stay hash-green. */
   def spanWindows(docs: DataFrame, W: Int = 40,
       carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
@@ -924,7 +936,7 @@ object TextOps {
       .filter(length(col("t")) >= W)
     t.select(keep :+
         explode(expr(s"regexp_extract_all(t, '(?s)(?=(.{${W - 1}} ))', 1)")).as("w"): _*)
-      .select(keep :+ md5(col("w").cast("binary")).as("h"): _*)
+      .select(keep :+ xxhash64(col("w")).as("h"): _*)
       .distinct()
   }
 
